@@ -1,0 +1,41 @@
+"""kafka_streams_plumber_spark — a PySpark-native analytics engine with the
+query and data-processing capabilities of rollulus/kafka-streams-plumber.
+
+The reference (see /root/reference, SURVEY.md) is a stateless Kafka->Kafka
+(key, value) record transformer: a chain of filter/map/mapValues steps, a
+schema-conforming output stage, pluggable wire serdes, and a golden-test
+pre-flight gate. Here those become:
+
+- :class:`Pipeline` — a builder producing a ``DataFrame -> DataFrame``
+  function from chained filter/map/mapValues steps (Column expressions on
+  the fast path, Python UDFs as the escape hatch).
+- :func:`conform` — schema-driven output projection with the reference's
+  drop-extra / null-fill / coerce / union-resolution semantics
+  (LuaMapper.scala:99-127).
+- ``sources.kafka`` — Structured Streaming Kafka source/sink with
+  long/string/avro/void serdes and Confluent registry framing.
+- ``testing.verify`` — the golden-test pre-flight gate
+  (Plumber.scala:41-50): refuse to start streaming if the pipeline does
+  not reproduce declared fixtures.
+
+Beyond reference parity, ``operators.dedup`` / ``operators.similarity`` /
+``operators.text`` / ``operators.multimodal`` provide the large-scale
+training-data-pipeline operators (near-dedup, ANN search, text quality,
+opaque-binary multimodal plumbing), all designed for 100 TB scale: no
+driver-side collects, broadcast for small sides, JVM-side expressions in
+hot paths, Arrow-batched pandas UDFs where Python is unavoidable.
+"""
+
+from kafka_streams_plumber_spark.operators.pipeline import Pipeline
+from kafka_streams_plumber_spark.operators.conform import conform, conform_column
+from kafka_streams_plumber_spark.plans.session import get_spark, load_tables
+
+__all__ = [
+    "Pipeline",
+    "conform",
+    "conform_column",
+    "get_spark",
+    "load_tables",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,114 @@
+"""SparkSession construction tuned for the engine, plus table loading.
+
+Scale notes: the conf below is what we want on a real cluster too — AQE
+for runtime re-planning (skew joins, partition coalescing), Arrow for any
+pandas-UDF hop, and a UTC session timezone so timestamp semantics are
+deterministic across engines (our DuckDB oracle treats naive parquet
+timestamps as UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Runtime confs safe to set on an existing session (used by the driver
+#: contract in __spark_entry__.py, where the session is handed to us).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Permissive casts (Lua tonumber semantics — SURVEY §7.4.2): conform()
+    # uses try_cast explicitly, but keep ANSI off so stray casts degrade to
+    # null rather than task failure, matching the reference's drop-on-bad-parse.
+    "spark.sql.ansi.enabled": "false",
+    # The driver's parquet stores TIMESTAMP(NANOS), which Spark's reader
+    # rejects outright; read them as long and convert in load_tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (driver contract)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable at runtime on this build — non-fatal
+    return spark
+
+
+def get_spark(
+    app_name: str = "kafka-streams-plumber-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
+        )
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (driver testdata uses
+    them; Spark refuses to read them natively — PARQUET_TYPE_ILLEGAL)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's parquet star schema as a dict of DataFrames.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst for
+    free; callers should select only needed columns so ReadSchema stays
+    narrow. TIMESTAMP(NANOS) columns are read via nanosAsLong and converted
+    to TimestampType (microsecond truncation — same as DuckDB's read).
+    """
+    from pyspark.sql import functions as F
+
+    tune(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for c in _nanos_timestamp_cols(path):
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            out[name] = df
+    return out
