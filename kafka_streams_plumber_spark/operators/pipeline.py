@@ -197,8 +197,10 @@ def to_kv(df: DataFrame, key: Column | str | None, value: Column | str | None = 
     """
     kcol = F.lit(None) if key is None else (F.col(key) if isinstance(key, str) else key)
     if value is None:
-        vcols = [c for c in df.columns if not (isinstance(key, str) and c == key)]
-        vcol = F.struct(*[F.col(c) for c in vcols])
+        # the key is a projection of the record, not carved out of it —
+        # the value struct keeps every column (reference records are
+        # independent (k, v) pairs, TypeConversions.scala:18)
+        vcol = F.struct(*[F.col(c) for c in df.columns])
     else:
         vcol = F.col(value) if isinstance(value, str) else value
     return df.select(kcol.alias(KEY), vcol.alias(VALUE))

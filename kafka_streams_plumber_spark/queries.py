@@ -1,0 +1,687 @@
+"""The engine's query registry — the driver-contract surface.
+
+Each entry pairs a PySpark implementation (``QUERIES[name]``: callable
+``(spark, sf_dir) -> DataFrame``) with a DuckDB-equivalent ANSI SQL oracle
+(``ORACLES[name]``). The driver runs both at sf0.01 and compares row count
++ schema + order-insensitive value hash; column names are aliased
+identically on both sides (driver sorts columns by name before hashing).
+
+Organization mirrors SURVEY.md §2's operator inventory:
+
+- ``q_filter / q_mapvalues / q_map / q_chain / q_demo / q_time / q_csv /
+  q_conform / q_enum / q_union`` — reference-parity operator families
+  (filter, mapValues, map, chaining, schema conform, enum/union semantics,
+  timecvt, csv parsing), each built on the engine's Pipeline/conform/
+  functions APIs over the driver's tables.
+- ``q1_pricing / q3_topk / q5_join / q_window / q_hourly / q_distinct /
+  q_semi / q_anti / q_setops`` — the analytics surface a Spark-native
+  engine adds (aggregation, joins, windows, set ops), which are also the
+  bench headliners.
+- ``dedup_* / text_* / sim_*`` — the large-scale training-data operators
+  (operators/dedup.py, operators/text.py, operators/similarity.py).
+
+Numeric-determinism rules (so value hashes match DuckDB bit-for-bit):
+monetary aggregates are summed as DECIMAL (exact, order-insensitive) and
+cast to DOUBLE at the end; averages are computed as one double division of
+exact operands; timestamps are output as unix millis (both engines
+truncate parquet nanos to micros identically).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.functions import (
+    parse_csv_line,
+    toint,
+)
+from kafka_streams_plumber_spark.operators import text as TX
+from kafka_streams_plumber_spark.operators.conform import (
+    Field,
+    Record,
+    Union as AUnion,
+    conform_column,
+)
+from kafka_streams_plumber_spark.operators.pipeline import Pipeline, to_kv
+from kafka_streams_plumber_spark.plans.session import load_tables
+
+from pyspark.sql import types as T
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Reference-parity family (SURVEY §2.1-2.4)
+# =========================================================================
+
+
+@query(
+    "q_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity < 10 AND l_discount > 0.05
+    """,
+)
+def q_filter(spark, sf_dir):
+    """pb.filter parity (StreamProcessOperations.scala:54-57): predicate
+    over the record, pushed down to the parquet scan by Catalyst."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    kv = to_kv(li, key="l_orderkey")
+    p = Pipeline().filter(
+        lambda k, v: (v["l_quantity"] < 10) & (v["l_discount"] > 0.05)
+    )
+    out = p(kv)
+    return out.select(
+        out["value"]["l_orderkey"].alias("l_orderkey"),
+        out["value"]["l_linenumber"].alias("l_linenumber"),
+        out["value"]["l_quantity"].alias("l_quantity"),
+        out["value"]["l_extendedprice"].alias("l_extendedprice"),
+    )
+
+
+@query(
+    "q_mapvalues",
+    """
+    SELECT c_custkey,
+           lower(c_name) AS name,
+           c_acctbal > 5000.0 AS rich,
+           c_nationkey + 1 AS nation1
+    FROM customer
+    """,
+)
+def q_mapvalues(spark, sf_dir):
+    """pb.mapValues parity: value restructured, key untouched (README
+    transform shape — ReadmeTest.scala:54-70)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    kv = to_kv(c, key="c_custkey")
+    p = Pipeline().map_values(
+        lambda v: F.struct(
+            F.lower(v["c_name"]).alias("name"),
+            (v["c_acctbal"] > 5000.0).alias("rich"),
+            (v["c_nationkey"] + 1).alias("nation1"),
+        )
+    )
+    out = p(kv)
+    return out.select(
+        out["key"].alias("c_custkey"),
+        out["value"]["name"].alias("name"),
+        out["value"]["rich"].alias("rich"),
+        out["value"]["nation1"].alias("nation1"),
+    )
+
+
+@query(
+    "q_map",
+    """
+    SELECT upper(event_type) AS key, event_id + user_id AS value
+    FROM events
+    """,
+)
+def q_map(spark, sf_dir):
+    """pb.map parity: both key and value replaced
+    (StreamProcessOperations.scala:59-62)."""
+    e = load_tables(spark, sf_dir)["events"]
+    kv = to_kv(e, key="event_id")
+    p = Pipeline().map(
+        lambda k, v: (F.upper(v["event_type"]), v["event_id"] + v["user_id"])
+    )
+    return p(kv)
+
+
+@query(
+    "q_chain",
+    """
+    SELECT upper(l_returnflag) AS key, l_orderkey, l_linenumber, qty2
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity * 2 AS qty2,
+             l_linestatus
+      FROM lineitem
+    )
+    WHERE qty2 >= 16 AND qty2 <= 60 AND length(l_linestatus) = 1
+    """,
+)
+def q_chain(spark, sf_dir):
+    """Chaining parity (ChainingOperationsTest.scala:16-27, F9): steps
+    compose left-to-right; records dropped by a filter never reach later
+    steps. Catalyst fuses the whole chain into one stage."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    kv = to_kv(li, key="l_returnflag")
+    p = (
+        Pipeline()
+        .map_values(
+            lambda v: F.struct(
+                v["l_orderkey"].alias("l_orderkey"),
+                v["l_linenumber"].alias("l_linenumber"),
+                (v["l_quantity"] * 2).alias("qty2"),
+                v["l_linestatus"].alias("l_linestatus"),
+            )
+        )
+        .filter(lambda k, v: v["qty2"] >= 16)
+        .filter(lambda k, v: v["qty2"] <= 60)
+        .filter(lambda k, v: F.length(v["l_linestatus"]) == 1)
+        .map(lambda k, v: (F.upper(k), v))
+    )
+    out = p(kv)
+    return out.select(
+        out["key"].alias("key"),
+        out["value"]["l_orderkey"].alias("l_orderkey"),
+        out["value"]["l_linenumber"].alias("l_linenumber"),
+        out["value"]["qty2"].alias("qty2"),
+    )
+
+
+@query(
+    "q_demo",
+    """
+    SELECT NOT (s_acctbal < 0) AS valid,
+           lower(s_name) AS name,
+           s_suppkey + s_nationkey AS fingers
+    FROM supplier
+    """,
+)
+def q_demo(spark, sf_dir):
+    """The README/demo transform (F1): nested-ish record in, restructured
+    record out, conformed to a declared output schema — valid/name/fingers
+    (examples/demo/example.lua, ReadmeTest.scala:54-70)."""
+    s = load_tables(spark, sf_dir)["supplier"]
+    kv = to_kv(s, key="s_suppkey")
+    p = Pipeline().map_values(
+        lambda v: F.struct(
+            (~(v["s_acctbal"] < 0)).alias("valid"),
+            F.lower(v["s_name"]).alias("name"),
+            (v["s_suppkey"] + v["s_nationkey"]).alias("fingers"),
+        )
+    )
+    out = p(kv)
+    # conform to the declared output schema (drop-extra/null-fill/coerce)
+    from kafka_streams_plumber_spark.operators.conform import conform
+
+    out = conform(out, "struct<valid:boolean, name:string, fingers:long>")
+    return out.select("value.valid", "value.name", "value.fingers")
+
+
+@query(
+    "q_time",
+    """
+    SELECT epoch_ms(ts) AS ts_ms, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+    FROM events
+    WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+    """,
+)
+def q_time(spark, sf_dir):
+    """The time example (F2): timestamp conversion to unix millis + numeric
+    parse with drop-on-unparsable (examples/time/example.lua:1-12)."""
+    e = load_tables(spark, sf_dir)["events"]
+    kv = to_kv(e, key="ts")
+    p = (
+        Pipeline()
+        .map(
+            lambda k, v: (
+                F.unix_millis(v["ts"]),
+                toint(F.regexp_extract(v["props"], '"k": (\\d+)', 1)),
+            )
+        )
+        .filter(lambda k, v: v.isNotNull())
+    )
+    out = p(kv)
+    return out.select(out["key"].alias("ts_ms"), out["value"].alias("k"))
+
+
+@query(
+    "q_csv",
+    """
+    SELECT parts[1] AS login, parts[2] AS created, NULLIF(parts[3], '') AS blog
+    FROM (
+      SELECT string_split(line, ',') AS parts
+      FROM (
+        SELECT p_name || ',' || p_brand || ',' ||
+               CASE WHEN p_size > 25 THEN '' ELSE p_type END AS line
+        FROM part
+      )
+    )
+    WHERE len(parts) = 3
+    """,
+)
+def q_csv(spark, sf_dir):
+    """The csv example (F3): split-or-drop line parsing with a nullable
+    field (empty -> NULL), examples/csv/example.lua:1-20."""
+    pt = load_tables(spark, sf_dir)["part"]
+    line = F.concat_ws(
+        ",",
+        pt["p_name"],
+        pt["p_brand"],
+        F.when(pt["p_size"] > 25, F.lit("")).otherwise(pt["p_type"]),
+    )
+    kv = to_kv(pt.select(line.alias("line")), key=None, value="line")
+    p = (
+        Pipeline()
+        .map_values(lambda v: parse_csv_line(v, 3))
+        .filter(lambda k, v: v.isNotNull())
+        .map_values(
+            lambda v: F.struct(
+                F.element_at(v, 1).alias("login"),
+                F.element_at(v, 2).alias("created"),
+                F.nullif(F.element_at(v, 3), F.lit("")).alias("blog"),
+            )
+        )
+    )
+    out = p(kv)
+    return out.select("value.login", "value.created", "value.blog")
+
+
+@query(
+    "q_conform",
+    """
+    SELECT p_partkey,
+           CAST(p_size AS BIGINT) AS size_l,
+           CAST(p_size AS VARCHAR) AS size_s,
+           p_retailprice AS price,
+           CAST(NULL AS VARCHAR) AS comment
+    FROM part
+    """,
+)
+def q_conform(spark, sf_dir):
+    """conform() end-to-end (F4/F6): permissive coercion (int->long,
+    int->string), passthrough, and null-fill of a field absent from the
+    source (LuaMapper.scala:99-127)."""
+    pt = load_tables(spark, sf_dir)["part"]
+    src = pt.select(
+        "p_partkey",
+        F.struct(
+            pt["p_partkey"].alias("p_partkey"),
+            pt["p_size"].alias("size_l"),
+            pt["p_size"].cast("string").alias("size_s"),
+            pt["p_retailprice"].alias("price"),
+            pt["p_brand"].alias("dropped_extra"),
+        ).alias("value"),
+    )
+    from kafka_streams_plumber_spark.operators.conform import conform
+
+    out = conform(
+        src,
+        "struct<size_l:bigint, size_s:string, price:double, comment:string>",
+    )
+    return out.select("p_partkey", "value.size_l", "value.size_s", "value.price", "value.comment")
+
+
+@query(
+    "q_enum",
+    """
+    SELECT CASE WHEN event_type IN ('click','view','purchase')
+                THEN event_type ELSE 'Other' END AS queue,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_enum(spark, sf_dir):
+    """Enum-domain semantics (F5): symbols outside the declared domain are
+    remapped (here to 'Other', the lenient variant of the write-side check
+    LuaMapper.scala:93-97), then counted."""
+    e = load_tables(spark, sf_dir)["events"]
+    domain = ("click", "view", "purchase")
+    queue = (
+        F.when(e["event_type"].isin(*domain), e["event_type"])
+        .otherwise(F.lit("Other"))
+        .alias("queue")
+    )
+    return e.select(queue).groupBy("queue").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_union",
+    """
+    SELECT event_id,
+           CAST(NULL AS BOOLEAN) AS b_boolean,
+           CAST(NULL AS INTEGER) AS b_int,
+           CAST(value AS FLOAT) AS b_float,
+           CAST(NULL AS VARCHAR) AS b_string
+    FROM events
+    """,
+)
+def q_union(spark, sf_dir):
+    """N-way union resolution (F7): a double source against
+    [null,boolean,int,float,string] picks the first fractional branch
+    (float), the rest stay NULL (LuaMapper.scala:67-91). Branches are
+    flattened to columns for the oracle."""
+    e = load_tables(spark, sf_dir)["events"]
+    u = AUnion(
+        (
+            T.NullType(),
+            T.BooleanType(),
+            T.IntegerType(),
+            T.FloatType(),
+            T.StringType(),
+        )
+    )
+    resolved = conform_column(e["value"], T.DoubleType(), u)
+    return e.select(
+        "event_id",
+        resolved["boolean"].alias("b_boolean"),
+        resolved["int"].alias("b_int"),
+        resolved["float"].alias("b_float"),
+        resolved["string"].alias("b_string"),
+    )
+
+
+# =========================================================================
+# Analytics family (bench headliners)
+# =========================================================================
+
+
+@query(
+    "q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(14,4))) AS DOUBLE) AS sum_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary. Scale notes: partial (map-side)
+    aggregation before the shuffle on the 6-value group key; decimal sums
+    are exact so results are partition-order-insensitive; the shipdate
+    filter and 4-column projection push down into the parquet scan."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    dec = lambda c, p, s: c.cast(T.DecimalType(p, s))  # noqa: E731
+    return (
+        li.filter(li["l_shipdate"] <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec(F.sum(dec(li["l_quantity"], 12, 2)), 38, 2).cast("double").alias("sum_qty"),
+            dec(F.sum(dec(li["l_extendedprice"], 12, 2)), 38, 2).cast("double").alias("sum_base"),
+            F.sum(dec(li["l_extendedprice"] * (1 - li["l_discount"]), 14, 4))
+            .cast("double")
+            .alias("sum_disc"),
+            F.round(
+                F.sum(dec(li["l_quantity"], 12, 2)).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@query(
+    "q3_topk",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(14,4))) AS DOUBLE) AS revenue,
+           c.c_mktsegment
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, c.c_mktsegment
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_topk(spark, sf_dir):
+    """TPC-H Q3-shaped top-revenue orders. Scale notes: customer (filtered
+    to one segment) is broadcast to the orders join, so only the
+    orders⋈lineitem join shuffles — and both sides shuffle on orderkey,
+    which AQE can coalesce; the revenue sum is exact decimal; top-k is a
+    TakeOrdered (no global sort)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o, l = t["orders"], t["lineitem"]
+    joined = (
+        F.broadcast(c)
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+    )
+    rev = F.sum(
+        (l["l_extendedprice"] * (1 - l["l_discount"])).cast(T.DecimalType(14, 4))
+    ).cast("double")
+    return (
+        joined.groupBy(o["o_orderkey"], c["c_mktsegment"])
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "revenue", "c_mktsegment")
+    )
+
+
+@query(
+    "q5_join",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE r.r_name = 'AMERICA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_join(spark, sf_dir):
+    """Multi-way star join rolled up to nation. Scale notes: region and
+    nation are tiny -> broadcast both; customer⋈orders is the only
+    shuffle; aggregation is partial before the final shuffle on n_name."""
+    t = load_tables(spark, sf_dir)
+    r = t["region"].filter(F.col("r_name") == "AMERICA")
+    n, c, o = t["nation"], t["customer"], t["orders"]
+    joined = (
+        F.broadcast(r)
+        .join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+    )
+    return joined.groupBy(n["n_name"].alias("n_name")).agg(
+        F.sum(o["o_totalprice"].cast(T.DecimalType(14, 2)))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q_window",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn = 1
+    """,
+)
+def q_window(spark, sf_dir):
+    """Window function: each customer's highest-value order. One shuffle on
+    o_custkey; deterministic tiebreak on o_orderkey."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_hourly",
+    """
+    SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hourly(spark, sf_dir):
+    """Tumbling-window rollup (the batch shape of a streaming windowed
+    agg — SURVEY §2.6): hour bucket × event_type. At scale this is the
+    hypertable-rollup pattern: partial agg, then shuffle on (hour, type)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(
+            F.unix_millis(F.date_trunc("hour", e["ts"])).alias("hour_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(e["value"].cast(T.DecimalType(12, 2))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 40000)
+    """,
+)
+def q_semi(spark, sf_dir):
+    """Left-semi join (EXISTS). The filtered orders side is aggregated to
+    keys; at scale Spark plans a broadcast or shuffled semi join — no
+    row duplication either way."""
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    big = o.filter(o["o_totalprice"] > 40000)
+    return c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_anti",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 60000)
+    """,
+)
+def q_anti(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    big = o.filter(o["o_totalprice"] > 60000)
+    return c.join(big, c["c_custkey"] == big["o_custkey"], "left_anti").select(
+        "c_custkey"
+    )
+
+
+@query(
+    "q_setops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+    """,
+)
+def q_setops(spark, sf_dir):
+    """SQL EXCEPT is set semantics -> DataFrame.subtract (distinct),
+    not exceptAll (bag)."""
+    e = load_tables(spark, sf_dir)["events"]
+    buyers = e.filter((e["event_type"] == "purchase") & (e["value"] > 90)).select("user_id")
+    errors = e.filter((e["event_type"] == "error") & (e["value"] > 90)).select("user_id")
+    return buyers.subtract(errors)
+
+
+# =========================================================================
+# Training-data pipeline family (dedup / text / similarity)
+# =========================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep the lowest id. One
+    shuffle on the hash; at 100 TB this is the standard first pass (hash
+    is 32 bytes vs full text in the shuffle)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(lower(text), ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stopwords,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token counting + stopword counting + order-insensitive content
+    fingerprint, all as one JVM-side projection (operators/text.py)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.stopword_count("text").alias("n_stopwords"),
+        TX.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           round(
+             0.4 * (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * least((len(list_filter(string_split(lower(text), ' '),
+                     x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+                     / len(string_split(text, ' '))) * 5.0, 1.0)
+           + 0.3 * (CASE WHEN ((length(text)::DOUBLE - len(string_split(text,' ')) + 1)
+                               / len(string_split(text,' '))) BETWEEN 2.0 AND 12.0
+                         THEN 1.0 ELSE 0.0 END),
+           6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
