@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured to a noop sink (full compute, no driver collect),
+after a small warmup to amortize JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_streams_plumber_spark.plans.session import get_spark  # noqa: E402
+from kafka_streams_plumber_spark.queries import QUERIES  # noqa: E402
+
+#: The bench set: every family with nontrivial compute (aggs, joins,
+#: window, text ops) plus a pushdown-friendly scan filter.
+HEADLINE = [
+    "q_filter",
+    "q_chain",
+    "q1_pricing",
+    "q3_topk",
+    "q5_join",
+    "q_window",
+    "q_hourly",
+    "q_setops",
+    "dedup_exact",
+    "text_stats",
+    "text_quality",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    df = QUERIES[name](spark, sf_dir)
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        print(f"bench: SPARK_GRAFT_SF_DIR does not exist: {sf_dir}", file=sys.stderr)
+        sys.exit(2)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: trigger JVM classloading + codegen on a tiny query
+    QUERIES["q_distinct"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
