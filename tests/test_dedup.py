@@ -1,0 +1,68 @@
+"""Dedup operator semantics on synthetic fixtures (near-dup planted)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_plumber_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away today "
+    "while the sun shines bright over the green hills of the old valley"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token edit -> high jaccard
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized operators shuffling partitions across nodes"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE)]  # 3 = exact copy of 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.keep_id: r.n_copies for r in exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert out[0] == 2  # doc 3 collapsed into doc 0
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_minhash_finds_planted_pair(spark, docs):
+    pairs = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert (0, 1) in pairs  # near-dup
+    assert (0, 3) in pairs  # exact dup
+    assert not any({a, b} == {0, 2} for a, b in pairs)  # unrelated not paired
+
+
+def test_minhash_dedup_keeps_lowest_id(spark, docs):
+    kept = sorted(r.doc_id for r in minhash_dedup(docs, "text", "doc_id", threshold=0.5).collect())
+    assert kept == [0, 2]
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    rows = {(r.a_id, r.b_id): r.jaccard for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2).collect()}
+    assert rows[(0, 3)] == 1.0  # identical docs
+    assert 0.5 < rows[(0, 1)] < 1.0  # one-token edit
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    """LSH + verify must equal exact all-pairs at high thresholds."""
+    lsh = {(r.a_id, r.b_id, r.jaccard) for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    exact = {(r.a_id, r.b_id, r.jaccard) for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_ranks_near_dups_closer(spark, docs):
+    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_pairs(docs, "text", "doc_id", max_hamming=64, bands=4).collect()}
+    assert pairs[(0, 3)] == 0  # identical -> same simhash
+    assert pairs[(0, 1)] <= 10  # near-dup -> small hamming
+    far = pairs.get((0, 2), 64)
+    assert far > pairs[(0, 1)]  # unrelated doc is farther than near-dup
