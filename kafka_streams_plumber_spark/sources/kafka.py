@@ -1,0 +1,93 @@
+"""Kafka source/sink for the streaming pipeline — parity with the
+reference's one-topic-in, one-topic-out shape (Plumber.scala:62-74), on
+Structured Streaming.
+
+Scale notes: the Kafka source parallelism follows topic partitions (use
+``minPartitions`` to fan out wider than the partition count); the
+pipeline itself is stateless per-record, so there is no shuffle anywhere
+between source and sink — the whole job is map-only and scales linearly
+with executors. Checkpointing + Kafka's transactional producer give
+exactly-once sink semantics, strictly stronger than the reference's
+at-least-once (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.sources.serde import WireType, decode, encode
+
+
+def kafka_source(
+    spark: SparkSession,
+    *,
+    brokers: str,
+    topic: str,
+    key_type: WireType,
+    value_type: WireType,
+    confluent_framing: bool = False,
+    starting_offsets: str = "earliest",
+    options: dict[str, str] | None = None,
+    streaming: bool = True,
+) -> DataFrame:
+    """Subscribe to one topic and decode to a typed (key, value) frame.
+
+    ``streaming=False`` gives the batch variant (spark.read) over the
+    same decode logic — used by the golden harness and backfills.
+    """
+    reader = spark.readStream if streaming else spark.read
+    r = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    raw = r.load()
+    return raw.select(
+        decode(F.col("key"), key_type, confluent_framing=confluent_framing).alias("key"),
+        decode(F.col("value"), value_type, confluent_framing=confluent_framing).alias(
+            "value"
+        ),
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    *,
+    brokers: str,
+    topic: str,
+    key_type: WireType,
+    value_type: WireType,
+    checkpoint: str,
+    confluent_framing: bool = False,
+    schema_id: int = 0,
+    options: dict[str, str] | None = None,
+    trigger: str | None = None,
+):
+    """Encode a (key, value) frame to wire format and start the streaming
+    write. Returns the StreamingQuery (callers own .stop())."""
+    encoded = df.select(
+        encode(
+            F.col("key"), key_type, confluent_framing=confluent_framing, schema_id=schema_id
+        ).alias("key"),
+        encode(
+            F.col("value"),
+            value_type,
+            confluent_framing=confluent_framing,
+            schema_id=schema_id,
+        ).alias("value"),
+    )
+    w = (
+        encoded.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    if trigger:
+        w = w.trigger(processingTime=trigger)
+    return w.start()

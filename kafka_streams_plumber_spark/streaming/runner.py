@@ -1,0 +1,104 @@
+"""PlumberJob — the reference's whole CLI lifecycle on Structured
+Streaming (Plumber.scala:26-86; SURVEY.md §3 entry point 1):
+
+    parse types -> build pipeline -> [golden verification pre-pass,
+    ABORT on mismatch] -> [dry-run exit] -> source -> transform ->
+    conform to output schema -> sink -> await, with graceful shutdown.
+
+The golden gate is the defining behavior: a job whose pipeline does not
+reproduce its declared fixtures REFUSES to start streaming
+(Plumber.scala:41-50).
+"""
+
+from __future__ import annotations
+
+import signal
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_plumber_spark.operators.conform import conform
+from kafka_streams_plumber_spark.operators.pipeline import Pipeline
+from kafka_streams_plumber_spark.sources.kafka import kafka_sink, kafka_source
+from kafka_streams_plumber_spark.sources.serde import WireType, spark_type_of
+from kafka_streams_plumber_spark.testing.verify import verify
+
+
+@dataclass
+class PlumberJob:
+    spark: SparkSession
+    pipeline: Pipeline
+    brokers: str
+    source_topic: str
+    sink_topic: str
+    input_key: WireType
+    input_value: WireType
+    output_key: WireType
+    output_value: WireType
+    checkpoint: str = "/tmp/ksps-checkpoint"
+    confluent_framing: bool = False
+    fixtures: list[tuple[Any, Any]] = field(default_factory=list)
+    expectations: list[tuple[Any, Any]] = field(default_factory=list)
+    kafka_options: dict[str, str] = field(default_factory=dict)
+
+    def _transformed(self, df: DataFrame) -> DataFrame:
+        out = self.pipeline(df)
+        if self.output_value.kind == "avro":
+            out = conform(out, self.output_value.model)
+        if self.output_key.kind == "avro":
+            out = conform(out, self.output_key.model, column="key")
+        return out
+
+    def preflight(self) -> None:
+        """Golden verification pre-pass (Plumber.scala:41-50): run the
+        exact production transform (pipeline + conform) over fixtures;
+        raise and refuse to stream on mismatch."""
+        if not self.expectations:
+            return
+        verify(
+            self.spark,
+            self._transformed,
+            self.fixtures,
+            self.expectations,
+            key_schema=spark_type_of(self.input_key),
+            value_schema=spark_type_of(self.input_value),
+        )
+
+    def run(self, *, dry_run: bool = False, await_termination: bool = True):
+        """Verify, then start the streaming query (or exit on dry_run,
+        mirroring the -D flag, Plumber.scala:53-55)."""
+        self.preflight()
+        if dry_run:
+            return None
+        src = kafka_source(
+            self.spark,
+            brokers=self.brokers,
+            topic=self.source_topic,
+            key_type=self.input_key,
+            value_type=self.input_value,
+            confluent_framing=self.confluent_framing,
+            options=self.kafka_options,
+        )
+        out = self._transformed(src)
+        query = kafka_sink(
+            out,
+            brokers=self.brokers,
+            topic=self.sink_topic,
+            key_type=self.output_key,
+            value_type=self.output_value,
+            checkpoint=self.checkpoint,
+            confluent_framing=self.confluent_framing,
+        )
+        # graceful shutdown (Plumber.scala:79-83)
+        def _stop(signum, frame):
+            query.stop()
+
+        try:
+            signal.signal(signal.SIGTERM, _stop)
+            signal.signal(signal.SIGINT, _stop)
+        except ValueError:
+            pass  # not on the main thread (tests)
+        if await_termination:
+            query.awaitTermination()
+        return query

@@ -1,0 +1,68 @@
+"""CLI parity: flags -i -o -d -s -l -p -t -D (Plumber.scala:88-145),
+dry-run verification exit codes."""
+
+from __future__ import annotations
+
+import textwrap
+
+from kafka_streams_plumber_spark.cli import main
+
+PIPELINE = textwrap.dedent(
+    """
+    import pyspark.sql.functions as F
+    from kafka_streams_plumber_spark import Pipeline
+
+    def pipeline():
+        return Pipeline().map_values(lambda v: F.upper(v))
+    """
+)
+
+TEST_OK = textwrap.dedent(
+    """
+    def fixtures():
+        return [("k", "hello")]
+
+    def expectations():
+        return [("k", "HELLO")]
+    """
+)
+
+TEST_BAD = TEST_OK.replace("HELLO", "nope")
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+def _argv(tmp_path, test_file):
+    return [
+        "-i", "in", "-o", "out",
+        "-d", "string,string", "-s", "string,string",
+        "-l", _write(tmp_path, "pipe.py", PIPELINE),
+        "-t", test_file,
+        "-D",
+    ]
+
+
+def test_dry_run_pass_exits_zero(spark, tmp_path, capsys):
+    rc = main(_argv(tmp_path, _write(tmp_path, "t_ok.py", TEST_OK)))
+    assert rc == 0
+    assert "dry run" in capsys.readouterr().out
+
+
+def test_dry_run_mismatch_exits_one(spark, tmp_path, capsys):
+    rc = main(_argv(tmp_path, _write(tmp_path, "t_bad.py", TEST_BAD)))
+    assert rc == 1
+    assert "verification failed" in capsys.readouterr().err
+
+
+def test_properties_file_parsing(tmp_path):
+    from kafka_streams_plumber_spark.cli import _load_properties
+
+    p = tmp_path / "app.properties"
+    p.write_text("# comment\nbootstrap.servers=broker:9092\nkafka.fetch.max.bytes = 1048576\n")
+    props = _load_properties(str(p))
+    assert props["bootstrap.servers"] == "broker:9092"
+    assert props["kafka.fetch.max.bytes"] == "1048576"
