@@ -1,0 +1,188 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media travels as an opaque ``binary`` column plus typed metadata — the
+only representation that scales: Spark never interprets the bytes except
+inside explicitly vectorized decode stages, so parquet scans stay
+columnar, predicate pushdown on metadata still works, and partition
+sizing is driven by ``media_size_bytes``.
+
+    MEDIA_SCHEMA: data binary, mime string, width int, height int,
+                  duration_ms bigint, media_size_bytes bigint
+
+Decode / feature-extraction stages are ``mapInPandas`` operators: Arrow
+batches in, Arrow batches out, one Python worker per partition — the
+correct shape for CPU-heavy per-item work at scale (no per-row UDF
+overhead, no driver involvement, composes with repartition-by-size).
+
+The actual codec calls (PIL/ffmpeg/torchvision) are NOT available in
+this container, so the decode kernels are STUBBED: with
+``fake="deterministic"`` they produce seeded, content-addressed fake
+outputs (real plumbing, fake pixels) for tests; with ``fake=None`` they
+raise NotImplementedError at the first batch, marking exactly where the
+real library call goes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("media_size_bytes", T.LongType()),
+    ]
+)
+
+
+def pack_media(
+    data: Column, mime: Column, *, width=None, height=None, duration_ms=None
+) -> Column:
+    """Build a media struct from raw bytes + metadata columns."""
+    return F.struct(
+        data.alias("data"),
+        mime.alias("mime"),
+        (width if width is not None else F.lit(None).cast("int")).alias("width"),
+        (height if height is not None else F.lit(None).cast("int")).alias("height"),
+        (duration_ms if duration_ms is not None else F.lit(None).cast("long")).alias(
+            "duration_ms"
+        ),
+        F.length(data).cast("long").alias("media_size_bytes"),
+    )
+
+
+def repartition_by_media_size(
+    df: DataFrame, *, target_partition_bytes: int = 256 << 20, size_col: str = "media.media_size_bytes"
+) -> DataFrame:
+    """Right-size partitions for decode: media items are orders of
+    magnitude larger than rows, so row-count partitioning starves or
+    OOMs executors. Uses the total payload estimate / target bytes."""
+    total = df.select(F.sum(F.col(size_col)).alias("b")).first()["b"] or 0
+    n = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+_IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_and_featurize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    embedding_dim: int = 16,
+    fake: str | None = "deterministic",
+) -> DataFrame:
+    """Decode images and emit (id, width, height, embedding).
+
+    mapInPandas: each Arrow batch is decoded in one Python call. The
+    decode kernel is stubbed (see module docstring) — the Spark-side
+    contract (schema, batching, partitioning) is the real deliverable.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, widths, heights, embs = [], [], [], []
+            for _, row in pdf.iterrows():
+                media = row[media_col]
+                data = media["data"] if media is not None else None
+                if data is None:
+                    continue
+                if fake != "deterministic":
+                    # REAL IMPLEMENTATION GOES HERE:
+                    #   from PIL import Image; img = Image.open(io.BytesIO(data))
+                    raise NotImplementedError(
+                        "image decode requires PIL/torchvision (not in container)"
+                    )
+                # deterministic content-addressed fake: dims + embedding
+                # derived from a sha256 of the bytes, so tests are stable
+                h = hashlib.sha256(bytes(data)).digest()
+                rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+                ids.append(row[id_col])
+                widths.append(64 + h[8] % 64)
+                heights.append(64 + h[9] % 64)
+                v = rng.standard_normal(embedding_dim)
+                embs.append((v / np.linalg.norm(v)).astype("float32"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "embedding": pd.Series(embs, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=_IMAGE_FEATURES)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    every_ms: int = 1000,
+    fake: str | None = "deterministic",
+) -> DataFrame:
+    """1:N frame sampling — each video row fans out to frame rows (the
+    multimodal analog of flat_map). Output rows are (id, frame_idx,
+    frame bytes); at scale follow with repartition to rebalance the fan-out."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for _, row in pdf.iterrows():
+                media = row[media_col]
+                if media is None or media["data"] is None:
+                    continue
+                if fake != "deterministic":
+                    # REAL IMPLEMENTATION: ffmpeg/pyav frame iterator
+                    raise NotImplementedError("video decode requires pyav/ffmpeg")
+                dur = media["duration_ms"] or 0
+                n_frames = max(1, int(dur // every_ms))
+                seed = hashlib.sha256(bytes(media["data"])).digest()
+                for i in range(n_frames):
+                    out_ids.append(row[id_col])
+                    out_idx.append(i)
+                    out_frames.append(seed + i.to_bytes(4, "big"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame": pd.Series(out_frames, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=_FRAME_SCHEMA)

@@ -812,3 +812,93 @@ def sim_ann_lsh(spark, sf_dir):
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return rp_lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# =========================================================================
+# Flat-map / JSON / sessionization / multimodal coverage
+# =========================================================================
+
+
+@query(
+    "q_flatmap",
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def q_flatmap(spark, sf_dir):
+    """flat-map (0..N records out): the generalization of the reference's
+    0..1 chain via explode (SURVEY §2.1 'implicit flatMap')."""
+    d = load_tables(spark, sf_dir)["documents"]
+    kv = to_kv(d, key="doc_id")
+    p = Pipeline().flat_map_values(lambda v: F.split(v["text"], " ", -1))
+    out = p(kv)
+    return out.groupBy(out["value"].alias("word")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_json",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) > 50
+    """,
+)
+def q_json(spark, sf_dir):
+    """Semi-structured access: JSON path extraction inside the value
+    (the engine's analog of the Lua table access surface)."""
+    e = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object(e["props"], "$.k").cast("long")
+    return e.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+@query(
+    "q_sessionize",
+    """
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+    FROM (
+      SELECT user_id, ts_ms,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (streaming/stateful.py:sessionize_batch):
+    the batch analog of the applyInPandasWithState streaming operator,
+    SQL-expressible so it carries the oracle for both."""
+    from kafka_streams_plumber_spark.streaming.stateful import sessionize_batch
+
+    e = load_tables(spark, sf_dir)["events"]
+    return sessionize_batch(e, gap_ms=30 * 60 * 1000)
+
+
+@query("multimodal_features")  # rows-only: stubbed decode kernel
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end (operators/multimodal.py): pack
+    text bytes as fake media, mapInPandas decode+featurize. Rows-only:
+    the decode kernel is a content-addressed stub (no image libs in the
+    container), but schema/batching/fan-out are the real operator."""
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        decode_and_featurize_images,
+        pack_media,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    media = d.select(
+        "doc_id",
+        pack_media(
+            F.encode(F.col("text"), "utf-8"), F.lit("image/png")
+        ).alias("media"),
+    )
+    return decode_and_featurize_images(media)

@@ -1,0 +1,156 @@
+"""Custom stateful operators — the capability tier above the reference
+(which is stateless-only, SURVEY §2.6), built the Structured-Streaming-
+native way.
+
+- :func:`sessionize_batch` — gap-based sessionization as pure window
+  expressions (lag + conditional cumsum). One shuffle on the user key;
+  SQL-expressible, so it doubles as the oracle-checked batch analog.
+- :func:`sessionize_stream` — the same semantics on an unbounded stream
+  via ``applyInPandasWithState`` (GroupState timeouts): per-user state
+  holds the open session; an event past the gap closes and emits it.
+  Watermark-driven timeout emits sessions that never see another event.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = (
+    "session_id LONG, n_events LONG, start_ms LONG, end_ms LONG"
+)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Assign gap-based sessions and roll them up, batch-side.
+
+    A session breaks when the time since the previous event of the same
+    user exceeds ``gap_ms``. session_id is the 0-based break count —
+    deterministic given (user, ts, tiebreak) ordering.
+    """
+    ts_ms = F.unix_millis(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_ms)
+    gap_break = (
+        (ts_ms - F.lag(ts_ms).over(w) > gap_ms).cast("long")
+    )
+    with_sid = events.select(
+        F.col(user_col).alias("user_id"),
+        ts_ms.alias("_ts_ms"),
+        F.coalesce(gap_break, F.lit(0)).alias("_brk"),
+    ).withColumn(
+        "session_id",
+        F.sum("_brk").over(
+            Window.partitionBy("user_id").orderBy("_ts_ms").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("_ts_ms").alias("start_ms"),
+        F.max("_ts_ms").alias("end_ms"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization with per-user GroupState.
+
+    Emits a session row when (a) a new event arrives past the gap, or
+    (b) the state times out past the watermark. Event-time ordering
+    within a microbatch is handled by sorting the group's batch.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator, state: GroupState
+    ) -> Iterator:
+        import pandas as pd
+
+        (user,) = key
+        if state.hasTimedOut:
+            sid, n, start, end = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "session_id": sid,
+                        "n_events": n,
+                        "start_ms": start,
+                        "end_ms": end,
+                    }
+                ]
+            )
+            return
+
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t.value // 1_000_000) for t in pd.to_datetime(pdf[ts_col]))
+        ts_all.sort()
+        if state.exists:
+            sid, n, start, end = state.get
+        else:
+            sid, n, start, end = 0, 0, None, None
+
+        out = []
+        for t in ts_all:
+            if start is None:
+                n, start, end = 1, t, t
+            elif t - end > gap_ms:
+                out.append((user, sid, n, start, end))
+                sid, n, start, end = sid + 1, 1, t, t
+            else:
+                n, end = n + 1, t
+        state.update((sid, n, start, end))
+        state.setTimeoutTimestamp(end + gap_ms)
+        if out:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": u,
+                        "session_id": s,
+                        "n_events": c,
+                        "start_ms": st,
+                        "end_ms": e,
+                    }
+                    for (u, s, c, st, e) in out
+                ]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,73 @@
+"""Multimodal plumbing: schema, Arrow batching, fan-out, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_and_featurize_images,
+    pack_media,
+    repartition_by_media_size,
+    sample_video_frames,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (0, b"\x89PNG-fake-bytes-0", "image/png", None),
+        (1, b"\x89PNG-fake-bytes-1", "image/png", None),
+        (2, b"RIFF-fake-video-2", "video/mp4", 3500),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, raw binary, mime string, duration_ms long"
+    )
+    return df.select(
+        "doc_id",
+        pack_media(F.col("raw"), F.col("mime"), duration_ms=F.col("duration_ms")).alias(
+            "media"
+        ),
+    )
+
+
+def test_media_schema_shape(media_df):
+    assert media_df.schema["media"].dataType == MEDIA_SCHEMA
+    sizes = {r.doc_id: r.media.media_size_bytes for r in media_df.collect()}
+    assert sizes[0] == len(b"\x89PNG-fake-bytes-0")
+
+
+def test_image_decode_stub_deterministic(spark, media_df):
+    imgs = media_df.filter("media.mime like 'image/%'")
+    out1 = {r.doc_id: r for r in decode_and_featurize_images(imgs).collect()}
+    out2 = {r.doc_id: r for r in decode_and_featurize_images(imgs).collect()}
+    assert set(out1) == {0, 1}
+    for i in out1:
+        assert out1[i].embedding == out2[i].embedding  # content-addressed
+        assert len(out1[i].embedding) == 16
+        assert 64 <= out1[i].width < 128
+    # different content -> different embedding
+    assert out1[0].embedding != out1[1].embedding
+
+
+def test_image_decode_real_path_is_marked(spark, media_df):
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_and_featurize_images(
+            media_df.filter("media.mime like 'image/%'"), fake=None
+        ).collect()
+
+
+def test_video_frame_fanout(spark, media_df):
+    vids = media_df.filter("media.mime like 'video/%'")
+    frames = sample_video_frames(vids, every_ms=1000).collect()
+    assert len(frames) == 3  # 3500ms // 1000
+    assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 1, 2]
+    assert all(f.doc_id == 2 for f in frames)
+    assert len({bytes(f.frame) for f in frames}) == 3  # distinct frames
+
+
+def test_repartition_by_media_size(spark, media_df):
+    out = repartition_by_media_size(media_df, target_partition_bytes=16)
+    assert out.rdd.getNumPartitions() >= 2  # ~50 bytes total / 16
+    assert out.count() == 3
