@@ -31,7 +31,12 @@ HEADLINE = [
     "q_window",
     "q_hourly",
     "q_setops",
+    "q_rollup",
+    "q_pivot",
+    "q_sessionize",
     "dedup_exact",
+    "dedup_minhash",
+    "sim_topk",
     "text_stats",
     "text_quality",
 ]

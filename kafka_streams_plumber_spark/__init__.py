@@ -26,7 +26,7 @@ driver-side collects, broadcast for small sides, JVM-side expressions in
 hot paths, Arrow-batched pandas UDFs where Python is unavoidable.
 """
 
-from kafka_streams_plumber_spark.operators.pipeline import Pipeline
+from kafka_streams_plumber_spark.operators.pipeline import Pipeline, from_kv, to_kv
 from kafka_streams_plumber_spark.operators.conform import conform, conform_column
 from kafka_streams_plumber_spark.plans.session import get_spark, load_tables
 
@@ -34,8 +34,10 @@ __all__ = [
     "Pipeline",
     "conform",
     "conform_column",
+    "from_kv",
     "get_spark",
     "load_tables",
+    "to_kv",
 ]
 
 __version__ = "0.1.0"

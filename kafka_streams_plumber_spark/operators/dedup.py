@@ -29,7 +29,11 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_plumber_spark.operators.text import shingles, tokens
+from kafka_streams_plumber_spark.operators.text import (
+    shingle_hashes,
+    shingles,
+    tokens,
+)
 
 #: Mersenne prime 2^61-1: universal-hash modulus. Products a*h with
 #: h < 2^31 and a < 2^31 stay well inside int64.
@@ -46,6 +50,17 @@ def _h32(col: Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(_P31))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism before heavy per-row
+    compute: a single-file parquet table arrives as one partition, which
+    would serialize shingling/hashing on one core. No-op when the input
+    is already wide (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep one row per distinct combination of ``cols`` (the lowest id).
 
@@ -60,27 +75,36 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(
-    text_col: Column | str, *, num_perm: int = 64, shingle_k: int = 3, seed: int = 42
+def minhash_signature_from_hashes(
+    hashes: Column, *, num_perm: int = 64, seed: int = 42
 ) -> Column:
-    """MinHash signature (array<bigint>, length num_perm) of a document's
-    word-shingle set.
+    """MinHash signature (array<bigint>, length num_perm) from a
+    pre-hashed shingle set (array<bigint>).
 
     Single pass over the shingle array: fold with
     ``acc = zip_with(acc, perms(h), least)`` — no UDF, no extra shuffle;
     cost is O(shingles × num_perm) inside codegen.
     """
     params = _perm_params(num_perm, seed)
-    sh = shingles(text_col, k=shingle_k)
     init = F.array(*[F.lit(_P31).cast("long") for _ in range(num_perm)])
 
     def perms(h: Column) -> Column:
         return F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(_P31) for a, b in params])
 
     return F.aggregate(
-        F.transform(sh, lambda x: _h32(x)),
+        F.transform(hashes, lambda x: F.pmod(x, F.lit(_P31))),
         init,
         lambda acc, h: F.zip_with(acc, perms(h), lambda x, y: F.least(x, y)),
+    )
+
+
+def minhash_signature(
+    text_col: Column | str, *, num_perm: int = 64, shingle_k: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature of a document's word-shingle set (convenience
+    over :func:`minhash_signature_from_hashes` + hashed shingles)."""
+    return minhash_signature_from_hashes(
+        shingle_hashes(text_col, k=shingle_k), num_perm=num_perm, seed=seed
     )
 
 
@@ -124,12 +148,16 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0, "bands must divide num_perm"
     rows = num_perm // bands
 
-    base = df.select(
+    base = _fan_out(df).select(
         F.col(id_col).alias("_id"),
-        shingles(text_col, k=shingle_k).alias("_sh"),
-        minhash_signature(text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed).alias(
-            "_sig"
-        ),
+        shingle_hashes(text_col, k=shingle_k).alias("_sh"),
+    )
+    base = base.select(
+        "_id",
+        "_sh",
+        minhash_signature_from_hashes(
+            F.col("_sh"), num_perm=num_perm, seed=seed
+        ).alias("_sig"),
     )
 
     buckets = (
@@ -195,7 +223,7 @@ def ngram_jaccard_pairs(
     scale. MinHash-LSH is the scale path; this is the ground truth to
     validate it against.
     """
-    base = df.select(
+    base = _fan_out(df).select(
         F.col(id_col).alias("_id"),
         shingles(text_col, k=k).alias("_sh"),
         *([F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")]),
@@ -269,7 +297,7 @@ def simhash_pairs(
     ``bands`` 16-bit bands (pigeonhole: any pair with hamming < bands
     must agree on some band), verified with bit_count(a xor b)."""
     width = 64 // bands
-    base = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    base = _fan_out(df).select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
 
     band_cols = F.array(
         *[

@@ -902,3 +902,125 @@ def multimodal_features(spark, sf_dir):
         ).alias("media"),
     )
     return decode_and_featurize_images(media)
+
+
+# =========================================================================
+# Extended analytics coverage: rollup, pivot, per-group top-k, langid, bpe
+# =========================================================================
+
+
+@query(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Hierarchical rollup (subtotal lattice): one pass, partial aggs per
+    grouping set; NULL markers match ANSI ROLLUP."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(li["l_quantity"].cast(T.DecimalType(12, 2))).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "q_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot to wide counts. With an explicit value list Spark plans a
+    single-pass pivot aggregation (no second job to discover values —
+    that collect would be a scale anti-pattern)."""
+    e = load_tables(spark, sf_dir)["events"]
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    out = e.groupBy("user_id").pivot("event_type", kinds).count()
+    # pivot yields nullable counts; ANSI FILTER yields 0 — align
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "q_topk_group",
+    """
+    SELECT n_nationkey, c_custkey, c_acctbal, rnk FROM (
+      SELECT n.n_nationkey, c.c_custkey, c.c_acctbal,
+             dense_rank() OVER (PARTITION BY n.n_nationkey
+                                ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_group(spark, sf_dir):
+    """Per-group top-k via dense_rank after a broadcast dim join."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    n, c = t["nation"], t["customer"]
+    j = F.broadcast(n).join(c, c["c_nationkey"] == n["n_nationkey"])
+    w = Window.partitionBy(n["n_nationkey"]).orderBy(
+        F.desc(c["c_acctbal"]), F.asc(c["c_custkey"])
+    )
+    return (
+        j.select(
+            n["n_nationkey"].alias("n_nationkey"),
+            c["c_custkey"].alias("c_custkey"),
+            c["c_acctbal"].alias("c_acctbal"),
+            F.dense_rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "text_langid",
+    """
+    SELECT doc_id, lang,
+      CASE WHEN best = 0 THEN 'und'
+           WHEN en = best THEN 'en'
+           WHEN de = best THEN 'de'
+           ELSE 'fr' END AS pred_lang
+    FROM (
+      SELECT doc_id, lang, en, de, fr, greatest(en, de, fr) AS best
+      FROM (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+          len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+          len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('le','la','les','et','est','un','une','pas'))) AS fr
+        FROM documents
+      )
+    )
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Stopword-vote language ID (operators/text.py:lang_id) next to the
+    corpus's labeled lang column."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", "lang", TX.lang_id("text").alias("pred_lang"))
+
+
+@query("text_bpe")  # rows-only: regex dialects differ on backrefs
+def text_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenization counts (operators/text.py:bpe_ish_tokens)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id", F.size(TX.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )

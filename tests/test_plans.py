@@ -1,0 +1,67 @@
+"""Plan-quality regression tests: the physical plans the engine promises
+(SURVEY §4.3, README scale notes) — pushdown, pruning, broadcast,
+codegen, no Python in expression-only operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_plumber_spark.plans.inspect import (
+    broadcast_join_count,
+    codegen_span_count,
+    pushed_filters,
+    python_eval_count,
+    read_schemas,
+)
+from kafka_streams_plumber_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_through_pipeline(spark):
+    """Pipeline's struct packing must be transparent to Catalyst: the
+    filter reaches the parquet scan and the scan reads only used cols."""
+    df = QUERIES["q_filter"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "LessThan(l_quantity,10.0)" in pf
+    assert "GreaterThan(l_discount,0.05)" in pf
+    (cols,) = read_schemas(df)
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }
+
+
+def test_q1_shipdate_pushdown(spark):
+    df = QUERIES["q1_pricing"](spark, SF)
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+
+
+def test_joins_broadcast_dimensions(spark):
+    assert broadcast_join_count(QUERIES["q3_topk"](spark, SF)) >= 1
+    assert broadcast_join_count(QUERIES["q5_join"](spark, SF)) >= 2
+
+
+def test_expression_operators_have_no_python(spark):
+    for name in [
+        "q_filter",
+        "q_chain",
+        "q_conform",
+        "q_union",
+        "q1_pricing",
+        "text_stats",
+        "text_quality",
+        "dedup_exact",
+        "dedup_minhash",
+        "sim_topk",
+        "q_sessionize",
+    ]:
+        assert python_eval_count(QUERIES[name](spark, SF)) == 0, name
+
+
+def test_codegen_covers_scan_queries(spark):
+    assert codegen_span_count(QUERIES["q_filter"](spark, SF)) >= 1
+    assert codegen_span_count(QUERIES["q1_pricing"](spark, SF)) >= 1
