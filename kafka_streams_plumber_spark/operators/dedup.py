@@ -148,20 +148,16 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0, "bands must divide num_perm"
     rows = num_perm // bands
 
-    base = _fan_out(df).select(
+    src = _fan_out(df)
+    sigs = src.select(
         F.col(id_col).alias("_id"),
-        shingle_hashes(text_col, k=shingle_k).alias("_sh"),
-    )
-    base = base.select(
-        "_id",
-        "_sh",
-        minhash_signature_from_hashes(
-            F.col("_sh"), num_perm=num_perm, seed=seed
-        ).alias("_sig"),
+        minhash_signature(text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed).alias(
+            "_sig"
+        ),
     )
 
     buckets = (
-        base.select("_id", F.explode(_band_keys(F.col("_sig"), bands=bands, rows=rows)).alias("bk"))
+        sigs.select("_id", F.explode(_band_keys(F.col("_sig"), bands=bands, rows=rows)).alias("bk"))
         .groupBy("bk.band", "bk.key")
         .agg(F.collect_list("_id").alias("ids"), F.count("*").alias("n"))
         .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
@@ -175,9 +171,21 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select(F.col("_id"), F.col("_sh"))
-    a = sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "_sha")
-    b = sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "_shb")
+    # Verify stage: recompute shingles ONLY for candidate ids. The corpus
+    # is scanned once more but the heavy shingle arrays are built for the
+    # (small) candidate set alone — the plan above computes shingles once
+    # per document, not once per downstream reference. AQE broadcasts the
+    # candidate-id side, so the corpus is never shuffled here.
+    cand_ids = pairs.select(F.col("a").alias("_id")).union(
+        pairs.select(F.col("b").alias("_id"))
+    ).distinct()
+    cand_sh = (
+        src.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .join(cand_ids, "_id", "left_semi")
+        .select("_id", shingle_hashes(F.col("_txt"), k=shingle_k).alias("_sh"))
+    )
+    a = cand_sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
+    b = cand_sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
     verified = (
         pairs.join(a, "a")
         .join(b, "b")
