@@ -33,6 +33,8 @@ HEADLINE = [
     "q_setops",
     "q_rollup",
     "q_pivot",
+    "q_asof",
+    "q_percentiles",
     "q_sessionize",
     "dedup_exact",
     "dedup_minhash",

@@ -261,3 +261,124 @@ def embedding_dup_pairs(
         .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
     )
     return pairs
+
+
+def _cells_row(
+    corpus: DataFrame, *, id_col: str, vec_col: str, n_cells: int
+) -> DataFrame:
+    """One-row DataFrame holding the IVF cell table:
+    ``cells: array<struct<cell:int, cv:array<double>>>`` with unit-norm
+    centroid vectors.
+
+    Centroids are ``n_cells`` deterministic random pivots — the corpus
+    ordered by id hash, lowest first (TakeOrderedAndProject: no global
+    sort shuffle). Random pivots are the zero-iteration special case of
+    k-means and preserve IVF's search shape; swap in fitted centroids for
+    tighter cells without touching the search path.
+    """
+    pivots = (
+        corpus.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
+        .orderBy(F.xxhash64(F.col("_pid")), F.col("_pid"))
+        .limit(n_cells)
+    )
+    unit = F.transform(
+        F.col("_pv"), lambda x: x.cast("double") / norm(F.col("_pv"))
+    )
+    return (
+        pivots.select(unit.alias("_uv"))
+        .select(
+            F.collect_list("_uv").alias("_vs"),
+        )
+        .select(
+            F.transform(
+                F.col("_vs"),
+                lambda v, i: F.struct(i.alias("cell"), v.alias("cv")),
+            ).alias("cells")
+        )
+    )
+
+
+def _best_cells(vec: Column, cells: Column, n: int) -> Column:
+    """The ``n`` cell ids whose (unit) centroid has the highest dot
+    product with ``vec`` — array<int>, deterministic tie-break on id."""
+    scored = F.transform(
+        cells,
+        lambda c: F.struct(dot(vec, c["cv"]).alias("s"), c["cell"].alias("cell")),
+    )
+    ranked = F.reverse(F.array_sort(scored))  # by (s, cell) desc
+    return F.transform(F.slice(ranked, 1, n), lambda x: x["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    assign: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning: index
+    every corpus vector under its ``assign`` nearest centroid cells,
+    search only the query's ``nprobe`` closest cells.
+
+    Scale shape: the cell table is one broadcast row (n_cells unit
+    vectors); corpus assignment is a pure projection — the corpus is
+    never shuffled and scanned once (exploded ×assign, the usual IVF
+    multi-assignment recall lever for boundary vectors). Queries explode
+    to nprobe (query, cell) rows and broadcast into the cell-equi join,
+    so the candidate set is ~corpus×assign/n_cells × nprobe per query,
+    ranked with the same exact-cosine window as :func:`cosine_topk`.
+    """
+    cells = _cells_row(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            norm(F.col(vec_col)).alias("_cn"),
+        )
+        .join(F.broadcast(cells), F.lit(True))
+        .select(
+            "neighbor_id",
+            "_cv",
+            "_cn",
+            F.explode(_best_cells(F.col("_cv"), F.col("cells"), assign)).alias("cell"),
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+        .join(F.broadcast(cells), F.lit(True))
+        .select(
+            "query_id",
+            "_qv",
+            "_qn",
+            F.explode(_best_cells(F.col("_qv"), F.col("cells"), nprobe)).alias("cell"),
+        )
+    )
+
+    cand = c.join(F.broadcast(q), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias("_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("_sim").alias("_sim"))  # dedup across probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+    )

@@ -814,6 +814,17 @@ def sim_ann_lsh(spark, sf_dir):
     return rp_lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+@query("sim_ann_ivf")  # rows-only: data-dependent cell table has no SQL analog
+def sim_ann_ivf(spark, sf_dir):
+    """Approximate top-k via IVF cells with multi-assignment
+    (operators/similarity.py:ivf_topk); recall vs the exact baseline is
+    asserted in pytest, the driver records a rows-only check."""
+    from kafka_streams_plumber_spark.operators.similarity import ivf_topk
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=6)
+
+
 # =========================================================================
 # Flat-map / JSON / sessionization / multimodal coverage
 # =========================================================================
@@ -1023,4 +1034,165 @@ def text_bpe(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     return d.select(
         "doc_id", F.size(TX.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )
+
+
+# =========================================================================
+# Temporal joins + grouping lattices: asof, range, cube, tumbling windows
+# =========================================================================
+
+
+@query(
+    "q_asof",
+    """
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms, l.value,
+           r.click_value AS r_click_value,
+           epoch_ms(r.click_ts) AS r_click_ts_ms
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, ts AS click_ts,
+                           max(value) AS click_value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.click_ts
+    """,
+)
+def q_asof(spark, sf_dir):
+    """As-of join (operators/joins.py:asof_join): each purchase gets the
+    user's latest prior-or-simultaneous click. Single shuffle on user_id
+    (union + ordered window), never a range-explode."""
+    from kafka_streams_plumber_spark.operators.joins import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.filter(e["event_type"] == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # right side made unique per (user_id, ts) so the latest-match is
+    # deterministic on both engines
+    clicks = (
+        e.filter(e["event_type"] == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    j = asof_join(purchases, clicks, on="user_id", ts="ts", right_ts="click_ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "value",
+        "r_click_value",
+        F.unix_millis(F.col("r_click_ts")).alias("r_click_ts_ms"),
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """Full grouping lattice (CUBE): all 2^k marginal combinations in one
+    pass of partial aggregation."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(li["l_extendedprice"].cast(T.DecimalType(12, 2))).cast("double").alias(
+            "sum_price"
+        ),
+    )
+
+
+@query(
+    "q_tumbling",
+    """
+    SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts)) AS win_ms,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark, sf_dir):
+    """15-minute tumbling windows via F.window — the exact groupBy a
+    Structured Streaming windowed agg plans (streaming adds only the
+    watermark; see tests/test_streaming.py for the streaming twin)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(e["value"].cast(T.DecimalType(12, 2))).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# =========================================================================
+# Distribution statistics: exact percentiles, distinct counts, HLL sketch
+# =========================================================================
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, verified bit-for-bit). The exact form shuffles full
+    groups; percentile_approx (KLL-style sketch, mergeable map-side) is
+    the 100 TB path — see q_approx_distinct for the sketch pattern."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS users,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct(spark, sf_dir):
+    """Exact distinct cardinality per group (expands to a two-phase
+    partial-distinct aggregate in Spark — the map-side dedup keeps the
+    shuffle proportional to distinct keys, not rows)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): mergeable constant-size
+    sketch — at 100 TB the shuffle carries one ~KB sketch per group
+    instead of the distinct-key stream. Accuracy vs exact is asserted in
+    pytest (tests/test_sketches.py); the driver records rows-only."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("users_approx"),
+        F.count("*").alias("n"),
     )

@@ -80,3 +80,32 @@ def test_embedding_dup_lsh_finds_planted_pair(spark, vectors):
         ).collect()
     }
     assert (0, 100) in lsh
+
+
+def test_ivf_recall_and_topk_shape(spark, vectors):
+    """IVF with 8 cells / 4 probes / multi-assign 2 recovers most true
+    top-3; each query gets exactly k ranked rows with rank 1..k."""
+    from kafka_streams_plumber_spark.operators.similarity import ivf_topk
+
+    q = vectors.filter("vec_id < 8")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(vectors, q, k=3).collect()}
+    rows = ivf_topk(vectors, q, k=3, n_cells=8, nprobe=4, assign=2).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_no_duplicate_neighbors(spark, vectors):
+    """Multi-assignment must not surface the same (query, neighbor)
+    twice in the ranked output."""
+    from kafka_streams_plumber_spark.operators.similarity import ivf_topk
+
+    q = vectors.filter("vec_id < 8")
+    rows = ivf_topk(vectors, q, k=5, n_cells=8, nprobe=6, assign=3).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(pairs) == len(set(pairs))

@@ -66,3 +66,81 @@ def test_golden_gate_refuses_to_start_on_mismatch(spark):
     job = _job(spark, [keyValue("k", "wrong")])
     with pytest.raises(VerificationError):
         job.run(dry_run=True)
+
+
+def test_windowed_agg_streaming_matches_batch(spark, tmp_path):
+    """File source -> watermarked tumbling agg -> memory sink (complete
+    mode) produces exactly the batch plan's result: same code path, same
+    windows (SURVEY §2.6 — the capability the reference lacks)."""
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.streaming.windows import tumbling_agg
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, m, 0), kind, float(m))
+        for m in (0, 4, 14, 15, 16, 31, 59)
+        for kind in ("a", "b")
+    ]
+    schema = "ts timestamp, kind string, v double"
+    src_dir = tmp_path / "stream_in"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src_dir))
+
+    aggs = {"n": F.count("*"), "sum_v": F.sum("v")}
+    batch = {
+        (r["win_start"], r["kind"], r["n"], r["sum_v"])
+        for r in tumbling_agg(
+            spark.read.parquet(str(src_dir)), "ts", "15 minutes", aggs, by=["kind"]
+        ).collect()
+    }
+    assert len(batch) == 8  # 4 windows x 2 kinds
+
+    stream = tumbling_agg(
+        spark.readStream.schema(schema).parquet(str(src_dir)),
+        "ts",
+        "15 minutes",
+        aggs,
+        by=["kind"],
+        watermark="30 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ksps_win_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["win_start"], r["kind"], r["n"], r["sum_v"])
+            for r in spark.sql("SELECT * FROM ksps_win_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+
+
+def test_session_window_agg_batch(spark):
+    """Built-in session_window: 10-minute gap sessionization."""
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.streaming.windows import session_window_agg
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 5)),   # same session
+        (1, dt.datetime(2024, 1, 1, 10, 30)),  # new session
+        (2, dt.datetime(2024, 1, 1, 10, 0)),
+    ]
+    out = session_window_agg(
+        spark.createDataFrame(rows, "uid int, ts timestamp"),
+        "ts",
+        "10 minutes",
+        {"n": F.count("*")},
+        by=["uid"],
+    ).collect()
+    per_uid = {}
+    for r in out:
+        per_uid.setdefault(r["uid"], []).append(r["n"])
+    assert sorted(per_uid[1]) == [1, 2]
+    assert per_uid[2] == [1]
