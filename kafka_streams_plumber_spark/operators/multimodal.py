@@ -186,3 +186,124 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    max_side: int = 256,
+    fake: str | None = "deterministic",
+) -> DataFrame:
+    """Bounded-resize (longest side <= max_side, aspect preserved).
+
+    Emits (id, new width/height, re-encoded bytes). The arithmetic
+    (aspect-ratio math, metadata passthrough) is real; only the pixel
+    resample is stubbed — with ``fake="deterministic"`` the output bytes
+    are a content hash so downstream dedup/pipelines are testable.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for _, row in pdf.iterrows():
+                media = row[media_col]
+                if media is None or media["data"] is None:
+                    continue
+                w = media["width"] or max_side
+                h = media["height"] or max_side
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                if fake != "deterministic":
+                    # REAL IMPLEMENTATION: PIL Image.resize((nw, nh))
+                    raise NotImplementedError("image resize requires PIL")
+                ids.append(row[id_col])
+                ws.append(nw)
+                hs.append(nh)
+                outs.append(
+                    hashlib.sha256(bytes(media["data"]) + bytes([nw % 256, nh % 256])).digest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "data": pd.Series(outs, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=_RESIZED_SCHEMA)
+
+
+_AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("loudness", T.FloatType()),
+        T.StructField("mfcc", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    n_mfcc: int = 13,
+    fake: str | None = "deterministic",
+) -> DataFrame:
+    """Audio feature extraction: (id, duration, sample_rate, loudness,
+    MFCC-shaped vector). Stubbed decode (librosa/soundfile not in the
+    container); the Arrow batching, schema, and fan-in shape are real.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, durs, srs, louds, mfccs = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                media = row[media_col]
+                if media is None or media["data"] is None:
+                    continue
+                if fake != "deterministic":
+                    # REAL IMPLEMENTATION: librosa.load + librosa.feature.mfcc
+                    raise NotImplementedError("audio decode requires librosa/soundfile")
+                h = hashlib.sha256(bytes(media["data"])).digest()
+                rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+                ids.append(row[id_col])
+                durs.append(media["duration_ms"] or int.from_bytes(h[8:10], "big"))
+                srs.append(16000)
+                louds.append(float(h[10]) / 255.0)
+                mfccs.append(rng.standard_normal(n_mfcc).astype("float32"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "loudness": pd.Series(louds, dtype="float32"),
+                    "mfcc": pd.Series(mfccs, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=_AUDIO_FEATURES)

@@ -1,0 +1,80 @@
+"""Scale-out plan helpers: skew-salted joins and bucketed co-located
+joins.
+
+These are the two knobs AQE cannot always turn for you at 100 TB:
+
+- ``salted_join`` — when one join key carries a disproportionate share
+  of rows (a "hot key"), a plain hash join puts that whole key in one
+  task. Salting splits each hot left key across ``salt`` subkeys and
+  replicates the matching right rows ``salt`` ways, so the hot key runs
+  on ``salt`` tasks. AQE's skew-join splitting handles moderate skew
+  after the fact; salting is the declarative fix when you KNOW the skew
+  (power-law user ids, null-heavy foreign keys).
+- ``write_bucketed`` / ``bucketed_table`` — pre-shuffle a fact table
+  once into N buckets by its join key. Every later join or aggregation
+  on that key reads co-located buckets and plans with ZERO exchanges —
+  the amortize-one-shuffle-forever pattern for tables joined daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to heavy left-side key skew.
+
+    Left rows get a uniform random-ish salt in [0, salt) derived from
+    deterministic per-row columns (hash of the whole row — stable across
+    retries, unlike ``rand()`` which breaks task re-execution
+    idempotency). Right rows are replicated once per salt value via an
+    exploded literal range — a metadata-cheap ``salt``-way fanout of the
+    (smaller) right side. The join key becomes (key, salt): the hot key's
+    rows spread over ``salt`` shuffle partitions.
+    """
+    lsalt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt))
+    l = left.withColumn("_salt", lsalt.cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
+    )
+    out = l.join(r, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str | list[str],
+    buckets: int,
+    sort_by: str | list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed
+    table: one shuffle now, none on any later join/agg over the bucket
+    key. ``buckets`` should match downstream ``shuffle.partitions`` (or
+    divide it) so Spark can align sides without exchange."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(buckets, *cols)
+    if sort_by is not None:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*scols)
+    w.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a table written by :func:`write_bucketed`; joins between two
+    tables bucketed the same way on the same key plan with no Exchange
+    (verify with plans.inspect.shuffle_count)."""
+    return spark.table(table)

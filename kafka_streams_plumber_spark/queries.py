@@ -1196,3 +1196,92 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("users_approx"),
         F.count("*").alias("n"),
     )
+
+
+# =========================================================================
+# TPC-H-shaped analytics: priority/exists, forecast agg, returns revenue
+# =========================================================================
+
+
+@query(
+    "q4_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join (one
+    shuffle on orderkey; the semi side is pre-projected to 2 columns)."""
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]
+    late = l.select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        late,
+        (o["o_orderkey"] == late["l_orderkey"]) & (late["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q6_forecast",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — both predicates push
+    into the parquet scan, one partial+final agg, no join. DECIMAL
+    product keeps the sum order-insensitive and engine-exact."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter(
+        (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(T.DecimalType(12, 2))
+            * F.col("l_discount").cast(T.DecimalType(12, 2))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q10_returns",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer. The fact-fact
+    join shuffles on orderkey; the customer dim broadcasts; the agg
+    reuses the custkey partitioning AQE picks."""
+    t = load_tables(spark, sf_dir)
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    ret = l.filter(l["l_returnflag"] == "R").select("l_orderkey", "l_extendedprice")
+    j = ret.join(o.select("o_orderkey", "o_custkey"), ret["l_orderkey"] == o["o_orderkey"])
+    j = j.join(F.broadcast(c.select("c_custkey", "c_name")), j["o_custkey"] == c["c_custkey"])
+    return j.groupBy("c_custkey", "c_name").agg(
+        F.sum(F.col("l_extendedprice").cast(T.DecimalType(12, 2)))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )

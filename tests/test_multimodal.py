@@ -71,3 +71,71 @@ def test_repartition_by_media_size(spark, media_df):
     out = repartition_by_media_size(media_df, target_partition_bytes=16)
     assert out.rdd.getNumPartitions() >= 2  # ~50 bytes total / 16
     assert out.count() == 3
+
+
+def test_resize_preserves_aspect_and_bounds(spark):
+    import pyspark.sql.functions as F
+
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        pack_media,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"img-a", 640, 480), (2, b"img-b", 100, 50), (3, b"img-c", 4000, 1000)],
+        "doc_id long, raw binary, w int, h int",
+    ).select(
+        "doc_id",
+        pack_media(F.col("raw"), F.lit("image/png"), width=F.col("w"), height=F.col("h")).alias(
+            "media"
+        ),
+    )
+    out = {r["doc_id"]: (r["width"], r["height"]) for r in resize_images(df, max_side=256).collect()}
+    assert out[1] == (256, 192)       # scaled down, 4:3 kept
+    assert out[2] == (100, 50)        # already small: untouched
+    assert out[3] == (256, 64)        # longest side clamped
+    assert len(out) == 3
+
+
+def test_audio_features_schema_and_determinism(spark):
+    import pyspark.sql.functions as F
+
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        extract_audio_features,
+        pack_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"wav-payload", 2500), (2, b"other", 1000)],
+        "doc_id long, raw binary, dur long",
+    ).select(
+        "doc_id",
+        pack_media(F.col("raw"), F.lit("audio/wav"), duration_ms=F.col("dur")).alias("media"),
+    )
+    a = extract_audio_features(df, n_mfcc=13).collect()
+    b = extract_audio_features(df, n_mfcc=13).collect()
+    assert {r["doc_id"] for r in a} == {1, 2}
+    for r in a:
+        assert r["sample_rate"] == 16000
+        assert len(r["mfcc"]) == 13
+        assert 0.0 <= r["loudness"] <= 1.0
+    assert sorted(map(str, a)) == sorted(map(str, b))  # deterministic stub
+
+
+def test_unstubbed_kernels_raise_not_implemented(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        extract_audio_features,
+        pack_media,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, raw binary").select(
+        "doc_id", pack_media(F.col("raw"), F.lit("image/png")).alias("media")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(df, fake=None).collect()
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+        extract_audio_features(df, fake=None).collect()

@@ -1,0 +1,82 @@
+"""Scale-plan helpers: salted joins preserve join semantics and spread
+hot keys; bucketed tables join with zero exchanges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.plans.inspect import shuffle_count
+from kafka_streams_plumber_spark.plans.scale import (
+    bucketed_table,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(7)], "k long, rv string"
+    )
+    plain = {(r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(left, right, "k", salt=8).collect()
+    }
+    assert salted == plain
+    assert len(salted) == 1000
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The salt column must actually distribute one hot key over many
+    distinct (key, salt) groups."""
+    left = spark.range(0, 5000).select(F.lit(1).alias("k"), F.col("id").alias("lv"))
+    right = spark.createDataFrame([(1, "hot")], "k long, rv string")
+    l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(16)).cast("int"),
+    )
+    n_groups = l.select("k", "_salt").distinct().count()
+    assert n_groups == 16
+    out = salted_join(left, right, "k", salt=16)
+    assert out.count() == 5000
+
+
+def test_left_join_preserves_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r")], "k long, rv string")
+    rows = {r["k"]: r["rv"] for r in salted_join(left, right, "k", salt=4, how="left").collect()}
+    assert rows == {1: "r", 99: None}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the join key on the same bucket count must
+    plan a SortMergeJoin with zero Exchange operators."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.range(0, 10000).select(
+            F.col("id").alias("o_id"), (F.col("id") % 100).alias("cust")
+        )
+        lines = spark.range(0, 30000).select(
+            (F.col("id") % 10000).alias("o_id"), F.col("id").alias("qty")
+        )
+        write_bucketed(
+            orders, "t_orders_b", bucket_by="o_id", buckets=8,
+            path=str(tmp_path / "orders_b"),
+        )
+        write_bucketed(
+            lines, "t_lines_b", bucket_by="o_id", buckets=8,
+            path=str(tmp_path / "lines_b"),
+        )
+        j = bucketed_table(spark, "t_orders_b").join(
+            bucketed_table(spark, "t_lines_b"), "o_id"
+        )
+        assert shuffle_count(j) == 0
+        assert j.count() == 30000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lines_b")
