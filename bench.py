@@ -62,8 +62,21 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: trigger JVM classloading + codegen on a tiny query
-    QUERIES["q_distinct"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warmup: run every headline plan once at the smallest SF available
+    # (fall back to the bench dir). Whole-stage codegen compiles per plan
+    # shape, not per dataset — warming at sf0.001 costs milliseconds of
+    # data and makes the measurement steady-state throughput (the 100 TB
+    # question) instead of one-time JIT compile latency.
+    warm_dir = sf_dir
+    for cand in ("/root/testdata/sf0.001",):
+        if os.path.isdir(cand) and os.path.abspath(cand) != os.path.abspath(sf_dir):
+            warm_dir = cand
+            break
+    for name in ["q_distinct", *HEADLINE]:
+        try:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the measured run reports real errors
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

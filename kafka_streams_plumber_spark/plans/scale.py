@@ -78,3 +78,19 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     tables bucketed the same way on the same key plan with no Exchange
     (verify with plans.inspect.shuffle_count)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout: any later filter on the
+    partition column prunes whole directories at planning time
+    (PartitionFilters in the scan — zero I/O for excluded partitions).
+    Keep partition cardinality moderate (10^2-10^4): one dir per value,
+    small-file explosion past that."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)

@@ -80,3 +80,19 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+    from kafka_streams_plumber_spark.plans.scale import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, ["click", "view", "purchase"][i % 3]) for i in range(300)],
+        "id long, kind string",
+    )
+    path = str(tmp_path / "part_events")
+    write_partitioned(df, path, partition_by="kind")
+    scan = spark.read.parquet(path).filter(F.col("kind") == "click")
+    p = plan_string(scan)
+    assert "PartitionFilters" in p and "kind" in p.split("PartitionFilters")[1][:200]
+    assert scan.count() == 100

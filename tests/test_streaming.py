@@ -144,3 +144,49 @@ def test_session_window_agg_batch(spark):
         per_uid.setdefault(r["uid"], []).append(r["n"])
     assert sorted(per_uid[1]) == [1, 2]
     assert per_uid[2] == [1]
+
+
+def test_streaming_dedup_drops_duplicates_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.streaming.dedup import streaming_dedup
+
+    rows = [
+        (10, dt.datetime(2024, 1, 1, 10, 0, 0), "first"),
+        (10, dt.datetime(2024, 1, 1, 10, 0, 5), "dup-within-5s"),
+        (11, dt.datetime(2024, 1, 1, 10, 0, 1), "other-key"),
+        (11, dt.datetime(2024, 1, 1, 10, 0, 2), "other-key-dup"),
+    ]
+    schema = "k int, ts timestamp, tag string"
+    src = tmp_path / "dedup_in"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    out = streaming_dedup(
+        spark.readStream.schema(schema).parquet(str(src)),
+        ["k"],
+        ts_col="ts",
+        delay="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ksps_dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT k FROM ksps_dedup_test").collect()
+    finally:
+        q.stop()
+    assert sorted(r["k"] for r in got) == [10, 11]
+
+
+def test_streaming_dedup_batch_fallback(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    assert streaming_dedup_rows(df) == [1, 2]
+
+
+def streaming_dedup_rows(df):
+    from kafka_streams_plumber_spark.streaming.dedup import streaming_dedup
+
+    return sorted(r["k"] for r in streaming_dedup(df, ["k"]).collect())
