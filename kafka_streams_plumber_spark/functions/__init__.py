@@ -10,6 +10,8 @@ from kafka_streams_plumber_spark.functions.scalars import (
     tonumber,
     toint,
     parse_csv_line,
+    money_sum,
+    money_product_sum,
 )
 
 __all__ = [
@@ -19,4 +21,6 @@ __all__ = [
     "tonumber",
     "toint",
     "parse_csv_line",
+    "money_sum",
+    "money_product_sum",
 ]
