@@ -190,3 +190,31 @@ def streaming_dedup_rows(df):
     from kafka_streams_plumber_spark.streaming.dedup import streaming_dedup
 
     return sorted(r["k"] for r in streaming_dedup(df, ["k"]).collect())
+
+
+def test_foreach_batch_sink_writes_once_and_is_replay_safe(spark, tmp_path):
+    from kafka_streams_plumber_spark.streaming.sinks import (
+        partitioned_parquet_sink,
+        start_foreach_batch,
+    )
+
+    src = tmp_path / "fb_in"
+    out = tmp_path / "fb_out"
+    spark.createDataFrame([(i,) for i in range(20)], "v int").coalesce(1).write.parquet(
+        str(src)
+    )
+    sink = partitioned_parquet_sink(str(out))
+    q = start_foreach_batch(
+        spark.readStream.schema("v int").parquet(str(src)),
+        sink,
+        checkpoint=str(tmp_path / "fb_ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(60)
+    got = spark.read.parquet(str(out))
+    assert sorted(r["v"] for r in got.collect()) == list(range(20))
+    # replaying the same batch id must not duplicate rows (idempotent)
+    one_batch = spark.read.parquet(str(src))
+    sink(one_batch, 0)
+    again = spark.read.parquet(str(out))
+    assert sorted(r["v"] for r in again.collect()) == list(range(20))
