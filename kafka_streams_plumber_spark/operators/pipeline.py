@@ -116,6 +116,15 @@ class Pipeline:
     def map_values_py(self, fn: Callable[[Any], Any], schema: DataType | str) -> "Pipeline":
         return self._with(_Step("map_values_py", fn, schema))
 
+    def map_values_pandas(
+        self, fn: Callable[[Any], Any], schema: DataType | str
+    ) -> "Pipeline":
+        """Vectorized Python step: ``fn`` maps a pandas Series of values
+        to a pandas Series (Arrow-batched — the 10-100x-faster escape
+        hatch when a transform needs Python but is expressible over a
+        whole column at once)."""
+        return self._with(_Step("map_values_pandas", fn, schema))
+
     def map_py(
         self,
         fn: Callable[[Any, Any], tuple[Any, Any]],
@@ -158,10 +167,13 @@ class Pipeline:
         if step.kind == "filter_py":
             from pyspark.sql.types import BooleanType
 
-            u = F.udf(step.fn, BooleanType())
+            u = _py_udf(step.fn, BooleanType())
             return df.filter(u(k, v))
         if step.kind == "map_values_py":
-            u = F.udf(step.fn, step.schema)
+            u = _py_udf(step.fn, step.schema)
+            return df.select(k.alias(KEY), u(v).alias(VALUE))
+        if step.kind == "map_values_pandas":
+            u = F.pandas_udf(step.fn, step.schema)
             return df.select(k.alias(KEY), u(v).alias(VALUE))
         if step.kind == "map_py":
             key_schema, value_schema = step.schema
@@ -173,13 +185,23 @@ class Pipeline:
                 nk, nv = _fn(key, value)
                 return (nk, nv)
 
-            u = F.udf(wrapped, pair)
+            u = _py_udf(wrapped, pair)
             tmp = df.select(u(k, v).alias("_kv"))
             return tmp.select(F.col("_kv.key").alias(KEY), F.col("_kv.value").alias(VALUE))
         raise AssertionError(f"unknown step kind {step.kind}")
 
     def __repr__(self) -> str:
         return "Pipeline(" + " -> ".join(s.kind for s in self._steps) + ")"
+
+
+def _py_udf(fn, schema):
+    """Row-Python UDF, Arrow-serialized when the runtime supports it
+    (SPARK-40307): same per-row semantics, much cheaper JVM<->Python
+    transfer than pickle."""
+    try:
+        return F.udf(fn, schema, useArrow=True)
+    except TypeError:  # runtime without the useArrow kwarg
+        return F.udf(fn, schema)
 
 
 def _parse_ddl(ddl: str) -> DataType:

@@ -1274,3 +1274,20 @@ def q10_returns(spark, sf_dir):
         money_sum("l_extendedprice", 2).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_udf",
+    """
+    SELECT c_custkey AS key, reverse(c_name) AS value FROM customer
+    """,
+)
+def q_udf(spark, sf_dir):
+    """The Python escape hatch (SURVEY §2.7 — the reference's arbitrary
+    Lua closure surface) proven against a SQL oracle: a vectorized
+    pandas step (Arrow-batched Series -> Series) reversing a string.
+    Row-Python is the fallback; pandas is the preferred slow path."""
+    c = load_tables(spark, sf_dir)["customer"]
+    kv = to_kv(c.select("c_custkey", "c_name"), key="c_custkey", value="c_name")
+    p = Pipeline().map_values_pandas(lambda s: s.str[::-1], "string")
+    return p(kv)

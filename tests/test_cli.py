@@ -66,3 +66,85 @@ def test_properties_file_parsing(tmp_path):
     props = _load_properties(str(p))
     assert props["bootstrap.servers"] == "broker:9092"
     assert props["kafka.fetch.max.bytes"] == "1048576"
+
+
+IN_AVSC = """{
+  "type": "record", "name": "Sensor", "fields": [
+    {"name": "name", "type": "string"},
+    {"name": "pressure", "type": "int"},
+    {"name": "temperature", "type": "int"}
+  ]
+}"""
+
+OUT_AVSC = """{
+  "type": "record", "name": "Out", "fields": [
+    {"name": "valid", "type": "boolean"},
+    {"name": "name", "type": "string"},
+    {"name": "fingers", "type": ["null", "int"], "default": null}
+  ]
+}"""
+
+AVRO_PIPELINE = textwrap.dedent(
+    """
+    import pyspark.sql.functions as F
+    from kafka_streams_plumber_spark import Pipeline
+
+    def pipeline():
+        # demo transform (examples/demo/example.lua): restructure the
+        # record; 'fingers' omitted -> conform null-fills it
+        return Pipeline().map_values(
+            lambda v: F.struct(
+                (v["temperature"] >= 0).alias("valid"),
+                F.lower(v["name"]).alias("name"),
+            )
+        )
+    """
+)
+
+AVRO_TEST = textwrap.dedent(
+    """
+    def fixtures():
+        return [
+            ("k1", {"name": "Amsterdam", "pressure": 1012, "temperature": 5}),
+            ("k2", {"name": "Oslo", "pressure": 990, "temperature": -3}),
+        ]
+
+    def expectations():
+        return [
+            ("k1", {"valid": True, "name": "amsterdam", "fingers": None}),
+            ("k2", {"valid": False, "name": "oslo", "fingers": None}),
+        ]
+    """
+)
+
+
+def test_avro_dry_run_with_conform_null_fill(spark, tmp_path, capsys):
+    """End-to-end avro wire types through the CLI: -d string,avro=in
+    -s string,avro=out -D. The declared output schema drives conform
+    (drop-extra/null-fill), the golden gate passes, exit 0."""
+    argv = [
+        "-i", "in", "-o", "out",
+        "-d", f"string,avro={_write(tmp_path, 'in.avsc', IN_AVSC)}",
+        "-s", f"string,avro={_write(tmp_path, 'out.avsc', OUT_AVSC)}",
+        "-l", _write(tmp_path, "avro_pipe.py", AVRO_PIPELINE),
+        "-t", _write(tmp_path, "avro_test.py", AVRO_TEST),
+        "-D",
+    ]
+    rc = main(argv)
+    assert rc == 0
+    assert "dry run" in capsys.readouterr().out
+
+
+def test_avro_dry_run_fails_on_wrong_expectation(spark, tmp_path, capsys):
+    bad = AVRO_TEST.replace('"amsterdam"', '"AMSTERDAM"')
+    argv = [
+        "-i", "in", "-o", "out",
+        "-d", f"string,avro={_write(tmp_path, 'in.avsc', IN_AVSC)}",
+        "-s", f"string,avro={_write(tmp_path, 'out.avsc', OUT_AVSC)}",
+        "-l", _write(tmp_path, "avro_pipe.py", AVRO_PIPELINE),
+        "-t", _write(tmp_path, "avro_bad.py", bad),
+        "-D",
+    ]
+    rc = main(argv)
+    assert rc == 1
+    assert "verification failed" in capsys.readouterr().err

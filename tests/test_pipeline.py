@@ -135,3 +135,12 @@ def test_filter_sql_string(spark):
     df = kv_df(spark, [("a", 1), ("b", 5)], "key string, value int")
     out = Pipeline().filter("value > 3")(df)
     assert out.collect() == [Row(key="b", value=5)]
+
+
+def test_pandas_step_matches_row_python_step(spark):
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(100)], "key long, value string"
+    )
+    vec = Pipeline().map_values_pandas(lambda s: s.str.upper(), "string")
+    row = Pipeline().map_values_py(lambda v: v.upper(), "string")
+    assert sorted(map(tuple, vec(df).collect())) == sorted(map(tuple, row(df).collect()))
