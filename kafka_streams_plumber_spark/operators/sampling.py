@@ -1,0 +1,75 @@
+"""Deterministic dataset sampling and splitting for training pipelines.
+
+Everything here is pure integer arithmetic on the row's id — NOT
+``rand()``. At scale that matters three ways: (1) retried tasks
+reproduce the same sample (rand() breaks exactly-once sinks), (2) the
+same row lands in the same split on every run and every engine (the
+DuckDB oracle can replay the exact arithmetic), (3) no RNG state needs
+coordinating across 1000 executors.
+
+The hash is Knuth's multiplicative scheme on 32 bits — weak as a
+cryptographic hash, ideal as a splitter: a single multiply+mod per row,
+uniform on sequential ids, and expressible in any SQL dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth 2^32 / phi. id * KNUTH fits int64 for ids < ~3.5e9; for wider
+#: id spaces pre-fold with pmod(id, 2**32).
+_KNUTH = 2654435761
+_M32 = 2**32
+
+
+def split_bucket(id_col: Column | str, *, buckets: int = 1000) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from an integer id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (F.pmod(c, F.lit(_M32)) * _KNUTH) % _M32 % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test...) by id hash.
+
+    ``fractions`` maps split name -> fraction; they must sum to <= 1
+    (any remainder is dropped — useful for subsampling while splitting).
+    Stable across runs, engines, partitionings, and retries.
+    """
+    total = sum(fractions.values())
+    assert total <= 1.0 + 1e-9, f"fractions sum to {total} > 1"
+    b = split_bucket(id_col, buckets=1000)
+    expr = F.lit(None).cast("string")
+    hi = 0
+    for name, frac in fractions.items():
+        lo, hi = hi, hi + int(round(frac * 1000))
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    out = df.withColumn(split_col, expr)
+    return out.filter(F.col(split_col).isNotNull())
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by id hash (the
+    reproducible twin of ``df.sample``)."""
+    return df.filter(split_bucket(id_col) < int(round(fraction * 1000)))
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (dataset mixing: e.g. keep 10%
+    of crawl, 100% of curated). Strata missing from ``fractions`` are
+    dropped. Same id-hash determinism as :func:`hash_split`."""
+    b = split_bucket(id_col)
+    cond = F.lit(False)
+    for name, frac in fractions.items():
+        cond = cond | (
+            (F.col(strata_col) == name) & (b < int(round(frac * 1000)))
+        )
+    return df.filter(cond)

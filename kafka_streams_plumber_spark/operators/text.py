@@ -147,3 +147,62 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("pred_lang"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# --- LLM-pipeline text hygiene ops --------------------------------------
+
+#: Conservative PII patterns: emails, international-ish phone numbers,
+#: IPv4. Order matters — emails first so user@host isn't half-eaten by
+#: the phone pattern.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+)
+
+
+def redact_pii(col: Column | str, *, token: str = "[REDACTED]") -> Column:
+    """Replace email / phone / IPv4 substrings with ``token`` — chained
+    regexp_replace, one codegen stage, no UDF. Patterns favor precision
+    over recall (better to leak an odd format than destroy prose)."""
+    out = _c(col)
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def chunk_tokens(
+    df, text_col: str, id_col: str, *, size: int = 128, overlap: int = 32
+):
+    """Split documents into overlapping token-window chunks — the
+    pre-embedding/training chunker. Emits (id, chunk_idx, chunk_text,
+    n_tokens). Pure expressions: tokenize once, slice per window,
+    explode — the fan-out is data-parallel and Catalyst keeps the
+    tokenization inside the same stage as the explode.
+
+    At 100 TB follow with a repartition: explode skews partitions toward
+    long documents.
+    """
+    assert 0 <= overlap < size, "need 0 <= overlap < size"
+    step = size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... strictly below n (so a doc
+    # shorter than size still yields exactly one chunk)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, s + 1, size).alias("_toks"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.array_join(F.col("_c._toks"), " ").alias("chunk_text"),
+        F.size(F.col("_c._toks")).alias("n_tokens"),
+    )

@@ -1291,3 +1291,113 @@ def q_udf(spark, sf_dir):
     kv = to_kv(c.select("c_custkey", "c_name"), key="c_custkey", value="c_name")
     p = Pipeline().map_values_pandas(lambda s: s.str[::-1], "string")
     return p(kv)
+
+
+# =========================================================================
+# Training-data hygiene: PII redaction, chunking, splits, vocabulary
+# =========================================================================
+
+
+@query(
+    "q_redact",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[REDACTED]', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[REDACTED]', 'g') AS clean
+    FROM documents
+    """,
+)
+def q_redact(spark, sf_dir):
+    """PII scrubbing (operators/text.py:redact_pii): email/phone/IPv4 ->
+    [REDACTED], chained regexp_replace in one codegen stage."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", TX.redact_pii("text").alias("clean"))
+
+
+@query(
+    "q_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 96)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start / 96) AS INT) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + 128], ' ') AS chunk_text,
+           least(len(toks) - start, 128) AS n_tokens
+    FROM s
+    """,
+)
+def q_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (operators/text.py:chunk_tokens,
+    size=128 overlap=32): the pre-embedding fan-out, pure explode."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return TX.chunk_tokens(d, "text", "doc_id", size=128, overlap=32)
+
+
+@query(
+    "q_split",
+    """
+    SELECT split, count(*) AS n, min(doc_id) AS min_id
+    FROM (
+      SELECT doc_id,
+             CASE
+               WHEN b < 800 THEN 'train'
+               WHEN b < 900 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (SELECT doc_id, (doc_id % 4294967296) * 2654435761 % 4294967296 % 1000 AS b
+            FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def q_split(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (operators/sampling.py:hash_split) — same integer arithmetic on both
+    engines, so the oracle replays the exact split."""
+    from kafka_streams_plumber_spark.operators.sampling import hash_split
+
+    d = load_tables(spark, sf_dir)["documents"]
+    s = hash_split(d, "doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.groupBy("split").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+@query(
+    "q_vocab",
+    """
+    SELECT tok, count(*) AS n
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+)
+def q_vocab(spark, sf_dir):
+    """Vocabulary building: explode tokens -> count -> top-100. The
+    word-count of LLM pipelines; partial aggregation absorbs the explode
+    fan-out before the shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )

@@ -1,0 +1,91 @@
+"""Deterministic sampling/splitting + text hygiene operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+from kafka_streams_plumber_spark.operators.text import chunk_tokens, redact_pii
+
+
+def test_hash_split_partitions_every_row_once(spark):
+    df = spark.range(0, 10000).select(F.col("id"))
+    s = hash_split(df, "id", fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10000  # fractions cover 1.0 -> no drops
+    assert 7500 < counts["train"] < 8500
+    assert 500 < counts["val"] < 1500
+    assert 500 < counts["test"] < 1500
+    # determinism: same assignment on a re-run
+    s2 = hash_split(df, "id", fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    assert s.collect() == s2.collect()
+
+
+def test_hash_split_subsampling_drops_remainder(spark):
+    df = spark.range(0, 1000)
+    s = hash_split(df, "id", fractions={"train": 0.5})
+    n = s.count()
+    assert 400 < n < 600
+
+
+def test_deterministic_sample_is_a_subset_and_stable(spark):
+    df = spark.range(0, 5000)
+    a = {r["id"] for r in deterministic_sample(df, "id", 0.2).collect()}
+    b = {r["id"] for r in deterministic_sample(df, "id", 0.2).collect()}
+    assert a == b
+    assert 700 < len(a) < 1300
+    bigger = {r["id"] for r in deterministic_sample(df, "id", 0.5).collect()}
+    assert a <= bigger  # nested: growing the fraction keeps prior rows
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    df = spark.range(0, 4000).select(
+        "id", F.when(F.col("id") % 2 == 0, "crawl").otherwise("curated").alias("src")
+    )
+    s = stratified_sample(df, "id", "src", {"crawl": 0.1, "curated": 1.0})
+    counts = {r["src"]: r["n"] for r in s.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["curated"] == 2000
+    assert 100 < counts["crawl"] < 350
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@example.co.uk please"),
+        (2, "call +31 (0)20-123 4567 now"),
+        (3, "server at 192.168.0.1 is up"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {r["id"]: r["c"] for r in df.select("id", redact_pii("t").alias("c")).collect()}
+    assert out[1] == "mail me at [REDACTED] please"
+    assert out[2] == "call [REDACTED] now"
+    assert out[3] == "server at [REDACTED] is up"
+    assert out[4] == "nothing sensitive here"
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        chunk_tokens(df, "text", "doc_id", size=128, overlap=32).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 96 over 300 tokens -> starts 0, 96, 192, 288
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in rows] == [128, 128, 108, 12]
+    assert rows[0]["chunk_text"].split(" ")[0] == "w0"
+    assert rows[1]["chunk_text"].split(" ")[0] == "w96"
+    # overlap: chunk 1 starts inside chunk 0's tail
+    assert "w96" in rows[0]["chunk_text"]
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(7, "a b c")], "doc_id int, text string")
+    rows = chunk_tokens(df, "text", "doc_id", size=128, overlap=32).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["chunk_text"] == "a b c"
