@@ -34,6 +34,9 @@ HEADLINE = [
     "q_rollup",
     "q_pivot",
     "q_asof",
+    "q14_promo",
+    "q18_bigorders",
+    "q19_disjunct",
     "q_percentiles",
     "q_sessionize",
     "dedup_exact",

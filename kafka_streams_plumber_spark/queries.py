@@ -1401,3 +1401,240 @@ def q_vocab(spark, sf_dir):
         .orderBy(F.desc("n"), "tok")
         .limit(100)
     )
+
+
+# =========================================================================
+# More TPC-H-shaped analytics: conditional agg, having, disjunctive
+# pushdown, fraction-of-total, argmax — each exercising a distinct plan
+# shape at 100 TB (broadcast scalar, window-free argmax, OR pushdown).
+# =========================================================================
+
+
+@query(
+    "q14_promo",
+    """
+    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_pct
+    FROM (
+      SELECT
+        CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(12,2)) ELSE 0 END)
+             AS DOUBLE) AS promo,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    """,
+)
+def q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join.
+    `part` is a dimension — broadcast it so the fact table never
+    shuffles; both sums ride one partial+final agg. Exact scaled-long
+    sums, one final double division."""
+    t = load_tables(spark, sf_dir)
+    l, p = t["lineitem"], t["part"]
+    j = l.join(F.broadcast(p.select("p_partkey", "p_type")),
+               l["l_partkey"] == p["p_partkey"])
+    disc = F.lit(1) - F.col("l_discount")
+    promo = F.when(F.col("p_type") == "PROMO", F.col("l_extendedprice")).otherwise(0.0)
+    agg = j.agg(
+        money_product_sum(promo, disc, 2, 2).alias("promo"),
+        money_product_sum("l_extendedprice", disc, 2, 2).alias("total"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_pct")
+    )
+
+
+@query(
+    "q18_bigorders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 200
+    )
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_bigorders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered groups joined back to the fact.
+    Aggregate lineitem ONCE, filter, then semi-drive the join — the
+    big-group list is small after HAVING, so it broadcasts; lineitem is
+    scanned once, not twice. Timestamps pass through as-is (driver
+    normalizes to unix micros on both engines)."""
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(money_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@query(
+    "q19_disjunct",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunct(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across a join.
+    Catalyst extracts the common conjuncts per side (brand IN (...) onto
+    the broadcast part scan, quantity range onto the lineitem scan) so
+    both scans prune before the join; the full disjunction runs post-join
+    in the same codegen stage."""
+    t = load_tables(spark, sf_dir)
+    l, p = t["lineitem"], t["part"]
+    j = l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+               l["l_partkey"] == p["p_partkey"])
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#15") & s.between(1, 35) & q.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        money_product_sum("l_extendedprice", F.lit(1) - F.col("l_discount"), 2, 2)
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q11_important",
+    """
+    SELECT l_suppkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(CAST(l_extendedprice AS DECIMAL(12,2))) >
+           (SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 0.0105
+            FROM lineitem)
+    """,
+)
+def q11_important(spark, sf_dir):
+    """TPC-H Q11 shape: groups exceeding a fraction of the global total.
+    The scalar subquery becomes a 1-row broadcast (cross join) — no
+    second shuffle of the fact; per-supplier aggregation happens once and
+    the threshold is applied post-broadcast. Exact scaled-long sums keep
+    the HAVING boundary engine-identical."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    per = l.groupBy("l_suppkey").agg(money_sum("l_extendedprice").alias("value"))
+    total = l.agg((money_sum("l_extendedprice") * 0.0105).alias("_thr"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("l_suppkey", "value")
+    )
+
+
+@query(
+    "q15_topsupplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_topsupplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax over an aggregate. max-as-1-row-broadcast
+    beats a global window (rank() over ()) which would funnel every group
+    through a single partition at scale; revenue is aggregated once and
+    reused for both sides."""
+    t = load_tables(spark, sf_dir)
+    l, s = t["lineitem"], t["supplier"]
+    rev = l.groupBy("l_suppkey").agg(
+        money_product_sum("l_extendedprice", F.lit(1) - F.col("l_discount"), 2, 2)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    return s.join(F.broadcast(top), s["s_suppkey"] == top["l_suppkey"]).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@query(
+    "q_range",
+    """
+    SELECT t.tier, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+                 ('high', 200.0, 1000000.0)) AS t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def q_range(spark, sf_dir):
+    """Interval containment via operators/joins.py:range_join: events
+    bucketed into value tiers. The tier table is tiny -> broadcast
+    range-join (a theta join against 3 rows), so the fact never shuffles
+    for the join; the groupBy agg is the only exchange."""
+    from kafka_streams_plumber_spark.operators.joins import range_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    tiers = F.broadcast(
+        e.sparkSession.createDataFrame(
+            [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e6)],
+            "tier string, lo double, hi double",
+        )
+    )
+    j = range_join(e, tiers, on=None, left_ts="value", right_start="lo", right_end="hi")
+    return j.groupBy("tier").agg(
+        F.count("*").alias("n"), money_sum("value").alias("total")
+    )
+
+
+@query(
+    "q_stratified",
+    """
+    SELECT lang, count(*) AS n, min(doc_id) AS min_id
+    FROM (
+      SELECT lang, doc_id,
+             (doc_id % 4294967296) * 2654435761 % 4294967296 % 1000 AS b
+      FROM documents
+    )
+    WHERE (lang = 'en' AND b < 1000)
+       OR (lang = 'fr' AND b < 500)
+       OR (lang = 'de' AND b < 250)
+    GROUP BY lang
+    """,
+)
+def q_stratified(spark, sf_dir):
+    """Dataset mixing (operators/sampling.py:stratified_sample): keep
+    100% en / 50% fr / 25% de by deterministic id hash — the oracle
+    replays the exact integer arithmetic, proving the sample is
+    engine-portable (retry-safe, no RNG state across 1000 executors)."""
+    from kafka_streams_plumber_spark.operators.sampling import stratified_sample
+
+    d = load_tables(spark, sf_dir)["documents"]
+    s = stratified_sample(d, "doc_id", "lang", {"en": 1.0, "fr": 0.5, "de": 0.25})
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )

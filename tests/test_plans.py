@@ -65,3 +65,24 @@ def test_expression_operators_have_no_python(spark):
 def test_codegen_covers_scan_queries(spark):
     assert codegen_span_count(QUERIES["q_filter"](spark, SF)) >= 1
     assert codegen_span_count(QUERIES["q1_pricing"](spark, SF)) >= 1
+
+
+def test_tpch_shapes_broadcast_not_shuffle_join(spark):
+    """Q14/18/19: the dimension (part / HAVING-survivors) broadcasts, so
+    the fact side never shuffles for the join."""
+    for name in ["q14_promo", "q18_bigorders", "q19_disjunct", "q15_topsupplier"]:
+        assert broadcast_join_count(QUERIES[name](spark, SF)) >= 1, name
+        assert python_eval_count(QUERIES[name](spark, SF)) == 0, name
+
+
+def test_q19_disjunct_pushes_common_conjuncts(spark):
+    """Catalyst must extract brand/size predicates onto the part scan
+    from the OR-of-ANDs (the pushdown that makes Q19 scale)."""
+    df = QUERIES["q19_disjunct"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf and "l_quantity" in pf
+
+
+def test_new_hygiene_queries_stay_jvm_side(spark):
+    for name in ["q_redact", "q_chunks", "q_split", "q_vocab", "q_stratified", "q_range"]:
+        assert python_eval_count(QUERIES[name](spark, SF)) == 0, name
