@@ -148,7 +148,9 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0, "bands must divide num_perm"
     rows = num_perm // bands
 
-    src = _fan_out(df)
+    # project to (id, text) BEFORE the fan-out repartition: the shuffle
+    # carries only the bytes the pipeline reads, not every column.
+    src = _fan_out(df.select(id_col, text_col))
     sigs = src.select(
         F.col(id_col).alias("_id"),
         minhash_signature(text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed).alias(
@@ -231,7 +233,9 @@ def ngram_jaccard_pairs(
     scale. MinHash-LSH is the scale path; this is the ground truth to
     validate it against.
     """
-    base = _fan_out(df).select(
+    base = _fan_out(
+        df.select(id_col, text_col, *([block_col] if block_col else []))
+    ).select(
         F.col(id_col).alias("_id"),
         shingles(text_col, k=k).alias("_sh"),
         *([F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")]),
@@ -305,7 +309,9 @@ def simhash_pairs(
     ``bands`` 16-bit bands (pigeonhole: any pair with hamming < bands
     must agree on some band), verified with bit_count(a xor b)."""
     width = 64 // bands
-    base = _fan_out(df).select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    base = _fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
+    )
 
     band_cols = F.array(
         *[
