@@ -382,3 +382,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-label centroid of an embedding column: (label, centroid, n).
+
+    Plan: posexplode to (label, pos, component) rows, partial+final agg
+    per (label, pos), reassemble with a sorted collect_list — rows
+    shuffled are labels x dim, independent of corpus size after the
+    map-side partial agg. No Python, no driver collect.
+
+    Components are summed as scaled longs (``scale`` decimal places) so
+    the centroid is partition-order-insensitive and engine-exact — the
+    same trick as functions.money_sum, which float summation needs even
+    more: a 1000-executor reduce reorders every addition.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("_v").cast("double") * scale, 0).cast("long")).alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        per_pos.withColumn("_c", F.col("_s") / F.lit(float(scale)) / F.col("_n"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_c"))), lambda x: x["_c"]
+            ).alias("centroid"),
+            F.max("_n").alias("n"),
+        )
+    )

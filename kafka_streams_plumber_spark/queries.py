@@ -1638,3 +1638,117 @@ def q_stratified(spark, sf_dir):
     return s.groupBy("lang").agg(
         F.count("*").alias("n"), F.min("doc_id").alias("min_id")
     )
+
+
+# =========================================================================
+# Cluster / pack / centroid: the steps after pair-finding in a real
+# training-data pipeline.
+# =========================================================================
+
+
+@query(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+    ),
+    adj AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT s, s FROM adj
+      UNION
+      SELECT adj.s, reach.comp FROM adj JOIN reach ON adj.d = reach.node
+    ),
+    comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.component, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters (operators/graph.py): exact-duplicate pairs fed
+    through iterative min-label propagation; every doc gets a canonical
+    cluster_id + keep flag. The oracle replays components with a
+    recursive CTE — same fixpoint, declarative form."""
+    from kafka_streams_plumber_spark.operators.graph import dedup_clusters
+
+    d = load_tables(spark, sf_dir)["documents"]
+    h = d.select("doc_id", F.md5("text").alias("_h"))
+    a, b = h.alias("a"), h.alias("b")
+    pairs = a.join(
+        b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    out = dedup_clusters(d.select("doc_id"), pairs)
+    return out.select("doc_id", "cluster_id", "keep")
+
+
+@query(
+    "q_pack",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))
+               AS n_tokens,
+             CAST((doc_id % 4294967296) * 2654435761 % 4294967296 % 32 AS BIGINT)
+               AS shard
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n_tokens, shard,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+      FROM s
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor(before / 512) AS BIGINT) AS seq_idx,
+           before % 512 AS offset
+    FROM w
+    """,
+)
+def q_pack(spark, sf_dir):
+    """Sequence packing (operators/packing.py): shard by id hash, pack
+    each shard with a window cumsum into 512-token sequences. The oracle
+    replays the identical window arithmetic."""
+    from kafka_streams_plumber_spark.operators.packing import pack_sequences
+
+    d = load_tables(spark, sf_dir)["documents"]
+    docs = d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, n_shards=32)
+
+
+@query(
+    "q_centroids",
+    """
+    SELECT label,
+           list(c ORDER BY pos) AS centroid,
+           max(n) AS n
+    FROM (
+      SELECT label, pos,
+             CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 / count(*) AS c,
+             count(*) AS n
+      FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) - 1 AS pos
+        FROM embeddings
+      )
+      GROUP BY label, pos
+    )
+    GROUP BY label
+    """,
+)
+def q_centroids(spark, sf_dir):
+    """Per-label embedding centroids (operators/similarity.py:
+    label_centroids): posexplode -> partial agg on (label, pos) ->
+    sorted reassembly. Scaled-long component sums make the float
+    average partition-order-insensitive — mandatory for engine parity
+    and for run-to-run determinism on a real cluster."""
+    from kafka_streams_plumber_spark.operators.similarity import label_centroids
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return label_centroids(e, "embedding", "label")

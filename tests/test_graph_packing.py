@@ -1,0 +1,85 @@
+"""Connected components, dedup clustering, sequence packing, centroids."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from kafka_streams_plumber_spark.operators.packing import pack_sequences
+from kafka_streams_plumber_spark.operators.similarity import label_centroids
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id bigint, b_id bigint",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_transitive_closure_across_rounds(spark):
+    # a long path exercises multiple propagation rounds
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id bigint, b_id bigint"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_dedup_clusters_keeps_one_canonical_per_cluster(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "a_id bigint, b_id bigint"
+    )
+    out = dedup_clusters(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[5]["cluster_id"] == 1 and not by_id[5]["keep"]
+    assert by_id[3]["cluster_id"] == 1 and not by_id[3]["keep"]
+    assert by_id[1]["keep"]
+    assert by_id[6]["cluster_id"] == 2 and not by_id[6]["keep"]
+    # singletons survive as their own cluster
+    assert by_id[0]["keep"] and by_id[0]["cluster_id"] == 0
+    kept = [r for r in out if r["keep"]]
+    assert {r["doc_id"] for r in kept} == {0, 1, 2, 4, 7}
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    docs = spark.createDataFrame(
+        [(i, 300) for i in range(12)], "doc_id bigint, n_tokens int"
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, n_shards=1).collect()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    # cumulative starts: 0, 300, 600, ... -> seq boundaries every 512
+    assert [r["seq_idx"] for r in rows] == [0, 0, 1, 1, 2, 2, 3, 4, 4, 5, 5, 6]
+    assert rows[0]["offset"] == 0 and rows[1]["offset"] == 300
+    assert rows[2]["offset"] == 88  # 600 % 512: straddled the boundary
+    # every shard's token stream is gapless: offsets reconstruct cumsum
+    assert all(r["shard"] == 0 for r in rows)
+
+
+def test_pack_sequences_sharding_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(200)], "doc_id bigint, n_tokens int"
+    )
+    a = pack_sequences(docs, "doc_id", "n_tokens", seq_len=256, n_shards=8)
+    b = pack_sequences(docs, "doc_id", "n_tokens", seq_len=256, n_shards=8)
+    assert sorted(a.collect()) == sorted(b.collect())
+    assert a.select("shard").distinct().count() == 8
+
+
+def test_label_centroids_exact_values(spark):
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [10.0, 20.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = {r["label"]: r for r in label_centroids(df).collect()}
+    assert out[0]["centroid"] == [2.0, 3.0] and out[0]["n"] == 2
+    assert out[1]["centroid"] == [10.0, 20.0] and out[1]["n"] == 1
