@@ -345,3 +345,50 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"), "hamming")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    doc_text: str = "text",
+    bench_text: str = "text",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` word ``k``-grams with an eval/benchmark set (the
+    standard n-gram-overlap rule for keeping test data out of training
+    data).
+
+    Plan: hash benchmark k-grams (small set -> distinct -> broadcast),
+    explode each doc's k-grams, hash-join against the broadcast set, and
+    count hits per doc. The corpus is scanned once and never shuffled:
+    the only exchange is the per-doc hit count, which AQE keeps local
+    when the contaminated set is small. Returns (doc_id, n_hits,
+    contaminated).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(bench_text), k=k)).alias("_g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(doc_id), F.explode(shingle_hashes(F.col(doc_text), k=k)).alias("_g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(doc_id)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(doc_id)
+        .join(hits, doc_id, "left")
+        .select(
+            doc_id,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -1752,3 +1752,45 @@ def q_centroids(spark, sf_dir):
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return label_centroids(e, "embedding", "label")
+
+
+@query(
+    "q_decontaminate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')
+               AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      FOR i IN generate_series(1, len(toks) - 2)])
+                  ELSE [array_to_string(toks, ' ')] END AS gs
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams) dg JOIN bench USING (g)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py:decontaminate):
+    flag corpus docs sharing any word 3-gram with an eval slice
+    (doc_id % 97). Gram hashes broadcast; corpus scanned once, never
+    shuffled. Oracle replays the overlap with string grams — hash
+    collisions are ~n^2/2^64, so the sets agree."""
+    from kafka_streams_plumber_spark.operators.dedup import decontaminate
+
+    d = load_tables(spark, sf_dir)["documents"]
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, k=3)

@@ -66,3 +66,36 @@ def test_simhash_ranks_near_dups_closer(spark, docs):
     assert pairs[(0, 1)] <= 10  # near-dup -> small hamming
     far = pairs.get((0, 2), 64)
     assert far > pairs[(0, 1)]  # unrelated doc is farther than near-dup
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about spark engines"),
+            (3, "a quick brown fox appears in this doc too"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id bigint, text string"
+    )
+    from kafka_streams_plumber_spark.operators.dedup import decontaminate
+
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, k=3).collect()}
+    assert out[1]["contaminated"]  # shares "the quick brown" / "quick brown fox"
+    assert out[3]["contaminated"]  # shares "quick brown fox"
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id bigint, text string"
+    )
+    from kafka_streams_plumber_spark.operators.dedup import decontaminate
+
+    strict = decontaminate(docs, bench, k=3, min_hits=2).collect()[0]
+    assert strict["n_hits"] == 1 and not strict["contaminated"]
