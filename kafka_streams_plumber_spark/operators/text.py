@@ -206,3 +206,43 @@ def chunk_tokens(
         F.array_join(F.col("_c._toks"), " ").alias("chunk_text"),
         F.size(F.col("_c._toks")).alias("n_tokens"),
     )
+
+
+def gopher_rules(col: Column | str) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    heuristics) as one struct column — each rule a boolean, plus the
+    overall pass flag. Pure expressions: one projection, no shuffle.
+
+    Rules (thresholds from the paper where applicable):
+      word_count_ok    50 <= #words <= 100000
+      mean_word_len_ok 3 <= mean chars/word <= 10
+      symbol_ratio_ok  (# '#' or '...' occurrences) / words < 0.1
+      alpha_ratio_ok   >= 80% of words contain a letter
+      stopword_ok      >= 2 distinct common-English stopwords appear
+    """
+    toks = tokens(F.lower(_c(col)))
+    toks = F.filter(toks, lambda x: x != "")
+    n = F.size(toks)
+    nn = F.greatest(n, F.lit(1))
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / nn
+    )
+    symbols = F.size(F.filter(toks, lambda x: x.contains("#") | x.contains("...")))
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
+    )
+    rules = {
+        "word_count_ok": (n >= 50) & (n <= 100000),
+        "mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),
+        "symbol_ratio_ok": (symbols / nn) < 0.1,
+        "alpha_ratio_ok": (alpha / nn) >= 0.8,
+        "stopword_ok": stop_distinct >= 2,
+    }
+    passed = None
+    for c in rules.values():
+        passed = c if passed is None else (passed & c)
+    return F.struct(
+        *[c.alias(k) for k, c in rules.items()], passed.alias("passed")
+    )

@@ -1794,3 +1794,43 @@ def q_decontaminate(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return decontaminate(d, bench, k=3)
+
+
+@query(
+    "q_gopher",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, toks, len(toks) AS n, greatest(len(toks), 1) AS nn,
+             list_sum(list_transform(toks, x -> length(x))) AS chars,
+             len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')))
+               AS symbols,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+             len(list_distinct(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x))))
+               AS stops
+      FROM t
+    )
+    SELECT doc_id,
+           n >= 50 AND n <= 100000 AS word_count_ok,
+           chars / nn >= 3 AND chars / nn <= 10 AS mean_word_len_ok,
+           symbols / nn < 0.1 AS symbol_ratio_ok,
+           alpha / nn >= 0.8 AS alpha_ratio_ok,
+           stops >= 2 AS stopword_ok,
+           (n >= 50 AND n <= 100000) AND (chars / nn >= 3 AND chars / nn <= 10)
+             AND (symbols / nn < 0.1) AND (alpha / nn >= 0.8) AND (stops >= 2)
+             AS passed
+    FROM m
+    """,
+)
+def q_gopher(spark, sf_dir):
+    """Gopher quality rules (operators/text.py:gopher_rules): five
+    public repetition/length/symbol heuristics in one projection —
+    the pre-training quality gate. Oracle replays each rule."""
+    d = load_tables(spark, sf_dir)["documents"]
+    g = d.select("doc_id", TX.gopher_rules("text").alias("_g"))
+    return g.select("doc_id", "_g.*")

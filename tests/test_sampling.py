@@ -89,3 +89,22 @@ def test_chunk_tokens_short_doc_single_chunk(spark):
     assert len(rows) == 1
     assert rows[0]["n_tokens"] == 3
     assert rows[0]["chunk_text"] == "a b c"
+
+
+def test_gopher_rules_on_synthetic_docs(spark):
+    from kafka_streams_plumber_spark.operators.text import gopher_rules
+
+    good = "the cat sat on a mat and it was that good for everyone " * 5
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short doc"),                            # too few words
+        (3, "### " * 60),                            # symbols + no alpha
+        (4, ("xqz " * 60)),                          # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["g"] for r in df.select("doc_id", gopher_rules("text").alias("g")).collect()}
+    assert out[1]["passed"]
+    assert not out[2]["word_count_ok"]
+    assert not out[3]["symbol_ratio_ok"] and not out[3]["alpha_ratio_ok"]
+    assert not out[4]["stopword_ok"]
+    assert not out[2]["passed"] and not out[3]["passed"] and not out[4]["passed"]
