@@ -17,16 +17,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Knuth 2^32 / phi. id * KNUTH fits int64 for ids < ~3.5e9; for wider
-#: id spaces pre-fold with pmod(id, 2**32).
+#: Knuth 2^32 / phi. The id is folded to 31 bits BEFORE the multiply so
+#: the product is bounded by (2^31-1) * 2654435761 < 2^63 — folding to
+#: 2^32 would overflow int64 for folded ids above ~3.47e9 and yield
+#: negative buckets that match no split (caught by hypothesis).
 _KNUTH = 2654435761
-_M32 = 2**32
+_M31 = 2**31
 
 
 def split_bucket(id_col: Column | str, *, buckets: int = 1000) -> Column:
-    """Deterministic uniform bucket in [0, buckets) from an integer id."""
+    """Deterministic uniform bucket in [0, buckets) from an integer id.
+    Pure int64 arithmetic (no overflow for any long id), replayable in
+    any SQL dialect."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (F.pmod(c, F.lit(_M32)) * _KNUTH) % _M32 % buckets
+    return (F.pmod(c, F.lit(_M31)) * _KNUTH) % _M31 % buckets
 
 
 def hash_split(

@@ -1356,7 +1356,7 @@ def q_chunks(spark, sf_dir):
                WHEN b < 900 THEN 'val'
                ELSE 'test'
              END AS split
-      FROM (SELECT doc_id, (doc_id % 4294967296) * 2654435761 % 4294967296 % 1000 AS b
+      FROM (SELECT doc_id, (doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 AS b
             FROM documents)
     )
     GROUP BY split
@@ -1617,7 +1617,7 @@ def q_range(spark, sf_dir):
     SELECT lang, count(*) AS n, min(doc_id) AS min_id
     FROM (
       SELECT lang, doc_id,
-             (doc_id % 4294967296) * 2654435761 % 4294967296 % 1000 AS b
+             (doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 AS b
       FROM documents
     )
     WHERE (lang = 'en' AND b < 1000)
@@ -1694,7 +1694,7 @@ def q_dedup_clusters(spark, sf_dir):
       SELECT doc_id,
              len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))
                AS n_tokens,
-             CAST((doc_id % 4294967296) * 2654435761 % 4294967296 % 32 AS BIGINT)
+             CAST((doc_id % 2147483648) * 2654435761 % 2147483648 % 32 AS BIGINT)
                AS shard
       FROM documents
     ),

@@ -118,3 +118,86 @@ def test_pipeline_filter_map_composition(spark, values):
     got = {(r["key"], r["value"]) for r in p(kv).collect()}
     want = {(i, v + 1) for i, v in enumerate(values) if v % 2 == 0}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=1, max_value=5000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_sequences_invariants(spark, docs):
+    """For any (id, n_tokens) corpus: offsets stay in [0, seq_len);
+    within a shard, consecutive docs are gapless (next offset = previous
+    offset + previous length, mod rolled into seq_idx); every doc keeps
+    its token count."""
+    from kafka_streams_plumber_spark.operators.packing import pack_sequences
+
+    seq_len = 512
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens int")
+    rows = pack_sequences(df, "doc_id", "n_tokens", seq_len=seq_len, n_shards=4).collect()
+    assert len(rows) == len(docs)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["offset"] < seq_len
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in shard_rows:
+            assert r["seq_idx"] * seq_len + r["offset"] == pos
+            pos += r["n_tokens"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**50), min_size=1, max_size=80, unique=True))
+def test_hash_split_is_total_and_exclusive(spark, ids):
+    """Fractions summing to 1 assign every id to exactly one split, and
+    the assignment is a pure function of the id (stable under union with
+    itself)."""
+    from kafka_streams_plumber_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    out = hash_split(df.union(df), "id", fractions={"a": 0.5, "b": 0.3, "c": 0.2})
+    rows = out.collect()
+    assert len(rows) == 2 * len(ids)
+    seen: dict[int, str] = {}
+    for r in rows:
+        assert seen.setdefault(r["id"], r["split"]) == r["split"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.integers(min_value=0, max_value=10**6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_labels_are_component_minima(spark, edge_list):
+    """Every node's label must be reachable from it, and equal-labeled
+    nodes must be connected: verify against a driver-side union-find on
+    the same edges."""
+    from kafka_streams_plumber_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    edges = spark.createDataFrame(edge_list, "a_id long, b_id long")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == expected
