@@ -1834,3 +1834,500 @@ def q_gopher(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     g = d.select("doc_id", TX.gopher_rules("text").alias("_g"))
     return g.select("doc_id", "_g.*")
+
+
+# =========================================================================
+# Remaining TPC-H plan shapes, adapted to the driver schema (no partsupp,
+# no ship modes / commit dates — each query keeps its TPC-H plan CLASS:
+# two-role dimension join, CASE-sum market share, left-join histogram,
+# correlated-aggregate filter, exists / not-exists, anti-join rollup).
+# =========================================================================
+
+
+@query(
+    "q2_mincost",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal,
+             min(s.s_acctbal) OVER (PARTITION BY p.p_partkey) AS min_bal
+      FROM part p
+      JOIN ps ON ps.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size < 10 AND r.r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, s_acctbal
+    FROM cand WHERE s_acctbal = min_bal
+    """,
+)
+def q2_mincost(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part; s_acctbal plays
+    ps_supplycost since the driver schema has no partsupp). Scale notes:
+    the part→supplier bridge is `SELECT DISTINCT l_partkey, l_suppkey`
+    — a partial-aggregated shuffle far smaller than lineitem; supplier ⋈
+    nation ⋈ region (region-filtered) broadcasts onto it; the per-part
+    argmin is ONE window shuffle on p_partkey, not a groupBy + re-join
+    (halves the exchanges). Ties at the min all survive, as in Q2."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    p = t["part"].filter(F.col("p_size") < 10).select("p_partkey", "p_name")
+    r = t["region"].filter(F.col("r_name") == "EUROPE")
+    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = t["supplier"].join(
+        F.broadcast(n.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    cand = (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q7_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_volume(spark, sf_dir):
+    """TPC-H Q7 shape: the same `nation` dimension joined in TWO roles
+    (supplier side and customer side) with a cross-pair predicate.
+    Scale notes: both nation copies and the nation-filtered supplier
+    broadcast; lineitem ⋈ orders is the one big shuffle (on orderkey);
+    the pair filter runs post-join in the same codegen stage, then a
+    partial agg on a 3-value key."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    s = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    c = t["customer"].join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    l, o = t["lineitem"], t["orders"]
+    j = (
+        l.join(F.broadcast(s.select("s_suppkey", "supp_nation")),
+               l["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c.select("c_custkey", "cust_nation"),
+              o["o_custkey"] == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            money_product_sum("l_extendedprice", F.lit(1) - F.col("l_discount"), 2, 2)
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_marketshare",
+    """
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN nation = 'NATION_8' THEN volume ELSE 0 END)
+                     AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(12,2)) AS volume,
+             n1.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_marketshare(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional volume by year, a
+    CASE-sum ratio over a 7-table star. Scale notes: part (type-filtered),
+    supplier+nation, and customer-region dims all broadcast — lineitem ⋈
+    orders stays the only exchange; numerator and denominator ride one
+    partial agg (two scaled-long sums), one division per year row."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sn = t["supplier"].join(
+        F.broadcast(t["nation"].select(F.col("n_nationkey").alias("_sk"),
+                                       F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("_sk"),
+    ).select("s_suppkey", "nation")
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    cn = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    l, o = t["lineitem"], t["orders"]
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), l["l_suppkey"] == sn["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(cn, o["o_custkey"] == cn["c_custkey"])
+    )
+    disc = F.lit(1) - F.col("l_discount")
+    nat_price = F.when(F.col("nation") == "NATION_8", F.col("l_extendedprice")).otherwise(0.0)
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            money_product_sum(nat_price, disc, 2, 2).alias("_num"),
+            money_product_sum("l_extendedprice", disc, 2, 2).alias("_den"),
+        )
+        .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_profit",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year for parts
+    matching a name pattern (profit = discounted price; the driver schema
+    has no ps_supplycost). Scale notes: the LIKE-filtered part and
+    supplier⋈nation broadcast; lineitem ⋈ orders shuffles once on
+    orderkey; the group key is (25 nations × 7 years) so the final agg is
+    tiny after map-side partials."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    sn = t["supplier"].join(
+        F.broadcast(t["nation"].select(F.col("n_nationkey").alias("_sk"),
+                                       F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("_sk"),
+    ).select("s_suppkey", "nation")
+    l, o = t["lineitem"], t["orders"]
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), l["l_suppkey"] == sn["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+    )
+    return (
+        j.groupBy(F.col("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            money_product_sum("l_extendedprice", F.lit(1) - F.col("l_discount"), 2, 2)
+            .alias("sum_profit")
+        )
+    )
+
+
+@query(
+    "q12_latelines",
+    """
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_bucket,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_latelines(spark, sf_dir):
+    """TPC-H Q12 shape: conditional priority counts bucketed by shipping
+    delay (shipdate vs orderdate + 60 days plays commitdate, which the
+    driver schema lacks). Scale notes: one orderkey shuffle for the join
+    — at 100 TB both sides would be bucketed on orderkey making it
+    shuffle-free; the two CASE-sums ride one partial agg over a 2-row
+    key."""
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        "late",
+    ).otherwise("ontime")
+    return (
+        j.groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: histogram of orders-per-customer including
+    zero-order customers (LEFT join, count of non-null). Scale notes:
+    pre-aggregate orders per custkey BEFORE the left join so the join's
+    right side is one row per customer, not one per order — the
+    customer-side shuffle carries keys only; second agg key is tiny."""
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("_n"))
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q16_suppcnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_size IN (1, 5, 9, 15, 25)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_suppcnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per part group (the
+    part→supplier bridge comes from lineitem; the driver schema has no
+    partsupp). Scale notes: the size/brand filter broadcasts onto
+    lineitem so the fact is filtered before any exchange;
+    countDistinct expands to a two-phase agg (distinct on
+    group+suppkey, then count) — both phases partial-aggregated."""
+    t = load_tables(spark, sf_dir)
+    p = (
+        t["part"]
+        .filter((F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 5, 9, 15, 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    l = t["lineitem"].select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_smallqty",
+    """
+    WITH pl AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#4'
+    ),
+    avgq AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+               AS avg_qty
+      FROM pl GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(pl.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM pl JOIN avgq ON avgq.l_partkey = pl.l_partkey
+    WHERE pl.l_quantity < 0.2 * avgq.avg_qty
+    """,
+)
+def q17_smallqty(spark, sf_dir):
+    """TPC-H Q17 shape: lines below 20% of their part's average quantity
+    (the correlated aggregate subquery, decorrelated). Scale notes: the
+    brand filter broadcasts so only matching lines survive the scan; the
+    per-part average is ONE partial-aggregated shuffle over that small
+    slice and broadcasts back — the fact is scanned once and never
+    shuffled. The average is an exact scaled-long sum over a count, so
+    the 0.2× comparison boundary is engine-identical."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    pl = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    avgq = pl.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (money_sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        pl.join(F.broadcast(avgq), pl["l_partkey"] == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((money_sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_shippers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%blue%'
+      GROUP BY l.l_suppkey
+      HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 2000
+    )
+    """,
+)
+def q20_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved serious volume of a part
+    family (quantity-HAVING plays the availqty correlation; no partsupp
+    in the driver schema). Scale notes: blue parts broadcast onto
+    lineitem; per-supplier quantity is one partial-agg shuffle; the
+    HAVING survivors are a small set that broadcasts into a LEFT SEMI
+    join — supplier is never shuffled."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    heavy = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(money_sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 2000)
+        .select("l_suppkey")
+    )
+    s = t["supplier"]
+    return s.join(
+        F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_waiting",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: the sole-blamed supplier on multi-supplier
+    finished orders (returnflag 'R' plays receipt-after-commit). The
+    EXISTS / NOT EXISTS pair decorrelates to ONE per-order aggregate —
+    distinct suppliers and distinct returning suppliers — computed in a
+    single pass over lineitem instead of three correlated rescans: l1
+    has another supplier iff n_supp >= 2, and no OTHER supplier returned
+    iff n_ret_supp = 1 (l1 itself returns). Scale notes: lineitem is
+    scanned twice (l1 + the aggregate) and shuffles on orderkey both
+    times — co-partitioned, AQE-coalesced; orders('F') filter pushes to
+    its scan; supplier broadcasts at the end."""
+    t = load_tables(spark, sf_dir)
+    l, o, s = t["lineitem"], t["orders"], t["supplier"]
+    per_order = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    )
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    j = (
+        l1.join(o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+                l1["l_orderkey"] == F.col("o_orderkey"))
+        .join(per_order, l1["l_orderkey"] == F.col("_ok"))
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_ret_supp") == 1))
+    )
+    return (
+        j.join(F.broadcast(s), j["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_idle",
+    """
+    WITH thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+               AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey % 10
+    """,
+)
+def q22_idle(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    orders (every sf0.01 customer has some order, so urgency plays the
+    idle predicate),
+    rolled up by country code (nationkey mod 10 plays the phone prefix).
+    Scale notes: the global average is a 1-row broadcast (exact sum /
+    count, so the > boundary is engine-identical); the NOT EXISTS is a
+    LEFT ANTI join against DISTINCT o_custkey — pre-distincting shrinks
+    the anti join's build side to unique keys; final rollup is a 10-row
+    key."""
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (money_sum("c_acctbal") / F.count("*")).alias("_avg_bal")
+    )
+    buyers = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(buyers, c["c_custkey"] == buyers["o_custkey"], "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
