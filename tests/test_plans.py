@@ -86,3 +86,38 @@ def test_q19_disjunct_pushes_common_conjuncts(spark):
 def test_new_hygiene_queries_stay_jvm_side(spark):
     for name in ["q_redact", "q_chunks", "q_split", "q_vocab", "q_stratified", "q_range"]:
         assert python_eval_count(QUERIES[name](spark, SF)) == 0, name
+
+
+def test_final_tpch_shapes_plan_quality(spark):
+    """The last-wave TPC-H shapes: dims broadcast, no Python eval, and
+    the decorrelated shapes hold to their single-fact-shuffle promise."""
+    from kafka_streams_plumber_spark.plans.inspect import shuffle_count
+
+    for name in [
+        "q2_mincost",
+        "q7_volume",
+        "q8_marketshare",
+        "q9_profit",
+        "q13_custdist",
+        "q16_suppcnt",
+        "q17_smallqty",
+        "q20_shippers",
+        "q21_waiting",
+        "q22_idle",
+    ]:
+        df = QUERIES[name](spark, SF)
+        assert broadcast_join_count(df) >= 1, name
+        assert python_eval_count(df) == 0, name
+    # q9: 4-table star resolved with exactly one exchange pre-AQE
+    assert shuffle_count(QUERIES["q9_profit"](spark, SF)) <= 2
+    # q17: decorrelated avg never re-shuffles the fact
+    assert shuffle_count(QUERIES["q17_smallqty"](spark, SF)) <= 2
+
+
+def test_q2_argmin_is_single_window_shuffle(spark):
+    """Per-part argmin via window, not groupBy+rejoin: exactly one extra
+    exchange beyond the distinct bridge."""
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    df = QUERIES["q2_mincost"](spark, SF)
+    assert plan_string(df).count("Window") >= 1
