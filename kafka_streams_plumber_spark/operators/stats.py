@@ -24,20 +24,22 @@ def exact_percentiles(
     """Exact linear-interpolated percentiles per group.
 
     ``percentiles`` maps output column name -> p in [0, 1]. Plan: one
-    shuffle-sort on (group, value) for the row_number/count windows,
-    then an ordinary partial+final aggregation — no per-group value map,
-    no collect. Rows with NULL ``value_col`` are excluded (builtin
-    semantics).
+    shuffle-sort on (group, value) for the row_number window; group
+    sizes come from a separate tiny aggregate broadcast-joined back
+    (NOT a count-over-unbounded-window, which would buffer each full
+    group a second time inside the window exec), then an ordinary
+    partial+final aggregation — no per-group value map, no collect.
+    Rows with NULL ``value_col`` are excluded (builtin semantics).
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    w = Window.partitionBy(*groups).orderBy(value_col)
-    n = Window.partitionBy(*groups)
+    src = df.filter(F.col(value_col).isNotNull())
+    counts = src.groupBy(*groups).agg(F.count("*").alias("_n"))
+    w = Window.partitionBy(*groups).orderBy("_v")
 
-    r = df.filter(F.col(value_col).isNotNull()).select(
-        *groups,
-        F.col(value_col).alias("_v"),
-        (F.row_number().over(w) - 1).alias("_i"),
-        F.count("*").over(n).alias("_n"),
+    r = (
+        src.select(*groups, F.col(value_col).alias("_v"))
+        .withColumn("_i", F.row_number().over(w) - 1)
+        .join(F.broadcast(counts), groups)
     )
     agg_cols = []
     for name, p in percentiles.items():
