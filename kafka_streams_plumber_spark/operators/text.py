@@ -149,6 +149,41 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(col: Column | str, ns: tuple[int, ...] = (1, 2, 3)) -> Column:
+    """Intra-document repetition signals (Gopher/C4-style, public
+    heuristics): for each n in ``ns``, the fraction of word n-grams that
+    are duplicates of an earlier occurrence —
+    ``1 - distinct_ngrams / total_ngrams`` — as one struct column
+    ``dup_{n}gram_frac``. High values flag boilerplate/spam documents
+    that corpus-level dedup (which compares across documents) misses.
+
+    Pure per-row projection: O(words × max(ns)) inside codegen, no
+    shuffle, composes with parquet pushdown. Documents shorter than n
+    words score 0.0 for that n.
+    """
+    toks = F.filter(tokens(F.lower(_c(col))), lambda x: x != "")
+    cnt = F.size(toks)
+    fields = []
+    for n in ns:
+        if n == 1:
+            grams = toks
+        else:
+            idx = F.sequence(F.lit(0), cnt - n)
+            built = F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+            grams = F.when(cnt >= n, built).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        frac = F.when(
+            total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+        ).otherwise(F.lit(0.0))
+        fields.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
+    return F.struct(*fields)
+
+
 # --- LLM-pipeline text hygiene ops --------------------------------------
 
 #: Conservative PII patterns: emails, international-ish phone numbers,

@@ -686,6 +686,39 @@ def text_quality(spark, sf_dir):
     return d.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
+@query(
+    "text_repetition",
+    """
+    SELECT doc_id,
+           round(CASE WHEN len(w) > 0
+                 THEN 1.0 - len(list_distinct(w))::DOUBLE / len(w)
+                 ELSE 0.0 END, 6) AS dup_1gram_frac,
+           round(CASE WHEN len(w) >= 2
+                 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
+                 ELSE 0.0 END, 6) AS dup_2gram_frac,
+           round(CASE WHEN len(w) >= 3
+                 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
+                 ELSE 0.0 END, 6) AS dup_3gram_frac
+    FROM (
+      SELECT doc_id, w,
+             list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2]) AS g2,
+             list_transform(range(len(w)-2),
+                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g3
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+            FROM documents)
+    )
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition fractions (duplicate 1/2/3-gram rate,
+    operators/text.py:repetition_stats) — the Gopher/C4 boilerplate
+    signal that corpus-level dedup can't see."""
+    d = load_tables(spark, sf_dir)["documents"]
+    r = d.select("doc_id", TX.repetition_stats("text").alias("_r"))
+    return r.select("doc_id", "_r.*")
+
+
 # =========================================================================
 # Dedup / similarity family (operators/dedup.py, operators/similarity.py)
 # =========================================================================
