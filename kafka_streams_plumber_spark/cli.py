@@ -43,11 +43,11 @@ def _load_module(path: str, name: str):
 
 
 def _parse_kv_types(spec: str):
+    """``key,value`` pair, or a bare value type with an implicit void key
+    (TypeConversions.scala:42-51: ``VPattern(v) => (VoidType, v)``)."""
     parts = spec.split(",", 1)
-    if len(parts) != 2:
-        raise SystemExit(
-            f"type spec must be key,value (e.g. string,avro=f.avsc): {spec!r}"
-        )
+    if len(parts) == 1:
+        return parse_type("void"), parse_type(parts[0])
     return parse_type(parts[0]), parse_type(parts[1])
 
 

@@ -148,3 +148,47 @@ def test_avro_dry_run_fails_on_wrong_expectation(spark, tmp_path, capsys):
     rc = main(argv)
     assert rc == 1
     assert "verification failed" in capsys.readouterr().err
+
+
+def test_single_type_spec_means_void_key(spark, tmp_path, capsys):
+    """`-d string` == `-d void,string` (TypeConversions.scala:42-51)."""
+    argv = [
+        "-i", "in", "-o", "out",
+        "-d", "string", "-s", "string",
+        "-l", _write(tmp_path, "pipe.py", PIPELINE),
+        "-t", _write(tmp_path, "t.py", textwrap.dedent(
+            """
+            def fixtures():
+                return [(None, "hello")]
+
+            def expectations():
+                return [(None, "HELLO")]
+            """
+        )),
+        "-D",
+    ]
+    assert main(argv) == 0
+
+
+def test_reference_examples_verify(spark):
+    """The three reference examples (examples/{demo,time,csv}) pass
+    their golden gates through the real CLI surface."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+    cases = {
+        "demo": ["-d", "avro=example.undesired.avsc", "-s", "avro=example.desired.avsc"],
+        "time": ["-d", "string,string", "-s", "long,long"],
+        "csv": ["-d", "string", "-s", "avro=example.avsc"],
+    }
+    cwd = os.getcwd()
+    try:
+        for name, types in cases.items():
+            os.chdir(os.path.join(root, name))
+            rc = main([
+                "-i", "in", "-o", "out", *types,
+                "-l", "example.py", "-t", "example.test.py", "-D",
+            ])
+            assert rc == 0, name
+    finally:
+        os.chdir(cwd)
