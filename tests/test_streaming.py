@@ -218,3 +218,40 @@ def test_foreach_batch_sink_writes_once_and_is_replay_safe(spark, tmp_path):
     sink(one_batch, 0)
     again = spark.read.parquet(str(out))
     assert sorted(r["v"] for r in again.collect()) == list(range(20))
+
+
+def test_wire_path_binary_to_binary(spark):
+    """The full Kafka wire path minus the broker: a binary (key, value)
+    frame shaped exactly like the kafka source's output is decoded
+    through the serde layer, folded through a pipeline, and re-encoded
+    to binary — proving decode -> transform -> encode composes into one
+    logical plan (what kafka_source | Pipeline | kafka_sink builds)."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from kafka_streams_plumber_spark import Pipeline
+    from kafka_streams_plumber_spark.sources.serde import decode, encode, parse_type
+
+    lt, st = parse_type("long"), parse_type("string")
+    raw = spark.createDataFrame(
+        [(struct.pack(">q", 7), "fortytwo".encode()),
+         (struct.pack(">q", 1), "drop".encode())],
+        "key binary, value binary",
+    )
+    typed = raw.select(
+        decode(F.col("key"), lt).alias("key"),
+        decode(F.col("value"), st).alias("value"),
+    )
+    p = (Pipeline()
+         .filter(lambda k, v: k > 1)
+         .map(lambda k, v: (k * 2, F.upper(v))))
+    out = p.apply(typed)
+    wire = out.select(
+        encode(F.col("key"), lt).alias("key"),
+        encode(F.col("value"), st).alias("value"),
+    )
+    rows = wire.collect()
+    assert len(rows) == 1
+    assert struct.unpack(">q", bytes(rows[0]["key"]))[0] == 14
+    assert bytes(rows[0]["value"]).decode() == "FORTYTWO"
