@@ -3,10 +3,10 @@
 ``exact_percentiles`` replaces ``F.percentile`` for grouped exact
 quantiles: the builtin aggregates a per-group hashmap of distinct
 values (slow when values are mostly unique, e.g. prices), while this
-formulation is one partition sort + conditional aggregation — ~2.5x
-faster at sf0.1 and bit-identical (it reproduces the builtin's
-``lo*(hiIdx-pos) + hi*(pos-loIdx)`` interpolation, which is also
-DuckDB's ``quantile_cont``).
+formulation is a parallel range-partitioned sort + conditional
+aggregation — faster at sf0.1 and bit-identical (it reproduces the
+builtin's ``lo*(hiIdx-pos) + hi*(pos-loIdx)`` interpolation, which is
+also DuckDB's ``quantile_cont``).
 """
 
 from __future__ import annotations
@@ -23,41 +23,70 @@ def exact_percentiles(
 ) -> DataFrame:
     """Exact linear-interpolated percentiles per group.
 
-    ``percentiles`` maps output column name -> p in [0, 1]. Plan: one
-    shuffle-sort on (group, value) for the row_number window; group
-    sizes come from a separate tiny aggregate broadcast-joined back
-    (NOT a count-over-unbounded-window, which would buffer each full
-    group a second time inside the window exec), then an ordinary
-    partial+final aggregation — no per-group value map, no collect.
-    Rows with NULL ``value_col`` are excluded (builtin semantics).
+    ``percentiles`` maps output column name -> p in [0, 1]. Rows with
+    NULL ``value_col`` are excluded (builtin semantics).
+
+    Scale design — the global rank is computed WITHOUT a per-group
+    window (``Window.partitionBy(group)`` funnels each whole group into
+    a single task, which dies at 100 TB when group cardinality is small,
+    exactly the common case for distribution stats):
+
+      1. range-repartition on (group, value) + sortWithinPartitions —
+         a fully parallel distributed sort, ties split across partition
+         boundaries are harmless because equal values are interchangeable
+         for order statistics;
+      2. ``monotonically_increasing_id`` (consecutive within a
+         partition) gives each row its local ordinal in one narrow pass;
+      3. a TINY aggregate — per (partition, group): row count and min
+         id — is turned into per-partition group offsets with a window
+         over P×G rows and broadcast back: global index =
+         offset + (id - min_id);
+      4. the percentile picks are then one ordinary partial+final
+         aggregation; no per-group value map, no collect, no stage that
+         holds a full group on one core.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    src = df.filter(F.col(value_col).isNotNull())
-    counts = src.groupBy(*groups).agg(F.count("*").alias("_n"))
-    w = Window.partitionBy(*groups).orderBy("_v")
-
-    r = (
-        src.select(*groups, F.col(value_col).alias("_v"))
-        .withColumn("_i", F.row_number().over(w) - 1)
-        .join(F.broadcast(counts), groups)
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, F.col(value_col).alias("_v")
     )
+
+    ranked = (
+        src.repartitionByRange(*groups, "_v")
+        .sortWithinPartitions(*groups, "_v")
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+
+    part_stats = ranked.groupBy("_pid", *groups).agg(
+        F.count("*").alias("_c"), F.min("_mid").alias("_m0")
+    )
+    woff = Window.partitionBy(*groups).orderBy("_pid")
+    wtot = Window.partitionBy(*groups)
+    offsets = part_stats.select(
+        "_pid",
+        *groups,
+        "_m0",
+        (F.sum("_c").over(woff) - F.col("_c")).alias("_off"),
+        F.sum("_c").over(wtot).alias("_n"),
+    )
+
+    r = ranked.join(F.broadcast(offsets), ["_pid", *groups]).withColumn(
+        "_i", F.col("_off") + (F.col("_mid") - F.col("_m0"))
+    )
+
     agg_cols = []
     for name, p in percentiles.items():
         idx = F.lit(float(p)) * (F.col("_n") - 1)
         fl, cl = F.floor(idx), F.ceil(idx)
-        r = (
-            r.withColumn(f"_lo_{name}", F.when(F.col("_i") == fl, F.col("_v")))
-            .withColumn(f"_hi_{name}", F.when(F.col("_i") == cl, F.col("_v")))
-            .withColumn(f"_w_lo_{name}", cl.cast("double") - idx)
-            .withColumn(f"_w_hi_{name}", idx - fl.cast("double"))
-            .withColumn(f"_int_{name}", fl == cl)
-        )
         agg_cols += [
-            F.max(f"_lo_{name}").alias(f"_alo_{name}"),
-            F.max(f"_hi_{name}").alias(f"_ahi_{name}"),
-            F.max(f"_w_lo_{name}").alias(f"_awlo_{name}"),
-            F.max(f"_w_hi_{name}").alias(f"_awhi_{name}"),
-            F.max(f"_int_{name}").alias(f"_aint_{name}"),
+            F.max(F.when(F.col("_i") == fl, F.col("_v"))).alias(f"_alo_{name}"),
+            F.max(F.when(F.col("_i") == cl, F.col("_v"))).alias(f"_ahi_{name}"),
+            F.max(cl.cast("double") - idx).alias(f"_awlo_{name}"),
+            F.max(idx - fl.cast("double")).alias(f"_awhi_{name}"),
+            F.max(fl == cl).alias(f"_aint_{name}"),
         ]
     out = r.groupBy(*groups).agg(*agg_cols)
     return out.select(
