@@ -101,3 +101,43 @@ def exact_percentiles(
             for name in percentiles
         ],
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_cols: list,
+    k: int,
+    *,
+    rank_fn=F.dense_rank,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group with a rank column, scalable to few groups.
+
+    A single ``Window.partitionBy(group)`` puts each whole group in one
+    task. Instead, two phases:
+
+      1. local prune — rank within (group, input-partition): any row
+         whose global rank is <= k also has local rank <= k (its local
+         set of better rows is a subset of the global one), so
+         ``local_rank <= k`` keeps every global survivor while cutting
+         the data to at most groups x partitions x k rows;
+      2. exact rank over that small remainder with the plain per-group
+         window.
+
+    Works for rank()/dense_rank()/row_number (any rank monotone in the
+    set of preceding rows). Ties at rank k all survive, matching SQL
+    ``dense_rank() <= k`` semantics.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    pre = df.withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy(*groups, "_pid").orderBy(*order_cols)
+    local = (
+        pre.withColumn("_lrnk", rank_fn().over(wl))
+        .filter(F.col("_lrnk") <= k)
+        .drop("_pid", "_lrnk")
+    )
+    wg = Window.partitionBy(*groups).orderBy(*order_cols)
+    return local.withColumn(rank_col, rank_fn().over(wg)).filter(
+        F.col(rank_col) <= k
+    )

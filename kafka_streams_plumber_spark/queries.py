@@ -1010,24 +1010,23 @@ def q_pivot(spark, sf_dir):
     """,
 )
 def q_topk_group(spark, sf_dir):
-    """Per-group top-k via dense_rank after a broadcast dim join."""
-    from pyspark.sql import Window
+    """Per-group top-k after a broadcast dim join. Scale notes: uses the
+    two-phase topk_per_group operator (local per-partition prune, then
+    an exact window over groups x partitions x k survivors) — a plain
+    dense_rank window over 25 nations would put each whole nation's
+    customers in a single task."""
+    from kafka_streams_plumber_spark.operators.stats import topk_per_group
 
     t = load_tables(spark, sf_dir)
     n, c = t["nation"], t["customer"]
-    j = F.broadcast(n).join(c, c["c_nationkey"] == n["n_nationkey"])
-    w = Window.partitionBy(n["n_nationkey"]).orderBy(
-        F.desc(c["c_acctbal"]), F.asc(c["c_custkey"])
+    j = F.broadcast(n).join(c, c["c_nationkey"] == n["n_nationkey"]).select(
+        n["n_nationkey"].alias("n_nationkey"),
+        c["c_custkey"].alias("c_custkey"),
+        c["c_acctbal"].alias("c_acctbal"),
     )
-    return (
-        j.select(
-            n["n_nationkey"].alias("n_nationkey"),
-            c["c_custkey"].alias("c_custkey"),
-            c["c_acctbal"].alias("c_acctbal"),
-            F.dense_rank().over(w).alias("rnk"),
-        )
-        .filter(F.col("rnk") <= 3)
-    )
+    return topk_per_group(
+        j, "n_nationkey", [F.desc("c_acctbal"), F.asc("c_custkey")], 3
+    ).select("n_nationkey", "c_custkey", "c_acctbal", "rnk")
 
 
 @query(

@@ -58,3 +58,26 @@ def test_multiple_group_cols(spark):
         for r in exact_percentiles(df, ["a", "b"], "v", {"p50": 0.5}).collect()
     }
     assert rows == {(1, "x"): 2.0, (1, "y"): 10.0}
+
+
+def test_topk_per_group_matches_single_window(spark):
+    from kafka_streams_plumber_spark.operators.stats import topk_per_group
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in (5, 3, 9, 9, 1, 7)], "g string, v int"
+    ).repartition(4)
+    got = sorted(
+        (r["g"], r["v"], r["rnk"])
+        for r in topk_per_group(df, "g", [F.desc("v")], 2).collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"))
+    want = sorted(
+        (r["g"], r["v"], r["rnk"])
+        for r in df.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 2).collect()
+    )
+    assert got == want
+    # ties at the boundary survive (two 9 rows at rank 1 per group)
+    assert sum(1 for g, v, r in got if g == "a" and r == 1) == 2
