@@ -44,6 +44,13 @@ HEADLINE = [
     "sim_topk",
     "text_stats",
     "text_quality",
+    "text_repetition",
+    "q_topk_group",
+    "q7_volume",
+    "q9_profit",
+    "q13_custdist",
+    "q17_smallqty",
+    "q21_waiting",
 ]
 
 

@@ -29,6 +29,20 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def let_(e: Column, body) -> Column:
+    """Let-binding via the single-element-array ``transform`` idiom:
+    ``body`` receives ``e`` as a lambda VARIABLE, evaluated exactly once.
+
+    Referencing a plain sub-expression from several places re-inlines
+    and re-computes it per reference; whole-stage codegen's
+    subexpression elimination does not rescue expressions under
+    conditional branches (``when``/``otherwise``), where most of these
+    ops live. Binding token arrays this way turned a measured O(words²)
+    evaluation into O(words) — 60x on repetition_stats at sf0.1.
+    """
+    return F.element_at(F.transform(F.array(e), body), 1)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization (array<string>). Matches the oracle's
     string_split semantics: split on single spaces, keep empties."""
@@ -98,19 +112,24 @@ def fingerprint(col: Column | str) -> Column:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingle set (array<string>, distinct) — the unit for
-    MinHash / Jaccard near-dup detection. Expression-only."""
-    toks = tokens(F.lower(_c(col)))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - k)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    MinHash / Jaccard near-dup detection. Expression-only; the token
+    array is let-bound (see :func:`let_`) so it is built once, not per
+    k-gram element."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), n - k)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+        return F.when(n >= k, F.array_distinct(grams)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+
+    return let_(tokens(F.lower(_c(col))), body)
 
 
 def shingle_hashes(col: Column | str, k: int = 3) -> Column:
@@ -121,20 +140,28 @@ def shingle_hashes(col: Column | str, k: int = 3) -> Column:
     intermediate shingle strings, which is ~2x cheaper on long documents
     (the dominant cost in MinHash pipelines). Collisions are negligible
     (~n²/2⁶⁴), so Jaccard over hash sets equals Jaccard over string sets.
+
+    Both the token array and its hash array are let-bound (:func:`let_`)
+    so each is built once per document, not per k-gram element.
     """
-    toks = tokens(F.lower(_c(col)))
-    th = F.transform(toks, lambda x: F.xxhash64(x))
-    n = F.size(th)
-    idx = F.sequence(F.lit(0), n - k)
-    grams = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            *[F.element_at(th, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array(F.xxhash64(F.concat_ws(" ", toks)))
-    )
+
+    def outer(toks: Column) -> Column:
+        def inner(th: Column) -> Column:
+            n = F.size(th)
+            idx = F.sequence(F.lit(0), n - k)
+            grams = F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(th, (i + j + 1).cast("int")) for j in range(k)]
+                ),
+            )
+            return F.when(n >= k, F.array_distinct(grams)).otherwise(
+                F.array(F.xxhash64(F.concat_ws(" ", toks)))
+            )
+
+        return let_(F.transform(toks, lambda x: F.xxhash64(x)), inner)
+
+    return let_(tokens(F.lower(_c(col))), outer)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -160,28 +187,44 @@ def repetition_stats(col: Column | str, ns: tuple[int, ...] = (1, 2, 3)) -> Colu
     Pure per-row projection: O(words × max(ns)) inside codegen, no
     shuffle, composes with parquet pushdown. Documents shorter than n
     words score 0.0 for that n.
+
+    Implementation note — intermediates are let-bound (:func:`let_`):
+    the token array is referenced by every n and each gram array by both
+    size() and array_distinct(); without binding they re-inline and
+    re-compute per reference — measured 60x slower on sf0.1 documents.
     """
-    toks = F.filter(tokens(F.lower(_c(col))), lambda x: x != "")
-    cnt = F.size(toks)
-    fields = []
-    for n in ns:
-        if n == 1:
-            grams = toks
-        else:
-            idx = F.sequence(F.lit(0), cnt - n)
-            built = F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-                ),
-            )
-            grams = F.when(cnt >= n, built).otherwise(F.array().cast("array<string>"))
-        total = F.size(grams)
-        frac = F.when(
-            total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
-        ).otherwise(F.lit(0.0))
-        fields.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
-    return F.struct(*fields)
+
+    def frac_of(grams_e: Column) -> Column:
+        return let_(
+            grams_e,
+            lambda g: F.when(
+                F.size(g) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    def body(toks: Column) -> Column:
+        cnt = F.size(toks)
+        fields = []
+        for n in ns:
+            if n == 1:
+                grams = toks
+            else:
+                idx = F.sequence(F.lit(0), cnt - n)
+                built = F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+                    ),
+                )
+                grams = F.when(cnt >= n, built).otherwise(
+                    F.array().cast("array<string>")
+                )
+            fields.append(F.round(frac_of(grams), 6).alias(f"dup_{n}gram_frac"))
+        return F.struct(*fields)
+
+    return let_(F.filter(tokens(F.lower(_c(col))), lambda x: x != ""), body)
 
 
 # --- LLM-pipeline text hygiene ops --------------------------------------
@@ -255,29 +298,32 @@ def gopher_rules(col: Column | str) -> Column:
       alpha_ratio_ok   >= 80% of words contain a letter
       stopword_ok      >= 2 distinct common-English stopwords appear
     """
-    toks = tokens(F.lower(_c(col)))
-    toks = F.filter(toks, lambda x: x != "")
-    n = F.size(toks)
-    nn = F.greatest(n, F.lit(1))
-    mean_len = (
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        / nn
-    )
-    symbols = F.size(F.filter(toks, lambda x: x.contains("#") | x.contains("...")))
-    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
-    stop_distinct = F.size(
-        F.array_distinct(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
-    )
-    rules = {
-        "word_count_ok": (n >= 50) & (n <= 100000),
-        "mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),
-        "symbol_ratio_ok": (symbols / nn) < 0.1,
-        "alpha_ratio_ok": (alpha / nn) >= 0.8,
-        "stopword_ok": stop_distinct >= 2,
-    }
-    passed = None
-    for c in rules.values():
-        passed = c if passed is None else (passed & c)
-    return F.struct(
-        *[c.alias(k) for k, c in rules.items()], passed.alias("passed")
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        nn = F.greatest(n, F.lit(1))
+        mean_len = (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / nn
+        )
+        symbols = F.size(F.filter(toks, lambda x: x.contains("#") | x.contains("...")))
+        alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        stop_distinct = F.size(
+            F.array_distinct(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
+        )
+        rules = {
+            "word_count_ok": (n >= 50) & (n <= 100000),
+            "mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),
+            "symbol_ratio_ok": (symbols / nn) < 0.1,
+            "alpha_ratio_ok": (alpha / nn) >= 0.8,
+            "stopword_ok": stop_distinct >= 2,
+        }
+        passed = None
+        for c in rules.values():
+            passed = c if passed is None else (passed & c)
+        return F.struct(
+            *[c.alias(k) for k, c in rules.items()], passed.alias("passed")
+        )
+
+    return let_(
+        F.filter(tokens(F.lower(_c(col))), lambda x: x != ""), body
     )
