@@ -263,18 +263,23 @@ def chunk_tokens(
     """
     assert 0 <= overlap < size, "need 0 <= overlap < size"
     step = size - overlap
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    # window starts: 0, step, 2*step, ... strictly below n (so a doc
-    # shorter than size still yields exactly one chunk)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_idx"),
-            F.slice(toks, s + 1, size).alias("_toks"),
-        ),
-    )
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        # window starts: 0, step, 2*step, ... strictly below n (so a doc
+        # shorter than size still yields exactly one chunk)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.slice(toks, s + 1, size).alias("_toks"),
+            ),
+        )
+
+    # let-bound: toks is referenced by the start sequence and by every
+    # window slice — bind once rather than re-tokenize per window
+    chunks = let_(tokens(F.col(text_col)), body)
     exploded = df.select(
         F.col(id_col), F.explode(chunks).alias("_c")
     )
