@@ -2292,17 +2292,28 @@ def q21_waiting(spark, sf_dir):
     distinct suppliers and distinct returning suppliers — computed in a
     single pass over lineitem instead of three correlated rescans: l1
     has another supplier iff n_supp >= 2, and no OTHER supplier returned
-    iff n_ret_supp = 1 (l1 itself returns). Scale notes: lineitem is
-    scanned twice (l1 + the aggregate) and shuffles on orderkey both
-    times — co-partitioned, AQE-coalesced; orders('F') filter pushes to
-    its scan; supplier broadcasts at the end."""
+    iff n_ret_supp = 1 (l1 itself returns). The two distinct counts are
+    computed as a two-level aggregate — distinct (order, supplier) pairs
+    with a returned flag first, then per-order counts over that — NOT as
+    two countDistincts in one agg, which would Expand every lineitem row
+    twice before the shuffle. Scale notes: lineitem is scanned twice
+    (l1 + the aggregate) and shuffles on orderkey both times —
+    co-partitioned, AQE-coalesced; orders('F') filter pushes to its
+    scan; supplier broadcasts at the end."""
     t = load_tables(spark, sf_dir)
     l, o, s = t["lineitem"], t["orders"], t["supplier"]
-    per_order = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("_n_ret_supp"),
+    per_os = (
+        l.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("_r"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_r").alias("_ret"))
+    )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count("*").alias("_n_supp"),
+        F.sum("_ret").alias("_n_ret_supp"),
     )
     l1 = l.filter(F.col("l_returnflag") == "R")
     j = (
