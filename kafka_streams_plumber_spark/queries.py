@@ -1206,13 +1206,17 @@ def q_percentiles(spark, sf_dir):
     """,
 )
 def q_count_distinct(spark, sf_dir):
-    """Exact distinct cardinality per group (expands to a two-phase
-    partial-distinct aggregate in Spark — the map-side dedup keeps the
-    shuffle proportional to distinct keys, not rows)."""
+    """Exact distinct cardinality per group. Written as a two-level
+    aggregate — per (group, user) row counts, then per-group counts over
+    that — rather than count_distinct + count(*) in one agg, which makes
+    Spark Expand every input row twice before the shuffle. The first
+    level partial-aggregates map-side, so the shuffle is proportional to
+    distinct (group, user) pairs, not rows."""
     e = load_tables(spark, sf_dir)["events"]
-    return e.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("users"),
-        F.count("*").alias("n"),
+    per_user = e.groupBy("event_type", "user_id").agg(F.count("*").alias("_c"))
+    return per_user.groupBy("event_type").agg(
+        F.count("*").alias("users"),
+        F.sum("_c").alias("n"),
     )
 
 
