@@ -421,3 +421,54 @@ def label_centroids(
             F.max("_n").alias("n"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column
+    — the standard 4x (int8) memory/IO cut for billion-vector ANN
+    serving; codes reconstruct as ``code * scale``.
+
+    Returns (id, scale, codes, code_sum, code_min, code_max): per-vector
+    ``scale = max(|x|) / (2^(bits-1) - 1)`` (1.0 for all-zero vectors so
+    codes are well-defined) and ``codes[i] = round(x[i] / scale)`` in
+    [-qmax, qmax]. Pure expressions — float->double casts and
+    half-away-from-zero rounding are engine-reproducible, so the scalar
+    summaries hash-match a DuckDB oracle exactly.
+    """
+    from kafka_streams_plumber_spark.operators.text import let_
+
+    qmax = (1 << (bits - 1)) - 1
+
+    def body(e: Column) -> Column:
+        maxabs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+        scale = F.when(maxabs > 0.0, maxabs / qmax).otherwise(F.lit(1.0))
+        return let_(
+            scale,
+            lambda s: F.struct(
+                s.alias("scale"),
+                F.transform(e, lambda x: F.round(x / s).cast("int")).alias("codes"),
+            ),
+        )
+
+    q = df.select(
+        F.col(id_col),
+        let_(
+            F.transform(F.col(emb_col), lambda x: x.cast("double")), body
+        ).alias("_q"),
+    )
+    return q.select(
+        id_col,
+        F.col("_q.scale").alias("scale"),
+        F.col("_q.codes").alias("codes"),
+        F.aggregate(
+            "_q.codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.array_min("_q.codes").alias("code_min"),
+        F.array_max("_q.codes").alias("code_max"),
+    )

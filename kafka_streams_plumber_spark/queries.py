@@ -777,6 +777,42 @@ def dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, block_col="source")
 
 
+@query(
+    "q_quantize",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 CASE WHEN m > 0 THEN m / 127 ELSE 1.0 END AS scale
+          FROM (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS m
+                FROM e)),
+    c AS (SELECT vec_id, scale,
+                 list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS codes
+          FROM s)
+    SELECT vec_id, scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_min(codes) AS code_min,
+           list_max(codes) AS code_max
+    FROM c
+    """,
+)
+def q_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (operators/similarity.py:quantize_embeddings): per-vector scale +
+    code summaries. The oracle re-derives scale and codes with identical
+    double math, so code_sum/min/max hash-match exactly; the codes array
+    itself rides along for consumers but is summarized to scalars here
+    for engine-portable comparison."""
+    from kafka_streams_plumber_spark.operators.similarity import quantize_embeddings
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return quantize_embeddings(e).select(
+        "vec_id", "scale", "code_sum", "code_min", "code_max"
+    )
+
+
 @query("dedup_simhash")  # rows-only: bit-level hash has no SQL analog
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (operators/dedup.py:simhash_pairs);

@@ -109,3 +109,37 @@ def test_ivf_no_duplicate_neighbors(spark, vectors):
     rows = ivf_topk(vectors, q, k=5, n_cells=8, nprobe=6, assign=3).collect()
     pairs = [(r.query_id, r.neighbor_id) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 codes reconstruct within scale/2 per element; zero vectors
+    get scale 1.0 and all-zero codes; codes stay in [-127, 127]."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_plumber_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [127.0, -127.0, 63.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[2]["scale"] == 1.0 and rows[2]["codes"] == [0, 0, 0]
+    assert rows[1]["code_min"] >= -127 and rows[1]["code_max"] <= 127
+    # reconstruction error bounded by scale/2
+    err = (
+        df.join(out, "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "codes",
+                    lambda x, c: F.abs(x.cast("double") - c * F.col("scale")),
+                )
+            ).alias("e"),
+            "scale",
+        )
+        .filter(F.col("e") > F.col("scale") / 2 + 1e-12)
+        .count()
+    )
+    assert err == 0
