@@ -778,6 +778,32 @@ def dedup_ngram(spark, sf_dir):
 
 
 @query(
+    "q_doc_lengths",
+    """
+    SELECT source,
+           quantile_cont(n, 0.5) AS p50_tokens,
+           quantile_cont(n, 0.9) AS p90_tokens,
+           quantile_cont(n, 0.99) AS p99_tokens
+    FROM (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
+    GROUP BY source
+    """,
+)
+def q_doc_lengths(spark, sf_dir):
+    """Token-length distribution per source — the sequence-length
+    profile a training pipeline reads before choosing pack/truncate
+    budgets. Composes token_count (one projection) with the
+    range-partitioned exact_percentiles; quantile_cont-identical."""
+    from kafka_streams_plumber_spark.operators.stats import exact_percentiles
+
+    d = load_tables(spark, sf_dir)["documents"]
+    lengths = d.select("source", TX.token_count("text").alias("n"))
+    return exact_percentiles(
+        lengths, "source", "n",
+        {"p50_tokens": 0.5, "p90_tokens": 0.9, "p99_tokens": 0.99},
+    )
+
+
+@query(
     "q_quantize",
     """
     WITH e AS (SELECT vec_id,
