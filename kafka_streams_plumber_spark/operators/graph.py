@@ -86,19 +86,30 @@ def dedup_clusters(
     *,
     src: str = "a_id",
     dst: str = "b_id",
+    broadcast_threshold: int | None = 5_000_000,
 ) -> DataFrame:
     """Assign every document a cluster id (min doc id of its
     near-duplicate component; singletons cluster with themselves) and a
     keep flag (True on the canonical representative).
 
-    The components frame is tiny relative to the corpus (only docs that
-    appear in some pair), so the join back broadcasts — the corpus never
-    shuffles."""
-    comp = connected_components(pairs, src, dst)
+    The components frame is O(docs that appear in some near-dup pair) —
+    NOT an invariantly tiny set: at web-crawl dup rates (30-50%) it is a
+    large fraction of the corpus, and force-broadcasting it would OOM the
+    driver. So the broadcast hint is applied only when the component
+    count (a cheap count over an already-checkpointed frame) is under
+    ``broadcast_threshold`` rows (~2 longs/row → tens of MB); otherwise
+    the join is left to AQE, which picks shuffled-hash/sort-merge on the
+    (id, component) pairs — still only 16 bytes/row of shuffle.
+    Pass ``broadcast_threshold=None`` to always defer to AQE.
+    """
+    comp = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    if broadcast_threshold is not None:
+        # comp is localCheckpoint'ed by connected_components, so this
+        # count reuses materialized blocks rather than recomputing.
+        if comp.count() <= broadcast_threshold:
+            comp = F.broadcast(comp)
     out = (
-        docs.join(
-            F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
-        )
+        docs.join(comp, id_col, "left")
         .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
         .drop("component")
     )

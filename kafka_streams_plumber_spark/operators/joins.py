@@ -17,6 +17,8 @@ blow-up the optimizer cannot save at 100 TB.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,25 +103,74 @@ def range_join(
     left_ts: str,
     right_start: str,
     right_end: str,
-    bucket: Column | None = None,
+    bucket: float | int | Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Interval join: left rows matched to right intervals
     [right_start, right_end) with equal keys.
 
-    Without help Spark plans a key-equi join plus a post-filter, which is
-    fine when keys are selective. When they aren't (few keys, many
-    intervals), pass ``bucket`` — a Column expression mapping a timestamp
-    to a coarse bucket id (e.g. ``F.window``-style epoch-div) — and the
-    intervals are exploded over their covered buckets so the join key
-    becomes (key, bucket): the classic bucketed range join that keeps the
-    shuffle equi-keyed at scale.
+    Without ``bucket`` Spark plans a key-equi join plus a range
+    post-filter — fine when keys are selective, or when the interval side
+    is a small broadcast dim (a BroadcastNestedLoopJoin over a handful of
+    rows is the cheapest possible plan). When keys are NOT selective and
+    the interval side is large, that degenerates into a near-cross join,
+    so pass ``bucket``:
+
+    - a number: bucket width in the timestamp's units
+      (``bucket_id = floor(ts / bucket)``), or
+    - a callable ``Column -> Column`` mapping a timestamp to a coarse
+      bucket id (for non-numeric timestamps).
+
+    Each right interval is exploded over ``sequence(bucket_id(start),
+    bucket_id(end))`` and the join key becomes ``(*keys, bucket_id)`` —
+    the classic bucketed range join: the shuffle stays equi-keyed (sort-
+    merge / shuffled-hash, never a nested-loop), the range condition runs
+    as a post-filter, and each matching pair meets in exactly one bucket
+    (the left row's), so no dedup is needed. Pick ``bucket`` near the
+    median interval length: much smaller multiplies the explode factor,
+    much larger degrades toward the unbucketed join within each bucket.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
-    cond = [left[k] == right[k] for k in keys] + [
-        left[left_ts] >= right[right_start],
-        left[left_ts] < right[right_end],
-    ]
+
+    if bucket is None:
+        cond = [left[k] == right[k] for k in keys] + [
+            left[left_ts] >= right[right_start],
+            left[left_ts] < right[right_end],
+        ]
+        out_cond = cond[0]
+        for c in cond[1:]:
+            out_cond = out_cond & c
+        return left.join(right, out_cond)
+
+    if callable(bucket):
+        bucketize = bucket
+    else:
+        width = bucket
+
+        def bucketize(c: Column) -> Column:
+            return F.floor(c / F.lit(width))
+
+    lb = left.withColumn("_rj_b", bucketize(F.col(left_ts)).cast("long"))
+    # end bucket uses the inclusive bucket of right_end: with an exclusive
+    # end this can over-cover by one empty bucket, which the post-filter
+    # discards — cheaper than special-casing exact boundary alignment.
+    rb = right.withColumn(
+        "_rj_b",
+        F.explode(
+            F.sequence(
+                bucketize(F.col(right_start)).cast("long"),
+                bucketize(F.col(right_end)).cast("long"),
+            )
+        ),
+    )
+    la, ra = lb.alias("_rj_l"), rb.alias("_rj_r")
+    cond = [F.col(f"_rj_l.{k}") == F.col(f"_rj_r.{k}") for k in keys]
+    cond.append(F.col("_rj_l._rj_b") == F.col("_rj_r._rj_b"))
+    cond.append(F.col(f"_rj_l.{left_ts}") >= F.col(f"_rj_r.{right_start}"))
+    cond.append(F.col(f"_rj_l.{left_ts}") < F.col(f"_rj_r.{right_end}"))
     out_cond = cond[0]
     for c in cond[1:]:
         out_cond = out_cond & c
-    return left.join(right, out_cond)
+    return la.join(ra, out_cond).select(
+        *[F.col(f"_rj_l.{c}") for c in left.columns],
+        *[F.col(f"_rj_r.{c}") for c in right.columns],
+    )

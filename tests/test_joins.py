@@ -89,3 +89,65 @@ def test_range_join_interval_membership(spark):
         ).collect()
     }
     assert got == {("x", "lo"), ("y", "hi")}
+
+
+def _bucket_frames(spark, n_left=200, n_right=40):
+    left = spark.createDataFrame(
+        [(i % 3, i * 7 % 1000, f"l{i}") for i in range(n_left)],
+        "k int, t int, tag string",
+    )
+    # overlapping intervals of varied width, some spanning many buckets
+    right = spark.createDataFrame(
+        [
+            (i % 3, (i * 23) % 900, (i * 23) % 900 + 10 + (i % 5) * 40, f"r{i}")
+            for i in range(n_right)
+        ],
+        "k int, s int, e int, name string",
+    )
+    return left, right
+
+
+def test_range_join_bucketed_matches_unbucketed(spark):
+    """The bucketed path must produce exactly the unbucketed result set
+    (no dropped pairs at bucket boundaries, no duplicated pairs from the
+    interval explode) for width choices below/at/above interval length."""
+    left, right = _bucket_frames(spark)
+    kw = dict(on="k", left_ts="t", right_start="s", right_end="e")
+    expect = {(r["tag"], r["name"]) for r in range_join(left, right, **kw).collect()}
+    assert expect  # non-trivial fixture
+    for width in (7, 50, 500):
+        got = {
+            (r["tag"], r["name"])
+            for r in range_join(left, right, bucket=width, **kw).collect()
+        }
+        assert got == expect, f"width={width}"
+
+
+def test_range_join_bucketed_callable_and_keyless(spark):
+    left, right = _bucket_frames(spark)
+    kw = dict(on=None, left_ts="t", right_start="s", right_end="e")
+    expect = {(r["tag"], r["name"]) for r in range_join(left, right, **kw).collect()}
+    got = {
+        (r["tag"], r["name"])
+        for r in range_join(
+            left, right, bucket=lambda c: F.floor(c / 64), **kw
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_range_join_bucketed_plans_equi_join(spark):
+    """With bucket given the join must be equi-keyed (sort-merge or
+    shuffled-hash or broadcast-hash) — never a BroadcastNestedLoopJoin /
+    CartesianProduct, which is the scale-killer the bucketing exists to
+    avoid."""
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    left, right = _bucket_frames(spark)
+    df = range_join(
+        left, right, on=None, left_ts="t", right_start="s", right_end="e",
+        bucket=50,
+    )
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

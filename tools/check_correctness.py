@@ -65,7 +65,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--queries", default=None)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write per-query results (driver CORRECTNESS format) to this path",
+    )
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -81,36 +87,52 @@ def main():
     failures = 0
     for name in names:
         t0 = time.time()
+        rec = results[name] = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         try:
             sdf = qs[name](spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            rec["err"] = f"spark: {type(e).__name__}: {e}"
             failures += 1
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
+            rec["err"] = "no_oracle"
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            rec["oracle_rows"] = len(orows)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {e}"
             failures += 1
             continue
-        if sorted(scols) != sorted(ocols):
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if not rec["schema_match"]:
             print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(ocols)}")
             failures += 1
             continue
-        if len(srows) != len(orows):
+        rec["rows_match"] = len(srows) == len(orows)
+        if not rec["rows_match"]:
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
             failures += 1
             continue
         s = rowset(scols, srows)
         o = rowset(ocols, orows)
-        if s != o:
+        rec["hash_match"] = s == o
+        if not rec["hash_match"]:
             diff = next(
                 (i for i, (a, b) in enumerate(zip(s, o)) if a != b), None
             )
@@ -123,6 +145,12 @@ def main():
         print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(names) - failures}/{len(names)} queries pass")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
