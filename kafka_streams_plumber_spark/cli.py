@@ -81,10 +81,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--brokers", default=None, help="override bootstrap servers")
     ap.add_argument("--checkpoint", default="/tmp/ksps-checkpoint")
     ap.add_argument("--confluent-framing", action="store_true")
+    ap.add_argument(
+        "--schema-registry",
+        default=None,
+        help="Schema Registry URL for plain `avro` types "
+        "(or schema.registry.url in -p properties)",
+    )
     args = ap.parse_args(argv)
 
     props = _load_properties(args.properties) if args.properties else {}
     brokers = args.brokers or props.get("bootstrap.servers", "localhost:9092")
+    registry_url = args.schema_registry or props.get("schema.registry.url")
+    registry = None
+    if registry_url:
+        from kafka_streams_plumber_spark.sources.registry import (
+            HttpSchemaRegistryClient,
+        )
+
+        registry = HttpSchemaRegistryClient(registry_url)
 
     ik, iv = _parse_kv_types(args.source_types)
     ok, ov = _parse_kv_types(args.sink_types)
@@ -116,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
         fixtures=fixtures,
         expectations=expectations,
         kafka_options={k[len("kafka."):]: v for k, v in props.items() if k.startswith("kafka.")},
+        registry=registry,
     )
     try:
         job.run(dry_run=args.dry_run)

@@ -30,11 +30,14 @@ def kafka_source(
     starting_offsets: str = "earliest",
     options: dict[str, str] | None = None,
     streaming: bool = True,
+    registry=None,
 ) -> DataFrame:
     """Subscribe to one topic and decode to a typed (key, value) frame.
 
     ``streaming=False`` gives the batch variant (spark.read) over the
     same decode logic — used by the golden harness and backfills.
+    ``registry`` (a SchemaRegistryClient) enables per-record writer-
+    schema resolution for registry-resolved avro types.
     """
     reader = spark.readStream if streaming else spark.read
     r = (
@@ -47,10 +50,18 @@ def kafka_source(
         r = r.option(k, v)
     raw = r.load()
     return raw.select(
-        decode(F.col("key"), key_type, confluent_framing=confluent_framing).alias("key"),
-        decode(F.col("value"), value_type, confluent_framing=confluent_framing).alias(
-            "value"
-        ),
+        decode(
+            F.col("key"),
+            key_type,
+            confluent_framing=confluent_framing,
+            registry=registry,
+        ).alias("key"),
+        decode(
+            F.col("value"),
+            value_type,
+            confluent_framing=confluent_framing,
+            registry=registry,
+        ).alias("value"),
     )
 
 
@@ -63,7 +74,7 @@ def kafka_sink(
     value_type: WireType,
     checkpoint: str,
     confluent_framing: bool = False,
-    schema_id: int = 0,
+    schema_id: int | None = None,
     options: dict[str, str] | None = None,
     trigger: str | None = None,
 ):

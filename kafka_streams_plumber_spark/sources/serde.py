@@ -29,6 +29,8 @@ _I64_MAX = (1 << 63) - 1
 class WireType:
     kind: str  # long | string | avro | void
     avsc: str | None = None  # schema text for avro
+    schema_id: int | None = None  # registry id (framing header on encode)
+    registry_resolved: bool = False  # plain `avro`, resolved via registry
 
     @property
     def model(self):
@@ -37,14 +39,15 @@ class WireType:
 
 def parse_type(spec: str) -> WireType:
     """'long' | 'string' | 'void' | 'avro=file.avsc' | 'avro'
-    (TypeConversions.scala:42-51). Plain 'avro' (registry-resolved
-    schema) is only valid on the input side with framing+registry;
-    prefer explicit .avsc."""
+    (TypeConversions.scala:42-51). Plain 'avro' is registry-resolved:
+    call :func:`resolve_registry_type` with a SchemaRegistryClient and
+    the topic subject before building the plan (the reference does the
+    same resolution inside GenericAvroSerializer.scala:9-73)."""
     spec = spec.strip()
     if spec in ("long", "string", "void"):
         return WireType(spec)
     if spec == "avro":
-        return WireType("avro")
+        return WireType("avro", registry_resolved=True)
     if spec.startswith("avro="):
         path = spec[len("avro=") :]
         with open(path) as f:
@@ -52,7 +55,32 @@ def parse_type(spec: str) -> WireType:
     raise ValueError(f"unknown wire type {spec!r}")
 
 
-def decode(col: Column, wt: WireType, *, confluent_framing: bool = False) -> Column:
+def resolve_registry_type(wt: WireType, registry, subject: str) -> WireType:
+    """Pin a plain ``avro`` wire type to the subject's latest registered
+    schema (Confluent TopicNameStrategy subjects: ``{topic}-value`` /
+    ``{topic}-key``). Driver-side, once per job — the resolved schema
+    types the DataFrame column; per-record WRITER schemas are still
+    resolved by embedded id on the decode path (see
+    :func:`registry_decode`). No-op for non-avro / already-pinned types.
+    """
+    if wt.kind != "avro" or wt.avsc is not None:
+        return wt
+    if registry is None:
+        raise ValueError(
+            "avro without =file.avsc needs a schema registry; "
+            "pass avro=file.avsc or configure schema.registry.url"
+        )
+    sid, text = registry.latest_schema(subject)
+    return WireType("avro", text, schema_id=sid, registry_resolved=True)
+
+
+def decode(
+    col: Column,
+    wt: WireType,
+    *,
+    confluent_framing: bool = False,
+    registry=None,
+) -> Column:
     """binary column -> typed column."""
     if wt.kind == "void":
         return F.lit(None)
@@ -70,10 +98,14 @@ def decode(col: Column, wt: WireType, *, confluent_framing: bool = False) -> Col
         if wt.avsc is None:
             raise ValueError(
                 "avro without =file.avsc needs a schema registry; "
-                "pass avro=file.avsc"
+                "pass avro=file.avsc or resolve_registry_type() first"
             )
+        if wt.registry_resolved and registry is not None:
+            # registry-encoded topics may be heterogeneous (old writer
+            # ids still in flight) -> per-record writer resolution
+            return registry_decode(col, wt, registry)
         payload = col
-        if confluent_framing:
+        if confluent_framing or wt.registry_resolved:
             # Confluent wire format: magic byte 0x00 + 4-byte schema id
             # (GenericAvroSerializer.scala:30-40) — strip the 5-byte header
             payload = F.expr(f"substring({_name(col)}, 6, length({_name(col)}) - 5)")
@@ -86,7 +118,7 @@ def decode(col: Column, wt: WireType, *, confluent_framing: bool = False) -> Col
 
 
 def encode(col: Column, wt: WireType, *, confluent_framing: bool = False,
-           schema_id: int = 0) -> Column:
+           schema_id: int | None = None) -> Column:
     """typed column -> binary column for the Kafka sink."""
     if wt.kind == "void":
         return F.lit(None).cast("binary")
@@ -98,15 +130,21 @@ def encode(col: Column, wt: WireType, *, confluent_framing: bool = False,
         return F.unhex(F.lpad(F.hex(col.cast("long")), 16, "0"))
     if wt.kind == "avro":
         if wt.avsc is None:
-            raise ValueError("avro output needs an explicit schema (avro=file.avsc)")
+            raise ValueError(
+                "avro output needs a schema: avro=file.avsc, or plain "
+                "avro resolved through resolve_registry_type()"
+            )
         if _jvm_avro_available():
             from pyspark.sql.avro.functions import to_avro
 
             body = to_avro(col, wt.avsc)
         else:
             body = _py_avro_encode(col, wt)
-        if confluent_framing:
-            header = F.unhex(F.lpad(F.hex(F.lit(schema_id)), 8, "0"))
+        if confluent_framing or wt.registry_resolved:
+            # registry-resolved types frame with their registered id
+            # (GenericAvroSerializer.scala:30-40)
+            sid = schema_id if schema_id is not None else (wt.schema_id or 0)
+            header = F.unhex(F.lpad(F.hex(F.lit(sid)), 8, "0"))
             return F.concat(F.unhex(F.lit("00")), header, body)
         return body
     raise AssertionError(wt.kind)
@@ -170,6 +208,73 @@ def _py_avro_decode(payload: Column, wt: WireType) -> Column:
         return None if b is None else decode_record(b, _model)
 
     return F.udf(_dec, out_type)(payload)
+
+
+def registry_decode(col: Column, wt: WireType, registry) -> Column:
+    """Decode Confluent-framed avro with PER-RECORD writer-schema
+    resolution (GenericAvroSerializer.scala:9-73 semantics): read the
+    4-byte embedded id, fetch that writer schema through ``registry``
+    (cached per executor — one round-trip per distinct id, not per row),
+    decode with the WRITER schema, then reconcile the result onto the
+    pinned READER schema (``wt``) by field name: missing fields null,
+    unknown fields dropped.
+
+    Row-at-a-time UDF by necessity — ``from_avro`` has no per-record
+    schema hook. Use it only for heterogeneous topics; homogeneous topics
+    take the JVM path in :func:`decode`.
+    """
+    from kafka_streams_plumber_spark.operators.conform import Array, Record, Union
+    from kafka_streams_plumber_spark.sources.avro_codec import decode_record
+
+    reader = wt.model
+    out_type = spark_type(reader)
+
+    def _reconcile(v, wmodel, rmodel):
+        if v is None:
+            return None
+        if isinstance(rmodel, Record):
+            wmap = wmodel.field_map() if isinstance(wmodel, Record) else {}
+            src = v if isinstance(v, dict) else {}
+            return {
+                f.name: _reconcile(
+                    src.get(f.name),
+                    wmap[f.name].type if f.name in wmap else None,
+                    f.type,
+                )
+                for f in rmodel.fields
+            }
+        if isinstance(rmodel, Array):
+            welem = wmodel.element if isinstance(wmodel, Array) else None
+            return [_reconcile(x, welem, rmodel.element) for x in v]
+        if isinstance(rmodel, Union):
+            # unions reconcile against the first structured branch; scalar
+            # branches pass through untouched
+            for b in rmodel.non_null:
+                if isinstance(b, (Record, Array)):
+                    wb = None
+                    if isinstance(wmodel, Union):
+                        wb = next(
+                            (x for x in wmodel.non_null if type(x) is type(b)), None
+                        )
+                    return _reconcile(v, wb or wmodel, b)
+            return v
+        return v
+
+    def _dec(b, _registry=registry, _reader=reader, _cache={}):  # noqa: B006
+        if b is None:
+            return None
+        b = bytes(b)
+        if len(b) < 5 or b[0] != 0:
+            raise ValueError("not a Confluent-framed avro message")
+        sid = int.from_bytes(b[1:5], "big")
+        entry = _cache.get(sid)
+        if entry is None:
+            wmodel = parse_avsc(_registry.schema_by_id(sid))
+            entry = _cache[sid] = wmodel
+        rec = decode_record(b[5:], entry)
+        return _reconcile(rec, entry, _reader)
+
+    return F.udf(_dec, out_type)(col)
 
 
 def _py_avro_encode(col: Column, wt: WireType) -> Column:

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_plumber_spark.operators.conform import conform
 from kafka_streams_plumber_spark.operators.pipeline import Pipeline
 from kafka_streams_plumber_spark.sources.kafka import kafka_sink, kafka_source
-from kafka_streams_plumber_spark.sources.serde import WireType, spark_type_of
+from kafka_streams_plumber_spark.sources.serde import (
+    WireType,
+    resolve_registry_type,
+    spark_type_of,
+)
 from kafka_streams_plumber_spark.testing.verify import verify
 
 
@@ -41,6 +45,26 @@ class PlumberJob:
     fixtures: list[tuple[Any, Any]] = field(default_factory=list)
     expectations: list[tuple[Any, Any]] = field(default_factory=list)
     kafka_options: dict[str, str] = field(default_factory=dict)
+    registry: Any = None  # SchemaRegistryClient for plain `avro` types
+
+    def __post_init__(self):
+        # Pin plain `avro` wire types to the registry's latest schema per
+        # Confluent TopicNameStrategy ({topic}-key / {topic}-value) —
+        # once, driver-side, before any plan is built. Raises if a plain
+        # avro type has no registry to resolve against (the reference
+        # fails the same way, GenericAvroSerializer.scala:9-73).
+        self.input_key = resolve_registry_type(
+            self.input_key, self.registry, f"{self.source_topic}-key"
+        )
+        self.input_value = resolve_registry_type(
+            self.input_value, self.registry, f"{self.source_topic}-value"
+        )
+        self.output_key = resolve_registry_type(
+            self.output_key, self.registry, f"{self.sink_topic}-key"
+        )
+        self.output_value = resolve_registry_type(
+            self.output_value, self.registry, f"{self.sink_topic}-value"
+        )
 
     def _transformed(self, df: DataFrame) -> DataFrame:
         out = self.pipeline(df)
@@ -79,6 +103,7 @@ class PlumberJob:
             value_type=self.input_value,
             confluent_framing=self.confluent_framing,
             options=self.kafka_options,
+            registry=self.registry,
         )
         out = self._transformed(src)
         query = kafka_sink(
