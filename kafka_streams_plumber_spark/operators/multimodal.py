@@ -60,13 +60,23 @@ def pack_media(
 
 
 def repartition_by_media_size(
-    df: DataFrame, *, target_partition_bytes: int = 256 << 20, size_col: str = "media.media_size_bytes"
+    df: DataFrame,
+    *,
+    target_partition_bytes: int = 256 << 20,
+    size_col: str = "media.media_size_bytes",
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Right-size partitions for decode: media items are orders of
     magnitude larger than rows, so row-count partitioning starves or
-    OOMs executors. Uses the total payload estimate / target bytes."""
-    total = df.select(F.sum(F.col(size_col)).alias("b")).first()["b"] or 0
-    n = max(1, int(total / target_partition_bytes) + 1)
+    OOMs executors. Uses the total payload estimate / target bytes.
+
+    Batch-only when ``total_bytes`` is None: sizing runs a driver-side
+    aggregate (one count-style job), which streaming plans cannot do —
+    pass an explicit ``total_bytes`` estimate (per micro-batch) there.
+    """
+    if total_bytes is None:
+        total_bytes = df.select(F.sum(F.col(size_col)).alias("b")).first()["b"] or 0
+    n = max(1, int(total_bytes / target_partition_bytes) + 1)
     return df.repartition(n)
 
 
@@ -102,9 +112,11 @@ def decode_and_featurize_images(
         import pandas as pd
 
         for pdf in batches:
+            # itertuples over the two needed columns — ~10x lighter than
+            # iterrows (no per-row Series); the per-item work (hash or,
+            # on a real cluster, the codec call) still dominates.
             ids, widths, heights, embs = [], [], [], []
-            for _, row in pdf.iterrows():
-                media = row[media_col]
+            for rid, media in zip(pdf[id_col], pdf[media_col]):
                 data = media["data"] if media is not None else None
                 if data is None:
                     continue
@@ -118,7 +130,7 @@ def decode_and_featurize_images(
                 # derived from a sha256 of the bytes, so tests are stable
                 h = hashlib.sha256(bytes(data)).digest()
                 rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-                ids.append(row[id_col])
+                ids.append(rid)
                 widths.append(64 + h[8] % 64)
                 heights.append(64 + h[9] % 64)
                 v = rng.standard_normal(embedding_dim)
@@ -163,8 +175,7 @@ def sample_video_frames(
 
         for pdf in batches:
             out_ids, out_idx, out_frames = [], [], []
-            for _, row in pdf.iterrows():
-                media = row[media_col]
+            for rid, media in zip(pdf[id_col], pdf[media_col]):
                 if media is None or media["data"] is None:
                     continue
                 if fake != "deterministic":
@@ -174,7 +185,7 @@ def sample_video_frames(
                 n_frames = max(1, int(dur // every_ms))
                 seed = hashlib.sha256(bytes(media["data"])).digest()
                 for i in range(n_frames):
-                    out_ids.append(row[id_col])
+                    out_ids.append(rid)
                     out_idx.append(i)
                     out_frames.append(seed + i.to_bytes(4, "big"))
             yield pd.DataFrame(
@@ -221,8 +232,7 @@ def resize_images(
 
         for pdf in batches:
             ids, ws, hs, outs = [], [], [], []
-            for _, row in pdf.iterrows():
-                media = row[media_col]
+            for rid, media in zip(pdf[id_col], pdf[media_col]):
                 if media is None or media["data"] is None:
                     continue
                 w = media["width"] or max_side
@@ -232,7 +242,7 @@ def resize_images(
                 if fake != "deterministic":
                     # REAL IMPLEMENTATION: PIL Image.resize((nw, nh))
                     raise NotImplementedError("image resize requires PIL")
-                ids.append(row[id_col])
+                ids.append(rid)
                 ws.append(nw)
                 hs.append(nh)
                 outs.append(
@@ -282,8 +292,7 @@ def extract_audio_features(
 
         for pdf in batches:
             ids, durs, srs, louds, mfccs = [], [], [], [], []
-            for _, row in pdf.iterrows():
-                media = row[media_col]
+            for rid, media in zip(pdf[id_col], pdf[media_col]):
                 if media is None or media["data"] is None:
                     continue
                 if fake != "deterministic":
@@ -291,7 +300,7 @@ def extract_audio_features(
                     raise NotImplementedError("audio decode requires librosa/soundfile")
                 h = hashlib.sha256(bytes(media["data"])).digest()
                 rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-                ids.append(row[id_col])
+                ids.append(rid)
                 durs.append(media["duration_ms"] or int.from_bytes(h[8:10], "big"))
                 srs.append(16000)
                 louds.append(float(h[10]) / 255.0)

@@ -197,8 +197,13 @@ def _jvm_avro_available() -> bool:
 
 def _py_avro_decode(payload: Column, wt: WireType) -> Column:
     """Fallback when the JVM spark-avro module is absent (this container):
-    spec-correct pure-Python codec (sources/avro_codec.py) as a
-    row-at-a-time UDF. Prefer the JVM path on real clusters."""
+    spec-correct pure-Python codec (sources/avro_codec.py). Arrow-batched
+    (useArrow): the per-record decode is inherently Python, but batches
+    move over Arrow instead of per-row pickle — the 10-100x serde
+    overhead is gone. (A struct-returning pandas_udf cannot represent a
+    NULL struct row, which a Kafka tombstone requires, so the Arrow
+    scalar UDF is the correct vectorization here.) Prefer the JVM
+    spark-avro path on real clusters."""
     from kafka_streams_plumber_spark.sources.avro_codec import decode_record
 
     model = wt.model
@@ -207,7 +212,7 @@ def _py_avro_decode(payload: Column, wt: WireType) -> Column:
     def _dec(b, _model=model):
         return None if b is None else decode_record(b, _model)
 
-    return F.udf(_dec, out_type)(payload)
+    return _arrow_udf(_dec, out_type)(payload)
 
 
 def registry_decode(col: Column, wt: WireType, registry) -> Column:
@@ -219,9 +224,11 @@ def registry_decode(col: Column, wt: WireType, registry) -> Column:
     pinned READER schema (``wt``) by field name: missing fields null,
     unknown fields dropped.
 
-    Row-at-a-time UDF by necessity — ``from_avro`` has no per-record
-    schema hook. Use it only for heterogeneous topics; homogeneous topics
-    take the JVM path in :func:`decode`.
+    Python decode by necessity — ``from_avro`` has no per-record schema
+    hook — but Arrow-batched (see :func:`_arrow_udf`), so only the codec
+    call itself is per-record, not the serialization. Use it only for
+    heterogeneous topics; homogeneous topics take the JVM path in
+    :func:`decode`.
     """
     from kafka_streams_plumber_spark.operators.conform import Array, Record, Union
     from kafka_streams_plumber_spark.sources.avro_codec import decode_record
@@ -274,7 +281,7 @@ def registry_decode(col: Column, wt: WireType, registry) -> Column:
         rec = decode_record(b[5:], entry)
         return _reconcile(rec, entry, _reader)
 
-    return F.udf(_dec, out_type)(col)
+    return _arrow_udf(_dec, out_type)(col)
 
 
 def _py_avro_encode(col: Column, wt: WireType) -> Column:
@@ -285,6 +292,18 @@ def _py_avro_encode(col: Column, wt: WireType) -> Column:
     model = wt.model
 
     def _enc(v, _model=model):
+        # struct input arrives as Row (pickled path) or dict (Arrow
+        # path); encode_record accepts both
         return None if v is None else encode_record(v, _model)
 
-    return F.udf(_enc, T.BinaryType())(col)
+    return _arrow_udf(_enc, T.BinaryType())(col)
+
+
+def _arrow_udf(fn, out_type):
+    """F.udf with Arrow batch transfer when this build supports it
+    (Spark >= 3.5), plain pickled UDF otherwise. Identical null/struct
+    semantics either way — useArrow changes only the wire format."""
+    try:
+        return F.udf(fn, out_type, useArrow=True)
+    except TypeError:
+        return F.udf(fn, out_type)
