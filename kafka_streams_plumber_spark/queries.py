@@ -1293,6 +1293,54 @@ def q_asof(spark, sf_dir):
 
 
 @query(
+    "q_interval",
+    """
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+           r.event_id AS r_event_id, epoch_ms(r.ts) AS r_ts_ms
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') l
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 12 HOUR
+     AND r.ts <= l.ts
+    """,
+)
+def q_interval(spark, sf_dir):
+    """Event-time interval join (streaming/joins.py:stream_interval_join,
+    batch mode): every purchase correlated with the user's clicks in the
+    preceding 12 hours. The identical call on streaming frames plans the
+    watermarked stream-stream join (state bounded by interval+watermark);
+    here both sides are batch so it is a plain equi+range join shuffled
+    on user_id — never a nested loop."""
+    from kafka_streams_plumber_spark.streaming.joins import stream_interval_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.filter(e["event_type"] == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(e["event_type"] == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = stream_interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower="12 hours",
+        upper="0 seconds",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "r_event_id",
+        F.unix_millis(F.col("r_ts")).alias("r_ts_ms"),
+    )
+
+
+@query(
     "q_cube",
     """
     SELECT l_returnflag, l_linestatus,

@@ -121,3 +121,34 @@ def test_q2_argmin_is_single_window_shuffle(spark):
 
     df = QUERIES["q2_mincost"](spark, SF)
     assert plan_string(df).count("Window") >= 1
+
+
+def test_dedup_minhash_never_nested_loop(spark):
+    """The LSH pipeline's 100 TB claim: every join is equi-keyed (band
+    buckets / candidate ids) — a regression to a nested-loop or
+    cartesian plan means the banding broke."""
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    plan = plan_string(QUERIES["dedup_minhash"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """decontaminate's scale contract: the benchmark gram set broadcasts,
+    the corpus is never shuffled for the join."""
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    plan = plan_string(QUERIES["q_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_shuffled_equi_join(spark):
+    """q_interval (stream_interval_join batch mode): key-equi join with a
+    range post-filter — nested-loop would be the scale-killer."""
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    plan = plan_string(QUERIES["q_interval"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
