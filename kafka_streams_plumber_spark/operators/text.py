@@ -291,6 +291,193 @@ def chunk_tokens(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_tokens: int = 16,
+) -> DataFrame:
+    """Duplicated-span removal (Dolma/CCNet-style paragraph dedup, public
+    heuristic): chop each document into non-overlapping ``span_tokens``-word
+    spans, keep only the FIRST corpus-wide occurrence of each distinct
+    span (first = lowest ``(doc_id, span_idx)``), and reassemble the
+    surviving spans per document in original order. Catches boilerplate
+    (headers, licence blocks, navigation chrome) that whole-document
+    dedup misses.
+
+    Returns (id_col, clean_text, n_spans, n_removed).
+
+    Scale design: spans are keyed by their xxhash64 (8-byte shuffle keys,
+    never the span strings); the winner per span is a partial-aggregatable
+    ``min(struct(doc_id, span_idx))`` — map-side combine collapses
+    duplicates before the shuffle, so a span duplicated a million times
+    ships once per input partition, not a million times (no hot-key
+    window). One shuffle on span hash for the winner agg, a same-key
+    join back (AQE reuses the exchange), one shuffle on doc id to
+    reassemble. Collisions are the usual ~n²/2⁶⁴ non-issue.
+    """
+    def spans_of(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(
+            F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(span_tokens)
+        )
+        return F.transform(
+            starts, lambda s: F.array_join(F.slice(toks, s + 1, span_tokens), " ")
+        )
+
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(let_(tokens(F.col(text_col)), spans_of)).alias(
+            "span_idx", "span"
+        ),
+    ).withColumn("span_h", F.xxhash64("span"))
+
+    winners = spans.groupBy("span_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("w")
+    )
+    kept = (
+        spans.join(winners, "span_h")
+        .where(
+            (F.col(f"w.{id_col}") == F.col(id_col))
+            & (F.col("w.span_idx") == F.col("span_idx"))
+        )
+        .select(id_col, "span_idx", "span")
+    )
+    total = df.select(
+        F.col(id_col),
+        F.size(
+            let_(tokens(F.col(text_col)), spans_of)
+        ).alias("n_spans"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        total.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_spans"),
+            (F.col("n_spans") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
+def char_bigram_logprobs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus character-bigram language model (pass 1 of the perplexity-
+    proxy quality score): normalize text to ``[a-z ]`` (everything else →
+    ``_``), explode bigrams, and return ``(bigram, logp)`` where ``logp``
+    is the corpus-wide log relative frequency.
+
+    The model is at most 28² ≈ 784 rows regardless of corpus size — a
+    classic broadcast-side artifact. The count is partial-aggregatable
+    (map-side combine does almost all the work); the grand total joins
+    back as a scalar-row broadcast, not a driver collect.
+    """
+    norm = _norm_az(F.col(text_col))
+    grams = df.select(
+        F.explode(
+            let_(
+                norm,
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(1))),
+                    lambda i: s.substr(i, F.lit(2)),
+                ),
+            )
+        ).alias("bigram")
+    ).where(F.length("bigram") == 2)
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bigram", F.log(F.col("c") / F.col("t")).alias("logp")
+    )
+
+
+def _norm_az(c: Column) -> Column:
+    """Lowercase and collapse everything outside [a-z ] to '_' — the
+    bounded alphabet that keeps the bigram vocabulary ≤ 28²."""
+    return F.regexp_replace(F.lower(c), "[^a-z ]", "_")
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality score (pass 2): mean corpus-model log
+    probability of each document's character bigrams. Low (very
+    negative) = out-of-distribution text — the classic cheap stand-in
+    for a KenLM perplexity filter (CCNet, public heuristic).
+
+    Returns (id_col, n_bigrams, avg_logp). The model side is ≤784 rows →
+    broadcast hash join; the only shuffle is the per-document re-agg,
+    keyed by id.
+    """
+    norm = _norm_az(F.col(text_col))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            let_(
+                norm,
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(1))),
+                    lambda i: s.substr(i, F.lit(2)),
+                ),
+            )
+        ).alias("bigram"),
+    ).where(F.length("bigram") == 2)
+    scored = grams.join(F.broadcast(model), "bigram", "left")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+
+
+def winnow_fingerprints(
+    col: Column | str, *, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm, public): hash every character ``k``-gram of the
+    whitespace-stripped lowercased text, slide a ``window`` over the hash
+    sequence, keep each window's minimum. Guarantees any shared substring
+    of length ≥ ``k + window - 1`` yields at least one shared
+    fingerprint — the standard local-similarity / plagiarism signature.
+
+    Hashes are 8-hex-char md5 prefixes compared lexicographically (fixed
+    width ⇒ string order = numeric order), so an oracle can reproduce
+    them byte-for-byte. Returns array<string> (distinct, sorted). Pure
+    per-row projection: O(chars × window) inside codegen, no shuffle.
+    """
+    def over_hashes(hs: Column) -> Column:
+        n = F.size(hs)
+        wins = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+            lambda w: F.array_min(F.slice(hs, w, window)),
+        )
+        return F.array_sort(F.array_distinct(wins))
+
+    def over_norm(s: Column) -> Column:
+        n = F.length(s)
+        hashes = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.substring(F.md5(s.substr(i, F.lit(k))), 1, 8),
+        )
+        return let_(hashes, over_hashes)
+
+    return let_(
+        F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]", ""), over_norm
+    )
+
+
 def gopher_rules(col: Column | str) -> Column:
     """Gopher-style document quality rules (Rae et al. 2021, public
     heuristics) as one struct column — each rule a boolean, plus the

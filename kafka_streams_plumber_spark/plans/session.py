@@ -92,6 +92,11 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+#: (id(spark), sf_dir) -> (spark, tables). Holding the session ref keeps
+#: the id stable; a new session after stop() gets a fresh id -> cache miss.
+_TABLE_CACHE: dict[tuple[int, str], tuple[SparkSession, dict[str, DataFrame]]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's parquet star schema as a dict of DataFrames.
 
@@ -99,8 +104,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     free; callers should select only needed columns so ReadSchema stays
     narrow. TIMESTAMP(NANOS) columns are read via nanosAsLong and converted
     to TimestampType (microsecond truncation — same as DuckDB's read).
+
+    Memoized per (session, dir): schema inference costs a JVM round-trip
+    per table, and query entry points each call this — a bench run would
+    otherwise pay hundreds of redundant parquet-footer reads. DataFrames
+    are immutable plans, safe to share across queries in one session.
     """
     from pyspark.sql import functions as F
+
+    ck = (id(spark), os.path.abspath(sf_dir))
+    hit = _TABLE_CACHE.get(ck)
+    if hit is not None and hit[0] is spark:
+        return dict(hit[1])
 
     tune(spark)
     out: dict[str, DataFrame] = {}
@@ -111,4 +126,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             for c in _nanos_timestamp_cols(path):
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
             out[name] = df
-    return out
+    _TABLE_CACHE[ck] = (spark, out)
+    return dict(out)

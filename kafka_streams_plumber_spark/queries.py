@@ -2099,6 +2099,241 @@ def q_gopher(spark, sf_dir):
     return g.select("doc_id", "_g.*")
 
 
+@query(
+    "q_span_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(range(0, cast(ceil(len(toks) / 16.0) AS BIGINT))) AS span_idx,
+             unnest(list_transform(
+               range(0, cast(ceil(len(toks) / 16.0) AS BIGINT)),
+               i -> array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' ')
+             )) AS span
+      FROM t
+    ),
+    ranked AS (
+      SELECT doc_id, span_idx, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    ),
+    kept AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+             count(*) AS n_kept
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           cast(ceil(len(t.toks) / 16.0) AS BIGINT) AS n_spans,
+           cast(ceil(len(t.toks) / 16.0) AS BIGINT) - coalesce(k.n_kept, 0)
+             AS n_removed
+    FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-span removal (operators/text.py:dedup_spans) — the
+    Dolma/CCNet paragraph-dedup analog over 16-token spans: only the
+    first corpus-wide occurrence of each span survives; documents are
+    reassembled from their surviving spans. Winner selection is a
+    partial-aggregatable min on the span's xxhash64 (8-byte shuffle
+    keys, map-side combine absorbs hot spans), so no all-pairs and no
+    hot-key window at 100 TB."""
+    d = load_tables(spark, sf_dir)["documents"]
+    out = TX.dedup_spans(d, "text", "doc_id", span_tokens=16)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+@query(
+    "text_lm_score",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '_', 'g') AS s
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(length(s) - 1, 1) + 1),
+               i -> substr(s, cast(i AS INT), 2)
+             )) AS bigram
+      FROM norm
+    ),
+    g2 AS (SELECT * FROM grams WHERE length(bigram) = 2),
+    model AS (
+      SELECT bigram, ln(count(*) / (SELECT count(*) FROM g2)) AS logp
+      FROM g2 GROUP BY bigram
+    )
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
+    FROM g2 JOIN model USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark, sf_dir):
+    """Perplexity-proxy quality score (operators/text.py:
+    char_bigram_logprobs + lm_score): two-pass corpus char-bigram LM —
+    the cheap public stand-in for a KenLM perplexity filter (CCNet).
+    The model is ≤28² rows however large the corpus (broadcast side);
+    scoring is one broadcast hash join plus a per-doc re-agg."""
+    d = load_tables(spark, sf_dir)["documents"]
+    model = TX.char_bigram_logprobs(d, "text")
+    out = TX.lm_score(d, model, "text", "doc_id")
+    return out.select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"), "avg_logp"
+    )
+
+
+@query(
+    "text_winnow",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(s) - 8 + 1, 1) + 1),
+               i -> substr(md5(substr(s, cast(i AS INT), 8)), 1, 8)
+             ) AS hs
+      FROM n
+    ),
+    w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+               j -> list_aggregate(hs[j : j + 3], 'min')
+             ))) AS fps
+      FROM h
+    )
+    SELECT doc_id, cast(len(fps) AS BIGINT) AS n_fp,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM w
+    """,
+)
+def text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (operators/text.py:winnow_fingerprints;
+    Schleimer et al. SIGMOD'03, the MOSS algorithm): per-window minimum
+    of char-8-gram hashes — any shared substring ≥ 11 chars yields a
+    shared fingerprint. Contract query returns scalar summaries (count
+    + digest of the sorted set) so the gate hashes cleanly; the array
+    itself is pytest-covered. Pure projection, no shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    fps = TX.winnow_fingerprints("text", k=8, window=4)
+    return d.select(
+        "doc_id",
+        TX.let_(
+            fps,
+            lambda a: F.struct(
+                F.size(a).cast("long").alias("n_fp"),
+                F.md5(F.array_join(a, ",")).alias("fp_digest"),
+            ),
+        ).alias("_s"),
+    ).select("doc_id", "_s.n_fp", "_s.fp_digest")
+
+
+@query(
+    "q_token_entropy",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE tok <> ''),
+    c AS (SELECT source, tok, count(*) AS c FROM t2 GROUP BY source, tok)
+    SELECT source,
+           cast(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM c GROUP BY source
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Shannon entropy of the token distribution per source — the
+    corpus-diversity diagnostic (low entropy = templated/boilerplate
+    source). Identity: H = ln N − (Σ c·ln c)/N, so ONE two-level
+    aggregate computes it: count by (source, token) — partial-agg
+    collapses repeats map-side — then sum/sum·ln per source. No window,
+    no second pass over the data."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(TX.tokens(F.lower(F.col("text"))), lambda x: x != "")
+        ).alias("tok"),
+    )
+    c = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE tok <> ''),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             tf.tf * ln(n.n_docs / dfreq.df_t) AS score
+      FROM tf JOIN dfreq USING (tok), n
+    )
+    SELECT doc_id, tok, tf, round(score, 6) AS score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the classic keyword extractor.
+    Two partial-aggregatable counts (term freq by (doc, tok), doc freq
+    by tok), a tok-keyed equi-join (vocabulary-sized right side — AQE
+    broadcasts it when small), the corpus size as a scalar-row
+    broadcast, and a per-doc row_number window. The window partitions by
+    doc_id — millions of small groups at scale, never a hot key."""
+    from pyspark.sql.window import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(TX.tokens(F.lower(F.col("text"))), lambda x: x != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", F.round("score", 6).alias("score"))
+    )
+
+
 # =========================================================================
 # Remaining TPC-H plan shapes, adapted to the driver schema (no partsupp,
 # no ship modes / commit dates — each query keeps its TPC-H plan CLASS:

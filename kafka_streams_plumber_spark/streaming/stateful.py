@@ -154,3 +154,93 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+DECAY_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("rate", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+_DECAY_STATE_SCHEMA = "last_ms LONG, rate DOUBLE, n_seen LONG"
+
+
+def decayed_rate_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    weight_col: str | None = None,
+    half_life_ms: int = 60 * 60 * 1000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key exponentially-decayed counter (trending / rate tracking).
+
+    On each event the counter decays by ``0.5 ** (dt / half_life_ms)``
+    then adds the event's weight (1.0, or ``weight_col``) — the
+    streaming "how hot is this key right now" signal behind trending-
+    topic and abuse-rate detection. Not expressible with built-in
+    windowed aggregation: the decay depends on the inter-arrival gap,
+    which is per-key running state. Emits one row per (key, event) in
+    event-time order within the batch; state is one (ts, double, long)
+    triple per key, dropped after a watermark-driven timeout.
+
+    Capability tier above the reference (stateless-only, SURVEY §2.6);
+    same GroupState pattern as :func:`sessionize_stream`.
+    """
+
+    def fn(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        rows = []
+        for pdf in pdfs:
+            w = (
+                pdf[weight_col].astype(float).tolist()
+                if weight_col
+                else [1.0] * len(pdf)
+            )
+            ts = [int(t.value // 1_000_000) for t in pd.to_datetime(pdf[ts_col])]
+            rows.extend(zip(ts, w))
+        rows.sort(key=lambda r: r[0])
+
+        if state.exists:
+            last_ms, rate, n_seen = state.get
+        else:
+            last_ms, rate, n_seen = None, 0.0, 0
+
+        out = []
+        for t, w in rows:
+            if last_ms is not None:
+                rate *= 0.5 ** ((t - last_ms) / half_life_ms)
+            rate += w
+            last_ms = t
+            n_seen += 1
+            out.append((k, t, rate, n_seen))
+        state.update((last_ms, rate, n_seen))
+        state.setTimeoutTimestamp(last_ms + 10 * half_life_ms)
+        yield pd.DataFrame(
+            [
+                {"key": kk, "ts_ms": t, "rate": r, "n_seen": n}
+                for (kk, t, r, n) in out
+            ]
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DECAY_SCHEMA,
+            stateStructType=_DECAY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

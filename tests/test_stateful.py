@@ -82,3 +82,50 @@ def test_stream_sessions_match_batch_on_closed_sessions(spark, tmp_path):
         assert got[key].n_events == batch[key].n_events
         assert got[key].start_ms == batch[key].start_ms
         assert got[key].end_ms == batch[key].end_ms
+
+
+def test_decayed_rate_stream_matches_reference_loop(spark, tmp_path):
+    """The streaming decayed counter must equal the exact sequential
+    computation (decay by 0.5**(dt/half_life) then add 1) per key."""
+    from kafka_streams_plumber_spark.streaming.stateful import (
+        decayed_rate_stream,
+    )
+
+    hl = 60 * 60 * 1000
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(hours=1)),    # decays to 0.5, +1 -> 1.5
+        (1, T0 + dt.timedelta(hours=2)),    # 0.75 + 1 -> 1.75
+        (2, T0),
+        (2, T0 + dt.timedelta(hours=3)),
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _events(spark, rows).coalesce(1).write.parquet(str(src_dir / "b0"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(src_dir / "*"))
+    )
+    out = decayed_rate_stream(stream, half_life_ms=hl)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decay_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT * FROM decay_test ORDER BY key, ts_ms"
+        ).collect()
+    finally:
+        q.stop()
+
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.key, []).append(r)
+    assert [round(r.rate, 9) for r in by_key[1]] == [1.0, 1.5, 1.75]
+    assert [r.n_seen for r in by_key[1]] == [1, 2, 3]
+    assert by_key[2][1].rate == 1.0 * 0.5**3 + 1.0

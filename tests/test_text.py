@@ -59,3 +59,72 @@ def test_redact_pii_all_three_patterns(spark):
     out = df.select(TX.redact_pii("text").alias("t")).collect()[0]["t"]
     assert "a@b.com" not in out and "555" not in out and "10.0.0.1" not in out
     assert out.count("[REDACTED]") == 3
+
+
+def test_dedup_spans_removes_later_occurrence(spark):
+    # doc 1 repeats doc 0's opening span; with span_tokens=3, that span
+    # survives only in doc 0 (first occurrence by (doc_id, span_idx))
+    df = spark.createDataFrame(
+        [
+            (0, "a b c x y z"),
+            (1, "a b c q r s"),
+            (2, "q r s"),  # duplicates doc 1's second span
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.dedup_spans(df, span_tokens=3).collect()
+    }
+    assert out[0]["clean_text"] == "a b c x y z" and out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "q r s" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 1
+    assert out[2]["n_spans"] == 1
+
+
+def test_dedup_spans_intra_doc_duplicate(spark):
+    df = spark.createDataFrame(
+        [(7, "a b c a b c")], "doc_id long, text string"
+    )
+    r = TX.dedup_spans(df, span_tokens=3).collect()[0]
+    assert r["clean_text"] == "a b c" and r["n_removed"] == 1
+
+
+def test_char_bigram_lm_scores_ood_text_lower(spark):
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran off") for i in range(20)]
+        + [(99, "zzzz qqqq xxxx zzzz qqqq xxxx")],
+        "doc_id long, text string",
+    )
+    model = TX.char_bigram_logprobs(corpus)
+    scores = {
+        r["doc_id"]: r["avg_logp"]
+        for r in TX.lm_score(corpus, model).collect()
+    }
+    # the out-of-distribution doc must score strictly lower than in-dist
+    assert scores[99] < scores[0]
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # guarantee: shared substring of length >= k + window - 1 (= 11)
+    # yields at least one common fingerprint
+    shared = "commonsubstringhere"
+    df = spark.createDataFrame(
+        [(0, "aaa " + shared + " bbb"), (1, "ccc " + shared + " ddd")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        TX.winnow_fingerprints("text", k=8, window=4).alias("fps")
+    ).collect()
+    assert set(rows[0]["fps"]) & set(rows[1]["fps"])
+
+
+def test_winnow_disjoint_texts_disjoint_fps(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdefghijklmnop"), (1, "qrstuvwxyz123456")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        TX.winnow_fingerprints("text", k=8, window=4).alias("fps")
+    ).collect()
+    assert not (set(rows[0]["fps"]) & set(rows[1]["fps"]))
