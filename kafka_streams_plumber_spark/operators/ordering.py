@@ -1,0 +1,108 @@
+"""Deterministic global ordering — the "shuffle the corpus before
+training" primitive.
+
+Training pipelines need every example assigned a stable global position
+(epoch order, resumable from any step, identical across reruns and
+engines). ``rand()`` fails all three; a hash of the row id fails none:
+order by ``md5(seed || id)`` is uniform, reproducible, and replayable in
+any SQL dialect.
+
+The global rank itself is the scale problem: ``row_number() OVER
+(ORDER BY ...)`` funnels the entire table through ONE task. Here the
+rank is assembled the way ``operators.stats.exact_percentiles`` does it
+— a fully parallel range-partitioned sort, per-partition local ordinals,
+and a tiny (num_partitions rows) offset table broadcast back. No stage
+ever holds more than one partition of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shuffle_key(id_col: Column | str, *, seed: int = 42) -> Column:
+    """The deterministic sort key: lowercase-hex ``md5("<seed>:<id>")``.
+    Identical in Spark and DuckDB (both emit standard lowercase MD5), so
+    the oracle replays the exact permutation."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string")))
+
+
+def global_order(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: int = 42,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Assign every row a stable 0-based global position in a
+    pseudo-random (seeded) permutation of the table.
+
+    Scale design — no single-task window:
+
+      1. range-repartition on (key, id) + sortWithinPartitions: a fully
+         parallel distributed sort (the same machinery as
+         ``df.orderBy``, minus the final single-stream requirement);
+      2. ``monotonically_increasing_id`` gives consecutive local
+         ordinals within each sorted partition in one narrow pass;
+      3. per-partition (count, min_id) — num_partitions rows — rolls
+         into cumulative offsets with one tiny window and broadcasts
+         back: pos = offset + (local_id - local_min).
+
+    The id tiebreak makes the order total even under (astronomically
+    unlikely) md5 collisions, keeping replays bit-identical.
+    """
+    key = shuffle_key(id_col, seed=seed)
+    ranked = (
+        df.withColumn("_k", key)
+        .repartitionByRange("_k", id_col)
+        .sortWithinPartitions("_k", id_col)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    part_stats = ranked.groupBy("_pid").agg(
+        F.count("*").alias("_c"), F.min("_mid").alias("_m0")
+    )
+    # num_partitions rows total: the single-task window is O(P), not O(N)
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_stats.select(
+        "_pid",
+        "_m0",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+    )
+    out = ranked.join(F.broadcast(offsets), "_pid").withColumn(
+        pos_col, F.col("_off") + (F.col("_mid") - F.col("_m0"))
+    )
+    return out.drop("_k", "_pid", "_mid", "_m0", "_off")
+
+
+def epoch_shards(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "pos_in_shard",
+) -> DataFrame:
+    """Deal a seeded permutation round-robin across ``n_shards`` worker
+    shards: shard = pos mod n, position-in-shard = pos div n (the
+    data-parallel reader pattern: trainer rank *i* streams shard *i* in
+    order and the interleaving reconstructs the global permutation).
+
+    Pure arithmetic on top of :func:`global_order` — no per-shard
+    window, no extra shuffle, and shard sizes are balanced to ±1 row by
+    construction rather than by hash luck.
+    """
+    ordered = global_order(df, id_col, seed=seed, pos_col="_gpos")
+    return (
+        ordered.withColumn(
+            shard_col, F.pmod(F.col("_gpos"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn(pos_col, (F.col("_gpos") / n_shards).cast("long"))
+        .drop("_gpos")
+    )

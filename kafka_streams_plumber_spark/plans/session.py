@@ -117,6 +117,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if hit is not None and hit[0] is spark:
         return dict(hit[1])
 
+    from pyspark.sql import types as T
+
     tune(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -125,6 +127,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = spark.read.parquet(path)
             for c in _nanos_timestamp_cols(path):
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            # Parquet written with isAdjustedToUTC=false arrives as
+            # TIMESTAMP_NTZ, which time-arithmetic builtins (unix_millis,
+            # to_utc_timestamp) reject. Under the UTC session timeZone the
+            # cast to TimestampType reinterprets the same wall clock as
+            # UTC — exactly how DuckDB (the oracle) reads naive parquet
+            # timestamps — so downstream semantics are unchanged.
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.TimestampNTZType):
+                    df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
             out[name] = df
     _TABLE_CACHE[ck] = (spark, out)
     return dict(out)

@@ -990,6 +990,41 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(e, gap_ms=30 * 60 * 1000)
 
 
+@query(
+    "q_session_window",
+    """
+    SELECT user_id, min(ts_ms) AS start_ms,
+           max(ts_ms) + 1800000 AS end_ms, count(*) AS n_events
+    FROM (
+      SELECT user_id, ts_ms,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               -- builtin session_window merges while gap <= 30min
+               -- (break only STRICTLY past the gap), and the window end
+               -- extends one gap past the last event
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+      )
+    )
+    GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark, sf_dir):
+    """Gap sessionization via the BUILT-IN ``F.session_window``
+    (streaming/stateful.py:session_window_agg) — JVM-native session
+    merging, same operator runs on batch and stream. The oracle replays
+    the builtin's merge rule (break at gap >= 30min, end = last event +
+    gap)."""
+    from kafka_streams_plumber_spark.streaming.stateful import session_window_agg
+
+    e = load_tables(spark, sf_dir)["events"]
+    return session_window_agg(e, gap="30 minutes")
+
+
 @query("multimodal_features")  # rows-only: stubbed decode kernel
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end (operators/multimodal.py): pack
@@ -2839,6 +2874,94 @@ def q22_idle(spark, sf_dir):
             F.count("*").alias("numcust"),
             money_sum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+# =========================================================================
+# Training-order curation (operators/ordering.py)
+# =========================================================================
+
+
+@query(
+    "q_train_order",
+    """
+    SELECT doc_id, source,
+           row_number() OVER (
+             ORDER BY md5(concat('42', ':', CAST(doc_id AS VARCHAR))), doc_id
+           ) - 1 AS pos
+    FROM documents
+    """,
+)
+def q_train_order(spark, sf_dir):
+    """Deterministic global training order (operators/ordering.py:
+    global_order): every doc gets a stable 0-based position in a seeded
+    md5 permutation. The oracle replays the identical permutation via
+    row_number over the same md5 key. Scale: range-partitioned parallel
+    sort + broadcast offset table — the oracle's single-stream
+    row_number window is exactly what the operator avoids."""
+    from kafka_streams_plumber_spark.operators.ordering import global_order
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    return global_order(d, "doc_id", seed=42, pos_col="pos")
+
+
+@query(
+    "q_epoch_shards",
+    """
+    WITH ord AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(concat('7', ':', CAST(doc_id AS VARCHAR))), doc_id
+             ) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id, CAST(pos % 8 AS INT) AS shard,
+           CAST(pos // 8 AS BIGINT) AS pos_in_shard
+    FROM ord
+    """,
+)
+def q_epoch_shards(spark, sf_dir):
+    """Round-robin shard deal of the seeded permutation
+    (operators/ordering.py:epoch_shards): trainer rank i reads shard i
+    in pos_in_shard order. Shards balanced to ±1 row by arithmetic, no
+    per-shard window, no extra shuffle beyond the global order."""
+    from kafka_streams_plumber_spark.operators.ordering import epoch_shards
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return epoch_shards(d, "doc_id", n_shards=8, seed=7)
+
+
+@query(
+    "q_source_cap",
+    """
+    SELECT doc_id, source, n_chars, rn
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    """,
+)
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap — the domain-balancing step of crawl
+    curation (keep at most N best docs per source). Uses the two-phase
+    topk_per_group (operators/stats.py:106): local prune bounds the
+    per-source window input to partitions x N rows, so a hot domain
+    with 10^8 docs never funnels through one task."""
+    from kafka_streams_plumber_spark.operators.stats import topk_per_group
+
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    return topk_per_group(
+        d,
+        "source",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        25,
+        rank_fn=F.row_number,
+        rank_col="rn",
     )
 
 

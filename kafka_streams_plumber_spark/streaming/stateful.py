@@ -48,7 +48,9 @@ def sessionize_batch(
     user exceeds ``gap_ms``. session_id is the 0-based break count —
     deterministic given (user, ts, tiebreak) ordering.
     """
-    ts_ms = F.unix_millis(F.col(ts_col))
+    # cast: tolerate TIMESTAMP_NTZ inputs (no-op for TimestampType; under
+    # a UTC session timeZone NTZ wall clock is reinterpreted as UTC)
+    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_ms)
     gap_break = (
         (ts_ms - F.lag(ts_ms).over(w) > gap_ms).cast("long")
@@ -69,6 +71,49 @@ def sessionize_batch(
         F.count("*").alias("n_events"),
         F.min("_ts_ms").alias("start_ms"),
         F.max("_ts_ms").alias("end_ms"),
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap sessionization via the BUILT-IN ``F.session_window`` — the
+    idiomatic path when per-session aggregates suffice.
+
+    Spark's native session store handles window merging and
+    watermark-driven eviction in the JVM (no Python state hop), so this
+    beats :func:`sessionize_stream` whenever you don't need custom
+    per-event logic or ordinal session ids. Semantics note: windows
+    merge while the inter-event gap is <= ``gap`` (break only strictly
+    past it — same rule as ``sessionize_batch``), and ``end`` extends
+    ``gap`` past the last event (builtin contract; ``sessionize_batch``
+    reports the last event itself as ``end_ms``).
+
+    Works identically on batch and streaming frames; the watermark is
+    applied only when streaming.
+    """
+    # cast BEFORE the watermark: grouping on a cast of the watermarked
+    # column would detach the watermark and append mode would refuse
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("start_ms"),
+            F.unix_millis(F.col("w.end").cast("timestamp")).alias("end_ms"),
+            "n_events",
+        )
     )
 
 

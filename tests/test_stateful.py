@@ -129,3 +129,75 @@ def test_decayed_rate_stream_matches_reference_loop(spark, tmp_path):
     assert [round(r.rate, 9) for r in by_key[1]] == [1.0, 1.5, 1.75]
     assert [r.n_seen for r in by_key[1]] == [1, 2, 3]
     assert by_key[2][1].rate == 1.0 * 0.5**3 + 1.0
+
+
+def test_session_window_agg_batch_semantics(spark):
+    """Builtin session_window: strict-gap merging, end = last + gap."""
+    from kafka_streams_plumber_spark.streaming.stateful import (
+        session_window_agg,
+    )
+
+    gap_ms = 30 * 60 * 1000
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=10)),   # merges (gap < 30min)
+        (1, T0 + dt.timedelta(minutes=40)),   # exactly 30min -> still merges
+        (1, T0 + dt.timedelta(minutes=71)),   # 31min gap -> NEW session
+        (2, T0),
+    ]
+    out = sorted(
+        session_window_agg(_events(spark, rows), gap="30 minutes").collect(),
+        key=lambda r: (r.user_id, r.start_ms),
+    )
+    assert [(r.user_id, r.n_events) for r in out] == [(1, 3), (1, 1), (2, 1)]
+    # end extends one gap past the last event of the session
+    assert out[0].end_ms == out[0].start_ms + 40 * 60 * 1000 + gap_ms
+    assert out[1].end_ms == out[1].start_ms + gap_ms
+
+
+def test_session_window_agg_streaming_matches_batch(spark, tmp_path):
+    from kafka_streams_plumber_spark.streaming.stateful import (
+        session_window_agg,
+    )
+
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=5)),
+        (1, T0 + dt.timedelta(minutes=60)),
+        (2, T0 + dt.timedelta(minutes=70)),
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _events(spark, rows).coalesce(1).write.parquet(str(src_dir / "b0"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(src_dir / "*"))
+    )
+    out = session_window_agg(stream, gap="30 minutes", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("swa_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.start_ms): r
+            for r in spark.sql("SELECT * FROM swa_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.user_id, r.start_ms): r
+        for r in session_window_agg(_events(spark, rows), gap="30 minutes").collect()
+    }
+    # append mode emits only watermark-closed sessions; every emitted
+    # session must match the batch result exactly
+    assert got, "no sessions emitted"
+    for key, r in got.items():
+        assert batch[key].n_events == r.n_events
+        assert batch[key].end_ms == r.end_ms

@@ -84,8 +84,16 @@ def test_streaming_plan_accepted(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
+        # rate source is unbounded — processAllAvailable() would never
+        # return; wait for the first completed microbatch instead
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline and q.lastProgress is None:
+            time.sleep(0.5)
+        assert q.exception() is None
         assert q.isActive
+        assert q.lastProgress is not None, "no microbatch completed in 120s"
         # rows may or may not have arrived yet; schema is the contract
         cols = set(spark.sql("SELECT * FROM ksps_sj_test").columns)
         assert cols == {"k", "ts", "lv", "r_ts", "r_rv"}
