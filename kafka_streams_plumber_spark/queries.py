@@ -757,6 +757,34 @@ def dedup_minhash(spark, sf_dir):
 
 
 @query(
+    "q_dedup_keep",
+    f"""
+    WITH d AS ({_SHINGLE_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+    """,
+)
+def q_dedup_keep(spark, sf_dir):
+    """End-to-end near-dup removal (operators/dedup.py:minhash_dedup):
+    the surviving corpus after the greedy kill — every doc that is not
+    the greater member of any near-dup pair. Composes the LSH pair
+    finder with a left-anti join; the corpus shuffles only on the
+    (small) loser-id set, which AQE broadcasts."""
+    from kafka_streams_plumber_spark.operators.dedup import minhash_dedup
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return minhash_dedup(d, "text", "doc_id", threshold=0.5).select(
+        "doc_id", "source"
+    )
+
+
+@query(
     "dedup_ngram",
     f"""
     WITH d AS ({_SHINGLE_SQL})

@@ -152,3 +152,39 @@ def test_interval_join_is_shuffled_equi_join(spark):
     plan = plan_string(QUERIES["q_interval"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_order_plan_is_parallel(spark):
+    """global_order must plan a range exchange + broadcast offset join —
+    never a global single-partition sort or a sort-merge join."""
+    from kafka_streams_plumber_spark.plans.inspect import (
+        broadcast_join_count,
+        plan_string,
+        shuffle_count,
+    )
+
+    df = QUERIES["q_train_order"](spark, SF)
+    p = plan_string(df)
+    assert "rangepartitioning" in p.lower()
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in p
+    # exchanges: the range repartition + the tiny offset-table shuffle;
+    # a regression to orderBy+row_number would add a singlepartition
+    # exchange
+    assert "SinglePartition" not in p.replace(
+        "rangepartitioning", ""
+    ) or shuffle_count(df) <= 3
+
+
+def test_source_cap_no_nested_loop(spark):
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    p = plan_string(QUERIES["q_source_cap"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_session_window_single_shuffle(spark):
+    from kafka_streams_plumber_spark.plans.inspect import shuffle_count
+
+    assert shuffle_count(QUERIES["q_session_window"](spark, SF)) <= 1
