@@ -2993,6 +2993,88 @@ def q_source_cap(spark, sf_dir):
     )
 
 
+@query(
+    "q_sniff_mime",
+    """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'image/jpeg'
+             WHEN 2 THEN 'image/gif'
+             WHEN 3 THEN 'application/pdf'
+             WHEN 4 THEN 'video/mp4'
+             ELSE 'application/octet-stream'
+           END AS mime
+    FROM documents
+    """,
+)
+def q_sniff_mime(spark, sf_dir):
+    """Magic-byte container sniffing (operators/multimodal.py:sniff_mime)
+    — a REAL media op, pure expression over the first bytes, running at
+    codegen/scan speed. The query stamps each doc's bytes with a known
+    magic header (cycled by doc_id); the oracle states the ground-truth
+    mime directly, so the whole sniff path is verified end-to-end."""
+    from kafka_streams_plumber_spark.operators.multimodal import sniff_mime
+
+    d = load_tables(spark, sf_dir)["documents"]
+    headers = F.array(
+        F.unhex(F.lit("89504E470D0A1A0A")),          # png
+        F.unhex(F.lit("FFD8FFE000104A46")),          # jpeg/JFIF
+        F.unhex(F.lit("474946383961")),              # gif89a
+        F.unhex(F.lit("255044462D312E34")),          # %PDF-1.4
+        F.unhex(F.lit("000000186674797069736F6D")),  # mp4 ftyp @5
+        F.unhex(F.lit("")),                          # bare text
+    )
+    data = F.concat(
+        F.element_at(headers, (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    return d.select("doc_id", sniff_mime(data).alias("mime"))
+
+
+@query(
+    "q_byte_stats",
+    """
+    WITH b AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) AS byte
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text)+1)) AS i
+            FROM documents)
+    ),
+    hist AS (
+      SELECT doc_id, byte, count(*) AS c FROM b GROUP BY doc_id, byte
+    ),
+    hx AS (
+      SELECT doc_id, byte, c, max(c) OVER (PARTITION BY doc_id) AS mx
+      FROM hist
+    ),
+    tot AS (SELECT doc_id, length(text)::BIGINT AS n FROM documents)
+    SELECT t.doc_id, t.n AS n_bytes,
+           round(-sum((h.c::DOUBLE/t.n) * log2(h.c::DOUBLE/t.n)), 6) AS entropy,
+           round(sum(CASE WHEN (h.byte BETWEEN 32 AND 126)
+                            OR h.byte IN (9, 10, 13)
+                          THEN h.c ELSE 0 END)::DOUBLE / t.n, 6)
+             AS printable_ratio,
+           round(sum(CASE WHEN h.byte = 0 THEN h.c ELSE 0 END)::DOUBLE
+                 / t.n, 6) AS null_fraction,
+           CAST(min(CASE WHEN h.c = h.mx THEN h.byte END) AS INT) AS top_byte
+    FROM hx h JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n
+    """,
+)
+def q_byte_stats(spark, sf_dir):
+    """Byte-level triage (operators/multimodal.py:byte_stats) — REAL
+    numpy kernel (frombuffer + bincount per Arrow batch): entropy,
+    printable ratio, NUL fraction, modal byte. The oracle replays the
+    histogram math per character in SQL; entropy is rounded to 6 dp on
+    both sides so summation order cannot flip the hash."""
+    from kafka_streams_plumber_spark.operators.multimodal import byte_stats
+
+    d = load_tables(spark, sf_dir)["documents"]
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("data"))
+    return byte_stats(src, "data")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -86,3 +86,30 @@ def stream_interval_join(
         *[F.col(f"_sj_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_sj_r.{c}").alias(f"{prefix}{c}") for c in rpayload],
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Enrich a stream with a static/batch dimension table (the lookup
+    side of almost every production pipeline: events x user profile,
+    clicks x catalog).
+
+    Stream-static joins need no watermark and keep NO state: every
+    micro-batch plans a fresh join against the dim frame's CURRENT
+    snapshot, so slowly-changing dimensions backed by a file source pick
+    up updates between batches for free.
+
+    ``broadcast=True`` (default) pins the dim side as a broadcast hash
+    join: without it Spark may shuffle the STREAM side on the key —
+    at production rates that re-keys the whole firehose every batch. Set
+    False only when the dim is too large to broadcast (then pre-bucket
+    it on the key instead — plans/scale.py:write_bucketed).
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, how)

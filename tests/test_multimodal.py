@@ -139,3 +139,62 @@ def test_unstubbed_kernels_raise_not_implemented(spark):
         resize_images(df, fake=None).collect()
     with pytest.raises(Exception, match="NotImplementedError|librosa"):
         extract_audio_features(df, fake=None).collect()
+
+
+def test_sniff_mime_magics(spark):
+    from kafka_streams_plumber_spark.operators.multimodal import sniff_mime
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"x"),
+        (2, bytes.fromhex("FFD8FFE000104A46") + b"x"),
+        (3, bytes.fromhex("474946383961") + b"x"),
+        (4, bytes.fromhex("255044462D312E34") + b"x"),
+        (5, bytes.fromhex("000000186674797069736F6D") + b"x"),  # ftyp @5
+        (6, bytes.fromhex("52494646AABBCCDD") + b"WAVE"),
+        (7, bytes.fromhex("494433") + b"x"),
+        (8, b"plain old text"),
+        (9, b""),
+    ]
+    df = spark.createDataFrame(rows, "id int, data binary")
+    got = {r["id"]: r["m"] for r in df.select("id", sniff_mime(F.col("data")).alias("m")).collect()}
+    assert got[1] == "image/png"
+    assert got[2] == "image/jpeg"
+    assert got[3] == "image/gif"
+    assert got[4] == "application/pdf"
+    assert got[5] == "video/mp4"
+    assert got[6] == "audio/wav"
+    assert got[7] == "audio/mpeg"
+    assert got[8] == "application/octet-stream"
+    assert got[9] == "application/octet-stream"
+
+
+def test_byte_stats_exact_values(spark):
+    import math
+
+    from kafka_streams_plumber_spark.operators.multimodal import byte_stats
+
+    rows = [
+        (1, b"aabb"),        # 2 symbols, uniform -> entropy 1.0
+        (2, b"\x00" * 4),    # all NUL
+        (3, b""),            # empty
+        (4, b"abcd"),        # 4 distinct -> entropy 2.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {r["doc_id"]: r for r in byte_stats(df, "data").collect()}
+    assert got[1].entropy == 1.0 and got[1].top_byte == ord("a")
+    assert got[1].printable_ratio == 1.0 and got[1].null_fraction == 0.0
+    assert got[2].null_fraction == 1.0 and got[2].entropy == 0.0
+    assert got[2].printable_ratio == 0.0 and got[2].top_byte == 0
+    assert got[3].n_bytes == 0 and got[3].entropy == 0.0
+    assert got[4].entropy == 2.0 and got[4].top_byte == ord("a")
+    # sanity vs math.log2 on a skewed case
+    from collections import Counter
+
+    raw = b"aaab"
+    ent = -sum(
+        (c / 4) * math.log2(c / 4) for c in Counter(raw).values()
+    )
+    df2 = spark.createDataFrame([(9, raw)], "doc_id long, data binary")
+    (r,) = byte_stats(df2, "data").collect()
+    assert r.entropy == round(ent, 6)

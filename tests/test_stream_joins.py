@@ -111,3 +111,37 @@ def test_streaming_requires_watermarks(spark):
             stream, stream, on="k", left_ts="ts", right_ts="ts",
             upper="1 minute",
         )
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from kafka_streams_plumber_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "k int, tier string"
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, amount double"
+    ).coalesce(1).write.parquet(str(src_dir / "b0"))
+
+    stream = spark.readStream.schema("k int, amount double").parquet(
+        str(src_dir / "*")
+    )
+    out = stream_static_enrich(stream, dim, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sse_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.k: r.tier for r in spark.sql("SELECT * FROM sse_test").collect()}
+    finally:
+        q.stop()
+    # left join: unmatched stream rows survive with NULL enrichment
+    assert rows == {1: "gold", 2: "basic", 3: None}
