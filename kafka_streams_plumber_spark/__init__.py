@@ -28,7 +28,11 @@ hot paths, Arrow-batched pandas UDFs where Python is unavoidable.
 
 from kafka_streams_plumber_spark.operators.pipeline import Pipeline, from_kv, to_kv
 from kafka_streams_plumber_spark.operators.conform import conform, conform_column
-from kafka_streams_plumber_spark.plans.session import get_spark, load_tables
+from kafka_streams_plumber_spark.plans.session import (
+    get_spark,
+    load_tables,
+    register_views,
+)
 
 __all__ = [
     "Pipeline",
@@ -37,6 +41,7 @@ __all__ = [
     "from_kv",
     "get_spark",
     "load_tables",
+    "register_views",
     "to_kv",
 ]
 

@@ -86,11 +86,27 @@ def write_partitioned(
     *,
     partition_by: str | list[str],
     mode: str = "overwrite",
+    sort_by: str | list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Hive-style partitioned parquet layout: any later filter on the
     partition column prunes whole directories at planning time
     (PartitionFilters in the scan — zero I/O for excluded partitions).
     Keep partition cardinality moderate (10^2-10^4): one dir per value,
-    small-file explosion past that."""
+    small-file explosion past that.
+
+    ``sort_by`` sorts rows within each task before writing — clustered
+    values compress better and give parquet min/max row-group stats real
+    pruning power. ``max_records_per_file`` caps file size so one giant
+    partition value cannot produce a multi-GB file that a downstream
+    reader must split poorly."""
     cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    df.write.mode(mode).partitionBy(*cols).parquet(path)
+    if sort_by is not None:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        # repartition on the partition cols first so each task writes few
+        # directories, then cluster rows for stats-friendly row groups
+        df = df.repartition(*cols).sortWithinPartitions(*cols, *scols)
+    w = df.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy(*cols).parquet(path)

@@ -75,6 +75,18 @@ def get_spark(
     return tune(spark)
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose every table as a temp view so the whole engine is also a
+    plain-SQL surface: ``spark.sql("SELECT ... FROM lineitem JOIN
+    orders ...")`` — same frames as :func:`load_tables` (NTZ/nanos
+    normalization included), same Catalyst plans as the DataFrame API.
+    Returns the registered names."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return sorted(tables)
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (driver testdata uses
     them; Spark refuses to read them natively — PARQUET_TYPE_ILLEGAL)."""

@@ -96,3 +96,45 @@ def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
     p = plan_string(scan)
     assert "PartitionFilters" in p and "kind" in p.split("PartitionFilters")[1][:200]
     assert scan.count() == 100
+
+
+def test_partitioned_write_sorted_and_capped(spark, tmp_path):
+    import glob
+
+    from kafka_streams_plumber_spark.plans.scale import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], i * 7 % 100) for i in range(400)],
+        "id long, kind string, score int",
+    )
+    path = str(tmp_path / "sorted_events")
+    write_partitioned(
+        df, path, partition_by="kind", sort_by="score", max_records_per_file=50
+    )
+    # file cap honored: 200 rows per partition value / 50 -> >= 4 files each
+    for kind in ("a", "b"):
+        files = glob.glob(f"{path}/kind={kind}/*.parquet")
+        assert len(files) >= 4
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    # rows clustered by score within files: each file's rows are sorted
+    one = glob.glob(f"{path}/kind=a/*.parquet")[0]
+    scores = [r["score"] for r in spark.read.parquet(one).collect()]
+    assert scores == sorted(scores)
+
+
+def test_register_views_sql_surface(spark):
+    from kafka_streams_plumber_spark.plans.session import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "documents" in names
+    out = spark.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_totalprice > 1000 GROUP BY o_orderpriority"
+    )
+    assert out.count() > 0
+    # ts normalization applied: event-time arithmetic works through SQL
+    row = spark.sql(
+        "SELECT max(unix_millis(ts)) AS m FROM events"
+    ).collect()[0]
+    assert row["m"] > 0

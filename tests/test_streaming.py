@@ -255,3 +255,47 @@ def test_wire_path_binary_to_binary(spark):
     assert len(rows) == 1
     assert struct.unpack(">q", bytes(rows[0]["key"]))[0] == 14
     assert bytes(rows[0]["value"]).decode() == "FORTYTWO"
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
+    """Stop a query, add data, restart with the SAME checkpoint: already-
+    committed offsets must not replay (no duplicate rows), new data must
+    flow — the crash-recovery contract the runner relies on."""
+    from kafka_streams_plumber_spark.streaming.sinks import (
+        partitioned_parquet_sink,
+        start_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema("id long, v string").parquet(str(src / "*"))
+    q = start_foreach_batch(
+        stream, partitioned_parquet_sink(str(out)), checkpoint=ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(
+        [(4, "d"), (5, "e")], "id long, v string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream2 = spark.readStream.schema("id long, v string").parquet(str(src / "*"))
+    q2 = start_foreach_batch(
+        stream2, partitioned_parquet_sink(str(out)), checkpoint=ckpt
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2, 3, 4, 5]  # each exactly once across the restart
