@@ -3094,12 +3094,38 @@ def q_byte_stats(spark, sf_dir):
 
 import re as _re
 
+#: Oracle-backed queries whose family is already represented in the
+#: gate window by a sibling (semi/anti by the other join shapes, cube by
+#: rollup, vocab/doc_lengths by the other text aggs, stratified by
+#: split, json by the scalar-function parity set) — pushed behind the
+#: rest of rank 0 so one representative of EVERY operator family
+#: (curation/ordering, real media ops, gopher, decontamination, packing)
+#: lands inside the driver's 50-slot window.
+_WINDOW_DEMOTE = {
+    "q_semi",
+    "q_anti",
+    "q_json",
+    "q_doc_lengths",
+    "q_stratified",
+    "q_cube",
+    "q_vocab",
+    "q_hourly",        # time-bucket agg: q_window/q_tumbling cover it
+    "q_quantize",      # embedding family: centroids stays in
+    "text_lm_score",   # quality family: text_quality + q_gopher stay in
+    "text_winnow",     # fingerprint family: q_span_dedup stays in
+    "q_distinct",      # q_count_distinct exercises the same shape
+    "q_topk_group",    # q_source_cap runs the same two-phase operator
+    "q_epoch_shards",  # q_train_order runs the same global_order core
+}
+
 
 def _reorder_registry() -> None:
-    def rank(name: str) -> int:
+    def rank(name: str) -> float:
         if name not in ORACLES:
+            return 3
+        if _re.match(r"q\d+_", name):
             return 2
-        return 1 if _re.match(r"q\d+_", name) else 0
+        return 1 if name in _WINDOW_DEMOTE else 0
 
     snapshot = dict(QUERIES)
     QUERIES.clear()

@@ -192,3 +192,29 @@ def test_reference_examples_verify(spark):
             assert rc == 0, name
     finally:
         os.chdir(cwd)
+
+
+def test_curation_example_end_to_end(spark, tmp_path):
+    """The examples/curation pipeline must run every stage and emit a
+    partitioned layout (the repo's showcase path: dedup -> quality ->
+    decontaminate -> order -> pack -> write)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_example",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "curation", "example.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "curated")
+    counts = mod.curate(spark, "/root/testdata/sf0.001", out)
+    assert counts["input"] > 0
+    assert counts["after_dedup"] <= counts["input"]
+    assert counts["after_quality"] <= counts["after_dedup"]
+    assert counts["after_decontam"] < counts["after_quality"]  # bench docs removed
+    assert counts["packed_rows"] == counts["after_decontam"]
+    back = spark.read.parquet(out)
+    assert back.count() == counts["packed_rows"]
+    assert "shard" in back.columns and "seq_idx" in back.columns
