@@ -2994,6 +2994,41 @@ def q_source_cap(spark, sf_dir):
 
 
 @query(
+    "q_salted",
+    """
+    SELECT o.o_orderpriority,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted(spark, sf_dir):
+    """Skew-salted equi-join (plans/scale.py:salted_join) under the
+    oracle gate: the salted plan must produce bit-identical results to
+    the plain join the oracle runs. Salting spreads each hot key over
+    ``salt`` subkeys (deterministic row-hash salt, replicated right
+    side) — the declarative fix when AQE's skew splitting isn't enough
+    (power-law keys known in advance)."""
+    from kafka_streams_plumber_spark.plans.scale import salted_join
+
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    o = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(l, o, "l_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        money_product_sum(
+            "l_extendedprice", F.lit(1) - F.col("l_discount")
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q_sniff_mime",
     """
     SELECT doc_id,

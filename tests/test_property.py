@@ -201,3 +201,39 @@ def test_connected_components_labels_are_component_minima(spark, edge_list):
     edges = spark.createDataFrame(edge_list, "a_id long, b_id long")
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=20)
+)
+def test_byte_stats_matches_python_reference(spark, payloads):
+    """byte_stats' numpy kernel must agree with a direct per-byte
+    Python computation for arbitrary binary payloads."""
+    import math
+    from collections import Counter
+
+    from kafka_streams_plumber_spark.operators.multimodal import byte_stats
+
+    df = spark.createDataFrame(
+        list(enumerate(payloads)), "doc_id long, data binary"
+    )
+    got = {r["doc_id"]: r for r in byte_stats(df, "data").collect()}
+    printable = set(range(0x20, 0x7F)) | {0x09, 0x0A, 0x0D}
+    for i, raw in enumerate(payloads):
+        r = got[i]
+        n = len(raw)
+        assert r.n_bytes == n
+        if n == 0:
+            assert r.entropy == 0.0 and r.top_byte == 0
+            continue
+        c = Counter(raw)
+        ent = -sum((k / n) * math.log2(k / n) for k in c.values())
+        assert r.entropy == round(ent, 6)
+        assert r.printable_ratio == round(
+            sum(v for b, v in c.items() if b in printable) / n, 6
+        )
+        assert r.null_fraction == round(c.get(0, 0) / n, 6)
+        assert 0.0 <= r.entropy <= 8.0
+        mx = max(c.values())
+        assert r.top_byte == min(b for b, v in c.items() if v == mx)
