@@ -32,20 +32,28 @@ def asof_join(
     right_ts: str | None = None,
     prefix: str = "r_",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the latest right row with the same key
-    whose timestamp is <= (``strict``: <) the left row's timestamp.
+    """For every left row, attach the nearest right row with the same
+    key: ``direction="backward"`` (default) takes the latest right row
+    with timestamp <= (``strict``: <) the left's; ``"forward"`` takes
+    the earliest right row with timestamp >= (``strict``: >) the left's
+    — pandas ``merge_asof`` directions, DuckDB ``ASOF JOIN`` with the
+    matching inequality.
 
     Returns all left columns plus each right non-key, non-ts column as
-    ``{prefix}{name}`` (null when no prior right row exists — i.e. LEFT
-    asof semantics, matching DuckDB's ``ASOF LEFT JOIN``).
+    ``{prefix}{name}`` (null when no match exists — i.e. LEFT asof
+    semantics, matching DuckDB's ``ASOF LEFT JOIN``).
 
     Plan: tag and union both sides, then one ``last(ignorenulls)`` window
     per right payload column over (key) ordered by (ts, side) — right
-    rows sort before left rows at equal timestamps unless ``strict``.
-    Exactly one hash-partition shuffle on the key; everything else is
+    rows sort before left rows at equal timestamps unless ``strict``;
+    ``forward`` simply flips the time ordering, nothing else. Exactly
+    one hash-partition shuffle on the key; everything else is
     per-partition sort + scan inside codegen.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or ts
 
@@ -73,11 +81,14 @@ def asof_join(
 
     # At equal timestamps: side 0 (right) first so lefts see it — unless
     # strict, where rights at the same instant must NOT be visible, so
-    # lefts sort first.
+    # lefts sort first. Forward direction walks time backwards, making
+    # "last seen" mean "earliest following" — the equal-ts rule is
+    # unchanged.
     side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*[f"_k_{k}" for k in keys])
-        .orderBy(F.col("_ts").asc(), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 

@@ -1356,6 +1356,56 @@ def q_asof(spark, sf_dir):
 
 
 @query(
+    "q_asof_fwd",
+    """
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms, l.value,
+           r.click_value AS r_click_value,
+           epoch_ms(r.click_ts) AS r_click_ts_ms
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, ts AS click_ts,
+                           max(value) AS click_value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts <= r.click_ts
+    """,
+)
+def q_asof_fwd(spark, sf_dir):
+    """Forward as-of join (operators/joins.py:asof_join with
+    direction="forward"): each purchase gets the user's EARLIEST
+    following-or-simultaneous click — the attribution mirror of q_asof.
+    Same single-shuffle union+window plan, only the time ordering
+    flips."""
+    from kafka_streams_plumber_spark.operators.joins import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.filter(e["event_type"] == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(e["event_type"] == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_ts="click_ts",
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "value",
+        "r_click_value",
+        F.unix_millis(F.col("r_click_ts")).alias("r_click_ts_ms"),
+    )
+
+
+@query(
     "q_interval",
     """
     SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,

@@ -151,3 +151,50 @@ def test_range_join_bucketed_plans_equi_join(spark):
     plan = plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_forward_direction(spark):
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.operators.joins import asof_join
+
+    T = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return T + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(40), "p2"), (2, ts(10), "p3")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), "early"), (1, ts(10), "same"), (1, ts(30), "mid")],
+        "k int, rts timestamp, v string",
+    )
+    fwd = {
+        r["tag"]: r["r_v"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+    # p1 at t10: earliest following-or-equal is 'same'; p2 at t40: none
+    assert fwd == {"p1": "same", "p2": None, "p3": None}
+    strict_fwd = {
+        r["tag"]: r["r_v"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_ts="rts",
+            direction="forward", strict=True,
+        ).collect()
+    }
+    # strict: equal timestamps invisible -> p1 matches 'mid' (t30)
+    assert strict_fwd == {"p1": "mid", "p2": None, "p3": None}
+
+
+def test_asof_direction_validation(spark):
+    import pytest as _pytest
+
+    from kafka_streams_plumber_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k int, ts int")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="k", ts="ts", direction="nearest")
