@@ -1,0 +1,157 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns.
+
+The missing piece between :mod:`similarity`'s IVF search (which uses
+random pivots as zero-iteration centroids — ``_cells_row``) and a real
+fitted index: a few Lloyd iterations tighten the cells. Also the
+standard tool for topic-balanced corpus sampling (cluster, then sample
+per cluster).
+
+Scale shape per iteration — the corpus is NEVER shuffled:
+
+- centroids live in ONE broadcast row (``k`` vectors + their squared
+  norms), so assignment is a pure projection: ``argmin_c(c·c - 2 x·c)``
+  evaluated as JVM array expressions (the ``x·x`` term is constant per
+  row and dropped);
+- the update step is :func:`similarity.label_centroids` — posexplode to
+  (cluster, pos, component), map-side partial sums of scaled longs, so
+  the shuffle carries k x dim rows regardless of corpus size and the
+  means are partition-order-insensitive (bit-reproducible across runs,
+  retries, and cluster sizes);
+- ``localCheckpoint`` on the k-row centroid frame between iterations
+  truncates the growing lineage (same device as graph.connected
+  components).
+
+Everything is deterministic: hash-ordered init pivots, order-insensitive
+sums, struct-min assignment with an id tie-break. Two runs on different
+partitionings produce identical clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.sampling import split_bucket
+from kafka_streams_plumber_spark.operators.similarity import (
+    dot,
+    label_centroids,
+)
+
+
+def _pack_row(centroids: DataFrame) -> DataFrame:
+    """(cluster, centroid) rows -> ONE row
+    ``cells: array<struct<cluster:int, cv:array<double>, cc:double>>``
+    with ``cc`` the centroid's squared norm (precomputed once per
+    centroid instead of once per corpus row)."""
+    return centroids.select(
+        F.collect_list(
+            F.struct(
+                F.col("cluster").cast("int").alias("cluster"),
+                F.col("centroid").alias("cv"),
+                dot(F.col("centroid"), F.col("centroid")).alias("cc"),
+            )
+        ).alias("cells")
+    )
+
+
+def _nearest(vec: Column, cells: Column) -> Column:
+    """Cluster id minimizing squared Euclidean distance to ``vec``.
+    ``x·x`` is constant across candidates, so rank by ``c·c - 2 x·c``;
+    struct-min breaks score ties on the lower cluster id."""
+    scored = F.transform(
+        cells,
+        lambda c: F.struct(
+            (c["cc"] - 2.0 * dot(vec, c["cv"])).alias("s"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    return F.array_min(scored)["cluster"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Fit k-means; returns the centroid table
+    ``(cluster, centroid: array<double>, n)``.
+
+    Init: the ``k`` corpus vectors with the lowest
+    ``sampling.split_bucket(id)`` (id tie-break) — deterministic random
+    pivots via TakeOrdered, no global sort, and the same Knuth hash the
+    whole engine uses, so the DuckDB oracle can replay pivot selection
+    (q_kmeans unrolls all Lloyd iterations in SQL and hash-matches the
+    fitted centroids). A cluster that captures no points in some
+    iteration drops out (standard Lloyd behavior); callers needing
+    exactly ``k`` cells should treat ``k`` as an upper bound.
+    """
+    pivots = (
+        df.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
+        .orderBy(split_bucket("_pid"), F.col("_pid"))
+        .limit(k)
+    )
+    w = F.transform(F.col("_pv"), lambda x: x.cast("double"))
+    centroids = (
+        pivots.select(w.alias("centroid"))
+        .select(
+            F.monotonically_increasing_id().alias("cluster"),
+            "centroid",
+            F.lit(1).alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # limit(k) collapses to one partition, so the ids above are 0..k-1.
+
+    for _ in range(iters):
+        assigned = kmeans_assign(df, centroids, vec_col=vec_col)
+        centroids = (
+            label_centroids(assigned, vec_col=vec_col, label_col="cluster")
+            .withColumnRenamed("label", "cluster")
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Add a ``cluster`` column: each row's nearest centroid. One
+    broadcast of the packed k-row cell table; no shuffle of ``df``."""
+    packed = _pack_row(centroids)
+    out = df.join(F.broadcast(packed), F.lit(True))
+    return out.withColumn(
+        cluster_col, _nearest(F.col(vec_col), F.col("cells"))
+    ).drop("cells")
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row frame with the total within-cluster sum of squared
+    distances — the quantity Lloyd monotonically decreases (tested in
+    test_clustering.py). Rounded to 6 dp for cross-run comparability."""
+    packed = _pack_row(centroids)
+    x = df.join(F.broadcast(packed), F.lit(True))
+    xx = dot(F.col(vec_col), F.col(vec_col))
+    best = F.array_min(
+        F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                (c["cc"] - 2.0 * dot(F.col(vec_col), c["cv"])).alias("s"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )["s"]
+    return x.select((xx + best).alias("_d")).agg(
+        F.round(F.sum("_d"), 6).alias("inertia")
+    )

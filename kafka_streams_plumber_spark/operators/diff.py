@@ -1,0 +1,76 @@
+"""Snapshot differencing — classify rows across two table versions.
+
+The everyday shape of incremental ingestion: given yesterday's snapshot
+and today's, emit what was added, removed, or changed, keyed by a stable
+id. The trick that makes it cheap at 100 TB: each side is reduced to
+``(key, md5-of-row)`` BEFORE the join, so the full-outer shuffle carries
+a 16-byte digest instead of the wide row — comparing a 3 kB document
+record costs the same as comparing an int.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Field separator / NULL sentinel for the row digest. Unit separator +
+#: a tag no real column value contains, so (NULL, "") and ("", NULL)
+#: hash differently.
+_SEP = "\x1f"
+_NULL = "\x00N"
+
+
+def row_digest(df: DataFrame, cols: list[str]) -> F.Column:
+    """md5 over the named columns, null-safe and order-sensitive.
+    Columns are cast to string; identical expression exists in any SQL
+    dialect (the DuckDB oracle replays it verbatim)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols
+    ]
+    return F.md5(F.concat_ws(_SEP, *parts))
+
+
+def snapshot_diff(
+    new: DataFrame,
+    old: DataFrame,
+    key_col: str,
+    *,
+    compare_cols: list[str] | None = None,
+    change_col: str = "change",
+) -> DataFrame:
+    """Diff two snapshots by ``key_col``.
+
+    Returns one row per key whose state differs: ``(key, change)`` with
+    ``change`` in {'added', 'removed', 'changed'}; unchanged keys are
+    dropped. ``compare_cols`` defaults to every shared non-key column
+    (in ``new``'s column order, so the digest is stable).
+
+    Scale design: both sides project to ``(key, digest)`` first — the
+    only wide-row work is a map-side md5 — then one co-partitioned
+    full-outer equi-join on the key. With AQE on, a small ``old`` (e.g.
+    a seed snapshot) broadcast-joins automatically; nothing here forces
+    a strategy. Assumes ``key_col`` is unique per side (snapshot
+    semantics); duplicate keys diff pairwise nondeterministically, as
+    in any keyed diff.
+    """
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c != key_col]
+
+    n = new.select(
+        F.col(key_col).alias("key"), row_digest(new, compare_cols).alias("_hn")
+    )
+    o = old.select(
+        F.col(key_col).alias("key"), row_digest(old, compare_cols).alias("_ho")
+    )
+    j = n.join(o, "key", "full_outer")
+    return (
+        j.select(
+            "key",
+            F.when(F.col("_ho").isNull(), F.lit("added"))
+            .when(F.col("_hn").isNull(), F.lit("removed"))
+            .when(F.col("_hn") != F.col("_ho"), F.lit("changed"))
+            .alias(change_col),
+        )
+        .filter(F.col(change_col).isNotNull())
+    )

@@ -64,6 +64,54 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
     return df.filter(split_bucket(id_col) < int(round(fraction * 1000)))
 
 
+def mix_sources(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Downsample each source so the output matches a target mixture.
+
+    ``weights`` maps source name -> target mixture weight (need not sum
+    to 1; they are relative). Unlike :func:`stratified_sample` (where
+    the caller picks each keep-fraction by hand), this solves for them:
+    the output is the LARGEST dataset achieving the requested mix
+    without upsampling any source — the binding source (smallest
+    ``n_s / w_s``) is kept whole and every other source is thinned to
+    ``w_s * scale / n_s`` where ``scale = min_s(n_s / w_s)``. Sources
+    absent from ``weights`` are dropped. Thinning granularity is 1/1000
+    (the id-hash bucket resolution shared by the whole module).
+
+    Scale design: per-source counts are a map-combinable aggregate over
+    a handful of groups; the resulting per-source thresholds (a few
+    rows) broadcast back onto the corpus, and the keep decision is the
+    same pure int64 arithmetic as :func:`hash_split` — deterministic
+    across runs, retries, partitionings, and engines (the DuckDB oracle
+    replays count, scale, and hash exactly). No driver collect.
+    """
+    assert weights and all(w > 0 for w in weights.values())
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    counts = (
+        df.filter(F.col(strata_col).isin(*weights))
+        .groupBy(F.col(strata_col).alias("_s"))
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_w", wmap[F.col("_s")])
+    )
+    scale = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_scale"))
+    thresholds = counts.crossJoin(F.broadcast(scale)).select(
+        "_s",
+        F.floor(F.col("_w") * F.col("_scale") / F.col("_n") * 1000)
+        .cast("long")
+        .alias("_thr"),
+    )
+    out = df.join(
+        F.broadcast(thresholds), df[strata_col] == F.col("_s"), "inner"
+    )
+    return out.filter(split_bucket(id_col) < F.col("_thr")).drop("_s", "_thr")
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, float]
 ) -> DataFrame:

@@ -103,6 +103,88 @@ def exact_percentiles(
     )
 
 
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column.
+
+    Returns one row per NON-EMPTY bin: ``bin`` (0-based index),
+    ``bin_lo`` / ``bin_hi`` (edges), ``cnt``. Values outside [lo, hi)
+    are clamped into the first/last bin (so the histogram always
+    accounts for every non-NULL row); NULLs are excluded.
+
+    Scale design: the bin index is a single arithmetic expression, so
+    the whole histogram is one map-side-combinable ``groupBy(int)`` —
+    the shuffle carries at most ``bins`` rows per input partition
+    regardless of data size. Empty bins are absent (dense output over
+    millions of bins would defeat the point).
+    """
+    assert bins >= 1 and hi > lo
+    width = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    idx = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
+    idx = F.least(F.lit(bins - 1), F.greatest(F.lit(0), idx))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias(
+                "bin_hi"
+            ),
+            "cnt",
+        )
+    )
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, *, top_n: int = 20
+) -> DataFrame:
+    """Heavy-hitter profile for a join/aggregation key — the diagnostic
+    to run BEFORE deciding whether a key needs salting
+    (plans/scale.salted_join) or AQE skew-join handles it.
+
+    Returns the ``top_n`` heaviest keys: ``key``, ``cnt``, ``share``
+    (fraction of all rows), ``rnk``. Ties on count all survive at the
+    boundary (rank semantics), matching SQL ``rank() <= n``.
+
+    Scale design: per-key counts are one map-combinable shuffle keyed
+    on the (possibly skewed) column — safe because the map-side partial
+    aggregation collapses each partition's contribution to one row per
+    key before the shuffle, which is exactly why counting a skewed key
+    is cheap even when joining on it is not. The global top-n then runs
+    through :func:`topk_per_group`'s two-phase prune (with a constant
+    group) so no stage sorts all distinct keys in a single task.
+    """
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_g", F.lit(1))
+    )
+    total = counts.agg(F.sum("cnt").alias("_tot"))
+    top = topk_per_group(
+        counts,
+        "_g",
+        [F.col("cnt").desc(), F.col("key").asc()],
+        top_n,
+        rank_fn=F.rank,
+        rank_col="rnk",
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
+        "rnk",
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: str | list[str],

@@ -3160,6 +3160,220 @@ def q_byte_stats(spark, sf_dir):
     return byte_stats(src, "data")
 
 
+@query(
+    "q_histogram",
+    """
+    SELECT bin,
+           0.0 + bin * 5000.0 AS bin_lo,
+           0.0 + (bin + 1) * 5000.0 AS bin_hi,
+           count(*) AS cnt
+    FROM (
+      SELECT least(21, greatest(0,
+               CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0)
+                    AS BIGINT))) AS bin
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    )
+    GROUP BY bin
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width numeric histogram (operators/stats.py:
+    numeric_histogram): the bin index is one arithmetic expression, so
+    the whole profile is a single map-combinable groupBy — the shuffle
+    carries <= bins rows per input partition at any data size."""
+    from kafka_streams_plumber_spark.operators.stats import numeric_histogram
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return numeric_histogram(
+        li, "l_extendedprice", bins=22, lo=0.0, hi=110000.0
+    )
+
+
+@query(
+    "q_skew",
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(cnt) AS tot FROM c),
+    r AS (
+      SELECT key, cnt, rank() OVER (ORDER BY cnt DESC, key) AS rnk FROM c
+    )
+    SELECT key, cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+           rnk
+    FROM r, t
+    WHERE rnk <= 20
+    """,
+)
+def q_skew(spark, sf_dir):
+    """Join-key skew diagnostic (operators/stats.py:skew_profile): the
+    pre-flight check for salting decisions (plans/scale.salted_join).
+    Counting a skewed key is safe — map-side partial agg collapses each
+    partition to one row per key — and the global top-n reuses the
+    two-phase topk_per_group prune so no single task sorts all keys."""
+    from kafka_streams_plumber_spark.operators.stats import skew_profile
+
+    o = load_tables(spark, sf_dir)["orders"]
+    return skew_profile(o, "o_custkey", top_n=20)
+
+
+@query(
+    "q_mix",
+    """
+    WITH w(s, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    n AS (
+      SELECT source AS s, count(*) AS n_s FROM documents
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+    ),
+    sc AS (
+      SELECT min(CAST(n_s AS DOUBLE) / wt) AS scale
+      FROM n JOIN w USING (s)
+    ),
+    thr AS (
+      SELECT n.s, CAST(floor(wt * scale / n_s * 1000) AS BIGINT) AS thr
+      FROM n JOIN w USING (s), sc
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.s
+    WHERE (d.doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < thr
+    """,
+)
+def q_mix(spark, sf_dir):
+    """Mixture-weight downsampling (operators/sampling.py:mix_sources):
+    solves per-source keep-fractions from target weights + observed
+    counts (largest output achieving the mix without upsampling), then
+    thins by the module's deterministic id-hash. Counts aggregate to a
+    handful of rows that broadcast back; the decision per row is pure
+    int64 arithmetic the oracle replays exactly."""
+    from kafka_streams_plumber_spark.operators.sampling import mix_sources
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = mix_sources(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source")
+
+
+@query(
+    "q_snapshot_diff",
+    """
+    WITH newt AS (
+      SELECT o_orderkey AS key, o_totalprice AS p, o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 10 != 7
+    ),
+    oldt AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS p,
+             o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 10 != 3
+    )
+    SELECT coalesce(n.key, o.key) AS key,
+           CASE WHEN o.key IS NULL THEN 'added'
+                WHEN n.key IS NULL THEN 'removed'
+                WHEN n.p != o.p OR n.st != o.st THEN 'changed'
+           END AS change
+    FROM newt n FULL OUTER JOIN oldt o ON n.key = o.key
+    WHERE o.key IS NULL OR n.key IS NULL
+          OR n.p != o.p OR n.st != o.st
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-ingestion diff (operators/diff.py:snapshot_diff):
+    two synthetic snapshots of ``orders`` (keys %10==3 only in new ->
+    added, %10==7 only in old -> removed, %10==5 price-perturbed ->
+    changed). The operator reduces each side to (key, md5) before the
+    full-outer join so the shuffle carries 16-byte digests, never wide
+    rows; the oracle classifies by direct value comparison, which is
+    equivalent because distinct values stringify distinctly here."""
+    from kafka_streams_plumber_spark.operators.diff import snapshot_diff
+
+    o = load_tables(spark, sf_dir)["orders"]
+    base = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = base.filter(F.col("o_orderkey") % 10 != 7)
+    old = base.filter(F.col("o_orderkey") % 10 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 5, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        new, old, "o_orderkey", compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-Lloyd DuckDB oracle for q_kmeans: pivot init by the
+    module Knuth hash, then per iteration an argmin assignment (same
+    ``c·c - 2 x·c`` ranking, cluster-id tie-break) and the q_centroids
+    scaled-long averaging. Iterative k-means is usually conceded as
+    'not SQL-expressible'; with a fixed iteration count it is — the
+    CTE chain below is generated, not hand-maintained."""
+    ctes = [
+        """emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )""",
+        f"""cent0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cluster, v AS c FROM (
+        SELECT v, row_number() OVER (
+            ORDER BY (vec_id % 2147483648) * 2654435761 % 2147483648 % 1000,
+                     vec_id) AS rn
+        FROM emb) WHERE rn <= {k}
+    )""",
+    ]
+    for i in range(iters):
+        last = i == iters - 1
+        n_inner = ",\n               count(*) AS n" if last else ""
+        n_outer = ", max(n) AS n" if last else ""
+        ctes.append(
+            f"""asg{i} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_inner_product(c.c, c.c)
+                          - 2 * list_inner_product(e.v, c.c),
+                          c.cluster) AS rn
+        FROM emb e CROSS JOIN cent{i} c) WHERE rn = 1
+    )""",
+        )
+        ctes.append(
+            f"""cent{i + 1} AS (
+      SELECT cluster, list(comp ORDER BY pos) AS c{n_outer} FROM (
+        SELECT cluster, pos,
+               CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / count(*) AS comp{n_inner}
+        FROM (SELECT cluster, unnest(v) AS x,
+                     generate_subscripts(v, 1) - 1 AS pos
+              FROM asg{i})
+        GROUP BY cluster, pos)
+      GROUP BY cluster
+    )""",
+        )
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"    SELECT cluster, c AS centroid, n FROM cent{iters}"
+    )
+
+
+@query("q_kmeans", _kmeans_oracle(k=8, iters=3))
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (operators/clustering.py): centroids
+    live in one broadcast row so assignment is a pure projection (the
+    corpus is never shuffled); the update step is label_centroids'
+    scaled-long averaging, so fitted centroids are partition-order-
+    insensitive and hash-match the oracle's unrolled iterations
+    bit-for-bit."""
+    from kafka_streams_plumber_spark.operators.clustering import kmeans_fit
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return kmeans_fit(e, id_col="vec_id", vec_col="embedding", k=8, iters=3)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -1,0 +1,69 @@
+"""kmeans_fit/assign/inertia: Lloyd convergence, determinism across
+partitionings, broadcast-only assignment plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_inertia,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # two clearly separated blobs on a line + ids
+    rows = [(i, [float(i % 7) / 10.0, 0.0]) for i in range(40)]
+    rows += [(100 + i, [10.0 + float(i % 5) / 10.0, 5.0]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_inertia_monotone_nonincreasing(spark, emb):
+    prev = None
+    for iters in (0, 1, 3):
+        c = kmeans_fit(emb, k=2, iters=iters)
+        inertia = kmeans_inertia(emb, c).collect()[0]["inertia"]
+        if prev is not None:
+            assert inertia <= prev + 1e-9
+        prev = inertia
+
+
+def test_two_blobs_separate(spark, emb):
+    c = kmeans_fit(emb, k=2, iters=5)
+    a = kmeans_assign(emb, c)
+    groups = (
+        a.groupBy("cluster")
+        .agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(groups) == 2
+    for g in groups:
+        assert g["n"] == 40
+        # no cluster spans both blobs
+        assert g["hi"] < 100 or g["lo"] >= 100
+
+
+def test_deterministic_across_partitionings(spark, emb):
+    c1 = kmeans_fit(emb.repartition(1), k=3, iters=3)
+    c8 = kmeans_fit(emb.repartition(8), k=3, iters=3)
+    r1 = sorted((r["cluster"], tuple(r["centroid"]), r["n"]) for r in c1.collect())
+    r8 = sorted((r["cluster"], tuple(r["centroid"]), r["n"]) for r in c8.collect())
+    assert r1 == r8
+
+
+def test_assign_plan_has_no_shuffle_of_corpus(spark, emb):
+    c = kmeans_fit(emb, k=2, iters=1)
+    plan = (
+        kmeans_assign(emb, c)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # assignment is scan + one-row broadcast join: the only Exchange is
+    # the SinglePartition collect_list that packs the k centroids — the
+    # corpus itself is never hash-shuffled
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

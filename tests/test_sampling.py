@@ -108,3 +108,28 @@ def test_gopher_rules_on_synthetic_docs(spark):
     assert not out[3]["symbol_ratio_ok"] and not out[3]["alpha_ratio_ok"]
     assert not out[4]["stopword_ok"]
     assert not out[2]["passed"] and not out[3]["passed"] and not out[4]["passed"]
+
+
+def test_mix_sources_solves_fractions(spark):
+    from kafka_streams_plumber_spark.operators.sampling import mix_sources
+
+    # 100 ids per source; weights 2:1 -> binding source 'a' kept whole,
+    # 'b' thinned to ~50, 'c' (absent from weights) dropped entirely.
+    rows = [(i, s) for s in ("a", "b", "c") for i in range(100)]
+    df = spark.createDataFrame(
+        [(i + {"a": 0, "b": 1000, "c": 2000}[s], s) for i, s in rows],
+        "id long, src string",
+    )
+    out = mix_sources(df, "id", "src", {"a": 2.0, "b": 1.0})
+    counts = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] == 100
+    assert "c" not in counts
+    assert 35 <= counts["b"] <= 65  # hash-thinned to ~half
+
+    # deterministic: same rows on re-run
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in out.collect())
+    assert ids1 == ids2

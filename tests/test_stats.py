@@ -81,3 +81,41 @@ def test_topk_per_group_matches_single_window(spark):
     assert got == want
     # ties at the boundary survive (two 9 rows at rank 1 per group)
     assert sum(1 for g, v, r in got if g == "a" and r == 1) == 2
+
+
+def test_numeric_histogram_clamps_and_counts(spark):
+    from kafka_streams_plumber_spark.operators.stats import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (14.9,), (99.0,), (None,)],
+        "v double",
+    )
+    out = {
+        r["bin"]: (r["bin_lo"], r["bin_hi"], r["cnt"])
+        for r in numeric_histogram(df, "v", bins=3, lo=0.0, hi=15.0).collect()
+    }
+    # -5 clamps into bin 0, 99 clamps into bin 2, NULL excluded
+    assert out == {
+        0: (0.0, 5.0, 3),
+        1: (5.0, 10.0, 1),
+        2: (10.0, 15.0, 2),
+    }
+
+
+def test_skew_profile_orders_and_ties(spark):
+    from kafka_streams_plumber_spark.operators.stats import skew_profile
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [
+        (r["key"], r["cnt"], r["rnk"], r["share"])
+        for r in skew_profile(df, "k", top_n=3)
+        .orderBy("rnk")
+        .collect()
+    ]
+    # b/c tie on count -> both rank 2 by count, broken to ranks 2,3 by key
+    assert got == [
+        ("a", 5, 1, round(5 / 12, 6)),
+        ("b", 3, 2, 0.25),
+        ("c", 3, 3, 0.25),
+    ]
