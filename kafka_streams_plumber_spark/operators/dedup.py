@@ -214,6 +214,120 @@ def minhash_lsh_pairs(
     return verified
 
 
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Compact signature index of a corpus: ``(id, sig: array<long>)``.
+
+    This is the state a CONTINUOUS ingestion pipeline persists between
+    runs (as parquet, ~8·num_perm bytes/doc — the text itself never
+    needs to be re-read): new batches dedup against it via
+    :func:`incremental_minhash_dedup`, and the kept batch's signatures
+    (same function, same seed) union-append to the index.
+    """
+    src = _fan_out(df.select(id_col, text_col))
+    return src.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(
+            text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed
+        ).alias("sig"),
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Drop batch rows that near-duplicate an already-indexed corpus.
+
+    The continual-training ingestion shape: yesterday's corpus exists
+    only as a signature index (:func:`build_minhash_index`); today's
+    batch must not re-add near-copies of it. Returns the surviving
+    batch rows (all columns).
+
+    Plan: batch signatures once (projection), band keys exploded on
+    both sides, candidates from the (band, key) equi-join, then the
+    verify uses the MinHash ESTIMATE — matching-component fraction of
+    the two signatures — because the indexed corpus's text is gone by
+    design. The estimator's error (Binomial(num_perm, j)) only matters
+    for pairs with true jaccard near the threshold; near-dup corpora
+    are bimodal (copies >= 0.9, unrelated ~0), where flip probability
+    is < 1e-8 at num_perm=64.
+
+    Scale: the index moves only as 12-byte band keys plus per-candidate
+    signatures; index band-buckets above ``max_bucket_size`` (junk
+    content) are dropped via a tiny anti-join, capping candidate
+    fan-out per batch row.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+
+    src = _fan_out(batch.select(id_col, text_col))
+    bsig = src.select(
+        F.col(id_col).alias("_nid"),
+        minhash_signature(
+            text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed
+        ).alias("_nsig"),
+    )
+
+    bb = bsig.select(
+        "_nid",
+        "_nsig",
+        F.explode(_band_keys(F.col("_nsig"), bands=bands, rows=rows)).alias("bk"),
+    ).select("_nid", "_nsig", "bk.band", "bk.key")
+    ib = index.select(
+        F.col("id").alias("_oid"),
+        F.col("sig").alias("_osig"),
+        F.explode(
+            _band_keys(F.col("sig"), bands=bands, rows=rows)
+        ).alias("bk"),
+    ).select("_oid", "_osig", "bk.band", "bk.key")
+
+    big = (
+        ib.groupBy("band", "key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("band", "key")
+    )
+    ib = ib.join(F.broadcast(big), ["band", "key"], "left_anti")
+
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("_nsig"), F.col("_osig"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    # no pair-level distinct: a pair sharing m bands is just verified m
+    # times (m <= bands, pure expression work) — cheaper than shuffling
+    # 0.5 kB signature pairs to dedup them first. Only the flagged ids
+    # (tiny) are distinct'd.
+    flagged = (
+        bb.join(ib, ["band", "key"])
+        .filter(matches / F.lit(float(num_perm)) >= threshold)
+        .select("_nid")
+        .distinct()
+    )
+    return batch.join(
+        flagged, batch[id_col] == flagged["_nid"], "left_anti"
+    )
+
+
 def minhash_dedup(
     df: DataFrame, text_col: str, id_col: str, **kwargs
 ) -> DataFrame:

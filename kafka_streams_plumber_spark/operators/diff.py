@@ -30,6 +30,53 @@ def row_digest(df: DataFrame, cols: list[str]) -> F.Column:
     return F.md5(F.concat_ws(_SEP, *parts))
 
 
+def audit_fk(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Referential-integrity audit: one row of join-health counters
+    before a pipeline trusts an equi-join.
+
+    Returns ``n_fact`` (fact rows), ``n_orphans`` (fact rows whose key
+    misses the dimension — silently dropped by an inner join),
+    ``orphan_rate`` (6 dp), ``n_dim`` (distinct dimension keys) and
+    ``n_dim_unref`` (dimension keys no fact row references). NULL fact
+    keys count as orphans (an inner join drops them too).
+
+    Scale design: one left-anti and one right-side anti join, both
+    plain equi-joins AQE can broadcast when the dimension is small; the
+    counters are single-row aggregates combined with scalar-row cross
+    joins (no data movement beyond the joins themselves).
+    """
+    f = fact.select(F.col(fact_key).alias("_fk"))
+    d = dim.select(F.col(dim_key).alias("_dk")).distinct()
+
+    base = f.agg(F.count("*").alias("n_fact"))
+    orphans = f.join(d, f["_fk"] == d["_dk"], "left_anti").agg(
+        F.count("*").alias("n_orphans")
+    )
+    dims = d.agg(F.count("*").alias("n_dim"))
+    unref = d.join(f, f["_fk"] == d["_dk"], "left_anti").agg(
+        F.count("*").alias("n_dim_unref")
+    )
+    return (
+        base.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(unref))
+        .select(
+            "n_fact",
+            "n_orphans",
+            F.round(F.col("n_orphans") / F.col("n_fact"), 6).alias(
+                "orphan_rate"
+            ),
+            "n_dim",
+            "n_dim_unref",
+        )
+    )
+
+
 def snapshot_diff(
     new: DataFrame,
     old: DataFrame,

@@ -112,6 +112,40 @@ def mix_sources(
     return out.filter(split_bucket(id_col) < F.col("_thr")).drop("_s", "_thr")
 
 
+def sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    *,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """EXACTLY ``min(k, group size)`` rows per group, deterministically.
+
+    Fraction-based sampling (:func:`stratified_sample`) only hits its
+    target in expectation; evaluation sets and per-language quotas need
+    exact counts. Rows are ranked inside each group by (id-hash, id) —
+    a uniform deterministic order — and the top ``k`` kept, so the
+    chosen rows are stable across runs/engines and adding new rows to a
+    group only perturbs the selection where hashes collide.
+
+    Scale design: delegates to :func:`stats.topk_per_group`'s two-phase
+    local prune, so no stage funnels a whole group through one task
+    (the naive ``row_number() OVER (PARTITION BY group)`` does exactly
+    that at 100 TB when groups are few and huge).
+    """
+    from kafka_streams_plumber_spark.operators.stats import topk_per_group
+
+    return topk_per_group(
+        df,
+        group_col,
+        [split_bucket(id_col), F.col(id_col)],
+        k,
+        rank_fn=F.row_number,
+        rank_col=rank_col,
+    )
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, float]
 ) -> DataFrame:

@@ -519,3 +519,46 @@ def gopher_rules(col: Column | str) -> Column:
     return let_(
         F.filter(tokens(F.lower(_c(col))), lambda x: x != ""), body
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_col: str = "tok",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a vocabulary table.
+
+    The tokenizer-coverage check run before committing a vocab: returns
+    (id, n_tokens, n_oov, oov_rate) counting token OCCURRENCES (not
+    types) whose lowercased form is absent from ``vocab``.
+
+    Scale design: tokens explode in place (narrow — a document's tokens
+    stay in its partition), membership is one equi-join against the
+    vocab (broadcast when it fits, AQE decides), and the per-doc
+    re-aggregation is map-combinable, so the shuffle carries one row
+    per document per partition — never the token stream. Empty-string
+    tokens (from repeated separators) are excluded like the rest of the
+    module's token statistics.
+    """
+    v = vocab.select(F.col(vocab_col).alias("_tok")).distinct()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(tokens(F.trim(F.lower(F.col(text_col)))), lambda x: x != "")
+        ).alias("_tok"),
+    )
+    flagged = toks.join(
+        v.withColumn("_in", F.lit(1)), "_tok", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -3304,6 +3304,202 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+@query(
+    "q_incr_dedup",
+    f"""
+    WITH d AS ({_SHINGLE_SQL}),
+    idx AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+    bat AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+    dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM bat b JOIN idx i
+        ON len(list_intersect(b.sh, i.sh))::DOUBLE
+           / len(list_distinct(list_concat(b.sh, i.sh))) >= 0.5
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
+    """,
+)
+def q_incr_dedup(spark, sf_dir):
+    """Continual-ingestion dedup (operators/dedup.py:
+    incremental_minhash_dedup): even-id docs are 'yesterday's corpus',
+    persisted only as a signature index (build_minhash_index); odd-id
+    docs are today's batch, kept only if no indexed near-dup exists.
+    The verify uses the MinHash component-match estimate (the indexed
+    text is gone by design); the oracle is exact batch-vs-index
+    jaccard, equal here because the corpus's dup structure is bimodal
+    (copies >= 0.9, unrelated ~0) so the estimator never flips."""
+    from kafka_streams_plumber_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    index = build_minhash_index(
+        d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    kept = incremental_minhash_dedup(batch, index, "text", "doc_id")
+    return kept.select("doc_id", "source")
+
+
+@query(
+    "q_sample_group",
+    """
+    SELECT doc_id, lang, rnk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id % 2147483648) * 2654435761
+                        % 2147483648 % 1000,
+                        doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 30
+    """,
+)
+def q_sample_group(spark, sf_dir):
+    """Exact per-group quota sampling (operators/sampling.py:
+    sample_per_group): min(k, n) rows per language, picked by the
+    deterministic id-hash order. Runs through topk_per_group's
+    two-phase prune, so a 100 TB group never funnels through one task
+    the way a naive partition-by-group row_number would."""
+    from kafka_streams_plumber_spark.operators.sampling import sample_per_group
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = sample_per_group(d, "doc_id", "lang", 30)
+    return out.select("doc_id", "lang", "rnk")
+
+
+@query(
+    "q_fk_audit",
+    """
+    WITH f AS (SELECT o_custkey AS fk FROM orders),
+    d AS (SELECT DISTINCT c_custkey AS dk FROM customer
+          WHERE c_custkey % 3 != 0)
+    SELECT (SELECT count(*) FROM f) AS n_fact,
+           (SELECT count(*) FROM f WHERE fk NOT IN (SELECT dk FROM d))
+             AS n_orphans,
+           round(CAST((SELECT count(*) FROM f
+                       WHERE fk NOT IN (SELECT dk FROM d)) AS DOUBLE)
+                 / (SELECT count(*) FROM f), 6) AS orphan_rate,
+           (SELECT count(*) FROM d) AS n_dim,
+           (SELECT count(*) FROM d
+            WHERE dk NOT IN (SELECT fk FROM f)) AS n_dim_unref
+    """,
+)
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit (operators/diff.py:audit_fk) over a
+    deliberately holed dimension (customers with key % 3 == 0 removed):
+    counts the fact rows an inner join would silently drop and the
+    dimension keys nothing references. Anti joins AQE can broadcast;
+    single-row counters combined with scalar cross joins."""
+    from kafka_streams_plumber_spark.operators.diff import audit_fk
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].filter(F.col("c_custkey") % 3 != 0)
+    return audit_fk(t["orders"], dim, "o_custkey", "c_custkey")
+
+
+@query(
+    "q_oov",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    v AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM tk GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 100)
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM tk t LEFT JOIN v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_oov(spark, sf_dir):
+    """Vocabulary-coverage audit (operators/text.py:oov_rate): per-doc
+    fraction of token occurrences outside the corpus's own top-100
+    vocab. Tokens explode in place (narrow), membership is one
+    broadcastable equi-join, and the per-doc re-aggregation is
+    map-combinable — the shuffle carries docs, never the token
+    stream."""
+    from kafka_streams_plumber_spark.operators.text import oov_rate, tokens
+
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = (
+        d.select(
+            F.explode(
+                F.filter(
+                    tokens(F.trim(F.lower(F.col("text")))), lambda x: x != ""
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = counts.orderBy(F.desc("n"), F.asc("tok")).limit(100)
+    return oov_rate(d, vocab, text_col="text", id_col="doc_id", vocab_col="tok")
+
+
+def _cms_oracle(depth: int, width: int, seed: int) -> str:
+    """Oracle for q_cms: rebuild the exact counter grid in SQL with the
+    same multiplicative-hash parameters (cms_params is imported, so the
+    two sides cannot drift)."""
+    from kafka_streams_plumber_spark.operators.sketches import cms_params
+
+    vals = ", ".join(
+        f"({j}, {m})" for j, m in enumerate(cms_params(depth, seed))
+    )
+    return f"""
+    WITH p(j, m) AS (VALUES {vals}),
+    grid AS (
+      SELECT j,
+             (user_id % 2147483648) * m % 2147483648 % {width} AS cell,
+             count(*) AS cnt
+      FROM events CROSS JOIN p
+      WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    q AS (SELECT DISTINCT user_id AS key FROM events
+          WHERE user_id < 50 AND user_id IS NOT NULL),
+    look AS (
+      SELECT q.key, p.j,
+             (q.key % 2147483648) * p.m % 2147483648 % {width} AS cell
+      FROM q CROSS JOIN p
+    )
+    SELECT l.key, min(coalesce(g.cnt, 0)) AS est
+    FROM look l LEFT JOIN grid g ON l.j = g.j AND l.cell = g.cell
+    GROUP BY l.key
+    """
+
+
+@query("q_cms", _cms_oracle(depth=4, width=2048, seed=42))
+def q_cms(spark, sf_dir):
+    """Count-min sketch (operators/sketches.py): the relational counter
+    grid — build is explode(depth) + one map-combinable groupBy bounded
+    by depth x width rows per partition; merge is union + re-aggregate;
+    lookup broadcasts the grid. Deterministic multiplicative hashing
+    means the oracle rebuilds the identical grid, so the APPROXIMATE
+    structure is verified exactly."""
+    from kafka_streams_plumber_spark.operators.sketches import (
+        cms_build,
+        cms_lookup,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    sketch = cms_build(e, "user_id", depth=4, width=2048, seed=42)
+    probes = e.filter(F.col("user_id") < 50)
+    return cms_lookup(sketch, probes, "user_id", depth=4, width=2048, seed=42)
+
+
 def _kmeans_oracle(k: int, iters: int) -> str:
     """Unrolled-Lloyd DuckDB oracle for q_kmeans: pivot init by the
     module Knuth hash, then per iteration an argmin assignment (same

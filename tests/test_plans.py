@@ -188,3 +188,43 @@ def test_session_window_single_shuffle(spark):
     from kafka_streams_plumber_spark.plans.inspect import shuffle_count
 
     assert shuffle_count(QUERIES["q_session_window"](spark, SF)) <= 1
+
+
+def test_incremental_dedup_equi_joins_only(spark):
+    """incremental_minhash_dedup's scale contract: candidate generation
+    is an equi-join on (band, key); the index is never nested-looped
+    against the batch."""
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    plan = plan_string(QUERIES["q_incr_dedup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_build_is_single_partial_agg(spark):
+    """cms_build shuffles at most depth x width rows per partition: one
+    hash-partitioned exchange, partial aggregation below it."""
+    from kafka_streams_plumber_spark.operators.sketches import cms_build
+    from kafka_streams_plumber_spark.plans.inspect import (
+        plan_string,
+        python_eval_count,
+        shuffle_count,
+    )
+
+    t = __import__(
+        "kafka_streams_plumber_spark.plans.session", fromlist=["load_tables"]
+    ).load_tables(spark, SF)
+    sk = cms_build(t["events"], "user_id")
+    assert shuffle_count(sk) == 1
+    assert python_eval_count(sk) == 0
+    assert "partial_count" in plan_string(sk)
+
+
+def test_snapshot_diff_prunes_unread_columns(spark):
+    """Digest-before-join also means column pruning: a diff comparing 2
+    columns must not read the other 7 from parquet."""
+    from kafka_streams_plumber_spark.plans.inspect import read_schemas
+
+    df = QUERIES["q_snapshot_diff"](spark, SF)
+    for cols in read_schemas(df):
+        assert set(cols) <= {"o_orderkey", "o_totalprice", "o_orderstatus"}

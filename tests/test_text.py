@@ -128,3 +128,17 @@ def test_winnow_disjoint_texts_disjoint_fps(spark):
         TX.winnow_fingerprints("text", k=8, window=4).alias("fps")
     ).collect()
     assert not (set(rows[0]["fps"]) & set(rows[1]["fps"]))
+
+
+def test_oov_rate_counts_occurrences_not_types(spark):
+    from kafka_streams_plumber_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa aa aa aa"), (3, "zz yy")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("aa",), ("bb",)], "tok string")
+    out = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_rate"]) == (4, 1, 0.25)
+    assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["oov_rate"]) == (4, 0, 0.0)
+    assert (out[3]["n_tokens"], out[3]["n_oov"], out[3]["oov_rate"]) == (2, 2, 1.0)
