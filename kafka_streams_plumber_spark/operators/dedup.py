@@ -186,9 +186,11 @@ def minhash_lsh_pairs(
     # (small) candidate set alone — the plan above computes shingles once
     # per document, not once per downstream reference. AQE broadcasts the
     # candidate-id side, so the corpus is never shuffled here.
+    # No .distinct() here: left_semi output is unaffected by duplicate
+    # probe-side keys, and dropping it removes a whole shuffle stage.
     cand_ids = pairs.select(F.col("a").alias("_id")).union(
         pairs.select(F.col("b").alias("_id"))
-    ).distinct()
+    )
     cand_sh = (
         src.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
         .join(cand_ids, "_id", "left_semi")

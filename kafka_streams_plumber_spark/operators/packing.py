@@ -56,3 +56,50 @@ def pack_sequences(
         .withColumn("offset", F.col("_before") % seq_len)
         .drop("_before")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    *,
+    batch_size: int = 32,
+    bucket_edges: tuple[int, ...] = (64, 128, 256, 512, 1024),
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign rows to length-bucketed inference/training batches.
+
+    Dynamic-padding batching: grouping similar-length sequences cuts
+    padding waste (batch cost is ``batch_size * max_len``) versus
+    random batching, often 2-3x on web-text length distributions.
+
+    - ``bucket`` = index of the first edge >= n_tokens (len(edges) for
+      the overflow bucket);
+    - rows are sharded deterministically (id-hash % n_shards) so the
+      per-bucket window never concentrates in one task — the same
+      retry-stable trick as :func:`pack_sequences`; at scale set
+      n_shards >= cluster cores;
+    - within (bucket, shard): order by id, ``batch_idx = floor(rank /
+      batch_size)``; (bucket, shard, batch_idx) is the global batch key.
+
+    Returns input cols + bucket, shard, batch_idx, pad_to (the bucket
+    edge the batch pads to; overflow pads to the shard-batch max —
+    computed by the caller's agg, here we emit the edge or NULL).
+    """
+    edges = list(bucket_edges)
+    bucket = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        bucket = F.when(F.col(n_tokens_col) <= edges[i], F.lit(i)).otherwise(bucket)
+
+    shard = split_bucket(F.col(id_col), buckets=n_shards)
+    w = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    pad_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(len(edges))]),
+        F.array(*[F.lit(e) for e in edges]),
+    )
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("shard", shard)
+        .withColumn("batch_idx", F.floor((F.row_number().over(w) - 1) / batch_size))
+        .withColumn("pad_to", pad_map[F.col("bucket")])
+    )

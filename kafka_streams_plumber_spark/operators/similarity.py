@@ -472,3 +472,53 @@ def quantize_embeddings(
         F.array_min("_q.codes").alias("code_min"),
         F.array_max("_q.codes").alias("code_max"),
     )
+
+
+def matryoshka_truncate(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    dims: int = 8,
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka-style dimension truncation (Kusupati et al. 2022):
+    keep the first ``dims`` components and L2-renormalize — the
+    standard cheap-retrieval trick for MRL-trained embedders (a 16x
+    dim cut is a 16x ANN memory/IO cut; rerank survivors at full dim).
+
+    Returns (id, full_norm, trunc: array<double>, trunc_norm). All
+    arithmetic in double with a fixed evaluation order (in-array-order
+    sums, one sqrt, one division per element), so scalar summaries of
+    the output are bit-reproducible against a SQL oracle. Pure
+    projection — no shuffle, codegen end-to-end.
+    """
+    from kafka_streams_plumber_spark.operators.text import let_
+
+    def body(e: Column) -> Column:
+        head = F.slice(e, 1, dims)
+        return let_(
+            norm(head),
+            lambda tn: F.struct(
+                norm(e).alias("full_norm"),
+                tn.alias("trunc_norm"),
+                (
+                    F.transform(head, lambda x: x / tn)
+                    if renormalize
+                    else head
+                ).alias("trunc"),
+            ),
+        )
+
+    out = df.select(
+        F.col(id_col),
+        let_(
+            F.transform(F.col(emb_col), lambda x: x.cast("double")), body
+        ).alias("_m"),
+    )
+    return out.select(
+        id_col,
+        F.col("_m.full_norm").alias("full_norm"),
+        F.col("_m.trunc").alias("trunc"),
+        F.col("_m.trunc_norm").alias("trunc_norm"),
+    )

@@ -1,0 +1,118 @@
+"""Web/URL curation operators for crawl-derived training corpora.
+
+Crawl pipelines key nearly everything on the URL: exact-dup removal
+needs a canonical form (scheme/host case, default ports, tracking
+params, fragments all vary for the same resource), per-domain quotas
+and quality rollups need the registrable domain, and blocklists match
+on the host. All of it is pure string expressions — whole-stage
+codegen at scan speed, no Python, no shuffle until the caller
+aggregates.
+
+Canonicalization steps (the common subset of the Safe Browsing /
+crawler conventions that is deterministic without network access):
+
+1. strip the fragment (``#...``);
+2. lowercase the scheme and host; strip a leading ``www.``;
+3. drop default ports (``:80`` for http, ``:443`` for https);
+4. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``,
+   ``ref``, ``mc_cid``, ``mc_eid``), sort the survivors byte-wise for
+   a stable form, drop the ``?`` entirely when none survive;
+5. strip one trailing ``/`` from a non-root path.
+
+``registrable_domain`` is the public-suffix heuristic (last two
+labels, or three when the second-level label is a known multi-part
+suffix like ``co.uk``) — good enough for quota keys without shipping
+the PSL; swap in a real PSL lookup table (broadcast join) if exact
+eTLD+1 matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: query-param name prefixes that never identify the resource
+TRACKING_PARAM_REGEX = r"^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)="
+
+#: second-level labels that form a multi-part public suffix with a ccTLD
+_MULTIPART_SLD = ("co", "com", "net", "org", "ac", "gov", "edu")
+
+
+def url_scheme(url: Column) -> Column:
+    """Lowercased scheme (text before ``://``)."""
+    return F.lower(F.split_part(url, F.lit("://"), F.lit(1)))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host: after ``://``, before the first ``/`` or ``?``,
+    port stripped, leading ``www.`` stripped."""
+    rest = F.split_part(url, F.lit("://"), F.lit(2))
+    hostport = F.split_part(F.split_part(rest, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1))
+    host = F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 heuristic from a lowercased host (see module docstring)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    sld = F.element_at(labels, -2)
+    take3 = (n >= 3) & sld.isin(*_MULTIPART_SLD)
+    return F.when(n <= 2, host).otherwise(
+        F.when(
+            take3,
+            F.concat_ws(
+                ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+            ),
+        ).otherwise(F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)))
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL string (steps in the module docstring). Pure
+    expression tree — O(1) passes over the string inside codegen."""
+    nofrag = F.split_part(url, F.lit("#"), F.lit(1))
+    scheme = url_scheme(nofrag)
+    rest = F.split_part(nofrag, F.lit("://"), F.lit(2))
+
+    hostport = F.split_part(F.split_part(rest, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1))
+    host = F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.split_part(hostport, F.lit(":"), F.lit(2))  # "" when absent
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    hostout = F.when((port == "") | default_port, host).otherwise(
+        F.concat_ws(":", host, port)
+    )
+
+    # path+query: the suffix of `rest` from the first "/" (absent -> "")
+    pathq = F.when(
+        F.instr(rest, "/") > 0,
+        F.substring(rest, F.instr(rest, "/"), F.length(rest)),
+    ).otherwise(F.lit(""))
+    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    qs = F.when(F.instr(pathq, "?") > 0, F.split_part(pathq, F.lit("?"), F.lit(2))).otherwise(
+        F.lit("")
+    )
+
+    # tracking-param removal + byte-wise sort for a stable param order
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    )
+    qout = F.array_join(F.array_sort(params), "&")
+
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        hostout,
+        path,
+        F.when(qout == "", F.lit("")).otherwise(F.concat(F.lit("?"), qout)),
+    )

@@ -3571,6 +3571,279 @@ def q_kmeans(spark, sf_dir):
 
 
 # =========================================================================
+# Web/URL curation (operators/web.py)
+# =========================================================================
+
+#: Synthetic URL per document — mixed case, default port, tracking
+#: params, unsorted params, sometimes a trailing slash / fragment, and a
+#: multi-part-suffix host for doc_id % 5 == 0 — so every
+#: canonicalization step is exercised. Built identically on both sides.
+_URL_SQL = """
+    'HTTPS://WWW.' || source ||
+    CASE WHEN doc_id % 5 = 0 THEN '.Example.CO.UK:443' ELSE '.Example.COM:443' END ||
+    '/Docs/' || doc_id || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+    '?id=' || doc_id || '&utm_campaign=x&b=2&a=1' ||
+    CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END
+"""
+
+_CANON_SQL = """
+    u2 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
+    u3 AS (SELECT doc_id,
+                  lower(split_part(nofrag, '://', 1)) AS scheme,
+                  split_part(nofrag, '://', 2) AS rest
+           FROM u2),
+    u4 AS (SELECT *,
+                  split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+                  CASE WHEN strpos(rest, '/') > 0
+                       THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+           FROM u3),
+    u5 AS (SELECT *,
+                  regexp_replace(lower(split_part(hostport, ':', 1)), '^www\\.', '') AS host,
+                  split_part(hostport, ':', 2) AS port,
+                  split_part(pathq, '?', 1) AS path0,
+                  CASE WHEN strpos(pathq, '?') > 0
+                       THEN split_part(pathq, '?', 2) ELSE '' END AS qs
+           FROM u4),
+    u6 AS (SELECT *,
+                  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                            OR (scheme = 'https' AND port = '443')
+                       THEN host ELSE host || ':' || port END AS hostout,
+                  array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                      '^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)='))), '&') AS qout,
+                  CASE WHEN path0 = '' THEN '/'
+                       WHEN length(path0) > 1 AND path0 LIKE '%/'
+                       THEN substr(path0, 1, length(path0) - 1)
+                       ELSE path0 END AS path
+           FROM u5),
+    canon AS (SELECT doc_id, host,
+                     scheme || '://' || hostout || path ||
+                     CASE WHEN qout = '' THEN '' ELSE '?' || qout END AS canon_url
+              FROM u6)
+"""
+
+
+def _synth_url() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.when(d % 5 == 0, F.lit(".Example.CO.UK:443")).otherwise(
+            F.lit(".Example.COM:443")
+        ),
+        F.lit("/Docs/"),
+        d.cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        d.cast("string"),
+        F.lit("&utm_campaign=x&b=2&a=1"),
+        F.when(d % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "q_url_canon",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    {_CANON_SQL}
+    SELECT doc_id, canon_url, host,
+           CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                WHEN len(string_split(host, '.')) >= 3
+                     AND string_split(host, '.')[-2] IN
+                         ('co','com','net','org','ac','gov','edu')
+                THEN string_split(host, '.')[-3] || '.' ||
+                     string_split(host, '.')[-2] || '.' ||
+                     string_split(host, '.')[-1]
+                ELSE string_split(host, '.')[-2] || '.' ||
+                     string_split(host, '.')[-1] END AS domain
+    FROM canon
+    """,
+)
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (operators/web.py:canonicalize_url) — the
+    key-normalization step before crawl exact-dedup: fragment/default-
+    port/tracking-param/trailing-slash removal, case folding, param
+    sort, eTLD+1 heuristic. Pure string expressions; the oracle
+    re-derives every step independently in SQL."""
+    from kafka_streams_plumber_spark.operators.web import (
+        canonicalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    u = d.select("doc_id", _synth_url().alias("url"))
+    return u.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        url_host(F.col("url")).alias("host"),
+        registrable_domain(url_host(F.col("url"))).alias("domain"),
+    )
+
+
+@query(
+    "q_domain_stats",
+    f"""
+    WITH u AS (SELECT doc_id, n_chars, lang, {_URL_SQL} AS url FROM documents),
+    {_CANON_SQL.replace("SELECT doc_id, host,", "SELECT doc_id, u.n_chars, u.lang, host,").replace("FROM u6", "FROM u6 JOIN u USING (doc_id)")}
+    SELECT host,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           min(canon_url) AS sample_url
+    FROM canon
+    GROUP BY host
+    """,
+)
+def q_domain_stats(spark, sf_dir):
+    """Per-host crawl rollup (doc count, bytes, language spread, a
+    stable sample URL) — the quota/quality table a crawl curator keys
+    on. One hash aggregate on the host; at 100 TB the host key is
+    low-cardinality relative to docs, so partial aggregation collapses
+    it map-side."""
+    from kafka_streams_plumber_spark.operators.web import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    u = d.select("doc_id", "n_chars", "lang", _synth_url().alias("url"))
+    return (
+        u.select(
+            url_host(F.col("url")).alias("host"),
+            "n_chars",
+            "lang",
+            canonicalize_url(F.col("url")).alias("canon_url"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("canon_url").alias("sample_url"),
+        )
+    )
+
+
+# =========================================================================
+# Matryoshka embedding truncation (operators/similarity.py)
+# =========================================================================
+
+
+@query(
+    "q_matryoshka",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    t AS (SELECT vec_id, v, v[1:8] AS head FROM e),
+    n AS (SELECT vec_id,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS full_norm,
+                 sqrt(list_sum(list_transform(head, x -> x * x))) AS trunc_norm,
+                 head
+          FROM t)
+    SELECT vec_id,
+           round(full_norm, 6) AS full_norm,
+           round(trunc_norm, 6) AS trunc_norm,
+           round(list_sum(list_transform(head, x -> x / trunc_norm)), 6)
+             AS trunc_sum
+    FROM n
+    """,
+)
+def q_matryoshka(spark, sf_dir):
+    """Matryoshka truncation (operators/similarity.py:
+    matryoshka_truncate): keep dims 1..8, L2-renormalize — the 8x ANN
+    memory/IO cut for MRL embedders. Scalar summaries (norms + sum of
+    the renormalized head) hash-match because both engines run the same
+    in-order double arithmetic; the array output is pytest-covered."""
+    from kafka_streams_plumber_spark.operators.similarity import matryoshka_truncate
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    out = matryoshka_truncate(e, dims=8)
+    return out.select(
+        "vec_id",
+        F.round("full_norm", 6).alias("full_norm"),
+        F.round("trunc_norm", 6).alias("trunc_norm"),
+        F.round(
+            F.aggregate("trunc", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("trunc_sum"),
+    )
+
+
+# =========================================================================
+# Length-bucketed batching (operators/packing.py)
+# =========================================================================
+
+
+@query(
+    "q_length_batches",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok <= 32 THEN 0 WHEN n_tok <= 48 THEN 1
+                  WHEN n_tok <= 64 THEN 2 WHEN n_tok <= 96 THEN 3
+                  ELSE 4 END AS bucket,
+             CAST((doc_id % 2147483648) * 2654435761 % 2147483648 % 8
+                  AS BIGINT) AS shard
+      FROM t
+    ),
+    r AS (
+      SELECT *,
+             CAST(floor((row_number() OVER (PARTITION BY bucket, shard
+                                            ORDER BY doc_id) - 1) / 32)
+                  AS BIGINT) AS batch_idx
+      FROM b
+    )
+    SELECT bucket, shard, batch_idx,
+           count(*) AS n_docs,
+           max(n_tok) AS max_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+    FROM r
+    GROUP BY bucket, shard, batch_idx
+    """,
+)
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed batch assignment (operators/packing.py:
+    length_bucketed_batches) — dynamic-padding batching: bucket by
+    token length, shard deterministically so no bucket concentrates in
+    one window task, row_number within (bucket, shard) -> batch_idx.
+    Contract output aggregates to batch granularity (count, max, sum)
+    so the padding-efficiency ledger itself is what's verified."""
+    from kafka_streams_plumber_spark.operators.packing import length_bucketed_batches
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    out = length_bucketed_batches(
+        toks,
+        "doc_id",
+        "n_tok",
+        batch_size=32,
+        bucket_edges=(32, 48, 64, 96),
+        n_shards=8,
+    )
+    return out.groupBy(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("batch_idx").cast("long").alias("batch_idx"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tok").alias("max_tokens"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

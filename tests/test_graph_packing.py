@@ -83,3 +83,33 @@ def test_label_centroids_exact_values(spark):
     out = {r["label"]: r for r in label_centroids(df).collect()}
     assert out[0]["centroid"] == [2.0, 3.0] and out[0]["n"] == 2
     assert out[1]["centroid"] == [10.0, 20.0] and out[1]["n"] == 1
+
+
+def test_length_bucketed_batches_invariants(spark):
+    from kafka_streams_plumber_spark.operators.packing import length_bucketed_batches
+
+    rows = [(i, 10 + (i * 37) % 200) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = length_bucketed_batches(
+        df, "doc_id", "n_tok", batch_size=8, bucket_edges=(32, 64, 128), n_shards=4
+    ).collect()
+    assert len(out) == 300
+    by_key: dict = {}
+    for r in out:
+        # bucket edges respected
+        edges = [32, 64, 128]
+        if r["bucket"] < 3:
+            assert r["n_tok"] <= edges[r["bucket"]]
+            assert r["bucket"] == 0 or r["n_tok"] > edges[r["bucket"] - 1]
+            assert r["pad_to"] == edges[r["bucket"]]
+        else:
+            assert r["n_tok"] > 128 and r["pad_to"] is None
+        by_key.setdefault((r["bucket"], r["shard"], r["batch_idx"]), []).append(r)
+    for (_, _, bidx), members in by_key.items():
+        assert len(members) <= 8
+    # deterministic across recomputation
+    out2 = length_bucketed_batches(
+        df, "doc_id", "n_tok", batch_size=8, bucket_edges=(32, 64, 128), n_shards=4
+    ).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(out, key=key) == sorted(out2, key=key)

@@ -143,3 +143,22 @@ def test_quantize_embeddings_roundtrip(spark):
         .count()
     )
     assert err == 0
+
+
+def test_matryoshka_truncate_renormalizes_head(spark):
+    from kafka_streams_plumber_spark.operators.similarity import matryoshka_truncate
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0, 0.0, 1.0]), (2, [0.0, 2.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in matryoshka_truncate(df, dims=2).collect()
+    }
+    # head of vec 1 = [3,4] -> norm 5, renormalized [0.6, 0.8]
+    assert abs(rows[1]["trunc_norm"] - 5.0) < 1e-12
+    assert [round(x, 12) for x in rows[1]["trunc"]] == [0.6, 0.8]
+    # full norm includes the tail
+    assert abs(rows[1]["full_norm"] - (9 + 16 + 1) ** 0.5) < 1e-12
+    assert [round(x, 12) for x in rows[2]["trunc"]] == [0.0, 1.0]

@@ -1,0 +1,69 @@
+"""URL canonicalization / domain operators (operators/web.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.web import (
+    canonicalize_url,
+    registrable_domain,
+    url_host,
+)
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [
+        r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonicalize_strips_fragment_port_tracking_and_sorts(spark):
+    out = _canon(
+        spark,
+        ["HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&b=2&a=1#frag"],
+    )
+    assert out == ["https://example.com/A/B?a=1&b=2"]
+
+
+def test_canonicalize_keeps_nondefault_port_and_path_case(spark):
+    out = _canon(spark, ["http://Example.com:8080/CaseSensitive"])
+    assert out == ["http://example.com:8080/CaseSensitive"]
+
+
+def test_canonicalize_root_and_empty_path(spark):
+    assert _canon(spark, ["https://example.com", "https://example.com/"]) == [
+        "https://example.com/",
+        "https://example.com/",
+    ]
+
+
+def test_canonicalize_drops_query_when_only_tracking(spark):
+    out = _canon(spark, ["https://e.com/p?utm_campaign=a&gclid=1&fbclid=2"])
+    assert out == ["https://e.com/p"]
+
+
+def test_canonicalize_is_idempotent(spark):
+    url = "HTTPS://WWW.Example.COM:443/A/?b=2&a=1&utm_source=x#f"
+    once = _canon(spark, [url])
+    assert _canon(spark, once) == once
+
+
+def test_url_host_and_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.news.bbc.co.uk/x",),
+            ("https://a.b.example.com/",),
+            ("http://localhost:8080/",),
+        ],
+        ["url"],
+    )
+    rows = df.select(
+        url_host(F.col("url")).alias("h"),
+        registrable_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()
+    assert [(r["h"], r["d"]) for r in rows] == [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.example.com", "example.com"),
+        ("localhost", "localhost"),
+    ]
