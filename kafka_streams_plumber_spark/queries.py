@@ -3844,6 +3844,73 @@ def q_length_batches(spark, sf_dir):
 
 
 # =========================================================================
+# Naive Bayes source classifier (operators/classify.py)
+# =========================================================================
+
+
+@query(
+    "q_nb_classifier",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, y,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM d
+    ),
+    counts AS (
+      SELECT token, CAST(sum(y) AS BIGINT) AS c1,
+             CAST(sum(1 - y) AS BIGINT) AS c0
+      FROM toks GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+             count(*) AS v
+      FROM counts
+    ),
+    docs AS (
+      SELECT CAST(sum(y) AS DOUBLE) AS d1, CAST(sum(1 - y) AS DOUBLE) AS d0
+      FROM d
+    ),
+    w AS (
+      SELECT token,
+             CAST(round((ln((c1 + 1.0) / (n1 + 1.0 * v))
+                         - ln((c0 + 1.0) / (n0 + 1.0 * v))) * 1000000)
+                  AS BIGINT) AS weight
+      FROM counts, tot
+    ),
+    prior AS (
+      SELECT CAST(round((ln(d1) - ln(d0)) * 1000000) AS BIGINT) AS p FROM docs
+    ),
+    s AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(coalesce(weight, 0)) AS BIGINT) AS wsum
+      FROM toks LEFT JOIN w USING (token)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, (wsum + p) / 1000000.0 AS score,
+           (wsum + p) > 0 AS pred
+    FROM s, prior
+    """,
+)
+def q_nb_classifier(spark, sf_dir):
+    """Naive Bayes text classifier (operators/classify.py) — the
+    fastText-style quality/domain filter of curation pipelines, trained
+    AND applied with plain aggregations: model = two hash aggregates
+    (O(vocab) rows, broadcast at scoring), score = exact integer sum of
+    frozen (1e-6-scaled) log-odds weights, so results are
+    order-insensitive and hash-match the SQL oracle bit-for-bit."""
+    from kafka_streams_plumber_spark.operators.classify import nb_score, nb_train
+
+    d = load_tables(spark, sf_dir)["documents"]
+    labeled = d.withColumn("y", (F.col("lang") == "en").cast("int"))
+    model = nb_train(labeled, "text", "y")
+    return nb_score(labeled, model, "text", "doc_id")
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -228,3 +228,64 @@ def test_snapshot_diff_prunes_unread_columns(spark):
     df = QUERIES["q_snapshot_diff"](spark, SF)
     for cols in read_schemas(df):
         assert set(cols) <= {"o_orderkey", "o_totalprice", "o_orderstatus"}
+
+
+def test_url_and_matryoshka_are_shuffle_free_projections(spark):
+    """canonicalize_url / matryoshka_truncate are pure expression trees:
+    no exchange, no Python eval — they run at scan speed."""
+    from kafka_streams_plumber_spark.plans.inspect import (
+        python_eval_count,
+        shuffle_count,
+    )
+
+    for name in ["q_url_canon", "q_matryoshka"]:
+        df = QUERIES[name](spark, SF)
+        assert shuffle_count(df) == 0, name
+        assert python_eval_count(df) == 0, name
+
+
+def test_domain_stats_single_aggregate(spark):
+    """q_domain_stats plans exactly the two exchanges its COUNT(DISTINCT
+    lang) requires — partial distinct on (host, lang), final on host —
+    and canonicalization itself adds no extra shuffle or Python."""
+    from kafka_streams_plumber_spark.plans.inspect import (
+        python_eval_count,
+        shuffle_count,
+    )
+
+    df = QUERIES["q_domain_stats"](spark, SF)
+    assert shuffle_count(df) == 2
+    assert python_eval_count(df) == 0
+
+
+def test_length_batches_shuffles_on_bucket_and_shard(spark):
+    """length_bucketed_batches partitions its window by (bucket, shard):
+    the plan must show the composite key (no single-key hot window) and
+    stay Python-free."""
+    from kafka_streams_plumber_spark.plans.inspect import (
+        plan_string,
+        python_eval_count,
+    )
+
+    df = QUERIES["q_length_batches"](spark, SF)
+    p = plan_string(df)
+    assert "hashpartitioning(bucket" in p and "shard" in p
+    assert python_eval_count(df) == 0
+
+
+def test_nb_classifier_broadcasts_model(spark):
+    """nb_score must broadcast the O(vocab) model side and keep the
+    corpus un-collected: >=1 broadcast join, no Python eval."""
+    from kafka_streams_plumber_spark.plans.inspect import (
+        broadcast_join_count,
+        python_eval_count,
+    )
+
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    df = QUERIES["q_nb_classifier"](spark, SF)
+    # weights join broadcasts; the prior attaches as a 1-row broadcast
+    # (BroadcastNestedLoopJoin over a scalar row — the legitimate kind).
+    assert broadcast_join_count(df) >= 1
+    assert python_eval_count(df) == 0
+    assert "CartesianProduct" not in plan_string(df)
