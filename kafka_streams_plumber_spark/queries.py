@@ -3911,6 +3911,72 @@ def q_nb_classifier(spark, sf_dir):
 
 
 # =========================================================================
+# BPE merge training (operators/bpe.py)
+# =========================================================================
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unroll every BPE round as CTEs (the q_kmeans device): round i
+    derives pair counts from w{i-1}, picks the (count desc, pair asc)
+    winner, and rewrites the word table with a leftmost-first replace —
+    the exact semantics of operators/bpe.py."""
+    parts = [
+        """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+    w0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w, cnt FROM wc)
+        """
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""
+    , p{i} AS (
+      SELECT pr.lhs AS lhs, pr.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT unnest(list_transform(range(1, len(string_split(w, ' '))),
+                 j -> {{'lhs': string_split(w, ' ')[j],
+                        'rhs': string_split(w, ' ')[j + 1]}})) AS pr, cnt
+        FROM w{i - 1})
+      GROUP BY pr.lhs, pr.rhs
+    ),
+    b{i} AS (
+      SELECT lhs, rhs, pair_count FROM p{i}
+      ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    ),
+    w{i} AS (
+      SELECT replace(w, (SELECT lhs || ' ' || rhs FROM b{i}),
+                        (SELECT lhs || rhs FROM b{i})) AS w, cnt
+      FROM w{i - 1}
+    )
+            """
+        )
+    finals = [
+        f"SELECT {i} AS merge_round, lhs, rhs, lhs || rhs AS merged, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + " UNION ALL ".join(finals)
+
+
+@query("q_bpe_train", _bpe_oracle(n_merges=6))
+def q_bpe_train(spark, sf_dir):
+    """BPE merge training (operators/bpe.py:bpe_train): 6 merge rounds
+    learned on the word-frequency table — the corpus collapses to
+    O(distinct words) in one pass, every round is a projection + one
+    small aggregate + a one-row argmax, so training cost is independent
+    of corpus size past the first scan. The oracle unrolls all rounds
+    in SQL and the merge list hash-matches exactly."""
+    from kafka_streams_plumber_spark.operators.bpe import bpe_train
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return bpe_train(d, "text", n_merges=6).select(
+        "merge_round", "lhs", "rhs", "merged", F.col("pair_count").cast("long").alias("pair_count")
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
