@@ -159,3 +159,46 @@ def stratified_sample(
             (F.col(strata_col) == name) & (b < int(round(frac * 1000)))
         )
     return df.filter(cond)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    *,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-free splits: assign by GROUP (user, domain, dedup
+    cluster), not by row, so correlated rows — a user's events, a
+    domain's pages, a near-duplicate family — never straddle
+    train/test. Same id-hash arithmetic as :func:`hash_split` applied
+    to the integer group key; within a group every row lands in the
+    same split by construction (no join, no shuffle — the group id is
+    already on the row)."""
+    return hash_split(df, group_col, fractions=fractions, split_col=split_col)
+
+
+def importance_sample(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    *,
+    temperature: float = 1.0,
+    keep_col: str = "accept_p",
+) -> DataFrame:
+    """Importance resampling by a log-odds relevance score (the DSIR
+    pattern: keep documents with probability sigmoid(score/T), where
+    the score is a likelihood ratio such as classify.nb_score's).
+
+    Acceptance is deterministic: a 1e6-bucket id hash is compared to
+    the sigmoid rounded to 6 dp, so the SAME rows survive on every
+    run, partitioning, and engine (the oracle-hash property), yet the
+    kept set is distributed like an independent Bernoulli draw because
+    the id hash is uniform and independent of content. Pure
+    expressions — filter + arithmetic, pushes down to the scan when
+    the score is a stored column."""
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(score_col) / temperature)), 6
+    )
+    u = split_bucket(F.col(id_col), buckets=1_000_000) / 1_000_000.0
+    return df.withColumn(keep_col, p).filter(u < F.col(keep_col))

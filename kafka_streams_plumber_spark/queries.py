@@ -3977,6 +3977,120 @@ def q_bpe_train(spark, sf_dir):
 
 
 # =========================================================================
+# Leakage-free splits + importance resampling (operators/sampling.py)
+# =========================================================================
+
+
+@query(
+    "q_group_split",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CASE WHEN (user_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 800
+                  THEN 'train'
+                  WHEN (user_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 900
+                  THEN 'val' ELSE 'test' END AS split,
+             event_id
+      FROM events
+    )
+    SELECT split, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM s GROUP BY split
+    """,
+)
+def q_group_split(spark, sf_dir):
+    """Group-level split (operators/sampling.py:group_split): every
+    event of a user lands in the same split — the leakage-free
+    train/test hygiene (GroupShuffleSplit) for correlated rows. Hash
+    arithmetic on the group key already on the row: no join, no
+    shuffle beyond the verification rollup."""
+    from kafka_streams_plumber_spark.operators.sampling import group_split
+
+    e = load_tables(spark, sf_dir)["events"]
+    out = group_split(
+        e, "user_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
+
+
+@query(
+    "q_importance_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, y,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM d
+    ),
+    counts AS (
+      SELECT token, CAST(sum(y) AS BIGINT) AS c1,
+             CAST(sum(1 - y) AS BIGINT) AS c0
+      FROM toks GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+             count(*) AS v
+      FROM counts
+    ),
+    docs AS (
+      SELECT CAST(sum(y) AS DOUBLE) AS d1, CAST(sum(1 - y) AS DOUBLE) AS d0
+      FROM d
+    ),
+    w AS (
+      SELECT token,
+             CAST(round((ln((c1 + 1.0) / (n1 + 1.0 * v))
+                         - ln((c0 + 1.0) / (n0 + 1.0 * v))) * 1000000)
+                  AS BIGINT) AS weight
+      FROM counts, tot
+    ),
+    prior AS (
+      SELECT CAST(round((ln(d1) - ln(d0)) * 1000000) AS BIGINT) AS p FROM docs
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(coalesce(weight, 0)) AS BIGINT) AS wsum
+      FROM toks LEFT JOIN w USING (token)
+      GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, (wsum + p) / 1000000.0 AS score FROM s, prior
+    ),
+    acc AS (
+      SELECT doc_id, round(1.0 / (1.0 + exp(-score)), 6) AS accept_p
+      FROM scored
+    )
+    SELECT doc_id, accept_p
+    FROM acc
+    WHERE ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000000)
+          / 1000000.0 < accept_p
+    """,
+)
+def q_importance_sample(spark, sf_dir):
+    """Importance resampling (operators/sampling.py:importance_sample,
+    the DSIR pattern): keep documents with probability
+    sigmoid(NB log-odds), decided by a deterministic id hash so the
+    kept set is identical across runs/engines yet Bernoulli-distributed.
+    Composes classify.nb_train/nb_score end-to-end under the gate."""
+    from kafka_streams_plumber_spark.operators.classify import nb_score, nb_train
+    from kafka_streams_plumber_spark.operators.sampling import importance_sample
+
+    d = load_tables(spark, sf_dir)["documents"]
+    labeled = d.withColumn("y", (F.col("lang") == "en").cast("int"))
+    model = nb_train(labeled, "text", "y")
+    scored = nb_score(labeled, model, "text", "doc_id")
+    kept = importance_sample(scored, "score", "doc_id")
+    return kept.select("doc_id", "accept_p")
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

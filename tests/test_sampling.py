@@ -133,3 +133,53 @@ def test_mix_sources_solves_fractions(spark):
     ids1 = sorted(r["id"] for r in out.collect())
     ids2 = sorted(r["id"] for r in out.collect())
     assert ids1 == ids2
+
+
+def test_group_split_never_splits_a_group(spark):
+    from kafka_streams_plumber_spark.operators.sampling import group_split
+
+    rows = [(u, e) for u in range(50) for e in range(4)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id"])
+    out = group_split(
+        df, "user_id", fractions={"train": 0.7, "test": 0.3}
+    ).collect()
+    assert len(out) == 200
+    per_user: dict = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_user.values())
+
+
+def test_importance_sample_rate_tracks_sigmoid(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.sampling import importance_sample
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+    )
+    kept = importance_sample(df, "score", "doc_id").count()
+    # sigmoid(0) = 0.5: the uniform id hash should keep ~half
+    assert abs(kept / n - 0.5) < 0.05
+
+    high = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(6.0).alias("score")
+    )
+    assert importance_sample(high, "score", "doc_id").count() > 0.95 * n
+
+
+def test_importance_sample_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.sampling import importance_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 / 3.0 - 1.0).alias("score")
+    )
+    a = sorted(r["doc_id"] for r in importance_sample(df, "score", "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in importance_sample(df.repartition(9), "score", "doc_id").collect()
+    )
+    assert a == b
