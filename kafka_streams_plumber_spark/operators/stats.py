@@ -223,3 +223,43 @@ def topk_per_group(
     return local.withColumn(rank_col, rank_fn().over(wg)).filter(
         F.col(rank_col) <= k
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    exact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip a value column to its per-group [lo, hi] quantiles — the
+    standard outlier-taming step before length/score statistics drive
+    curation decisions.
+
+    ``exact=True`` uses the exact interpolated percentile (bit-identical
+    to SQL ``quantile_cont``, hence oracle-gated) — it buffers each
+    group's values on the agg side, fine when groups are few/bounded.
+    For per-group bounds over billions of rows use ``exact=False``:
+    ``percentile_approx`` is a mergeable sketch with map-side partials
+    (bounded memory, same plan shape, approximate bounds).
+
+    The bounds table is O(groups) rows and broadcast back; the data
+    side never shuffles for the join.
+    """
+    q = F.percentile if exact else F.percentile_approx
+    bounds = df.groupBy(group_col).agg(
+        q(value_col, F.lit(lo)).alias("_lo"),
+        q(value_col, F.lit(hi)).alias("_hi"),
+    )
+    out = out_col or f"{value_col}_clipped"
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out,
+            F.least(F.greatest(F.col(value_col).cast("double"), F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

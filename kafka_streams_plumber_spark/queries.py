@@ -4091,6 +4091,39 @@ def q_importance_sample(spark, sf_dir):
 
 
 # =========================================================================
+# Per-group winsorization (operators/stats.py)
+# =========================================================================
+
+
+@query(
+    "q_winsorize",
+    """
+    WITH b AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)
+             AS n_chars_clipped
+    FROM documents d JOIN b USING (source)
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Per-source winsorization (operators/stats.py:winsorize): clip
+    document lengths to the source's [p05, p95] — outlier taming before
+    curation stats. Exact interpolated percentiles (== quantile_cont
+    bit-for-bit); the O(groups) bounds table broadcasts back, the data
+    side never shuffles for the join."""
+    from kafka_streams_plumber_spark.operators.stats import winsorize
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = winsorize(d, "n_chars", "source", lo=0.05, hi=0.95)
+    return out.select("doc_id", "source", "n_chars", "n_chars_clipped")
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

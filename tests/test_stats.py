@@ -119,3 +119,30 @@ def test_skew_profile_orders_and_ties(spark):
         ("b", 3, 2, 0.25),
         ("c", 3, 3, 0.25),
     ]
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.stats import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 1000.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = winsorize(df, "v", "g", lo=0.10, hi=0.90).collect()
+    a_vals = [r["v_clipped"] for r in out if r["g"] == "a"]
+    # p10 of 1..100 = 10.9, p90 = 90.1 (R-7 interpolation)
+    assert abs(min(a_vals) - 10.9) < 1e-9 and abs(max(a_vals) - 90.1) < 1e-9
+    assert all(10.9 - 1e-9 <= v <= 90.1 + 1e-9 for v in a_vals)
+    # singleton group: value is its own quantile, untouched
+    b = [r["v_clipped"] for r in out if r["g"] == "b"]
+    assert b == [1000.0]
+
+
+def test_winsorize_approx_path_plans_partial_agg(spark):
+    from kafka_streams_plumber_spark.operators.stats import winsorize
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    df = spark.range(1000).selectExpr("id % 3 AS g", "CAST(id AS DOUBLE) AS v")
+    p = plan_string(winsorize(df, "v", "g", exact=False))
+    # approx_percentile is a mergeable sketch: partial_ appears map-side
+    assert "approx_percentile" in p or "percentile_approx" in p
