@@ -289,3 +289,108 @@ def decayed_rate_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+QUOTA_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("accepted", T.BooleanType()),
+        T.StructField("tokens_after", T.DoubleType()),
+        T.StructField("n_accepted", T.LongType()),
+        T.StructField("n_rejected", T.LongType()),
+    ]
+)
+
+_QUOTA_STATE_SCHEMA = "last_ms LONG, tokens DOUBLE, n_acc LONG, n_rej LONG"
+
+
+def quota_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    capacity: float = 10.0,
+    refill_per_sec: float = 1.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key token-bucket admission control — the streaming quota
+    every continual-ingestion pipeline needs (cap documents per domain,
+    events per user) with burst tolerance.
+
+    Bucket starts full (``capacity``); each event takes one token if
+    available (accepted) else is marked rejected; tokens refill at
+    ``refill_per_sec`` up to capacity, computed lazily from the
+    inter-arrival gap — so state per key is one (ts, double, long,
+    long) row however hot the key, and no timer ticks exist. Rejected
+    events are EMITTED with ``accepted=false`` rather than dropped:
+    the caller chooses to filter or to route them to a dead-letter
+    sink, and the audit trail (running accept/reject counts) rides on
+    every row. State evicts after 10 bucket-drain times past the
+    watermark.
+
+    Event-time ordered within the batch; same GroupState shape as
+    :func:`sessionize_stream` / :func:`decayed_rate_stream`.
+    """
+
+    def fn(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t.value // 1_000_000) for t in pd.to_datetime(pdf[ts_col]))
+        ts_all.sort()
+
+        if state.exists:
+            last_ms, tokens, n_acc, n_rej = state.get
+        else:
+            last_ms, tokens, n_acc, n_rej = None, float(capacity), 0, 0
+
+        out = []
+        for t in ts_all:
+            if last_ms is not None:
+                tokens = min(
+                    float(capacity),
+                    tokens + (t - last_ms) * refill_per_sec / 1000.0,
+                )
+            last_ms = t
+            ok = tokens >= 1.0
+            if ok:
+                tokens -= 1.0
+                n_acc += 1
+            else:
+                n_rej += 1
+            out.append((k, t, ok, tokens, n_acc, n_rej))
+        state.update((last_ms, tokens, n_acc, n_rej))
+        drain_ms = int(capacity / max(refill_per_sec, 1e-9) * 1000)
+        state.setTimeoutTimestamp(last_ms + 10 * max(drain_ms, 1000))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": kk,
+                    "ts_ms": t,
+                    "accepted": ok,
+                    "tokens_after": tk,
+                    "n_accepted": na,
+                    "n_rejected": nr,
+                }
+                for (kk, t, ok, tk, na, nr) in out
+            ]
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=QUOTA_SCHEMA,
+            stateStructType=_QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -201,3 +201,47 @@ def test_session_window_agg_streaming_matches_batch(spark, tmp_path):
     for key, r in got.items():
         assert batch[key].n_events == r.n_events
         assert batch[key].end_ms == r.end_ms
+
+
+def test_quota_stream_token_bucket_semantics(spark, tmp_path):
+    """Burst of 5 with capacity 3: first 3 accepted, next 2 rejected;
+    after a refill gap the key is admitted again. Counts accumulate
+    across micro-batches (state survives)."""
+    from kafka_streams_plumber_spark.streaming.stateful import quota_stream
+
+    rows1 = [(1, T0 + dt.timedelta(seconds=i)) for i in range(5)]  # burst
+    rows2 = [(1, T0 + dt.timedelta(seconds=120))]  # long gap -> refilled
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _events(spark, rows1).coalesce(1).write.parquet(str(src_dir / "b0"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(src_dir / "*"))
+    )
+    out = quota_stream(
+        stream, capacity=3.0, refill_per_sec=0.1, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _events(spark, rows2).coalesce(1).write.parquet(str(src_dir / "b1"))
+        q.processAllAvailable()
+        got = sorted(
+            spark.sql("SELECT * FROM quota_test").collect(),
+            key=lambda r: r.ts_ms,
+        )
+    finally:
+        q.stop()
+
+    assert [r.accepted for r in got] == [True, True, True, False, False, True]
+    # refill during the burst: 1 token/10s, events 1s apart -> ~0.1/event
+    assert got[-1].n_accepted == 4 and got[-1].n_rejected == 2
+    # the 120s gap refills 12 tokens but clamps at capacity 3, one spent
+    assert abs(got[-1].tokens_after - 2.0) < 0.5
