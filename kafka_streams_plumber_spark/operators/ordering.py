@@ -54,10 +54,26 @@ def global_order(
     unlikely) md5 collisions, keeping replays bit-identical.
     """
     key = shuffle_key(id_col, seed=seed)
+    return rank_by(
+        df.withColumn("_k", key), ["_k", id_col], pos_col=pos_col
+    ).drop("_k")
+
+
+def rank_by(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """0-based global ordinal under ``ORDER BY *order_cols`` — the
+    parallel ``row_number() OVER (ORDER BY ...)`` (same machinery as
+    :func:`global_order`, which delegates here with a hash key; pass a
+    trailing unique id to make the order total). Range-repartition +
+    local sort + per-partition ordinal + an O(P)-row broadcast offset
+    table — no stage holds more than one partition."""
     ranked = (
-        df.withColumn("_k", key)
-        .repartitionByRange("_k", id_col)
-        .sortWithinPartitions("_k", id_col)
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
         .select(
             "*",
             F.spark_partition_id().alias("_pid"),
@@ -77,7 +93,41 @@ def global_order(
     out = ranked.join(F.broadcast(offsets), "_pid").withColumn(
         pos_col, F.col("_off") + (F.col("_mid") - F.col("_m0"))
     )
-    return out.drop("_k", "_pid", "_mid", "_m0", "_off")
+    return out.drop("_pid", "_mid", "_m0", "_off")
+
+
+def rank_normalize(
+    df: DataFrame,
+    id_col: str,
+    signal_cols: list[str],
+    *,
+    out_col: str = "quality",
+) -> DataFrame:
+    """Blend heterogeneous quality signals into one comparable score:
+    each signal is rank-normalized to [0, 1] (exact global percentile
+    rank, id tie-break) and the composite is their mean — the standard
+    way to ensemble curation signals whose scales differ (length vs
+    log-odds vs repetition fractions).
+
+    Per signal one :func:`rank_by` pass (parallel sort, no single-task
+    window), then equi-joins on the id — (id, rank) pairs only, the
+    wide row never re-shuffles. Returns (id, <signal>_rank ...,
+    out_col); rows with any NULL signal are excluded (rank undefined).
+    """
+    base = df.select(id_col, *signal_cols)
+    for s in signal_cols:
+        base = base.filter(F.col(s).isNotNull())
+    n1 = base.agg((F.count("*") - 1).cast("double").alias("_n1"))
+    acc = base.select(id_col)
+    for s in signal_cols:
+        r = rank_by(base.select(id_col, s), [s, id_col], pos_col=f"{s}_rank")
+        acc = acc.join(r.select(id_col, f"{s}_rank"), id_col)
+    acc = acc.crossJoin(F.broadcast(n1))
+    comp = None
+    for s in signal_cols:
+        term = F.col(f"{s}_rank") / F.col("_n1")
+        comp = term if comp is None else comp + term
+    return acc.withColumn(out_col, comp / len(signal_cols)).drop("_n1")
 
 
 def epoch_shards(

@@ -4124,6 +4124,67 @@ def q_winsorize(spark, sf_dir):
 
 
 # =========================================================================
+# Quality-signal ensembling (operators/ordering.py:rank_normalize)
+# =========================================================================
+
+
+@query(
+    "q_quality_ensemble",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok,
+             round(CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                        x -> x <> ''))) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), x -> x <> '')), 6)
+               AS ttr
+      FROM documents
+    ),
+    n AS (SELECT count(*) - 1.0 AS n1 FROM s),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS n_chars_rank,
+             row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS n_tok_rank,
+             row_number() OVER (ORDER BY ttr, doc_id) - 1 AS ttr_rank
+      FROM s
+    )
+    SELECT doc_id, n_chars_rank, n_tok_rank, ttr_rank,
+           round((n_chars_rank / n1 + n_tok_rank / n1 + ttr_rank / n1) / 3, 6)
+             AS quality
+    FROM r, n
+    """,
+)
+def q_quality_ensemble(spark, sf_dir):
+    """Quality-signal ensemble (operators/ordering.py:rank_normalize):
+    length, token count, and type-token ratio each rank-normalized to
+    [0,1] by the PARALLEL global rank (rank_by: range-partitioned sort
+    + O(P) offset broadcast — the oracle's single-task row_number() is
+    exactly what this operator avoids at scale), blended by mean."""
+    from kafka_streams_plumber_spark.operators.ordering import rank_normalize
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    s = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    )
+    out = rank_normalize(s, "doc_id", ["n_chars", "n_tok", "ttr"])
+    return out.select(
+        "doc_id",
+        "n_chars_rank",
+        "n_tok_rank",
+        "ttr_rank",
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
@@ -4164,6 +4225,16 @@ _WINDOW_DEMOTE = {
     "q_distinct",      # q_count_distinct exercises the same shape
     "q_topk_group",    # q_source_cap runs the same two-phase operator
     "q_epoch_shards",  # q_train_order runs the same global_order core
+    "q_asof_fwd",      # q_asof keeps the as-of family in-window
+    "q_session_window", # q_sessionize keeps sessionization in-window
+}
+
+#: Queries pulled to the FRONT of the gate window: operator families
+#: added after the window filled (distributed model training — NB
+#: classifier, BPE merges) that no earlier in-window query represents.
+_WINDOW_PROMOTE = {
+    "q_nb_classifier",
+    "q_bpe_train",
 }
 
 
@@ -4171,6 +4242,8 @@ def _reorder_registry() -> None:
     def rank(name: str) -> float:
         if name not in ORACLES:
             return 3
+        if name in _WINDOW_PROMOTE:
+            return -1
         if _re.match(r"q\d+_", name):
             return 2
         return 1 if name in _WINDOW_DEMOTE else 0

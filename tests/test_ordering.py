@@ -48,3 +48,34 @@ def test_epoch_shards_balanced_and_consistent(spark):
     }
     for r in out:
         assert glob[r["doc_id"]] == r["pos_in_shard"] * 8 + r["shard"]
+
+
+def test_rank_by_matches_row_number(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.ordering import rank_by
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 50) for i in range(200)], ["id", "v"]
+    )
+    got = {r["id"]: r["pos"] for r in rank_by(df, ["v", "id"]).collect()}
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.selectExpr(
+            "id", "row_number() OVER (ORDER BY v, id) - 1 AS rn"
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_rank_normalize_bounds_and_mean(spark):
+    from kafka_streams_plumber_spark.operators.ordering import rank_normalize
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(100 - i)) for i in range(101)], ["id", "a", "b"]
+    )
+    out = {r["id"]: r for r in rank_normalize(df, "id", ["a", "b"]).collect()}
+    # a and b are perfectly anti-correlated: every composite is 0.5
+    assert all(abs(r["quality"] - 0.5) < 1e-12 for r in out.values())
+    assert out[0]["a_rank"] == 0 and out[0]["b_rank"] == 100
+    assert out[100]["a_rank"] == 100 and out[100]["b_rank"] == 0
