@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_plumber_spark.operators.text import (
@@ -515,4 +515,101 @@ def decontaminate(
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
+    )
+
+
+def _positional_gram_hashes(col: Column, *, k: int) -> Column:
+    """Position-indexed word k-gram hashes: element i is the hash of
+    tokens[i..i+k) (whitespace-run tokenization, empties dropped —
+    the decontaminate-oracle convention). NOT distinct: array index ==
+    token offset, which is what span localization needs. Empty when
+    the document has fewer than k tokens."""
+    from kafka_streams_plumber_spark.operators.text import let_
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), n - k)
+        grams = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j + 1).cast("int"))
+                        for j in range(k)
+                    ],
+                )
+            ),
+        )
+        return F.when(n >= k, grams).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return let_(
+        F.filter(F.split(col, r"\s+"), lambda x: x != ""), body
+    )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    doc_text: str = "text",
+    bench_text: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Span-level contamination localization: WHERE each document
+    overlaps the benchmark, as merged token intervals — so pipelines
+    can excise the contaminated span and keep the document (the
+    refinement over :func:`decontaminate`'s doc-level drop).
+
+    Plan: posexplode doc k-grams (keeping the token offset), hash-join
+    against the broadcast benchmark gram set, then merge overlapping
+    hit intervals [pos, pos+k) per document with the classic
+    gaps-and-islands cumsum. The per-doc window partitions on doc_id —
+    a high-cardinality key whose groups are the (small) hit lists, so
+    no hot single task exists at any corpus size; the corpus is
+    scanned once and only (doc_id, pos) pairs of HITS shuffle.
+
+    Returns (doc_id, n_hit_grams, n_spans, covered_tokens) for every
+    document with >= 1 hit. Unlike :func:`decontaminate` (distinct gram
+    SETS), grams here keep their token position, so repeated
+    contaminated grams produce repeated hits — each flagged span is a
+    real location in the document.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_positional_gram_hashes(F.col(bench_text), k=k)).alias("_g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(doc_id),
+        F.posexplode(_positional_gram_hashes(F.col(doc_text), k=k)).alias(
+            "_pos", "_g"
+        ),
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "_g").select(doc_id, "_pos")
+
+    w = Window.partitionBy(doc_id).orderBy("_pos")
+    # island starts where this hit begins past every previous hit's end
+    prev_end = F.max(F.col("_pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_new", (F.coalesce(F.col("_pos") >= prev_end, F.lit(True))).cast("int")
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy(doc_id, "_island").agg(
+        F.count("*").alias("_hits"),
+        F.min("_pos").alias("_s"),
+        (F.max("_pos") + k).alias("_e"),
+    )
+    return spans.groupBy(doc_id).agg(
+        F.sum("_hits").cast("long").alias("n_hit_grams"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s")).cast("long").alias("covered_tokens"),
     )

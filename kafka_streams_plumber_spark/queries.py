@@ -4185,6 +4185,71 @@ def q_quality_ensemble(spark, sf_dir):
 
 
 # =========================================================================
+# Span-level decontamination (operators/dedup.py:decontaminate_spans)
+# =========================================================================
+
+
+@query(
+    "q_decontaminate_spans",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, pr.pos AS pos, pr.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> {'pos': i - 1,
+                       'gram': array_to_string(toks[i:i+2], ' ')})) AS pr
+        FROM tok WHERE len(toks) >= 3)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (gram)),
+    pe AS (
+      SELECT doc_id, pos,
+             max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CAST(sum(CASE WHEN prev_end IS NULL OR pos >= prev_end
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
+      FROM pe
+    ),
+    spans AS (
+      SELECT doc_id, island, count(*) AS h, min(pos) AS s, max(pos) + 3 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, CAST(sum(h) AS BIGINT) AS n_hit_grams,
+           count(*) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS covered_tokens
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level contamination localization (operators/dedup.py:
+    decontaminate_spans): positional 3-gram hits against the broadcast
+    benchmark gram set, merged into token intervals with a per-doc
+    gaps-and-islands cumsum — so pipelines excise the span, not the
+    document. Benchmark = every 97th doc (the q_decontaminate split)."""
+    from kafka_streams_plumber_spark.operators.dedup import decontaminate_spans
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", F.lower(F.trim("text")).alias("text"))
+    )
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_spans(d, bench, k=3)
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

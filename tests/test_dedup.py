@@ -99,3 +99,38 @@ def test_decontaminate_min_hits_threshold(spark):
 
     strict = decontaminate(docs, bench, k=3, min_hits=2).collect()[0]
     assert strict["n_hits"] == 1 and not strict["contaminated"]
+
+
+def test_decontaminate_spans_merges_overlaps(spark):
+    from kafka_streams_plumber_spark.operators.dedup import decontaminate_spans
+
+    # doc 1 contains the benchmark phrase "a b c d" (two overlapping
+    # 3-gram hits at pos 2,3 -> ONE span [2, 6)) plus an isolated hit
+    # "x y z" at pos 8 -> second span [8, 11)
+    docs = spark.createDataFrame(
+        [
+            (1, "p q a b c d r s x y z"),
+            (2, "nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d"), (101, "x y z")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in decontaminate_spans(docs, bench, k=3).collect()}
+    assert 2 not in out
+    r = out[1]
+    assert r["n_hit_grams"] == 3          # pos 2, 3 and pos 8
+    assert r["n_spans"] == 2
+    assert r["covered_tokens"] == (6 - 2) + (11 - 8)
+
+
+def test_decontaminate_spans_repeated_gram_hits_each_position(spark):
+    from kafka_streams_plumber_spark.operators.dedup import decontaminate_spans
+
+    docs = spark.createDataFrame([(1, "a b c k k k a b c")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    r = decontaminate_spans(docs, bench, k=3).collect()[0]
+    # the same gram appears at pos 0 and pos 6: two separate spans
+    assert r["n_hit_grams"] == 2 and r["n_spans"] == 2
+    assert r["covered_tokens"] == 6
