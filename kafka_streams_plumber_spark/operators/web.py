@@ -103,11 +103,10 @@ def canonicalize_url(url: Column) -> Column:
     )
     qout = F.array_join(F.array_sort(params), "&")
 
+    # strip the whole trailing-slash run (idempotence: '/a///' and
+    # '/a/' must both canonicalize to '/a'); empty -> root
+    path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, 1, F.length(path) - 1),
-    ).otherwise(path)
 
     return F.concat(
         scheme,

@@ -3611,10 +3611,8 @@ _CANON_SQL = """
                   array_to_string(list_sort(list_filter(string_split(qs, '&'),
                     p -> p <> '' AND NOT regexp_matches(p,
                       '^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)='))), '&') AS qout,
-                  CASE WHEN path0 = '' THEN '/'
-                       WHEN length(path0) > 1 AND path0 LIKE '%/'
-                       THEN substr(path0, 1, length(path0) - 1)
-                       ELSE path0 END AS path
+                  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                       ELSE regexp_replace(path0, '/+$', '') END AS path
            FROM u5),
     canon AS (SELECT doc_id, host,
                      scheme || '://' || hostout || path ||

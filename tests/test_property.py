@@ -237,3 +237,52 @@ def test_byte_stats_matches_python_reference(spark, payloads):
         assert 0.0 <= r.entropy <= 8.0
         mx = max(c.values())
         assert r.top_byte == min(b for b, v in c.items() if v == mx)
+
+
+#: URL-shaped strings: scheme/host/path/query fragments assembled from
+#: constrained alphabets (hosts can't contain '/', '?', '#').
+_host_label = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABCDEF0123456789-", min_size=1, max_size=8)
+_path_seg = st.text(alphabet="abcXYZ0129._-~", max_size=6)
+_param = st.tuples(
+    st.sampled_from(["a", "b", "id", "utm_source", "utm_campaign", "gclid", "ref"]),
+    st.text(alphabet="abc123", max_size=4),
+)
+_urls = st.lists(
+    st.builds(
+        lambda scheme, labels, port, segs, params, frag: (
+            scheme
+            + "://"
+            + ".".join(labels)
+            + port
+            + ("/" + "/".join(segs) if segs else "")
+            + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+            + frag
+        ),
+        st.sampled_from(["http", "HTTPS", "https", "HTTP"]),
+        st.lists(_host_label, min_size=1, max_size=4),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(_path_seg, max_size=4),
+        st.lists(_param, max_size=4),
+        st.sampled_from(["", "#f", "#frag"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_urls)
+def test_canonicalize_url_is_idempotent_on_url_shapes(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must be a fixed point for any URL-shaped input."""
+    from kafka_streams_plumber_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = canonicalize_url(F.col("url"))
+    bad = (
+        df.select(once.alias("c1"))
+        .select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+        .filter(F.col("c1") != F.col("c2"))
+    )
+    rows = bad.collect()
+    assert rows == [], rows[:5]
