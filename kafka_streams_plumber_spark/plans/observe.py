@@ -42,11 +42,21 @@ class PipelineLedger:
         name: str,
         *,
         extra: dict[str, Column] | None = None,
+        persist: bool = False,
     ) -> DataFrame:
         """Attach a row-count observation (plus optional named aggregate
         expressions, e.g. ``{"bytes": F.sum(F.length("text"))}``) at
         this point in the plan. Returns the observed frame — keep
-        building on it."""
+        building on it.
+
+        Observation accumulators fire once per EXECUTION of their
+        subtree: if the next stage scans this frame more than once
+        (LSH dedup, decontaminate, any self-join), a bare observation
+        multi-counts. Pass ``persist=True`` there — the observed frame
+        is cached, so the metrics node executes exactly once at
+        materialization and every downstream scan reads the cache
+        (which is also what you want computationally between heavy
+        curation stages)."""
         if name in self._obs:
             raise ValueError(f"duplicate ledger stage: {name}")
         obs = Observation(name)
@@ -54,7 +64,8 @@ class PipelineLedger:
         cols = [F.count(F.lit(1)).alias("rows")]
         for alias, expr in (extra or {}).items():
             cols.append(expr.alias(alias))
-        return df.observe(obs, *cols)
+        out = df.observe(obs, *cols)
+        return out.persist() if persist else out
 
     def report(self) -> dict[str, dict]:
         """Metrics recorded by the action that ran the observed plan —

@@ -37,3 +37,17 @@ def test_observed_counts_one_off(spark):
     df, obs = observed_counts(spark.range(42), "n")
     df.write.format("noop").mode("overwrite").save()
     assert obs.get["rows"] == 42
+
+
+def test_ledger_persist_guards_multi_scan_consumers(spark):
+    """A consumer that scans the observed frame twice (self-join) would
+    double-count a bare observation; persist=True materializes the
+    metrics node once, so the ledger stays exact."""
+    ledger = PipelineLedger()
+    df = ledger.checkpoint(spark.range(100), "src", persist=True)
+    joined = df.alias("a").join(
+        df.alias("b"), F.col("a.id") == (99 - F.col("b.id"))
+    )
+    joined.write.format("noop").mode("overwrite").save()
+    assert ledger.report()["src"]["rows"] == 100
+    df.unpersist()
