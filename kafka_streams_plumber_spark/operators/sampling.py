@@ -202,3 +202,56 @@ def importance_sample(
     )
     u = split_bucket(F.col(id_col), buckets=1_000_000) / 1_000_000.0
     return df.withColumn(keep_col, p).filter(u < F.col(keep_col))
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training
+    pairs: each row gets ``k`` negatives drawn from the corpus by
+    walking a seeded global permutation at fixed strides — uniform
+    (the permutation is a seeded md5 order), collision-free with the
+    anchor, and reproducible across runs/engines/partitionings (no
+    rand(), so retries and the SQL oracle replay the exact pairs).
+
+    Plan: one :func:`~kafka_streams_plumber_spark.operators.ordering.
+    rank_by` pass assigns positions (parallel sort, O(P) offset
+    broadcast), then ``k`` equi-joins of (position, id) pairs on
+    ``(pos + stride_j) % N`` — the join keys are 8-byte longs, the
+    corpus rows never re-shuffle. Returns (id, neg_idx, neg_id).
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        rank_by,
+        shuffle_key,
+    )
+
+    pos = rank_by(
+        df.select(F.col(id_col)).withColumn("_k", shuffle_key(id_col, seed=seed)),
+        ["_k", id_col],
+        pos_col="_pos",
+    ).select(id_col, "_pos")
+    n = pos.agg(F.count("*").alias("_n"))
+    base = pos.crossJoin(F.broadcast(n))
+
+    out = None
+    for j in range(1, k + 1):
+        # stride_j mod N can degenerate to 0 (self-pair) for unlucky N:
+        # bump to 1 in-expression so the negative is never the anchor.
+        stride = F.lit(j * 2654435761 + 97) % F.col("_n")
+        stride = F.when(stride == 0, F.lit(1)).otherwise(stride)
+        probe = base.select(
+            F.col(id_col),
+            F.lit(j).alias("neg_idx"),
+            F.pmod(F.col("_pos") + stride, F.col("_n")).alias("_np"),
+        )
+        neg = probe.join(
+            pos.select(F.col("_pos").alias("_np"), F.col(id_col).alias("neg_id")),
+            "_np",
+        ).select(id_col, "neg_idx", "neg_id")
+        out = neg if out is None else out.unionByName(neg)
+    assert out is not None
+    return out

@@ -4248,6 +4248,51 @@ def q_decontaminate_spans(spark, sf_dir):
 
 
 # =========================================================================
+# Contrastive negative sampling (operators/sampling.py:negative_samples)
+# =========================================================================
+
+
+@query(
+    "q_negatives",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5('42:' || doc_id), doc_id) - 1
+               AS pos
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM p),
+    strides AS (
+      SELECT j,
+             CASE WHEN (j * 2654435761 + 97) % n = 0 THEN 1
+                  ELSE (j * 2654435761 + 97) % n END AS stride, n
+      FROM (SELECT unnest([1, 2]) AS j), n
+    ),
+    probe AS (
+      SELECT p.doc_id, s.j AS neg_idx, (p.pos + s.stride) % s.n AS np
+      FROM p, strides s
+    )
+    SELECT probe.doc_id, CAST(neg_idx AS INT) AS neg_idx,
+           q.doc_id AS neg_id
+    FROM probe JOIN p q ON q.pos = probe.np
+    """,
+)
+def q_negatives(spark, sf_dir):
+    """Deterministic contrastive negative sampling (operators/
+    sampling.py:negative_samples): k=2 uniform negatives per document
+    by striding a seeded md5 permutation — reproducible pairs, no
+    rand(). The oracle's single-task row_number is exactly the plan
+    shape the operator's parallel rank_by avoids at scale."""
+    from kafka_streams_plumber_spark.operators.sampling import negative_samples
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = negative_samples(d, "doc_id", k=2)
+    return out.select(
+        "doc_id", F.col("neg_idx").cast("int").alias("neg_idx"), "neg_id"
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -183,3 +183,22 @@ def test_importance_sample_is_deterministic(spark):
         for r in importance_sample(df.repartition(9), "score", "doc_id").collect()
     )
     assert a == b
+
+
+def test_negative_samples_uniform_and_never_anchor(spark):
+    from kafka_streams_plumber_spark.operators.sampling import negative_samples
+
+    df = spark.range(97).selectExpr("id AS doc_id")
+    out = negative_samples(df, "doc_id", k=3).collect()
+    assert len(out) == 97 * 3
+    assert all(r["neg_id"] != r["doc_id"] for r in out)
+    # every doc appears as a negative exactly k times (stride walk is a
+    # bijection per j)
+    from collections import Counter
+
+    c = Counter(r["neg_id"] for r in out)
+    assert set(c.values()) == {3}
+    # reproducible across partitionings
+    out2 = negative_samples(df.repartition(11), "doc_id", k=3).collect()
+    key = lambda r: (r["doc_id"], r["neg_idx"])
+    assert sorted(out, key=key) == sorted(out2, key=key)
