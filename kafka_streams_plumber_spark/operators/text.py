@@ -562,3 +562,52 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    out_col: str = "sentence",
+) -> DataFrame:
+    """Sentence segmentation with EXACT character offsets — the
+    granularity beneath documents that sentence-level dedup, alignment,
+    and span annotation pipelines key on.
+
+    Boundary rule (deterministic, SQL-replayable): a sentence ends at
+    ``. ! ?`` followed by a space. A sentinel (\\x01) is injected after
+    each boundary space, so splitting on it preserves every original
+    character — part lengths sum to the document length, making
+    ``char_start``/``char_end`` exact offsets into the ORIGINAL text
+    (the property annotation tooling needs). The emitted sentence is
+    right-trimmed; offsets still cover the raw span.
+
+    Pure expressions: one regexp pass, one fold building the cumulative
+    offset array, one posexplode. 1:N like chunk_tokens; no shuffle.
+    """
+    c = F.col(text_col)
+    parts = F.split(F.regexp_replace(c, "([.!?]) ", "$1 \x01"), "\x01")
+
+    def body(ps: Column) -> Column:
+        lens = F.transform(ps, lambda p: F.length(p))
+        cum = F.aggregate(
+            lens,
+            F.array(F.lit(0)),
+            lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+        )
+        starts = F.slice(cum, 1, F.size(ps))
+        return F.zip_with(
+            ps, starts, lambda p, st: F.struct(p.alias("s"), st.alias("start"))
+        )
+
+    zipped = df.select(
+        F.col(id_col), F.posexplode(let_(parts, body)).alias("sent_idx", "z")
+    )
+    return zipped.select(
+        id_col,
+        "sent_idx",
+        F.rtrim(F.col("z.s")).alias(out_col),
+        F.col("z.start").alias("char_start"),
+        (F.col("z.start") + F.length("z.s")).alias("char_end"),
+    ).filter(F.col(out_col) != "")

@@ -4293,6 +4293,74 @@ def q_negatives(spark, sf_dir):
 
 
 # =========================================================================
+# Sentence segmentation (operators/text.py:split_sentences)
+# =========================================================================
+
+
+@query(
+    "q_sentences",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             'Alpha head. ' || substr(text, 1, 50) || '! Tail part? ' ||
+             substr(text, 51, 40) || '.' AS t
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             string_split(regexp_replace(t, '([.!?]) ', '\\1 ' || chr(1), 'g'),
+                          chr(1)) AS ps
+      FROM src
+    ),
+    lens AS (
+      SELECT doc_id, ps, list_transform(ps, p -> length(p)) AS ls FROM parts
+    ),
+    z AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ps) + 1),
+               i -> {'idx': i - 1, 's': ps[i],
+                     'st': CASE WHEN i = 1 THEN 0
+                           ELSE coalesce(list_sum(ls[1:i-1]), 0) END})) AS u
+      FROM lens
+    )
+    SELECT doc_id, CAST(u.idx AS INT) AS sent_idx,
+           rtrim(u.s) AS sentence,
+           CAST(u.st AS BIGINT) AS char_start,
+           CAST(u.st + length(u.s) AS BIGINT) AS char_end
+    FROM z
+    WHERE rtrim(u.s) <> ''
+    """,
+)
+def q_sentences(spark, sf_dir):
+    """Sentence segmentation with exact char offsets (operators/
+    text.py:split_sentences): sentinel-preserving split so part lengths
+    sum to the document length — offsets index the ORIGINAL text, the
+    contract annotation/alignment tooling needs. Pure expressions,
+    1:N explode, no shuffle."""
+    from kafka_streams_plumber_spark.operators.text import split_sentences
+
+    d = load_tables(spark, sf_dir)["documents"]
+    src = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Alpha head. "),
+            F.substring("text", 1, 50),
+            F.lit("! Tail part? "),
+            F.substring("text", 51, 40),
+            F.lit("."),
+        ).alias("text"),
+    )
+    out = split_sentences(src, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+        F.col("char_start").cast("long").alias("char_start"),
+        F.col("char_end").cast("long").alias("char_end"),
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -142,3 +142,30 @@ def test_oov_rate_counts_occurrences_not_types(spark):
     assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_rate"]) == (4, 1, 0.25)
     assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["oov_rate"]) == (4, 0, 0.0)
     assert (out[3]["n_tokens"], out[3]["n_oov"], out[3]["oov_rate"]) == (2, 2, 1.0)
+
+
+def test_split_sentences_offsets_index_original_text(spark):
+    from kafka_streams_plumber_spark.operators.text import split_sentences
+
+    text = "Hello world. How are you? Fine! ok"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        split_sentences(df, "text", "doc_id").collect(),
+        key=lambda r: r["sent_idx"],
+    )
+    assert [r["sentence"] for r in rows] == [
+        "Hello world.", "How are you?", "Fine!", "ok",
+    ]
+    # offsets slice the ORIGINAL string back to the raw (untrimmed) span
+    for r in rows:
+        assert text[r["char_start"]:r["char_end"]].rstrip() == r["sentence"]
+    assert rows[-1]["char_end"] == len(text)
+
+
+def test_split_sentences_no_boundary_is_single_span(spark):
+    from kafka_streams_plumber_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame([(7, "no punctuation here")], ["doc_id", "text"])
+    rows = split_sentences(df, "text", "doc_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["char_start"] == 0 and rows[0]["char_end"] == 19
