@@ -12,14 +12,19 @@ scales on Spark:
        one small aggregate;
     2. argmax pair via a single struct-min (count desc, then
        lexicographic pair asc tie-break) — a one-row frame, no sort;
-    3. apply the merge with ``replace`` over the space-joined symbol
-       string (leftmost non-overlapping replacement == BPE's scan
-       order), broadcast of the one-row winner.
+    3. apply the merge with a symbol-array fold (exact greedy
+       left-to-right, skip-after-merge — the reference BPE scan),
+       broadcast of the one-row winner.
 
-Symbol sequences are represented as space-joined strings ("h e l l o"),
-which makes the merge a plain string replace and keeps every round a
-pure expression — the DuckDB oracle replays all rounds verbatim
-(q_bpe_train unrolls them as CTEs and hash-matches the merge list).
+Words are symbol ARRAYS throughout (``array<string>``), and the merge
+is an array fold, never a string replace: substring matching on a
+joined representation can cross symbol boundaries (a learned pair
+whose lhs is the suffix of an existing multi-char symbol would
+spuriously match), which corrupts both training counts and
+segmentation. The fold compares whole symbols only. The DuckDB oracle
+replays the same fold with ``list_reduce`` over sentinel-prefixed
+symbols (q_bpe_train unrolls all rounds and hash-matches the merge
+list).
 
 No end-of-word marker is appended (the </w> variant is a one-line
 change in :func:`_to_symbols`); words shorter than 2 symbols simply
@@ -33,11 +38,15 @@ from pyspark.sql import functions as F
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, cnt) over whitespace tokens — the corpus-collapsing pass."""
+    """(word, cnt) over whitespace-run tokens — the corpus-collapsing
+    pass (``\\s+`` split, so embedded newlines/tabs break words rather
+    than becoming symbols)."""
     return (
         df.select(
             F.explode(
-                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+                F.filter(
+                    F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+                )
             ).alias("word")
         )
         .groupBy("word")
@@ -46,14 +55,14 @@ def word_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _to_symbols(word: Column) -> Column:
-    """Space-joined character sequence: 'abc' -> 'a b c'."""
-    return F.rtrim(F.regexp_replace(word, "(.)", "$1 "))
+    """Initial symbol array: one element per character."""
+    return F.split(word, "")
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(lhs, rhs, pair_count) over adjacent symbol pairs, weighted by
     word count. One projection + one aggregate on the O(V) table."""
-    syms = F.split(F.col("w"), " ")
+    syms = F.col("syms")
     pairs = F.zip_with(
         F.slice(syms, 1, F.size(syms) - 1),
         F.slice(syms, 2, F.size(syms) - 1),
@@ -85,6 +94,24 @@ def _best_pair(pairs: DataFrame) -> DataFrame:
     )
 
 
+def apply_merge(syms: Column, lhs: Column, rhs: Column) -> Column:
+    """Greedy left-to-right application of ONE merge rule to a symbol
+    array: scan, and whenever the previous kept symbol equals ``lhs``
+    and the current equals ``rhs``, fuse them (the fused symbol cannot
+    immediately re-merge — ``lhs + rhs != lhs`` — which reproduces the
+    reference scan's skip-after-merge). Whole-symbol comparison only:
+    no substring/boundary hazards."""
+    merged = F.concat(lhs, rhs)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == lhs) & (s == rhs),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -95,14 +122,14 @@ def bpe_train(
     ``(merge_round, lhs, rhs, merged, pair_count)``.
 
     Deterministic: counts are exact longs, the argmax tie-break is
-    total, and ``replace`` applies merges leftmost-first — two runs on
+    total, and the fold applies merges leftmost-first — two runs on
     any partitioning produce the same merge list (the oracle property).
     The word table is localCheckpoint'ed per round to truncate lineage,
     as in clustering.kmeans_fit.
     """
     words = (
         word_counts(df, text_col)
-        .select(_to_symbols(F.col("word")).alias("w"), "cnt")
+        .select(_to_symbols(F.col("word")).alias("syms"), "cnt")
         .localCheckpoint(eager=True)
     )
     merges: DataFrame | None = None
@@ -119,11 +146,9 @@ def bpe_train(
         words = (
             words.crossJoin(F.broadcast(best))
             .select(
-                F.replace(
-                    F.col("w"),
-                    F.concat_ws(" ", "lhs", "rhs"),
-                    F.concat("lhs", "rhs"),
-                ).alias("w"),
+                apply_merge(
+                    F.col("syms"), F.col("lhs"), F.col("rhs")
+                ).alias("syms"),
                 "cnt",
             )
             .localCheckpoint(eager=True)
@@ -142,14 +167,14 @@ def bpe_segment(
     """Apply a learned merge list to segment text: per word, start from
     characters and apply each merge in order (the standard greedy BPE
     encoder). Pure expressions — the merge list is baked into the plan
-    as a chain of ``replace`` calls (fine for the few-hundred-merge
-    vocabularies this trainer targets; a longer list belongs in a
-    broadcast-join encoder)."""
+    as a chain of folds (fine for the few-hundred-merge vocabularies
+    this trainer targets; a longer list belongs in a broadcast-join
+    encoder)."""
     word = F.explode(
-        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     ).alias("word")
     out = df.select("*", word)
     sym = _to_symbols(F.col("word"))
     for lhs, rhs in merges:
-        sym = F.replace(sym, F.lit(f"{lhs} {rhs}"), F.lit(f"{lhs}{rhs}"))
-    return out.withColumn(out_col, F.split(sym, " ")).drop("word")
+        sym = apply_merge(sym, F.lit(lhs), F.lit(rhs))
+    return out.withColumn(out_col, sym).drop("word")

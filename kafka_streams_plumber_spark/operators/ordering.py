@@ -117,7 +117,11 @@ def rank_normalize(
     base = df.select(id_col, *signal_cols)
     for s in signal_cols:
         base = base.filter(F.col(s).isNotNull())
-    n1 = base.agg((F.count("*") - 1).cast("double").alias("_n1"))
+    # floor at 1: a single-row input would divide 0/0 -> NULL quality
+    # (rank 0 / n1 1 = 0.0 is the sensible degenerate score instead)
+    n1 = base.agg(
+        F.greatest(F.count("*") - 1, F.lit(1)).cast("double").alias("_n1")
+    )
     acc = base.select(id_col)
     for s in signal_cols:
         r = rank_by(base.select(id_col, s), [s, id_col], pos_col=f"{s}_rank")

@@ -237,12 +237,18 @@ def negative_samples(
     n = pos.agg(F.count("*").alias("_n"))
     base = pos.crossJoin(F.broadcast(n))
 
+    # N == 1 has no valid negative (any stride self-pairs): emit nothing.
+    base = base.filter(F.col("_n") > 1)
+
     out = None
     for j in range(1, k + 1):
-        # stride_j mod N can degenerate to 0 (self-pair) for unlucky N:
-        # bump to 1 in-expression so the negative is never the anchor.
-        stride = F.lit(j * 2654435761 + 97) % F.col("_n")
-        stride = F.when(stride == 0, F.lit(1)).otherwise(stride)
+        # strides are k CONSECUTIVE residues mod (N-1), shifted into
+        # [1, N-1]: pairwise distinct whenever k <= N-1 (a fixed
+        # per-j constant mod N can collide across j's, silently
+        # duplicating negatives), and never 0 mod N, so the negative
+        # is never the anchor. For k > N-1 duplicates are unavoidable
+        # (there are only N-1 distinct non-self offsets).
+        stride = (F.lit(2654435761) + F.lit(j)) % (F.col("_n") - 1) + 1
         probe = base.select(
             F.col(id_col),
             F.lit(j).alias("neg_idx"),

@@ -255,11 +255,14 @@ def winsorize(
         q(value_col, F.lit(hi)).alias("_hi"),
     )
     out = out_col or f"{value_col}_clipped"
+    v = F.col(value_col).cast("double")
+    # NULL guard: Spark's greatest/least SKIP nulls, which would
+    # fabricate the low bound for missing measurements — keep NULL NULL
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
     return (
         df.join(F.broadcast(bounds), group_col)
-        .withColumn(
-            out,
-            F.least(F.greatest(F.col(value_col).cast("double"), F.col("_lo")), F.col("_hi")),
-        )
+        .withColumn(out, clipped)
         .drop("_lo", "_hi")
     )

@@ -73,7 +73,13 @@ def canonicalize_url(url: Column) -> Column:
     expression tree — O(1) passes over the string inside codegen."""
     nofrag = F.split_part(url, F.lit("#"), F.lit(1))
     scheme = url_scheme(nofrag)
-    rest = F.split_part(nofrag, F.lit("://"), F.lit(2))
+    # everything after the FIRST '://' — split_part(…, 2) would stop at
+    # the SECOND occurrence, truncating URLs that embed another URL in
+    # the query (redirects/outbound links, ubiquitous in crawl data)
+    sep = F.instr(nofrag, "://")
+    rest = F.when(
+        sep > 0, F.substring(nofrag, sep + 3, F.length(nofrag))
+    ).otherwise(F.lit(""))
 
     hostport = F.split_part(F.split_part(rest, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1))
     host = F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))

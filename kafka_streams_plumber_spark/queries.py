@@ -3590,7 +3590,9 @@ _CANON_SQL = """
     u2 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
     u3 AS (SELECT doc_id,
                   lower(split_part(nofrag, '://', 1)) AS scheme,
-                  split_part(nofrag, '://', 2) AS rest
+                  CASE WHEN strpos(nofrag, '://') > 0
+                       THEN substr(nofrag, strpos(nofrag, '://') + 3)
+                       ELSE '' END AS rest
            FROM u2),
     u4 AS (SELECT *,
                   split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
@@ -3915,17 +3917,21 @@ def q_nb_classifier(spark, sf_dir):
 
 def _bpe_oracle(n_merges: int) -> str:
     """Unroll every BPE round as CTEs (the q_kmeans device): round i
-    derives pair counts from w{i-1}, picks the (count desc, pair asc)
-    winner, and rewrites the word table with a leftmost-first replace —
-    the exact semantics of operators/bpe.py."""
+    derives pair counts from w{i-1}'s symbol arrays, picks the (count
+    desc, pair asc) winner, and rewrites the word table with the SAME
+    greedy whole-symbol fold as operators/bpe.py:apply_merge —
+    list_reduce over sentinel-prefixed symbols, so a pair whose lhs is
+    the suffix of an existing multi-char symbol can never spuriously
+    match (the boundary hazard a string replace would have)."""
     parts = [
-        """
+        r"""
     WITH toks AS (
-      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS word
       FROM documents
     ),
     wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
-    w0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w, cnt FROM wc)
+    w0 AS (SELECT string_split(word, '') AS syms, cnt FROM wc)
         """
     ]
     for i in range(1, n_merges + 1):
@@ -3934,9 +3940,8 @@ def _bpe_oracle(n_merges: int) -> str:
     , p{i} AS (
       SELECT pr.lhs AS lhs, pr.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
       FROM (
-        SELECT unnest(list_transform(range(1, len(string_split(w, ' '))),
-                 j -> {{'lhs': string_split(w, ' ')[j],
-                        'rhs': string_split(w, ' ')[j + 1]}})) AS pr, cnt
+        SELECT unnest(list_transform(range(1, len(syms)),
+                 j -> {{'lhs': syms[j], 'rhs': syms[j + 1]}})) AS pr, cnt
         FROM w{i - 1})
       GROUP BY pr.lhs, pr.rhs
     ),
@@ -3945,9 +3950,16 @@ def _bpe_oracle(n_merges: int) -> str:
       ORDER BY pair_count DESC, lhs, rhs LIMIT 1
     ),
     w{i} AS (
-      SELECT replace(w, (SELECT lhs || ' ' || rhs FROM b{i}),
-                        (SELECT lhs || rhs FROM b{i})) AS w, cnt
-      FROM w{i - 1}
+      SELECT list_filter(string_split(
+               list_reduce(list_transform(syms, s -> chr(1) || s),
+                 (acc, e) -> CASE
+                   WHEN right(acc, length(b.lhs) + 1) = chr(1) || b.lhs
+                        AND e = chr(1) || b.rhs
+                   THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
+                        || chr(1) || b.lhs || b.rhs
+                   ELSE acc || e END),
+               chr(1)), x -> x <> '') AS syms, cnt
+      FROM w{i - 1}, b{i} b
     )
             """
         )
@@ -4263,10 +4275,9 @@ def q_decontaminate_spans(spark, sf_dir):
     ),
     n AS (SELECT count(*) AS n FROM p),
     strides AS (
-      SELECT j,
-             CASE WHEN (j * 2654435761 + 97) % n = 0 THEN 1
-                  ELSE (j * 2654435761 + 97) % n END AS stride, n
+      SELECT j, ((2654435761 + j) % (n - 1)) + 1 AS stride, n
       FROM (SELECT unnest([1, 2]) AS j), n
+      WHERE n > 1
     ),
     probe AS (
       SELECT p.doc_id, s.j AS neg_idx, (p.pos + s.stride) % s.n AS np

@@ -35,19 +35,25 @@ def read_jsonl(
 ) -> DataFrame:
     """Read JSONL with an explicit schema. Malformed lines land in
     ``_corrupt_record`` (all data columns null) instead of failing the
-    job; pass ``keep_corrupt=False`` to drop them at the scan."""
+    job; pass ``keep_corrupt=False`` to drop them at the scan
+    (DROPMALFORMED — they never become rows)."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    full = schema.add(CORRUPT_COL, T.StringType()) if keep_corrupt else schema
-    reader = (
+    if not keep_corrupt:
+        return (
+            spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+        )
+    # copy the fields: StructType.add mutates in place, and the
+    # caller's schema object must not grow a corrupt column per call
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
     )
-    df = reader.json(path)
-    if not keep_corrupt:
-        return df
-    return df
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -354,11 +354,17 @@ def quota_stream(
         out = []
         for t in ts_all:
             if last_ms is not None:
+                # clamp the gap at 0: a late-but-in-watermark event from
+                # a later micro-batch arrives with t < last_ms, and an
+                # unclamped negative refill would drain the bucket far
+                # below zero, rejecting the key for minutes
                 tokens = min(
                     float(capacity),
-                    tokens + (t - last_ms) * refill_per_sec / 1000.0,
+                    tokens + max(0, t - last_ms) * refill_per_sec / 1000.0,
                 )
-            last_ms = t
+                last_ms = max(last_ms, t)
+            else:
+                last_ms = t
             ok = tokens >= 1.0
             if ok:
                 tokens -= 1.0

@@ -35,7 +35,9 @@ def test_bpe_tiebreak_is_lexicographic(spark):
     # winner must be the lexicographically smaller (b, a).
     df = spark.createDataFrame([(1, "ba bc")], ["doc_id", "text"])
     r = bpe_train(df, "text", n_merges=1).collect()[0]
-    assert (r["lhs"], r["rhs"]) == ("a", "b") or (r["lhs"], r["rhs"]) == ("b", "a")
+    # candidates are (b,a) and (b,c), tied at 1: lexicographically
+    # smaller pair (b,a) must win
+    assert (r["lhs"], r["rhs"]) == ("b", "a")
     assert r["pair_count"] == 1
 
 
@@ -64,6 +66,30 @@ def test_bpe_train_is_partitioning_invariant(spark):
 def test_bpe_segment_applies_merges_in_order(spark):
     df = spark.createDataFrame([(1, "lowest low")], ["doc_id", "text"])
     seg = bpe_segment(df, "text", [("l", "o"), ("lo", "w")]).collect()
-    by_id = sorted(seg, key=lambda r: r["bpe_tokens"])
     assert ["low"] in [r["bpe_tokens"] for r in seg]
     assert ["low", "e", "s", "t"] in [r["bpe_tokens"] for r in seg]
+
+
+def test_apply_merge_never_crosses_symbol_boundaries(spark):
+    """A learned pair whose lhs is the SUFFIX of an existing multi-char
+    symbol must not match: after merging (a,b) in 'abc', the symbols
+    are [ab, c] — applying (b,c) must leave them untouched (a string
+    replace on the joined form would spuriously produce [abc])."""
+    from kafka_streams_plumber_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    seg = bpe_segment(df, "text", [("a", "b"), ("b", "c")]).collect()
+    assert seg[0]["bpe_tokens"] == ["ab", "c"]
+    # and the pair DOES apply where the symbols really are (b, c)
+    df2 = spark.createDataFrame([(1, "xbc")], ["doc_id", "text"])
+    seg2 = bpe_segment(df2, "text", [("b", "c")]).collect()
+    assert seg2[0]["bpe_tokens"] == ["x", "bc"]
+
+
+def test_bpe_words_split_on_all_whitespace(spark):
+    """Embedded newlines/tabs break words (never become symbols)."""
+    from kafka_streams_plumber_spark.operators.bpe import word_counts
+
+    df = spark.createDataFrame([(1, "ab\ncd\tab")], ["doc_id", "text"])
+    wc = {r["word"]: r["cnt"] for r in word_counts(df, "text").collect()}
+    assert wc == {"ab": 2, "cd": 1}

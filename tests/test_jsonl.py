@@ -79,3 +79,21 @@ def test_infer_jsonl_schema_bounded(spark, tmp_path):
     _write_lines(p, [json.dumps({"a": 1, "b": "x"})] * 5)
     sch = infer_jsonl_schema(spark, str(p), sample_lines=3)
     assert {f.name for f in sch.fields} == {"a", "b"}
+
+
+def test_drop_corrupt_drops_rows_not_just_column(spark, tmp_path):
+    p = tmp_path / "d.jsonl"
+    _write_lines(p, [json.dumps({"doc_id": 1, "text": "a", "lang": "en"}), "x{"])
+    df = read_jsonl(spark, str(p), DDL, keep_corrupt=False)
+    assert df.count() == 1  # the malformed line must not become a null row
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    p = tmp_path / "m.jsonl"
+    _write_lines(p, [json.dumps({"doc_id": 1, "text": "a", "lang": "en"})])
+    schema = T.StructType.fromDDL(DDL)
+    read_jsonl(spark, str(p), schema)
+    read_jsonl(spark, str(p), schema)
+    assert [f.name for f in schema.fields] == ["doc_id", "text", "lang"]

@@ -202,3 +202,21 @@ def test_negative_samples_uniform_and_never_anchor(spark):
     out2 = negative_samples(df.repartition(11), "doc_id", k=3).collect()
     key = lambda r: (r["doc_id"], r["neg_idx"])
     assert sorted(out, key=key) == sorted(out2, key=key)
+
+
+def test_negative_samples_strides_distinct_per_anchor(spark):
+    from collections import Counter
+
+    from kafka_streams_plumber_spark.operators.sampling import negative_samples
+
+    # N=3, k=2 (k <= N-1): each anchor's negatives must be distinct
+    df = spark.range(3).selectExpr("id AS doc_id")
+    out = negative_samples(df, "doc_id", k=2).collect()
+    per_anchor: dict = {}
+    for r in out:
+        assert r["neg_id"] != r["doc_id"]
+        per_anchor.setdefault(r["doc_id"], []).append(r["neg_id"])
+    assert all(len(v) == len(set(v)) == 2 for v in per_anchor.values())
+    # single-row corpus: no valid negative exists -> empty result
+    one = spark.range(1).selectExpr("id AS doc_id")
+    assert negative_samples(one, "doc_id", k=2).count() == 0

@@ -245,3 +245,49 @@ def test_quota_stream_token_bucket_semantics(spark, tmp_path):
     assert got[-1].n_accepted == 4 and got[-1].n_rejected == 2
     # the 120s gap refills 12 tokens but clamps at capacity 3, one spent
     assert abs(got[-1].tokens_after - 2.0) < 0.5
+
+
+def test_quota_stream_late_event_does_not_drain_bucket(spark, tmp_path):
+    """A late-but-in-watermark event from a later micro-batch must not
+    apply a negative refill (which would reject the key for minutes):
+    the gap clamps at 0 and last_ms never moves backwards."""
+    from kafka_streams_plumber_spark.streaming.stateful import quota_stream
+
+    rows1 = [(1, T0 + dt.timedelta(seconds=600))]
+    rows2 = [(1, T0 + dt.timedelta(seconds=100))]  # late arrival
+    rows3 = [(1, T0 + dt.timedelta(seconds=601))]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _events(spark, rows1).coalesce(1).write.parquet(str(src_dir / "b0"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(src_dir / "*"))
+    )
+    out = quota_stream(
+        stream, capacity=10.0, refill_per_sec=1.0, watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_late_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _events(spark, rows2).coalesce(1).write.parquet(str(src_dir / "b1"))
+        q.processAllAvailable()
+        _events(spark, rows3).coalesce(1).write.parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        got = sorted(
+            spark.sql("SELECT * FROM quota_late_test").collect(),
+            key=lambda r: r.ts_ms,
+        )
+    finally:
+        q.stop()
+
+    # all three accepted: the late event costs a token but never goes
+    # negative, and the bucket still has tokens afterwards
+    assert [r.accepted for r in got] == [True, True, True]
+    assert all(r.tokens_after >= 0 for r in got)

@@ -146,3 +146,13 @@ def test_winsorize_approx_path_plans_partial_agg(spark):
     p = plan_string(winsorize(df, "v", "g", exact=False))
     # approx_percentile is a mergeable sketch: partial_ appears map-side
     assert "approx_percentile" in p or "percentile_approx" in p
+
+
+def test_winsorize_preserves_nulls(spark):
+    from kafka_streams_plumber_spark.operators.stats import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 21)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", "g", lo=0.10, hi=0.90).collect()
+    nulls = [r for r in out if r["v"] is None]
+    assert len(nulls) == 1 and nulls[0]["v_clipped"] is None

@@ -67,3 +67,12 @@ def test_url_host_and_registrable_domain(spark):
         ("a.b.example.com", "example.com"),
         ("localhost", "localhost"),
     ]
+
+
+def test_canonicalize_preserves_embedded_urls_in_query(spark):
+    """Crawl URLs routinely embed another URL (redirects, share links):
+    the split must stop at the FIRST '://', not the second."""
+    out = _canon(
+        spark, ["https://example.com/redir?u=http://target.com/page"]
+    )
+    assert out == ["https://example.com/redir?u=http://target.com/page"]
