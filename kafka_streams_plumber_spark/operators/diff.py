@@ -121,3 +121,92 @@ def snapshot_diff(
         )
         .filter(F.col(change_col).isNotNull())
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: null rate, distinct estimate, min/max as
+    strings — the per-snapshot column profile. ONE aggregate pass over
+    the table (all columns profiled simultaneously with conditional
+    aggregation), then a tiny unpivot: no per-column job storm.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("approx_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def audit_schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    null_rate_jump: float = 0.10,
+) -> DataFrame:
+    """Schema + data-shape drift between two snapshot versions — the
+    pre-ingestion gate that catches an upstream producer silently
+    changing a feed (dropped column, type change, a field going
+    mostly-NULL) before it poisons a training corpus.
+
+    Emits one row per issue: ``(column, issue, old_value, new_value)``
+    with issue in {added, removed, type_changed, null_rate_jump}.
+    Schema comparison is metadata-only (no jobs); null rates cost one
+    aggregate pass per side (profile_columns). The issue table is
+    O(columns) rows — collect-free by construction, join-free except
+    the O(columns) profile join.
+    """
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    spark = old.sparkSession
+
+    issues: list[tuple[str, str, str | None, str | None]] = []
+    for c in sorted(set(old_types) - set(new_types)):
+        issues.append((c, "removed", old_types[c], None))
+    for c in sorted(set(new_types) - set(old_types)):
+        issues.append((c, "added", None, new_types[c]))
+    for c in sorted(set(old_types) & set(new_types)):
+        if old_types[c] != new_types[c]:
+            issues.append((c, "type_changed", old_types[c], new_types[c]))
+
+    schema_issues = spark.createDataFrame(
+        issues, "column string, issue string, old_value string, new_value string"
+    )
+
+    shared = sorted(set(old_types) & set(new_types))
+    if not shared:
+        return schema_issues
+    po = profile_columns(old, shared).select(
+        "column", (F.col("n_nulls") / F.col("n_rows")).alias("_old_nr")
+    )
+    pn = profile_columns(new, shared).select(
+        "column", (F.col("n_nulls") / F.col("n_rows")).alias("_new_nr")
+    )
+    drift = (
+        po.join(pn, "column")
+        .filter(F.col("_new_nr") - F.col("_old_nr") > null_rate_jump)
+        .select(
+            "column",
+            F.lit("null_rate_jump").alias("issue"),
+            F.round("_old_nr", 6).cast("string").alias("old_value"),
+            F.round("_new_nr", 6).cast("string").alias("new_value"),
+        )
+    )
+    return schema_issues.unionByName(drift)

@@ -121,3 +121,42 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(qout == "", F.lit("")).otherwise(F.concat(F.lit("?"), qout)),
     )
+
+
+def filter_blocklist(
+    df,
+    blocklist,
+    *,
+    host_col: str = "host",
+    block_col: str = "domain",
+    keep_col: str | None = None,
+):
+    """Drop (or flag) rows whose host falls under a blocked
+    registrable domain: entries are eTLD+1 domains, and every
+    subdomain of an entry is blocked with it (``ads.x.com`` and
+    ``x.com`` both match entry ``x.com``) — the standard crawl
+    blocklist semantics.
+
+    The match key is each host's :func:`registrable_domain`, so one
+    broadcast anti-join (blocklists are thousands-to-millions of rows —
+    always the small side) decides every row: no regex scans, no
+    per-pattern passes. With ``keep_col`` set the result keeps all rows
+    and adds a boolean instead of filtering (audit mode).
+    """
+    from pyspark.sql import functions as F
+
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(block_col)).alias("_blocked")).distinct()
+    )
+    keyed = df.withColumn(
+        "_rd", registrable_domain(F.lower(F.col(host_col)))
+    )
+    if keep_col is None:
+        out = keyed.join(bl, keyed["_rd"] == bl["_blocked"], "left_anti")
+        return out.drop("_rd")
+    out = (
+        keyed.join(bl, keyed["_rd"] == bl["_blocked"], "left")
+        .withColumn(keep_col, F.col("_blocked").isNull())
+        .drop("_rd", "_blocked")
+    )
+    return out

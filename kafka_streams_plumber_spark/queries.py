@@ -4372,6 +4372,95 @@ def q_sentences(spark, sf_dir):
 
 
 # =========================================================================
+# Schema-drift audit + blocklist filter (operators/diff.py, web.py)
+# =========================================================================
+
+
+@query(
+    "q_schema_drift",
+    """
+    WITH old_nr AS (
+      SELECT count(*) AS n, sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS z
+      FROM documents
+    ),
+    new_nr AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN doc_id % 3 = 0 OR text IS NULL THEN 1 ELSE 0 END) AS z
+      FROM documents
+    )
+    SELECT 'lang' AS column, 'removed' AS issue,
+           'string' AS old_value, CAST(NULL AS VARCHAR) AS new_value
+    UNION ALL
+    SELECT 'lang_code', 'added', NULL, 'string'
+    UNION ALL
+    SELECT 'n_chars', 'type_changed', 'bigint', 'int'
+    UNION ALL
+    SELECT 'text', 'null_rate_jump',
+           CAST(round(o.z / CAST(o.n AS DOUBLE), 6) AS VARCHAR),
+           CAST(round(nn.z / CAST(nn.n AS DOUBLE), 6) AS VARCHAR)
+    FROM old_nr o, new_nr nn
+    """,
+)
+def q_schema_drift(spark, sf_dir):
+    """Schema + data-shape drift audit (operators/diff.py:
+    audit_schema_drift): the pre-ingestion gate that catches an
+    upstream feed silently dropping/renaming/retyping a column or a
+    field going mostly-NULL. This contract run synthesizes a drifted
+    'new' snapshot (lang renamed, n_chars narrowed, text nulled for a
+    third of rows) and must report exactly those four issues. Schema
+    checks are metadata-only; null rates are one aggregate pass per
+    side."""
+    from kafka_streams_plumber_spark.operators.diff import audit_schema_drift
+
+    old = load_tables(spark, sf_dir)["documents"]
+    new = old.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("text")
+        ).alias("text"),
+        F.col("lang").alias("lang_code"),
+        "source",
+        F.col("n_chars").cast("int").alias("n_chars"),
+    )
+    return audit_schema_drift(old, new, null_rate_jump=0.10)
+
+
+@query(
+    "q_blocklist",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    {_CANON_SQL}
+    SELECT doc_id, host FROM canon
+    WHERE CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+               WHEN len(string_split(host, '.')) >= 3
+                    AND string_split(host, '.')[-2] IN
+                        ('co','com','net','org','ac','gov','edu')
+               THEN string_split(host, '.')[-3] || '.' ||
+                    string_split(host, '.')[-2] || '.' ||
+                    string_split(host, '.')[-1]
+               ELSE string_split(host, '.')[-2] || '.' ||
+                    string_split(host, '.')[-1] END
+          NOT IN ('example.com')
+    """,
+)
+def q_blocklist(spark, sf_dir):
+    """Crawl blocklist filter (operators/web.py:filter_blocklist): one
+    broadcast anti-join on the registrable domain decides every row —
+    entries block every subdomain, no per-pattern regex passes. Here
+    the synthetic corpus' example.com hosts are blocked; only the
+    co.uk multi-part-suffix hosts survive."""
+    from kafka_streams_plumber_spark.operators.web import (
+        filter_blocklist,
+        url_host,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    hosts = d.select("doc_id", url_host(_synth_url()).alias("host"))
+    bl = spark.createDataFrame([("example.com",)], ["domain"])
+    return filter_blocklist(hosts, bl)
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -209,12 +209,15 @@ def test_curation_example_end_to_end(spark, tmp_path):
     spec.loader.exec_module(mod)
 
     out = str(tmp_path / "curated")
-    counts = mod.curate(spark, "/root/testdata/sf0.001", out)
-    assert counts["input"] > 0
+    report = mod.curate(spark, "/root/testdata/sf0.001", out)
+    counts = {stage: m["rows"] for stage, m in report.items()}
+    assert counts["input"] > 0 and report["input"]["chars"] > 0
     assert counts["after_dedup"] <= counts["input"]
     assert counts["after_quality"] <= counts["after_dedup"]
-    assert counts["after_decontam"] < counts["after_quality"]  # bench docs removed
-    assert counts["packed_rows"] == counts["after_decontam"]
+    assert counts["after_resample"] <= counts["after_quality"]
+    assert counts["after_decontam"] < counts["after_resample"]  # bench docs removed
+    # group_split holds out the val sources before packing
+    assert 0 < counts["packed_rows"] <= counts["after_decontam"]
     back = spark.read.parquet(out)
     assert back.count() == counts["packed_rows"]
     assert "shard" in back.columns and "seq_idx" in back.columns

@@ -63,3 +63,42 @@ def test_join_carries_digest_not_wide_row(spark):
     # standalone attributes
     join_cond_line = opt[join_idx : opt.index("\n", join_idx)]
     assert "c3" not in join_cond_line
+
+
+def test_profile_columns_single_pass_stats(spark):
+    from kafka_streams_plumber_spark.operators.diff import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], ["id", "v"]
+    )
+    p = {r["column"]: r for r in profile_columns(df).collect()}
+    assert p["id"]["n_rows"] == 3 and p["id"]["n_nulls"] == 0
+    assert p["v"]["n_nulls"] == 1
+    assert p["id"]["min_str"] == "1" and p["id"]["max_str"] == "3"
+
+
+def test_audit_schema_drift_reports_each_issue_kind(spark):
+    from kafka_streams_plumber_spark.operators.diff import audit_schema_drift
+
+    old = spark.createDataFrame([(1, "x", 2.0)], ["id", "a", "b"])
+    new = spark.createDataFrame([(1, 5, "y")], ["id", "a", "c"])
+    issues = {
+        (r["column"], r["issue"]) for r in audit_schema_drift(old, new).collect()
+    }
+    assert ("b", "removed") in issues
+    assert ("c", "added") in issues
+    assert ("a", "type_changed") in issues
+
+
+def test_audit_schema_drift_null_rate_jump_threshold(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.diff import audit_schema_drift
+
+    old = spark.range(100).select("id", F.lit("v").alias("a"))
+    new = spark.range(100).select(
+        "id", F.when(F.col("id") < 30, None).otherwise(F.lit("v")).alias("a")
+    )
+    got = audit_schema_drift(old, new, null_rate_jump=0.10).collect()
+    assert [(r["column"], r["issue"]) for r in got] == [("a", "null_rate_jump")]
+    assert audit_schema_drift(old, new, null_rate_jump=0.50).count() == 0

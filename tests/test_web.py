@@ -76,3 +76,26 @@ def test_canonicalize_preserves_embedded_urls_in_query(spark):
         spark, ["https://example.com/redir?u=http://target.com/page"]
     )
     assert out == ["https://example.com/redir?u=http://target.com/page"]
+
+
+def test_filter_blocklist_blocks_subdomains(spark):
+    from kafka_streams_plumber_spark.operators.web import filter_blocklist
+
+    hosts = spark.createDataFrame(
+        [
+            (1, "ads.bad.com"),
+            (2, "bad.com"),
+            (3, "good.com"),
+            (4, "bad.com.evil.org"),  # different registrable domain
+        ],
+        ["doc_id", "host"],
+    )
+    bl = spark.createDataFrame([("bad.com",)], ["domain"])
+    kept = {r["doc_id"] for r in filter_blocklist(hosts, bl).collect()}
+    assert kept == {3, 4}
+    # audit mode flags instead of dropping
+    flagged = {
+        r["doc_id"]: r["ok"]
+        for r in filter_blocklist(hosts, bl, keep_col="ok").collect()
+    }
+    assert flagged == {1: False, 2: False, 3: True, 4: True}
