@@ -4461,6 +4461,85 @@ def q_blocklist(spark, sf_dir):
 
 
 # =========================================================================
+# HTML boilerplate stripping (operators/web.py:html_to_text)
+# =========================================================================
+
+
+@query(
+    "q_html_text",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><script>var x = "<p>";</script>' ||
+             '<style>p{color:red}</style></head><body><h1>Doc ' || doc_id ||
+             '</h1><p>' || text || ' &amp; tail &lt;x&gt;</p>' ||
+             '<!-- hidden --><div>A<br>B</div></body></html>' AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+          '(?is)<style\b.*?</style\s*>', ' ', 'g') AS t1
+      FROM h
+    ),
+    s2 AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(t1,
+          '(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr)\s*>', chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g') AS t2
+      FROM s
+    ),
+    s3 AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t2,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t3
+      FROM s2
+    ),
+    s4 AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(t3,
+          '[ \t]+', ' ', 'g'),
+          ' ?\n ?', chr(10), 'g'),
+          '\n{3,}', chr(10) || chr(10), 'g'),
+          '^\s+|\s+$', '', 'g') AS text_out
+      FROM s3
+    )
+    SELECT doc_id, text_out, CAST(length(text_out) AS BIGINT) AS n_chars
+    FROM s4
+    """,
+)
+def q_html_text(spark, sf_dir):
+    """HTML -> text extraction (operators/web.py:html_to_text): the
+    crawl boilerplate-stripping step as a chain of regexp passes —
+    comments/script/style dropped, block closers become newlines, tags
+    stripped, dominant entities decoded (&amp; last so double-escapes
+    decode one level). Whole-stage codegen; the oracle re-runs every
+    pass with RE2."""
+    from kafka_streams_plumber_spark.operators.web import html_to_text
+
+    d = load_tables(spark, sf_dir)["documents"]
+    h = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script>var x = "<p>";</script>'),
+            F.lit("<style>p{color:red}</style></head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; tail &lt;x&gt;</p>"),
+            F.lit("<!-- hidden --><div>A<br>B</div></body></html>"),
+        ).alias("html"),
+    )
+    return h.select(
+        "doc_id",
+        html_to_text(F.col("html")).alias("text_out"),
+    ).withColumn("n_chars", F.length("text_out").cast("long"))
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

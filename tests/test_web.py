@@ -99,3 +99,26 @@ def test_filter_blocklist_blocks_subdomains(spark):
         for r in filter_blocklist(hosts, bl, keep_col="ok").collect()
     }
     assert flagged == {1: False, 2: False, 3: True, 4: True}
+
+
+def test_html_to_text_strips_boilerplate_decodes_entities(spark):
+    from kafka_streams_plumber_spark.operators.web import html_to_text
+
+    html = (
+        '<html><head><script>var x = "<p>ignore</p>";</script>'
+        "<style>p{color:red}</style></head><body><h1>Title</h1>"
+        "<p>First &amp; second &lt;tag&gt;.</p><!-- hidden -->"
+        "<div>A<br>B</div><ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["id", "h"])
+    out = df.select(html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+    assert out == "Title\nFirst & second <tag>.\nA\nB\none\ntwo"
+    assert "script" not in out and "color" not in out and "hidden" not in out
+
+
+def test_html_to_text_double_escape_decodes_one_level(spark):
+    from kafka_streams_plumber_spark.operators.web import html_to_text
+
+    df = spark.createDataFrame([(1, "<p>&amp;lt;</p>")], ["id", "h"])
+    out = df.select(html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+    assert out == "&lt;"  # one decode level, not "<"
