@@ -221,3 +221,31 @@ def test_curation_example_end_to_end(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == counts["packed_rows"]
     assert "shard" in back.columns and "seq_idx" in back.columns
+
+
+def test_crawl_example_end_to_end(spark, tmp_path):
+    """examples/crawl: WARC -> html_to_text -> canonicalize -> blocklist
+    -> URL dedup -> near-dup removal, on a synthesized archive."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "crawl_example",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "crawl", "example.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    warc = mod._demo_warc(str(tmp_path))
+    out = str(tmp_path / "out")
+    counts = mod.crawl_curate(spark, warc, out)
+    assert counts["responses"] == 5
+    # 1 blocked domain + 1 canonical-URL duplicate removed
+    assert counts["after_blocklist_and_urldedup"] == 3
+    # 1 near-duplicate removed
+    assert counts["kept"] == 2 and counts["domains"] == 2
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert not any("blocked.net" in r["host"] for r in back.collect())
