@@ -110,3 +110,45 @@ def write_partitioned(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.partitionBy(*cols).parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 256 << 20,
+    sort_by: str | list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the periodic maintenance that keeps streaming/incremental sinks
+    (one small file per micro-batch) readable: scans over thousands of
+    tiny files pay per-file open/footer costs and schedule one task per
+    file regardless of size.
+
+    File count comes from the ON-DISK byte size (no data scan before
+    the rewrite); rows are optionally re-clustered by ``sort_by`` for
+    row-group stats. The frame is localCheckpoint'ed to sever lineage
+    from the files being overwritten (same reasoning as
+    streaming/aggregates.compact_aggregates — a cache could recompute
+    a lost partition from deleted files). Returns the file count
+    written. NOT for partitioned layouts (overwrites the directory
+    flat); compact each partition directory separately there.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, round(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if sort_by is not None:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        df = df.repartitionByRange(n, *scols).sortWithinPartitions(*scols)
+    else:
+        df = df.coalesce(n) if df.rdd.getNumPartitions() > n else df.repartition(n)
+    df = df.localCheckpoint(eager=True)
+    df.write.mode("overwrite").parquet(path)
+    return n

@@ -138,3 +138,35 @@ def test_register_views_sql_surface(spark):
         "SELECT max(unix_millis(ts)) AS m FROM events"
     ).collect()[0]
     assert row["m"] > 0
+
+
+def test_compact_files_reduces_file_count_preserves_rows(spark, tmp_path):
+    import glob
+
+    from kafka_streams_plumber_spark.plans.scale import compact_files
+
+    path = str(tmp_path / "t")
+    # simulate a micro-batch sink: many tiny files
+    for i in range(8):
+        spark.range(i * 100, (i + 1) * 100).write.mode(
+            "append"
+        ).parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 8
+    n = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    after = glob.glob(f"{path}/*.parquet")
+    assert len(after) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 800
+    assert sorted(r["id"] for r in back.collect()) == list(range(800))
+
+
+def test_compact_files_sorted_clusters_rows(spark, tmp_path):
+    from kafka_streams_plumber_spark.plans.scale import compact_files
+
+    path = str(tmp_path / "s")
+    spark.range(1000).selectExpr("id", "id % 97 AS k").write.parquet(path)
+    compact_files(spark, path, target_file_bytes=1 << 30, sort_by="k")
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
