@@ -18,12 +18,20 @@ pre-flight gate. Here those become:
   (Plumber.scala:41-50): refuse to start streaming if the pipeline does
   not reproduce declared fixtures.
 
-Beyond reference parity, ``operators.dedup`` / ``operators.similarity`` /
-``operators.text`` / ``operators.multimodal`` provide the large-scale
-training-data-pipeline operators (near-dedup, ANN search, text quality,
-opaque-binary multimodal plumbing), all designed for 100 TB scale: no
-driver-side collects, broadcast for small sides, JVM-side expressions in
-hot paths, Arrow-batched pandas UDFs where Python is unavoidable.
+Beyond reference parity, the ``operators`` package provides the
+large-scale training-data-pipeline surface — ``dedup`` (exact/MinHash/
+SimHash/span/incremental), ``similarity`` (ANN, quantization,
+matryoshka), ``text`` (quality, LM scoring, sentences, BPE via
+``bpe``), ``classify`` (NB train/score), ``web`` (URL canon, blocklist,
+HTML->text), ``sampling`` (splits, importance, negatives), ``packing``
+/ ``ordering`` / ``stats`` / ``sketches`` / ``clustering`` / ``diff`` /
+``graph`` / ``multimodal`` — plus ``sources`` (kafka/avro/registry/
+jsonl/warc), ``streaming`` (stateful ops, continual ingestion,
+aggregates), and ``plans`` (session, scale, observe, inspect). See the
+README coverage map for the operator -> contract-query index. All of it
+is designed for 100 TB scale: no driver-side collects, broadcast for
+small sides, JVM-side expressions in hot paths, Arrow-batched pandas
+UDFs where Python is unavoidable.
 """
 
 from kafka_streams_plumber_spark.operators.pipeline import Pipeline, from_kv, to_kv
