@@ -123,34 +123,52 @@ def snapshot_diff(
     )
 
 
-def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """One row per column: null rate, distinct estimate, min/max as
-    strings — the per-snapshot column profile. ONE aggregate pass over
-    the table (all columns profiled simultaneously with conditional
-    aggregation), then a tiny unpivot: no per-column job storm.
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    distinct: bool = True,
+    minmax: bool = True,
+) -> DataFrame:
+    """One row per column: null rate, and optionally a distinct
+    estimate and min/max as strings — the per-snapshot column profile.
+    ONE aggregate pass over the table (all columns profiled
+    simultaneously), then a tiny unpivot: no per-column job storm.
+
+    ``distinct``/``minmax`` toggle the expensive statistics: the HLL
+    sketch and string-cast min/max dominate the pass at scale, and a
+    caller that only needs null rates (audit_schema_drift) should not
+    pay for them. Column access goes through ``df[c]`` + backticked
+    aliases, so names containing dots (JSON-derived schemas) profile
+    instead of crashing on struct-field resolution.
     """
     cols = cols or df.columns
-    aggs = []
-    for c in cols:
-        s = F.col(c).cast("string")
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.approx_count_distinct(c).alias(f"{c}__distinct"),
-            F.min(s).alias(f"{c}__min"),
-            F.max(s).alias(f"{c}__max"),
-        ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(df[c].isNull().cast("long")).alias(f"__nulls_{i}"))
+        if distinct:
+            aggs.append(F.approx_count_distinct(df[c]).alias(f"__distinct_{i}"))
+        if minmax:
+            s = df[c].cast("string")
+            aggs += [F.min(s).alias(f"__min_{i}"), F.max(s).alias(f"__max_{i}")]
     wide = df.agg(*aggs)
+    null_lit = F.lit(None)
     rows = [
         F.struct(
             F.lit(c).alias("column"),
-            F.col(f"{c}__n").alias("n_rows"),
-            F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__distinct").alias("approx_distinct"),
-            F.col(f"{c}__min").alias("min_str"),
-            F.col(f"{c}__max").alias("max_str"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{i}").alias("n_nulls"),
+            (F.col(f"__distinct_{i}") if distinct else null_lit.cast("long")).alias(
+                "approx_distinct"
+            ),
+            (F.col(f"__min_{i}") if minmax else null_lit.cast("string")).alias(
+                "min_str"
+            ),
+            (F.col(f"__max_{i}") if minmax else null_lit.cast("string")).alias(
+                "max_str"
+            ),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
@@ -193,10 +211,10 @@ def audit_schema_drift(
     shared = sorted(set(old_types) & set(new_types))
     if not shared:
         return schema_issues
-    po = profile_columns(old, shared).select(
+    po = profile_columns(old, shared, distinct=False, minmax=False).select(
         "column", (F.col("n_nulls") / F.col("n_rows")).alias("_old_nr")
     )
-    pn = profile_columns(new, shared).select(
+    pn = profile_columns(new, shared, distinct=False, minmax=False).select(
         "column", (F.col("n_nulls") / F.col("n_rows")).alias("_new_nr")
     )
     drift = (

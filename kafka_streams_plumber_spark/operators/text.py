@@ -585,8 +585,14 @@ def split_sentences(
 
     Pure expressions: one regexp pass, one fold building the cumulative
     offset array, one posexplode. 1:N like chunk_tokens; no shuffle.
+
+    Stray ``\\x01`` bytes in the INPUT (control-char garbage is common
+    in crawl text) are removed first — they would collide with the
+    sentinel and silently shift every later offset; offsets therefore
+    index the cleaned text (== the original whenever it contains no
+    ``\\x01``).
     """
-    c = F.col(text_col)
+    c = F.regexp_replace(F.col(text_col), "\x01", "")
     parts = F.split(F.regexp_replace(c, "([.!?]) ", "$1 \x01"), "\x01")
 
     def body(ps: Column) -> Column:

@@ -28,7 +28,7 @@ eTLD+1 matters.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: query-param name prefixes that never identify the resource
@@ -124,13 +124,13 @@ def canonicalize_url(url: Column) -> Column:
 
 
 def filter_blocklist(
-    df,
-    blocklist,
+    df: DataFrame,
+    blocklist: DataFrame,
     *,
     host_col: str = "host",
     block_col: str = "domain",
     keep_col: str | None = None,
-):
+) -> DataFrame:
     """Drop (or flag) rows whose host falls under a blocked
     registrable domain: entries are eTLD+1 domains, and every
     subdomain of an entry is blocked with it (``ads.x.com`` and
@@ -143,8 +143,6 @@ def filter_blocklist(
     per-pattern passes. With ``keep_col`` set the result keeps all rows
     and adds a boolean instead of filtering (audit mode).
     """
-    from pyspark.sql import functions as F
-
     bl = F.broadcast(
         blocklist.select(F.lower(F.col(block_col)).alias("_blocked")).distinct()
     )

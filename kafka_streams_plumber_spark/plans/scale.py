@@ -127,14 +127,23 @@ def compact_files(
 
     File count comes from the ON-DISK byte size (no data scan before
     the rewrite); rows are optionally re-clustered by ``sort_by`` for
-    row-group stats. The frame is localCheckpoint'ed to sever lineage
-    from the files being overwritten (same reasoning as
-    streaming/aggregates.compact_aggregates — a cache could recompute
-    a lost partition from deleted files). Returns the file count
-    written. NOT for partitioned layouts (overwrites the directory
-    flat); compact each partition directory separately there.
+    row-group stats. Returns the file count written. NOT for
+    partitioned layouts (rewrites the directory flat); compact each
+    partition directory separately there.
+
+    Safety: the directory must be QUIESCED — run from the stream's
+    maintenance window or against a stopped sink. A file appended
+    concurrently between the scan and the swap would be lost (this
+    function snapshots, rewrites aside, then swaps). The swap itself
+    is write-to-``<path>__compact`` + two renames, so a crash leaves
+    either the old directory or the old directory under
+    ``<path>__old`` plus the new one — never zero copies on disk (the
+    plain read-then-overwrite alternative holds the only copy in
+    executor memory mid-write). Local/posix rename semantics; on
+    object stores use a table format's atomic commit instead.
     """
     import os
+    import shutil
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -149,6 +158,10 @@ def compact_files(
         df = df.repartitionByRange(n, *scols).sortWithinPartitions(*scols)
     else:
         df = df.coalesce(n) if df.rdd.getNumPartitions() > n else df.repartition(n)
-    df = df.localCheckpoint(eager=True)
-    df.write.mode("overwrite").parquet(path)
+
+    tmp, old = path.rstrip("/") + "__compact", path.rstrip("/") + "__old"
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     return n

@@ -94,6 +94,11 @@ def write_jsonl(
     so shard MEMBERSHIP is stable across reruns/cluster sizes (shard =
     hash(id) % shards — the property downstream resumable loaders
     want)."""
+    if shard_by is not None and shards is None:
+        raise ValueError(
+            "write_jsonl: shard_by requires shards — without a shard "
+            "count there is no hash(id) %% shards layout to promise"
+        )
     out = df
     if shards is not None:
         out = (

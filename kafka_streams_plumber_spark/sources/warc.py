@@ -52,11 +52,18 @@ def parse_warc_bytes(raw: bytes) -> Iterator[dict]:
         out = []
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         buf = raw
-        while buf:
-            out.append(d.decompress(buf))
-            buf = d.unused_data
-            if buf:
-                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        try:
+            while buf:
+                out.append(d.decompress(buf))
+                buf = d.unused_data
+                if buf:
+                    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        except zlib.error:
+            # truncated/corrupt member (routine in real crawl dumps):
+            # parse the members that did decompress rather than failing
+            # the task — Spark would retry the same bytes 4x and abort
+            # the whole multi-archive job
+            pass
         raw = b"".join(out)
 
     pos = 0
@@ -67,14 +74,24 @@ def parse_warc_bytes(raw: bytes) -> Iterator[dict]:
             pos += 2
         if pos >= n or not raw[pos : pos + 5] == b"WARC/":
             break
-        hdr_end = raw.index(b"\r\n\r\n", pos)
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break  # truncated mid-header: keep what parsed so far
         headers: dict[str, str] = {}
         for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().decode("ascii", "replace").lower()] = (
                 v.strip().decode("utf-8", "replace")
             )
-        length = int(headers.get("content-length", "0"))
+        cl = headers.get("content-length", "")
+        if not cl.isdigit():
+            # spec violation: without a length the record cannot be
+            # framed — resynchronize at the next record marker instead
+            # of silently dropping the REST of the archive
+            nxt = raw.find(b"\r\nWARC/", hdr_end)
+            pos = nxt + 2 if nxt >= 0 else n
+            continue
+        length = int(cl)
         payload = raw[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
 

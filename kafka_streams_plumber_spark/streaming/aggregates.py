@@ -85,18 +85,54 @@ def compact_aggregates(
     mins: list[str] | None = None,
     maxs: list[str] | None = None,
     into_batch_id: int = -1,
+    keep_last: int = 1,
 ) -> None:
-    """Rewrite all existing partials as ONE merged partial under
-    ``batch_id=into_batch_id`` (default -1, below any real batch id so
-    it never collides with a replay). Run periodically when the
-    partial count grows; readers are unaffected before/after because
-    merge is associative."""
-    merged = read_aggregates(
-        spark, path, group_cols, sums=sums, mins=mins, maxs=maxs
+    """Merge old partials into ONE under ``batch_id=into_batch_id``
+    (default -1, below any real batch id). Run periodically when the
+    partial count grows; totals are unaffected because merge is
+    associative.
+
+    Replay safety: the newest ``keep_last`` batch partials are kept
+    AS-IS, not folded into the merge — Structured Streaming may replay
+    the latest uncommitted batch after a crash, and a replay is only
+    idempotent while the partial it rewrites still exists as its own
+    partition. Folding the tail in would double-count a replayed
+    batch; keep_last=1 covers the single uncommitted batch a restart
+    can redeliver (raise it if the checkpoint can lag further). Set
+    keep_last=0 ONLY against a cleanly stopped stream.
+
+    Run from the stream's maintenance window (the foreachBatch
+    callback between batches, or while stopped): the rewrite is a
+    read-then-overwrite of the same directory.
+    """
+    df = spark.read.parquet(path)
+    ids = sorted(
+        r["batch_id"] for r in df.select("batch_id").distinct().collect()
     )
-    staged = merged.withColumn("batch_id", F.lit(int(into_batch_id)))
+    tail = set(i for i in ids if i >= 0)
+    tail = set(sorted(tail)[len(tail) - keep_last :]) if keep_last else set()
+    old = df.filter(~F.col("batch_id").isin(*tail) if tail else F.lit(True))
+    merged = [F.sum(c).alias(c) for c in (sums or [])]
+    merged += [F.min(c).alias(c) for c in (mins or [])]
+    merged += [F.max(c).alias(c) for c in (maxs or [])]
+    staged = (
+        old.groupBy(*group_cols)
+        .agg(*merged)
+        .withColumn("batch_id", F.lit(int(into_batch_id)))
+    )
+    if tail:
+        staged = staged.unionByName(df.filter(F.col("batch_id").isin(*tail)))
     # localCheckpoint SEVERS lineage from the source files before the
     # overwrite (a cache could still recompute a lost partition from
     # the path being overwritten — checkpointed blocks cannot)
     staged = staged.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    (
+        staged.write.mode("overwrite")
+        # STATIC overwrite replaces the whole directory: under a
+        # session-level dynamic partitionOverwriteMode only the
+        # batch_id=-1 partition would be replaced and every old
+        # partial would survive to be double-counted on read
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )

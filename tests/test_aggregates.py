@@ -77,8 +77,26 @@ def test_compaction_preserves_totals(spark, tmp_path):
     for k in before:
         for c in ["n_docs", "total_chars", "max_chars"]:
             assert before[k][c] == after[k][c], (k, c)
-    assert len(glob.glob(f"{path}/batch_id=*")) == 1
+    # merged partial + the keep_last=1 replay-guard tail partial
+    assert sorted(glob.glob(f"{path}/batch_id=*")) == [
+        f"{path}/batch_id=-1",
+        f"{path}/batch_id=4",
+    ]
     # a post-compaction batch keeps accumulating
     fn(_batch(spark, [("a", 100)]), 5)
     t = _totals(spark, path)
     assert t["a"]["n_docs"] == before["a"]["n_docs"] + 1
+
+
+def test_compaction_keeps_replay_idempotent_for_tail_batch(spark, tmp_path):
+    path = str(tmp_path / "agg")
+    fn = aggregate_batch_fn(path, ["source"], _aggs())
+    fn(_batch(spark, [("a", 1)]), 0)
+    fn(_batch(spark, [("a", 2)]), 1)  # latest batch: may be replayed
+    compact_aggregates(
+        spark, path, ["source"],
+        sums=["n_docs", "total_chars"], maxs=["max_chars"],
+    )
+    fn(_batch(spark, [("a", 2)]), 1)  # crash-replay of batch 1
+    t = _totals(spark, path)
+    assert t["a"]["n_docs"] == 2 and t["a"]["total_chars"] == 3

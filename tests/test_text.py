@@ -169,3 +169,18 @@ def test_split_sentences_no_boundary_is_single_span(spark):
     rows = split_sentences(df, "text", "doc_id").collect()
     assert len(rows) == 1
     assert rows[0]["char_start"] == 0 and rows[0]["char_end"] == 19
+
+
+def test_split_sentences_survives_stray_sentinel_bytes(spark):
+    from kafka_streams_plumber_spark.operators.text import split_sentences
+
+    text = "a\x01b. c"  # stray control byte must not shift offsets
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        split_sentences(df, "text", "doc_id").collect(),
+        key=lambda r: r["sent_idx"],
+    )
+    cleaned = "ab. c"
+    assert [r["sentence"] for r in rows] == ["ab.", "c"]
+    for r in rows:
+        assert cleaned[r["char_start"]:r["char_end"]].rstrip() == r["sentence"]

@@ -92,3 +92,33 @@ def test_read_warc_distributes_and_filters(spark, tmp_path):
     assert all(r["http_status"] == 200 for r in rows)
     everything = read_warc(spark, str(tmp_path / "*"), types=())
     assert everything.count() == 8
+
+
+def test_parse_warc_missing_content_length_resyncs():
+    """A record without Content-Length can't be framed — the parser
+    must skip to the next record marker, not drop the archive rest."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"WARC-Record-ID: <u:bad>\r\n\r\nunframed junk..."
+    )
+    raw = bad + b"\r\n" + _record("response", "http://ok.com/", _http(b"OK"))
+    recs = list(parse_warc_bytes(raw))
+    assert [r["target_uri"] for r in recs] == ["http://ok.com/"]
+    assert recs[0]["body"] == b"OK"
+
+
+def test_parse_warc_truncated_archive_keeps_prefix():
+    good = _record("response", "http://a.com/", _http(b"A"))
+    truncated = good + b"WARC/1.0\r\nWARC-Type: resp"  # cut mid-header
+    recs = list(parse_warc_bytes(truncated))
+    assert len(recs) == 1 and recs[0]["body"] == b"A"
+
+
+def test_parse_warc_truncated_gzip_member_keeps_decoded_prefix():
+    good = gzip.compress(_record("response", "http://a.com/", _http(b"A")))
+    bad = gzip.compress(_record("response", "http://b.com/", _http(b"B")))
+    # cut deep into the second member's deflate stream: whatever zlib
+    # recovered is parsed, the rest is dropped WITHOUT raising
+    recs = list(parse_warc_bytes(good + bad[: len(bad) // 2]))
+    assert recs and recs[0]["target_uri"] == "http://a.com/"
+    assert recs[0]["body"] == b"A"
