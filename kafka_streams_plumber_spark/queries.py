@@ -3970,6 +3970,63 @@ def _bpe_oracle(n_merges: int) -> str:
     return "".join(parts) + " UNION ALL ".join(finals)
 
 
+def _bpe_segment_oracle(n_merges: int) -> str:
+    """Word-level segmentation oracle: the training oracle's CTE chain
+    with the word column carried through, so the final w{n} IS each
+    word's greedy segmentation under the learned merges."""
+    base = _bpe_oracle(n_merges)
+    # carry `word` through every rewrite CTE
+    base = base.replace(
+        "w0 AS (SELECT string_split(word, '') AS syms, cnt FROM wc)",
+        "w0 AS (SELECT word, string_split(word, '') AS syms, cnt FROM wc)",
+    )
+    for i in range(1, n_merges + 1):
+        base = base.replace(
+            f"w{i} AS (\n      SELECT list_filter",
+            f"w{i} AS (\n      SELECT word, list_filter",
+        )
+    finals = base.rindex("SELECT 1 AS merge_round")
+    return (
+        base[:finals]
+        + f"""
+    SELECT word,
+           CAST(len(syms) AS BIGINT) AS n_tokens,
+           array_to_string(syms, '|') AS segmentation
+    FROM w{n_merges}
+    """
+    )
+
+
+@query("q_bpe_segment", _bpe_segment_oracle(n_merges=6))
+def q_bpe_segment(spark, sf_dir):
+    """BPE segmentation under trained merges (operators/bpe.py:
+    bpe_segment): train 6 merges, collect the (6-row) merge list to the
+    driver — the one justified driver action, the model IS the output
+    of training — and segment every distinct corpus word with the
+    greedy fold encoder. The oracle replays training AND segmentation
+    (its final word-table CTE is exactly the per-word segmentation), so
+    encoder/trainer consistency is hash-verified end-to-end."""
+    from kafka_streams_plumber_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+        word_counts,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(d, "text", n_merges=6).orderBy("merge_round").collect()
+    ]
+    # alias: bpe_segment internally explodes into a column named "word"
+    words = word_counts(d, "text").select(F.col("word").alias("w_in"))
+    seg = bpe_segment(words, "w_in", merges)
+    return seg.select(
+        F.col("w_in").alias("word"),
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.array_join("bpe_tokens", "|").alias("segmentation"),
+    )
+
+
 @query("q_bpe_train", _bpe_oracle(n_merges=6))
 def q_bpe_train(spark, sf_dir):
     """BPE merge training (operators/bpe.py:bpe_train): 6 merge rounds
