@@ -522,3 +522,65 @@ def matryoshka_truncate(
         F.col("_m.trunc").alias("trunc"),
         F.col("_m.trunc_norm").alias("trunc_norm"),
     )
+
+
+def hash_embed(
+    text_col: Column | str, *, dim: int = 64, normalize: bool = True
+) -> Column:
+    """Model-free text embedding via the hashing trick (Weinberger et
+    al. 2009): each token adds ±1 to the md5-hashed bucket of a
+    ``dim``-length vector, which is then L2-normalized — the
+    no-model-required featurizer that lets any text column flow into
+    the similarity stack (cosine_topk, kmeans, embedding_dup_pairs)
+    when no learned embedder exists. Signed hashing keeps the inner
+    product an unbiased kernel estimate.
+
+    Pure expressions, O(tokens x dim) inside codegen. The hash is an
+    md5-hex-prefix integer — replayable in any SQL dialect (DuckDB:
+    ``('0x' || substr(md5(t),1,8))::BIGINT``), so the whole embedding
+    is oracle-exact; bucket counts are integers until the one final
+    normalization divide.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+    def add_token(acc: Column, t: Column) -> Column:
+        h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        sign = (
+            F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("long") % 2
+        ) * 2 - 1
+        idx = F.pmod(h, F.lit(dim))
+        return F.transform(
+            acc,
+            lambda x, i: x + F.when(i == idx.cast("int"), sign).otherwise(0),
+        )
+
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        add_token,
+    )
+    if not normalize:
+        return counts  # exact integer bucket counts (oracle-friendly)
+
+    from kafka_streams_plumber_spark.operators.text import let_
+
+    def normalize(v: Column) -> Column:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return let_(
+            nrm,
+            lambda n: F.transform(
+                v,
+                lambda x: F.when(n > 0.0, x.cast("double") / n).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+        )
+
+    return let_(counts, normalize)

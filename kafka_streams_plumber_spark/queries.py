@@ -4597,6 +4597,87 @@ def q_html_text(spark, sf_dir):
 
 
 # =========================================================================
+# Hashing-trick embedding (operators/similarity.py:hash_embed)
+# =========================================================================
+
+
+@query(
+    "q_hash_embed",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS idx,
+             (('0x' || substr(md5(t), 9, 1))::BIGINT % 2) * 2 - 1 AS sign
+      FROM toks
+    ),
+    sparse AS (
+      SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS v
+      FROM hashed GROUP BY doc_id, idx
+    ),
+    summary AS (
+      SELECT doc_id,
+             CAST(sum(v * (idx + 1)) AS BIGINT) AS checksum,
+             sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm
+      FROM sparse GROUP BY doc_id
+    ),
+    n AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT n.doc_id, n.n_tokens, s.checksum, round(s.nrm, 6) AS nrm
+    FROM n JOIN summary s ON n.doc_id = s.doc_id
+    """,
+)
+def q_hash_embed(spark, sf_dir):
+    """Hashing-trick embedding (operators/similarity.py:hash_embed):
+    signed md5-bucket counts -> L2-normalized dim-64 vector — the
+    no-model featurizer feeding the similarity stack. Contract output
+    is scalar: token count, the exact integer position-weighted bucket
+    checksum (recovered from the normalized vector by multiplying the
+    norm back — exact because counts are integers), and the norm."""
+    from kafka_streams_plumber_spark.operators.similarity import hash_embed
+    from kafka_streams_plumber_spark.operators.text import let_
+
+    d = load_tables(spark, sf_dir)["documents"]
+    # the operator's normalized output is pytest-covered; the contract
+    # summarizes the UNNORMALIZED integer bucket counts (exact longs,
+    # normalize=False) plus their norm, so the md5 bucket/sign hashing
+    # itself is what the gate verifies
+    from kafka_streams_plumber_spark.operators.similarity import norm as l2norm
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+
+    def counts_expr():
+        return hash_embed("text", dim=64, normalize=False)
+
+    out = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        let_(
+            counts_expr(),
+            lambda v: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.sequence(F.lit(1), F.lit(64)),
+                        lambda x, i: x * i.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ).alias("checksum"),
+                F.round(l2norm(v), 6).alias("nrm"),
+            ),
+        ).alias("_s"),
+    )
+    return out.select("doc_id", "n_tokens", "_s.checksum", "_s.nrm").filter(
+        F.col("n_tokens") > 0
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -162,3 +162,49 @@ def test_matryoshka_truncate_renormalizes_head(spark):
     # full norm includes the tail
     assert abs(rows[1]["full_norm"] - (9 + 16 + 1) ** 0.5) < 1e-12
     assert [round(x, 12) for x in rows[2]["trunc"]] == [0.0, 1.0]
+
+
+def test_hash_embed_feeds_similarity_stack(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.similarity import (
+        cosine,
+        hash_embed,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark query plan optimizer"),
+            (2, "spark query plan optimizer"),
+            (3, "completely different words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    e = df.select("doc_id", hash_embed("text", dim=32).alias("v"))
+    rows = {r["doc_id"]: r["v"] for r in e.collect()}
+    # identical docs embed identically; unit norm
+    assert rows[1] == rows[2]
+    assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-9
+    # cosine to an unrelated doc is well below self-similarity
+    pairs = (
+        e.alias("a").crossJoin(e.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .collect()
+    )
+    cs = {(r["x"], r["y"]): r["c"] for r in pairs}
+    assert abs(cs[(1, 2)] - 1.0) < 1e-9
+    assert cs[(1, 3)] < 0.6
+
+
+def test_hash_embed_unnormalized_counts_are_integers(spark):
+    from kafka_streams_plumber_spark.operators.similarity import hash_embed
+
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    v = df.select(hash_embed("text", dim=8, normalize=False).alias("v")).collect()[0]["v"]
+    assert sum(abs(x) for x in v) in (1, 3)  # 'a' twice may cancel or stack
+    assert all(isinstance(x, int) for x in v)
