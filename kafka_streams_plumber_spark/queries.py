@@ -4678,6 +4678,97 @@ def q_hash_embed(spark, sf_dir):
 
 
 # =========================================================================
+# No-model semantic dedup (hash_embed -> exact cosine pairs)
+# =========================================================================
+
+
+@query(
+    "q_semantic_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS idx,
+             (('0x' || substr(md5(t), 9, 1))::BIGINT % 2) * 2 - 1 AS sign
+      FROM toks
+    ),
+    sparse AS (
+      SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS v
+      FROM hashed GROUP BY doc_id, idx HAVING sum(sign) <> 0
+    ),
+    ssq AS (
+      SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS ss
+      FROM sparse GROUP BY doc_id HAVING sum(v * v) > 0
+    ),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(sum(a.v * b.v) AS BIGINT) AS d
+      FROM sparse a JOIN sparse b USING (idx)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           round(d / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))), 6)
+             AS cos
+    FROM dots
+    JOIN ssq sa ON sa.doc_id = a_id
+    JOIN ssq sb ON sb.doc_id = b_id
+    WHERE d / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) >= 0.8
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """No-model semantic near-dup pairs: hash_embed bucket counts
+    (normalize=False — exact longs) -> integer dot products and squared
+    norms -> cosine as ONE double expression with a fixed evaluation
+    order, so the quadratic ground truth hash-matches the oracle's
+    sparse-join formulation exactly (a double-fold cosine would be
+    summation-order-dependent). The scale path for this composition is
+    hash_embed + embedding_dup_pairs (rp-LSH, pytest recall); this
+    gated query is its exact baseline on the documents table."""
+    from kafka_streams_plumber_spark.operators.similarity import hash_embed
+    from kafka_streams_plumber_spark.operators.text import let_
+
+    d = load_tables(spark, sf_dir)["documents"]
+    e = d.select(
+        "doc_id", hash_embed("text", dim=64, normalize=False).alias("v")
+    ).select(
+        "doc_id",
+        "v",
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("ss"),
+    ).filter(F.col("ss") > 0)
+
+    a = e.select(
+        F.col("doc_id").alias("a_id"), F.col("v").alias("_va"), F.col("ss").alias("_sa")
+    )
+    b = e.select(
+        F.col("doc_id").alias("b_id"), F.col("v").alias("_vb"), F.col("ss").alias("_sb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (
+        F.sqrt(F.col("_sa").cast("double")) * F.sqrt(F.col("_sb").cast("double"))
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.8)
+        .select("a_id", "b_id", F.round("_cos", 6).alias("cos"))
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
