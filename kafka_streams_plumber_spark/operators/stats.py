@@ -266,3 +266,36 @@ def winsorize(
         .withColumn(out, clipped)
         .drop("_lo", "_hi")
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Re-identification risk audit before a data release: a row is
+    k-anonymous when at least ``k`` rows share its quasi-identifier
+    combination (language, source, length bucket, domain...). One
+    map-combinable aggregate over the combo key, one tiny rollup —
+    nothing scales with anything but the number of DISTINCT combos.
+
+    Returns a one-row frame: total rows, distinct combos, combos below
+    k, rows at risk (in a below-k combo), min combo size, and the risk
+    fraction — the numbers a privacy review asks for first.
+    """
+    combos = df.groupBy(*quasi_cols).agg(F.count("*").alias("_n"))
+    return combos.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_combos"),
+        F.sum((F.col("_n") < k).cast("long")).alias("combos_below_k"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("_n").cast("long").alias("min_combo_size"),
+        F.round(
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+            / F.sum("_n"),
+            6,
+        ).alias("risk_fraction"),
+    )

@@ -4769,6 +4769,53 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 # =========================================================================
+# k-anonymity audit (operators/stats.py:k_anonymity)
+# =========================================================================
+
+
+@query(
+    "q_k_anonymity",
+    """
+    WITH combos AS (
+      SELECT lang, source,
+             CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+                  ELSE 2 END AS len_bucket,
+             count(*) AS n
+      FROM documents
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_combos,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS combos_below_k,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_combo_size,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                 / CAST(sum(n) AS DOUBLE), 6) AS risk_fraction
+    FROM combos
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/stats.py:k_anonymity) over the
+    (lang, source, length-bucket) quasi-identifier: rows in combos
+    smaller than k=5 are re-identification risks. One map-combinable
+    combo aggregate + one tiny rollup — cost scales with distinct
+    combos, not rows."""
+    from kafka_streams_plumber_spark.operators.stats import k_anonymity
+
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "lang",
+        "source",
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+        .alias("len_bucket"),
+    )
+    return k_anonymity(d, ["lang", "source", "len_bucket"], k=5)
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -156,3 +156,15 @@ def test_winsorize_preserves_nulls(spark):
     out = winsorize(df, "v", "g", lo=0.10, hi=0.90).collect()
     nulls = [r for r in out if r["v"] is None]
     assert len(nulls) == 1 and nulls[0]["v_clipped"] is None
+
+
+def test_k_anonymity_counts_risky_combos(spark):
+    from kafka_streams_plumber_spark.operators.stats import k_anonymity
+
+    rows = [("a", 1)] * 10 + [("b", 1)] * 3 + [("c", 2)] * 1
+    df = spark.createDataFrame(rows, ["q1", "q2"])
+    r = k_anonymity(df, ["q1", "q2"], k=5).collect()[0]
+    assert r["n_rows"] == 14 and r["n_combos"] == 3
+    assert r["combos_below_k"] == 2 and r["rows_at_risk"] == 4
+    assert r["min_combo_size"] == 1
+    assert abs(r["risk_fraction"] - round(4 / 14, 6)) < 1e-12
