@@ -610,10 +610,12 @@ def split_sentences(
     zipped = df.select(
         F.col(id_col), F.posexplode(let_(parts, body)).alias("sent_idx", "z")
     )
+    # regexp strip, not rtrim: rtrim removes SPACES only, so a span of
+    # bare newlines would be emitted as a whitespace-only "sentence"
     return zipped.select(
         id_col,
         "sent_idx",
-        F.rtrim(F.col("z.s")).alias(out_col),
+        F.regexp_replace(F.col("z.s"), r"\s+$", "").alias(out_col),
         F.col("z.start").alias("char_start"),
         (F.col("z.start") + F.length("z.s")).alias("char_end"),
     ).filter(F.col(out_col) != "")

@@ -4392,11 +4392,11 @@ def q_negatives(spark, sf_dir):
       FROM lens
     )
     SELECT doc_id, CAST(u.idx AS INT) AS sent_idx,
-           rtrim(u.s) AS sentence,
+           regexp_replace(u.s, '\s+$', '') AS sentence,
            CAST(u.st AS BIGINT) AS char_start,
            CAST(u.st + length(u.s) AS BIGINT) AS char_end
     FROM z
-    WHERE rtrim(u.s) <> ''
+    WHERE regexp_replace(u.s, '\s+$', '') <> ''
     """,
 )
 def q_sentences(spark, sf_dir):

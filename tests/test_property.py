@@ -286,3 +286,41 @@ def test_canonicalize_url_is_idempotent_on_url_shapes(spark, urls):
     )
     rows = bad.collect()
     assert rows == [], rows[:5]
+
+
+_sent_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abc .!?XZ\n\t")),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_sent_texts)
+def test_split_sentences_offsets_reconstruct_input(spark, texts):
+    """For ANY input (punctuation anywhere, whitespace runs, empties):
+    slicing the cleaned text with (char_start, char_end) must give back
+    the raw span whose rtrim equals the emitted sentence, and spans
+    must tile the text in order without overlap."""
+    from kafka_streams_plumber_spark.operators.text import split_sentences
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_sentences(df, "text", "doc_id").collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in rows:
+        cleaned = t.replace("\x01", "")
+        sents = sorted(by_doc.get(i, []), key=lambda r: r["sent_idx"])
+        prev_end = 0
+        for r in sents:
+            assert r["char_start"] >= prev_end
+            span = cleaned[r["char_start"]:r["char_end"]]
+            assert span.rstrip(" \t\n\r\x0b\x0c") == r["sentence"]
+            prev_end = r["char_end"]
+        # all emitted sentences are non-empty
+        assert all(r["sentence"] != "" for r in sents)
