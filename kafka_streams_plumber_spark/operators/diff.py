@@ -228,3 +228,57 @@ def audit_schema_drift(
         )
     )
     return schema_issues.unionByName(drift)
+
+
+def population_stability(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    *,
+    bins: int = 10,
+    lo: float,
+    hi: float,
+    smooth: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard ingestion-drift metric (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate):
+
+        PSI = sum_bins (p_new - p_old) * ln(p_new / p_old)
+
+    Built on :func:`~kafka_streams_plumber_spark.operators.stats.
+    numeric_histogram` (one map-combinable aggregate per side, <= bins
+    rows shuffled per partition), joined on the bin index — total work
+    past the two scans is O(bins). Empty bins get ``smooth`` mass so
+    the log never sees zero; the same smoothing on both sides keeps
+    the metric symmetric-ish and SQL-replayable exactly.
+
+    Returns a one-row frame with the rounded ``psi``.
+    """
+    from kafka_streams_plumber_spark.operators.stats import numeric_histogram
+
+    def dist(df: DataFrame, side: str) -> DataFrame:
+        h = numeric_histogram(df, value_col, bins=bins, lo=lo, hi=hi)
+        total = h.agg(F.sum("cnt").alias("_t"))
+        return h.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("cnt") / F.col("_t")).alias(f"p_{side}")
+        )
+
+    po, pn = dist(old, "old"), dist(new, "new")
+    full = (
+        po.join(pn, "bin", "full")
+        .select(
+            F.coalesce("p_old", F.lit(0.0)).alias("po"),
+            F.coalesce("p_new", F.lit(0.0)).alias("pn"),
+        )
+        .select(
+            (F.col("po") + smooth).alias("po"),
+            (F.col("pn") + smooth).alias("pn"),
+        )
+    )
+    return full.agg(
+        F.round(
+            F.sum((F.col("pn") - F.col("po")) * F.log(F.col("pn") / F.col("po"))),
+            6,
+        ).alias("psi")
+    )

@@ -4816,6 +4816,52 @@ def q_k_anonymity(spark, sf_dir):
 
 
 # =========================================================================
+# Population stability (operators/diff.py:population_stability)
+# =========================================================================
+
+
+@query(
+    "q_psi",
+    """
+    WITH olds AS (
+      SELECT least(9, greatest(0,
+               CAST(floor((n_chars - 0.0) / 60.0) AS BIGINT))) AS bin,
+             count(*) AS cnt
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    news AS (
+      SELECT least(9, greatest(0,
+               CAST(floor((n_chars * 1.2 - 0.0) / 60.0) AS BIGINT))) AS bin,
+             count(*) AS cnt
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    po AS (SELECT bin, cnt / CAST((SELECT sum(cnt) FROM olds) AS DOUBLE) AS p
+           FROM olds),
+    pn AS (SELECT bin, cnt / CAST((SELECT sum(cnt) FROM news) AS DOUBLE) AS p
+           FROM news),
+    j AS (
+      SELECT coalesce(po.p, 0.0) + 0.000001 AS a,
+             coalesce(pn.p, 0.0) + 0.000001 AS b
+      FROM po FULL JOIN pn USING (bin)
+    )
+    SELECT round(sum((b - a) * ln(b / a)), 6) AS psi FROM j
+    """,
+)
+def q_psi(spark, sf_dir):
+    """Population Stability Index (operators/diff.py:
+    population_stability): the ingestion-drift metric between a
+    snapshot and a synthetically shifted version (lengths scaled 1.2x).
+    Two histogram aggregates + an O(bins) join — drift monitoring that
+    costs two scans however large the feeds."""
+    from kafka_streams_plumber_spark.operators.diff import population_stability
+
+    d = load_tables(spark, sf_dir)["documents"]
+    old = d.select(F.col("n_chars").cast("double").alias("v"))
+    new = d.select((F.col("n_chars") * 1.2).cast("double").alias("v"))
+    return population_stability(old, new, "v", bins=10, lo=0.0, hi=600.0)
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -102,3 +102,25 @@ def test_audit_schema_drift_null_rate_jump_threshold(spark):
     got = audit_schema_drift(old, new, null_rate_jump=0.10).collect()
     assert [(r["column"], r["issue"]) for r in got] == [("a", "null_rate_jump")]
     assert audit_schema_drift(old, new, null_rate_jump=0.50).count() == 0
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from kafka_streams_plumber_spark.operators.diff import population_stability
+
+    df = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    r = population_stability(df, df, "v", bins=10, lo=0.0, hi=100.0).collect()[0]
+    assert r["psi"] == 0.0
+
+
+def test_psi_grows_with_shift(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.diff import population_stability
+
+    old = spark.range(2000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    mild = old.select((F.col("v") + 5).alias("v"))
+    wild = old.select((F.col("v") * 3).alias("v"))
+    p_mild = population_stability(old, mild, "v", bins=10, lo=0.0, hi=100.0).collect()[0]["psi"]
+    p_wild = population_stability(old, wild, "v", bins=10, lo=0.0, hi=100.0).collect()[0]["psi"]
+    assert 0 < p_mild < p_wild
+    assert p_wild > 0.25  # "investigate" territory
