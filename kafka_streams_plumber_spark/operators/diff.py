@@ -282,3 +282,40 @@ def population_stability(
             6,
         ).alias("psi")
     )
+
+
+def categorical_stability(
+    old: DataFrame,
+    new: DataFrame,
+    cat_col: str,
+    *,
+    smooth: float = 1e-6,
+) -> DataFrame:
+    """PSI over a categorical column's share distribution (language,
+    source, domain, event type) — the companion to
+    :func:`population_stability` for non-numeric feeds. One
+    map-combinable count per side, full-joined on the category
+    (O(categories) rows), same smoothing so a category present on only
+    one side contributes a finite, replayable term. Returns one row:
+    (psi, n_categories)."""
+
+    def dist(df: DataFrame, side: str) -> DataFrame:
+        c = df.filter(F.col(cat_col).isNotNull()).groupBy(
+            F.col(cat_col).alias("cat")
+        ).agg(F.count("*").alias("cnt"))
+        total = c.agg(F.sum("cnt").alias("_t"))
+        return c.crossJoin(F.broadcast(total)).select(
+            "cat", (F.col("cnt") / F.col("_t")).alias(f"p_{side}")
+        )
+
+    po, pn = dist(old, "old"), dist(new, "new")
+    full = po.join(pn, "cat", "full").select(
+        (F.coalesce("p_old", F.lit(0.0)) + smooth).alias("a"),
+        (F.coalesce("p_new", F.lit(0.0)) + smooth).alias("b"),
+    )
+    return full.agg(
+        F.round(
+            F.sum((F.col("b") - F.col("a")) * F.log(F.col("b") / F.col("a"))), 6
+        ).alias("psi"),
+        F.count("*").alias("n_categories"),
+    )

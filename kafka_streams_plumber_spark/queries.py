@@ -4861,6 +4861,49 @@ def q_psi(spark, sf_dir):
     return population_stability(old, new, "v", bins=10, lo=0.0, hi=600.0)
 
 
+@query(
+    "q_cat_psi",
+    """
+    WITH olds AS (
+      SELECT lang AS cat, count(*) AS cnt FROM documents
+      WHERE lang IS NOT NULL GROUP BY 1
+    ),
+    news AS (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS cat,
+             count(*) AS cnt
+      FROM documents WHERE lang IS NOT NULL GROUP BY 1
+    ),
+    po AS (SELECT cat, cnt / CAST((SELECT sum(cnt) FROM olds) AS DOUBLE) AS p
+           FROM olds),
+    pn AS (SELECT cat, cnt / CAST((SELECT sum(cnt) FROM news) AS DOUBLE) AS p
+           FROM news),
+    j AS (
+      SELECT coalesce(po.p, 0.0) + 0.000001 AS a,
+             coalesce(pn.p, 0.0) + 0.000001 AS b
+      FROM po FULL JOIN pn USING (cat)
+    )
+    SELECT round(sum((b - a) * ln(b / a)), 6) AS psi,
+           count(*) AS n_categories
+    FROM j
+    """,
+)
+def q_cat_psi(spark, sf_dir):
+    """Categorical PSI (operators/diff.py:categorical_stability): drift
+    of the language mix after a synthetic relabel (every 7th doc to a
+    new language) — the share-distribution companion to q_psi, one
+    count aggregate per side + an O(categories) join."""
+    from kafka_streams_plumber_spark.operators.diff import categorical_stability
+
+    d = load_tables(spark, sf_dir)["documents"]
+    old = d.select("lang")
+    new = d.select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang")
+    )
+    return categorical_stability(old, new, "lang")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -124,3 +124,20 @@ def test_psi_grows_with_shift(spark):
     p_wild = population_stability(old, wild, "v", bins=10, lo=0.0, hi=100.0).collect()[0]["psi"]
     assert 0 < p_mild < p_wild
     assert p_wild > 0.25  # "investigate" territory
+
+
+def test_categorical_psi_detects_new_category(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.diff import categorical_stability
+
+    old = spark.range(1000).select((F.col("id") % 4).cast("string").alias("c"))
+    same = categorical_stability(old, old, "c").collect()[0]
+    assert same["psi"] == 0.0 and same["n_categories"] == 4
+    new = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, "NEW")
+        .otherwise((F.col("id") % 4).cast("string"))
+        .alias("c")
+    )
+    drift = categorical_stability(old, new, "c").collect()[0]
+    assert drift["psi"] > 0.25 and drift["n_categories"] == 5
