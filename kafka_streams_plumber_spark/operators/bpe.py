@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_plumber_spark.operators.text import WS_RE
+
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt) over whitespace-run tokens — the corpus-collapsing
@@ -45,7 +47,7 @@ def word_counts(df: DataFrame, text_col: str) -> DataFrame:
         df.select(
             F.explode(
                 F.filter(
-                    F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+                    F.split(F.col(text_col), WS_RE), lambda x: x != ""
                 )
             ).alias("word")
         )
@@ -171,7 +173,7 @@ def bpe_segment(
     this trainer targets; a longer list belongs in a broadcast-join
     encoder)."""
     word = F.explode(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        F.filter(F.split(F.col(text_col), WS_RE), lambda x: x != "")
     ).alias("word")
     out = df.select("*", word)
     sym = _to_symbols(F.col("word"))

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_plumber_spark.operators.text import (
+    WS_RE,
     shingle_hashes,
     shingles,
     tokens,
@@ -546,7 +547,7 @@ def _positional_gram_hashes(col: Column, *, k: int) -> Column:
         )
 
     return let_(
-        F.filter(F.split(col, r"\s+"), lambda x: x != ""), body
+        F.filter(F.split(col, WS_RE), lambda x: x != ""), body
     )
 
 

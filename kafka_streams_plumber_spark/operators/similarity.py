@@ -541,18 +541,30 @@ def hash_embed(
     is oracle-exact; bucket counts are integers until the one final
     normalization divide.
     """
+    from kafka_streams_plumber_spark.operators.text import WS_RE, let_
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(c), WS_RE), lambda x: x != "")
 
     def add_token(acc: Column, t: Column) -> Column:
-        h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        sign = (
-            F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("long") % 2
-        ) * 2 - 1
-        idx = F.pmod(h, F.lit(dim))
-        return F.transform(
-            acc,
-            lambda x, i: x + F.when(i == idx.cast("int"), sign).otherwise(0),
+        # md5 is let-bound: bucket index and sign both read it, and the
+        # fold evaluates this per token on the embedding hot path
+        return let_(
+            F.md5(t),
+            lambda m: F.transform(
+                acc,
+                lambda x, i: x
+                + F.when(
+                    i
+                    == F.pmod(
+                        F.conv(F.substring(m, 1, 8), 16, 10).cast("long"),
+                        F.lit(dim),
+                    ).cast("int"),
+                    (F.conv(F.substring(m, 9, 1), 16, 10).cast("long") % 2)
+                    * 2
+                    - 1,
+                ).otherwise(0),
+            ),
         )
 
     counts = F.aggregate(
@@ -563,18 +575,9 @@ def hash_embed(
     if not normalize:
         return counts  # exact integer bucket counts (oracle-friendly)
 
-    from kafka_streams_plumber_spark.operators.text import let_
-
-    def normalize(v: Column) -> Column:
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        )
+    def unit_scale(v: Column) -> Column:
         return let_(
-            nrm,
+            norm(v),
             lambda n: F.transform(
                 v,
                 lambda x: F.when(n > 0.0, x.cast("double") / n).otherwise(
@@ -583,4 +586,4 @@ def hash_embed(
             ),
         )
 
-    return let_(counts, normalize)
+    return let_(counts, unit_scale)

@@ -29,6 +29,13 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: Whitespace-run regex with an EXPLICIT class: Java's \s includes
+#: vertical tab (\x0B), RE2's does not — operators that must match a
+#: DuckDB oracle byte-for-byte pin the class instead (same literal works
+#: in both engines).
+WS_RE = r"[ \t\n\x0B\f\r]+"
+
+
 def let_(e: Column, body) -> Column:
     """Let-binding via the single-element-array ``transform`` idiom:
     ``body`` receives ``e`` as a lambda VARIABLE, evaluated exactly once.
@@ -615,7 +622,7 @@ def split_sentences(
     return zipped.select(
         id_col,
         "sent_idx",
-        F.regexp_replace(F.col("z.s"), r"\s+$", "").alias(out_col),
+        F.regexp_replace(F.col("z.s"), WS_RE + "$", "").alias(out_col),
         F.col("z.start").alias("char_start"),
         (F.col("z.start") + F.length("z.s")).alias("char_end"),
     ).filter(F.col(out_col) != "")

@@ -3926,7 +3926,7 @@ def _bpe_oracle(n_merges: int) -> str:
     parts = [
         r"""
     WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
                                 x -> x <> '')) AS word
       FROM documents
     ),
@@ -4261,7 +4261,7 @@ def q_quality_ensemble(spark, sf_dir):
     r"""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                          x -> x != '') AS toks
       FROM documents
     ),
@@ -4392,11 +4392,11 @@ def q_negatives(spark, sf_dir):
       FROM lens
     )
     SELECT doc_id, CAST(u.idx AS INT) AS sent_idx,
-           regexp_replace(u.s, '\s+$', '') AS sentence,
+           regexp_replace(u.s, '[ \t\n\x0b\f\r]+$', '') AS sentence,
            CAST(u.st AS BIGINT) AS char_start,
            CAST(u.st + length(u.s) AS BIGINT) AS char_end
     FROM z
-    WHERE regexp_replace(u.s, '\s+$', '') <> ''
+    WHERE regexp_replace(u.s, '[ \t\n\x0b\f\r]+$', '') <> ''
     """,
 )
 def q_sentences(spark, sf_dir):
@@ -4606,7 +4606,7 @@ def q_html_text(spark, sf_dir):
     r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                                 x -> x <> '')) AS t
       FROM documents
     ),
@@ -4648,7 +4648,8 @@ def q_hash_embed(spark, sf_dir):
     # itself is what the gate verifies
     from kafka_streams_plumber_spark.operators.similarity import norm as l2norm
 
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    from kafka_streams_plumber_spark.operators.text import WS_RE as _WS
+    toks = F.filter(F.split(F.lower("text"), _WS), lambda x: x != "")
 
     def counts_expr():
         return hash_embed("text", dim=64, normalize=False)
@@ -4687,7 +4688,7 @@ def q_hash_embed(spark, sf_dir):
     r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                                 x -> x <> '')) AS t
       FROM documents
     ),
@@ -4894,7 +4895,9 @@ def q_cat_psi(spark, sf_dir):
     count aggregate per side + an O(categories) join."""
     from kafka_streams_plumber_spark.operators.diff import categorical_stability
 
-    d = load_tables(spark, sf_dir)["documents"]
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("lang").isNotNull()  # relabel AFTER the null drop, like the oracle
+    )
     old = d.select("lang")
     new = d.select(
         F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
