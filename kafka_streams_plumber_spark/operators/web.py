@@ -205,5 +205,6 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(t, r"[ \t]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")
-    # trim() strips spaces only — newlines at the ends need the regex
-    return F.regexp_replace(t, r"^\s+|\s+$", "")
+    # trim() strips spaces only — and the class is explicit because
+    # Java \s matches \x0B while the oracle's RE2 does not
+    return F.regexp_replace(t, r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", "")

@@ -1699,7 +1699,7 @@ def q_redact(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+             string_split(text, ' ') AS toks
       FROM documents
     ),
     s AS (
@@ -1756,8 +1756,7 @@ def q_split(spark, sf_dir):
     """
     SELECT tok, count(*) AS n
     FROM (
-      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                x -> x != '')) AS tok
+      SELECT unnest(string_split(lower(text), ' ')) AS tok
       FROM documents
     )
     GROUP BY tok
@@ -2068,8 +2067,7 @@ def q_dedup_clusters(spark, sf_dir):
     """
     WITH s AS (
       SELECT doc_id,
-             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))
-               AS n_tokens,
+             len(string_split(text, ' ')) AS n_tokens,
              CAST((doc_id % 2147483648) * 2654435761 % 2147483648 % 32 AS BIGINT)
                AS shard
       FROM documents
@@ -2135,8 +2133,7 @@ def q_centroids(spark, sf_dir):
     r"""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')
-               AS toks
+             string_split(lower(text), ' ') AS toks
       FROM documents
     ),
     grams AS (
@@ -3405,7 +3402,7 @@ def q_fk_audit(spark, sf_dir):
     r"""
     WITH tk AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             unnest(list_filter(string_split(trim(lower(text)), ' '),
                                 x -> x != '')) AS tok
       FROM documents
     ),
@@ -4561,7 +4558,7 @@ def q_blocklist(spark, sf_dir):
           '[ \t]+', ' ', 'g'),
           ' ?\n ?', chr(10), 'g'),
           '\n{3,}', chr(10) || chr(10), 'g'),
-          '^\s+|\s+$', '', 'g') AS text_out
+          '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS text_out
       FROM s3
     )
     SELECT doc_id, text_out, CAST(length(text_out) AS BIGINT) AS n_chars
