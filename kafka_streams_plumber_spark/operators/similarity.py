@@ -271,14 +271,18 @@ def _cells_row(
     centroid vectors.
 
     Centroids are ``n_cells`` deterministic random pivots — the corpus
-    ordered by id hash, lowest first (TakeOrderedAndProject: no global
-    sort shuffle). Random pivots are the zero-iteration special case of
-    k-means and preserve IVF's search shape; swap in fitted centroids for
-    tighter cells without touching the search path.
+    ordered by the engine's Knuth id hash (sampling.split_bucket, the
+    same replayable pivot device as clustering.kmeans_fit), lowest
+    first (TakeOrderedAndProject: no global sort shuffle). Random
+    pivots are the zero-iteration special case of k-means and preserve
+    IVF's search shape; swap in fitted centroids for tighter cells
+    without touching the search path.
     """
+    from kafka_streams_plumber_spark.operators.sampling import split_bucket
+
     pivots = (
         corpus.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
-        .orderBy(F.xxhash64(F.col("_pid")), F.col("_pid"))
+        .orderBy(split_bucket("_pid"), F.col("_pid"))
         .limit(n_cells)
     )
     unit = F.transform(

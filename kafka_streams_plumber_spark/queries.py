@@ -925,22 +925,158 @@ def sim_topk(spark, sf_dir):
     return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("sim_ann_lsh")  # rows-only: seeded-hyperplane buckets have no SQL analog
+def _rp_lsh_oracle(
+    *, dim: int, k: int, n_planes: int, n_tables: int, seed: int
+) -> str:
+    """Exact SQL replay of rp_lsh_topk: the seeded hyperplanes are
+    PYTHON-generated floats, inlined as literal lists (repr round-trips
+    to the identical IEEE double in both engines), so bucket signs,
+    candidate sets, cosines, and ranks all reproduce bit-for-bat."""
+    from kafka_streams_plumber_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, w in enumerate(_hyperplanes(n_planes, dim, seed + 1000 * t)):
+            lst = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+            rows.append(f"({t}, {p}, {lst})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(t, p, w) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    sig AS (
+      SELECT e.vec_id, pl.t,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> e.v[i] * pl.w[i])) >= 0
+                      THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM e, planes pl GROUP BY e.vec_id, pl.t
+    ),
+    q AS (SELECT * FROM sig WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE c.vec_id <> q.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, {dim + 1}),
+                       i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS s
+      FROM cand JOIN e a ON a.vec_id = query_id
+                JOIN e b ON b.vec_id = neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS rnk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(s, 6) AS sim,
+           CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@query(
+    "sim_ann_lsh",
+    _rp_lsh_oracle(dim=64, k=5, n_planes=8, n_tables=4, seed=42),
+)
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-k via sign-random-projection LSH
-    (operators/similarity.py:rp_lsh_topk); recall vs the exact baseline
-    is asserted in pytest, the driver records a rows-only check."""
+    (operators/similarity.py:rp_lsh_topk). The oracle inlines the
+    seeded hyperplanes as SQL literals and replays buckets, candidate
+    join, cosine, and ranking exactly — the APPROXIMATE structure is
+    verified bit-for-bit (recall vs the exact baseline stays asserted
+    in pytest)."""
     from kafka_streams_plumber_spark.operators.similarity import rp_lsh_topk
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return rp_lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("sim_ann_ivf")  # rows-only: data-dependent cell table has no SQL analog
+def _ivf_oracle(
+    *, dim: int, k: int, n_cells: int, nprobe: int, assign: int
+) -> str:
+    """Exact SQL replay of ivf_topk: pivots by the Knuth id hash (the
+    kmeans-oracle device), unit-normalized centroids, top-``assign``
+    cell assignment (ties to the HIGHER cell id, matching
+    _best_cells' reverse(array_sort)), nprobe probing, cosine rank."""
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    piv AS (
+      SELECT v, row_number() OVER (
+               ORDER BY (vec_id % 2147483648) * 2654435761 % 2147483648 % 1000,
+                        vec_id) - 1 AS cell
+      FROM e ORDER BY (vec_id % 2147483648) * 2654435761 % 2147483648 % 1000,
+                      vec_id
+      LIMIT {n_cells}
+    ),
+    cells AS (
+      SELECT cell,
+             list_transform(v, x -> x
+               / sqrt(list_sum(list_transform(v, y -> y * y)))) AS cv
+      FROM piv
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(range(1, {dim + 1}),
+                       i -> e.v[i] * c.cv[i])) AS s
+      FROM e, cells c
+    ),
+    cassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell DESC) AS rn
+        FROM scored) WHERE rn <= {assign}
+    ),
+    qprobe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell DESC) AS rn
+        FROM scored WHERE vec_id < 10) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qprobe q JOIN cassign c USING (cell)
+      WHERE c.vec_id <> q.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, {dim + 1}),
+                       i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS s
+      FROM cand JOIN e a ON a.vec_id = query_id
+                JOIN e b ON b.vec_id = neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS rnk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(s, 6) AS sim,
+           CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@query(
+    "sim_ann_ivf",
+    _ivf_oracle(dim=64, k=5, n_cells=16, nprobe=6, assign=2),
+)
 def sim_ann_ivf(spark, sf_dir):
     """Approximate top-k via IVF cells with multi-assignment
-    (operators/similarity.py:ivf_topk); recall vs the exact baseline is
-    asserted in pytest, the driver records a rows-only check."""
+    (operators/similarity.py:ivf_topk). The cell table derives from
+    Knuth-hash pivots, so the oracle replays pivots, assignment,
+    probing, and ranking exactly — the approximate structure itself is
+    hash-verified (recall vs exact stays asserted in pytest)."""
     from kafka_streams_plumber_spark.operators.similarity import ivf_topk
 
     e = load_tables(spark, sf_dir)["embeddings"]
