@@ -5083,6 +5083,9 @@ _WINDOW_DEMOTE = {
     "q_epoch_shards",  # q_train_order runs the same global_order core
     "q_asof_fwd",      # q_asof keeps the as-of family in-window
     "q_session_window", # q_sessionize keeps sessionization in-window
+    "q_token_entropy", # text-agg family: text_stats/quality/repetition stay
+    "q_tfidf",         # ditto — makes room for q_source_cap + q_salted
+                       # after the ANN queries earned oracle slots
 }
 
 #: Queries pulled to the FRONT of the gate window: operator families
