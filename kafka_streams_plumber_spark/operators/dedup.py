@@ -384,12 +384,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text_col: Column | str, *, bits: int = 64) -> Column:
+def simhash(
+    text_col: Column | str, *, bits: int = 64, hash_fn: str = "xxhash64"
+) -> Column:
     """SimHash of the token multiset: per-bit majority vote over token
     hashes, packed into a signed 64-bit long. Pure expressions: one fold
-    maintaining a ``bits``-length vote array."""
+    maintaining a ``bits``-length vote array.
+
+    ``hash_fn``: "xxhash64" (default — fastest, JVM-only) or "md5"
+    (60-bit md5-hex-prefix integers, bits 60..63 always clear —
+    replayable in any SQL dialect, which is what lets dedup_simhash
+    run under the exact oracle gate)."""
     toks = tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
-    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    if hash_fn == "md5":
+        hashes = F.transform(
+            toks,
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(toks, lambda x: F.xxhash64(x))
     init = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
     def votes(h: Column) -> Column:
@@ -429,13 +442,15 @@ def simhash_pairs(
     max_hamming: int = 8,
     bands: int = 4,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one of
     ``bands`` 16-bit bands (pigeonhole: any pair with hamming < bands
     must agree on some band), verified with bit_count(a xor b)."""
     width = 64 // bands
     base = _fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
+        F.col(id_col).alias("_id"),
+        simhash(text_col, hash_fn=hash_fn).alias("_sh"),
     )
 
     band_cols = F.array(

@@ -867,15 +867,62 @@ def q_quantize(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # rows-only: bit-level hash has no SQL analog
+@query(
+    "dedup_simhash",
+    """
+    WITH e AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks,
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+      FROM e
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(hs,
+                      hv -> CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(power(2, b) AS BIGINT) ELSE 0 END))
+                  AS BIGINT) AS s
+      FROM h
+    ),
+    bnd AS (
+      SELECT doc_id, bb AS band, (s >> (bb * 16)) & 65535 AS key
+      FROM sh, unnest([0, 1, 2, 3]) AS u(bb)
+    ),
+    ok AS (
+      SELECT band, key FROM bnd GROUP BY band, key
+      HAVING count(*) BETWEEN 2 AND 1000
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bnd x JOIN ok USING (band, key)
+      JOIN bnd y ON y.band = x.band AND y.key = x.key
+      WHERE x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+    FROM cand
+    JOIN sh sa ON sa.doc_id = a_id
+    JOIN sh sb ON sb.doc_id = b_id
+    WHERE bit_count(xor(sa.s, sb.s)) <= 8
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (operators/dedup.py:simhash_pairs);
-    non-SQL-expressible (xxhash64 bit votes), driver records a rows-only
-    check; pytest validates semantics on fixtures instead."""
+    """SimHash near-dup pairs (operators/dedup.py:simhash_pairs) in the
+    replayable md5 hash mode: 60-bit token hashes, per-bit majority
+    votes, 16-bit banding with the bucket cap, bit_count(xor) verify —
+    every step reproduced in SQL, so the banded structure itself is
+    hash-gated (the xxhash64 fast path stays pytest-covered)."""
     from kafka_streams_plumber_spark.operators.dedup import simhash_pairs
 
     d = load_tables(spark, sf_dir)["documents"]
-    return simhash_pairs(d, "text", "doc_id", max_hamming=8)
+    out = simhash_pairs(d, "text", "doc_id", max_hamming=8, hash_fn="md5")
+    return out.select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 _COS_SQL = """

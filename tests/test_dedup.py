@@ -134,3 +134,25 @@ def test_decontaminate_spans_repeated_gram_hits_each_position(spark):
     # the same gram appears at pos 0 and pos 6: two separate spans
     assert r["n_hit_grams"] == 2 and r["n_spans"] == 2
     assert r["covered_tokens"] == 6
+
+
+def test_simhash_md5_mode_finds_same_near_dups(spark):
+    from kafka_streams_plumber_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about spark plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    for mode in ("xxhash64", "md5"):
+        pairs = {
+            (r["a_id"], r["b_id"])
+            for r in simhash_pairs(
+                docs, "text", "doc_id", max_hamming=16, hash_fn=mode
+            ).collect()
+        }
+        assert (1, 2) in pairs, mode
+        assert (1, 3) not in pairs and (2, 3) not in pairs, mode
