@@ -139,11 +139,12 @@ def test_decontaminate_spans_repeated_gram_hits_each_position(spark):
 def test_simhash_md5_mode_finds_same_near_dups(spark):
     from kafka_streams_plumber_spark.operators.dedup import simhash_pairs
 
+    base = "the quick brown fox jumps over the lazy dog " * 5
     docs = spark.createDataFrame(
         [
-            (1, "the quick brown fox jumps over the lazy dog"),
-            (2, "the quick brown fox jumps over the lazy cat"),
-            (3, "completely unrelated text about spark plans"),
+            (1, base + "end"),
+            (2, base + "fin"),  # 1 of 46 tokens differs
+            (3, "completely unrelated text about spark plans and bytes"),
         ],
         ["doc_id", "text"],
     )
