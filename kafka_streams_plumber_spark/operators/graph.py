@@ -79,6 +79,125 @@ def connected_components(
     return labels.select("node", "component")
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Weighted PageRank over an edge list, fixed iteration count.
+
+    Returns (node, rank) for every node appearing as a source OR a
+    destination. Classic unnormalized formulation:
+
+        rank'(v) = (1 - d) + d * sum_{u->v} rank(u) * w(u,v) / out_w(u)
+
+    Dangling nodes (no out-edges) keep receiving mass but distribute
+    none — their mass evaporates rather than being redistributed, which
+    keeps the recurrence a pure join+groupBy and makes the result
+    reproducible term-for-term in any SQL engine (the oracle unrolls
+    the same ``iterations`` steps as chained CTEs).
+
+    A FIXED iteration count (not convergence detection) is deliberate:
+    it makes the operator deterministic and oracle-replayable, and at
+    scale it removes the per-round ``count()`` barrier — each round is
+    exactly one shuffle of (dst, contribution) pairs, map-side
+    combined. Out-weights are computed once and re-joined each round;
+    ``localCheckpoint`` truncates lineage so round N's plan does not
+    replay rounds 1..N-1 (the iterative-DataFrame trap).
+
+    Beyond-reference surface: graph authority scoring for source/domain
+    weighting in corpus curation (reference has no joins at all,
+    SURVEY §2.1).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("w")
+    )
+    e = e.localCheckpoint(eager=True)
+
+    out_w = e.groupBy(F.col("e_src").alias("ow_node")).agg(
+        F.sum("w").alias("out_w")
+    )
+    # contribution edges: src -> dst carrying w / out_w(src); computed
+    # once, reused every round (out_w is O(#src nodes), one shuffle).
+    contrib_e = (
+        e.join(out_w, e["e_src"] == out_w["ow_node"])
+        .select("e_src", "e_dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+
+    d = float(damping)
+    for _ in range(int(iterations)):
+        inbound = (
+            contrib_e.join(ranks, contrib_e["e_src"] == ranks["node"])
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inbound, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) + F.lit(d) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    *,
+    damping: float = 0.85,
+    iterations: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`pagerank`: the same fixed-point steps
+    unrolled as chained CTEs (standard SQL forbids aggregates in a
+    recursive CTE member, so unrolling IS the portable encoding).
+
+    ``edges_sql`` must select columns (src, dst, w).
+    """
+    d = float(damping)
+    parts = [
+        f"WITH e AS ({edges_sql}),",
+        "ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src),",
+        "ce AS (SELECT e.src, e.dst, e.w / ow.out_w AS share"
+        " FROM e JOIN ow USING (src)),",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),",
+        "r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),",
+    ]
+    for i in range(int(iterations)):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"{1.0 - d} + {d} * coalesce(i.inflow, 0.0) AS rank "
+            f"FROM nodes n LEFT JOIN (SELECT ce.dst AS node, "
+            f"sum(ce.share * r.rank) AS inflow FROM ce "
+            f"JOIN r{i} r ON r.node = ce.src GROUP BY ce.dst) i "
+            f"USING (node)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, round(rank, {round_to}) AS rank"
+        f" FROM r{int(iterations)}"
+    )
+    return "\n".join(parts)
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

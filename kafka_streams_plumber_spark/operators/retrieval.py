@@ -1,0 +1,192 @@
+"""BM25 ranked retrieval over a document corpus.
+
+Beyond-reference surface (the reference has no joins or aggregations,
+SURVEY §2.1): training-data pipelines use lexical retrieval constantly —
+mining hard negatives for embedding training, decontamination lookups,
+nearest-document audits, RAG evaluation sets. TF-IDF scoring already
+exists (queries.py:q_tfidf); this adds the full Okapi BM25 ranking
+function with a query side and top-k retrieval.
+
+Scale design: the corpus is tokenized ONCE into a postings frame
+(doc_id, term, tf) — one explode + one groupBy, map-side combined.
+Document-frequency (per-term) and corpus aggregates (N, avgdl) reduce
+to tiny frames that join back by BROADCAST, so the corpus itself is
+shuffled exactly once (the postings groupBy). The query side is small
+by construction (a query workload, not a second corpus) and is
+broadcast into the postings join — the 100 TB side never moves. Top-k
+per query uses the two-phase local-prune ranker (stats.topk_per_group),
+not a single-task-per-query window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.stats import topk_per_group
+
+#: Tokenizer shared by corpus and query sides: lowercase, split on
+#: ASCII whitespace runs, drop empties. Mirrors operators/text.tokens
+#: and is replayable in DuckDB as string_split_regex(lower(x), '[ \t\n\r]+').
+_WS = "[ \\t\\n\\r]+"
+
+
+def _terms(col):
+    return F.filter(
+        F.split(F.lower(F.trim(col)), _WS), lambda t: t != F.lit("")
+    )
+
+
+def doc_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, dl): term frequencies plus document length.
+
+    One explode + one map-combinable groupBy; dl (tokens in doc) is
+    carried on every posting row to keep the scorer join-free on the
+    corpus side.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _terms(F.col(text_col)).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    return toks.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents per query.
+
+    Returns (query_id, doc_id, score, rank) with
+
+        score(q, d) = sum_{t in q∩d} idf(t) * tf * (k1+1)
+                      / (tf + k1 * (1 - b + b * dl/avgdl))
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Repeated query terms score once (set semantics — the standard
+    bag-of-words simplification for short queries). Ranking orders by
+    round(score, 6) DESC then doc_id: the rounding is deliberate, so
+    float-sum association order (which differs across partitionings and
+    engines) cannot flip ranks between mathematically-tied documents.
+    """
+    post = doc_postings(docs, text_col, id_col)
+
+    # per-term document frequency — O(vocab) rows, broadcast back
+    dfreq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # corpus scalars as a one-row broadcast (no driver collect); a
+    # second corpus SCAN (cheap, column-pruned) instead of a second
+    # postings SHUFFLE
+    scal = docs.select(
+        F.size(_terms(F.col(text_col))).alias("dl")
+    ).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.explode(_terms(F.col(query_text))).alias("term"),
+        )
+        .distinct()
+    )
+
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scal))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (1.0 + k1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    return topk_per_group(
+        scored,
+        "query_id",
+        [F.col("score").desc(), F.col("doc_id")],
+        k,
+        rank_fn=F.row_number,
+        rank_col="rank",
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+def bm25_oracle_sql(
+    queries_sql: str,
+    *,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle replaying :func:`bm25_topk` step for step.
+
+    ``queries_sql`` must select (query_id, query_text).
+    """
+    return f"""
+    WITH q AS ({queries_sql}),
+    dtok AS (
+      SELECT {id_col} AS doc_id,
+             list_filter(string_split_regex(lower(trim({text_col})),
+                                            '[ \t\n\r]+'),
+                         t -> t <> '') AS toks
+      FROM {docs_table}
+    ),
+    post AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM dtok
+      ) GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term),
+    scal AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM dtok
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(
+        list_filter(string_split_regex(lower(trim(query_text)),
+                                       '[ \t\n\r]+'), t -> t <> '')
+      ) AS term FROM q
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.0 + {k1}))
+               / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+             ), 6) AS score
+      FROM post JOIN qterms USING (term) JOIN dfreq USING (term), scal
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -103,3 +103,125 @@ def cms_lookup(
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col)
     )
+
+
+# =====================================================================
+# Bloom filter — membership sketch for semi-join pruning
+# =====================================================================
+#
+# The scale story: an equi-join where the probe side is 100 TB and the
+# build side matches only a sliver of it shuffles the whole 100 TB
+# anyway — rows that cannot possibly match still travel. A Bloom
+# filter of the build side's keys, evaluated as a pure PROJECTION on
+# the probe side BEFORE the exchange, drops guaranteed-no-match rows
+# pre-shuffle. False positives only cost wasted shuffle (removed by
+# the real join); false negatives are impossible, so the join result
+# is EXACT. This mirrors what Spark's own runtime bloom-filter
+# optimization injects; the explicit operator makes the behavior
+# deterministic, testable, and available across engine versions.
+
+
+def _bloom_pos(key: Column, mult: int, m_bits: int) -> Column:
+    # same replayable 31-bit multiplicative family as the CMS grid
+    return (F.pmod(key, F.lit(_M31)) * F.lit(mult)) % _M31 % m_bits
+
+
+def _word(pos: Column) -> Column:
+    return F.floor(pos / F.lit(32)).cast("long")
+
+
+def _mask(pos: Column) -> Column:
+    # 2^(pos%32) via pow — exact in a double up to 2^53, and positive,
+    # which sidesteps PySpark's int-literal-only shiftleft wrapper and
+    # signed-top-bit arithmetic alike
+    return F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` (any type — keys are
+    xxhash64'd first) as packed 32-bit words ``(word, bits)``.
+
+    Relational and mergeable like the CMS grid: union two filters and
+    ``groupBy(word).agg(bit_or(bits))`` to combine. The build is one
+    explode(k) + map-combinable groupBy whose shuffle carries at most
+    ``k * m_bits/32`` rows per partition, independent of build-side
+    size."""
+    mults = cms_params(k, seed)
+    h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_M31))
+    positions = F.array(*[_bloom_pos(h, m, m_bits) for m in mults])
+    pos = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(positions).alias("pos"))
+    )
+    return (
+        pos.select(_word(F.col("pos")).alias("word"), _mask(F.col("pos")).alias("m"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom_words: list[int],
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 7,
+) -> Column:
+    """Membership predicate as a PURE EXPRESSION over a dense literal
+    word array (``bloom_words[w] & mask != 0`` for all k positions).
+
+    The literal array is ``m_bits/32`` longs — it ships inside the
+    serialized plan exactly like Spark's injected runtime bloom
+    filters, so the probe side needs no join and no explode: the
+    filter runs inside the scan's codegen stage."""
+    arr = F.lit(bloom_words)
+    mults = cms_params(k, seed)
+    h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_M31))
+    checks = [
+        (
+            F.element_at(arr, (_word(p) + 1).cast("int")).bitwiseAND(_mask(p))
+            != 0
+        )
+        for p in (_bloom_pos(h, m, m_bits) for m in mults)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prune_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 7,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact equi-join with Bloom pre-pruning of the probe side.
+
+    Builds the filter over ``build[on]``, densifies it to a literal
+    word array (a bounded ``m_bits/32``-row collect — sketch-sized,
+    data-size-independent), filters ``probe`` rows that cannot match,
+    then performs the real join (which removes false positives).
+
+    Result is always EXACTLY ``probe.join(build, on, how)`` — the
+    oracle for any query built on this is the plain join."""
+    sketch = bloom_build(build, on, m_bits=m_bits, k=k, seed=seed).collect()
+    words = [0] * (m_bits // 32)
+    for row in sketch:
+        words[row["word"]] = row["bits"]
+    pruned = probe.filter(
+        bloom_might_contain(words, on, m_bits=m_bits, k=k, seed=seed)
+    )
+    return pruned.join(build, on, how)

@@ -299,3 +299,62 @@ def k_anonymity(
             6,
         ).alias("risk_fraction"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: str | list[str] | None = None,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier flagging via median absolute deviation.
+
+    Adds ``med`` (per-group median), ``mad`` (median of |x - med|),
+    and ``is_outlier`` = |x - med| > k * consistency * mad (the
+    modified z-score test; ``consistency`` ~ 1.4826 scales MAD to a
+    normal sigma). Unlike mean/stddev clipping, a few extreme rows
+    cannot drag the threshold — which is the point for ingestion-feed
+    sanity checks (corrupt byte counts, pathological doc lengths).
+
+    NULL values pass through unflagged (``is_outlier`` NULL). In a
+    zero-MAD group (>=50% identical values) any nonzero deviation is
+    flagged — the limit of the test as mad->0, and the useful behavior
+    for near-constant feeds where any drift is anomalous.
+
+    Scale design: two map-combinable per-group aggregations (median,
+    then MAD) joined back on the group key — group-level frames are
+    O(#groups) and broadcast under AQE. Exact ``percentile`` keeps a
+    per-group value->count map, so the bound is DISTINCT VALUES PER
+    GROUP — fine for bounded-domain feeds; for a global median over
+    an unbounded domain use stats.exact_percentiles (range-partitioned
+    global rank) or approx_percentile and accept the epsilon.
+    """
+    groups = (
+        [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    v = F.col(value_col).cast("double")
+    if groups:
+        med = df.groupBy(*groups).agg(
+            F.expr(f"percentile({value_col}, 0.5)").alias("med")
+        )
+        with_med = df.join(med, groups)
+    else:
+        med = df.agg(F.expr(f"percentile({value_col}, 0.5)").alias("med"))
+        with_med = df.crossJoin(F.broadcast(med))
+    dev = with_med.withColumn("_adev", F.abs(v - F.col("med")))
+    if groups:
+        mad = dev.groupBy(*groups).agg(
+            F.expr("percentile(_adev, 0.5)").alias("mad")
+        )
+        out = dev.join(mad, groups)
+    else:
+        mad = dev.agg(F.expr("percentile(_adev, 0.5)").alias("mad"))
+        out = dev.crossJoin(F.broadcast(mad))
+    flag = F.when(
+        v.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(F.col("_adev") > F.lit(k * consistency) * F.col("mad"))
+    return out.withColumn("is_outlier", flag).drop("_adev")

@@ -5088,6 +5088,223 @@ def q_cat_psi(spark, sf_dir):
 
 
 # =========================================================================
+# Round-2 additions: graph ranking, retrieval, CDC/versioning,
+# bloom-pruned joins, robust outliers
+# =========================================================================
+
+from kafka_streams_plumber_spark.operators.graph import (  # noqa: E402
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+_PR_EDGES_SQL = """
+    SELECT src, dst, w FROM (
+      SELECT 2 * o_custkey AS a, 2 * l_suppkey + 1 AS b,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), LATERAL (VALUES (a, b), (b, a)) AS t(src, dst)
+"""
+
+
+@query("q_pagerank", pagerank_oracle_sql(_PR_EDGES_SQL, iterations=5))
+def q_pagerank(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py:pagerank) over the
+    customer<->supplier trade graph (node id = 2*custkey / 2*suppkey+1
+    to disjoin the key spaces; edge weight = lineitems traded, both
+    directions). Fixed 5 iterations, damping 0.85 — the oracle unrolls
+    the identical recurrence as chained CTEs."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .groupBy(
+            (2 * F.col("o_custkey")).alias("a"),
+            (2 * F.col("l_suppkey") + 1).alias("b"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    edges = e.selectExpr("a AS src", "b AS dst", "w").union(
+        e.selectExpr("b AS src", "a AS dst", "w")
+    )
+    pr = pagerank(edges, "src", "dst", weight="w", damping=0.85, iterations=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+from kafka_streams_plumber_spark.operators.retrieval import (  # noqa: E402
+    bm25_oracle_sql,
+    bm25_topk,
+)
+
+_BM25_QUERIES = [
+    (1, "spark join fast"),
+    (2, "hash table scan slow"),
+    (3, "window agg batch"),
+    (4, "customer order line"),
+    (5, "vector merge stream"),
+]
+_BM25_QUERIES_SQL = "SELECT CAST(q AS BIGINT) AS query_id, s AS query_text FROM (VALUES " + ", ".join(
+    f"({i}, '{s}')" for i, s in _BM25_QUERIES
+) + ") AS v(q, s)"
+
+
+@query("q_bm25", bm25_oracle_sql(_BM25_QUERIES_SQL, k=10))
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval (operators/retrieval.py:bm25_topk)
+    of a fixed 5-query workload against the documents corpus — the
+    lexical-retrieval primitive for hard-negative mining and
+    decontamination lookups. Scores rounded to 6dp BEFORE ranking so
+    float-sum association order cannot flip mathematically-tied docs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    out = bm25_topk(docs, qdf, k=10)
+    return out.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "q_cdc_upsert",
+    """
+    WITH latest AS (
+      SELECT user_id,
+             arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END,
+                     epoch_ms(ts)) AS op,
+             arg_max(value, epoch_ms(ts)) AS balance
+      FROM events GROUP BY user_id
+    )
+    SELECT coalesce(c.c_custkey, l.user_id) AS user_id,
+           CASE WHEN l.user_id IS NOT NULL THEN l.balance
+                ELSE c.c_acctbal END AS balance
+    FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def q_cdc_upsert(spark, sf_dir):
+    """CDC fold (operators/cdc.py:apply_changes): events as a change
+    log over a customer-balance snapshot — latest event per user wins,
+    'error' events delete the key, others upsert the event value.
+    Balances pass through untouched (no float arithmetic), so the
+    compare is exact without rounding."""
+    from kafka_streams_plumber_spark.operators.cdc import apply_changes
+
+    t = load_tables(spark, sf_dir)
+    snap = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), F.col("c_acctbal").alias("balance")
+    )
+    changes = t["events"].select(
+        "user_id",
+        F.unix_millis("ts").alias("ver"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value").alias("balance"),
+    )
+    return apply_changes(snap, changes, "user_id", "ver")
+
+
+@query(
+    "q_scd2",
+    """
+    SELECT user_id, epoch_ms(ts) AS ver, value,
+           epoch_ms(ts) AS valid_from,
+           lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts)) AS valid_to,
+           lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts)) IS NULL AS is_current
+    FROM events
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """SCD type-2 history (operators/cdc.py:scd2_history): the events
+    change log becomes validity intervals per user — any past corpus
+    snapshot is then a pushdown-friendly filter on
+    (valid_from, valid_to], no refold needed."""
+    from kafka_streams_plumber_spark.operators.cdc import scd2_history
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.unix_millis("ts").alias("ver"), "value"
+    )
+    return scd2_history(ev, "user_id", "ver")
+
+
+@query(
+    "q_bloom_join",
+    """
+    SELECT p_brand, count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN (
+      SELECT p_partkey AS l_partkey, p_brand FROM part WHERE p_size = 50
+    ) USING (l_partkey)
+    GROUP BY p_brand
+    """,
+)
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned equi-join (operators/sketches.py:bloom_prune_join):
+    lineitem (probe) joined to the p_size=50 sliver of part (build).
+    The Bloom filter of build keys is evaluated as a pure projection on
+    the probe side BEFORE any exchange, dropping guaranteed-no-match
+    rows pre-shuffle; the real join removes false positives, so the
+    oracle is the plain join."""
+    from kafka_streams_plumber_spark.operators.sketches import bloom_prune_join
+
+    t = load_tables(spark, sf_dir)
+    build = (
+        t["part"]
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    joined = bloom_prune_join(t["lineitem"], build, "l_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("cnt"),
+        money_sum("l_extendedprice", 2).alias("revenue"),
+    )
+
+
+@query(
+    "q_outliers",
+    """
+    WITH m AS (
+      SELECT c_mktsegment, median(c_acctbal) AS med
+      FROM customer GROUP BY 1
+    ),
+    d AS (
+      SELECT c.c_mktsegment, c.c_acctbal,
+             abs(c.c_acctbal - m.med) AS adev, m.med
+      FROM customer c JOIN m USING (c_mktsegment)
+    ),
+    md AS (SELECT c_mktsegment, median(adev) AS mad FROM d GROUP BY 1)
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CASE WHEN adev > 3.5 * 1.4826 * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(min(d.med), 6) AS med, round(min(mad), 6) AS mad
+    FROM d JOIN md USING (c_mktsegment)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_outliers(spark, sf_dir):
+    """Robust outlier audit (operators/stats.py:mad_outliers): modified
+    z-score (MAD-based) flagging of account balances per market
+    segment, summarized per group. Median/MAD are exact percentiles —
+    identical linear interpolation in Spark and DuckDB — and the
+    threshold product is the same IEEE double on both sides, so the
+    flag comparison is replayable bit-for-bit."""
+    from kafka_streams_plumber_spark.operators.stats import mad_outliers
+
+    c = load_tables(spark, sf_dir)["customer"]
+    out = mad_outliers(c, "c_acctbal", group_cols="c_mktsegment")
+    return out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_outlier").cast("int")).alias("n_outliers"),
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.min("mad"), 6).alias("mad"),
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
@@ -5133,6 +5350,14 @@ _WINDOW_DEMOTE = {
     "q_token_entropy", # text-agg family: text_stats/quality/repetition stay
     "q_tfidf",         # ditto — makes room for q_source_cap + q_salted
                        # after the ANN queries earned oracle slots
+    # round-2: six slots freed for the new operator families below
+    # (pagerank, bm25, cdc fold, scd2, bloom-pruned join, MAD outliers)
+    "q_interval",      # temporal-join family: q_asof + q_range stay in
+    "q_tumbling",      # time-bucket agg: q_window stays in
+    "q_byte_stats",    # media-bytes family: q_sniff_mime stays in
+    "q_histogram",     # numeric-distribution: q_percentiles stays in
+    "q_skew",          # skew diagnostics: q_salted runs the remedy
+    "q_count_distinct",# q_cms keeps frequency estimation in-window
 }
 
 #: Queries pulled to the FRONT of the gate window: operator families
@@ -5141,6 +5366,13 @@ _WINDOW_DEMOTE = {
 _WINDOW_PROMOTE = {
     "q_nb_classifier",
     "q_bpe_train",
+    # round-2 operator families, each the only in-window representative
+    "q_pagerank",
+    "q_bm25",
+    "q_cdc_upsert",
+    "q_scd2",
+    "q_bloom_join",
+    "q_outliers",
 }
 
 

@@ -113,3 +113,63 @@ def test_length_bucketed_batches_invariants(spark):
     ).collect()
     key = lambda r: r["doc_id"]
     assert sorted(out, key=key) == sorted(out2, key=key)
+
+
+# ---------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.graph import pagerank  # noqa: E402
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {r["node"]: r["rank"] for r in pagerank(e, iterations=10).collect()}
+    # symmetric 2-cycle: fixed point is rank 1.0 everywhere
+    assert abs(out[1] - 1.0) < 1e-9 and abs(out[2] - 1.0) < 1e-9
+
+
+def test_pagerank_star_matches_hand_rollout(spark):
+    # 3 leaves -> hub; hub -> leaf 1 only
+    e = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    d = 0.85
+    r = {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
+    for _ in range(3):
+        r = {
+            0: (1 - d) + d * (r[1] + r[2] + r[3]),
+            1: (1 - d) + d * r[0],
+            2: (1 - d),
+            3: (1 - d),
+        }
+    for n in r:
+        assert abs(out[n] - r[n]) < 1e-9, (n, out[n], r[n])
+
+
+def test_pagerank_weights_split_contribution(spark):
+    # node 0 sends 2/3 of its mass to 1, 1/3 to 2
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0)], "src long, dst long, w double"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(e, weight="w", iterations=1).collect()}
+    assert abs(out[1] - (0.15 + 0.85 * (2 / 3))) < 1e-9
+    assert abs(out[2] - (0.15 + 0.85 * (1 / 3))) < 1e-9
+
+
+def test_pagerank_partition_invariant(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(200)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        r["node"]: round(r["rank"], 9)
+        for r in pagerank(e.repartition(8), iterations=4).collect()
+    }
+    b = {
+        r["node"]: round(r["rank"], 9)
+        for r in pagerank(e.coalesce(1), iterations=4).collect()
+    }
+    assert a == b

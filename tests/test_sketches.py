@@ -19,3 +19,63 @@ def test_approx_distinct_within_tolerance(spark):
     assert exact.keys() == approx.keys()
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
+
+
+# ---------------------------------------------------------------------
+# Bloom filter / bloom-pruned join
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_might_contain,
+    bloom_prune_join,
+)
+
+
+def _bloom_words(spark, keys, **kw):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    m_bits = kw.get("m_bits", 1 << 16)
+    words = [0] * (m_bits // 32)
+    for row in bloom_build(df, "k", **kw).collect():
+        words[row["word"]] = row["bits"]
+    return words
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = list(range(0, 2000, 3))
+    words = _bloom_words(spark, keys)
+    probe = spark.createDataFrame([(k,) for k in keys], "k long")
+    kept = probe.filter(bloom_might_contain(words, "k")).count()
+    assert kept == len(keys)  # every inserted key must pass
+
+
+def test_bloom_prunes_most_non_members(spark):
+    members = list(range(100))
+    words = _bloom_words(spark, members)
+    probe = spark.createDataFrame([(k,) for k in range(100, 20100)], "k long")
+    fp = probe.filter(bloom_might_contain(words, "k")).count()
+    # 100 keys in 2^16 bits, k=5 -> fp rate well under 1%
+    assert fp < 0.01 * 20000, fp
+
+
+def test_bloom_prune_join_exact(spark):
+    probe = spark.createDataFrame(
+        [(i % 500, i) for i in range(5000)], "k long, payload long"
+    )
+    build = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 500, 7)], "k long, tag string"
+    )
+    got = bloom_prune_join(probe, build, "k")
+    want = probe.join(build, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_probe_filter_is_shuffle_free(spark):
+    """The pruning predicate must evaluate pre-exchange: a pure
+    projection over the scan, no join/explode on the probe side."""
+    from kafka_streams_plumber_spark.plans.inspect import shuffle_count
+
+    words = _bloom_words(spark, [1, 2, 3])
+    probe = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    pruned = probe.filter(bloom_might_contain(words, "k"))
+    assert shuffle_count(pruned) == 0

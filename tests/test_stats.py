@@ -168,3 +168,43 @@ def test_k_anonymity_counts_risky_combos(spark):
     assert r["combos_below_k"] == 2 and r["rows_at_risk"] == 4
     assert r["min_combo_size"] == 1
     assert abs(r["risk_fraction"] - round(4 / 14, 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.stats import mad_outliers  # noqa: E402
+
+
+def test_mad_flags_only_the_extreme_point(spark):
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["x"]: r["is_outlier"] for r in mad_outliers(df, "x").collect()}
+    assert out[1000.0] is True
+    assert all(out[v] is False for v in vals[:-1])
+
+
+def test_mad_grouped_isolated(spark):
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 100.0]] + [
+        ("b", v) for v in [100.0, 101.0, 102.0, 103.0]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = mad_outliers(df, "x", group_cols="g").collect()
+    flagged = {(r["g"], r["x"]) for r in out if r["is_outlier"]}
+    assert flagged == {("a", 100.0)}  # 100 is normal in group b
+
+
+def test_mad_zero_mad_flags_nothing(spark):
+    df = spark.createDataFrame([(5.0,)] * 6 + [(9.0,)], "x double")
+    out = mad_outliers(df, "x").collect()
+    # mad == 0 -> threshold 0; 9.0 deviates but convention keeps
+    # is_outlier boolean (no inf math): adev > 0 flags it
+    assert [r["is_outlier"] for r in out if r["x"] == 9.0] == [True]
+    assert all(not r["is_outlier"] for r in out if r["x"] == 5.0)
+
+
+def test_mad_null_passthrough(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], "x double")
+    out = {r["x"]: r["is_outlier"] for r in mad_outliers(df, "x").collect()}
+    assert out[None] is None
