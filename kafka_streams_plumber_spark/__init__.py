@@ -23,11 +23,14 @@ large-scale training-data-pipeline surface — ``dedup`` (exact/MinHash/
 SimHash/span/incremental), ``similarity`` (ANN, quantization,
 matryoshka), ``text`` (quality, LM scoring, sentences, BPE via
 ``bpe``), ``classify`` (NB train/score), ``web`` (URL canon, blocklist,
-HTML->text), ``sampling`` (splits, importance, negatives), ``packing``
-/ ``ordering`` / ``stats`` / ``sketches`` / ``clustering`` / ``diff`` /
-``graph`` / ``multimodal`` — plus ``sources`` (kafka/avro/registry/
-jsonl/warc), ``streaming`` (stateful ops, continual ingestion,
-aggregates), and ``plans`` (session, scale, observe, inspect). See the
+HTML->text), ``sampling`` (splits, importance, negatives, weighted A-ES), ``packing``
+/ ``ordering`` / ``stats`` / ``sketches`` (CMS, bloom-pruned joins) /
+``clustering`` / ``diff`` / ``graph`` (components, PageRank) /
+``retrieval`` (BM25) / ``cdc`` (upsert fold, SCD2) / ``linkage``
+(blocked fuzzy join) / ``multimodal`` — plus ``sources`` (kafka/avro/
+registry/jsonl/warc), ``streaming`` (stateful ops, continual ingestion,
+aggregates, CDC-upsert sink), and ``plans`` (session, scale, observe,
+inspect). See the
 README coverage map for the operator -> contract-query index. All of it
 is designed for 100 TB scale: no driver-side collects, broadcast for
 small sides, JVM-side expressions in hot paths, Arrow-batched pandas

@@ -261,3 +261,54 @@ def negative_samples(
         out = neg if out is None else out.unionByName(neg)
     assert out is not None
     return out
+
+
+def weighted_uniform(id_col: Column | str) -> Column:
+    """Deterministic uniform draw in (0, 1] from an integer id — the
+    same Knuth multiplicative hash as :func:`split_bucket` at full
+    31-bit resolution, shifted off zero so ``ln(u)`` is finite."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = (F.pmod(c, F.lit(_M31)) * _KNUTH) % _M31
+    return (h.cast("double") + 1.0) / float(_M31 + 1)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_cols: str | list[str],
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group, by the
+    Efraimidis-Spirakis A-ES scheme: each row draws a deterministic
+    uniform ``u`` from its id and competes on the key ``u^(1/w)`` —
+    ranked here as the monotone-equivalent ``ln(u)/w`` (descending) to
+    stay in plain double arithmetic. Rows with NULL or non-positive
+    weight are excluded.
+
+    Inclusion probability rises with weight exactly as in weighted
+    reservoir sampling — the curation primitive for "sample by quality
+    score" — while staying deterministic across runs, engines, retries,
+    and partitionings (no rand(), no RNG state on 1000 executors).
+
+    The key is rounded to 9 dp before ranking (id tie-break) so libm
+    ``ln`` noise between engines cannot flip ranks; top-k per group is
+    the two-phase local-prune ranker, never a single-task-per-group
+    window.
+    """
+    from kafka_streams_plumber_spark.operators.stats import topk_per_group
+
+    w = F.col(weight_col).cast("double")
+    eligible = df.filter(w.isNotNull() & (w > 0))
+    keyed = eligible.withColumn(
+        "_wkey", F.round(F.log(weighted_uniform(id_col)) / w, 9)
+    )
+    out = topk_per_group(
+        keyed,
+        group_cols,
+        [F.col("_wkey").desc(), F.col(id_col)],
+        k,
+        rank_fn=F.row_number,
+        rank_col="_wrnk",
+    )
+    return out.drop("_wkey", "_wrnk")

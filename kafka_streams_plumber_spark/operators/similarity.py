@@ -591,3 +591,172 @@ def hash_embed(
         )
 
     return let_(counts, unit_scale)
+
+
+# =====================================================================
+# PCA top component — power iteration, engine-exact
+# =====================================================================
+
+
+def pca_top_component(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    iterations: int = 6,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Leading principal component of an embedding column by power
+    iteration: ``v <- normalize(sum_i xc_i (xc_i . v))`` with
+    ``xc = x - mean``, starting from ``e_1``, a FIXED iteration count.
+
+    Returns ``dim`` rows ``(pos, loading, eigenvalue)`` — the unit
+    component vector plus the converged Rayleigh estimate
+    ``lambda = |sum_i xc_i (xc_i . v)| / n`` (variance along the
+    component). Sign is pinned by the deterministic ``e_1`` start.
+
+    The standard embedding-pipeline primitive this feeds: dominant-
+    direction removal / whitening (all-but-the-top postprocessing) and
+    drift monitoring of embedding spaces.
+
+    Scale design — the corpus is NEVER shuffled, mirroring kmeans:
+    the mean and each iteration's ``sum xc*(xc.v)`` are posexplode +
+    map-combinable per-position aggregates whose shuffles carry
+    ``dim`` rows per partition; mean and v ride along as ONE broadcast
+    row. Engine-exact arithmetic: per-term products are rounded to
+    ``scale`` decimals and summed as longs (partition-order-
+    insensitive, like label_centroids); the per-row projection ``p``
+    is rounded to 9 dp before re-expansion so both engines round the
+    identical double. ``localCheckpoint`` truncates lineage per round.
+    """
+    from kafka_streams_plumber_spark.operators.text import let_
+
+    x = df.select(
+        F.transform(F.col(vec_col), lambda c: c.cast("double")).alias("x")
+    )
+    x = x.localCheckpoint(eager=True)
+
+    expl = x.select(F.posexplode("x").alias("pos", "_v"))
+    mu_rows = expl.groupBy("pos").agg(
+        (
+            F.sum(F.round(F.col("_v") * scale, 0).cast("long")).cast("double")
+            / scale
+            / F.count("*")
+        ).alias("m"),
+        F.count("*").alias("n"),
+    )
+    mu = mu_rows.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("mu"),
+        F.max("n").alias("n"),
+    )
+
+    v = mu.select(
+        F.array(
+            *[F.lit(1.0 if j == 0 else 0.0) for j in range(dim)]
+        ).alias("v"),
+        "mu",
+        "n",
+    ).localCheckpoint(eager=True)
+
+    for _ in range(int(iterations)):
+        centered = x.crossJoin(F.broadcast(v)).select(
+            F.zip_with("x", "mu", lambda a, b: a - b).alias("xc"), "v", "n"
+        )
+        proj = centered.select(
+            "xc", F.round(dot(F.col("xc"), F.col("v")), 9).alias("p"), "n"
+        )
+        s_rows = (
+            proj.select(F.posexplode("xc").alias("pos", "_c"), "p", "n")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("_c") * F.col("p") * scale, 0).cast("long")
+                ).alias("_s"),
+                F.max("n").alias("n"),
+            )
+        )
+        sv = s_rows.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", (F.col("_s").cast("double") / scale).alias("sval")))
+                ),
+                lambda s: s["sval"],
+            ).alias("sv"),
+            F.max("n").alias("n"),
+        )
+        v = (
+            sv.crossJoin(F.broadcast(mu.select("mu")))
+            .select(
+                let_(
+                    norm(F.col("sv")),
+                    lambda nn: F.transform(F.col("sv"), lambda e: e / nn),
+                ).alias("v"),
+                (norm(F.col("sv")) / F.col("n")).alias("eig"),
+                "mu",
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return v.select(
+        F.posexplode("v").alias("pos", "loading"), F.col("eig").alias("eigenvalue")
+    ).select("pos", "loading", "eigenvalue")
+
+
+def pca_oracle_sql(
+    *,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    dim: int,
+    iterations: int = 6,
+    scale: int = 10**6,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`pca_top_component`: identical rounds
+    unrolled as chained CTEs, identical scaled-long sums and 9-dp
+    projection rounding, so the result hash-matches bit for bit."""
+    rng = f"range(1, {dim + 1})"
+    e1 = "[" + ", ".join("1.0" if j == 0 else "0.0" for j in range(dim)) + "]"
+    parts = [
+        f"WITH x AS (SELECT list_transform({vec_col}, c -> CAST(c AS DOUBLE)) AS x FROM {table}),",
+        f"""mupos AS (
+          SELECT pos, CAST(sum(CAST(round(v * {scale}) AS BIGINT)) AS DOUBLE)
+                        / {scale} / count(*) AS m, count(*) AS n
+          FROM (SELECT unnest(x) AS v, generate_subscripts(x, 1) - 1 AS pos FROM x)
+          GROUP BY pos
+        ),""",
+        "mu AS (SELECT list(m ORDER BY pos) AS mu, max(n) AS n FROM mupos),",
+        f"v0 AS (SELECT {e1}::DOUBLE[] AS v, 0.0 AS eig),",
+        f"xc AS (SELECT list_transform({rng}, j -> x.x[j] - mu.mu[j]) AS xc, mu.n AS n FROM x, mu),",
+    ]
+    for i in range(int(iterations)):
+        parts.append(
+            f"""p{i} AS (
+              SELECT xc, round(list_sum(list_transform({rng}, j -> xc[j] * v{i}.v[j])), 9) AS p, n
+              FROM xc, v{i}
+            ),
+            s{i} AS (
+              SELECT pos, sum(CAST(round(c * p * {scale}) AS BIGINT)) AS s, max(n) AS n
+              FROM (SELECT unnest(xc) AS c, generate_subscripts(xc, 1) - 1 AS pos, p, n FROM p{i})
+              GROUP BY pos
+            ),
+            sv{i} AS (
+              SELECT list(CAST(s AS DOUBLE) / {scale} ORDER BY pos) AS sv, max(n) AS n FROM s{i}
+            ),
+            v{i + 1} AS (
+              SELECT list_transform(sv, e -> e / sqrt(list_sum(list_transform(sv, q -> q * q)))) AS v,
+                     sqrt(list_sum(list_transform(sv, q -> q * q))) / n AS eig
+              FROM sv{i}
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    parts.append(
+        f"""SELECT generate_subscripts(v, 1) - 1 AS pos,
+               round(unnest(v), {round_to}) AS loading,
+               round(eig, {round_to}) AS eigenvalue
+        FROM v{int(iterations)}"""
+    )
+    return "\n".join(parts)

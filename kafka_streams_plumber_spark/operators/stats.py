@@ -358,3 +358,66 @@ def mad_outliers(
         v.isNull(), F.lit(None).cast("boolean")
     ).otherwise(F.col("_adev") > F.lit(k * consistency) * F.col("mad"))
     return out.withColumn("is_outlier", flag).drop("_adev")
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bins: int,
+    group_cols: str | list[str] | None = None,
+) -> DataFrame:
+    """Equal-frequency histogram: ``bins`` buckets bounded by exact
+    interpolated quantiles (the complement of the fixed-width
+    :func:`numeric_histogram` — right for heavy-tailed length/score
+    distributions where fixed widths put everything in one bar).
+
+    Returns per non-empty bucket: ``bin`` (0-based), ``lo``/``hi``
+    (bucket edges: the outer edges are the min/max), ``cnt``. A value
+    lands in bucket ``#{interior boundaries < value}`` — ties at a
+    boundary go LEFT, the convention both engines express as
+    ``size(filter(bounds, b -> v > b))``.
+
+    Scale design: ONE exact-percentile aggregate produces the
+    boundary array (per group), which joins back as an O(groups)
+    broadcast; assignment is a pure array expression; the final count
+    is a map-combinable groupBy carrying <= bins rows per partition.
+    NULLs are excluded.
+    """
+    assert bins >= 2
+    groups = (
+        [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    v = F.col(value_col).cast("double")
+    probs = ", ".join(str(i / bins) for i in range(1, bins))
+    bounds_agg = [
+        F.expr(f"percentile({value_col}, array({probs}))").alias("_bs"),
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+    ]
+    data = df.filter(v.isNotNull())
+    if groups:
+        stats = data.groupBy(*groups).agg(*bounds_agg)
+        joined = data.join(stats, groups)
+    else:
+        stats = data.agg(*bounds_agg)
+        joined = data.crossJoin(F.broadcast(stats))
+    binned = joined.withColumn(
+        "bin", F.size(F.filter(F.col("_bs"), lambda b: v > b))
+    )
+    edges_lo = F.when(F.col("bin") == 0, F.col("_mn")).otherwise(
+        F.element_at("_bs", F.col("bin"))
+    )
+    edges_hi = F.when(F.col("bin") == bins - 1, F.col("_mx")).otherwise(
+        F.element_at("_bs", F.col("bin") + 1)
+    )
+    return (
+        binned.groupBy(*groups, "bin")
+        .agg(
+            F.round(F.min(edges_lo), 6).alias("lo"),
+            F.round(F.min(edges_hi), 6).alias("hi"),
+            F.count("*").alias("cnt"),
+        )
+    )

@@ -626,3 +626,85 @@ def split_sentences(
         F.col("z.start").alias("char_start"),
         (F.col("z.start") + F.length("z.s")).alias("char_end"),
     ).filter(F.col(out_col) != "")
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    *,
+    line_sep: str = "\n",
+    max_doc_fraction: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove repeated-line boilerplate per group (CCNet-style): a line
+    occurring in more than ``max_doc_fraction`` of a group's documents
+    (cookie banners, footers, navigation chrome — anything templated
+    per domain/source) is stripped from every document of that group.
+    Groups with fewer than ``min_docs`` documents are left untouched
+    (no meaningful document frequency).
+
+    Returns ``id_col``, ``group_col``, ``clean_text`` (surviving lines
+    re-joined with ``line_sep``, original order), ``n_removed``.
+    Lines are compared after trim; whitespace-only lines are dropped
+    outright. ``line_sep`` defaults to newline; pass ``"\\n\\n"`` for
+    paragraph-level, or ``" "`` to operate on whitespace tokens.
+
+    Scale design: one explode + map-combinable distinct-count per
+    (group, line) — the shuffle carries line hashes, not documents;
+    the boilerplate line set is O(templated lines) and joins back
+    BROADCAST; reassembly is one shuffle on the document id with a
+    sorted collect_list (per-task state = one document's lines).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        F.posexplode(F.split(F.col(text_col), F.lit(line_sep))).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_line", F.trim("_line")).filter(F.col("_line") != "")
+
+    group_sizes = df.groupBy(F.col(group_col).alias("_grp")).agg(
+        F.countDistinct(id_col).alias("_gdocs")
+    )
+    line_df = (
+        lines.groupBy("_grp", "_line")
+        .agg(F.countDistinct("_id").alias("_ldocs"))
+        .join(group_sizes, "_grp")
+        .filter(
+            (F.col("_gdocs") >= min_docs)
+            & (F.col("_ldocs") > F.col("_gdocs") * max_doc_fraction)
+        )
+        .select("_grp", "_line", F.lit(True).alias("_boiler"))
+    )
+
+    marked = lines.join(F.broadcast(line_df), ["_grp", "_line"], "left")
+    return (
+        marked.groupBy(F.col("_id"), F.col("_grp"))
+        .agg(
+            F.concat_ws(
+                line_sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct("_pos", "_line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("clean_text"),
+            F.sum(
+                F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_grp").alias(group_col),
+            "clean_text",
+            "n_removed",
+        )
+    )

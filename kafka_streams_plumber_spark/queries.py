@@ -5304,6 +5304,189 @@ def q_outliers(spark, sf_dir):
     )
 
 
+from kafka_streams_plumber_spark.operators.similarity import (  # noqa: E402
+    pca_oracle_sql,
+    pca_top_component,
+)
+
+
+@query("q_pca", pca_oracle_sql(dim=64, iterations=6))
+def q_pca(spark, sf_dir):
+    """Leading principal component of the embeddings table
+    (operators/similarity.py:pca_top_component): 6 power-iteration
+    rounds, engine-exact via scaled-long per-position sums and 9-dp
+    projection rounding; oracle unrolls the identical rounds. Feeds
+    dominant-direction removal / embedding-space drift monitoring."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    out = pca_top_component(e, dim=64, iterations=6)
+    return out.select(
+        "pos",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )
+
+
+@query(
+    "q_weighted_sample",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY round(ln((CAST((doc_id % 2147483648) * 2654435761
+                                        % 2147483648 AS DOUBLE) + 1.0)
+                                 / 2147483649.0)
+                              / CAST(n_chars AS DOUBLE), 9) DESC,
+                        doc_id
+             ) AS rnk
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ) WHERE rnk <= 5
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py:weighted_sample_per_group): 5 docs per
+    source, weight = n_chars — longer docs proportionally likelier.
+    Deterministic id-hash draws; the oracle replays hash, ln-key,
+    rounding, and tie-break exactly."""
+    from kafka_streams_plumber_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_per_group(d, "doc_id", "n_chars", "source", 5)
+
+
+@query(
+    "q_equi_depth",
+    """
+    WITH s AS (
+      SELECT quantile_cont(l_extendedprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs,
+             CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+             CAST(max(l_extendedprice) AS DOUBLE) AS mx
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    a AS (
+      SELECT len(list_filter(s.bs,
+                             b -> CAST(l.l_extendedprice AS DOUBLE) > b)) AS bin,
+             s.bs, s.mn, s.mx
+      FROM lineitem l, s WHERE l.l_extendedprice IS NOT NULL
+    )
+    SELECT bin,
+           round(min(CASE WHEN bin = 0 THEN mn ELSE bs[bin] END), 6) AS lo,
+           round(min(CASE WHEN bin = 9 THEN mx ELSE bs[bin + 1] END), 6) AS hi,
+           count(*) AS cnt
+    FROM a GROUP BY bin
+    """,
+)
+def q_equi_depth(spark, sf_dir):
+    """Equal-frequency histogram (operators/stats.py:
+    equi_depth_histogram): 10 quantile-bounded buckets of extended
+    price — the heavy-tail-proof complement of the fixed-width
+    q_histogram. One exact-percentile aggregate broadcasts the
+    boundary array back; ties at a boundary go left on both engines
+    (size(filter(bs, b -> v > b)))."""
+    from kafka_streams_plumber_spark.operators.stats import equi_depth_histogram
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return equi_depth_histogram(li, "l_extendedprice", bins=10)
+
+
+@query(
+    "q_fuzzy_join",
+    """
+    WITH l AS (SELECT DISTINCT p_name FROM part),
+    r AS (SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS r_name
+          FROM part),
+    lb AS (SELECT p_name, substr(lower(trim(p_name)), 1, 4) AS blk FROM l),
+    rb AS (SELECT r_name, substr(lower(trim(r_name)), 1, 4) AS blk FROM r),
+    ok AS (
+      SELECT blk FROM
+        (SELECT blk, count(*) AS ln FROM lb GROUP BY blk) a
+        JOIN (SELECT blk, count(*) AS rn FROM rb GROUP BY blk) b USING (blk)
+      WHERE ln <= 1000 AND rn <= 1000
+    )
+    SELECT p_name, r_name,
+           levenshtein(p_name, r_name) AS distance,
+           round(1.0 - levenshtein(p_name, r_name)
+                 / CAST(greatest(length(p_name), length(r_name)) AS DOUBLE),
+                 6) AS similarity
+    FROM lb JOIN ok USING (blk) JOIN rb USING (blk)
+    WHERE levenshtein(p_name, r_name) <= 2
+    """,
+)
+def q_fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy join (operators/linkage.py:fuzzy_join): part names
+    against a typo'd copy (last char dropped) — block on the 4-char
+    lowercase prefix, score by Levenshtein, keep distance <= 2. The
+    entity-resolution primitive for reconciling metadata feeds; the
+    oracle replays blocking, cap, scoring, and the similarity formula
+    exactly."""
+    from kafka_streams_plumber_spark.operators.linkage import fuzzy_join
+
+    part = load_tables(spark, sf_dir)["part"]
+    left = part.select("p_name").distinct()
+    right = (
+        part.select(
+            F.expr("substring(p_name, 1, length(p_name) - 1)").alias("r_name")
+        ).distinct()
+    )
+    out = fuzzy_join(left, right, "p_name", "r_name", max_distance=2)
+    return out.select("p_name", "r_name", "distance", "similarity")
+
+
+@query(
+    "q_boilerplate",
+    """
+    WITH lines AS (
+      SELECT doc_id, source, trim(w) AS line, pos FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+      ) WHERE trim(w) <> ''
+    ),
+    gs AS (
+      SELECT source, count(DISTINCT doc_id) AS gdocs
+      FROM documents GROUP BY source
+    ),
+    bl AS (
+      SELECT lc.source, lc.line FROM (
+        SELECT source, line, count(DISTINCT doc_id) AS ldocs
+        FROM lines GROUP BY source, line
+      ) lc JOIN gs USING (source)
+      WHERE gdocs >= 2 AND ldocs > gdocs * 0.5
+    )
+    SELECT l.doc_id, l.source,
+           coalesce(string_agg(
+             CASE WHEN bl.line IS NULL THEN l.line END, ' ' ORDER BY l.pos
+           ), '') AS clean_text,
+           CAST(sum(CASE WHEN bl.line IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed
+    FROM lines l
+    LEFT JOIN bl ON bl.source = l.source AND bl.line = l.line
+    GROUP BY l.doc_id, l.source
+    """,
+)
+def q_boilerplate(spark, sf_dir):
+    """Per-source repeated-line boilerplate removal (operators/text.py:
+    strip_boilerplate_lines, CCNet-style) — run at word granularity
+    (line_sep=' ') against the synthetic corpus, where high-df
+    vocabulary plays the role of templated chrome. Counting, the >50%%
+    document-frequency threshold, ordered reassembly, and empty-result
+    coalescing are replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.text import (
+        strip_boilerplate_lines,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return strip_boilerplate_lines(
+        d, "text", "doc_id", "source", line_sep=" ", max_doc_fraction=0.5
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -5358,6 +5541,11 @@ _WINDOW_DEMOTE = {
     "q_histogram",     # numeric-distribution: q_percentiles stays in
     "q_skew",          # skew diagnostics: q_salted runs the remedy
     "q_count_distinct",# q_cms keeps frequency estimation in-window
+    "q_dedup_keep",    # minhash family: dedup_minhash stays in
+    "q_sample_group",  # per-group sampling: q_weighted_sample is the
+                       # stronger (weighted) representative
+    "q_oov",           # broadcast-membership family: q_decontaminate +
+                       # q_blocklist stay in
 }
 
 #: Queries pulled to the FRONT of the gate window: operator families
@@ -5373,6 +5561,9 @@ _WINDOW_PROMOTE = {
     "q_scd2",
     "q_bloom_join",
     "q_outliers",
+    "q_pca",
+    "q_weighted_sample",
+    "q_fuzzy_join",
 }
 
 

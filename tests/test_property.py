@@ -324,3 +324,86 @@ def test_split_sentences_offsets_reconstruct_input(spark, texts):
             prev_end = r["char_end"]
         # all emitted sentences are non-empty
         assert all(r["sentence"] != "" for r in sents)
+
+
+# ---------------------------------------------------------------------
+# Round-2 operators: CDC fold and fuzzy join vs reference models
+# ---------------------------------------------------------------------
+
+cdc_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # key
+        st.integers(min_value=0, max_value=99),  # version
+        st.sampled_from(["U", "D"]),
+        st.integers(min_value=-1000, max_value=1000),  # payload
+    ),
+    min_size=1,
+    max_size=60,
+).map(
+    # (key, version) must be unique — the CDC log contract
+    lambda rows: list({(k, v): (k, v, op, p) for k, v, op, p in rows}.values())
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(cdc_logs)
+def test_apply_changes_matches_dict_fold(spark, log):
+    """apply_changes == folding the log into a dict in version order."""
+    from kafka_streams_plumber_spark.operators.cdc import apply_changes
+
+    snap_rows = [(k, k * 10) for k in range(5)]
+    snap = spark.createDataFrame(snap_rows, "id long, val long")
+    chg = spark.createDataFrame(log, "id long, v long, op string, val long")
+
+    model = dict(snap_rows)
+    for k, v, op, p in sorted(log, key=lambda r: r[1]):
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = p
+    got = {
+        r["id"]: r["val"]
+        for r in apply_changes(snap, chg, "id", "v").collect()
+    }
+    assert got == model
+
+
+fuzzy_names = st.lists(
+    st.text(alphabet="abcde", min_size=4, max_size=8),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(fuzzy_names, fuzzy_names)
+def test_fuzzy_join_matches_bruteforce_within_blocks(spark, ls, rs):
+    """fuzzy_join == brute-force levenshtein over same-block pairs."""
+    import itertools
+
+    from kafka_streams_plumber_spark.operators.linkage import fuzzy_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    l = spark.createDataFrame([(x,) for x in ls], "a string")
+    r = spark.createDataFrame([(x,) for x in rs], "b string")
+    got = {
+        (x["a"], x["b"]): x["distance"]
+        for x in fuzzy_join(l, r, "a", "b", max_distance=2).collect()
+    }
+    want = {
+        (a, b): lev(a, b)
+        for a, b in itertools.product(ls, rs)
+        if a[:4].lower() == b[:4].lower() and lev(a, b) <= 2
+    }
+    assert got == want

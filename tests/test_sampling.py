@@ -220,3 +220,45 @@ def test_negative_samples_strides_distinct_per_anchor(spark):
     # single-row corpus: no valid negative exists -> empty result
     one = spark.range(1).selectExpr("id AS doc_id")
     assert negative_samples(one, "doc_id", k=2).count() == 0
+
+
+# ---------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.sampling import (  # noqa: E402
+    weighted_sample_per_group,
+)
+
+
+def test_weighted_sample_exact_k_per_group(spark):
+    rows = [(i, "g%d" % (i % 4), 1.0 + (i % 3)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_sample_per_group(df, "id", "w", "g", 7)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert all(v == 7 for v in counts.values()) and len(counts) == 4
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 100 light rows (w=1) vs 100 heavy rows (w=50) in one group:
+    # the 20-row sample should be dominated by heavy rows
+    rows = [(i, "g", 50.0 if i % 2 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_sample_per_group(df, "id", "w", "g", 20).collect()
+    heavy = sum(1 for r in out if r["w"] == 50.0)
+    assert heavy >= 15, heavy
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    rows = [(i, "g%d" % (i % 3), float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    a = sorted(map(tuple, weighted_sample_per_group(df.repartition(8), "id", "w", "g", 5).collect()))
+    b = sorted(map(tuple, weighted_sample_per_group(df.coalesce(1), "id", "w", "g", 5).collect()))
+    assert a == b
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    rows = [(1, "g", 0.0), (2, "g", -1.0), (3, "g", None), (4, "g", 2.0)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_sample_per_group(df, "id", "w", "g", 10).collect()
+    assert [r["id"] for r in out] == [4]

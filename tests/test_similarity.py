@@ -208,3 +208,59 @@ def test_hash_embed_unnormalized_counts_are_integers(spark):
     v = df.select(hash_embed("text", dim=8, normalize=False).alias("v")).collect()[0]["v"]
     assert sum(abs(x) for x in v) in (1, 3)  # 'a' twice may cancel or stack
     assert all(isinstance(x, int) for x in v)
+
+
+# ---------------------------------------------------------------------
+# PCA top component
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.similarity import (  # noqa: E402
+    pca_top_component,
+)
+
+
+def test_pca_matches_numpy_eigenvector(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: dominant direction along a known vector
+    base = rng.normal(size=(300, 8))
+    base[:, 0] *= 6.0  # inflate variance of axis 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_top_component(df, dim=8, iterations=12)
+    got = np.array(
+        [r["loading"] for r in out.orderBy("pos").collect()], dtype=float
+    )
+    eig_got = out.first()["eigenvalue"]
+
+    x = np.array([r[1] for r in rows], dtype=float)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / len(x)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1]
+    if np.dot(top, got) < 0:
+        top = -top
+    assert np.abs(got - top).max() < 1e-3, (got, top)
+    assert abs(eig_got - w[-1]) / w[-1] < 1e-2
+
+
+def test_pca_partition_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = [
+        (r["pos"], round(r["loading"], 9))
+        for r in pca_top_component(df.repartition(8), dim=6, iterations=4)
+        .orderBy("pos")
+        .collect()
+    ]
+    b = [
+        (r["pos"], round(r["loading"], 9))
+        for r in pca_top_component(df.coalesce(1), dim=6, iterations=4)
+        .orderBy("pos")
+        .collect()
+    ]
+    assert a == b

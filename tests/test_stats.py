@@ -208,3 +208,44 @@ def test_mad_null_passthrough(spark):
     df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], "x double")
     out = {r["x"]: r["is_outlier"] for r in mad_outliers(df, "x").collect()}
     assert out[None] is None
+
+
+# ---------------------------------------------------------------------
+# Equi-depth histogram
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.stats import (  # noqa: E402
+    equi_depth_histogram,
+)
+
+
+def test_equi_depth_balanced_counts(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    out = equi_depth_histogram(df, "x", bins=10).orderBy("bin").collect()
+    assert [r["bin"] for r in out] == list(range(10))
+    assert all(abs(r["cnt"] - 100) <= 1 for r in out), [r["cnt"] for r in out]
+    # edges tile the domain: first lo = min, last hi = max
+    assert out[0]["lo"] == 0.0 and out[-1]["hi"] == 999.0
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] == b["lo"]
+
+
+def test_equi_depth_heavy_tail_still_balanced(spark):
+    vals = [1.0] * 0 + [float(i) for i in range(100)] + [1e6, 2e6, 3e6]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = equi_depth_histogram(df, "x", bins=4).collect()
+    counts = [r["cnt"] for r in sorted(out, key=lambda r: r["bin"])]
+    assert max(counts) - min(counts) <= 2, counts
+
+
+def test_equi_depth_grouped(spark):
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(1000 + i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = equi_depth_histogram(df, "x", bins=5, group_cols="g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["cnt"])
+    assert sum(by_g["a"]) == 100 and sum(by_g["b"]) == 50
+    assert all(abs(c - 20) <= 1 for c in by_g["a"])

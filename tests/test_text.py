@@ -184,3 +184,65 @@ def test_split_sentences_survives_stray_sentinel_bytes(spark):
     assert [r["sentence"] for r in rows] == ["ab.", "c"]
     for r in rows:
         assert cleaned[r["char_start"]:r["char_end"]].rstrip() == r["sentence"]
+
+
+# ---------------------------------------------------------------------
+# Boilerplate line removal
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.text import (  # noqa: E402
+    strip_boilerplate_lines,
+)
+
+
+def test_boilerplate_strips_common_lines_keeps_unique(spark):
+    rows = [
+        (1, "s", "COOKIE BANNER\nreal content one\nFOOTER"),
+        (2, "s", "COOKIE BANNER\nreal content two\nFOOTER"),
+        (3, "s", "COOKIE BANNER\nsomething else\nFOOTER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(df).collect()}
+    assert out[1]["clean_text"] == "real content one"
+    assert out[2]["clean_text"] == "real content two"
+    assert all(r["n_removed"] == 2 for r in out.values())
+
+
+def test_boilerplate_is_per_group(spark):
+    rows = [
+        (1, "a", "SHARED\nalpha"),
+        (2, "a", "SHARED\nbeta"),
+        # group b: SHARED appears once out of two docs (50% not > 50%)
+        (3, "b", "SHARED\ngamma"),
+        (4, "b", "delta\nepsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in strip_boilerplate_lines(df).collect()}
+    assert out[1] == "alpha" and out[2] == "beta"
+    assert out[3] == "SHARED\ngamma"  # survives in group b
+
+
+def test_boilerplate_small_group_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "solo", "ONLY\ndoc")], "doc_id long, source string, text string"
+    )
+    r = strip_boilerplate_lines(df, min_docs=2).first()
+    assert r["clean_text"] == "ONLY\ndoc" and r["n_removed"] == 0
+
+
+def test_boilerplate_all_lines_removed_yields_empty(spark):
+    rows = [(1, "s", "SAME"), (2, "s", "SAME"), (3, "s", "SAME")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = strip_boilerplate_lines(df).collect()
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_boilerplate_preserves_line_order(spark):
+    rows = [
+        (1, "s", "x\nCOMMON\ny\nz"),
+        (2, "s", "COMMON\np\nq"),
+        (3, "s", "COMMON\nr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in strip_boilerplate_lines(df).collect()}
+    assert out[1] == "x\ny\nz"
