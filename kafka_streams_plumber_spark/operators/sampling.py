@@ -312,3 +312,41 @@ def weighted_sample_per_group(
         rank_col="_wrnk",
     )
     return out.drop("_wkey", "_wrnk")
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    tau: float = 2.0,
+) -> DataFrame:
+    """Temperature-flattened source mixing: downsample so source
+    shares follow ``n_s^(1/tau)`` (the multilingual-sampling rule —
+    tau > 1 flattens toward uniform, lifting low-resource sources'
+    RELATIVE share without upsampling anyone; tau = 1 is a no-op mix).
+
+    :func:`mix_sources` with the target weights DERIVED from observed
+    counts instead of caller-supplied — same largest-dataset-without-
+    upsampling solve, same deterministic id-hash thinning, still no
+    driver collect (weights never leave the executors). Weights are
+    rounded to 6 dp after ``pow`` so libm ulp differences between
+    engines can't move a 1/1000 keep-threshold boundary.
+    """
+    assert tau > 0
+    counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count("*").alias("_n")
+    )
+    w = F.round(F.pow(F.col("_n").cast("double"), 1.0 / tau), 6)
+    counts = counts.withColumn("_w", w)
+    scale = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_scale"))
+    thresholds = counts.crossJoin(F.broadcast(scale)).select(
+        "_s",
+        F.floor(F.col("_w") * F.col("_scale") / F.col("_n") * 1000)
+        .cast("long")
+        .alias("_thr"),
+    )
+    out = df.join(
+        F.broadcast(thresholds), df[strata_col] == F.col("_s"), "inner"
+    )
+    return out.filter(split_bucket(id_col) < F.col("_thr")).drop("_s", "_thr")

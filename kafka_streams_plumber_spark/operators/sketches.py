@@ -181,21 +181,27 @@ def bloom_might_contain(
     The literal array is ``m_bits/32`` longs — it ships inside the
     serialized plan exactly like Spark's injected runtime bloom
     filters, so the probe side needs no join and no explode: the
-    filter runs inside the scan's codegen stage."""
-    arr = F.lit(bloom_words)
+    filter runs inside the scan's codegen stage.
+
+    Construction details that matter: the word array is parsed from
+    ONE SQL string (py4j materializes a Python list literal one
+    element at a time — ~1 s for 2k words), and the expression
+    references the array literal ONCE, folding the k probes with
+    ``forall`` over a positions array (k copies of a 2k-element
+    literal would multiply analysis cost by k)."""
+    arr = F.expr(
+        "CAST(array(" + ",".join(map(str, bloom_words)) + ") AS array<bigint>)"
+    )
     mults = cms_params(k, seed)
     h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_M31))
-    checks = [
-        (
-            F.element_at(arr, (_word(p) + 1).cast("int")).bitwiseAND(_mask(p))
-            != 0
+    positions = F.array(*[_bloom_pos(h, m, m_bits) for m in mults])
+    return F.forall(
+        positions,
+        lambda p: F.element_at(arr, (_word(p) + 1).cast("int")).bitwiseAND(
+            _mask(p)
         )
-        for p in (_bloom_pos(h, m, m_bits) for m in mults)
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out & c
-    return out
+        != 0,
+    )
 
 
 def bloom_prune_join(

@@ -13,7 +13,7 @@ first-class components.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny high-frequency stopword lists for the n-gram/langid heuristics.
@@ -707,4 +707,193 @@ def strip_boilerplate_lines(
             "clean_text",
             "n_removed",
         )
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    block: int = 10,
+    span: int = 3,
+    rate_permille: int = 150,
+) -> DataFrame:
+    """T5-style span-corruption pair construction: deterministic spans
+    are cut from each document, the input keeps sentinels in their
+    place, and the target lists ``sentinel + removed tokens`` in order
+    — the denoising objective's (input, target) training pair.
+
+    Span placement is a fixed BLOCK GRID, not a sequential scan: the
+    token stream is tiled into ``block``-token blocks, and a block is
+    selected when ``hash(doc_id * 1000003 + block_idx)`` falls under
+    ``rate_permille``/1000 (the same Knuth id-hash as every sampler
+    here — deterministic across runs, engines, partitionings). A
+    selected block's first ``span`` tokens are removed and replaced by
+    one ``<extra_id_k>`` sentinel (k = per-doc rank of the selected
+    block). The grid guarantees spans never overlap and keeps the
+    whole construction in relational operations both engines express
+    identically — no stateful left-to-right scan.
+
+    Returns (id_col, input_text, target_text, n_spans).
+
+    Scale design: one explode to (doc, pos, token) rows; the mask
+    decision is pure arithmetic; sentinel ranks are a dense_rank
+    window per document (document ids are high-cardinality, so no hot
+    partition); reassembly is one sorted collect per document — the
+    same two-shuffle shape as strip_boilerplate_lines.
+    """
+    from kafka_streams_plumber_spark.operators.sampling import split_bucket
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), "[ \\t\\n\\r]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("_pos", "_tok"),
+    )
+    blk = F.floor(F.col("_pos") / block).cast("long")
+    sel = (
+        split_bucket(F.col("_id") * 1000003 + blk) < rate_permille
+    )
+    marked = toks.select(
+        "_id",
+        "_pos",
+        "_tok",
+        blk.alias("_blk"),
+        (sel & ((F.col("_pos") % block) < span)).alias("_cut"),
+        sel.alias("_selblk"),
+    )
+    # per-doc sentinel index for each SELECTED block (0-based, in order)
+    wk = Window.partitionBy("_id").orderBy("_blk")
+    sentinels = (
+        marked.filter(F.col("_selblk"))
+        .select("_id", "_blk")
+        .distinct()
+        .withColumn("_k", F.dense_rank().over(wk) - 1)
+    )
+    rows = marked.join(sentinels, ["_id", "_blk"], "left")
+    sent = F.concat(F.lit("<extra_id_"), F.col("_k"), F.lit(">"))
+
+    # input: uncut tokens verbatim; the FIRST cut position of a block
+    # becomes the sentinel, later cut positions vanish
+    input_piece = F.when(~F.col("_cut"), F.col("_tok")).when(
+        F.col("_pos") % block == 0, sent
+    )
+    # target: sentinel attached before each cut span's first token
+    target_piece = F.when(
+        F.col("_cut") & (F.col("_pos") % block == 0),
+        F.concat(sent, F.lit(" "), F.col("_tok")),
+    ).when(F.col("_cut"), F.col("_tok"))
+
+    assembled = rows.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            input_piece.isNotNull(),
+                            F.struct("_pos", input_piece.alias("_p")),
+                        )
+                    )
+                ),
+                lambda s: s["_p"],
+            ),
+        ).alias("input_text"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            target_piece.isNotNull(),
+                            F.struct("_pos", target_piece.alias("_p")),
+                        )
+                    )
+                ),
+                lambda s: s["_p"],
+            ),
+        ).alias("target_text"),
+        F.countDistinct(
+            F.when(F.col("_cut"), F.col("_blk"))
+        ).alias("n_spans"),
+    )
+    return assembled.select(
+        F.col("_id").alias(id_col), "input_text", "target_text", "n_spans"
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of
+    ``ln(count) ~ ln(rank)`` on the frequency-ranked vocabulary.
+    Returns ONE row ``(slope, intercept, r2, n_vocab)`` (6 dp).
+
+    Natural corpora run slope ~ -1; a much flatter slope flags
+    synthetic/templated text, a much steeper one flags collapsed
+    vocabulary (decode loops, boilerplate floods) — a one-row corpus
+    health probe for ingestion monitoring.
+
+    Scale design: token counts are one map-combinable aggregate; the
+    frequency ranking uses ordering.rank_by (range-partitioned global
+    rank, no single-task window over the vocabulary); the OLS moments
+    are one aggregate of scaled-long terms (each ln product rounded to
+    ``scale`` decimals before summing), so the fit is partition-order-
+    insensitive and replayable in SQL."""
+    from kafka_streams_plumber_spark.operators.ordering import rank_by
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), "[ \\t\\n\\r]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    ranked = rank_by(
+        counts, [F.col("cnt").desc(), F.col("tok")], pos_col="_r0"
+    )
+    x = F.log(F.col("_r0") + 1.0)
+    y = F.log(F.col("cnt").cast("double"))
+
+    def sl(e):  # scaled-long term
+        return F.sum(F.round(e * scale, 0).cast("long")).cast("double") / scale
+
+    m = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        sl(x).alias("sx"),
+        sl(y).alias("sy"),
+        sl(x * y).alias("sxy"),
+        sl(x * x).alias("sxx"),
+        sl(y * y).alias("syy"),
+    )
+    slope = (m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    out = m.select(
+        slope.alias("_b"),
+        ((F.col("sy") - slope * F.col("sx")) / m["n"]).alias("_a"),
+        (
+            (m["n"] * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (m["n"] * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (m["n"] * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (m["n"] * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("_r2"),
+        m["n"].cast("long").alias("n_vocab"),
+    )
+    return out.select(
+        F.round("_b", 6).alias("slope"),
+        F.round("_a", 6).alias("intercept"),
+        F.round("_r2", 6).alias("r2"),
+        "n_vocab",
     )

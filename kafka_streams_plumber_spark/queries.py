@@ -5487,6 +5487,134 @@ def q_boilerplate(spark, sf_dir):
     )
 
 
+@query(
+    "q_span_corruption",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '[ \t\n\r]+'),
+                           t -> t <> '') AS ts
+        FROM documents
+      )
+    ),
+    m2 AS (
+      SELECT doc_id, pos, tok, pos // 10 AS blk,
+             ((doc_id * 1000003 + pos // 10) % 2147483648 * 2654435761
+              % 2147483648 % 1000) < 150 AS selblk,
+             ((doc_id * 1000003 + pos // 10) % 2147483648 * 2654435761
+              % 2147483648 % 1000) < 150 AND pos % 10 < 3 AS cut
+      FROM toks
+    ),
+    sent AS (
+      SELECT doc_id, blk,
+             dense_rank() OVER (PARTITION BY doc_id ORDER BY blk) - 1 AS k
+      FROM (SELECT DISTINCT doc_id, blk FROM m2 WHERE selblk)
+    ),
+    r AS (SELECT m2.*, sent.k FROM m2 LEFT JOIN sent USING (doc_id, blk))
+    SELECT doc_id,
+           coalesce(string_agg(
+             CASE WHEN NOT cut THEN tok
+                  WHEN pos % 10 = 0 THEN '<extra_id_' || k || '>' END,
+             ' ' ORDER BY pos), '') AS input_text,
+           coalesce(string_agg(
+             CASE WHEN cut AND pos % 10 = 0
+                    THEN '<extra_id_' || k || '> ' || tok
+                  WHEN cut THEN tok END,
+             ' ' ORDER BY pos), '') AS target_text,
+           CAST(count(DISTINCT CASE WHEN cut THEN blk END) AS BIGINT)
+             AS n_spans
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption (operators/text.py:span_corruption):
+    deterministic block-grid span selection via the engine's Knuth
+    id-hash, sentinel substitution, ordered (input, target) pair
+    assembly — the denoising-objective constructor, replayed exactly
+    in SQL (hash, grid, sentinel ranks, reassembly)."""
+    from kafka_streams_plumber_spark.operators.text import span_corruption
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return span_corruption(
+        d, "text", "doc_id", block=10, span=3, rate_permille=150
+    )
+
+
+@query(
+    "q_temperature_mix",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS s, count(*) AS n FROM customer GROUP BY 1
+    ),
+    w AS (SELECT s, n, round(pow(CAST(n AS DOUBLE), 0.5), 6) AS w FROM c),
+    sc AS (SELECT min(n / w) AS scale FROM w),
+    thr AS (
+      SELECT s, CAST(floor(w.w * sc.scale / w.n * 1000) AS BIGINT) AS thr
+      FROM w, sc
+    )
+    SELECT cu.c_custkey, cu.c_nationkey, cu.c_mktsegment
+    FROM customer cu JOIN thr ON thr.s = cu.c_nationkey
+    WHERE (cu.c_custkey % 2147483648) * 2654435761 % 2147483648 % 1000
+          < thr.thr
+    """,
+)
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened nation mix (operators/sampling.py:
+    temperature_mix, tau=2): shares follow n^(1/2), lifting small
+    nations' relative share without upsampling — the multilingual
+    sampling rule. Counts, pow (6-dp rounded), threshold solve, and
+    id-hash thinning replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.sampling import temperature_mix
+
+    c = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return temperature_mix(c, "c_custkey", "c_nationkey", tau=2.0)
+
+
+@query(
+    "q_zipf",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '[ \t\n\r]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    r AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS r0 FROM c
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n,
+        CAST(sum(CAST(round(ln(r0 + 1.0) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sx,
+        CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sy,
+        CAST(sum(CAST(round(ln(r0 + 1.0) * ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sxy,
+        CAST(sum(CAST(round(ln(r0 + 1.0) * ln(r0 + 1.0) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sxx,
+        CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS syy
+      FROM r
+    )
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           CAST(n AS BIGINT) AS n_vocab
+    FROM m
+    """,
+)
+def q_zipf(spark, sf_dir):
+    """Zipf's-law corpus health probe (operators/text.py:zipf_fit):
+    OLS of ln(count) ~ ln(rank) over the frequency-ranked vocabulary.
+    Range-partitioned ranking, scaled-long OLS moments — the whole fit
+    (ranking, ln terms, closed form) replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.text import zipf_fit
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return zipf_fit(d)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -5546,6 +5674,7 @@ _WINDOW_DEMOTE = {
                        # stronger (weighted) representative
     "q_oov",           # broadcast-membership family: q_decontaminate +
                        # q_blocklist stay in
+    "q_chunks",        # token-window family: q_pack + q_redact stay in
 }
 
 #: Queries pulled to the FRONT of the gate window: operator families
@@ -5564,6 +5693,7 @@ _WINDOW_PROMOTE = {
     "q_pca",
     "q_weighted_sample",
     "q_fuzzy_join",
+    "q_span_corruption",
 }
 
 

@@ -262,3 +262,46 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, "id long, g string, w double")
     out = weighted_sample_per_group(df, "id", "w", "g", 10).collect()
     assert [r["id"] for r in out] == [4]
+
+
+# ---------------------------------------------------------------------
+# Temperature mixing
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.sampling import temperature_mix  # noqa: E402
+
+
+def _mix_df(spark):
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    return spark.createDataFrame(rows, "id long, s string")
+
+
+def test_temperature_tau1_keeps_everything(spark):
+    assert temperature_mix(_mix_df(spark), "id", "s", tau=1.0).count() == 1000
+
+
+def test_temperature_high_tau_flattens_to_uniform(spark):
+    out = temperature_mix(_mix_df(spark), "id", "s", tau=1000.0)
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").count().withColumnRenamed("count", "n").collect()}
+    # near-uniform: big thinned to ~the small stratum's size
+    assert counts["small"] >= 95  # binding stratum kept (hash granularity)
+    assert abs(counts["big"] - counts["small"]) <= 0.15 * counts["small"], counts
+
+
+def test_temperature_tau2_between_original_and_uniform(spark):
+    out = temperature_mix(_mix_df(spark), "id", "s", tau=2.0)
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").count().withColumnRenamed("count", "n").collect()}
+    share_big = counts["big"] / (counts["big"] + counts["small"])
+    assert 0.5 < share_big < 0.9, counts  # flattened from 0.9 toward 0.5
+    # target share at tau=2: sqrt(900)/(sqrt(900)+sqrt(100)) = 0.75
+    assert abs(share_big - 0.75) < 0.05, counts
+
+
+def test_temperature_never_upsamples(spark):
+    df = _mix_df(spark)
+    out = temperature_mix(df, "id", "s", tau=3.0)
+    assert out.count() <= df.count()
+    # deterministic across partitionings
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in temperature_mix(df.repartition(7), "id", "s", tau=3.0).collect())
+    assert a == b

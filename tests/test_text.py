@@ -246,3 +246,100 @@ def test_boilerplate_preserves_line_order(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = {r["doc_id"]: r["clean_text"] for r in strip_boilerplate_lines(df).collect()}
     assert out[1] == "x\ny\nz"
+
+
+# ---------------------------------------------------------------------
+# Span corruption
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.text import span_corruption  # noqa: E402
+
+
+def test_span_corruption_structure(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25)))], "doc_id long, text string"
+    )
+    r = span_corruption(df, rate_permille=1000, block=10, span=3).first()
+    # every block selected at rate 1000: spans t0-2, t10-12, t20-22 cut
+    assert r["input_text"] == (
+        "<extra_id_0> t3 t4 t5 t6 t7 t8 t9 "
+        "<extra_id_1> t13 t14 t15 t16 t17 t18 t19 "
+        "<extra_id_2> t23 t24"
+    )
+    assert r["target_text"] == (
+        "<extra_id_0> t0 t1 t2 <extra_id_1> t10 t11 t12 <extra_id_2> t20 t21 t22"
+    )
+    assert r["n_spans"] == 3
+
+
+def test_span_corruption_roundtrip_reconstructs_tokens(spark):
+    """Splicing each target span back over its sentinel yields the
+    original token stream."""
+    import re
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption(df).collect()}
+    for i, text in docs:
+        r = out[i]
+        spans = {}
+        for m in re.finditer(r"<extra_id_(\d+)>((?: (?!<extra_id_)\S+)*)", r["target_text"]):
+            spans[m.group(1)] = m.group(2).strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans.get(m.group(1), ""), r["input_text"]
+        )
+        rebuilt = " ".join(rebuilt.split())
+        assert rebuilt == text, (i, rebuilt, text)
+
+
+def test_span_corruption_rate_zero_is_identity(spark):
+    df = spark.createDataFrame([(7, "a b c d e")], "doc_id long, text string")
+    r = span_corruption(df, rate_permille=0).first()
+    assert r["input_text"] == "a b c d e" and r["target_text"] == "" and r["n_spans"] == 0
+
+
+def test_span_corruption_partition_invariant(spark):
+    docs = [(i, " ".join(f"x{j}" for j in range(30))) for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, span_corruption(df.repartition(8)).collect()))
+    b = sorted(map(tuple, span_corruption(df.coalesce(1)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.text import zipf_fit  # noqa: E402
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    # construct a corpus whose token counts follow count = 1000 / rank
+    # exactly: slope should be ~ -1, r2 ~ 1
+    docs = []
+    for rank in range(1, 41):
+        cnt = max(1, round(1000 / rank))
+        docs.extend([(f"tok{rank:03d} " * 1)] * cnt)
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    r = zipf_fit(df).first()
+    assert r["n_vocab"] == 40
+    assert abs(r["slope"] + 1.0) < 0.05, r["slope"]
+    assert r["r2"] > 0.99
+
+
+def test_zipf_fit_uniform_corpus_flat_slope(spark):
+    df = spark.createDataFrame(
+        [(f"w{i} " * 1,) for i in range(30) for _ in range(10)], "text string"
+    )
+    r = zipf_fit(df).first()
+    assert abs(r["slope"]) < 1e-6  # all counts equal -> flat line
+    assert r["n_vocab"] == 30
+
+
+def test_zipf_fit_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(f"a b c d e w{i % 7}",) for i in range(200)], "text string"
+    )
+    a = tuple(zipf_fit(df.repartition(8)).first())
+    b = tuple(zipf_fit(df.coalesce(1)).first())
+    assert a == b
