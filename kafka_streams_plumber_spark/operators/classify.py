@@ -137,3 +137,170 @@ def nb_score(
         ((F.col("_wsum") + F.col("_prior")) / SCALE).alias(score_col),
         ((F.col("_wsum") + F.col("_prior")) > 0).alias("pred"),
     )
+
+
+# =====================================================================
+# Logistic regression — fixed-iteration gradient descent, engine-exact
+# =====================================================================
+
+
+def lr_train(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    *,
+    dim: int,
+    iterations: int = 5,
+    lr: float = 1.0,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Fit binary logistic regression on a numeric feature array by
+    full-batch gradient descent with a FIXED iteration count:
+
+        w <- w + lr * (1/n) * sum_i x_i * (y_i - sigmoid(x_i . w + b))
+
+    (bias ``b`` trained as an extra coordinate). Returns ``dim + 1``
+    rows ``(pos, weight)`` with the bias at ``pos = dim``. Labels must
+    be 0/1.
+
+    The gradient-descent sibling of :func:`nb_train` and the last
+    member of the engine's distributed-training family (NB counts, BPE
+    merges, k-means, PCA power iteration): per round the corpus is
+    scanned once and NEVER shuffled — the weight vector rides as one
+    broadcast row, the per-row residual is computed JVM-side, and the
+    gradient is a posexplode + map-combinable per-position aggregate
+    whose shuffle carries ``dim`` rows per partition.
+
+    Engine-exact: the residual ``y - sigmoid(margin)`` is rounded to
+    9 dp (so libm ``exp`` ulp noise cannot leak into the sums) and the
+    per-position gradient terms are scaled-long sums — the oracle
+    (:func:`lr_oracle_sql`) replays every round bit-for-bit.
+    ``localCheckpoint`` truncates lineage per round.
+    """
+    from kafka_streams_plumber_spark.operators.similarity import dot
+
+    x = df.select(
+        F.concat(
+            F.transform(F.col(vec_col), lambda c: c.cast("double")),
+            F.array(F.lit(1.0)),  # bias coordinate
+        ).alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    x = x.localCheckpoint(eager=True)
+    n_row = x.agg(F.count("*").cast("double").alias("n"))
+
+    d1 = dim + 1
+    w = n_row.select(
+        F.array(*[F.lit(0.0) for _ in range(d1)]).alias("w"), "n"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(int(iterations)):
+        joined = x.crossJoin(F.broadcast(w))
+        resid = joined.select(
+            "x",
+            "n",
+            F.round(
+                F.col("y")
+                - 1.0 / (1.0 + F.exp(-dot(F.col("x"), F.col("w")))),
+                9,
+            ).alias("r"),
+        )
+        grad = (
+            resid.select(F.posexplode("x").alias("pos", "_c"), "r", "n")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("_c") * F.col("r") * scale, 0).cast("long")
+                ).alias("_g"),
+                F.max("n").alias("n"),
+            )
+        )
+        gv = grad.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("_g").cast("double") / scale).alias("g"),
+                        )
+                    )
+                ),
+                lambda s: s["g"],
+            ).alias("g"),
+            F.max("n").alias("n"),
+        )
+        w = (
+            gv.crossJoin(F.broadcast(w.select("w")))
+            .select(
+                F.zip_with(
+                    "w",
+                    "g",
+                    lambda wi, gi: wi + F.lit(float(lr)) * gi / F.col("n"),
+                ).alias("w"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(F.posexplode("w").alias("pos", "weight")).select(
+        "pos", "weight"
+    )
+
+
+def lr_oracle_sql(
+    *,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    label_sql: str,
+    dim: int,
+    iterations: int = 5,
+    lr: float = 1.0,
+    scale: int = SCALE,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`lr_train`: identical rounds unrolled
+    as chained CTEs. ``label_sql`` is an expression over ``t`` yielding
+    the 0/1 label."""
+    d1 = dim + 1
+    rng = f"range(1, {d1 + 1})"
+    zeros = "[" + ", ".join("0.0" for _ in range(d1)) + "]"
+    parts = [
+        f"""WITH x AS (
+          SELECT list_append(list_transform({vec_col}, c -> CAST(c AS DOUBLE)),
+                             1.0) AS x,
+                 CAST({label_sql} AS DOUBLE) AS y
+          FROM {table} t
+        ),""",
+        "nr AS (SELECT count(*)::DOUBLE AS n FROM x),",
+        f"w0 AS (SELECT {zeros}::DOUBLE[] AS w),",
+    ]
+    for i in range(int(iterations)):
+        parts.append(
+            f"""r{i} AS (
+              SELECT x, round(y - 1.0 / (1.0 + exp(
+                -list_sum(list_transform({rng}, j -> x[j] * w{i}.w[j]))
+              )), 9) AS r FROM x, w{i}
+            ),
+            g{i} AS (
+              SELECT pos, sum(CAST(round(c * r * {scale}) AS BIGINT)) AS g
+              FROM (SELECT unnest(x) AS c,
+                           generate_subscripts(x, 1) - 1 AS pos, r
+                    FROM r{i})
+              GROUP BY pos
+            ),
+            gv{i} AS (
+              SELECT list(CAST(g AS DOUBLE) / {scale} ORDER BY pos) AS g
+              FROM g{i}
+            ),
+            w{i + 1} AS (
+              SELECT list_transform({rng},
+                       j -> w.w[j] + {float(lr)} * gv.g[j] / nr.n) AS w
+              FROM w{i} w, gv{i} gv, nr
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    parts.append(
+        f"""SELECT generate_subscripts(w, 1) - 1 AS pos,
+               round(unnest(w), {round_to}) AS weight
+        FROM w{int(iterations)}"""
+    )
+    return "\n".join(parts)

@@ -897,3 +897,48 @@ def zipf_fit(
         F.round("_r2", 6).alias("r2"),
         "n_vocab",
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    rate_permille: int = 500,
+    pre_token: str = "<PRE>",
+    suf_token: str = "<SUF>",
+    mid_token: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle transform (PSM order): a deterministic
+    ``rate_permille``/1000 fraction of documents is rewritten as
+    ``<PRE> prefix <SUF> suffix <MID> middle`` with the two split
+    points drawn from the document id's Knuth hash; the rest pass
+    through verbatim. The standard infilling-objective constructor
+    (code/text models), built so the SAME documents transform the SAME
+    way on every run, engine, and partitioning.
+
+    Returns (id_col, is_fim, fim_text). Entirely character-level
+    substring arithmetic — a pure projection: zero shuffles, zero
+    Python, replayable in SQL verbatim.
+    """
+    from kafka_streams_plumber_spark.operators.sampling import split_bucket
+
+    t = F.col(text_col)
+    L = F.length(t)
+    sel = split_bucket(F.col(id_col)) < rate_permille
+    a = F.floor(L * split_bucket(F.col(id_col) * 7919) / 1000).cast("int")
+    b = F.floor(L * split_bucket(F.col(id_col) * 104729) / 1000).cast("int")
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    fim = F.concat(
+        F.lit(pre_token),
+        t.substr(F.lit(1), lo),
+        F.lit(suf_token),
+        t.substr(hi + 1, L - hi),
+        F.lit(mid_token),
+        t.substr(lo + 1, hi - lo),
+    )
+    return df.select(
+        F.col(id_col),
+        sel.alias("is_fim"),
+        F.when(sel, fim).otherwise(t).alias("fim_text"),
+    )

@@ -5615,6 +5615,70 @@ def q_zipf(spark, sf_dir):
     return zipf_fit(d)
 
 
+@query(
+    "q_fim",
+    """
+    SELECT doc_id, is_fim,
+           CASE WHEN is_fim
+             THEN '<PRE>' || substr(text, 1, lo)
+                  || '<SUF>' || substr(text, hi + 1)
+                  || '<MID>' || substr(text, lo + 1, hi - lo)
+             ELSE text END AS fim_text
+    FROM (
+      SELECT doc_id, text,
+             (doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 500
+               AS is_fim,
+             least(a, b) AS lo, greatest(a, b) AS hi
+      FROM (
+        SELECT doc_id, text,
+               CAST(floor(length(text)
+                 * ((doc_id * 7919 % 2147483648) * 2654435761
+                    % 2147483648 % 1000) / 1000) AS INT) AS a,
+               CAST(floor(length(text)
+                 * ((doc_id * 104729 % 2147483648) * 2654435761
+                    % 2147483648 % 1000) / 1000) AS INT) AS b
+        FROM documents
+      )
+    )
+    """,
+)
+def q_fim(spark, sf_dir):
+    """Fill-in-the-middle transform (operators/text.py:fim_transform):
+    half the corpus rewritten PSM-style with id-hash-chosen split
+    points, pure substring arithmetic — zero shuffles, zero Python;
+    selection, both split hashes, and the three-segment reassembly
+    replayed verbatim in SQL."""
+    from kafka_streams_plumber_spark.operators.text import fim_transform
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return fim_transform(d, "text", "doc_id", rate_permille=500)
+
+
+from kafka_streams_plumber_spark.operators.classify import (  # noqa: E402
+    lr_oracle_sql,
+)
+
+
+@query(
+    "q_lr",
+    lr_oracle_sql(label_sql="t.label = 0", dim=64, iterations=5),
+)
+def q_lr(spark, sf_dir):
+    """Binary logistic regression by full-batch gradient descent
+    (operators/classify.py:lr_train): 5 rounds over the embeddings
+    table (label: class 0 vs rest), bias as an extra coordinate. The
+    corpus is scanned per round, never shuffled; 9-dp residual
+    rounding + scaled-long gradient sums make every round replayable —
+    the oracle unrolls them bit-for-bit."""
+    from kafka_streams_plumber_spark.operators.classify import lr_train
+
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "embedding", (F.col("label") == 0).cast("int").alias("y")
+    )
+    out = lr_train(e, "embedding", "y", dim=64, iterations=5)
+    return out.select("pos", F.round("weight", 6).alias("weight"))
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -5675,6 +5739,8 @@ _WINDOW_DEMOTE = {
     "q_oov",           # broadcast-membership family: q_decontaminate +
                        # q_blocklist stay in
     "q_chunks",        # token-window family: q_pack + q_redact stay in
+    "q_centroids",     # embedding-agg family: q_pca runs the richer
+                       # scaled-long posexplode machinery in-window
 }
 
 #: Queries pulled to the FRONT of the gate window: operator families
@@ -5694,6 +5760,7 @@ _WINDOW_PROMOTE = {
     "q_weighted_sample",
     "q_fuzzy_join",
     "q_span_corruption",
+    "q_lr",
 }
 
 

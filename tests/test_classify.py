@@ -53,3 +53,53 @@ def test_nb_score_is_partitioning_invariant(spark):
     b = nb_score(df.repartition(13), model, "text", "doc_id").collect()
     key = lambda r: r["doc_id"]
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+# ---------------------------------------------------------------------
+# Logistic regression (gradient descent)
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.classify import lr_train  # noqa: E402
+
+
+def _sep_data(spark, n=200):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    xs = rng.normal(size=(n, 3))
+    y = (xs[:, 0] + 2 * xs[:, 1] - 0.5 > 0).astype(int)
+    rows = [([float(v) for v in xs[i]], int(y[i])) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "embedding array<float>, y int"),
+        xs,
+        y,
+    )
+
+
+def test_lr_learns_separable_data(spark):
+    import numpy as np
+
+    df, xs, y = _sep_data(spark)
+    w = lr_train(df, "embedding", "y", dim=3, iterations=30, lr=2.0)
+    wv = np.array([r["weight"] for r in w.orderBy("pos").collect()])
+    assert wv.shape == (4,)
+    margin = xs @ wv[:3] + wv[3]
+    acc = ((margin > 0).astype(int) == y).mean()
+    assert acc > 0.95, acc
+
+
+def test_lr_partition_invariant(spark):
+    df, _, _ = _sep_data(spark, n=120)
+    a = [
+        (r["pos"], round(r["weight"], 9))
+        for r in lr_train(df.repartition(8), "embedding", "y", dim=3, iterations=4)
+        .orderBy("pos")
+        .collect()
+    ]
+    b = [
+        (r["pos"], round(r["weight"], 9))
+        for r in lr_train(df.coalesce(1), "embedding", "y", dim=3, iterations=4)
+        .orderBy("pos")
+        .collect()
+    ]
+    assert a == b

@@ -343,3 +343,45 @@ def test_zipf_fit_partition_invariant(spark):
     a = tuple(zipf_fit(df.repartition(8)).first())
     b = tuple(zipf_fit(df.coalesce(1)).first())
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# Fill-in-the-middle
+# ---------------------------------------------------------------------
+
+from kafka_streams_plumber_spark.operators.text import fim_transform  # noqa: E402
+
+
+def test_fim_roundtrip_reconstructs_document(spark):
+    docs = [(i, f"doc number {i} " + "abcdefghij" * 5) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    orig = dict(docs)
+    n_fim = 0
+    for i, r in out.items():
+        if not r["is_fim"]:
+            assert r["fim_text"] == orig[i]
+            continue
+        n_fim += 1
+        s = r["fim_text"]
+        assert s.startswith("<PRE>")
+        pre, rest = s[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == orig[i], i
+    assert 0 < n_fim < len(docs)  # ~half selected
+
+
+def test_fim_rate_bounds(spark):
+    docs = [(i, "x" * 20) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    all_on = fim_transform(df, rate_permille=1000).filter("is_fim").count()
+    none_on = fim_transform(df, rate_permille=0).filter("is_fim").count()
+    assert all_on == 200 and none_on == 0
+
+
+def test_fim_deterministic(spark):
+    docs = [(i, f"text {i} " * 4) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, fim_transform(df.repartition(8)).collect()))
+    b = sorted(map(tuple, fim_transform(df.coalesce(1)).collect()))
+    assert a == b
