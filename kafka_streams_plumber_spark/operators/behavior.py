@@ -1,0 +1,178 @@
+"""Event-stream behavioral analytics: funnels, cohort retention, gap fill.
+
+The reference's event pipelines (plumber.lua transforms over a Kafka
+topic — StreamProcessOperations.scala:54-66) stop at per-record shaping;
+these are the aggregate analyses a team runs over the SAME event stream
+once it lands in a table. All three are expressed as pure DataFrame
+plans — partial-aggregatable groupBys plus at most one per-key window —
+so they scale to event tables far larger than memory.
+
+Scale notes (100 TB):
+
+- ``funnel``: k-1 joins, but every join input is FILTERED to a single
+  event type first, so each shuffle carries only that step's events —
+  typically a small fraction of the stream. All joins are equi-joins on
+  the user key; AQE broadcasts the later (smaller) stage frames.
+- ``cohort_retention``: two groupBys (user-grain, then cohort-grain) with
+  full map-side combine; the user-grain join is equi-keyed on user_id.
+- ``gap_fill``: per-key ``sequence``-explode bounded by ``max_buckets``
+  (guards a runaway key whose time span would explode to millions of
+  rows), then one per-key ordered window for the forward fill — one
+  shuffle, key-partitioned, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reach each stage.
+
+    A user reaches stage i when they have an event of type ``steps[i]``
+    at-or-after the timestamp at which they reached stage i-1 (classic
+    strictly-ordered funnel with >= step timestamps, so a same-timestamp
+    pair still counts in order). Returns one row per stage:
+    ``(stage, step, users)`` with ``stage`` 1-based.
+
+    Implementation: iterative conditional min-aggregation. Stage 0 is
+    ``min(ts) FILTER (type = steps[0])`` per user; stage i joins the
+    stage-(i-1) reach times against the type-filtered event subset and
+    takes ``min(ts) WHERE ts >= prev``. Each pass is one equi-join plus
+    one partial-aggregatable groupBy over ONLY that step's events.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u, t, ts = user_col, type_col, ts_col
+
+    reach = (
+        events.where(F.col(t) == steps[0])
+        .groupBy(u)
+        .agg(F.min(ts).alias("t_reach"))
+    )
+    counts = [reach.agg(F.count(F.lit(1)).alias("users"))]
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col(t) == step)
+            .join(reach.withColumnRenamed("t_reach", "t_prev"), u)
+            .where(F.col(ts) >= F.col("t_prev"))
+            .groupBy(u)
+            .agg(F.min(ts).alias("t_reach"))
+        )
+        reach = nxt
+        counts.append(reach.agg(F.count(F.lit(1)).alias("users")))
+
+    out = None
+    for i, (step, c) in enumerate(zip(steps, counts)):
+        row = c.select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(step).alias("step"),
+            F.col("users"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users active N periods after signup.
+
+    Cohort = ``date_trunc(granularity)`` of a user's FIRST event; offset
+    = whole periods between the cohort period and each active period.
+    Returns ``(cohort_ms, offset, users)`` where ``users`` counts
+    distinct users from that cohort active at that offset (offset 0 is
+    the cohort size). ``cohort_ms`` is the cohort period start as unix
+    millis so both engines hash identically.
+
+    Plan: first-event groupBy (user grain), equi-join back on user, then
+    a (cohort, offset, user)-distinct groupBy — every stage partial-
+    aggregates, and the widest shuffle carries (user, period) pairs, not
+    raw events.
+    """
+    u, ts = user_col, ts_col
+    ms = {"day": 86_400_000, "week": 604_800_000}[granularity]
+
+    period = F.unix_millis(F.date_trunc(granularity, F.col(ts))).alias("p")
+    active = events.select(F.col(u), period).distinct()
+    first = active.groupBy(u).agg(F.min("p").alias("cohort_p"))
+    return (
+        active.join(first, u)
+        .select(
+            F.col("cohort_p").alias("cohort_ms"),
+            # periods are exact date_trunc boundaries, so the difference
+            # is an exact multiple of ms (exact in double, exact cast)
+            ((F.col("p") - F.col("cohort_p")) / ms).cast("bigint").alias("offset"),
+            F.col(u),
+        )
+        .groupBy("cohort_ms", "offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+    max_buckets: int = 100_000,
+    agg: Column | None = None,
+) -> DataFrame:
+    """Per-key time-series resample with forward fill.
+
+    Buckets ``ts_col`` to ``step_s``-second epochs, aggregates
+    ``value_col`` per (key, bucket) (default ``sum``), then emits EVERY
+    bucket between each key's first and last observation, forward-
+    filling missing buckets with the last seen aggregate. Returns
+    ``(key, bucket_ms, value, filled)`` where ``filled`` marks rows
+    synthesized by the fill.
+
+    The bucket spine is built per key with ``sequence`` + ``explode`` —
+    distributed, no driver-side calendar. ``max_buckets`` caps the
+    per-key explode so one pathological key (a sensor with a 10-year
+    span at 1 s steps) cannot produce a runaway partition; keys beyond
+    the cap are truncated to their LAST ``max_buckets`` buckets (the
+    recent window is the useful part of a runaway series).
+    """
+    k = F.col(key_col)
+    bucket = F.floor(F.unix_millis(F.col(ts_col)) / (step_s * 1000)).cast("bigint")
+    observed = (
+        df.select(k.alias("key"), bucket.alias("b"), F.col(value_col).alias("v"))
+        .groupBy("key", "b")
+        .agg((agg if agg is not None else F.sum("v")).alias("value"))
+    )
+    span = observed.groupBy("key").agg(
+        F.greatest(F.min("b"), F.max("b") - F.lit(max_buckets - 1)).alias("lo"),
+        F.max("b").alias("hi"),
+    )
+    spine = span.select(
+        "key", F.explode(F.sequence("lo", "hi")).alias("b")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(observed, ["key", "b"], "left")
+        .withColumn("filled", F.col("value").isNull())
+        .withColumn("value", F.last("value", ignorenulls=True).over(w))
+        .select(
+            "key", (F.col("b") * step_s * 1000).alias("bucket_ms"), "value", "filled"
+        )
+    )

@@ -233,3 +233,73 @@ def dedup_clusters(
         .drop("component")
     )
     return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+) -> DataFrame:
+    """Per-node triangle counts on an undirected graph.
+
+    Returns ``(node, triangles)`` for every node that closes at least
+    one triangle. Input edges may contain duplicates, self-loops, and
+    both orientations — they are canonicalized first.
+
+    Algorithm: degree-ordered edge orientation (the standard trick that
+    bounds the wedge join). Each undirected edge is directed from the
+    LOWER-degree endpoint to the higher (ties by id), so every vertex's
+    out-degree is O(sqrt(m)) on real graphs; wedges are then
+    ``dir(a,b) JOIN dir(b,c)`` — an equi-join on the middle vertex whose
+    fan-out is out-degree squared, not total-degree squared (a celebrity
+    node with 10M followers contributes ~0 wedges instead of 10^14) —
+    and each wedge closes by probing ``dir(a,c)``. Every join is
+    equi-keyed; no window, no iteration. Triangle membership is
+    orientation-independent, so per-node counts match a naive oracle.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("n"))
+        .unionAll(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    # direct low-degree -> high-degree (ties: low id -> high id)
+    directed = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    e1 = directed.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = directed.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    wedges = e1.join(e2, "b").where(F.col("a") != F.col("c"))
+    e3 = directed.select(
+        F.least("s", "t").alias("_lo"), F.greatest("s", "t").alias("_hi")
+    )
+    tris = wedges.join(
+        e3,
+        (F.least("a", "c") == F.col("_lo")) & (F.greatest("a", "c") == F.col("_hi")),
+    ).select("a", "b", "c")
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

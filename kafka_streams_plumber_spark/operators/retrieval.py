@@ -190,3 +190,116 @@ def bm25_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def overlap_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+) -> DataFrame:
+    """Distinct-term-overlap top-k: the simplest lexical ranking
+    (|q ∩ d| set overlap), used as the second leg of hybrid fusion and
+    as a recall-floor baseline for BM25. Same shuffle shape as
+    :func:`bm25_topk` minus the statistics joins."""
+    dterm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_terms(F.col(text_col))).alias("term"),
+    ).distinct()
+    qterms = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.explode(_terms(F.col(query_text))).alias("term"),
+        )
+        .distinct()
+    )
+    scored = (
+        dterm.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return topk_per_group(
+        scored,
+        "query_id",
+        [F.col("overlap").desc(), F.col("doc_id")],
+        k,
+        rank_fn=F.row_number,
+        rank_col="rank",
+    ).select("query_id", "doc_id", "overlap", "rank")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists: score(d) = Σ_r 1/(k_rrf + rank_r(d)) over the rankings where
+    d appears. The standard hybrid-retrieval combiner (lexical +
+    vector) — rank-only, so the legs' incomparable score scales never
+    need calibration. Inputs carry (query_id, doc_id, rank); output is
+    (query_id, doc_id, rrf, rank), rrf rounded to 6dp BEFORE ranking.
+
+    Plan: unionAll of the (already tiny, top-k-per-query) legs, one
+    map-combinable groupBy, one two-phase top-k — nothing here touches
+    the corpus again, so fusion cost is independent of corpus size.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    u = None
+    for r in rankings:
+        leg = r.select(
+            "query_id",
+            "doc_id",
+            (1.0 / (F.lit(float(k_rrf)) + F.col("rank"))).alias("contrib"),
+        )
+        u = leg if u is None else u.unionAll(leg)
+    fused = (
+        u.groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("rrf"))
+    )
+    return topk_per_group(
+        fused,
+        "query_id",
+        [F.col("rrf").desc(), F.col("doc_id")],
+        k,
+        rank_fn=F.row_number,
+        rank_col="rank",
+    ).select("query_id", "doc_id", "rrf", "rank")
+
+
+def overlap_oracle_cte(
+    *,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> str:
+    """DuckDB fragment replaying :func:`overlap_topk`; expects a CTE
+    ``q(query_id, query_text)`` to be in scope."""
+    return f"""
+      SELECT query_id, doc_id, overlap, rank FROM (
+        SELECT query_id, doc_id, overlap,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY overlap DESC, doc_id) AS rank
+        FROM (
+          SELECT query_id, doc_id, count(*) AS overlap FROM (
+            SELECT DISTINCT {id_col} AS doc_id, unnest(
+              list_filter(string_split_regex(lower(trim({text_col})),
+                                             '[ \t\n\r]+'), t -> t <> '')
+            ) AS term FROM {docs_table}
+          ) d JOIN (
+            SELECT DISTINCT query_id, unnest(
+              list_filter(string_split_regex(lower(trim(query_text)),
+                                             '[ \t\n\r]+'), t -> t <> '')
+            ) AS term FROM q
+          ) qt USING (term)
+          GROUP BY query_id, doc_id
+        )
+      ) WHERE rank <= {k}
+    """

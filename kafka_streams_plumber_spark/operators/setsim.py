@@ -1,0 +1,134 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin-lite).
+
+Complements operators/dedup.py: MinHash-LSH finds near-dup pairs
+PROBABILISTICALLY; this finds every pair with Jaccard >= t EXACTLY,
+using the prefix-filtering principle (Chaudhuri et al., "A Primitive
+Operator for Similarity Joins", ICDE 2006; Xiao et al., PPJoin) instead
+of the quadratic all-pairs join.
+
+Why it scales: order each doc's token set by ascending global frequency
+(rarest first). If J(x, y) >= t, then x and y must share at least one
+token among the first ``|x| - ceil(t * |x|) + 1`` tokens of x (same for
+y). So candidate generation joins only PREFIX tokens — and because
+prefixes are the rarest tokens, the per-token candidate lists stay
+short; stop-word-sized posting lists never enter the join. Verification
+then computes exact overlap for candidates only.
+
+All stages are DataFrame-native: two groupBys (doc-term distinct, global
+term frequency), one per-doc window for prefix ranking (partitioned by
+doc_id — millions of small groups, never a hot key), an equi-join on the
+prefix token, and a candidate-only verify join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _tok(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), " ", -1), lambda x: x != F.lit(""))
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with token-set Jaccard >= threshold, exactly.
+
+    Returns ``(doc_a, doc_b, inter, jaccard)`` with ``doc_a < doc_b``
+    and ``jaccard`` rounded to 6 places (the threshold compare happens
+    BEFORE rounding, on the raw double division, so both engines cut at
+    the same pairs).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    t = F.lit(float(threshold))
+
+    toks = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(_tok(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    sz = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    # rank tokens per doc, rarest first (freq, then tok for a total order
+    # shared by every doc); keep only the prefix
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("freq", "tok")
+            ),
+        )
+        .join(sz, "doc")
+        .where(F.col("r") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1)
+        .select("doc", "tok", "sz")
+    )
+
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        # length filter: |y| must lie in [t|x|, |x|/t] for J >= t
+        .where(
+            (F.col("sz2") >= F.ceil(t * F.col("sz1")))
+            & (F.col("sz1") >= F.ceil(t * F.col("sz2")))
+        )
+        .distinct()
+    )
+
+    # exact overlap for candidates only: re-join both token sets
+    ta = toks.select(F.col("doc").alias("d1"), "tok")
+    tb = toks.select(F.col("doc").alias("d2"), "tok")
+    inter = (
+        cand.join(ta, "d1")
+        .join(tb, ["d2", "tok"])
+        .groupBy("d1", "d2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.where(jac >= t)
+        .select(
+            F.col("d1").alias("doc_a"),
+            F.col("d2").alias("doc_b"),
+            F.col("inter"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_oracle_sql(*, threshold: float, table: str = "documents") -> str:
+    """Quadratic exact-Jaccard oracle (DuckDB) — ground truth for
+    :func:`jaccard_prefix_join` at test scale."""
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM {table}
+      ) WHERE tok <> ''
+    ),
+    sz AS (SELECT doc, count(*) AS sz FROM toks GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT d1 AS doc_a, d2 AS doc_b, inter,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc = d1
+    JOIN sz sb ON sb.doc = d2
+    WHERE inter / (sa.sz + sb.sz - inter) >= {threshold!r}
+    """

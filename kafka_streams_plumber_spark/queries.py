@@ -5680,6 +5680,239 @@ def q_lr(spark, sf_dir):
 
 
 # =========================================================================
+# Behavioral analytics over the event stream (operators/behavior.py),
+# exact set-similarity join (operators/setsim.py), triangle counting
+# (operators/graph.py), collocations (operators/collocate.py), hybrid
+# retrieval fusion (operators/retrieval.py)
+# =========================================================================
+
+from kafka_streams_plumber_spark.operators import collocate as CL  # noqa: E402
+from kafka_streams_plumber_spark.operators import retrieval as RT  # noqa: E402
+from kafka_streams_plumber_spark.operators import setsim as SS  # noqa: E402
+
+
+@query(
+    "q_funnel",
+    """
+    WITH r1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    r2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN r1 ON e.user_id = r1.user_id
+      WHERE e.event_type = 'view' AND e.ts >= r1.t GROUP BY e.user_id
+    ),
+    r3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN r2 ON e.user_id = r2.user_id
+      WHERE e.event_type = 'click' AND e.ts >= r2.t GROUP BY e.user_id
+    ),
+    r4 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN r3 ON e.user_id = r3.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= r3.t GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step, (SELECT count(*) FROM r1) AS users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM r2)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'click', (SELECT count(*) FROM r3)
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'purchase', (SELECT count(*) FROM r4)
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (operators/behavior.py:funnel):
+    signup -> view -> click -> purchase, each stage gated on reaching
+    the previous one first. Every pass is a type-FILTERED equi-join +
+    partial-aggregatable min — the shuffles carry one step's events,
+    never the whole stream."""
+    from kafka_streams_plumber_spark.operators.behavior import funnel
+
+    e = load_tables(spark, sf_dir)["events"]
+    out = funnel(e, ["signup", "view", "click", "purchase"])
+    return out.select(
+        F.col("stage").cast("long").alias("stage"), "step", "users"
+    )
+
+
+@query(
+    "q_cohort",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             epoch_ms(date_trunc('week', ts)) AS p
+      FROM events
+    ),
+    first AS (SELECT user_id, min(p) AS cohort_p FROM active GROUP BY user_id)
+    SELECT cohort_p AS cohort_ms,
+           CAST((p - cohort_p) / 604800000 AS BIGINT) AS "offset",
+           count(*) AS users
+    FROM active JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort(spark, sf_dir):
+    """Weekly cohort retention (operators/behavior.py:cohort_retention):
+    users active N weeks after their first event, grouped by signup
+    week. Two map-combinable groupBys and a user-keyed equi-join; the
+    widest shuffle carries (user, week) pairs, not raw events."""
+    from kafka_streams_plumber_spark.operators.behavior import cohort_retention
+
+    e = load_tables(spark, sf_dir)["events"]
+    return cohort_retention(e, granularity="week")
+
+
+@query(
+    "q_gapfill",
+    """
+    WITH obs AS (
+      SELECT user_id AS key,
+             CAST(floor(epoch_ms(ts) / 21600000) AS BIGINT) AS b,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT key, min(b) AS lo, max(b) AS hi FROM obs GROUP BY key),
+    spine AS (SELECT key, unnest(range(lo, hi + 1)) AS b FROM span),
+    joined AS (
+      SELECT s.key, s.b, o.value, o.value IS NULL AS filled
+      FROM spine s LEFT JOIN obs o ON s.key = o.key AND s.b = o.b
+    )
+    SELECT key, b * 21600000 AS bucket_ms,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           filled
+    FROM joined
+    """,
+)
+def q_gapfill(spark, sf_dir):
+    """Per-user 6-hour resample with forward fill
+    (operators/behavior.py:gap_fill): the bucket spine is built
+    distributed with sequence+explode (capped per key), missing buckets
+    inherit the last seen aggregate via one key-partitioned window.
+    Bucket sums use scaled-long arithmetic so both engines agree
+    bit-for-bit."""
+    from kafka_streams_plumber_spark.operators.behavior import gap_fill
+
+    e = load_tables(spark, sf_dir)["events"]
+    return gap_fill(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_s=21600,
+        agg=F.sum(F.round(F.col("v") * 100).cast("bigint")) / 100.0,
+    )
+
+
+@query(
+    "q_setsim",
+    SS.jaccard_oracle_sql(threshold=0.85),
+)
+def q_setsim(spark, sf_dir):
+    """Exact set-similarity self-join at Jaccard >= 0.85
+    (operators/setsim.py:jaccard_prefix_join). The EXACT counterpart to
+    dedup_minhash: prefix filtering (rarest-first token ordering) keeps
+    candidate generation subquadratic while guaranteeing no pair above
+    the threshold is missed — the oracle is the quadratic ground
+    truth."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return SS.jaccard_prefix_join(d, threshold=0.85)
+
+
+@query(
+    "q_triangles",
+    """
+    WITH raw AS (
+      SELECT o_custkey % 200 AS x, (o_custkey * 7 + o_orderkey) % 200 AS y
+      FROM orders
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE x <> y
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, count(*) AS triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+    """,
+)
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py:triangle_counts)
+    over a deterministic graph derived from orders. Degree-ordered edge
+    orientation bounds the wedge join (celebrity nodes contribute
+    out-degree^2 wedges, not total-degree^2); the oracle is the naive
+    a<b<c three-way join — orientation-independent counts match."""
+    from kafka_streams_plumber_spark.operators.graph import triangle_counts
+
+    o = load_tables(spark, sf_dir)["orders"]
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("a_id"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 200).alias("b_id"),
+    )
+    return triangle_counts(edges)
+
+
+@query("q_pmi", CL.pmi_oracle_sql(min_count=5))
+def q_pmi(spark, sf_dir):
+    """PMI bigram collocations (operators/collocate.py:pmi_bigrams):
+    adjacency is computed INSIDE the token array (transform over an
+    index sequence — no posexplode self-join), then three
+    map-combinable counts and vocabulary-sized broadcast joins."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return CL.pmi_bigrams(d, min_count=5)
+
+
+_RRF_ORACLE = f"""
+    WITH bm AS ({bm25_oracle_sql(_BM25_QUERIES_SQL, k=10)}),
+    ov AS (WITH q AS ({_BM25_QUERIES_SQL}) {RT.overlap_oracle_cte(k=10)}),
+    u AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM bm
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) FROM ov
+    ),
+    f AS (
+      SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+      SELECT query_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id) AS rank
+      FROM f
+    ) WHERE rank <= 10
+    """
+
+
+@query("q_rrf", _RRF_ORACLE)
+def q_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 and distinct-term-overlap top-10
+    (operators/retrieval.py:rrf_fuse) — the hybrid-retrieval combiner.
+    Fusion touches only the two top-k-per-query legs (tiny frames), so
+    its cost is independent of corpus size."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    from kafka_streams_plumber_spark.operators.retrieval import bm25_topk as _bm
+
+    bm = _bm(docs, qdf, k=10)
+    ov = RT.overlap_topk(docs, qdf, k=10)
+    out = RT.rrf_fuse([bm, ov], k_rrf=60, k=10)
+    return out.select(
+        "query_id", "doc_id", "rrf", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
@@ -5741,6 +5974,16 @@ _WINDOW_DEMOTE = {
     "q_chunks",        # token-window family: q_pack + q_redact stay in
     "q_centroids",     # embedding-agg family: q_pca runs the richer
                        # scaled-long posexplode machinery in-window
+    # round-2 wave 2: seven slots freed for the behavioral / set-sim /
+    # graph / collocation / fusion families below
+    "dedup_ngram",     # quadratic exact-Jaccard baseline: q_setsim is
+                       # the scalable exact path, dedup_minhash stays
+    "dedup_simhash",   # near-dup family: minhash + setsim stay in
+    "text_repetition", # text-agg family: text_stats + text_quality stay
+    "text_bpe",        # BPE family: q_bpe_train (trainer) stays in
+    "q_pivot",         # reshape family: q_rollup stays in
+    "sim_ann_lsh",     # ANN family: sim_ann_ivf + sim_topk stay in
+    "q_redact",        # regex-transform family: q_csv + q_gopher stay
 }
 
 #: Queries pulled to the FRONT of the gate window: operator families
@@ -5761,6 +6004,14 @@ _WINDOW_PROMOTE = {
     "q_fuzzy_join",
     "q_span_corruption",
     "q_lr",
+    # round-2 wave 2, each the only in-window representative
+    "q_funnel",        # ordered-funnel iterative conditional min
+    "q_cohort",        # cohort retention triangle
+    "q_gapfill",       # time-series resample + forward fill
+    "q_setsim",        # exact set-similarity join (prefix filter)
+    "q_triangles",     # degree-oriented triangle counting
+    "q_pmi",           # PMI collocations
+    "q_rrf",           # reciprocal-rank hybrid fusion
 }
 
 

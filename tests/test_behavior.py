@@ -1,0 +1,188 @@
+"""Funnel / cohort / gap-fill (operators/behavior.py), triangle counts
+(operators/graph.py), set-similarity join (operators/setsim.py), PMI
+collocations (operators/collocate.py), RRF fusion (operators/retrieval.py).
+
+Hand-computable micro-fixtures; the sf0.01 oracle equivalence is covered
+by the queries.py contracts (q_funnel, q_cohort, q_gapfill, q_setsim,
+q_triangles, q_pmi, q_rrf).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.behavior import (
+    cohort_retention,
+    funnel,
+    gap_fill,
+)
+from kafka_streams_plumber_spark.operators.collocate import pmi_bigrams
+from kafka_streams_plumber_spark.operators.graph import triangle_counts
+from kafka_streams_plumber_spark.operators.retrieval import (
+    overlap_topk,
+    rrf_fuse,
+)
+from kafka_streams_plumber_spark.operators.setsim import jaccard_prefix_join
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # user 1 completes all 3 steps in order
+        (1, "a", _ts(1)), (1, "b", _ts(2)), (1, "c", _ts(3)),
+        # user 2 has b BEFORE a -> stops at stage 1
+        (2, "b", _ts(1)), (2, "a", _ts(2)),
+        # user 3 never signs up -> counted nowhere
+        (3, "b", _ts(1)), (3, "c", _ts(2)),
+        # user 4: a then c (skips b) -> stage 1 only
+        (4, "a", _ts(1)), (4, "c", _ts(2)),
+    ]
+    out = funnel(_events(spark, rows), ["a", "b", "c"])
+    got = {r["stage"]: (r["step"], r["users"]) for r in out.collect()}
+    assert got == {1: ("a", 3), 2: ("b", 1), 3: ("c", 1)}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    rows = [(1, "a", _ts(1)), (1, "b", _ts(1))]
+    out = funnel(_events(spark, rows), ["a", "b"])
+    got = {r["stage"]: r["users"] for r in out.collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_cohort_offsets(spark):
+    # user 1 first active week of Jan 1 (Mon), again 2 weeks later;
+    # user 2 joins week of Jan 8, active that week only
+    rows = [
+        (1, "x", _ts(2)),   # week of Jan 1
+        (1, "x", _ts(16)),  # week of Jan 15 -> offset 2
+        (2, "x", _ts(9)),   # week of Jan 8
+        (2, "x", _ts(10)),  # same week -> still offset 0, distinct once
+    ]
+    out = cohort_retention(_events(spark, rows), granularity="week")
+    got = {(r["cohort_ms"], r["offset"]): r["users"] for r in out.collect()}
+    w1 = int(dt.datetime(2024, 1, 1).timestamp() * 1000)
+    w2 = int(dt.datetime(2024, 1, 8).timestamp() * 1000)
+    assert got == {(w1, 0): 1, (w1, 2): 1, (w2, 0): 1}
+
+
+def test_gap_fill_forward_fills(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1, 0), 10.0),
+            (1, _ts(1, 0, 30), 5.0),  # same hour bucket -> summed
+            (1, _ts(1, 3), 7.0),      # gap of 2 empty buckets
+        ],
+        "key long, ts timestamp, v double",
+    )
+    out = gap_fill(
+        df, key_col="key", ts_col="ts", value_col="v", step_s=3600
+    ).orderBy("bucket_ms")
+    rows = out.collect()
+    assert [r["value"] for r in rows] == [15.0, 15.0, 15.0, 7.0]
+    assert [r["filled"] for r in rows] == [False, True, True, False]
+    assert rows[1]["bucket_ms"] - rows[0]["bucket_ms"] == 3600_000
+
+
+def test_gap_fill_max_buckets_caps_runaway_key(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1.0), (1, _ts(30), 2.0)],
+        "key long, ts timestamp, v double",
+    )
+    out = gap_fill(
+        df, key_col="key", ts_col="ts", value_col="v", step_s=3600,
+        max_buckets=10,
+    )
+    rows = out.orderBy("bucket_ms").collect()
+    assert len(rows) == 10  # truncated to the LAST 10 buckets
+    assert rows[-1]["value"] == 2.0 and not rows[-1]["filled"]
+
+
+def test_triangle_counts_two_triangles_sharing_edge(spark):
+    # triangles (1,2,3) and (2,3,4) share edge 2-3; edge list is noisy:
+    # duplicates, reversed orientation, a self-loop, a dangling edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4), (4, 3), (3, 2), (5, 5), (4, 9),
+         (1, 2)],
+        "a_id long, b_id long",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_jaccard_prefix_join_matches_bruteforce(spark):
+    docs = [
+        (1, "red green blue yellow"),
+        (2, "red green blue purple"),
+        (3, "red green blue yellow"),
+        (4, "cat dog"),
+        (5, "cat dog bird"),
+        (6, "zebra"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.5
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+        for r in jaccard_prefix_join(df, threshold=t).collect()
+    }
+    sets = {i: set(s.split()) for i, s in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= t:
+            want[(a, b)] = (inter, round(inter / union, 6))
+    assert got == want
+
+
+def test_pmi_prefers_fixed_phrase(spark):
+    # "new york" always adjacent; "the" pairs with everything
+    rows = [("new york is big the end",), ("the new york story the it",),
+            ("new york new york the a",)] * 3
+    df = spark.createDataFrame(rows, "text string")
+    out = pmi_bigrams(df, min_count=3)
+    got = {(r["w1"], r["w2"]): r for r in out.collect()}
+    assert ("new", "york") in got
+    ny = got[("new", "york")]
+    assert ny["pairs"] == 12
+    # the deterministic collocation beats "the new": both components are
+    # common, but they co-occur only by sentence structure
+    assert ("the", "new") in got
+    assert ny["pmi"] > got[("the", "new")]["pmi"]
+
+
+def test_rrf_fusion_prefers_doc_ranked_by_both(spark):
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank long"
+    )
+    out = rrf_fuse([r1, r2], k_rrf=60, k=10).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    # doc 11 appears in both lists -> wins; doc 10 (rank 1 in one list) next
+    assert by_rank[0]["doc_id"] == 11
+    assert by_rank[1]["doc_id"] == 10
+    assert abs(by_rank[0]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+
+
+def test_overlap_topk_counts_distinct_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a a b"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "a b q")], "query_id long, query_text string")
+    got = {r["doc_id"]: (r["overlap"], r["rank"]) for r in overlap_topk(docs, qs).collect()}
+    # repeated 'a' in doc 2 counts once; ties broken by doc_id
+    assert got == {1: (2, 1), 2: (2, 2)}
