@@ -289,3 +289,51 @@ def test_nb_classifier_broadcasts_model(spark):
     assert broadcast_join_count(df) >= 1
     assert python_eval_count(df) == 0
     assert "CartesianProduct" not in plan_string(df)
+
+
+def test_setsim_plans_equi_joins_only(spark):
+    """jaccard_prefix_join must never plan an all-pairs join: candidate
+    generation and verify are token-equi joins; no cartesian, no
+    nested-loop, no Python."""
+    from kafka_streams_plumber_spark.plans.inspect import (
+        plan_string,
+        python_eval_count,
+    )
+
+    df = QUERIES["q_setsim"](spark, SF)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert python_eval_count(df) == 0
+
+
+def test_triangles_plans_equi_joins_only(spark):
+    """triangle_counts closes wedges with an equi-join on the
+    (least, greatest) key pair — Catalyst must extract the equality
+    keys, not fall back to a nested-loop probe."""
+    from kafka_streams_plumber_spark.plans.inspect import (
+        plan_string,
+        python_eval_count,
+    )
+
+    df = QUERIES["q_triangles"](spark, SF)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert python_eval_count(df) == 0
+
+
+def test_pmi_single_corpus_shuffle(spark):
+    """pmi_bigrams: the only large shuffle carries (w1, w2) counts; the
+    unigram/scalar joins broadcast (the one-row totals attach as the
+    legitimate scalar BroadcastNestedLoopJoin)."""
+    from kafka_streams_plumber_spark.plans.inspect import (
+        broadcast_join_count,
+        python_eval_count,
+        shuffle_count,
+    )
+
+    df = QUERIES["q_pmi"](spark, SF)
+    assert shuffle_count(df) <= 3
+    assert broadcast_join_count(df) >= 2
+    assert python_eval_count(df) == 0
