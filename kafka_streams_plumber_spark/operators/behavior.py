@@ -176,3 +176,94 @@ def gap_fill(
             "key", (F.col("b") * step_s * 1000).alias("bucket_ms"), "value", "filled"
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 20,
+    scale: int = 100,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly signal.
+
+    For each row, z = (v - mean) / std over the PREVIOUS ``window``
+    observations of the same key (the row itself excluded, so a spike
+    cannot mask itself). Rows without at least 2 predecessors get NULL.
+    Returns ``(key, ts_ms, value, z)`` with z rounded to 6 places.
+
+    Numeric determinism: the rolling sums are computed over
+    ``scale``-scaled LONGS (exact integer arithmetic — immune to the
+    engines' different sliding-window summation orders, e.g. segment
+    trees vs running sums), and mean/variance derive from those exact
+    sums in one double expression:
+
+        var = (ss - s^2/n) / (n - 1)   over scaled units
+
+    One shuffle on the key; the window is key-partitioned (millions of
+    small groups at scale, never a global sort).
+    """
+    order_cols = order_cols or [ts_col]
+    sv = F.round(F.col(value_col) * scale).cast("bigint")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum(sv).over(w).cast("double")
+    ss = F.sum(sv * sv).over(w).cast("double")
+    var = (ss - s * s / n) / (n - 1)
+    z = (F.col(value_col) * scale - s / n) / F.sqrt(var)
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        F.col(value_col).alias("value"),
+        F.round(F.when(n >= 2, z), 6).alias("z"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    Orders each user's events (by ``order_cols``, default the
+    timestamp), pairs each event with its successor via ``lead``, and
+    returns ``(from_type, to_type, pairs, prob)`` where ``prob`` is the
+    row-normalized transition probability (rounded to 6 places; exact
+    long division, deterministic).
+
+    One shuffle on the user key for the lead window, then a
+    map-combinable (from, to) count and an O(#types) normalization
+    join — the transition matrix itself is vocabulary-sized.
+    """
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("pairs").alias("total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "pairs",
+            F.round(F.col("pairs") / F.col("total"), 6).alias("prob"),
+        )
+    )

@@ -5912,6 +5912,78 @@ def q_rrf(spark, sf_dir):
     )
 
 
+@query(
+    "q_rolling_z",
+    """
+    SELECT key, ts_ms, value,
+           CASE WHEN n >= 2 THEN
+             round((value * 100 - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6)
+           END AS z
+    FROM (
+      SELECT user_id AS key, epoch_ms(ts) AS ts_ms, value,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE) AS s,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                      * CAST(round(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE) AS ss
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def q_rolling_z(spark, sf_dir):
+    """Per-user rolling z-score anomaly signal
+    (operators/behavior.py:rolling_zscore): each event scored against
+    the mean/std of its previous 20 events. Rolling sums run over
+    scaled LONGS so the engines' different sliding-window summation
+    strategies (running sum vs segment tree) cannot diverge; one
+    key-partitioned window, no global sort."""
+    from kafka_streams_plumber_spark.operators.behavior import rolling_zscore
+
+    e = load_tables(spark, sf_dir)["events"]
+    return rolling_zscore(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window=20,
+        order_cols=["ts", "event_id"],
+    )
+
+
+@query(
+    "q_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, count(*) AS pairs
+      FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, CAST(sum(pairs) AS BIGINT) AS total
+      FROM pairs GROUP BY 1
+    )
+    SELECT from_type, to_type, pairs, round(pairs / total, 6) AS prob
+    FROM pairs JOIN tot USING (from_type)
+    """,
+)
+def q_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (operators/behavior.py:event_transitions): lead window on the user
+    key, map-combinable pair counts, O(#types) broadcast
+    normalization."""
+    from kafka_streams_plumber_spark.operators.behavior import event_transitions
+
+    e = load_tables(spark, sf_dir)["events"]
+    return event_transitions(e, order_cols=["ts", "event_id"])
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -5984,6 +6056,9 @@ _WINDOW_DEMOTE = {
     "q_pivot",         # reshape family: q_rollup stays in
     "sim_ann_lsh",     # ANN family: sim_ann_ivf + sim_topk stay in
     "q_redact",        # regex-transform family: q_csv + q_gopher stay
+    "dedup_embedding", # embedding-similarity family: sim_topk +
+                       # sim_ann_ivf carry the cosine machinery
+    "q_split",         # sampling family: q_weighted_sample + q_mix stay
 }
 
 #: Queries pulled to the FRONT of the gate window: operator families
@@ -6012,6 +6087,8 @@ _WINDOW_PROMOTE = {
     "q_triangles",     # degree-oriented triangle counting
     "q_pmi",           # PMI collocations
     "q_rrf",           # reciprocal-rank hybrid fusion
+    "q_rolling_z",     # rolling z-score anomaly signal
+    "q_transitions",   # Markov event-transition matrix
 }
 
 

@@ -186,3 +186,51 @@ def test_overlap_topk_counts_distinct_terms(spark):
     got = {r["doc_id"]: (r["overlap"], r["rank"]) for r in overlap_topk(docs, qs).collect()}
     # repeated 'a' in doc 2 counts once; ties broken by doc_id
     assert got == {1: (2, 1), 2: (2, 2)}
+
+
+def test_rolling_zscore_flags_spike(spark):
+    from kafka_streams_plumber_spark.operators.behavior import rolling_zscore
+
+    rows = [(1, _ts(1, h), 10.0 + (h % 2)) for h in range(10)]
+    rows.append((1, _ts(1, 10), 100.0))  # spike after a stable run
+    df = spark.createDataFrame(rows, "key long, ts timestamp, v double")
+    out = rolling_zscore(
+        df, key_col="key", ts_col="ts", value_col="v", window=5
+    ).orderBy("ts_ms").collect()
+    # first row: no predecessors -> NULL; second: n=1 -> NULL
+    assert out[0]["z"] is None and out[1]["z"] is None
+    # the spike's z-score dwarfs every stable row's
+    stable = [abs(r["z"]) for r in out[2:-1]]
+    assert abs(out[-1]["z"]) > 10 * max(stable)
+
+
+def test_rolling_zscore_excludes_current_row(spark):
+    from kafka_streams_plumber_spark.operators.behavior import rolling_zscore
+
+    # constant history, then a jump: if the row were included in its own
+    # window the variance would absorb the jump and shrink z
+    rows = [(1, _ts(1, h), 5.0) for h in range(5)] + [(1, _ts(1, 6), 9.0)]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, v double")
+    out = rolling_zscore(
+        df, key_col="key", ts_col="ts", value_col="v", window=5
+    ).orderBy("ts_ms").collect()
+    # history is constant -> std 0 -> z is NaN/inf, but the HISTORY rows
+    # (constant minus constant over constant) must not see the jump
+    import math
+    assert out[-1]["z"] is None or not math.isfinite(out[-1]["z"])
+
+
+def test_event_transitions_probabilities(spark):
+    from kafka_streams_plumber_spark.operators.behavior import event_transitions
+
+    rows = [
+        (1, "a", _ts(1)), (1, "b", _ts(2)), (1, "a", _ts(3)), (1, "c", _ts(4)),
+        (2, "a", _ts(1)), (2, "b", _ts(2)),
+    ]
+    out = event_transitions(_events(spark, rows)).collect()
+    got = {(r["from_type"], r["to_type"]): (r["pairs"], r["prob"]) for r in out}
+    # from 'a': ->b twice, ->c once; user boundary breaks (1,'c')->(2,'a')
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in got
