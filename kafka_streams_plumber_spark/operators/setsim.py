@@ -132,3 +132,95 @@ def jaccard_oracle_sql(*, threshold: float, table: str = "documents") -> str:
     JOIN sz sb ON sb.doc = d2
     WHERE inter / (sa.sz + sb.sz - inter) >= {threshold!r}
     """
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix.
+
+    For every unordered source pair, counts the near-duplicate document
+    pairs (exact Jaccard >= threshold via :func:`jaccard_prefix_join`)
+    that span them — the curation diagnostic for "how much of source A
+    is already in source B" before mixing corpora. Returns
+    ``(source_a, source_b, dup_pairs, docs_a, docs_b)`` with
+    ``source_a <= source_b`` and docs_a/docs_b the distinct documents
+    of each side involved in those pairs (for a given row, docs_a
+    counts docs from source_a, docs_b from source_b; on the diagonal
+    both count the same pool).
+
+    The expensive part is the similarity join itself; this adds two
+    id-keyed joins against an O(docs) two-column frame and a
+    source-pair groupBy (vocabulary-sized output).
+    """
+    pairs = jaccard_prefix_join(
+        docs, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    src = docs.select(
+        F.col(id_col).alias("_id"), F.col(source_col).alias("_src")
+    )
+    tagged = (
+        pairs.join(src.withColumnRenamed("_id", "doc_a").withColumnRenamed("_src", "src_a"), "doc_a")
+        .join(src.withColumnRenamed("_id", "doc_b").withColumnRenamed("_src", "src_b"), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            # keep the doc on the canonical side it belongs to
+            F.when(F.col("src_a") <= F.col("src_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("da"),
+            F.when(F.col("src_a") <= F.col("src_b"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("db"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("dup_pairs"),
+        F.countDistinct("da").alias("docs_a"),
+        F.countDistinct("db").alias("docs_b"),
+    )
+
+
+def source_overlap_oracle_sql(
+    *, threshold: float, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`source_overlap_matrix` on top of the
+    quadratic exact-Jaccard ground truth."""
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM {table}
+      ) WHERE tok <> ''
+    ),
+    sz AS (SELECT doc, count(*) AS sz FROM toks GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2
+      FROM inter
+      JOIN sz sa ON sa.doc = d1
+      JOIN sz sb ON sb.doc = d2
+      WHERE inter / (sa.sz + sb.sz - inter) >= {threshold!r}
+    ),
+    tagged AS (
+      SELECT least(ma.source, mb.source) AS source_a,
+             greatest(ma.source, mb.source) AS source_b,
+             CASE WHEN ma.source <= mb.source THEN d1 ELSE d2 END AS da,
+             CASE WHEN ma.source <= mb.source THEN d2 ELSE d1 END AS db
+      FROM pairs
+      JOIN {table} ma ON ma.doc_id = d1
+      JOIN {table} mb ON mb.doc_id = d2
+    )
+    SELECT source_a, source_b, count(*) AS dup_pairs,
+           count(DISTINCT da) AS docs_a, count(DISTINCT db) AS docs_b
+    FROM tagged GROUP BY 1, 2
+    """

@@ -5984,6 +5984,18 @@ def q_transitions(spark, sf_dir):
     return event_transitions(e, order_cols=["ts", "event_id"])
 
 
+@query("q_source_overlap", SS.source_overlap_oracle_sql(threshold=0.85))
+def q_source_overlap(spark, sf_dir):
+    """Cross-source near-duplicate overlap matrix
+    (operators/setsim.py:source_overlap_matrix): how many exact-Jaccard
+    near-dup pairs span each source pair, and how many distinct docs on
+    each side — the pre-mixing curation diagnostic. Adds two id-keyed
+    joins and a vocabulary-sized groupBy on top of the prefix-filtered
+    similarity join."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return SS.source_overlap_matrix(d, threshold=0.85)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

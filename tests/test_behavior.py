@@ -234,3 +234,26 @@ def test_event_transitions_probabilities(spark):
     assert got[("a", "c")] == (1, round(1 / 3, 6))
     assert got[("b", "a")] == (1, 1.0)
     assert ("c", "a") not in got
+
+
+def test_source_overlap_matrix_counts_cross_source_pairs(spark):
+    from kafka_streams_plumber_spark.operators.setsim import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web"),
+            (2, "a b c d", "books"),   # dup of 1 across sources
+            (3, "a b c e", "web"),     # near-dup of 1 within web
+            (4, "x y z w", "books"),   # unique
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = source_overlap_matrix(docs, threshold=0.6)
+    got = {
+        (r["source_a"], r["source_b"]): (r["dup_pairs"], r["docs_a"], r["docs_b"])
+        for r in out.collect()
+    }
+    # pairs: (1,2) web-books J=1.0; (1,3) web-web J=3/5=0.6; (2,3) books-web 0.6
+    # books side of the cross rows is doc 2 alone; web side is docs 1 and 3
+    assert got[("books", "web")] == (2, 1, 2)
+    assert got[("web", "web")] == (1, 1, 1)
