@@ -151,10 +151,12 @@ def gap_fill(
     """
     k = F.col(key_col)
     bucket = F.floor(F.unix_millis(F.col(ts_col)) / (step_s * 1000)).cast("bigint")
+    # the value column keeps its caller-facing name here, so a custom
+    # ``agg`` references it as written (e.g. F.avg(value_col))
     observed = (
-        df.select(k.alias("key"), bucket.alias("b"), F.col(value_col).alias("v"))
+        df.select(k.alias("key"), bucket.alias("b"), F.col(value_col))
         .groupBy("key", "b")
-        .agg((agg if agg is not None else F.sum("v")).alias("value"))
+        .agg((agg if agg is not None else F.sum(value_col)).alias("value"))
     )
     span = observed.groupBy("key").agg(
         F.greatest(F.min("b"), F.max("b") - F.lit(max_buckets - 1)).alias("lo"),
@@ -192,8 +194,18 @@ def rolling_zscore(
 
     For each row, z = (v - mean) / std over the PREVIOUS ``window``
     observations of the same key (the row itself excluded, so a spike
-    cannot mask itself). Rows without at least 2 predecessors get NULL.
-    Returns ``(key, ts_ms, value, z)`` with z rounded to 6 places.
+    cannot mask itself). Returns ``(key, ts_ms, value, z)`` with z
+    rounded to 6 places. z is NULL when the history carries no scale
+    information: fewer than 2 predecessors, OR a zero-variance
+    (flatlined) history — division by a zero std is engine- and
+    version-dependent (NULL vs ±Inf vs NaN), so it is pinned to NULL
+    on both sides; treat "NULL z with n >= 2" as "flatline broke",
+    which IS the anomaly signal for constant series.
+
+    ``order_cols`` defaults to the timestamp alone; if a key can carry
+    two rows with the same timestamp, pass a unique tiebreaker (e.g.
+    ``[ts_col, "event_id"]``) — otherwise the window order, and thus
+    every z, is nondeterministic.
 
     Numeric determinism: the rolling sums are computed over
     ``scale``-scaled LONGS (exact integer arithmetic — immune to the
@@ -218,11 +230,13 @@ def rolling_zscore(
     ss = F.sum(sv * sv).over(w).cast("double")
     var = (ss - s * s / n) / (n - 1)
     z = (F.col(value_col) * scale - s / n) / F.sqrt(var)
+    # var > 0 also absorbs the tiny-negative double-rounding case
+    # (sqrt of which would be NaN)
     return df.select(
         F.col(key_col).alias("key"),
         F.unix_millis(F.col(ts_col)).alias("ts_ms"),
         F.col(value_col).alias("value"),
-        F.round(F.when(n >= 2, z), 6).alias("z"),
+        F.round(F.when((n >= 2) & (var > 0), z), 6).alias("z"),
     )
 
 
@@ -241,6 +255,11 @@ def event_transitions(
     returns ``(from_type, to_type, pairs, prob)`` where ``prob`` is the
     row-normalized transition probability (rounded to 6 places; exact
     long division, deterministic).
+
+    As with :func:`rolling_zscore`, the default timestamp-only order is
+    only deterministic when (user, ts) is unique — pass a tiebreaker
+    (e.g. ``[ts_col, "event_id"]``) when it is not, or the pair counts
+    become run- and engine-dependent.
 
     One shuffle on the user key for the lead window, then a
     map-combinable (from, to) count and an O(#types) normalization

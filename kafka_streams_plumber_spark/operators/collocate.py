@@ -19,9 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _toks(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), " ", -1), lambda x: x != F.lit(""))
+from kafka_streams_plumber_spark.operators.text import tokens_lower as _toks
 
 
 def pmi_bigrams(

@@ -291,9 +291,10 @@ def triangle_counts(
     e1 = directed.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = directed.select(F.col("s").alias("b"), F.col("t").alias("c"))
     wedges = e1.join(e2, "b").where(F.col("a") != F.col("c"))
-    e3 = directed.select(
-        F.least("s", "t").alias("_lo"), F.greatest("s", "t").alias("_hi")
-    )
+    # directed is a row-wise reorientation of canon, so the closure
+    # probe can reuse canon (already u < v) instead of replanning the
+    # degree/orientation subtree a third time
+    e3 = canon.select(F.col("u").alias("_lo"), F.col("v").alias("_hi"))
     tris = wedges.join(
         e3,
         (F.least("a", "c") == F.col("_lo")) & (F.greatest("a", "c") == F.col("_hi")),

@@ -26,9 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-
-def _tok(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), " ", -1), lambda x: x != F.lit(""))
+from kafka_streams_plumber_spark.operators.text import tokens_lower as _tok
 
 
 def jaccard_prefix_join(

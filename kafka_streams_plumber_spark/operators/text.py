@@ -56,6 +56,20 @@ def tokens(col: Column | str) -> Column:
     return F.split(_c(col), " ", -1)
 
 
+def tokens_lower(col: Column | str) -> Column:
+    """Lowercased single-space tokens with empties dropped — the shared
+    tokenizer of operators/setsim.py and operators/collocate.py, matching
+    the oracle replay ``string_split(lower(text), ' ') ... tok <> ''``.
+    NULL-safe: NULL text tokenizes to an EMPTY array (not NULL), so
+    ``size()`` is 0 rather than Spark's non-ANSI -1 — downstream token
+    totals stay consistent with the oracle's unnest-drops-NULL counting.
+    """
+    return F.filter(
+        F.split(F.lower(F.coalesce(_c(col), F.lit(""))), " ", -1),
+        lambda x: x != F.lit(""),
+    )
+
+
 def bpe_ish_tokens(col: Column | str) -> Column:
     """BPE-ish pre-tokenization: split into letter runs, digit runs, and
     single punctuation marks (the regex analog of a byte-pair

@@ -5804,7 +5804,7 @@ def q_gapfill(spark, sf_dir):
         ts_col="ts",
         value_col="value",
         step_s=21600,
-        agg=F.sum(F.round(F.col("v") * 100).cast("bigint")) / 100.0,
+        agg=F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0,
     )
 
 
@@ -5916,7 +5916,7 @@ def q_rrf(spark, sf_dir):
     "q_rolling_z",
     """
     SELECT key, ts_ms, value,
-           CASE WHEN n >= 2 THEN
+           CASE WHEN n >= 2 AND (ss - s * s / n) / (n - 1) > 0 THEN
              round((value * 100 - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6)
            END AS z
     FROM (
@@ -6058,8 +6058,8 @@ _WINDOW_DEMOTE = {
     "q_chunks",        # token-window family: q_pack + q_redact stay in
     "q_centroids",     # embedding-agg family: q_pca runs the richer
                        # scaled-long posexplode machinery in-window
-    # round-2 wave 2: seven slots freed for the behavioral / set-sim /
-    # graph / collocation / fusion families below
+    # round-2 wave 2: nine slots freed for the behavioral / set-sim /
+    # graph / collocation / fusion / anomaly families below
     "dedup_ngram",     # quadratic exact-Jaccard baseline: q_setsim is
                        # the scalable exact path, dedup_minhash stays
     "dedup_simhash",   # near-dup family: minhash + setsim stay in

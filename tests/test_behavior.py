@@ -214,10 +214,9 @@ def test_rolling_zscore_excludes_current_row(spark):
     out = rolling_zscore(
         df, key_col="key", ts_col="ts", value_col="v", window=5
     ).orderBy("ts_ms").collect()
-    # history is constant -> std 0 -> z is NaN/inf, but the HISTORY rows
-    # (constant minus constant over constant) must not see the jump
-    import math
-    assert out[-1]["z"] is None or not math.isfinite(out[-1]["z"])
+    # history is constant -> zero variance -> z pinned to NULL on every
+    # engine (the "flatline broke" signal), never Inf/NaN
+    assert out[-1]["z"] is None
 
 
 def test_event_transitions_probabilities(spark):
@@ -257,3 +256,27 @@ def test_source_overlap_matrix_counts_cross_source_pairs(spark):
     # books side of the cross rows is doc 2 alone; web side is docs 1 and 3
     assert got[("books", "web")] == (2, 1, 2)
     assert got[("web", "web")] == (1, 1, 1)
+
+
+def test_pmi_null_text_does_not_skew_totals(spark):
+    # size(NULL) is -1 under non-ANSI Spark; the shared tokenizer must
+    # map NULL text to an EMPTY array so token totals match the oracle
+    rows = [("a b a b",), (None,), ("a b",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = {(r["w1"], r["w2"]): r["pmi"] for r in pmi_bigrams(df, min_count=2).collect()}
+    # T1=6 tokens, T2=4 bigrams, c(a)=c(b)=3, pairs(a,b)=3
+    # pmi = ln(3 * 36 / (4 * 9)) = ln(3)
+    import math
+    assert out[("a", "b")] == round(math.log(3.0), 6)
+
+
+def test_gap_fill_custom_agg_uses_caller_column_name(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1, 0), 10.0), (1, _ts(1, 0, 30), 20.0)],
+        "key long, ts timestamp, reading double",
+    )
+    out = gap_fill(
+        df, key_col="key", ts_col="ts", value_col="reading", step_s=3600,
+        agg=F.avg("reading"),
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 15.0
