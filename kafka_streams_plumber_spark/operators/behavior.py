@@ -132,23 +132,37 @@ def gap_fill(
     step_s: int,
     max_buckets: int = 100_000,
     agg: Column | None = None,
+    method: str = "locf",
 ) -> DataFrame:
-    """Per-key time-series resample with forward fill.
+    """Per-key time-series resample with gap interpolation.
 
     Buckets ``ts_col`` to ``step_s``-second epochs, aggregates
     ``value_col`` per (key, bucket) (default ``sum``), then emits EVERY
-    bucket between each key's first and last observation, forward-
-    filling missing buckets with the last seen aggregate. Returns
-    ``(key, bucket_ms, value, filled)`` where ``filled`` marks rows
-    synthesized by the fill.
+    bucket between each key's first and last observation, filling
+    missing buckets per ``method``:
+
+    - ``"locf"`` (default): forward fill — the last observed aggregate
+      carries over (step-function semantics, right for counters/state).
+    - ``"linear"``: linear interpolation between the surrounding
+      observations (right for continuous measurements); by
+      construction every gap is interior (the spine is bounded by each
+      key's first/last observation), so no edge extrapolation arises.
+
+    Returns ``(key, bucket_ms, value, filled)`` where ``filled`` marks
+    rows synthesized by the fill.
 
     The bucket spine is built per key with ``sequence`` + ``explode`` —
     distributed, no driver-side calendar. ``max_buckets`` caps the
     per-key explode so one pathological key (a sensor with a 10-year
     span at 1 s steps) cannot produce a runaway partition; keys beyond
     the cap are truncated to their LAST ``max_buckets`` buckets (the
-    recent window is the useful part of a runaway series).
+    recent window is the useful part of a runaway series). Either
+    method is one key-partitioned window pass (linear uses the mirrored
+    backward frame too — still a single sort, Spark shares the
+    partitioning across both frames).
     """
+    if method not in ("locf", "linear"):
+        raise ValueError("method must be 'locf' or 'linear'")
     k = F.col(key_col)
     bucket = F.floor(F.unix_millis(F.col(ts_col)) / (step_s * 1000)).cast("bigint")
     # the value column keeps its caller-facing name here, so a custom
@@ -165,18 +179,37 @@ def gap_fill(
     spine = span.select(
         "key", F.explode(F.sequence("lo", "hi")).alias("b")
     )
-    w = (
+    wb = (
         Window.partitionBy("key")
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        spine.join(observed, ["key", "b"], "left")
-        .withColumn("filled", F.col("value").isNull())
-        .withColumn("value", F.last("value", ignorenulls=True).over(w))
-        .select(
-            "key", (F.col("b") * step_s * 1000).alias("bucket_ms"), "value", "filled"
+    joined = spine.join(observed, ["key", "b"], "left").withColumn(
+        "filled", F.col("value").isNull()
+    )
+    if method == "locf":
+        joined = joined.withColumn(
+            "value", F.last("value", ignorenulls=True).over(wb)
         )
+    else:
+        wf = (
+            Window.partitionBy("key")
+            .orderBy("b")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        ob = F.when(F.col("value").isNotNull(), F.col("b"))
+        pv = F.last("value", ignorenulls=True).over(wb)
+        pb = F.last(ob, ignorenulls=True).over(wb)
+        nv = F.first("value", ignorenulls=True).over(wf)
+        nb = F.first(ob, ignorenulls=True).over(wf)
+        joined = joined.withColumn(
+            "value",
+            F.when(~F.col("filled"), F.col("value")).otherwise(
+                pv + (nv - pv) * (F.col("b") - pb) / (nb - pb)
+            ),
+        )
+    return joined.select(
+        "key", (F.col("b") * step_s * 1000).alias("bucket_ms"), "value", "filled"
     )
 
 
