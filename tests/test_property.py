@@ -407,3 +407,122 @@ def test_fuzzy_join_matches_bruteforce_within_blocks(spark, ls, rs):
         if a[:4].lower() == b[:4].lower() and lev(a, b) <= 2
     }
     assert got == want
+
+
+# ---- round-2 wave: set-similarity / triangles / transitions ----
+
+word = st.text(alphabet="abcdef", min_size=1, max_size=3)
+docs_strategy = st.lists(
+    st.lists(word, min_size=0, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy, st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+def test_jaccard_prefix_join_equals_bruteforce(spark, texts_, threshold):
+    """The prefix filter is an OPTIMIZATION, never a semantics change:
+    output must equal the quadratic all-pairs ground truth for any
+    corpus and threshold (tiny alphabet maximizes collisions/dups)."""
+    import itertools
+
+    from kafka_streams_plumber_spark.operators.setsim import (
+        jaccard_prefix_join,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts_)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["inter"]
+        for r in jaccard_prefix_join(df, threshold=threshold).collect()
+    }
+    sets = {i: set(t.lower().split()) - {""} for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= threshold:
+            want[(a, b)] = inter
+    assert got == want
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges_strategy)
+def test_triangle_counts_equal_bruteforce(spark, pairs):
+    """Degree-ordered orientation must count exactly the naive
+    triangles per node, for any noisy edge list (dups, loops, both
+    orientations)."""
+    import itertools
+
+    from kafka_streams_plumber_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        pairs or [(0, 0)], "a_id long, b_id long"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    canon = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in canon for n in e})
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= canon:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.sampled_from("xyz"),                 # type
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_event_transitions_probs_sum_to_one(spark, seq):
+    """Per-from_type probabilities always sum to ~1, and pair counts
+    equal the sequential count over each user's (unique-ts) stream."""
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    rows = [
+        (u, t, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i))
+        for i, (u, t) in enumerate(seq)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = event_transitions(df).collect()
+    by_from: dict[str, float] = {}
+    for r in out:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["prob"]
+    for tot in by_from.values():
+        assert abs(tot - 1.0) < 1e-4
+    # sequential ground truth
+    streams: dict[int, list[str]] = {}
+    for u, t, _ in rows:
+        streams.setdefault(u, []).append(t)
+    want: dict[tuple, int] = {}
+    for s in streams.values():
+        for a, b in zip(s, s[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r["from_type"], r["to_type"]): r["pairs"] for r in out}
+    assert got == want
