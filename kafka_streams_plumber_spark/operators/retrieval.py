@@ -303,3 +303,91 @@ def overlap_oracle_cte(
         )
       ) WHERE rank <= {k}
     """
+
+
+def relevant_by_all_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+) -> DataFrame:
+    """Deterministic qrels: a document is relevant to a query iff it
+    contains EVERY distinct query term (boolean-AND ground truth — the
+    strictest lexical relevance, useful as a recall floor when no human
+    judgments exist). Returns (query_id, doc_id)."""
+    dterm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_terms(F.col(text_col))).alias("term"),
+    ).distinct()
+    qterms = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(_terms(F.col(query_text))).alias("term"),
+    ).distinct()
+    nq = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nq"))
+    return (
+        dterm.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+        .join(F.broadcast(nq), "query_id")
+        .where(F.col("_hit") == F.col("_nq"))
+        .select("query_id", "doc_id")
+    )
+
+
+def ranking_metrics(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query IR metrics of a ranked list against relevance pairs.
+
+    ``ranking`` carries (query_id, doc_id, rank); ``qrels`` carries the
+    relevant (query_id, doc_id) pairs. Returns one row per query:
+
+    - ``hits``      relevant docs retrieved in the top k
+    - ``n_rel``     total relevant docs (recall denominator)
+    - ``recall``    hits / n_rel
+    - ``mrr``       1/rank of the first relevant hit (0 if none)
+    - ``ndcg``      DCG@k / ideal-DCG@k with the standard
+                    1/log2(rank+1) discount
+
+    Division results are rounded to 6 places AFTER the aggregate (the
+    bm25 convention: association order of tiny double sums cannot flip
+    the rounded value). The ideal DCG is an in-expression ``aggregate``
+    over ``sequence(1, min(n_rel, k))`` — no driver math, no extra
+    shuffle. Queries with no relevant docs are omitted (undefined
+    recall). All joins are on (query_id, doc_id) against the tiny top-k
+    frame; cost is independent of corpus size.
+    """
+    topk = ranking.where(F.col("rank") <= k)
+    nrel = qrels.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    judged = topk.join(
+        qrels.withColumn("_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    ).withColumn("_rel", F.coalesce("_rel", F.lit(0)))
+    per_q = judged.groupBy("query_id").agg(
+        F.sum("_rel").alias("hits"),
+        F.max(
+            F.when(F.col("_rel") == 1, 1.0 / F.col("rank")).otherwise(0.0)
+        ).alias("_mrr"),
+        F.sum(F.col("_rel") / F.log2(F.col("rank") + 1)).alias("_dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+    )
+    return (
+        per_q.join(F.broadcast(nrel), "query_id")
+        .select(
+            "query_id",
+            "hits",
+            "n_rel",
+            F.round(F.col("hits") / F.col("n_rel"), 6).alias("recall"),
+            F.round("_mrr", 6).alias("mrr"),
+            F.round(F.col("_dcg") / idcg, 6).alias("ndcg"),
+        )
+    )

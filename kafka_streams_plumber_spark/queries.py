@@ -5984,6 +5984,74 @@ def q_transitions(spark, sf_dir):
     return event_transitions(e, order_cols=["ts", "event_id"])
 
 
+_IR_METRICS_ORACLE = f"""
+    WITH bm AS ({bm25_oracle_sql(_BM25_QUERIES_SQL, k=10)}),
+    q AS ({_BM25_QUERIES_SQL}),
+    dterm AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r]+'),
+                    t -> t <> '')
+      ) AS term FROM documents
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(
+        list_filter(string_split_regex(lower(trim(query_text)), '[ \t\n\r]+'),
+                    t -> t <> '')
+      ) AS term FROM q
+    ),
+    nq AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1),
+    qrels AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id, count(*) AS hit
+        FROM dterm JOIN qterms USING (term) GROUP BY 1, 2
+      ) JOIN nq USING (query_id) WHERE hit = nq
+    ),
+    nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+    judged AS (
+      SELECT bm.query_id, bm.rank,
+             CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM bm LEFT JOIN qrels qr
+        ON bm.query_id = qr.query_id AND bm.doc_id = qr.doc_id
+    ),
+    perq AS (
+      SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+             max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0.0 END) AS mrr0,
+             sum(rel / log2(rank + 1)) AS dcg
+      FROM judged GROUP BY 1
+    ),
+    nums AS (SELECT unnest(range(1, 11)) AS i),
+    idcg AS (
+      SELECT n.query_id, sum(1.0 / log2(i + 1)) AS idcg
+      FROM nrel n JOIN nums ON nums.i <= least(n.n_rel, 10)
+      GROUP BY 1
+    )
+    SELECT p.query_id, p.hits, n.n_rel,
+           round(p.hits / n.n_rel, 6) AS recall,
+           round(p.mrr0, 6) AS mrr,
+           round(p.dcg / g.idcg, 6) AS ndcg
+    FROM perq p
+    JOIN nrel n USING (query_id)
+    JOIN idcg g USING (query_id)
+    """
+
+
+@query("q_ir_metrics", _IR_METRICS_ORACLE)
+def q_ir_metrics(spark, sf_dir):
+    """Retrieval evaluation (operators/retrieval.py:ranking_metrics):
+    recall@10 / MRR / nDCG@10 of the BM25 ranking against
+    boolean-AND qrels (relevant_by_all_terms). Metric joins touch only
+    the top-k frame and the O(queries) qrels — cost independent of
+    corpus size; the ideal DCG is an in-expression aggregate over
+    sequence(1, min(n_rel, k))."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    from kafka_streams_plumber_spark.operators.retrieval import bm25_topk as _bm
+
+    ranking = _bm(docs, qdf, k=10)
+    qrels = RT.relevant_by_all_terms(docs, qdf)
+    return RT.ranking_metrics(ranking, qrels, k=10)
+
+
 @query("q_source_overlap", SS.source_overlap_oracle_sql(threshold=0.85))
 def q_source_overlap(spark, sf_dir):
     """Cross-source near-duplicate overlap matrix
@@ -6071,6 +6139,9 @@ _WINDOW_DEMOTE = {
     "dedup_embedding", # embedding-similarity family: sim_topk +
                        # sim_ann_ivf carry the cosine machinery
     "q_split",         # sampling family: q_weighted_sample + q_mix stay
+    "text_quality",    # text-agg family: text_stats stays in; the
+                       # quality surface is also covered by q_outliers'
+                       # + q_weighted_sample's in-window machinery
 }
 
 #: Queries pulled to the FRONT of the gate window: operator families
@@ -6101,6 +6172,7 @@ _WINDOW_PROMOTE = {
     "q_rrf",           # reciprocal-rank hybrid fusion
     "q_rolling_z",     # rolling z-score anomaly signal
     "q_transitions",   # Markov event-transition matrix
+    "q_ir_metrics",    # retrieval evaluation (recall/MRR/nDCG)
 }
 
 

@@ -77,3 +77,47 @@ def test_bm25_partition_invariant(spark):
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert {key(r): r["doc_id"] for r in a} == {key(r): r["doc_id"] for r in b}
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """recall/MRR/nDCG against a hand-worked example."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.retrieval import ranking_metrics
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        # q1: docs 11, 12, 99 relevant (99 not retrieved); q2: none of
+        # the retrieved docs relevant but doc 77 is -> zero metrics row
+        [(1, 11), (1, 12), (1, 99), (2, 77)],
+        "query_id long, doc_id long",
+    )
+    got = {r["query_id"]: r for r in ranking_metrics(ranking, qrels, k=10).collect()}
+    q1 = got[1]
+    assert (q1["hits"], q1["n_rel"]) == (2, 3)
+    assert q1["recall"] == round(2 / 3, 6)
+    assert q1["mrr"] == 0.5  # first relevant at rank 2
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg"] == round(dcg / idcg, 6)
+    q2 = got[2]
+    assert (q2["hits"], q2["recall"], q2["mrr"], q2["ndcg"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_relevant_by_all_terms_requires_every_term(spark):
+    from kafka_streams_plumber_spark.operators.retrieval import (
+        relevant_by_all_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join fast engine"), (2, "spark join"), (3, "fast")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "spark fast")], "query_id long, query_text string"
+    )
+    got = {(r["query_id"], r["doc_id"]) for r in relevant_by_all_terms(docs, qs).collect()}
+    assert got == {(1, 1)}  # doc 2 lacks 'fast', doc 3 lacks 'spark'
