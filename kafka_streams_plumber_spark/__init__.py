@@ -25,9 +25,13 @@ matryoshka), ``text`` (quality, LM scoring, sentences, BPE via
 ``bpe``), ``classify`` (NB train/score), ``web`` (URL canon, blocklist,
 HTML->text), ``sampling`` (splits, importance, negatives, weighted A-ES), ``packing``
 / ``ordering`` / ``stats`` / ``sketches`` (CMS, bloom-pruned joins) /
-``clustering`` / ``diff`` / ``graph`` (components, PageRank) /
-``retrieval`` (BM25) / ``cdc`` (upsert fold, SCD2) / ``linkage``
-(blocked fuzzy join) / ``multimodal`` — plus ``sources`` (kafka/avro/
+``clustering`` / ``diff`` / ``graph`` (components, PageRank, triangle
+counts) / ``retrieval`` (BM25, overlap, RRF fusion, recall/MRR/nDCG
+evaluation) / ``cdc`` (upsert fold, SCD2) / ``linkage`` (blocked fuzzy
+join) / ``behavior`` (funnel, cohort retention, gap fill, rolling
+z-score, Markov transitions) / ``setsim`` (exact prefix-filtered
+similarity join, source-overlap matrix) / ``collocate`` (PMI) /
+``multimodal`` — plus ``sources`` (kafka/avro/
 registry/jsonl/warc), ``streaming`` (stateful ops, continual ingestion,
 aggregates, CDC-upsert sink), and ``plans`` (session, scale, observe,
 inspect). See the

@@ -6126,8 +6126,8 @@ _WINDOW_DEMOTE = {
     "q_chunks",        # token-window family: q_pack + q_redact stay in
     "q_centroids",     # embedding-agg family: q_pca runs the richer
                        # scaled-long posexplode machinery in-window
-    # round-2 wave 2: nine slots freed for the behavioral / set-sim /
-    # graph / collocation / fusion / anomaly families below
+    # round-2 wave 2: ten slots freed for the behavioral / set-sim /
+    # graph / collocation / fusion / anomaly / IR-eval families below
     "dedup_ngram",     # quadratic exact-Jaccard baseline: q_setsim is
                        # the scalable exact path, dedup_minhash stays
     "dedup_simhash",   # near-dup family: minhash + setsim stay in
