@@ -35,20 +35,29 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_ms: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users reach each stage.
 
     A user reaches stage i when they have an event of type ``steps[i]``
     at-or-after the timestamp at which they reached stage i-1 (classic
     strictly-ordered funnel with >= step timestamps, so a same-timestamp
-    pair still counts in order). Returns one row per stage:
+    pair still counts in order). ``within_ms`` adds the standard
+    conversion window: each stage must ALSO occur within that many
+    milliseconds of the previous stage's reach time (per-step window,
+    not whole-funnel). Returns one row per stage:
     ``(stage, step, users)`` with ``stage`` 1-based.
 
     Implementation: iterative conditional min-aggregation. Stage 0 is
     ``min(ts) FILTER (type = steps[0])`` per user; stage i joins the
     stage-(i-1) reach times against the type-filtered event subset and
-    takes ``min(ts) WHERE ts >= prev``. Each pass is one equi-join plus
-    one partial-aggregatable groupBy over ONLY that step's events.
+    takes ``min(ts) WHERE ts >= prev`` (and ``<= prev + within``). Each
+    pass is one equi-join plus one partial-aggregatable groupBy over
+    ONLY that step's events.
+
+    Greedy-min is exact here: taking the EARLIEST valid occurrence of
+    each stage can only widen every later conversion window, so it
+    never costs a completion a later strategy could have found.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -61,10 +70,16 @@ def funnel(
     )
     counts = [reach.agg(F.count(F.lit(1)).alias("users"))]
     for step in steps[1:]:
+        gate = F.col(ts) >= F.col("t_prev")
+        if within_ms is not None:
+            gate = gate & (
+                F.unix_millis(F.col(ts))
+                <= F.unix_millis(F.col("t_prev")) + within_ms
+            )
         nxt = (
             events.where(F.col(t) == step)
             .join(reach.withColumnRenamed("t_reach", "t_prev"), u)
-            .where(F.col(ts) >= F.col("t_prev"))
+            .where(gate)
             .groupBy(u)
             .agg(F.min(ts).alias("t_reach"))
         )

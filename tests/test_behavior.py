@@ -280,3 +280,19 @@ def test_gap_fill_custom_agg_uses_caller_column_name(spark):
         agg=F.avg("reading"),
     ).collect()
     assert len(out) == 1 and out[0]["value"] == 15.0
+
+
+def test_funnel_conversion_window(spark):
+    rows = [
+        # user 1: b follows a within 1 h -> converts
+        (1, "a", _ts(1, 0)), (1, "b", _ts(1, 0, 30)),
+        # user 2: b follows a but 5 h later -> window blocks stage 2
+        (2, "a", _ts(1, 0)), (2, "b", _ts(1, 5)),
+        # user 3: first b too late, second b in window -> converts
+        (3, "a", _ts(1, 0)), (3, "b", _ts(1, 5)), (3, "b", _ts(1, 0, 45)),
+    ]
+    out = funnel(
+        _events(spark, rows), ["a", "b"], within_ms=3600 * 1000
+    )
+    got = {r["stage"]: r["users"] for r in out.collect()}
+    assert got == {1: 3, 2: 2}
