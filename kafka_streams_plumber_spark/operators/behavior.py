@@ -36,65 +36,127 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within_ms: int | None = None,
+    whole_within_ms: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users reach each stage.
 
-    A user reaches stage i when they have an event of type ``steps[i]``
-    at-or-after the timestamp at which they reached stage i-1 (classic
-    strictly-ordered funnel with >= step timestamps, so a same-timestamp
-    pair still counts in order). ``within_ms`` adds the standard
-    conversion window: each stage must ALSO occur within that many
-    milliseconds of the previous stage's reach time (per-step window,
-    not whole-funnel). Returns one row per stage:
-    ``(stage, step, users)`` with ``stage`` 1-based.
+    A user reaches stage i when SOME chain of events e_1 <= e_2 <= ...
+    <= e_i exists with ``type(e_j) = steps[j]`` and non-decreasing
+    timestamps (classic ordered funnel; a same-timestamp pair still
+    counts in order). Two optional conversion windows, combinable:
 
-    Implementation: iterative conditional min-aggregation. Stage 0 is
-    ``min(ts) FILTER (type = steps[0])`` per user; stage i joins the
-    stage-(i-1) reach times against the type-filtered event subset and
-    takes ``min(ts) WHERE ts >= prev`` (and ``<= prev + within``). Each
-    pass is one equi-join plus one partial-aggregatable groupBy over
-    ONLY that step's events.
+    - ``within_ms``: each step must occur within that many milliseconds
+      of the PREVIOUS step's event in the chain (per-step window).
+    - ``whole_within_ms``: each step must occur within that many
+      milliseconds of the chain's FIRST event (whole-funnel window, the
+      common product-analytics definition).
 
-    Greedy-min is exact here: taking the EARLIEST valid occurrence of
-    each stage can only widen every later conversion window, so it
-    never costs a completion a later strategy could have found.
+    "Some chain" is the any-chain semantics: a user who retries an
+    earlier step and then converts from the retry still counts.
+    Returns one row per stage: ``(stage, step, users)``, ``stage``
+    1-based; stages nobody reaches still emit a row with ``users = 0``.
+
+    Implementation — two regimes:
+
+    * Unwindowed: iterative conditional min-aggregation. Stage 1 is
+      ``min(ts) FILTER (type = steps[0])`` per user; stage i equi-joins
+      the stage-(i-1) reach time against the type-filtered event subset
+      and takes ``min(ts) WHERE ts >= prev``. Greedy-min is exact ONLY
+      here: with no window, taking the earliest valid occurrence can
+      never cost a later completion.
+    * Windowed (either window set): greedy-min UNDERCOUNTS (the
+      earliest stage-(i-1) event also *starts* the conversion window
+      earliest — a later retry may be the one that converts), so the
+      recurrence tracks per-stage FEASIBLE EVENT SETS instead of one
+      reach time: F_1 = all step-1 events; F_i = step-i events having
+      some feasible step-(i-1) event in the window. Each row carries
+      the MAX feasible chain-anchor time ``t0`` — exact, because
+      feasibility of later steps depends only on the event's own
+      timestamp, and the whole-funnel gate is monotone in ``t0``
+      (a later anchor only relaxes it). Each pass is one equi-join on
+      the user key over ONLY that step's events plus one
+      partial-aggregatable groupBy.
+
+    All per-stage user sets are union-tagged and counted in ONE
+    aggregation job (not one job per stage), so Spark's exchange reuse
+    keeps a k-step funnel linear, not O(k^2), in executed stages.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
     u, t, ts = user_col, type_col, ts_col
+    spark = events.sparkSession
+    windowed = within_ms is not None or whole_within_ms is not None
 
-    reach = (
-        events.where(F.col(t) == steps[0])
-        .groupBy(u)
-        .agg(F.min(ts).alias("t_reach"))
-    )
-    counts = [reach.agg(F.count(F.lit(1)).alias("users"))]
-    for step in steps[1:]:
-        gate = F.col(ts) >= F.col("t_prev")
-        if within_ms is not None:
-            gate = gate & (
-                F.unix_millis(F.col(ts))
-                <= F.unix_millis(F.col("t_prev")) + within_ms
-            )
-        nxt = (
-            events.where(F.col(t) == step)
-            .join(reach.withColumnRenamed("t_reach", "t_prev"), u)
-            .where(gate)
+    stage_users: list[DataFrame] = []
+    if not windowed:
+        reach = (
+            events.where(F.col(t) == steps[0])
             .groupBy(u)
             .agg(F.min(ts).alias("t_reach"))
         )
-        reach = nxt
-        counts.append(reach.agg(F.count(F.lit(1)).alias("users")))
-
-    out = None
-    for i, (step, c) in enumerate(zip(steps, counts)):
-        row = c.select(
-            F.lit(i + 1).alias("stage"),
-            F.lit(step).alias("step"),
-            F.col("users"),
+        stage_users.append(reach.select(u))
+        for step in steps[1:]:
+            reach = (
+                events.where(F.col(t) == step)
+                .join(reach.withColumnRenamed("t_reach", "t_prev"), u)
+                .where(F.col(ts) >= F.col("t_prev"))
+                .groupBy(u)
+                .agg(F.min(ts).alias("t_reach"))
+            )
+            stage_users.append(reach.select(u))
+    else:
+        tms = F.unix_millis(F.col(ts))
+        feas = (
+            events.where(F.col(t) == steps[0])
+            .select(F.col(u), tms.alias("t"))
+            .distinct()
+            .withColumn("t0", F.col("t"))
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+        stage_users.append(feas.select(u).distinct())
+        for step in steps[1:]:
+            ev = (
+                events.where(F.col(t) == step)
+                .select(F.col(u), tms.alias("t_ev"))
+                .distinct()
+            )
+            gate = F.col("t_ev") >= F.col("t")
+            if within_ms is not None:
+                gate = gate & (F.col("t_ev") <= F.col("t") + within_ms)
+            if whole_within_ms is not None:
+                gate = gate & (
+                    F.col("t_ev") <= F.col("t0") + whole_within_ms
+                )
+            feas = (
+                ev.join(feas, u)
+                .where(gate)
+                .groupBy(u, "t_ev")
+                .agg(F.max("t0").alias("t0"))
+                .withColumnRenamed("t_ev", "t")
+            )
+            stage_users.append(feas.select(u).distinct())
+
+    tagged = [
+        su.select(F.lit(i + 1).alias("stage"), F.col(u))
+        for i, su in enumerate(stage_users)
+    ]
+    allu = tagged[0]
+    for frame in tagged[1:]:
+        allu = allu.unionAll(frame)
+    counts = allu.groupBy("stage").agg(F.count(F.lit(1)).alias("users"))
+    spine = None
+    for i, step in enumerate(steps):
+        row = spark.range(1).select(
+            F.lit(i + 1).alias("stage"), F.lit(step).alias("step")
+        )
+        spine = row if spine is None else spine.unionAll(row)
+    return (
+        spine.join(counts, "stage", "left")
+        .select(
+            "stage",
+            "step",
+            F.coalesce(F.col("users"), F.lit(0).cast("bigint")).alias("users"),
+        )
+    )
 
 
 def cohort_retention(
@@ -171,7 +233,11 @@ def gap_fill(
     per-key explode so one pathological key (a sensor with a 10-year
     span at 1 s steps) cannot produce a runaway partition; keys beyond
     the cap are truncated to their LAST ``max_buckets`` buckets (the
-    recent window is the useful part of a runaway series). Either
+    recent window is the useful part of a runaway series). When the
+    truncation point lands inside a gap, the leading spine rows have
+    no preceding observation to fill from — those rows are DROPPED
+    (never emitted with a NULL fill), so the contract "every emitted
+    filled row carries a value" holds in the truncated case too. Either
     method is one key-partitioned window pass (linear uses the mirrored
     backward frame too — still a single sort, Spark shares the
     partitioning across both frames).
@@ -223,7 +289,12 @@ def gap_fill(
                 pv + (nv - pv) * (F.col("b") - pb) / (nb - pb)
             ),
         )
-    return joined.select(
+    return joined.where(
+        # only truncation can strand a synthesized row before the first
+        # retained observation (the spine is bounded by observed buckets
+        # otherwise); observed rows pass even if a custom agg yields NULL
+        ~(F.col("filled") & F.col("value").isNull())
+    ).select(
         "key", (F.col("b") * step_s * 1000).alias("bucket_ms"), "value", "filled"
     )
 
@@ -273,7 +344,10 @@ def rolling_zscore(
         .orderBy(*order_cols)
         .rowsBetween(-window, -1)
     )
-    n = F.count(F.lit(1)).over(w).cast("double")
+    # count NON-NULL values (not rows): a NULL measurement contributes to
+    # neither s nor ss, so letting it inflate n would bias mean/variance
+    # for the following `window` rows
+    n = F.count(sv).over(w).cast("double")
     s = F.sum(sv).over(w).cast("double")
     ss = F.sum(sv * sv).over(w).cast("double")
     var = (ss - s * s / n) / (n - 1)

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_plumber_spark.plans.scale import truncate_lineage
+
 from kafka_streams_plumber_spark.operators.sampling import split_bucket
 from kafka_streams_plumber_spark.operators.similarity import (
     dot,
@@ -75,6 +77,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fit k-means; returns the centroid table
     ``(cluster, centroid: array<double>, n)``.
@@ -84,7 +87,9 @@ def kmeans_fit(
     pivots via TakeOrdered, no global sort, and the same Knuth hash the
     whole engine uses, so the DuckDB oracle can replay pivot selection
     (q_kmeans unrolls all Lloyd iterations in SQL and hash-matches the
-    fitted centroids). A cluster that captures no points in some
+    fitted centroids). ``checkpoint_dir``: reliable (executor-loss-
+    tolerant) between-iteration checkpointing — see
+    :func:`...plans.scale.truncate_lineage`. A cluster that captures no points in some
     iteration drops out (standard Lloyd behavior); callers needing
     exactly ``k`` cells should treat ``k`` as an upper bound.
     """
@@ -101,8 +106,8 @@ def kmeans_fit(
             "centroid",
             F.lit(1).alias("n"),
         )
-        .localCheckpoint(eager=True)
     )
+    centroids = truncate_lineage(centroids, checkpoint_dir)
     # limit(k) collapses to one partition, so the ids above are 0..k-1.
 
     for _ in range(iters):
@@ -110,8 +115,8 @@ def kmeans_fit(
         centroids = (
             label_centroids(assigned, vec_col=vec_col, label_col="cluster")
             .withColumnRenamed("label", "cluster")
-            .localCheckpoint(eager=True)
         )
+        centroids = truncate_lineage(centroids, checkpoint_dir)
     return centroids
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_plumber_spark.plans.scale import truncate_lineage
+
 
 def connected_components(
     edges: DataFrame,
@@ -30,6 +32,7 @@ def connected_components(
     dst: str = "b_id",
     *,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node in ``edges`` with the min node id of its
     component. Returns (node, component).
@@ -37,18 +40,23 @@ def connected_components(
     Nodes are whatever appears in ``src``/``dst``; isolated docs (no
     pair) are not emitted — callers left-join and coalesce to the doc's
     own id (see :func:`dedup_clusters`).
+
+    ``checkpoint_dir``: when set, between-round materialization uses
+    reliable ``checkpoint`` into that directory instead of
+    ``localCheckpoint`` — survives executor loss on long cluster runs
+    (see :func:`...plans.scale.truncate_lineage`).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     # undirected: propagate both ways each round
     adj = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    adj = adj.localCheckpoint(eager=True)
+    adj = truncate_lineage(adj, checkpoint_dir)
 
     labels = (
         adj.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    labels = truncate_lineage(labels, checkpoint_dir)
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -64,8 +72,8 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = truncate_lineage(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -87,6 +95,7 @@ def pagerank(
     weight: str | None = None,
     damping: float = 0.85,
     iterations: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list, fixed iteration count.
 
@@ -106,8 +115,11 @@ def pagerank(
     scale it removes the per-round ``count()`` barrier — each round is
     exactly one shuffle of (dst, contribution) pairs, map-side
     combined. Out-weights are computed once and re-joined each round;
-    ``localCheckpoint`` truncates lineage so round N's plan does not
-    replay rounds 1..N-1 (the iterative-DataFrame trap).
+    lineage truncation between rounds keeps round N's plan from
+    replaying rounds 1..N-1 (the iterative-DataFrame trap); pass
+    ``checkpoint_dir`` to make it reliable (executor-loss-tolerant)
+    instead of ``localCheckpoint`` — see
+    :func:`...plans.scale.truncate_lineage`.
 
     Beyond-reference surface: graph authority scoring for source/domain
     weighting in corpus curation (reference has no joins at all,
@@ -117,7 +129,7 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("w")
     )
-    e = e.localCheckpoint(eager=True)
+    e = truncate_lineage(e, checkpoint_dir)
 
     out_w = e.groupBy(F.col("e_src").alias("ow_node")).agg(
         F.sum("w").alias("out_w")
@@ -127,15 +139,15 @@ def pagerank(
     contrib_e = (
         e.join(out_w, e["e_src"] == out_w["ow_node"])
         .select("e_src", "e_dst", (F.col("w") / F.col("out_w")).alias("share"))
-        .localCheckpoint(eager=True)
     )
+    contrib_e = truncate_lineage(contrib_e, checkpoint_dir)
 
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .union(e.select(F.col("e_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = truncate_lineage(nodes, checkpoint_dir)
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
     d = float(damping)
@@ -153,8 +165,8 @@ def pagerank(
                     F.lit(1.0 - d) + F.lit(d) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = truncate_lineage(ranks, checkpoint_dir)
     return ranks
 
 
@@ -206,6 +218,7 @@ def dedup_clusters(
     src: str = "a_id",
     dst: str = "b_id",
     broadcast_threshold: int | None = 5_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign every document a cluster id (min doc id of its
     near-duplicate component; singletons cluster with themselves) and a
@@ -221,9 +234,11 @@ def dedup_clusters(
     (id, component) pairs — still only 16 bytes/row of shuffle.
     Pass ``broadcast_threshold=None`` to always defer to AQE.
     """
-    comp = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    comp = connected_components(
+        pairs, src, dst, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("node", id_col)
     if broadcast_threshold is not None:
-        # comp is localCheckpoint'ed by connected_components, so this
+        # comp is checkpointed by connected_components, so this
         # count reuses materialized blocks rather than recomputing.
         if comp.count() <= broadcast_threshold:
             comp = F.broadcast(comp)

@@ -59,12 +59,22 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
+    broadcast_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of every query vector.
 
-    Returns (query_id, neighbor_id, sim, rank). The query side is
-    broadcast (ANN queries are small relative to the corpus); norms are
-    computed once per side before the join.
+    Returns (query_id, neighbor_id, sim, rank). Norms are computed once
+    per side before the join.
+
+    The query side is broadcast ONLY while it is provably small: search
+    workloads usually carry a handful of queries, but this operator is
+    also reachable with a large query frame (e.g. corpus-vs-corpus
+    scoring), where a forced broadcast would OOM the driver. Like
+    ``dedup_clusters``, the hint is size-gated: applied when a cheap
+    ``count()`` of the query side is at most ``broadcast_threshold``
+    rows (~100k × a-few-hundred-byte vectors ≈ tens of MB), otherwise
+    the cross join is left to Spark's partitioned cartesian strategy
+    (each side stays distributed). Pass ``None`` to never broadcast.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -76,7 +86,9 @@ def cosine_topk(
         F.col(vec_col).alias("_qv"),
         norm(F.col(vec_col)).alias("_qn"),
     )
-    joined = c.join(F.broadcast(q), F.lit(True))
+    if broadcast_threshold is not None and q.count() <= broadcast_threshold:
+        q = F.broadcast(q)
+    joined = c.join(q, F.lit(True))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
@@ -324,6 +336,7 @@ def ivf_topk(
     nprobe: int = 4,
     assign: int = 2,
     exclude_self: bool = True,
+    broadcast_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning: index
     every corpus vector under its ``assign`` nearest centroid cells,
@@ -333,9 +346,15 @@ def ivf_topk(
     vectors); corpus assignment is a pure projection — the corpus is
     never shuffled and scanned once (exploded ×assign, the usual IVF
     multi-assignment recall lever for boundary vectors). Queries explode
-    to nprobe (query, cell) rows and broadcast into the cell-equi join,
-    so the candidate set is ~corpus×assign/n_cells × nprobe per query,
+    to nprobe (query, cell) rows into the cell-equi candidate join, so
+    the candidate set is ~corpus×assign/n_cells × nprobe per query,
     ranked with the same exact-cosine window as :func:`cosine_topk`.
+
+    The query side of the candidate join is broadcast only while small
+    (size-gated exactly like :func:`cosine_topk`: a cheap ``count()``
+    vs ``broadcast_threshold``; ``None`` = never force). Above the gate
+    the cell key makes this a plain shuffled equi-join — the corpus
+    side shuffles 12-byte (cell, id) keyed rows, still scale-sane.
     """
     cells = _cells_row(corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
 

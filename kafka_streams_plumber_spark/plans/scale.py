@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Materialize ``df`` and sever its lineage — the between-rounds step
+    of every iterative operator (connected components, PageRank, Lloyd).
+
+    With ``checkpoint_dir=None`` this is ``localCheckpoint(eager=True)``:
+    blocks live in executor storage, which is fast but NOT
+    executor-loss-tolerant — if an executor dies, its blocks are gone and
+    the job fails (lineage was discarded). Fine on a single node or for
+    short jobs; on a real cluster a 50-round iteration WILL see executor
+    churn. Passing a ``checkpoint_dir`` (any Hadoop-visible path — HDFS,
+    S3A, ...) switches to reliable ``df.checkpoint(eager=True)``: blocks
+    are persisted to the shared filesystem and survive executor loss, at
+    the cost of a write per round. Iterative operators expose this as
+    their own ``checkpoint_dir`` parameter.
+    """
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

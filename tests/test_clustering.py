@@ -67,3 +67,22 @@ def test_assign_plan_has_no_shuffle_of_corpus(spark, emb):
     # corpus itself is never hash-shuffled
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_kmeans_reliable_checkpoint_matches_local(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    local = kmeans_fit(df, k=3, iters=2).collect()
+    reliable = kmeans_fit(
+        df, k=3, iters=2, checkpoint_dir=str(tmp_path / "km")
+    ).collect()
+    assert sorted(
+        [(r["cluster"], r["n"], [round(x, 9) for x in r["centroid"]]) for r in local]
+    ) == sorted(
+        [(r["cluster"], r["n"], [round(x, 9) for x in r["centroid"]]) for r in reliable]
+    )

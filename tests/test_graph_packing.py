@@ -173,3 +173,39 @@ def test_pagerank_partition_invariant(spark):
         for r in pagerank(e.coalesce(1), iterations=4).collect()
     }
     assert a == b
+
+
+def test_reliable_checkpoint_paths_match_local(spark, tmp_path):
+    # checkpoint_dir switches iterative lineage truncation from
+    # localCheckpoint (fast, dies with an executor) to reliable
+    # df.checkpoint into a shared dir (survives executor loss on real
+    # clusters); results must be identical either way
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8)], ["a_id", "b_id"]
+    )
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    reliable = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert local == reliable
+
+    pr_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    pl = {
+        (r["node"], round(r["rank"], 9))
+        for r in pagerank(pr_edges, iterations=3).collect()
+    }
+    pr = {
+        (r["node"], round(r["rank"], 9))
+        for r in pagerank(
+            pr_edges, iterations=3, checkpoint_dir=str(tmp_path / "pr")
+        ).collect()
+    }
+    assert pl == pr

@@ -110,6 +110,24 @@ def main():
             rec["err"] = "no_oracle"
             continue
         try:
+            # the driver materializes DuckDB results via pandas, which
+            # reads HUGEINT (the silent result type of window sums over
+            # BIGINT) as float64 — so a HUGEINT column hash-diverges at
+            # the driver even when the local fetchall() (python ints)
+            # compares equal. Flag it as a failure here.
+            hugeint = [
+                (r[0], r[1])
+                for r in con.execute(
+                    f"DESCRIBE {oracles[name]}"
+                ).fetchall()
+                if "HUGEINT" in r[1]
+            ]
+            if hugeint:
+                print(f"FAIL  {name}: oracle emits HUGEINT cols {hugeint}"
+                      " (driver reads them as float64 — add CAST)")
+                rec["err"] = f"oracle_hugeint: {hugeint}"
+                failures += 1
+                continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
