@@ -16,11 +16,14 @@ correct shape for CPU-heavy per-item work at scale (no per-row UDF
 overhead, no driver involvement, composes with repartition-by-size).
 
 The actual codec calls (PIL/ffmpeg/torchvision) are NOT available in
-this container, so the decode kernels are STUBBED: with
+this container, so the ENCODED-format decode kernels are STUBBED: with
 ``fake="deterministic"`` they produce seeded, content-addressed fake
 outputs (real plumbing, fake pixels) for tests; with ``fake=None`` they
 raise NotImplementedError at the first batch, marking exactly where the
-real library call goes.
+real library call goes. One kernel is fully real with no codec library:
+:func:`resize_images` over :data:`RAW_IMAGE_MIME` pixel buffers
+(vectorized numpy nearest-neighbor — see its docstring), plus the
+byte-level ops at the bottom (sniff_mime, byte_stats).
 """
 
 from __future__ import annotations
@@ -209,6 +212,13 @@ _RESIZED_SCHEMA = T.StructType(
 )
 
 
+#: mime for an UNENCODED pixel buffer: ``data`` is a row-major
+#: height x width x channels uint8 array (channels inferred from
+#: len(data) / (w*h), 1..4). The one image format this container can
+#: resample for real — no codec library involved.
+RAW_IMAGE_MIME = "image/x-raw"
+
+
 def resize_images(
     df: DataFrame,
     *,
@@ -220,14 +230,27 @@ def resize_images(
     """Bounded-resize (longest side <= max_side, aspect preserved).
 
     Emits (id, new width/height, re-encoded bytes). The arithmetic
-    (aspect-ratio math, metadata passthrough) is real; only the pixel
-    resample is stubbed — with ``fake="deterministic"`` the output bytes
-    are a content hash so downstream dedup/pipelines are testable.
+    (aspect-ratio math, metadata passthrough) is real in every mode;
+    the pixel resample has two real-ness tiers:
+
+    - ``fake="deterministic"`` (default): output bytes are a content
+      hash — stable plumbing-test mode.
+    - ``fake=None``: REAL resample for :data:`RAW_IMAGE_MIME` buffers —
+      pure-numpy nearest-neighbor (pixel-center convention:
+      ``src = floor((dst + 0.5) * src_len / dst_len)``), vectorized as
+      two fancy-index gathers per image, no per-pixel Python. Encoded
+      formats (PNG/JPEG/...) still raise NotImplementedError at the
+      marked site — decoding them needs PIL/torchvision, which this
+      container lacks; the raw path proves the kernel shape end-to-end.
+
+    Raw buffers whose length is not an exact w*h*c (c in 1..4) multiple
+    are dropped (corrupt-item semantics, same as null data).
     """
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -240,8 +263,26 @@ def resize_images(
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 if fake != "deterministic":
-                    # REAL IMPLEMENTATION: PIL Image.resize((nw, nh))
-                    raise NotImplementedError("image resize requires PIL")
+                    if media["mime"] == RAW_IMAGE_MIME and w and h:
+                        buf = np.frombuffer(bytes(media["data"]), dtype=np.uint8)
+                        c = buf.size // (w * h)
+                        if not (1 <= c <= 4) or c * w * h != buf.size:
+                            continue  # corrupt raw buffer
+                        img = buf.reshape(h, w, c)
+                        ys = ((np.arange(nh) + 0.5) * (h / nh)).astype(np.int64)
+                        xs = ((np.arange(nw) + 0.5) * (w / nw)).astype(np.int64)
+                        resized = img[ys][:, xs]
+                        ids.append(rid)
+                        ws.append(nw)
+                        hs.append(nh)
+                        outs.append(resized.tobytes())
+                        continue
+                    # REAL IMPLEMENTATION for encoded formats:
+                    #   PIL Image.open(io.BytesIO(data)).resize((nw, nh))
+                    raise NotImplementedError(
+                        "encoded image resize requires PIL; raw"
+                        f" {RAW_IMAGE_MIME!r} buffers resample in numpy"
+                    )
                 ids.append(rid)
                 ws.append(nw)
                 hs.append(nh)

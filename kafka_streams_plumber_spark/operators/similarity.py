@@ -387,7 +387,11 @@ def ivf_topk(
         )
     )
 
-    cand = c.join(F.broadcast(q), "cell")
+    # gate on the raw query count (pre-explode: xnprobe rows is a
+    # constant factor, and counting the input frame is the cheaper job)
+    if broadcast_threshold is not None and queries.count() <= broadcast_threshold:
+        q = F.broadcast(q)
+    cand = c.join(q, "cell")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     sims = (

@@ -1273,27 +1273,33 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@query("multimodal_resize")  # rows-only: stubbed resample kernel
+@query("multimodal_resize")  # rows-only: real raw-buffer resample kernel
 def multimodal_resize(spark, sf_dir):
-    """Bounded image resize (operators/multimodal.py:resize_images):
-    aspect-ratio math + metadata passthrough are real, pixel resample is
-    a content-hash stub. Scalar contract output: dims + bytes checksum."""
+    """Bounded image resize (operators/multimodal.py:resize_images) over
+    the REAL numpy nearest-neighbor kernel (fake=None): each doc gets a
+    deterministic raw w x h x 3 pixel buffer built JVM-side (repeated
+    md5 hex, substring'd to exactly w*h*3 ASCII bytes), resampled to
+    max_side=16. Scalar contract output: dims + resampled-bytes
+    checksum. Rows-only (no SQL analog for the gather kernel)."""
     from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_IMAGE_MIME,
         pack_media,
         resize_images,
     )
 
     d = load_tables(spark, sf_dir)["documents"]
+    w = (F.col("doc_id") % 16 + 8).cast("int")
+    h = (F.col("doc_id") % 12 + 8).cast("int")
+    raw = F.encode(
+        F.expr("substring(repeat(md5(text), 68), 1, "
+               "(cast(doc_id % 16 + 8 as int)) * (cast(doc_id % 12 + 8 as int)) * 3)"),
+        "utf-8",
+    )
     media = d.select(
         "doc_id",
-        pack_media(
-            F.encode(F.col("text"), "utf-8"),
-            F.lit("image/png"),
-            width=(F.col("doc_id") % 512 + 32).cast("int"),
-            height=(F.col("doc_id") % 384 + 32).cast("int"),
-        ).alias("media"),
+        pack_media(raw, F.lit(RAW_IMAGE_MIME), width=w, height=h).alias("media"),
     )
-    out = resize_images(media, max_side=128)
+    out = resize_images(media, max_side=16, fake=None)
     return out.select("doc_id", "width", "height", F.md5("data").alias("data_md5"))
 
 

@@ -198,3 +198,95 @@ def test_byte_stats_exact_values(spark):
     df2 = spark.createDataFrame([(9, raw)], "doc_id long, data binary")
     (r,) = byte_stats(df2, "data").collect()
     assert r.entropy == round(ent, 6)
+
+
+def test_resize_raw_buffer_golden(spark):
+    # hand-computed golden: 4x4 single-channel gradient downsampled to
+    # 2x2 with the pixel-center convention src = floor((dst+0.5)*4/2):
+    # dst 0 -> src 1, dst 1 -> src 3 on both axes
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_IMAGE_MIME,
+        pack_media,
+        resize_images,
+    )
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    df = spark.createDataFrame(
+        [(1, img.tobytes())], "doc_id long, raw binary"
+    ).select(
+        "doc_id",
+        pack_media(
+            F.col("raw"),
+            F.lit(RAW_IMAGE_MIME),
+            width=F.lit(4).cast("int"),
+            height=F.lit(4).cast("int"),
+        ).alias("media"),
+    )
+    [row] = resize_images(df, max_side=2, fake=None).collect()
+    assert (row["width"], row["height"]) == (2, 2)
+    assert bytes(row["data"]) == bytes([img[1, 1, 0], img[1, 3, 0],
+                                        img[3, 1, 0], img[3, 3, 0]])
+
+
+def test_resize_raw_buffer_multichannel_and_noop(spark):
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_IMAGE_MIME,
+        pack_media,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(6, 3, 3), dtype=np.uint8)
+    corrupt = b"x" * 17  # 17 bytes can't be any w*h*c multiple of 6*3
+    df = spark.createDataFrame(
+        [(1, rgb.tobytes()), (2, corrupt)], "doc_id long, raw binary"
+    ).select(
+        "doc_id",
+        pack_media(
+            F.col("raw"),
+            F.lit(RAW_IMAGE_MIME),
+            width=F.lit(3).cast("int"),
+            height=F.lit(6).cast("int"),
+        ).alias("media"),
+    )
+    rows = resize_images(df, max_side=8, fake=None).collect()
+    # corrupt buffer dropped; in-bounds image passes through unchanged
+    # (scale is capped at 1.0 — never upscale)
+    assert [r["doc_id"] for r in rows] == [1]
+    assert (rows[0]["width"], rows[0]["height"]) == (3, 6)
+    assert bytes(rows[0]["data"]) == rgb.tobytes()
+
+
+def test_resize_raw_buffer_rect_aspect(spark):
+    # 8x4 RGB down to max_side 4 -> 4x2, each output pixel gathered at
+    # the pixel-center source index; verify against a numpy reference
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_IMAGE_MIME,
+        pack_media,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(4, 8, 3), dtype=np.uint8)  # h=4, w=8
+    df = spark.createDataFrame(
+        [(7, img.tobytes())], "doc_id long, raw binary"
+    ).select(
+        "doc_id",
+        pack_media(
+            F.col("raw"),
+            F.lit(RAW_IMAGE_MIME),
+            width=F.lit(8).cast("int"),
+            height=F.lit(4).cast("int"),
+        ).alias("media"),
+    )
+    [row] = resize_images(df, max_side=4, fake=None).collect()
+    assert (row["width"], row["height"]) == (4, 2)
+    ys = ((np.arange(2) + 0.5) * (4 / 2)).astype(int)
+    xs = ((np.arange(4) + 0.5) * (8 / 4)).astype(int)
+    assert bytes(row["data"]) == img[ys][:, xs].tobytes()

@@ -337,3 +337,45 @@ def test_pmi_single_corpus_shuffle(spark):
     assert shuffle_count(df) <= 3
     assert broadcast_join_count(df) >= 2
     assert python_eval_count(df) == 0
+
+
+def test_similarity_query_broadcast_is_size_gated(spark):
+    # cosine_topk/ivf_topk broadcast the query side only under the size
+    # gate; above it (or with the gate off) the plan must fall back to a
+    # distributed join, never a forced driver broadcast
+    from kafka_streams_plumber_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 2.0]), (101, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    conf = spark.conf
+    prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # kill auto-broadcast so only the operator's explicit hint can
+    # produce a broadcast node — isolates the gate under test
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = plan_string(cosine_topk(corpus, queries))
+        assert "Broadcast" in small  # in-gate: hint applied
+        big = plan_string(
+            cosine_topk(corpus, queries, broadcast_threshold=None)
+        )
+        assert "Broadcast" not in big
+        assert "CartesianProduct" in big  # partitioned cross join
+
+        ivf_big = plan_string(
+            ivf_topk(corpus, queries, n_cells=2, nprobe=1, assign=1,
+                     broadcast_threshold=None)
+        )
+        # candidate join degrades to a shuffled equi-join on the cell key
+        assert "SortMergeJoin" in ivf_big or "ShuffledHashJoin" in ivf_big
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
