@@ -1,0 +1,206 @@
+"""Count-based bigram language model: train on a corpus, score documents
+by perplexity — the classic model-based quality filter (CCNet-style: a
+cheap LM trained on a trusted corpus scores a candidate corpus; docs
+with outlier perplexity are gibberish, boilerplate, or wrong-language).
+
+Complements operators/text.py (heuristic quality) and classify.py
+(supervised NB): this is the UNSUPERVISED statistical filter a
+training-data pipeline runs between them.
+
+Plan shapes (100 TB):
+
+- ``lm_train``: bigrams built INSIDE the token array (transform over an
+  index sequence, same idiom as collocate.py — adjacency never crosses
+  rows, no posexplode self-join); one map-combinable (w1, w2) count
+  shuffle. ``min_count`` prunes the tail to phrase-table scale.
+- ``lm_score``: the model is joined to per-doc exploded bigrams — the
+  model side is broadcast under a size gate (vocabulary-scale tables
+  always pass; an unpruned web-scale model falls back to a shuffled
+  equi-join on w1/w2). Per-doc aggregation is map-combinable.
+
+Determinism: per-bigram log-probabilities are rounded to 6 dp and
+scaled to LONGS before the per-doc sum, so the engines' different
+aggregation orders cannot diverge (the repo-wide scaled-long
+convention); the final average and perplexity are single double
+expressions over those exact sums.
+
+Reference scope note: the reference has no aggregations at all
+(StreamProcessOperations.scala:18-66 is per-record); this module is
+part of the mandated beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.text import tokens_lower as _toks
+
+#: scale factor for the per-term scaled-long log-prob sums
+_SCALE = 1_000_000
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """(doc?, w1, w2) adjacent pairs, built inside the token array."""
+    cols = [F.col(id_col).alias("doc")] if id_col else []
+    toks = docs.select(*cols, _toks(F.col(text_col)).alias("w"))
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.struct(
+                F.col("w")[i].alias("w1"), F.col("w")[i + 1].alias("w2")
+            ),
+        )
+    ).alias("g")
+    carry = ["doc"] if id_col else []
+    out = toks.where(F.size("w") >= 2).select(*carry, pair)
+    return out.select(*carry, "g.w1", "g.w2")
+
+
+def lm_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Train bigram counts: returns ``(w1, w2, pairs)``.
+
+    The table is self-contained for scoring — context totals and the
+    vocabulary size derive from it (see :func:`lm_score`), so a trained
+    model round-trips through a plain parquet write. ``min_count``
+    prunes rare bigrams (standard count cutoff; smoothing in the scorer
+    handles the mass they carried).
+    """
+    return (
+        _doc_bigrams(docs, text_col, None)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .where(F.col("pairs") >= min_count)
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+    broadcast_threshold: int | None = 2_000_000,
+) -> DataFrame:
+    """Score each document against a trained bigram model.
+
+    Returns ``(doc_id, n_bigrams, avg_logp, perplexity)``:
+
+    - ``avg_logp``: mean natural-log add-k-smoothed bigram probability,
+      ``ln((pairs(w1,w2) + k) / (ctx(w1) + k * V))`` with ``ctx(w1) =
+      sum_w2 pairs(w1, w2)`` and ``V`` = vocabulary size (distinct
+      tokens of the model). Unseen bigrams/contexts fall back to the
+      same formula with zero counts — add-k gives them mass.
+    - ``perplexity``: ``exp(-avg_logp)`` — higher = less model-like;
+      filter on a percentile band of it (see operators/stats.py).
+
+    Docs with fewer than 2 tokens score NULL (no bigram evidence).
+
+    The model, context, and vocab frames are broadcast only under the
+    ``broadcast_threshold`` size gate (count of model rows), matching
+    the repo-wide gated-broadcast convention; above the gate the joins
+    degrade to shuffled equi-joins on the token keys.
+    """
+    ctx = lm.groupBy("w1").agg(F.sum("pairs").alias("ctx"))
+    vocab = (
+        lm.select(F.col("w1").alias("t"))
+        .union(lm.select(F.col("w2").alias("t")))
+        .agg(F.count_distinct("t").cast("double").alias("v"))
+    )
+    model = lm
+    if broadcast_threshold is not None and lm.count() <= broadcast_threshold:
+        model, ctx = F.broadcast(lm), F.broadcast(ctx)
+
+    grams = _doc_bigrams(docs, text_col, id_col)
+    logp = F.log(
+        (F.coalesce(F.col("pairs"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("ctx"), F.lit(0)) + F.lit(add_k) * F.col("v"))
+    )
+    scored = (
+        grams.join(model, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            F.round(logp * _SCALE).cast("bigint").alias("slp"),
+        )
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("slp").alias("ssum"),
+    )
+    avg = F.col("ssum") / _SCALE / F.col("n_bigrams")
+    # docs with < 2 tokens never produce a gram row: re-attach via the
+    # id frame so they surface with NULL scores rather than vanishing
+    ids = docs.select(F.col(id_col).alias("doc")).distinct()
+    return (
+        ids.join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.round(avg, 6).alias("avg_logp"),
+            F.round(F.exp(-avg), 6).alias("perplexity"),
+        )
+    )
+
+
+def lm_oracle_sql(
+    *,
+    add_k: float = 0.5,
+    min_count: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for train-then-self-score over ``table``: the same
+    counts, the same scaled-long per-term rounding, the same one-double
+    average (tokenization idiom shared with collocate.pmi_oracle_sql)."""
+    return f"""
+    WITH pos AS (
+      SELECT doc_id AS doc,
+             unnest(string_split(lower(text), ' ')) AS tok,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS p
+      FROM {table}
+    ),
+    t AS (
+      SELECT doc, tok,
+             row_number() OVER (PARTITION BY doc ORDER BY p) AS p
+      FROM pos WHERE tok <> ''
+    ),
+    grams AS (
+      SELECT a.doc, a.tok AS w1, b.tok AS w2
+      FROM t a JOIN t b ON a.doc = b.doc AND b.p = a.p + 1
+    ),
+    lm AS (
+      SELECT w1, w2, count(*) AS pairs FROM grams GROUP BY w1, w2
+      HAVING count(*) >= {min_count}
+    ),
+    ctx AS (SELECT w1, CAST(sum(pairs) AS BIGINT) AS ctx FROM lm GROUP BY w1),
+    vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT w1 AS tok FROM lm UNION ALL SELECT w2 FROM lm)
+    ),
+    scored AS (
+      SELECT g.doc,
+             CAST(round(ln((coalesce(lm.pairs, 0) + {add_k})
+                           / (coalesce(ctx.ctx, 0) + {add_k} * v)) * 1000000, 0)
+                  AS BIGINT) AS slp
+      FROM grams g
+      LEFT JOIN lm ON lm.w1 = g.w1 AND lm.w2 = g.w2
+      LEFT JOIN ctx ON ctx.w1 = g.w1, vocab
+    ),
+    per_doc AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(slp) AS BIGINT) AS ssum
+      FROM scored GROUP BY doc
+    )
+    SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+           round(p.ssum / 1000000.0 / p.n_bigrams, 6) AS avg_logp,
+           round(exp(-(p.ssum / 1000000.0 / p.n_bigrams)), 6) AS perplexity
+    FROM (SELECT DISTINCT doc_id FROM {table}) d
+    LEFT JOIN per_doc p ON p.doc = d.doc_id
+    """

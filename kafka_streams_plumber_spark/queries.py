@@ -3268,6 +3268,42 @@ def q_salted(spark, sf_dir):
     )
 
 
+def _zorder_oracle():
+    from kafka_streams_plumber_spark.plans.scale import zorder_key_sql
+
+    return f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS x,
+             o_orderkey % 1024 AS y
+      FROM orders
+    )
+    SELECT o_orderkey, CAST({zorder_key_sql(['x', 'y'], bits=10)} AS BIGINT) AS zkey
+    FROM b
+    """
+
+
+@query("q_zorder", _zorder_oracle())
+def q_zorder(spark, sf_dir):
+    """Morton/Z-order interleave key (plans/scale.py:zorder_key) over
+    two bucketized order dimensions — the multi-column data-layout
+    lever: sorting a 100 TB table by this key gives parquet min/max
+    pruning on EVERY interleaved column (Delta/Iceberg OPTIMIZE ZORDER
+    semantics). Pure shift/mask expressions, zero shuffle; the oracle
+    unrolls the identical interleave in SQL."""
+    from kafka_streams_plumber_spark.plans.scale import zorder_key
+
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.col("o_orderkey") % 1024).alias("y"),
+    )
+    return b.select(
+        "o_orderkey", zorder_key(F.col("x"), F.col("y"), bits=10).alias("zkey")
+    )
+
+
 @query(
     "q_sniff_mime",
     """
@@ -5848,6 +5884,119 @@ def q_funnel_whole(spark, sf_dir):
 
 
 @query(
+    "q_attrib_last",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+             CAST(round(value * 1000000, 0) AS BIGINT) AS sv
+      FROM events
+    ),
+    conv AS (SELECT event_id, user_id, tms AS cts, sv FROM e
+             WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, tms AS tts, event_type AS channel,
+             CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+                             WHEN 'click' THEN 3 END AS pos
+      FROM e WHERE event_type IN ('signup', 'view', 'click')
+    ),
+    ranked AS (
+      SELECT c.event_id, t.channel,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY t.tts DESC, t.pos DESC) AS rn
+      FROM conv c JOIN touch t ON t.user_id = c.user_id
+       AND t.tts <= c.cts AND t.tts >= c.cts - 86400000
+    ),
+    pick AS (SELECT event_id, channel FROM ranked WHERE rn = 1)
+    SELECT p.channel, count(*) AS conversions,
+           round(CAST(sum(c.sv) AS BIGINT) / 1000000.0, 6) AS attributed_value
+    FROM conv c LEFT JOIN pick p USING (event_id)
+    GROUP BY p.channel
+    """,
+)
+def q_attrib_last(spark, sf_dir):
+    """Last-touch conversion attribution (operators/attribution.py):
+    each purchase credits its value to the latest signup/view/click in
+    the prior 24 h; untouched conversions land on the NULL channel so
+    totals reconcile. The engine is ONE per-user window pass (running
+    max of the touch struct in a range frame — no join, no
+    per-conversion fan-out); the oracle is the declarative
+    rank-and-pick ground truth."""
+    from kafka_streams_plumber_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return attribute_conversions(
+        e,
+        conversion_type="purchase",
+        touch_types=["signup", "view", "click"],
+        model="last_touch",
+        lookback_ms=86_400_000,
+    )
+
+
+@query(
+    "q_attrib_linear",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+             CAST(round(value * 1000000, 0) AS BIGINT) AS sv
+      FROM events
+    ),
+    conv AS (SELECT event_id, user_id, tms AS cts, sv FROM e
+             WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, tms AS tts, event_type AS channel FROM e
+              WHERE event_type IN ('signup', 'view', 'click')),
+    pairs AS (
+      SELECT c.event_id, c.sv, t.channel
+      FROM conv c JOIN touch t ON t.user_id = c.user_id
+       AND t.tts <= c.cts AND t.tts >= c.cts - 86400000
+    ),
+    per_conv AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n
+                 FROM pairs GROUP BY event_id),
+    shares AS (
+      SELECT p.channel, p.event_id, p.sv // n AS share
+      FROM pairs p JOIN per_conv USING (event_id)
+    ),
+    credited AS (
+      SELECT channel, CAST(count(DISTINCT event_id) AS BIGINT) AS conversions,
+             CAST(sum(share) AS BIGINT) AS ssum
+      FROM shares GROUP BY channel
+    ),
+    organic AS (
+      SELECT CAST(NULL AS VARCHAR) AS channel,
+             CAST(count(*) AS BIGINT) AS conversions,
+             CAST(coalesce(sum(sv), 0) AS BIGINT) AS ssum
+      FROM conv WHERE event_id NOT IN (SELECT event_id FROM per_conv)
+      HAVING count(*) > 0
+    )
+    SELECT channel, conversions,
+           round(ssum / 1000000.0, 6) AS attributed_value
+    FROM (SELECT * FROM credited UNION ALL SELECT * FROM organic)
+    """,
+)
+def q_attrib_linear(spark, sf_dir):
+    """Linear (even-split) attribution (operators/attribution.py):
+    each purchase's value splits evenly across every qualifying touch
+    in the 24 h lookback. Touches and conversions are type-filtered
+    BEFORE the user-keyed join; the split is exact integer division
+    over scaled longs, so both engines agree to the cent."""
+    from kafka_streams_plumber_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return attribute_conversions(
+        e,
+        conversion_type="purchase",
+        touch_types=["signup", "view", "click"],
+        model="linear",
+        lookback_ms=86_400_000,
+        conv_id_col="event_id",
+    )
+
+
+@query(
     "q_cohort",
     """
     WITH active AS (
@@ -5971,6 +6120,27 @@ def q_triangles(spark, sf_dir):
         ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 200).alias("b_id"),
     )
     return triangle_counts(edges)
+
+
+def _lm_oracle():
+    from kafka_streams_plumber_spark.operators.lm import lm_oracle_sql
+
+    return lm_oracle_sql(add_k=0.5, min_count=1)
+
+
+@query("q_lm_ppl", _lm_oracle())
+def q_lm_ppl(spark, sf_dir):
+    """Bigram-LM perplexity scoring (operators/lm.py): train add-k
+    bigram counts on the documents corpus, score every document against
+    them — the unsupervised model-based quality filter (CCNet-style).
+    Bigrams are built inside the token array (no posexplode self-join),
+    the model joins are size-gate broadcast, and per-doc log-prob sums
+    run over scaled longs so both engines agree bit-for-bit."""
+    from kafka_streams_plumber_spark.operators.lm import lm_score, lm_train
+
+    d = load_tables(spark, sf_dir)["documents"]
+    model = lm_train(d, min_count=1)
+    return lm_score(d, model, add_k=0.5)
 
 
 @query("q_pmi", CL.pmi_oracle_sql(min_count=5))

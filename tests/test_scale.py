@@ -170,3 +170,62 @@ def test_compact_files_sorted_clusters_rows(spark, tmp_path):
     compact_files(spark, path, target_file_bytes=1 << 30, sort_by="k")
     back = spark.read.parquet(path)
     assert back.count() == 1000
+
+
+def test_zorder_key_hand_interleave(spark):
+    from kafka_streams_plumber_spark.plans.scale import zorder_key
+
+    # x=0b11, y=0b01, bits=2: positions (i*2+d) ->
+    # x bit0 -> 0, y bit0 -> 1, x bit1 -> 2, y bit1 -> 3 = 0b0111 = 7
+    df = spark.createDataFrame([(3, 1), (0, 0), (3, 3)], "x long, y long")
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key(F.col("x"), F.col("y"), bits=2).alias("z")
+        ).collect()
+    ]
+    assert got == [7, 0, 15]
+
+
+def test_zorder_key_monotone_in_shared_prefix(spark):
+    from kafka_streams_plumber_spark.plans.scale import zorder_key
+
+    # same high bits in both dims -> same high bits in the key: points
+    # in the same (x, y) quadrant sort contiguously ahead of other
+    # quadrants (the locality property row-group pruning relies on)
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")
+    ).collect()
+    quad = {
+        (r["x"] >= 4, r["y"] >= 4): [] for r in got
+    }
+    for r in got:
+        quad[(r["x"] >= 4, r["y"] >= 4)].append(r["z"])
+    ranges = {k: (min(v), max(v)) for k, v in quad.items()}
+    # quadrants occupy disjoint key ranges
+    spans = sorted(ranges.values())
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_zorder_key_rejects_long_overflow(spark):
+    from kafka_streams_plumber_spark.plans.scale import zorder_key
+
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key(F.col("a"), F.col("b"), F.col("c"), F.col("d"), bits=16)
+
+
+def test_cluster_by_zorder_plan_is_range_exchange_plus_sort(spark):
+    from kafka_streams_plumber_spark.plans.inspect import plan_string
+    from kafka_streams_plumber_spark.plans.scale import cluster_by_zorder
+
+    df = spark.range(1000).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") % 17).alias("y"), "id"
+    )
+    out = cluster_by_zorder(df, [F.col("x"), F.col("y")], bits=5, partitions=4)
+    p = plan_string(out)
+    assert "Exchange rangepartitioning" in p
+    assert "Sort" in p
+    # layout op, not a reshuffle-per-join: exactly one exchange
+    assert p.count("Exchange") == 1
