@@ -66,6 +66,11 @@ AUDITED = {
     "q_rolling_z": "one key-partitioned window; exact scaled-long rolling sums",
     "q_transitions": "lead window on user key; O(#types) broadcast normalization",
     "q_ir_metrics": "metric joins touch only the top-k frame + O(queries) qrels",
+    "q_funnel_window": "exact windowed funnel: feasible-set equi-joins, single-job stage counts",
+    "q_attrib_last": "last-touch credit via ONE per-user range window — no join, no fan-out",
+    "q_attrib_linear": "type-filtered user-keyed join; exact integer split; map-combinable aggs",
+    "q_lm_ppl": "in-array bigrams; gated model broadcast; scaled-long per-doc sums",
+    "q_zorder": "Morton interleave: pure shift/mask projection, zero exchanges",
 }
 
 
