@@ -20,9 +20,10 @@ this container, so the ENCODED-format decode kernels are STUBBED: with
 ``fake="deterministic"`` they produce seeded, content-addressed fake
 outputs (real plumbing, fake pixels) for tests; with ``fake=None`` they
 raise NotImplementedError at the first batch, marking exactly where the
-real library call goes. One kernel is fully real with no codec library:
-:func:`resize_images` over :data:`RAW_IMAGE_MIME` pixel buffers
-(vectorized numpy nearest-neighbor — see its docstring), plus the
+real library call goes — EXCEPT over the RAW mimes below, where every
+kernel is fully real in numpy alone: nearest-neighbor resize and
+grid-pooled featurization for ``image/x-raw``, frame slicing for
+``video/x-raw``, RMS + FFT-mel MFCC for ``audio/x-raw-s16le``, plus the
 byte-level ops at the bottom (sniff_mime, byte_stats).
 """
 
@@ -33,6 +34,18 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: RAW (unencoded) media mimes — the formats every kernel in this module
+#: handles for REAL with numpy alone (no codec library):
+#: - image/x-raw: row-major height x width x channels uint8 pixels
+#:   (channels inferred from len(data) / (w*h), 1..4)
+#: - video/x-raw: a concatenation of image/x-raw frames (frame count
+#:   inferred from len(data) / (w*h*c))
+#: - audio/x-raw-s16le: mono signed-16-bit little-endian PCM
+RAW_IMAGE_MIME = "image/x-raw"
+RAW_VIDEO_MIME = "video/x-raw"
+RAW_AUDIO_MIME = "audio/x-raw-s16le"
+
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -103,9 +116,13 @@ def decode_and_featurize_images(
 ) -> DataFrame:
     """Decode images and emit (id, width, height, embedding).
 
-    mapInPandas: each Arrow batch is decoded in one Python call. The
-    decode kernel is stubbed (see module docstring) — the Spark-side
-    contract (schema, batching, partitioning) is the real deliverable.
+    mapInPandas: each Arrow batch is decoded in one Python call. With
+    ``fake=None`` the :data:`RAW_IMAGE_MIME` path is REAL — a grayscale
+    grid-pooled, L2-normalized embedding (vectorized bincount pooling,
+    no per-pixel Python): the model-free visual fingerprint that feeds
+    the cosine/LSH dedup operators. Encoded formats stay stubbed (PIL
+    not in the container); ``fake="deterministic"`` keeps the seeded
+    content-addressed fake for plumbing tests.
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -124,10 +141,41 @@ def decode_and_featurize_images(
                 if data is None:
                     continue
                 if fake != "deterministic":
-                    # REAL IMPLEMENTATION GOES HERE:
+                    w, h = media["width"], media["height"]
+                    if media["mime"] == RAW_IMAGE_MIME and w and h:
+                        # REAL path for raw pixel buffers: grayscale
+                        # grid-pooled embedding (average pool onto a
+                        # g x g grid, L2-normalized) — the model-free
+                        # visual fingerprint; vectorized numpy, no
+                        # per-pixel Python
+                        buf = np.frombuffer(bytes(data), dtype=np.uint8)
+                        c = buf.size // (w * h)
+                        if not (1 <= c <= 4) or c * w * h != buf.size:
+                            continue  # corrupt raw buffer
+                        gray = buf.reshape(h, w, c).astype("float64").mean(axis=2)
+                        g = max(1, int(round(embedding_dim ** 0.5)))
+                        ys = ((np.arange(h) * g) // h).clip(0, g - 1)
+                        xs = ((np.arange(w) * g) // w).clip(0, g - 1)
+                        cell = ys[:, None] * g + xs[None, :]
+                        sums = np.bincount(
+                            cell.ravel(), weights=gray.ravel(), minlength=g * g
+                        )
+                        cnts = np.bincount(cell.ravel(), minlength=g * g)
+                        v = np.zeros(embedding_dim)
+                        v[: g * g] = sums / np.maximum(cnts, 1)
+                        nrm = np.linalg.norm(v)
+                        ids.append(rid)
+                        widths.append(int(w))
+                        heights.append(int(h))
+                        embs.append(
+                            (v / nrm if nrm > 0 else v).astype("float32")
+                        )
+                        continue
+                    # REAL IMPLEMENTATION for encoded formats:
                     #   from PIL import Image; img = Image.open(io.BytesIO(data))
                     raise NotImplementedError(
-                        "image decode requires PIL/torchvision (not in container)"
+                        "encoded image decode requires PIL/torchvision;"
+                        f" raw {RAW_IMAGE_MIME!r} buffers featurize in numpy"
                     )
                 # deterministic content-addressed fake: dims + embedding
                 # derived from a sha256 of the bytes, so tests are stable
@@ -169,7 +217,12 @@ def sample_video_frames(
 ) -> DataFrame:
     """1:N frame sampling — each video row fans out to frame rows (the
     multimodal analog of flat_map). Output rows are (id, frame_idx,
-    frame bytes); at scale follow with repartition to rebalance the fan-out."""
+    frame bytes); at scale follow with repartition to rebalance the
+    fan-out. With ``fake=None`` the :data:`RAW_VIDEO_MIME` path is REAL:
+    the stream is N concatenated raw frames laid uniformly over
+    ``duration_ms``, so sampling is pure byte slicing (channel depth is
+    inferred as the smallest c in 1..4 dividing the stream length —
+    ambiguous lengths resolve deterministically)."""
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -182,8 +235,40 @@ def sample_video_frames(
                 if media is None or media["data"] is None:
                     continue
                 if fake != "deterministic":
-                    # REAL IMPLEMENTATION: ffmpeg/pyav frame iterator
-                    raise NotImplementedError("video decode requires pyav/ffmpeg")
+                    w, h = media["width"], media["height"]
+                    dur = media["duration_ms"] or 0
+                    if media["mime"] == RAW_VIDEO_MIME and w and h and dur:
+                        # REAL path for raw frame sequences: the stream
+                        # is N concatenated w*h*c frames laid uniformly
+                        # over duration_ms; sampling every_ms is pure
+                        # byte slicing — zero-copy per frame
+                        data = bytes(media["data"])
+                        n_total = 0
+                        for c in (1, 2, 3, 4):
+                            if len(data) % (w * h * c) == 0:
+                                n_total = len(data) // (w * h * c)
+                                fsize = w * h * c
+                                break
+                        if not n_total:
+                            continue  # corrupt raw stream
+                        want = max(1, int(dur // every_ms))
+                        for i in range(want):
+                            # frame whose timestamp covers i*every_ms
+                            src = min(
+                                n_total - 1, (i * every_ms * n_total) // dur
+                            )
+                            out_ids.append(rid)
+                            out_idx.append(i)
+                            out_frames.append(
+                                data[src * fsize : (src + 1) * fsize]
+                            )
+                        continue
+                    # REAL IMPLEMENTATION for encoded containers:
+                    #   pyav/ffmpeg frame iterator
+                    raise NotImplementedError(
+                        "encoded video decode requires pyav/ffmpeg;"
+                        f" raw {RAW_VIDEO_MIME!r} streams slice in numpy"
+                    )
                 dur = media["duration_ms"] or 0
                 n_frames = max(1, int(dur // every_ms))
                 seed = hashlib.sha256(bytes(media["data"])).digest()
@@ -210,13 +295,6 @@ _RESIZED_SCHEMA = T.StructType(
         T.StructField("data", T.BinaryType()),
     ]
 )
-
-
-#: mime for an UNENCODED pixel buffer: ``data`` is a row-major
-#: height x width x channels uint8 array (channels inferred from
-#: len(data) / (w*h), 1..4). The one image format this container can
-#: resample for real — no codec library involved.
-RAW_IMAGE_MIME = "image/x-raw"
 
 
 def resize_images(
@@ -321,8 +399,12 @@ def extract_audio_features(
     fake: str | None = "deterministic",
 ) -> DataFrame:
     """Audio feature extraction: (id, duration, sample_rate, loudness,
-    MFCC-shaped vector). Stubbed decode (librosa/soundfile not in the
-    container); the Arrow batching, schema, and fan-in shape are real.
+    MFCC vector). With ``fake=None`` the :data:`RAW_AUDIO_MIME` (mono
+    s16le PCM, 16 kHz assumed) path is REAL DSP in numpy alone: RMS
+    loudness and MFCCs via hann-windowed FFT frames -> HTK mel
+    filterbank -> log -> orthonormal DCT-II, averaged over frames.
+    Encoded audio stays stubbed (librosa/soundfile not in the
+    container).
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -337,8 +419,67 @@ def extract_audio_features(
                 if media is None or media["data"] is None:
                     continue
                 if fake != "deterministic":
-                    # REAL IMPLEMENTATION: librosa.load + librosa.feature.mfcc
-                    raise NotImplementedError("audio decode requires librosa/soundfile")
+                    if media["mime"] == RAW_AUDIO_MIME:
+                        # REAL DSP for raw PCM, no librosa: RMS loudness
+                        # + MFCC via numpy FFT (hann-windowed frames ->
+                        # power spectrum -> HTK mel filterbank -> log ->
+                        # orthonormal DCT-II, mean over frames)
+                        x = (
+                            np.frombuffer(bytes(media["data"]), dtype="<i2")
+                            .astype("float64")
+                            / 32768.0
+                        )
+                        if x.size < 2:
+                            continue
+                        sr = 16000
+                        ids.append(rid)
+                        durs.append(
+                            media["duration_ms"]
+                            or int(round(x.size * 1000.0 / sr))
+                        )
+                        srs.append(sr)
+                        louds.append(float(np.sqrt(np.mean(x * x))))
+                        n_fft = min(512, 1 << (x.size - 1).bit_length())
+                        hop = n_fft // 2
+                        n_frames = max(1, 1 + (x.size - n_fft) // hop)
+                        pad = (n_frames - 1) * hop + n_fft
+                        xp = np.pad(x, (0, max(0, pad - x.size)))
+                        idx = (
+                            np.arange(n_fft)[None, :]
+                            + hop * np.arange(n_frames)[:, None]
+                        )
+                        frames = xp[idx] * np.hanning(n_fft)[None, :]
+                        pwr = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                        n_mels = max(n_mfcc + 2, 20)
+                        mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)
+                        imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+                        pts = imel(
+                            np.linspace(0.0, mel(sr / 2.0), n_mels + 2)
+                        )
+                        bins = np.floor((n_fft + 1) * pts / sr).astype(int)
+                        fb = np.zeros((n_mels, pwr.shape[1]))
+                        for m in range(n_mels):
+                            l_, c_, r_ = bins[m], bins[m + 1], bins[m + 2]
+                            if c_ > l_:
+                                fb[m, l_:c_] = (np.arange(l_, c_) - l_) / (c_ - l_)
+                            if r_ > c_:
+                                fb[m, c_:r_] = (r_ - np.arange(c_, r_)) / (r_ - c_)
+                        logmel = np.log(pwr @ fb.T + 1e-10)
+                        k = np.arange(n_mfcc)[:, None]
+                        n = np.arange(n_mels)[None, :]
+                        dct = np.cos(np.pi * k * (2 * n + 1) / (2 * n_mels))
+                        dct *= np.sqrt(2.0 / n_mels)
+                        dct[0] /= np.sqrt(2.0)
+                        mfccs.append(
+                            (dct @ logmel.mean(axis=0)).astype("float32")
+                        )
+                        continue
+                    # REAL IMPLEMENTATION for encoded audio:
+                    #   librosa.load + librosa.feature.mfcc
+                    raise NotImplementedError(
+                        "encoded audio decode requires librosa/soundfile;"
+                        f" raw {RAW_AUDIO_MIME!r} PCM runs the numpy DSP path"
+                    )
                 h = hashlib.sha256(bytes(media["data"])).digest()
                 rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
                 ids.append(rid)

@@ -1236,30 +1236,36 @@ def q_session_window(spark, sf_dir):
     return session_window_agg(e, gap="30 minutes")
 
 
-@query("multimodal_features")  # rows-only: stubbed decode kernel
+@query("multimodal_features")  # rows-only: real raw-buffer featurize kernel
 def multimodal_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end (operators/multimodal.py): pack
-    text bytes as fake media, mapInPandas decode+featurize. Rows-only:
-    the decode kernel is a content-addressed stub (no image libs in the
-    container), but schema/batching/fan-out are the real operator.
+    """Multimodal featurization end-to-end (operators/multimodal.py):
+    deterministic raw pixel buffers (same JVM-side construction as
+    multimodal_resize) through the REAL grid-pooled embedding kernel
+    (fake=None) — grayscale average-pool to a g x g grid, L2-normalize.
 
     The contract query projects SCALAR summaries (width, height, rounded
     embedding checksum) — the driver's canonicalizer cannot sort raw
     array<float> columns; the array output itself is covered in pytest
     (tests/test_multimodal.py)."""
     from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_IMAGE_MIME,
         decode_and_featurize_images,
         pack_media,
     )
 
     d = load_tables(spark, sf_dir)["documents"]
+    w = (F.col("doc_id") % 16 + 8).cast("int")
+    h = (F.col("doc_id") % 12 + 8).cast("int")
+    raw = F.encode(
+        F.expr("substring(repeat(md5(text), 68), 1, "
+               "(cast(doc_id % 16 + 8 as int)) * (cast(doc_id % 12 + 8 as int)) * 3)"),
+        "utf-8",
+    )
     media = d.select(
         "doc_id",
-        pack_media(
-            F.encode(F.col("text"), "utf-8"), F.lit("image/png")
-        ).alias("media"),
+        pack_media(raw, F.lit(RAW_IMAGE_MIME), width=w, height=h).alias("media"),
     )
-    feats = decode_and_featurize_images(media)
+    feats = decode_and_featurize_images(media, fake=None)
     return feats.select(
         "doc_id",
         "width",
@@ -1303,12 +1309,16 @@ def multimodal_resize(spark, sf_dir):
     return out.select("doc_id", "width", "height", F.md5("data").alias("data_md5"))
 
 
-@query("multimodal_frames")  # rows-only: stubbed video decode kernel
+@query("multimodal_frames")  # rows-only: real raw-stream slicing kernel
 def multimodal_frames(spark, sf_dir):
     """1:N video frame sampling (operators/multimodal.py:
-    sample_video_frames) — the multimodal flat_map. Scalar contract
-    output: per-doc frame count + checksum of the frame stream."""
+    sample_video_frames) — the multimodal flat_map, over the REAL
+    video/x-raw path (fake=None): 8 concatenated 4x4 raw frames per doc
+    (unhex of repeated md5 -> exactly 128 bytes), sliced by uniform
+    timestamp mapping. Scalar contract output: per-doc frame count +
+    checksum of the frame stream."""
     from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_VIDEO_MIME,
         pack_media,
         sample_video_frames,
     )
@@ -1317,24 +1327,30 @@ def multimodal_frames(spark, sf_dir):
     media = d.select(
         "doc_id",
         pack_media(
-            F.encode(F.col("text"), "utf-8"),
-            F.lit("video/mp4"),
+            F.unhex(F.repeat(F.md5("text"), 8)),
+            F.lit(RAW_VIDEO_MIME),
+            width=F.lit(4).cast("int"),
+            height=F.lit(4).cast("int"),
             duration_ms=(F.col("doc_id") % 7 * 1000 + 500).cast("long"),
         ).alias("media"),
     )
-    frames = sample_video_frames(media, every_ms=1000)
+    frames = sample_video_frames(media, every_ms=1000, fake=None)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
         F.sum(F.crc32(F.col("frame"))).alias("frame_crc_sum"),
     )
 
 
-@query("multimodal_audio")  # rows-only: stubbed audio decode kernel
+@query("multimodal_audio")  # rows-only: real PCM DSP kernel
 def multimodal_audio(spark, sf_dir):
     """Audio feature extraction (operators/multimodal.py:
-    extract_audio_features). Scalar contract output: duration,
-    sample_rate, rounded loudness and MFCC checksum."""
+    extract_audio_features) over the REAL audio/x-raw-s16le DSP path
+    (fake=None): each doc carries 1600 samples of deterministic PCM
+    (unhex of repeated md5 as s16le), scored with numpy RMS + FFT-mel
+    MFCC. Scalar contract output: duration, sample_rate, rounded
+    loudness and MFCC checksum."""
     from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_AUDIO_MIME,
         extract_audio_features,
         pack_media,
     )
@@ -1343,12 +1359,11 @@ def multimodal_audio(spark, sf_dir):
     media = d.select(
         "doc_id",
         pack_media(
-            F.encode(F.col("text"), "utf-8"),
-            F.lit("audio/wav"),
-            duration_ms=(F.length("text") * 10).cast("long"),
+            F.unhex(F.repeat(F.md5("text"), 200)),
+            F.lit(RAW_AUDIO_MIME),
         ).alias("media"),
     )
-    feats = extract_audio_features(media)
+    feats = extract_audio_features(media, fake=None)
     return feats.select(
         "doc_id",
         "duration_ms",

@@ -290,3 +290,95 @@ def test_resize_raw_buffer_rect_aspect(spark):
     ys = ((np.arange(2) + 0.5) * (4 / 2)).astype(int)
     xs = ((np.arange(4) + 0.5) * (8 / 4)).astype(int)
     assert bytes(row["data"]) == img[ys][:, xs].tobytes()
+
+
+def _raw_media(spark, rows, mime, w=None, h=None, dur=None):
+    df = spark.createDataFrame(rows, "doc_id long, raw binary")
+    from kafka_streams_plumber_spark.operators.multimodal import pack_media
+
+    kw = {}
+    if w is not None:
+        kw["width"] = F.lit(w).cast("int")
+    if h is not None:
+        kw["height"] = F.lit(h).cast("int")
+    if dur is not None:
+        kw["duration_ms"] = F.lit(dur).cast("long")
+    return df.select(
+        "doc_id", pack_media(F.col("raw"), F.lit(mime), **kw).alias("media")
+    )
+
+
+def test_featurize_raw_image_grid_pool_golden(spark):
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_IMAGE_MIME,
+        decode_and_featurize_images,
+    )
+
+    # 2x2 grayscale with embedding_dim=4 -> g=2: every pixel is its own
+    # pool cell, so the embedding is exactly the normalized pixel vector
+    img = np.array([[0, 100], [200, 50]], dtype=np.uint8)[..., None]
+    media = _raw_media(spark, [(1, img.tobytes())], RAW_IMAGE_MIME, w=2, h=2)
+    [row] = decode_and_featurize_images(
+        media, embedding_dim=4, fake=None
+    ).collect()
+    want = np.array([0.0, 100.0, 200.0, 50.0])
+    want = want / np.linalg.norm(want)
+    assert (row["width"], row["height"]) == (2, 2)
+    assert np.allclose(row["embedding"], want, atol=1e-6)
+
+
+def test_frames_raw_video_slices_exact_bytes(spark):
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_VIDEO_MIME,
+        sample_video_frames,
+    )
+
+    frames = [bytes([i] * 4) for i in range(4)]  # 4 frames of 2x2x1
+    media = _raw_media(
+        spark, [(1, b"".join(frames))], RAW_VIDEO_MIME, w=2, h=2, dur=4000
+    )
+    rows = sample_video_frames(media, every_ms=1000, fake=None).orderBy(
+        "frame_idx"
+    ).collect()
+    assert [bytes(r["frame"]) for r in rows] == frames
+    # coarser sampling keeps the uniform-timestamp mapping: 2000 ms
+    # steps over 4 s of 4 frames -> frames 0 and 2
+    rows = sample_video_frames(media, every_ms=2000, fake=None).orderBy(
+        "frame_idx"
+    ).collect()
+    assert [bytes(r["frame"]) for r in rows] == [frames[0], frames[2]]
+
+
+def test_audio_raw_pcm_rms_and_mfcc_properties(spark):
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        RAW_AUDIO_MIME,
+        extract_audio_features,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 second
+    tone = lambda f, a: (a * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    media = _raw_media(
+        spark,
+        [(1, tone(440, 0.5).tobytes()), (2, tone(3000, 0.5).tobytes())],
+        RAW_AUDIO_MIME,
+    )
+    rows = {r["doc_id"]: r for r in
+            extract_audio_features(media, n_mfcc=13, fake=None).collect()}
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert abs(rows[1]["loudness"] - 0.5 / 2 ** 0.5) < 1e-3
+    assert rows[1]["duration_ms"] == 1000 and rows[1]["sample_rate"] == sr
+    assert len(rows[1]["mfcc"]) == 13
+    # different pitches give different cepstra; equal energy gives
+    # comparable c0 (log-energy term)
+    m1, m2 = np.array(rows[1]["mfcc"]), np.array(rows[2]["mfcc"])
+    assert np.all(np.isfinite(m1)) and np.all(np.isfinite(m2))
+    assert np.linalg.norm(m1 - m2) > 1.0
+    # determinism
+    again = {r["doc_id"]: r for r in
+             extract_audio_features(media, n_mfcc=13, fake=None).collect()}
+    assert np.allclose(m1, np.array(again[1]["mfcc"]))
