@@ -112,7 +112,7 @@ def funnel(
             .distinct()
             .withColumn("t0", F.col("t"))
         )
-        stage_users.append(feas.select(u).distinct())
+        stage_users.append(feas.select(u))
         for step in steps[1:]:
             ev = (
                 events.where(F.col(t) == step)
@@ -133,7 +133,7 @@ def funnel(
                 .agg(F.max("t0").alias("t0"))
                 .withColumnRenamed("t_ev", "t")
             )
-            stage_users.append(feas.select(u).distinct())
+            stage_users.append(feas.select(u))
 
     tagged = [
         su.select(F.lit(i + 1).alias("stage"), F.col(u))
@@ -142,7 +142,12 @@ def funnel(
     allu = tagged[0]
     for frame in tagged[1:]:
         allu = allu.unionAll(frame)
-    counts = allu.groupBy("stage").agg(F.count(F.lit(1)).alias("users"))
+    # count_distinct dedups users inside the ONE aggregation, so the
+    # windowed path needs no per-stage distinct shuffle (the greedy
+    # path's frames are already user-unique — distinct-count is equal)
+    counts = allu.groupBy("stage").agg(
+        F.count_distinct(F.col(u)).alias("users")
+    )
     spine = None
     for i, step in enumerate(steps):
         row = spark.range(1).select(

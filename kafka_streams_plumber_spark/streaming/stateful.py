@@ -9,6 +9,9 @@ native way.
   via ``applyInPandasWithState`` (GroupState timeouts): per-user state
   holds the open session; an event past the gap closes and emits it.
   Watermark-driven timeout emits sessions that never see another event.
+- :func:`funnel_stream` — exact any-chain windowed funnel progress on a
+  stream: per-user merged-interval state (bounded), emits on each new
+  stage reached; the unbounded twin of operators/behavior.funnel.
 """
 
 from __future__ import annotations
@@ -396,6 +399,146 @@ def quota_stream(
             fn,
             outputStructType=QUOTA_SCHEMA,
             stateStructType=_QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+FUNNEL_PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("step", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+#: JSON-string state: {"iv": [[[s,e],...] per stage], "best": int}.
+#: A string survives any Spark state-encoder quirks with nested arrays
+#: and keeps the layout debuggable in the state store.
+_FUNNEL_STATE_SCHEMA = "js STRING"
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_ms: int | None = None,
+    watermark: str = "10 minutes",
+    max_intervals: int = 64,
+    idle_ttl_ms: int = 30 * 86_400_000,
+) -> DataFrame:
+    """Streaming funnel progress with EXACT any-chain semantics — the
+    unbounded-stream twin of :func:`...operators.behavior.funnel`.
+
+    Emits ``(user_id, stage, step, ts_ms)`` whenever a user first
+    reaches a new stage (1-based; ``ts_ms`` is the event that got them
+    there), so downstream counts-by-stage reproduce the batch funnel.
+
+    State design (the part that must stay bounded on an infinite
+    stream): per user, each stage holds the MERGED INTERVAL UNION of
+    ``[t, t + within]`` over its feasible events — membership of a
+    step-i event's timestamp in stage i-1's union is exactly the
+    feasible-event-set recurrence, but overlapping chains collapse into
+    one interval, so steady activity costs O(1) intervals, not O(events).
+    Without ``within_ms`` an interval is ``[t, +inf)`` and each stage
+    stores exactly one value (its min). ``max_intervals`` caps each
+    stage's list by dropping the OLDEST interval on overflow (the only
+    approximation, and only for chains anchored past ``max_intervals``
+    retry bursts); state for idle users times out at ``last activity +
+    k * within`` (no chain can extend after that) or ``idle_ttl_ms``
+    when unwindowed.
+
+    Same-timestamp pairs count in order (the batch ``>=`` gate):
+    events inside a batch are processed in ``(ts, stage index)`` order.
+    """
+    if not steps:
+        raise ValueError("funnel_stream needs at least one step")
+    stage_of = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    def fn(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import json
+
+        import pandas as pd
+
+        (user,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"iv": [[] for _ in range(k)], "best": 0}
+        iv = [[list(map(int, p)) for p in stage] for stage in st["iv"]]
+        best = int(st["best"])
+
+        evs = []
+        for pdf in pdfs:
+            for typ, t in zip(pdf[type_col], pd.to_datetime(pdf[ts_col])):
+                if typ in stage_of:
+                    evs.append((int(t.value // 1_000_000), stage_of[typ]))
+        evs.sort()
+
+        def covered(stage_idx, t):
+            return any(s <= t <= e for s, e in iv[stage_idx])
+
+        def add(stage_idx, t):
+            hi = t + within_ms if within_ms is not None else (1 << 62)
+            lst = iv[stage_idx]
+            lst.append([t, hi])
+            lst.sort()
+            merged = []
+            for s, e in lst:
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            del merged[: max(0, len(merged) - max_intervals)]
+            iv[stage_idx] = merged
+
+        out = []
+        last_t = None
+        for t, si in evs:
+            last_t = t if last_t is None else max(last_t, t)
+            if si == 0:
+                add(0, t)
+            elif covered(si - 1, t):
+                add(si, t)
+            else:
+                continue
+            if si + 1 > best:
+                best = si + 1
+                out.append((user, best, steps[si], t))
+
+        state.update((json.dumps({"iv": iv, "best": best}),))
+        if last_t is not None:
+            horizon = (
+                last_t + k * within_ms
+                if within_ms is not None
+                else last_t + idle_ttl_ms
+            )
+            state.setTimeoutTimestamp(horizon)
+        if out:
+            yield pd.DataFrame(
+                [
+                    {"user_id": u, "stage": s, "step": sp, "ts_ms": t}
+                    for (u, s, sp, t) in out
+                ]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_PROGRESS_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -291,3 +291,107 @@ def test_quota_stream_late_event_does_not_drain_bucket(spark, tmp_path):
     # negative, and the bucket still has tokens afterwards
     assert [r.accepted for r in got] == [True, True, True]
     assert all(r.tokens_after >= 0 for r in got)
+
+
+def test_funnel_stream_matches_batch_windowed_funnel(spark, tmp_path):
+    """Two microbatches through the stateful funnel; per-stage user
+    counts derived from emitted progress rows must equal the batch
+    feasible-set funnel — including the retry-of-earlier-step chain
+    (greedy anchoring would miss user 3)."""
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.operators.behavior import funnel
+    from kafka_streams_plumber_spark.streaming.stateful import funnel_stream
+
+    W = 10 * 60 * 1000
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)
+    batch0 = [
+        (1, "a", m(0)), (1, "b", m(5)),            # reaches stage 2
+        (2, "a", m(0)),                            # stage 1 only
+        (3, "a", m(0)),
+    ]
+    batch1 = [
+        (1, "c", m(8)),                            # completes in window
+        (3, "a", m(100)), (3, "b", m(105)),        # retry chain converts
+        (2, "b", m(200)),                          # out of window -> no
+    ]
+    rows_schema = "user_id long, event_type string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(batch0, rows_schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+
+    stream = spark.readStream.schema(rows_schema).parquet(str(src / "*"))
+    out = funnel_stream(stream, ["a", "b", "c"], within_ms=W)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch1, rows_schema).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        q.processAllAvailable()
+        prog = spark.sql("SELECT * FROM funnel_stream_test").collect()
+    finally:
+        q.stop()
+
+    # best stage per user from the emitted progress rows
+    best = {}
+    for r in prog:
+        best[r.user_id] = max(best.get(r.user_id, 0), r.stage)
+    stream_counts = {
+        s: sum(1 for b in best.values() if b >= s) for s in (1, 2, 3)
+    }
+
+    all_rows = batch0 + batch1
+    batch_counts = {
+        r["stage"]: r["users"]
+        for r in funnel(
+            spark.createDataFrame(all_rows, rows_schema),
+            ["a", "b", "c"],
+            within_ms=W,
+        ).collect()
+    }
+    assert stream_counts == batch_counts
+    # the retry chain is the load-bearing case: user 3 must reach stage 2
+    assert best[3] == 2 and best[2] == 1
+
+
+def test_funnel_stream_interval_merge_keeps_state_exact(spark, tmp_path):
+    """Overlapping retries merge into one interval — a chain anchored at
+    ANY of them still converts after the merge."""
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.streaming.stateful import funnel_stream
+
+    W = 10 * 60 * 1000
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)
+    rows = [(1, "a", m(i)) for i in range(0, 40, 2)]  # 20 merged anchors
+    rows.append((1, "b", m(47)))  # within 10 min of the LAST anchor only
+    rows_schema = "user_id long, event_type string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, rows_schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    stream = spark.readStream.schema(rows_schema).parquet(str(src / "*"))
+    out = funnel_stream(stream, ["a", "b"], within_ms=W, max_intervals=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_merge_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = spark.sql("SELECT * FROM funnel_merge_test").collect()
+    finally:
+        q.stop()
+    assert max(r.stage for r in prog) == 2
