@@ -526,3 +526,130 @@ def test_event_transitions_probs_sum_to_one(spark, seq):
             want[(a, b)] = want.get((a, b), 0) + 1
     got = {(r["from_type"], r["to_type"]): r["pairs"] for r in out}
     assert got == want
+
+
+# --- windowed funnel vs brute-force chain search -------------------------
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),      # user
+        st.integers(min_value=0, max_value=2),      # stage index (a/b/c)
+        st.integers(min_value=0, max_value=20),     # minute
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _brute_funnel(rows, steps, within_ms):
+    """Exponential-time any-chain search: user reaches stage i iff some
+    non-decreasing chain e_1..e_i exists with each hop inside the
+    window. Ground truth for the feasible-set recurrence."""
+    users = {u for u, _, _ in rows}
+    counts = {i: 0 for i in range(1, len(steps) + 1)}
+    for u in users:
+        evs = [(t, si) for uu, si, t in rows if uu == u]
+        feas = {0: {t for t, si in evs if si == 0}}
+        for i in range(1, len(steps)):
+            feas[i] = {
+                t
+                for t, si in evs
+                if si == i
+                and any(
+                    p <= t <= p + within_ms for p in feas[i - 1]
+                )
+            }
+        for i in range(len(steps)):
+            if feas[i]:
+                counts[i + 1] += 1
+    return counts
+
+
+@settings(max_examples=8, deadline=None)
+@given(_funnel_events)
+def test_windowed_funnel_matches_bruteforce(spark, evs):
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.operators.behavior import funnel
+
+    steps = ["a", "b", "c"]
+    within = 5 * 60 * 1000
+    base = dt.datetime(2024, 1, 1)
+    rows_ms = [(u, si, m * 60 * 1000) for u, si, m in evs]
+    df = spark.createDataFrame(
+        [
+            (u, steps[si], base + dt.timedelta(minutes=m))
+            for u, si, m in evs
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["stage"]: r["users"]
+        for r in funnel(df, steps, within_ms=within).collect()
+    }
+    want = _brute_funnel(rows_ms, steps, within)
+    assert got == want, (evs, got, want)
+
+
+# --- attribution vs brute-force credit assignment ------------------------
+
+_attrib_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user
+        st.integers(min_value=0, max_value=2),      # 0/1 = touch, 2 = buy
+        st.integers(min_value=0, max_value=30),     # minute
+        st.integers(min_value=1, max_value=50),     # value cents (buys)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_attrib_events)
+def test_last_touch_attribution_matches_bruteforce(spark, evs):
+    import datetime as dt
+    from collections import defaultdict
+
+    from kafka_streams_plumber_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    kinds = ["view", "click", "buy"]
+    lb = 10 * 60 * 1000
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, u, kinds[k], base + dt.timedelta(minutes=m), c / 100.0)
+            for i, (u, k, m, c) in enumerate(evs)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    got = {
+        r["channel"]: (r["conversions"], r["attributed_value"])
+        for r in attribute_conversions(
+            df,
+            conversion_type="buy",
+            touch_types=["view", "click"],
+            model="last_touch",
+            lookback_ms=lb,
+        ).collect()
+    }
+
+    want = defaultdict(lambda: [0, 0])
+    for u, k, m, c in evs:
+        if k != 2:
+            continue
+        cts = m * 60 * 1000
+        touches = [
+            (mm * 60 * 1000, kk)
+            for (uu, kk, mm, _) in evs
+            if uu == u and kk != 2
+            and cts - lb <= mm * 60 * 1000 <= cts
+        ]
+        # latest ts; ties -> larger touch_types index (click over view)
+        ch = kinds[max(touches)[1]] if touches else None
+        want[ch][0] += 1
+        want[ch][1] += c
+    want = {k: (n, round(v / 100.0, 6)) for k, (n, v) in want.items()}
+    assert got == want, (evs, got, want)
