@@ -1,0 +1,120 @@
+"""Declarative data-quality checks compiled into ONE aggregate pass.
+
+The Deequ-style guardrail a pipeline runs before publishing a table:
+every rule (completeness, uniqueness, value bounds, pattern
+conformance, cross-column invariants) contributes one aggregate
+expression, all rules ride a single ``df.agg(...)`` — so a 50-rule
+suite over a 100 TB table costs exactly one scan with map-side partial
+aggregation, never one job per rule. The one-row result is then
+unpivoted to a tidy ``(check, metric, lo, hi, ok)`` frame (a constant-
+size projection).
+
+Rules are plain dicts so suites serialize to config:
+
+    run_checks(df, [
+        {"name": "qty_not_null", "metric": not_null_rate("l_quantity"),
+         "lo": 1.0},
+        {"name": "qty_in_range", "metric": in_range_rate("l_quantity",
+         1, 50), "lo": 0.99},
+        {"name": "key_unique", "metric": distinct_ratio("l_orderkey",
+         "l_linenumber"), "lo": 1.0},
+    ])
+
+Metric builders return AGGREGATE Columns; bring your own for anything
+not covered (any expression valid inside ``agg`` works). Metrics are
+rounded to 6 dp (cross-engine double parity); rates over an EMPTY frame
+are NULL and fail any bound — an empty publish should never pass a
+quality gate silently.
+
+Reference scope: beyond-reference surface (the reference validates
+per-record schema conformance only — TypeConversions.scala:12-51; this
+is the dataset-level counterpart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null_rate(col: str) -> Column:
+    """Fraction of rows with a non-null value."""
+    return F.count(F.col(col)) / F.count(F.lit(1))
+
+
+def in_range_rate(col: str, lo: float, hi: float) -> Column:
+    """Fraction of NON-NULL values inside [lo, hi]."""
+    c = F.col(col)
+    return F.count(F.when((c >= lo) & (c <= hi), 1)) / F.count(c)
+
+
+def matches_rate(col: str, pattern: str) -> Column:
+    """Fraction of non-null values fully matching the regex."""
+    c = F.col(col)
+    return F.count(F.when(c.rlike(pattern), 1)) / F.count(c)
+
+
+def distinct_ratio(*cols: str) -> Column:
+    """distinct(cols) / rows — 1.0 means the columns form a key."""
+    return F.count_distinct(*[F.col(c) for c in cols]) / F.count(F.lit(1))
+
+
+def accepted_values_rate(col: str, values: list) -> Column:
+    """Fraction of non-null values inside the accepted set."""
+    c = F.col(col)
+    return F.count(F.when(c.isin(values), 1)) / F.count(c)
+
+
+def mean_of(col: str) -> Column:
+    """Scaled-long mean (aggregation-order-proof across engines)."""
+    sv = F.round(F.col(col) * 1_000_000).cast("bigint")
+    return F.sum(sv) / 1_000_000.0 / F.count(sv)
+
+
+def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Evaluate every rule in ONE aggregate pass.
+
+    Each rule dict: ``name`` (unique), ``metric`` (aggregate Column),
+    and at least one of ``lo`` / ``hi`` (inclusive bounds). Returns
+    ``(check, metric, lo, hi, ok)`` — ``ok`` is false when the metric
+    is NULL or outside its bounds.
+    """
+    if not checks:
+        raise ValueError("run_checks needs at least one rule")
+    names = [c["name"] for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate check names")
+    aggs = [
+        F.round(c["metric"].cast("double"), 6).alias(f"_m{i}")
+        for i, c in enumerate(checks)
+    ]
+    one = df.agg(*aggs)
+
+    rows = []
+    for i, c in enumerate(checks):
+        lo = c.get("lo")
+        hi = c.get("hi")
+        if lo is None and hi is None:
+            raise ValueError(f"check {c['name']!r} has no lo/hi bound")
+        m = F.col(f"_m{i}")
+        ok = m.isNotNull()
+        if lo is not None:
+            ok = ok & (m >= float(lo))
+        if hi is not None:
+            ok = ok & (m <= float(hi))
+        rows.append(
+            F.struct(
+                F.lit(c["name"]).alias("check"),
+                m.alias("metric"),
+                F.lit(None if lo is None else float(lo))
+                .cast("double")
+                .alias("lo"),
+                F.lit(None if hi is None else float(hi))
+                .cast("double")
+                .alias("hi"),
+                ok.alias("ok"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.check", "r.metric", "r.lo", "r.hi", "r.ok")

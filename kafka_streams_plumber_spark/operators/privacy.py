@@ -1,0 +1,163 @@
+"""Differentially-private release aggregates (seeded Laplace mechanism).
+
+The release-side companion of ``stats.k_anonymity``: where k-anonymity
+AUDITS a grouped release, this PERTURBS it — per-group counts and
+bounded sums with Laplace noise calibrated to (sensitivity / epsilon),
+the standard mechanism for publishing aggregate corpus statistics
+(per-domain doc counts, per-source token totals) without exposing any
+single contributor.
+
+Noise is DETERMINISTIC given ``seed``: the per-group uniform comes from
+an md5 of (group key, seed) — the repo-wide replayable-hash idiom — fed
+through the Laplace inverse CDF. That makes releases reproducible and
+oracle-checkable. The privacy caveat is explicit: a PUBLIC seed lets
+anyone recompute the noise, so production releases must treat the seed
+as a secret and rotate it per release; determinism here is a
+correctness feature (same release twice = same numbers), not a license
+to publish the seed.
+
+Plan shape: clipping is a pure projection, the release is ONE
+map-combinable grouped aggregate, and the noise terms are scalar
+expressions on the aggregated (group-cardinality-sized) frame — nothing
+touches the fact table twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def _uniform(group_key: Column, seed: int, tag: str) -> Column:
+    """Deterministic uniform in (0, 1) from the group key + seed + tag
+    (tag decorrelates the count and sum noise draws)."""
+    h = F.md5(F.concat_ws("|", group_key, F.lit(str(seed)), F.lit(tag)))
+    # 8 hex chars -> [0, 2^32); +0.5 keeps u strictly inside (0, 1)
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5) / _U32
+
+
+def _laplace(u: Column, b: Column | float) -> Column:
+    """Inverse-CDF Laplace(0, b) from a uniform in (0, 1)."""
+    centered = u - 0.5
+    return (
+        -F.lit(1.0)
+        * b
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+
+
+def dp_release(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 0,
+    sum_col: str | None = None,
+    sum_bound: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Release per-group counts (and optionally a bounded sum) under the
+    Laplace mechanism.
+
+    Returns ``group_cols + (n_dp [, sum_dp])``:
+
+    - ``n_dp``  = count + Laplace(1/epsilon) — count sensitivity is 1;
+    - ``sum_dp`` = sum(clip(value, 0, sum_bound)) + Laplace(sum_bound /
+      epsilon) — clipping enforces the declared per-row contribution
+      bound that the noise scale depends on (``sum_bound`` is required
+      with ``sum_col``). When both metrics are released, each draw uses
+      half the budget (standard sequential composition), so the whole
+      release satisfies epsilon overall.
+
+    Noisy values are rounded to ``round_to`` places (release hygiene +
+    cross-engine double parity); they are NOT clamped to be
+    non-negative — post-processing is the caller's choice and does not
+    affect the privacy guarantee.
+    """
+    if sum_col is not None and sum_bound is None:
+        raise ValueError("sum_col requires an explicit sum_bound (sensitivity)")
+    eps_each = epsilon / 2.0 if sum_col is not None else epsilon
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    if sum_col is not None:
+        clipped = F.greatest(
+            F.lit(0.0), F.least(F.col(sum_col).cast("double"), F.lit(float(sum_bound)))
+        )
+        # scaled-long sum: aggregation-order-proof across engines
+        aggs.append(
+            (F.sum(F.round(clipped * 1_000_000).cast("bigint")) / 1_000_000.0).alias(
+                "_s"
+            )
+        )
+    grouped = df.groupBy(*group_cols).agg(*aggs)
+
+    gkey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    out_cols: list[Column] = [F.col(c) for c in group_cols]
+    out_cols.append(
+        F.round(
+            F.col("_n") + _laplace(_uniform(gkey, seed, "n"), 1.0 / eps_each),
+            round_to,
+        ).alias("n_dp")
+    )
+    if sum_col is not None:
+        out_cols.append(
+            F.round(
+                F.col("_s")
+                + _laplace(
+                    _uniform(gkey, seed, "s"), float(sum_bound) / eps_each
+                ),
+                round_to,
+            ).alias("sum_dp")
+        )
+    return grouped.select(*out_cols)
+
+
+def dp_release_oracle_sql(
+    inner_sql: str,
+    *,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 0,
+    sum_expr: str | None = None,
+    sum_bound: float | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dp_release` over ``inner_sql`` (which must
+    expose ``group_cols`` and, when summing, ``sum_expr`` as a value
+    column expression)."""
+    eps_each = epsilon / 2.0 if sum_expr is not None else epsilon
+    gl = ", ".join(group_cols)
+    gkey = (
+        "concat_ws(chr(31), "
+        + ", ".join(f"CAST({c} AS VARCHAR)" for c in group_cols)
+        + ")"
+    )
+
+    def u(tag: str) -> str:
+        return (
+            f"((('0x' || substr(md5(concat_ws('|', {gkey}, '{seed}', '{tag}')), 1, 8))"
+            f"::BIGINT + 0.5) / 4294967296.0)"
+        )
+
+    def lap(tag: str, b: float) -> str:
+        uu = u(tag)
+        return (
+            f"(-{b} * sign({uu} - 0.5) * ln(1.0 - 2.0 * abs({uu} - 0.5)))"
+        )
+
+    cols = [gl, f"round(CAST(count(*) AS DOUBLE) + {lap('n', 1.0 / eps_each)}, {round_to}) AS n_dp"]
+    if sum_expr is not None:
+        clip = f"greatest(0.0, least(CAST({sum_expr} AS DOUBLE), {float(sum_bound)}))"
+        ssum = (
+            f"CAST(sum(CAST(round({clip} * 1000000, 0) AS BIGINT)) AS BIGINT)"
+            f" / 1000000.0"
+        )
+        cols.append(
+            f"round({ssum} + {lap('s', float(sum_bound) / eps_each)}, {round_to}) AS sum_dp"
+        )
+    return (
+        f"SELECT {', '.join(cols)} FROM ({inner_sql}) GROUP BY {gl}"
+    )

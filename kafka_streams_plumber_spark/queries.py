@@ -3283,6 +3283,123 @@ def q_salted(spark, sf_dir):
     )
 
 
+@query(
+    "q_expectations",
+    """
+    WITH m AS (
+      SELECT
+        round(CAST(count(l_quantity) AS DOUBLE) / count(*), 6) AS m0,
+        round(CAST(count(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                         THEN 1 END) AS DOUBLE)
+              / count(l_quantity), 6) AS m1,
+        round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+              / count(*), 6) AS m2,
+        round(CAST(sum(CAST(round(l_extendedprice * 1000000, 0) AS BIGINT))
+                   AS BIGINT) / 1000000.0
+              / count(l_extendedprice), 6) AS m3,
+        round(CAST(count(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                         THEN 1 END) AS DOUBLE)
+              / count(l_returnflag), 6) AS m4
+      FROM lineitem
+    )
+    SELECT 'qty_not_null' AS "check", m0 AS metric, 1.0 AS lo,
+           CAST(NULL AS DOUBLE) AS hi,
+           m0 IS NOT NULL AND m0 >= 1.0 AS ok FROM m
+    UNION ALL
+    SELECT 'qty_in_range', m1, 0.99, CAST(NULL AS DOUBLE),
+           m1 IS NOT NULL AND m1 >= 0.99 FROM m
+    UNION ALL
+    SELECT 'line_key_unique', m2, 1.0, CAST(NULL AS DOUBLE),
+           m2 IS NOT NULL AND m2 >= 1.0 FROM m
+    UNION ALL
+    SELECT 'price_mean_band', m3, 100.0, 100000.0,
+           m3 IS NOT NULL AND m3 >= 100.0 AND m3 <= 100000.0 FROM m
+    UNION ALL
+    SELECT 'flag_domain', m4, 1.0, CAST(NULL AS DOUBLE),
+           m4 IS NOT NULL AND m4 >= 1.0 FROM m
+    """,
+)
+def q_expectations(spark, sf_dir):
+    """Single-pass data-quality suite (operators/expect.py:run_checks):
+    five declarative rules — completeness, range conformance, key
+    uniqueness, mean band, accepted domain — compiled into ONE
+    aggregate over lineitem (map-side combined; one scan regardless of
+    rule count), then unpivoted to a tidy verdict frame."""
+    from kafka_streams_plumber_spark.operators.expect import (
+        accepted_values_rate,
+        distinct_ratio,
+        in_range_rate,
+        mean_of,
+        not_null_rate,
+        run_checks,
+    )
+
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return run_checks(
+        l,
+        [
+            {"name": "qty_not_null", "metric": not_null_rate("l_quantity"), "lo": 1.0},
+            {
+                "name": "qty_in_range",
+                "metric": in_range_rate("l_quantity", 1, 50),
+                "lo": 0.99,
+            },
+            {
+                "name": "line_key_unique",
+                "metric": distinct_ratio("l_orderkey", "l_linenumber"),
+                "lo": 1.0,
+            },
+            {
+                "name": "price_mean_band",
+                "metric": mean_of("l_extendedprice"),
+                "lo": 100.0,
+                "hi": 100_000.0,
+            },
+            {
+                "name": "flag_domain",
+                "metric": accepted_values_rate("l_returnflag", ["A", "N", "R"]),
+                "lo": 1.0,
+            },
+        ],
+    )
+
+
+def _dp_oracle():
+    from kafka_streams_plumber_spark.operators.privacy import (
+        dp_release_oracle_sql,
+    )
+
+    return dp_release_oracle_sql(
+        "SELECT source, n_chars FROM documents",
+        group_cols=["source"],
+        epsilon=1.0,
+        seed=42,
+        sum_expr="n_chars",
+        sum_bound=2000.0,
+    )
+
+
+@query("q_dp_stats", _dp_oracle())
+def q_dp_stats(spark, sf_dir):
+    """Differentially-private per-source release
+    (operators/privacy.py:dp_release): doc counts + clipped char totals
+    under the Laplace mechanism, seeded so the release is reproducible
+    and oracle-checkable (secret-seed caveat documented in the module).
+    One map-combinable grouped aggregate; noise is a scalar expression
+    on the group-cardinality frame."""
+    from kafka_streams_plumber_spark.operators.privacy import dp_release
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return dp_release(
+        d.select("source", "n_chars"),
+        group_cols=["source"],
+        epsilon=1.0,
+        seed=42,
+        sum_col="n_chars",
+        sum_bound=2000.0,
+    )
+
+
 def _zorder_oracle():
     from kafka_streams_plumber_spark.plans.scale import zorder_key_sql
 
