@@ -71,6 +71,57 @@ def mean_of(col: str) -> Column:
     return F.sum(sv) / 1_000_000.0 / F.count(sv)
 
 
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: ``(column, dtype, null_rate, n_distinct,
+    min, max, mean)`` — the exploration twin of :func:`run_checks`.
+
+    Every statistic is an aggregate expression in ONE ``df.agg`` (exact
+    distinct counts via the Expand-based multi-distinct plan — still a
+    single scan). min/max are stringified so mixed-type tables fit one
+    tidy frame; ``mean`` is scaled-long (order-proof) and NULL for
+    non-numeric columns. NULL-rate of an empty frame is NULL, matching
+    :func:`run_checks`'s fail-closed stance.
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(
+            (1 - F.count(col) / F.count(F.lit(1))).alias(f"_null{i}")
+        )
+        aggs.append(F.count_distinct(col).alias(f"_nd{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"_min{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"_max{i}"))
+        if dtypes[c].startswith(_NUMERIC):
+            sv = F.round(col * 1_000_000).cast("bigint")
+            aggs.append(
+                (F.sum(sv) / 1_000_000.0 / F.count(sv)).alias(f"_mean{i}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_mean{i}"))
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(dtypes[c]).alias("dtype"),
+            F.round(F.col(f"_null{i}"), 6).alias("null_rate"),
+            F.col(f"_nd{i}").alias("n_distinct"),
+            F.col(f"_min{i}").alias("min"),
+            F.col(f"_max{i}").alias("max"),
+            F.round(F.col(f"_mean{i}"), 6).alias("mean"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.column", "r.dtype", "r.null_rate", "r.n_distinct",
+        "r.min", "r.max", "r.mean",
+    )
+
+
 def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     """Evaluate every rule in ONE aggregate pass.
 

@@ -3364,6 +3364,49 @@ def q_expectations(spark, sf_dir):
     )
 
 
+@query(
+    "q_profile",
+    """
+    WITH m AS (
+      SELECT
+        round(1 - CAST(count(o_orderkey) AS DOUBLE) / count(*), 6) AS null0,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd0,
+        CAST(min(o_orderkey) AS VARCHAR) AS mn0,
+        CAST(max(o_orderkey) AS VARCHAR) AS mx0,
+        round(CAST(sum(CAST(round(o_orderkey * 1000000, 0) AS BIGINT))
+                   AS BIGINT) / 1000000.0 / count(o_orderkey), 6) AS mean0,
+        round(1 - CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS null1,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd1,
+        CAST(min(o_custkey) AS VARCHAR) AS mn1,
+        CAST(max(o_custkey) AS VARCHAR) AS mx1,
+        round(CAST(sum(CAST(round(o_custkey * 1000000, 0) AS BIGINT))
+                   AS BIGINT) / 1000000.0 / count(o_custkey), 6) AS mean1,
+        round(1 - CAST(count(o_orderpriority) AS DOUBLE) / count(*), 6) AS null2,
+        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd2,
+        CAST(min(o_orderpriority) AS VARCHAR) AS mn2,
+        CAST(max(o_orderpriority) AS VARCHAR) AS mx2,
+        CAST(NULL AS DOUBLE) AS mean2
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, null0 AS null_rate,
+           nd0 AS n_distinct, mn0 AS "min", mx0 AS "max", mean0 AS mean FROM m
+    UNION ALL
+    SELECT 'o_custkey', 'bigint', null1, nd1, mn1, mx1, mean1 FROM m
+    UNION ALL
+    SELECT 'o_orderpriority', 'string', null2, nd2, mn2, mx2, mean2 FROM m
+    """,
+)
+def q_profile(spark, sf_dir):
+    """One-pass column profiling (operators/expect.py:profile): null
+    rate, exact distinct count, min/max, order-proof mean per column,
+    all riding ONE aggregate (multi-distinct Expand plan — still a
+    single scan of orders)."""
+    from kafka_streams_plumber_spark.operators.expect import profile
+
+    o = load_tables(spark, sf_dir)["orders"]
+    return profile(o, ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+
 def _dp_oracle():
     from kafka_streams_plumber_spark.operators.privacy import (
         dp_release_oracle_sql,

@@ -150,3 +150,35 @@ def test_run_checks_is_one_scan_no_python(spark):
     p = plan_string(out)
     assert p.count("HashAggregate") == 2
     assert p.count("Range") == 1
+
+
+def test_profile_exact_stats(spark):
+    from kafka_streams_plumber_spark.operators.expect import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (2, None, 30.0)],
+        "k long, s string, v double",
+    )
+    out = {r["column"]: r for r in profile(df).collect()}
+    assert out["k"]["null_rate"] == 0.0 and out["k"]["n_distinct"] == 2
+    assert (out["k"]["min"], out["k"]["max"]) == ("1", "2")
+    assert out["k"]["mean"] == round(5 / 3, 6)
+    assert out["s"]["null_rate"] == round(1 / 3, 6)
+    assert out["s"]["mean"] is None  # non-numeric
+    assert out["v"]["mean"] == 20.0 and out["v"]["n_distinct"] == 2
+    assert out["v"]["dtype"] == "double"
+
+
+def test_profile_single_scan(spark):
+    from kafka_streams_plumber_spark.operators.expect import profile
+    from kafka_streams_plumber_spark.plans.inspect import (
+        plan_string,
+        python_eval_count,
+    )
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    )
+    out = profile(df)
+    assert python_eval_count(out) == 0
+    assert plan_string(out).count("Range") == 1
