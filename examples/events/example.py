@@ -8,10 +8,14 @@ scale-designed operator from this repo:
   1. sessionization      (streaming/stateful.py:sessionize_batch —
                           same code path the streaming job runs)
   2. ordered funnel       (behavior.funnel: per-stage conditional min)
-  3. weekly cohorts       (behavior.cohort_retention)
-  4. traffic resample     (behavior.gap_fill: 6 h buckets, forward fill)
-  5. anomaly scan         (behavior.rolling_zscore: |z| > 3 flags)
-  6. journey map          (behavior.event_transitions: Markov matrix)
+  3. windowed funnel      (behavior.funnel within_ms: exact any-chain
+                          feasible-set recurrence — retries count)
+  4. attribution          (attribution.attribute_conversions:
+                          last-touch window pass + linear split)
+  5. weekly cohorts       (behavior.cohort_retention)
+  6. traffic resample     (behavior.gap_fill: 6 h buckets, forward fill)
+  7. anomaly scan         (behavior.rolling_zscore: |z| > 3 flags)
+  8. journey map          (behavior.event_transitions: Markov matrix)
 
 Run: python examples/events/example.py [sf_dir]
 (defaults to /root/testdata/sf0.001).
@@ -28,6 +32,9 @@ sys.path.insert(
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from kafka_streams_plumber_spark.operators.attribution import (
+    attribute_conversions,
+)
 from kafka_streams_plumber_spark.operators.behavior import (
     cohort_retention,
     event_transitions,
@@ -49,6 +56,32 @@ def main(sf_dir: str) -> None:
 
     print("== funnel: signup -> view -> click -> purchase")
     funnel(events, ["signup", "view", "click", "purchase"]).show()
+
+    print("== funnel with a 6 h per-step conversion window (exact any-chain)")
+    funnel(
+        events,
+        ["signup", "view", "click", "purchase"],
+        within_ms=6 * 3600 * 1000,
+    ).show()
+
+    print("== last-touch attribution of purchase value (24 h lookback)")
+    attribute_conversions(
+        events,
+        conversion_type="purchase",
+        touch_types=["signup", "view", "click"],
+        model="last_touch",
+        lookback_ms=86_400_000,
+    ).orderBy(F.desc("attributed_value")).show()
+
+    print("== linear-split attribution (same lookback)")
+    attribute_conversions(
+        events,
+        conversion_type="purchase",
+        touch_types=["signup", "view", "click"],
+        model="linear",
+        lookback_ms=86_400_000,
+        conv_id_col="event_id",
+    ).orderBy(F.desc("attributed_value")).show()
 
     print("== weekly cohort retention (users by signup week x offset)")
     cohort_retention(events, granularity="week").orderBy(
