@@ -111,7 +111,10 @@ def lm_score(
     vocab = (
         lm.select(F.col("w1").alias("t"))
         .union(lm.select(F.col("w2").alias("t")))
-        .agg(F.count_distinct("t").cast("double").alias("v"))
+        # an EMPTY model (nothing survived training/min_count) would put
+        # k * 0 in the denominator; clamping V to 1 degrades gracefully
+        # to the uniform-smoothing score instead of div-by-zero garbage
+        .agg(F.greatest(F.count_distinct("t").cast("double"), F.lit(1.0)).alias("v"))
     )
     model = lm
     if broadcast_threshold is not None and lm.count() <= broadcast_threshold:
@@ -181,7 +184,7 @@ def lm_oracle_sql(
     ),
     ctx AS (SELECT w1, CAST(sum(pairs) AS BIGINT) AS ctx FROM lm GROUP BY w1),
     vocab AS (
-      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      SELECT greatest(CAST(count(DISTINCT tok) AS DOUBLE), 1.0) AS v
       FROM (SELECT w1 AS tok FROM lm UNION ALL SELECT w2 FROM lm)
     ),
     scored AS (

@@ -63,3 +63,14 @@ def test_lm_score_gated_broadcast_regimes_agree(spark):
         for r in rows
     )
     assert norm(bc) == norm(shuffled)
+
+
+def test_lm_score_empty_model_degrades_gracefully(spark):
+    # min_count prunes EVERYTHING: scoring must fall back to uniform
+    # smoothing (finite perplexity), never divide by a zero vocabulary
+    train = _docs(spark, [(1, "a b")])
+    model = lm_train(train, min_count=99)
+    assert model.count() == 0
+    [row] = lm_score(_docs(spark, [(1, "x y")]), model).collect()
+    # p = k / (0 + k*1) = 1 -> logp 0 -> perplexity 1
+    assert row["perplexity"] == 1.0 and row["avg_logp"] == 0.0
