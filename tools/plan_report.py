@@ -71,6 +71,9 @@ AUDITED = {
     "q_attrib_linear": "type-filtered user-keyed join; exact integer split; map-combinable aggs",
     "q_lm_ppl": "in-array bigrams; gated model broadcast; scaled-long per-doc sums",
     "q_zorder": "Morton interleave: pure shift/mask projection, zero exchanges",
+    "q_dp_stats": "one grouped aggregate; noise is scalar exprs on the group frame",
+    "q_expectations": "all rules ride ONE aggregate pass (single scan)",
+    "q_profile": "per-column stats in one multi-distinct aggregate (single scan)",
 }
 
 
