@@ -18,6 +18,13 @@ Run: python examples/crawl/example.py [warc_glob] [out_dir]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+)
+
 import sys
 
 from pyspark.sql import Window

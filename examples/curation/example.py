@@ -4,7 +4,9 @@ The canonical LLM-data pipeline, each stage a scale-designed operator
 from this repo:
 
   1. near-dup removal       (dedup.minhash_dedup: LSH pairs -> greedy kill)
-  2. quality gate           (text.gopher_rules: expression-only heuristics)
+  2. quality gate           (text.gopher_rules: expression-only heuristics,
+                             then lm.lm_train/lm_score: bigram-perplexity
+                             band — the CCNet-style statistical filter)
   3. classifier resampling  (classify.nb_train/nb_score +
                              sampling.importance_sample — the DSIR step)
   4. decontamination        (dedup.decontaminate: broadcast gram set)
@@ -25,15 +27,21 @@ Run: python examples/curation/example.py [sf_dir] [out_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
-from pyspark.sql import functions as F
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from kafka_streams_plumber_spark.operators.classify import nb_score, nb_train
 from kafka_streams_plumber_spark.operators.dedup import (
     decontaminate,
     minhash_dedup,
 )
+from kafka_streams_plumber_spark.operators.lm import lm_score, lm_train
 from kafka_streams_plumber_spark.operators.ordering import global_order
 from kafka_streams_plumber_spark.operators.packing import pack_sequences
 from kafka_streams_plumber_spark.operators.sampling import (
@@ -42,7 +50,10 @@ from kafka_streams_plumber_spark.operators.sampling import (
 )
 from kafka_streams_plumber_spark.operators.text import gopher_rules, token_count
 from kafka_streams_plumber_spark.plans.observe import PipelineLedger
-from kafka_streams_plumber_spark.plans.scale import write_partitioned
+from kafka_streams_plumber_spark.plans.scale import (
+    truncate_lineage,
+    write_partitioned,
+)
 from kafka_streams_plumber_spark.plans.session import get_spark, load_tables
 
 
@@ -57,11 +68,24 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, dict]:
     docs = minhash_dedup(docs, "text", "doc_id", threshold=0.5)
     docs = ledger.checkpoint(docs, "after_dedup", persist=True)
 
-    # 2. quality gate
+    # 2. quality gate: heuristics first (cheap, expression-only), then a
+    #    bigram-LM perplexity band — the model trains on the heuristic
+    #    survivors and cuts the most- and least-model-like tails
     docs = (
         docs.withColumn("_g", gopher_rules("text"))
         .filter(F.col("_g.passed"))
         .drop("_g")
+    )
+    # the LM stage references `docs` three times (train, score, join);
+    # sever the LSH-dedup lineage first or the analyzer re-expands that
+    # self-join plan once per reference
+    docs = truncate_lineage(docs)
+    model = lm_train(docs, min_count=2)
+    ppl = lm_score(docs, model).select("doc_id", "perplexity")
+    docs = (
+        docs.join(ppl, "doc_id")
+        .filter(F.col("perplexity").isNotNull() & (F.col("perplexity") < 2000))
+        .drop("perplexity")
     )
     docs = ledger.checkpoint(docs, "after_quality", persist=True)
 
