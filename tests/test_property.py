@@ -653,3 +653,35 @@ def test_last_touch_attribution_matches_bruteforce(spark, evs):
         want[ch][1] += c
     want = {k: (n, round(v / 100.0, 6)) for k, (n, v) in want.items()}
     assert got == want, (evs, got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_key_matches_python_interleave(spark, pts):
+    from kafka_streams_plumber_spark.plans.scale import zorder_key
+
+    def ref(x, y, bits=10):
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = [
+        (r["x"], r["y"], r["z"])
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=10).alias("z")
+        ).collect()
+    ]
+    for x, y, z in got:
+        assert z == ref(x, y), (x, y, z)
