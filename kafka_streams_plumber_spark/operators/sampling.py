@@ -178,6 +178,50 @@ def group_split(
     return hash_split(df, group_col, fractions=fractions, split_col=split_col)
 
 
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    train_frac: float = 0.8,
+    embargo_ms: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-ordered train/val split with an embargo gap — the
+    leakage-safe split for anything autocorrelated in time (market
+    data, telemetry, interaction logs), where a hash split would let
+    the model peek across the boundary.
+
+    The cutoff is the exact ``train_frac`` quantile of the timestamp
+    (interpolated like quantile_cont, the repo-wide exact-percentile
+    parity). Rows at-or-before the cutoff are ``train``; rows inside
+    ``(cutoff, cutoff + embargo_ms]`` are DROPPED (label horizons that
+    straddle the boundary leak future into train — the embargo removes
+    them); later rows are ``val``.
+
+    Plan: one exact-percentile aggregate (broadcast back as a one-row
+    literal frame) plus a pure filter/projection — the fact table is
+    never shuffled.
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError("train_frac must be in (0, 1)")
+    tms = F.unix_millis(F.col(ts_col))
+    cut = df.agg(
+        F.percentile(tms, F.lit(train_frac)).alias("_cut")
+    )
+    out = df.crossJoin(F.broadcast(cut))
+    t = tms
+    return (
+        out.withColumn(
+            split_col,
+            F.when(t <= F.col("_cut"), F.lit("train")).when(
+                t > F.col("_cut") + embargo_ms, F.lit("val")
+            ),
+        )
+        .where(F.col(split_col).isNotNull())
+        .drop("_cut")
+    )
+
+
 def importance_sample(
     df: DataFrame,
     score_col: str,

@@ -3284,6 +3284,30 @@ def q_salted(spark, sf_dir):
 
 
 @query(
+    "q_temporal_split",
+    """
+    WITH c AS (SELECT quantile_cont(epoch_ms(ts), 0.8) AS cut FROM events)
+    SELECT event_id,
+           CASE WHEN epoch_ms(ts) <= cut THEN 'train'
+                WHEN epoch_ms(ts) > cut + 86400000 THEN 'val' END AS split
+    FROM events, c
+    WHERE epoch_ms(ts) <= cut OR epoch_ms(ts) > cut + 86400000
+    """,
+)
+def q_temporal_split(spark, sf_dir):
+    """Leakage-safe temporal split (operators/sampling.py:
+    temporal_split): exact 0.8-quantile cutoff, 24 h embargo dropped
+    between train and val. One exact-percentile aggregate broadcast
+    back; the event table itself is never shuffled."""
+    from kafka_streams_plumber_spark.operators.sampling import temporal_split
+
+    e = load_tables(spark, sf_dir)["events"]
+    return temporal_split(
+        e, "ts", train_frac=0.8, embargo_ms=86_400_000
+    ).select("event_id", "split")
+
+
+@query(
     "q_expectations",
     """
     WITH m AS (

@@ -305,3 +305,49 @@ def test_temperature_never_upsamples(spark):
     a = sorted(r["id"] for r in out.collect())
     b = sorted(r["id"] for r in temperature_mix(df.repartition(7), "id", "s", tau=3.0).collect())
     assert a == b
+
+
+def test_temporal_split_embargo_gap(spark):
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.operators.sampling import temporal_split
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = temporal_split(
+        df, "ts", train_frac=0.5, embargo_ms=2 * 3600 * 1000
+    ).collect()
+    got = {r["id"]: r["split"] for r in out}
+    # 0.5-quantile of hours 0..9 = 4.5h -> train = ids 0..4;
+    # embargo (4.5h, 6.5h] drops ids 5 and 6; val = ids 7..9
+    assert {i for i, s in got.items() if s == "train"} == {0, 1, 2, 3, 4}
+    assert {i for i, s in got.items() if s == "val"} == {7, 8, 9}
+    assert 5 not in got and 6 not in got
+
+
+def test_temporal_split_no_embargo_partitions_everything(spark):
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.operators.sampling import temporal_split
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = temporal_split(df, "ts", train_frac=0.75).collect()
+    assert len(out) == 20  # nothing dropped without an embargo
+    splits = {r["id"]: r["split"] for r in out}
+    # every train row precedes every val row in time
+    max_train = max(i for i, s in splits.items() if s == "train")
+    min_val = min(i for i, s in splits.items() if s == "val")
+    assert max_train < min_val
+
+
+def test_temporal_split_validates_fraction(spark):
+    import pytest as _pytest
+
+    from kafka_streams_plumber_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="train_frac"):
+        temporal_split(df, "id", train_frac=1.5)
