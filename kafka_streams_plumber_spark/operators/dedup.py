@@ -629,3 +629,99 @@ def decontaminate_spans(
         F.count("*").alias("n_spans"),
         F.sum(F.col("_e") - F.col("_s")).cast("long").alias("covered_tokens"),
     )
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    dim: int = 64,
+    threshold: float = 0.8,
+    exact: bool = True,
+    checkpoint_dir: str | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end no-model semantic dedup: hashing-trick embeddings ->
+    cosine near-dup pairs -> connected components -> one canonical
+    representative per cluster (min id). Returns every input doc with
+    ``cluster_id`` and ``keep`` columns, like
+    :func:`...graph.dedup_clusters` (cluster-then-keep, transitive —
+    unlike :func:`minhash_dedup`'s greedy pairwise kill, a near-dup of
+    a near-dup of the representative is also dropped).
+
+    ``exact=True`` (the oracle-gated baseline): integer bucket counts
+    (``hash_embed(normalize=False)``), all-pairs dot product as ONE
+    fixed-order fold, cosine as one double expression — quadratic, for
+    validation corpora. ``exact=False`` is the 100 TB path: the same
+    embedding L2-normalized through :func:`...similarity.
+    embedding_dup_pairs` (multi-table sign-LSH, capped buckets,
+    candidates-only verification); extra ``lsh_kwargs`` (n_planes,
+    n_tables, seed, max_bucket_size) pass through.
+
+    ``checkpoint_dir`` makes the component iteration executor-loss
+    tolerant (long cluster runs).
+    """
+    from kafka_streams_plumber_spark.operators.graph import dedup_clusters
+    from kafka_streams_plumber_spark.operators.similarity import (
+        embedding_dup_pairs,
+        hash_embed,
+    )
+
+    if exact:
+        e = (
+            docs.select(
+                F.col(id_col),
+                hash_embed(text_col, dim=dim, normalize=False).alias("_v"),
+            )
+            .withColumn(
+                "_ss",
+                F.aggregate(
+                    F.transform(F.col("_v"), lambda x: x * x),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .filter(F.col("_ss") > 0)
+        )
+        a = e.select(
+            F.col(id_col).alias("a_id"),
+            F.col("_v").alias("_va"),
+            F.col("_ss").alias("_sa"),
+        )
+        b = e.select(
+            F.col(id_col).alias("b_id"),
+            F.col("_v").alias("_vb"),
+            F.col("_ss").alias("_sb"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / (
+            F.sqrt(F.col("_sa").cast("double"))
+            * F.sqrt(F.col("_sb").cast("double"))
+        )
+        pairs = (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("_cos", cos)
+            .filter(F.col("_cos") >= threshold)
+            .select("a_id", "b_id")
+        )
+    else:
+        emb = docs.select(
+            F.col(id_col), hash_embed(text_col, dim=dim, normalize=True).alias("_v")
+        )
+        pairs = embedding_dup_pairs(
+            emb,
+            id_col=id_col,
+            vec_col="_v",
+            dim=dim,
+            threshold=threshold,
+            **lsh_kwargs,
+        ).select(F.col("a_id"), F.col("b_id"))
+
+    return dedup_clusters(
+        docs, pairs, id_col, checkpoint_dir=checkpoint_dir
+    )

@@ -5194,6 +5194,76 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "q_semantic_keep",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS idx,
+             (('0x' || substr(md5(t), 9, 1))::BIGINT % 2) * 2 - 1 AS sign
+      FROM toks
+    ),
+    sparse AS (
+      SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS v
+      FROM hashed GROUP BY doc_id, idx HAVING sum(sign) <> 0
+    ),
+    ssq AS (
+      SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS ss
+      FROM sparse GROUP BY doc_id HAVING sum(v * v) > 0
+    ),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(sum(a.v * b.v) AS BIGINT) AS d
+      FROM sparse a JOIN sparse b USING (idx)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM dots
+      JOIN ssq sa ON sa.doc_id = a_id
+      JOIN ssq sb ON sb.doc_id = b_id
+      WHERE d / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) >= 0.8
+    ),
+    adj AS (
+      SELECT a_id AS s, b_id AS dd FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT s, s FROM adj
+      UNION
+      SELECT adj.s, reach.comp FROM adj JOIN reach ON adj.dd = reach.node
+    ),
+    comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.component, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    """,
+)
+def q_semantic_keep(spark, sf_dir):
+    """End-to-end semantic dedup (operators/dedup.py:semantic_dedup):
+    hash_embed integer bucket counts -> exact cosine near-dup pairs ->
+    connected components -> min-id representative per cluster
+    (transitive keep, unlike minhash_dedup's greedy pairwise kill).
+    Exact baseline under the gate; ``exact=False`` flips the pair
+    finder to the sign-LSH scale path with identical downstream
+    clustering. The oracle replays the embedding, the cosine gate,
+    and the component fixpoint (recursive CTE)."""
+    from kafka_streams_plumber_spark.operators.dedup import semantic_dedup
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return semantic_dedup(d, "text", "doc_id", dim=64, threshold=0.8).select(
+        "doc_id", "cluster_id", "keep"
+    )
+
+
 # =========================================================================
 # k-anonymity audit (operators/stats.py:k_anonymity)
 # =========================================================================

@@ -157,3 +157,50 @@ def test_simhash_md5_mode_finds_same_near_dups(spark):
         }
         assert (1, 2) in pairs, mode
         assert (1, 3) not in pairs and (2, 3) not in pairs, mode
+
+
+def test_semantic_dedup_transitive_keep(spark):
+    """A near-dup chain a~b, b~c clusters all three even if a!~c
+    directly (transitive), and only the min id survives."""
+    from kafka_streams_plumber_spark.operators.dedup import semantic_dedup
+
+    a = BASE
+    b = BASE.replace("lazy", "sleepy").replace("quick", "fast")
+    c = (
+        BASE.replace("lazy", "sleepy")
+        .replace("quick", "fast")
+        .replace("brown", "red")
+        .replace("sun", "moon")
+    )
+    rows = [(10, a), (11, b), (12, c), (13, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = semantic_dedup(docs, "text", "doc_id", dim=64, threshold=0.8)
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)
+    assert got[12] == (10, False)
+    assert got[13] == (13, True)
+
+
+def test_semantic_dedup_lsh_path_matches_exact(spark):
+    """exact=False (sign-LSH candidates) recovers the same clusters as
+    the exact baseline on a corpus of well-separated near-dup groups."""
+    from kafka_streams_plumber_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),
+        (2, OTHER),
+        (3, OTHER.replace("spark", "flink")),
+        (4, "tiny unrelated doc about cooking pasta with garlic and olive oil"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = semantic_dedup(docs, "text", "doc_id", threshold=0.8)
+    lsh = semantic_dedup(
+        docs, "text", "doc_id", threshold=0.8, exact=False,
+        n_planes=8, n_tables=8,
+    )
+    e = sorted(map(tuple, exact.select("doc_id", "cluster_id", "keep").collect()))
+    l = sorted(map(tuple, lsh.select("doc_id", "cluster_id", "keep").collect()))
+    assert e == l
+    assert sum(1 for (_, _, k) in e if k) == 3
