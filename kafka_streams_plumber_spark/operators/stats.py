@@ -421,3 +421,82 @@ def equi_depth_histogram(
             F.count("*").alias("cnt"),
         )
     )
+
+
+def ab_test(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    converted_col: str,
+    *,
+    control: str | None = None,
+) -> DataFrame:
+    """Two-proportion z-test per experiment arm vs the control arm.
+
+    ``df`` is event- or unit-grain; rows are first collapsed to one row
+    per (unit, variant) with ``converted = max(converted_col)`` (a unit
+    converts if ANY of its rows did), then each variant collapses to
+    (n_units, n_converted). Every non-control arm is joined against the
+    control row and scored:
+
+    - ``rate_c`` / ``rate_t`` — conversion rates,
+    - ``lift`` — ``rate_t - rate_c``,
+    - ``z`` — pooled two-proportion z statistic
+      ``(p_t - p_c) / sqrt(p(1-p)(1/n_c + 1/n_t))`` with the pooled
+      ``p = (x_c + x_t) / (n_c + n_t)``; NULL when a pooled-variance
+      term is zero (all-converted / none-converted arms).
+
+    |z| >= 1.96 is the usual 95 % two-sided significance bar; the
+    statistic is left un-thresholded so callers pick their own alpha.
+
+    ``control`` defaults to the lexicographically-first variant name
+    (deterministic without configuration), resolved in-frame — no
+    driver round-trip.
+
+    Scale: two map-combinable aggregates (unit collapse shuffles the
+    unit key once; variant collapse is O(arms)) and an O(arms) join —
+    the fact table is never shuffled wide. All doubles are single
+    fixed-order expressions over exact integer counts, rounded to 6 dp,
+    so any SQL engine replays them bit-for-bit.
+    """
+    units = df.groupBy(unit_col, variant_col).agg(
+        F.max(F.col(converted_col).cast("int")).alias("_conv")
+    )
+    arms = units.groupBy(variant_col).agg(
+        F.count("*").alias("n"),
+        F.sum("_conv").cast("long").alias("x"),
+    )
+    if control is None:
+        # one-row frame broadcast into both filters: arms is O(arms)
+        ctrl = arms.agg(F.min(variant_col).alias("_ctrl"))
+        tagged = arms.crossJoin(F.broadcast(ctrl))
+    else:
+        tagged = arms.withColumn("_ctrl", F.lit(control))
+    c = tagged.filter(F.col(variant_col) == F.col("_ctrl")).select(
+        F.col("n").alias("n_c"), F.col("x").alias("x_c")
+    )
+    t = tagged.filter(F.col(variant_col) != F.col("_ctrl")).select(
+        F.col(variant_col).alias("variant"),
+        F.col("n").alias("n_t"),
+        F.col("x").alias("x_t"),
+    )
+    out = t.crossJoin(F.broadcast(c))
+    p_c = F.col("x_c") / F.col("n_c")
+    p_t = F.col("x_t") / F.col("n_t")
+    pooled = (F.col("x_c") + F.col("x_t")) / (F.col("n_c") + F.col("n_t"))
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+    )
+    return out.select(
+        "variant",
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.round(p_c, 6).alias("rate_c"),
+        F.round(p_t, 6).alias("rate_t"),
+        F.round(p_t - p_c, 6).alias("lift"),
+        F.round(
+            F.when(se > 0.0, (p_t - p_c) / se).otherwise(F.lit(None)), 6
+        ).alias("z"),
+    )

@@ -6613,6 +6613,62 @@ def q_source_overlap(spark, sf_dir):
     return SS.source_overlap_matrix(d, threshold=0.85)
 
 
+@query(
+    "q_ab_test",
+    """
+    WITH units AS (
+      SELECT user_id,
+             CASE WHEN (user_id % 2147483648) * 2654435761 % 2147483648 % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS x
+      FROM units GROUP BY 1
+    ),
+    ctrl AS (SELECT min(variant) AS c FROM arms)
+    SELECT t.variant,
+           c.n AS n_c, c.x AS x_c, t.n AS n_t, t.x AS x_t,
+           round(c.x / CAST(c.n AS DOUBLE), 6) AS rate_c,
+           round(t.x / CAST(t.n AS DOUBLE), 6) AS rate_t,
+           round(t.x / CAST(t.n AS DOUBLE) - c.x / CAST(c.n AS DOUBLE), 6)
+             AS lift,
+           round(CASE WHEN sqrt((c.x + t.x) / CAST(c.n + t.n AS DOUBLE)
+                        * (1 - (c.x + t.x) / CAST(c.n + t.n AS DOUBLE))
+                        * (1.0 / c.n + 1.0 / t.n)) > 0
+                      THEN (t.x / CAST(t.n AS DOUBLE) - c.x / CAST(c.n AS DOUBLE))
+                           / sqrt((c.x + t.x) / CAST(c.n + t.n AS DOUBLE)
+                                  * (1 - (c.x + t.x) / CAST(c.n + t.n AS DOUBLE))
+                                  * (1.0 / c.n + 1.0 / t.n))
+                 END, 6) AS z
+    FROM arms t
+    JOIN ctrl ON t.variant <> ctrl.c
+    JOIN arms c ON c.variant = ctrl.c
+    """,
+)
+def q_ab_test(spark, sf_dir):
+    """Two-proportion z-test (operators/stats.py:ab_test): deterministic
+    id-hash variant assignment over users, conversion = any purchase
+    event. Unit collapse + O(arms) arm collapse + broadcast control row;
+    the z statistic is one fixed-order double expression over exact
+    integer counts, so the oracle replays it bit-for-bit."""
+    from kafka_streams_plumber_spark.operators.stats import ab_test
+
+    e = load_tables(spark, sf_dir)["events"]
+    df = e.select(
+        "user_id",
+        F.when(
+            (F.col("user_id") % 2147483648) * 2654435761 % 2147483648 % 2 == 0,
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return ab_test(df, "user_id", "variant", "converted")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -249,3 +249,58 @@ def test_equi_depth_grouped(spark):
         by_g.setdefault(r["g"], []).append(r["cnt"])
     assert sum(by_g["a"]) == 100 and sum(by_g["b"]) == 50
     assert all(abs(c - 20) <= 1 for c in by_g["a"])
+
+
+def test_ab_test_hand_computed(spark):
+    """z matches the textbook pooled two-proportion statistic."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import ab_test
+
+    # control: 2/4 convert; treatment: 3/4 convert (unit grain, one row each)
+    rows = [
+        ("u%d" % i, "a_control", i < 2) for i in range(4)
+    ] + [
+        ("v%d" % i, "b_treat", i < 3) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "unit string, variant string, conv boolean")
+    out = ab_test(df, "unit", "variant", "conv").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["variant"], r["n_c"], r["x_c"], r["n_t"], r["x_t"]) == (
+        "b_treat", 4, 2, 4, 3,
+    )
+    p = 5 / 8
+    se = math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert r["z"] == round((0.75 - 0.5) / se, 6)
+    assert r["lift"] == 0.25
+
+
+def test_ab_test_unit_collapse_and_multi_arm(spark):
+    """Event-grain rows collapse to units (any-conversion); every
+    non-control arm scores against the explicit control."""
+    from kafka_streams_plumber_spark.operators.stats import ab_test
+
+    rows = [
+        ("u1", "ctl", False), ("u1", "ctl", True),   # converts
+        ("u2", "ctl", False),
+        ("t1", "arm_x", True), ("t2", "arm_x", True),
+        ("t3", "arm_y", False), ("t4", "arm_y", False),
+    ]
+    df = spark.createDataFrame(rows, "unit string, variant string, conv boolean")
+    out = {r["variant"]: r for r in ab_test(
+        df, "unit", "variant", "conv", control="ctl").collect()}
+    assert set(out) == {"arm_x", "arm_y"}
+    assert (out["arm_x"]["n_c"], out["arm_x"]["x_c"]) == (2, 1)
+    assert (out["arm_x"]["n_t"], out["arm_x"]["x_t"]) == (2, 2)
+    assert (out["arm_y"]["n_t"], out["arm_y"]["x_t"]) == (2, 0)
+
+
+def test_ab_test_degenerate_variance_is_null(spark):
+    """All units converted in both arms -> pooled variance 0 -> z NULL."""
+    from kafka_streams_plumber_spark.operators.stats import ab_test
+
+    rows = [("u1", "a", True), ("u2", "b", True)]
+    df = spark.createDataFrame(rows, "unit string, variant string, conv boolean")
+    r = ab_test(df, "unit", "variant", "conv").collect()[0]
+    assert r["z"] is None and r["lift"] == 0.0
