@@ -319,3 +319,102 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    *,
+    weight: str | None = None,
+    iterations: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own community; each round it adopts the label with
+    the largest total (weighted) presence among its neighbors, ties
+    broken by MIN label. Returns (node, label).
+
+    Fixed ``iterations`` synchronous rounds + the min tie-break make
+    the fixpoint fully deterministic and oracle-replayable (the
+    :func:`label_propagation_oracle_sql` builder unrolls the identical
+    rounds as chained CTEs) — asynchronous LPA's update-order
+    dependence is exactly what a distributed engine cannot reproduce.
+
+    ``weight`` must be an integer column when given (exact argmax; a
+    float weight would make the max comparison summation-order
+    sensitive). Edges are mirrored internally (undirected); passing an
+    already-symmetric edge set just doubles every neighbor weight,
+    which cannot change any argmax.
+
+    Scale: each round is two map-combinable aggregates (neighbor-label
+    counts on (node, label); per-node max) plus one equi-join — the
+    standard distributed-LPA shape; shuffles carry (id, id, count)
+    triples only. Lineage is severed per round (``checkpoint_dir`` for
+    the executor-loss-tolerant variant, see :func:`connected_components`).
+    """
+    w = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w"))
+    adj = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+    )
+    adj = truncate_lineage(adj, checkpoint_dir)
+
+    labels = (
+        adj.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels = truncate_lineage(labels, checkpoint_dir)
+
+    for _ in range(int(iterations)):
+        counts = (
+            adj.join(labels, adj["d"] == labels["node"])
+            .groupBy(F.col("s"), F.col("label"))
+            .agg(F.sum("w").cast("long").alias("c"))
+        )
+        mx = counts.groupBy("s").agg(F.max("c").alias("mc"))
+        labels = (
+            counts.join(mx, "s")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
+        labels = truncate_lineage(labels, checkpoint_dir)
+    return labels.select("node", "label")
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, *, iterations: int = 5
+) -> str:
+    """DuckDB oracle for :func:`label_propagation`: the same synchronous
+    rounds unrolled as chained CTEs (aggregates are not allowed in a
+    recursive CTE member, so unrolling is the portable encoding).
+
+    ``edges_sql`` must select columns (src, dst, w) with integer w.
+    """
+    parts = [
+        f"WITH e AS ({edges_sql}),",
+        "adj AS (SELECT src AS s, dst AS d, w FROM e"
+        " UNION ALL SELECT dst, src, w FROM e),",
+        "l0 AS (SELECT node, node AS label FROM"
+        " (SELECT DISTINCT s AS node FROM adj)),",
+    ]
+    for i in range(int(iterations)):
+        parts.append(
+            f"c{i} AS (SELECT adj.s, l.label,"
+            f" CAST(sum(adj.w) AS BIGINT) AS c"
+            f" FROM adj JOIN l{i} l ON l.node = adj.d GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT s AS node, min(label) AS label FROM c{i}"
+            f" JOIN (SELECT s, max(c) AS mc FROM c{i} GROUP BY s) m"
+            f" USING (s) WHERE c = mc GROUP BY s),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, label FROM l{int(iterations)}")
+    return "\n".join(parts)

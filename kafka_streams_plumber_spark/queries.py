@@ -6669,6 +6669,41 @@ def q_ab_test(spark, sf_dir):
     return ab_test(df, "user_id", "variant", "converted")
 
 
+_LPA_EDGES_SQL = """
+    SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst,
+           CAST(count(*) AS BIGINT) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+"""
+
+
+from kafka_streams_plumber_spark.operators.graph import (  # noqa: E402
+    label_propagation_oracle_sql,
+)
+
+
+@query("q_lpa", label_propagation_oracle_sql(_LPA_EDGES_SQL, iterations=4))
+def q_lpa(spark, sf_dir):
+    """Community detection via synchronous label propagation
+    (operators/graph.py:label_propagation) over the customer<->supplier
+    trade graph (edge weight = lineitems traded). Fixed 4 rounds, min
+    tie-break — the oracle unrolls the identical rounds as chained
+    CTEs."""
+    from kafka_streams_plumber_spark.operators.graph import label_propagation
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .groupBy(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return label_propagation(e, "src", "dst", weight="w", iterations=4)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

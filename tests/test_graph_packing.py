@@ -209,3 +209,49 @@ def test_reliable_checkpoint_paths_match_local(spark, tmp_path):
         ).collect()
     }
     assert pl == pr
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two K4 cliques joined by one weak bridge settle into two
+    communities labeled by their min member (matches a hand-run of the
+    synchronous min-tie-break recurrence, which converges by round 2)."""
+    from itertools import combinations
+
+    from kafka_streams_plumber_spark.operators.graph import label_propagation
+
+    k4a = list(combinations([1, 2, 3, 4], 2))
+    k4b = list(combinations([10, 11, 12, 13], 2))
+    edges = spark.createDataFrame(
+        k4a + k4b + [(4, 10)], "a_id long, b_id long"
+    )
+    out = {r["node"]: r["label"] for r in
+           label_propagation(edges, iterations=5).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_weight_beats_count(spark):
+    """A single heavy edge outvotes two unit edges."""
+    from kafka_streams_plumber_spark.operators.graph import label_propagation
+
+    # node 5's neighbors: 1 (w=10), 2 (w=1), 3 (w=1). After round 1 it
+    # must carry label 1 regardless of the min tie-break.
+    edges = spark.createDataFrame(
+        [(1, 5, 10), (2, 5, 1), (3, 5, 1)], "a_id long, b_id long, w long"
+    )
+    out = {r["node"]: r["label"] for r in
+           label_propagation(edges, weight="w", iterations=1).collect()}
+    assert out[5] == 1
+
+
+def test_label_propagation_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir mode returns the same labeling."""
+    from kafka_streams_plumber_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (3, 4)], "a_id long, b_id long"
+    )
+    fast = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    reliable = sorted(map(tuple, label_propagation(
+        edges, iterations=3, checkpoint_dir=str(tmp_path)).collect()))
+    assert fast == reliable
