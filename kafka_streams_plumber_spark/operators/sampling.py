@@ -394,3 +394,27 @@ def temperature_mix(
         F.broadcast(thresholds), df[strata_col] == F.col("_s"), "inner"
     )
     return out.filter(split_bucket(id_col) < F.col("_thr")).drop("_s", "_thr")
+
+
+def kfold(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: every row gets
+    a ``fold`` in [0, k) from the id-hash — stable across runs,
+    engines, partitionings, and retries, so fold i's train set is
+    reproducible anywhere (`filter(fold != i)` / `filter(fold == i)`).
+
+    Pass a GROUP key (user, domain, dedup cluster id) as ``id_col``
+    for leakage-free grouped CV — correlated rows then never straddle
+    a fold boundary, same rationale as :func:`group_split`. Pure
+    projection; zero shuffles.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        fold_col, split_bucket(id_col, buckets=k).cast("int")
+    )

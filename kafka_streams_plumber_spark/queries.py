@@ -6704,6 +6704,26 @@ def q_lpa(spark, sf_dir):
     return label_propagation(e, "src", "dst", weight="w", iterations=4)
 
 
+@query(
+    "q_kfold",
+    """
+    SELECT doc_id,
+           CAST((doc_id % 2147483648) * 2654435761 % 2147483648 % 5 AS INT)
+             AS fold
+    FROM documents
+    """,
+)
+def q_kfold(spark, sf_dir):
+    """Deterministic 5-fold CV assignment (operators/sampling.py:kfold):
+    fold from the Knuth id-hash — pure projection, zero shuffles,
+    stable across engines/retries; pass a group key for leakage-free
+    grouped CV. The oracle replays the hash arithmetic verbatim."""
+    from kafka_streams_plumber_spark.operators.sampling import kfold
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return kfold(d, "doc_id", k=5).select("doc_id", "fold")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

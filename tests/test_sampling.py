@@ -351,3 +351,36 @@ def test_temporal_split_validates_fraction(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError, match="train_frac"):
         temporal_split(df, "id", train_frac=1.5)
+
+
+def test_kfold_partition_properties(spark):
+    """Folds partition the data, are deterministic, and grouped keys
+    never straddle folds."""
+    from kafka_streams_plumber_spark.operators.sampling import kfold
+
+    rows = [(i, i % 37) for i in range(500)]
+    df = spark.createDataFrame(rows, "row_id long, group_id long")
+    out = kfold(df, "group_id", k=4)
+    assert out.count() == 500  # total preserved
+    folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+    assert folds <= set(range(4)) and len(folds) == 4
+    # a group maps to exactly one fold
+    per_group = (
+        out.groupBy("group_id").agg(F.countDistinct("fold").alias("n")).collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)
+    # deterministic across invocations
+    a = sorted(map(tuple, out.select("row_id", "fold").collect()))
+    b = sorted(map(tuple, kfold(df, "group_id", k=4)
+                   .select("row_id", "fold").collect()))
+    assert a == b
+
+
+def test_kfold_rejects_k1(spark):
+    import pytest as _pt
+
+    from kafka_streams_plumber_spark.operators.sampling import kfold
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pt.raises(ValueError):
+        kfold(df, "id", k=1)
