@@ -160,3 +160,152 @@ def kmeans_inertia(
     return x.select((xx + best).alias("_d")).agg(
         F.round(F.sum("_d"), 6).alias("inertia")
     )
+
+
+def _d2_scaled(a: Column, b: Column, scale: int) -> Column:
+    """Squared L2 distance as an exact integer: per-dimension deltas are
+    rounded to ``scale`` fixed-point BIGINTs before squaring, so the sum
+    is summation-order-proof (the repo-wide scaled-long device) and any
+    SQL engine replays it bit-for-bit."""
+
+    def term(x: Column, y: Column) -> Column:
+        d = F.round((x.cast("double") - y.cast("double")) * scale).cast("long")
+        return d * d
+
+    return F.aggregate(
+        F.zip_with(a, b, term), F.lit(0).cast("long"), lambda acc, t: acc + t
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    scale: int = 1000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection: a maximally-diverse
+    size-``k`` subset of an embedded corpus — the classic 2-approximation
+    coreset for data selection (pick the point farthest from everything
+    chosen so far). Returns one row per selection round:
+    ``(round, center_id, max_min_dist2s)`` where ``max_min_dist2s`` is
+    the scaled-integer squared distance that made the pick (the corpus
+    coverage radius BEFORE the pick; NULL on the seed round).
+
+    Deterministic end to end: the seed is the min id, distances are
+    exact scaled-long squared L2 (:func:`_d2_scaled`), and argmax ties
+    break to the min id — so the whole greedy trajectory replays in SQL
+    (q_kcenter unrolls every round).
+
+    Scale: each round is one full-scan aggregate (map-combinable max of
+    a (dist, -id) struct), one broadcast one-row join to fetch the new
+    center's vector, and one projection updating the running min
+    distance — the corpus is NEVER shuffled, and lineage is severed per
+    round (``checkpoint_dir`` = executor-loss-tolerant variant). k full
+    scans are inherent to greedy k-center; for k beyond ~tens, switch to
+    k-means++ style oversampling (kmeans_fit) instead.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    seed = base.agg(
+        F.min("_id").alias("cid"), F.min_by("_v", "_id").alias("cv")
+    )
+    state = (
+        base.crossJoin(F.broadcast(seed))
+        .select("_id", "_v", _d2_scaled(F.col("_v"), F.col("cv"), scale).alias("_mind"))
+    )
+    state = truncate_lineage(state, checkpoint_dir)
+
+    picks = [
+        seed.select(
+            F.lit(1).alias("round"),
+            F.col("cid").alias("center_id"),
+            F.lit(None).cast("long").alias("max_min_dist2s"),
+        )
+    ]
+    for i in range(2, int(k) + 1):
+        nxt = state.agg(
+            F.max(
+                F.struct(F.col("_mind").alias("d"), (-F.col("_id")).alias("nid"))
+            ).alias("m")
+        ).select(
+            (-F.col("m.nid")).alias("cid"), F.col("m.d").alias("d")
+        )
+        picks.append(
+            nxt.select(
+                F.lit(i).alias("round"),
+                F.col("cid").alias("center_id"),
+                F.col("d").alias("max_min_dist2s"),
+            )
+        )
+        cvec = (
+            base.join(F.broadcast(nxt), base["_id"] == nxt["cid"])
+            .select(F.col("_v").alias("cv"))
+        )
+        state = (
+            state.crossJoin(F.broadcast(cvec))
+            .select(
+                "_id",
+                "_v",
+                F.least(
+                    F.col("_mind"), _d2_scaled(F.col("_v"), F.col("cv"), scale)
+                ).alias("_mind"),
+            )
+        )
+        state = truncate_lineage(state, checkpoint_dir)
+
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def kcenter_oracle_sql(
+    *,
+    k: int = 4,
+    scale: int = 1000,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`kcenter_select`: every greedy round
+    unrolled as chained CTEs (argmax + running-min updates), with the
+    identical scaled-long distance arithmetic."""
+    delta = (
+        f"CAST(round((CAST(a.v AS DOUBLE) - CAST(c.v AS DOUBLE))"
+        f" * {scale}) AS BIGINT)"
+    )
+    d2 = f"CAST(sum({delta} * {delta}) AS BIGINT)"
+    parts = [
+        f"WITH un AS (SELECT {id_col} AS vid,"
+        f" generate_subscripts({vec_col}, 1) AS pos,"
+        f" unnest({vec_col}) AS v FROM {table}),",
+        f"c1 AS (SELECT min({id_col}) AS cid FROM {table}),",
+        f"m1 AS (SELECT a.vid, {d2} AS mind"
+        f" FROM un a JOIN un c ON a.pos = c.pos"
+        f" JOIN c1 ON c.vid = c1.cid GROUP BY a.vid),",
+    ]
+    for i in range(2, int(k) + 1):
+        parts.append(
+            f"c{i} AS (SELECT vid AS cid, mind AS d FROM m{i - 1}"
+            f" ORDER BY mind DESC, vid LIMIT 1),"
+        )
+        if i < int(k):
+            parts.append(
+                f"m{i} AS (SELECT m.vid, least(m.mind, dd.d2) AS mind"
+                f" FROM m{i - 1} m JOIN (SELECT a.vid, {d2} AS d2"
+                f" FROM un a JOIN un c ON a.pos = c.pos"
+                f" JOIN c{i} ON c.vid = c{i}.cid GROUP BY a.vid) dd"
+                f" USING (vid)),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        "SELECT 1 AS round, cid AS center_id,"
+        " CAST(NULL AS BIGINT) AS max_min_dist2s FROM c1"
+    ]
+    for i in range(2, int(k) + 1):
+        selects.append(f"SELECT {i}, cid, d FROM c{i}")
+    parts.append("\nUNION ALL ".join(selects))
+    return "\n".join(parts)

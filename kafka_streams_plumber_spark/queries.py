@@ -6724,6 +6724,26 @@ def q_kfold(spark, sf_dir):
     return kfold(d, "doc_id", k=5).select("doc_id", "fold")
 
 
+from kafka_streams_plumber_spark.operators.clustering import (  # noqa: E402
+    kcenter_oracle_sql,
+)
+
+
+@query("q_kcenter", kcenter_oracle_sql(k=4, scale=1000))
+def q_kcenter(spark, sf_dir):
+    """Diverse-subset selection (operators/clustering.py:kcenter_select):
+    greedy farthest-point traversal over the embeddings table — the
+    2-approximation k-center coreset used for diversity-aware training
+    data selection. Exact scaled-long squared distances + min-id ties
+    make the whole greedy trajectory SQL-replayable (every round
+    unrolled in the oracle). The corpus is scanned k times, never
+    shuffled."""
+    from kafka_streams_plumber_spark.operators.clustering import kcenter_select
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return kcenter_select(e, k=4, scale=1000)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

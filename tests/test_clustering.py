@@ -86,3 +86,55 @@ def test_kmeans_reliable_checkpoint_matches_local(spark, tmp_path):
     ) == sorted(
         [(r["cluster"], r["n"], [round(x, 9) for x in r["centroid"]]) for r in reliable]
     )
+
+
+def test_kcenter_matches_bruteforce_greedy(spark):
+    """The distributed greedy trajectory equals a literal Python
+    re-run of farthest-point selection with the same arithmetic."""
+    import random
+
+    from kafka_streams_plumber_spark.operators.clustering import kcenter_select
+
+    rng = random.Random(11)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    # brute force with float32-faithful inputs (Spark stores float)
+    import struct as st
+
+    def f32(x):
+        return st.unpack("f", st.pack("f", x))[0]
+
+    v32 = {i: [f32(x) for x in v] for i, v in vecs.items()}
+
+    def d2(a, b):
+        return sum(
+            int(round((x - y) * 1000)) ** 2 for x, y in zip(v32[a], v32[b])
+        )
+
+    centers = [min(v32)]
+    mind = {i: d2(i, centers[0]) for i in v32}
+    expected = [(1, centers[0], None)]
+    for rnd in range(2, 6):
+        nxt = max(mind, key=lambda i: (mind[i], -i))
+        expected.append((rnd, nxt, mind[nxt]))
+        for i in v32:
+            mind[i] = min(mind[i], d2(i, nxt))
+    got = sorted(
+        map(tuple, kcenter_select(df, k=5).collect())
+    )
+    assert got == expected
+
+
+def test_kcenter_reliable_checkpoint_identical(spark, tmp_path):
+    from kafka_streams_plumber_spark.operators.clustering import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    fast = sorted(map(tuple, kcenter_select(df, k=3).collect()))
+    rel = sorted(map(tuple, kcenter_select(
+        df, k=3, checkpoint_dir=str(tmp_path)).collect()))
+    assert fast == rel
