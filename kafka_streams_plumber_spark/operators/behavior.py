@@ -413,3 +413,84 @@ def event_transitions(
             F.round(F.col("pairs") / F.col("total"), 6).alias("prob"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha: float = 0.3,
+    window: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over the last ``window``
+    observations per key: ``ewma_i = sum_k (1-a)^k x_{i-k} / sum_k
+    (1-a)^k`` over the rows that exist (k = 0..window-1) — the bounded
+    form of the classic recurrence used in monitoring/trend smoothing.
+    Truncating at ``window`` rows is what makes the operator
+    distributed-exact: contributions beyond W carry weight (1-a)^W
+    (< 0.6 % for the defaults), and an unbounded recurrence would force
+    either a sequential per-key scan or exploding (1-a)^-i rescaling.
+
+    The weighted sum is an explicit lag chain evaluated in one window
+    pass — fixed left-to-right addition order, so any SQL engine
+    replays the doubles bit-for-bit (:func:`ewma_oracle_sql`). Rows
+    with NULL ``value_col`` contribute to neither numerator nor
+    denominator. Output is rounded to 6 dp.
+
+    Scale: ONE shuffle on the key; no self-joins, no per-group
+    single-task collapse (windows partition by key).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    num: Column | None = None
+    den: Column | None = None
+    for k in range(int(window)):
+        wk = (1.0 - alpha) ** k
+        xk = (
+            F.col(value_col)
+            if k == 0
+            else F.lag(F.col(value_col), k).over(w)
+        )
+        num_k = F.coalesce(xk * F.lit(wk), F.lit(0.0))
+        den_k = F.when(xk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+        num = num_k if num is None else num + num_k
+        den = den_k if den is None else den + den_k
+    return df.withColumn(
+        out_col,
+        F.round(F.when(den > 0.0, num / den).otherwise(F.lit(None)), 6),
+    )
+
+
+def ewma_oracle_sql(
+    source_sql: str,
+    key_col: str,
+    order_sql: str,
+    value_col: str,
+    *,
+    alpha: float = 0.3,
+    window: int = 8,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`ewma`: the identical lag chain with the
+    identical double literals (``repr`` of the same Python floats Spark
+    compiled in), same addition order."""
+    over = f"OVER (PARTITION BY {key_col} ORDER BY {order_sql})"
+    nums, dens = [], []
+    for k in range(int(window)):
+        wk = repr((1.0 - alpha) ** k)
+        xk = value_col if k == 0 else f"lag({value_col}, {k}) {over}"
+        nums.append(f"coalesce(({xk}) * {wk}, 0.0)")
+        dens.append(f"CASE WHEN ({xk}) IS NOT NULL THEN {wk} ELSE 0.0 END")
+    num = " + ".join(nums)
+    den = " + ".join(dens)
+    return (
+        f"SELECT {select_cols},"
+        f" round(CASE WHEN ({den}) > 0.0 THEN ({num}) / ({den}) END, 6)"
+        f" AS ewma FROM ({source_sql})"
+    )

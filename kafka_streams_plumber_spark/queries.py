@@ -6744,6 +6744,41 @@ def q_kcenter(spark, sf_dir):
     return kcenter_select(e, k=4, scale=1000)
 
 
+from kafka_streams_plumber_spark.operators.behavior import (  # noqa: E402
+    ewma_oracle_sql,
+)
+
+
+@query(
+    "q_ewma",
+    ewma_oracle_sql(
+        "SELECT user_id, event_id, ts, value FROM events",
+        "user_id",
+        "ts, event_id",
+        "value",
+        alpha=0.3,
+        window=8,
+        select_cols="user_id, event_id",
+    ),
+)
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA trend over event values (operators/behavior.py:
+    ewma): bounded exponential smoothing as one explicit lag chain in a
+    single window pass — one shuffle on the key, fixed addition order,
+    oracle replays the identical double literals."""
+    from kafka_streams_plumber_spark.operators.behavior import ewma
+
+    e = load_tables(spark, sf_dir)["events"]
+    return ewma(
+        e.select("user_id", "event_id", "ts", "value"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        alpha=0.3,
+        window=8,
+    ).select("user_id", "event_id", "ewma")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

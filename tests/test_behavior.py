@@ -413,3 +413,41 @@ def test_rolling_zscore_null_values_do_not_inflate_count(spark):
     import math
 
     assert out[3]["z"] == round((8.0 - 6.0) / math.sqrt(2.0), 6)
+
+
+def test_ewma_hand_computed(spark):
+    """Windowed EWMA equals the literal weighted average of the last W
+    observations; the first row is its own average."""
+    from kafka_streams_plumber_spark.operators.behavior import ewma
+
+    rows = [("u", i, float(v)) for i, v in enumerate([10, 20, 40])]
+    df = spark.createDataFrame(rows, "k string, seq long, value double")
+    out = {r["seq"]: r["ewma"] for r in
+           ewma(df, "k", ["seq"], "value", alpha=0.5, window=4).collect()}
+    assert out[0] == 10.0
+    assert out[1] == round((20 + 0.5 * 10) / 1.5, 6)
+    assert out[2] == round((40 + 0.5 * 20 + 0.25 * 10) / 1.75, 6)
+
+
+def test_ewma_window_truncates_and_nulls_skipped(spark):
+    from kafka_streams_plumber_spark.operators.behavior import ewma
+
+    rows = [("u", 0, 100.0), ("u", 1, None), ("u", 2, 7.0)]
+    df = spark.createDataFrame(rows, "k string, seq long, value double")
+    out = {r["seq"]: r["ewma"] for r in
+           ewma(df, "k", ["seq"], "value", alpha=0.5, window=2).collect()}
+    # seq2's window = {seq1 (NULL, skipped), seq2} -> just 7.0
+    assert out[2] == 7.0
+    assert out[1] == round((0.5 * 100) / 0.5, 6)  # only the lagged obs
+    assert out[0] == 100.0
+
+
+def test_ewma_keys_independent(spark):
+    from kafka_streams_plumber_spark.operators.behavior import ewma
+
+    rows = [("a", 0, 1.0), ("b", 0, 9.0), ("a", 1, 3.0)]
+    df = spark.createDataFrame(rows, "k string, seq long, value double")
+    out = {(r["k"], r["seq"]): r["ewma"] for r in
+           ewma(df, "k", ["seq"], "value", alpha=0.5, window=8).collect()}
+    assert out[("b", 0)] == 9.0
+    assert out[("a", 1)] == round((3 + 0.5 * 1) / 1.5, 6)
