@@ -956,3 +956,85 @@ def fim_transform(
         sel.alias("is_fim"),
         F.when(sel, fim).otherwise(t).alias("fim_text"),
     )
+
+
+def content_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 4,
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style): split every document
+    into variable-size token chunks whose boundaries depend only on
+    LOCAL content — a rolling polynomial hash over the last ``window``
+    tokens closes a chunk wherever its low ``mask_bits`` bits are zero
+    (expected chunk length 2**mask_bits tokens). Unlike fixed-size
+    :func:`chunk_tokens`, an insertion near the front shifts only the
+    chunk it lands in, so cross-corpus chunk-hash dedup keeps matching
+    everything downstream of an edit — the CDC property backup systems
+    and substring-level dedup pipelines rely on.
+
+    Returns one row per chunk: ``(id, chunk_idx, start_pos, n_tokens,
+    chunk_hash)`` with ``chunk_hash = md5`` of the space-joined tokens
+    (join chunk_hash across docs to find repeated spans).
+
+    Plan: posexplode to (doc, pos, token) rows; the rolling hash is an
+    explicit ``window``-term lag chain (one window pass over the doc
+    key — same device as behavior.ewma); chunk membership is a second
+    window sum of closed boundaries; reassembly is one groupBy with
+    order-proof array_sort(collect_list(struct)) (the
+    strip_boilerplate_lines device). Two shuffles on the doc id total,
+    both carrying token rows, never whole documents. Every step is an
+    exact integer/md5 expression — SQL-replayable.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), WS_RE), lambda x: x != "")
+        ).alias("_pos", "_tok"),
+    )
+    th = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("_th", th)
+
+    w = Window.partitionBy("_id").orderBy("_pos")
+    b = 31
+    acc = None
+    for k in range(int(window)):
+        term = (
+            F.col("_th") if k == 0 else F.lag("_th", k).over(w)
+        ) * F.lit(b**k).cast("long")
+        acc = term if acc is None else acc + term
+    roll = F.pmod(acc, F.lit(2**31).cast("long"))
+    # a full window AND the low bits all zero closes the chunk at _pos
+    boundary = (
+        (F.col("_pos") >= window - 1)
+        & (F.pmod(roll, F.lit(2**mask_bits).cast("long")) == 0)
+    ).cast("int")
+    marked = toks.withColumn("_b", boundary)
+    chunk_idx = F.coalesce(
+        F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    chunked = marked.withColumn("_chunk", chunk_idx)
+    return (
+        chunked.groupBy(F.col("_id").alias(id_col), F.col("_chunk").alias("chunk_idx"))
+        .agg(
+            F.min("_pos").cast("long").alias("start_pos"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_pos", "_tok"))
+                        ),
+                        lambda s: s["_tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )

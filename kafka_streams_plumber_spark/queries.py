@@ -6779,6 +6779,60 @@ def q_ewma(spark, sf_dir):
     ).select("user_id", "event_id", "ewma")
 
 
+@query(
+    "q_cdc_chunks",
+    r"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, generate_subscripts(a, 1) - 1 AS pos, unnest(a) AS t
+      FROM arr
+    ),
+    h AS (
+      SELECT doc_id, pos, t,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT AS th
+      FROM toks
+    ),
+    r AS (
+      SELECT doc_id, pos, t,
+             CASE WHEN pos >= 3 AND
+                  (th * 1 + lag(th, 1) OVER w * 31
+                   + lag(th, 2) OVER w * 961
+                   + lag(th, 3) OVER w * 29791)
+                  % 2147483648 % 32 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    c AS (
+      SELECT doc_id, pos, t,
+             CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS chunk_idx
+      FROM r
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_hash
+    FROM c GROUP BY doc_id, chunk_idx
+    """,
+)
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/text.py:content_chunks):
+    rolling-hash boundaries (window 4, expected chunk 32 tokens) so an
+    edit shifts only its own chunk — the CDC property chunk-level
+    cross-corpus dedup relies on. Lag-chain rolling hash + boundary
+    cumsum + order-proof reassembly; the oracle replays every step."""
+    from kafka_streams_plumber_spark.operators.text import content_chunks
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return content_chunks(d, "text", "doc_id", window=4, mask_bits=5)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -385,3 +385,42 @@ def test_fim_deterministic(spark):
     a = sorted(map(tuple, fim_transform(df.repartition(8)).collect()))
     b = sorted(map(tuple, fim_transform(df.coalesce(1)).collect()))
     assert a == b
+
+
+def test_content_chunks_partition_document(spark):
+    """Chunks tile the token sequence: contiguous, disjoint, complete."""
+    from kafka_streams_plumber_spark.operators.text import content_chunks
+
+    text = " ".join(f"tok{i % 13}x{i % 7}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        content_chunks(df).collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert rows[0]["start_pos"] == 0
+    total = 0
+    for i, r in enumerate(rows):
+        assert r["chunk_idx"] == i
+        assert r["start_pos"] == total
+        total += r["n_tokens"]
+    assert total == 200
+
+
+def test_content_chunks_edit_is_local(spark):
+    """Inserting tokens near the front leaves every chunk hash after
+    the edited region identical — the CDC property a fixed-size
+    chunker lacks."""
+    from kafka_streams_plumber_spark.operators.text import content_chunks
+
+    base = " ".join(f"w{(i * 17) % 101}q{i % 11}" for i in range(300))
+    toks = base.split(" ")
+    edited = " ".join(toks[:5] + ["INSERTED", "NOISE"] + toks[5:])
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = content_chunks(df).collect()
+    h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    shared = h1 & h2
+    # the tail of the document re-synchronizes: most chunks survive
+    assert len(shared) >= max(1, len(h1) - 3)
+    assert h1 != h2  # the edited chunk itself differs
