@@ -725,3 +725,90 @@ def semantic_dedup(
     return dedup_clusters(
         docs, pairs, id_col, checkpoint_dir=checkpoint_dir
     )
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    doc_text: str = "text",
+    bench_text: str = "text",
+    dim: int = 64,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus documents
+    whose hashing-trick embedding has cosine >= ``threshold`` to ANY
+    benchmark document — catching paraphrased eval contamination that
+    the n-gram rule (:func:`decontaminate`) misses because no k-gram
+    survives a rewording. Run both: n-gram for verbatim leaks, this for
+    near-verbatim ones.
+
+    Returns (doc_id, n_hits, max_cos, contaminated) for every corpus
+    doc. Cosine is the repo's exact integer formulation (bucket-count
+    embeddings, fixed-order dot fold, one double divide) so the whole
+    operator is SQL-replayable.
+
+    Plan: the benchmark side (small by definition — an eval set) is
+    embedded and BROADCAST; the corpus is embedded in the same scan
+    that probes it and is never shuffled — the only exchange is the
+    per-doc hit aggregate, O(contaminated docs). At very large
+    benchmark counts, swap the broadcast product for
+    :func:`...similarity.embedding_dup_pairs`' LSH bucketing.
+    """
+    from kafka_streams_plumber_spark.operators.similarity import hash_embed
+
+    def embed(df: DataFrame, id_out: str, text_col: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_out),
+                hash_embed(text_col, dim=dim, normalize=False).alias("_v"),
+            )
+            .withColumn(
+                "_ss",
+                F.aggregate(
+                    F.transform(F.col("_v"), lambda x: x * x),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .filter(F.col("_ss") > 0)
+        )
+
+    corpus = embed(docs.select(F.col(doc_id), F.col(doc_text)), doc_id, doc_text)
+    bench = (
+        embed(
+            benchmark.select(F.col(bench_text)).withColumn("_bid", F.lit(0)),
+            "_bid",
+            bench_text,
+        )
+        .select(F.col("_v").alias("_bv"), F.col("_ss").alias("_bss"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_bv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (
+        F.sqrt(F.col("_ss").cast("double")) * F.sqrt(F.col("_bss").cast("double"))
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .groupBy(doc_id)
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.round(F.max("_cos"), 6).alias("max_cos"),
+        )
+    )
+    return (
+        docs.select(doc_id)
+        .join(hits, doc_id, "left")
+        .select(
+            doc_id,
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            "max_cos",
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

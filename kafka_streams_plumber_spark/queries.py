@@ -6833,6 +6833,74 @@ def q_cdc_chunks(spark, sf_dir):
     return content_chunks(d, "text", "doc_id", window=4, mask_bits=5)
 
 
+@query(
+    "q_semantic_decon",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS idx,
+             (('0x' || substr(md5(t), 9, 1))::BIGINT % 2) * 2 - 1 AS sign
+      FROM toks
+    ),
+    sparse AS (
+      SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS v
+      FROM hashed GROUP BY doc_id, idx HAVING sum(sign) <> 0
+    ),
+    ssq AS (
+      SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS ss
+      FROM sparse GROUP BY doc_id HAVING sum(v * v) > 0
+    ),
+    dots AS (
+      SELECT a.doc_id AS cid, b.doc_id AS bid,
+             CAST(sum(a.v * b.v) AS BIGINT) AS d
+      FROM sparse a JOIN sparse b USING (idx)
+      WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT cid,
+             d / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE)))
+               AS cos
+      FROM dots
+      JOIN ssq sa ON sa.doc_id = cid
+      JOIN ssq sb ON sb.doc_id = bid
+      WHERE d / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE)))
+            >= 0.8
+    ),
+    hits AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_hits,
+             round(max(cos), 6) AS max_cos
+      FROM pairs GROUP BY cid
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           h.max_cos,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.cid = d.doc_id
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def q_semantic_decon(spark, sf_dir):
+    """Embedding-level decontamination (operators/dedup.py:
+    semantic_decontaminate): every 10th document plays the benchmark
+    set; corpus docs with hash-embed cosine >= 0.8 to any benchmark doc
+    are flagged — the paraphrase-robust companion to the n-gram rule
+    (q_decontaminate). Benchmark embeddings broadcast; corpus never
+    shuffled; exact integer cosine replayed by the oracle."""
+    from kafka_streams_plumber_spark.operators.dedup import semantic_decontaminate
+
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.8)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

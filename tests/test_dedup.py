@@ -204,3 +204,32 @@ def test_semantic_dedup_lsh_path_matches_exact(spark):
     l = sorted(map(tuple, lsh.select("doc_id", "cluster_id", "keep").collect()))
     assert e == l
     assert sum(1 for (_, _, k) in e if k) == 3
+
+
+def test_semantic_decontaminate_catches_paraphrase(spark):
+    """A reworded benchmark doc breaks every 8-gram (n-gram rule blind)
+    but keeps cosine high — the embedding rule flags it."""
+    from kafka_streams_plumber_spark.operators.dedup import (
+        decontaminate,
+        semantic_decontaminate,
+    )
+
+    words = BASE.split(" ")
+    # substitute every 6th word: no 8-gram survives, most mass shared
+    reword = " ".join(
+        w if i % 6 else f"sub{i}" for i, w in enumerate(words)
+    )
+    corpus = spark.createDataFrame(
+        [(1, reword), (2, OTHER)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(BASE,)], "text string")
+
+    ngram = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate(corpus, bench, k=8).collect()}
+    assert ngram == {1: False, 2: False}
+
+    sem = {r["doc_id"]: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.7).collect()}
+    assert sem[1]["contaminated"] and sem[1]["n_hits"] == 1
+    assert sem[1]["max_cos"] >= 0.7
+    assert not sem[2]["contaminated"] and sem[2]["max_cos"] is None

@@ -74,6 +74,13 @@ AUDITED = {
     "q_dp_stats": "one grouped aggregate; noise is scalar exprs on the group frame",
     "q_expectations": "all rules ride ONE aggregate pass (single scan)",
     "q_profile": "per-column stats in one multi-distinct aggregate (single scan)",
+    "q_semantic_keep": "exact pair join feeds component rounds; docs join clusters on 16-byte ids",
+    "q_ab_test": "unit collapse + O(arms) agg + broadcast control row; fact never re-shuffled",
+    "q_lpa": "per-round two map-combinable aggs + id/count equi-join; checkpointed lineage",
+    "q_kfold": "pure hash projection: zero exchanges, zero Python",
+    "q_kcenter": "per-round map-combinable argmax scan + one-row broadcast; corpus never shuffled",
+    "q_ewma": "one key-partitioned window pass; explicit lag chain",
+    "q_cdc_chunks": "lag-chain rolling hash + boundary cumsum on doc-key windows; order-proof reassembly",
 }
 
 
