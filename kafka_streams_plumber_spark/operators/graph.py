@@ -418,3 +418,44 @@ def label_propagation_oracle_sql(
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT node, label FROM l{int(iterations)}")
     return "\n".join(parts)
+
+
+def dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    src: str = "a_id",
+    dst: str = "b_id",
+    broadcast_threshold: int | None = 5_000_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, weight every
+    document by ``1 / |its duplicate cluster|`` so each semantic unit
+    contributes one document's worth of training mass (the
+    downweight-don't-delete strategy, e.g. SoftDeDup) — keeps rare
+    in-cluster variation while removing duplicate over-representation.
+
+    Returns every doc with ``cluster_id``, ``cluster_size`` and
+    ``weight`` (rounded 6 dp; singletons weigh 1.0). Costs
+    :func:`dedup_clusters` plus one O(clusters) size aggregate joined
+    back on the cluster id.
+    """
+    clustered = dedup_clusters(
+        docs,
+        pairs,
+        id_col,
+        src=src,
+        dst=dst,
+        broadcast_threshold=broadcast_threshold,
+        checkpoint_dir=checkpoint_dir,
+    ).drop("keep")
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return clustered.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )

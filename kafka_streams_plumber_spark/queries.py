@@ -6901,6 +6901,54 @@ def q_semantic_decon(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.8)
 
 
+@query(
+    "q_dedup_weights",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+    ),
+    adj AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT s, s FROM adj
+      UNION
+      SELECT adj.s, reach.comp FROM adj JOIN reach ON adj.d = reach.node
+    ),
+    comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    clustered AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM clustered GROUP BY cluster_id
+    )
+    SELECT doc_id, cluster_id, cluster_size,
+           round(1.0 / cluster_size, 6) AS weight
+    FROM clustered JOIN sizes USING (cluster_id)
+    """,
+)
+def q_dedup_weights(spark, sf_dir):
+    """Soft dedup (operators/graph.py:dedup_weights): weight = 1/|dup
+    cluster| over exact-duplicate components — each semantic unit
+    contributes one document's worth of training mass instead of being
+    over-represented (or hard-dropped). Component fixpoint + one
+    O(clusters) size join, replayed by the recursive-CTE oracle."""
+    from kafka_streams_plumber_spark.operators.graph import dedup_weights
+
+    d = load_tables(spark, sf_dir)["documents"]
+    h = d.select("doc_id", F.md5("text").alias("_h"))
+    a, b = h.alias("a"), h.alias("b")
+    pairs = a.join(
+        b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    return dedup_weights(d.select("doc_id"), pairs)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

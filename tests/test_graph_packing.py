@@ -255,3 +255,20 @@ def test_label_propagation_reliable_checkpoint_identical(spark, tmp_path):
     reliable = sorted(map(tuple, label_propagation(
         edges, iterations=3, checkpoint_dir=str(tmp_path)).collect()))
     assert fast == reliable
+
+
+def test_dedup_weights_mass_conservation(spark):
+    """Cluster weights sum to one per cluster; singletons weigh 1.0."""
+    from kafka_streams_plumber_spark.operators.graph import dedup_weights
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "a_id long, b_id long"
+    )
+    out = dedup_weights(docs, pairs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["weight"])
+           for r in out}
+    assert got[0] == (0, 3, round(1 / 3, 6))
+    assert got[1][0] == 0 and got[2][0] == 0
+    assert got[3] == (3, 2, 0.5) and got[4] == (3, 2, 0.5)
+    assert got[5] == (5, 1, 1.0)
