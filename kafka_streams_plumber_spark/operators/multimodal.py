@@ -15,16 +15,23 @@ batches in, Arrow batches out, one Python worker per partition — the
 correct shape for CPU-heavy per-item work at scale (no per-row UDF
 overhead, no driver involvement, composes with repartition-by-size).
 
-The actual codec calls (PIL/ffmpeg/torchvision) are NOT available in
-this container, so the ENCODED-format decode kernels are STUBBED: with
-``fake="deterministic"`` they produce seeded, content-addressed fake
-outputs (real plumbing, fake pixels) for tests; with ``fake=None`` they
-raise NotImplementedError at the first batch, marking exactly where the
-real library call goes — EXCEPT over the RAW mimes below, where every
-kernel is fully real in numpy alone: nearest-neighbor resize and
-grid-pooled featurization for ``image/x-raw``, frame slicing for
-``video/x-raw``, RMS + FFT-mel MFCC for ``audio/x-raw-s16le``, plus the
-byte-level ops at the bottom (sniff_mime, byte_stats).
+Real-kernel coverage (``fake=None``):
+
+- RAW mimes below — fully real in numpy alone: nearest-neighbor resize
+  and grid-pooled featurization for ``image/x-raw``, frame slicing for
+  ``video/x-raw``, RMS + FFT-mel MFCC for ``audio/x-raw-s16le``.
+- ENCODED formats with stdlib-only containers — also REAL via
+  ``operators/codecs.py`` (zlib/struct/numpy, no PIL/ffmpeg):
+  ``image/png`` (all filters, palette), ``image/bmp`` (24/32 bpp) and
+  ``audio/wav`` (PCM-16, any channel count) decode onto the same
+  kernels; resize re-encodes into the input container.
+- Entropy-coded formats (JPEG/GIF/MP3/MP4) genuinely require codec
+  libraries this container lacks: those raise NotImplementedError at
+  the marked call sites. ``fake="deterministic"`` keeps seeded,
+  content-addressed fake outputs (real plumbing, fake pixels) so
+  plumbing tests cover every format.
+
+Byte-level ops at the bottom (sniff_mime, byte_stats) are always real.
 """
 
 from __future__ import annotations
@@ -120,8 +127,10 @@ def decode_and_featurize_images(
     ``fake=None`` the :data:`RAW_IMAGE_MIME` path is REAL — a grayscale
     grid-pooled, L2-normalized embedding (vectorized bincount pooling,
     no per-pixel Python): the model-free visual fingerprint that feeds
-    the cosine/LSH dedup operators. Encoded formats stay stubbed (PIL
-    not in the container); ``fake="deterministic"`` keeps the seeded
+    the cosine/LSH dedup operators. PNG and BMP decode through the
+    stdlib codecs (operators/codecs.py) onto the same pooling kernel;
+    only entropy-coded formats (JPEG/GIF) stay stubbed (PIL not in the
+    container). ``fake="deterministic"`` keeps the seeded
     content-addressed fake for plumbing tests.
     """
 
@@ -141,42 +150,58 @@ def decode_and_featurize_images(
                 if data is None:
                     continue
                 if fake != "deterministic":
+                    # REAL path: raw pixel buffers reshape in place;
+                    # PNG/BMP decode via the stdlib codecs
+                    # (operators/codecs.py). Either way the grayscale
+                    # grid-pooled embedding below (average pool onto a
+                    # g x g grid, L2-normalized) is the model-free
+                    # visual fingerprint; vectorized numpy, no
+                    # per-pixel Python.
+                    from kafka_streams_plumber_spark.operators.codecs import (
+                        try_decode_image,
+                    )
+
                     w, h = media["width"], media["height"]
+                    img = None
                     if media["mime"] == RAW_IMAGE_MIME and w and h:
-                        # REAL path for raw pixel buffers: grayscale
-                        # grid-pooled embedding (average pool onto a
-                        # g x g grid, L2-normalized) — the model-free
-                        # visual fingerprint; vectorized numpy, no
-                        # per-pixel Python
                         buf = np.frombuffer(bytes(data), dtype=np.uint8)
                         c = buf.size // (w * h)
                         if not (1 <= c <= 4) or c * w * h != buf.size:
                             continue  # corrupt raw buffer
-                        gray = buf.reshape(h, w, c).astype("float64").mean(axis=2)
-                        g = max(1, int(round(embedding_dim ** 0.5)))
-                        ys = ((np.arange(h) * g) // h).clip(0, g - 1)
-                        xs = ((np.arange(w) * g) // w).clip(0, g - 1)
-                        cell = ys[:, None] * g + xs[None, :]
-                        sums = np.bincount(
-                            cell.ravel(), weights=gray.ravel(), minlength=g * g
+                        img = buf.reshape(h, w, c)
+                    else:
+                        try:
+                            img = try_decode_image(bytes(data), media["mime"])
+                        except ValueError:
+                            continue  # corrupt item in a supported format
+                    if img is None:
+                        # REAL IMPLEMENTATION for entropy-coded formats:
+                        #   from PIL import Image; Image.open(BytesIO(data))
+                        raise NotImplementedError(
+                            "JPEG/GIF decode requires PIL/torchvision; raw"
+                            f" {RAW_IMAGE_MIME!r} buffers, PNG and BMP are"
+                            " real numpy paths"
                         )
-                        cnts = np.bincount(cell.ravel(), minlength=g * g)
-                        v = np.zeros(embedding_dim)
-                        v[: g * g] = sums / np.maximum(cnts, 1)
-                        nrm = np.linalg.norm(v)
-                        ids.append(rid)
-                        widths.append(int(w))
-                        heights.append(int(h))
-                        embs.append(
-                            (v / nrm if nrm > 0 else v).astype("float32")
-                        )
-                        continue
-                    # REAL IMPLEMENTATION for encoded formats:
-                    #   from PIL import Image; img = Image.open(io.BytesIO(data))
-                    raise NotImplementedError(
-                        "encoded image decode requires PIL/torchvision;"
-                        f" raw {RAW_IMAGE_MIME!r} buffers featurize in numpy"
+                    h, w = img.shape[:2]  # decoded dims are authoritative
+                    gray = img.astype("float64").mean(axis=2)
+                    g = max(1, int(round(embedding_dim ** 0.5)))
+                    ys = ((np.arange(h) * g) // h).clip(0, g - 1)
+                    xs = ((np.arange(w) * g) // w).clip(0, g - 1)
+                    cell = ys[:, None] * g + xs[None, :]
+                    sums = np.bincount(
+                        cell.ravel(), weights=gray.ravel(), minlength=g * g
                     )
+                    cnts = np.bincount(cell.ravel(), minlength=g * g)
+                    v = np.zeros(embedding_dim)
+                    v[: g * g] = sums / np.maximum(cnts, 1)
+                    nrm = np.linalg.norm(v)
+                    ids.append(rid)
+                    widths.append(int(w))
+                    heights.append(int(h))
+                    embs.append(
+                        (v / nrm if nrm > 0 else v).astype("float32")
+                    )
+                    continue
                 # deterministic content-addressed fake: dims + embedding
                 # derived from a sha256 of the bytes, so tests are stable
                 h = hashlib.sha256(bytes(data)).digest()
@@ -313,13 +338,15 @@ def resize_images(
 
     - ``fake="deterministic"`` (default): output bytes are a content
       hash — stable plumbing-test mode.
-    - ``fake=None``: REAL resample for :data:`RAW_IMAGE_MIME` buffers —
-      pure-numpy nearest-neighbor (pixel-center convention:
+    - ``fake=None``: REAL resample for :data:`RAW_IMAGE_MIME` buffers
+      AND for PNG/BMP (stdlib decode via operators/codecs.py; output
+      re-encoded into the input container) — pure-numpy
+      nearest-neighbor (pixel-center convention:
       ``src = floor((dst + 0.5) * src_len / dst_len)``), vectorized as
-      two fancy-index gathers per image, no per-pixel Python. Encoded
-      formats (PNG/JPEG/...) still raise NotImplementedError at the
-      marked site — decoding them needs PIL/torchvision, which this
-      container lacks; the raw path proves the kernel shape end-to-end.
+      two fancy-index gathers per image, no per-pixel Python. Only
+      entropy-coded formats (JPEG/GIF) still raise NotImplementedError
+      at the marked site — decoding them needs PIL/torchvision, which
+      this container lacks.
 
     Raw buffers whose length is not an exact w*h*c (c in 1..4) multiple
     are dropped (corrupt-item semantics, same as null data).
@@ -338,29 +365,56 @@ def resize_images(
                     continue
                 w = media["width"] or max_side
                 h = media["height"] or max_side
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 if fake != "deterministic":
-                    if media["mime"] == RAW_IMAGE_MIME and w and h:
+                    from kafka_streams_plumber_spark.operators.codecs import (
+                        encode_bmp,
+                        encode_png,
+                        try_decode_image,
+                    )
+
+                    mime = media["mime"]
+                    img = None
+                    if mime == RAW_IMAGE_MIME and w and h:
                         buf = np.frombuffer(bytes(media["data"]), dtype=np.uint8)
                         c = buf.size // (w * h)
                         if not (1 <= c <= 4) or c * w * h != buf.size:
                             continue  # corrupt raw buffer
                         img = buf.reshape(h, w, c)
-                        ys = ((np.arange(nh) + 0.5) * (h / nh)).astype(np.int64)
-                        xs = ((np.arange(nw) + 0.5) * (w / nw)).astype(np.int64)
-                        resized = img[ys][:, xs]
-                        ids.append(rid)
-                        ws.append(nw)
-                        hs.append(nh)
-                        outs.append(resized.tobytes())
-                        continue
-                    # REAL IMPLEMENTATION for encoded formats:
-                    #   PIL Image.open(io.BytesIO(data)).resize((nw, nh))
-                    raise NotImplementedError(
-                        "encoded image resize requires PIL; raw"
-                        f" {RAW_IMAGE_MIME!r} buffers resample in numpy"
-                    )
+                    else:
+                        try:
+                            img = try_decode_image(bytes(media["data"]), mime)
+                        except ValueError:
+                            continue  # corrupt item in a supported format
+                    if img is None:
+                        # REAL IMPLEMENTATION for entropy-coded formats:
+                        #   PIL Image.open(io.BytesIO(data)).resize((nw, nh))
+                        raise NotImplementedError(
+                            "JPEG/GIF resize requires PIL; raw"
+                            f" {RAW_IMAGE_MIME!r}, PNG and BMP resample"
+                            " in numpy"
+                        )
+                    h, w = img.shape[:2]  # decoded dims are authoritative
+                    scale = min(1.0, max_side / max(w, h))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    ys = ((np.arange(nh) + 0.5) * (h / nh)).astype(np.int64)
+                    xs = ((np.arange(nw) + 0.5) * (w / nw)).astype(np.int64)
+                    resized = img[ys][:, xs]
+                    # re-emit in the input container: PNG keeps its
+                    # channel count; BMP re-encodes 24-bpp (alpha of a
+                    # 32-bpp input is dropped); raw stays raw
+                    if mime == "image/png":
+                        out_bytes = encode_png(resized)
+                    elif mime == "image/bmp":
+                        out_bytes = encode_bmp(resized[:, :, :3])
+                    else:
+                        out_bytes = resized.tobytes()
+                    ids.append(rid)
+                    ws.append(nw)
+                    hs.append(nh)
+                    outs.append(out_bytes)
+                    continue
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 ids.append(rid)
                 ws.append(nw)
                 hs.append(nh)
@@ -400,11 +454,12 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio feature extraction: (id, duration, sample_rate, loudness,
     MFCC vector). With ``fake=None`` the :data:`RAW_AUDIO_MIME` (mono
-    s16le PCM, 16 kHz assumed) path is REAL DSP in numpy alone: RMS
-    loudness and MFCCs via hann-windowed FFT frames -> HTK mel
-    filterbank -> log -> orthonormal DCT-II, averaged over frames.
-    Encoded audio stays stubbed (librosa/soundfile not in the
-    container).
+    s16le PCM, 16 kHz assumed) path AND ``audio/wav`` (PCM-16 RIFF,
+    header sample rate, channels downmixed to mono via
+    operators/codecs.py) are REAL DSP in numpy alone: RMS loudness and
+    MFCCs via hann-windowed FFT frames -> HTK mel filterbank -> log ->
+    orthonormal DCT-II, averaged over frames. Compressed audio
+    (MP3/AAC) stays stubbed (librosa/soundfile not in the container).
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -419,19 +474,34 @@ def extract_audio_features(
                 if media is None or media["data"] is None:
                     continue
                 if fake != "deterministic":
+                    x = None
+                    sr = None
                     if media["mime"] == RAW_AUDIO_MIME:
-                        # REAL DSP for raw PCM, no librosa: RMS loudness
-                        # + MFCC via numpy FFT (hann-windowed frames ->
-                        # power spectrum -> HTK mel filterbank -> log ->
-                        # orthonormal DCT-II, mean over frames)
                         x = (
                             np.frombuffer(bytes(media["data"]), dtype="<i2")
                             .astype("float64")
                             / 32768.0
                         )
+                        sr = 16000  # the x-raw contract rate
+                    elif media["mime"] == "audio/wav":
+                        # stdlib WAV parse (operators/codecs.py): header
+                        # sample rate, channels downmixed to mono
+                        from kafka_streams_plumber_spark.operators.codecs import (
+                            decode_wav,
+                        )
+
+                        try:
+                            s, sr = decode_wav(bytes(media["data"]))
+                        except ValueError:
+                            continue  # corrupt item in a supported format
+                        x = s.astype("float64").mean(axis=1) / 32768.0
+                    if x is not None:
+                        # REAL DSP, no librosa: RMS loudness + MFCC via
+                        # numpy FFT (hann-windowed frames -> power
+                        # spectrum -> HTK mel filterbank -> log ->
+                        # orthonormal DCT-II, mean over frames)
                         if x.size < 2:
                             continue
-                        sr = 16000
                         ids.append(rid)
                         durs.append(
                             media["duration_ms"]
@@ -474,11 +544,12 @@ def extract_audio_features(
                             (dct @ logmel.mean(axis=0)).astype("float32")
                         )
                         continue
-                    # REAL IMPLEMENTATION for encoded audio:
+                    # REAL IMPLEMENTATION for compressed audio:
                     #   librosa.load + librosa.feature.mfcc
                     raise NotImplementedError(
-                        "encoded audio decode requires librosa/soundfile;"
-                        f" raw {RAW_AUDIO_MIME!r} PCM runs the numpy DSP path"
+                        "MP3/AAC decode requires librosa/soundfile; raw"
+                        f" {RAW_AUDIO_MIME!r} PCM and audio/wav run the"
+                        " numpy DSP path"
                     )
                 h = hashlib.sha256(bytes(media["data"])).digest()
                 rng = np.random.default_rng(int.from_bytes(h[:8], "big"))

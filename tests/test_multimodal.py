@@ -52,10 +52,24 @@ def test_image_decode_stub_deterministic(spark, media_df):
 
 
 def test_image_decode_real_path_is_marked(spark, media_df):
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+    # PNG is now a REAL stdlib path: corrupt png bytes are droppable
+    # items, so the fixture's fake-png rows vanish rather than raise
+    assert (
         decode_and_featurize_images(
             media_df.filter("media.mime like 'image/%'"), fake=None
-        ).collect()
+        ).count()
+        == 0
+    )
+    # entropy-coded formats still mark the library call site
+    gif = media_df.filter("media.mime like 'image/%'").selectExpr(
+        "doc_id",
+        "named_struct('data', media.data, 'mime', 'image/gif',"
+        " 'width', media.width, 'height', media.height,"
+        " 'duration_ms', media.duration_ms,"
+        " 'media_size_bytes', media.media_size_bytes) AS media",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_and_featurize_images(gif, fake=None).collect()
 
 
 def test_video_frame_fanout(spark, media_df):
@@ -132,13 +146,20 @@ def test_unstubbed_kernels_raise_not_implemented(spark):
         resize_images,
     )
 
+    # entropy-coded formats are the ones that genuinely need codec libs
     df = spark.createDataFrame([(1, b"x")], "doc_id long, raw binary").select(
-        "doc_id", pack_media(F.col("raw"), F.lit("image/png")).alias("media")
+        "doc_id", pack_media(F.col("raw"), F.lit("image/jpeg")).alias("media")
     )
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         resize_images(df, fake=None).collect()
     with pytest.raises(Exception, match="NotImplementedError|librosa"):
         extract_audio_features(df, fake=None).collect()
+    # corrupt bytes in a SUPPORTED encoded format are droppable items,
+    # not stub sites
+    png_bad = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\nnot-actually-a-png")], "doc_id long, raw binary"
+    ).select("doc_id", pack_media(F.col("raw"), F.lit("image/png")).alias("media"))
+    assert resize_images(png_bad, fake=None).count() == 0
 
 
 def test_sniff_mime_magics(spark):
@@ -382,3 +403,220 @@ def test_audio_raw_pcm_rms_and_mfcc_properties(spark):
     again = {r["doc_id"]: r for r in
              extract_audio_features(media, n_mfcc=13, fake=None).collect()}
     assert np.allclose(m1, np.array(again[1]["mfcc"]))
+
+
+# ---------------------------------------------------------------------
+# stdlib codecs: PNG / BMP / WAV real encoded-format paths
+# ---------------------------------------------------------------------
+
+
+def test_codec_png_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 17, c), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # hand-crafted PNG exercising every filter type, checked against a
+    # literal transcription of the spec's unfilter recurrences
+    w, h, c = 6, 5, 3
+    stride = w * c
+    rows = [(f, list(rng.integers(0, 256, stride))) for f in (0, 1, 2, 3, 4)]
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(bytes([f]) + bytes(r) for f, r in rows)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+    prev = [0] * stride
+    exp = []
+    for f, r in rows:
+        cur = list(r)
+        for x in range(stride):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 1:
+                cur[x] = (cur[x] + a) & 255
+            elif f == 2:
+                cur[x] = (cur[x] + b) & 255
+            elif f == 3:
+                cur[x] = (cur[x] + (a + b) // 2) & 255
+            elif f == 4:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (cur[x] + pred) & 255
+        exp.append(cur)
+        prev = cur
+    assert np.array_equal(
+        decode_png(png),
+        np.array(exp, dtype=np.uint8).reshape(h, w, c),
+    )
+
+
+def test_codec_png_palette():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(5)
+    pal = bytes(rng.integers(0, 256, 9, dtype=np.uint8))
+    idx = rng.integers(0, 3, (4, 4), dtype=np.uint8)
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + bytes(r) for r in idx)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        decode_png(png), np.frombuffer(pal, np.uint8).reshape(3, 3)[idx]
+    )
+
+
+def test_codec_bmp_and_wav_roundtrip():
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)  # odd width: padding
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    mono = rng.integers(-32768, 32767, (480,), dtype=np.int16)
+    s, sr = decode_wav(encode_wav(mono, 16000))
+    assert sr == 16000 and np.array_equal(s[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, (480, 2), dtype=np.int16)
+    s2, sr2 = decode_wav(encode_wav(stereo, 8000))
+    assert sr2 == 8000 and np.array_equal(s2, stereo)
+
+
+def test_featurize_png_matches_raw_buffer(spark):
+    """A PNG and the equivalent raw buffer produce the SAME embedding:
+    the encoded path decodes onto the identical pooling kernel."""
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import encode_png
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        decode_and_featurize_images,
+        pack_media,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    rows = [(1, encode_png(img), "image/png", None, None),
+            (2, img.tobytes(), "image/x-raw", 32, 24)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, raw binary, mime string, w int, h int"
+    ).select(
+        "doc_id",
+        pack_media(
+            F.col("raw"), F.col("mime"), width=F.col("w"), height=F.col("h")
+        ).alias("media"),
+    )
+    out = {r["doc_id"]: r for r in
+           decode_and_featurize_images(df, fake=None).collect()}
+    assert out[1]["width"] == 32 and out[1]["height"] == 24
+    assert out[1]["embedding"] == out[2]["embedding"]
+
+
+def test_resize_png_reencodes_decodable_png(spark):
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        pack_media,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (64, 128, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_png(img))], "doc_id long, raw binary"
+    ).select(
+        "doc_id", pack_media(F.col("raw"), F.lit("image/png")).alias("media")
+    )
+    r = resize_images(df, max_side=32, fake=None).collect()[0]
+    assert (r["width"], r["height"]) == (32, 16)
+    out = decode_png(bytes(r["data"]))
+    assert out.shape == (16, 32, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    ys = ((np.arange(16) + 0.5) * (64 / 16)).astype(int)
+    xs = ((np.arange(32) + 0.5) * (128 / 32)).astype(int)
+    assert np.array_equal(out, img[ys][:, xs])
+
+
+def test_audio_wav_stereo_downmix_matches_raw_mono(spark):
+    """A stereo WAV whose channels average to a mono signal produces
+    the same loudness/MFCC as that signal fed raw; sample rate comes
+    from the WAV header."""
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import encode_wav
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        extract_audio_features,
+        pack_media,
+    )
+
+    rng = np.random.default_rng(13)
+    mono = rng.integers(-20000, 20000, (4000,), dtype=np.int16)
+    stereo = np.stack([mono, mono], axis=1)  # mean == mono exactly
+    rows = [(1, encode_wav(stereo, 16000), "audio/wav"),
+            (2, mono.tobytes(), "audio/x-raw-s16le")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, raw binary, mime string"
+    ).select(
+        "doc_id", pack_media(F.col("raw"), F.col("mime")).alias("media")
+    )
+    out = {r["doc_id"]: r for r in
+           extract_audio_features(df, fake=None).collect()}
+    assert out[1]["sample_rate"] == 16000
+    assert out[1]["loudness"] == out[2]["loudness"]
+    assert out[1]["mfcc"] == out[2]["mfcc"]
+    # header rate is authoritative
+    df8k = spark.createDataFrame(
+        [(3, encode_wav(mono, 8000))], "doc_id long, raw binary"
+    ).select(
+        "doc_id", pack_media(F.col("raw"), F.lit("audio/wav")).alias("media")
+    )
+    r8 = extract_audio_features(df8k, fake=None).collect()[0]
+    assert r8["sample_rate"] == 8000
+    assert r8["duration_ms"] == round(4000 * 1000 / 8000)
