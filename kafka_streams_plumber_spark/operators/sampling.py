@@ -418,3 +418,47 @@ def kfold(
     return df.withColumn(
         fold_col, split_bucket(id_col, buckets=k).cast("int")
     )
+
+
+def reweight_to_target(
+    df: DataFrame,
+    stratum_col: str,
+    target: dict[str, float],
+    *,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Importance weights that make a corpus match a target stratum mix
+    WITHOUT dropping rows: ``weight = target_share / actual_share`` per
+    stratum (language, source, domain), so weighted losses/statistics
+    behave as if the data had the target composition — the static
+    reweighting alternative to resampling (keeps every example;
+    complements :func:`mix_sources`, which thins).
+
+    Strata absent from ``target`` get weight 0.0 (excluded from the
+    weighted objective, still present for audit). ``target`` shares
+    must sum to ~1 (validated).
+
+    Plan: ONE map-combinable count aggregate (O(strata) rows) joined
+    back broadcast — the fact table is never shuffled. The division is
+    a single double expression over exact counts (6 dp), SQL-exact.
+    """
+    total = sum(target.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"target shares sum to {total}, want 1.0")
+    counts = df.groupBy(F.col(stratum_col)).agg(F.count("*").alias("_n"))
+    counts = counts.crossJoin(
+        df.agg(F.count("*").cast("long").alias("_total"))
+    )
+    tgt = F.lit(None).cast("double")
+    for name, share in target.items():
+        tgt = F.when(F.col(stratum_col) == name, F.lit(float(share))).otherwise(tgt)
+    weights = counts.select(
+        stratum_col,
+        F.round(
+            F.coalesce(tgt, F.lit(0.0))
+            * F.col("_total")
+            / F.col("_n"),
+            6,
+        ).alias(weight_col),
+    )
+    return df.join(F.broadcast(weights), stratum_col)

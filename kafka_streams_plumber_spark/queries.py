@@ -6949,6 +6949,41 @@ def q_dedup_weights(spark, sf_dir):
     return dedup_weights(d.select("doc_id"), pairs)
 
 
+@query(
+    "q_reweight",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+    weights AS (
+      SELECT lang,
+             round(coalesce(CASE WHEN lang = 'en' THEN 0.4
+                                 WHEN lang = 'zh' THEN 0.3
+                                 WHEN lang = 'de' THEN 0.3 END, 0.0)
+                   * total / n, 6) AS weight
+      FROM counts CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang, w.weight
+    FROM documents d JOIN weights w USING (lang)
+    """,
+)
+def q_reweight(spark, sf_dir):
+    """Target-mix importance reweighting (operators/sampling.py:
+    reweight_to_target): per-stratum weight = target_share /
+    actual_share so weighted objectives see a 40/30/30 en/zh/de corpus
+    without dropping a row (out-of-target langs weigh 0 for audit).
+    One O(strata) count aggregate broadcast back; the fact table is
+    never shuffled."""
+    from kafka_streams_plumber_spark.operators.sampling import reweight_to_target
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = reweight_to_target(
+        d, "lang", {"en": 0.4, "zh": 0.3, "de": 0.3}
+    )
+    return out.select("doc_id", "lang", "weight")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

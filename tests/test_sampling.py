@@ -384,3 +384,34 @@ def test_kfold_rejects_k1(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pt.raises(ValueError):
         kfold(df, "id", k=1)
+
+
+def test_reweight_to_target_mix(spark):
+    """Weighted stratum mass matches the target mix exactly; absent
+    strata weigh zero; total weighted mass ~= corpus size."""
+    from kafka_streams_plumber_spark.operators.sampling import reweight_to_target
+
+    rows = [(i, "a" if i < 60 else ("b" if i < 90 else "c")) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = reweight_to_target(df, "s", {"a": 0.5, "b": 0.5}).collect()
+    w = {}
+    for r in out:
+        w.setdefault(r["s"], []).append(r["weight"])
+    assert len(out) == 100
+    # 60 rows of a at weight 50/60, 30 of b at 50/30, 10 of c at 0
+    assert set(w["a"]) == {round(0.5 * 100 / 60, 6)}
+    assert set(w["b"]) == {round(0.5 * 100 / 30, 6)}
+    assert set(w["c"]) == {0.0}
+    mass_a = sum(w["a"])
+    mass_b = sum(w["b"])
+    assert abs(mass_a / (mass_a + mass_b) - 0.5) < 1e-6
+
+
+def test_reweight_rejects_bad_target(spark):
+    import pytest as _pt
+
+    from kafka_streams_plumber_spark.operators.sampling import reweight_to_target
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with _pt.raises(ValueError):
+        reweight_to_target(df, "s", {"a": 0.5})
