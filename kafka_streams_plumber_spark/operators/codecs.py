@@ -1,12 +1,13 @@
 """Pure-stdlib media codecs: PNG, BMP and WAV with zlib/struct/numpy
 only — no PIL, no ffmpeg, no soundfile.
 
-These turn three common ENCODED formats into real decode paths for
+These turn four common ENCODED formats into real decode paths for
 ``operators/multimodal.py`` (which previously supported only the
 ``*/x-raw`` buffer mimes): PNG covers the lossless-image corpus case,
-BMP the legacy-scan case, WAV the PCM-audio case. JPEG/GIF/MP4 remain
-stubbed in multimodal.py — entropy-coded formats genuinely need codec
-libraries this container lacks.
+GIF the web-crawl animation/icon case, BMP the legacy-scan case, WAV
+the PCM-audio case. JPEG/MP3/MP4 remain stubbed in multimodal.py —
+DCT/entropy-coded formats genuinely need codec libraries this
+container lacks.
 
 Format support (decoders raise ``ValueError`` on anything else, which
 multimodal's per-item corrupt-handling treats as a droppable item):
@@ -21,8 +22,12 @@ multimodal's per-item corrupt-handling treats as a droppable item):
 - BMP: BITMAPINFOHEADER-or-larger, uncompressed (BI_RGB) 24/32 bpp,
   bottom-up or top-down; returns RGB(A).
 - WAV: RIFF/WAVE, PCM (format 1), 16-bit, any channel count.
+- GIF: 87a/89a, global/local color tables, interlace, first frame
+  composited onto the logical screen; pure-Python LZW (12-bit dict,
+  re-CLEAR). Transparency renders its palette color.
 
-Encoders (`encode_png` filter-0, `encode_bmp` 24-bit, `encode_wav`)
+Encoders (`encode_png` filter-0, `encode_bmp` 24-bit, `encode_wav`,
+`encode_gif` single-frame <=256-color)
 exist so pipelines can re-emit bytes after a transform and tests can
 build golden fixtures without any imaging library.
 """
@@ -263,4 +268,216 @@ def try_decode_image(data: bytes, mime: str) -> np.ndarray | None:
         return decode_png(data)
     if mime == "image/bmp":
         return decode_bmp(data)
+    if mime == "image/gif":
+        return decode_gif(data)
     return None
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/END codes, dict
+    growth to 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # tolerate missing END (common in the wild)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        elif code < clear:
+            entry = [code]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-flavor LZW compression (dict growth, 12-bit cap, re-CLEAR)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    code_size = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 RGB,
+    composited onto the logical screen (background-filled if the frame
+    rectangle is smaller). Transparency is ignored (the transparent
+    index renders its palette color) — featurization treats frames as
+    opaque rasters. Pure Python LZW, no codec library."""
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _ = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    data, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = data[pos]
+            pos += 1
+            comp = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                sz = data[pos]
+                comp += data[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx = _lzw_decode(bytes(comp), min_code)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF image data")
+            grid = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: undo the four passes
+                rows = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(start, h, step))
+                un = np.empty_like(grid)
+                un[rows] = grid
+                grid = un
+            if grid.max() >= len(pal):
+                raise ValueError("GIF index outside color table")
+            frame = pal[grid]
+            if (left, top, w, h) == (0, 0, sw, sh):
+                return np.ascontiguousarray(frame)
+            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+            if gct is not None and bg < len(gct):
+                canvas[:, :] = gct[bg]
+            canvas[top : top + h, left : left + w] = frame
+            return canvas
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image")
+
+
+def encode_gif(img: np.ndarray, *, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a single-frame GIF with a
+    256-entry color table built from the image's unique colors (must be
+    <= 256 — this encoder targets fixtures and re-emission of decoded
+    GIFs, not general quantization)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_gif wants (h, w, 3) RGB")
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <= 256 unique colors")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    grid = inverse.reshape(h, w)
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        grid = grid[rows]
+    comp = _lzw_encode([int(x) for x in grid.ravel()], 8)
+    blocks = bytearray()
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+        + pal.tobytes()
+        + b"\x2C"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        + bytes([8])
+        + bytes(blocks)
+        + b"\x3B"
+    )

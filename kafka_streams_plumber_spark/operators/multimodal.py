@@ -22,10 +22,11 @@ Real-kernel coverage (``fake=None``):
   ``video/x-raw``, RMS + FFT-mel MFCC for ``audio/x-raw-s16le``.
 - ENCODED formats with stdlib-only containers — also REAL via
   ``operators/codecs.py`` (zlib/struct/numpy, no PIL/ffmpeg):
-  ``image/png`` (all filters, palette), ``image/bmp`` (24/32 bpp) and
-  ``audio/wav`` (PCM-16, any channel count) decode onto the same
-  kernels; resize re-encodes into the input container.
-- Entropy-coded formats (JPEG/GIF/MP3/MP4) genuinely require codec
+  ``image/png`` (all filters, palette), ``image/gif`` (LZW,
+  interlace, first frame), ``image/bmp`` (24/32 bpp) and ``audio/wav``
+  (PCM-16, any channel count) decode onto the same kernels; resize
+  re-encodes into the input container.
+- DCT/entropy-coded formats (JPEG/MP3/MP4) genuinely require codec
   libraries this container lacks: those raise NotImplementedError at
   the marked call sites. ``fake="deterministic"`` keeps seeded,
   content-addressed fake outputs (real plumbing, fake pixels) so
@@ -127,11 +128,11 @@ def decode_and_featurize_images(
     ``fake=None`` the :data:`RAW_IMAGE_MIME` path is REAL — a grayscale
     grid-pooled, L2-normalized embedding (vectorized bincount pooling,
     no per-pixel Python): the model-free visual fingerprint that feeds
-    the cosine/LSH dedup operators. PNG and BMP decode through the
-    stdlib codecs (operators/codecs.py) onto the same pooling kernel;
-    only entropy-coded formats (JPEG/GIF) stay stubbed (PIL not in the
-    container). ``fake="deterministic"`` keeps the seeded
-    content-addressed fake for plumbing tests.
+    the cosine/LSH dedup operators. PNG, GIF and BMP decode through
+    the stdlib codecs (operators/codecs.py) onto the same pooling
+    kernel; only JPEG stays stubbed (PIL not in the container).
+    ``fake="deterministic"`` keeps the seeded content-addressed fake
+    for plumbing tests.
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -151,7 +152,7 @@ def decode_and_featurize_images(
                     continue
                 if fake != "deterministic":
                     # REAL path: raw pixel buffers reshape in place;
-                    # PNG/BMP decode via the stdlib codecs
+                    # PNG/GIF/BMP decode via the stdlib codecs
                     # (operators/codecs.py). Either way the grayscale
                     # grid-pooled embedding below (average pool onto a
                     # g x g grid, L2-normalized) is the model-free
@@ -178,9 +179,9 @@ def decode_and_featurize_images(
                         # REAL IMPLEMENTATION for entropy-coded formats:
                         #   from PIL import Image; Image.open(BytesIO(data))
                         raise NotImplementedError(
-                            "JPEG/GIF decode requires PIL/torchvision; raw"
-                            f" {RAW_IMAGE_MIME!r} buffers, PNG and BMP are"
-                            " real numpy paths"
+                            "JPEG decode requires PIL/torchvision; raw"
+                            f" {RAW_IMAGE_MIME!r} buffers, PNG, GIF and BMP"
+                            " are real numpy paths"
                         )
                     h, w = img.shape[:2]  # decoded dims are authoritative
                     gray = img.astype("float64").mean(axis=2)
@@ -339,14 +340,13 @@ def resize_images(
     - ``fake="deterministic"`` (default): output bytes are a content
       hash — stable plumbing-test mode.
     - ``fake=None``: REAL resample for :data:`RAW_IMAGE_MIME` buffers
-      AND for PNG/BMP (stdlib decode via operators/codecs.py; output
-      re-encoded into the input container) — pure-numpy
+      AND for PNG/GIF/BMP (stdlib decode via operators/codecs.py;
+      output re-encoded into the input container) — pure-numpy
       nearest-neighbor (pixel-center convention:
       ``src = floor((dst + 0.5) * src_len / dst_len)``), vectorized as
       two fancy-index gathers per image, no per-pixel Python. Only
-      entropy-coded formats (JPEG/GIF) still raise NotImplementedError
-      at the marked site — decoding them needs PIL/torchvision, which
-      this container lacks.
+      JPEG still raises NotImplementedError at the marked site —
+      decoding it needs PIL/torchvision, which this container lacks.
 
     Raw buffers whose length is not an exact w*h*c (c in 1..4) multiple
     are dropped (corrupt-item semantics, same as null data).
@@ -389,9 +389,9 @@ def resize_images(
                         # REAL IMPLEMENTATION for entropy-coded formats:
                         #   PIL Image.open(io.BytesIO(data)).resize((nw, nh))
                         raise NotImplementedError(
-                            "JPEG/GIF resize requires PIL; raw"
-                            f" {RAW_IMAGE_MIME!r}, PNG and BMP resample"
-                            " in numpy"
+                            "JPEG resize requires PIL; raw"
+                            f" {RAW_IMAGE_MIME!r}, PNG, GIF and BMP"
+                            " resample in numpy"
                         )
                     h, w = img.shape[:2]  # decoded dims are authoritative
                     scale = min(1.0, max_side / max(w, h))
@@ -404,6 +404,15 @@ def resize_images(
                     # 32-bpp input is dropped); raw stays raw
                     if mime == "image/png":
                         out_bytes = encode_png(resized)
+                    elif mime == "image/gif":
+                        # NN resample of a paletted frame can only keep
+                        # a subset of its <=256 colors, so single-frame
+                        # re-encoding is always valid
+                        from kafka_streams_plumber_spark.operators.codecs import (
+                            encode_gif,
+                        )
+
+                        out_bytes = encode_gif(resized)
                     elif mime == "image/bmp":
                         out_bytes = encode_bmp(resized[:, :, :3])
                     else:

@@ -61,15 +61,15 @@ def test_image_decode_real_path_is_marked(spark, media_df):
         == 0
     )
     # entropy-coded formats still mark the library call site
-    gif = media_df.filter("media.mime like 'image/%'").selectExpr(
+    jpeg = media_df.filter("media.mime like 'image/%'").selectExpr(
         "doc_id",
-        "named_struct('data', media.data, 'mime', 'image/gif',"
+        "named_struct('data', media.data, 'mime', 'image/jpeg',"
         " 'width', media.width, 'height', media.height,"
         " 'duration_ms', media.duration_ms,"
         " 'media_size_bytes', media.media_size_bytes) AS media",
     )
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
-        decode_and_featurize_images(gif, fake=None).collect()
+        decode_and_featurize_images(jpeg, fake=None).collect()
 
 
 def test_video_frame_fanout(spark, media_df):
@@ -620,3 +620,74 @@ def test_audio_wav_stereo_downmix_matches_raw_mono(spark):
     r8 = extract_audio_features(df8k, fake=None).collect()[0]
     assert r8["sample_rate"] == 8000
     assert r8["duration_ms"] == round(4000 * 1000 / 8000)
+
+
+def test_codec_gif_roundtrips_and_interlace():
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(17)
+    img = np.repeat(
+        (rng.integers(0, 4, (23, 31), dtype=np.uint8) * 60)[:, :, None], 3, axis=2
+    )
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+    # tall interlaced image exercises all four passes
+    tall = np.repeat(
+        (rng.integers(0, 7, (37, 5), dtype=np.uint8) * 36)[:, :, None], 3, axis=2
+    )
+    assert np.array_equal(decode_gif(encode_gif(tall, interlace=True)), tall)
+    # LZW: KwKwK case, code-size growth, dict-cap re-CLEAR
+    seq = [0, 1] * 50 + [0, 0, 0, 1, 1, 0, 1]
+    assert _lzw_decode(_lzw_encode(seq, 2), 2) == seq
+    big = [int(x) for x in rng.integers(0, 2, 120000)]
+    assert _lzw_decode(_lzw_encode(big, 2), 2) == big
+    # extension blocks (e.g. GCE) are skipped
+    g = encode_gif(img)
+    with_ext = g[: 13 + 768] + b"\x21\xF9\x04\x00\x00\x00\x00\x00" + g[13 + 768 :]
+    assert np.array_equal(decode_gif(with_ext), img)
+
+
+def test_featurize_and_resize_gif_real_path(spark):
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        decode_and_featurize_images,
+        pack_media,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(19)
+    img = np.repeat(
+        (rng.integers(0, 5, (24, 32), dtype=np.uint8) * 50)[:, :, None], 3, axis=2
+    )
+    rows = [(1, encode_gif(img), "image/gif", None, None),
+            (2, img.tobytes(), "image/x-raw", 32, 24)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, raw binary, mime string, w int, h int"
+    ).select(
+        "doc_id",
+        pack_media(
+            F.col("raw"), F.col("mime"), width=F.col("w"), height=F.col("h")
+        ).alias("media"),
+    )
+    out = {r["doc_id"]: r for r in
+           decode_and_featurize_images(df, fake=None).collect()}
+    assert out[1]["embedding"] == out[2]["embedding"]
+
+    r = resize_images(df.filter("doc_id = 1"), max_side=16, fake=None).collect()[0]
+    assert (r["width"], r["height"]) == (16, 12)
+    back = decode_gif(bytes(r["data"]))
+    ys = ((np.arange(12) + 0.5) * (24 / 12)).astype(int)
+    xs = ((np.arange(16) + 0.5) * (32 / 16)).astype(int)
+    assert np.array_equal(back, img[ys][:, xs])
