@@ -104,6 +104,22 @@ def repartition_by_media_size(
     return df.repartition(n)
 
 
+
+def _int_dim(v) -> int | None:
+    """Arrow->pandas turns nullable int columns into float64 with NaN:
+    normalize a width/height/duration cell back to int-or-None."""
+    if v is None:
+        return None
+    try:
+        import math
+
+        if isinstance(v, float) and math.isnan(v):
+            return None
+    except Exception:
+        pass
+    return int(v)
+
+
 _IMAGE_FEATURES = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -162,7 +178,8 @@ def decode_and_featurize_images(
                         try_decode_image,
                     )
 
-                    w, h = media["width"], media["height"]
+                    w = _int_dim(media["width"])
+                    h = _int_dim(media["height"])
                     img = None
                     if media["mime"] == RAW_IMAGE_MIME and w and h:
                         buf = np.frombuffer(bytes(data), dtype=np.uint8)
@@ -363,8 +380,8 @@ def resize_images(
             for rid, media in zip(pdf[id_col], pdf[media_col]):
                 if media is None or media["data"] is None:
                     continue
-                w = media["width"] or max_side
-                h = media["height"] or max_side
+                w = _int_dim(media["width"]) or max_side
+                h = _int_dim(media["height"]) or max_side
                 if fake != "deterministic":
                     from kafka_streams_plumber_spark.operators.codecs import (
                         encode_bmp,
@@ -594,6 +611,7 @@ _MAGIC = (
     ("audio/mpeg", "494433"),
     ("video/mp4", "66747970", 5),  # 'ftyp' at byte offset 5
     ("audio/wav", "52494646"),  # RIFF container (WAV/AVI share it)
+    ("image/bmp", "424D"),  # 'BM' — after longer prefixes
 )
 
 

@@ -3507,12 +3507,13 @@ def q_zorder(spark, sf_dir):
     "q_sniff_mime",
     """
     SELECT doc_id,
-           CASE doc_id % 6
+           CASE doc_id % 7
              WHEN 0 THEN 'image/png'
              WHEN 1 THEN 'image/jpeg'
              WHEN 2 THEN 'image/gif'
              WHEN 3 THEN 'application/pdf'
              WHEN 4 THEN 'video/mp4'
+             WHEN 5 THEN 'image/bmp'
              ELSE 'application/octet-stream'
            END AS mime
     FROM documents
@@ -3533,10 +3534,11 @@ def q_sniff_mime(spark, sf_dir):
         F.unhex(F.lit("474946383961")),              # gif89a
         F.unhex(F.lit("255044462D312E34")),          # %PDF-1.4
         F.unhex(F.lit("000000186674797069736F6D")),  # mp4 ftyp @5
+        F.unhex(F.lit("424D763400000000000036000000")),  # BMP 'BM'
         F.unhex(F.lit("")),                          # bare text
     )
     data = F.concat(
-        F.element_at(headers, (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int")),
+        F.element_at(headers, (F.pmod(F.col("doc_id"), F.lit(7)) + 1).cast("int")),
         F.encode(F.col("text"), "UTF-8"),
     )
     return d.select("doc_id", sniff_mime(data).alias("mime"))
