@@ -685,3 +685,120 @@ def test_zorder_key_matches_python_interleave(spark, pts):
     ]
     for x, y, z in got:
         assert z == ref(x, y), (x, y, z)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=12), min_size=1, max_size=120
+    )
+)
+def test_content_chunks_tile_every_document(spark, tok_ids):
+    """CDC chunks are contiguous, disjoint and complete for arbitrary
+    token streams, and chunk hashes equal the md5 of the joined span."""
+    import hashlib
+
+    from kafka_streams_plumber_spark.operators.text import content_chunks
+
+    toks = [f"t{i}" for i in tok_ids]
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        content_chunks(df, window=3, mask_bits=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    pos = 0
+    for i, r in enumerate(rows):
+        assert r["chunk_idx"] == i and r["start_pos"] == pos
+        span = toks[pos : pos + r["n_tokens"]]
+        assert r["chunk_hash"] == hashlib.md5(" ".join(span).encode()).hexdigest()
+        pos += r["n_tokens"]
+    assert pos == len(toks)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-100, max_value=100, allow_nan=False
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ewma_matches_bruteforce(spark, seq):
+    """Windowed EWMA equals a literal Python evaluation of the weighted
+    average over the last W non-null observations."""
+    from kafka_streams_plumber_spark.operators.behavior import ewma
+
+    rows = [(k, i, v) for i, (k, v) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k long, seq long, value double")
+    got = {
+        (r["k"], r["seq"]): r["ewma"]
+        for r in ewma(df, "k", ["seq"], "value", alpha=0.4, window=5).collect()
+    }
+    per_key: dict = {}
+    for k, i, v in rows:
+        per_key.setdefault(k, []).append((i, v))
+    for k, items in per_key.items():
+        for j, (i, _) in enumerate(items):
+            lastw = items[max(0, j - 4) : j + 1][::-1]  # current first
+            num = den = 0.0
+            for lag, (_, v) in enumerate(lastw):
+                if v is not None:
+                    wgt = 0.6 ** lag
+                    num += v * wgt
+                    den += wgt
+            exp = round(num / den, 6) if den > 0 else None
+            assert got[(k, i)] == exp or (
+                exp is not None and got[(k, i)] is not None
+                and abs(got[(k, i)] - exp) < 1e-9
+            ), (k, i, got[(k, i)], exp)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_label_propagation_matches_python_simulation(spark, pairs):
+    """Synchronous LPA with min tie-break equals a literal Python
+    re-run for arbitrary small graphs."""
+    from collections import defaultdict
+
+    from kafka_streams_plumber_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a, b in pairs]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            c: dict = defaultdict(int)
+            for m in nbrs:
+                c[lab[m]] += 1
+            mx = max(c.values())
+            new[n] = min(l for l, v in c.items() if v == mx)
+        lab = new
+    assert got == lab
