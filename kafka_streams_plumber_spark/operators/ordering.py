@@ -160,3 +160,71 @@ def epoch_shards(
         .withColumn(pos_col, (F.col("_gpos") / n_shards).cast("long"))
         .drop("_gpos")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    *,
+    n_shards: int,
+    seed: int = 42,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Materialize a training-ready corpus layout: a seeded global
+    permutation dealt round-robin into ``n_shards`` directories
+    (``shard=K/``), each shard's rows stored IN READ ORDER, plus a
+    ``_manifest`` directory the data loader bootstraps from.
+
+    Layout contract (what a multi-rank loader needs and nothing more):
+
+    - ``out_dir/shard=K/*.parquet`` — rank K streams its shard
+      sequentially; ``pos_in_shard`` is explicit in the data, so
+      resume-from-step is a pushdown filter (``pos_in_shard >= s``),
+      not a skip-scan.
+    - interleaving ranks by position reconstructs the global
+      permutation exactly (epoch_shards round-robin contract).
+    - ``out_dir/_manifest/*.parquet`` — one row per shard: ``shard,
+      n_rows, n_tokens`` (NULL if no ``token_col``), ``max_pos``. The
+      loader sizes epochs/steps without listing or scanning data
+      files.
+
+    Determinism: same inputs + seed => identical shard membership and
+    order on any cluster (id-hash permutation, no sampling). Shard
+    sizes are balanced to +-1 row by construction.
+
+    Scale: one range exchange for the permutation (global_order's
+    parallel rank — no single-task window), one hash exchange on the
+    shard id for the partitioned write, and an O(n_shards) manifest
+    aggregate. ``sortWithinPartitions(pos)`` makes parquet row order =
+    read order within every file.
+
+    Returns the manifest DataFrame (also written), so callers can gate
+    on it (e.g. expect.run_checks over shard balance).
+    """
+    sharded = epoch_shards(
+        df, id_col, n_shards=n_shards, seed=seed
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos_in_shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(f"{out_dir}/data")
+    )
+    tok = (
+        F.sum(F.col(token_col)).cast("long")
+        if token_col is not None
+        else F.lit(None).cast("long")
+    )
+    manifest = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            tok.alias("n_tokens"),
+            F.max("pos_in_shard").alias("max_pos"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+    return manifest

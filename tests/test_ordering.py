@@ -79,3 +79,58 @@ def test_rank_normalize_bounds_and_mean(spark):
     assert all(abs(r["quality"] - 0.5) < 1e-12 for r in out.values())
     assert out[0]["a_rank"] == 0 and out[0]["b_rank"] == 100
     assert out[100]["a_rank"] == 100 and out[100]["b_rank"] == 0
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """Shard dirs exist, rows stream in pos order, interleaving
+    reconstructs the global permutation, manifest matches the data."""
+    from kafka_streams_plumber_spark.operators.ordering import (
+        global_order,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(97)], "doc_id long, n_tok long"
+    )
+    out = str(tmp_path / "corpus")
+    manifest = write_training_shards(
+        df, out, "doc_id", n_shards=4, token_col="n_tok"
+    ).collect()
+
+    m = {r["shard"]: r for r in manifest}
+    assert set(m) == {0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in manifest) == 97
+    assert max(r["n_rows"] for r in manifest) - min(
+        r["n_rows"] for r in manifest
+    ) <= 1
+
+    back = spark.read.parquet(f"{out}/data")
+    assert back.count() == 97
+    # per-shard: rows are 0..n-1 in pos; token sums match the manifest
+    for k in range(4):
+        rows = (
+            back.filter(f"shard = {k}")
+            .select("doc_id", "pos_in_shard", "n_tok")
+            .collect()
+        )
+        assert sorted(r["pos_in_shard"] for r in rows) == list(range(len(rows)))
+        assert sum(r["n_tok"] for r in rows) == m[k]["n_tokens"]
+        assert m[k]["max_pos"] == len(rows) - 1
+    # interleaving shards by position == the global permutation
+    perm = {
+        r["doc_id"]: r["_gp"]
+        for r in global_order(df, "doc_id", pos_col="_gp").collect()
+    }
+    got = {
+        r["doc_id"]: r["pos_in_shard"] * 4 + r["shard"]
+        for r in back.collect()
+    }
+    assert got == perm
+    # written manifest parquet matches the returned frame
+    disk = {
+        r["shard"]: r
+        for r in spark.read.parquet(f"{out}/_manifest").collect()
+    }
+    assert {k: (v["n_rows"], v["n_tokens"]) for k, v in disk.items()} == {
+        k: (v["n_rows"], v["n_tokens"]) for k, v in m.items()
+    }
