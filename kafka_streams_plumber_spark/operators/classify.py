@@ -24,7 +24,7 @@ the oracle gate hashes).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: fixed-point resolution for frozen log-odds weights
@@ -304,3 +304,66 @@ def lr_oracle_sql(
         FROM w{int(iterations)}"""
     )
     return "\n".join(parts)
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + ECE terms for any scored frame: bucket
+    predictions by probability, compare each bucket's mean predicted
+    probability against its realized positive rate — the standard
+    check before trusting classifier scores as sampling weights or
+    quality gates (a miscalibrated quality model silently skews the
+    corpus mix).
+
+    Returns one row per non-empty bucket: ``bucket`` (floor(p*bins),
+    top-inclusive), ``n``, ``avg_prob``, ``frac_pos``, ``gap`` =
+    |avg_prob - frac_pos| and ``weighted_gap`` = gap * n / total;
+    ``sum(weighted_gap)`` is the Expected Calibration Error.
+
+    Engine-exact: bucket means use scaled-long probability sums (the
+    repo-wide order-proof device); every double is one fixed-order
+    expression rounded to 6 dp. ONE map-combinable aggregate over the
+    corpus + an O(bins) window for the total — the scored frame is
+    never shuffled wide.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    p = F.col(prob_col).cast("double")
+    bucket = F.least(
+        F.floor(p * bins).cast("int"), F.lit(int(bins) - 1)
+    )
+    g = (
+        df.select(
+            bucket.alias("bucket"),
+            F.round(p * 1_000_000).cast("long").alias("_sp"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_sp").alias("_sps"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    w = Window.partitionBy()  # O(bins) rows: a single-task total is fine
+    avg_u = F.col("_sps").cast("double") / 1_000_000 / F.col("n")
+    frac_u = F.col("_pos").cast("double") / F.col("n")
+    gap_u = F.abs(avg_u - frac_u)
+    return (
+        g.withColumn("_total", F.sum("n").over(w))
+        .select(
+            "bucket",
+            "n",
+            F.round(avg_u, 6).alias("avg_prob"),
+            F.round(frac_u, 6).alias("frac_pos"),
+            F.round(gap_u, 6).alias("gap"),
+            F.round(gap_u * F.col("n") / F.col("_total"), 6).alias(
+                "weighted_gap"
+            ),
+        )
+    )

@@ -6986,6 +6986,55 @@ def q_reweight(spark, sf_dir):
     return out.select("doc_id", "lang", "weight")
 
 
+@query(
+    "q_calibration",
+    """
+    WITH scored AS (
+      SELECT (doc_id % 2147483648) * 2654435761 % 2147483648
+               / CAST(2147483648 AS DOUBLE) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(least(floor(p * 10), 9) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT) AS sps,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+    SELECT bucket, n,
+           round(CAST(sps AS DOUBLE) / 1000000 / n, 6) AS avg_prob,
+           round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+           round(abs(CAST(sps AS DOUBLE) / 1000000 / n
+                     - CAST(pos AS DOUBLE) / n), 6) AS gap,
+           round(abs(CAST(sps AS DOUBLE) / 1000000 / n
+                     - CAST(pos AS DOUBLE) / n) * n / total, 6)
+             AS weighted_gap
+    FROM g CROSS JOIN t
+    """,
+)
+def q_calibration(spark, sf_dir):
+    """Calibration audit (operators/classify.py:calibration_report):
+    reliability buckets + ECE terms for a scored corpus (here a
+    deterministic hash-uniform score against the lang=='en' label —
+    a maximally UNcalibrated model, so every bucket's gap ~= its
+    distance to the base rate; the operator itself is what's gated).
+    One map-combinable aggregate + O(bins) total; scaled-long bucket
+    means replayed exactly."""
+    from kafka_streams_plumber_spark.operators.classify import calibration_report
+
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = d.select(
+        (
+            (F.col("doc_id") % 2147483648) * 2654435761 % 2147483648
+            / F.lit(2147483648.0)
+        ).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return calibration_report(scored, "p", "y", bins=10)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

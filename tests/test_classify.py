@@ -103,3 +103,39 @@ def test_lr_partition_invariant(spark):
         .collect()
     ]
     assert a == b
+
+
+def test_calibration_report_hand_computed(spark):
+    """Perfectly calibrated buckets show gap 0; a biased bucket shows
+    its exact gap; ECE = sum of weighted gaps."""
+    from kafka_streams_plumber_spark.operators.classify import calibration_report
+
+    rows = (
+        # bucket 2 (p=0.25): 4 rows, 1 positive -> perfectly calibrated
+        [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)]
+        # bucket 9 (p=0.95): 2 rows, 0 positives -> gap 0.95
+        + [(0.95, 0), (0.95, 0)]
+        # p=1.0 lands in the top bucket too (top-inclusive)
+        + [(1.0, 1)]
+    )
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r["bucket"]: r for r in
+           calibration_report(df, "p", "y", bins=10).collect()}
+    assert set(out) == {2, 9}
+    assert out[2]["avg_prob"] == 0.25 and out[2]["frac_pos"] == 0.25
+    assert out[2]["gap"] == 0.0 and out[2]["weighted_gap"] == 0.0
+    # bucket 9: avg_prob = (0.95*2 + 1.0)/3, frac_pos = 1/3
+    exp_avg = round((950000 * 2 + 1000000) / 1e6 / 3, 6)
+    assert out[9]["avg_prob"] == exp_avg
+    assert out[9]["frac_pos"] == round(1 / 3, 6)
+    assert out[9]["weighted_gap"] == round((exp_avg - 1 / 3) * 3 / 7, 6)
+
+
+def test_calibration_report_bins_guard(spark):
+    import pytest as _pt
+
+    from kafka_streams_plumber_spark.operators.classify import calibration_report
+
+    df = spark.createDataFrame([(0.5, 1)], "p double, y int")
+    with _pt.raises(ValueError):
+        calibration_report(df, "p", "y", bins=1)
