@@ -500,3 +500,45 @@ def ab_test(
             F.when(se > 0.0, (p_t - p_c) / se).otherwise(F.lit(None)), 6
         ).alias("z"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 2,
+) -> DataFrame:
+    """Attribute-disclosure audit, the follow-up question after
+    :func:`k_anonymity`: a combo can be k-anonymous yet still leak —
+    if all k rows share one sensitive value, membership reveals it
+    (the homogeneity attack). A combo is (distinct) l-diverse when its
+    rows carry at least ``l`` distinct sensitive values.
+
+    Returns a one-row frame: total rows, distinct combos, combos
+    below l, rows exposed (in a below-l combo), min diversity, and
+    the exposed fraction.
+
+    Cost: one exact distinct-count aggregate over the combo key (two
+    map-combinable shuffles via Spark's count_distinct expansion) +
+    one tiny rollup — scales with distinct (combo, sensitive) pairs,
+    never with rows.
+    """
+    combos = df.groupBy(*quasi_cols).agg(
+        F.count("*").alias("_n"),
+        F.countDistinct(sensitive_col).alias("_l"),
+    )
+    return combos.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_combos"),
+        F.sum((F.col("_l") < l).cast("long")).alias("combos_below_l"),
+        F.sum(F.when(F.col("_l") < l, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_exposed"),
+        F.min("_l").cast("long").alias("min_diversity"),
+        F.round(
+            F.sum(F.when(F.col("_l") < l, F.col("_n")).otherwise(0))
+            / F.sum("_n"),
+            6,
+        ).alias("exposed_fraction"),
+    )

@@ -7035,6 +7035,49 @@ def q_calibration(spark, sf_dir):
     return calibration_report(scored, "p", "y", bins=10)
 
 
+@query(
+    "q_l_diversity",
+    """
+    WITH combos AS (
+      SELECT lang,
+             CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+                  ELSE 2 END AS len_bucket,
+             count(*) AS n,
+             count(DISTINCT source) AS l
+      FROM documents
+      GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_combos,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS combos_below_l,
+           CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_exposed,
+           CAST(min(l) AS BIGINT) AS min_diversity,
+           round(sum(CASE WHEN l < 3 THEN n ELSE 0 END)
+                 / CAST(sum(n) AS DOUBLE), 6) AS exposed_fraction
+    FROM combos
+    """,
+)
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators/stats.py:l_diversity) over the
+    (lang, length-bucket) quasi-identifier with source as the
+    sensitive attribute: a k-anonymous combo still leaks if all its
+    rows share one sensitive value (homogeneity attack). One exact
+    distinct-count aggregate + one tiny rollup — scales with distinct
+    (combo, sensitive) pairs."""
+    from kafka_streams_plumber_spark.operators.stats import l_diversity
+
+    d = load_tables(spark, sf_dir)["documents"]
+    bucketed = d.withColumn(
+        "len_bucket",
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2),
+    )
+    return l_diversity(bucketed, ["lang", "len_bucket"], "source", l=3)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -304,3 +304,20 @@ def test_ab_test_degenerate_variance_is_null(spark):
     df = spark.createDataFrame(rows, "unit string, variant string, conv boolean")
     r = ab_test(df, "unit", "variant", "conv").collect()[0]
     assert r["z"] is None and r["lift"] == 0.0
+
+
+def test_l_diversity_homogeneity_attack(spark):
+    """A combo with many rows but one sensitive value is exposed even
+    though it is k-anonymous; a diverse combo is not."""
+    from kafka_streams_plumber_spark.operators.stats import l_diversity
+
+    rows = (
+        [("a", "x")] * 5          # 5 rows, 1 sensitive value -> exposed
+        + [("b", "x"), ("b", "y")]  # 2 rows, 2 values -> fine at l=2
+    )
+    df = spark.createDataFrame(rows, "quasi string, s string")
+    r = l_diversity(df, ["quasi"], "s", l=2).collect()[0]
+    assert r["n_rows"] == 7 and r["n_combos"] == 2
+    assert r["combos_below_l"] == 1 and r["rows_exposed"] == 5
+    assert r["min_diversity"] == 1
+    assert r["exposed_fraction"] == round(5 / 7, 6)
