@@ -7078,6 +7078,62 @@ def q_l_diversity(spark, sf_dir):
     return l_diversity(bucketed, ["lang", "len_bucket"], "source", l=3)
 
 
+@query(
+    "q_cluster_hist",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+    ),
+    adj AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT s, s FROM adj
+      UNION
+      SELECT adj.s, reach.comp FROM adj JOIN reach ON adj.d = reach.node
+    ),
+    comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    clustered AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+      FROM clustered GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def q_cluster_hist(spark, sf_dir):
+    """Duplicate-cluster size histogram — the dedup-health diagnostic
+    read before choosing keep-one vs downweight (dedup_weights): how
+    much of the corpus sits in clusters of each size. Composes
+    dedup_clusters with two O(clusters) aggregates; the recursive-CTE
+    oracle replays the component fixpoint and both rollups."""
+    from kafka_streams_plumber_spark.operators.graph import dedup_clusters
+
+    d = load_tables(spark, sf_dir)["documents"]
+    h = d.select("doc_id", F.md5("text").alias("_h"))
+    a, b = h.alias("a"), h.alias("b")
+    pairs = a.join(
+        b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    clustered = dedup_clusters(d.select("doc_id"), pairs)
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
