@@ -1,13 +1,14 @@
 """Pure-stdlib media codecs: PNG, BMP and WAV with zlib/struct/numpy
 only — no PIL, no ffmpeg, no soundfile.
 
-These turn four common ENCODED formats into real decode paths for
-``operators/multimodal.py`` (which previously supported only the
-``*/x-raw`` buffer mimes): PNG covers the lossless-image corpus case,
-GIF the web-crawl animation/icon case, BMP the legacy-scan case, WAV
-the PCM-audio case. JPEG/MP3/MP4 remain stubbed in multimodal.py —
-DCT/entropy-coded formats genuinely need codec libraries this
-container lacks.
+These turn the five common ENCODED image/audio formats into real
+decode paths for ``operators/multimodal.py`` (which previously
+supported only the ``*/x-raw`` buffer mimes): PNG covers the
+lossless-image corpus case, JPEG the photographic web-crawl case
+(baseline SOF0: from-scratch canonical Huffman + orthonormal IDCT),
+GIF the icon/animation case, BMP the legacy-scan case, WAV the
+PCM-audio case. Only compressed AUDIO/VIDEO (MP3/AAC/MP4) remains
+stubbed in multimodal.py.
 
 Format support (decoders raise ``ValueError`` on anything else, which
 multimodal's per-item corrupt-handling treats as a droppable item):
@@ -25,11 +26,16 @@ multimodal's per-item corrupt-handling treats as a droppable item):
 - GIF: 87a/89a, global/local color tables, interlace, first frame
   composited onto the logical screen; pure-Python LZW (12-bit dict,
   re-CLEAR). Transparency renders its palette color.
+- JPEG: baseline (SOF0/1) 8-bit Huffman, any sampling factors up to
+  2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, grayscale or
+  YCbCr->RGB (JFIF full range). Progressive (SOF2) and arithmetic
+  coding raise ValueError.
 
 Encoders (`encode_png` filter-0, `encode_bmp` 24-bit, `encode_wav`,
-`encode_gif` single-frame <=256-color)
-exist so pipelines can re-emit bytes after a transform and tests can
-build golden fixtures without any imaging library.
+`encode_gif` single-frame <=256-color, `encode_jpeg` baseline with
+optional 4:2:0 + restart markers) exist so pipelines can re-emit
+bytes after a transform and tests can build golden fixtures without
+any imaging library.
 """
 
 from __future__ import annotations
@@ -270,6 +276,8 @@ def try_decode_image(data: bytes, mime: str) -> np.ndarray | None:
         return decode_bmp(data)
     if mime == "image/gif":
         return decode_gif(data)
+    if mime == "image/jpeg":
+        return decode_jpeg(data)
     return None
 
 
@@ -481,3 +489,559 @@ def encode_gif(img: np.ndarray, *, interlace: bool = False) -> bytes:
         + bytes(blocks)
         + b"\x3B"
     )
+
+
+# =====================================================================
+# Baseline JPEG — pure numpy Huffman + DCT, no codec library
+# =====================================================================
+
+#: zig-zag order: index i of the scan -> (row, col) flattened position
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: ITU-T T.81 Annex K quantization tables (luminance, chrominance)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+#: Annex K typical Huffman tables: (bits[1..16], values)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis matrix C: forward = C @ X @ C.T."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    c[0] /= np.sqrt(2)
+    return c
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman: (length, code) -> value."""
+    table = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman: value -> (code, length)."""
+    table = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[values[i]] = (code, ln)
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    unstuffing; stops cleanly at markers (returns them via `marker`)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    self.marker = nxt
+                    # marker found: stop consuming, pad with zeros
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.nbits -= self.nbits % 8
+
+    def resync_restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary."""
+        self.byte_align()
+        # drain buffered zero-padding from a pending marker
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.marker = None
+            self.pos += 2
+            self.acc = 0
+            self.nbits = 0
+
+
+def _huff_read(r: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("bad JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG magnitude decoding: t-bit value v to signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a BASELINE (SOF0, 8-bit, Huffman) JPEG to (h, w, 3) uint8
+    RGB — pure numpy: marker parse, canonical Huffman, dequantize,
+    inverse zigzag, orthonormal IDCT, nearest-neighbor chroma
+    upsampling (any sampling factors up to 2x2), JFIF YCbCr->RGB.
+    Grayscale JPEGs return (h, w, 1). Progressive (SOF2), arithmetic
+    and 12-bit variants raise ValueError (treated as corrupt items by
+    multimodal's droppable-item contract)."""
+    data = bytes(data)
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart = 0
+    pos = 2
+    scan_pos = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = data[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    seg, np.uint8, count=64, offset=i + 1
+                )
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nvals])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
+                    bits, vals
+                )
+                i += 17 + nvals
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("progressive/extended JPEG unsupported")
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["td"], c["ta"] = tt >> 4, tt & 0xF
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_pos is None or not comps or w == 0:
+        raise ValueError("JPEG missing SOS/SOF")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    C = _dct_basis()
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+
+    r = _BitReader(data, scan_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                r.resync_restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = _huff_read(r, huff_dc[c["td"]])
+                        diff = _extend(r.read_bits(t), t)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(r, huff_ac[c["ta"]])
+                            rrun, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if rrun == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rrun
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            zz[k] = _extend(r.read_bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.int32)
+                        blk[_ZIGZAG] = zz
+                        blk = blk.reshape(8, 8) * qt[c["tq"]]
+                        px = C.T @ blk @ C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+
+    # upsample to full res, crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_jpeg(
+    img: np.ndarray, *, subsample: bool = False, restart: int = 0
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w[, 1]) grayscale uint8 array as
+    a baseline JPEG with the Annex K quantization and Huffman tables —
+    primarily the test/fixture counterpart of :func:`decode_jpeg` (the
+    tables are unscaled: roughly 'quality 50', visibly lossy but
+    PSNR-testable).
+
+    ``subsample=True`` emits 4:2:0 (2x2 luma + box-averaged chroma per
+    16x16 MCU — the dominant web-JPEG layout); ``restart=N`` emits a
+    DRI segment and RSTn markers every N MCUs. Both exist chiefly so
+    the decoder's subsampling/restart paths are testable without any
+    external codec."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg wants gray or RGB")
+    C = _dct_basis()
+
+    if nc == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+        dc_tabs = [_HT_DC_LUMA, _HT_DC_CHROMA, _HT_DC_CHROMA]
+        ac_tabs = [_HT_AC_LUMA, _HT_AC_CHROMA, _HT_AC_CHROMA]
+        if subsample:
+            hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            hv = [(1, 1), (1, 1), (1, 1)]
+    else:
+        planes = [img[:, :, 0].astype(np.float64)]
+        qts = [_QT_LUMA]
+        dc_tabs = [_HT_DC_LUMA]
+        ac_tabs = [_HT_AC_LUMA]
+        hv = [(1, 1)]
+
+    hmax = max(x for x, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def pad_to(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        pp = np.empty((ph, pw))
+        sh, sw = p.shape
+        pp[:sh, :sw] = p
+        if ph > sh:
+            pp[sh:, :sw] = p[-1:, :]
+        if pw > sw:
+            pp[:, sw:] = pp[:, sw - 1 : sw]
+        return pp
+
+    comp_planes = []
+    for ci, p in enumerate(planes):
+        ch, cv = hv[ci]
+        if (ch, cv) != (hmax, vmax):
+            # box-average subsample by the ratio
+            ry, rx = vmax // cv, hmax // ch
+            ph = (h + ry - 1) // ry * ry
+            pw = (w + rx - 1) // rx * rx
+            p = pad_to(p, ph, pw)
+            p = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        comp_planes.append(pad_to(p, mcuy * cv * 8, mcux * ch * 8))
+
+    enc_dc = [_huff_encode_table(*t) for t in dc_tabs]
+    enc_ac = [_huff_encode_table(*t) for t in ac_tabs]
+    bwr = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_count = 0
+    rst_idx = 0
+
+    def write_block(ci: int, blk: np.ndarray) -> None:
+        coef = C @ (blk - 128.0) @ C.T
+        q = np.round(coef / qts[ci].reshape(8, 8)).astype(np.int32)
+        zz = q.reshape(-1)[_ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = _category(diff)
+        code, ln = enc_dc[ci][t]
+        bwr.write(code, ln)
+        if t:
+            bwr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zz[k] != 0:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[ci][0xF0]
+                bwr.write(code, ln)
+                run -= 16
+            scat = _category(v)
+            code, ln = enc_ac[ci][(run << 4) | scat]
+            bwr.write(code, ln)
+            bwr.write(v if v > 0 else v + (1 << scat) - 1, scat)
+            run = 0
+        if last_nz < 63:
+            code, ln = enc_ac[ci][0x00]
+            bwr.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bwr.flush()
+                bwr.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                pred = [0] * len(planes)
+            for ci, p in enumerate(comp_planes):
+                ch, cv = hv[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        write_block(ci, p[y0 : y0 + 8, x0 : x0 + 8])
+            mcu_count += 1
+    bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    zl = np.zeros(64, dtype=np.uint8)
+    zl[:] = _QT_LUMA.reshape(-1)[_ZIGZAG]
+    out += seg(0xDB, bytes([0x00]) + zl.tobytes())
+    if nc == 3:
+        zc = np.zeros(64, dtype=np.uint8)
+        zc[:] = _QT_CHROMA.reshape(-1)[_ZIGZAG]
+        out += seg(0xDB, bytes([0x01]) + zc.tobytes())
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes(
+            [ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0 if ci == 0 else 1]
+        )
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, t: tuple) -> bytes:
+        bits, vals = t
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+    out += seg(0xC4, dht(0, 0, _HT_DC_LUMA) + dht(1, 0, _HT_AC_LUMA))
+    if nc == 3:
+        out += seg(
+            0xC4, dht(0, 1, _HT_DC_CHROMA) + dht(1, 1, _HT_AC_CHROMA)
+        )
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bwr.out
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -20,13 +20,14 @@ Real-kernel coverage (``fake=None``):
 - RAW mimes below — fully real in numpy alone: nearest-neighbor resize
   and grid-pooled featurization for ``image/x-raw``, frame slicing for
   ``video/x-raw``, RMS + FFT-mel MFCC for ``audio/x-raw-s16le``.
-- ENCODED formats with stdlib-only containers — also REAL via
+- EVERY common encoded image format + WAV — also REAL via
   ``operators/codecs.py`` (zlib/struct/numpy, no PIL/ffmpeg):
-  ``image/png`` (all filters, palette), ``image/gif`` (LZW,
-  interlace, first frame), ``image/bmp`` (24/32 bpp) and ``audio/wav``
-  (PCM-16, any channel count) decode onto the same kernels; resize
-  re-encodes into the input container.
-- DCT/entropy-coded formats (JPEG/MP3/MP4) genuinely require codec
+  ``image/png`` (all filters, palette), ``image/jpeg`` (baseline
+  Huffman+IDCT, 4:2:0/4:2:2/4:4:4, restarts), ``image/gif`` (LZW,
+  interlace, first frame), ``image/bmp`` (24/32 bpp) and
+  ``audio/wav`` (PCM-16, any channel count) decode onto the same
+  kernels; resize re-encodes into the input container.
+- Compressed audio/video (MP3/AAC/MP4) genuinely requires codec
   libraries this container lacks: those raise NotImplementedError at
   the marked call sites. ``fake="deterministic"`` keeps seeded,
   content-addressed fake outputs (real plumbing, fake pixels) so
@@ -144,9 +145,9 @@ def decode_and_featurize_images(
     ``fake=None`` the :data:`RAW_IMAGE_MIME` path is REAL — a grayscale
     grid-pooled, L2-normalized embedding (vectorized bincount pooling,
     no per-pixel Python): the model-free visual fingerprint that feeds
-    the cosine/LSH dedup operators. PNG, GIF and BMP decode through
-    the stdlib codecs (operators/codecs.py) onto the same pooling
-    kernel; only JPEG stays stubbed (PIL not in the container).
+    the cosine/LSH dedup operators. PNG, JPEG (baseline), GIF and
+    BMP decode through the stdlib codecs (operators/codecs.py) onto
+    the same pooling kernel — no image format is stubbed.
     ``fake="deterministic"`` keeps the seeded content-addressed fake
     for plumbing tests.
     """
@@ -193,12 +194,11 @@ def decode_and_featurize_images(
                         except ValueError:
                             continue  # corrupt item in a supported format
                     if img is None:
-                        # REAL IMPLEMENTATION for entropy-coded formats:
-                        #   from PIL import Image; Image.open(BytesIO(data))
+                        # only non-image mimes routed here end up None
                         raise NotImplementedError(
-                            "JPEG decode requires PIL/torchvision; raw"
-                            f" {RAW_IMAGE_MIME!r} buffers, PNG, GIF and BMP"
-                            " are real numpy paths"
+                            f"no decoder for {media['mime']!r}; raw"
+                            f" {RAW_IMAGE_MIME!r} buffers, PNG, JPEG, GIF"
+                            " and BMP are real numpy paths"
                         )
                     h, w = img.shape[:2]  # decoded dims are authoritative
                     gray = img.astype("float64").mean(axis=2)
@@ -357,13 +357,13 @@ def resize_images(
     - ``fake="deterministic"`` (default): output bytes are a content
       hash — stable plumbing-test mode.
     - ``fake=None``: REAL resample for :data:`RAW_IMAGE_MIME` buffers
-      AND for PNG/GIF/BMP (stdlib decode via operators/codecs.py;
-      output re-encoded into the input container) — pure-numpy
+      AND for PNG/JPEG/GIF/BMP (stdlib decode via
+      operators/codecs.py; output re-encoded into the input
+      container) — pure-numpy
       nearest-neighbor (pixel-center convention:
       ``src = floor((dst + 0.5) * src_len / dst_len)``), vectorized as
-      two fancy-index gathers per image, no per-pixel Python. Only
-      JPEG still raises NotImplementedError at the marked site —
-      decoding it needs PIL/torchvision, which this container lacks.
+      two fancy-index gathers per image, no per-pixel Python. No
+      image format is stubbed.
 
     Raw buffers whose length is not an exact w*h*c (c in 1..4) multiple
     are dropped (corrupt-item semantics, same as null data).
@@ -403,11 +403,10 @@ def resize_images(
                         except ValueError:
                             continue  # corrupt item in a supported format
                     if img is None:
-                        # REAL IMPLEMENTATION for entropy-coded formats:
-                        #   PIL Image.open(io.BytesIO(data)).resize((nw, nh))
+                        # only non-image mimes routed here end up None
                         raise NotImplementedError(
-                            "JPEG resize requires PIL; raw"
-                            f" {RAW_IMAGE_MIME!r}, PNG, GIF and BMP"
+                            f"no decoder for {media['mime']!r}; raw"
+                            f" {RAW_IMAGE_MIME!r}, PNG, JPEG, GIF and BMP"
                             " resample in numpy"
                         )
                     h, w = img.shape[:2]  # decoded dims are authoritative
@@ -430,6 +429,16 @@ def resize_images(
                         )
 
                         out_bytes = encode_gif(resized)
+                    elif mime == "image/jpeg":
+                        from kafka_streams_plumber_spark.operators.codecs import (
+                            encode_jpeg,
+                        )
+
+                        out_bytes = encode_jpeg(
+                            resized[:, :, 0]
+                            if resized.shape[2] == 1
+                            else resized[:, :, :3]
+                        )
                     elif mime == "image/bmp":
                         out_bytes = encode_bmp(resized[:, :, :3])
                     else:

@@ -60,16 +60,16 @@ def test_image_decode_real_path_is_marked(spark, media_df):
         ).count()
         == 0
     )
-    # entropy-coded formats still mark the library call site
-    jpeg = media_df.filter("media.mime like 'image/%'").selectExpr(
+    # a mime with no decoder still marks the call site
+    novid = media_df.filter("media.mime like 'image/%'").selectExpr(
         "doc_id",
-        "named_struct('data', media.data, 'mime', 'image/jpeg',"
+        "named_struct('data', media.data, 'mime', 'video/mp4',"
         " 'width', media.width, 'height', media.height,"
         " 'duration_ms', media.duration_ms,"
         " 'media_size_bytes', media.media_size_bytes) AS media",
     )
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
-        decode_and_featurize_images(jpeg, fake=None).collect()
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        decode_and_featurize_images(novid, fake=None).collect()
 
 
 def test_video_frame_fanout(spark, media_df):
@@ -146,14 +146,18 @@ def test_unstubbed_kernels_raise_not_implemented(spark):
         resize_images,
     )
 
-    # entropy-coded formats are the ones that genuinely need codec libs
+    # compressed audio is what genuinely needs codec libs; a mime with
+    # no image decoder marks the resize call site the same way
     df = spark.createDataFrame([(1, b"x")], "doc_id long, raw binary").select(
-        "doc_id", pack_media(F.col("raw"), F.lit("image/jpeg")).alias("media")
+        "doc_id", pack_media(F.col("raw"), F.lit("video/mp4")).alias("media")
     )
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
         resize_images(df, fake=None).collect()
+    mp3 = spark.createDataFrame([(1, b"x")], "doc_id long, raw binary").select(
+        "doc_id", pack_media(F.col("raw"), F.lit("audio/mpeg")).alias("media")
+    )
     with pytest.raises(Exception, match="NotImplementedError|librosa"):
-        extract_audio_features(df, fake=None).collect()
+        extract_audio_features(mp3, fake=None).collect()
     # corrupt bytes in a SUPPORTED encoded format are droppable items,
     # not stub sites
     png_bad = spark.createDataFrame(
@@ -691,3 +695,73 @@ def test_featurize_and_resize_gif_real_path(spark):
     ys = ((np.arange(12) + 0.5) * (24 / 12)).astype(int)
     xs = ((np.arange(16) + 0.5) * (32 / 16)).astype(int)
     assert np.array_equal(back, img[ys][:, xs])
+
+
+def test_codec_jpeg_roundtrip_psnr():
+    """Baseline JPEG: solid color exact, smooth content high-PSNR, all
+    sampling layouts + restart markers decode, odd sizes crop right."""
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    solid = np.full((16, 24, 3), 130, dtype=np.uint8)
+    assert psnr(solid, decode_jpeg(encode_jpeg(solid))) > 50
+
+    xx, yy = np.meshgrid(np.linspace(0, 255, 40), np.linspace(0, 255, 32))
+    grad = np.stack([xx, yy, (xx + yy) / 2], axis=2).astype(np.uint8)
+    assert psnr(grad, decode_jpeg(encode_jpeg(grad))) > 35
+    assert psnr(grad, decode_jpeg(encode_jpeg(grad, subsample=True))) > 30
+    assert psnr(grad, decode_jpeg(encode_jpeg(grad, restart=2))) > 35
+    assert (
+        psnr(grad, decode_jpeg(encode_jpeg(grad, subsample=True, restart=1)))
+        > 30
+    )
+    odd = grad[:29, :37]
+    out = decode_jpeg(encode_jpeg(odd, subsample=True))
+    assert out.shape == (29, 37, 3) and psnr(odd, out) > 30
+
+    gray = grad[:, :, 0].copy()
+    outg = decode_jpeg(encode_jpeg(gray))
+    assert outg.shape == (32, 40, 1) and psnr(gray[:, :, None], outg) > 40
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_jpeg(b"\xff\xd8garbage")
+
+
+def test_featurize_jpeg_close_to_raw(spark):
+    """A JPEG of a smooth image featurizes near-identically to its raw
+    buffer (cosine ~1 despite lossy coding) — so visual dedup catches
+    re-encoded copies across lossy and lossless containers."""
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import encode_jpeg
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        decode_and_featurize_images,
+        pack_media,
+    )
+
+    xx, yy = np.meshgrid(np.linspace(0, 255, 64), np.linspace(0, 255, 48))
+    img = np.stack([xx, yy, 255 - xx], axis=2).astype(np.uint8)
+    rows = [(1, encode_jpeg(img), "image/jpeg", None, None),
+            (2, img.tobytes(), "image/x-raw", 64, 48)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, raw binary, mime string, w int, h int"
+    ).select(
+        "doc_id",
+        pack_media(
+            F.col("raw"), F.col("mime"), width=F.col("w"), height=F.col("h")
+        ).alias("media"),
+    )
+    out = {r["doc_id"]: np.array(r["embedding"]) for r in
+           decode_and_featurize_images(df, fake=None).collect()}
+    cos = float(out[1] @ out[2])
+    assert cos > 0.9999, cos
