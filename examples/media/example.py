@@ -2,8 +2,8 @@
 decoded, visually-deduped, thumbnailed corpus.
 
 Every step is a real kernel from this repo — the media never leaves
-Spark, and no codec library is required (PNG/GIF/BMP/WAV decode via
-the stdlib codecs in operators/codecs.py):
+Spark, and no codec library is required (PNG/JPEG/GIF/BMP/WAV decode
+via the stdlib codecs in operators/codecs.py):
 
   1. MIME triage         (multimodal.sniff_mime: magic-byte CASE,
                           codegen — trusts bytes, not upload labels)
@@ -12,8 +12,9 @@ the stdlib codecs in operators/codecs.py):
                           media before any decode cost)
   3. partition sizing    (repartition_by_media_size: partitions sized
                           by payload bytes, not row counts)
-  4. decode + featurize  (decode_and_featurize_images: PNG/GIF/BMP and
-                          raw buffers onto one grid-pool embedding)
+  4. decode + featurize  (decode_and_featurize_images: PNG, baseline
+                          JPEG, GIF, BMP and raw buffers onto one
+                          grid-pool embedding)
   5. visual near-dedup   (similarity.embedding_dup_pairs_exact over
                           the image embeddings: the same picture
                           re-encoded in another container collides)
@@ -41,6 +42,7 @@ from pyspark.sql import functions as F
 from kafka_streams_plumber_spark.operators.codecs import (
     encode_bmp,
     encode_gif,
+    encode_jpeg,
     encode_png,
     encode_wav,
 )
@@ -84,6 +86,7 @@ def _corpus() -> list[tuple[int, bytes, str, int | None, int | None]]:
         (3, encode_gif(noisy), "image/gif", None, None),
         (4, encode_png(other), "image/png", None, None),
         (5, base3.tobytes(), "image/x-raw", 64, 48),
+        (10, encode_jpeg(base3), "image/jpeg", None, None),  # lossy re-encode
         (6, encode_wav(np.stack([tone, tone], axis=1), 16000), "audio/wav", None, None),
         (7, tone.tobytes(), "audio/x-raw-s16le", None, None),
         (8, b"just some text pretending", "image/png", None, None),  # triaged out
@@ -134,8 +137,9 @@ def main() -> None:
     print("== image features ==")
     feats.select("doc_id", "width", "height").orderBy("doc_id").show()
 
-    # 5. the same picture across containers collides; the noisy copy
-    #    lands just under; unrelated content stays far
+    # 5. the same picture across lossless containers collides at 1.0,
+    #    the JPEG re-encode and the dotted GIF copy land just under,
+    #    unrelated content stays far
     pairs = embedding_dup_pairs_exact(
         feats, id_col="doc_id", vec_col="embedding", threshold=0.999
     )
