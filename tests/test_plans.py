@@ -379,3 +379,46 @@ def test_similarity_query_broadcast_is_size_gated(spark):
         assert "SortMergeJoin" in ivf_big or "ShuffledHashJoin" in ivf_big
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_round3_additions_stay_jvm_side(spark):
+    """The new oracled operator families compile to pure JVM plans —
+    zero Python evals anywhere near the hot path."""
+    for name in [
+        "q_ewma",
+        "q_cdc_chunks",
+        "q_kfold",
+        "q_ab_test",
+        "q_reweight",
+        "q_calibration",
+        "q_l_diversity",
+        "q_semantic_keep",
+    ]:
+        df = QUERIES[name](spark, SF)
+        assert python_eval_count(df) == 0, name
+
+
+def test_kfold_is_shuffle_free_projection(spark):
+    from kafka_streams_plumber_spark.plans.inspect import shuffle_count
+
+    df = QUERIES["q_kfold"](spark, SF)
+    assert shuffle_count(df) == 0
+    assert python_eval_count(df) == 0
+
+
+def test_ewma_single_key_shuffle(spark):
+    from kafka_streams_plumber_spark.plans.inspect import shuffle_count
+
+    df = QUERIES["q_ewma"](spark, SF)
+    assert shuffle_count(df) == 1  # one exchange on the user key
+
+
+def test_ab_test_broadcasts_control_row(spark):
+    df = QUERIES["q_ab_test"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_reweight_broadcasts_weights_fact_never_wide(spark):
+    df = QUERIES["q_reweight"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert python_eval_count(df) == 0
