@@ -251,3 +251,57 @@ def compact_files(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def idempotent_write(
+    df: DataFrame,
+    path: str,
+    *,
+    job_token: str,
+    fmt: str = "parquet",
+) -> bool:
+    """Exactly-once batch materialization under retries — the batch
+    twin of the streaming sinks' batch-id replay guards: orchestrators
+    re-run failed jobs, and a plain ``overwrite`` re-executed halfway
+    leaves a reader-visible torn output.
+
+    Protocol: if ``path/_JOB_TOKEN`` exists with this ``job_token``,
+    the write already completed — return False (skipped) without
+    touching data. Otherwise write to a ``path__inflight`` staging
+    directory, then atomically rename over ``path`` (tearing down any
+    partial previous attempt) and stamp the token LAST — a crash at
+    any point leaves either the old complete output, or staging debris
+    that the next attempt overwrites; readers keyed on the token file
+    never observe a partial dataset.
+
+    Change ``job_token`` (e.g. include the input snapshot version) to
+    force a rewrite. Returns True when this call performed the write.
+
+    Local-FS rename semantics; on object stores, point ``path`` at a
+    metastore-managed location or a committer-backed path instead.
+    """
+    import os
+    import shutil
+
+    token_file = os.path.join(path, "_JOB_TOKEN")
+    if os.path.exists(token_file):
+        with open(token_file) as f:
+            if f.read().strip() == job_token:
+                return False  # complete: replay is a no-op
+
+    staging = path.rstrip("/") + "__inflight"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # debris from a failed attempt
+    df.write.mode("overwrite").format(fmt).save(staging)
+
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    with open(token_file, "w") as f:
+        f.write(job_token)
+    return True

@@ -229,3 +229,29 @@ def test_cluster_by_zorder_plan_is_range_exchange_plus_sort(spark):
     assert "Sort" in p
     # layout op, not a reshuffle-per-join: exactly one exchange
     assert p.count("Exchange") == 1
+
+
+def test_idempotent_write_replay_and_rewrite(spark, tmp_path):
+    """Replays with the same token are no-ops; a new token rewrites;
+    a torn previous attempt's staging debris is cleaned up."""
+    import os
+
+    from kafka_streams_plumber_spark.plans.scale import idempotent_write
+
+    out = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1,), (2,)], "v long")
+    assert idempotent_write(df1, out, job_token="run-1") is True
+    assert spark.read.parquet(out).count() == 2
+    # replay: skipped, data untouched
+    df2 = spark.createDataFrame([(9,)], "v long")
+    assert idempotent_write(df2, out, job_token="run-1") is False
+    assert spark.read.parquet(out).count() == 2
+    # simulate a crashed attempt leaving staging debris
+    os.makedirs(out + "__inflight/junk", exist_ok=True)
+    # new token: rewrite succeeds and cleans debris
+    assert idempotent_write(df2, out, job_token="run-2") is True
+    assert spark.read.parquet(out).count() == 1
+    assert not os.path.exists(out + "__inflight")
+    assert not os.path.exists(out + "__old")
+    with open(os.path.join(out, "_JOB_TOKEN")) as f:
+        assert f.read() == "run-2"

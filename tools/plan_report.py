@@ -81,6 +81,12 @@ AUDITED = {
     "q_kcenter": "per-round map-combinable argmax scan + one-row broadcast; corpus never shuffled",
     "q_ewma": "one key-partitioned window pass; explicit lag chain",
     "q_cdc_chunks": "lag-chain rolling hash + boundary cumsum on doc-key windows; order-proof reassembly",
+    "q_semantic_decon": "benchmark embeddings broadcast; corpus embedded+probed in one scan",
+    "q_dedup_weights": "component rounds + O(clusters) size join on 8-byte ids",
+    "q_reweight": "O(strata) count agg broadcast back; fact table never shuffled",
+    "q_calibration": "one map-combinable bucket agg + O(bins) total window",
+    "q_l_diversity": "distinct-count combo agg + tiny rollup",
+    "q_cluster_hist": "two O(clusters) rollups over the component output",
 }
 
 
