@@ -7134,6 +7134,47 @@ def q_cluster_hist(spark, sf_dir):
     )
 
 
+@query(
+    "q_fertility",
+    r"""
+    SELECT lang,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+             AS n_tokens,
+           round(CAST(sum(length(text)) AS BIGINT)
+                 / CAST(sum(len(regexp_extract_all(
+                       text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')))
+                   AS DOUBLE), 6) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (chars per BPE-ish token) —
+    the metric read before committing to a tokenizer: languages whose
+    text fragments into many short tokens pay more sequence budget per
+    character. One map-combinable aggregate over bpe_ish_tokens
+    counts; the oracle counts the identical alternation."""
+    d = load_tables(spark, sf_dir)["documents"]
+    g = d.groupBy("lang").agg(
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(F.size(TX.bpe_ish_tokens(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_chars",
+        "n_tokens",
+        F.round(
+            F.col("n_chars").cast("long")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
