@@ -7175,6 +7175,48 @@ def q_fertility(spark, sf_dir):
     )
 
 
+@query(
+    "q_rfm",
+    """
+    WITH u AS (
+      SELECT user_id AS "user",
+             CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    n AS (SELECT count(*) AS n FROM u),
+    r AS (
+      SELECT u.*,
+             row_number() OVER (ORDER BY last_ms, "user") - 1 AS r_rank,
+             row_number() OVER (ORDER BY frequency, "user") - 1 AS f_rank,
+             row_number() OVER (ORDER BY cents, "user") - 1 AS m_rank
+      FROM u
+    )
+    SELECT "user", last_ms, frequency,
+           CAST(cents AS DOUBLE) / 100 AS monetary,
+           CAST(r_rank * 5 // n AS INT) + 1 AS r_score,
+           CAST(f_rank * 5 // n AS INT) + 1 AS f_score,
+           CAST(m_rank * 5 // n AS INT) + 1 AS m_score,
+           (CAST(r_rank * 5 // n AS INT) + 1) * 100
+             + (CAST(f_rank * 5 // n AS INT) + 1) * 10
+             + (CAST(m_rank * 5 // n AS INT) + 1) AS rfm
+    FROM r CROSS JOIN n
+    """,
+)
+def q_rfm(spark, sf_dir):
+    """RFM segmentation (operators/behavior.py:rfm): users scored into
+    equal-population quintiles on recency/frequency/monetary. Cent-long
+    monetary sums; every rank from the PARALLEL global row_number
+    (ordering.rank_by — the oracle's single-task window is exactly
+    what the operator avoids at scale); buckets in pure integer
+    division (Spark ``div`` == DuckDB ``//``)."""
+    from kafka_streams_plumber_spark.operators.behavior import rfm
+
+    e = load_tables(spark, sf_dir)["events"]
+    return rfm(e, "user_id", "ts", "value", buckets=5)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -451,3 +451,30 @@ def test_ewma_keys_independent(spark):
            ewma(df, "k", ["seq"], "value", alpha=0.5, window=8).collect()}
     assert out[("b", 0)] == 9.0
     assert out[("a", 1)] == round((3 + 0.5 * 1) / 1.5, 6)
+
+
+def test_rfm_hand_computed(spark):
+    """Quintile boundaries, tie-breaks, exact cent sums, and the
+    composed code on a small fixture."""
+    from datetime import datetime
+
+    from kafka_streams_plumber_spark.operators.behavior import rfm
+
+    def ts(d):
+        return datetime(2024, 1, d)
+
+    # 5 users, strictly increasing recency/frequency/monetary by id
+    rows = []
+    for i in range(1, 6):
+        for j in range(i):  # frequency = i
+            rows.append((i, ts(i), 10.0 * i))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user"]: r for r in
+           rfm(df, "user_id", "ts", "value", buckets=5).collect()}
+    for i in range(1, 6):
+        r = out[i]
+        # rank i-1 of 5 -> score i in every dimension
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (i, i, i)
+        assert r["rfm"] == i * 111
+        assert r["frequency"] == i
+        assert r["monetary"] == 10.0 * i * i
