@@ -542,3 +542,81 @@ def l_diversity(
             6,
         ).alias("exposed_fraction"),
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    weight_col: str,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """Exact weighted percentiles per group (type-1 / inverse-CDF: the
+    smallest value whose cumulative weight reaches ``p * total``) —
+    what :func:`exact_percentiles` becomes once rows carry importance
+    weights (soft-dedup weights, token counts, target-mix weights):
+    the quantile of the corpus the TRAINER effectively sees, not of
+    the raw row distribution.
+
+    ``weight_col`` must be a positive INTEGER column (scale fractional
+    weights, e.g. ``round(weight * 1e6)`` — integer cumulative sums
+    are what make the result summation-order-proof and SQL-exact).
+    Rows with NULL value or non-positive weight are excluded.
+
+    Scale design mirrors exact_percentiles (no per-group single-task
+    window): range-repartition on (group, value) + local sort; ONE
+    row-based prefix-sum window keyed by (physical partition, group) —
+    high-cardinality keys, so no task holds more than one partition's
+    slice; per-(partition, group) totals roll into O(P x G) offsets
+    broadcast back; the target pick is an ordinary aggregate. Ties on
+    value are harmless: every tied row carries the same value, so
+    whichever satisfies the boundary condition yields the same answer
+    (this is also why a range-frame SQL window replays it exactly).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    src = (
+        df.filter(
+            F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .select(
+            *groups,
+            F.col(value_col).alias("_v"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+    )
+    ranked = (
+        src.repartitionByRange(*groups, "_v")
+        .sortWithinPartitions(*groups, "_v")
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    # local inclusive prefix weight within the (partition, group) slice
+    wloc = Window.partitionBy("_pid", *groups).orderBy("_mid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = ranked.withColumn("_lcum", F.sum("_w").over(wloc))
+
+    part_stats = ranked.groupBy("_pid", *groups).agg(
+        F.sum("_w").alias("_wc")
+    )
+    woff = Window.partitionBy(*groups).orderBy("_pid")
+    wtot = Window.partitionBy(*groups)
+    offsets = part_stats.select(
+        "_pid",
+        *groups,
+        (F.sum("_wc").over(woff) - F.col("_wc")).alias("_off"),
+        F.sum("_wc").over(wtot).alias("_wtot"),
+    )
+    r = ranked.join(F.broadcast(offsets), ["_pid", *groups]).withColumn(
+        "_cum", F.col("_off") + F.col("_lcum")
+    )
+
+    agg_cols = []
+    for name, p in percentiles.items():
+        t = F.ceil(F.lit(float(p)) * F.col("_wtot"))
+        hit = (F.col("_cum") >= t) & ((F.col("_cum") - F.col("_w")) < t)
+        agg_cols.append(F.min(F.when(hit, F.col("_v"))).alias(name))
+    return r.groupBy(*groups).agg(*agg_cols)

@@ -7217,6 +7217,56 @@ def q_rfm(spark, sf_dir):
     return rfm(e, "user_id", "ts", "value", buckets=5)
 
 
+@query(
+    "q_weighted_pct",
+    r"""
+    WITH src AS (
+      SELECT source,
+             n_chars AS v,
+             CAST(len(list_filter(string_split_regex(text,
+                 '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS w
+      FROM documents
+    ),
+    f AS (SELECT * FROM src WHERE v IS NOT NULL AND w > 0),
+    tot AS (SELECT source, CAST(sum(w) AS BIGINT) AS wtot
+            FROM f GROUP BY source),
+    c AS (
+      SELECT f.source, f.v, f.w, t.wtot,
+             CAST(sum(f.w) OVER (PARTITION BY f.source ORDER BY f.v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM f JOIN tot t USING (source)
+    )
+    SELECT source,
+           min(CASE WHEN cum >= ceil(0.5 * wtot)
+                     AND cum - w < ceil(0.5 * wtot) THEN v END) AS p50_wtok,
+           min(CASE WHEN cum >= ceil(0.9 * wtot)
+                     AND cum - w < ceil(0.9 * wtot) THEN v END) AS p90_wtok
+    FROM c GROUP BY source
+    """,
+)
+def q_weighted_pct(spark, sf_dir):
+    """Token-weighted document-length percentiles per source
+    (operators/stats.py:weighted_percentiles): the length distribution
+    the TRAINER sees — each doc weighted by its token count — vs the
+    row distribution (q_doc_lengths). Exact type-1 weighted quantiles:
+    parallel range-partitioned prefix sums, no per-group single-task
+    window; the oracle's range-frame window replays the boundary pick
+    because ties share a value."""
+    from kafka_streams_plumber_spark.operators.stats import weighted_percentiles
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(F.split(F.col("text"), TX.WS_RE), lambda x: x != "")
+    src = d.select(
+        "source",
+        F.col("n_chars").alias("v"),
+        F.size(toks).cast("long").alias("w"),
+    )
+    return weighted_percentiles(
+        src, "source", "v", "w", {"p50_wtok": 0.5, "p90_wtok": 0.9}
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

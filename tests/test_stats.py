@@ -321,3 +321,51 @@ def test_l_diversity_homogeneity_attack(spark):
     assert r["combos_below_l"] == 1 and r["rows_exposed"] == 5
     assert r["min_diversity"] == 1
     assert r["exposed_fraction"] == round(5 / 7, 6)
+
+
+def test_weighted_percentiles_brute_force(spark):
+    """Type-1 weighted quantiles match a literal Python scan, including
+    heavy-weight rows straddling the target and tied values."""
+    import math
+    import random
+
+    from kafka_streams_plumber_spark.operators.stats import weighted_percentiles
+
+    rng = random.Random(5)
+    rows = [
+        ("g%d" % (i % 3), rng.randrange(0, 50), rng.randrange(1, 20))
+        for i in range(300)
+    ]
+    rows += [("g0", 10, 500)]  # one dominant weight
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p99"])
+        for r in weighted_percentiles(
+            df, "g", "v", "w", {"p25": 0.25, "p50": 0.5, "p99": 0.99}
+        ).collect()
+    }
+    per: dict = {}
+    for g, v, w in rows:
+        per.setdefault(g, []).append((v, w))
+    for g, items in per.items():
+        items.sort()
+        W = sum(w for _, w in items)
+        exp = []
+        for p in (0.25, 0.5, 0.99):
+            t = math.ceil(p * W)
+            cum = 0
+            for v, w in items:
+                cum += w
+                if cum >= t:
+                    exp.append(v)
+                    break
+        assert got[g] == tuple(exp), (g, got[g], exp)
+
+
+def test_weighted_percentiles_excludes_bad_rows(spark):
+    from kafka_streams_plumber_spark.operators.stats import weighted_percentiles
+
+    rows = [("g", 1, 1), ("g", None, 5), ("g", 99, 0), ("g", 2, 1)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    r = weighted_percentiles(df, "g", "v", "w", {"p50": 0.5}).collect()[0]
+    assert r["p50"] == 1  # only the two unit-weight rows count
