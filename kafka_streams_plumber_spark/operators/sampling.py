@@ -462,3 +462,71 @@ def reweight_to_target(
         ).alias(weight_col),
     )
     return df.join(F.broadcast(weights), stratum_col)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Reproducibly sample each group down to a TOKEN budget (not a row
+    fraction): walk the group's docs in seeded hash order and keep
+    them until ``budget`` tokens are reached — how corpus mixes are
+    actually specified ("500M tokens of src A, 2B of src B"), where a
+    row-fraction sample over-serves short-doc sources.
+
+    The first document that crosses the budget IS kept (each group's
+    total lands in ``[budget, budget + max_doc_tokens)``; truncate
+    that doc downstream if exact budgets matter). Deterministic across
+    runs/engines/partitionings: the admission order is the md5 id-hash
+    (:func:`...ordering.shuffle_key` convention), and the cumulative
+    token count is an exact integer prefix sum.
+
+    Scale shape = :func:`...stats.weighted_percentiles`: range
+    repartition on (group, hash) + local sort, one row-based
+    prefix-sum window keyed by (physical partition, group) — never a
+    whole group in one task — with O(P x G) offsets broadcast back.
+    Output: the kept rows plus ``_cum_tokens`` (the group's running
+    total through each kept doc).
+    """
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    src = df.withColumn("_k", key).withColumn(
+        "_w", F.col(token_col).cast("long")
+    )
+    ranked = (
+        src.repartitionByRange(group_col, "_k")
+        .sortWithinPartitions(group_col, "_k")
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    wloc = W.partitionBy("_pid", group_col).orderBy("_mid").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = ranked.withColumn("_lcum", F.sum("_w").over(wloc))
+    part_stats = ranked.groupBy("_pid", group_col).agg(
+        F.sum("_w").alias("_wc")
+    )
+    woff = W.partitionBy(group_col).orderBy("_pid")
+    offsets = part_stats.select(
+        "_pid",
+        group_col,
+        (F.sum("_wc").over(woff) - F.col("_wc")).alias("_offw"),
+    )
+    r = ranked.join(F.broadcast(offsets), ["_pid", group_col]).withColumn(
+        "_cum_tokens", F.col("_offw") + F.col("_lcum")
+    )
+    return (
+        r.filter((F.col("_cum_tokens") - F.col("_w")) < budget)
+        .drop("_k", "_w", "_pid", "_mid", "_lcum", "_offw")
+    )

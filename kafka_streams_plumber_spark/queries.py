@@ -7267,6 +7267,47 @@ def q_weighted_pct(spark, sf_dir):
     )
 
 
+@query(
+    "q_token_budget",
+    r"""
+    WITH src AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text,
+                 '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM src
+    )
+    SELECT doc_id, source, n_tok, cum AS _cum_tokens
+    FROM c WHERE cum - n_tok < 600
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Token-budget sampling (operators/sampling.py:
+    sample_to_token_budget): each source keeps its seeded-hash-order
+    prefix of documents up to 600 tokens (the budget-crossing doc
+    included) — how corpus mixes are really specified. Exact integer
+    prefix sums over the parallel range-partitioned walk; the oracle's
+    row-frame window replays the admission set exactly (the md5 walk
+    order is unique per doc)."""
+    from kafka_streams_plumber_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(F.split(F.col("text"), TX.WS_RE), lambda x: x != "")
+    src = d.select("doc_id", "source", F.size(toks).cast("long").alias("n_tok"))
+    return sample_to_token_budget(
+        src, "source", "doc_id", "n_tok", budget=600
+    ).select("doc_id", "source", "n_tok", "_cum_tokens")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -415,3 +415,39 @@ def test_reweight_rejects_bad_target(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     with _pt.raises(ValueError):
         reweight_to_target(df, "s", {"a": 0.5})
+
+
+def test_sample_to_token_budget_semantics(spark):
+    """Each group's kept set is the hash-order prefix crossing the
+    budget; totals land in [budget, budget + max_doc); deterministic."""
+    import hashlib
+
+    from kafka_streams_plumber_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", 10 + (i * 7) % 40) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, n long")
+    out = sample_to_token_budget(
+        df, "g", "doc_id", "n", budget=150
+    ).collect()
+
+    per: dict = {}
+    for i, g, n in rows:
+        k = hashlib.md5(f"42:{i}".encode()).hexdigest()
+        per.setdefault(g, []).append((k, i, n))
+    for g, items in per.items():
+        items.sort()
+        cum, exp = 0, set()
+        for _, i, n in items:
+            if cum >= 150:
+                break
+            cum += n
+            exp.add(i)
+        got = {r["doc_id"] for r in out if r["g"] == g}
+        assert got == exp, g
+        tot = sum(r["n"] for r in out if r["g"] == g)
+        assert 150 <= tot < 150 + 50
+    # stable across recomputation
+    again = sample_to_token_budget(df, "g", "doc_id", "n", budget=150).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
