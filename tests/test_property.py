@@ -743,6 +743,13 @@ def test_ewma_matches_bruteforce(spark, seq):
         (r["k"], r["seq"]): r["ewma"]
         for r in ewma(df, "k", ["seq"], "value", alpha=0.4, window=5).collect()
     }
+    import math
+
+    def round_half_up6(x: float) -> float:
+        # Spark F.round is HALF_UP (away from zero); Python round() is
+        # banker's — they differ exactly at 6-dp halves
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
     per_key: dict = {}
     for k, i, v in rows:
         per_key.setdefault(k, []).append((i, v))
@@ -755,7 +762,7 @@ def test_ewma_matches_bruteforce(spark, seq):
                     wgt = 0.6 ** lag
                     num += v * wgt
                     den += wgt
-            exp = round(num / den, 6) if den > 0 else None
+            exp = round_half_up6(num / den) if den > 0 else None
             assert got[(k, i)] == exp or (
                 exp is not None and got[(k, i)] is not None
                 and abs(got[(k, i)] - exp) < 1e-9

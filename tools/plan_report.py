@@ -87,6 +87,10 @@ AUDITED = {
     "q_calibration": "one map-combinable bucket agg + O(bins) total window",
     "q_l_diversity": "distinct-count combo agg + tiny rollup",
     "q_cluster_hist": "two O(clusters) rollups over the component output",
+    "q_fertility": "one map-combinable aggregate over token counts",
+    "q_rfm": "three parallel-rank range exchanges on the user-grain frame; O(1) count broadcast",
+    "q_weighted_pct": "range sort + (pid,group)-keyed prefix window; O(PxG) offsets broadcast",
+    "q_token_budget": "seeded-hash partition walk + integer prefix sums; no whole-group task",
 }
 
 
