@@ -1,7 +1,7 @@
 """Deduplication operators for training-data pipelines, designed for
 100 TB scale.
 
-Four families:
+Families:
 
 - :func:`exact_dedup` — hash-groupBy on content. One shuffle carrying a
   32-byte hash instead of the document.
@@ -10,11 +10,18 @@ Four families:
   verification. Everything is JVM-side column expressions (xxhash64 +
   higher-order array functions); the only shuffles are the band-bucket
   self-join and the verify joins, all on compact keys.
+  :func:`build_minhash_index` / :func:`incremental_minhash_dedup` run the
+  same machinery batch-vs-persisted-index for continual ingestion.
 - :func:`simhash_pairs` — 64-bit SimHash with banded Hamming candidate
   generation and bit_count(xor) verification.
 - :func:`embedding_dup_pairs` — cosine near-duplicates over an embedding
   column via random-hyperplane LSH buckets (deterministic, seeded,
   no driver-side state), verified with exact cosine.
+  :func:`semantic_dedup` composes it (or the exact baseline) with
+  connected components into cluster-then-keep-one semantic dedup.
+- :func:`decontaminate` / :func:`decontaminate_spans` — n-gram benchmark
+  leakage at doc and span level; :func:`semantic_decontaminate` — the
+  paraphrase-robust embedding-level rule.
 
 Skew safety: every LSH variant caps bucket size (``max_bucket_size``) so a
 degenerate bucket (e.g. empty documents all hashing equal) cannot produce
