@@ -45,12 +45,34 @@ import zlib
 
 import numpy as np
 
+
+
+def _fail_closed(fn):
+    """Decoder guard: corrupt input must surface as ValueError (the
+    droppable-item contract in operators/multimodal.py) — zlib/struct/
+    index errors from truncated or fuzzed bytes must not escape and
+    kill a Spark task."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except ValueError:
+            raise
+        except (zlib.error, struct.error, IndexError, OverflowError) as e:
+            raise ValueError(f"corrupt media: {e}") from e
+
+    return wrapped
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: PNG color type -> sample channels (before palette expansion)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+@_fail_closed
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte string to an (h, w, channels) uint8 array.
     Palette images are expanded to RGB."""
@@ -163,6 +185,7 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+@_fail_closed
 def decode_bmp(data: bytes) -> np.ndarray:
     """Decode an uncompressed 24/32-bpp BMP to (h, w, 3|4) uint8 RGB(A)."""
     data = bytes(data)
@@ -214,6 +237,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + body
 
 
+@_fail_closed
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM-16 RIFF/WAVE byte string; returns
     ``(samples int16 array of shape (n, channels), sample_rate)``."""
@@ -376,6 +400,7 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_fail_closed
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 RGB,
     composited onto the logical screen (background-filled if the frame
@@ -704,6 +729,7 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+@_fail_closed
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a BASELINE (SOF0, 8-bit, Huffman) JPEG to (h, w, 3) uint8
     RGB — pure numpy: marker parse, canonical Huffman, dequantize,

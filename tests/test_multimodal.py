@@ -765,3 +765,61 @@ def test_featurize_jpeg_close_to_raw(spark):
            decode_and_featurize_images(df, fake=None).collect()}
     cos = float(out[1] @ out[2])
     assert cos > 0.9999, cos
+
+
+def test_codec_decoders_fail_closed_on_fuzz():
+    """Arbitrary/truncated bytes raise ValueError (droppable item) —
+    never crash, hang, or return garbage arrays."""
+    import numpy as np
+    import pytest as _pt
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        decode_bmp,
+        decode_gif,
+        decode_jpeg,
+        decode_png,
+        decode_wav,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(23)
+    blobs = [
+        b"",
+        b"\x00",
+        bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+    ]
+    # valid headers + garbage tails / truncations
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    for enc in (encode_png, encode_jpeg, lambda x: encode_gif(
+            np.repeat((x[:, :, 0] // 32 * 32)[:, :, None], 3, axis=2))):
+        good = enc(img)
+        blobs.append(good[: len(good) // 2])
+        blobs.append(good[:20] + bytes(rng.integers(0, 256, 60, dtype=np.uint8)))
+    wav = encode_wav(np.zeros(100, dtype=np.int16), 8000)
+    blobs.append(wav[:30])
+
+    for dec in (decode_png, decode_bmp, decode_gif, decode_jpeg, decode_wav):
+        for blob in blobs:
+            try:
+                out = dec(blob)
+                # a decode that *succeeds* on a prefix must still return
+                # a well-formed result
+                if isinstance(out, tuple):
+                    arr, sr = out
+                    assert arr.dtype == np.int16 and sr > 0
+                else:
+                    assert out.dtype == np.uint8 and out.ndim == 3
+            except ValueError:
+                pass  # the contract: corrupt -> ValueError
+            except Exception as e:  # pragma: no cover
+                # zlib/struct errors escaping would crash the Spark task
+                import struct
+                import zlib
+
+                assert isinstance(
+                    e, (zlib.error, struct.error, IndexError)
+                ) is False, (dec.__name__, type(e), e)
