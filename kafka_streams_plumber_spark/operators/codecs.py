@@ -30,6 +30,11 @@ multimodal's per-item corrupt-handling treats as a droppable item):
   2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, grayscale or
   YCbCr->RGB (JFIF full range). Progressive (SOF2) and arithmetic
   coding raise ValueError.
+- MP4/ISO-BMFF: container DEMUX without any codec — `parse_mp4`
+  (duration, per-track handler/codec/dims/sample counts) and
+  `mp4_sync_samples` (keyframe payloads located via the
+  stsz/stsc/stco/stts/stss sample tables, returned still encoded for
+  a downstream codec/GPU stage).
 
 Encoders (`encode_png` filter-0, `encode_bmp` 24-bit, `encode_wav`,
 `encode_gif` single-frame <=256-color, `encode_jpeg` baseline with
@@ -1071,3 +1076,323 @@ def encode_jpeg(
     out += bwr.out
     out += b"\xFF\xD9"
     return bytes(out)
+
+
+# =====================================================================
+# MP4 / ISO-BMFF demux — box parsing + keyframe extraction, no codec
+# =====================================================================
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the boxes in a range."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("corrupt MP4 box")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """Walk a box path; returns (body_start, body_end) or None."""
+    if not path:
+        return (start, end)
+    for fourcc, b, e in _mp4_boxes(data, start, end):
+        if fourcc == path[0]:
+            return _mp4_find(data, b, e, path[1:])
+    return None
+
+
+def _fullbox(data: bytes, pos: int) -> tuple[int, int]:
+    """(version, body_offset_after_version_flags)."""
+    return data[pos], pos + 4
+
+
+@_fail_closed
+def parse_mp4(data: bytes) -> dict:
+    """Parse an ISO-BMFF (MP4/MOV) container WITHOUT any codec: movie
+    duration and, per track, the handler (vide/soun), sample-entry
+    fourcc (the codec id, e.g. avc1/mp4a), dimensions, timescale and
+    sample count — the metadata a triage pipeline filters on before
+    paying for GPU decode. Raises ValueError on non-BMFF bytes."""
+    data = bytes(data)
+    moov = _mp4_find(data, 0, len(data), [b"moov"])
+    if moov is None:
+        raise ValueError("not an MP4 (no moov)")
+    out: dict = {"tracks": []}
+    mvhd = _mp4_find(data, *moov, [b"mvhd"])
+    if mvhd is not None:
+        v, p = _fullbox(data, mvhd[0])
+        if v == 1:
+            ts, dur = struct.unpack(">IQ", data[p + 16 : p + 28])
+        else:
+            ts, dur = struct.unpack(">II", data[p + 8 : p + 16])
+        out["duration_ms"] = int(dur * 1000 // max(ts, 1))
+    for fourcc, b, e in _mp4_boxes(data, *moov):
+        if fourcc != b"trak":
+            continue
+        trk: dict = {}
+        tkhd = _mp4_find(data, b, e, [b"tkhd"])
+        if tkhd is not None:
+            v, p = _fullbox(data, tkhd[0])
+            base = p + (32 if v == 1 else 20)
+            trk["track_id"] = struct.unpack(
+                ">I", data[p + (16 if v == 1 else 8) : p + (20 if v == 1 else 12)]
+            )[0]
+            # after duration: reserved(8) layer/alt/volume/reserved(8)
+            # matrix(36) -> width/height as 16.16 fixed point
+            w16, h16 = struct.unpack(">II", data[base + 52 : base + 60])
+            trk["width"], trk["height"] = w16 >> 16, h16 >> 16
+        mdia = _mp4_find(data, b, e, [b"mdia"])
+        if mdia is None:
+            continue
+        mdhd = _mp4_find(data, *mdia, [b"mdhd"])
+        if mdhd is not None:
+            v, p = _fullbox(data, mdhd[0])
+            if v == 1:
+                ts, dur = struct.unpack(">IQ", data[p + 16 : p + 28])
+            else:
+                ts, dur = struct.unpack(">II", data[p + 8 : p + 16])
+            trk["timescale"] = ts
+            trk["duration_ms"] = int(dur * 1000 // max(ts, 1))
+        hdlr = _mp4_find(data, *mdia, [b"hdlr"])
+        if hdlr is not None:
+            trk["handler"] = data[hdlr[0] + 8 : hdlr[0] + 12].decode(
+                "ascii", "replace"
+            )
+        stbl = _mp4_find(data, *mdia, [b"minf", b"stbl"])
+        if stbl is not None:
+            stsd = _mp4_find(data, *stbl, [b"stsd"])
+            if stsd is not None:
+                _, p = _fullbox(data, stsd[0])
+                trk["codec"] = data[p + 8 : p + 12].decode("ascii", "replace")
+            stsz = _mp4_find(data, *stbl, [b"stsz"])
+            if stsz is not None:
+                _, p = _fullbox(data, stsz[0])
+                trk["n_samples"] = struct.unpack(">I", data[p + 4 : p + 8])[0]
+        out["tracks"].append(trk)
+    return out
+
+
+@_fail_closed
+def mp4_sync_samples(
+    data: bytes, *, handler: str = "vide", max_samples: int = 64
+) -> list[dict]:
+    """Extract the SYNC (keyframe) samples of the first matching track
+    as raw encoded payloads — real container demux with no codec: the
+    frame bytes stay encoded (e.g. AVC NAL units) for a downstream
+    GPU/codec stage. Returns dicts of (sample_idx, time_ms, size,
+    payload). All samples are sync when the track has no stss box."""
+    data = bytes(data)
+    moov = _mp4_find(data, 0, len(data), [b"moov"])
+    if moov is None:
+        raise ValueError("not an MP4 (no moov)")
+    for fourcc, b, e in _mp4_boxes(data, *moov):
+        if fourcc != b"trak":
+            continue
+        mdia = _mp4_find(data, b, e, [b"mdia"])
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(data, *mdia, [b"hdlr"])
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != handler.encode():
+            continue
+        stbl = _mp4_find(data, *mdia, [b"minf", b"stbl"])
+        mdhd = _mp4_find(data, *mdia, [b"mdhd"])
+        v, p = _fullbox(data, mdhd[0])
+        if v == 1:
+            timescale = struct.unpack(">I", data[p + 16 : p + 20])[0]
+        else:
+            timescale = struct.unpack(">I", data[p + 8 : p + 12])[0]
+
+        def table(name: bytes):
+            r = _mp4_find(data, *stbl, [name])
+            if r is None:
+                return None
+            return _fullbox(data, r[0])[1], r[1]
+
+        # sizes
+        _, pz = _fullbox(data, _mp4_find(data, *stbl, [b"stsz"])[0])
+        fixed, n = struct.unpack(">II", data[pz : pz + 8])
+        sizes = (
+            [fixed] * n
+            if fixed
+            else list(
+                struct.unpack(
+                    f">{n}I", data[pz + 8 : pz + 8 + 4 * n]
+                )
+            )
+        )
+        # chunk offsets (stco or co64)
+        co = _mp4_find(data, *stbl, [b"stco"])
+        if co is not None:
+            _, pc = _fullbox(data, co[0])
+            (nc,) = struct.unpack(">I", data[pc : pc + 4])
+            offs = list(struct.unpack(f">{nc}I", data[pc + 4 : pc + 4 + 4 * nc]))
+        else:
+            _, pc = _fullbox(data, _mp4_find(data, *stbl, [b"co64"])[0])
+            (nc,) = struct.unpack(">I", data[pc : pc + 4])
+            offs = list(struct.unpack(f">{nc}Q", data[pc + 4 : pc + 4 + 8 * nc]))
+        # sample->chunk runs
+        _, ps = _fullbox(data, _mp4_find(data, *stbl, [b"stsc"])[0])
+        (ne,) = struct.unpack(">I", data[ps : ps + 4])
+        runs = [
+            struct.unpack(">III", data[ps + 4 + 12 * i : ps + 16 + 12 * i])
+            for i in range(ne)
+        ]
+        # per-sample absolute offsets
+        sample_off: list[int] = []
+        si = 0
+        for ri, (first, per_chunk, _) in enumerate(runs):
+            last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offs)
+            for ci in range(first - 1, last):
+                base = offs[ci]
+                for _ in range(per_chunk):
+                    if si >= n:
+                        break
+                    sample_off.append(base)
+                    base += sizes[si]
+                    si += 1
+        # decode times
+        _, pt = _fullbox(data, _mp4_find(data, *stbl, [b"stts"])[0])
+        (nt,) = struct.unpack(">I", data[pt : pt + 4])
+        times: list[int] = []
+        t = 0
+        for i in range(nt):
+            cnt, delta = struct.unpack(
+                ">II", data[pt + 4 + 8 * i : pt + 12 + 8 * i]
+            )
+            for _ in range(cnt):
+                times.append(t)
+                t += delta
+        # sync set
+        ss = _mp4_find(data, *stbl, [b"stss"])
+        if ss is None:
+            sync = range(1, n + 1)
+        else:
+            _, pp = _fullbox(data, ss[0])
+            (ns,) = struct.unpack(">I", data[pp : pp + 4])
+            sync = struct.unpack(f">{ns}I", data[pp + 4 : pp + 4 + 4 * ns])
+        out = []
+        for s1 in sync:
+            i = s1 - 1
+            if i >= n or len(out) >= max_samples:
+                break
+            out.append(
+                {
+                    "sample_idx": i,
+                    "time_ms": int(times[i] * 1000 // max(timescale, 1)),
+                    "size": sizes[i],
+                    "payload": data[sample_off[i] : sample_off[i] + sizes[i]],
+                }
+            )
+        return out
+    raise ValueError(f"no {handler!r} track")
+
+
+def encode_mp4(
+    samples: list[bytes],
+    *,
+    width: int = 64,
+    height: int = 48,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    sync: list[int] | None = None,
+    codec: bytes = b"avc1",
+) -> bytes:
+    """Build a minimal single-video-track ISO-BMFF container around
+    encoded sample payloads (one chunk, constant frame duration,
+    explicit 1-based ``sync`` sample list; all samples sync when
+    omitted). Fixture-grade: gives the demux path (:func:`parse_mp4`,
+    :func:`mp4_sync_samples`) a spec-valid container without any
+    encoder dependency; the payloads are whatever bytes the caller
+    supplies."""
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + fourcc + body
+
+    def full(fourcc: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(fourcc, bytes([version, 0, 0, 0]) + body)
+
+    n = len(samples)
+    dur = n * sample_delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(samples)
+    mdat = box(b"mdat", mdat_payload)
+    # chunk data starts right after ftyp + mdat header
+    chunk_off = len(ftyp) + 8
+
+    stsd_entry = (
+        struct.pack(">I", 86)
+        + codec
+        + b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 0x18)
+        + struct.pack(">h", -1)
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, sample_delta))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = full(b"stco", struct.pack(">II", 1, chunk_off))
+    stbl_body = stsd + stts + stsc + stsz + stco
+    if sync is not None:
+        stbl_body += full(
+            b"stss",
+            struct.pack(">I", len(sync))
+            + b"".join(struct.pack(">I", s) for s in sync),
+        )
+    stbl = box(b"stbl", stbl_body)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), version=0)
+    dref = full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", version=0))
+    dinf = box(b"dinf", dref)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = full(
+        b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"demo\x00"
+    )
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0),
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">III", 0, 0, 1)  # created, modified, track id
+        + struct.pack(">I", 0)  # reserved
+        + struct.pack(">I", dur)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer alt volume reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        version=0,
+    )
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

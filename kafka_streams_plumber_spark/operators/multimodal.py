@@ -306,11 +306,36 @@ def sample_video_frames(
                                 data[src * fsize : (src + 1) * fsize]
                             )
                         continue
-                    # REAL IMPLEMENTATION for encoded containers:
+                    if media["mime"] == "video/mp4":
+                        # REAL container demux (operators/codecs.py):
+                        # the ISO-BMFF sample tables locate every sync
+                        # sample (keyframe), which is emitted as its
+                        # ENCODED payload — frame bytes stay e.g. AVC
+                        # NAL units for a downstream codec/GPU stage.
+                        # Only the entropy decode itself needs a codec
+                        # library; the demux does not.
+                        from kafka_streams_plumber_spark.operators.codecs import (
+                            mp4_sync_samples,
+                        )
+
+                        try:
+                            keys = mp4_sync_samples(bytes(media["data"]))
+                        except ValueError:
+                            continue  # corrupt container: droppable
+                        emitted = 0
+                        for k in keys:
+                            if k["time_ms"] >= emitted * every_ms:
+                                out_ids.append(rid)
+                                out_idx.append(emitted)
+                                out_frames.append(k["payload"])
+                                emitted += 1
+                        continue
+                    # REAL IMPLEMENTATION for other encoded containers:
                     #   pyav/ffmpeg frame iterator
                     raise NotImplementedError(
-                        "encoded video decode requires pyav/ffmpeg;"
+                        "non-MP4 encoded video requires pyav/ffmpeg;"
                         f" raw {RAW_VIDEO_MIME!r} streams slice in numpy"
+                        " and video/mp4 demuxes its keyframes"
                     )
                 dur = media["duration_ms"] or 0
                 n_frames = max(1, int(dur // every_ms))

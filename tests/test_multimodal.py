@@ -823,3 +823,74 @@ def test_codec_decoders_fail_closed_on_fuzz():
                 assert isinstance(
                     e, (zlib.error, struct.error, IndexError)
                 ) is False, (dec.__name__, type(e), e)
+
+
+def test_mp4_demux_parse_and_sync_samples():
+    """Box parsing recovers track metadata; sync samples come back as
+    the exact planted payloads with correct times; no-stss = all sync;
+    fuzz fails closed."""
+    import pytest as _pt
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        encode_mp4,
+        mp4_sync_samples,
+        parse_mp4,
+    )
+
+    samples = [b"nal-%02d-" % i + bytes([i]) * (5 + i) for i in range(10)]
+    mp4 = encode_mp4(
+        samples, width=320, height=240, sample_delta=40, sync=[1, 4, 8]
+    )
+    meta = parse_mp4(mp4)
+    t = meta["tracks"][0]
+    assert (t["handler"], t["codec"]) == ("vide", "avc1")
+    assert (t["width"], t["height"], t["n_samples"]) == (320, 240, 10)
+    assert meta["duration_ms"] == 400
+
+    ks = mp4_sync_samples(mp4)
+    assert [k["payload"] for k in ks] == [samples[0], samples[3], samples[7]]
+    assert [k["time_ms"] for k in ks] == [0, 120, 280]
+
+    assert len(mp4_sync_samples(encode_mp4(samples[:3]))) == 3
+    with _pt.raises(ValueError):
+        parse_mp4(b"definitely not an mp4 container here")
+    with _pt.raises(ValueError):
+        mp4_sync_samples(mp4[: len(mp4) // 2])
+
+
+def test_sample_video_frames_mp4_keyframes(spark):
+    """video/mp4 fans out to its ENCODED keyframe payloads via the
+    real demux — no codec library involved."""
+    from kafka_streams_plumber_spark.operators.codecs import encode_mp4
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        pack_media,
+        sample_video_frames,
+    )
+
+    samples = [b"payload-%d" % i for i in range(6)]
+    mp4 = encode_mp4(samples, sample_delta=500, sync=[1, 3, 5])  # 3s video
+    df = spark.createDataFrame(
+        [(7, mp4, 3000)], "doc_id long, raw binary, dur long"
+    ).select(
+        "doc_id",
+        pack_media(
+            F.col("raw"), F.lit("video/mp4"), duration_ms=F.col("dur")
+        ).alias("media"),
+    )
+    out = sorted(
+        sample_video_frames(df, every_ms=900, fake=None).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # keyframes at 0/1000/2000ms; emitted when time >= idx*900
+    assert [bytes(r["frame"]) for r in out] == [
+        samples[0], samples[2], samples[4]
+    ]
+    # corrupt container drops, raw passthrough of other rows unaffected
+    bad = spark.createDataFrame(
+        [(8, b"\x00\x00\x00\x08ftypX", 1000)], "doc_id long, raw binary, dur long"
+    ).select(
+        "doc_id",
+        pack_media(F.col("raw"), F.lit("video/mp4"),
+                   duration_ms=F.col("dur")).alias("media"),
+    )
+    assert sample_video_frames(bad, every_ms=500, fake=None).count() == 0
