@@ -1396,3 +1396,137 @@ def encode_mp4(
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# =====================================================================
+# Header-only probes — dims/duration/codec without decoding payloads
+# =====================================================================
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+@_fail_closed
+def parse_mp3(data: bytes, *, max_frames: int = 2000) -> dict:
+    """Parse MPEG-1 Layer III frame headers (no audio decode): sample
+    rate, bitrate mode, frame count and the duration estimate —
+    1152 samples per frame. Skips a leading ID3v2 tag. Raises
+    ValueError when no valid frame sync is found."""
+    data = bytes(data)
+    pos = 0
+    if data[:3] == b"ID3":
+        sz = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + sz
+    n = 0
+    sr = None
+    bitrates = set()
+    while pos + 4 <= len(data) and n < max_frames:
+        h = struct.unpack(">I", data[pos : pos + 4])[0]
+        if (h >> 21) != 0x7FF:
+            if n:
+                break  # past the last frame (tag/garbage tail)
+            pos += 1
+            continue
+        version = (h >> 19) & 3
+        layer = (h >> 17) & 3
+        if version != 3 or layer != 1:  # MPEG-1 Layer III only
+            raise ValueError("only MPEG-1 Layer III supported")
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format/bad MP3 header")
+        br = _MP3_BITRATES[br_idx]
+        this_sr = _MP3_RATES[sr_idx]
+        if sr is None:
+            sr = this_sr
+        elif sr != this_sr:
+            break
+        padding = (h >> 9) & 1
+        frame_len = 144 * br * 1000 // sr + padding
+        bitrates.add(br)
+        n += 1
+        pos += max(frame_len, 4)
+    if not n:
+        raise ValueError("no MP3 frame sync found")
+    return {
+        "sample_rate": sr,
+        "n_frames": n,
+        "vbr": len(bitrates) > 1,
+        "bitrate_kbps": max(bitrates),
+        "duration_ms": int(n * 1152 * 1000 // sr),
+    }
+
+
+@_fail_closed
+def probe_media_bytes(data: bytes, mime: str) -> dict:
+    """Header-only probe: dims / duration / sample rate / codec for a
+    media blob WITHOUT decoding its payload — the cheap triage pass
+    that decides what is worth a decode stage. Supported: PNG, BMP,
+    GIF, JPEG (SOF scan), WAV, MP3, MP4. Raises ValueError for corrupt
+    bytes or an unsupported mime."""
+    data = bytes(data)
+    out: dict = {"mime": mime}
+    if mime == "image/png":
+        if data[:8] != _PNG_SIG:
+            raise ValueError("not a PNG")
+        w, h = struct.unpack(">II", data[16:24])
+        out.update(width=w, height=h)
+    elif mime == "image/bmp":
+        if data[:2] != b"BM":
+            raise ValueError("not a BMP")
+        w, hs = struct.unpack("<ii", data[18:26])
+        out.update(width=w, height=abs(hs))
+    elif mime == "image/gif":
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF")
+        w, h = struct.unpack("<HH", data[6:10])
+        out.update(width=w, height=h)
+    elif mime == "image/jpeg":
+        if data[:2] != b"\xFF\xD8":
+            raise ValueError("not a JPEG")
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            m = data[pos + 1]
+            if m in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: dims live here
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                out.update(width=w, height=h, codec=f"sof{m - 0xC0}")
+                break
+            if m == 0xD9 or m == 0xDA:
+                raise ValueError("JPEG without SOF")
+            (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            pos += 2 + ln
+        else:
+            raise ValueError("truncated JPEG")
+    elif mime == "audio/wav":
+        x, sr = decode_wav(data)  # header parse dominates; payload is a view
+        out.update(
+            sample_rate=sr,
+            duration_ms=int(x.shape[0] * 1000 // max(sr, 1)),
+            channels=int(x.shape[1]),
+        )
+    elif mime == "audio/mpeg":
+        out.update(parse_mp3(data))
+    elif mime == "video/mp4":
+        meta = parse_mp4(data)
+        out["duration_ms"] = meta.get("duration_ms")
+        for t in meta["tracks"]:
+            if t.get("handler") == "vide":
+                out.update(
+                    width=t.get("width"),
+                    height=t.get("height"),
+                    codec=t.get("codec"),
+                )
+                break
+    else:
+        raise ValueError(f"no probe for {mime!r}")
+    return out

@@ -27,11 +27,17 @@ Real-kernel coverage (``fake=None``):
   interlace, first frame), ``image/bmp`` (24/32 bpp) and
   ``audio/wav`` (PCM-16, any channel count) decode onto the same
   kernels; resize re-encodes into the input container.
-- Compressed audio/video (MP3/AAC/MP4) genuinely requires codec
-  libraries this container lacks: those raise NotImplementedError at
-  the marked call sites. ``fake="deterministic"`` keeps seeded,
-  content-addressed fake outputs (real plumbing, fake pixels) so
-  plumbing tests cover every format.
+- Containers demux for REAL without a codec: ``video/mp4`` keyframe
+  extraction via the ISO-BMFF sample tables (frames emitted still
+  encoded for a downstream codec stage), MP3 frame-header duration,
+  and :func:`probe_media` (header-only dims/duration/codec for every
+  supported format).
+- Only the entropy decode of compressed audio/video (MP3/AAC payload
+  samples, AVC pixels) genuinely requires codec libraries this
+  container lacks: those raise NotImplementedError at the marked call
+  sites. ``fake="deterministic"`` keeps seeded, content-addressed
+  fake outputs (real plumbing, fake pixels) so plumbing tests cover
+  every format.
 
 Byte-level ops at the bottom (sniff_mime, byte_stats) are always real.
 """
@@ -728,3 +734,85 @@ def byte_stats(df: DataFrame, data_col: str, id_col: str = "doc_id") -> DataFram
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(
         run, schema=_BYTE_STATS
     )
+
+
+_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def probe_media(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Header-only triage (REAL for every supported container,
+    operators/codecs.py:probe_media_bytes): dims, duration, sample
+    rate and codec id WITHOUT decoding payloads — PNG/BMP/GIF/JPEG
+    headers, WAV fmt chunk, MP3 frame headers, MP4 sample tables. The
+    cheap pass that sizes and filters a media corpus (drop tiny
+    images, cap durations, route codecs) before any decode stage pays
+    for pixels. Corrupt or unsupported items are dropped
+    (droppable-item contract); raw mimes carry their metadata in
+    MEDIA_SCHEMA already and are passed through from it.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from kafka_streams_plumber_spark.operators.codecs import (
+            probe_media_bytes,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rid, media in zip(pdf[id_col], pdf[media_col]):
+                if media is None or media["data"] is None:
+                    continue
+                mime = media["mime"]
+                if mime in (RAW_IMAGE_MIME, RAW_VIDEO_MIME, RAW_AUDIO_MIME):
+                    rows.append(
+                        (
+                            rid,
+                            mime,
+                            _int_dim(media["width"]),
+                            _int_dim(media["height"]),
+                            _int_dim(media["duration_ms"]),
+                            16000 if mime == RAW_AUDIO_MIME else None,
+                            None,
+                        )
+                    )
+                    continue
+                try:
+                    p = probe_media_bytes(bytes(media["data"]), mime)
+                except ValueError:
+                    continue
+                rows.append(
+                    (
+                        rid,
+                        mime,
+                        p.get("width"),
+                        p.get("height"),
+                        p.get("duration_ms"),
+                        p.get("sample_rate"),
+                        p.get("codec"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "width", "height",
+                    "duration_ms", "sample_rate", "codec",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=_PROBE_SCHEMA)

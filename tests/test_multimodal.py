@@ -894,3 +894,41 @@ def test_sample_video_frames_mp4_keyframes(spark):
                    duration_ms=F.col("dur")).alias("media"),
     )
     assert sample_video_frames(bad, every_ms=500, fake=None).count() == 0
+
+
+def test_probe_media_all_formats(spark):
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        encode_gif,
+        encode_jpeg,
+        encode_mp4,
+        encode_png,
+        encode_wav,
+    )
+    from kafka_streams_plumber_spark.operators.multimodal import (
+        pack_media,
+        probe_media,
+    )
+
+    img = np.zeros((17, 23, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_png(img), "image/png"),
+        (2, encode_jpeg(img), "image/jpeg"),
+        (3, encode_gif(img), "image/gif"),
+        (4, encode_wav(np.zeros(8000, dtype=np.int16), 16000), "audio/wav"),
+        (5, encode_mp4([b"x" * 9] * 5, width=320, height=240,
+                       sample_delta=200), "video/mp4"),
+        (6, b"corrupt bytes", "image/png"),          # dropped
+        (7, b"???", "application/unknown"),          # unsupported: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, raw binary, mime string").select(
+        "doc_id", pack_media(F.col("raw"), F.col("mime")).alias("media")
+    )
+    got = {r["doc_id"]: r for r in probe_media(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for i in (1, 2, 3):
+        assert (got[i]["width"], got[i]["height"]) == (23, 17)
+    assert got[2]["codec"] == "sof0"
+    assert (got[4]["sample_rate"], got[4]["duration_ms"]) == (16000, 500)
+    assert (got[5]["duration_ms"], got[5]["codec"]) == (1000, "avc1")
