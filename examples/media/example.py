@@ -43,6 +43,7 @@ from kafka_streams_plumber_spark.operators.codecs import (
     encode_bmp,
     encode_gif,
     encode_jpeg,
+    encode_mp4,
     encode_png,
     encode_wav,
 )
@@ -51,8 +52,10 @@ from kafka_streams_plumber_spark.operators.multimodal import (
     decode_and_featurize_images,
     extract_audio_features,
     pack_media,
+    probe_media,
     repartition_by_media_size,
     resize_images,
+    sample_video_frames,
     sniff_mime,
 )
 from kafka_streams_plumber_spark.operators.similarity import (
@@ -87,6 +90,9 @@ def _corpus() -> list[tuple[int, bytes, str, int | None, int | None]]:
         (4, encode_png(other), "image/png", None, None),
         (5, base3.tobytes(), "image/x-raw", 64, 48),
         (10, encode_jpeg(base3), "image/jpeg", None, None),  # lossy re-encode
+        (11, encode_mp4([b"fake-nal-%d" % i for i in range(6)],
+                        width=64, height=48, sample_delta=500,
+                        sync=[1, 3, 5]), "video/mp4", None, None),
         (6, encode_wav(np.stack([tone, tone], axis=1), 16000), "audio/wav", None, None),
         (7, tone.tobytes(), "audio/x-raw-s16le", None, None),
         (8, b"just some text pretending", "image/png", None, None),  # triaged out
@@ -126,6 +132,11 @@ def main() -> None:
         )
     )
 
+    # 2.5 header-only probe: dims/duration/codec for every container
+    #     WITHOUT decoding payloads — the triage that routes the rest
+    print("== header probe (no decode) ==")
+    probe_media(media).orderBy("doc_id").show()
+
     # 3. decode-stage partitions sized by payload, not rows
     media = repartition_by_media_size(media, target_partition_bytes=1 << 20)
 
@@ -152,6 +163,14 @@ def main() -> None:
     thumbs.select(
         "doc_id", "width", "height", F.length("data").alias("bytes")
     ).orderBy("doc_id").show()
+
+    # 6.5 MP4 keyframes demuxed from the sample tables — payloads stay
+    #     encoded for a downstream codec stage
+    vids = media.filter(F.col("media.mime") == "video/mp4")
+    print("== mp4 keyframes (encoded payloads) ==")
+    sample_video_frames(vids, every_ms=900, fake=None).select(
+        "doc_id", "frame_idx", F.length("frame").alias("bytes")
+    ).orderBy("frame_idx").show()
 
     # 7. WAV header rate + stereo downmix == raw PCM path
     print("== audio features ==")
