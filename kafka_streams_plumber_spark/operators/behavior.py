@@ -554,3 +554,54 @@ def rfm(
             + score("__cents_rank")
         ).alias("rfm"),
     )
+
+
+def active_user_metrics(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / WAU / stickiness per observed day — the product-health
+    triple. ``wau(d)`` counts distinct users active in the trailing
+    ``window_days`` ending at d; ``stickiness = dau/wau`` (the classic
+    DAU/MAU shape, window configurable).
+
+    The sliding DISTINCT is the scale trap here: a naive
+    per-day-window count re-scans the event table per day. Instead the
+    event table collapses ONCE to (user, epoch-day) grain, and each
+    grain row fans out to the ``window_days`` day-windows it makes
+    active — a bounded explode (x window_days of the GRAIN, not the
+    events) followed by two map-combinable distinct aggregates. Ghost
+    days (inside some window but with no activity of their own) are
+    dropped by an equi-join against the observed-day set.
+
+    Epoch-day arithmetic (floor(ms/86400000)) keeps the bucketing
+    engine-exact; output: (day, dau, wau, stickiness).
+    """
+    day = F.floor(F.unix_millis(F.col(ts_col)) / 86400000).cast("long")
+    ud = df.select(F.col(user_col).alias("u"), day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    fan = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (int(window_days) - 1))
+        ).alias("day"),
+    ).distinct()
+    wau = (
+        fan.join(dau.select("day"), "day")
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -7308,6 +7308,43 @@ def q_token_budget(spark, sf_dir):
     ).select("doc_id", "source", "n_tok", "_cum_tokens")
 
 
+@query(
+    "q_dau_wau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+      FROM events
+    ),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    fan AS (
+      SELECT DISTINCT u, ud.day + t.d AS day
+      FROM ud CROSS JOIN generate_series(0, 6) t(d)
+    ),
+    wau AS (
+      SELECT fan.day, CAST(count(*) AS BIGINT) AS wau
+      FROM fan JOIN dau USING (day)
+      GROUP BY fan.day
+    )
+    SELECT day, dau, wau,
+           round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def q_dau_wau(spark, sf_dir):
+    """Active-user metrics (operators/behavior.py:active_user_metrics):
+    DAU, trailing-7-day WAU and stickiness per observed day. The
+    sliding distinct is a bounded explode of the (user, day) GRAIN —
+    never a per-day rescan of events — then two map-combinable
+    distinct aggregates; the oracle replays the same fan-out."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        active_user_metrics,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return active_user_metrics(e, "user_id", "ts", window_days=7)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -478,3 +478,36 @@ def test_rfm_hand_computed(spark):
         assert r["rfm"] == i * 111
         assert r["frequency"] == i
         assert r["monetary"] == 10.0 * i * i
+
+
+def test_active_user_metrics_hand_computed(spark):
+    """DAU/WAU on a tiny three-day fixture, including a returning user
+    counted once per window and a ghost-day exclusion."""
+    from datetime import datetime
+
+    from kafka_streams_plumber_spark.operators.behavior import (
+        active_user_metrics,
+    )
+
+    def ev(u, d, h=0):
+        return (u, datetime(2024, 1, d, h))
+
+    rows = [
+        ev(1, 1), ev(1, 1, 5), ev(2, 1),   # day0: users {1,2}
+        ev(1, 2),                          # day1: {1}
+        # day3 skipped entirely (ghost day within windows)
+        ev(3, 4),                          # day3(idx): {3}
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["day"]: r for r in
+           active_user_metrics(df, "user_id", "ts", window_days=3).collect()}
+    days = sorted(out)
+    d0, d1, d3 = days
+    assert d1 == d0 + 1 and d3 == d0 + 3
+    assert (out[d0]["dau"], out[d0]["wau"]) == (2, 2)
+    assert (out[d1]["dau"], out[d1]["wau"]) == (1, 2)  # window {d-2..d1}
+    # day3's trailing-3 window = {d1..d3}: users {1 (d1), 3} -> wau 2
+    assert (out[d3]["dau"], out[d3]["wau"]) == (1, 2)
+    assert out[d1]["stickiness"] == 0.5
+    # the skipped day emits no row
+    assert d0 + 2 not in out
