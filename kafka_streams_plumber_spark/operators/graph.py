@@ -459,3 +459,78 @@ def dedup_weights(
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "a_id",
+    dst: str = "b_id",
+    *,
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The k-core: iteratively peel nodes with (undirected) degree < k
+    until a fixpoint — the standard dense-substructure extractor
+    (spam-farm detection in link graphs, loyal-cohort extraction in
+    interaction graphs; a node in the k-core has >= k neighbors that
+    each have >= k neighbors, recursively). Returns the surviving
+    nodes as (node, degree) with degrees measured inside the core.
+
+    Distributed-exact: peeling is order-free (removing ALL deg<k nodes
+    each round is the synchronous variant, which converges to the same
+    unique k-core as sequential peeling), so a fixed ``max_iter``
+    unroll replays in SQL — extra rounds past the fixpoint are no-ops,
+    which is what makes engine early-exit and oracle unroll agree.
+
+    Per round: one map-combinable degree aggregate + two semi-joins
+    that shrink the edge set; lineage severed per round
+    (``checkpoint_dir`` = executor-loss-tolerant)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    und = truncate_lineage(und, checkpoint_dir)
+    for _ in range(int(max_iter)):
+        deg = und.groupBy("s").agg(F.count("*").cast("long").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        pruned = und.join(keep, "s").join(
+            keep.withColumnRenamed("s", "d"), "d"
+        ).select("s", "d")
+        pruned = truncate_lineage(pruned, checkpoint_dir)
+        # fixpoint: no edge removed this round
+        if pruned.count() == und.count():
+            und = pruned
+            break
+        und = pruned
+    return (
+        und.groupBy(F.col("s").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, *, k: int, rounds: int = 10) -> str:
+    """DuckDB oracle for :func:`kcore`: the synchronous peeling rounds
+    unrolled (rounds past the fixpoint are no-ops, so a fixed unroll
+    matches the engine's early exit). ``edges_sql`` selects (src, dst).
+    """
+    parts = [
+        f"WITH e AS ({edges_sql}),",
+        "u0 AS (SELECT src AS s, dst AS d FROM e"
+        " UNION ALL SELECT dst, src FROM e),",
+    ]
+    for i in range(int(rounds)):
+        parts.append(
+            f"k{i} AS (SELECT s FROM u{i} GROUP BY s"
+            f" HAVING count(*) >= {int(k)}),"
+        )
+        parts.append(
+            f"u{i + 1} AS (SELECT u.s, u.d FROM u{i} u"
+            f" JOIN k{i} a ON a.s = u.s"
+            f" JOIN k{i} b ON b.s = u.d),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT s AS node, CAST(count(*) AS BIGINT) AS degree"
+        f" FROM u{int(rounds)} GROUP BY s HAVING count(*) >= {int(k)}"
+    )
+    return "\n".join(parts)

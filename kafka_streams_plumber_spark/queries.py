@@ -7345,6 +7345,39 @@ def q_dau_wau(spark, sf_dir):
     return active_user_metrics(e, "user_id", "ts", window_days=7)
 
 
+from kafka_streams_plumber_spark.operators.graph import (  # noqa: E402
+    kcore_oracle_sql,
+)
+
+_KCORE_EDGES_SQL = """
+    SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+@query("q_kcore", kcore_oracle_sql(_KCORE_EDGES_SQL, k=8, rounds=6))
+def q_kcore(spark, sf_dir):
+    """k-core extraction (operators/graph.py:kcore) over the distinct
+    customer<->supplier trade graph: the 8-core keeps only parties
+    whose trading neighborhoods are recursively dense — the loyal-
+    cohort / dense-substructure extractor. Synchronous peeling rounds
+    are order-free, so the oracle's fixed unroll matches the engine's
+    fixpoint early-exit."""
+    from kafka_streams_plumber_spark.operators.graph import kcore
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore(e, 8, "src", "dst", max_iter=6)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -272,3 +272,48 @@ def test_dedup_weights_mass_conservation(spark):
     assert got[1][0] == 0 and got[2][0] == 0
     assert got[3] == (3, 2, 0.5) and got[4] == (3, 2, 0.5)
     assert got[5] == (5, 1, 1.0)
+
+
+def test_kcore_peels_recursively(spark):
+    """A triangle + pendant chain: the 2-core is exactly the triangle
+    (chain nodes peel in cascade even though the first has degree 2)."""
+    from kafka_streams_plumber_spark.operators.graph import kcore
+
+    # triangle 1-2-3; chain 3-4-5-6 (4 has deg 2 initially but peels
+    # after 6 and 5 go)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "a_id long, b_id long",
+    )
+    out = {r["node"]: r["degree"] for r in kcore(edges, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # 3-core of the same graph is empty
+    assert kcore(edges, 3).count() == 0
+
+
+def test_kcore_matches_sequential_peeling(spark):
+    import random
+    from collections import defaultdict
+
+    from kafka_streams_plumber_spark.operators.graph import kcore
+
+    rng = random.Random(9)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"] for r in kcore(df, 3, max_iter=20).collect()}
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # sequential peeling (any order) converges to the unique 3-core
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < 3:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    assert got == set(adj)
