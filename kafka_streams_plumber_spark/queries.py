@@ -7378,6 +7378,47 @@ def q_kcore(spark, sf_dir):
     return kcore(e, 8, "src", "dst", max_iter=6)
 
 
+@query(
+    "q_langid_eval",
+    """
+    WITH pred AS (
+      SELECT lang,
+        CASE WHEN best = 0 THEN 'und'
+             WHEN en = best THEN 'en'
+             WHEN de = best THEN 'de'
+             ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT lang, en, de, fr, greatest(en, de, fr) AS best
+        FROM (
+          SELECT lang,
+            len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+            len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+            len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('le','la','les','et','est','un','une','pas'))) AS fr
+          FROM documents
+        )
+      )
+    )
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def q_langid_eval(spark, sf_dir):
+    """Language-ID confusion matrix: the stopword-vote classifier
+    (text.lang_id) against the corpus's labeled lang — the eval you
+    run before trusting a heuristic classifier as a curation gate
+    (which languages leak into which buckets). One map-combinable
+    aggregate over the classification projection."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select("lang", TX.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
