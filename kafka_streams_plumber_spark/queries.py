@@ -7419,6 +7419,41 @@ def q_langid_eval(spark, sf_dir):
     )
 
 
+@query(
+    "q_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    """,
+)
+def q_paths(spark, sf_dir):
+    """Top user paths: every length-3 event sequence per user with its
+    frequency — the flow-analysis companion to the Markov transition
+    matrix (q_transitions), exposing multi-step routes a first-order
+    chain can't. One lead-chain window pass on the user key + a
+    map-combinable count."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return seq.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
