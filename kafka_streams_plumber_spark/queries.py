@@ -7454,6 +7454,108 @@ def q_paths(spark, sf_dir):
     )
 
 
+@query(
+    "q_dup_rate",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q_dup_rate(spark, sf_dir):
+    """Exact-duplicate rate per source — the first corpus-health number
+    a curation run reports (which feeds are copy-heavy). Distinct
+    counting on the 32-byte content hash, never the document; one
+    aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            1 - F.countDistinct(F.md5("text")) / F.count("*").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "q_vocab_overlap",
+    r"""
+    WITH vocab AS (
+      SELECT DISTINCT lang,
+             unnest(list_filter(string_split_regex(lower(text),
+                 '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS t
+      FROM documents
+    ),
+    sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS sz
+              FROM vocab GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM vocab a JOIN vocab b ON a.t = b.t AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT lang_a, lang_b, n_shared,
+           round(n_shared / CAST(sa.sz + sb.sz - n_shared AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.lang = lang_a
+    JOIN sizes sb ON sb.lang = lang_b
+    """,
+)
+def q_vocab_overlap(spark, sf_dir):
+    """Cross-language vocabulary overlap (pairwise Jaccard of distinct
+    token sets) — the multilingual-corpus diagnostic: high overlap
+    between supposed languages means mislabeled docs or shared
+    boilerplate leaking across buckets. One vocab-grain self-join on
+    the token (vocab-sized, not corpus-sized) + O(langs) size
+    broadcasts."""
+    from kafka_streams_plumber_spark.operators.text import WS_RE
+
+    d = load_tables(spark, sf_dir)["documents"]
+    vocab = (
+        d.select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), WS_RE), lambda x: x != ""
+                )
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count("*").cast("long").alias("sz"))
+    a = vocab.select(F.col("lang").alias("lang_a"), "t")
+    b = vocab.select(F.col("lang").alias("lang_b"), "t")
+    inter = (
+        a.join(b, ["t"])
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("sz").alias("_sb"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

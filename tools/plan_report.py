@@ -91,6 +91,10 @@ AUDITED = {
     "q_rfm": "three parallel-rank range exchanges on the user-grain frame; O(1) count broadcast",
     "q_weighted_pct": "range sort + (pid,group)-keyed prefix window; O(PxG) offsets broadcast",
     "q_token_budget": "seeded-hash partition walk + integer prefix sums; no whole-group task",
+    "q_dau_wau": "bounded grain explode (x window days) + two map-combinable distinct aggs",
+    "q_kcore": "per-round degree agg + shrinking semi-joins; checkpointed lineage",
+    "q_paths": "one lead-chain window on the user key + map-combinable count",
+    "q_langid_eval": "one aggregate over the classification projection",
 }
 
 
