@@ -7556,6 +7556,68 @@ def q_vocab_overlap(spark, sf_dir):
     )
 
 
+@query(
+    "q_burstiness",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_ms) AS BIGINT) AS sum_gap,
+             CAST(sum(gap_ms * gap_ms) AS BIGINT) AS sum_sq
+      FROM gaps WHERE gap_ms IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           round(sum_gap / CAST(n_gaps AS DOUBLE), 3) AS mean_gap_ms,
+           round(CASE WHEN n_gaps > 1 AND sum_gap > 0 THEN
+                 sqrt((sum_sq - sum_gap * (sum_gap / CAST(n_gaps AS DOUBLE)))
+                      / (n_gaps - 1))
+                 / (sum_gap / CAST(n_gaps AS DOUBLE)) END, 6) AS cv
+    FROM s WHERE n_gaps > 0
+    """,
+)
+def q_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per user: mean gap and coefficient of
+    variation of inter-event times — CV ~= 1 is Poisson-like human
+    traffic, CV << 1 is metronomic (bots/schedulers), CV >> 1 is
+    bursty. Exact integer millisecond sums (one lag window on the
+    user key + one aggregate); the CV is a single fixed-order double
+    expression, SQL-replayable."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gaps = e.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    s = gaps.groupBy("user_id").agg(
+        F.count("gap_ms").cast("long").alias("n_gaps"),
+        F.sum("gap_ms").cast("long").alias("sum_gap"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("long").alias("sum_sq"),
+    )
+    mean = F.col("sum_gap") / F.col("n_gaps").cast("double")
+    var = (F.col("sum_sq") - F.col("sum_gap") * mean) / (F.col("n_gaps") - 1)
+    return s.filter(F.col("n_gaps") > 0).select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 3).alias("mean_gap_ms"),
+        F.round(
+            F.when(
+                (F.col("n_gaps") > 1) & (F.col("sum_gap") > 0),
+                F.sqrt(var) / mean,
+            ),
+            6,
+        ).alias("cv"),
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
