@@ -709,13 +709,26 @@ class _BitReader:
 
     def resync_restart(self) -> None:
         """Consume an RSTn marker at a restart boundary."""
-        self.byte_align()
-        # drain buffered zero-padding from a pending marker
+        # everything still buffered is byte-padding for the boundary
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # the reader only discovers markers by looking ahead; with
+            # short per-restart payloads it may not have reached this
+            # one yet — scan forward past any unread padding bytes
+            while self.pos < len(self.data):
+                b = self.data[self.pos]
+                if (
+                    b == 0xFF
+                    and self.pos + 1 < len(self.data)
+                    and self.data[self.pos + 1] != 0x00
+                ):
+                    self.marker = self.data[self.pos + 1]
+                    break
+                self.pos += 1
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
             self.marker = None
             self.pos += 2
-            self.acc = 0
-            self.nbits = 0
 
 
 def _huff_read(r: _BitReader, table: dict) -> int:

@@ -809,3 +809,77 @@ def test_label_propagation_matches_python_simulation(spark, pairs):
             new[n] = min(l for l, v in c.items() if v == mx)
         lab = new
     assert got == lab
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.booleans(),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_psnr_property(w, h, subsample, restart, seed):
+    """Baseline JPEG roundtrips smooth content above 28 dB PSNR for
+    arbitrary sizes, both sampling layouts and restart intervals."""
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    # smooth content: random low-order 2D polynomial per channel
+    ys, xs = np.mgrid[0:h, 0:w]
+    chans = []
+    for _ in range(3):
+        c = rng.uniform(-1, 1, 6)
+        z = (
+            c[0] + c[1] * xs / w + c[2] * ys / h
+            + c[3] * (xs / w) ** 2 + c[4] * (ys / h) ** 2
+            + c[5] * xs * ys / (w * h)
+        )
+        z = (z - z.min()) / max(z.ptp(), 1e-9) * 255
+        chans.append(z)
+    img = np.stack(chans, axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample=subsample, restart=restart))
+    assert out.shape == img.shape
+    mse = np.mean((img.astype(float) - out.astype(float)) ** 2)
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+    assert psnr > 28, (w, h, subsample, restart, psnr)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.binary(min_size=1, max_size=40), min_size=1, max_size=25
+    ),
+    st.data(),
+)
+def test_mp4_demux_roundtrip_property(payloads, data):
+    """parse_mp4/mp4_sync_samples recover exactly the planted sample
+    metadata and sync payloads for arbitrary payload lists and sync
+    subsets."""
+    from kafka_streams_plumber_spark.operators.codecs import (
+        encode_mp4,
+        mp4_sync_samples,
+        parse_mp4,
+    )
+
+    n = len(payloads)
+    sync = sorted(
+        data.draw(
+            st.sets(
+                st.integers(min_value=1, max_value=n), min_size=1, max_size=n
+            )
+        )
+    )
+    delta = data.draw(st.integers(min_value=1, max_value=5000))
+    mp4 = encode_mp4(payloads, sample_delta=delta, sync=sync)
+    meta = parse_mp4(mp4)
+    assert meta["tracks"][0]["n_samples"] == n
+    assert meta["duration_ms"] == n * delta * 1000 // 1000 // 1  # ts=1000
+    ks = mp4_sync_samples(mp4, max_samples=64)
+    assert [k["payload"] for k in ks] == [payloads[s - 1] for s in sync]
+    assert [k["time_ms"] for k in ks] == [(s - 1) * delta for s in sync]
