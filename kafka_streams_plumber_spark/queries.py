@@ -7640,6 +7640,21 @@ def q_burstiness(spark, sf_dir):
 # - The tail keeps oracled queries before rows-only ones so any window
 #   widening stays all-oracled.
 
+# Round-4 rotation queue (promote ~48 of these, demote the r03 window):
+# never-driver-hashed as of r03 — the r2-era remainder (q_hash_embed,
+# q_cat_psi, q_equi_depth, q_boilerplate, q_temperature_mix, q_zipf,
+# q_fim, q_source_overlap, q_dedup_keep, dedup_simhash, sim_ann_lsh,
+# q_session_window, text_bpe, q_asof_fwd, q_interval, q_redact,
+# q_chunks, q_split, q_vocab, q_stratified, text_lm_score, text_winnow,
+# q_token_entropy, q_tfidf, q_epoch_shards, q_byte_stats, q_histogram,
+# q_skew, q_sample_group, q_oov, q_lm_ppl, q_attrib_last,
+# q_attrib_linear, q_zorder) plus the whole r03-session wave
+# (q_semantic_keep, q_semantic_decon, q_dedup_weights, q_cluster_hist,
+# q_ab_test, q_lpa, q_kfold, q_kcenter, q_ewma, q_cdc_chunks,
+# q_reweight, q_calibration, q_l_diversity, q_fertility, q_rfm,
+# q_weighted_pct, q_token_budget, q_dau_wau, q_kcore, q_paths,
+# q_langid_eval, q_dup_rate, q_vocab_overlap, q_burstiness) — more
+# than one window's worth: split across r4/r5.
 _GATE_WINDOW = [
     # re-prove after the oracle-side HUGEINT->BIGINT cast fix
     "q_pack",
