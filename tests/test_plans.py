@@ -422,3 +422,24 @@ def test_reweight_broadcasts_weights_fact_never_wide(spark):
     df = QUERIES["q_reweight"](spark, SF)
     assert broadcast_join_count(df) >= 1
     assert python_eval_count(df) == 0
+
+
+def test_gate_window_queries_emit_only_scalar_columns(spark):
+    """Registry guard (VERDICT r3 item 2): the driver's correctness gate
+    canonicalizes results with pandas ``sort_values`` over every column,
+    which crashes on array/map/struct cells (unhashable ndarray —
+    CORRECTNESS_r01 multimodal_features, CORRECTNESS_r03 q_kmeans /
+    q_centroids). Every query promoted into _GATE_WINDOW must therefore
+    emit scalar-only output. Schema resolution is lazy — this builds 50
+    plans, runs no jobs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from kafka_streams_plumber_spark.queries import _GATE_WINDOW
+
+    offenders = []
+    for name in _GATE_WINDOW:
+        schema = QUERIES[name](spark, SF).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"complex-typed gate-window output: {offenders}"
