@@ -7891,78 +7891,71 @@ def q_burstiness(spark, sf_dir):
 # - The tail keeps oracled queries before rows-only ones so any window
 #   widening stays all-oracled.
 
-# Round-4 rotation queue (promote ~48 of these, demote the r03 window):
-# never-driver-hashed as of r03 — the r2-era remainder (q_hash_embed,
-# q_cat_psi, q_equi_depth, q_boilerplate, q_temperature_mix, q_zipf,
-# q_fim, q_source_overlap, q_dedup_keep, dedup_simhash, sim_ann_lsh,
-# q_session_window, text_bpe, q_asof_fwd, q_interval, q_redact,
-# q_chunks, q_split, q_vocab, q_stratified, text_lm_score, text_winnow,
-# q_token_entropy, q_tfidf, q_epoch_shards, q_byte_stats, q_histogram,
-# q_skew, q_sample_group, q_oov, q_lm_ppl, q_attrib_last,
-# q_attrib_linear, q_zorder) plus the whole r03-session wave
-# (q_semantic_keep, q_semantic_decon, q_dedup_weights, q_cluster_hist,
-# q_ab_test, q_lpa, q_kfold, q_kcenter, q_ewma, q_cdc_chunks,
-# q_reweight, q_calibration, q_l_diversity, q_fertility, q_rfm,
-# q_weighted_pct, q_token_budget, q_dau_wau, q_kcore, q_paths,
-# q_langid_eval, q_dup_rate, q_vocab_overlap, q_burstiness) — more
-# than one window's worth: split across r4/r5.
+# Round-4 window (below): the r03 window (48/50 driver-green in
+# CORRECTNESS_r03; q_kmeans/q_centroids crashed the driver canonicalizer
+# on array columns and re-prove here with scalar-grain output) is
+# demoted; promoted are the full r2-era never-hashed remainder (34),
+# the three queries oracled since r03 closed (q_semantic_keep_lsh,
+# q_funnel_both, q_approx_distinct), and the highest-priority 11 of the
+# r03-session wave. Remaining for the r5 rotation: q_semantic_decon,
+# q_cluster_hist, q_kfold, q_reweight, q_l_diversity, q_fertility,
+# q_token_budget, q_dau_wau, q_paths, q_langid_eval, q_dup_rate,
+# q_vocab_overlap, q_burstiness.
 _GATE_WINDOW = [
-    # re-prove after the oracle-side HUGEINT->BIGINT cast fix
-    "q_pack",
-    # new this round: exact any-chain windowed funnels
-    "q_funnel_window",
-    "q_funnel_whole",
-    # TPC-H wave: the 16 representatives never driver-hashed (q1/q3/q4/
-    # q5/q6/q10 were hashed in round 1)
-    "q2_mincost",
-    "q7_volume",
-    "q8_marketshare",
-    "q9_profit",
-    "q11_important",
-    "q12_latelines",
-    "q13_custdist",
-    "q14_promo",
-    "q15_topsupplier",
-    "q16_suppcnt",
-    "q17_smallqty",
-    "q18_bigorders",
-    "q19_disjunct",
-    "q20_shippers",
-    "q21_waiting",
-    "q22_idle",
-    # never-hashed operator families (round-2 verdict item 3 list)
+    # re-prove with scalar-grain contract output (r03 harness crash)
     "q_kmeans",
-    "q_cms",
-    "q_winsorize",
-    "q_k_anonymity",
-    "q_snapshot_diff",
-    "q_psi",
-    "q_fk_audit",
-    "q_decontaminate",
     "q_centroids",
-    "q_salted",
-    # remaining never-hashed curation / sampling / structure families
-    "q_gopher",
-    "q_span_dedup",
-    "q_train_order",
-    "q_source_cap",
-    "q_sniff_mime",
-    "q_mix",
-    "q_incr_dedup",
-    "q_url_canon",
-    "q_domain_stats",
-    "q_matryoshka",
-    "q_length_batches",
-    "q_bpe_segment",
-    "q_group_split",
-    "q_importance_sample",
-    "q_quality_ensemble",
-    "q_decontaminate_spans",
-    "q_negatives",
-    "q_sentences",
-    "q_schema_drift",
-    "q_blocklist",
-    "q_html_text",
+    # oracled since the r03 snapshot — prove immediately
+    "q_semantic_keep_lsh",
+    "q_funnel_both",
+    "q_approx_distinct",
+    # r2-era never-driver-hashed remainder (waiting since round 1-2)
+    "q_hash_embed",
+    "q_cat_psi",
+    "q_equi_depth",
+    "q_boilerplate",
+    "q_temperature_mix",
+    "q_zipf",
+    "q_fim",
+    "q_source_overlap",
+    "q_dedup_keep",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "q_session_window",
+    "text_bpe",
+    "q_asof_fwd",
+    "q_interval",
+    "q_redact",
+    "q_chunks",
+    "q_split",
+    "q_vocab",
+    "q_stratified",
+    "text_lm_score",
+    "text_winnow",
+    "q_token_entropy",
+    "q_tfidf",
+    "q_epoch_shards",
+    "q_byte_stats",
+    "q_histogram",
+    "q_skew",
+    "q_sample_group",
+    "q_oov",
+    "q_lm_ppl",
+    "q_attrib_last",
+    "q_attrib_linear",
+    "q_zorder",
+    # r03-session wave, highest-priority slice (rest queued for r5)
+    "q_semantic_keep",
+    "q_dedup_weights",
+    "q_ab_test",
+    "q_lpa",
+    "q_kcore",
+    "q_kcenter",
+    "q_ewma",
+    "q_rfm",
+    "q_weighted_pct",
+    "q_calibration",
+    "q_cdc_chunks",
 ]
 
 
