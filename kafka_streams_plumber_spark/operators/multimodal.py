@@ -33,11 +33,13 @@ Real-kernel coverage (``fake=None``):
   and :func:`probe_media` (header-only dims/duration/codec for every
   supported format).
 - Only the entropy decode of compressed audio/video (MP3/AAC payload
-  samples, AVC pixels) genuinely requires codec libraries this
-  container lacks: those raise NotImplementedError at the marked call
-  sites. ``fake="deterministic"`` keeps seeded, content-addressed
-  fake outputs (real plumbing, fake pixels) so plumbing tests cover
-  every format.
+  samples, AVC pixels) and exotic image containers (WebP, TIFF)
+  genuinely require codec libraries. Those route through
+  ``operators/optdeps.py``: REAL decode when soundfile/pyav/librosa/
+  Pillow is importable, the documented NotImplementedError otherwise.
+  ``fake="deterministic"`` keeps seeded, content-addressed fake
+  outputs (real plumbing, fake pixels) so plumbing tests cover every
+  format in any environment.
 
 Byte-level ops at the bottom (sniff_mime, byte_stats) are always real.
 """
@@ -200,11 +202,22 @@ def decode_and_featurize_images(
                         except ValueError:
                             continue  # corrupt item in a supported format
                     if img is None:
-                        # only non-image mimes routed here end up None
+                        # formats beyond the stdlib codecs (WebP,
+                        # TIFF, ...): optional Pillow hook
+                        from kafka_streams_plumber_spark.operators import (
+                            optdeps,
+                        )
+
+                        try:
+                            img = optdeps.decode_image(bytes(data))
+                        except ValueError:
+                            continue  # corrupt item, droppable
+                    if img is None:
                         raise NotImplementedError(
                             f"no decoder for {media['mime']!r}; raw"
                             f" {RAW_IMAGE_MIME!r} buffers, PNG, JPEG, GIF"
-                            " and BMP are real numpy paths"
+                            " and BMP are real numpy paths, and Pillow"
+                            " (not importable) would cover the rest"
                         )
                     h, w = img.shape[:2]  # decoded dims are authoritative
                     gray = img.astype("float64").mean(axis=2)
@@ -336,13 +349,36 @@ def sample_video_frames(
                                 out_frames.append(k["payload"])
                                 emitted += 1
                         continue
-                    # REAL IMPLEMENTATION for other encoded containers:
-                    #   pyav/ffmpeg frame iterator
-                    raise NotImplementedError(
-                        "non-MP4 encoded video requires pyav/ffmpeg;"
-                        f" raw {RAW_VIDEO_MIME!r} streams slice in numpy"
-                        " and video/mp4 demuxes its keyframes"
+                    # other encoded containers: optional-dependency
+                    # hook (operators/optdeps.py) — REAL keyframe
+                    # decode (rgb24 pixel buffers) when pyav is
+                    # importable; the documented stub otherwise
+                    from kafka_streams_plumber_spark.operators import (
+                        optdeps,
                     )
+
+                    try:
+                        keys = optdeps.video_keyframes(
+                            bytes(media["data"])
+                        )
+                    except ValueError:
+                        continue  # corrupt container: droppable
+                    if keys is None:
+                        raise NotImplementedError(
+                            "non-MP4 encoded video requires pyav"
+                            " (not importable); raw"
+                            f" {RAW_VIDEO_MIME!r} streams slice in"
+                            " numpy and video/mp4 demuxes its"
+                            " keyframes"
+                        )
+                    emitted = 0
+                    for k in keys:
+                        if k["time_ms"] >= emitted * every_ms:
+                            out_ids.append(rid)
+                            out_idx.append(emitted)
+                            out_frames.append(k["payload"])
+                            emitted += 1
+                    continue
                 dur = media["duration_ms"] or 0
                 n_frames = max(1, int(dur // every_ms))
                 seed = hashlib.sha256(bytes(media["data"])).digest()
@@ -433,12 +469,27 @@ def resize_images(
                             img = try_decode_image(bytes(media["data"]), mime)
                         except ValueError:
                             continue  # corrupt item in a supported format
+                    pil_decoded = False
                     if img is None:
-                        # only non-image mimes routed here end up None
+                        # formats beyond the stdlib codecs (WebP,
+                        # TIFF, ...): optional Pillow hook; the result
+                        # re-encodes as PNG below (we have no writer
+                        # for the exotic input container)
+                        from kafka_streams_plumber_spark.operators import (
+                            optdeps,
+                        )
+
+                        try:
+                            img = optdeps.decode_image(bytes(media["data"]))
+                        except ValueError:
+                            continue  # corrupt item, droppable
+                        pil_decoded = img is not None
+                    if img is None:
                         raise NotImplementedError(
                             f"no decoder for {media['mime']!r}; raw"
                             f" {RAW_IMAGE_MIME!r}, PNG, JPEG, GIF and BMP"
-                            " resample in numpy"
+                            " resample in numpy, and Pillow (not"
+                            " importable) would cover the rest"
                         )
                     h, w = img.shape[:2]  # decoded dims are authoritative
                     scale = min(1.0, max_side / max(w, h))
@@ -448,8 +499,9 @@ def resize_images(
                     resized = img[ys][:, xs]
                     # re-emit in the input container: PNG keeps its
                     # channel count; BMP re-encodes 24-bpp (alpha of a
-                    # 32-bpp input is dropped); raw stays raw
-                    if mime == "image/png":
+                    # 32-bpp input is dropped); raw stays raw; Pillow-
+                    # decoded exotics re-encode as PNG
+                    if pil_decoded or mime == "image/png":
                         out_bytes = encode_png(resized)
                     elif mime == "image/gif":
                         # NN resample of a paletted frame can only keep
@@ -525,7 +577,9 @@ def extract_audio_features(
     operators/codecs.py) are REAL DSP in numpy alone: RMS loudness and
     MFCCs via hann-windowed FFT frames -> HTK mel filterbank -> log ->
     orthonormal DCT-II, averaged over frames. Compressed audio
-    (MP3/AAC) stays stubbed (librosa/soundfile not in the container).
+    (MP3/AAC/OGG/FLAC) decodes through the optional-dependency hook
+    (operators/optdeps.py) onto the same DSP when soundfile/pyav/
+    librosa is importable; otherwise the documented stub raises.
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -561,6 +615,32 @@ def extract_audio_features(
                         except ValueError:
                             continue  # corrupt item in a supported format
                         x = s.astype("float64").mean(axis=1) / 32768.0
+                    else:
+                        # compressed audio (MP3/AAC/OGG/FLAC/...):
+                        # optional-dependency hook (operators/
+                        # optdeps.py) — REAL decode when soundfile/
+                        # pyav/librosa is importable; the documented
+                        # stub otherwise. Corrupt payloads drop, same
+                        # as every stdlib codec path.
+                        from kafka_streams_plumber_spark.operators import (
+                            optdeps,
+                        )
+
+                        try:
+                            decoded = optdeps.load_audio(
+                                bytes(media["data"])
+                            )
+                        except ValueError:
+                            continue  # corrupt item, droppable
+                        if decoded is None:
+                            raise NotImplementedError(
+                                "MP3/AAC decode requires an optional"
+                                " codec library (soundfile/pyav/"
+                                "librosa — none importable); raw"
+                                f" {RAW_AUDIO_MIME!r} PCM and"
+                                " audio/wav run the numpy DSP path"
+                            )
+                        x, sr = decoded
                     if x is not None:
                         # REAL DSP, no librosa: RMS loudness + MFCC via
                         # numpy FFT (hann-windowed frames -> power
@@ -610,13 +690,6 @@ def extract_audio_features(
                             (dct @ logmel.mean(axis=0)).astype("float32")
                         )
                         continue
-                    # REAL IMPLEMENTATION for compressed audio:
-                    #   librosa.load + librosa.feature.mfcc
-                    raise NotImplementedError(
-                        "MP3/AAC decode requires librosa/soundfile; raw"
-                        f" {RAW_AUDIO_MIME!r} PCM and audio/wav run the"
-                        " numpy DSP path"
-                    )
                 h = hashlib.sha256(bytes(media["data"])).digest()
                 rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
                 ids.append(rid)

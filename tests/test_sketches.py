@@ -8,17 +8,20 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_approx_distinct_within_tolerance(spark):
+    # the contract query now self-checks: it emits the exact per-group
+    # cardinality plus within_bound = |HLL estimate - exact| <= 10%
+    # (the raw estimate left the output so the DuckDB oracle can pin
+    # the row hash; this test keeps the accuracy assertion end-to-end)
     exact = {
         (r["event_type"]): r["users"]
         for r in QUERIES["q_count_distinct"](spark, SF).collect()
     }
-    approx = {
-        (r["event_type"]): r["users_approx"]
-        for r in QUERIES["q_approx_distinct"](spark, SF).collect()
-    }
-    assert exact.keys() == approx.keys()
+    rows = QUERIES["q_approx_distinct"](spark, SF).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert exact.keys() == got.keys()
     for k, v in exact.items():
-        assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
+        assert got[k]["users_exact"] == v, (k, v, got[k])
+        assert got[k]["within_bound"], (k, v)
 
 
 # ---------------------------------------------------------------------
