@@ -53,6 +53,16 @@ HEADLINE = [
     "q21_waiting",
 ]
 
+#: Round-3 families, totaled SEPARATELY (``extra_total_sec``) so drift
+#: in the newer operators is visible round-over-round without breaking
+#: the frozen 28-query headline series the judge compares.
+EXTRA = [
+    "q_lm_ppl",
+    "q_rfm",
+    "q_kcore",
+    "q_funnel_window",
+]
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     df = QUERIES[name](spark, sf_dir)
@@ -82,7 +92,7 @@ def main() -> None:
         if os.path.isdir(cand) and os.path.abspath(cand) != os.path.abspath(sf_dir):
             warm_dir = cand
             break
-    for name in ["q_distinct", *HEADLINE]:
+    for name in ["q_distinct", *HEADLINE, *EXTRA]:
         try:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -97,6 +107,11 @@ def main() -> None:
         timings[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
 
     total = round(sum(timings.values()), 3)
+
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        extra[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
+
     print(
         json.dumps(
             {
@@ -104,6 +119,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_total_sec": round(sum(extra.values()), 3),
+                "extra_queries": extra,
                 "sf": sf,
             }
         )
