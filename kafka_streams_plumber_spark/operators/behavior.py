@@ -605,3 +605,47 @@ def active_user_metrics(
             ),
         )
     )
+
+
+def next_event_pairs(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    event_col: str,
+    *,
+    context: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Next-event-prediction training pairs: for every event, the
+    concatenation of the previous ``context`` events (oldest first) as
+    the model context and the current event as the target.
+
+    This is the sequence-dataset constructor for behavioral/session
+    models (the event-stream analog of next-token pairs). One window
+    pass per key — lag chains, no self-joins — and the context is a
+    single delimited string column so the output stays scalar-grain
+    (shardable, hashable, oracle-friendly). Rows with no predecessor
+    are dropped (no partial contexts shorter than 1).
+
+    At scale: a single shuffle on ``key_col``; per-key state is the
+    ``context`` lag registers inside one window, so a hot key costs
+    its own event count, never a cross-join.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    lags = [
+        F.lag(F.col(event_col), i).over(w) for i in range(context, 0, -1)
+    ]
+    # concat_ws skips NULL slots in Spark AND standard SQL engines, so
+    # short histories yield short contexts with no empty separators
+    ctx = F.concat_ws(sep, *lags)
+    return (
+        df.select(
+            F.col(key_col),
+            *[F.col(c) for c in order_cols],
+            F.col(event_col).alias("target"),
+            ctx.alias("context"),
+            F.lag(F.col(event_col), 1).over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull())
+        .drop("_prev")
+    )

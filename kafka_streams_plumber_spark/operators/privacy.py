@@ -161,3 +161,77 @@ def dp_release_oracle_sql(
     return (
         f"SELECT {', '.join(cols)} FROM ({inner_sql}) GROUP BY {gl}"
     )
+
+
+def generalize_to_k(
+    df: DataFrame,
+    ladders: list[list[Column]],
+    k: int,
+    *,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """k-anonymity by generalization: give every row the FINEST
+    quasi-identifier representation whose equivalence class holds at
+    least ``k`` rows.
+
+    ``ladders[i]`` is a generalization ladder — Column expressions from
+    finest to coarsest (e.g. ``[nation_name, region_name, lit("ALL")]``).
+    Level j uses ``ladders[i][min(j, len(ladder)-1)]`` for every
+    ladder, i.e. all ladders coarsen in lockstep (full-domain
+    generalization); the chosen level is the smallest j whose class
+    count >= k, falling back to the coarsest level when even it misses
+    k — the emitted ``k_ok`` flag lets callers suppress those rows.
+
+    Where ``stats.k_anonymity`` AUDITS a release, this REPAIRS one.
+
+    Plan shape: one TINY aggregate per level (each level-count frame is
+    class-cardinality-sized) broadcast back, and a CASE ladder picks
+    the level — the fact table is scanned once, no window, no per-row
+    Python. Generalization ladders are short (2-4 rungs), so the
+    broadcast count is bounded.
+    """
+    n_levels = max(len(ladder) for ladder in ladders)
+    n_q = len(ladders)
+    out_names = out_cols or [f"qi{i}" for i in range(n_q)]
+    sep = chr(31)  # US control char: unambiguous compound-key separator
+
+    def exprs_at(j: int) -> list[Column]:
+        return [ladder[min(j, len(ladder) - 1)] for ladder in ladders]
+
+    def key_at(j: int) -> Column:
+        return F.concat_ws(sep, *[e.cast("string") for e in exprs_at(j)])
+
+    work = df
+    for j in range(n_levels):
+        counts = (
+            df.select(key_at(j).alias("_k"))
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias(f"_n{j}"))
+        )
+        work = work.withColumn(f"_k{j}", key_at(j)).join(
+            F.broadcast(counts.withColumnRenamed("_k", f"_k{j}")),
+            f"_k{j}",
+            "left",
+        )
+
+    level = F.lit(n_levels - 1)
+    for j in range(n_levels - 2, -1, -1):
+        level = F.when(F.col(f"_n{j}") >= k, F.lit(j)).otherwise(level)
+    work = work.withColumn("gen_level", level)
+
+    for i, name in enumerate(out_names):
+        col = exprs_at(n_levels - 1)[i]
+        for j in range(n_levels - 2, -1, -1):
+            col = F.when(F.col("gen_level") == j, exprs_at(j)[i]).otherwise(col)
+        work = work.withColumn(name, col)
+
+    k_ok = F.lit(False)
+    for j in range(n_levels):
+        k_ok = F.when(F.col("gen_level") == j, F.col(f"_n{j}") >= k).otherwise(
+            k_ok
+        )
+    work = work.withColumn("k_ok", k_ok)
+    drop = [f"_k{j}" for j in range(n_levels)] + [
+        f"_n{j}" for j in range(n_levels)
+    ]
+    return work.drop(*drop)

@@ -783,3 +783,56 @@ def pca_oracle_sql(
         FROM v{int(iterations)}"""
     )
     return "\n".join(parts)
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    scale: int = 10**6,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Embedding-distribution drift monitor between two corpus
+    snapshots: per-dimension mean shift plus a drift flag.
+
+    The training-data use case: embeddings of a reference crawl vs the
+    current one — a per-dimension shift above ``threshold`` flags a
+    pipeline regression (encoder change, corpus contamination, domain
+    mix moving) before it reaches training. Output grain is scalar —
+    (pos, mean_ref, mean_cur, shift, drifted) — one row per dimension.
+
+    Plan: union the two snapshots with a side tag, posexplode, ONE
+    partial+final agg keyed (pos, side) — shuffled rows are dim x 2
+    after map-side combine, independent of corpus size — then a pivot
+    to the per-dimension pair. Means come from scaled-long component
+    sums (the label_centroids device) so both snapshots' moments are
+    partition-order-exact on any engine.
+    """
+    tagged = ref.select(
+        F.lit("r").alias("_side"), F.posexplode(F.col(vec_col)).alias("pos", "_v")
+    ).unionByName(
+        cur.select(
+            F.lit("c").alias("_side"),
+            F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+        )
+    )
+    per = tagged.groupBy("pos", "_side").agg(
+        F.sum(F.round(F.col("_v").cast("double") * scale, 0).cast("long")).alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    wide = per.groupBy("pos").agg(
+        F.max(F.when(F.col("_side") == "r", F.col("_s"))).alias("_sr"),
+        F.max(F.when(F.col("_side") == "r", F.col("_n"))).alias("_nr"),
+        F.max(F.when(F.col("_side") == "c", F.col("_s"))).alias("_sc"),
+        F.max(F.when(F.col("_side") == "c", F.col("_n"))).alias("_nc"),
+    )
+    mean_r = F.col("_sr") / F.lit(float(scale)) / F.col("_nr")
+    mean_c = F.col("_sc") / F.lit(float(scale)) / F.col("_nc")
+    return wide.select(
+        "pos",
+        F.round(mean_r, 6).alias("mean_ref"),
+        F.round(mean_c, 6).alias("mean_cur"),
+        F.round(F.abs(mean_c - mean_r), 6).alias("shift"),
+        (F.abs(mean_c - mean_r) > threshold).alias("drifted"),
+    )

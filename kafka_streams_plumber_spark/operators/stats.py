@@ -620,3 +620,120 @@ def weighted_percentiles(
         hit = (F.col("_cum") >= t) & ((F.col("_cum") - F.col("_w")) < t)
         agg_cols.append(F.min(F.when(hit, F.col("_v"))).alias(name))
     return r.groupBy(*groups).agg(*agg_cols)
+
+
+def approx_percentiles_bounded(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    percentiles: dict[str, float],
+    *,
+    accuracy: int = 10000,
+    slack: float = 0.01,
+) -> DataFrame:
+    """The 100 TB quantile path, self-checking: ``percentile_approx``
+    (a mergeable rank-error sketch — constant-size state per group, so
+    the shuffle carries one sketch instead of the value stream) next to
+    the exact interpolated quantile ENVELOPE ``[q(p-slack), q(p+slack)]``
+    from one builtin ``percentile`` call in the same aggregate.
+
+    Output grain is one row per (group, label): the exact quantile plus
+    ``within_bound`` — whether the sketch estimate landed inside the
+    envelope. With ``accuracy=10000`` the sketch's rank error is 1e-4,
+    far inside the default 0.01 slack, so a drifting sketch flips the
+    boolean. The estimate itself is NOT emitted (sketch internals are
+    engine-specific and can't be oracled — same device as the HLL
+    ``within_bound`` in q_approx_distinct).
+
+    The envelope is DISCRETE (actual elements near rank n*(p+-slack),
+    via a 10x-tighter sketch): the estimate is always a real element,
+    and on a tiny group a real element can sit outside the narrow
+    INTERPOLATED envelope even when its rank is perfect — rank
+    containment is the guarantee the sketch actually makes, and values
+    are monotone in rank, so discrete bounds are the sound check.
+
+    Like q_percentiles' kernel, the exact quantile reproduces
+    ``lo*(hiIdx-pos) + hi*(pos-loIdx)`` interpolation — bit-identical
+    to DuckDB ``quantile_cont``.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    labels = list(percentiles)
+    ps = [float(percentiles[k]) for k in labels]
+    lo = [max(0.0, p - slack) for p in ps]
+    hi = [min(1.0, p + slack) for p in ps]
+
+    agg = df.filter(F.col(value_col).isNotNull()).groupBy(*groups).agg(
+        F.percentile_approx(value_col, ps, accuracy).alias("_approx"),
+        F.percentile(value_col, F.lit(ps)).alias("_exact"),
+        F.percentile_approx(value_col, lo, accuracy * 10).alias("_lo"),
+        F.percentile_approx(value_col, hi, accuracy * 10).alias("_hi"),
+    )
+    lab = F.array(*[F.lit(k) for k in labels])
+    rows = agg.select(
+        *groups,
+        F.posexplode(
+            F.arrays_zip(
+                lab.alias("lab"),
+                F.col("_approx").alias("a"),
+                F.col("_exact").alias("e"),
+                F.col("_lo").alias("l"),
+                F.col("_hi").alias("h"),
+            )
+        ).alias("_pos", "_z"),
+    )
+    return rows.select(
+        *groups,
+        F.col("_z.lab").alias("p_label"),
+        F.col("_z.e").alias("exact"),
+        (
+            (F.col("_z.a") >= F.col("_z.l")) & (F.col("_z.a") <= F.col("_z.h"))
+        ).alias("within_bound"),
+    )
+
+
+def standardize(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_cols: list[str],
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group z-score standardization (feature engineering for
+    model-input pipelines): ``z = (x - mean) / stddev_pop``.
+
+    Engine-parity design: mean and variance come from SCALED-LONG sums
+    (``sum(round(x*scale))`` / ``sum(round(x*scale)^2)`` as BIGINT) so
+    the per-group moments are exact integers — identical on any engine
+    and any partition order — before one double division at the end
+    (the q_centroids device). Choose ``scale`` so
+    ``(max|x|*scale)^2 * group_rows`` stays inside int64; the default
+    1000 holds quantity-like columns (|x| <= ~1e4) to ~1e9 rows/group.
+
+    One aggregate pass + one broadcast join back onto the rows — no
+    window, so no single-task group funnel at 100 TB.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in value_cols:
+        s = F.round(F.col(c) * scale).cast("long")
+        aggs += [
+            F.sum(s).alias(f"_s_{c}"),
+            F.sum(s * s).alias(f"_ss_{c}"),
+        ]
+    moments = df.groupBy(*groups).agg(*aggs)
+    out = df.join(F.broadcast(moments), groups)
+    for c in value_cols:
+        mean = F.col(f"_s_{c}") / scale / F.col("_n")
+        # E[x^2] - E[x]^2 over the scaled integers, descaled once
+        var = (
+            F.col(f"_ss_{c}") / F.col("_n") - F.pow(F.col(f"_s_{c}") / F.col("_n"), 2)
+        ) / (scale * scale)
+        out = out.withColumn(
+            f"z_{c}",
+            F.round(
+                (F.round(F.col(c) * scale).cast("long") / scale - mean)
+                / F.sqrt(var),
+                6,
+            ),
+        )
+    return out.drop("_n", *[f"_s_{c}" for c in value_cols], *[f"_ss_{c}" for c in value_cols])

@@ -1038,3 +1038,29 @@ def content_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+#: Latin-1/Latin-Extended accent fold map used by :func:`normalize_text`
+#: — one explicit from/to pair per character so Spark ``translate`` and
+#: any SQL engine's ``translate`` produce identical bytes (no locale,
+#: no ICU dependency).
+ACCENT_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+ACCENT_TO = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for dedup/tokenization pipelines:
+    accent fold (explicit translate map, engine-portable), lowercase,
+    control characters to spaces, whitespace runs collapsed, trimmed.
+
+    Pure Column expression (whole-stage codegen; no UDF, no ICU) — the
+    normalization that exact/minhash dedup keys on so that byte-level
+    variants of the same sentence collide. NFC/NFKC-grade Unicode
+    normalization would need ICU; this is deliberately the portable
+    deterministic subset.
+    """
+    c = F.translate(_c(col), ACCENT_FROM, ACCENT_TO)
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)

@@ -7870,6 +7870,288 @@ def q_burstiness(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 wave: approx-quantile bound, embedding drift, text normalize,
+# next-event pairs, z-score standardize, k-anonymity generalization
+# =========================================================================
+
+
+@query(
+    "q_approx_pct",
+    """
+    SELECT l_returnflag, 'p50' AS p_label,
+           quantile_cont(l_extendedprice, 0.50) AS exact,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'p90',
+           quantile_cont(l_extendedprice, 0.90), TRUE
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'p99',
+           quantile_cont(l_extendedprice, 0.99), TRUE
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_pct(spark, sf_dir):
+    """Mergeable-sketch quantiles with a self-check (operators/stats.py:
+    approx_percentiles_bounded): percentile_approx — constant-size
+    rank-error sketch per group, THE quantile plan at 100 TB where
+    exact sorting of the value stream is off the table — validated
+    in-query against the exact interpolated envelope
+    [q(p-0.01), q(p+0.01)]. Sketch internals are engine-specific, so
+    the oracle pins the exact quantile and within_bound=TRUE — the HLL
+    within-bound device (q_approx_distinct)."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        approx_percentiles_bounded,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return approx_percentiles_bounded(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        accuracy=10000,
+        slack=0.01,
+    )
+
+
+@query(
+    "q_emb_drift",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN vec_id % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ),
+    per AS (
+      SELECT pos, side,
+             CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                  AS BIGINT) AS s,
+             count(*) AS n
+      FROM tagged GROUP BY pos, side
+    ),
+    wide AS (
+      SELECT pos,
+             max(CASE WHEN side = 'r' THEN s END) AS sr,
+             max(CASE WHEN side = 'r' THEN n END) AS nr,
+             max(CASE WHEN side = 'c' THEN s END) AS sc,
+             max(CASE WHEN side = 'c' THEN n END) AS nc
+      FROM per GROUP BY pos
+    )
+    SELECT pos,
+           round(CAST(sr AS DOUBLE) / 1000000 / nr, 6) AS mean_ref,
+           round(CAST(sc AS DOUBLE) / 1000000 / nc, 6) AS mean_cur,
+           round(abs(CAST(sc AS DOUBLE) / 1000000 / nc
+                     - CAST(sr AS DOUBLE) / 1000000 / nr), 6) AS shift,
+           abs(CAST(sc AS DOUBLE) / 1000000 / nc
+               - CAST(sr AS DOUBLE) / 1000000 / nr) > 0.05 AS drifted
+    FROM wide
+    """,
+)
+def q_emb_drift(spark, sf_dir):
+    """Embedding-distribution drift between two corpus snapshots
+    (operators/similarity.py:embedding_drift): per-dimension mean shift
+    + drift flag, scalar grain (pos, mean_ref, mean_cur, shift,
+    drifted). Snapshots here are the even/odd vec_id halves. Means come
+    from scaled-long component sums (the q_centroids device), so both
+    engines agree bit-for-bit regardless of partition order."""
+    from kafka_streams_plumber_spark.operators.similarity import embedding_drift
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    cur = e.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(ref, cur, "embedding", threshold=0.05)
+
+
+@query(
+    "q_text_norm",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             lower(translate(text,
+               'àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ',
+               'aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY')),
+             '[\x00-\x1f\x7f]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q_text_norm(spark, sf_dir):
+    """Canonical text normalization (operators/text.py:normalize_text):
+    explicit-map accent fold -> lower -> control chars to spaces ->
+    whitespace collapse -> trim. Pure Column expressions (whole-stage
+    codegen, no UDF/ICU); the oracle replays the identical translate
+    map and regexes (DuckDB needs the 'g' flag for replace-all, which
+    is Spark's default)."""
+    from kafka_streams_plumber_spark.operators.text import normalize_text
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", normalize_text("text").alias("norm_text"))
+
+
+@query(
+    "q_next_events",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type, 3) OVER pw AS l3,
+             lag(event_type, 2) OVER pw AS l2,
+             lag(event_type, 1) OVER pw AS l1
+      FROM events
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           concat_ws('>', l3, l2, l1) AS context,
+           event_type AS target
+    FROM w WHERE l1 IS NOT NULL
+    """,
+)
+def q_next_events(spark, sf_dir):
+    """Next-event-prediction training pairs (operators/behavior.py:
+    next_event_pairs): per-user lag chain in ONE window pass — context
+    is the previous 3 events as a delimited string (concat_ws skips
+    NULL slots identically in Spark and SQL), target the current event.
+    The event-stream analog of next-token pair construction for
+    sequence models."""
+    from kafka_streams_plumber_spark.operators.behavior import next_event_pairs
+
+    e = load_tables(spark, sf_dir)["events"]
+    out = next_event_pairs(
+        e, "user_id", ["ts", "event_id"], "event_type", context=3
+    )
+    return out.select("user_id", "event_id", "context", "target")
+
+
+@query(
+    "q_standardize",
+    """
+    WITH q AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(l_quantity * 1000) AS BIGINT) AS xq,
+             CAST(round(l_discount * 1000) AS BIGINT) AS xd
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(xq) AS BIGINT) AS sq,
+             CAST(sum(xq * xq) AS BIGINT) AS ssq,
+             CAST(sum(xd) AS BIGINT) AS sd,
+             CAST(sum(xd * xd) AS BIGINT) AS ssd
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT q.l_orderkey, q.l_linenumber,
+           round((CAST(q.xq AS DOUBLE) / 1000
+                  - CAST(m.sq AS DOUBLE) / 1000 / m.n)
+                 / sqrt((CAST(m.ssq AS DOUBLE) / m.n
+                         - pow(CAST(m.sq AS DOUBLE) / m.n, 2)) / 1000000),
+                 6) AS z_l_quantity,
+           round((CAST(q.xd AS DOUBLE) / 1000
+                  - CAST(m.sd AS DOUBLE) / 1000 / m.n)
+                 / sqrt((CAST(m.ssd AS DOUBLE) / m.n
+                         - pow(CAST(m.sd AS DOUBLE) / m.n, 2)) / 1000000),
+                 6) AS z_l_discount,
+           q.l_returnflag
+    FROM q JOIN m USING (l_returnflag)
+    WHERE q.l_orderkey % 50 = 0
+    """,
+)
+def q_standardize(spark, sf_dir):
+    """Per-group z-score standardization (operators/stats.py:
+    standardize): mean/variance from SCALED-LONG sums — exact integer
+    moments, engine- and partition-order-independent — then one double
+    division chain, one broadcast join back (no window funnel). The
+    contract samples 1-in-50 orderkeys to bound the hashed output; the
+    moments are computed over the FULL table first."""
+    from kafka_streams_plumber_spark.operators.stats import standardize
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    out = standardize(
+        li, "l_returnflag", ["l_quantity", "l_discount"], scale=1000
+    )
+    return out.filter(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("z_l_quantity"),
+        F.col("z_l_discount"),
+        "l_returnflag",
+    )
+
+
+@query(
+    "q_generalize",
+    """
+    WITH base AS (
+      SELECT c.c_custkey, n.n_name AS nat, r.r_name AS reg,
+             c.c_mktsegment AS seg
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    l0 AS (SELECT nat, seg, count(*) AS n0 FROM base GROUP BY nat, seg),
+    l1 AS (SELECT reg, seg, count(*) AS n1 FROM base GROUP BY reg, seg),
+    l2 AS (SELECT count(*) AS n2 FROM base),
+    lev AS (
+      SELECT b.c_custkey, b.nat, b.reg, b.seg, l0.n0, l1.n1,
+             (SELECT n2 FROM l2) AS n2,
+             CASE WHEN l0.n0 >= 15 THEN 0
+                  WHEN l1.n1 >= 15 THEN 1
+                  ELSE 2 END AS gen_level
+      FROM base b
+      JOIN l0 ON l0.nat = b.nat AND l0.seg = b.seg
+      JOIN l1 ON l1.reg = b.reg AND l1.seg = b.seg
+    )
+    SELECT c_custkey, gen_level,
+           CASE gen_level WHEN 0 THEN nat WHEN 1 THEN reg
+                ELSE 'ALL' END AS geo,
+           CASE WHEN gen_level <= 1 THEN seg ELSE 'ALL' END AS segment,
+           CASE gen_level WHEN 0 THEN n0 >= 15
+                WHEN 1 THEN n1 >= 15 ELSE n2 >= 15 END AS k_ok
+    FROM lev
+    """,
+)
+def q_generalize(spark, sf_dir):
+    """k-anonymity by full-domain generalization (operators/privacy.py:
+    generalize_to_k): every customer gets the finest (geo, segment)
+    representation whose equivalence class reaches k=15 — nation ->
+    region -> ALL in lockstep with segment -> segment -> ALL. Repairs
+    what stats.k_anonymity audits. Per-level counts are tiny broadcast
+    frames; the fact table is scanned once."""
+    from kafka_streams_plumber_spark.operators.privacy import generalize_to_k
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            t["customer"]["c_nationkey"] == t["nation"]["n_nationkey"],
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nat"),
+            F.col("r_name").alias("reg"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    out = generalize_to_k(
+        base,
+        [
+            [F.col("nat"), F.col("reg"), F.lit("ALL")],
+            [F.col("seg"), F.col("seg"), F.lit("ALL")],
+        ],
+        k=15,
+        out_cols=["geo", "segment"],
+    )
+    return out.select("c_custkey", "gen_level", "geo", "segment", "k_ok")
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -1,0 +1,203 @@
+"""Round-4 wave operators: approx-quantile bound, standardize,
+embedding drift, text normalization, next-event pairs, k-anonymity
+generalization."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_streams_plumber_spark.operators.behavior import next_event_pairs
+from kafka_streams_plumber_spark.operators.privacy import generalize_to_k
+from kafka_streams_plumber_spark.operators.similarity import embedding_drift
+from kafka_streams_plumber_spark.operators.stats import (
+    approx_percentiles_bounded,
+    standardize,
+)
+from kafka_streams_plumber_spark.operators.text import normalize_text
+
+
+# ---------------------------------------------------------------------
+# approx_percentiles_bounded
+# ---------------------------------------------------------------------
+
+
+def test_approx_pct_bound_holds_and_exact_matches(spark):
+    df = spark.range(0, 20011).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    out = approx_percentiles_bounded(df, "g", "v", {"p50": 0.5, "p90": 0.9})
+    rows = {(r["g"], r["p_label"]): r for r in out.collect()}
+    assert len(rows) == 4
+    for (g, lab), r in rows.items():
+        assert r["within_bound"], (g, lab)
+    # exact p50 of 0..20010 evens/odds is the interpolated midpoint
+    exact = {
+        (r["g"], "p50"): r["e"]
+        for r in df.groupBy("g").agg(F.percentile("v", 0.5).alias("e")).collect()
+    }
+    for key, v in exact.items():
+        assert rows[key]["exact"] == v
+
+
+def test_approx_pct_null_values_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "g string, v double"
+    )
+    out = approx_percentiles_bounded(df, "g", "v", {"p50": 0.5}).collect()
+    assert out[0]["exact"] == 2.0 and out[0]["within_bound"]
+
+
+# ---------------------------------------------------------------------
+# standardize
+# ---------------------------------------------------------------------
+
+
+def test_standardize_moments(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)],
+        "g string, x double",
+    )
+    out = {
+        (r["g"], r["x"]): r["z_x"]
+        for r in standardize(df, "g", ["x"]).collect()
+    }
+    # group a: mean 2, std_pop sqrt(2/3)
+    s = math.sqrt(2.0 / 3.0)
+    assert abs(out[("a", 1.0)] - round(-1.0 / s, 6)) < 1e-9
+    assert abs(out[("a", 3.0)] - round(1.0 / s, 6)) < 1e-9
+    assert out[("a", 2.0)] == 0.0
+
+
+def test_standardize_multiple_columns_and_zero_var(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 3.0, 5.0)], "g string, x double, y double"
+    )
+    r = standardize(df, "g", ["x", "y"]).collect()
+    zx = sorted(row["z_x"] for row in r)
+    assert zx == [-1.0, 1.0]
+    # zero variance -> division by zero -> NULL (droppable), not a crash
+    assert all(row["z_y"] is None for row in r)
+
+
+# ---------------------------------------------------------------------
+# embedding_drift
+# ---------------------------------------------------------------------
+
+
+def test_embedding_drift_detects_shift(spark):
+    ref = spark.createDataFrame(
+        [([0.0, 1.0],), ([0.0, 1.0],)], "embedding array<double>"
+    )
+    cur = spark.createDataFrame(
+        [([0.0, 1.2],), ([0.0, 1.2],)], "embedding array<double>"
+    )
+    rows = {r["pos"]: r for r in embedding_drift(ref, cur).collect()}
+    assert rows[0]["shift"] == 0.0 and not rows[0]["drifted"]
+    assert abs(rows[1]["shift"] - 0.2) < 1e-9 and rows[1]["drifted"]
+    assert rows[1]["mean_ref"] == 1.0 and rows[1]["mean_cur"] == 1.2
+
+
+# ---------------------------------------------------------------------
+# normalize_text
+# ---------------------------------------------------------------------
+
+
+def test_normalize_text_folds_and_collapses(spark):
+    df = spark.createDataFrame(
+        [("  Héllo\tWörld\x01  Ça va  ",), ("É\x7fÀ",)], "t string"
+    )
+    out = [r["n"] for r in df.select(normalize_text("t").alias("n")).collect()]
+    # ö/ä-style umlauts fold via the explicit map; tabs/controls -> space
+    assert out[0] == "hello world ca va"
+    assert out[1] == "e a"
+
+
+def test_normalize_text_empty_and_ascii_passthrough(spark):
+    df = spark.createDataFrame([("",), ("plain text",)], "t string")
+    out = [r["n"] for r in df.select(normalize_text("t").alias("n")).collect()]
+    assert out == ["", "plain text"]
+
+
+# ---------------------------------------------------------------------
+# next_event_pairs
+# ---------------------------------------------------------------------
+
+
+def test_next_event_pairs_contexts(spark):
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(["a", "b", "c", "d"])],
+        "u long, seq long, ev string",
+    )
+    rows = {
+        r["seq"]: (r["context"], r["target"])
+        for r in next_event_pairs(df, "u", ["seq"], "ev", context=3).collect()
+    }
+    # first event has no predecessor -> dropped
+    assert 0 not in rows
+    assert rows[1] == ("a", "b")
+    assert rows[2] == ("a>b", "c")
+    assert rows[3] == ("a>b>c", "d")
+
+
+def test_next_event_pairs_per_key_isolation(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (2, 0, "x"), (2, 1, "y")],
+        "u long, seq long, ev string",
+    )
+    rows = next_event_pairs(df, "u", ["seq"], "ev", context=2).collect()
+    got = {(r["u"], r["seq"]): r["context"] for r in rows}
+    assert got == {(1, 1): "a", (2, 1): "x"}
+
+
+# ---------------------------------------------------------------------
+# generalize_to_k
+# ---------------------------------------------------------------------
+
+
+def test_generalize_picks_finest_level_reaching_k(spark):
+    # 3 rows in (n1, s1); 1 row in (n2, s1) but its region class has 4
+    df = spark.createDataFrame(
+        [
+            ("c1", "n1", "r1", "s1"),
+            ("c2", "n1", "r1", "s1"),
+            ("c3", "n1", "r1", "s1"),
+            ("c4", "n2", "r1", "s1"),
+        ],
+        "id string, nat string, reg string, seg string",
+    )
+    out = generalize_to_k(
+        df,
+        [
+            [F.col("nat"), F.col("reg"), F.lit("ALL")],
+            [F.col("seg"), F.col("seg"), F.lit("ALL")],
+        ],
+        k=3,
+        out_cols=["geo", "segment"],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["c1"]["gen_level"] == 0 and rows["c1"]["geo"] == "n1"
+    # the singleton nation class generalizes to its region (count 4)
+    assert rows["c4"]["gen_level"] == 1 and rows["c4"]["geo"] == "r1"
+    assert all(r["k_ok"] for r in rows.values())
+
+
+def test_generalize_flags_unreachable_k(spark):
+    df = spark.createDataFrame(
+        [("c1", "n1", "r1", "s1"), ("c2", "n2", "r2", "s2")],
+        "id string, nat string, reg string, seg string",
+    )
+    out = generalize_to_k(
+        df,
+        [
+            [F.col("nat"), F.col("reg"), F.lit("ALL")],
+            [F.col("seg"), F.col("seg"), F.lit("ALL")],
+        ],
+        k=5,
+        out_cols=["geo", "segment"],
+    )
+    rows = out.collect()
+    # even the coarsest class (2 rows) misses k=5: coarsest level, flagged
+    assert all(r["gen_level"] == 2 and not r["k_ok"] for r in rows)
+    assert all(r["geo"] == "ALL" and r["segment"] == "ALL" for r in rows)
