@@ -1543,3 +1543,40 @@ def probe_media_bytes(data: bytes, mime: str) -> dict:
     else:
         raise ValueError(f"no probe for {mime!r}")
     return out
+
+
+def phash64(img: "np.ndarray") -> int:
+    """Perceptual hash (pHash): 32x32 grayscale -> orthonormal 2D
+    DCT-II -> low-frequency 8x8 block -> median threshold over the 63
+    AC coefficients, packed into bits 0..62 (bit 63 stays 0; the DC
+    coefficient is excluded so the hash is invariant under global
+    brightness shifts). Resize uses the same pixel-center
+    nearest-neighbor convention as resize_images, so the hash is
+    stable under rescaling up to NN artifacts (a few bits).
+
+    Pure numpy — two matrix multiplies per image, no codec library.
+    Near-duplicate search over the hashes is Hamming distance, served
+    at scale by dedup.hamming_pairs' banded bucket join.
+    """
+    g = img.astype("float64")
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ys = ((np.arange(32) + 0.5) * (h / 32.0)).astype(np.int64).clip(0, h - 1)
+    xs = ((np.arange(32) + 0.5) * (w / 32.0)).astype(np.int64).clip(0, w - 1)
+    s = g[ys][:, xs]
+    n = 32
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    d = m @ s @ m.T
+    flat = d[:8, :8].ravel()
+    med = float(np.median(flat[1:]))
+    bits = 0
+    for idx in range(1, 64):
+        if flat[idx] > med:
+            bits |= 1 << (idx - 1)
+    return bits

@@ -454,11 +454,41 @@ def simhash_pairs(
     """Near-duplicate pairs by SimHash: candidates share at least one of
     ``bands`` 16-bit bands (pigeonhole: any pair with hamming < bands
     must agree on some band), verified with bit_count(a xor b)."""
-    width = 64 // bands
     base = _fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         simhash(text_col, hash_fn=hash_fn).alias("_sh"),
     )
+    return hamming_pairs(
+        base,
+        "_id",
+        "_sh",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    max_hamming: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate (a_id, b_id, hamming) pairs over ANY 64-bit hash
+    column — SimHash, pHash, or any locality-preserving fingerprint.
+
+    Candidates share at least one of ``bands`` 16-bit bands
+    (pigeonhole: any pair with hamming < bands must agree on some
+    band); candidates-only verification with bit_count(a xor b) — the
+    all-pairs comparison never materializes, and ``max_bucket_size``
+    caps degenerate buckets (all-black thumbnails, empty docs) exactly
+    like the MinHash-LSH path.
+    """
+    width = 64 // bands
+    base = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh"))
 
     band_cols = F.array(
         *[

@@ -889,3 +889,95 @@ def probe_media(
             )
 
     return df.mapInPandas(run, schema=_PROBE_SCHEMA)
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    fake: str | None = "deterministic",
+) -> DataFrame:
+    """Perceptual hash per image (codecs.phash64: DCT-median pHash,
+    brightness-invariant, rescale-tolerant) — the visual analog of
+    SimHash. Feed the output to ``dedup.hamming_pairs`` +
+    ``graph.dedup_clusters`` for near-duplicate image dedup at scale:
+    banded 16-bit bucket join, candidates-only Hamming verify, no
+    all-pairs stage.
+
+    ``fake="deterministic"`` emits a content-addressed 63-bit hash
+    (plumbing-stable, no pixel decode); ``fake=None`` decodes raw
+    buffers and PNG/JPEG/GIF/BMP via the stdlib codecs (plus Pillow
+    for exotic formats when importable) and hashes real pixels.
+    Corrupt items drop, same as every decode path here.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_plumber_spark.operators.codecs import (
+            phash64,
+            try_decode_image,
+        )
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, media in zip(pdf[id_col], pdf[media_col]):
+                data = media["data"] if media is not None else None
+                if data is None:
+                    continue
+                if fake != "deterministic":
+                    w = _int_dim(media["width"])
+                    h = _int_dim(media["height"])
+                    img = None
+                    if media["mime"] == RAW_IMAGE_MIME and w and h:
+                        buf = np.frombuffer(bytes(data), dtype=np.uint8)
+                        c = buf.size // (w * h)
+                        if not (1 <= c <= 4) or c * w * h != buf.size:
+                            continue  # corrupt raw buffer
+                        img = buf.reshape(h, w, c)
+                    else:
+                        try:
+                            img = try_decode_image(bytes(data), media["mime"])
+                        except ValueError:
+                            continue
+                    if img is None:
+                        from kafka_streams_plumber_spark.operators import (
+                            optdeps,
+                        )
+
+                        try:
+                            img = optdeps.decode_image(bytes(data))
+                        except ValueError:
+                            continue
+                    if img is None:
+                        raise NotImplementedError(
+                            f"no decoder for {media['mime']!r}"
+                        )
+                    ids.append(rid)
+                    hashes.append(phash64(img))
+                    continue
+                digest = hashlib.sha256(bytes(data)).digest()
+                ids.append(rid)
+                hashes.append(
+                    int.from_bytes(digest[:8], "big") & ((1 << 63) - 1)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=_PHASH_SCHEMA)
