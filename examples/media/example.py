@@ -17,7 +17,10 @@ via the stdlib codecs in operators/codecs.py):
                           grid-pool embedding)
   5. visual near-dedup   (similarity.embedding_dup_pairs_exact over
                           the image embeddings: the same picture
-                          re-encoded in another container collides)
+                          re-encoded in another container collides;
+                          then the scale path — codecs.phash64 +
+                          dedup.hamming_pairs banded bucket join,
+                          no all-pairs stage)
   6. thumbnails          (resize_images: NN resample, re-encoded into
                           the input container)
   7. audio features      (extract_audio_features: WAV + raw PCM through
@@ -156,6 +159,18 @@ def main() -> None:
     )
     print("== visual near-dup pairs (cos >= 0.999) ==")
     pairs.orderBy("a_id", "b_id").show()
+
+    # 5.5 the scale path for the same question: DCT-median pHash +
+    #     banded Hamming bucket join — no all-pairs stage, brightness-
+    #     and container-invariant
+    from kafka_streams_plumber_spark.operators.dedup import hamming_pairs
+    from kafka_streams_plumber_spark.operators.multimodal import phash_images
+
+    hashes = phash_images(imgs, fake=None)
+    print("== pHash near-dup pairs (hamming <= 10) ==")
+    hamming_pairs(hashes, "doc_id", "phash", max_hamming=10).orderBy(
+        "a_id", "b_id"
+    ).show()
 
     # 6. thumbnails re-encoded into their input container
     thumbs = resize_images(imgs, max_side=16, fake=None)
