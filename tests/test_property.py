@@ -888,3 +888,33 @@ def test_mp4_demux_roundtrip_property(payloads, data):
     ks = mp4_sync_samples(mp4, max_samples=64)
     assert [k["payload"] for k in ks] == [payloads[s - 1] for s in sync]
     assert [k["time_ms"] for k in ks] == [(s - 1) * delta for s in sync]
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts)
+def test_normalize_text_is_idempotent(spark, values):
+    """normalize(normalize(x)) == normalize(x): the canonical form is a
+    fixed point (accent fold, lower, control->space, collapse, trim are
+    each idempotent and closed over each other's outputs)."""
+    from kafka_streams_plumber_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(v,) for v in values], "t string")
+    out = df.select(
+        normalize_text("t").alias("once"),
+    ).select("once", normalize_text("once").alias("twice"))
+    assert out.filter(F.col("once") != F.col("twice")).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_phash_brightness_shift_invariance(seed):
+    """phash64(img + c) == phash64(img) whenever the shift doesn't
+    clip: only the DC coefficient moves, and the hash excludes it."""
+    import numpy as np
+
+    from kafka_streams_plumber_spark.operators.codecs import phash64
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 200, size=(24, 24, 3)).astype(np.uint8)
+    shifted = (img.astype(np.int64) + 40).astype(np.uint8)
+    assert phash64(img) == phash64(shifted)

@@ -95,6 +95,14 @@ AUDITED = {
     "q_kcore": "per-round degree agg + shrinking semi-joins; checkpointed lineage",
     "q_paths": "one lead-chain window on the user key + map-combinable count",
     "q_langid_eval": "one aggregate over the classification projection",
+    "q_approx_pct": "one sketch+exact aggregate per group; posexplode of an O(labels) frame",
+    "q_emb_drift": "posexplode -> ONE (pos,side) map-combinable agg; shuffled rows = dims x 2",
+    "q_text_norm": "pure translate/regexp projection: zero exchanges, zero Python",
+    "q_next_events": "one lag-chain window pass on the user key",
+    "q_standardize": "O(groups) integer-moment agg broadcast back; fact scanned once, no window",
+    "q_generalize": "per-level O(classes) count frames broadcast; fact scanned once",
+    "q_semantic_keep_lsh": "sign-LSH bucket join (capped) + candidate-only cosine verify; no all-pairs",
+    "q_funnel_both": "feasible-set equi-joins under both window bounds; single-job stage counts",
 }
 
 
