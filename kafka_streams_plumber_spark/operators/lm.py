@@ -207,3 +207,36 @@ def lm_oracle_sql(
     FROM (SELECT DISTINCT doc_id FROM {table}) d
     LEFT JOIN per_doc p ON p.doc = d.doc_id
     """
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    group_col: str,
+    *,
+    ppl_col: str = "perplexity",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each group (source,
+    language), assign every scored document to the ``head`` (lowest
+    perplexity third), ``middle``, or ``tail`` bucket — the standard
+    device for keeping a perplexity-stratified sample instead of
+    hard-filtering on an absolute threshold.
+
+    Terciles come from stats.exact_percentiles (range-partitioned
+    parallel rank, quantile_cont-parity) and broadcast back — the
+    scored table is scanned once and never window-funneled. Unscored
+    docs (NULL perplexity: no bigrams) are excluded, matching CCNet
+    which only buckets scoreable text.
+    """
+    from kafka_streams_plumber_spark.operators.stats import exact_percentiles
+
+    scoreable = scored.filter(F.col(ppl_col).isNotNull())
+    thresholds = exact_percentiles(
+        scoreable, group_col, ppl_col, {"_t1": 1.0 / 3, "_t2": 2.0 / 3}
+    )
+    out = scoreable.join(F.broadcast(thresholds), group_col)
+    bucket = (
+        F.when(F.col(ppl_col) <= F.col("_t1"), F.lit("head"))
+        .when(F.col(ppl_col) <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn("bucket", bucket).drop("_t1", "_t2")

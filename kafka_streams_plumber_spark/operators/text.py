@@ -1064,3 +1064,96 @@ def normalize_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
+
+
+def word_dropout(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    rate: float = 0.1,
+    seed: int = 7,
+) -> DataFrame:
+    """Word-dropout augmentation (denoising-objective input noising):
+    each token is dropped with probability ``rate``, decided by the
+    repo-wide replayable hash md5(id|pos|seed) — deterministic,
+    retry-stable, and exactly replayable in SQL. Pure array
+    expressions: zero shuffles, zero Python.
+
+    Output: (id, text_out, n_tokens, n_dropped).
+    """
+    threshold = int(rate * 1_000_000)
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+
+    def keep(x: Column, i: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col(id_col).cast("string"),
+                        i.cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % 1_000_000 >= threshold
+
+    return df.select(
+        F.col(id_col),
+        let_(
+            toks,
+            lambda a: F.struct(
+                F.array_join(F.filter(a, keep), " ").alias("text_out"),
+                F.size(a).cast("long").alias("n_tokens"),
+                (F.size(a) - F.size(F.filter(a, keep)))
+                .cast("long")
+                .alias("n_dropped"),
+            ),
+        ).alias("_o"),
+    ).select(id_col, "_o.text_out", "_o.n_tokens", "_o.n_dropped")
+
+
+def lang_mix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    majority_threshold: float = 0.9,
+) -> DataFrame:
+    """Per-document language-consistency profile: sentence-split the
+    doc (split_sentences), language-ID each sentence (lang_id), then
+    one aggregation tree — (id, n_sents, n_langs, majority_frac,
+    mixed). Code-switched / mis-merged documents (the curation signal
+    multilingual pipelines drop or reroute on) surface as
+    ``mixed=true``: more than one predicted language and the majority
+    below ``majority_threshold``.
+
+    Cost: the sentence explode + TWO map-combinable aggregates keyed on
+    the doc id — no windows, no self-joins.
+    """
+    sents = split_sentences(df, text_col, id_col)
+    pred = sents.select(
+        F.col(id_col), lang_id(F.col("sentence")).alias("_pl")
+    )
+    counts = pred.groupBy(id_col, "_pl").agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_sents"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max("_c").alias("_maj"),
+    )
+    frac = F.col("_maj").cast("double") / F.col("n_sents")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.round(frac, 6).alias("majority_frac"),
+        ((F.col("n_langs") > 1) & (frac < majority_threshold)).alias("mixed"),
+    )

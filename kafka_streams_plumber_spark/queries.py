@@ -8152,6 +8152,179 @@ def q_generalize(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 wave 2: word dropout, CCNet perplexity buckets, language mix
+# =========================================================================
+
+
+@query(
+    "q_word_dropout",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS a
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, a,
+             list_filter(a, (x, i) ->
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                   || CAST(i - 1 AS VARCHAR) || '|7'),
+                               1, 8))::BIGINT % 1000000 >= 100000) AS k
+      FROM toks
+    )
+    SELECT doc_id,
+           array_to_string(k, ' ') AS text_out,
+           CAST(len(a) AS BIGINT) AS n_tokens,
+           CAST(len(a) - len(k) AS BIGINT) AS n_dropped
+    FROM kept
+    """,
+)
+def q_word_dropout(spark, sf_dir):
+    """Word-dropout augmentation (operators/text.py:word_dropout):
+    each token dropped with p=0.1 by the replayable md5(id|pos|seed)
+    hash — deterministic denoising-objective noising, zero shuffles,
+    zero Python. The oracle replays the hash per (doc, 0-based token
+    position); DuckDB's lambda index is 1-based, hence the i-1."""
+    from kafka_streams_plumber_spark.operators.text import word_dropout
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return word_dropout(d, "text", "doc_id", rate=0.1, seed=7)
+
+
+def _ppl_buckets_oracle() -> str:
+    from kafka_streams_plumber_spark.operators.lm import lm_oracle_sql
+
+    return f"""
+    WITH lm_out AS ({lm_oracle_sql(add_k=0.5, min_count=1)}),
+    j AS (
+      SELECT l.doc_id, d.source, l.perplexity
+      FROM lm_out l JOIN documents d ON d.doc_id = l.doc_id
+      WHERE l.perplexity IS NOT NULL
+    ),
+    th AS (
+      SELECT source,
+             quantile_cont(perplexity, 1.0/3) AS t1,
+             quantile_cont(perplexity, 2.0/3) AS t2
+      FROM j GROUP BY source
+    )
+    SELECT j.doc_id, j.source, j.perplexity,
+           CASE WHEN j.perplexity <= th.t1 THEN 'head'
+                WHEN j.perplexity <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j JOIN th ON th.source = j.source
+    """
+
+
+@query("q_ppl_buckets", _ppl_buckets_oracle())
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (operators/lm.py:ppl_buckets):
+    bigram-LM perplexity per doc (the q_lm_ppl kernel, scaled-long
+    sums), then per-source head/middle/tail terciles via the
+    quantile_cont-parity exact percentile kernel broadcast back. The
+    perplexity-stratified sampling device multilingual curation uses
+    instead of a hard threshold."""
+    from kafka_streams_plumber_spark.operators.lm import (
+        lm_score,
+        lm_train,
+        ppl_buckets,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = lm_score(d, lm_train(d, min_count=1), add_k=0.5)
+    j = scored.join(
+        d.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "perplexity")
+    return ppl_buckets(j, "source").select(
+        "doc_id", "source", "perplexity", "bucket"
+    )
+
+
+@query(
+    "q_lang_mix",
+    r"""
+    WITH src AS (
+      SELECT d.doc_id,
+             substr(d.text, 1, 120) || '. '
+               || substr(coalesce(d2.text, d.text), 1, 120) || '.' AS t
+      FROM documents d
+      LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+    ),
+    parts AS (
+      SELECT doc_id,
+             string_split(regexp_replace(regexp_replace(t, chr(1), '', 'g'),
+                          '([.!?]) ', '\1 ' || chr(1), 'g'), chr(1)) AS ps
+      FROM src
+    ),
+    sents AS (
+      SELECT doc_id,
+             regexp_replace(unnest(ps), '[ \t\n\x0b\f\r]+$', '') AS s
+      FROM parts
+    ),
+    votes AS (
+      SELECT doc_id,
+        len(list_filter(string_split(lower(s), ' '),
+          x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+          AS en,
+        len(list_filter(string_split(lower(s), ' '),
+          x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+        len(list_filter(string_split(lower(s), ' '),
+          x -> x IN ('le','la','les','et','est','un','une','pas'))) AS fr
+      FROM sents WHERE s <> ''
+    ),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                  WHEN en = greatest(en, de, fr) THEN 'en'
+                  WHEN de = greatest(en, de, fr) THEN 'de'
+                  ELSE 'fr' END AS pl
+      FROM votes
+    ),
+    counts AS (
+      SELECT doc_id, pl, count(*) AS c FROM pred GROUP BY doc_id, pl
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sents,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             max(c) AS maj
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_sents, n_langs,
+           round(CAST(maj AS DOUBLE) / n_sents, 6) AS majority_frac,
+           (n_langs > 1 AND CAST(maj AS DOUBLE) / n_sents < 0.9) AS mixed
+    FROM agg
+    """,
+)
+def q_lang_mix(spark, sf_dir):
+    """Per-document language-consistency profile (operators/text.py:
+    lang_mix = split_sentences + per-sentence lang_id + one aggregation
+    tree): code-switched / mis-merged docs surface as mixed=true — the
+    curation signal multilingual pipelines drop or reroute on. The
+    fixture stitches each doc with its successor (different languages
+    collide), since the synthetic corpus has no sentence boundaries of
+    its own; the oracle replays the stitch, the sentinel split, the
+    stopword votes, and both aggregates."""
+    from kafka_streams_plumber_spark.operators.text import lang_mix
+
+    d = load_tables(spark, sf_dir)["documents"]
+    d2 = d.select(
+        (F.col("doc_id") - 1).alias("_prev"), F.col("text").alias("_t2")
+    )
+    src = (
+        d.join(d2, d["doc_id"] == d2["_prev"], "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 120),
+                F.lit(". "),
+                F.substring(F.coalesce("_t2", "text"), 1, 120),
+                F.lit("."),
+            ).alias("text"),
+        )
+    )
+    return lang_mix(src, "text", "doc_id", majority_threshold=0.9)
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

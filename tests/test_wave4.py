@@ -201,3 +201,68 @@ def test_generalize_flags_unreachable_k(spark):
     # even the coarsest class (2 rows) misses k=5: coarsest level, flagged
     assert all(r["gen_level"] == 2 and not r["k_ok"] for r in rows)
     assert all(r["geo"] == "ALL" and r["segment"] == "ALL" for r in rows)
+
+
+# ---------------------------------------------------------------------
+# word_dropout / ppl_buckets / lang_mix
+# ---------------------------------------------------------------------
+
+
+def test_word_dropout_deterministic_and_bounded(spark):
+    from kafka_streams_plumber_spark.operators.text import word_dropout
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    a = word_dropout(df, "text", "doc_id", rate=0.3, seed=7).collect()[0]
+    b = word_dropout(df, "text", "doc_id", rate=0.3, seed=7).collect()[0]
+    assert a["text_out"] == b["text_out"]  # retry-stable
+    assert a["n_tokens"] == 10
+    assert a["n_dropped"] == 10 - len(a["text_out"].split())
+    # kept tokens preserve original order
+    kept = a["text_out"].split()
+    orig = "one two three four five six seven eight nine ten".split()
+    assert kept == [t for t in orig if t in kept]
+    # a different seed flips at least one decision on 10 tokens
+    c = word_dropout(df, "text", "doc_id", rate=0.3, seed=8).collect()[0]
+    assert (c["text_out"] != a["text_out"]) or (c["n_dropped"] != a["n_dropped"])
+
+
+def test_word_dropout_rate_extremes(spark):
+    from kafka_streams_plumber_spark.operators.text import word_dropout
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    keep_all = word_dropout(df, "text", "doc_id", rate=0.0).collect()[0]
+    assert keep_all["text_out"] == "a b c" and keep_all["n_dropped"] == 0
+    drop_all = word_dropout(df, "text", "doc_id", rate=1.0).collect()[0]
+    assert drop_all["text_out"] == "" and drop_all["n_dropped"] == 3
+
+
+def test_ppl_buckets_tercile_assignment(spark):
+    from kafka_streams_plumber_spark.operators.lm import ppl_buckets
+
+    rows = [(i, "s", float(i)) for i in range(1, 10)]  # ppl 1..9
+    rows.append((99, "s", None))  # unscoreable -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, source string, perplexity double")
+    out = {r["doc_id"]: r["bucket"] for r in ppl_buckets(df, "source").collect()}
+    assert 99 not in out
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_lang_mix_flags_code_switching(spark):
+    from kafka_streams_plumber_spark.operators.text import lang_mix
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house. der hund ist nicht da."),
+            (2, "the cat is of the house. it is a cat for the win."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lang_mix(df, "text", "doc_id").collect()}
+    assert rows[1]["n_langs"] == 2 and rows[1]["mixed"]
+    assert rows[1]["majority_frac"] == 0.5
+    assert rows[2]["n_langs"] == 1 and not rows[2]["mixed"]
