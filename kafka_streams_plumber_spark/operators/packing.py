@@ -103,3 +103,37 @@ def length_bucketed_batches(
         .withColumn("batch_idx", F.floor((F.row_number().over(w) - 1) / batch_size))
         .withColumn("pad_to", pad_map[F.col("bucket")])
     )
+
+
+def balanced_bins(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Length-balanced bin assignment (LPT-flavored): rank items by
+    length DESC (unique-id tie-break) and deal ranks onto bins in a
+    SERPENTINE pattern (0..n-1, n-1..0, repeat) — the classic
+    longest-processing-time approximation without its sequential
+    argmin, so it stays one parallel rank + pure arithmetic. Bin token
+    totals land within one max-item of each other on realistic length
+    distributions — the batch-balance property that keeps every
+    accelerator step waiting on roughly equal work.
+
+    Plan: ordering.rank_by (range exchange + O(P) offset broadcast —
+    no single-task window) and a projection; nothing else.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import rank_by
+
+    src = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias(len_col),
+        (-F.col(len_col).cast("long")).alias("_neg"),
+    )
+    ranked = rank_by(src, ["_neg", id_col], pos_col="_rank")
+    pos = F.col("_rank") % (2 * n_bins)
+    bin_ = F.when(pos < n_bins, pos).otherwise(2 * n_bins - 1 - pos)
+    return ranked.select(
+        id_col, len_col, bin_.cast("long").alias("bin")
+    )

@@ -8325,6 +8325,109 @@ def q_lang_mix(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 wave 3: balanced packing bins, Poisson bootstrap CI
+# =========================================================================
+
+
+@query(
+    "q_balanced_pack",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY -n_tokens, doc_id) - 1 AS rnk
+      FROM s
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN rnk % 32 < 16 THEN rnk % 32
+                     ELSE 31 - (rnk % 32) END AS BIGINT) AS bin
+    FROM r
+    """,
+)
+def q_balanced_pack(spark, sf_dir):
+    """Length-balanced bin assignment (operators/packing.py:
+    balanced_bins): rank docs by token count DESC and deal ranks onto
+    16 bins serpentine-style (0..15, 15..0, ...) — the parallel LPT
+    approximation that keeps per-accelerator batch work near-equal
+    without the sequential argmin. One parallel rank (range exchange +
+    O(P) offsets), zero windows over data."""
+    from kafka_streams_plumber_spark.operators.packing import balanced_bins
+
+    d = load_tables(spark, sf_dir)["documents"]
+    docs = d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    return balanced_bins(docs, "doc_id", "n_tokens", n_bins=16)
+
+
+@query(
+    "q_bootstrap",
+    """
+    WITH reps AS (
+      SELECT event_type,
+             CAST(round(value * 1000) AS BIGINT) AS xq,
+             event_id, r
+      FROM events, (SELECT unnest(range(0, 32)) AS r)
+    ),
+    u AS (
+      SELECT event_type, xq, r,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|'
+                                 || CAST(r AS VARCHAR) || '|11'),
+                             1, 8))::BIGINT % 1000000 AS uu
+      FROM reps
+    ),
+    ww AS (
+      SELECT event_type, xq, r,
+             CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
+                  WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
+                  WHEN uu < 996340 THEN 4 ELSE 5 END AS w
+      FROM u
+    ),
+    per AS (
+      SELECT event_type, r,
+             CAST(sum(w * xq) AS BIGINT) AS ws,
+             CAST(sum(w) AS BIGINT) AS wn,
+             CAST(sum(xq) AS BIGINT) AS s,
+             count(*) AS n
+      FROM ww GROUP BY event_type, r
+    )
+    SELECT event_type,
+           round(CAST(max(s) AS DOUBLE) / 1000 / max(n), 6) AS mean,
+           round(quantile_cont(CAST(ws AS DOUBLE) / 1000 / wn, 0.025), 6)
+             AS lo,
+           round(quantile_cont(CAST(ws AS DOUBLE) / 1000 / wn, 0.975), 6)
+             AS hi,
+           CAST(count(*) AS BIGINT) AS n_replicates
+    FROM per GROUP BY event_type
+    """,
+)
+def q_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for per-type mean event
+    value (operators/stats.py:bootstrap_ci): every row gets an
+    independent deterministic Poisson(1) weight per replicate — the
+    distributed bootstrap (row-level resampling is impossible at
+    100 TB; Poissonization converges to the same sampling
+    distribution). Weights replay via md5(id|r|seed) through integer
+    inverse-CDF thresholds; replicate means from scaled-long sums; the
+    CI is a quantile over the O(groups x 32) mean frame."""
+    from kafka_streams_plumber_spark.operators.stats import bootstrap_ci
+
+    e = load_tables(spark, sf_dir)["events"]
+    return bootstrap_ci(
+        e,
+        "event_type",
+        "value",
+        replicates=32,
+        id_col="event_id",
+        seed=11,
+        scale=1000,
+        alpha=0.05,
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -266,3 +266,53 @@ def test_lang_mix_flags_code_switching(spark):
     assert rows[1]["n_langs"] == 2 and rows[1]["mixed"]
     assert rows[1]["majority_frac"] == 0.5
     assert rows[2]["n_langs"] == 1 and not rows[2]["mixed"]
+
+
+# ---------------------------------------------------------------------
+# balanced_bins / bootstrap_ci
+# ---------------------------------------------------------------------
+
+
+def test_balanced_bins_near_equal_totals(spark):
+    from kafka_streams_plumber_spark.operators.packing import balanced_bins
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = balanced_bins(df, "doc_id", "n", n_bins=8)
+    totals = [
+        r["t"]
+        for r in out.groupBy("bin").agg(F.sum("n").alias("t")).collect()
+    ]
+    assert len(totals) == 8
+    # serpentine dealing: spread within one max item of each other
+    assert max(totals) - min(totals) <= 499
+
+
+def test_balanced_bins_serpentine_order(spark):
+    from kafka_streams_plumber_spark.operators.packing import balanced_bins
+
+    df = spark.createDataFrame(
+        [(i, 100 - i) for i in range(8)], "doc_id long, n long"
+    )
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in balanced_bins(df, "doc_id", "n", n_bins=4).collect()
+    }
+    # ranks 0..7 (length desc == doc order) -> bins 0,1,2,3,3,2,1,0
+    assert [got[i] for i in range(8)] == [0, 1, 2, 3, 3, 2, 1, 0]
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from kafka_streams_plumber_spark.operators.stats import bootstrap_ci
+
+    # 2100 rows = 100 full cycles of 0..20 -> exact mean 10.0
+    rows = [(i, "g", float(10 + (i % 21) - 10)) for i in range(2100)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    a = bootstrap_ci(df, "g", "v", replicates=32, id_col="id").collect()[0]
+    b = bootstrap_ci(df, "g", "v", replicates=32, id_col="id").collect()[0]
+    assert (a["lo"], a["hi"]) == (b["lo"], b["hi"])  # replayable
+    assert a["n_replicates"] == 32
+    assert a["lo"] <= a["mean"] <= a["hi"]
+    # CI width shrinks as ~1/sqrt(n): 2000 symmetric draws around 10
+    assert a["hi"] - a["lo"] < 1.0
+    assert abs(a["mean"] - 10.0) < 0.001

@@ -103,6 +103,11 @@ AUDITED = {
     "q_generalize": "per-level O(classes) count frames broadcast; fact scanned once",
     "q_semantic_keep_lsh": "sign-LSH bucket join (capped) + candidate-only cosine verify; no all-pairs",
     "q_funnel_both": "feasible-set equi-joins under both window bounds; single-job stage counts",
+    "q_word_dropout": "pure array/hash projection: zero exchanges, zero Python",
+    "q_ppl_buckets": "LM kernel + per-source tercile broadcast back; no window funnel",
+    "q_lang_mix": "sentence explode + TWO map-combinable doc-keyed aggregates",
+    "q_balanced_pack": "parallel length-desc rank (range exchange + O(P) offsets) + serpentine projection",
+    "q_bootstrap": "explode xB -> ONE (group,replicate) map-combinable agg -> O(groups x B) quantile frame",
 }
 
 
