@@ -649,3 +649,76 @@ def next_event_pairs(
         .filter(F.col("_prev").isNotNull())
         .drop("_prev")
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    censor_window_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier retention/survival estimate over event streams —
+    the churn curve: S(t) = P(user still active after t days of
+    tenure).
+
+    Per user: tenure = last-event day - first-event day. Users whose
+    last event falls within ``censor_window_days`` of the corpus's
+    final day are CENSORED at their observed tenure (they may still be
+    active — treating them as churned would bias S(t) down, the
+    classic mistake KM exists to fix). Then the standard product-limit
+    estimator: at tenure day t with n_t users at risk and d_t churn
+    events, S(t) = prod_{s<=t} (1 - d_s / n_s).
+
+    Scale shape: ONE user-grain aggregate (map-combinable min/max) —
+    the only shuffle proportional to data — then all KM arithmetic
+    runs on the O(distinct tenure days) frame: at-risk counts via an
+    explicit-ROWS running sum and the running product as
+    exp(running sum of ln terms), whose strictly ordered evaluation
+    makes the doubles engine-exact. Output: (t, at_risk, churned,
+    censored, surv).
+    """
+    day = F.floor(F.unix_millis(F.col(ts_col)) / F.lit(86400000)).cast("long")
+    users = df.groupBy(key_col).agg(
+        F.min(day).alias("_d0"), F.max(day).alias("_d1")
+    )
+    horizon = users.agg(F.max("_d1").alias("_dmax"))
+    u = users.crossJoin(F.broadcast(horizon)).select(
+        (F.col("_d1") - F.col("_d0")).alias("t"),
+        (F.col("_d1") > F.col("_dmax") - censor_window_days).alias("_cens"),
+    )
+    per_day = u.groupBy("t").agg(
+        F.sum(F.when(~F.col("_cens"), 1).otherwise(0)).alias("churned"),
+        F.sum(F.when(F.col("_cens"), 1).otherwise(0)).alias("censored"),
+    )
+    total = per_day.agg(
+        F.sum(F.col("churned") + F.col("censored")).alias("_n")
+    )
+    w = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcur = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    frame = per_day.crossJoin(F.broadcast(total)).withColumn(
+        "at_risk",
+        F.col("_n")
+        - F.coalesce(
+            F.sum(F.col("churned") + F.col("censored")).over(w), F.lit(0)
+        ),
+    )
+    # a day that churns EVERY remaining at-risk user drives S to exactly
+    # 0 — ln(0) is NULL in Spark (non-ANSI) and -inf elsewhere, so the
+    # zero is pinned explicitly; such a day is necessarily the last row
+    # (no users with longer tenure can exist past it)
+    dead = F.col("churned") == F.col("at_risk")
+    ln_term = F.when(
+        ~dead,
+        F.log(F.lit(1.0) - F.col("churned") / F.col("at_risk").cast("double")),
+    )
+    out = frame.withColumn(
+        "surv",
+        F.when(
+            F.max(dead).over(wcur), F.lit(0.0)
+        ).otherwise(F.round(F.exp(F.sum(ln_term).over(wcur)), 6)),
+    )
+    return out.select("t", "at_risk", "churned", "censored", "surv")

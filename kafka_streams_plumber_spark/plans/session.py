@@ -61,9 +61,15 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Local-mode default driver heap is 1g and EVERY executor thread
+    # shares it — 32 concurrent tasks OOM long before the host's RAM is
+    # touched. Must be set before the JVM launches, so it rides the
+    # builder; on a real cluster this knob is per-executor instead.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),

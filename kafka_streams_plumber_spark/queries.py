@@ -8428,6 +8428,74 @@ def q_bootstrap(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 wave 4: Kaplan-Meier survival / retention curve
+# =========================================================================
+
+
+@query(
+    "q_survival",
+    """
+    WITH users AS (
+      SELECT user_id,
+             min(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)) AS d0,
+             max(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(d1) AS dmax FROM users),
+    u AS (
+      SELECT d1 - d0 AS t,
+             d1 > (SELECT dmax FROM horizon) - 7 AS cens
+      FROM users
+    ),
+    per_day AS (
+      SELECT t,
+             CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT)
+               AS churned,
+             CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+               AS censored
+      FROM u GROUP BY t
+    ),
+    total AS (
+      SELECT CAST(sum(churned + censored) AS BIGINT) AS n FROM per_day
+    ),
+    frame AS (
+      SELECT t, churned, censored,
+             (SELECT n FROM total)
+               - coalesce(CAST(sum(churned + censored) OVER
+                   (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS BIGINT), 0) AS at_risk
+      FROM per_day
+    )
+    SELECT t, at_risk, churned, censored,
+           CASE WHEN max(CASE WHEN churned = at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN churned = at_risk THEN NULL
+                                   ELSE ln(1 - churned /
+                                           CAST(at_risk AS DOUBLE)) END)
+                           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)), 6)
+           END AS surv
+    FROM frame
+    """,
+)
+def q_survival(spark, sf_dir):
+    """Kaplan-Meier retention curve (operators/behavior.py:
+    survival_curve): per-user tenure from ONE map-combinable min/max
+    aggregate, censoring inside the final 7 corpus days, then the
+    product-limit estimator on the O(distinct tenure days) frame —
+    at-risk via an explicit-ROWS running sum, the running product as
+    exp(ordered ln-sum) so both engines evaluate the doubles in the
+    identical sequence. The churn analysis a training-data/product
+    team runs on the same event stream the funnels read."""
+    from kafka_streams_plumber_spark.operators.behavior import survival_curve
+
+    e = load_tables(spark, sf_dir)["events"]
+    return survival_curve(e, "user_id", "ts", censor_window_days=7)
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

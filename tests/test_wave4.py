@@ -316,3 +316,56 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     # CI width shrinks as ~1/sqrt(n): 2000 symmetric draws around 10
     assert a["hi"] - a["lo"] < 1.0
     assert abs(a["mean"] - 10.0) < 0.001
+
+
+# ---------------------------------------------------------------------
+# survival_curve
+# ---------------------------------------------------------------------
+
+
+def test_survival_km_textbook_values(spark):
+    from datetime import datetime, timedelta
+
+    from kafka_streams_plumber_spark.operators.behavior import survival_curve
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # corpus horizon pushed out by a long-lived observer user so nobody
+    # else lands in the censor window
+    def span(uid, days):
+        rows.append((uid, base))
+        rows.append((uid, base + timedelta(days=days)))
+
+    span(1, 0)   # churned at t=0
+    span(2, 1)   # churned at t=1
+    span(3, 1)   # churned at t=1
+    span(4, 3)   # churned at t=3
+    span(100, 30)  # horizon user: censored (within last 7 days)
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["t"]: r for r in survival_curve(df, "user_id", "ts").collect()}
+    # KM: n=5 -> t0: 1/5 churn -> S=0.8 ; t1: 2/4 -> 0.4 ; t3: 1/2 -> 0.2
+    assert out[0]["at_risk"] == 5 and out[0]["churned"] == 1
+    assert out[0]["surv"] == 0.8
+    assert out[1]["at_risk"] == 4 and out[1]["surv"] == 0.4
+    assert out[3]["at_risk"] == 2 and out[3]["surv"] == 0.2
+    assert out[30]["censored"] == 1 and out[30]["churned"] == 0
+    assert out[30]["surv"] == 0.2  # censoring doesn't move S
+
+
+def test_survival_total_churn_hits_zero(spark):
+    from datetime import datetime, timedelta
+
+    from kafka_streams_plumber_spark.operators.behavior import survival_curve
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2):
+        rows.append((uid, base))
+        rows.append((uid, base + timedelta(days=2)))
+    # horizon far in the future so both users are uncensored
+    rows.append((9, base + timedelta(days=40)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["t"]: r for r in survival_curve(df, "user_id", "ts").collect()}
+    # horizon user is t=0 censored; both real users churn at t=2
+    assert out[2]["churned"] == 2 and out[2]["at_risk"] == 2
+    assert out[2]["surv"] == 0.0  # ln(0) guarded: exact zero, not NULL
