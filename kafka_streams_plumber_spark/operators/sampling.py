@@ -530,3 +530,72 @@ def sample_to_token_budget(
         r.filter((F.col("_cum_tokens") - F.col("_w")) < budget)
         .drop("_k", "_w", "_pid", "_mid", "_lcum", "_offw")
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    total_n: int,
+    scale: int = 1000,
+) -> DataFrame:
+    """Neyman-allocated stratified sampling: the statistically optimal
+    split of a ``total_n`` budget across strata for estimating the mean
+    of ``value_col`` — stratum h gets n_h proportional to N_h * S_h
+    (size x population std), so high-variance strata are oversampled
+    and near-constant ones barely cost budget. The principled
+    alternative to proportional stratified_sample when the point of
+    the sample is a measurement.
+
+    Determinism: stratum stds come from exact scaled-long integer
+    moments (the standardize device), the per-stratum keep fraction is
+    reduced to an INTEGER threshold in [0, 1e6], and row selection is
+    the repo-wide Knuth id-hash — replayable, retry-stable, and
+    exactly SQL-oracle-able. Threshold selection keeps E[rows] = n_h
+    without a per-stratum rank pass (the acceptance idiom of
+    deterministic_sample / importance_sample).
+
+    Plan: ONE map-combinable moment aggregate -> the O(strata)
+    allocation frame (weights, thresholds) -> broadcast back; the fact
+    table is scanned once, never window-funneled. Output: sampled rows
+    as (id, stratum, n_target) plus the stratum threshold for audit.
+    """
+    xq = F.round(F.col(value_col) * scale).cast("long")
+    moments = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xq).alias("_s"),
+        F.sum(xq * xq).alias("_ss"),
+    )
+    var = (
+        F.col("_ss") / F.col("_n") - F.pow(F.col("_s") / F.col("_n"), 2)
+    ) / (scale * scale)
+    weighted = moments.select(
+        strata_col,
+        "_n",
+        (F.col("_n") * F.sqrt(var)).alias("_w"),
+    )
+    tot = weighted.agg(F.sum("_w").alias("_wsum"))
+    alloc = weighted.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        "_n",
+        F.round(F.lit(float(total_n)) * F.col("_w") / F.col("_wsum"))
+        .cast("long")
+        .alias("n_target"),
+    )
+    alloc = alloc.select(
+        strata_col,
+        "n_target",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.round(F.lit(1_000_000.0) * F.col("n_target") / F.col("_n"))
+            .cast("long"),
+        ).alias("_thresh"),
+    )
+    keep = split_bucket(id_col, buckets=1_000_000) < F.col("_thresh")
+    return (
+        df.join(F.broadcast(alloc), strata_col)
+        .where(keep)
+        .select(id_col, strata_col, "n_target", F.col("_thresh").alias("threshold"))
+    )

@@ -8496,6 +8496,66 @@ def q_survival(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 wave 5: Neyman-allocated stratified sampling
+# =========================================================================
+
+
+@query(
+    "q_neyman",
+    """
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 1000) AS BIGINT) AS xq
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(xq) AS BIGINT) AS s,
+             CAST(sum(xq * xq) AS BIGINT) AS ss
+      FROM q GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n,
+             n * sqrt((CAST(ss AS DOUBLE) / n
+                       - pow(CAST(s AS DOUBLE) / n, 2)) / 1000000) AS wt
+      FROM m
+    ),
+    alloc AS (
+      SELECT event_type, n,
+             CAST(round(5000.0 * wt / (SELECT sum(wt) FROM w)) AS BIGINT)
+               AS n_target
+      FROM w
+    ),
+    th AS (
+      SELECT event_type, n_target,
+             least(CAST(1000000 AS BIGINT),
+                   CAST(round(1000000.0 * n_target / n) AS BIGINT))
+               AS threshold
+      FROM alloc
+    )
+    SELECT q.event_id, q.event_type, th.n_target, th.threshold
+    FROM q JOIN th ON th.event_type = q.event_type
+    WHERE (q.event_id % 2147483648) * 2654435761 % 2147483648 % 1000000
+          < th.threshold
+    """,
+)
+def q_neyman(spark, sf_dir):
+    """Neyman-allocated stratified sampling (operators/sampling.py:
+    neyman_sample): the total_n=5000 budget split across event types
+    proportional to N_h x S_h — high-variance strata oversampled, the
+    optimal allocation for estimating the mean event value. Stratum
+    stds from exact scaled-long moments, selection via the Knuth
+    id-hash against an integer threshold; the oracle replays moments,
+    allocation, threshold, and acceptance bit-for-bit."""
+    from kafka_streams_plumber_spark.operators.sampling import neyman_sample
+
+    e = load_tables(spark, sf_dir)["events"]
+    return neyman_sample(
+        e, "event_type", "value", "event_id", total_n=5000, scale=1000
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
@@ -8523,10 +8583,13 @@ def q_survival(spark, sf_dir):
 # demoted; promoted are the full r2-era never-hashed remainder (34),
 # the three queries oracled since r03 closed (q_semantic_keep_lsh,
 # q_funnel_both, q_approx_distinct), and the highest-priority 11 of the
-# r03-session wave. Remaining for the r5 rotation: q_semantic_decon,
-# q_cluster_hist, q_kfold, q_reweight, q_l_diversity, q_fertility,
-# q_token_budget, q_dau_wau, q_paths, q_langid_eval, q_dup_rate,
-# q_vocab_overlap, q_burstiness.
+# r03-session wave. Remaining for the r5 rotation (25): the r3
+# leftovers q_semantic_decon, q_cluster_hist, q_kfold, q_reweight,
+# q_l_diversity, q_fertility, q_token_budget, q_dau_wau, q_paths,
+# q_langid_eval, q_dup_rate, q_vocab_overlap, q_burstiness — plus the
+# whole r4-session wave: q_approx_pct, q_emb_drift, q_text_norm,
+# q_next_events, q_standardize, q_generalize, q_word_dropout,
+# q_ppl_buckets, q_lang_mix, q_balanced_pack, q_bootstrap, q_survival.
 _GATE_WINDOW = [
     # re-prove with scalar-grain contract output (r03 harness crash)
     "q_kmeans",

@@ -369,3 +369,30 @@ def test_survival_total_churn_hits_zero(spark):
     # horizon user is t=0 censored; both real users churn at t=2
     assert out[2]["churned"] == 2 and out[2]["at_risk"] == 2
     assert out[2]["surv"] == 0.0  # ln(0) guarded: exact zero, not NULL
+
+
+def test_neyman_oversamples_high_variance_strata(spark):
+    from kafka_streams_plumber_spark.operators.sampling import neyman_sample
+
+    rows = []
+    # stratum "flat": 4000 rows, constant value -> S=0 -> ~no budget
+    for i in range(4000):
+        rows.append((i, "flat", 5.0))
+    # stratum "wild": 4000 rows, high variance -> nearly all budget
+    for i in range(4000, 8000):
+        rows.append((i, "wild", float((i % 100) * 10)))
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = neyman_sample(df, "g", "v", "id", total_n=1000)
+    got = (
+        out.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("n_target").alias("t"))
+        .collect()
+    )
+    by = {r["g"]: r for r in got}
+    assert "flat" not in by or by["flat"]["t"] == 0
+    assert by["wild"]["t"] == 1000
+    # threshold acceptance: within 15% of the target
+    assert abs(by["wild"]["c"] - 1000) <= 150
+    # deterministic: same call, same rows
+    again = neyman_sample(df, "g", "v", "id", total_n=1000)
+    assert again.count() == out.count()

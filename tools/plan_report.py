@@ -109,6 +109,7 @@ AUDITED = {
     "q_balanced_pack": "parallel length-desc rank (range exchange + O(P) offsets) + serpentine projection",
     "q_bootstrap": "explode xB -> ONE (group,replicate) map-combinable agg -> O(groups x B) quantile frame",
     "q_survival": "one user-grain min/max agg; all KM arithmetic on the O(tenure-days) frame",
+    "q_neyman": "one moment agg -> O(strata) allocation broadcast back; fact scanned once",
 }
 
 
