@@ -235,11 +235,31 @@ def embedding_dup_pairs(
     n_tables: int = 6,
     seed: int = 7,
     max_bucket_size: int = 2000,
+    target_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (a_id < b_id, cosine >= threshold) via
     multi-table sign-LSH candidates + exact verification. High cosine
     pairs collide in some table with high probability; buckets are
-    size-capped against skew."""
+    size-capped against skew.
+
+    SIZE THE TABLES TO THE DATA for scale runs: with a FIXED
+    ``n_planes``, bucket count is constant, so expected bucket
+    occupancy grows linearly with the corpus and candidate pairs grow
+    QUADRATICALLY (n^2 / 2^planes) — the scale probe measured 16x on a
+    10x step at 10 planes. Pass ``target_bucket_size`` instead:
+    ``n_planes = clamp(ceil(log2(n / target)), 4, 24)`` keeps expected
+    occupancy ~constant, making candidate volume ~n * target — linear.
+    Costs one count() job (aggregate-only, same device as
+    repartition_by_media_size). Fixed ``n_planes`` remains the
+    default because the bit-exact SQL oracle must inline a STATIC
+    hyperplane set (q_semantic_keep_lsh pins 10)."""
+    if target_bucket_size is not None:
+        import math
+
+        n_rows = df.count()
+        n_planes = min(
+            24, max(4, math.ceil(math.log2(max(2.0, n_rows / target_bucket_size))))
+        )
     tables = [_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
     sig_array = F.array(
         *[

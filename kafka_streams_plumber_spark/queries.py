@@ -5455,8 +5455,46 @@ def q_semantic_keep_lsh(spark, sf_dir):
     from kafka_streams_plumber_spark.operators.dedup import semantic_dedup
 
     d = load_tables(spark, sf_dir)["documents"]
+    # params pinned explicitly: the oracle inlines the 10-plane x 6-table
+    # hyperplane set as literals, so the STRUCTURE gate needs a static
+    # configuration. The data-sized scale variant is q_semantic_auto.
     return semantic_dedup(
-        d, "text", "doc_id", dim=64, threshold=0.8, exact=False
+        d,
+        "text",
+        "doc_id",
+        dim=64,
+        threshold=0.8,
+        exact=False,
+        n_planes=10,
+        n_tables=6,
+        seed=7,
+        max_bucket_size=2000,
+    ).select("doc_id", "cluster_id", "keep")
+
+
+@query("q_semantic_auto")
+def q_semantic_auto(spark, sf_dir):
+    """Semantic dedup's data-SIZED scale path: semantic_dedup
+    (exact=False) with ``target_bucket_size=64`` — the plane count
+    derives from the corpus size (ceil(log2(n/target))), keeping
+    expected bucket occupancy constant so candidate volume stays
+    LINEAR in the corpus instead of n^2/2^planes (the fixed-plane
+    q_semantic_keep_lsh form is 16x on a 10x step; this is the form a
+    100 TB run uses). Rows-only contract: the hyperplane set depends
+    on count(corpus), so no static SQL oracle can inline it — value
+    equivalence is gated by q_semantic_keep_lsh (same kernel, pinned
+    planes) and pytest's cluster-identity-vs-exact check."""
+    from kafka_streams_plumber_spark.operators.dedup import semantic_dedup
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return semantic_dedup(
+        d,
+        "text",
+        "doc_id",
+        dim=64,
+        threshold=0.8,
+        exact=False,
+        target_bucket_size=64,
     ).select("doc_id", "cluster_id", "keep")
 
 
@@ -8589,7 +8627,8 @@ def q_neyman(spark, sf_dir):
 # q_langid_eval, q_dup_rate, q_vocab_overlap, q_burstiness — plus the
 # whole r4-session wave: q_approx_pct, q_emb_drift, q_text_norm,
 # q_next_events, q_standardize, q_generalize, q_word_dropout,
-# q_ppl_buckets, q_lang_mix, q_balanced_pack, q_bootstrap, q_survival.
+# q_ppl_buckets, q_lang_mix, q_balanced_pack, q_bootstrap, q_survival,
+# q_neyman.
 _GATE_WINDOW = [
     # re-prove with scalar-grain contract output (r03 harness crash)
     "q_kmeans",

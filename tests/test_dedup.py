@@ -206,6 +206,30 @@ def test_semantic_dedup_lsh_path_matches_exact(spark):
     assert sum(1 for (_, _, k) in e if k) == 3
 
 
+def test_semantic_dedup_auto_sizing_matches_exact(spark):
+    """target_bucket_size (data-derived plane count — the 100 TB form;
+    fixed planes make candidates grow n^2/2^planes) recovers the same
+    clusters as the exact baseline."""
+    from kafka_streams_plumber_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),
+        (2, OTHER),
+        (3, OTHER.replace("spark", "flink")),
+        (4, "tiny unrelated doc about cooking pasta with garlic and olive oil"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = semantic_dedup(docs, "text", "doc_id", threshold=0.8)
+    auto = semantic_dedup(
+        docs, "text", "doc_id", threshold=0.8, exact=False,
+        n_tables=8, target_bucket_size=2,
+    )
+    e = sorted(map(tuple, exact.select("doc_id", "cluster_id", "keep").collect()))
+    a = sorted(map(tuple, auto.select("doc_id", "cluster_id", "keep").collect()))
+    assert e == a
+
+
 def test_semantic_decontaminate_catches_paraphrase(spark):
     """A reworded benchmark doc breaks every 8-gram (n-gram rule blind)
     but keeps cosine high — the embedding rule flags it."""
