@@ -8594,6 +8594,53 @@ def q_neyman(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 wave 6: cumulative distinct-user growth curve
+# =========================================================================
+
+
+@query(
+    "q_user_growth",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)) AS d0
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY d0
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS total_users
+    FROM per_day
+    """,
+)
+def q_user_growth(spark, sf_dir):
+    """Cumulative distinct-user growth curve: per-day new users (first
+    appearance) and the running total — the growth metric computed the
+    scale-correct way. The naive form (per-day distinct users to date)
+    re-scans the whole history per day; this is ONE user-grain min
+    aggregate (map-combinable), a per-day rollup, and a running sum
+    over the O(days) frame. Exact, no sketch needed."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    day = F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000)).cast("long")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("_d0"))
+    per_day = firsts.groupBy(F.col("_d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("total_users"),
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -110,6 +110,7 @@ AUDITED = {
     "q_bootstrap": "explode xB -> ONE (group,replicate) map-combinable agg -> O(groups x B) quantile frame",
     "q_survival": "one user-grain min/max agg; all KM arithmetic on the O(tenure-days) frame",
     "q_neyman": "one moment agg -> O(strata) allocation broadcast back; fact scanned once",
+    "q_user_growth": "user-grain min agg -> per-day rollup -> running sum on the O(days) frame",
 }
 
 
