@@ -94,3 +94,147 @@ def avsc_to_struct(schema: str | dict) -> T.StructType:
     if not isinstance(st, T.StructType):
         raise ValueError("avsc_to_struct expects a record schema at top level")
     return st
+
+
+# -------------------------------------------------------------------------
+# Schema-resolution compatibility (Avro spec "Schema Resolution")
+# -------------------------------------------------------------------------
+
+#: writer -> reader promotions the Avro spec allows on read.
+_PROMOTIONS: set[tuple[str, str]] = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+
+def _norm(node: Any) -> Any:
+    """Unwrap {"type": "int"}-style wrappers; decode JSON text."""
+    if isinstance(node, str):
+        stripped = node.strip()
+        if stripped.startswith(("{", "[", '"')):
+            return _norm(json.loads(stripped))
+        return stripped
+    if (
+        isinstance(node, dict)
+        and isinstance(node.get("type"), str)
+        and node["type"] in _PRIMITIVES
+        and "logicalType" not in node
+    ):
+        return node["type"]
+    return node
+
+
+def _kind(node: Any) -> str:
+    if isinstance(node, str):
+        return node
+    if isinstance(node, list):
+        return "union"
+    return node.get("type", "?")
+
+
+def schema_incompatibilities(
+    reader: str | dict | list, writer: str | dict | list, path: str = "$"
+) -> list[str]:
+    """Why data written with ``writer`` can NOT be read as ``reader`` —
+    empty list means compatible. The pre-flight every consumer upgrade
+    needs BEFORE deploying against a live topic: the registry tells you
+    what producers wrote; this tells you whether your reader schema
+    survives it (the reference's Avro bridge decodes with the writer
+    schema and conforms afterward, so an incompatible evolution
+    otherwise only surfaces as runtime drops).
+
+    Implements the Avro spec's Schema Resolution rules over exactly the
+    type surface this engine supports (records, unions, enums, arrays,
+    primitives):
+
+    - primitives: equal, or a spec-listed writer->reader promotion
+      (int->long/float/double, long->float/double, float->double,
+      string<->bytes);
+    - records: fields matched BY NAME; a reader field missing from the
+      writer needs a ``default``; writer-only fields are ignored;
+    - enums: every writer symbol must exist in the reader's symbol set;
+    - arrays: item schemas must resolve;
+    - unions: every writer branch must resolve against SOME reader
+      branch (a non-union writer is the one-branch case; a non-union
+      reader must accept every writer branch).
+
+    Messages carry a JSON-path-ish location so a deep mismatch inside a
+    nested record points at the exact field.
+    """
+    r, w = _norm(reader), _norm(writer)
+
+    # union handling first: writer union fans out, reader union catches
+    if isinstance(w, list):
+        probs: list[str] = []
+        for i, branch in enumerate(w):
+            if schema_incompatibilities(r, branch, f"{path}[w-union:{i}]"):
+                probs.append(
+                    f"{path}: writer union branch {_kind(_norm(branch))!r}"
+                    " has no compatible reader branch"
+                )
+        return probs
+    if isinstance(r, list):
+        for branch in r:
+            if not schema_incompatibilities(branch, w, path):
+                return []
+        return [
+            f"{path}: writer {_kind(w)!r} matches no branch of the"
+            " reader union"
+        ]
+
+    rk, wk = _kind(r), _kind(w)
+    if rk in _PRIMITIVES and wk in _PRIMITIVES:
+        if rk == wk or (wk, rk) in _PROMOTIONS:
+            return []
+        return [f"{path}: writer {wk!r} cannot promote to reader {rk!r}"]
+
+    if rk != wk:
+        return [f"{path}: reader is {rk!r} but writer is {wk!r}"]
+
+    if rk == "array":
+        return schema_incompatibilities(
+            r["items"], w["items"], f"{path}.items"
+        )
+
+    if rk == "enum":
+        missing = [s for s in w["symbols"] if s not in set(r["symbols"])]
+        if missing:
+            return [
+                f"{path}: writer enum symbols {missing} absent from reader"
+            ]
+        return []
+
+    if rk == "record":
+        w_fields = {f["name"]: f for f in w["fields"]}
+        probs = []
+        for rf in r["fields"]:
+            name = rf["name"]
+            if name in w_fields:
+                probs.extend(
+                    schema_incompatibilities(
+                        rf["type"], w_fields[name]["type"], f"{path}.{name}"
+                    )
+                )
+            elif "default" not in rf:
+                probs.append(
+                    f"{path}.{name}: reader field absent from writer and"
+                    " has no default"
+                )
+        return probs
+
+    raise UnsupportedAvroType(f"cannot check compatibility for {rk!r}")
+
+
+def assert_can_read(reader: str | dict, writer: str | dict) -> None:
+    """Raise ValueError listing every incompatibility (empty = return)."""
+    probs = schema_incompatibilities(reader, writer)
+    if probs:
+        raise ValueError(
+            "reader schema cannot read writer data:\n  " + "\n  ".join(probs)
+        )

@@ -132,3 +132,20 @@ class HttpSchemaRegistryClient(SchemaRegistryClient):
         sid, schema = int(doc["id"]), doc["schema"]
         self._id_cache[sid] = schema
         return sid, schema
+
+
+def check_reader_compatibility(
+    client: SchemaRegistryClient, subject: str, reader_schema: str
+) -> list[str]:
+    """Pre-flight a consumer deploy against a live subject: fetch the
+    subject's latest registered (writer) schema and return every
+    schema-resolution incompatibility (empty = safe to deploy). The
+    registry-side complement of the refuse-to-start golden-test gate —
+    run both before attaching a streaming job to a production topic.
+    """
+    from kafka_streams_plumber_spark.sources.avsc import (
+        schema_incompatibilities,
+    )
+
+    _, writer_schema = client.latest_schema(subject)
+    return schema_incompatibilities(reader_schema, writer_schema)
