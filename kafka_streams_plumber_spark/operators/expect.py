@@ -169,3 +169,33 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     return one.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.check", "r.metric", "r.lo", "r.hi", "r.ok")
+
+
+def functional_dependency(
+    df: DataFrame, lhs: list[str] | str, rhs: str
+) -> DataFrame:
+    """Does ``lhs`` functionally determine ``rhs``? The schema-profiling
+    primitive behind key discovery and denormalization checks (Deequ's
+    uniqueness family): a dependency holds iff every lhs value maps to
+    exactly one rhs value.
+
+    One map-combinable aggregate on the (lhs, rhs)-distinct grain, then
+    an O(distinct lhs) rollup: ``violating_keys`` (lhs values seen with
+    >1 rhs), ``n_keys``, ``holds``. NULL rhs counts as a value (a key
+    mapping to both NULL and x is a violation — the surprising case
+    profilers exist to surface).
+    """
+    lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+    per_pair = df.groupBy(
+        *lhs_cols, F.col(rhs).alias("_rhs")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    per_key = per_pair.groupBy(*lhs_cols).agg(
+        F.count(F.lit(1)).alias("_n_rhs")
+    )
+    return per_key.agg(
+        F.sum(F.when(F.col("_n_rhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        (F.max("_n_rhs") <= 1).alias("holds"),
+    )

@@ -822,3 +822,56 @@ def bootstrap_ci(
         F.count(F.lit(1)).cast("long").alias("n_replicates"),
     )
     return out
+
+
+#: Benford's-law expected first-digit probabilities log10(1 + 1/d),
+#: written as the exact expression both engines evaluate identically.
+def benford_audit(
+    df: DataFrame, value_col: str, *, min_value: float = 1.0
+) -> DataFrame:
+    """First-digit (Benford's law) audit of a numeric column — the
+    classic fabricated-data / pipeline-bug smell test: organically
+    generated magnitudes follow P(d) = log10(1 + 1/d); uniform or
+    hand-entered numbers don't. Emits one row per leading digit with
+    observed count/frequency, the Benford expectation, and the signed
+    deviation, plus the column's chi-square statistic replicated on
+    every row (scalar grain, oracle-friendly).
+
+    The leading digit is the first character of the INTEGER string of
+    round(v * 1e6) — engine-portable (no float log10 at powers of ten,
+    no locale-dependent decimal formatting; both engines round the same
+    double to the same integer and print integers identically); values
+    below ``min_value`` are excluded (Benford applies to magnitudes
+    spanning orders of magnitude, and 0/negatives have no leading
+    digit). ONE map-combinable aggregate + an O(9) frame; the chi2
+    window is digit-ORDERED so both engines fold its doubles in the
+    identical sequence.
+    """
+    v = F.abs(F.col(value_col))
+    digit = F.substring(
+        F.round(v * 1_000_000).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(v >= min_value)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    with_tot = counts.select(
+        "digit", "cnt", F.sum("cnt").over(w).alias("_tot")
+    )
+    term = F.pow(
+        F.col("cnt") - expected * F.col("_tot"), 2
+    ) / (expected * F.col("_tot"))
+    freq = F.col("cnt") / F.col("_tot")
+    return with_tot.select(
+        "digit",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(freq, 6).alias("freq"),
+        F.round(expected, 6).alias("benford"),
+        F.round(freq - expected, 6).alias("deviation"),
+        F.round(F.sum(term).over(w), 6).alias("chi2"),
+    )

@@ -8641,6 +8641,106 @@ def q_user_growth(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 wave 7: functional-dependency profiling, Benford audit
+# =========================================================================
+
+
+@query(
+    "q_fd",
+    """
+    WITH pk AS (
+      SELECT CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_keys,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             max(n_rhs) <= 1 AS holds
+      FROM (
+        SELECT count(*) AS n_rhs
+        FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem)
+        GROUP BY l_orderkey, l_linenumber
+      )
+    ),
+    cust AS (
+      SELECT CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_keys,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             max(n_rhs) <= 1 AS holds
+      FROM (
+        SELECT count(*) AS n_rhs
+        FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        GROUP BY o_custkey
+      )
+    )
+    SELECT 'pk_determines_quantity' AS fd, * FROM pk
+    UNION ALL
+    SELECT 'cust_determines_priority', * FROM cust
+    """,
+)
+def q_fd(spark, sf_dir):
+    """Functional-dependency profiling (operators/expect.py:
+    functional_dependency): does lhs determine rhs — the key-discovery
+    / denormalization-check primitive (Deequ's uniqueness family). Two
+    checks in one contract: the lineitem primary key trivially
+    determines l_quantity (holds) and a customer does NOT determine
+    order priority (violations counted). One (lhs, rhs)-distinct
+    aggregate + an O(distinct lhs) rollup per check."""
+    from kafka_streams_plumber_spark.operators.expect import (
+        functional_dependency,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pk = functional_dependency(
+        t["lineitem"], ["l_orderkey", "l_linenumber"], "l_quantity"
+    ).select(F.lit("pk_determines_quantity").alias("fd"), "*")
+    cust = functional_dependency(
+        t["orders"], "o_custkey", "o_orderpriority"
+    ).select(F.lit("cust_determines_priority").alias("fd"), "*")
+    return pk.unionByName(cust)
+
+
+@query(
+    "q_benford",
+    """
+    WITH f AS (
+      SELECT CAST(substr(CAST(CAST(round(abs(l_extendedprice) * 1000000)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM lineitem WHERE abs(l_extendedprice) >= 1
+    ),
+    counts AS (SELECT digit, count(*) AS cnt FROM f GROUP BY digit),
+    wt AS (
+      SELECT digit, cnt,
+             CAST(sum(cnt) OVER (ORDER BY digit ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot
+      FROM counts
+    )
+    SELECT digit, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / CAST(tot AS DOUBLE), 6) AS freq,
+           round(log10(1 + 1.0 / digit), 6) AS benford,
+           round(cnt / CAST(tot AS DOUBLE) - log10(1 + 1.0 / digit), 6)
+             AS deviation,
+           round(sum(pow(cnt - log10(1 + 1.0 / digit) * tot, 2)
+                     / (log10(1 + 1.0 / digit) * tot))
+                 OVER (ORDER BY digit ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING), 6) AS chi2
+    FROM wt
+    """,
+)
+def q_benford(spark, sf_dir):
+    """First-digit Benford's-law audit (operators/stats.py:
+    benford_audit) over lineitem prices — the fabricated-data /
+    pipeline-bug smell test. Leading digit via integer-string
+    arithmetic (engine-portable), expected log10(1+1/d), per-digit
+    deviation, and the chi-square statistic folded over a
+    digit-ORDERED window so both engines sum the doubles in the same
+    sequence."""
+    from kafka_streams_plumber_spark.operators.stats import benford_audit
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return benford_audit(li, "l_extendedprice", min_value=1.0)
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
@@ -8675,7 +8775,7 @@ def q_user_growth(spark, sf_dir):
 # whole r4-session wave: q_approx_pct, q_emb_drift, q_text_norm,
 # q_next_events, q_standardize, q_generalize, q_word_dropout,
 # q_ppl_buckets, q_lang_mix, q_balanced_pack, q_bootstrap, q_survival,
-# q_neyman.
+# q_neyman, q_user_growth, q_fd, q_benford.
 _GATE_WINDOW = [
     # re-prove with scalar-grain contract output (r03 harness crash)
     "q_kmeans",

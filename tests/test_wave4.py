@@ -396,3 +396,56 @@ def test_neyman_oversamples_high_variance_strata(spark):
     # deterministic: same call, same rows
     again = neyman_sample(df, "g", "v", "id", total_n=1000)
     assert again.count() == out.count()
+
+
+def test_functional_dependency_holds_and_violates(spark):
+    from kafka_streams_plumber_spark.operators.expect import (
+        functional_dependency,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "x"), (3, "y")],
+        "k long, v string",
+    )
+    r = functional_dependency(df, "k", "v").collect()[0]
+    assert not r["holds"] and r["violating_keys"] == 1 and r["n_keys"] == 3
+    ok = functional_dependency(df.filter("k < 3"), "k", "v").collect()[0]
+    assert ok["holds"] and ok["violating_keys"] == 0
+
+
+def test_functional_dependency_null_rhs_counts(spark):
+    from kafka_streams_plumber_spark.operators.expect import (
+        functional_dependency,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None)], "k long, v string"
+    )
+    r = functional_dependency(df, "k", "v").collect()[0]
+    # a key mapping to both NULL and 'a' IS a violation
+    assert not r["holds"] and r["violating_keys"] == 1
+
+
+def test_benford_on_benford_like_data(spark):
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import benford_audit
+
+    # log-uniform magnitudes are Benford-distributed
+    rows = [(math.exp(i * 0.001),) for i in range(1, 9211)]  # e^0.001..e^9.2
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    for d in range(1, 10):
+        assert abs(out[d]["deviation"]) < 0.02, (d, out[d])
+    assert out[1]["chi2"] == out[9]["chi2"]  # replicated scalar
+    assert out[1]["chi2"] < 50.0
+
+
+def test_benford_uniform_data_flagged(spark):
+    from kafka_streams_plumber_spark.operators.stats import benford_audit
+
+    # uniform 1000..9999: every first digit equally likely — not Benford
+    df = spark.range(1000, 10000).select(F.col("id").cast("double").alias("v"))
+    out = benford_audit(df, "v").collect()
+    assert out[0]["chi2"] > 1000.0  # strongly rejected

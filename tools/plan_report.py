@@ -111,6 +111,8 @@ AUDITED = {
     "q_survival": "one user-grain min/max agg; all KM arithmetic on the O(tenure-days) frame",
     "q_neyman": "one moment agg -> O(strata) allocation broadcast back; fact scanned once",
     "q_user_growth": "user-grain min agg -> per-day rollup -> running sum on the O(days) frame",
+    "q_fd": "(lhs,rhs)-distinct agg + O(distinct-lhs) rollup per check",
+    "q_benford": "one map-combinable digit agg + an O(9) ordered frame",
 }
 
 
