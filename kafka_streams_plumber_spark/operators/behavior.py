@@ -722,3 +722,48 @@ def survival_curve(
         ).otherwise(F.round(F.exp(F.sum(ln_term).over(wcur)), 6)),
     )
     return out.select("t", "at_risk", "churned", "censored", "surv")
+
+
+def render_dialogues(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    *,
+    open_tag: str = "<|",
+    close_tag: str = "|>",
+) -> DataFrame:
+    """Render each key's ordered event stream into ONE training string
+    — the sequence-construction step of an SFT/behavioral-cloning
+    export: ``<|view|><|click|><|purchase|>...``.
+
+    Determinism is the whole game: ``collect_list`` order is
+    partition-dependent, so the collected structs carry the order
+    columns and ``array_sort`` imposes the total (order_cols must end
+    in a unique key) BEFORE the join — identical output on any engine,
+    any partitioning, any retry. One shuffle on ``key_col``; a key's
+    string is proportional to its own event count (inherent to
+    sequence construction — the group must materialize somewhere).
+
+    Output: (key, dialogue, n_turns) — scalar grain.
+    """
+    struct_cols = [F.col(c) for c in order_cols] + [
+        F.col(token_col).alias("_tok")
+    ]
+    agg = df.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("_seq")
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.col("_seq"),
+            lambda s: F.concat(
+                F.lit(open_tag), s["_tok"], F.lit(close_tag)
+            ),
+        ),
+        "",
+    )
+    return agg.select(
+        F.col(key_col),
+        rendered.alias("dialogue"),
+        F.size("_seq").cast("long").alias("n_turns"),
+    )

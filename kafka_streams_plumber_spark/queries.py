@@ -8741,6 +8741,39 @@ def q_benford(spark, sf_dir):
 
 
 # =========================================================================
+# Round-4 wave 8: dialogue/sequence rendering for SFT export
+# =========================================================================
+
+
+@query(
+    "q_dialogue",
+    """
+    SELECT user_id,
+           string_agg('<|' || event_type || '|>', ''
+                      ORDER BY ts, event_id) AS dialogue,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM events GROUP BY user_id
+    """,
+)
+def q_dialogue(spark, sf_dir):
+    """Ordered event-stream rendering into one training string per user
+    (operators/behavior.py:render_dialogues) — the sequence-construction
+    step of an SFT/behavioral-cloning export. collect_list order is
+    partition-dependent, so the collected structs carry (ts, event_id)
+    and array_sort imposes the total order BEFORE the join-free render:
+    identical output on any engine, partitioning, or retry. The oracle
+    is the declarative twin: string_agg ... ORDER BY ts, event_id."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        render_dialogues,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return render_dialogues(
+        e, "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #
@@ -8775,7 +8808,7 @@ def q_benford(spark, sf_dir):
 # whole r4-session wave: q_approx_pct, q_emb_drift, q_text_norm,
 # q_next_events, q_standardize, q_generalize, q_word_dropout,
 # q_ppl_buckets, q_lang_mix, q_balanced_pack, q_bootstrap, q_survival,
-# q_neyman, q_user_growth, q_fd, q_benford.
+# q_neyman, q_user_growth, q_fd, q_benford, q_dialogue.
 _GATE_WINDOW = [
     # re-prove with scalar-grain contract output (r03 harness crash)
     "q_kmeans",

@@ -449,3 +449,20 @@ def test_benford_uniform_data_flagged(spark):
     df = spark.range(1000, 10000).select(F.col("id").cast("double").alias("v"))
     out = benford_audit(df, "v").collect()
     assert out[0]["chi2"] > 1000.0  # strongly rejected
+
+
+def test_render_dialogues_order_is_total_and_partition_proof(spark):
+    from kafka_streams_plumber_spark.operators.behavior import (
+        render_dialogues,
+    )
+
+    rows = [(1, i, 100 - i, f"e{i}") for i in range(6)]  # seq asc
+    df = spark.createDataFrame(rows, "u long, seq long, other long, ev string")
+    out = render_dialogues(
+        df.repartition(5), "u", ["seq"], "ev"
+    ).collect()[0]
+    assert out["dialogue"] == "<|e0|><|e1|><|e2|><|e3|><|e4|><|e5|>"
+    assert out["n_turns"] == 6
+    # order columns must win over any incidental partition order
+    out2 = render_dialogues(df.repartition(1), "u", ["seq"], "ev").collect()[0]
+    assert out2["dialogue"] == out["dialogue"]

@@ -113,6 +113,7 @@ AUDITED = {
     "q_user_growth": "user-grain min agg -> per-day rollup -> running sum on the O(days) frame",
     "q_fd": "(lhs,rhs)-distinct agg + O(distinct-lhs) rollup per check",
     "q_benford": "one map-combinable digit agg + an O(9) ordered frame",
+    "q_dialogue": "one groupBy shuffle; per-key cost = its own event count (inherent to sequence construction)",
 }
 
 
