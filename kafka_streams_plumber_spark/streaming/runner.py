@@ -46,6 +46,12 @@ class PlumberJob:
     expectations: list[tuple[Any, Any]] = field(default_factory=list)
     kafka_options: dict[str, str] = field(default_factory=dict)
     registry: Any = None  # SchemaRegistryClient for plain `avro` types
+    #: when a registry is attached AND an input schema is file-pinned
+    #: (avro=reader.avsc), verify the reader can resolve the subject's
+    #: latest registered WRITER schema before starting — the schema-
+    #: evolution half of the refuse-to-start gate. Subjects the registry
+    #: has never seen are skipped (brand-new topic, nothing written).
+    schema_preflight: bool = True
 
     def __post_init__(self):
         # Pin plain `avro` wire types to the registry's latest schema per
@@ -74,10 +80,49 @@ class PlumberJob:
             out = conform(out, self.output_key.model, column="key")
         return out
 
+    def _schema_preflight(self) -> None:
+        """Schema-evolution refuse-to-start: a file-pinned reader schema
+        must resolve the subject's latest registered writer schema
+        (sources/avsc.py:schema_incompatibilities) — catching a consumer
+        deploy against an incompatibly-evolved topic BEFORE it streams
+        (otherwise the mismatch only surfaces as runtime decode drops).
+        """
+        if not self.schema_preflight or self.registry is None:
+            return
+        from kafka_streams_plumber_spark.sources.registry import (
+            SchemaNotFound,
+            check_reader_compatibility,
+        )
+
+        probs: list[str] = []
+        for wt, subject in (
+            (self.input_key, f"{self.source_topic}-key"),
+            (self.input_value, f"{self.source_topic}-value"),
+        ):
+            if wt.kind != "avro" or wt.avsc is None or wt.registry_resolved:
+                continue
+            try:
+                probs.extend(
+                    f"{subject}: {p}"
+                    for p in check_reader_compatibility(
+                        self.registry, subject, wt.avsc
+                    )
+                )
+            except SchemaNotFound:
+                continue  # brand-new subject: nothing written yet
+        if probs:
+            raise ValueError(
+                "refusing to start: reader schema cannot read the"
+                " subject's registered writer schema:\n  "
+                + "\n  ".join(probs)
+            )
+
     def preflight(self) -> None:
         """Golden verification pre-pass (Plumber.scala:41-50): run the
         exact production transform (pipeline + conform) over fixtures;
-        raise and refuse to stream on mismatch."""
+        raise and refuse to stream on mismatch. Extended with the
+        schema-evolution check (see _schema_preflight)."""
+        self._schema_preflight()
         if not self.expectations:
             return
         verify(

@@ -113,3 +113,59 @@ def test_registry_preflight_against_latest_subject():
     bad = json.dumps(rec(f("a", "int")))
     assert check_reader_compatibility(reg, "orders-value", ok) == []
     assert check_reader_compatibility(reg, "orders-value", bad)
+
+
+# ---------------------------------------------------------------------
+# PlumberJob schema-evolution refuse-to-start
+# ---------------------------------------------------------------------
+
+
+def _job(spark, reader_schema, registry, **kw):
+    from kafka_streams_plumber_spark.operators.pipeline import Pipeline
+    from kafka_streams_plumber_spark.sources.serde import WireType
+    from kafka_streams_plumber_spark.streaming.runner import PlumberJob
+
+    return PlumberJob(
+        spark=spark,
+        pipeline=Pipeline(),
+        brokers="none:9092",
+        source_topic="orders",
+        sink_topic="out",
+        input_key=WireType("long"),
+        input_value=WireType("avro", json.dumps(reader_schema)),
+        output_key=WireType("long"),
+        output_value=WireType("string"),
+        registry=registry,
+        **kw,
+    )
+
+
+def test_job_refuses_incompatible_reader(spark):
+    reg = FakeSchemaRegistry()
+    reg.register("orders-value", json.dumps(rec(f("a", "long"))))
+    job = _job(spark, rec(f("a", "int")), reg)  # long -> int narrows
+    with pytest.raises(ValueError, match="refusing to start"):
+        job.run(dry_run=True)
+
+
+def test_job_starts_with_compatible_reader(spark):
+    reg = FakeSchemaRegistry()
+    reg.register("orders-value", json.dumps(rec(f("a", "long"))))
+    ok = rec(f("a", "long"), f("b", "string", default=""))
+    assert _job(spark, ok, reg).run(dry_run=True) is None
+
+
+def test_job_skips_unknown_subject_and_no_registry(spark):
+    # new topic: nothing registered yet -> no block
+    assert _job(spark, rec(f("a", "int")), FakeSchemaRegistry()).run(
+        dry_run=True
+    ) is None
+    # no registry attached: explicit-schema jobs keep working
+    assert _job(spark, rec(f("a", "int")), None).run(dry_run=True) is None
+
+
+def test_job_preflight_can_be_disabled(spark):
+    reg = FakeSchemaRegistry()
+    reg.register("orders-value", json.dumps(rec(f("a", "long"))))
+    job = _job(spark, rec(f("a", "int")), reg, schema_preflight=False)
+    assert job.run(dry_run=True) is None
