@@ -170,25 +170,29 @@ def generalize_to_k(
     *,
     out_cols: list[str] | None = None,
 ) -> DataFrame:
-    """k-anonymity by generalization: give every row the FINEST
-    quasi-identifier representation whose equivalence class holds at
-    least ``k`` rows.
+    """k-anonymity by FULL-DOMAIN generalization: pick one GLOBAL
+    level — the smallest j at which EVERY equivalence class at level j
+    holds at least ``k`` rows — and publish all rows at that level.
 
     ``ladders[i]`` is a generalization ladder — Column expressions from
     finest to coarsest (e.g. ``[nation_name, region_name, lit("ALL")]``).
     Level j uses ``ladders[i][min(j, len(ladder)-1)]`` for every
-    ladder, i.e. all ladders coarsen in lockstep (full-domain
-    generalization); the chosen level is the smallest j whose class
-    count >= k, falling back to the coarsest level when even it misses
-    k — the emitted ``k_ok`` flag lets callers suppress those rows.
+    ladder, i.e. all ladders coarsen in lockstep. The level is chosen
+    globally (NOT per row): a per-row choice would let rows at
+    different levels publish tuples whose RELEASED classes hold fewer
+    than k rows, silently defeating the guarantee (local recoding sold
+    as full-domain). When even the coarsest level misses k for some
+    class, that level is still used and the per-class ``k_ok`` flag
+    marks the undersized classes so callers can suppress them.
 
     Where ``stats.k_anonymity`` AUDITS a release, this REPAIRS one.
 
     Plan shape: one TINY aggregate per level (each level-count frame is
-    class-cardinality-sized) broadcast back, and a CASE ladder picks
-    the level — the fact table is scanned once, no window, no per-row
-    Python. Generalization ladders are short (2-4 rungs), so the
-    broadcast count is bounded.
+    class-cardinality-sized) plus one single-row min-count frame per
+    level, all broadcast back; a CASE ladder over the broadcast mins
+    picks the level — the fact table is scanned once, no window, no
+    per-row Python. Generalization ladders are short (2-4 rungs), so
+    the broadcast count is bounded.
     """
     n_levels = max(len(ladder) for ladder in ladders)
     n_q = len(ladders)
@@ -202,6 +206,7 @@ def generalize_to_k(
         return F.concat_ws(sep, *[e.cast("string") for e in exprs_at(j)])
 
     work = df
+    mins = None  # one-row frame of per-level MIN class counts
     for j in range(n_levels):
         counts = (
             df.select(key_at(j).alias("_k"))
@@ -213,10 +218,14 @@ def generalize_to_k(
             f"_k{j}",
             "left",
         )
+        mj = counts.agg(F.min(f"_n{j}").alias(f"_m{j}"))
+        mins = mj if mins is None else mins.crossJoin(mj)
 
+    # Global full-domain level: smallest j whose WORST class reaches k.
+    work = work.crossJoin(F.broadcast(mins))
     level = F.lit(n_levels - 1)
     for j in range(n_levels - 2, -1, -1):
-        level = F.when(F.col(f"_n{j}") >= k, F.lit(j)).otherwise(level)
+        level = F.when(F.col(f"_m{j}") >= k, F.lit(j)).otherwise(level)
     work = work.withColumn("gen_level", level)
 
     for i, name in enumerate(out_names):
@@ -225,6 +234,8 @@ def generalize_to_k(
             col = F.when(F.col("gen_level") == j, exprs_at(j)[i]).otherwise(col)
         work = work.withColumn(name, col)
 
+    # Per-class k_ok AT THE PUBLISHED LEVEL: since every row shares
+    # gen_level, _n{gen_level} IS the released class size.
     k_ok = F.lit(False)
     for j in range(n_levels):
         k_ok = F.when(F.col("gen_level") == j, F.col(f"_n{j}") >= k).otherwise(
@@ -233,5 +244,5 @@ def generalize_to_k(
     work = work.withColumn("k_ok", k_ok)
     drop = [f"_k{j}" for j in range(n_levels)] + [
         f"_n{j}" for j in range(n_levels)
-    ]
+    ] + [f"_m{j}" for j in range(n_levels)]
     return work.drop(*drop)

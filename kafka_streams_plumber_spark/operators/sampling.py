@@ -568,19 +568,38 @@ def neyman_sample(
         F.sum(xq).alias("_s"),
         F.sum(xq * xq).alias("_ss"),
     )
-    var = (
-        F.col("_ss") / F.col("_n") - F.pow(F.col("_s") / F.col("_n"), 2)
-    ) / (scale * scale)
+    # Double rounding can leave a tiny NEGATIVE var for near-constant
+    # strata; unclamped, sqrt -> NaN poisons _wsum and every threshold
+    # (NaN casts to 0 long) so the whole sample silently comes back
+    # empty. Clamp at 0 — a constant stratum legitimately gets weight 0.
+    var = F.greatest(
+        (F.col("_ss") / F.col("_n") - F.pow(F.col("_s") / F.col("_n"), 2))
+        / (scale * scale),
+        F.lit(0.0),
+    )
     weighted = moments.select(
         strata_col,
         "_n",
         (F.col("_n") * F.sqrt(var)).alias("_w"),
     )
-    tot = weighted.agg(F.sum("_w").alias("_wsum"))
+    tot = weighted.agg(
+        F.sum("_w").alias("_wsum"), F.sum("_n").alias("_ntot")
+    )
+    # If EVERY stratum is exactly constant (_wsum = 0, or null on an
+    # empty frame) Neyman weights are undefined — fall back to
+    # proportional allocation (weight = N_h) instead of returning an
+    # empty sample.
+    degenerate = F.col("_wsum").isNull() | (F.col("_wsum") <= 0.0)
+    eff_w = F.when(degenerate, F.col("_n").cast("double")).otherwise(
+        F.col("_w")
+    )
+    eff_sum = F.when(degenerate, F.col("_ntot").cast("double")).otherwise(
+        F.col("_wsum")
+    )
     alloc = weighted.crossJoin(F.broadcast(tot)).select(
         strata_col,
         "_n",
-        F.round(F.lit(float(total_n)) * F.col("_w") / F.col("_wsum"))
+        F.round(F.lit(float(total_n)) * eff_w / eff_sum)
         .cast("long")
         .alias("n_target"),
     )

@@ -711,6 +711,15 @@ def standardize(
 
     One aggregate pass + one broadcast join back onto the rows — no
     window, so no single-task group funnel at 100 TB.
+
+    Envelope enforcement: the scaled-square sum overflowing int64 would
+    silently WRAP (non-ANSI) into wrong moments, so each group carries
+    ``max(|x_scaled|)`` and the join-back raises if
+    ``max^2 * n`` could exceed int64 — violations fail loudly instead
+    of standardizing against garbage. Tiny negative float var (double
+    rounding on near-constant groups) is clamped at 0; zero-variance
+    groups yield NULL z-scores by design (division by zero, documented
+    — there is no meaningful z against a zero std).
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     aggs = [F.count(F.lit(1)).alias("_n")]
@@ -719,24 +728,52 @@ def standardize(
         aggs += [
             F.sum(s).alias(f"_s_{c}"),
             F.sum(s * s).alias(f"_ss_{c}"),
+            F.max(F.abs(s)).alias(f"_mx_{c}"),
         ]
     moments = df.groupBy(*groups).agg(*aggs)
     out = df.join(F.broadcast(moments), groups)
     for c in value_cols:
+        # loud overflow guard: max|xs|^2 * n must fit int64 (doubles
+        # here are fine — we only need the magnitude comparison)
+        ok = (
+            F.col(f"_mx_{c}").cast("double")
+            * F.col(f"_mx_{c}").cast("double")
+            * F.col("_n").cast("double")
+            < F.lit(float(2**63 - 1))
+        )
         mean = F.col(f"_s_{c}") / scale / F.col("_n")
-        # E[x^2] - E[x]^2 over the scaled integers, descaled once
-        var = (
-            F.col(f"_ss_{c}") / F.col("_n") - F.pow(F.col(f"_s_{c}") / F.col("_n"), 2)
-        ) / (scale * scale)
+        # E[x^2] - E[x]^2 over the scaled integers, descaled once;
+        # clamped at 0 so double rounding can't leak sqrt(neg) = NaN
+        var = F.greatest(
+            (
+                F.col(f"_ss_{c}") / F.col("_n")
+                - F.pow(F.col(f"_s_{c}") / F.col("_n"), 2)
+            )
+            / (scale * scale),
+            F.lit(0.0),
+        )
+        z = F.round(
+            (F.round(F.col(c) * scale).cast("long") / scale - mean)
+            / F.sqrt(var),
+            6,
+        )
         out = out.withColumn(
             f"z_{c}",
-            F.round(
-                (F.round(F.col(c) * scale).cast("long") / scale - mean)
-                / F.sqrt(var),
-                6,
+            F.when(ok, z).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"standardize: column '{c}' exceeds the scale="
+                        f"{scale} int64 moment envelope; lower scale"
+                    )
+                )
             ),
         )
-    return out.drop("_n", *[f"_s_{c}" for c in value_cols], *[f"_ss_{c}" for c in value_cols])
+    return out.drop(
+        "_n",
+        *[f"_s_{c}" for c in value_cols],
+        *[f"_ss_{c}" for c in value_cols],
+        *[f"_mx_{c}" for c in value_cols],
+    )
 
 
 #: Poisson(1) inverse-CDF thresholds over an integer uniform in

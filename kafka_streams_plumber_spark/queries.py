@@ -8083,13 +8083,15 @@ def q_next_events(spark, sf_dir):
     SELECT q.l_orderkey, q.l_linenumber,
            round((CAST(q.xq AS DOUBLE) / 1000
                   - CAST(m.sq AS DOUBLE) / 1000 / m.n)
-                 / sqrt((CAST(m.ssq AS DOUBLE) / m.n
-                         - pow(CAST(m.sq AS DOUBLE) / m.n, 2)) / 1000000),
+                 / sqrt(greatest((CAST(m.ssq AS DOUBLE) / m.n
+                         - pow(CAST(m.sq AS DOUBLE) / m.n, 2)) / 1000000,
+                        0.0)),
                  6) AS z_l_quantity,
            round((CAST(q.xd AS DOUBLE) / 1000
                   - CAST(m.sd AS DOUBLE) / 1000 / m.n)
-                 / sqrt((CAST(m.ssd AS DOUBLE) / m.n
-                         - pow(CAST(m.sd AS DOUBLE) / m.n, 2)) / 1000000),
+                 / sqrt(greatest((CAST(m.ssd AS DOUBLE) / m.n
+                         - pow(CAST(m.sd AS DOUBLE) / m.n, 2)) / 1000000,
+                        0.0)),
                  6) AS z_l_discount,
            q.l_returnflag
     FROM q JOIN m USING (l_returnflag)
@@ -8131,32 +8133,33 @@ def q_standardize(spark, sf_dir):
     l0 AS (SELECT nat, seg, count(*) AS n0 FROM base GROUP BY nat, seg),
     l1 AS (SELECT reg, seg, count(*) AS n1 FROM base GROUP BY reg, seg),
     l2 AS (SELECT count(*) AS n2 FROM base),
-    lev AS (
-      SELECT b.c_custkey, b.nat, b.reg, b.seg, l0.n0, l1.n1,
-             (SELECT n2 FROM l2) AS n2,
-             CASE WHEN l0.n0 >= 15 THEN 0
-                  WHEN l1.n1 >= 15 THEN 1
-                  ELSE 2 END AS gen_level
-      FROM base b
-      JOIN l0 ON l0.nat = b.nat AND l0.seg = b.seg
-      JOIN l1 ON l1.reg = b.reg AND l1.seg = b.seg
+    g AS (
+      SELECT CASE WHEN (SELECT min(n0) FROM l0) >= 15 THEN 0
+                  WHEN (SELECT min(n1) FROM l1) >= 15 THEN 1
+                  ELSE 2 END AS lev
     )
-    SELECT c_custkey, gen_level,
-           CASE gen_level WHEN 0 THEN nat WHEN 1 THEN reg
+    SELECT b.c_custkey, g.lev AS gen_level,
+           CASE g.lev WHEN 0 THEN b.nat WHEN 1 THEN b.reg
                 ELSE 'ALL' END AS geo,
-           CASE WHEN gen_level <= 1 THEN seg ELSE 'ALL' END AS segment,
-           CASE gen_level WHEN 0 THEN n0 >= 15
-                WHEN 1 THEN n1 >= 15 ELSE n2 >= 15 END AS k_ok
-    FROM lev
+           CASE WHEN g.lev <= 1 THEN b.seg ELSE 'ALL' END AS segment,
+           CASE g.lev WHEN 0 THEN l0.n0 >= 15
+                WHEN 1 THEN l1.n1 >= 15
+                ELSE (SELECT n2 FROM l2) >= 15 END AS k_ok
+    FROM base b
+    JOIN l0 ON l0.nat = b.nat AND l0.seg = b.seg
+    JOIN l1 ON l1.reg = b.reg AND l1.seg = b.seg
+    CROSS JOIN g
     """,
 )
 def q_generalize(spark, sf_dir):
     """k-anonymity by full-domain generalization (operators/privacy.py:
-    generalize_to_k): every customer gets the finest (geo, segment)
-    representation whose equivalence class reaches k=15 — nation ->
-    region -> ALL in lockstep with segment -> segment -> ALL. Repairs
-    what stats.k_anonymity audits. Per-level counts are tiny broadcast
-    frames; the fact table is scanned once."""
+    generalize_to_k): ONE GLOBAL level — the smallest of nation ->
+    region -> ALL (lockstep with segment -> segment -> ALL) at which
+    EVERY (geo, segment) class reaches k=15 — so the released classes
+    are the counted classes and the guarantee is real (a per-row level
+    choice would release undersized classes). Repairs what
+    stats.k_anonymity audits. Per-level counts and their one-row mins
+    are tiny broadcast frames; the fact table is scanned once."""
     from kafka_streams_plumber_spark.operators.privacy import generalize_to_k
 
     t = load_tables(spark, sf_dir)
@@ -8554,8 +8557,9 @@ def q_survival(spark, sf_dir):
     ),
     w AS (
       SELECT event_type, n,
-             n * sqrt((CAST(ss AS DOUBLE) / n
-                       - pow(CAST(s AS DOUBLE) / n, 2)) / 1000000) AS wt
+             n * sqrt(greatest((CAST(ss AS DOUBLE) / n
+                       - pow(CAST(s AS DOUBLE) / n, 2)) / 1000000,
+                      0.0)) AS wt
       FROM m
     ),
     alloc AS (

@@ -156,8 +156,11 @@ def test_next_event_pairs_per_key_isolation(spark):
 # ---------------------------------------------------------------------
 
 
-def test_generalize_picks_finest_level_reaching_k(spark):
-    # 3 rows in (n1, s1); 1 row in (n2, s1) but its region class has 4
+def test_generalize_global_level_no_undersized_release(spark):
+    # 3 rows in (n1, s1) but a SINGLETON (n2, s1): level 0's worst
+    # class misses k=3, so the GLOBAL level must be 1 for every row —
+    # a per-row choice would release c4 as a singleton (r1,s1)-vs-
+    # (n1,s1) split, defeating k-anonymity.
     df = spark.createDataFrame(
         [
             ("c1", "n1", "r1", "s1"),
@@ -177,10 +180,41 @@ def test_generalize_picks_finest_level_reaching_k(spark):
         out_cols=["geo", "segment"],
     )
     rows = {r["id"]: r for r in out.collect()}
-    assert rows["c1"]["gen_level"] == 0 and rows["c1"]["geo"] == "n1"
-    # the singleton nation class generalizes to its region (count 4)
-    assert rows["c4"]["gen_level"] == 1 and rows["c4"]["geo"] == "r1"
+    assert all(r["gen_level"] == 1 for r in rows.values())
+    assert all(r["geo"] == "r1" and r["segment"] == "s1" for r in rows.values())
     assert all(r["k_ok"] for r in rows.values())
+    # every RELEASED equivalence class holds >= k rows
+    released = {}
+    for r in rows.values():
+        released[(r["geo"], r["segment"])] = (
+            released.get((r["geo"], r["segment"]), 0) + 1
+        )
+    assert all(v >= 3 for v in released.values())
+
+
+def test_generalize_picks_finest_level_when_all_classes_reach_k(spark):
+    # every nation-level class holds >= 2 rows: level 0 is usable
+    df = spark.createDataFrame(
+        [
+            ("c1", "n1", "r1", "s1"),
+            ("c2", "n1", "r1", "s1"),
+            ("c3", "n2", "r1", "s1"),
+            ("c4", "n2", "r1", "s1"),
+        ],
+        "id string, nat string, reg string, seg string",
+    )
+    out = generalize_to_k(
+        df,
+        [
+            [F.col("nat"), F.col("reg"), F.lit("ALL")],
+            [F.col("seg"), F.col("seg"), F.lit("ALL")],
+        ],
+        k=2,
+        out_cols=["geo", "segment"],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert all(r["gen_level"] == 0 and r["k_ok"] for r in rows.values())
+    assert rows["c1"]["geo"] == "n1" and rows["c3"]["geo"] == "n2"
 
 
 def test_generalize_flags_unreachable_k(spark):
