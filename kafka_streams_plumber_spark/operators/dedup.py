@@ -441,19 +441,29 @@ def simhash(
     return packed
 
 
+def _bands_for(max_hamming: int) -> int:
+    """Smallest divisor-of-64 band count whose pigeonhole guarantee
+    covers ``max_hamming`` (guarantee: hamming < bands)."""
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        if b > max_hamming:
+            return b
+    return 64
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
-    max_hamming: int = 8,
-    bands: int = 4,
+    max_hamming: int = 7,
+    bands: int | None = None,
     max_bucket_size: int = 1000,
     hash_fn: str = "xxhash64",
+    allow_probabilistic: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: candidates share at least one of
-    ``bands`` 16-bit bands (pigeonhole: any pair with hamming < bands
-    must agree on some band), verified with bit_count(a xor b)."""
+    """Near-duplicate pairs by SimHash: banded candidate generation
+    (see :func:`hamming_pairs` for the recall contract), verified with
+    bit_count(a xor b)."""
     base = _fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         simhash(text_col, hash_fn=hash_fn).alias("_sh"),
@@ -465,6 +475,7 @@ def simhash_pairs(
         max_hamming=max_hamming,
         bands=bands,
         max_bucket_size=max_bucket_size,
+        allow_probabilistic=allow_probabilistic,
     )
 
 
@@ -473,20 +484,44 @@ def hamming_pairs(
     id_col: str,
     hash_col: str,
     *,
-    max_hamming: int = 8,
-    bands: int = 4,
+    max_hamming: int = 7,
+    bands: int | None = None,
     max_bucket_size: int = 1000,
+    allow_probabilistic: bool = False,
 ) -> DataFrame:
     """Near-duplicate (a_id, b_id, hamming) pairs over ANY 64-bit hash
     column — SimHash, pHash, or any locality-preserving fingerprint.
 
-    Candidates share at least one of ``bands`` 16-bit bands
-    (pigeonhole: any pair with hamming < bands must agree on some
-    band); candidates-only verification with bit_count(a xor b) — the
+    Candidates share at least one of ``bands`` equal-width bands of the
+    64-bit hash. Pigeonhole recall contract: any pair with hamming
+    **< bands** must agree on some band and is therefore FOUND (up to
+    the ``max_bucket_size`` cap); pairs with hamming in
+    ``[bands, max_hamming]`` are found only probabilistically (when a
+    band happens to agree). By default ``bands`` is DERIVED from
+    ``max_hamming`` as the smallest divisor of 64 strictly greater than
+    it, so every pair the threshold accepts is guaranteed a candidate —
+    the default (``max_hamming=7`` -> 8 bands of 8 bits) is exact.
+    Passing ``bands <= max_hamming`` explicitly trades recall for fewer
+    /wider bands and requires ``allow_probabilistic=True`` so the
+    trade-off is opted into, never silent.
+
+    Verification is candidates-only with bit_count(a xor b) — the
     all-pairs comparison never materializes, and ``max_bucket_size``
     caps degenerate buckets (all-black thumbnails, empty docs) exactly
     like the MinHash-LSH path.
     """
+    if bands is None:
+        bands = _bands_for(max_hamming)
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if bands <= max_hamming and not allow_probabilistic:
+        raise ValueError(
+            f"bands={bands} guarantees recall only for hamming < {bands} "
+            f"but max_hamming={max_hamming} accepts more distant pairs; "
+            "pass allow_probabilistic=True to opt into banded-LSH "
+            "probabilistic recall, or leave bands unset to derive a "
+            "guaranteed banding"
+        )
     width = 64 // bands
     base = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh"))
 

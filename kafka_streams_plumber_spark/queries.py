@@ -889,8 +889,8 @@ def q_quantize(spark, sf_dir):
       FROM h
     ),
     bnd AS (
-      SELECT doc_id, bb AS band, (s >> (bb * 16)) & 65535 AS key
-      FROM sh, unnest([0, 1, 2, 3]) AS u(bb)
+      SELECT doc_id, bb AS band, (s >> (bb * 8)) & 255 AS key
+      FROM sh, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(bb)
     ),
     ok AS (
       SELECT band, key FROM bnd GROUP BY band, key
@@ -907,19 +907,21 @@ def q_quantize(spark, sf_dir):
     FROM cand
     JOIN sh sa ON sa.doc_id = a_id
     JOIN sh sb ON sb.doc_id = b_id
-    WHERE bit_count(xor(sa.s, sb.s)) <= 8
+    WHERE bit_count(xor(sa.s, sb.s)) <= 7
     """,
 )
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (operators/dedup.py:simhash_pairs) in the
     replayable md5 hash mode: 60-bit token hashes, per-bit majority
-    votes, 16-bit banding with the bucket cap, bit_count(xor) verify —
-    every step reproduced in SQL, so the banded structure itself is
-    hash-gated (the xxhash64 fast path stays pytest-covered)."""
+    votes, the GUARANTEED default banding (max_hamming=7 -> derived 8
+    bands of 8 bits, so every pair within threshold is a candidate by
+    pigeonhole) with the bucket cap, bit_count(xor) verify — every step
+    reproduced in SQL, so the banded structure itself is hash-gated
+    (the xxhash64 fast path stays pytest-covered)."""
     from kafka_streams_plumber_spark.operators.dedup import simhash_pairs
 
     d = load_tables(spark, sf_dir)["documents"]
-    out = simhash_pairs(d, "text", "doc_id", max_hamming=8, hash_fn="md5")
+    out = simhash_pairs(d, "text", "doc_id", hash_fn="md5")
     return out.select(
         "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
     )

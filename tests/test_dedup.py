@@ -61,7 +61,7 @@ def test_minhash_agrees_with_exact_jaccard(spark, docs):
 
 
 def test_simhash_ranks_near_dups_closer(spark, docs):
-    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_pairs(docs, "text", "doc_id", max_hamming=64, bands=4).collect()}
+    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_pairs(docs, "text", "doc_id", max_hamming=64, bands=4, allow_probabilistic=True).collect()}
     assert pairs[(0, 3)] == 0  # identical -> same simhash
     assert pairs[(0, 1)] <= 10  # near-dup -> small hamming
     far = pairs.get((0, 2), 64)

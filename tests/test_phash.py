@@ -61,6 +61,54 @@ def test_hamming_pairs_banded(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_hamming_pairs_guaranteed_recall_regime(spark):
+    """Pigeonhole contract, pinned adversarially: with the default
+    derived banding (max_hamming=7 -> 8 bands of 8 bits), a pair at
+    hamming exactly bands-1 = 7 is ALWAYS found, while a pair at
+    hamming = bands = 8 constructed to flip one bit in EVERY band
+    shares no band and is only reachable via the explicit
+    allow_probabilistic opt-in (where it is legitimately missed)."""
+    h0 = 0
+    # 7 flipped bits in 7 distinct bands -> one band (the last) agrees
+    h7 = 0
+    for band in range(7):
+        h7 ^= 1 << (band * 8)
+    # 8 flipped bits, one per band -> NO band agrees with h0
+    h8 = 0
+    for band in range(8):
+        h8 ^= 1 << (band * 8)
+    df = spark.createDataFrame(
+        [(1, h0), (2, h7), (3, h8)], "id long, h long"
+    )
+    found = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in hamming_pairs(df, "id", "h").collect()
+    }
+    assert found[(1, 2)] == 7  # guaranteed regime: always found
+    assert (1, 3) not in found  # hamming 8 > max_hamming 7: filtered
+    # opting into the probabilistic regime at the same banding: the
+    # all-bands-differ pair is structurally invisible to the banding
+    prob = {
+        (r["a_id"], r["b_id"])
+        for r in hamming_pairs(
+            df, "id", "h", max_hamming=8, bands=8, allow_probabilistic=True
+        ).collect()
+    }
+    assert (1, 2) in prob and (1, 3) not in prob
+    # and WITHOUT the opt-in, an under-guaranteed banding refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_probabilistic"):
+        hamming_pairs(df, "id", "h", max_hamming=8, bands=8)
+    # derived banding for max_hamming=8 (16 bands of 4 bits) FINDS the
+    # one-bit-per-8-bit-band pair: two adjacent 4-bit halves agree
+    der = {
+        (r["a_id"], r["b_id"])
+        for r in hamming_pairs(df, "id", "h", max_hamming=8).collect()
+    }
+    assert (1, 3) in der and (1, 2) in der
+
+
 def test_hamming_pairs_bucket_cap(spark):
     # 50 identical hashes with cap 10: the degenerate bucket is dropped
     df = spark.createDataFrame([(i, 42) for i in range(50)], "id long, h long")
