@@ -875,23 +875,45 @@ def benford_audit(
     every row (scalar grain, oracle-friendly).
 
     The leading digit is the first character of the INTEGER string of
-    round(v * 1e6) — engine-portable (no float log10 at powers of ten,
-    no locale-dependent decimal formatting; both engines round the same
-    double to the same integer and print integers identically); values
-    below ``min_value`` are excluded (Benford applies to magnitudes
-    spanning orders of magnitude, and 0/negatives have no leading
-    digit). ONE map-combinable aggregate + an O(9) frame; the chi2
-    window is digit-ORDERED so both engines fold its doubles in the
-    identical sequence.
+    floor(v' * 1e6) — engine-portable (no float log10 at powers of ten,
+    no locale-dependent decimal formatting; both engines floor the same
+    double to the same integer and print integers identically). floor,
+    NOT round: rounding can carry (9.9999997e6 -> 1e7) and misfile a
+    true leading 9 as 1. v' is v passed through a binary
+    power-of-ten reduction ladder (/1e256, /1e128, /1e64, /1e32,
+    /1e16, then /1e8 when still >= 1e12) so the scaled integer always
+    fits int64 — the old round(v*1e6) saturated at |v| ~ 9.2e12 and
+    reported every huge value as digit 9. Values below ``min_value``
+    are excluded (Benford applies to magnitudes spanning orders of
+    magnitude, and 0/negatives have no leading digit). Digits with
+    ZERO observations still emit a row (cnt=0, freq=0) and contribute
+    their full expected-count chi-square term — omitting them
+    understated chi2 exactly when the data was most suspicious. ONE
+    map-combinable aggregate + an O(9) frame; the chi2 window is
+    digit-ORDERED so both engines fold its doubles in the identical
+    sequence.
     """
     v = F.abs(F.col(value_col))
+    red = v
+    for p in (256, 128, 64, 32, 16):
+        step = F.lit(float(10**p))
+        red = F.when(red >= step, red / step).otherwise(red)
+    red = F.when(red >= F.lit(1e12), red / F.lit(1e8)).otherwise(red)
     digit = F.substring(
-        F.round(v * 1_000_000).cast("long").cast("string"), 1, 1
+        F.floor(red * 1_000_000).cast("long").cast("string"), 1, 1
     ).cast("int")
-    counts = (
+    observed = (
         df.filter(v >= min_value)
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("digit").between(1, 9))
+    )
+    digits = (
+        df.sparkSession.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+    )
+    counts = digits.join(observed, "digit", "left").select(
+        "digit", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     w = Window.orderBy("digit").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

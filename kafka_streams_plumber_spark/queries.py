@@ -8707,13 +8707,31 @@ def q_fd(spark, sf_dir):
 @query(
     "q_benford",
     """
-    WITH f AS (
-      SELECT CAST(substr(CAST(CAST(round(abs(l_extendedprice) * 1000000)
+    WITH r0 AS (
+      SELECT abs(l_extendedprice) AS v FROM lineitem
+      WHERE abs(l_extendedprice) >= 1
+    ),
+    r1 AS (SELECT CASE WHEN v >= 1e256 THEN v / 1e256 ELSE v END AS v FROM r0),
+    r2 AS (SELECT CASE WHEN v >= 1e128 THEN v / 1e128 ELSE v END AS v FROM r1),
+    r3 AS (SELECT CASE WHEN v >= 1e64 THEN v / 1e64 ELSE v END AS v FROM r2),
+    r4 AS (SELECT CASE WHEN v >= 1e32 THEN v / 1e32 ELSE v END AS v FROM r3),
+    r5 AS (SELECT CASE WHEN v >= 1e16 THEN v / 1e16 ELSE v END AS v FROM r4),
+    r6 AS (SELECT CASE WHEN v >= 1e12 THEN v / 1e8 ELSE v END AS v FROM r5),
+    f AS (
+      SELECT CAST(substr(CAST(CAST(floor(v * 1000000)
                                    AS BIGINT) AS VARCHAR), 1, 1) AS INT)
                AS digit
-      FROM lineitem WHERE abs(l_extendedprice) >= 1
+      FROM r6
     ),
-    counts AS (SELECT digit, count(*) AS cnt FROM f GROUP BY digit),
+    counts0 AS (
+      SELECT digit, count(*) AS cnt FROM f
+      WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+    ),
+    counts AS (
+      SELECT CAST(d.digit AS INT) AS digit, coalesce(c.cnt, 0) AS cnt
+      FROM (SELECT unnest(range(1, 10)) AS digit) d
+      LEFT JOIN counts0 c ON c.digit = d.digit
+    ),
     wt AS (
       SELECT digit, cnt,
              CAST(sum(cnt) OVER (ORDER BY digit ROWS BETWEEN UNBOUNDED
@@ -8735,11 +8753,12 @@ def q_fd(spark, sf_dir):
 def q_benford(spark, sf_dir):
     """First-digit Benford's-law audit (operators/stats.py:
     benford_audit) over lineitem prices — the fabricated-data /
-    pipeline-bug smell test. Leading digit via integer-string
-    arithmetic (engine-portable), expected log10(1+1/d), per-digit
-    deviation, and the chi-square statistic folded over a
-    digit-ORDERED window so both engines sum the doubles in the same
-    sequence."""
+    pipeline-bug smell test. Leading digit via overflow-guarded
+    floor-to-integer-string arithmetic (engine-portable, carry-safe),
+    expected log10(1+1/d), per-digit deviation over the FULL 1..9
+    digit frame (zero-count digits contribute their chi-square term),
+    and the chi-square statistic folded over a digit-ORDERED window so
+    both engines sum the doubles in the same sequence."""
     from kafka_streams_plumber_spark.operators.stats import benford_audit
 
     li = load_tables(spark, sf_dir)["lineitem"]

@@ -485,6 +485,35 @@ def test_benford_uniform_data_flagged(spark):
     assert out[0]["chi2"] > 1000.0  # strongly rejected
 
 
+def test_benford_huge_magnitudes_and_carry(spark):
+    """The three failure modes of the old digit extraction: int64
+    saturation at |v| >= ~9.2e12 (reported digit 9 for everything),
+    round-carry flipping a true leading 9 to 1, and zero-count digits
+    silently dropping their chi-square terms."""
+    from kafka_streams_plumber_spark.operators.stats import benford_audit
+
+    rows = [
+        (3.7e13,),  # beyond old int64 envelope -> must be digit 3
+        (8.1e200,),  # astronomically large -> digit 8
+        (9.9999997,),  # round would carry to 10000000 -> must stay 9
+        (2.0,),
+    ]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == set(range(1, 10))  # full digit frame, cnt=0 rows
+    assert out[3]["cnt"] == 1 and out[8]["cnt"] == 1
+    assert out[9]["cnt"] == 1 and out[2]["cnt"] == 1
+    assert out[1]["cnt"] == 0 and out[1]["freq"] == 0.0
+    # zero-count digits contribute expected-count chi2 terms: with 4 obs
+    # chi2 must exceed the sum of the five missing digits' E_d terms
+    import math
+
+    expect_missing = sum(
+        4 * math.log10(1 + 1 / d) for d in (1, 4, 5, 6, 7)
+    )
+    assert out[1]["chi2"] > expect_missing
+
+
 def test_render_dialogues_order_is_total_and_partition_proof(spark):
     from kafka_streams_plumber_spark.operators.behavior import (
         render_dialogues,
