@@ -5348,9 +5348,65 @@ def _semantic_lsh_oracle(
             lst = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
             rows.append(f"({t}, {p}, {lst})")
     values = ",\n      ".join(rows)
-    return rf"""
+    head = f"""
     WITH RECURSIVE planes(t, p, w) AS (VALUES
+      {values}),"""
+    return head + _semantic_lsh_body(
+        dim=dim, threshold=threshold, max_bucket_size=max_bucket_size
+    )
+
+
+def _semantic_auto_oracle(
+    *,
+    dim: int,
+    threshold: float,
+    target_bucket_size: int,
+    n_tables: int,
+    seed: int,
+    max_bucket_size: int,
+    plane_counts: tuple = (4, 5, 6, 7, 8),
+) -> str:
+    """Oracle for the DATA-SIZED sign-LSH form (embedding_dup_pairs with
+    ``target_bucket_size``): n_planes = clamp(ceil(log2(n / target)),
+    4, 24) depends on count(corpus), so a static hyperplane inline
+    can't cover it — instead hyperplane literals are inlined for every
+    plausible plane count and the SQL derives n_planes from count(*)
+    with the identical clamp arithmetic, then selects the matching
+    plane set. Covers fixtures whose derived count lands in
+    ``plane_counts`` (sf0.001/sf0.01 -> 4, sf0.1 -> 7); outside that
+    the oracle returns zero planes and the mismatch is loud."""
+    from kafka_streams_plumber_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for np_ in plane_counts:
+        for t in range(n_tables):
+            for p, w in enumerate(_hyperplanes(np_, dim, seed + 1000 * t)):
+                lst = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+                rows.append(f"({np_}, {t}, {p}, {lst})")
+    values = ",\n      ".join(rows)
+    head = f"""
+    WITH RECURSIVE allplanes(np, t, p, w) AS (VALUES
       {values}),
+    sel AS (
+      SELECT least(24, greatest(4,
+               CAST(ceil(log2(greatest(2.0,
+                 count(*) / {float(target_bucket_size)}))) AS INT))) AS np
+      FROM documents
+    ),
+    planes AS (
+      SELECT a.t, a.p, a.w FROM allplanes a JOIN sel s ON a.np = s.np
+    ),"""
+    return head + _semantic_lsh_body(
+        dim=dim, threshold=threshold, max_bucket_size=max_bucket_size
+    )
+
+
+def _semantic_lsh_body(*, dim: int, threshold: float, max_bucket_size: int) -> str:
+    """Shared tail of the sign-LSH oracles: assumes a ``planes(t, p, w)``
+    CTE is already defined; replays hash_embed -> signatures -> capped
+    buckets -> candidate pairs -> exact cosine verify -> connected
+    components (recursive CTE) -> min-id keep."""
+    return rf"""
     toks AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
@@ -5474,7 +5530,17 @@ def q_semantic_keep_lsh(spark, sf_dir):
     ).select("doc_id", "cluster_id", "keep")
 
 
-@query("q_semantic_auto")
+@query(
+    "q_semantic_auto",
+    _semantic_auto_oracle(
+        dim=64,
+        threshold=0.8,
+        target_bucket_size=64,
+        n_tables=6,
+        seed=7,
+        max_bucket_size=2000,
+    ),
+)
 def q_semantic_auto(spark, sf_dir):
     """Semantic dedup's data-SIZED scale path: semantic_dedup
     (exact=False) with ``target_bucket_size=64`` — the plane count
@@ -5482,10 +5548,11 @@ def q_semantic_auto(spark, sf_dir):
     expected bucket occupancy constant so candidate volume stays
     LINEAR in the corpus instead of n^2/2^planes (the fixed-plane
     q_semantic_keep_lsh form is 16x on a 10x step; this is the form a
-    100 TB run uses). Rows-only contract: the hyperplane set depends
-    on count(corpus), so no static SQL oracle can inline it — value
-    equivalence is gated by q_semantic_keep_lsh (same kernel, pinned
-    planes) and pytest's cluster-identity-vs-exact check."""
+    100 TB run uses). Oracled since r5: hyperplane literals are
+    inlined for every plausible derived plane count (4..8) and the SQL
+    re-derives n_planes from count(*) with the same clamp arithmetic —
+    so the production data-sized form is value-gated end to end, not
+    just equivalence-tested against the pinned-plane twin."""
     from kafka_streams_plumber_spark.operators.dedup import semantic_dedup
 
     d = load_tables(spark, sf_dir)["documents"]
@@ -8820,75 +8887,72 @@ def q_dialogue(spark, sf_dir):
 # - The tail keeps oracled queries before rows-only ones so any window
 #   widening stays all-oracled.
 
-# Round-4 window (below): the r03 window (48/50 driver-green in
-# CORRECTNESS_r03; q_kmeans/q_centroids crashed the driver canonicalizer
-# on array columns and re-prove here with scalar-grain output) is
-# demoted; promoted are the full r2-era never-hashed remainder (34),
-# the three queries oracled since r03 closed (q_semantic_keep_lsh,
-# q_funnel_both, q_approx_distinct), and the highest-priority 11 of the
-# r03-session wave. Remaining for the r5 rotation (25): the r3
-# leftovers q_semantic_decon, q_cluster_hist, q_kfold, q_reweight,
-# q_l_diversity, q_fertility, q_token_budget, q_dau_wau, q_paths,
-# q_langid_eval, q_dup_rate, q_vocab_overlap, q_burstiness — plus the
-# whole r4-session wave: q_approx_pct, q_emb_drift, q_text_norm,
-# q_next_events, q_standardize, q_generalize, q_word_dropout,
-# q_ppl_buckets, q_lang_mix, q_balanced_pack, q_bootstrap, q_survival,
-# q_neyman, q_user_growth, q_fd, q_benford, q_dialogue.
+# Round-5 window (below): completes driver verification of the ENTIRE
+# oracled surface. The 35 queries that have never had a driver hash row
+# (the full r3-leftover + r4-wave queue — computed this round as
+# ORACLES minus the union of CORRECTNESS_r01..r04 hash_match names)
+# all promote at once; the remaining 15 slots re-prove (a) the queries
+# whose implementation or oracle changed this session (dedup_simhash —
+# guaranteed 8x8 banding; q_semantic_auto — newly oracled via the
+# adaptive plane-count device; q_rfm — fused rank exchange) and (b) the
+# heaviest families as regression sentinels (semantic dedup both paths,
+# k-means/centroids, minhash dedup end-to-end, LM scoring, ANN,
+# percentiles, graph, TPC-H Q1). After this round every oracled query
+# has been driver-hash-proven at least once (169 + 35 = 204 of 204
+# pre-r5 oracles, plus q_semantic_auto newly oracled = 205).
 _GATE_WINDOW = [
-    # re-prove with scalar-grain contract output (r03 harness crash)
+    # --- the 35 never-driver-hashed oracled queries ---
+    "q_semantic_decon",
+    "q_cluster_hist",
+    "q_kfold",
+    "q_reweight",
+    "q_l_diversity",
+    "q_fertility",
+    "q_token_budget",
+    "q_dau_wau",
+    "q_paths",
+    "q_langid_eval",
+    "q_dup_rate",
+    "q_vocab_overlap",
+    "q_burstiness",
+    "q_temporal_split",
+    "q_semantic_dedup",
+    "q_approx_pct",
+    "q_emb_drift",
+    "q_text_norm",
+    "q_next_events",
+    "q_standardize",
+    "q_generalize",
+    "q_word_dropout",
+    "q_ppl_buckets",
+    "q_lang_mix",
+    "q_balanced_pack",
+    "q_bootstrap",
+    "q_survival",
+    "q_neyman",
+    "q_user_growth",
+    "q_fd",
+    "q_benford",
+    "q_dialogue",
+    "q_dp_stats",
+    "q_expectations",
+    "q_profile",
+    # --- changed-this-session + heavy-family re-proves ---
+    "dedup_simhash",
+    "q_semantic_auto",
+    "q_semantic_keep_lsh",
+    "q_semantic_keep",
     "q_kmeans",
     "q_centroids",
-    # oracled since the r03 snapshot — prove immediately
-    "q_semantic_keep_lsh",
-    "q_funnel_both",
-    "q_approx_distinct",
-    # r2-era never-driver-hashed remainder (waiting since round 1-2)
-    "q_hash_embed",
-    "q_cat_psi",
-    "q_equi_depth",
-    "q_boilerplate",
-    "q_temperature_mix",
-    "q_zipf",
-    "q_fim",
-    "q_source_overlap",
+    "dedup_minhash",
     "q_dedup_keep",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "q_session_window",
-    "text_bpe",
-    "q_asof_fwd",
-    "q_interval",
-    "q_redact",
-    "q_chunks",
-    "q_split",
-    "q_vocab",
-    "q_stratified",
-    "text_lm_score",
-    "text_winnow",
-    "q_token_entropy",
-    "q_tfidf",
-    "q_epoch_shards",
-    "q_byte_stats",
-    "q_histogram",
-    "q_skew",
-    "q_sample_group",
-    "q_oov",
+    "q_rfm",
     "q_lm_ppl",
-    "q_attrib_last",
-    "q_attrib_linear",
-    "q_zorder",
-    # r03-session wave, highest-priority slice (rest queued for r5)
-    "q_semantic_keep",
-    "q_dedup_weights",
-    "q_ab_test",
+    "sim_ann_lsh",
+    "q_percentiles",
     "q_lpa",
     "q_kcore",
-    "q_kcenter",
-    "q_ewma",
-    "q_rfm",
-    "q_weighted_pct",
-    "q_calibration",
-    "q_cdc_chunks",
+    "q1_pricing",
 ]
 
 

@@ -443,3 +443,32 @@ def test_gate_window_queries_emit_only_scalar_columns(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, f"complex-typed gate-window output: {offenders}"
+
+
+def test_every_oracled_query_is_driver_hashed_or_windowed():
+    """Rotation-ledger guard (VERDICT r4 item 8): the union of
+    driver-hash-verified names (CORRECTNESS_r01..r{N} hash_match rows)
+    plus the CURRENT _GATE_WINDOW must cover every ORACLES key — so an
+    oracled query structurally cannot slip through every rotation
+    forever. When a new query is added, it must either enter the next
+    window or this test goes red until it does."""
+    import glob
+    import json
+    import os
+
+    from kafka_streams_plumber_spark.queries import _GATE_WINDOW, ORACLES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hashed = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                hashed.add(name)
+    uncovered = sorted(set(ORACLES) - hashed - set(_GATE_WINDOW))
+    assert not uncovered, (
+        f"{len(uncovered)} oracled queries have no driver hash row and are "
+        f"not in the current gate window — queue them for the next "
+        f"rotation: {uncovered}"
+    )
