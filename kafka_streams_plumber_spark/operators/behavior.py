@@ -512,26 +512,36 @@ def rfm(
     analytics.
 
     Determinism + scale: monetary sums are exact cent-longs (no float
-    accumulation); each dimension's rank comes from
-    :func:`...ordering.rank_by` — the range-partitioned parallel
-    row_number, NOT a single-task global window — with the user id as
-    tie-break; bucket = ``rank * buckets div n`` in pure integer
-    arithmetic (replayable as SQL ``//``). Three range exchanges of
-    the user-grain frame + an O(1) broadcast count.
+    accumulation); all three dimensions are ranked in ONE fused range
+    exchange by :func:`...ordering.rank_many` — the melted
+    (metric, value, user) long frame is range-partitioned once, ranked
+    with per-metric broadcast offsets, and pivoted back (the r4 plan
+    audit measured the previous three sequential rank_by passes at 58
+    exchanges; this is two shuffles of narrow rows regardless of
+    metric count), with the user id as tie-break; bucket =
+    ``rank * buckets div n`` in pure integer arithmetic (replayable as
+    SQL ``//``) + an O(1) broadcast count.
 
     Returns (user, last_ms, frequency, monetary, r_score, f_score,
     m_score, rfm); scores are 1..buckets, higher = more recent / more
     active / higher spend.
     """
-    from kafka_streams_plumber_spark.operators.ordering import rank_by
+    from kafka_streams_plumber_spark.operators.ordering import rank_many
 
     u = df.groupBy(F.col(user_col).alias("user")).agg(
         F.max(F.unix_millis(F.col(ts_col))).alias("last_ms"),
         F.count("*").cast("long").alias("frequency"),
         F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("_cents"),
     )
-    for m in ("last_ms", "frequency", "_cents"):
-        u = rank_by(u, [m, "user"], pos_col=f"_{m}_rank")
+    ranks = rank_many(
+        u, ["last_ms", "frequency", "_cents"], "user", rank_suffix="_rank"
+    ).select(
+        "user",
+        F.col("last_ms_rank").alias("_last_ms_rank"),
+        F.col("frequency_rank").alias("_frequency_rank"),
+        F.col("_cents_rank").alias("__cents_rank"),
+    )
+    u = u.join(ranks, "user")
     total = u.groupBy().count().select(F.col("count").alias("_n"))
     u = u.crossJoin(F.broadcast(total))
 

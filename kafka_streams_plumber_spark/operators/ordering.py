@@ -96,6 +96,82 @@ def rank_by(
     return out.drop("_pid", "_mid", "_m0", "_off")
 
 
+def rank_many(
+    df: DataFrame,
+    metric_cols: list[str],
+    tiebreak_col: str,
+    *,
+    rank_suffix: str = "_rank",
+) -> DataFrame:
+    """Global 0-based rank of EVERY metric column in ONE range
+    exchange — the fused form of calling :func:`rank_by` once per
+    metric (which pays one full range shuffle of the wide frame per
+    signal; the r4 plan audit measured q_rfm's three sequential passes
+    at 58 exchanges).
+
+    The frame is melted to (metric_idx, value, tiebreak) long form —
+    M*N narrow rows — range-partitioned ONCE on (metric, value,
+    tiebreak), ranked with the same per-partition-ordinal + broadcast
+    offset device as :func:`rank_by` except offsets accumulate per
+    (metric, partition) so each metric's rank restarts at 0, then
+    pivoted back to one row per tiebreak key. Two shuffles of narrow
+    rows total, independent of how many metrics are ranked.
+
+    Metric values are compared as LONG (cast here) with the tiebreak
+    column breaking ties, exactly like per-metric ``rank_by(df,
+    [metric, tiebreak])``. Returns (tiebreak_col,
+    <metric><rank_suffix> ...).
+    """
+    melted = df.select(
+        tiebreak_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_m"),
+                        F.col(c).cast("long").alias("_v"),
+                    )
+                    for i, c in enumerate(metric_cols)
+                ]
+            )
+        ).alias("_e"),
+    ).select(tiebreak_col, F.col("_e._m").alias("_m"), F.col("_e._v").alias("_v"))
+    ranked = (
+        melted.repartitionByRange("_m", "_v", tiebreak_col)
+        .sortWithinPartitions("_m", "_v", tiebreak_col)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    # O(P * M) rows; the single-task window is per-metric O(P), not O(N)
+    part_stats = ranked.groupBy("_pid", "_m").agg(
+        F.count("*").alias("_c"), F.min("_mid").alias("_m0")
+    )
+    woff = (
+        Window.partitionBy("_m")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = part_stats.select(
+        "_pid",
+        "_m",
+        "_m0",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+    )
+    out_long = ranked.join(F.broadcast(offsets), ["_pid", "_m"]).withColumn(
+        "_r", F.col("_off") + (F.col("_mid") - F.col("_m0"))
+    )
+    aggs = [
+        F.max(F.when(F.col("_m") == i, F.col("_r"))).alias(
+            f"{c}{rank_suffix}"
+        )
+        for i, c in enumerate(metric_cols)
+    ]
+    return out_long.groupBy(tiebreak_col).agg(*aggs)
+
+
 def rank_normalize(
     df: DataFrame,
     id_col: str,

@@ -68,6 +68,37 @@ def test_rank_by_matches_row_number(spark):
     assert got == expect
 
 
+def test_rank_many_equals_per_metric_rank_by(spark):
+    """The fused single-exchange multi-metric rank must agree with one
+    rank_by per metric (tie-broken by id) on every metric, including
+    heavily tied columns and across partitionings."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.ordering import (
+        rank_by,
+        rank_many,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 50, (i * 13) % 7, 1000 - i) for i in range(300)],
+        ["id", "a", "b", "c"],
+    ).repartition(7)
+    fused = {
+        r["id"]: (r["a_rank"], r["b_rank"], r["c_rank"])
+        for r in rank_many(df, ["a", "b", "c"], "id").collect()
+    }
+    per = {}
+    for m in ("a", "b", "c"):
+        for r in rank_by(df.select("id", m), [m, "id"], pos_col="p").collect():
+            per.setdefault(r["id"], {})[m] = r["p"]
+    assert len(fused) == 300
+    for i, (ra, rb, rc) in fused.items():
+        assert (ra, rb, rc) == (per[i]["a"], per[i]["b"], per[i]["c"]), i
+    # each metric's ranks are a permutation of 0..n-1
+    for k in range(3):
+        assert sorted(v[k] for v in fused.values()) == list(range(300))
+
+
 def test_rank_normalize_bounds_and_mean(spark):
     from kafka_streams_plumber_spark.operators.ordering import rank_normalize
 
