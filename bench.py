@@ -63,6 +63,18 @@ EXTRA = [
     "q_funnel_window",
 ]
 
+#: Round-4 families (first measured in BENCH_r05, ``extra4_total_sec``):
+#: a representative slice of the r4 wave so the newest surface gets its
+#: own drift series while the two older lists stay frozen.
+EXTRA4 = [
+    "q_semantic_keep_lsh",
+    "q_ewma",
+    "q_attrib_last",
+    "q_cdc_chunks",
+    "q_benford",
+    "q_survival",
+]
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     df = QUERIES[name](spark, sf_dir)
@@ -92,7 +104,7 @@ def main() -> None:
         if os.path.isdir(cand) and os.path.abspath(cand) != os.path.abspath(sf_dir):
             warm_dir = cand
             break
-    for name in ["q_distinct", *HEADLINE, *EXTRA]:
+    for name in ["q_distinct", *HEADLINE, *EXTRA, *EXTRA4]:
         try:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -112,6 +124,10 @@ def main() -> None:
     for name in EXTRA:
         extra[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
 
+    extra4: dict[str, float] = {}
+    for name in EXTRA4:
+        extra4[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
+
     print(
         json.dumps(
             {
@@ -121,6 +137,8 @@ def main() -> None:
                 "queries": timings,
                 "extra_total_sec": round(sum(extra.values()), 3),
                 "extra_queries": extra,
+                "extra4_total_sec": round(sum(extra4.values()), 3),
+                "extra4_queries": extra4,
                 "sf": sf,
             }
         )

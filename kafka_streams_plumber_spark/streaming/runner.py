@@ -52,6 +52,16 @@ class PlumberJob:
     #: evolution half of the refuse-to-start gate. Subjects the registry
     #: has never seen are skipped (brand-new topic, nothing written).
     schema_preflight: bool = True
+    #: Pluggable transport (None = Kafka): ``source_factory(spark)``
+    #: must return a STREAMING DataFrame with the same typed
+    #: (key, value) columns kafka_source decodes to;
+    #: ``sink_factory(out_df)`` must start and return a StreamingQuery.
+    #: Everything else — the golden gate, the schema pre-flight, the
+    #: transform, conform, graceful shutdown — is the identical
+    #: lifecycle, which is what makes a broker-less end-to-end rehearsal
+    #: (examples/streaming) faithful to the production job.
+    source_factory: Any = None
+    sink_factory: Any = None
 
     def __post_init__(self):
         # Pin plain `avro` wire types to the registry's latest schema per
@@ -140,26 +150,32 @@ class PlumberJob:
         self.preflight()
         if dry_run:
             return None
-        src = kafka_source(
-            self.spark,
-            brokers=self.brokers,
-            topic=self.source_topic,
-            key_type=self.input_key,
-            value_type=self.input_value,
-            confluent_framing=self.confluent_framing,
-            options=self.kafka_options,
-            registry=self.registry,
-        )
+        if self.source_factory is not None:
+            src = self.source_factory(self.spark)
+        else:
+            src = kafka_source(
+                self.spark,
+                brokers=self.brokers,
+                topic=self.source_topic,
+                key_type=self.input_key,
+                value_type=self.input_value,
+                confluent_framing=self.confluent_framing,
+                options=self.kafka_options,
+                registry=self.registry,
+            )
         out = self._transformed(src)
-        query = kafka_sink(
-            out,
-            brokers=self.brokers,
-            topic=self.sink_topic,
-            key_type=self.output_key,
-            value_type=self.output_value,
-            checkpoint=self.checkpoint,
-            confluent_framing=self.confluent_framing,
-        )
+        if self.sink_factory is not None:
+            query = self.sink_factory(out)
+        else:
+            query = kafka_sink(
+                out,
+                brokers=self.brokers,
+                topic=self.sink_topic,
+                key_type=self.output_key,
+                value_type=self.output_value,
+                checkpoint=self.checkpoint,
+                confluent_framing=self.confluent_framing,
+            )
         # graceful shutdown (Plumber.scala:79-83)
         def _stop(signum, frame):
             query.stop()
