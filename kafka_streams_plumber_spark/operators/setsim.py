@@ -222,3 +222,128 @@ def source_overlap_oracle_sql(
            count(DISTINCT da) AS docs_a, count(DISTINCT db) AS docs_b
     FROM tagged GROUP BY 1, 2
     """
+
+
+def containment_join(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Directed shingle-containment pairs: every ordered pair (a, b)
+    with ``C(a -> b) = |S_a n S_b| / |S_a| >= threshold``, exactly.
+
+    Containment is the ASYMMETRIC companion to Jaccard: a short document
+    quoted whole inside a long one has containment ~1 while its Jaccard
+    is tiny, so symmetric near-dup passes (minhash_lsh_pairs,
+    jaccard_prefix_join) never see it. This is the "is A substantially
+    a quote/subset of B" detector a curation pipeline runs after the
+    symmetric dedup stages.
+
+    Exact via asymmetric prefix filtering: order each doc's word
+    ``k``-shingle set rarest-global-frequency-first. If C(a -> b) >= t
+    then b misses fewer than ``ceil(t*|S_a|)`` of a's shingles, so a and
+    b must agree on one of a's first ``|S_a| - ceil(t*|S_a|) + 1``
+    (rarest) shingles — the candidate join probes only a's prefix
+    against b's full set. Rarest-first ordering keeps the probed posting
+    lists short; ``block_col`` (e.g. source) bounds them further the
+    same way ngram_jaccard_pairs blocks. Verification computes the
+    exact intersection for candidates only.
+
+    Returns ``(doc_a, doc_b, inter, containment)`` with ``doc_a != doc_b``
+    (both directions may appear), containment compared raw and rounded
+    to 6 places for output.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    t = F.lit(float(threshold))
+
+    from kafka_streams_plumber_spark.operators.text import shingles as _sh
+
+    cols = [F.col(id_col).alias("doc"), F.explode(_sh(F.col(text_col), k=k)).alias("tok")]
+    if block_col is not None:
+        cols.insert(1, F.col(block_col).alias("blk"))
+    toks = docs.select(*cols).distinct()
+    grp = ["blk", "tok"] if block_col is not None else ["tok"]
+    freq = toks.groupBy(*grp).agg(F.count(F.lit(1)).alias("freq"))
+    sz = toks.groupBy(*(["doc", "blk"] if block_col else ["doc"])).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+
+    part = Window.partitionBy("doc").orderBy("freq", "tok")
+    prefix = (
+        toks.join(freq, grp)
+        .withColumn("r", F.row_number().over(part))
+        .join(sz, ["doc", "blk"] if block_col else ["doc"])
+        .where(F.col("r") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1)
+        .select("doc", *(["blk"] if block_col else []), "tok", "sz")
+    )
+
+    a, b = prefix.alias("a"), toks.join(sz, ["doc", "blk"] if block_col else ["doc"]).alias("b")
+    on = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") != F.col("b.doc"))
+    if block_col is not None:
+        on = on & (F.col("a.blk") == F.col("b.blk"))
+    cand = (
+        a.join(b, on)
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        # b must hold at least ceil(t*|S_a|) of a's shingles
+        .where(F.col("sz2") >= F.ceil(t * F.col("sz1")))
+        .distinct()
+    )
+
+    ta = toks.select(F.col("doc").alias("d1"), "tok")
+    tb = toks.select(F.col("doc").alias("d2"), "tok")
+    inter = (
+        cand.join(ta, "d1")
+        .join(tb, ["d2", "tok"])
+        .groupBy("d1", "d2", "sz1")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.col("sz1")
+    return inter.where(cont >= t).select(
+        F.col("d1").alias("doc_a"),
+        F.col("d2").alias("doc_b"),
+        F.col("inter"),
+        F.round(cont, 6).alias("containment"),
+    )
+
+
+def containment_oracle_sql(
+    *, threshold: float, k: int = 3, table: str = "documents",
+    block_col: str | None = None,
+) -> str:
+    """Quadratic exact-containment oracle (DuckDB) — ground truth for
+    :func:`containment_join` at test scale. Mirrors text.shingles'
+    construction (k-gram over lowercased space tokens, empties kept —
+    string_split semantics; documents shorter than k fall back to the
+    whole token string)."""
+    blk = f"AND a.{block_col} = b.{block_col}" if block_col else ""
+    return f"""
+    WITH w AS (
+      SELECT *, string_split(lower(text), ' ') AS wt
+      FROM {table}
+    ),
+    d AS (
+      SELECT doc_id, {block_col + "," if block_col else ""}
+             CASE WHEN len(wt) >= {k} THEN
+               list_distinct(list_transform(range(len(wt)-{k - 1}),
+                 i -> {" || ' ' || ".join(f"wt[i+{j + 1}]" for j in range(k))}))
+             ELSE [array_to_string(wt, ' ')] END AS sh
+      FROM w
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+             AS containment
+    FROM d a JOIN d b ON a.doc_id <> b.doc_id {blk}
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+          >= {threshold!r}
+    """

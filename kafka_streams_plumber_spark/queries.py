@@ -6973,6 +6973,19 @@ def q_source_overlap(spark, sf_dir):
     return SS.source_overlap_matrix(d, threshold=0.85)
 
 
+@query("q_containment", SS.containment_oracle_sql(threshold=0.8))
+def q_containment(spark, sf_dir):
+    """Directed shingle-containment pairs at C(a->b) >= 0.8
+    (operators/setsim.py:containment_join) — the asymmetric companion to
+    q_setsim: a short doc quoted whole inside a long one has containment
+    ~1 but tiny Jaccard, so the symmetric dedup passes never flag it.
+    Exact via asymmetric prefix filtering (a's rarest shingles probe b's
+    full sets); the oracle is the quadratic directed ground truth over
+    the identical k=3 shingle construction."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return SS.containment_join(d, threshold=0.8)
+
+
 @query(
     "q_ab_test",
     """

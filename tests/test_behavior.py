@@ -262,6 +262,70 @@ def test_source_overlap_matrix_counts_cross_source_pairs(spark):
     assert got[("web", "web")] == (1, 1, 1)
 
 
+def test_containment_join_finds_quote_inclusion_bruteforce(spark):
+    from kafka_streams_plumber_spark.operators.setsim import containment_join
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (1, quote),
+        # doc 1 quoted whole inside a much longer doc: C(1->2)=1.0 while
+        # Jaccard is small — the pair the symmetric passes never flag
+        (2, "intro words here " + quote + " and a long tail of extra "
+            "commentary that dilutes the jaccard far below threshold"),
+        (3, "completely different content about other things entirely"),
+        (4, quote),  # exact dup of 1: containment 1.0 both directions
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.8
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["containment"])
+        for r in containment_join(df, threshold=t).collect()
+    }
+
+    def sh(s, k=3):
+        w = s.lower().split(" ")
+        return (
+            {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+            if len(w) >= k
+            else {" ".join(w)}
+        )
+
+    sets = {i: sh(s) for i, s in docs}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            c = inter / len(sets[a])
+            if c >= t:
+                want[(a, b)] = (inter, round(c, 6))
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][1] == 1.0  # the quote inclusion
+    assert (2, 1) not in got  # asymmetric: the long doc is not contained
+    assert (1, 4) in got and (4, 1) in got  # exact dup, both directions
+
+
+def test_containment_join_respects_block_col(spark):
+    from kafka_streams_plumber_spark.operators.setsim import containment_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "web"),
+            (2, "a b c d e f", "books"),  # identical but different block
+            (3, "a b c d e f", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_join(
+            docs, threshold=0.9, block_col="source"
+        ).collect()
+    }
+    assert got == {(1, 3), (3, 1)}
+
+
 def test_pmi_null_text_does_not_skew_totals(spark):
     # size(NULL) is -1 under non-ANSI Spark; the shared tokenizer must
     # map NULL text to an EMPTY array so token totals match the oracle
