@@ -1157,3 +1157,115 @@ def lang_mix(
         F.round(frac, 6).alias("majority_frac"),
         ((F.col("n_langs") > 1) & (frac < majority_threshold)).alias("mixed"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    checkpoints: int = 100,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: OLS of ``ln V ~ ln N`` over the
+    corpus read in ``id_col`` order, where after ``N`` total tokens the
+    distinct vocabulary is ``V``. Returns ONE row
+    ``(beta, k, r2, n_points, total_tokens, vocab)`` (6 dp):
+    ``V ~= k * N^beta``.
+
+    Natural corpora run beta ~ 0.4-0.6. A beta near 1 means vocabulary
+    grows as fast as the corpus — OCR noise, random ids, bad tokenization;
+    a beta near 0 means vocabulary has collapsed — templated/looped text.
+    Together with :func:`zipf_fit` this is the standard two-probe corpus
+    health check, and the fitted curve predicts vocabulary (embedding
+    table) size at 100 TB from a small prefix.
+
+    Scale design: the growth curve is evaluated at ``checkpoints``
+    (default 100) evenly-spaced points of the doc ordering, NOT per doc:
+    the global doc rank comes from ordering.rank_by (range exchange, no
+    single-task window), each token's FIRST checkpoint is one
+    map-combinable min-aggregate, and the running (tokens, vocab) sums
+    plus the OLS moments live on the O(checkpoints) frame. Doubles are
+    summed as scaled longs so the fit is partition-order-insensitive and
+    replayable in SQL."""
+    from kafka_streams_plumber_spark.operators.ordering import rank_by
+
+    G = int(checkpoints)
+    if G < 2:
+        raise ValueError("checkpoints must be >= 2")
+
+    toks_arr = F.filter(
+        F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), "[ \\t\\n\\r]+"),
+        lambda t: t != F.lit(""),
+    )
+    d = df.select(F.col(id_col).alias("_id"), toks_arr.alias("_toks"))
+    ranked = rank_by(d, ["_id"], pos_col="_r0")
+    total = ranked.agg(F.count("*").alias("_d"))
+    ck = F.least(
+        F.lit(G).cast("long"),
+        F.floor((F.col("_r0") * G) / F.col("_d")).cast("long") + 1,
+    )
+    c = ranked.crossJoin(F.broadcast(total)).select(
+        ck.alias("_ck"), F.size("_toks").alias("_nt"), "_toks"
+    )
+
+    first = (
+        c.select("_ck", F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.min("_ck").alias("_fr"))
+        .groupBy("_fr")
+        .agg(F.count("*").alias("_nw"))
+    )
+    per_ck = c.groupBy("_ck").agg(F.sum("_nt").alias("_tc"))
+    spine = per_ck.join(
+        first.withColumnRenamed("_fr", "_ck"), "_ck", "left"
+    ).select("_ck", "_tc", F.coalesce("_nw", F.lit(0)).alias("_nw"))
+
+    # running sums over the O(checkpoints) frame — bounded window
+    w = Window.orderBy("_ck").rowsBetween(Window.unboundedPreceding, 0)
+    cum = spine.select(
+        F.sum("_tc").over(w).alias("_n"), F.sum("_nw").over(w).alias("_v")
+    ).where((F.col("_n") > 0) & (F.col("_v") > 0))
+
+    x = F.log(F.col("_n").cast("double"))
+    y = F.log(F.col("_v").cast("double"))
+
+    def sl(e):  # scaled-long term (order-proof double sums)
+        return F.sum(F.round(e * scale, 0).cast("long")).cast("double") / scale
+
+    m = cum.agg(
+        F.count("*").cast("double").alias("n"),
+        sl(x).alias("sx"),
+        sl(y).alias("sy"),
+        sl(x * y).alias("sxy"),
+        sl(x * x).alias("sxx"),
+        sl(y * y).alias("syy"),
+        F.max("_n").alias("total_tokens"),
+        F.max("_v").alias("vocab"),
+    )
+    slope = (m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    out = m.select(
+        slope.alias("_b"),
+        F.exp((F.col("sy") - slope * F.col("sx")) / m["n"]).alias("_k"),
+        (
+            (m["n"] * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (m["n"] * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (m["n"] * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (m["n"] * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("_r2"),
+        m["n"].cast("long").alias("n_points"),
+        "total_tokens",
+        "vocab",
+    )
+    return out.select(
+        F.round("_b", 6).alias("beta"),
+        F.round("_k", 6).alias("k"),
+        F.round("_r2", 6).alias("r2"),
+        "n_points",
+        "total_tokens",
+        "vocab",
+    )

@@ -6234,6 +6234,82 @@ def q_zipf(spark, sf_dir):
 
 
 @query(
+    "q_heaps",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '[ \t\n\r]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    r AS (
+      SELECT toks, row_number() OVER (ORDER BY doc_id) - 1 AS r0,
+             count(*) OVER () AS dd
+      FROM d
+    ),
+    c AS (
+      SELECT least(100, CAST(floor(r0 * 100 / dd) AS BIGINT) + 1) AS ck,
+             len(toks) AS nt, toks
+      FROM r
+    ),
+    firsts AS (
+      SELECT min(ck) AS fr
+      FROM (SELECT ck, unnest(toks) AS tok FROM c) GROUP BY tok
+    ),
+    news AS (SELECT fr AS ck, count(*) AS nw FROM firsts GROUP BY fr),
+    spine AS (
+      SELECT t.ck, t.tc, coalesce(n.nw, 0) AS nw
+      FROM (SELECT ck, sum(nt) AS tc FROM c GROUP BY ck) t
+      LEFT JOIN news n ON n.ck = t.ck
+    ),
+    cum AS (
+      SELECT sum(tc) OVER (ORDER BY ck) AS nn,
+             sum(nw) OVER (ORDER BY ck) AS vv
+      FROM spine
+    ),
+    pts AS (
+      SELECT nn, vv, ln(CAST(nn AS DOUBLE)) AS x, ln(CAST(vv AS DOUBLE)) AS y
+      FROM cum WHERE nn > 0 AND vv > 0
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n,
+        CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sx,
+        CAST(sum(CAST(round(y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sy,
+        CAST(sum(CAST(round(x * y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sxy,
+        CAST(sum(CAST(round(x * x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sxx,
+        CAST(sum(CAST(round(y * y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS syy,
+        max(nn) AS total_tokens, max(vv) AS vocab
+      FROM pts
+    )
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n), 6) AS k,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(vocab AS BIGINT) AS vocab
+    FROM m
+    """,
+)
+def q_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth probe (operators/text.py:heaps_fit):
+    V ~= k * N^beta fitted over 100 evenly-spaced checkpoints of the
+    doc_id-ordered corpus. Token first-occurrence checkpoints are one
+    map-combinable min aggregate; running sums and the scaled-long OLS
+    moments live on the O(checkpoints) frame — rank, checkpoints,
+    first-occurrences, cumsums, and the closed-form fit all replayed
+    exactly in SQL. Complements q_zipf as the second standard corpus
+    health law, and predicts embedding-table vocabulary at 100 TB from
+    a prefix."""
+    from kafka_streams_plumber_spark.operators.text import heaps_fit
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return heaps_fit(d)
+
+
+@query(
     "q_fim",
     """
     SELECT doc_id, is_fim,

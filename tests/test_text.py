@@ -424,3 +424,46 @@ def test_content_chunks_edit_is_local(spark):
     # the tail of the document re-synchronizes: most chunks survive
     assert len(shared) >= max(1, len(h1) - 3)
     assert h1 != h2  # the edited chunk itself differs
+
+
+def test_heaps_fit_regimes(spark):
+    """beta ~ 1 when every token is new; beta ~ 0 when vocabulary is
+    exhausted immediately; natural Zipf-ish text lands in between."""
+    from kafka_streams_plumber_spark.operators.text import heaps_fit
+
+    # all-unique tokens: V == N at every checkpoint -> beta == 1, k == 1
+    uniq = [(i, " ".join(f"u{i}_{j}" for j in range(10))) for i in range(60)]
+    df = spark.createDataFrame(uniq, "doc_id long, text string")
+    r = heaps_fit(df, checkpoints=10).collect()[0]
+    assert abs(r["beta"] - 1.0) < 1e-6 and abs(r["k"] - 1.0) < 1e-6
+    assert r["total_tokens"] == 600 and r["vocab"] == 600
+    assert r["n_points"] == 10
+
+    # one-word corpus: V stuck at 1 -> beta == 0
+    flat = [(i, "same same same same") for i in range(60)]
+    df = spark.createDataFrame(flat, "doc_id long, text string")
+    r = heaps_fit(df, checkpoints=10).collect()[0]
+    assert abs(r["beta"]) < 1e-6 and r["vocab"] == 1
+
+    # sublinear growth: doc i introduces ~sqrt-spaced novelty
+    mixed = [
+        (i, " ".join(f"w{(i * j) % (3 * (i + 1))}" for j in range(20)))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(mixed, "doc_id long, text string")
+    r = heaps_fit(df, checkpoints=20).collect()[0]
+    assert 0.05 < r["beta"] < 0.95
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_heaps_fit_checkpoint_invariants(spark):
+    """Totals are checkpoint-count-invariant; empty/NULL docs count
+    zero tokens; n_points never exceeds requested checkpoints."""
+    from kafka_streams_plumber_spark.operators.text import heaps_fit
+
+    rows = [(1, "a b c"), (2, None), (3, ""), (4, "a b d e"), (5, "f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for g in (2, 5, 100):
+        r = heaps_fit(df, checkpoints=g).collect()[0]
+        assert r["total_tokens"] == 8 and r["vocab"] == 6
+        assert r["n_points"] <= g
