@@ -777,3 +777,69 @@ def render_dialogues(
         rendered.alias("dialogue"),
         F.size("_seq").cast("long").alias("n_turns"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    *,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Market-basket association rules over per-key item sets: for every
+    directed item pair (a -> b) co-occurring in at least
+    ``min_pair_count`` baskets, returns
+    ``(antecedent, consequent, n_both, n_ante, n_cons, support,
+    confidence, lift)`` — ``support = P(a,b)``, ``confidence = P(b|a)``,
+    ``lift = P(b|a) / P(b)`` over the basket (key) universe.
+
+    The behavioral companion to collocate.pmi_bigrams: PMI measures
+    within-document adjacency, this measures across-event-stream
+    co-occurrence ("users who did X also did Y") — the standard
+    cross-sell / next-action mining primitive, and in a training-data
+    pipeline the label-co-occurrence probe that flags leaky or redundant
+    event vocabularies.
+
+    Scale design: baskets collapse to the distinct (key, item) grain
+    first (one map-combinable distinct), so the self-join fan-out per
+    key is |basket|^2 <= |item domain|^2 — bounded by the item
+    vocabulary (event types, categories), never by event volume. Item
+    supports are one aggregate broadcast back onto the O(items^2) pair
+    frame; the basket-universe count rides the same broadcast. All
+    ratios are single double divisions of exact longs (6 dp).
+    """
+    basket = df.select(
+        F.col(key_col).alias("_k"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_keys = basket.agg(F.countDistinct("_k").alias("_nk"))
+    item_n = basket.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._k") == F.col("b._k")) & (F.col("a._i") != F.col("b._i")))
+        .groupBy(F.col("a._i").alias("_ia"), F.col("b._i").alias("_ib"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= int(min_pair_count))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(item_n.withColumnRenamed("_i", "_ia").withColumnRenamed("_ni", "n_ante")),
+            "_ia",
+        )
+        .join(
+            F.broadcast(item_n.withColumnRenamed("_i", "_ib").withColumnRenamed("_ni", "n_cons")),
+            "_ib",
+        )
+        .crossJoin(F.broadcast(n_keys))
+    )
+    conf = F.col("n_both") / F.col("n_ante")
+    return out.select(
+        F.col("_ia").alias("antecedent"),
+        F.col("_ib").alias("consequent"),
+        "n_both",
+        "n_ante",
+        "n_cons",
+        F.round(F.col("n_both") / F.col("_nk"), 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / (F.col("n_cons") / F.col("_nk")), 6).alias("lift"),
+    )

@@ -8955,6 +8955,55 @@ def q_dialogue(spark, sf_dir):
 
 
 # =========================================================================
+# Round-5 wave: corpus-health laws, asymmetric dedup, basket mining
+# =========================================================================
+
+
+@query(
+    "q_assoc",
+    """
+    WITH basket AS (
+      SELECT DISTINCT user_id AS k, event_type AS i FROM events
+    ),
+    nk AS (SELECT count(DISTINCT k) AS nk FROM basket),
+    item_n AS (SELECT i, count(*) AS ni FROM basket GROUP BY i),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib, count(*) AS n_both
+      FROM basket a JOIN basket b ON a.k = b.k AND a.i <> b.i
+      GROUP BY 1, 2
+    )
+    SELECT ia AS antecedent, ib AS consequent,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(na.ni AS BIGINT) AS n_ante,
+           CAST(nc.ni AS BIGINT) AS n_cons,
+           round(n_both / CAST(nk.nk AS DOUBLE), 6) AS support,
+           round(n_both / CAST(na.ni AS DOUBLE), 6) AS confidence,
+           round((n_both / CAST(na.ni AS DOUBLE))
+                 / (nc.ni / CAST(nk.nk AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN item_n na ON na.i = ia
+    JOIN item_n nc ON nc.i = ib
+    CROSS JOIN nk
+    WHERE n_both >= 5
+    """,
+)
+def q_assoc(spark, sf_dir):
+    """Market-basket association rules over user event baskets
+    (operators/behavior.py:association_rules): directed
+    support/confidence/lift per event-type pair — the "users who did X
+    also did Y" mining primitive. Baskets collapse to the distinct
+    (user, type) grain before the self-join, so fan-out is bounded by
+    the event-type vocabulary, never event volume; supports and the
+    basket-universe count ride broadcasts onto the O(types^2) frame."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        association_rules,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return association_rules(e, "user_id", "event_type", min_pair_count=5)
+
+
+# =========================================================================
 # Registry ordering
 # =========================================================================
 #

@@ -575,3 +575,41 @@ def test_active_user_metrics_hand_computed(spark):
     assert out[d1]["stickiness"] == 0.5
     # the skipped day emits no row
     assert d0 + 2 not in out
+
+
+def test_association_rules_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.behavior import (
+        association_rules,
+    )
+
+    # baskets: u1={x,y}, u2={x,y}, u3={x}, u4={y,z} -> N=4 keys
+    events = spark.createDataFrame(
+        [
+            (1, "x"), (1, "y"), (1, "x"),  # duplicate event collapses
+            (2, "x"), (2, "y"),
+            (3, "x"),
+            (4, "y"), (4, "z"),
+        ],
+        "user_id long, event_type string",
+    )
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_both"], r["n_ante"], r["n_cons"],
+            r["support"], r["confidence"], r["lift"],
+        )
+        for r in association_rules(events).collect()
+    }
+    # x->y: both=2, n(x)=3, n(y)=3; conf=2/3, lift=(2/3)/(3/4)=8/9
+    assert got[("x", "y")] == (2, 3, 3, 0.5, round(2 / 3, 6), round(8 / 9, 6))
+    # y->x symmetric counts, same lift
+    assert got[("y", "x")] == (2, 3, 3, 0.5, round(2 / 3, 6), round(8 / 9, 6))
+    # z->y: both=1, n(z)=1, conf=1.0, lift=1/(3/4)=4/3
+    assert got[("z", "y")] == (1, 1, 3, 0.25, 1.0, round(4 / 3, 6))
+    assert ("x", "z") not in got  # never co-occur
+
+    # min_pair_count prunes singleton pairs
+    pruned = {
+        (r["antecedent"], r["consequent"])
+        for r in association_rules(events, min_pair_count=2).collect()
+    }
+    assert pruned == {("x", "y"), ("y", "x")}
