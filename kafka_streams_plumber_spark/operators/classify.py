@@ -367,3 +367,59 @@ def calibration_report(
             ),
         )
     )
+
+
+def agreement_report(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Inter-rater agreement between two label columns: ONE row
+    ``(n, n_agree, po, pe, kappa)`` — observed agreement, chance
+    agreement, and Cohen's kappa.
+
+    The labeled-data QA gate: run it on (human label, second human
+    label) to audit annotation quality, or on (label, heuristic
+    classifier) to decide whether a cheap gate can replace an expensive
+    one — q_langid_eval's confusion matrix reduced to the one number
+    reviewers compare. kappa ~ 0 means the raters agree no more than
+    chance; > 0.8 is conventionally "strong".
+
+    Exactness: po = n_agree/n and pe = sum_c(nA_c * nB_c) / n^2 are
+    computed from exact long counts — pe's numerator is an INTEGER sum
+    of marginal products (never a float accumulation over classes), so
+    the result is partition-order-proof and replayable in SQL. NULL
+    labels form their own marginal class but never count as agreement
+    (NULL == NULL is not agreement — an unlabeled row is not evidence).
+    kappa is NULL when pe == 1 (both raters constant: undefined).
+
+    Scale: one map-combinable count aggregate over the data plus two
+    O(classes) marginal aggregates joined at the class grain.
+    """
+    base = df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum((F.col("_a") == F.col("_b")).cast("long")), F.lit(0)
+        ).alias("n_agree"),
+    )
+    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_na"))
+    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_nb"))
+    pe_num = (
+        ma.join(mb, ma["_a"].eqNullSafe(mb["_b"]))
+        .agg(F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0)).alias("_pe_num"))
+    )
+    po = F.col("n_agree") / F.col("n")
+    pe = F.col("_pe_num") / (F.col("n") * F.col("n"))
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n",
+            "n_agree",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6).alias(
+                "kappa"
+            ),
+        )
+    )

@@ -9003,6 +9003,69 @@ def q_assoc(spark, sf_dir):
     return association_rules(e, "user_id", "event_type", min_pair_count=5)
 
 
+@query(
+    "q_kappa",
+    """
+    WITH pred AS (
+      SELECT lang,
+        CASE WHEN best = 0 THEN 'und'
+             WHEN en = best THEN 'en'
+             WHEN de = best THEN 'de'
+             ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT lang, en, de, fr, greatest(en, de, fr) AS best
+        FROM (
+          SELECT lang,
+            len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+            len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+            len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('le','la','les','et','est','un','une','pas'))) AS fr
+          FROM documents
+        )
+      )
+    ),
+    tot AS (
+      SELECT count(*) AS n,
+             coalesce(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END), 0)
+               AS n_agree
+      FROM pred
+    ),
+    ma AS (SELECT lang AS c, count(*) AS na FROM pred GROUP BY 1),
+    mb AS (SELECT pred_lang AS c, count(*) AS nb FROM pred GROUP BY 1),
+    pe AS (
+      SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
+      FROM ma JOIN mb ON ma.c IS NOT DISTINCT FROM mb.c
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+           round(n_agree / CAST(n AS DOUBLE), 6) AS po,
+           round(pe_num / CAST(n * n AS DOUBLE), 6) AS pe,
+           round((n_agree / CAST(n AS DOUBLE)
+                  - pe_num / CAST(n * n AS DOUBLE))
+                 / nullif(1.0 - pe_num / CAST(n * n AS DOUBLE), 0.0), 6)
+             AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def q_kappa(spark, sf_dir):
+    """Cohen's kappa between the corpus's labeled lang and the stopword
+    heuristic classifier (operators/classify.py:agreement_report over
+    text.lang_id) — q_langid_eval's confusion matrix reduced to the one
+    chance-corrected number that decides whether the cheap gate can
+    stand in for labels. pe's numerator is an integer sum of marginal
+    products (no float accumulation over classes); every division is a
+    single double op replayed verbatim in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        agreement_report,
+    )
+    from kafka_streams_plumber_spark.operators.text import lang_id
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pred = d.select("lang", lang_id("text").alias("pred_lang"))
+    return agreement_report(pred, "lang", "pred_lang")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -139,3 +139,55 @@ def test_calibration_report_bins_guard(spark):
     df = spark.createDataFrame([(0.5, 1)], "p double, y int")
     with _pt.raises(ValueError):
         calibration_report(df, "p", "y", bins=1)
+
+
+def test_agreement_report_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.classify import (
+        agreement_report,
+    )
+
+    # classic kappa example: 2 raters, 2 classes
+    # a=yes,b=yes: 20 | a=yes,b=no: 5 | a=no,b=yes: 10 | a=no,b=no: 15
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = agreement_report(df, "a", "b").collect()[0]
+    # po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    assert r["n"] == 50 and r["n_agree"] == 35
+    assert r["po"] == 0.7 and r["pe"] == 0.5
+    assert abs(r["kappa"] - 0.4) < 1e-9
+
+
+def test_agreement_report_edges(spark):
+    from kafka_streams_plumber_spark.operators.classify import (
+        agreement_report,
+    )
+
+    # both raters constant and equal: pe = 1 -> kappa NULL
+    df = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    r = agreement_report(df, "a", "b").collect()[0]
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+
+    # NULLs are marginal classes but never agreement
+    df = spark.createDataFrame(
+        [("x", "x"), (None, None), ("x", None)], "a string, b string"
+    )
+    r = agreement_report(df, "a", "b").collect()[0]
+    assert r["n"] == 3 and r["n_agree"] == 1
+    # marginals: a: x=2, NULL=1; b: x=1, NULL=2 -> pe=(2*1 + 1*2)/9
+    assert r["pe"] == round(4 / 9, 6)
+
+
+def test_agreement_report_perfect_disagreement(spark):
+    from kafka_streams_plumber_spark.operators.classify import (
+        agreement_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b")] * 5 + [("b", "a")] * 5, "a string, b string"
+    )
+    r = agreement_report(df, "a", "b").collect()[0]
+    # po = 0, pe = 0.5 -> kappa = -1 (systematic disagreement)
+    assert r["po"] == 0.0 and abs(r["kappa"] + 1.0) < 1e-9
