@@ -319,3 +319,85 @@ def categorical_stability(
         ).alias("psi"),
         F.count("*").alias("n_categories"),
     )
+
+
+def jsd_matrix(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-group value
+    distributions: for every unordered group pair, ``JSD(P_a || P_b)``
+    in bits (log2 — bounded [0, 1]) over the GLOBAL value support
+    (values absent from both groups of a pair contribute 0). Returns
+    ``(group_a, group_b, jsd, n_values)`` with ``group_a < group_b``;
+    ``n_values`` is the global distinct-value support.
+
+    The symmetric, always-finite companion to population_stability's
+    PSI: PSI blows up on empty bins (needs smoothing) and is a
+    two-snapshot drift score; JSD is a metric-like (its sqrt is a true
+    metric) ALL-PAIRS comparison — "which sources speak the same
+    distribution" for mixture design, and a cheap proxy for which
+    corpus buckets are redundant before expensive dedup.
+
+    Scale design: value counts are one map-combinable aggregate; the
+    (group x value) probability spine is built once and self-joined on
+    the value key, so the pair frame is O(groups^2 x values) — bounded
+    by vocabulary sizes, never data volume. Per-value JSD terms are
+    summed as scaled longs (9 dp), so the per-pair total is
+    partition-order-proof and replayable in SQL; probabilities are
+    single divisions of exact longs.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).where(F.col(value_col).isNotNull())
+    counts = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("_g").agg(F.sum("_c").alias("_t"))
+    # (group x value) spine: a value absent from a group carries
+    # probability 0 there (its term stays finite — that's JSD's point).
+    # A plain value-key join would silently drop those rows — the other
+    # group's rows still match the value, so no outer row appears.
+    groups = counts.select("_g").distinct()
+    values = counts.select("_v").distinct()
+    p = (
+        values.crossJoin(F.broadcast(groups))
+        .join(counts, ["_g", "_v"], "left")
+        .join(F.broadcast(totals), "_g")
+        .select(
+            "_g",
+            "_v",
+            (F.coalesce(F.col("_c"), F.lit(0)) / F.col("_t")).alias("_p"),
+        )
+    )
+
+    a = p.select(
+        F.col("_g").alias("group_a"), "_v", F.col("_p").alias("_pa")
+    )
+    b = p.select(
+        F.col("_g").alias("group_b"), "_v", F.col("_p").alias("_pb")
+    )
+    joined = a.join(b, "_v").where(F.col("group_a") < F.col("group_b"))
+    pa, pb = F.col("_pa"), F.col("_pb")
+    m = (pa + pb) / 2
+    term = (
+        F.when(pa > 0, 0.5 * pa * F.log2(pa / m)).otherwise(F.lit(0.0))
+        + F.when(pb > 0, 0.5 * pb * F.log2(pb / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        joined.groupBy("group_a", "group_b")
+        .agg(
+            (
+                F.sum(F.round(term * scale, 0).cast("long")).cast("double")
+                / scale
+            ).alias("_jsd"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            F.round("_jsd", 6).alias("jsd"),
+            "n_values",
+        )
+    )

@@ -9066,6 +9066,62 @@ def q_kappa(spark, sf_dir):
     return agreement_report(pred, "lang", "pred_lang")
 
 
+@query(
+    "q_jsd",
+    """
+    WITH base AS (
+      SELECT source AS g,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS v
+      FROM documents
+    ),
+    counts AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+    totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY 1),
+    spine AS (
+      SELECT gs.g, vs.v
+      FROM (SELECT DISTINCT g FROM counts) gs,
+           (SELECT DISTINCT v FROM counts) vs
+    ),
+    p AS (
+      SELECT s.g, s.v, coalesce(c.c, 0) / CAST(t.t AS DOUBLE) AS p
+      FROM spine s
+      LEFT JOIN counts c ON c.g = s.g AND c.v = s.v
+      JOIN totals t ON t.g = s.g
+    ),
+    j AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.p AS pa, b.p AS pb
+      FROM p a JOIN p b ON a.v = b.v AND a.g < b.g
+    )
+    SELECT group_a, group_b,
+           round(CAST(sum(CAST(round(
+               (CASE WHEN pa > 0
+                     THEN 0.5 * pa * log2(pa / ((pa + pb) / 2))
+                     ELSE 0.0 END
+                + CASE WHEN pb > 0
+                       THEN 0.5 * pb * log2(pb / ((pa + pb) / 2))
+                       ELSE 0.0 END) * 1000000000.0) AS BIGINT))
+             AS DOUBLE) / 1000000000, 6) AS jsd,
+           CAST(count(*) AS BIGINT) AS n_values
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q_jsd(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source token
+    distributions (operators/diff.py:jsd_matrix) — the all-pairs
+    "which sources speak the same distribution" probe for mixture
+    design, symmetric and finite where PSI needs smoothing. The
+    (group x value) spine keeps absent-value terms (probability 0 on
+    one side) in the sum; per-value terms are scaled-long summed so the
+    per-pair totals are order-proof and replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.diff import jsd_matrix
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "source", F.explode(TX.tokens_lower("text")).alias("tok")
+    )
+    return jsd_matrix(toks, "source", "tok")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

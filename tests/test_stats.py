@@ -369,3 +369,52 @@ def test_weighted_percentiles_excludes_bad_rows(spark):
     df = spark.createDataFrame(rows, "g string, v long, w long")
     r = weighted_percentiles(df, "g", "v", "w", {"p50": 0.5}).collect()[0]
     assert r["p50"] == 1  # only the two unit-weight rows count
+
+
+def test_jsd_matrix_hand_computed(spark):
+    import math
+
+    from kafka_streams_plumber_spark.operators.diff import jsd_matrix
+
+    # g1: a,a,b ; g2: a,b,b ; g3: c,c  (c absent from g1/g2, and
+    # g3 lacks a/b entirely -> disjoint support vs both)
+    rows = (
+        [("g1", "a")] * 2 + [("g1", "b")]
+        + [("g2", "a")] + [("g2", "b")] * 2
+        + [("g3", "c")] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["group_a"], r["group_b"]): (r["jsd"], r["n_values"])
+        for r in jsd_matrix(df, "g", "v").collect()
+    }
+
+    def jsd(p, q):
+        s = 0.0
+        for pa, pb in zip(p, q):
+            m = (pa + pb) / 2
+            if pa > 0:
+                s += 0.5 * pa * math.log2(pa / m)
+            if pb > 0:
+                s += 0.5 * pb * math.log2(pb / m)
+        return round(s, 6)
+
+    # support order [a, b, c]
+    assert got[("g1", "g2")][0] == jsd(
+        [2 / 3, 1 / 3, 0], [1 / 3, 2 / 3, 0]
+    )
+    # disjoint distributions hit the JSD maximum of exactly 1 bit
+    assert got[("g1", "g3")][0] == 1.0
+    assert got[("g2", "g3")][0] == 1.0
+    # every pair sees the same global support
+    assert {v[1] for v in got.values()} == {3}
+    assert len(got) == 3
+
+
+def test_jsd_matrix_identical_groups_zero(spark):
+    from kafka_streams_plumber_spark.operators.diff import jsd_matrix
+
+    rows = [("x", "a"), ("x", "b"), ("y", "a"), ("y", "b")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = jsd_matrix(df, "g", "v").collect()
+    assert len(r) == 1 and r[0]["jsd"] == 0.0
