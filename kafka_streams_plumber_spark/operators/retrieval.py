@@ -391,3 +391,97 @@ def ranking_metrics(
             F.round(F.col("_dcg") / idcg, 6).alias("ndcg"),
         )
     )
+
+
+def rbo(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    *,
+    k: int,
+    p: float = 0.9,
+    key_col: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between two
+    rankings, truncated at depth ``k``: per key,
+    ``RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A@d n B@d| / d`` —
+    top-weighted agreement in [0, 1], with persistence ``p`` setting
+    how fast attention decays down the list (p=0.9 ~ top-10 focus).
+
+    The ranker-drift monitor ranking_metrics can't provide: recall@k /
+    nDCG need relevance labels, RBO compares two SYSTEMS label-free —
+    "how much did the new BM25 config / embedding model / quality
+    ensemble actually change what surfaces at the top". Handles
+    non-conjoint lists: items present in only one ranking simply never
+    join the intersection.
+
+    Scale design: an item at ranks (ra, rb) enters every prefix
+    intersection at depth max(ra, rb), so per-depth overlap X_d is one
+    equi-join + a cumulative count over the per-key depth spine — an
+    O(k)-row bounded window per key, never a rescan of the rankings.
+    Depth terms are summed as scaled longs (9 dp), order-proof and
+    SQL-replayable. Keys appearing in only one ranking emit rbo = 0.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must be in (0, 1)")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    a = ranking_a.select(
+        F.col(key_col).alias("_k"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_ra"),
+    ).where(F.col(rank_col) <= k)
+    b = ranking_b.select(
+        F.col(key_col).alias("_k"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_rb"),
+    ).where(F.col(rank_col) <= k)
+
+    entries = (
+        a.join(b, ["_k", "_i"])
+        .select("_k", F.greatest("_ra", "_rb").alias("_d0"))
+        .groupBy("_k", "_d0")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    keys = a.select("_k").union(b.select("_k")).distinct()
+    spine = keys.select(
+        "_k", F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("_d")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    depth = (
+        spine.join(
+            entries,
+            (spine["_k"] == entries["_k"]) & (spine["_d"] == entries["_d0"]),
+            "left",
+        )
+        .select(spine["_k"], "_d", F.coalesce("_n", F.lit(0)).alias("_n"))
+        .withColumn("_x", F.sum("_n").over(w))
+    )
+    # pow is libm-implementation-dependent at the last ulp: pin it to
+    # 12 dp (the temperature_mix device) so both engines sum identical
+    # quantities
+    term = (
+        F.round(F.pow(F.lit(float(p)), F.col("_d") - 1), 12)
+        * (F.col("_x") / F.col("_d"))
+    )
+    out = depth.groupBy("_k").agg(
+        (
+            F.sum(F.round(term * scale, 0).cast("long")).cast("double")
+            / scale
+        ).alias("_s"),
+        F.max(F.when(F.col("_d") == k, F.col("_x"))).alias("overlap_at_k"),
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.round((1.0 - float(p)) * F.col("_s"), 6).alias("rbo"),
+        "overlap_at_k",
+    )

@@ -9122,6 +9122,72 @@ def q_jsd(spark, sf_dir):
     return jsd_matrix(toks, "source", "tok")
 
 
+@query(
+    "q_rbo",
+    """
+    WITH a AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents QUALIFY r <= 50
+    ),
+    b AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                                doc_id) AS r
+      FROM documents QUALIFY r <= 50
+    ),
+    e AS (
+      SELECT greatest(a.r, b.r) AS d0, count(*) AS n
+      FROM a JOIN b USING (doc_id) GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(1, 51)) AS d),
+    depth AS (
+      SELECT d, sum(coalesce(n, 0)) OVER (ORDER BY d) AS x
+      FROM spine LEFT JOIN e ON e.d0 = spine.d
+    )
+    SELECT CAST(1 AS INT) AS query_id,
+           round((1.0 - 0.9) * (CAST(sum(CAST(round(
+               round(pow(0.9, d - 1), 12) * (x / CAST(d AS DOUBLE))
+               * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000), 6)
+             AS rbo,
+           CAST(max(CASE WHEN d = 50 THEN x END) AS BIGINT) AS overlap_at_k
+    FROM depth
+    """,
+)
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap between two label-free document rankings —
+    by stored n_chars vs by split token count (operators/retrieval.py:
+    rbo, k=50, p=0.9). The ranker-drift monitor: top-weighted agreement
+    between two SYSTEMS without relevance labels, the number you watch
+    when swapping a BM25 config or quality ensemble. Ranks come from
+    the range-partitioned parallel rank; per-depth overlap is the
+    max(ra, rb) entry-depth device cumulated over the O(k) spine;
+    pow pinned to 12 dp and depth terms scaled-long summed — all
+    replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.ordering import rank_by
+    from kafka_streams_plumber_spark.operators.retrieval import rbo as _rbo
+
+    d = load_tables(spark, sf_dir)["documents"]
+    ra = rank_by(
+        d.select("doc_id", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        pos_col="_p",
+    ).select(
+        F.lit(1).alias("query_id"),
+        "doc_id",
+        (F.col("_p") + 1).alias("rank"),
+    )
+    rb = rank_by(
+        d.select("doc_id", F.size(F.split(F.col("text"), " ", -1)).alias("_n")),
+        [F.col("_n").desc(), F.col("doc_id")],
+        pos_col="_p",
+    ).select(
+        F.lit(1).alias("query_id"),
+        "doc_id",
+        (F.col("_p") + 1).alias("rank"),
+    )
+    return _rbo(ra, rb, k=50, p=0.9)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

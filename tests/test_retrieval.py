@@ -121,3 +121,73 @@ def test_relevant_by_all_terms_requires_every_term(spark):
     )
     got = {(r["query_id"], r["doc_id"]) for r in relevant_by_all_terms(docs, qs).collect()}
     assert got == {(1, 1)}  # doc 2 lacks 'fast', doc 3 lacks 'spark'
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from kafka_streams_plumber_spark.operators.retrieval import rbo
+
+    ident = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([10, 11, 12], 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    r = rbo(ident, ident, k=3, p=0.9).collect()[0]
+    # identical lists: A_d = 1 at every depth -> (1-p) * sum p^(d-1)
+    want = round(0.1 * (1 + 0.9 + 0.81), 6)
+    assert abs(r["rbo"] - want) < 1e-6 and r["overlap_at_k"] == 3
+
+    other = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([20, 21, 22], 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    r = rbo(ident, other, k=3, p=0.9).collect()[0]
+    assert r["rbo"] == 0.0 and r["overlap_at_k"] == 0
+
+
+def test_rbo_top_weighted_and_entry_depth(spark):
+    from kafka_streams_plumber_spark.operators.retrieval import rbo
+
+    # same membership, swapped top-2: item enters intersection at
+    # depth max(ra, rb) = 2, so A_1 = 0, A_2 = 1, A_3 = 1
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    r = rbo(a, b, k=3, p=0.9).collect()[0]
+    want = round(0.1 * (0.9 * (2 / 2) + 0.81 * (3 / 3)), 6)
+    assert abs(r["rbo"] - want) < 1e-6
+
+    # agreement only at the top is worth more than only at the bottom
+    top_agree = rbo(
+        a,
+        spark.createDataFrame(
+            [(1, 10, 1), (1, 21, 2), (1, 22, 3)],
+            "query_id long, doc_id long, rank long",
+        ),
+        k=3, p=0.9,
+    ).collect()[0]["rbo"]
+    bottom_agree = rbo(
+        a,
+        spark.createDataFrame(
+            [(1, 20, 1), (1, 21, 2), (1, 12, 3)],
+            "query_id long, doc_id long, rank long",
+        ),
+        k=3, p=0.9,
+    ).collect()[0]["rbo"]
+    assert top_agree > bottom_agree
+
+
+def test_rbo_key_in_one_ranking_only_emits_zero(spark):
+    from kafka_streams_plumber_spark.operators.retrieval import rbo
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (2, 10, 1)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, doc_id long, rank long"
+    )
+    got = {r["query_id"]: r["rbo"] for r in rbo(a, b, k=2, p=0.5).collect()}
+    assert got[2] == 0.0 and got[1] > 0
