@@ -246,3 +246,58 @@ def generalize_to_k(
         f"_n{j}" for j in range(n_levels)
     ] + [f"_m{j}" for j in range(n_levels)]
     return work.drop(*drop)
+
+
+def forget_subjects(
+    tables: dict[str, DataFrame],
+    subjects: DataFrame,
+    key_cols: dict[str, str],
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Right-to-be-forgotten cascade: purge every row keyed to a data
+    subject across a set of tables, with a per-table audit trail.
+
+    ``subjects`` is a one-column frame of subject keys (deduplicated
+    here); ``key_cols`` maps each table name to its subject-key column.
+    Returns ``(purged, audit)``: ``purged[name]`` is the table with all
+    subject rows removed (broadcast anti-join — the subject list is
+    tiny next to the data, the fact tables never shuffle), and
+    ``audit`` is one row per table
+    ``(table, rows_before, rows_purged, rows_after)`` — the evidence a
+    deletion request was honored, computed in the same single scan per
+    table as the purge decision (one broadcast left join + one
+    map-combinable aggregate; no second pass, no driver-side counts).
+
+    NULL keys are never purged (a NULL subject key matches no request)
+    and count toward ``rows_after``.
+    """
+    scol = subjects.columns[0]
+    subj = subjects.select(F.col(scol).alias("_s")).distinct()
+
+    purged: dict[str, DataFrame] = {}
+    audits = []
+    for name, df in tables.items():
+        kc = key_cols[name]
+        purged[name] = df.join(
+            F.broadcast(subj), df[kc] == F.col("_s"), "left_anti"
+        )
+        marked = df.join(F.broadcast(subj), df[kc] == F.col("_s"), "left")
+        audits.append(
+            marked.agg(
+                F.lit(name).alias("table"),
+                F.count(F.lit(1)).alias("rows_before"),
+                F.coalesce(
+                    F.sum(F.col("_s").isNotNull().cast("long")), F.lit(0)
+                ).alias("rows_purged"),
+            ).select(
+                "table",
+                "rows_before",
+                "rows_purged",
+                (F.col("rows_before") - F.col("rows_purged")).alias(
+                    "rows_after"
+                ),
+            )
+        )
+    audit = audits[0]
+    for ad in audits[1:]:
+        audit = audit.unionByName(ad)
+    return purged, audit

@@ -9188,6 +9188,69 @@ def q_rbo(spark, sf_dir):
     return _rbo(ra, rb, k=50, p=0.9)
 
 
+@query(
+    "q_forget",
+    """
+    WITH subj AS (
+      SELECT DISTINCT c_custkey AS s FROM customer WHERE c_custkey % 97 = 0
+    ),
+    okeys AS (
+      SELECT DISTINCT o_orderkey AS s FROM orders
+      WHERE o_custkey IN (SELECT s FROM subj)
+    ),
+    raw AS (
+      SELECT 'customer' AS tbl, count(*) AS rows_before,
+             coalesce(sum(CASE WHEN c_custkey IN (SELECT s FROM subj)
+                               THEN 1 ELSE 0 END), 0) AS rows_purged
+      FROM customer
+      UNION ALL
+      SELECT 'orders', count(*),
+             coalesce(sum(CASE WHEN o_custkey IN (SELECT s FROM subj)
+                               THEN 1 ELSE 0 END), 0)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', count(*),
+             coalesce(sum(CASE WHEN l_orderkey IN (SELECT s FROM okeys)
+                               THEN 1 ELSE 0 END), 0)
+      FROM lineitem
+    )
+    SELECT tbl AS "table", CAST(rows_before AS BIGINT) AS rows_before,
+           CAST(rows_purged AS BIGINT) AS rows_purged,
+           CAST(rows_before - rows_purged AS BIGINT) AS rows_after
+    FROM raw
+    """,
+)
+def q_forget(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit (operators/privacy.py:
+    forget_subjects): purge every row keyed to the requesting subjects
+    across customer -> orders -> (second hop) their lineitems, and
+    return the per-table deletion evidence. Each table pays ONE scan —
+    the broadcast subject list drives both the anti-join purge and the
+    audit counts; the hop-2 subject list (order keys of purged
+    customers) is itself a semi-join projection, never a collect."""
+    from kafka_streams_plumber_spark.operators.privacy import (
+        forget_subjects,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cust, orders, li = t["customer"], t["orders"], t["lineitem"]
+    subj = cust.where((F.col("c_custkey") % 97) == 0).select("c_custkey")
+    _, audit1 = forget_subjects(
+        {"customer": cust, "orders": orders},
+        subj,
+        {"customer": "c_custkey", "orders": "o_custkey"},
+    )
+    okeys = orders.join(
+        F.broadcast(subj.withColumnRenamed("c_custkey", "_s2")),
+        orders["o_custkey"] == F.col("_s2"),
+        "left_semi",
+    ).select("o_orderkey")
+    _, audit2 = forget_subjects(
+        {"lineitem": li}, okeys, {"lineitem": "l_orderkey"}
+    )
+    return audit1.unionByName(audit2)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -182,3 +182,48 @@ def test_profile_single_scan(spark):
     out = profile(df)
     assert python_eval_count(out) == 0
     assert plan_string(out).count("Range") == 1
+
+
+def test_forget_subjects_purges_and_audits(spark):
+    from kafka_streams_plumber_spark.operators.privacy import (
+        forget_subjects,
+    )
+
+    users = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "uid long, name string"
+    )
+    events = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 12.0), (None, 13.0)],
+        "uid long, v double",
+    )
+    subjects = spark.createDataFrame([(1,), (1,), (99,)], "uid long")
+
+    purged, audit = forget_subjects(
+        {"users": users, "events": events},
+        subjects,
+        {"users": "uid", "events": "uid"},
+    )
+    assert {r["uid"] for r in purged["users"].collect()} == {2, 3}
+    left = purged["events"].collect()
+    # NULL keys survive (match no deletion request)
+    assert sorted(((r["uid"], r["v"]) for r in left), key=repr) == sorted(
+        [(2, 12.0), (None, 13.0)], key=repr
+    )
+    got = {
+        r["table"]: (r["rows_before"], r["rows_purged"], r["rows_after"])
+        for r in audit.collect()
+    }
+    assert got == {"users": (3, 1, 2), "events": (4, 2, 2)}
+
+
+def test_forget_subjects_unknown_subject_is_noop(spark):
+    from kafka_streams_plumber_spark.operators.privacy import (
+        forget_subjects,
+    )
+
+    df = spark.createDataFrame([(5, 1.0)], "uid long, v double")
+    subjects = spark.createDataFrame([(42,)], "uid long")
+    purged, audit = forget_subjects({"t": df}, subjects, {"t": "uid"})
+    assert purged["t"].count() == 1
+    r = audit.collect()[0]
+    assert (r["rows_before"], r["rows_purged"], r["rows_after"]) == (1, 0, 1)
