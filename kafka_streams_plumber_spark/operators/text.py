@@ -1269,3 +1269,57 @@ def heaps_fit(
         "total_tokens",
         "vocab",
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of each doc's distinct
+    word ``k``-shingles whose FIRST corpus occurrence (minimum
+    ``id_col``, i.e. corpus order) is this document. Returns
+    ``(doc_id, n_shingles, n_novel, novelty)`` (6 dp).
+
+    The duplication metric of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022) turned per-document:
+    a doc whose shingles were all seen earlier is boilerplate / a
+    near-dup / a quote even if no single earlier doc matches it
+    (cross-doc mosaic duplication that pairwise dedup can't see), and
+    sum(n_novel)/sum(n_shingles) is the corpus-level fresh-text mass.
+    Downweight or drop low-novelty docs the same way dedup_weights
+    downweights clusters.
+
+    Scale design: one shingle explode (distinct at the (doc, shingle)
+    grain), one map-combinable min-aggregate for first owners, one
+    equi-join back on the shingle key, one count rollup per doc — no
+    pairwise comparison anywhere, cost O(total shingles), the same
+    plan family as dedup.decontaminate.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), k=k)).alias("_s"),
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("_s").agg(F.min("_id").alias("_fid"))
+    per_doc = (
+        sh.join(firsts, "_s")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(
+                F.sum((F.col("_fid") == F.col("_id")).cast("long")),
+                F.lit(0),
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+    )

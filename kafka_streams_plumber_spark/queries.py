@@ -9251,6 +9251,46 @@ def q_forget(spark, sf_dir):
     return audit1.unionByName(audit2)
 
 
+@query(
+    "q_novelty",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS wt FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(wt) >= 3 THEN
+                 list_distinct(list_transform(range(len(wt)-2),
+                   i -> wt[i+1] || ' ' || wt[i+2] || ' ' || wt[i+3]))
+               ELSE [array_to_string(wt, ' ')] END) AS s
+        FROM w
+      )
+    ),
+    firsts AS (SELECT s, min(doc_id) AS fid FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(coalesce(sum(CASE WHEN fid = sh.doc_id THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_novel,
+           round(coalesce(sum(CASE WHEN fid = sh.doc_id THEN 1 ELSE 0 END),
+                          0) / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN firsts ON firsts.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def q_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (operators/text.py:ngram_novelty):
+    fraction of each doc's distinct 3-shingles first seen in that doc
+    (corpus order = doc_id) — Lee et al.'s duplication measure turned
+    into a per-doc mosaic-duplication score that pairwise dedup can't
+    see. One explode, one min-aggregate, one shingle-key join, one
+    rollup — O(total shingles), no pairwise stage."""
+    from kafka_streams_plumber_spark.operators.text import ngram_novelty
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return ngram_novelty(d)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================

@@ -467,3 +467,36 @@ def test_heaps_fit_checkpoint_invariants(spark):
         r = heaps_fit(df, checkpoints=g).collect()[0]
         assert r["total_tokens"] == 8 and r["vocab"] == 6
         assert r["n_points"] <= g
+
+
+def test_ngram_novelty_mosaic_duplication(spark):
+    """A doc stitched from two earlier docs' shingles scores ~0 novelty
+    even though neither earlier doc pairwise-matches it."""
+    from kafka_streams_plumber_spark.operators.text import ngram_novelty
+
+    d1 = "alpha beta gamma delta epsilon"
+    d2 = "one two three four five"
+    mosaic = d1 + " " + d2  # only the seam shingles are new
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, mosaic), (4, "wholly fresh new content here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(docs).collect()
+    }
+    # first docs are fully novel
+    assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0)
+    # mosaic: 8 shingles, only the 2 seam shingles are new
+    assert got[3] == (8, 2, 0.25)
+    assert got[4] == (3, 3, 1.0)
+
+
+def test_ngram_novelty_exact_dup_scores_zero(spark):
+    from kafka_streams_plumber_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["novelty"] for r in ngram_novelty(docs).collect()}
+    assert got == {1: 1.0, 2: 0.0}
