@@ -423,3 +423,69 @@ def agreement_report(
             ),
         )
     )
+
+
+def auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney rank formulation, tie-aware): ONE
+    row ``(n_pos, n_neg, n_scores, auc)``.
+
+    The classifier-eval headline number for every quality/domain gate
+    this engine trains (nb_train, lr_train) or imports: threshold-free
+    ranking power, calibration-insensitive where calibration_report is
+    calibration-only. AUC = P(score_pos > score_neg) + 0.5 P(tie).
+
+    Exactness: ties get average ranks, computed WITHOUT float rank
+    averaging — per distinct score the doubled rank-sum contribution is
+    ``n_pos_s * (first_s + last_s)`` (integers from cumulative counts),
+    so ``AUC = (sum - n_pos*(n_pos+1)) / (2*n_pos*n_neg)`` is a single
+    division of exact longs. NULL scores/labels are dropped.
+
+    Scale design: scores collapse to the distinct-score grain first
+    (one map-combinable aggregate), and the cumulative-count window
+    runs on that O(distinct scores) frame. Raw model scores are
+    continuous — pass ``round_scores`` (e.g. 6) to quantize them first,
+    bounding the frame at 100 TB; the rounding is part of the metric
+    definition then (standard practice, and the error is bounded by the
+    quantum). AUC is NULL when either class is empty.
+    """
+    s = F.col(score_col).cast("double")
+    if round_scores is not None:
+        s = F.round(s, int(round_scores))
+    base = df.select(
+        s.alias("_s"), F.col(label_col).cast("boolean").alias("_y")
+    ).where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+
+    per_score = base.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum(F.col("_y").cast("long")), F.lit(0)).alias("_np"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_score.withColumn("_cum", F.sum("_n").over(w))
+    # doubled rank-sum of positives: first+last of the tie block
+    contrib = F.col("_np") * (
+        (F.col("_cum") - F.col("_n") + 1) + F.col("_cum")
+    )
+    tot = ranked.agg(
+        F.coalesce(F.sum("_np"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum(F.col("_n") - F.col("_np")), F.lit(0)).alias(
+            "n_neg"
+        ),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.coalesce(F.sum(contrib), F.lit(0)).alias("_r2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.round(
+            (F.col("_r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / F.nullif(2 * F.col("n_pos") * F.col("n_neg"), F.lit(0)),
+            6,
+        ).alias("auc"),
+    )

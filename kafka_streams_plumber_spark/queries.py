@@ -9291,6 +9291,51 @@ def q_novelty(spark, sf_dir):
     return ngram_novelty(d)
 
 
+@query(
+    "q_auc",
+    """
+    WITH base AS (
+      SELECT round(value, 6) AS s, (event_type = 'purchase') AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per AS (
+      SELECT s, count(*) AS n,
+             coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0) AS np
+      FROM base GROUP BY s
+    ),
+    r AS (SELECT *, sum(n) OVER (ORDER BY s) AS cum FROM per),
+    tot AS (
+      SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+             CAST(coalesce(sum(n - np), 0) AS BIGINT) AS n_neg,
+             CAST(count(*) AS BIGINT) AS n_scores,
+             CAST(coalesce(sum(np * ((cum - n + 1) + cum)), 0) AS BIGINT)
+               AS r2
+      FROM r
+    )
+    SELECT n_pos, n_neg, n_scores,
+           round((r2 - n_pos * (n_pos + 1))
+                 / CAST(nullif(2 * n_pos * n_neg, 0) AS DOUBLE), 6) AS auc
+    FROM tot
+    """,
+)
+def q_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC (operators/classify.py:auc): does event
+    value rank purchases above other events? The threshold-free eval
+    number for every quality/domain gate. Ties get average ranks via
+    the integer first+last device (no float rank averaging); the
+    cumulative window runs on the distinct-score frame (6-dp quantized
+    — the 100 TB bound); the final AUC is one division of exact
+    longs, replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import auc
+
+    e = load_tables(spark, sf_dir)["events"]
+    scored = e.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return auc(scored, "score", "label", round_scores=6)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -9317,15 +9362,17 @@ def q_novelty(spark, sf_dir):
 # oracled surface. The 35 queries that have never had a driver hash row
 # (the full r3-leftover + r4-wave queue — computed this round as
 # ORACLES minus the union of CORRECTNESS_r01..r04 hash_match names)
-# all promote at once; the remaining 15 slots re-prove (a) the queries
+# all promote at once; the remaining 15 slots hold (a) the queries
 # whose implementation or oracle changed this session (dedup_simhash —
 # guaranteed 8x8 banding; q_semantic_auto — newly oracled via the
-# adaptive plane-count device; q_rfm — fused rank exchange) and (b) the
-# heaviest families as regression sentinels (semantic dedup both paths,
-# k-means/centroids, minhash dedup end-to-end, LM scoring, ANN,
-# percentiles, graph, TPC-H Q1). After this round every oracled query
-# has been driver-hash-proven at least once (169 + 35 = 204 of 204
-# pre-r5 oracles, plus q_semantic_auto newly oracled = 205).
+# adaptive plane-count device; q_rfm — fused rank exchange), (b) the
+# EIGHT round-5-wave queries written this session (containment join,
+# Heaps' law, association rules, Cohen's kappa, JSD matrix, RBO,
+# forget-cascade, n-gram novelty) so every new oracle gets its first
+# driver hash immediately, and (c) four heavy-family regression
+# sentinels already hashed in r01-r04. After this round every oracled
+# query has been driver-hash-proven at least once (169 + 35 never-
+# hashed + 8 new + q_semantic_auto = all 213 oracles).
 _GATE_WINDOW = [
     # --- the 35 never-driver-hashed oracled queries ---
     "q_semantic_decon",
@@ -9363,22 +9410,24 @@ _GATE_WINDOW = [
     "q_dp_stats",
     "q_expectations",
     "q_profile",
-    # --- changed-this-session + heavy-family re-proves ---
+    # --- changed-this-session (banding / new oracle / fused rank) ---
     "dedup_simhash",
     "q_semantic_auto",
-    "q_semantic_keep_lsh",
-    "q_semantic_keep",
-    "q_kmeans",
-    "q_centroids",
-    "dedup_minhash",
-    "q_dedup_keep",
     "q_rfm",
-    "q_lm_ppl",
-    "sim_ann_lsh",
-    "q_percentiles",
-    "q_lpa",
-    "q_kcore",
-    "q1_pricing",
+    # --- the round-5 wave: brand-new oracled queries, first hashing ---
+    "q_containment",
+    "q_heaps",
+    "q_assoc",
+    "q_kappa",
+    "q_jsd",
+    "q_rbo",
+    "q_forget",
+    "q_novelty",
+    "q_auc",
+    # --- heavy-family regression sentinels (hashed in r01-r04) ---
+    "q_semantic_keep_lsh",
+    "q_kmeans",
+    "dedup_minhash",
 ]
 
 

@@ -191,3 +191,58 @@ def test_agreement_report_perfect_disagreement(spark):
     r = agreement_report(df, "a", "b").collect()[0]
     # po = 0, pe = 0.5 -> kappa = -1 (systematic disagreement)
     assert r["po"] == 0.0 and abs(r["kappa"] + 1.0) < 1e-9
+
+
+def test_auc_hand_computed_with_ties(spark):
+    from kafka_streams_plumber_spark.operators.classify import auc
+
+    # scores: neg at 0.1, pos+neg tied at 0.5, pos at 0.9
+    rows = [(0.1, False), (0.5, True), (0.5, False), (0.9, True)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = auc(df, "score", "label").collect()[0]
+    # pairs: (0.5+,0.1-)=1, (0.5+,0.5-)=0.5, (0.9+,0.1-)=1, (0.9+,0.5-)=1
+    # AUC = 3.5/4
+    assert (r["n_pos"], r["n_neg"], r["n_scores"]) == (2, 2, 3)
+    assert abs(r["auc"] - 0.875) < 1e-9
+
+
+def test_auc_perfect_random_and_inverted(spark):
+    from kafka_streams_plumber_spark.operators.classify import auc
+
+    perfect = spark.createDataFrame(
+        [(float(i), i >= 5) for i in range(10)], "score double, label boolean"
+    )
+    assert auc(perfect, "score", "label").collect()[0]["auc"] == 1.0
+
+    inverted = spark.createDataFrame(
+        [(float(-i), i >= 5) for i in range(10)], "score double, label boolean"
+    )
+    assert auc(inverted, "score", "label").collect()[0]["auc"] == 0.0
+
+    all_tied = spark.createDataFrame(
+        [(1.0, True), (1.0, False)] * 3, "score double, label boolean"
+    )
+    assert abs(auc(all_tied, "score", "label").collect()[0]["auc"] - 0.5) < 1e-9
+
+
+def test_auc_degenerate_single_class_is_null(spark):
+    from kafka_streams_plumber_spark.operators.classify import auc
+
+    df = spark.createDataFrame(
+        [(0.3, True), (0.7, True)], "score double, label boolean"
+    )
+    r = auc(df, "score", "label").collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_auc_round_scores_merges_ties(spark):
+    from kafka_streams_plumber_spark.operators.classify import auc
+
+    df = spark.createDataFrame(
+        [(0.5000001, True), (0.5000002, False), (0.1, False)],
+        "score double, label boolean",
+    )
+    sharp = auc(df, "score", "label").collect()[0]
+    merged = auc(df, "score", "label", round_scores=3).collect()[0]
+    assert sharp["auc"] == 0.5  # pos above one neg, below the other
+    assert merged["n_scores"] == 2 and abs(merged["auc"] - 0.75) < 1e-9
