@@ -9336,6 +9336,55 @@ def q_auc(spark, sf_dir):
     return auc(scored, "score", "label", round_scores=6)
 
 
+@query(
+    "q_adamic",
+    """
+    WITH raw AS (
+      SELECT o_custkey % 200 AS x, (o_custkey * 7 + o_orderkey) % 200 AS y
+      FROM orders
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE x <> y
+    ),
+    adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+    w AS (
+      SELECT a.z, a.n AS x, b.n AS y, deg.deg
+      FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+      JOIN deg ON deg.z = a.z
+    ),
+    s AS (
+      SELECT x, y, count(*) AS common_neighbors,
+             CAST(sum(CAST(round(1.0 / ln(CAST(deg AS DOUBLE))
+                                 * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000 AS aa
+      FROM w GROUP BY x, y
+    )
+    SELECT x AS node_a, y AS node_b,
+           CAST(common_neighbors AS BIGINT) AS common_neighbors,
+           round(aa, 6) AS adamic_adar
+    FROM s
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.x AND e.v = s.y)
+    """,
+)
+def q_adamic(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graph.py:adamic_adar)
+    over the deterministic q_triangles orders graph: non-adjacent node
+    pairs scored by selectivity-weighted common neighbors — the
+    recommendation / graph-completion primitive. Center-keyed wedge
+    join with an optional hub cap; 1/ln terms scaled-long summed;
+    wedges, degrees, anti-join, and the sum replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.graph import adamic_adar
+
+    o = load_tables(spark, sf_dir)["orders"]
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("a_id"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 200).alias("b_id"),
+    )
+    return adamic_adar(edges)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -9424,10 +9473,10 @@ _GATE_WINDOW = [
     "q_forget",
     "q_novelty",
     "q_auc",
+    "q_adamic",
     # --- heavy-family regression sentinels (hashed in r01-r04) ---
     "q_semantic_keep_lsh",
     "q_kmeans",
-    "dedup_minhash",
 ]
 
 

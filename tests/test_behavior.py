@@ -613,3 +613,38 @@ def test_association_rules_hand_computed(spark):
         for r in association_rules(events, min_pair_count=2).collect()
     }
     assert pruned == {("x", "y"), ("y", "x")}
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from kafka_streams_plumber_spark.operators.graph import adamic_adar
+
+    # path 1-2-3 plus hub 4 connected to 1,2,3; edge list noisy
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 1), (4, 2), (4, 3), (2, 1), (5, 5)],
+        "a_id long, b_id long",
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in adamic_adar(edges).collect()
+    }
+    # non-adjacent pairs: only (1,3) — common neighbors 2 (deg 3) and 4
+    # (deg 3): score = 2 / ln(3)
+    assert set(got) == {(1, 3)}
+    cn, aa = got[(1, 3)]
+    assert cn == 2
+    assert abs(aa - round(2 * round(1 / math.log(3), 9), 6)) < 1e-6
+
+
+def test_adamic_adar_hub_cap_drops_center(spark):
+    from kafka_streams_plumber_spark.operators.graph import adamic_adar
+
+    # star: hub 0 connected to 1..5; only the hub is a common neighbor
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a_id long, b_id long"
+    )
+    full = adamic_adar(edges).collect()
+    assert len(full) == 10  # C(5,2) leaf pairs via the hub
+    capped = adamic_adar(edges, max_degree=3).collect()
+    assert capped == []  # hub center dropped -> no wedges survive
