@@ -894,19 +894,35 @@ def benford_audit(
     sequence.
     """
     v = F.abs(F.col(value_col))
-    red = v
+    # each ladder rung is its OWN projection: building the chain as one
+    # nested Column references the child three times per level, and the
+    # inlined tree grows 3^levels — past the JVM's 64 KB codegen method
+    # limit, silently dropping the whole aggregate to interpreted mode.
+    # As separate aliased projects, codegen binds each rung to a local
+    # (CollapseProject keeps multiply-referenced non-trivial aliases).
+    work = df.filter(v >= min_value).select(v.alias("_r"))
     for p in (256, 128, 64, 32, 16):
         step = F.lit(float(10**p))
-        red = F.when(red >= step, red / step).otherwise(red)
-    red = F.when(red >= F.lit(1e12), red / F.lit(1e8)).otherwise(red)
+        work = work.select(
+            F.when(F.col("_r") >= step, F.col("_r") / step)
+            .otherwise(F.col("_r"))
+            .alias("_r")
+        )
+    work = work.select(
+        F.when(F.col("_r") >= F.lit(1e12), F.col("_r") / F.lit(1e8))
+        .otherwise(F.col("_r"))
+        .alias("_r")
+    )
     digit = F.substring(
-        F.floor(red * 1_000_000).cast("long").cast("string"), 1, 1
+        F.floor(F.col("_r") * 1_000_000).cast("long").cast("string"), 1, 1
     ).cast("int")
-    observed = (
-        df.filter(v >= min_value)
-        .groupBy(digit.alias("digit"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("digit").between(1, 9))
+    # no explicit 1..9 filter here: the left join onto the 1..9 spine
+    # below already excludes stray digits (0 can appear only when
+    # min_value < 1e-6), and a post-agg filter on the grouping column
+    # gets pushed through every ladder projection, re-inlining the CASE
+    # chain exponentially — straight past the JVM 64 KB codegen limit
+    observed = work.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     digits = (
         df.sparkSession.range(1, 10)
