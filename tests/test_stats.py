@@ -418,3 +418,40 @@ def test_jsd_matrix_identical_groups_zero(spark):
     df = spark.createDataFrame(rows, "g string, v string")
     r = jsd_matrix(df, "g", "v").collect()
     assert len(r) == 1 and r[0]["jsd"] == 0.0
+
+
+def test_quantile_normalize_maps_groups_onto_pooled(spark):
+    from kafka_streams_plumber_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    # group a runs hot (+100) but has the same shape as b; after
+    # normalization both map onto the pooled values at equal quantiles
+    rows = [(i, "a", 100.0 + i) for i in range(1, 5)] + [
+        (10 + i, "b", float(i)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "g", "v", id_col="id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append((r["v"], r["normalized"]))
+    a = [n for _, n in sorted(by_group["a"])]
+    b = [n for _, n in sorted(by_group["b"])]
+    # same within-group rank -> same pooled target
+    assert a == b
+    # pooled targets are actual pooled values, monotone in rank
+    pooled = sorted([v for v, _ in by_group["a"]] + [v for v, _ in by_group["b"]])
+    assert set(a).issubset(set(pooled)) and a == sorted(a)
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    from kafka_streams_plumber_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "only", float(i * 7 % 13)) for i in range(1, 14)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "g", "v", id_col="id").collect()
+    # one group == pooled: the map is the identity
+    assert all(r["normalized"] == r["v"] for r in out)
+    assert len(out) == 13

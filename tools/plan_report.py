@@ -114,6 +114,17 @@ AUDITED = {
     "q_fd": "(lhs,rhs)-distinct agg + O(distinct-lhs) rollup per check",
     "q_benford": "one map-combinable digit agg + an O(9) ordered frame",
     "q_dialogue": "one groupBy shuffle; per-key cost = its own event count (inherent to sequence construction)",
+    "q_containment": "asymmetric prefix-filter candidates + candidates-only verify; never all-pairs",
+    "q_heaps": "explode + map-combinable first-occurrence min; cumsums + OLS on the O(checkpoints) frame",
+    "q_assoc": "distinct-basket self-join bounded by the item vocabulary; O(types^2) output",
+    "q_kappa": "one count agg + two O(classes) marginal aggs; integer pe numerator",
+    "q_jsd": "O(groups x values) probability spine; scaled-long per-pair sums",
+    "q_rbo": "entry-depth equi-join + O(k)-bounded per-key window",
+    "q_forget": "broadcast anti-join purge; audit counts ride the same scan",
+    "q_novelty": "shingle explode + min-agg + one key join; O(total shingles), no pairwise stage",
+    "q_auc": "distinct-score collapse (6-dp quantized); cumulative window on the O(scores) frame",
+    "q_adamic": "center-keyed wedge join with hub cap; scaled-long 1/ln sums",
+    "q_qnorm": "per-group rank window + range-partitioned pooled rank + one 8-byte index equi-join",
 }
 
 
