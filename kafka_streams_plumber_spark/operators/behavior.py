@@ -843,3 +843,86 @@ def association_rules(
         F.round(conf, 6).alias("confidence"),
         F.round(conf / (F.col("n_cons") / F.col("_nk")), 6).alias("lift"),
     )
+
+
+def forecast_baseline_error(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    season: int,
+    step_s: int = 3600,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Seasonal-naive forecast-error report (MASE) per key: bucket the
+    series into ``step_s``-second bins, forecast each bin with the bin
+    one SEASON back (e.g. season=24 on hourly bins = "same hour
+    yesterday") and with the bin one STEP back (the naive baseline),
+    and return per key
+    ``(key, n_buckets, n_naive, n_seasonal, mae_naive, mae_seasonal,
+    mase)`` where ``mase = mae_seasonal / mae_naive``.
+
+    The metric-stream QA gate: mase >> 1 means yesterday's-same-hour
+    explains the series WORSE than the last observation — seasonality
+    broke (deploy, outage, bot flood); mase << 1 confirms strong
+    seasonality worth modeling. Also the honest floor every fancy
+    forecaster must beat (Hyndman & Koehler 2006).
+
+    Exactness: bucket values are scaled-long sums (``scale`` micro
+    units), errors are abs-diffs of longs, and each MAE/MASE is a
+    fixed-order double division of exact integers — engine-replayable.
+    Missing buckets are truly missing: the seasonal/naive counterpart
+    comes from an equi-join on the exact bucket key minus the offset,
+    not a row lag, so a gap never silently shifts the comparison.
+
+    Scale design: one map-combinable (key, bucket) aggregate collapses
+    events; both baselines are 8+8-byte equi-joins of that bucket frame
+    to itself; the final rollup is O(keys). No windows, no gap-fill
+    scan.
+    """
+    bucket = (
+        F.floor(F.unix_millis(F.col(ts_col)) / (step_s * 1000))
+        .cast("long")
+        .alias("_b")
+    )
+    sv = F.round(F.col(value_col) * scale, 0).cast("long")
+    binned = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"), bucket)
+        .agg(F.sum(sv).alias("_v"))
+    )
+
+    cur = binned.alias("c")
+    base1 = binned.select(
+        F.col("_k"), (F.col("_b") + 1).alias("_b"), F.col("_v").alias("_v1")
+    ).alias("p1")
+    bases = binned.select(
+        F.col("_k"),
+        (F.col("_b") + season).alias("_b"),
+        F.col("_v").alias("_vs"),
+    ).alias("ps")
+    joined = cur.join(base1, ["_k", "_b"], "left").join(
+        bases, ["_k", "_b"], "left"
+    )
+
+    e1 = F.abs(F.col("_v") - F.col("_v1"))
+    es = F.abs(F.col("_v") - F.col("_vs"))
+    agg = joined.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count("_v1").alias("n_naive"),
+        F.count("_vs").alias("n_seasonal"),
+        F.sum(e1).alias("_s1"),
+        F.sum(es).alias("_ss"),
+    )
+    mae1 = F.col("_s1") / F.nullif(F.col("n_naive"), F.lit(0)) / scale
+    maes = F.col("_ss") / F.nullif(F.col("n_seasonal"), F.lit(0)) / scale
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_buckets",
+        "n_naive",
+        "n_seasonal",
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(maes, 6).alias("mae_seasonal"),
+        F.round(maes / F.nullif(mae1, F.lit(0.0)), 6).alias("mase"),
+    )

@@ -9429,6 +9429,60 @@ def q_qnorm(spark, sf_dir):
     )
 
 
+@query(
+    "q_mase",
+    """
+    WITH binned AS (
+      SELECT event_type AS k,
+             CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS b,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.k, c.v, p1.v AS v1, ps.v AS vs
+      FROM binned c
+      LEFT JOIN binned p1 ON p1.k = c.k AND p1.b = c.b - 1
+      LEFT JOIN binned ps ON ps.k = c.k AND ps.b = c.b - 24
+    ),
+    agg AS (
+      SELECT k, count(*) AS n_buckets, count(v1) AS n_naive,
+             count(vs) AS n_seasonal,
+             CAST(sum(abs(v - v1)) AS BIGINT) AS s1,
+             CAST(sum(abs(v - vs)) AS BIGINT) AS ss
+      FROM j GROUP BY k
+    )
+    SELECT k AS event_type,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_naive AS BIGINT) AS n_naive,
+           CAST(n_seasonal AS BIGINT) AS n_seasonal,
+           round(s1 / nullif(n_naive, 0) / 1000000, 6) AS mae_naive,
+           round(ss / nullif(n_seasonal, 0) / 1000000, 6) AS mae_seasonal,
+           round((ss / nullif(n_seasonal, 0) / 1000000)
+                 / nullif(s1 / nullif(n_naive, 0) / 1000000, 0.0), 6)
+             AS mase
+    FROM agg
+    """,
+)
+def q_mase(spark, sf_dir):
+    """Seasonal-naive forecast-error report (operators/behavior.py:
+    forecast_baseline_error): per event_type hourly series, MAE of the
+    same-hour-yesterday forecast vs the last-observation naive, and
+    their ratio (MASE) — the metric-stream seasonality-break detector
+    and the floor any forecaster must beat. Bucket values are
+    scaled-long sums; both baselines are exact bucket-key equi-joins
+    (a gap never shifts the comparison); every division is a
+    fixed-order double op — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        forecast_baseline_error,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return forecast_baseline_error(
+        e, "event_type", "ts", "value", season=24, step_s=3600
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -9531,6 +9585,7 @@ _GATE_WINDOW = [
 #: these first when rotating the next window.
 _NEXT_WINDOW_QUEUE: list[str] = [
     "q_qnorm",
+    "q_mase",
 ]
 
 

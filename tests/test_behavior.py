@@ -648,3 +648,58 @@ def test_adamic_adar_hub_cap_drops_center(spark):
     assert len(full) == 10  # C(5,2) leaf pairs via the hub
     capped = adamic_adar(edges, max_degree=3).collect()
     assert capped == []  # hub center dropped -> no wedges survive
+
+
+def test_forecast_baseline_error_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.behavior import (
+        forecast_baseline_error,
+    )
+
+    # perfectly seasonal series, period 2 buckets: 10, 20, 10, 20 ...
+    rows = [(1, _ts(1, h), 10.0 if h % 2 == 0 else 20.0) for h in range(8)]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, v double")
+    r = forecast_baseline_error(
+        df, "key", "ts", "v", season=2, step_s=3600
+    ).collect()[0]
+    # seasonal forecast is exact -> mae_seasonal = 0, mase = 0;
+    # naive always misses by 10
+    assert r["n_buckets"] == 8 and r["n_naive"] == 7 and r["n_seasonal"] == 6
+    assert r["mae_naive"] == 10.0 and r["mae_seasonal"] == 0.0
+    assert r["mase"] == 0.0
+
+
+def test_forecast_baseline_error_gap_never_shifts(spark):
+    from kafka_streams_plumber_spark.operators.behavior import (
+        forecast_baseline_error,
+    )
+
+    # bucket 2 missing: bucket 3's naive baseline (bucket 2) must be
+    # ABSENT, not silently replaced by bucket 1
+    rows = [
+        (1, _ts(1, 0), 1.0),
+        (1, _ts(1, 1), 2.0),
+        (1, _ts(1, 3), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, v double")
+    r = forecast_baseline_error(
+        df, "key", "ts", "v", season=24, step_s=3600
+    ).collect()[0]
+    assert r["n_buckets"] == 3
+    assert r["n_naive"] == 1  # only bucket 1 has a true predecessor
+    assert r["mae_naive"] == 1.0  # |2-1|
+    assert r["n_seasonal"] == 0 and r["mase"] is None
+
+
+def test_forecast_baseline_error_broken_seasonality_flags_high_mase(spark):
+    from kafka_streams_plumber_spark.operators.behavior import (
+        forecast_baseline_error,
+    )
+
+    # smooth ramp: naive is great, "seasonal" (period 3) is bad -> mase > 1
+    rows = [(1, _ts(1, h), float(h)) for h in range(9)]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, v double")
+    r = forecast_baseline_error(
+        df, "key", "ts", "v", season=3, step_s=3600
+    ).collect()[0]
+    assert r["mae_naive"] == 1.0 and r["mae_seasonal"] == 3.0
+    assert r["mase"] == 3.0

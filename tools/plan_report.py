@@ -125,6 +125,7 @@ AUDITED = {
     "q_auc": "distinct-score collapse (6-dp quantized); cumulative window on the O(scores) frame",
     "q_adamic": "center-keyed wedge join with hub cap; scaled-long 1/ln sums",
     "q_qnorm": "per-group rank window + range-partitioned pooled rank + one 8-byte index equi-join",
+    "q_mase": "one (key,bucket) map-combinable agg + two bucket-key self-equi-joins + O(keys) rollup",
 }
 
 
