@@ -1016,3 +1016,234 @@ def quantile_normalize(
         F.col("_v").alias(value_col),
         F.col("_pv").alias("normalized"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns: one row per
+    unordered pair ``(col_a, col_b, n, r)`` with ``col_a < col_b``
+    (string order), ``r`` to 6 dp — the feature-redundancy /
+    leakage-screen profile (two near-duplicate quality signals, a
+    feature that mirrors the label) run before features enter a
+    training set.
+
+    Exactness: each pair's moments (sum x, sum y, sum xy, sum x2,
+    sum y2) are scaled-long sums over ONLY the rows where both columns
+    are non-NULL (pairwise deletion, the profiler convention), so the
+    closed-form r is partition-order-proof and SQL-replayable. r is
+    NULL for degenerate (zero-variance) pairs.
+
+    Scale design: ALL pairs ride ONE map-combinable aggregate over one
+    scan — 5 * C(k,2) + C(k,2) conditional sums as aggregate
+    expressions, unpivoted to the O(k^2) output frame driver-side (k
+    is the column-list size, a constant; no per-pair scan, no shuffle
+    beyond the single aggregate).
+    """
+    import itertools as _it
+
+    pairs = list(_it.combinations(sorted(cols), 2))
+    if not pairs:
+        raise ValueError("need at least two columns")
+
+    # decimal(38,0), NOT long: sum(round(x*y*1e6)) over wide-magnitude
+    # columns overflows int64 silently (x^2 ~ 1e10 scaled to 1e16 per
+    # row wraps after ~1k rows) — the exact failure mode the r4 review
+    # flagged in standardize. 38 digits matches DuckDB's HUGEINT sums.
+    def sl(e):
+        return F.sum(F.round(e * scale, 0).cast("decimal(38,0)"))
+
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        xx = F.when(both, x)
+        yy = F.when(both, y)
+        aggs += [
+            F.coalesce(F.sum(both.cast("long")), F.lit(0)).alias(f"_n{i}"),
+            F.coalesce(sl(xx), F.lit(0)).alias(f"_sx{i}"),
+            F.coalesce(sl(yy), F.lit(0)).alias(f"_sy{i}"),
+            F.coalesce(sl(xx * yy), F.lit(0)).alias(f"_sxy{i}"),
+            F.coalesce(sl(xx * xx), F.lit(0)).alias(f"_sxx{i}"),
+            F.coalesce(sl(yy * yy), F.lit(0)).alias(f"_syy{i}"),
+        ]
+    m = df.agg(*aggs)
+
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col(f"_n{i}").cast("double")
+        sx = F.col(f"_sx{i}").cast("double") / scale
+        sy = F.col(f"_sy{i}").cast("double") / scale
+        sxy = F.col(f"_sxy{i}").cast("double") / scale
+        sxx = F.col(f"_sxx{i}").cast("double") / scale
+        syy = F.col(f"_syy{i}").cast("double") / scale
+        num = n * sxy - sx * sy
+        # clamp: scaled-long rounding can leave a near-constant column's
+        # variance term a hair negative — sqrt(NaN) would poison r
+        den = F.sqrt(
+            F.greatest(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"_n{i}").alias("n"),
+                F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("_p")).select(
+        "_p.col_a", "_p.col_b", "_p.n", "_p.r"
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns:
+    ONE row ``(n, levels_a, levels_b, dof, chi2)``.
+
+    The "is this balanced the way I think it is" audit — lang x source,
+    split x label, template x bucket: a large chi2 (vs dof) says the
+    two factors are entangled, i.e. your stratification or mixing is
+    leaking structure. Companion to ab_test (two proportions) and
+    benford_audit (one distribution vs a law).
+
+    Every cell of the R x C table contributes, INCLUDING observed-zero
+    cells (expected > 0 whenever both marginals are non-zero — omitting
+    them understates chi2 exactly when association is strongest), via
+    the marginal-spine device. Expected counts are single double ops on
+    exact longs; cell terms are scaled-long summed (6 dp), so the
+    statistic is partition-order-proof and SQL-replayable. NULL levels
+    are excluded (a missing label is a missingness question, not an
+    association one).
+
+    Scale: one map-combinable (a, b) count aggregate; marginals are
+    O(R)+O(C) rollups of it; the spine join is O(R x C) — bounded by
+    level vocabularies, never data volume.
+    """
+    base = df.select(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    counts = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    ra = counts.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = counts.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    nn = counts.agg(F.sum("_o").alias("_nn"))
+
+    spine = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(counts, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "_a",
+            "_b",
+            F.coalesce("_o", F.lit(0)).alias("_o"),
+            (
+                (F.col("_ra").cast("double") * F.col("_cb"))
+                / F.col("_nn")
+            ).alias("_e"),
+        )
+    )
+    term = (F.col("_o") - F.col("_e")) * (F.col("_o") - F.col("_e")) / F.col(
+        "_e"
+    )
+    out = spine.agg(
+        F.countDistinct("_a").alias("levels_a"),
+        F.countDistinct("_b").alias("levels_b"),
+        (
+            F.sum(F.round(term * scale, 0).cast("long")).cast("double")
+            / scale
+        ).alias("_chi2"),
+    )
+    return out.crossJoin(F.broadcast(nn)).select(
+        F.col("_nn").alias("n"),
+        "levels_a",
+        "levels_b",
+        ((F.col("levels_a") - 1) * (F.col("levels_b") - 1)).alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value: ONE row per
+    group ``(group, n, total, gini)`` — 0 = perfectly even, ->1 = all
+    mass in one member.
+
+    The concentration audit: token mass per source (is one domain 90%
+    of the bucket?), revenue per user, cluster sizes after dedup.
+    Formula: with values ascending (1-based rank i),
+    ``G = (2 * sum(i*x_i) - (n+1) * sum(x)) / (n * sum(x))``.
+
+    Exactness: values become scaled longs (``scale``), so both rank
+    sums are INTEGER totals and G is one double division — order-proof
+    (ties contribute the same sum under any tie order) and
+    SQL-replayable. Negative values raise no error but break the
+    metric's meaning; NULLs are dropped. G is NULL when sum(x) = 0.
+
+    Scale design: the per-group ascending rank uses the
+    exact_percentiles machinery — range-repartition on (group, value) +
+    per-(partition, group) offset table — NOT a per-group window, so a
+    3-source corpus never funnels a whole source into one task. One
+    final O(groups) aggregate.
+    """
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.round(F.col(value_col).cast("double") * scale, 0)
+            .cast("long")
+            .alias("_v"),
+        )
+    )
+    ranked = (
+        src.repartitionByRange("_g", "_v")
+        .sortWithinPartitions("_g", "_v")
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    part_stats = ranked.groupBy("_pid", "_g").agg(
+        F.count("*").alias("_c"), F.min("_mid").alias("_m0")
+    )
+    woff = Window.partitionBy("_g").orderBy("_pid")
+    offsets = part_stats.select(
+        "_pid",
+        "_g",
+        "_m0",
+        (F.sum("_c").over(woff) - F.col("_c")).alias("_off"),
+    )
+    r = ranked.join(F.broadcast(offsets), ["_pid", "_g"]).withColumn(
+        "_i", F.col("_off") + (F.col("_mid") - F.col("_m0")) + 1
+    )
+    agg = r.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("_sv"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_siv"),
+    )
+    g = (
+        (2 * F.col("_siv") - (F.col("n") + 1) * F.col("_sv")).cast("double")
+        / (F.col("n") * F.nullif(F.col("_sv"), F.lit(0)))
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        (F.col("_sv").cast("double") / scale).alias("total"),
+        F.round(g, 6).alias("gini"),
+    )

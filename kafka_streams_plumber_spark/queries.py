@@ -9483,6 +9483,153 @@ def q_mase(spark, sf_dir):
     )
 
 
+@query(
+    "q_corr",
+    """
+    WITH m AS (
+      SELECT
+        count(*) AS nn,
+        CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_q,
+        CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_p,
+        CAST(sum(CAST(round(l_discount * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_d,
+        CAST(sum(CAST(round(l_quantity * l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_qq,
+        CAST(sum(CAST(round(l_extendedprice * l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_pp,
+        CAST(sum(CAST(round(l_discount * l_discount * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_dd,
+        CAST(sum(CAST(round(l_discount * l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_dp,
+        CAST(sum(CAST(round(l_discount * l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_dq,
+        CAST(sum(CAST(round(l_extendedprice * l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_pq
+      FROM lineitem
+    )
+    SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+           CAST(nn AS BIGINT) AS n,
+           round((nn * s_dp - s_d * s_p)
+                 / nullif(sqrt(greatest((nn * s_dd - s_d * s_d)
+                                        * (nn * s_pp - s_p * s_p), 0.0)),
+                          0.0), 6) AS r
+    FROM m
+    UNION ALL
+    SELECT 'l_discount', 'l_quantity', CAST(nn AS BIGINT),
+           round((nn * s_dq - s_d * s_q)
+                 / nullif(sqrt(greatest((nn * s_dd - s_d * s_d)
+                                        * (nn * s_qq - s_q * s_q), 0.0)),
+                          0.0), 6)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_quantity', CAST(nn AS BIGINT),
+           round((nn * s_pq - s_p * s_q)
+                 / nullif(sqrt(greatest((nn * s_pp - s_p * s_p)
+                                        * (nn * s_qq - s_q * s_q), 0.0)),
+                          0.0), 6)
+    FROM m
+    """,
+)
+def q_corr(spark, sf_dir):
+    """Pairwise Pearson correlation profile (operators/stats.py:
+    correlation_matrix) over lineitem's quantity/price/discount — the
+    feature-redundancy and leakage screen run before signals enter a
+    training set. ALL pairs ride ONE map-combinable aggregate (5 sums
+    per pair as scaled longs); r is a closed form of exact moments with
+    a clamped sqrt — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+@query(
+    "q_chi2",
+    """
+    WITH base AS (
+      SELECT lang AS a, source AS b FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    counts AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+    ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM counts GROUP BY 1),
+    cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM counts GROUP BY 1),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM counts),
+    spine AS (
+      SELECT ra.a, cb.b, coalesce(c.o, 0) AS o,
+             (CAST(ra.ra AS DOUBLE) * cb.cb) / nn.n AS e
+      FROM ra CROSS JOIN cb
+      LEFT JOIN counts c ON c.a = ra.a AND c.b = cb.b
+      CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT count(DISTINCT a) AS levels_a, count(DISTINCT b) AS levels_b,
+             CAST(sum(CAST(round((o - e) * (o - e) / e * 1000000.0)
+                           AS BIGINT)) AS DOUBLE) / 1000000 AS chi2
+      FROM spine
+    )
+    SELECT nn.n AS n, CAST(levels_a AS BIGINT) AS levels_a,
+           CAST(levels_b AS BIGINT) AS levels_b,
+           CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
+           round(chi2, 6) AS chi2
+    FROM agg CROSS JOIN nn
+    """,
+)
+def q_chi2(spark, sf_dir):
+    """Chi-square independence audit (operators/stats.py:
+    chi2_independence) of lang x source over documents — "is my corpus
+    mix entangled" in one number. Every R x C cell contributes via the
+    marginal spine (observed-zero cells included); expected counts are
+    single double ops on exact longs; cell terms scaled-long summed —
+    replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return chi2_independence(d, "lang", "source")
+
+
+@query(
+    "q_gini",
+    """
+    WITH v AS (
+      SELECT source AS g,
+             CAST(round(len(string_split(text, ' ')) * 1000000)
+                  AS BIGINT) AS sv
+      FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT g, sv, row_number() OVER (PARTITION BY g ORDER BY sv) AS i
+      FROM v
+    ),
+    agg AS (
+      SELECT g, count(*) AS n, CAST(sum(sv) AS BIGINT) AS s,
+             CAST(sum(i * sv) AS BIGINT) AS siv
+      FROM r GROUP BY g
+    )
+    SELECT g AS source, CAST(n AS BIGINT) AS n,
+           CAST(s AS DOUBLE) / 1000000 AS total,
+           round(CAST(2 * siv - (n + 1) * s AS DOUBLE)
+                 / (n * nullif(s, 0)), 6) AS gini
+    FROM agg
+    """,
+)
+def q_gini(spark, sf_dir):
+    """Per-source Gini concentration of token mass (operators/stats.py:
+    gini_concentration) — does one slice of a source carry all its
+    text? 0 = even, ->1 = one document is the bucket. The ascending
+    rank comes from the exact_percentiles range-partition machinery
+    (no per-source single-task window); both rank sums are integer
+    totals, G is one double division — replayed exactly in SQL (tie
+    order cannot change the sum)."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.where(F.col("text").isNotNull()).select(
+        "source", F.size(F.split(F.col("text"), " ", -1)).alias("toks")
+    )
+    return gini_concentration(toks, "source", "toks")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -9586,6 +9733,9 @@ _GATE_WINDOW = [
 _NEXT_WINDOW_QUEUE: list[str] = [
     "q_qnorm",
     "q_mase",
+    "q_corr",
+    "q_chi2",
+    "q_gini",
 ]
 
 

@@ -455,3 +455,91 @@ def test_quantile_normalize_identity_on_single_group(spark):
     # one group == pooled: the map is the identity
     assert all(r["normalized"] == r["v"] for r in out)
     assert len(out) == 13
+
+
+def test_correlation_matrix_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i), 2.0 * i + 1, float(10 - i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    got = {
+        (r["col_a"], r["col_b"]): (r["n"], r["r"])
+        for r in correlation_matrix(df, ["x", "y", "z", "c"]).collect()
+    }
+    assert got[("x", "y")] == (10, 1.0)   # perfectly linear
+    assert got[("x", "z")] == (10, -1.0)  # perfectly anti-linear
+    assert got[("c", "x")][1] is None     # zero-variance pair -> NULL
+    assert len(got) == 6
+
+
+def test_correlation_matrix_wide_magnitudes_no_overflow(spark):
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    # 1e5-scale values whose squared scaled-long sums would wrap int64
+    rows = [(1e5 + i * 17.0, 2e5 - i * 13.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = got = correlation_matrix(df, ["a", "b"]).collect()[0]
+    assert r["n"] == 5000
+    assert r["r"] is not None and abs(r["r"] + 1.0) < 1e-6
+
+
+def test_correlation_matrix_pairwise_deletion(spark):
+    from kafka_streams_plumber_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    rows = [(1.0, 1.0), (2.0, None), (3.0, 3.0), (None, 4.0), (5.0, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = correlation_matrix(df, ["a", "b"]).collect()[0]
+    assert r["n"] == 3 and r["r"] == 1.0
+
+
+def test_chi2_independence_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    # independent 2x2: chi2 == 0
+    rows = (
+        [("x", "u")] * 6 + [("x", "v")] * 4
+        + [("y", "u")] * 3 + [("y", "v")] * 2
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert (r["n"], r["levels_a"], r["levels_b"], r["dof"]) == (15, 2, 2, 1)
+    assert r["chi2"] == 0.0
+
+    # perfectly associated 2x2 (diagonal): chi2 == n
+    rows = [("x", "u")] * 5 + [("y", "v")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    # observed-zero cells contribute: chi2 = n for a perfect diagonal
+    assert r["chi2"] == 10.0 and r["dof"] == 1
+
+
+def test_gini_concentration_regimes(spark):
+    from kafka_streams_plumber_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("even", 10.0)] * 8
+        + [("onehot", 0.0)] * 7 + [("onehot", 100.0)]
+        + [("mixed", 1.0), ("mixed", 2.0), ("mixed", 3.0), ("mixed", 4.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["n"], r["total"], r["gini"])
+        for r in gini_concentration(df, "g", "v").collect()
+    }
+    assert got["even"] == (8, 80.0, 0.0)
+    # all mass in one of 8 members: G = (n-1)/n = 0.875
+    assert got["onehot"] == (8, 100.0, 0.875)
+    # 1,2,3,4: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40
+    assert got["mixed"] == (4, 10.0, 0.25)

@@ -126,6 +126,9 @@ AUDITED = {
     "q_adamic": "center-keyed wedge join with hub cap; scaled-long 1/ln sums",
     "q_qnorm": "per-group rank window + range-partitioned pooled rank + one 8-byte index equi-join",
     "q_mase": "one (key,bucket) map-combinable agg + two bucket-key self-equi-joins + O(keys) rollup",
+    "q_corr": "ALL pairs ride ONE map-combinable aggregate; decimal(38) moment sums; O(k^2) unpivot",
+    "q_chi2": "one (a,b) count agg + O(R)+O(C) marginals + O(RxC) spine",
+    "q_gini": "range-partitioned per-group rank (no per-source window) + O(groups) rollup",
 }
 
 
