@@ -913,9 +913,20 @@ def benford_audit(
         .otherwise(F.col("_r"))
         .alias("_r")
     )
-    digit = F.substring(
-        F.floor(F.col("_r") * 1_000_000).cast("long").cast("string"), 1, 1
-    ).cast("int")
+    # coalesce makes the grouping key NON-NULLABLE: the 1..9 spine's
+    # left join would otherwise infer isnotnull(<key>) and push it down,
+    # re-inlining the ladder into one giant Filter (3^levels blowup)
+    # that kills whole-stage codegen for the entire scan stage. A NULL
+    # digit (unparsable cast) maps to 0, which the spine join excludes
+    # exactly like the old post-agg filter did.
+    digit = F.coalesce(
+        F.substring(
+            F.floor(F.col("_r") * 1_000_000).cast("long").cast("string"),
+            1,
+            1,
+        ).cast("int"),
+        F.lit(0),
+    )
     # no explicit 1..9 filter here: the left join onto the 1..9 spine
     # below already excludes stray digits (0 can appear only when
     # min_value < 1e-6), and a post-agg filter on the grouping column
