@@ -1258,3 +1258,38 @@ def gini_concentration(
         (F.col("_sv").cast("double") / scale).alias("total"),
         F.round(g, 6).alias("gini"),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group robust scaling: ``z = (x - median) / IQR`` (IQR =
+    p75 - p25) — sklearn's RobustScaler, distributed. The outlier-proof
+    companion to :func:`standardize`: one bot session or one 10 GB
+    document moves a mean/stddev z-score arbitrarily but barely touches
+    the median/IQR, so thresholds tuned on clean data keep working on
+    dirty feeds.
+
+    Adds ``out_col`` (default ``{value_col}_robust``; 6 dp) next to the
+    input columns. Quantiles are exact linear-interpolated
+    (quantile_cont parity via :func:`exact_percentiles` — no per-group
+    window); the O(groups) bounds frame broadcasts back, the data side
+    never shuffles. Zero-IQR groups (over half the mass on one value)
+    yield NULL — there is no robust z against a zero spread, and NULL
+    is louder than Inf. NULL values pass through with NULL output.
+    """
+    out_col = out_col or f"{value_col}_robust"
+    bounds = exact_percentiles(
+        df, group_col, value_col, {"_med": 0.5, "_q1": 0.25, "_q3": 0.75}
+    )
+    joined = df.join(F.broadcast(bounds), group_col)
+    z = (F.col(value_col).cast("double") - F.col("_med")) / F.nullif(
+        F.col("_q3") - F.col("_q1"), F.lit(0.0)
+    )
+    return joined.select(
+        *df.columns, F.round(z, 6).alias(out_col)
+    )

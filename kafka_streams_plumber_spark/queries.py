@@ -9630,6 +9630,89 @@ def q_gini(spark, sf_dir):
     return gini_concentration(toks, "source", "toks")
 
 
+@query(
+    "q_robust",
+    """
+    WITH b AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.5) AS med,
+             quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round((CAST(d.n_chars AS DOUBLE) - b.med)
+                 / nullif(b.q3 - b.q1, 0.0), 6) AS n_chars_robust
+    FROM documents d JOIN b USING (source)
+    """,
+)
+def q_robust(spark, sf_dir):
+    """Per-source robust scaling (operators/stats.py:robust_scale):
+    z = (x - median) / IQR over document lengths — sklearn's
+    RobustScaler distributed, the outlier-proof sibling of
+    q_standardize (one giant document barely moves median/IQR).
+    Quantiles are quantile_cont-parity exact percentiles with no
+    per-group window; the O(groups) bounds broadcast back."""
+    from kafka_streams_plumber_spark.operators.stats import robust_scale
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = robust_scale(d, "n_chars", "source")
+    return out.select("doc_id", "source", "n_chars", "n_chars_robust")
+
+
+@query(
+    "q_ngrams",
+    """
+    WITH w AS (
+      SELECT source, string_split(lower(text), ' ') AS wt FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             unnest(CASE WHEN len(wt) >= 3 THEN
+               list_distinct(list_transform(range(len(wt)-2),
+                 i -> wt[i+1] || ' ' || wt[i+2] || ' ' || wt[i+3]))
+             ELSE [array_to_string(wt, ' ')] END) AS s
+      FROM w
+    ),
+    c AS (SELECT source, s, count(*) AS docs FROM sh GROUP BY 1, 2),
+    r AS (
+      SELECT source, s AS ngram, CAST(docs AS BIGINT) AS docs,
+             CAST(dense_rank() OVER (PARTITION BY source
+                                     ORDER BY docs DESC, s) AS BIGINT)
+               AS rnk
+      FROM c
+    )
+    SELECT source, ngram, docs, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def q_ngrams(spark, sf_dir):
+    """Boilerplate n-gram miner: per source, the 5 most document-
+    frequent word 3-shingles (text.shingles + stats.topk_per_group's
+    two-phase prune — no per-source single-task window). The
+    "what template is flooding this bucket" probe that tells you WHAT
+    to strip where strip_boilerplate_lines tells you THAT something
+    repeats. Shingle doc-frequencies are one map-combinable distinct
+    aggregate; ties keep rank semantics (dense_rank, name tiebreak)."""
+    from kafka_streams_plumber_spark.operators.stats import topk_per_group
+    from kafka_streams_plumber_spark.operators.text import shingles
+
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = d.select(
+        "source", F.explode(shingles(F.col("text"), k=3)).alias("ngram")
+    )
+    c = sh.groupBy("source", "ngram").agg(F.count(F.lit(1)).alias("docs"))
+    top = topk_per_group(
+        c,
+        "source",
+        [F.col("docs").desc(), F.col("ngram").asc()],
+        5,
+        rank_col="rnk",
+    )
+    return top.select(
+        "source", "ngram", "docs", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -9736,6 +9819,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_corr",
     "q_chi2",
     "q_gini",
+    "q_robust",
+    "q_ngrams",
 ]
 
 

@@ -543,3 +543,27 @@ def test_gini_concentration_regimes(spark):
     assert got["onehot"] == (8, 100.0, 0.875)
     # 1,2,3,4: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40
     assert got["mixed"] == (4, 10.0, 0.25)
+
+
+def test_robust_scale_outlier_resistance(spark):
+    from kafka_streams_plumber_spark.operators.stats import robust_scale
+
+    # 1..9 plus a wild outlier: median 5.5? no — 10 values 1..9 + 1000
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["v"]: r["v_robust"] for r in robust_scale(df, "v", "grp").collect()}
+    # median = 5.5, q1 = 3.25, q3 = 7.75, iqr = 4.5 (quantile_cont)
+    assert out[5.0] == round((5.0 - 5.5) / 4.5, 6)
+    # the outlier lands far out but the scale stays data-driven
+    assert out[1000.0] == round((1000.0 - 5.5) / 4.5, 6)
+
+
+def test_robust_scale_zero_iqr_is_null(spark):
+    from kafka_streams_plumber_spark.operators.stats import robust_scale
+
+    df = spark.createDataFrame(
+        [("g", 5.0)] * 6 + [("g", 9.0)], "grp string, v double"
+    )
+    out = robust_scale(df, "v", "grp").collect()
+    # >75% of mass on one value -> IQR = 0 -> NULL everywhere
+    assert all(r["v_robust"] is None for r in out)

@@ -129,6 +129,8 @@ AUDITED = {
     "q_corr": "ALL pairs ride ONE map-combinable aggregate; decimal(38) moment sums; O(k^2) unpivot",
     "q_chi2": "one (a,b) count agg + O(R)+O(C) marginals + O(RxC) spine",
     "q_gini": "range-partitioned per-group rank (no per-source window) + O(groups) rollup",
+    "q_robust": "quantile_cont-parity bounds broadcast back; data never shuffles for the join",
+    "q_ngrams": "map-combinable shingle DF agg + two-phase top-k prune (no per-source window)",
 }
 
 
