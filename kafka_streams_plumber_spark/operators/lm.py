@@ -79,6 +79,48 @@ def lm_train(
     )
 
 
+def _gram_logps(
+    docs: DataFrame,
+    lm: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    add_k: float,
+    broadcast_threshold: int | None,
+) -> DataFrame:
+    """Per-bigram scaled-long log-probabilities ``(doc, slp)`` under an
+    add-k-smoothed bigram model — the shared scoring core of
+    :func:`lm_score` (mean -> perplexity) and :func:`min_k_prob`
+    (mean of the lowest k%)."""
+    ctx = lm.groupBy("w1").agg(F.sum("pairs").alias("ctx"))
+    vocab = (
+        lm.select(F.col("w1").alias("t"))
+        .union(lm.select(F.col("w2").alias("t")))
+        # an EMPTY model (nothing survived training/min_count) would put
+        # k * 0 in the denominator; clamping V to 1 degrades gracefully
+        # to the uniform-smoothing score instead of div-by-zero garbage
+        .agg(F.greatest(F.count_distinct("t").cast("double"), F.lit(1.0)).alias("v"))
+    )
+    model = lm
+    if broadcast_threshold is not None and lm.count() <= broadcast_threshold:
+        model, ctx = F.broadcast(lm), F.broadcast(ctx)
+
+    grams = _doc_bigrams(docs, text_col, id_col)
+    logp = F.log(
+        (F.coalesce(F.col("pairs"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("ctx"), F.lit(0)) + F.lit(add_k) * F.col("v"))
+    )
+    return (
+        grams.join(model, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            F.round(logp * _SCALE).cast("bigint").alias("slp"),
+        )
+    )
+
+
 def lm_score(
     docs: DataFrame,
     lm: DataFrame,
@@ -107,32 +149,13 @@ def lm_score(
     the repo-wide gated-broadcast convention; above the gate the joins
     degrade to shuffled equi-joins on the token keys.
     """
-    ctx = lm.groupBy("w1").agg(F.sum("pairs").alias("ctx"))
-    vocab = (
-        lm.select(F.col("w1").alias("t"))
-        .union(lm.select(F.col("w2").alias("t")))
-        # an EMPTY model (nothing survived training/min_count) would put
-        # k * 0 in the denominator; clamping V to 1 degrades gracefully
-        # to the uniform-smoothing score instead of div-by-zero garbage
-        .agg(F.greatest(F.count_distinct("t").cast("double"), F.lit(1.0)).alias("v"))
-    )
-    model = lm
-    if broadcast_threshold is not None and lm.count() <= broadcast_threshold:
-        model, ctx = F.broadcast(lm), F.broadcast(ctx)
-
-    grams = _doc_bigrams(docs, text_col, id_col)
-    logp = F.log(
-        (F.coalesce(F.col("pairs"), F.lit(0)) + F.lit(add_k))
-        / (F.coalesce(F.col("ctx"), F.lit(0)) + F.lit(add_k) * F.col("v"))
-    )
-    scored = (
-        grams.join(model, ["w1", "w2"], "left")
-        .join(ctx, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc",
-            F.round(logp * _SCALE).cast("bigint").alias("slp"),
-        )
+    scored = _gram_logps(
+        docs,
+        lm,
+        id_col=id_col,
+        text_col=text_col,
+        add_k=add_k,
+        broadcast_threshold=broadcast_threshold,
     )
     per_doc = scored.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
@@ -240,3 +263,139 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
     )
     return out.withColumn("bucket", bucket).drop("_t1", "_t2")
+
+
+def min_k_prob(
+    docs: DataFrame,
+    lm: DataFrame,
+    *,
+    k_frac: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+    broadcast_threshold: int | None = 2_000_000,
+) -> DataFrame:
+    """Min-K%-Prob membership/contamination signal (Shi et al. 2024,
+    "Detecting Pretraining Data from Large Language Models"): per doc,
+    the mean log-probability of its LOWEST-``k_frac`` bigrams under the
+    model. Returns ``(doc_id, n_bigrams, n_lowest, min_k_avg_logp,
+    min_k_ppl)``.
+
+    The insight: for text the model has SEEN, even the least-likely
+    tokens score high — so the tail mean separates memorized/benchmark
+    text from merely in-distribution text far better than whole-doc
+    perplexity (which averages away the evidence). Run it with a model
+    trained on a benchmark corpus to catch contamination, or on the
+    training corpus itself to rank memorization risk.
+
+    Docs with fewer than 2 tokens produce no bigram and are absent from
+    the output (no evidence either way — unlike lm_score there is no
+    NULL-row re-attach, absence IS the verdict here).
+
+    Scale design: shares :func:`lm_score`'s scoring core (gated
+    broadcast model, scaled-long logps); the lowest-k% selection is a
+    per-DOC window (bounded by document length, millions of small
+    partitions — never a hot key); the tail mean is one map-combinable
+    aggregate. Ties at the cutoff are interchangeable (equal slp values
+    sum identically under any tie order), so the result is engine- and
+    partition-order-exact.
+    """
+    if not (0.0 < k_frac <= 1.0):
+        raise ValueError("k_frac must be in (0, 1]")
+    from pyspark.sql.window import Window
+
+    scored = _gram_logps(
+        docs,
+        lm,
+        id_col=id_col,
+        text_col=text_col,
+        add_k=add_k,
+        broadcast_threshold=broadcast_threshold,
+    )
+    w = Window.partitionBy("doc").orderBy("slp")
+    wn = Window.partitionBy("doc")
+    ranked = scored.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    cut = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(float(k_frac)) * F.col("_n")).cast("long"),
+    )
+    kept = ranked.where(F.col("_r") <= cut)
+    per_doc = kept.groupBy("doc").agg(
+        F.max("_n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_lowest"),
+        F.sum("slp").alias("_s"),
+    )
+    avg = F.col("_s") / _SCALE / F.col("n_lowest")
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_lowest").cast("long").alias("n_lowest"),
+        F.round(avg, 6).alias("min_k_avg_logp"),
+        F.round(F.exp(-avg), 6).alias("min_k_ppl"),
+    )
+
+
+def min_k_oracle_sql(
+    *,
+    k_frac: float = 0.2,
+    add_k: float = 0.5,
+    min_count: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for train-then-min-k-self-score: lm_oracle_sql's
+    train/score CTEs plus the per-doc lowest-k% tail mean."""
+    return f"""
+    WITH pos AS (
+      SELECT doc_id AS doc,
+             unnest(string_split(lower(text), ' ')) AS tok,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS p
+      FROM {table}
+    ),
+    t AS (
+      SELECT doc, tok,
+             row_number() OVER (PARTITION BY doc ORDER BY p) AS p
+      FROM pos WHERE tok <> ''
+    ),
+    grams AS (
+      SELECT a.doc, a.tok AS w1, b.tok AS w2
+      FROM t a JOIN t b ON a.doc = b.doc AND b.p = a.p + 1
+    ),
+    lm AS (
+      SELECT w1, w2, count(*) AS pairs FROM grams GROUP BY w1, w2
+      HAVING count(*) >= {min_count}
+    ),
+    ctx AS (SELECT w1, CAST(sum(pairs) AS BIGINT) AS ctx FROM lm GROUP BY w1),
+    vocab AS (
+      SELECT greatest(CAST(count(DISTINCT tok) AS DOUBLE), 1.0) AS v
+      FROM (SELECT w1 AS tok FROM lm UNION ALL SELECT w2 FROM lm)
+    ),
+    scored AS (
+      SELECT g.doc,
+             CAST(round(ln((coalesce(lm.pairs, 0) + {add_k})
+                           / (coalesce(ctx.ctx, 0) + {add_k} * v)) * 1000000, 0)
+                  AS BIGINT) AS slp
+      FROM grams g
+      LEFT JOIN lm ON lm.w1 = g.w1 AND lm.w2 = g.w2
+      LEFT JOIN ctx ON ctx.w1 = g.w1, vocab
+    ),
+    ranked AS (
+      SELECT doc, slp,
+             row_number() OVER (PARTITION BY doc ORDER BY slp) AS r,
+             count(*) OVER (PARTITION BY doc) AS n
+      FROM scored
+    ),
+    kept AS (
+      SELECT doc, n, slp FROM ranked
+      WHERE r <= greatest(1, CAST(ceil({k_frac!r} * n) AS BIGINT))
+    )
+    SELECT doc AS doc_id,
+           CAST(max(n) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_lowest,
+           round(CAST(sum(slp) AS BIGINT) / 1000000.0 / count(*), 6)
+             AS min_k_avg_logp,
+           round(exp(-(CAST(sum(slp) AS BIGINT) / 1000000.0 / count(*))), 6)
+             AS min_k_ppl
+    FROM kept GROUP BY doc
+    """

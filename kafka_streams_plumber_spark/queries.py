@@ -9660,6 +9660,32 @@ def q_robust(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars", "n_chars_robust")
 
 
+def _min_k_oracle():
+    from kafka_streams_plumber_spark.operators.lm import min_k_oracle_sql
+
+    return min_k_oracle_sql(k_frac=0.2, add_k=0.5, min_count=1)
+
+
+@query("q_min_k", _min_k_oracle())
+def q_min_k(spark, sf_dir):
+    """Min-K%-Prob membership signal (operators/lm.py:min_k_prob, Shi
+    et al. 2024): per document, the mean log-prob of its lowest-20%
+    bigrams under the corpus-trained bigram model — the contamination /
+    memorization detector whole-doc perplexity averages away (seen text
+    scores high even on its least-likely tokens). Shares q_lm_ppl's
+    scoring core; the tail selection is a per-doc bounded window; ties
+    at the cutoff sum identically — train, score, tail-select all
+    replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.lm import (
+        lm_train,
+        min_k_prob,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    model = lm_train(d, min_count=1)
+    return min_k_prob(d, model, k_frac=0.2, add_k=0.5)
+
+
 @query(
     "q_ngrams",
     """
@@ -9821,6 +9847,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_gini",
     "q_robust",
     "q_ngrams",
+    "q_min_k",
 ]
 
 

@@ -74,3 +74,48 @@ def test_lm_score_empty_model_degrades_gracefully(spark):
     [row] = lm_score(_docs(spark, [(1, "x y")]), model).collect()
     # p = k / (0 + k*1) = 1 -> logp 0 -> perplexity 1
     assert row["perplexity"] == 1.0 and row["avg_logp"] == 0.0
+
+
+def test_min_k_prob_separates_seen_tail(spark):
+    from kafka_streams_plumber_spark.operators.lm import (
+        lm_score,
+        lm_train,
+        min_k_prob,
+    )
+
+    # corpus: a dominant repeated pattern + one doc with a rare tail
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(1, 9)]
+        + [(9, common + " zq xv qqq")],  # rare bigrams form its tail
+        "doc_id long, text string",
+    )
+    model = lm_train(docs, min_count=1)
+    mk = {r["doc_id"]: r for r in min_k_prob(docs, model, k_frac=0.3).collect()}
+    # fully-seen docs: even the lowest-30% bigrams are frequent
+    assert mk[1]["min_k_avg_logp"] > mk[9]["min_k_avg_logp"]
+    # tail mean separates harder than the whole-doc mean
+    ppl = {r["doc_id"]: r["avg_logp"] for r in lm_score(docs, model).collect()}
+    gap_tail = mk[1]["min_k_avg_logp"] - mk[9]["min_k_avg_logp"]
+    gap_mean = ppl[1] - ppl[9]
+    assert gap_tail > gap_mean
+
+    # bookkeeping: n_lowest = ceil(k * n_bigrams), at least 1
+    for r in mk.values():
+        import math
+        assert r["n_lowest"] == max(1, math.ceil(0.3 * r["n_bigrams"]))
+
+
+def test_min_k_prob_short_docs_absent(spark):
+    from kafka_streams_plumber_spark.operators.lm import (
+        lm_train,
+        min_k_prob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "single"), (3, "")],
+        "doc_id long, text string",
+    )
+    model = lm_train(docs, min_count=1)
+    out = {r["doc_id"] for r in min_k_prob(docs, model).collect()}
+    assert out == {1}  # <2 tokens -> no bigram evidence -> absent

@@ -131,6 +131,7 @@ AUDITED = {
     "q_gini": "range-partitioned per-group rank (no per-source window) + O(groups) rollup",
     "q_robust": "quantile_cont-parity bounds broadcast back; data never shuffles for the join",
     "q_ngrams": "map-combinable shingle DF agg + two-phase top-k prune (no per-source window)",
+    "q_min_k": "shared gated-broadcast LM scoring core + per-doc bounded tail window",
 }
 
 
