@@ -856,3 +856,70 @@ def embedding_drift(
         F.round(F.abs(mean_c - mean_r), 6).alias("shift"),
         (F.abs(mean_c - mean_r) > threshold).alias("drifted"),
     )
+
+
+def embedding_diversity(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+    threshold: float = 0.95,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Embedding-collapse probe: ONE row
+    ``(n_pairs, mean_cos, high_share)`` — the mean cosine and the
+    fraction of pairs at cosine >= ``threshold`` over a SEEDED random
+    pairing of the corpus (each vector used at most once).
+
+    A healthy, diverse embedding space puts random pairs near 0; a
+    collapsing encoder (undertrained, over-normalized, mode-collapsed)
+    or a near-duplicate-flooded corpus drags the random-pair cosine
+    up — this is the cheap early-warning you run BEFORE paying for
+    semantic dedup or ANN indexing, and the drift twin of
+    embedding_drift (which needs two snapshots; this needs one).
+
+    The pairing is deterministic: ids ranked by md5(seed|id) (the
+    repo's replayable-uniform device) via ordering.rank_by (range
+    exchange, no single-task window), then rank 2k pairs with rank
+    2k+1 — an unbiased simple random pairing, reproducible across
+    engines and retries; the odd vector out is dropped. Cosines use
+    the same fixed-order fold as cosine_topk; the mean is a
+    scaled-long sum (9 dp). O(n) total — never a self-join.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import rank_by
+
+    h = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(int(seed))), F.col(id_col).cast("string")
+        )
+    )
+    ranked = rank_by(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), h.alias("_h")),
+        ["_h", "_id"],
+        pos_col="_p",
+    )
+    key = F.floor(F.col("_p") / 2).cast("long").alias("_k")
+    a = ranked.where(F.col("_p") % 2 == 0).select(key, F.col("_v").alias("_va"))
+    b = ranked.where(F.col("_p") % 2 == 1).select(key, F.col("_v").alias("_vb"))
+    pairs = a.join(b, "_k").select(
+        cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+    )
+    t = F.lit(float(threshold))
+    out = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum(F.round(F.col("_cos") * scale, 0).cast("long")).cast(
+                "double"
+            )
+            / scale
+        ).alias("_s"),
+        F.coalesce(
+            F.sum((F.col("_cos") >= t).cast("long")), F.lit(0)
+        ).alias("_hi"),
+    )
+    return out.select(
+        "n_pairs",
+        F.round(F.col("_s") / F.col("n_pairs"), 6).alias("mean_cos"),
+        F.round(F.col("_hi") / F.col("n_pairs"), 6).alias("high_share"),
+    )

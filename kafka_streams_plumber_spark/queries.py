@@ -9687,6 +9687,56 @@ def q_min_k(spark, sf_dir):
 
 
 @query(
+    "q_emb_diversity",
+    """
+    WITH r AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY md5('17|' || CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS p
+      FROM embeddings
+    ),
+    a AS (
+      SELECT CAST(p // 2 AS BIGINT) AS k, embedding FROM r WHERE p % 2 = 0
+    ),
+    b AS (
+      SELECT CAST(p // 2 AS BIGINT) AS k, embedding FROM r WHERE p % 2 = 1
+    ),
+    pairs AS (
+      SELECT
+        list_sum(list_transform(range(1, 65),
+          i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+               i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))))
+          AS cos
+      FROM a JOIN b USING (k)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(round(cos * 1000000000.0) AS BIGINT))
+                      AS DOUBLE) / 1000000000 / count(*), 6) AS mean_cos,
+           round(coalesce(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END), 0)
+                 / CAST(count(*) AS DOUBLE), 6) AS high_share
+    FROM pairs
+    """,
+)
+def q_emb_diversity(spark, sf_dir):
+    """Embedding-collapse probe (operators/similarity.py:
+    embedding_diversity): mean cosine and near-dup share over a seeded
+    md5-deterministic random pairing of the embeddings table — the O(n)
+    early warning before semantic dedup or ANN indexing pays for a
+    collapsed space. Pairing, fixed-order cosine fold, and the
+    scaled-long mean all replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return embedding_diversity(e, seed=17, threshold=0.95)
+
+
+@query(
     "q_ngrams",
     """
     WITH w AS (
@@ -9848,6 +9898,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_robust",
     "q_ngrams",
     "q_min_k",
+    "q_emb_diversity",
 ]
 
 

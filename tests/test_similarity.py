@@ -264,3 +264,46 @@ def test_pca_partition_invariant(spark):
         .collect()
     ]
     assert a == b
+
+
+def test_embedding_diversity_separates_collapsed_space(spark):
+    from kafka_streams_plumber_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    # collapsed: every vector identical -> mean_cos = 1, high_share = 1
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_diversity(same, threshold=0.95).collect()[0]
+    assert r["n_pairs"] == 5
+    assert abs(r["mean_cos"] - 1.0) < 1e-6 and r["high_share"] == 1.0
+
+    # diverse: orthogonal one-hot pairs -> mean 0 regardless of pairing
+    import itertools
+    vecs = []
+    for i in range(10):
+        v = [0.0] * 10
+        v[i] = 1.0
+        vecs.append((i, v))
+    ortho = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    r = embedding_diversity(ortho, threshold=0.95).collect()[0]
+    assert r["mean_cos"] == 0.0 and r["high_share"] == 0.0
+
+
+def test_embedding_diversity_deterministic_and_odd_drop(spark):
+    from kafka_streams_plumber_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    rows = [(i, [float(i), 1.0]) for i in range(7)]  # odd count
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r1 = embedding_diversity(df, seed=5).collect()[0]
+    r2 = embedding_diversity(df, seed=5).collect()[0]
+    assert r1 == r2                      # replayable
+    assert r1["n_pairs"] == 3            # 7 vectors -> 3 pairs, 1 dropped
+    r3 = embedding_diversity(df, seed=6).collect()[0]
+    assert r3["n_pairs"] == 3            # different seed, same bookkeeping

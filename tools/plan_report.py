@@ -132,6 +132,7 @@ AUDITED = {
     "q_robust": "quantile_cont-parity bounds broadcast back; data never shuffles for the join",
     "q_ngrams": "map-combinable shingle DF agg + two-phase top-k prune (no per-source window)",
     "q_min_k": "shared gated-broadcast LM scoring core + per-doc bounded tail window",
+    "q_emb_diversity": "seeded md5 pairing via range-partitioned rank; O(n) — never a self-join",
 }
 
 
