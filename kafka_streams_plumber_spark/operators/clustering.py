@@ -309,3 +309,125 @@ def kcenter_oracle_sql(
         selects.append(f"SELECT {i}, cid, d FROM c{i}")
     parts.append("\nUNION ALL ".join(selects))
     return "\n".join(parts)
+
+
+def clustering_agreement(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+    *,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Agreement between two label assignments over the same items:
+    ONE row ``(n, clusters_a, clusters_b, ari, nmi)`` — Adjusted Rand
+    Index and Normalized Mutual Information (arithmetic-mean
+    normalization).
+
+    The clustering-eval pair every dedup/topic pipeline needs: compare
+    k-means topics against ground-truth labels, or an LSH dedup
+    clustering against the exact one, without caring how cluster ids
+    are numbered (both metrics are permutation-invariant; ARI is
+    chance-corrected — 0 means "no better than random", NMI in [0, 1]).
+
+    Exactness: ARI is built ENTIRELY from integer pair counts —
+    ``sum C(n_ij,2)`` over contingency cells and ``C(a_i,2)/C(b_j,2)``
+    over marginals, kept as exact longs (C(n,2) = n(n-1)/2, always an
+    integer) — so ARI is a closed form of exact integers with two
+    final double ops. NMI's entropy terms are scaled-long sums (9 dp).
+    Rows with a NULL in either label are dropped (an unlabeled item
+    can't vote on agreement).
+
+    Scale: one (a, b) contingency aggregate (map-combinable, output
+    O(clusters_a x clusters_b)) + two marginal rollups of it; every
+    later frame is cluster-vocabulary-sized.
+    """
+    base = df.select(
+        F.col(label_a).alias("_a"), F.col(label_b).alias("_b")
+    ).where(F.col(label_a).isNotNull() & F.col(label_b).isNotNull())
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = cells.groupBy("_a").agg(F.sum("_c").alias("_na"))
+    mb = cells.groupBy("_b").agg(F.sum("_c").alias("_nb"))
+
+    # C(n,2) via INTEGER division (`div`), not float /2-then-cast: the
+    # double round-trip loses exactness past 2^53 pairs
+    sums_cells = cells.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n"),
+        F.coalesce(
+            F.sum(F.expr("_c * (_c - 1) div 2")), F.lit(0)
+        ).alias("_sij"),
+    )
+    sums_a = ma.agg(
+        F.count(F.lit(1)).alias("clusters_a"),
+        F.coalesce(
+            F.sum(F.expr("_na * (_na - 1) div 2")), F.lit(0)
+        ).alias("_sa"),
+    )
+    sums_b = mb.agg(
+        F.count(F.lit(1)).alias("clusters_b"),
+        F.coalesce(
+            F.sum(F.expr("_nb * (_nb - 1) div 2")), F.lit(0)
+        ).alias("_sb"),
+    )
+
+    # NMI: H(A), H(B), I(A;B) from exact counts; scaled-long term sums.
+    # p log p terms: p = cnt / n; I term: (c/n) * ln(c*n / (na*nb))
+    joined = (
+        cells.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(sums_cells.select("n")))
+    )
+    iterm = (F.col("_c") / F.col("n")) * F.log(
+        (F.col("_c").cast("double") * F.col("n"))
+        / (F.col("_na").cast("double") * F.col("_nb"))
+    )
+    mi = joined.agg(
+        (
+            F.sum(F.round(iterm * scale, 0).cast("long")).cast("double")
+            / scale
+        ).alias("_mi")
+    )
+
+    def entropy(m, cnt_col):
+        term = -(F.col(cnt_col) / F.col("n")) * F.log(
+            F.col(cnt_col) / F.col("n")
+        )
+        return (
+            m.crossJoin(F.broadcast(sums_cells.select("n")))
+            .agg(
+                (
+                    F.sum(F.round(term * scale, 0).cast("long")).cast(
+                        "double"
+                    )
+                    / scale
+                ).alias("_h")
+            )
+        )
+
+    ha = entropy(ma, "_na").withColumnRenamed("_h", "_ha")
+    hb = entropy(mb, "_nb").withColumnRenamed("_h", "_hb")
+
+    out = (
+        sums_cells.crossJoin(F.broadcast(sums_a))
+        .crossJoin(F.broadcast(sums_b))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+    )
+    tot2 = F.expr("n * (n - 1) div 2")
+    expected = (
+        F.col("_sa").cast("double") * F.col("_sb") / F.nullif(tot2, F.lit(0))
+    )
+    max_idx = (F.col("_sa") + F.col("_sb")) / 2
+    ari = (F.col("_sij") - expected) / F.nullif(
+        max_idx - expected, F.lit(0.0)
+    )
+    nmi = F.col("_mi") / F.nullif(
+        (F.col("_ha") + F.col("_hb")) / 2, F.lit(0.0)
+    )
+    return out.select(
+        "n",
+        "clusters_a",
+        "clusters_b",
+        F.round(ari, 6).alias("ari"),
+        F.round(nmi, 6).alias("nmi"),
+    )

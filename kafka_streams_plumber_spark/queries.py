@@ -9737,6 +9737,86 @@ def q_emb_diversity(spark, sf_dir):
 
 
 @query(
+    "q_cluster_agree",
+    """
+    WITH base AS (
+      SELECT label AS a,
+             (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS b
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    cells AS (SELECT a, b, count(*) AS c FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY 1),
+    mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS nb FROM cells GROUP BY 1),
+    sc AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS sij
+      FROM cells
+    ),
+    sa AS (
+      SELECT count(*) AS ca,
+             CAST(coalesce(sum(na * (na - 1) // 2), 0) AS BIGINT) AS s_a
+      FROM ma
+    ),
+    sb AS (
+      SELECT count(*) AS cb,
+             CAST(coalesce(sum(nb * (nb - 1) // 2), 0) AS BIGINT) AS s_b
+      FROM mb
+    ),
+    mi AS (
+      SELECT CAST(sum(CAST(round((c / n) * ln((CAST(c AS DOUBLE) * n)
+                                              / (CAST(na AS DOUBLE) * nb))
+                                  * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000 AS mi
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN sc
+    ),
+    ha AS (
+      SELECT CAST(sum(CAST(round(-(na / n) * ln(na / n) * 1000000000.0)
+                           AS BIGINT)) AS DOUBLE) / 1000000000 AS ha
+      FROM ma CROSS JOIN sc
+    ),
+    hb AS (
+      SELECT CAST(sum(CAST(round(-(nb / n) * ln(nb / n) * 1000000000.0)
+                           AS BIGINT)) AS DOUBLE) / 1000000000 AS hb
+      FROM mb CROSS JOIN sc
+    )
+    SELECT sc.n AS n, CAST(sa.ca AS BIGINT) AS clusters_a,
+           CAST(sb.cb AS BIGINT) AS clusters_b,
+           round((sij - CAST(s_a AS DOUBLE) * s_b
+                        / nullif(n * (n - 1) // 2, 0))
+                 / nullif((s_a + s_b) / 2
+                          - CAST(s_a AS DOUBLE) * s_b
+                            / nullif(n * (n - 1) // 2, 0), 0.0), 6) AS ari,
+           round(mi / nullif((ha + hb) / 2, 0.0), 6) AS nmi
+    FROM sc CROSS JOIN sa CROSS JOIN sb
+    CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def q_cluster_agree(spark, sf_dir):
+    """Clustering agreement (operators/clustering.py:
+    clustering_agreement): Adjusted Rand + NMI between the embeddings
+    table's ground-truth labels and a deterministic sign-quadrant
+    clustering — the permutation-invariant, chance-corrected eval pair
+    for comparing a dedup/topic clustering against reference labels.
+    ARI is a closed form of exact integer pair counts (C(n,2) via
+    integer division); NMI entropy/MI terms are scaled-long sums —
+    replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.clustering import (
+        clustering_agreement,
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    labeled = e.select(
+        "label",
+        (
+            (F.element_at("embedding", 1) > 0).cast("int") * 2
+            + (F.element_at("embedding", 2) > 0).cast("int")
+        ).alias("quad"),
+    )
+    return clustering_agreement(labeled, "label", "quad")
+
+
+@query(
     "q_ngrams",
     """
     WITH w AS (
@@ -9899,6 +9979,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_ngrams",
     "q_min_k",
     "q_emb_diversity",
+    "q_cluster_agree",
 ]
 
 

@@ -138,3 +138,66 @@ def test_kcenter_reliable_checkpoint_identical(spark, tmp_path):
     rel = sorted(map(tuple, kcenter_select(
         df, k=3, checkpoint_dir=str(tmp_path)).collect()))
     assert fast == rel
+
+
+def test_clustering_agreement_identical_and_permuted(spark):
+    from kafka_streams_plumber_spark.operators.clustering import (
+        clustering_agreement,
+    )
+
+    rows = [(i, i % 3, (i % 3 + 1) % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, a int, b int")
+    # b is a pure relabeling of a: perfect agreement
+    r = clustering_agreement(df, "a", "b").collect()[0]
+    assert r["n"] == 30 and r["clusters_a"] == 3 and r["clusters_b"] == 3
+    assert r["ari"] == 1.0 and abs(r["nmi"] - 1.0) < 1e-6
+
+
+def test_clustering_agreement_sklearn_parity(spark):
+    import itertools
+    import math
+
+    from kafka_streams_plumber_spark.operators.clustering import (
+        clustering_agreement,
+    )
+
+    a = [0, 0, 0, 1, 1, 1, 2, 2]
+    b = [0, 0, 1, 1, 2, 2, 2, 2]
+    df = spark.createDataFrame(
+        list(zip(range(len(a)), a, b)), "id long, a int, b int"
+    )
+    r = clustering_agreement(df, "a", "b").collect()[0]
+
+    # reference ARI computed from first principles
+    from collections import Counter
+    cells = Counter(zip(a, b))
+    ca, cb = Counter(a), Counter(b)
+    c2 = lambda x: x * (x - 1) // 2
+    sij = sum(c2(v) for v in cells.values())
+    sa = sum(c2(v) for v in ca.values())
+    sb = sum(c2(v) for v in cb.values())
+    n2 = c2(len(a))
+    exp = sa * sb / n2
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    assert abs(r["ari"] - round(ari, 6)) < 1e-6
+
+    n = len(a)
+    mi = sum(
+        (c / n) * math.log(c * n / (ca[x] * cb[y]))
+        for (x, y), c in cells.items()
+    )
+    ha = -sum((v / n) * math.log(v / n) for v in ca.values())
+    hb = -sum((v / n) * math.log(v / n) for v in cb.values())
+    assert abs(r["nmi"] - round(mi / ((ha + hb) / 2), 6)) < 1e-5
+
+
+def test_clustering_agreement_random_near_zero_ari(spark):
+    from kafka_streams_plumber_spark.operators.clustering import (
+        clustering_agreement,
+    )
+
+    # b assigns by a hash unrelated to a: ARI ~ 0 (chance-corrected)
+    rows = [(i, i % 2, (i * 2654435761) % 97 % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a int, b int")
+    r = clustering_agreement(df, "a", "b").collect()[0]
+    assert abs(r["ari"]) < 0.15 and 0.0 <= r["nmi"] < 0.15

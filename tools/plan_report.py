@@ -133,6 +133,7 @@ AUDITED = {
     "q_ngrams": "map-combinable shingle DF agg + two-phase top-k prune (no per-source window)",
     "q_min_k": "shared gated-broadcast LM scoring core + per-doc bounded tail window",
     "q_emb_diversity": "seeded md5 pairing via range-partitioned rank; O(n) — never a self-join",
+    "q_cluster_agree": "one contingency agg + marginal rollups; all later frames cluster-vocabulary-sized",
 }
 
 
