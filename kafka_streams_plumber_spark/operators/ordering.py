@@ -304,3 +304,51 @@ def write_training_shards(
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/_manifest")
     return manifest
+
+
+def running_total(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Distributed prefix sum: adds ``out_col`` = sum of ``value_col``
+    over all rows at-or-before this row under ``ORDER BY *order_cols``
+    (make the order total — pass a unique tiebreak column — or ties get
+    an arbitrary but consistent serialization).
+
+    The scale-correct ``sum() OVER (ORDER BY ...)``: a bare
+    unpartitioned window funnels the WHOLE dataset through one task.
+    Here: range-repartition on the order keys + local sort, one local
+    running sum per partition (window partitioned by the physical
+    partition id — bounded by partition size), and an O(P)-row offset
+    table broadcast back — the same machinery as :func:`rank_by`, so
+    no stage holds more than one partition.
+    """
+    from pyspark.sql import functions as F
+
+    ranked = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranked.withColumn("_loc", F.sum(value_col).over(wloc))
+    part_sums = local.groupBy("_pid").agg(F.sum(value_col).alias("_ps"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_sums.select(
+        "_pid", F.coalesce(F.sum("_ps").over(woff), F.lit(0)).alias("_off")
+    )
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        out_col, F.col("_off") + F.col("_loc")
+    )
+    return out.drop("_pid", "_mid", "_loc", "_off")

@@ -1323,3 +1323,80 @@ def ngram_novelty(
         "n_novel",
         F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    targets: tuple[float, ...] = (0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Vocabulary-size planning curve: for each coverage target, the
+    number of most-frequent token types needed to cover that fraction
+    of the corpus token MASS. Returns one row per target
+    ``(target, tokens_needed, mass_covered, vocab_total)`` — the
+    tokenizer/embedding-table sizing read ("32k types cover 99.2%; the
+    other 9M types are tail") and, with :func:`heaps_fit`, the second
+    half of the vocabulary story.
+
+    ``tokens_needed`` is the smallest frequency-rank prefix whose mass
+    reaches the target; ``mass_covered`` is that prefix's exact share
+    (>= target). Deterministic: ranks order by (count desc, token).
+
+    Scale design: token counts are one map-combinable aggregate; the
+    cumulative mass uses ordering.running_total (range exchange +
+    per-partition local sums + O(P) offsets — NOT an unpartitioned
+    window over the vocabulary); each target is then one
+    min-aggregate over the qualifying rows. Integer token counts make
+    every comparison exact.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        rank_by,
+        running_total,
+    )
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), "[ \\t\\n\\r]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = running_total(
+        rank_by(counts, [F.col("cnt").desc(), F.col("tok")], pos_col="_r"),
+        [F.col("cnt").desc(), F.col("tok")],
+        "cnt",
+        out_col="_cum",
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_tot"), F.count(F.lit(1)).alias("vocab_total")
+    )
+    cum = cum.crossJoin(F.broadcast(totals))
+
+    rows = []
+    for t in targets:
+        hit = cum.where(
+            F.col("_cum") >= F.lit(float(t)) * F.col("_tot")
+        ).agg(
+            F.lit(float(t)).alias("target"),
+            (F.min("_r") + 1).alias("tokens_needed"),
+            F.max("vocab_total").alias("vocab_total"),
+            F.min(F.struct("_r", "_cum")).alias("_first"),
+            F.max("_tot").alias("_tt"),
+        )
+        rows.append(
+            hit.select(
+                "target",
+                F.col("tokens_needed").cast("long").alias("tokens_needed"),
+                F.round(
+                    F.col("_first")["_cum"] / F.col("_tt"), 6
+                ).alias("mass_covered"),
+                F.col("vocab_total").cast("long").alias("vocab_total"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

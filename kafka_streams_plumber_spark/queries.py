@@ -9817,6 +9817,61 @@ def q_cluster_agree(spark, sf_dir):
 
 
 @query(
+    "q_vocab_cov",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                   '[ 	
+]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    r AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS r0
+      FROM c
+    ),
+    cum AS (
+      SELECT r0, CAST(sum(cnt) OVER (ORDER BY r0) AS BIGINT) AS cum FROM r
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS tt,
+             CAST(count(*) AS BIGINT) AS vt
+      FROM c
+    )
+    SELECT 0.9 AS target,
+           CAST(min(r0) + 1 AS BIGINT) AS tokens_needed,
+           round(arg_min(cum, r0) / CAST(max(tt) AS DOUBLE), 6)
+             AS mass_covered,
+           CAST(max(vt) AS BIGINT) AS vocab_total
+    FROM cum CROSS JOIN tot WHERE cum >= 0.9 * tt
+    UNION ALL
+    SELECT 0.95, CAST(min(r0) + 1 AS BIGINT),
+           round(arg_min(cum, r0) / CAST(max(tt) AS DOUBLE), 6),
+           CAST(max(vt) AS BIGINT)
+    FROM cum CROSS JOIN tot WHERE cum >= 0.95 * tt
+    UNION ALL
+    SELECT 0.99, CAST(min(r0) + 1 AS BIGINT),
+           round(arg_min(cum, r0) / CAST(max(tt) AS DOUBLE), 6),
+           CAST(max(vt) AS BIGINT)
+    FROM cum CROSS JOIN tot WHERE cum >= 0.99 * tt
+    """,
+)
+def q_vocab_cov(spark, sf_dir):
+    """Vocabulary coverage curve (operators/text.py:vocab_coverage):
+    token types needed to cover 90/95/99% of corpus token mass — the
+    tokenizer/embedding-table sizing read, built on the distributed
+    prefix sum (ordering.running_total: range exchange + per-partition
+    local sums + O(P) offsets, never an unpartitioned window over the
+    vocabulary). Ranks, cumulative mass, and the first-qualifying-rank
+    pick (min-struct == arg_min) replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.text import vocab_coverage
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return vocab_coverage(d, targets=(0.9, 0.95, 0.99))
+
+
+@query(
     "q_ngrams",
     """
     WITH w AS (
@@ -9980,6 +10035,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_min_k",
     "q_emb_diversity",
     "q_cluster_agree",
+    "q_vocab_cov",
 ]
 
 

@@ -165,3 +165,36 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     assert {k: (v["n_rows"], v["n_tokens"]) for k, v in disk.items()} == {
         k: (v["n_rows"], v["n_tokens"]) for k, v in m.items()
     }
+
+
+def test_running_total_matches_serial_cumsum(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.ordering import running_total
+
+    rows = [(i, (i * 7) % 13, float(i % 5 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long, v double")
+    out = running_total(
+        df.repartition(8), [F.col("k"), F.col("id")], "v", out_col="rt"
+    ).collect()
+    got = {(r["k"], r["id"]): r["rt"] for r in out}
+    acc = 0.0
+    for k, i, v in sorted((r[1], r[0], r[2]) for r in rows):
+        acc += v
+        assert got[(k, i)] == acc
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.text import vocab_coverage
+
+    # masses: a=50, b=30, c=15, d=5 (total 100)
+    text = " ".join(["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["target"]: (r["tokens_needed"], r["mass_covered"], r["vocab_total"])
+        for r in vocab_coverage(df, targets=(0.5, 0.8, 0.95, 1.0)).collect()
+    }
+    assert got[0.5] == (1, 0.5, 4)     # a alone covers 50%
+    assert got[0.8] == (2, 0.8, 4)     # a+b = 80%
+    assert got[0.95] == (3, 0.95, 4)   # a+b+c = 95%
+    assert got[1.0] == (4, 1.0, 4)

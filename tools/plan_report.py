@@ -134,6 +134,7 @@ AUDITED = {
     "q_min_k": "shared gated-broadcast LM scoring core + per-doc bounded tail window",
     "q_emb_diversity": "seeded md5 pairing via range-partitioned rank; O(n) — never a self-join",
     "q_cluster_agree": "one contingency agg + marginal rollups; all later frames cluster-vocabulary-sized",
+    "q_vocab_cov": "distributed prefix sum (range exchange + O(P) offsets) — no unpartitioned vocab window",
 }
 
 
