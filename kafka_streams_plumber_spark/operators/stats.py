@@ -1293,3 +1293,84 @@ def robust_scale(
     return joined.select(
         *df.columns, F.round(z, 6).alias(out_col)
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic: ONE row
+    ``(n_a, n_b, d, d_at)`` where ``d = max_x |F_a(x) - F_b(x)|`` over
+    the pooled empirical CDFs and ``d_at`` is the (smallest) value
+    where the gap peaks.
+
+    The quantitative sibling of population_stability: PSI needs a
+    binning choice; KS compares the FULL distributions bin-free —
+    "did this feature/score/latency distribution actually move between
+    snapshot A and snapshot B", sensitive anywhere on the axis.
+
+    Exactness: at each pooled value the CDF gap is
+    ``|ca * n_b - cb * n_a| / (n_a * n_b)`` with ``ca``/``cb`` the
+    cumulative counts — an INTEGER numerator, so the max is found over
+    exact longs and divided once at the end. No float CDFs anywhere.
+    (Envelope: ``ca * n_b`` needs n_a * n_b < 2^63 — holds to ~3e9
+    rows per side.)
+
+    Scale design: per-(value, side) counts are one map-combinable
+    aggregate on the distinct-value grain; the cumulative counts ride
+    ordering.running_total's distributed prefix sum (range exchange +
+    O(P) offsets — no unpartitioned window over the value domain);
+    the final max is one aggregate. NULL values are dropped.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).where(F.col(value_col).isNotNull())
+    counts = (
+        base.where(F.col("_g").isin([group_a, group_b]))
+        .groupBy("_v")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_g") == F.lit(group_a)).cast("long")), F.lit(0)
+            ).alias("_ca"),
+            F.coalesce(
+                F.sum((F.col("_g") == F.lit(group_b)).cast("long")), F.lit(0)
+            ).alias("_cb"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    cum = running_total(counts, ["_v"], "_ca", out_col="_cca")
+    cum = running_total(cum, ["_v"], "_cb", out_col="_ccb")
+    cum = cum.crossJoin(F.broadcast(totals))
+    gap = F.abs(
+        F.col("_cca") * F.col("n_b") - F.col("_ccb") * F.col("n_a")
+    )
+    # two-pass peak locate: max gap first, then the smallest value at it
+    gmax = cum.agg(F.max(gap).alias("_gmax"))
+    at = (
+        cum.crossJoin(F.broadcast(gmax))
+        .where(gap == F.col("_gmax"))
+        .agg(F.min("_v").alias("d_at"))
+    )
+    out = (
+        totals.crossJoin(F.broadcast(gmax))
+        .crossJoin(F.broadcast(at))
+    )
+    return out.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("_gmax")
+            / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0)),
+            6,
+        ).alias("d"),
+        "d_at",
+    )

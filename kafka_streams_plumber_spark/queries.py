@@ -9822,7 +9822,8 @@ def q_cluster_agree(spark, sf_dir):
     WITH toks AS (
       SELECT unnest(list_filter(string_split_regex(trim(coalesce(text, '')),
                                                    '[ 	
-]+'),
+
+]+'),
                                 t -> t <> '')) AS tok
       FROM documents
     ),
@@ -9869,6 +9870,55 @@ def q_vocab_cov(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return vocab_coverage(d, targets=(0.9, 0.95, 0.99))
+
+
+@query(
+    "q_ks",
+    """
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    counts AS (
+      SELECT v,
+             coalesce(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END), 0)
+               AS ca,
+             coalesce(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END), 0) AS cb
+      FROM base GROUP BY v
+    ),
+    cum AS (
+      SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cca,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS ccb
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM counts
+    ),
+    gaps AS (
+      SELECT v, abs(cca * nb - ccb * na) AS gap FROM cum CROSS JOIN tot
+    ),
+    gm AS (SELECT CAST(max(gap) AS BIGINT) AS gmax FROM gaps),
+    peak AS (
+      SELECT min(v) AS d_at FROM gaps CROSS JOIN gm WHERE gap = gmax
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(gmax / CAST(nullif(na * nb, 0) AS DOUBLE), 6) AS d,
+           d_at
+    FROM tot CROSS JOIN gm CROSS JOIN peak
+    """,
+)
+def q_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift test (operators/
+    stats.py:ks_test): did the value distribution of purchases move vs
+    views — bin-free where PSI needs a binning choice. The CDF gap
+    numerator |ca*n_b - cb*n_a| stays an exact long (one division at
+    the end); cumulative counts ride the distributed prefix sum —
+    gaps, peak, and the tie-min location replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import ks_test
+
+    e = load_tables(spark, sf_dir)["events"]
+    return ks_test(e, "event_type", "value", "purchase", "view")
 
 
 @query(
@@ -10036,6 +10086,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_emb_diversity",
     "q_cluster_agree",
     "q_vocab_cov",
+    "q_ks",
 ]
 
 

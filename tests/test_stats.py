@@ -567,3 +567,42 @@ def test_robust_scale_zero_iqr_is_null(spark):
     out = robust_scale(df, "v", "grp").collect()
     # >75% of mass on one value -> IQR = 0 -> NULL everywhere
     assert all(r["v_robust"] is None for r in out)
+
+
+def test_ks_test_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.stats import ks_test
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: D peaks at x=2 with F_a=0.5, F_b=0
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["d"] == 0.5 and r["d_at"] == 2.0
+
+
+def test_ks_test_identical_and_disjoint(spark):
+    from kafka_streams_plumber_spark.operators.stats import ks_test
+
+    same = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    df = spark.createDataFrame(same, "g string, v double")
+    assert ks_test(df, "g", "v", "a", "b").collect()[0]["d"] == 0.0
+
+    disjoint = [("a", float(v)) for v in range(5)] + [
+        ("b", float(v + 100)) for v in range(5)
+    ]
+    df = spark.createDataFrame(disjoint, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert r["d"] == 1.0 and r["d_at"] == 4.0  # gap completes at max(A)
+
+
+def test_ks_test_ignores_other_groups_and_nulls(spark):
+    from kafka_streams_plumber_spark.operators.stats import ks_test
+
+    rows = [("a", 1.0), ("b", 2.0), ("c", 99.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 1) and r["d"] == 1.0

@@ -135,6 +135,7 @@ AUDITED = {
     "q_emb_diversity": "seeded md5 pairing via range-partitioned rank; O(n) — never a self-join",
     "q_cluster_agree": "one contingency agg + marginal rollups; all later frames cluster-vocabulary-sized",
     "q_vocab_cov": "distributed prefix sum (range exchange + O(P) offsets) — no unpartitioned vocab window",
+    "q_ks": "distinct-value collapse + distributed prefix sums; integer gap numerator, one final division",
 }
 
 
