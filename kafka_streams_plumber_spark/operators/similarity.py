@@ -923,3 +923,93 @@ def embedding_diversity(
         F.round(F.col("_s") / F.col("n_pairs"), 6).alias("mean_cos"),
         F.round(F.col("_hi") / F.col("n_pairs"), 6).alias("high_share"),
     )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus map: pairwise cosine between per-group hashing-trick
+    centroid vectors — ``(group_a, group_b, dot, cosine)`` for every
+    unordered group pair (group_a < group_b).
+
+    "Which sources/languages/buckets speak similar text" in one
+    O(groups^2) frame: the embedding-space complement of
+    diff.jsd_matrix (JSD compares distributions value-by-value; this
+    compares them through the hashed-kernel inner product, so it
+    tolerates huge vocabularies). High off-diagonal cosine flags
+    redundant sources before mixing — the cross-source twin of
+    setsim.source_overlap_matrix at a fraction of its cost.
+
+    Exactness: the group centroid is the UNNORMALIZED signed-bucket
+    sum (exact longs — same md5 bucket/sign device as hash_embed, so
+    the oracle replays it verbatim); pair dots are integer sums; the
+    one cosine division runs on two sqrt doubles at the end.
+
+    Scale design: one token explode + one (group, bucket) aggregate
+    (map-combinable, output O(groups x dim)); the pair frame is a
+    bucket-keyed self-join of that TINY frame. The corpus is scanned
+    once and never self-joined.
+    """
+    from kafka_streams_plumber_spark.operators.text import WS_RE
+
+    c = F.col(text_col)
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.filter(F.split(F.lower(c), WS_RE), lambda x: x != "")
+        ).alias("_t"),
+    )
+    m = F.md5(F.col("_t"))
+    idx = F.pmod(
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    sign = (F.conv(F.substring(m, 9, 1), 16, 10).cast("long") % 2) * 2 - 1
+    sparse = (
+        toks.select("_g", idx.alias("_i"), sign.alias("_s"))
+        .groupBy("_g", "_i")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    norms = sparse.groupBy("_g").agg(
+        F.sum(F.col("_v") * F.col("_v")).alias("_n2")
+    )
+
+    a = sparse.select(
+        F.col("_g").alias("group_a"), "_i", F.col("_v").alias("_va")
+    )
+    b = sparse.select(
+        F.col("_g").alias("group_b"), "_i", F.col("_v").alias("_vb")
+    )
+    dots = (
+        a.join(b, "_i")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.sum(F.col("_va") * F.col("_vb")).alias("dot"))
+    )
+    groups = norms.select("_g")
+    spine = (
+        groups.select(F.col("_g").alias("group_a"))
+        .crossJoin(F.broadcast(groups.select(F.col("_g").alias("group_b"))))
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    na = norms.select(F.col("_g").alias("group_a"), F.col("_n2").alias("_na2"))
+    nb = norms.select(F.col("_g").alias("group_b"), F.col("_n2").alias("_nb2"))
+    out = (
+        spine.join(dots, ["group_a", "group_b"], "left")
+        .join(F.broadcast(na), "group_a")
+        .join(F.broadcast(nb), "group_b")
+    )
+    d = F.coalesce(F.col("dot"), F.lit(0)).cast("long")
+    cos = d / (
+        F.sqrt(F.col("_na2").cast("double"))
+        * F.sqrt(F.col("_nb2").cast("double"))
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        d.alias("dot"),
+        F.round(cos, 6).alias("cosine"),
+    )

@@ -9922,6 +9922,66 @@ def q_ks(spark, sf_dir):
 
 
 @query(
+    "q_centroid_sim",
+    r"""
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[ 	
+]+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT g,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS i,
+             (('0x' || substr(md5(t), 9, 1))::BIGINT % 2) * 2 - 1 AS s
+      FROM toks
+    ),
+    sparse AS (
+      SELECT g, i, CAST(sum(s) AS BIGINT) AS v FROM hashed GROUP BY g, i
+    ),
+    norms AS (
+      SELECT g, CAST(sum(v * v) AS BIGINT) AS n2 FROM sparse GROUP BY g
+    ),
+    dots AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             CAST(sum(a.v * b.v) AS BIGINT) AS dot
+      FROM sparse a JOIN sparse b ON a.i = b.i AND a.g < b.g
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT na.g AS group_a, nb.g AS group_b
+      FROM norms na JOIN norms nb ON na.g < nb.g
+    )
+    SELECT s.group_a, s.group_b,
+           CAST(coalesce(d.dot, 0) AS BIGINT) AS dot,
+           round(coalesce(d.dot, 0)
+                 / (sqrt(CAST(na.n2 AS DOUBLE))
+                    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+    FROM spine s
+    LEFT JOIN dots d ON d.group_a = s.group_a AND d.group_b = s.group_b
+    JOIN norms na ON na.g = s.group_a
+    JOIN norms nb ON nb.g = s.group_b
+    """,
+)
+def q_centroid_sim(spark, sf_dir):
+    """Corpus map (operators/similarity.py:centroid_similarity):
+    pairwise cosine between per-source hashing-trick centroids — the
+    embedding-space complement of q_jsd and the cheap cross-source
+    redundancy flag before mixing. Centroids are exact signed-bucket
+    long sums (the q_hash_embed md5 device), pair dots are integer
+    sums over a O(sources x dim) frame, one final cosine division —
+    replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return centroid_similarity(d, "source", "text", dim=64)
+
+
+@query(
     "q_ngrams",
     """
     WITH w AS (
@@ -10087,6 +10147,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_cluster_agree",
     "q_vocab_cov",
     "q_ks",
+    "q_centroid_sim",
 ]
 
 

@@ -307,3 +307,43 @@ def test_embedding_diversity_deterministic_and_odd_drop(spark):
     assert r1["n_pairs"] == 3            # 7 vectors -> 3 pairs, 1 dropped
     r3 = embedding_diversity(df, seed=6).collect()[0]
     assert r3["n_pairs"] == 3            # different seed, same bookkeeping
+
+
+def test_centroid_similarity_groups_by_content(spark):
+    from kafka_streams_plumber_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    animal = "cat dog bird fish cat dog"
+    tech = "code data model train code data"
+    docs = spark.createDataFrame(
+        [
+            (1, animal, "a1"), (2, animal + " cat", "a2"),
+            (3, tech, "t1"), (4, tech + " data", "t2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r["cosine"]
+        for r in centroid_similarity(docs, "source", "text").collect()
+    }
+    assert len(got) == 6
+    # same-topic sources are far more similar than cross-topic ones
+    assert got[("a1", "a2")] > 0.9 and got[("t1", "t2")] > 0.9
+    assert got[("a1", "t1")] < got[("a1", "a2")]
+
+
+def test_centroid_similarity_no_shared_bucket_is_zero(spark):
+    from kafka_streams_plumber_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    # one token each, different buckets (dim large enough to separate)
+    docs = spark.createDataFrame(
+        [(1, "aaa", "x"), (2, "bbb", "y")],
+        "doc_id long, text string, source string",
+    )
+    rows = centroid_similarity(docs, "source", "text", dim=512).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["dot"] == 0 and r["cosine"] == 0.0

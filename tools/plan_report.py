@@ -136,6 +136,7 @@ AUDITED = {
     "q_cluster_agree": "one contingency agg + marginal rollups; all later frames cluster-vocabulary-sized",
     "q_vocab_cov": "distributed prefix sum (range exchange + O(P) offsets) — no unpartitioned vocab window",
     "q_ks": "distinct-value collapse + distributed prefix sums; integer gap numerator, one final division",
+    "q_centroid_sim": "one token explode + (group,bucket) agg; pair join on the O(groups x dim) frame only",
 }
 
 
