@@ -489,3 +489,88 @@ def auc(
             6,
         ).alias("auc"),
     )
+
+
+def best_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Decision-threshold sweep: evaluate ``score >= t`` as a
+    classifier at EVERY distinct score t and return the best-F1 row —
+    ``(threshold, tp, fp, fn, tn, precision, recall, f1)`` (ties on F1
+    broken toward the LOWEST threshold, i.e. higher recall).
+
+    The gate-tuning step after auc: AUC says the score CAN rank;
+    this says where to CUT it — the number that turns a quality
+    scorer into a keep/drop rule. precision/recall/f1 are single
+    double divisions of exact integer counts.
+
+    Scale design: scores collapse to the distinct-score grain (one
+    map-combinable aggregate; quantize with ``round_scores`` to bound
+    it, same contract as :func:`auc`); cumulative positives/negatives
+    ride ordering.running_total's distributed prefix sum (descending
+    score order via the negated key); the argmax is a two-pass
+    max-then-min-threshold pick, no window over the data. NULL
+    scores/labels are dropped.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    s = F.col(score_col).cast("double")
+    if round_scores is not None:
+        s = F.round(s, int(round_scores))
+    base = df.select(
+        s.alias("_s"), F.col(label_col).cast("boolean").alias("_y")
+    ).where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+
+    per = base.groupBy("_s").agg(
+        F.coalesce(F.sum(F.col("_y").cast("long")), F.lit(0)).alias("_p"),
+        F.coalesce(F.sum((~F.col("_y")).cast("long")), F.lit(0)).alias("_q"),
+    ).withColumn("_neg", -F.col("_s"))
+    # cumulate in DESCENDING score order: at threshold t, predictions
+    # positive are all rows with score >= t
+    cum = running_total(per, ["_neg"], "_p", out_col="_tp")
+    cum = running_total(cum, ["_neg"], "_q", out_col="_fp")
+    totals = per.agg(
+        F.sum("_p").alias("_tpos"), F.sum("_q").alias("_tneg")
+    )
+    cum = cum.crossJoin(F.broadcast(totals))
+
+    f1_num = 2 * F.col("_tp")
+    f1_den = (
+        2 * F.col("_tp") + F.col("_fp") + (F.col("_tpos") - F.col("_tp"))
+    )
+    f1 = f1_num / F.nullif(f1_den, F.lit(0))
+    scored = cum.select(
+        F.col("_s").alias("threshold"),
+        F.col("_tp").alias("tp"),
+        F.col("_fp").alias("fp"),
+        (F.col("_tpos") - F.col("_tp")).alias("fn"),
+        (F.col("_tneg") - F.col("_fp")).alias("tn"),
+        f1.alias("_f1"),
+    )
+    best = scored.agg(F.max("_f1").alias("_best"))
+    pick = (
+        scored.crossJoin(F.broadcast(best))
+        .where(F.col("_f1") == F.col("_best"))
+        .agg(F.min("threshold").alias("threshold"))
+    )
+    out = scored.join(pick, "threshold")
+    return out.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
+        ).alias("recall"),
+        F.round("_f1", 6).alias("f1"),
+    )

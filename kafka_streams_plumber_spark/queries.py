@@ -9928,7 +9928,8 @@ def q_ks(spark, sf_dir):
       SELECT source AS g,
              unnest(list_filter(string_split_regex(lower(text),
                                                    '[ 	
-]+'),
+
+]+'),
                                 x -> x <> '')) AS t
       FROM documents
     ),
@@ -9979,6 +9980,66 @@ def q_centroid_sim(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return centroid_similarity(d, "source", "text", dim=64)
+
+
+@query(
+    "q_bestthr",
+    """
+    WITH base AS (
+      SELECT round(value, 6) AS s, (event_type = 'purchase') AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per AS (
+      SELECT s,
+             coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0) AS p,
+             coalesce(sum(CASE WHEN y THEN 0 ELSE 1 END), 0) AS q
+      FROM base GROUP BY s
+    ),
+    cum AS (
+      SELECT s, CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+             CAST(sum(q) OVER (ORDER BY s DESC) AS BIGINT) AS fp
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(sum(p) AS BIGINT) AS pp, CAST(sum(q) AS BIGINT) AS nn
+      FROM per
+    ),
+    sc AS (
+      SELECT s AS threshold, tp, fp, pp - tp AS fn, nn - fp AS tn,
+             (2 * tp) / CAST(nullif(2 * tp + fp + (pp - tp), 0) AS DOUBLE)
+               AS f1
+      FROM cum CROSS JOIN tot
+    ),
+    best AS (SELECT max(f1) AS b FROM sc),
+    pick AS (
+      SELECT min(threshold) AS threshold FROM sc CROSS JOIN best
+      WHERE f1 = b
+    )
+    SELECT sc.threshold, tp, fp, fn, tn,
+           round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
+           round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+           round(f1, 6) AS f1
+    FROM sc JOIN pick USING (threshold)
+    """,
+)
+def q_bestthr(spark, sf_dir):
+    """Decision-threshold sweep (operators/classify.py:best_threshold):
+    the best-F1 cut of "event value >= t predicts purchase" with its
+    full confusion row — the step that turns q_auc's ranking power
+    into an actual keep/drop gate. Distinct-score collapse, descending
+    prefix sums via the distributed running_total, two-pass argmax
+    (max F1 then min threshold) — all exact longs until the final
+    divisions, replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        best_threshold,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    scored = e.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return best_threshold(scored, "score", "label", round_scores=6)
 
 
 @query(
@@ -10148,6 +10209,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_vocab_cov",
     "q_ks",
     "q_centroid_sim",
+    "q_bestthr",
 ]
 
 

@@ -246,3 +246,45 @@ def test_auc_round_scores_merges_ties(spark):
     merged = auc(df, "score", "label", round_scores=3).collect()[0]
     assert sharp["auc"] == 0.5  # pos above one neg, below the other
     assert merged["n_scores"] == 2 and abs(merged["auc"] - 0.75) < 1e-9
+
+
+def test_best_threshold_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.classify import (
+        best_threshold,
+    )
+
+    # scores: positives at 0.9, 0.8, 0.3; negatives at 0.7, 0.2, 0.1
+    rows = [
+        (0.9, True), (0.8, True), (0.3, True),
+        (0.7, False), (0.2, False), (0.1, False),
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = best_threshold(df, "score", "label").collect()[0]
+    # t=0.8: tp=2 fp=0 fn=1 -> F1 = 4/5 = 0.8
+    # t=0.3: tp=3 fp=1 fn=0 -> F1 = 6/7 ~ 0.857  (the best)
+    assert r["threshold"] == 0.3
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 0, 2)
+    assert r["precision"] == 0.75 and r["recall"] == 1.0
+    assert abs(r["f1"] - round(6 / 7, 6)) < 1e-9
+
+
+def test_best_threshold_tie_prefers_lower_threshold(spark):
+    from kafka_streams_plumber_spark.operators.classify import (
+        best_threshold,
+    )
+
+    # perfect separation: any t in (0.5, 1.0] is F1=1; the swept
+    # thresholds are the distinct scores -> both 1.0 and (via tie) the
+    # lowest tied one wins: at t=1.0 tp=2 fn=0? scores: pos 1.0,1.0;
+    # neg 0.5 -> t=1.0 gives tp=2 fp=0 -> F1=1. t=0.5 gives fp=1.
+    rows = [(1.0, True), (1.0, True), (0.5, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = best_threshold(df, "score", "label").collect()[0]
+    assert r["threshold"] == 1.0 and r["f1"] == 1.0
+
+    # two tied-F1 thresholds -> lower (higher recall) wins
+    rows = [(0.9, True), (0.6, True), (0.6, False), (0.9, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = best_threshold(df, "score", "label").collect()[0]
+    # t=0.9: tp=1 fp=1 fn=1 -> F1=0.5; t=0.6: tp=2 fp=2 fn=0 -> F1=2/3
+    assert r["threshold"] == 0.6

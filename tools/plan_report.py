@@ -137,6 +137,7 @@ AUDITED = {
     "q_vocab_cov": "distributed prefix sum (range exchange + O(P) offsets) — no unpartitioned vocab window",
     "q_ks": "distinct-value collapse + distributed prefix sums; integer gap numerator, one final division",
     "q_centroid_sim": "one token explode + (group,bucket) agg; pair join on the O(groups x dim) frame only",
+    "q_bestthr": "distinct-score collapse + descending distributed prefix sums; two-pass argmax",
 }
 
 
