@@ -574,3 +574,86 @@ def best_threshold(
         ).alias("recall"),
         F.round("_f1", 6).alias("f1"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile gains/lift table: rank by score descending, cut into
+    ``n_bins`` equal-count bins, and report per bin
+    ``(bin, n, positives, resp_rate, cum_capture, cum_lift)`` —
+    the targeting readout ("the top decile captures 38% of all
+    positives at 3.8x lift") that decides how deep a ranked
+    keep/label/review queue is worth working.
+
+    ``bin`` is 0-based from the top; ``cum_capture`` = share of ALL
+    positives found at-or-above the bin; ``cum_lift`` = cumulative
+    response rate over the base rate. Bin k holds exactly the rows
+    with global rank in [k*N/n_bins, (k+1)*N/n_bins) — the integer
+    ``floor(rank * n_bins / N)`` cut, deterministic because the rank
+    is total-ordered by (score desc, ``id_col``).
+
+    Scale design: the global rank is ordering.rank_by (range exchange,
+    no single-task window); bin aggregation is map-combinable; the
+    cumulative columns run on the O(n_bins) frame. All counts exact
+    longs; rates/lift are final double divisions. NULLs dropped.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import rank_by
+
+    base = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+        F.col(id_col).alias("_tie"),
+    ).where(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    ranked = rank_by(
+        base, [F.col("_s").desc(), F.col("_tie")], pos_col="_r"
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum(F.col("_y").cast("long")), F.lit(0)).alias("_pos"),
+    )
+    binned = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor((F.col("_r") * n_bins) / F.col("_n"))
+            .cast("long")
+            .alias("bin"),
+            F.col("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("_y").cast("long")), F.lit(0)).alias(
+                "positives"
+            ),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        binned.crossJoin(F.broadcast(tot))
+        .withColumn("_cn", F.sum("n").over(w))
+        .withColumn("_cp", F.sum("positives").over(w))
+    )
+    base_rate = F.col("_pos") / F.col("_n")
+    return out.select(
+        "bin",
+        "n",
+        "positives",
+        F.round(F.col("positives") / F.col("n"), 6).alias("resp_rate"),
+        F.round(
+            F.col("_cp") / F.nullif(F.col("_pos"), F.lit(0)), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("_cp") / F.col("_cn")) / F.nullif(base_rate, F.lit(0.0)),
+            6,
+        ).alias("cum_lift"),
+    )

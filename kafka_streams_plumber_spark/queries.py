@@ -10043,6 +10043,63 @@ def q_bestthr(spark, sf_dir):
 
 
 @query(
+    "q_gains",
+    """
+    WITH base AS (
+      SELECT value AS s, (event_type = 'purchase') AS y, event_id AS tie
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+        AND event_id IS NOT NULL
+    ),
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY s DESC, tie) - 1 AS r
+      FROM base
+    ),
+    tot AS (
+      SELECT count(*) AS n,
+             coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0) AS pos
+      FROM base
+    ),
+    binned AS (
+      SELECT CAST(floor((r * 10) / n) AS BIGINT) AS bin,
+             count(*) AS bn,
+             coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0) AS bp
+      FROM ranked CROSS JOIN tot GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, bn, bp,
+             CAST(sum(bn) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(sum(bp) OVER (ORDER BY bin) AS BIGINT) AS cp
+      FROM binned
+    )
+    SELECT bin, CAST(bn AS BIGINT) AS n, CAST(bp AS BIGINT) AS positives,
+           round(bp / CAST(bn AS DOUBLE), 6) AS resp_rate,
+           round(cp / CAST(nullif(pos, 0) AS DOUBLE), 6) AS cum_capture,
+           round((cp / CAST(cn AS DOUBLE))
+                 / nullif(pos / CAST(n AS DOUBLE), 0.0), 6) AS cum_lift
+    FROM cum CROSS JOIN tot
+    """,
+)
+def q_gains(spark, sf_dir):
+    """Decile gains/lift table (operators/classify.py:gains_table):
+    how much purchase mass the top value-ranked deciles capture and at
+    what lift — the work-the-queue-how-deep readout completing the
+    q_auc / q_bestthr eval trio. Global rank via the range-partitioned
+    parallel rank (total order by (score desc, event_id)), integer
+    floor(r*k/N) bin cut, cumulative columns on the O(bins) frame —
+    replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import gains_table
+
+    e = load_tables(spark, sf_dir)["events"]
+    scored = e.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+        "event_id",
+    )
+    return gains_table(scored, "score", "label", id_col="event_id")
+
+
+@query(
     "q_ngrams",
     """
     WITH w AS (
@@ -10210,6 +10267,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_ks",
     "q_centroid_sim",
     "q_bestthr",
+    "q_gains",
 ]
 
 

@@ -288,3 +288,39 @@ def test_best_threshold_tie_prefers_lower_threshold(spark):
     r = best_threshold(df, "score", "label").collect()[0]
     # t=0.9: tp=1 fp=1 fn=1 -> F1=0.5; t=0.6: tp=2 fp=2 fn=0 -> F1=2/3
     assert r["threshold"] == 0.6
+
+
+def test_gains_table_hand_computed(spark):
+    from kafka_streams_plumber_spark.operators.classify import gains_table
+
+    # 20 rows, scores descending 20..1; positives are the top 5 scores
+    rows = [(i, float(21 - i), i <= 5) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, score double, label boolean")
+    got = {
+        r["bin"]: (r["n"], r["positives"], r["resp_rate"],
+                   r["cum_capture"], r["cum_lift"])
+        for r in gains_table(
+            df, "score", "label", id_col="id", n_bins=5
+        ).collect()
+    }
+    # 5 bins of 4: bin0 = top4 all positive, bin1 has the 5th positive
+    assert got[0] == (4, 4, 1.0, 0.8, 4.0)
+    assert got[1][1] == 1 and got[1][3] == 1.0  # all positives captured
+    # base rate 0.25 -> cumulative lift at bin1 = (5/8)/0.25 = 2.5
+    assert got[1][4] == 2.5
+    assert got[4][3] == 1.0 and got[4][4] == 1.0  # full population
+    assert sum(v[0] for v in got.values()) == 20
+
+
+def test_gains_table_deterministic_under_score_ties(spark):
+    from kafka_streams_plumber_spark.operators.classify import gains_table
+
+    # all scores equal: the id tiebreak fixes bin membership exactly
+    rows = [(i, 1.0, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, score double, label boolean")
+    a = gains_table(df, "score", "label", id_col="id", n_bins=2).collect()
+    b = gains_table(df, "score", "label", id_col="id", n_bins=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # ids 0..4 in bin 0 -> 3 positives (0,2,4); ids 5..9 -> 2 (6,8)
+    got = {r["bin"]: r["positives"] for r in a}
+    assert got == {0: 3, 1: 2}

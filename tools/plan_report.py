@@ -138,6 +138,7 @@ AUDITED = {
     "q_ks": "distinct-value collapse + distributed prefix sums; integer gap numerator, one final division",
     "q_centroid_sim": "one token explode + (group,bucket) agg; pair join on the O(groups x dim) frame only",
     "q_bestthr": "distinct-score collapse + descending distributed prefix sums; two-pass argmax",
+    "q_gains": "range-partitioned global rank + integer bin cut; cumulative columns on the O(bins) frame",
 }
 
 
