@@ -10252,6 +10252,14 @@ _GATE_WINDOW = [
 #: guard counts them as covered — and goes red if a new oracle is in
 #: neither a CORRECTNESS file, the window, nor this queue). Promote
 #: these first when rotating the next window.
+#:
+#: r6 rotation plan: these 15 r5-late-wave queries take the first
+#: slots; the remaining ~35 re-prove (a) anything whose implementation
+#: or oracle changes in r6 and (b) heavy-family regression sentinels
+#: (semantic dedup both paths, k-means, minhash end-to-end, LM
+#: scoring, percentiles, graph rounds, TPC-H Q1) — after r5 every
+#: pre-queue oracle has a driver hash row, so sentinel re-proving is
+#: the only other use of window space.
 _NEXT_WINDOW_QUEUE: list[str] = [
     "q_qnorm",
     "q_mase",
