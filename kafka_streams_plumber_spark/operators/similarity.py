@@ -902,8 +902,14 @@ def embedding_diversity(
     key = F.floor(F.col("_p") / 2).cast("long").alias("_k")
     a = ranked.where(F.col("_p") % 2 == 0).select(key, F.col("_v").alias("_va"))
     b = ranked.where(F.col("_p") % 2 == 1).select(key, F.col("_v").alias("_vb"))
-    pairs = a.join(b, "_k").select(
-        cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+    # zero-norm vectors (all-zero embeddings from an upstream bug) would
+    # make the cosine NaN — which Spark's long cast silently zeroes and
+    # an ANSI engine refuses to cast at all; drop those pairs instead
+    # (they carry no direction to compare)
+    pairs = (
+        a.join(b, "_k")
+        .where((norm(F.col("_va")) > 0) & (norm(F.col("_vb")) > 0))
+        .select(cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
     )
     t = F.lit(float(threshold))
     out = pairs.agg(

@@ -9712,6 +9712,10 @@ def q_min_k(spark, sf_dir):
                i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))))
           AS cos
       FROM a JOIN b USING (k)
+      WHERE sqrt(list_sum(list_transform(range(1, 65),
+              i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE)))) > 0
+        AND sqrt(list_sum(list_transform(range(1, 65),
+              i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))) > 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            round(CAST(sum(CAST(round(cos * 1000000000.0) AS BIGINT))

@@ -347,3 +347,16 @@ def test_centroid_similarity_no_shared_bucket_is_zero(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["dot"] == 0 and r["cosine"] == 0.0
+
+
+def test_embedding_diversity_zero_vector_dropped(spark):
+    from kafka_streams_plumber_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_diversity(df, seed=1).collect()[0]
+    # the zero vector's pair is excluded, never a NaN poisoning the mean
+    assert r["n_pairs"] <= 2
+    assert r["mean_cos"] is not None
