@@ -1374,3 +1374,76 @@ def ks_test(
         ).alias("d"),
         "d_at",
     )
+
+
+def theils_u(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Theil's uncertainty coefficient between two categorical columns:
+    ONE row ``(n, u_a_given_b, u_b_given_a)`` with
+    ``U(A|B) = I(A;B) / H(A)`` — the share of A's entropy explained by
+    knowing B, in [0, 1].
+
+    The ASYMMETRIC companion to chi2_independence: chi-square says the
+    columns are entangled, Theil's U says WHICH DIRECTION the
+    information flows — ``u_a_given_b ~ 1, u_b_given_a ~ 0.3`` means B
+    nearly determines A but not vice versa (e.g. page -> section vs
+    section -> page), the reading that decides which column is the
+    redundant one to drop from a feature set or release.
+
+    NULL levels are excluded; U is NULL when the conditioned entropy is
+    zero (a constant column explains nothing and has nothing to
+    explain). MI/entropy terms are scaled-long sums (9 dp) over exact
+    probabilities (single divisions of exact longs) — engine-replayable.
+
+    Scale: one (a, b) contingency aggregate + two O(levels) marginal
+    rollups; everything later is level-vocabulary-sized.
+    """
+    base = df.select(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = cells.groupBy("_a").agg(F.sum("_c").alias("_na"))
+    mb = cells.groupBy("_b").agg(F.sum("_c").alias("_nb"))
+    nn = cells.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n"))
+
+    def sl(e):
+        return (
+            F.sum(F.round(e * scale, 0).cast("long")).cast("double") / scale
+        )
+
+    joined = (
+        cells.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(nn))
+    )
+    iterm = (F.col("_c") / F.col("n")) * F.log(
+        (F.col("_c").cast("double") * F.col("n"))
+        / (F.col("_na").cast("double") * F.col("_nb"))
+    )
+    mi = joined.agg(sl(iterm).alias("_mi"))
+
+    def entropy(m, cnt):
+        term = -(F.col(cnt) / F.col("n")) * F.log(F.col(cnt) / F.col("n"))
+        return m.crossJoin(F.broadcast(nn)).agg(sl(term).alias("_h"))
+
+    ha = entropy(ma, "_na").withColumnRenamed("_h", "_ha")
+    hb = entropy(mb, "_nb").withColumnRenamed("_h", "_hb")
+    out = (
+        nn.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+    )
+    return out.select(
+        "n",
+        F.round(
+            F.col("_mi") / F.nullif(F.col("_ha"), F.lit(0.0)), 6
+        ).alias("u_a_given_b"),
+        F.round(
+            F.col("_mi") / F.nullif(F.col("_hb"), F.lit(0.0)), 6
+        ).alias("u_b_given_a"),
+    )

@@ -10104,6 +10104,53 @@ def q_gains(spark, sf_dir):
 
 
 @query(
+    "q_theils_u",
+    """
+    WITH base AS (
+      SELECT lang AS a, source AS b FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    cells AS (SELECT a, b, count(*) AS c FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY 1),
+    mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS nb FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT CAST(sum(CAST(round((c / n) * ln((CAST(c AS DOUBLE) * n)
+                                              / (CAST(na AS DOUBLE) * nb))
+                                  * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000 AS mi
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn
+    ),
+    ha AS (
+      SELECT CAST(sum(CAST(round(-(na / n) * ln(na / n) * 1000000000.0)
+                           AS BIGINT)) AS DOUBLE) / 1000000000 AS ha
+      FROM ma CROSS JOIN nn
+    ),
+    hb AS (
+      SELECT CAST(sum(CAST(round(-(nb / n) * ln(nb / n) * 1000000000.0)
+                           AS BIGINT)) AS DOUBLE) / 1000000000 AS hb
+      FROM mb CROSS JOIN nn
+    )
+    SELECT nn.n AS n,
+           round(mi / nullif(ha, 0.0), 6) AS u_a_given_b,
+           round(mi / nullif(hb, 0.0), 6) AS u_b_given_a
+    FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def q_theils_u(spark, sf_dir):
+    """Theil's uncertainty coefficient for lang x source (operators/
+    stats.py:theils_u): the asymmetric association readout — how much
+    of lang's entropy source explains and vice versa — that tells you
+    WHICH column is the redundant one where q_chi2 only says they're
+    entangled. Contingency + marginals + scaled-long MI/entropy sums,
+    replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import theils_u
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return theils_u(d, "lang", "source")
+
+
+@query(
     "q_ngrams",
     """
     WITH w AS (
@@ -10280,6 +10327,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_centroid_sim",
     "q_bestthr",
     "q_gains",
+    "q_theils_u",
 ]
 
 

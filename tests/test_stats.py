@@ -606,3 +606,34 @@ def test_ks_test_ignores_other_groups_and_nulls(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = ks_test(df, "g", "v", "a", "b").collect()[0]
     assert (r["n_a"], r["n_b"]) == (1, 1) and r["d"] == 1.0
+
+
+def test_theils_u_directionality(spark):
+    from kafka_streams_plumber_spark.operators.stats import theils_u
+
+    # b determines a (each b level maps to one a), but a does not
+    # determine b (each a level spans two b levels)
+    rows = (
+        [("x", "b1")] * 4 + [("x", "b2")] * 4
+        + [("y", "b3")] * 4 + [("y", "b4")] * 4
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = theils_u(df, "a", "b").collect()[0]
+    assert r["n"] == 16
+    assert abs(r["u_a_given_b"] - 1.0) < 1e-6  # B fully explains A
+    assert 0.0 < r["u_b_given_a"] < 1.0        # A only halves B's entropy
+    assert abs(r["u_b_given_a"] - 0.5) < 1e-6  # H(B)=2 bits, MI=1 bit
+
+
+def test_theils_u_independent_and_constant(spark):
+    from kafka_streams_plumber_spark.operators.stats import theils_u
+
+    indep = [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 3
+    df = spark.createDataFrame(indep, "a string, b string")
+    r = theils_u(df, "a", "b").collect()[0]
+    assert abs(r["u_a_given_b"]) < 1e-6 and abs(r["u_b_given_a"]) < 1e-6
+
+    const = [("x", "u"), ("x", "v")] * 3  # a constant -> H(A)=0 -> NULL
+    df = spark.createDataFrame(const, "a string, b string")
+    r = theils_u(df, "a", "b").collect()[0]
+    assert r["u_a_given_b"] is None

@@ -139,6 +139,7 @@ AUDITED = {
     "q_centroid_sim": "one token explode + (group,bucket) agg; pair join on the O(groups x dim) frame only",
     "q_bestthr": "distinct-score collapse + descending distributed prefix sums; two-pass argmax",
     "q_gains": "range-partitioned global rank + integer bin cut; cumulative columns on the O(bins) frame",
+    "q_theils_u": "one contingency agg + O(levels) marginals; everything later level-vocabulary-sized",
 }
 
 
