@@ -28,7 +28,7 @@ sys.path.insert(
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def main(sf_dir: str) -> dict:
+def main(sf_dir: str, *, stop_session: bool = True) -> dict:
     from kafka_streams_plumber_spark.operators.diff import jsd_matrix
     from kafka_streams_plumber_spark.operators.lm import lm_train, min_k_prob
     from kafka_streams_plumber_spark.operators.setsim import containment_join
@@ -101,7 +101,11 @@ def main(sf_dir: str) -> dict:
 
     for k, v in report.items():
         print(f"{k:22s} {v}")
-    spark.stop()
+    if stop_session:
+        # standalone-script cleanup only: under pytest get_spark()
+        # getOrCreate returns the suite's SHARED session — stopping it
+        # here would kill the SparkContext for every later test
+        spark.stop()
     return report
 
 

@@ -10304,7 +10304,7 @@ _GATE_WINDOW = [
 #: neither a CORRECTNESS file, the window, nor this queue). Promote
 #: these first when rotating the next window.
 #:
-#: r6 rotation plan: these 15 r5-late-wave queries take the first
+#: r6 rotation plan: these 16 r5-late-wave queries take the first
 #: slots; the remaining ~35 re-prove (a) anything whose implementation
 #: or oracle changes in r6 and (b) heavy-family regression sentinels
 #: (semantic dedup both paths, k-means, minhash end-to-end, LM

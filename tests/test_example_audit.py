@@ -22,7 +22,7 @@ def _load():
 
 
 def test_audit_example_runs():
-    rep = _load().main("/root/testdata/sf0.001")
+    rep = _load().main("/root/testdata/sf0.001", stop_session=False)
     assert rep["vocab_now"] > 0
     assert rep["vocab_at_1000x"] >= rep["vocab_now"]
     assert rep["types_for_99pct"] > 0
