@@ -1059,8 +1059,12 @@ def normalize_text(col: Column | str) -> Column:
     normalization would need ICU; this is deliberately the portable
     deterministic subset.
     """
-    c = F.translate(_c(col), ACCENT_FROM, ACCENT_TO)
-    c = F.lower(c)
+    # lower() FIRST: uppercase accented chars outside the map ('Ÿ')
+    # otherwise lower into mapped chars only on the second pass — the
+    # hypothesis-found idempotence break (normalize('Ÿ') was 'ÿ', and
+    # normalizing again gave 'y'); lowering first keeps one pass total
+    c = F.lower(_c(col))
+    c = F.translate(c, ACCENT_FROM, ACCENT_TO)
     c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)

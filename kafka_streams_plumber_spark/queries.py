@@ -8166,9 +8166,9 @@ def q_emb_drift(spark, sf_dir):
     r"""
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(
-             lower(translate(text,
+             translate(lower(text),
                'àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ',
-               'aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY')),
+               'aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY'),
              '[\x00-\x1f\x7f]', ' ', 'g'),
              ' +', ' ', 'g')) AS norm_text
     FROM documents
