@@ -544,7 +544,14 @@ def best_threshold(
     f1_den = (
         2 * F.col("_tp") + F.col("_fp") + (F.col("_tpos") - F.col("_tp"))
     )
-    f1 = f1_num / F.nullif(f1_den, F.lit(0))
+    # Degenerate inputs stay defined: with zero positive labels every
+    # F1 is 0 (the cumulative fp at each threshold includes the row's
+    # own count, so the denominator is never 0 on a non-empty input) and
+    # the sweep still returns the lowest threshold; the coalesce pins
+    # that contract even if a future refactor makes the prefix sum
+    # exclusive. An EMPTY input (or all-NULL scores/labels) returns an
+    # empty DataFrame — there is no threshold to pick.
+    f1 = F.coalesce(f1_num / F.nullif(f1_den, F.lit(0)), F.lit(0.0))
     scored = cum.select(
         F.col("_s").alias("threshold"),
         F.col("_tp").alias("tp"),

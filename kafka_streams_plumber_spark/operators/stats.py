@@ -1243,14 +1243,28 @@ def gini_concentration(
     r = ranked.join(F.broadcast(offsets), ["_pid", "_g"]).withColumn(
         "_i", F.col("_off") + (F.col("_mid") - F.col("_m0")) + 1
     )
+    # decimal(38,0) for BOTH sums: _i grows to the group size n and _v
+    # is value*scale, so sum(i*v) ~ n^2 * v * scale wraps int64 around
+    # n=1M, v=1e3, and even the plain sum(v) wraps at n*v*scale ~ 1e19
+    # — the same envelope correlation_matrix guards. 38 digits covers
+    # any realistic corpus; DuckDB's HUGEINT sums take the identical
+    # exact-integer -> one-double-round path.
     agg = r.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("_v").alias("_sv"),
-        F.sum(F.col("_i") * F.col("_v")).alias("_siv"),
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("_sv"),
+        F.sum(
+            F.col("_i").cast("decimal(19,0)")
+            * F.col("_v").cast("decimal(19,0)")
+        ).alias("_siv"),
     )
+    sv_dec = F.col("_sv").cast("decimal(38,0)")
     g = (
-        (2 * F.col("_siv") - (F.col("n") + 1) * F.col("_sv")).cast("double")
-        / (F.col("n") * F.nullif(F.col("_sv"), F.lit(0)))
+        (2 * F.col("_siv") - (F.col("n") + 1).cast("decimal(38,0)") * sv_dec)
+        .cast("double")
+        / (
+            F.col("n").cast("decimal(38,0)")
+            * F.nullif(sv_dec, F.lit(0).cast("decimal(38,0)"))
+        ).cast("double")
     )
     return agg.select(
         F.col("_g").alias(group_col),

@@ -9825,9 +9825,7 @@ def q_cluster_agree(spark, sf_dir):
     """
     WITH toks AS (
       SELECT unnest(list_filter(string_split_regex(trim(coalesce(text, '')),
-                                                   '[ 	
-
-]+'),
+                                                   '[ \\t\\n\\r]+'),
                                 t -> t <> '')) AS tok
       FROM documents
     ),
@@ -9931,9 +9929,7 @@ def q_ks(spark, sf_dir):
     WITH toks AS (
       SELECT source AS g,
              unnest(list_filter(string_split_regex(lower(text),
-                                                   '[ 	
-
-]+'),
+                                                   '[ \t\n\x0b\f\r]+'),
                                 x -> x <> '')) AS t
       FROM documents
     ),
@@ -10010,8 +10006,9 @@ def q_centroid_sim(spark, sf_dir):
     ),
     sc AS (
       SELECT s AS threshold, tp, fp, pp - tp AS fn, nn - fp AS tn,
-             (2 * tp) / CAST(nullif(2 * tp + fp + (pp - tp), 0) AS DOUBLE)
-               AS f1
+             coalesce((2 * tp)
+                      / CAST(nullif(2 * tp + fp + (pp - tp), 0) AS DOUBLE),
+                      0.0) AS f1
       FROM cum CROSS JOIN tot
     ),
     best AS (SELECT max(f1) AS b FROM sc),

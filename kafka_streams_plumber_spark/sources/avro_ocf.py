@@ -173,6 +173,11 @@ def read_avro_ocf(
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
+                # Per-file buffer: a mid-file decode error discards the
+                # file's already-decoded prefix so a corrupt file is
+                # EXACTLY one marker row — never marker + partial rows
+                # that would double-count on reprocessing.
+                file_rows = []
                 try:
                     raw = bytes(content)
                     writer_json, recs = parse_ocf_bytes(raw)
@@ -183,14 +188,14 @@ def read_avro_ocf(
                         }
                         row["_path"] = p
                         row["_corrupt"] = False
-                        rows.append(row)
+                        file_rows.append(row)
                 except Exception:
                     if strict:
                         raise
-                    row = {n: None for n in names}
-                    row["_path"] = p
-                    row["_corrupt"] = True
-                    rows.append(row)
+                    file_rows = [
+                        {**{n: None for n in names}, "_path": p, "_corrupt": True}
+                    ]
+                rows.extend(file_rows)
             yield pd.DataFrame(rows, columns=names + ["_path", "_corrupt"])
 
     files = (

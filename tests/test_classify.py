@@ -324,3 +324,30 @@ def test_gains_table_deterministic_under_score_ties(spark):
     # ids 0..4 in bin 0 -> 3 positives (0,2,4); ids 5..9 -> 2 (6,8)
     got = {r["bin"]: r["positives"] for r in a}
     assert got == {0: 3, 1: 2}
+
+
+def test_best_threshold_no_positives_is_defined(spark):
+    """All-negative input: every F1 is 0 and the sweep still returns a
+    row (lowest threshold, i.e. highest recall posture) instead of an
+    empty frame — the degenerate contract ADVICE r5 asked to pin."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        best_threshold,
+    )
+
+    rows = [(0.9, False), (0.5, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = best_threshold(df, "score", "label").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["threshold"] == 0.1 and r["f1"] == 0.0
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 3, 0, 0)
+    assert r["recall"] is None  # 0/0 positives
+
+
+def test_best_threshold_empty_input_is_empty(spark):
+    from kafka_streams_plumber_spark.operators.classify import (
+        best_threshold,
+    )
+
+    df = spark.createDataFrame([], "score double, label boolean")
+    assert best_threshold(df, "score", "label").collect() == []

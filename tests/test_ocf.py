@@ -131,3 +131,23 @@ def test_read_avro_ocf_corrupt_file_dead_letters(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt"]]
     assert len(good) == 3 and len(bad) == 1
     assert bad[0]["_path"].endswith("trash.avro")
+
+
+def test_read_avro_ocf_midfile_corruption_discards_prefix(spark, tmp_path):
+    """A file that decodes N rows and THEN hits corruption must surface
+    as exactly ONE marker row — the already-decoded prefix is discarded
+    so reprocessing the repaired file can never double-count."""
+    d = tmp_path / "mid"
+    d.mkdir()
+    raw = write_ocf_bytes(RECORDS[:6], SCHEMA, block_size=2)  # 3 blocks
+    (d / "good.avro").write_bytes(raw)
+    # chop mid-way through the last block: header + first block decode
+    # fine, the tail raises during iteration
+    (d / "partial.avro").write_bytes(raw[:-10])
+    rows = read_avro_ocf(spark, str(d), SCHEMA).collect()
+    good = [r for r in rows if not r["_corrupt"]]
+    bad = [r for r in rows if r["_corrupt"]]
+    assert len(good) == 6  # only the intact file's rows
+    assert all(r["_path"].endswith("good.avro") for r in good)
+    assert len(bad) == 1 and bad[0]["_path"].endswith("partial.avro")
+    assert bad[0]["id"] is None and bad[0]["text"] is None

@@ -198,3 +198,58 @@ def test_vocab_coverage_hand_computed(spark):
     assert got[0.8] == (2, 0.8, 4)     # a+b = 80%
     assert got[0.95] == (3, 0.95, 4)   # a+b+c = 95%
     assert got[1.0] == (4, 1.0, 4)
+
+
+def test_vocab_cov_and_centroid_sim_oracles_split_on_cr(spark):
+    """Regression for ADVICE r5: the q_vocab_cov / q_centroid_sim
+    oracle whitespace classes held literal control chars with the \\r
+    normalized away, so a CR-separated corpus tokenized differently in
+    DuckDB than in Spark. Feed CR-laced documents through BOTH sides
+    and require identical values."""
+    import duckdb
+    import pandas as pd
+
+    from kafka_streams_plumber_spark import queries as Q
+    from kafka_streams_plumber_spark.operators.similarity import (
+        centroid_similarity,
+    )
+    from kafka_streams_plumber_spark.operators.text import vocab_coverage
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["web", "web", "news", "news"],
+            "text": [
+                "alpha\rbeta\r\ngamma alpha",
+                "beta\tdelta\ralpha",
+                "gamma\r\repsilon beta",
+                "alpha\rzeta",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    got = sorted(
+        (
+            (r["target"], r["tokens_needed"], r["mass_covered"], r["vocab_total"])
+            for r in vocab_coverage(sdf, targets=(0.9, 0.95, 0.99)).collect()
+        )
+    )
+    want = sorted(
+        (float(t), int(n), float(m), int(v))
+        for t, n, m, v in con.execute(Q.ORACLES["q_vocab_cov"]).fetchall()
+    )
+    assert got == want
+
+    got_cs = sorted(
+        (r["group_a"], r["group_b"], r["dot"], r["cosine"])
+        for r in centroid_similarity(sdf, "source", "text", dim=64).collect()
+    )
+    want_cs = sorted(
+        (a, b, int(d), float(c))
+        for a, b, d, c in con.execute(Q.ORACLES["q_centroid_sim"]).fetchall()
+    )
+    assert got_cs == want_cs

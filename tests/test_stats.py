@@ -637,3 +637,20 @@ def test_theils_u_independent_and_constant(spark):
     df = spark.createDataFrame(const, "a string, b string")
     r = theils_u(df, "a", "b").collect()[0]
     assert r["u_a_given_b"] is None
+
+
+def test_gini_concentration_survives_int64_envelope(spark):
+    """Both aggregate sums must ride decimal(38,0): a 1..30 ramp of
+    3e11 keeps every scaled value inside int64 (the per-value contract
+    of the scaled-long device) but pushes sum(v*1e6) to 1.4e20 and
+    sum(i*v*1e6) to 2.8e21 — where plain long sums silently wrap
+    (ADVICE r5). G for a 1..n ramp is (n-1)/(3n) -> 29/90."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    rows = [("g", (i + 1) * 3.0e11) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = gini_concentration(df, "g", "v").collect()[0]
+    assert r["n"] == 30 and r["total"] == 1.395e14
+    assert r["gini"] == round(29 / 90, 6)
