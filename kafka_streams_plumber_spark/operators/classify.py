@@ -533,8 +533,9 @@ def best_threshold(
     ).withColumn("_neg", -F.col("_s"))
     # cumulate in DESCENDING score order: at threshold t, predictions
     # positive are all rows with score >= t
-    cum = running_total(per, ["_neg"], "_p", out_col="_tp")
-    cum = running_total(cum, ["_neg"], "_q", out_col="_fp")
+    cum = running_total(
+        per, ["_neg"], ["_p", "_q"], out_col=["_tp", "_fp"]
+    )
     totals = per.agg(
         F.sum("_p").alias("_tpos"), F.sum("_q").alias("_tneg")
     )

@@ -309,24 +309,40 @@ def write_training_shards(
 def running_total(
     df: DataFrame,
     order_cols: list,
-    value_col: str,
+    value_col: str | list,
     *,
-    out_col: str = "running_total",
+    out_col: str | list = "running_total",
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Distributed prefix sum: adds ``out_col`` = sum of ``value_col``
     over all rows at-or-before this row under ``ORDER BY *order_cols``
     (make the order total — pass a unique tiebreak column — or ties get
     an arbitrary but consistent serialization).
 
+    ``value_col``/``out_col`` may be LISTS (same length): every
+    cumulative column rides the SAME range exchange — the fused form of
+    stacking calls, each of which would pay its own repartitionByRange
+    of the identical keys (the r5 plan audit counted q_ks at 49
+    exchanges from exactly that stacking). ``pos_col`` additionally
+    emits the 0-based global ordinal (:func:`rank_by`'s output) from
+    the same pass, for callers that need rank + prefix sums together.
+
     The scale-correct ``sum() OVER (ORDER BY ...)``: a bare
     unpartitioned window funnels the WHOLE dataset through one task.
     Here: range-repartition on the order keys + local sort, one local
-    running sum per partition (window partitioned by the physical
-    partition id — bounded by partition size), and an O(P)-row offset
-    table broadcast back — the same machinery as :func:`rank_by`, so
-    no stage holds more than one partition.
+    running sum per partition per value column (window partitioned by
+    the physical partition id — bounded by partition size), and an
+    O(P)-row offset table broadcast back — the same machinery as
+    :func:`rank_by`, so no stage holds more than one partition.
     """
     from pyspark.sql import functions as F
+
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError(
+            f"value_col/out_col length mismatch: {value_cols} vs {out_cols}"
+        )
 
     ranked = (
         df.repartitionByRange(*order_cols)
@@ -342,13 +358,44 @@ def running_total(
         .orderBy("_mid")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranked.withColumn("_loc", F.sum(value_col).over(wloc))
-    part_sums = local.groupBy("_pid").agg(F.sum(value_col).alias("_ps"))
+    local = ranked.select(
+        "*",
+        *[
+            F.sum(vc).over(wloc).alias(f"_loc{i}")
+            for i, vc in enumerate(value_cols)
+        ],
+    )
+    part_sums = ranked.groupBy("_pid").agg(
+        F.count("*").alias("_c"),
+        F.min("_mid").alias("_m0"),
+        *[F.sum(vc).alias(f"_ps{i}") for i, vc in enumerate(value_cols)],
+    )
+    # O(P) rows: the single-task window is over partition summaries only
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = part_sums.select(
-        "_pid", F.coalesce(F.sum("_ps").over(woff), F.lit(0)).alias("_off")
+        "_pid",
+        "_m0",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_roff"),
+        *[
+            F.coalesce(F.sum(f"_ps{i}").over(woff), F.lit(0)).alias(f"_off{i}")
+            for i in range(len(value_cols))
+        ],
     )
-    out = local.join(F.broadcast(offsets), "_pid").withColumn(
-        out_col, F.col("_off") + F.col("_loc")
+    out = local.join(F.broadcast(offsets), "_pid").select(
+        "*",
+        *[
+            (F.col(f"_off{i}") + F.col(f"_loc{i}")).alias(oc)
+            for i, oc in enumerate(out_cols)
+        ],
+        *(
+            [(F.col("_roff") + (F.col("_mid") - F.col("_m0"))).alias(pos_col)]
+            if pos_col
+            else []
+        ),
     )
-    return out.drop("_pid", "_mid", "_loc", "_off")
+    drop = (
+        ["_pid", "_mid", "_m0", "_roff"]
+        + [f"_loc{i}" for i in range(len(value_cols))]
+        + [f"_off{i}" for i in range(len(value_cols))]
+    )
+    return out.drop(*drop)

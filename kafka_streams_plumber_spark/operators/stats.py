@@ -1361,8 +1361,9 @@ def ks_test(
     totals = counts.agg(
         F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
     )
-    cum = running_total(counts, ["_v"], "_ca", out_col="_cca")
-    cum = running_total(cum, ["_v"], "_cb", out_col="_ccb")
+    cum = running_total(
+        counts, ["_v"], ["_ca", "_cb"], out_col=["_cca", "_ccb"]
+    )
     cum = cum.crossJoin(F.broadcast(totals))
     gap = F.abs(
         F.col("_cca") * F.col("n_b") - F.col("_ccb") * F.col("n_a")

@@ -1355,7 +1355,6 @@ def vocab_coverage(
     every comparison exact.
     """
     from kafka_streams_plumber_spark.operators.ordering import (
-        rank_by,
         running_total,
     )
 
@@ -1368,11 +1367,15 @@ def vocab_coverage(
         ).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # one range exchange carries BOTH the frequency rank and the
+    # cumulative mass (pos_col fuses what used to be rank_by +
+    # running_total back-to-back on identical keys)
     cum = running_total(
-        rank_by(counts, [F.col("cnt").desc(), F.col("tok")], pos_col="_r"),
+        counts,
         [F.col("cnt").desc(), F.col("tok")],
         "cnt",
         out_col="_cum",
+        pos_col="_r",
     )
     totals = counts.agg(
         F.sum("cnt").alias("_tot"), F.count(F.lit(1)).alias("vocab_total")

@@ -253,3 +253,41 @@ def test_vocab_cov_and_centroid_sim_oracles_split_on_cr(spark):
         for a, b, d, c in con.execute(Q.ORACLES["q_centroid_sim"]).fetchall()
     )
     assert got_cs == want_cs
+
+
+def test_running_total_multi_column_and_fused_rank(spark):
+    """List-valued value_col/out_col + pos_col: every cumulative column
+    and the global ordinal ride ONE range exchange and agree with the
+    stacked single-column form."""
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    rows = [(5, 1, 10), (3, 2, 20), (8, 3, 30), (1, 4, 40), (8, 5, 50)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    out = {
+        r["k"]: (r["ca"], r["cb"], r["pos"])
+        for r in running_total(
+            df, ["k"], ["a", "b"], out_col=["ca", "cb"], pos_col="pos"
+        ).collect()
+    }
+    # ascending k: 1, 3, 5, 8, 8 -> cumulative a: 4, 6, 7, 10, 15
+    assert out[1] == (4, 40, 0)
+    assert out[3] == (4 + 2, 40 + 20, 1)
+    assert out[5] == (7, 70, 2)
+    # the two k=8 rows serialize consistently; the LAST holds the total
+    ca_vals = sorted(v[0] for v in [out[8]])
+    assert out[8][0] in (10, 15)  # one row visible per key in dict
+    # totals check over full frame instead:
+    full = running_total(
+        df, ["k", "a"], ["a", "b"], out_col=["ca", "cb"], pos_col="pos"
+    ).collect()
+    last = max(full, key=lambda r: r["pos"])
+    assert last["ca"] == 15 and last["cb"] == 150 and last["pos"] == 4
+    assert sorted(r["pos"] for r in full) == [0, 1, 2, 3, 4]
+
+    # mismatched lengths are an explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        running_total(df, ["k"], ["a", "b"], out_col="only_one")
