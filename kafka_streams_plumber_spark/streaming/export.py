@@ -23,6 +23,20 @@ What changes vs the batch exporter — and why:
 
 State lives entirely in parquet; restarts resume from the stream
 checkpoint plus the on-disk layout.
+
+Mid-stream READ PROTOCOL: within one micro-batch the data directory
+``data/batch_id=N`` becomes visible BEFORE the batch's manifest row —
+they are two non-atomic writes, data first, manifest second — so the
+manifest append is the batch's COMMIT RECORD. A reader that globs
+``data/`` while the stream runs can observe an uncommitted batch and
+over-count; readers must join data against the manifest's batch_ids
+(:func:`read_committed` does exactly that; :func:`read_manifest`
+aggregates only committed rows by construction). The one remaining
+window is a crash-restart REPLAY of a batch whose manifest committed
+but whose checkpoint didn't: the replay rewrites that batch's data and
+manifest in place with identical content, so a concurrent reader can
+transiently see it partially rewritten — loaders that must read during
+an active restart should retry on read errors.
 """
 
 from __future__ import annotations
@@ -96,11 +110,30 @@ def shard_stream(
 
 
 def read_manifest(spark, out_dir: str) -> DataFrame:
-    """Per-shard totals across all exported batches (what a loader
-    bootstraps from): shard, n_rows, n_tokens, n_batches."""
+    """Per-shard totals across all COMMITTED batches (what a loader
+    bootstraps from): shard, n_rows, n_tokens, n_batches. Commit = the
+    batch's manifest row exists (see the module read protocol)."""
     m = spark.read.parquet(f"{out_dir}/_manifest")
     return m.groupBy("shard").agg(
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.countDistinct("batch_id").alias("n_batches"),
     )
+
+
+def read_committed(spark, out_dir: str) -> DataFrame:
+    """Data rows of COMMITTED batches only — the safe mid-stream read.
+
+    ``data/batch_id=N`` is visible before batch N's manifest row (two
+    non-atomic writes inside one foreachBatch), so globbing ``data/``
+    while the stream runs can include a batch that will be REWRITTEN if
+    the job dies before its manifest lands. Joining against the
+    manifest's batch_ids (an O(batches) broadcast) yields exactly the
+    rows :func:`read_manifest` accounts for."""
+    data = spark.read.parquet(f"{out_dir}/data")
+    committed = (
+        spark.read.parquet(f"{out_dir}/_manifest")
+        .select("batch_id")
+        .distinct()
+    )
+    return data.join(F.broadcast(committed), "batch_id")

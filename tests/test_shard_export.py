@@ -57,9 +57,13 @@ def test_shard_export_accumulates_and_replays(spark, tmp_path):
 
 
 def test_shard_export_end_to_end_stream(spark, tmp_path):
+    import glob
     import time
 
+    import pyarrow.parquet as pq
+
     from kafka_streams_plumber_spark.streaming.export import (
+        read_committed,
         read_manifest,
         shard_stream,
     )
@@ -78,20 +82,37 @@ def test_shard_export_end_to_end_stream(spark, tmp_path):
         src, out, "doc_id", n_shards=2, token_col="n_tok",
         checkpoint=str(tmp_path / "ckpt"),
     )
-    try:
-        import glob
 
-        # poll the FILESYSTEM while the stream runs: driver-side Spark
-        # reads race the foreachBatch thread on the shared gateway
+    def committed_rows() -> int:
+        # poll the MANIFEST (the commit record), via pyarrow, not
+        # Spark: driver-side Spark reads race the foreachBatch thread
+        # on the shared gateway, and polling data/ alone can see a
+        # batch whose manifest hasn't landed yet (the r5 flake)
+        total = 0
+        for f in glob.glob(f"{out}/_manifest/batch_id=*/*.parquet"):
+            try:
+                t = pq.read_table(f, columns=["n_rows"])
+            except Exception:
+                continue  # mid-write; next poll
+            total += sum(x or 0 for x in t.column("n_rows").to_pylist())
+        return total
+
+    try:
         deadline = time.time() + 90
         while time.time() < deadline:
-            if len(glob.glob(f"{out}/data/batch_id=*/shard=*/*.parquet")) >= 2:
+            if committed_rows() >= 10:
                 break
             time.sleep(1)
     finally:
+        # stop() may land mid-foreachBatch, leaving data/batch_id=N
+        # visible without its manifest row — exactly why the asserts
+        # below go through read_committed
         q.stop()
-    data = spark.read.parquet(f"{out}/data")
+    data = read_committed(spark, out)
     n = data.count()
     assert n >= 10
     m = read_manifest(spark, out)
     assert m.agg(F.sum("n_rows")).collect()[0][0] == n
+    # the raw glob may legitimately see MORE rows (an uncommitted
+    # trailing batch) but never fewer
+    assert spark.read.parquet(f"{out}/data").count() >= n
