@@ -65,6 +65,32 @@ def _load_properties(path: str) -> dict[str, str]:
     return out
 
 
+def _kafka_options(props: dict[str, str]) -> dict[str, str]:
+    """Map reference-style .properties entries to Spark Kafka
+    DataSource options.
+
+    The reference hands its whole properties file to the Kafka clients
+    (PropertiesHelpers.scala:9-40; Plumber.scala:62-74), so users write
+    plain client configs (``security.protocol``, ``fetch.min.bytes``).
+    Spark's connector namespaces client configs under a ``kafka.``
+    prefix and keeps its own camelCase options un-prefixed — an
+    UN-prefixed client config is silently ignored by the connector.
+    Rule: ``bootstrap.servers`` / ``schema.registry.url`` are consumed
+    by the CLI itself; keys already ``kafka.``-prefixed pass through
+    untouched; other dotted keys are java-client configs and gain the
+    ``kafka.`` prefix; dot-free keys (``maxOffsetsPerTrigger``,
+    ``minPartitions``, ...) are connector options and pass as-is."""
+    out: dict[str, str] = {}
+    for k, v in props.items():
+        if k in ("bootstrap.servers", "schema.registry.url"):
+            continue
+        if k.startswith("kafka.") or "." not in k:
+            out[k] = v
+        else:
+            out[f"kafka.{k}"] = v
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="plumber-spark",
@@ -129,7 +155,7 @@ def main(argv: list[str] | None = None) -> int:
         confluent_framing=args.confluent_framing,
         fixtures=fixtures,
         expectations=expectations,
-        kafka_options={k[len("kafka."):]: v for k, v in props.items() if k.startswith("kafka.")},
+        kafka_options=_kafka_options(props),
         registry=registry,
     )
     try:

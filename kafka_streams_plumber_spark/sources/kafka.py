@@ -19,6 +19,45 @@ from pyspark.sql import functions as F
 from kafka_streams_plumber_spark.sources.serde import WireType, decode, encode
 
 
+def kafka_source_options(
+    *,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option map :func:`kafka_source` hands the Kafka
+    DataSource — pure and broker-free, so the ``-i`` topic wiring is
+    assertable (dry-run, pytest) without the connector jar or a
+    broker. Extra ``options`` overlay the defaults last, matching the
+    reader's .option() ordering."""
+    out = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    out.update(options or {})
+    return out
+
+
+def kafka_sink_options(
+    *,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option map :func:`kafka_sink` hands the Kafka sink —
+    the ``-o`` half of :func:`kafka_source_options`'s contract."""
+    out = {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+    out.update(options or {})
+    return out
+
+
 def kafka_source(
     spark: SparkSession,
     *,
@@ -40,13 +79,13 @@ def kafka_source(
     schema resolution for registry-resolved avro types.
     """
     reader = spark.readStream if streaming else spark.read
-    r = (
-        reader.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    for k, v in (options or {}).items():
+    r = reader.format("kafka")
+    for k, v in kafka_source_options(
+        brokers=brokers,
+        topic=topic,
+        starting_offsets=starting_offsets,
+        options=options,
+    ).items():
         r = r.option(k, v)
     raw = r.load()
     return raw.select(
@@ -91,13 +130,10 @@ def kafka_sink(
             schema_id=schema_id,
         ).alias("value"),
     )
-    w = (
-        encoded.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-    )
-    for k, v in (options or {}).items():
+    w = encoded.writeStream.format("kafka")
+    for k, v in kafka_sink_options(
+        brokers=brokers, topic=topic, checkpoint=checkpoint, options=options
+    ).items():
         w = w.option(k, v)
     if trigger:
         w = w.trigger(processingTime=trigger)

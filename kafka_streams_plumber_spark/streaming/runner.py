@@ -144,12 +144,61 @@ class PlumberJob:
             value_schema=spark_type_of(self.input_value),
         )
 
+    def streaming_plan_spec(self) -> dict:
+        """Broker-free description of the streaming plan :meth:`run`
+        will start: the exact source/sink DataSource option maps (the
+        pure builders kafka_source/kafka_sink consume) plus the
+        decoded/encoded Spark types. This is how the ``-i``/``-o``
+        topic path is exercised past argument parsing in environments
+        with no broker and no kafka connector jar — the dry-run builds
+        it, and pytest asserts on it. Factory transports (the pluggable
+        source_factory/sink_factory) report the factory instead of
+        Kafka options."""
+        from kafka_streams_plumber_spark.sources.kafka import (
+            kafka_sink_options,
+            kafka_source_options,
+        )
+
+        spec: dict[str, Any] = {
+            "key_in": spark_type_of(self.input_key).simpleString(),
+            "value_in": spark_type_of(self.input_value).simpleString(),
+            "key_out": spark_type_of(self.output_key).simpleString(),
+            "value_out": spark_type_of(self.output_value).simpleString(),
+            "confluent_framing": self.confluent_framing,
+        }
+        if self.source_factory is not None:
+            spec["source"] = {"factory": repr(self.source_factory)}
+        else:
+            spec["source"] = {
+                "format": "kafka",
+                "options": kafka_source_options(
+                    brokers=self.brokers,
+                    topic=self.source_topic,
+                    options=self.kafka_options,
+                ),
+            }
+        if self.sink_factory is not None:
+            spec["sink"] = {"factory": repr(self.sink_factory)}
+        else:
+            spec["sink"] = {
+                "format": "kafka",
+                "options": kafka_sink_options(
+                    brokers=self.brokers,
+                    topic=self.sink_topic,
+                    checkpoint=self.checkpoint,
+                    options=self.kafka_options,
+                ),
+            }
+        return spec
+
     def run(self, *, dry_run: bool = False, await_termination: bool = True):
         """Verify, then start the streaming query (or exit on dry_run,
-        mirroring the -D flag, Plumber.scala:53-55)."""
+        mirroring the -D flag, Plumber.scala:53-55). The dry run also
+        constructs the full streaming plan spec so bad topic/option
+        wiring surfaces before any deploy."""
         self.preflight()
         if dry_run:
-            return None
+            return self.streaming_plan_spec()
         if self.source_factory is not None:
             src = self.source_factory(self.spark)
         else:

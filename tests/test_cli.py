@@ -249,3 +249,53 @@ def test_crawl_example_end_to_end(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert not any("blocked.net" in r["host"] for r in back.collect())
+
+
+def test_dry_run_builds_kafka_plan_spec(spark, tmp_path, monkeypatch):
+    """VERDICT r5 item 8: the -i/-o topic path must be exercised past
+    argument parsing. The dry run constructs the full (never-started)
+    Kafka source/sink plan spec; capture the job and assert topics,
+    brokers, and the reference-style properties mapped per the
+    connector's namespacing rules — no broker, no kafka jar."""
+    from kafka_streams_plumber_spark.streaming.runner import PlumberJob
+
+    props = _write(
+        tmp_path,
+        "job.properties",
+        "\n".join(
+            [
+                "bootstrap.servers=broker1:9092,broker2:9092",
+                "security.protocol=SASL_SSL",        # client config -> kafka.*
+                "kafka.fetch.min.bytes=1024",        # already namespaced
+                "maxOffsetsPerTrigger=5000",         # connector option
+            ]
+        ),
+    )
+    captured = {}
+    orig_run = PlumberJob.run
+
+    def capture_run(self, **kw):
+        captured["spec"] = orig_run(self, **kw)
+        return captured["spec"]
+
+    monkeypatch.setattr(PlumberJob, "run", capture_run)
+    rc = main(
+        _argv(tmp_path, _write(tmp_path, "t_ok2.py", TEST_OK))
+        + ["-p", props, "--checkpoint", str(tmp_path / "ckpt")]
+    )
+    assert rc == 0
+    spec = captured["spec"]
+    src = spec["source"]
+    assert src["format"] == "kafka"
+    assert src["options"]["subscribe"] == "in"
+    assert src["options"]["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert src["options"]["kafka.security.protocol"] == "SASL_SSL"
+    assert src["options"]["kafka.fetch.min.bytes"] == "1024"
+    assert src["options"]["maxOffsetsPerTrigger"] == "5000"
+    assert src["options"]["startingOffsets"] == "earliest"
+    snk = spec["sink"]
+    assert snk["format"] == "kafka"
+    assert snk["options"]["topic"] == "out"
+    assert snk["options"]["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert snk["options"]["checkpointLocation"] == str(tmp_path / "ckpt")
+    assert spec["key_in"] == "string" and spec["value_out"] == "string"

@@ -59,7 +59,11 @@ def _job(spark, expectations):
 
 def test_golden_gate_passes_and_dry_run_skips_streaming(spark):
     job = _job(spark, [keyValue("k", "V")])
-    assert job.run(dry_run=True) is None  # verified, no query started
+    # verified, no query started — the dry run returns the constructed
+    # (never-started) streaming plan spec instead of a StreamingQuery
+    spec = job.run(dry_run=True)
+    assert spec["source"]["format"] == "kafka"
+    assert spec["sink"]["format"] == "kafka"
 
 
 def test_golden_gate_refuses_to_start_on_mismatch(spark):
