@@ -91,6 +91,17 @@ EXTRA4_MAX_SF = {
     "q_semantic_keep_lsh": "/root/testdata/sf0.01",
 }
 
+#: Round-5 audit-wave representatives (first measured in BENCH_r06,
+#: ``extra5_total_sec``): one per family generation so every wave has
+#: a frozen drift series. Lazy plans — write-only timing like
+#: HEADLINE/EXTRA. q_ks rides the fused multi-column running_total.
+EXTRA5 = [
+    "q_containment",
+    "q_jsd",
+    "q_ks",
+    "q_theils_u",
+]
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     df = QUERIES[name](spark, sf_dir)
@@ -134,7 +145,7 @@ def main() -> None:
         if os.path.isdir(cand) and os.path.abspath(cand) != os.path.abspath(sf_dir):
             warm_dir = cand
             break
-    for name in ["q_distinct", *HEADLINE, *EXTRA, *EXTRA4]:
+    for name in ["q_distinct", *HEADLINE, *EXTRA, *EXTRA4, *EXTRA5]:
         try:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -168,6 +179,10 @@ def main() -> None:
             if mm:
                 extra4_capped[name] = float(mm.group(1))
 
+    extra5: dict[str, float] = {}
+    for name in EXTRA5:
+        extra5[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
+
     print(
         json.dumps(
             {
@@ -180,6 +195,8 @@ def main() -> None:
                 "extra4_total_sec": round(sum(extra4.values()), 3),
                 "extra4_capped_sf": extra4_capped,
                 "extra4_queries": extra4,
+                "extra5_total_sec": round(sum(extra5.values()), 3),
+                "extra5_queries": extra5,
                 "sf": sf,
             }
         )

@@ -399,3 +399,47 @@ def running_total(
         + [f"_off{i}" for i in range(len(value_cols))]
     )
     return out.drop(*drop)
+
+
+def running_min(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    out_col: str = "running_min",
+) -> DataFrame:
+    """Distributed prefix MIN: ``out_col`` = min of ``value_col`` over
+    all rows at-or-before this row under ``ORDER BY *order_cols`` —
+    :func:`running_total`'s min sibling, same machinery (range
+    exchange, per-partition local window, O(P) offsets), except the
+    cross-partition combine is the exclusive prefix-min of partition
+    minima instead of a sum. Order by a DESC key to get a suffix-min
+    (the Benjamini-Hochberg q-value shape)."""
+    from pyspark.sql import functions as F
+
+    ranked = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranked.withColumn("_loc", F.min(value_col).over(wloc))
+    part_mins = ranked.groupBy("_pid").agg(F.min(value_col).alias("_pm"))
+    # O(P) rows: the single-task window is over partition summaries only
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_mins.select(
+        "_pid", F.min("_pm").over(woff).alias("_offm")
+    )
+    # least() skips NULLs, so the first partition (no offset) keeps _loc
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        out_col, F.least(F.col("_loc"), F.col("_offm"))
+    )
+    return out.drop("_pid", "_mid", "_loc", "_offm")

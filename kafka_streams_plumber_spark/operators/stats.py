@@ -1462,3 +1462,74 @@ def theils_u(
             F.col("_mi") / F.nullif(F.col("_hb"), F.lit(0.0)), 6
         ).alias("u_b_given_a"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    id_col: str,
+    *,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a panel of
+    p-values — the multiple-testing step every metrics sweep needs
+    after :func:`ab_test` / :func:`ks_test` score dozens of slices at
+    once (at alpha=0.05, 5% of NULL hypotheses "pass" by chance; BH
+    bounds the expected FALSE-discovery share of the rejected set).
+
+    Returns one row per hypothesis ``(id_col, p, rank, m, q_value,
+    rejected)``: ``rank`` is the 1-based ascending p rank (ties broken
+    by ``id_col``), ``m`` the panel size, ``q_value`` the BH-adjusted
+    p (``min_{j>=i} m*p_j/j``, capped at 1; reading: the smallest
+    alpha at which this hypothesis would be rejected), ``rejected``
+    the step-up decision — all hypotheses at-or-below the LARGEST rank
+    k with ``p_k * m <= k * alpha`` are rejected, including any whose
+    own p briefly rises above the line. NULL p-values are dropped.
+
+    Exactness: the threshold test is the integer-free comparison
+    ``p*m <= i*alpha`` (one multiply each side — no division), the
+    q-value is a min over identically-computed doubles then one final
+    6-dp round, so SQL replays every decision bit-for-bit.
+
+    Scale design: the ascending rank and the suffix-min both ride the
+    ordering machinery (rank_by + running_min over the DESC rank —
+    range exchanges with O(P) offset broadcasts, never an
+    unpartitioned window over the panel); the step-up cutoff is one
+    max-aggregate broadcast back. The panel is typically tiny (one
+    row per metric/slice), but nothing here requires it.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        rank_by,
+        running_min,
+    )
+
+    base = df.filter(F.col(p_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(p_col).cast("double").alias("_p")
+    )
+    ranked = rank_by(base, ["_p", "_id"], pos_col="_r0").withColumn(
+        "_i", (F.col("_r0") + 1).cast("long")
+    )
+    m = base.agg(F.count(F.lit(1)).alias("_m"))
+    r = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "_raw", (F.col("_p") * F.col("_m")) / F.col("_i")
+    )
+    q = running_min(
+        r, [F.col("_i").desc()], "_raw", out_col="_q"
+    )
+    kmax = r.agg(
+        F.max(
+            F.when(
+                F.col("_p") * F.col("_m") <= F.col("_i") * F.lit(alpha),
+                F.col("_i"),
+            )
+        ).alias("_k")
+    )
+    out = q.crossJoin(F.broadcast(kmax))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.round("_p", 6).alias("p"),
+        F.col("_i").alias("rank"),
+        F.col("_m").alias("m"),
+        F.round(F.least(F.col("_q"), F.lit(1.0)), 6).alias("q_value"),
+        (F.col("_i") <= F.coalesce(F.col("_k"), F.lit(0))).alias("rejected"),
+    )

@@ -10342,6 +10342,74 @@ def q_ngrams(spark, sf_dir):
     )
 
 
+@query(
+    "q_bh",
+    """
+    WITH hyp AS (
+      SELECT DISTINCT event_type || ':' || CAST(event_id % 16 AS VARCHAR)
+               AS metric
+      FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    ),
+    panel AS (
+      SELECT metric,
+             (('0x' || substr(md5(metric), 1, 8))::BIGINT % 1000000)
+               / 1000000.0 AS u
+      FROM hyp
+    ),
+    pv AS (SELECT metric, u * u AS p FROM panel),
+    ranked AS (
+      SELECT metric, p,
+             CAST(row_number() OVER (ORDER BY p, metric) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    adj AS (
+      SELECT metric, p, i, m,
+             min(p * m / i) OVER (ORDER BY i DESC) AS q0
+      FROM ranked
+    ),
+    k AS (
+      SELECT max(CASE WHEN p * m <= i * 0.1 THEN i END) AS kk FROM ranked
+    )
+    SELECT metric, round(p, 6) AS p, i AS rank, m,
+           round(least(q0, 1.0), 6) AS q_value,
+           i <= coalesce(kk, 0) AS rejected
+    FROM adj CROSS JOIN k
+    """,
+)
+def q_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (operators/stats.py:bh_fdr) over
+    a deterministic 160-ish hypothesis panel (one per event_type x
+    id-bucket slice; p-values are the squared md5-hash fraction — the
+    q_centroid_sim hash device — so the step-up machinery exercises
+    both decisions). Ascending rank via rank_by, q-values via the
+    running_min suffix-min, cutoff via one broadcast max — every
+    comparison the multiply-only p*m <= i*alpha form, replayed exactly
+    in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import bh_fdr
+
+    e = load_tables(spark, sf_dir)["events"]
+    hyp = (
+        e.where(
+            F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+        )
+        .select(
+            F.concat_ws(
+                ":",
+                F.col("event_type"),
+                (F.col("event_id") % 16).cast("string"),
+            ).alias("metric")
+        )
+        .distinct()
+    )
+    u = (
+        F.conv(F.substring(F.md5("metric"), 1, 8), 16, 10).cast("long")
+        % 1000000
+    ) / F.lit(1000000.0)
+    panel = hyp.select("metric", (u * u).alias("p"))
+    return bh_fdr(panel, "p", "metric", alpha=0.1)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -10451,10 +10519,10 @@ _GATE_WINDOW = [
 #: pre-queue oracle has a driver hash row, so sentinel re-proving is
 #: the only other use of window space.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    # empty at window freeze: every oracled query is either already
-    # driver-hashed (r01-r05) or in this round's window. Any oracle
-    # added AFTER this point must be appended here or the
-    # rotation-ledger pytest goes red.
+    # oracles added after this round's window froze (first driver
+    # hashing in the r7 rotation); everything else is already
+    # driver-hashed (r01-r05) or in this round's window.
+    "q_bh",
 ]
 
 

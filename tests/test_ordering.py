@@ -291,3 +291,26 @@ def test_running_total_multi_column_and_fused_rank(spark):
 
     with _pytest.raises(ValueError):
         running_total(df, ["k"], ["a", "b"], out_col="only_one")
+
+
+def test_running_min_suffix_min_shape(spark):
+    """running_min over a DESC key is the suffix-min (the BH q-value
+    shape); over an ASC key it is the plain prefix-min."""
+    from kafka_streams_plumber_spark.operators.ordering import running_min
+
+    rows = [(1, 5.0), (2, 3.0), (3, 4.0), (4, 1.0), (5, 2.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    from pyspark.sql import functions as F
+
+    pre = {
+        r["k"]: r["rm"]
+        for r in running_min(df, ["k"], "v", out_col="rm").collect()
+    }
+    assert pre == {1: 5.0, 2: 3.0, 3: 3.0, 4: 1.0, 5: 1.0}
+    suf = {
+        r["k"]: r["rm"]
+        for r in running_min(
+            df, [F.col("k").desc()], "v", out_col="rm"
+        ).collect()
+    }
+    assert suf == {5: 2.0, 4: 1.0, 3: 1.0, 2: 1.0, 1: 1.0}

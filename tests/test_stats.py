@@ -654,3 +654,51 @@ def test_gini_concentration_survives_int64_envelope(spark):
     r = gini_concentration(df, "g", "v").collect()[0]
     assert r["n"] == 30 and r["total"] == 1.395e14
     assert r["gini"] == round(29 / 90, 6)
+
+
+def test_bh_fdr_hand_computed(spark):
+    """Textbook BH step-up on 6 p-values at alpha=0.05:
+    p=(.001,.008,.039,.041,.042,.06), thresholds i/m*alpha =
+    (.0083,.0167,.025,.0333,.0417,.05). Largest i with p_i <= line is
+    i=5 (.042 <= .0417? no — .042 > .04166…; i=4: .041 > .0333; i=2:
+    .008 <= .0167 yes) -> k=2, reject ranks 1-2 ONLY, even though rank
+    3-5 p's are below their own alpha. q-values are suffix-mins of
+    m*p/i."""
+    from kafka_streams_plumber_spark.operators.stats import bh_fdr
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06]
+    df = spark.createDataFrame(
+        [(f"h{i}", p) for i, p in enumerate(ps)], "metric string, p double"
+    )
+    rows = {r["metric"]: r for r in bh_fdr(df, "p", "metric").collect()}
+    assert [rows[f"h{i}"]["rank"] for i in range(6)] == [1, 2, 3, 4, 5, 6]
+    assert all(rows[f"h{i}"]["m"] == 6 for i in range(6))
+    rejected = [rows[f"h{i}"]["rejected"] for i in range(6)]
+    assert rejected == [True, True, False, False, False, False]
+    # q-values: raw m*p/i = (.006,.024,.078,.0615,.0504,.06);
+    # suffix-min -> (.006,.024,.0504,.0504,.0504,.06)
+    expect_q = [0.006, 0.024, 0.0504, 0.0504, 0.0504, 0.06]
+    got_q = [rows[f"h{i}"]["q_value"] for i in range(6)]
+    assert got_q == [round(q, 6) for q in expect_q]
+
+
+def test_bh_fdr_step_up_rejects_above_the_crossing(spark):
+    """The defining step-up property: a hypothesis whose p is ABOVE its
+    own line is still rejected when a LARGER rank crosses. p=(.01,.02,
+    .021) at alpha=0.05: lines (.0167,.0333,.05); i=3: .021<=.05 ->
+    k=3, ALL rejected (including rank 2's .02 > its own line? .02 <=
+    .0333 fine — and rank 3)."""
+    from kafka_streams_plumber_spark.operators.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.021)], "metric string, p double"
+    )
+    rows = {r["metric"]: r["rejected"] for r in bh_fdr(df, "p", "metric").collect()}
+    assert rows == {"a": True, "b": True, "c": True}
+
+    # and none rejected when nothing crosses
+    df2 = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.95)], "metric string, p double"
+    )
+    rows2 = {r["metric"]: r["rejected"] for r in bh_fdr(df2, "p", "metric").collect()}
+    assert rows2 == {"a": False, "b": False}

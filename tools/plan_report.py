@@ -140,6 +140,7 @@ AUDITED = {
     "q_bestthr": "distinct-score collapse + descending distributed prefix sums; two-pass argmax",
     "q_gains": "range-partitioned global rank + integer bin cut; cumulative columns on the O(bins) frame",
     "q_theils_u": "one contingency agg + O(levels) marginals; everything later level-vocabulary-sized",
+    "q_bh": "rank + suffix-min both on O(panel) frames via range exchanges; one broadcast cutoff",
 }
 
 
