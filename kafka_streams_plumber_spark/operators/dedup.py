@@ -884,3 +884,66 @@ def semantic_decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str,
+    *,
+    train_split: str = "train",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Cross-split near-duplicate contamination check: every held-out
+    document whose n-gram Jaccard with some TRAINING document reaches
+    ``threshold`` — the "is my eval set secretly in the training set"
+    audit that exact-id leakage checks (group_split) cannot catch,
+    because near-dups survive any id-disjoint split.
+
+    Returns one row per leaking pair ``(held_id, held_split, train_id,
+    jaccard)`` — the actionable drop/flag list for eval hygiene.
+    Pairs between two held-out splits (val-test) are NOT leakage and
+    are excluded, as are docs with a NULL split (subsample remainder).
+
+    Scale design: pair generation is :func:`minhash_lsh_pairs`
+    unchanged (banded band-key shuffles, capped buckets, exact-Jaccard
+    verify on candidates only — never all-pairs); the split labels
+    then join on the id twice (narrow (id, split) projections, AQE
+    broadcasts the small pair side). One extra O(pairs) filter.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    labels = df.select(F.col(id_col).alias("_lid"), F.col(split_col).alias("_lsplit"))
+    la = labels.select(F.col("_lid").alias("a_id"), F.col("_lsplit").alias("_sa"))
+    lb = labels.select(F.col("_lid").alias("b_id"), F.col("_lsplit").alias("_sb"))
+    j = (
+        pairs.join(la, "a_id")
+        .join(lb, "b_id")
+        .where(F.col("_sa").isNotNull() & F.col("_sb").isNotNull())
+        .where(
+            (F.col("_sa") == F.lit(train_split))
+            != (F.col("_sb") == F.lit(train_split))
+        )
+    )
+    train_on_a = F.col("_sa") == F.lit(train_split)
+    return j.select(
+        F.when(train_on_a, F.col("b_id")).otherwise(F.col("a_id")).alias("held_id"),
+        F.when(train_on_a, F.col("_sb")).otherwise(F.col("_sa")).alias("held_split"),
+        F.when(train_on_a, F.col("a_id")).otherwise(F.col("b_id")).alias("train_id"),
+        "jaccard",
+    )

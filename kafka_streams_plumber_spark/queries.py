@@ -10410,6 +10410,60 @@ def q_bh(spark, sf_dir):
     return bh_fdr(panel, "p", "metric", alpha=0.1)
 
 
+@query(
+    "q_split_leakage",
+    f"""
+    WITH d AS ({_SHINGLE_SQL}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN b < 800 THEN 'train'
+                  WHEN b < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   (doc_id % 2147483648) * 2654435761
+                     % 2147483648 % 1000 AS b
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+               AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT CASE WHEN sa.split = 'train' THEN p.b_id ELSE p.a_id END
+             AS held_id,
+           CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END
+             AS held_split,
+           CASE WHEN sa.split = 'train' THEN p.a_id ELSE p.b_id END
+             AS train_id,
+           jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.a_id
+    JOIN sp sb ON sb.doc_id = p.b_id
+    WHERE (sa.split = 'train') <> (sb.split = 'train')
+    """,
+)
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-dup contamination (operators/dedup.py:
+    split_leakage): held-out docs whose Jaccard with a TRAINING doc
+    reaches 0.5, after an 80/10/10 hash split — the eval-hygiene audit
+    id-disjoint splits cannot provide. Same equality-valid oracle
+    device as dedup_minhash (every true pair here has jaccard >= 0.9,
+    16-band LSH recall 1 - 4e-8, exact-Jaccard verify), with the
+    Knuth id-hash split replayed verbatim in SQL."""
+    from kafka_streams_plumber_spark.operators.dedup import split_leakage
+    from kafka_streams_plumber_spark.operators.sampling import hash_split
+
+    d = load_tables(spark, sf_dir)["documents"]
+    s = hash_split(
+        d, "doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split_leakage(s, "text", "doc_id", "split", threshold=0.5)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -10523,6 +10577,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # hashing in the r7 rotation); everything else is already
     # driver-hashed (r01-r05) or in this round's window.
     "q_bh",
+    "q_split_leakage",
 ]
 
 

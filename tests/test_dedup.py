@@ -257,3 +257,29 @@ def test_semantic_decontaminate_catches_paraphrase(spark):
     assert sem[1]["contaminated"] and sem[1]["n_hits"] == 1
     assert sem[1]["max_cos"] >= 0.7
     assert not sem[2]["contaminated"] and sem[2]["max_cos"] is None
+
+
+def test_split_leakage_flags_cross_split_near_dups_only(spark):
+    """Three near-identical docs: two in train, one in test, plus an
+    unrelated val doc and a NULL-split near-dup. Only the (test,
+    train) pair surfaces — train-train dups and NULL-split rows are
+    not leakage."""
+    from kafka_streams_plumber_spark.operators.dedup import split_leakage
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "train"),
+        (2, base + " extra", "train"),
+        (3, base, "test"),
+        (4, "completely different text about spark plans and shuffles", "val"),
+        (5, base, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = sorted(
+        (r["held_id"], r["held_split"], r["train_id"])
+        for r in split_leakage(
+            df, "text", "doc_id", "split", threshold=0.5
+        ).collect()
+    )
+    # doc 3 leaks from BOTH train docs; nothing else crosses
+    assert got == [(3, "test", 1), (3, "test", 2)]
