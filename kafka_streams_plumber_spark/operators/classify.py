@@ -665,3 +665,98 @@ def gains_table(
             6,
         ).alias("cum_lift"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal data) — inter-rater reliability
+    that, unlike :func:`cohens_kappa`, handles ANY number of raters and
+    missing ratings (each unit just needs >= 2 ratings). The standard
+    labeling-quality gate for multi-annotator datasets: alpha >= 0.8
+    is conventionally "reliable", < 0.667 "discard".
+
+    One row ``(n_units, n_ratings, n_categories, alpha)``. Units with a
+    single rating are excluded (no pairable information — the standard
+    treatment); duplicate (unit, rater) rows collapse to their MIN
+    value so the input grain is forgiving but deterministic.
+
+    Exactness: alpha = 1 - (n-1)*S / (L*(n^2 - sum_c n_c^2)) where
+    S = sum_u (L/(m_u-1)) * (m_u^2 - sum_c m_uc^2) — every per-unit
+    disagreement term is EXACTLY integer because L = 360360 =
+    lcm(1..15) absorbs the 1/(m_u-1) coincidence weights for up to 16
+    ratings per unit; the sums ride decimal(38,0) (the correlation
+    envelope) and the one double division happens last, so SQL replays
+    the value bit-for-bit. Units with MORE than 16 ratings would break
+    the integer device: alpha comes back NULL (with the counts still
+    populated) rather than silently approximate — re-bucket raters or
+    extend L if you genuinely have 17+ ratings of one unit.
+
+    Scale design: two map-combinable aggregates (ratings -> per-unit
+    category counts -> per-unit terms), one O(categories) marginal
+    aggregate, one broadcast cross-join of three tiny frames. The
+    ratings table is never self-joined — the m_uc^2 identity replaces
+    the pairwise coincidence walk.
+    """
+    L = 360360  # lcm(1..15): exact 1/(m_u - 1) weights through m_u = 16
+    r = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(unit_col).alias("_u"), F.col(rater_col).alias("_r")
+        )
+        .agg(F.min(F.col(value_col).cast("string")).alias("_v"))
+    )
+    per_uc = r.groupBy("_u", "_v").agg(F.count(F.lit(1)).alias("_muc"))
+    per_u = (
+        per_uc.groupBy("_u")
+        .agg(
+            F.sum("_muc").alias("_m"),
+            F.sum(F.col("_muc") * F.col("_muc")).alias("_s2"),
+        )
+        .where(F.col("_m") >= 2)
+    )
+    terms = per_u.select(
+        "_u",
+        "_m",
+        (
+            (F.lit(L) / (F.col("_m") - 1)).cast("long")
+            * (F.col("_m") * F.col("_m") - F.col("_s2"))
+        )
+        .cast("decimal(38,0)")
+        .alias("_t"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_t").alias("_S"),
+        F.max("_m").alias("_maxm"),
+    )
+    marg = (
+        per_uc.join(per_u.select("_u"), "_u", "left_semi")
+        .groupBy("_v")
+        .agg(F.sum("_muc").alias("_nc"))
+    )
+    totals = marg.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum("_nc").cast("decimal(38,0)").alias("_n"),
+        F.sum(F.col("_nc").cast("decimal(19,0)") * F.col("_nc").cast("decimal(19,0)")).alias("_nc2"),
+    )
+    out = s.crossJoin(F.broadcast(totals))
+    de = F.col("_n") * F.col("_n") - F.col("_nc2")
+    alpha = F.lit(1.0) - (
+        ((F.col("_n") - 1) * F.col("_S")).cast("double")
+        / (F.lit(L).cast("decimal(38,0)") * de).cast("double")
+    )
+    return out.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("_n").cast("long").alias("n_ratings"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(
+            F.when(
+                (F.col("_maxm") <= 16) & (de.cast("double") > 0), alpha
+            ),
+            6,
+        ).alias("alpha"),
+    )

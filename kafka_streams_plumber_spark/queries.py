@@ -10464,6 +10464,67 @@ def q_split_leakage(spark, sf_dir):
     return split_leakage(s, "text", "doc_id", "split", threshold=0.5)
 
 
+@query(
+    "q_krippendorff",
+    """
+    WITH r AS (
+      SELECT event_id % 50 AS u, user_id % 7 AS rt, min(event_type) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    uc AS (SELECT u, v, count(*) AS muc FROM r GROUP BY 1, 2),
+    pu AS (
+      SELECT u, CAST(sum(muc) AS BIGINT) AS m,
+             CAST(sum(muc * muc) AS BIGINT) AS s2
+      FROM uc GROUP BY u HAVING sum(muc) >= 2
+    ),
+    terms AS (
+      SELECT u, m, (360360 // (m - 1)) * (m * m - s2) AS t FROM pu
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(sum(t) AS BIGINT) AS st, max(m) AS maxm FROM terms),
+    marg AS (
+      SELECT uc.v, CAST(sum(uc.muc) AS BIGINT) AS nc
+      FROM uc JOIN pu ON uc.u = pu.u GROUP BY uc.v
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                   CAST(sum(nc) AS BIGINT) AS n,
+                   CAST(sum(nc * nc) AS BIGINT) AS nc2 FROM marg)
+    SELECT n_units, n AS n_ratings, n_categories,
+           round(CASE WHEN maxm <= 16 AND (n * n - nc2) > 0 THEN
+             1.0 - CAST((n - 1) * st AS DOUBLE)
+                   / CAST(360360 * (n * n - nc2) AS DOUBLE) END, 6)
+             AS alpha
+    FROM s CROSS JOIN tot
+    """,
+)
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (operators/classify.py:krippendorff_alpha)
+    over a deterministic annotation panel (unit = event-id bucket,
+    rater = user-id bucket, label = event_type): the multi-rater,
+    missing-data reliability gate Cohen's kappa (q_kappa) cannot
+    provide. The 1/(m_u-1) coincidence weights become exact integers
+    via the lcm(1..15) = 360360 device, both sums ride decimal/BIGINT,
+    one final double division — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        krippendorff_alpha,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    panel = e.where(
+        F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("event_id") % 50).alias("unit"),
+        (F.col("user_id") % 7).alias("rater"),
+        "event_type",
+    )
+    return krippendorff_alpha(panel, "unit", "rater", "event_type")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -10578,6 +10639,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # driver-hashed (r01-r05) or in this round's window.
     "q_bh",
     "q_split_leakage",
+    "q_krippendorff",
 ]
 
 

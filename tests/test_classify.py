@@ -351,3 +351,49 @@ def test_best_threshold_empty_input_is_empty(spark):
 
     df = spark.createDataFrame([], "score double, label boolean")
     assert best_threshold(df, "score", "label").collect() == []
+
+
+def test_krippendorff_alpha_hand_computed(spark):
+    """Hand case: u1=[a,a,a], u2=[a,b], u3=[b,b,b,b], u4=[a,b,b],
+    u5=[c] (excluded, single rating). n=12, marginals a=5 b=7,
+    S = sum (m^2 - sum muc^2)/(m-1) = 0 + 2 + 0 + 2 = 4,
+    alpha = 1 - 11*4/(144-74) = 13/35 ~ 0.371429."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        krippendorff_alpha,
+    )
+
+    rows = (
+        [("u1", f"r{i}", "a") for i in range(3)]
+        + [("u2", "r0", "a"), ("u2", "r1", "b")]
+        + [("u3", f"r{i}", "b") for i in range(4)]
+        + [("u4", "r0", "a"), ("u4", "r1", "b"), ("u4", "r2", "b")]
+        + [("u5", "r0", "c")]
+    )
+    df = spark.createDataFrame(rows, "unit string, rater string, label string")
+    r = krippendorff_alpha(df, "unit", "rater", "label").collect()[0]
+    assert r["n_units"] == 4 and r["n_ratings"] == 12
+    assert r["n_categories"] == 2
+    assert r["alpha"] == round(13 / 35, 6)
+
+
+def test_krippendorff_alpha_edges(spark):
+    """Perfect agreement -> 1.0; all-same-category -> NULL (zero
+    expected disagreement); >16 ratings of one unit -> NULL alpha with
+    counts intact (the documented lcm-device bound)."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        krippendorff_alpha,
+    )
+
+    perfect = [("u1", "r1", "x"), ("u1", "r2", "x"), ("u2", "r1", "y"), ("u2", "r2", "y")]
+    df = spark.createDataFrame(perfect, "unit string, rater string, label string")
+    assert krippendorff_alpha(df, "unit", "rater", "label").collect()[0]["alpha"] == 1.0
+
+    same = [("u1", "r1", "x"), ("u1", "r2", "x"), ("u2", "r1", "x")]
+    df = spark.createDataFrame(same, "unit string, rater string, label string")
+    r = krippendorff_alpha(df, "unit", "rater", "label").collect()[0]
+    assert r["alpha"] is None  # n^2 == sum nc^2: no expected disagreement
+
+    big = [("u1", f"r{i}", "x" if i % 2 else "y") for i in range(17)]
+    df = spark.createDataFrame(big, "unit string, rater string, label string")
+    r = krippendorff_alpha(df, "unit", "rater", "label").collect()[0]
+    assert r["n_ratings"] == 17 and r["alpha"] is None

@@ -142,6 +142,7 @@ AUDITED = {
     "q_theils_u": "one contingency agg + O(levels) marginals; everything later level-vocabulary-sized",
     "q_bh": "rank + suffix-min both on O(panel) frames via range exchanges; one broadcast cutoff",
     "q_split_leakage": "LSH band-key shuffles + capped buckets; split labels join as narrow (id,split) frames",
+    "q_krippendorff": "two map-combinable aggregates to O(units)/O(categories) grains; three tiny broadcast joins",
 }
 
 
