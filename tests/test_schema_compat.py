@@ -152,20 +152,21 @@ def test_job_starts_with_compatible_reader(spark):
     reg = FakeSchemaRegistry()
     reg.register("orders-value", json.dumps(rec(f("a", "long"))))
     ok = rec(f("a", "long"), f("b", "string", default=""))
-    assert _job(spark, ok, reg).run(dry_run=True) is None
+    # a passing dry run returns the (never-started) streaming plan spec
+    assert _job(spark, ok, reg).run(dry_run=True)["source"]["format"] == "kafka"
 
 
 def test_job_skips_unknown_subject_and_no_registry(spark):
     # new topic: nothing registered yet -> no block
     assert _job(spark, rec(f("a", "int")), FakeSchemaRegistry()).run(
         dry_run=True
-    ) is None
+    ) is not None
     # no registry attached: explicit-schema jobs keep working
-    assert _job(spark, rec(f("a", "int")), None).run(dry_run=True) is None
+    assert _job(spark, rec(f("a", "int")), None).run(dry_run=True) is not None
 
 
 def test_job_preflight_can_be_disabled(spark):
     reg = FakeSchemaRegistry()
     reg.register("orders-value", json.dumps(rec(f("a", "long"))))
     job = _job(spark, rec(f("a", "int")), reg, schema_preflight=False)
-    assert job.run(dry_run=True) is None
+    assert job.run(dry_run=True) is not None
