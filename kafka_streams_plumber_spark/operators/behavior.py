@@ -926,3 +926,57 @@ def forecast_baseline_error(
         F.round(maes, 6).alias("mae_seasonal"),
         F.round(maes / F.nullif(mae1, F.lit(0.0)), 6).alias("mase"),
     )
+
+
+def cusum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    scale: int = 10**6,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided (upper) CUSUM control chart over a globally-ordered
+    series: ``S_i = max(0, S_{i-1} + x_i - target - slack)`` — the
+    classic change-point detector for data-quality drift (daily volume,
+    null-rate, mean score creeping up). EWMA (:func:`ewma`) smooths;
+    CUSUM ACCUMULATES, so it catches small persistent shifts the
+    smoother hides. For a lower-side chart, negate the values and the
+    target.
+
+    Adds ``out_col`` (6 dp) and — when ``threshold`` is given —
+    ``alarm`` (S > threshold). Pass a unique tiebreak in ``order_cols``
+    for a total order.
+
+    Scale design: the sequential recurrence looks undistributable, but
+    it has the prefix closed form ``S_i = P_i - min(0, min_{j<=i} P_j)``
+    with ``P`` the running sum of ``x - target - slack`` — so it rides
+    ordering.running_total + ordering.running_min (range exchange +
+    O(P)-offset machinery, no unpartitioned window, no sequential
+    scan). Values are scaled longs, both prefixes are exact-integer,
+    the one division happens at output — SQL replays every S and every
+    alarm decision bit-for-bit.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_min,
+        running_total,
+    )
+
+    k = int(round((float(target) + float(slack)) * scale))
+    d = df.withColumn(
+        "_d",
+        F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+        - F.lit(k),
+    )
+    p = running_total(d, order_cols, "_d", out_col="_P")
+    m = running_min(p, order_cols, "_P", out_col="_mn")
+    s_scaled = F.col("_P") - F.least(F.col("_mn"), F.lit(0).cast("long"))
+    out = m.withColumn(out_col, F.round(s_scaled / scale, 6))
+    if threshold is not None:
+        out = out.withColumn(
+            "alarm", s_scaled > F.lit(int(round(float(threshold) * scale)))
+        )
+    return out.drop("_d", "_P", "_mn")

@@ -10525,6 +10525,54 @@ def q_krippendorff(spark, sf_dir):
     return krippendorff_alpha(panel, "unit", "rater", "event_type")
 
 
+@query(
+    "q_cusum",
+    """
+    WITH daily AS (
+      SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+      SELECT day_ms, n,
+             CAST(round(n * 1000000) AS BIGINT) - 330000000 AS dd
+      FROM daily
+    ),
+    pr AS (
+      SELECT day_ms, n, CAST(sum(dd) OVER (ORDER BY day_ms) AS BIGINT) AS p
+      FROM d
+    ),
+    mn AS (
+      SELECT day_ms, n, p,
+             least(CAST(min(p) OVER (ORDER BY day_ms) AS BIGINT), 0) AS m
+      FROM pr
+    )
+    SELECT day_ms, n, round((p - m) / 1000000.0, 6) AS cusum,
+           (p - m) > 60000000 AS alarm
+    FROM mn
+    """,
+)
+def q_cusum(spark, sf_dir):
+    """CUSUM drift monitor (operators/behavior.py:cusum) over daily
+    event volume vs a target of 330/day with a 60-count alarm bar —
+    the change-point chart that catches small persistent feed shifts
+    EWMA smooths away. The sequential recurrence rides its prefix
+    closed form S_i = P_i - min(0, min_prefix P): running_total +
+    running_min on one ordered key, exact scaled-long integers, one
+    output division — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import cusum
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(F.unix_millis(F.date_trunc("day", F.col("ts"))).alias("day_ms"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cusum(
+        daily, ["day_ms"], "n", target=330.0, threshold=60.0
+    ).select("day_ms", "n", "cusum", "alarm")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -10640,6 +10688,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_bh",
     "q_split_leakage",
     "q_krippendorff",
+    "q_cusum",
 ]
 
 

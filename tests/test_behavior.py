@@ -703,3 +703,39 @@ def test_forecast_baseline_error_broken_seasonality_flags_high_mase(spark):
     ).collect()[0]
     assert r["mae_naive"] == 1.0 and r["mae_seasonal"] == 3.0
     assert r["mase"] == 3.0
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """Distributed prefix closed form == the textbook sequential
+    S_i = max(0, S_{i-1} + x - k), including reset-to-zero stretches
+    and the alarm decision."""
+    from kafka_streams_plumber_spark.operators.behavior import cusum
+
+    xs = [5.0, 5.0, 9.0, 2.0, 1.0, 8.0, 9.5, 9.0, 3.0]
+    target = 5.0
+    s, want = 0.0, []
+    for x in xs:
+        s = max(0.0, s + x - target)
+        want.append(round(s, 6))
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, v double"
+    ).repartition(4)
+    got = [
+        (r["cusum"], r["alarm"])
+        for r in cusum(df, ["t"], "v", target=target, threshold=6.0)
+        .orderBy("t")
+        .collect()
+    ]
+    assert [g[0] for g in got] == want
+    assert [g[1] for g in got] == [w > 6.0 for w in want]
+
+
+def test_cusum_slack_suppresses_small_drift(spark):
+    from kafka_streams_plumber_spark.operators.behavior import cusum
+
+    # constant +0.4 drift over target: slack 0.5 keeps S at 0
+    df = spark.createDataFrame(
+        [(i, 10.4) for i in range(20)], "t long, v double"
+    )
+    out = cusum(df, ["t"], "v", target=10.0, slack=0.5).collect()
+    assert all(r["cusum"] == 0.0 for r in out)
