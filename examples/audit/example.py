@@ -11,6 +11,9 @@ this" report, every number from a scale-designed operator in this repo:
   duplication      text.ngram_novelty (mosaic duplication share) +
                    setsim.containment_join (quote-inclusion pairs)
   contamination    lm.min_k_prob (Min-K%-Prob tail scores)
+  eval hygiene     dedup.split_leakage (held-out docs near-duplicating
+                   a training doc after an 80/10/10 hash split)
+  feed drift       behavior.cusum (daily-volume change-point alarms)
   embedding health similarity.embedding_diversity (collapse probe)
 
 Run: python examples/audit/example.py [sf_dir]
@@ -94,6 +97,38 @@ def main(sf_dir: str, *, stop_session: bool = True) -> dict:
     report["suspect_memorized"] = mk.where(
         F.col("min_k_avg_logp") > -2.0
     ).count()
+
+    from kafka_streams_plumber_spark.operators.behavior import cusum
+    from kafka_streams_plumber_spark.operators.dedup import split_leakage
+    from kafka_streams_plumber_spark.operators.sampling import hash_split
+
+    sp = hash_split(
+        docs, "doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    report["split_leak_pairs"] = split_leakage(
+        sp, "text", "doc_id", "split", threshold=0.5
+    ).count()
+
+    daily = (
+        t["events"]
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            F.unix_millis(F.date_trunc("day", F.col("ts"))).alias("day_ms")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lvl = daily.agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    ).collect()[0]
+    alarms = cusum(
+        daily,
+        ["day_ms"],
+        "n",
+        target=float(lvl["mu"]),
+        slack=0.5 * float(lvl["sd"] or 0.0),
+        threshold=4.0 * float(lvl["sd"] or 1.0),
+    )
+    report["volume_drift_alarms"] = alarms.where("alarm").count()
 
     div = embedding_diversity(emb).collect()[0]
     report["random_pair_cos"] = div["mean_cos"]

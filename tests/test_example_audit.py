@@ -32,3 +32,5 @@ def test_audit_example_runs():
     assert -1.0 <= rep["max_centroid_cos"] <= 1.0
     assert rep["containment_pairs"] >= 0
     assert -1.0 <= rep["random_pair_cos"] <= 1.0
+    assert rep["split_leak_pairs"] >= 0
+    assert rep["volume_drift_alarms"] >= 0
