@@ -1533,3 +1533,88 @@ def bh_fdr(
         F.round(F.least(F.col("_q"), F.lit(1.0)), 6).alias("q_value"),
         (F.col("_i") <= F.coalesce(F.col("_k"), F.lit(0))).alias("rejected"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — one row
+    ``(n, rho)`` (6 dp). The monotone-association / outlier-robust
+    companion to :func:`correlation_matrix`'s Pearson: a quality score
+    that RANKS documents the same as a trusted signal earns rho ~ 1
+    even when their scales are wildly nonlinear, and one corrupt 1e12
+    outlier cannot move it. Ties get average (fractional) ranks, the
+    standard treatment. Rows where either side is NULL are dropped;
+    rho is NULL for a degenerate (constant) column.
+
+    Exactness: DOUBLED average ranks are exact integers
+    (``2*rank = 2*cum_before + cnt + 1`` on the distinct-value grain),
+    so every Pearson moment over them is an integer riding
+    decimal(38,0) — good to n ~ 1e9 (n*S12 ~ 4n^4 < 1e38; beyond that
+    Spark's non-ANSI decimal overflow yields NULL rather than a wrong
+    number) — and the closed form is two exact-integer-to-double casts
+    and one division, replayed bit-for-bit in SQL.
+
+    Scale design: each column collapses to its distinct-value grain
+    (map-combinable count), the doubled rank is ordering.running_total
+    over that grain (range exchange + O(P) offsets — no unpartitioned
+    window), rows join the two small rank frames on value, and the
+    moments are ONE map-combinable aggregate. No per-row window, no
+    sort of the full table.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    base = (
+        df.select(
+            F.col(col_a).cast("double").alias("_a"),
+            F.col(col_b).cast("double").alias("_b"),
+        )
+        .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    )
+
+    def rank2(col: str):
+        c = base.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        cum = running_total(c, ["_v"], "_c", out_col="_cum")
+        return cum.select(
+            F.col("_v"),
+            (2 * F.col("_cum") - F.col("_c") + 1).cast("long").alias("_r2"),
+        )
+
+    ra = rank2("_a").withColumnRenamed("_v", "_a").withColumnRenamed("_r2", "_ra2")
+    rb = rank2("_b").withColumnRenamed("_v", "_b").withColumnRenamed("_r2", "_rb2")
+    j = base.join(ra, "_a").join(rb, "_b")
+
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(dec("_ra2")).alias("_s1"),
+        F.sum(dec("_rb2")).alias("_s2"),
+        F.sum(
+            F.col("_ra2").cast("decimal(19,0)") * F.col("_rb2").cast("decimal(19,0)")
+        ).alias("_s12"),
+        F.sum(
+            F.col("_ra2").cast("decimal(19,0)") * F.col("_ra2").cast("decimal(19,0)")
+        ).alias("_s11"),
+        F.sum(
+            F.col("_rb2").cast("decimal(19,0)") * F.col("_rb2").cast("decimal(19,0)")
+        ).alias("_s22"),
+    )
+    var_a = F.col("_n") * F.col("_s11") - F.col("_s1") * F.col("_s1")
+    var_b = F.col("_n") * F.col("_s22") - F.col("_s2") * F.col("_s2")
+    rho = (
+        (F.col("_n") * F.col("_s12") - F.col("_s1") * F.col("_s2")).cast("double")
+        / (
+            F.sqrt(F.nullif(var_a, F.lit(0).cast("decimal(38,0)")).cast("double"))
+            * F.sqrt(F.nullif(var_b, F.lit(0).cast("decimal(38,0)")).cast("double"))
+        )
+    )
+    return m.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(rho, 6).alias("rho"),
+    )

@@ -10573,6 +10573,60 @@ def q_cusum(spark, sf_dir):
     ).select("day_ms", "n", "cusum", "alarm")
 
 
+@query(
+    "q_spearman",
+    """
+    WITH base AS (
+      SELECT value AS a, epoch_ms(ts) AS b FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    ca AS (SELECT a AS v, count(*) AS c FROM base GROUP BY 1),
+    ra AS (
+      SELECT v, 2 * CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c + 1 AS r2
+      FROM ca
+    ),
+    cb AS (SELECT b AS v, count(*) AS c FROM base GROUP BY 1),
+    rb AS (
+      SELECT v, 2 * CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c + 1 AS r2
+      FROM cb
+    ),
+    j AS (
+      SELECT ra.r2 AS x, rb.r2 AS y
+      FROM base JOIN ra ON base.a = ra.v JOIN rb ON base.b = rb.v
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s1, CAST(sum(y) AS HUGEINT) AS s2,
+             CAST(sum(x * y) AS HUGEINT) AS s12,
+             CAST(sum(x * x) AS HUGEINT) AS s11,
+             CAST(sum(y * y) AS HUGEINT) AS s22
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * s12 - s1 * s2 AS DOUBLE)
+                 / (sqrt(CAST(nullif(n * s11 - s1 * s1, 0) AS DOUBLE))
+                    * sqrt(CAST(nullif(n * s22 - s2 * s2, 0) AS DOUBLE))),
+                 6) AS rho
+    FROM m
+    """,
+)
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (operators/stats.py:spearman_corr)
+    between event value and event time — the monotone-association /
+    outlier-robust companion to q_corr's Pearson. Doubled average
+    ranks are exact integers on the distinct-value grain (2*cum_before
+    + cnt + 1 via the distributed running_total), the Pearson moments
+    over them ride decimal(38,0) (HUGEINT in the oracle), one double
+    division at the end — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import spearman_corr
+
+    e = load_tables(spark, sf_dir)["events"]
+    base = e.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select("value", F.unix_millis("ts").alias("ts_ms"))
+    return spearman_corr(base, "value", "ts_ms")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -10689,6 +10743,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_split_leakage",
     "q_krippendorff",
     "q_cusum",
+    "q_spearman",
 ]
 
 

@@ -702,3 +702,37 @@ def test_bh_fdr_step_up_rejects_above_the_crossing(spark):
     )
     rows2 = {r["metric"]: r["rejected"] for r in bh_fdr(df2, "p", "metric").collect()}
     assert rows2 == {"a": False, "b": False}
+
+
+def test_spearman_corr_ties_and_monotonicity(spark):
+    """Average-rank tie handling (hand value 0.970588 for the classic
+    tied pair), rho = 1 for any monotone nonlinear map, -1 for
+    reversal, NULL for a constant column, outlier-robust vs Pearson."""
+    from kafka_streams_plumber_spark.operators.stats import spearman_corr
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0]
+    b = [10.0, 20.0, 25.0, 30.0, 30.0, 100.0]
+    df = spark.createDataFrame(list(zip(a, b)), "x double, y double")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["n"] == 6 and r["rho"] == 0.970588
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(10)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0]["rho"] == 1.0
+    anti = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(10)], "x double, y double"
+    )
+    assert spearman_corr(anti, "x", "y").collect()[0]["rho"] == -1.0
+
+    const = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(5)], "x double, y double"
+    )
+    assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None
+
+    # one wild outlier: Pearson collapses, Spearman barely moves
+    out = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(20)] + [(21.0, 1.0e12)],
+        "x double, y double",
+    )
+    assert spearman_corr(out, "x", "y").collect()[0]["rho"] == 1.0
