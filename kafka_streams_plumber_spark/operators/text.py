@@ -1407,3 +1407,94 @@ def vocab_coverage(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    group_a: str,
+    group_b: str,
+    prior: float = 0.01,
+    top_n: int = 20,
+) -> DataFrame:
+    """"Fightin' Words" (Monroe/Colaresi/Quinn 2008): the terms that
+    most distinguish two corpora, scored by log-odds-ratio with a
+    Dirichlet prior and variance-normalized to a z-score. Where
+    :func:`diff.jsd_matrix` says HOW FAR two sources' vocabularies
+    diverge, this says WHICH WORDS carry the divergence — the "what is
+    src7 actually full of" readout before deciding a mix weight, with
+    the prior damping the rare-term noise a raw log-odds list drowns
+    in.
+
+    Returns the ``top_n`` terms per side:
+    ``(side, term, count_a, count_b, zeta)`` — ``side='a'`` rows are
+    the terms most characteristic of ``group_a`` (largest positive
+    zeta), ``side='b'`` of ``group_b`` (most negative), each ordered
+    by |zeta| with rank ties broken by term. zeta (6 dp):
+
+        delta = ln((y_a + p) / (n_a + p*V - y_a - p))
+              - ln((y_b + p) / (n_b + p*V - y_b - p))
+        zeta  = delta / sqrt(1/(y_a + p) + 1/(y_b + p))
+
+    Determinism: every input to the doubles is an exact integer count
+    (one full-outer term-count frame) or a literal; the expression is
+    one fixed shape, so any engine replays it bit-for-bit (the
+    nb_train ln-parity precedent). Rank ties order by term.
+
+    Scale design: one token explode + one (term, group) aggregate
+    (map-combinable, O(vocab) output), a self-free full-outer on the
+    term grain, one broadcast totals row, and the two-phase
+    topk_per_group prune for the |zeta| cut — the corpus is scanned
+    once and never self-joined.
+    """
+    from kafka_streams_plumber_spark.operators.stats import topk_per_group
+
+    toks = (
+        df.where(F.col(group_col).isin(group_a, group_b))
+        .select(
+            F.col(group_col).alias("_g"),
+            F.explode(tokens_lower(F.col(text_col))).alias("term"),
+        )
+    )
+    counts = toks.groupBy("term").agg(
+        F.coalesce(
+            F.sum((F.col("_g") == group_a).cast("long")), F.lit(0)
+        ).alias("count_a"),
+        F.coalesce(
+            F.sum((F.col("_g") == group_b).cast("long")), F.lit(0)
+        ).alias("count_b"),
+    )
+    totals = counts.agg(
+        F.sum("count_a").alias("_na"),
+        F.sum("count_b").alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    c = counts.crossJoin(F.broadcast(totals))
+    p = F.lit(float(prior))
+    a0 = p * F.col("_v")
+    delta = F.log(
+        (F.col("count_a") + p)
+        / (F.col("_na") + a0 - F.col("count_a") - p)
+    ) - F.log(
+        (F.col("count_b") + p)
+        / (F.col("_nb") + a0 - F.col("count_b") - p)
+    )
+    zeta = delta / F.sqrt(
+        1.0 / (F.col("count_a") + p) + 1.0 / (F.col("count_b") + p)
+    )
+    scored = c.select(
+        "term",
+        "count_a",
+        "count_b",
+        F.round(zeta, 6).alias("zeta"),
+    ).withColumn("side", F.when(F.col("zeta") >= 0, "a").otherwise("b"))
+    top = topk_per_group(
+        scored,
+        "side",
+        [F.abs(F.col("zeta")).desc(), F.col("term")],
+        int(top_n),
+        rank_fn=F.row_number,
+    )
+    return top.select("side", "term", "count_a", "count_b", "zeta")

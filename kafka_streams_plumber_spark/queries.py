@@ -10627,6 +10627,66 @@ def q_spearman(spark, sf_dir):
     return spearman_corr(base, "value", "ts_ms")
 
 
+@query(
+    "q_fightin",
+    """
+    WITH toks AS (
+      SELECT lang AS g,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS term
+      FROM documents WHERE lang IN ('en', 'de')
+    ),
+    c AS (
+      SELECT term,
+             CAST(coalesce(sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS count_a,
+             CAST(coalesce(sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS count_b
+      FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(count_a) AS BIGINT) AS na,
+             CAST(sum(count_b) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS v
+      FROM c
+    ),
+    sc AS (
+      SELECT term, count_a, count_b,
+             round((ln((count_a + 0.01) / (na + 0.01 * v - count_a - 0.01))
+                    - ln((count_b + 0.01) / (nb + 0.01 * v - count_b - 0.01)))
+                   / sqrt(1.0 / (count_a + 0.01) + 1.0 / (count_b + 0.01)),
+                   6) AS zeta
+      FROM c CROSS JOIN tot
+    ),
+    sided AS (
+      SELECT *, CASE WHEN zeta >= 0 THEN 'a' ELSE 'b' END AS side FROM sc
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY side
+                                   ORDER BY abs(zeta) DESC, term) AS rn
+      FROM sided
+    )
+    SELECT side, term, count_a, count_b, zeta FROM r WHERE rn <= 20
+    """,
+)
+def q_fightin(spark, sf_dir):
+    """Fightin' Words distinctive terms (operators/text.py:
+    distinctive_terms): the 20 terms most characteristic of the 'en'
+    vs 'de' document slices, by Dirichlet-prior log-odds z-score —
+    the term-level WHY behind q_jsd's distribution distance. Exact
+    integer term counts feed one fixed-shape double expression (the
+    nb_train ln-parity device); the |zeta| cut is the two-phase
+    topk_per_group prune — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.text import (
+        distinctive_terms,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return distinctive_terms(
+        d, "lang", "text", group_a="en", group_b="de", top_n=20
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -10744,6 +10804,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_krippendorff",
     "q_cusum",
     "q_spearman",
+    "q_fightin",
 ]
 
 

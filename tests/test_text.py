@@ -500,3 +500,34 @@ def test_ngram_novelty_exact_dup_scores_zero(spark):
     )
     got = {r["doc_id"]: r["novelty"] for r in ngram_novelty(docs).collect()}
     assert got == {1: 1.0, 2: 0.0}
+
+
+def test_distinctive_terms_sides_and_prior_damping(spark):
+    """'spark' dominates corpus A, 'kafka' corpus B; shared filler
+    words stay near zeta 0 and never outrank them. A term seen ONCE
+    only in A lands on side a but scores below the heavy hitter (the
+    Dirichlet prior damps rare-term noise)."""
+    from kafka_streams_plumber_spark.operators.text import (
+        distinctive_terms,
+    )
+
+    rows = (
+        [("A", "spark spark spark the and of unique")] * 3
+        + [("B", "kafka kafka kafka the and of")] * 3
+    )
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = distinctive_terms(
+        df, "src", "text", group_a="A", group_b="B", top_n=3
+    ).collect()
+    by_side = {}
+    for r in out:
+        by_side.setdefault(r["side"], []).append(r)
+    a_terms = [r["term"] for r in by_side["a"]]
+    b_terms = [r["term"] for r in by_side["b"]]
+    assert a_terms[0] == "spark" and b_terms[0] == "kafka"
+    assert "unique" in a_terms
+    z = {r["term"]: r["zeta"] for r in out}
+    assert z["spark"] > z["unique"] > 0 > z["kafka"]
+    # counts carried through
+    c = {r["term"]: (r["count_a"], r["count_b"]) for r in out}
+    assert c["spark"] == (9, 0) and c["kafka"] == (0, 9)

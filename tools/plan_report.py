@@ -145,6 +145,7 @@ AUDITED = {
     "q_krippendorff": "two map-combinable aggregates to O(units)/O(categories) grains; three tiny broadcast joins",
     "q_cusum": "O(days) grain after one agg; prefix sum + prefix min ride range exchanges with O(P) offsets",
     "q_spearman": "distinct-value collapse per column + running_total ranks; one map-combinable moment aggregate",
+    "q_fightin": "one token explode to an O(vocab) grain; broadcast totals; two-phase top-k prune",
 }
 
 
