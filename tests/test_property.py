@@ -918,3 +918,76 @@ def test_phash_brightness_shift_invariance(seed):
     img = rng.integers(0, 200, size=(24, 24, 3)).astype(np.uint8)
     shifted = (img.astype(np.int64) + 40).astype(np.uint8)
     assert phash64(img) == phash64(shifted)
+
+
+small_longs = st.lists(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(small_longs, small_longs)
+def test_running_total_multi_equals_python_prefix(spark, a_vals, b_vals):
+    """Fused multi-column running_total (+pos_col) over a total order
+    equals the sequential Python prefix sums for BOTH columns and the
+    ordinal, under arbitrary input partitioning."""
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    n = min(len(a_vals), len(b_vals))
+    rows = [(i, a_vals[i], b_vals[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(5)
+    got = {
+        r["k"]: (r["ca"], r["cb"], r["pos"])
+        for r in running_total(
+            df, ["k"], ["a", "b"], out_col=["ca", "cb"], pos_col="pos"
+        ).collect()
+    }
+    ca = cb = 0
+    for i in range(n):
+        ca += a_vals[i]
+        cb += b_vals[i]
+        assert got[i] == (ca, cb, i), (i, got[i], (ca, cb, i))
+
+
+@settings(max_examples=8, deadline=None)
+@given(small_longs)
+def test_running_min_equals_python_prefix_min(spark, vals):
+    from kafka_streams_plumber_spark.operators.ordering import running_min
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(4)
+    got = {
+        r["k"]: r["rm"]
+        for r in running_min(df, ["k"], "v", out_col="rm").collect()
+    }
+    m = vals[0]
+    for i, v in enumerate(vals):
+        m = min(m, v)
+        assert got[i] == m, (i, got[i], m)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_spearman_bounds_and_self_correlation(spark, vals):
+    """|rho| <= 1 always; rho(x, x) == 1 whenever x is non-constant."""
+    from kafka_streams_plumber_spark.operators.stats import spearman_corr
+
+    rows = [(float(v), float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    if len(set(vals)) > 1:
+        assert r["rho"] == 1.0
+    else:
+        assert r["rho"] is None
