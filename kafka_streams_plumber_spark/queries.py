@@ -10710,11 +10710,12 @@ def q_fightin(spark, sf_dir):
 #   widening stays all-oracled.
 
 # Round-6 window (below): finishes driver verification of the entire
-# surface. The 16 r5-late-wave queries (the whole r5 queue) plus the 4
-# newly-oracled multimodal kernels hash for the first time — after
-# this round all 235 oracled queries (i.e. every registered query)
-# have at least one driver hash row — and 30 sentinel slots re-prove
-# the heaviest / most-recently-touched families.
+# surface as of window freeze. The 16 r5-late-wave queries (the whole
+# r5 queue) plus the 4 newly-oracled multimodal kernels hash for the
+# first time — after this round every query registered at freeze time
+# (235) has at least one driver hash row — and 30 sentinel slots
+# re-prove the heaviest / most-recently-touched families. The six
+# operators written later in r6 sit in _NEXT_WINDOW_QUEUE below.
 _GATE_WINDOW = [
     # --- Round-6 window. The 16 r5-late-wave queries from the r5
     # _NEXT_WINDOW_QUEUE take the first slots: after they hash, EVERY
