@@ -1618,3 +1618,96 @@ def spearman_corr(
         F.col("_n").cast("long").alias("n"),
         F.round(rho, 6).alias("rho"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    round_values: int | None = None,
+) -> DataFrame:
+    """Mann-Whitney U test (two-sample, tie-corrected normal
+    approximation): one row ``(n_a, n_b, u_a, z)``. The LOCATION
+    companion to :func:`ks_test` (which is shape-sensitive) and the
+    nonparametric alternative to a t-test — "did the purchase slice's
+    values shift up" without assuming normality, immune to outliers.
+    |z| >= 1.96 is the usual 95% bar; z is left un-thresholded like
+    :func:`ab_test`, with no continuity correction (documented choice;
+    at the panel sizes this engine runs the 0.5 shift is noise).
+
+    ``u_a`` is the U statistic of ``group_a`` (P(a > b) estimate:
+    u_a / (n_a*n_b)); z is signed (positive = a tends larger). z is
+    NULL when either group is empty or ALL values tie (zero variance).
+
+    Exactness: the AUC device — per distinct value the DOUBLED rank
+    sum contribution is ``c_a * (first + last)`` from cumulative
+    counts, so U and the tie term ``sum(t^3 - t)`` are exact integers
+    riding decimal(38,0), and z is one fixed-shape double expression —
+    replayed bit-for-bit in SQL. ``round_values`` quantizes first
+    (same contract as auc's round_scores) to bound the distinct grain.
+
+    Scale design: one map-combinable collapse to the distinct-value
+    grain, cumulative counts via ordering.running_total (range
+    exchange + O(P) offsets — NOT auc's O(distinct) single-task
+    window), one final aggregate.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    base = df.where(
+        F.col(group_col).isin(group_a, group_b) & v.isNotNull()
+    ).select(v.alias("_v"), (F.col(group_col) == group_a).alias("_ga"))
+
+    per = base.groupBy("_v").agg(
+        F.coalesce(F.sum(F.col("_ga").cast("long")), F.lit(0)).alias("_ca"),
+        F.count(F.lit(1)).alias("_t"),
+    )
+    r = running_total(per, ["_v"], "_t", out_col="_cum")
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t19 = F.col("_t").cast("decimal(19,0)")
+    m = r.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).cast("decimal(38,0)").alias("_na"),
+        F.coalesce(F.sum(F.col("_t") - F.col("_ca")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("_nb"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_ca"))
+                * dec((F.col("_cum") - F.col("_t") + 1) + F.col("_cum"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_r2"),
+        F.coalesce(
+            F.sum(t19 * t19 * t19 - t19), F.lit(0).cast("decimal(38,0)")
+        ).alias("_st"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    u2 = F.col("_r2") - na * (na + 1)
+    n = na + nb
+    var = (
+        (na * nb).cast("double")
+        * (
+            (n + 1).cast("double")
+            - F.col("_st").cast("double") / (n * (n - 1)).cast("double")
+        )
+        / 12.0
+    )
+    # one exact-integer subtraction THEN one double cast (matches the
+    # oracle's CAST(r2 - na*(na+1) - na*nb AS DOUBLE) bit-for-bit)
+    z = (u2 - na * nb).cast("double")
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u2.cast("double") / 2.0, 6).alias("u_a"),
+        F.round(
+            z / F.nullif(2.0 * F.sqrt(var), F.lit(0.0)), 6
+        ).alias("z"),
+    )

@@ -10687,6 +10687,57 @@ def q_fightin(spark, sf_dir):
     )
 
 
+@query(
+    "q_mannwhitney",
+    """
+    WITH base AS (
+      SELECT (event_type = 'purchase') AS ga, round(value, 6) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    c AS (
+      SELECT v,
+             CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS t
+      FROM base GROUP BY v
+    ),
+    r AS (
+      SELECT *, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cum FROM c
+    ),
+    m AS (
+      SELECT CAST(sum(ca) AS HUGEINT) AS na,
+             CAST(sum(t - ca) AS HUGEINT) AS nb,
+             CAST(sum(ca * ((cum - t + 1) + cum)) AS HUGEINT) AS r2,
+             CAST(sum(t * t * t - t) AS HUGEINT) AS st
+      FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(r2 - na * (na + 1) AS DOUBLE) / 2.0, 6) AS u_a,
+           round(CAST(r2 - na * (na + 1) - na * nb AS DOUBLE)
+                 / nullif(2.0 * sqrt(CAST(na * nb AS DOUBLE)
+                     * (CAST(na + nb + 1 AS DOUBLE)
+                        - CAST(st AS DOUBLE)
+                          / CAST((na + nb) * (na + nb - 1) AS DOUBLE))
+                     / 12.0), 0.0), 6) AS z
+    FROM m
+    """,
+)
+def q_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U location test (operators/stats.py:mann_whitney):
+    did purchase-event values shift vs views — the nonparametric
+    location companion to q_ks's shape test, on the same slice. The
+    AUC doubled-rank device makes U and the tie term sum(t^3 - t)
+    exact integers over the distinct-value grain (cumulative counts
+    via the distributed running_total), z is one fixed-shape double
+    expression — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import mann_whitney
+
+    e = load_tables(spark, sf_dir)["events"]
+    return mann_whitney(
+        e, "value", "event_type", "purchase", "view", round_values=6
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -10806,6 +10857,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_cusum",
     "q_spearman",
     "q_fightin",
+    "q_mannwhitney",
 ]
 
 

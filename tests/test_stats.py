@@ -736,3 +736,31 @@ def test_spearman_corr_ties_and_monotonicity(spark):
         "x double, y double",
     )
     assert spearman_corr(out, "x", "y").collect()[0]["rho"] == 1.0
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    """a=[1,2,2,5,7] vs b=[2,3,4,4]: tie-corrected U_a = 9, z ~
+    -0.250217 (independent sequential reference). Clear separation
+    gives U = n_a*n_b and the max z; all-tied values give NULL z."""
+    from kafka_streams_plumber_spark.operators.stats import mann_whitney
+
+    rows = [("a", v) for v in (1.0, 2.0, 2.0, 5.0, 7.0)] + [
+        ("b", v) for v in (2.0, 3.0, 4.0, 4.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["u_a"] == 9.0 and r["z"] == -0.250217
+
+    sep = spark.createDataFrame(
+        [("a", v) for v in (10.0, 11.0, 12.0)]
+        + [("b", v) for v in (1.0, 2.0, 3.0)],
+        "g string, v double",
+    )
+    r = mann_whitney(sep, "v", "g", "a", "b").collect()[0]
+    assert r["u_a"] == 9.0 and r["z"] == 1.963961
+
+    tied = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, v double"
+    )
+    assert mann_whitney(tied, "v", "g", "a", "b").collect()[0]["z"] is None

@@ -146,6 +146,7 @@ AUDITED = {
     "q_cusum": "O(days) grain after one agg; prefix sum + prefix min ride range exchanges with O(P) offsets",
     "q_spearman": "distinct-value collapse per column + running_total ranks; one map-combinable moment aggregate",
     "q_fightin": "one token explode to an O(vocab) grain; broadcast totals; two-phase top-k prune",
+    "q_mannwhitney": "distinct-value collapse + running_total cumulative counts; one final aggregate",
 }
 
 
