@@ -991,3 +991,78 @@ def test_spearman_bounds_and_self_correlation(spark, vals):
         assert r["rho"] == 1.0
     else:
         assert r["rho"] is None
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.floats(min_value=-10.0, max_value=10.0, allow_nan=False),
+)
+def test_cusum_equals_sequential_recurrence(spark, xs, target):
+    """Distributed prefix closed form == textbook sequential CUSUM for
+    random series and targets (values quantized to the scaled-long
+    grain both sides)."""
+    from kafka_streams_plumber_spark.operators.behavior import cusum
+
+    scale = 10**6
+    xs = [round(x, 4) for x in xs]
+    target = round(target, 4)
+    s, want = 0, []
+    k = int(round(target * scale))
+    for x in xs:
+        s = max(0, s + int(round(x * scale)) - k)
+        want.append(round(s / scale, 6))
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, v double"
+    ).repartition(3)
+    got = [
+        r["cusum"]
+        for r in cusum(df, ["t"], "v", target=target).orderBy("t").collect()
+    ]
+    assert got == want, (xs, target, got, want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # unit
+            st.integers(min_value=0, max_value=4),   # rater
+            st.sampled_from(["x", "y", "z"]),        # label
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_krippendorff_alpha_bounded_and_perfect(spark, ratings):
+    """alpha <= 1 always (never above perfect agreement), and exactly
+    1.0 when every unit is internally unanimous but categories vary."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        krippendorff_alpha,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{u}", f"r{r}", v) for u, r, v in ratings],
+        "unit string, rater string, label string",
+    )
+    row = krippendorff_alpha(df, "unit", "rater", "label").collect()[0]
+    if row["alpha"] is not None:
+        assert row["alpha"] <= 1.0
+
+    unanimous = spark.createDataFrame(
+        [(f"u{u}", f"r{r}", "x" if u % 2 else "y") for u in range(4) for r in range(3)],
+        "unit string, rater string, label string",
+    )
+    assert (
+        krippendorff_alpha(unanimous, "unit", "rater", "label").collect()[0][
+            "alpha"
+        ]
+        == 1.0
+    )
