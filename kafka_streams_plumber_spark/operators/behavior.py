@@ -954,29 +954,44 @@ def cusum(
     Scale design: the sequential recurrence looks undistributable, but
     it has the prefix closed form ``S_i = P_i - min(0, min_{j<=i} P_j)``
     with ``P`` the running sum of ``x - target - slack`` — so it rides
-    ordering.running_total + ordering.running_min (range exchange +
-    O(P)-offset machinery, no unpartitioned window, no sequential
-    scan). Values are scaled longs, both prefixes are exact-integer,
-    the one division happens at output — SQL replays every S and every
-    alarm decision bit-for-bit.
-    """
-    from kafka_streams_plumber_spark.operators.ordering import (
-        running_min,
-        running_total,
-    )
+    ONE fused ordering.running_agg pass (``sum`` + ``min_of_sum`` of
+    the same scaled deltas share a single range exchange + O(P)-offset
+    table — r6 stacked running_total then running_min, range-
+    partitioning the identical keys twice). No unpartitioned window,
+    no sequential scan. Values are scaled longs, both prefixes are
+    exact-integer, the one division happens at output — SQL replays
+    every S and every alarm decision bit-for-bit.
 
-    k = int(round((float(target) + float(slack)) * scale))
+    The target/slack/threshold constants are quantized HALF_UP
+    (decimal.Decimal), matching F.round's row-value scaling and the
+    SQL oracle — Python's round() banker's-rounding would shift every
+    step by one scaled unit when (target+slack)*scale lands exactly
+    on .5.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kafka_streams_plumber_spark.operators.ordering import running_agg
+
+    def _half_up(x: float) -> int:
+        return int(
+            (Decimal(str(float(x))) * scale).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    k = _half_up(float(target) + float(slack))
     d = df.withColumn(
         "_d",
         F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
         - F.lit(k),
     )
-    p = running_total(d, order_cols, "_d", out_col="_P")
-    m = running_min(p, order_cols, "_P", out_col="_mn")
+    m = running_agg(
+        d,
+        order_cols,
+        [("sum", "_d", "_P"), ("min_of_sum", "_d", "_mn")],
+    )
     s_scaled = F.col("_P") - F.least(F.col("_mn"), F.lit(0).cast("long"))
     out = m.withColumn(out_col, F.round(s_scaled / scale, 6))
     if threshold is not None:
-        out = out.withColumn(
-            "alarm", s_scaled > F.lit(int(round(float(threshold) * scale)))
-        )
+        out = out.withColumn("alarm", s_scaled > F.lit(_half_up(threshold)))
     return out.drop("_d", "_P", "_mn")

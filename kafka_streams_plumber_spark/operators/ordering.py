@@ -306,6 +306,174 @@ def write_training_shards(
     return manifest
 
 
+def running_agg(
+    df: DataFrame,
+    order_cols: list,
+    specs: list,
+    *,
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Fused distributed prefix pass: every spec rides ONE range
+    exchange. ``specs`` is a list of ``(kind, value_col, out_col)``
+    with ``kind`` one of:
+
+    - ``"sum"`` — prefix sum of ``value_col``;
+    - ``"min"`` / ``"max"`` — prefix min/max of ``value_col``;
+    - ``"min_of_sum"`` — prefix min OF the prefix sum of ``value_col``
+      (the CUSUM closed-form shape ``min_{j<=i} P_j`` — previously two
+      stacked passes range-partitioning the SAME keys twice).
+
+    ``pos_col`` additionally emits the 0-based global ordinal
+    (:func:`rank_by`'s output) from the same pass.
+
+    The scale-correct ``agg() OVER (ORDER BY ...)``: a bare
+    unpartitioned window funnels the WHOLE dataset through one task.
+    Here: range-repartition on the order keys + local sort, local
+    running aggregates per partition (windows partitioned by the
+    physical partition id — bounded by partition size), and an
+    O(P)-row offset table broadcast back — the same machinery as
+    :func:`rank_by`, so no stage holds more than one partition.
+    Cross-partition combines per kind: exclusive prefix-sum of
+    partition sums; exclusive prefix-min/max of partition extrema;
+    for ``min_of_sum``, the exclusive prefix-min of each earlier
+    partition's global prefix-sum minimum (its sum-offset + its local
+    prefix-sum minimum) — all O(P)-row arithmetic on the tiny table.
+    """
+    from pyspark.sql import functions as F
+
+    kinds = {k for k, _, _ in specs}
+    bad = kinds - {"sum", "min", "max", "min_of_sum"}
+    if bad:
+        raise ValueError(f"unknown running_agg kinds: {sorted(bad)}")
+
+    ranked = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Pass 1 of local columns: running sums/minima/maxima of the RAW
+    # values (min_of_sum needs its running sum materialized first so a
+    # second chained window can take its running min).
+    loc1 = []
+    for i, (kind, vc, _oc) in enumerate(specs):
+        if kind == "sum":
+            loc1.append(F.sum(vc).over(wloc).alias(f"_loc{i}"))
+        elif kind == "min":
+            loc1.append(F.min(vc).over(wloc).alias(f"_loc{i}"))
+        elif kind == "max":
+            loc1.append(F.max(vc).over(wloc).alias(f"_loc{i}"))
+        else:  # min_of_sum: local prefix sum now, its prefix min next
+            loc1.append(F.sum(vc).over(wloc).alias(f"_ls{i}"))
+    local = ranked.select("*", *loc1)
+    loc2 = [
+        F.min(f"_ls{i}").over(wloc).alias(f"_loc{i}")
+        for i, (kind, _vc, _oc) in enumerate(specs)
+        if kind == "min_of_sum"
+    ]
+    if loc2:
+        local = local.select("*", *loc2)
+
+    # Per-partition aggregates (O(P) rows after map-side combine).
+    paggs = [F.count("*").alias("_c"), F.min("_mid").alias("_m0")]
+    for i, (kind, vc, _oc) in enumerate(specs):
+        if kind == "sum":
+            paggs.append(F.sum(vc).alias(f"_ps{i}"))
+        elif kind == "min":
+            paggs.append(F.min(vc).alias(f"_pm{i}"))
+        elif kind == "max":
+            paggs.append(F.max(vc).alias(f"_pm{i}"))
+        else:  # min_of_sum: partition total AND min of local prefix sums
+            paggs.append(F.sum(vc).alias(f"_ps{i}"))
+            paggs.append(F.min(f"_ls{i}").alias(f"_pm{i}"))
+    part_stats = local.groupBy("_pid").agg(*paggs)
+
+    # O(P) rows: the single-task windows are over partition summaries
+    # only. Two selects because min_of_sum's cross-partition min is
+    # over a column derived from the sum offsets.
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off1 = ["_pid", "_m0"]
+    off1.append(F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_roff"))
+    for i, (kind, _vc, _oc) in enumerate(specs):
+        if kind in ("sum", "min_of_sum"):
+            off1.append(
+                F.coalesce(F.sum(f"_ps{i}").over(woff), F.lit(0)).alias(
+                    f"_off{i}"
+                )
+            )
+        if kind == "min":
+            off1.append(F.min(f"_pm{i}").over(woff).alias(f"_offm{i}"))
+        elif kind == "max":
+            off1.append(F.max(f"_pm{i}").over(woff).alias(f"_offm{i}"))
+        elif kind == "min_of_sum":
+            off1.append(F.col(f"_pm{i}").alias(f"_pm{i}"))
+    offsets = part_stats.select(*off1)
+    mos = [
+        i for i, (kind, _vc, _oc) in enumerate(specs) if kind == "min_of_sum"
+    ]
+    if mos:
+        offsets = offsets.select(
+            "*",
+            *[
+                # min over earlier partitions of THEIR global prefix-sum
+                # minimum: each partition k contributes _off_k + _pm_k.
+                F.min(F.col(f"_off{i}") + F.col(f"_pm{i}"))
+                .over(woff)
+                .alias(f"_offm{i}")
+                for i in mos
+            ],
+        ).drop(*[f"_pm{i}" for i in mos])
+
+    out_exprs = []
+    for i, (kind, _vc, oc) in enumerate(specs):
+        if kind == "sum":
+            out_exprs.append((F.col(f"_off{i}") + F.col(f"_loc{i}")).alias(oc))
+        elif kind == "min":
+            # least() skips NULLs, so the first partition keeps _loc
+            out_exprs.append(
+                F.least(F.col(f"_loc{i}"), F.col(f"_offm{i}")).alias(oc)
+            )
+        elif kind == "max":
+            out_exprs.append(
+                F.greatest(F.col(f"_loc{i}"), F.col(f"_offm{i}")).alias(oc)
+            )
+        else:  # min_of_sum: this partition's global running-sum min vs
+            # the best over all earlier partitions
+            out_exprs.append(
+                F.least(
+                    F.col(f"_off{i}") + F.col(f"_loc{i}"),
+                    F.col(f"_offm{i}"),
+                ).alias(oc)
+            )
+    out = local.join(F.broadcast(offsets), "_pid").select(
+        "*",
+        *out_exprs,
+        *(
+            [(F.col("_roff") + (F.col("_mid") - F.col("_m0"))).alias(pos_col)]
+            if pos_col
+            else []
+        ),
+    )
+    drop = ["_pid", "_mid", "_m0", "_roff"]
+    for i, (kind, _vc, _oc) in enumerate(specs):
+        drop.append(f"_loc{i}")
+        if kind in ("sum", "min_of_sum"):
+            drop.append(f"_off{i}")
+        if kind in ("min", "max", "min_of_sum"):
+            drop.append(f"_offm{i}")
+        if kind == "min_of_sum":
+            drop.append(f"_ls{i}")
+    return out.drop(*drop)
+
+
 def running_total(
     df: DataFrame,
     order_cols: list,
@@ -326,79 +494,21 @@ def running_total(
     exchanges from exactly that stacking). ``pos_col`` additionally
     emits the 0-based global ordinal (:func:`rank_by`'s output) from
     the same pass, for callers that need rank + prefix sums together.
-
-    The scale-correct ``sum() OVER (ORDER BY ...)``: a bare
-    unpartitioned window funnels the WHOLE dataset through one task.
-    Here: range-repartition on the order keys + local sort, one local
-    running sum per partition per value column (window partitioned by
-    the physical partition id — bounded by partition size), and an
-    O(P)-row offset table broadcast back — the same machinery as
-    :func:`rank_by`, so no stage holds more than one partition.
+    Thin wrapper over :func:`running_agg` (all-``sum`` specs); mix in
+    prefix min/max there when the caller needs them in the same pass.
     """
-    from pyspark.sql import functions as F
-
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(value_cols) != len(out_cols):
         raise ValueError(
             f"value_col/out_col length mismatch: {value_cols} vs {out_cols}"
         )
-
-    ranked = (
-        df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
-        .select(
-            "*",
-            F.spark_partition_id().alias("_pid"),
-            F.monotonically_increasing_id().alias("_mid"),
-        )
+    return running_agg(
+        df,
+        order_cols,
+        [("sum", vc, oc) for vc, oc in zip(value_cols, out_cols)],
+        pos_col=pos_col,
     )
-    wloc = (
-        Window.partitionBy("_pid")
-        .orderBy("_mid")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranked.select(
-        "*",
-        *[
-            F.sum(vc).over(wloc).alias(f"_loc{i}")
-            for i, vc in enumerate(value_cols)
-        ],
-    )
-    part_sums = ranked.groupBy("_pid").agg(
-        F.count("*").alias("_c"),
-        F.min("_mid").alias("_m0"),
-        *[F.sum(vc).alias(f"_ps{i}") for i, vc in enumerate(value_cols)],
-    )
-    # O(P) rows: the single-task window is over partition summaries only
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = part_sums.select(
-        "_pid",
-        "_m0",
-        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_roff"),
-        *[
-            F.coalesce(F.sum(f"_ps{i}").over(woff), F.lit(0)).alias(f"_off{i}")
-            for i in range(len(value_cols))
-        ],
-    )
-    out = local.join(F.broadcast(offsets), "_pid").select(
-        "*",
-        *[
-            (F.col(f"_off{i}") + F.col(f"_loc{i}")).alias(oc)
-            for i, oc in enumerate(out_cols)
-        ],
-        *(
-            [(F.col("_roff") + (F.col("_mid") - F.col("_m0"))).alias(pos_col)]
-            if pos_col
-            else []
-        ),
-    )
-    drop = (
-        ["_pid", "_mid", "_m0", "_roff"]
-        + [f"_loc{i}" for i in range(len(value_cols))]
-        + [f"_off{i}" for i in range(len(value_cols))]
-    )
-    return out.drop(*drop)
 
 
 def running_min(
@@ -410,36 +520,11 @@ def running_min(
 ) -> DataFrame:
     """Distributed prefix MIN: ``out_col`` = min of ``value_col`` over
     all rows at-or-before this row under ``ORDER BY *order_cols`` —
-    :func:`running_total`'s min sibling, same machinery (range
-    exchange, per-partition local window, O(P) offsets), except the
-    cross-partition combine is the exclusive prefix-min of partition
-    minima instead of a sum. Order by a DESC key to get a suffix-min
-    (the Benjamini-Hochberg q-value shape)."""
-    from pyspark.sql import functions as F
-
-    ranked = (
-        df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
-        .select(
-            "*",
-            F.spark_partition_id().alias("_pid"),
-            F.monotonically_increasing_id().alias("_mid"),
-        )
-    )
-    wloc = (
-        Window.partitionBy("_pid")
-        .orderBy("_mid")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranked.withColumn("_loc", F.min(value_col).over(wloc))
-    part_mins = ranked.groupBy("_pid").agg(F.min(value_col).alias("_pm"))
-    # O(P) rows: the single-task window is over partition summaries only
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = part_mins.select(
-        "_pid", F.min("_pm").over(woff).alias("_offm")
-    )
-    # least() skips NULLs, so the first partition (no offset) keeps _loc
-    out = local.join(F.broadcast(offsets), "_pid").withColumn(
-        out_col, F.least(F.col("_loc"), F.col("_offm"))
-    )
-    return out.drop("_pid", "_mid", "_loc", "_offm")
+    :func:`running_total`'s min sibling (one ``("min", ...)`` spec of
+    :func:`running_agg` — same range exchange, per-partition local
+    window, O(P) offsets; the cross-partition combine is the exclusive
+    prefix-min of partition minima instead of a sum). Order by a DESC
+    key to get a suffix-min (the Benjamini-Hochberg q-value shape).
+    Fusing with other reducers on the same keys? Call
+    :func:`running_agg` once instead of stacking passes."""
+    return running_agg(df, order_cols, [("min", value_col, out_col)])

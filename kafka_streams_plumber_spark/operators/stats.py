@@ -1491,30 +1491,75 @@ def bh_fdr(
     q-value is a min over identically-computed doubles then one final
     6-dp round, so SQL replays every decision bit-for-bit.
 
-    Scale design: the ascending rank and the suffix-min both ride the
-    ordering machinery (rank_by + running_min over the DESC rank —
-    range exchanges with O(P) offset broadcasts, never an
-    unpartitioned window over the panel); the step-up cutoff is one
-    max-aggregate broadcast back. The panel is typically tiny (one
-    row per metric/slice), but nothing here requires it.
+    Scale design: ONE range exchange on (p, id) serves BOTH directions
+    — the ascending rank comes from the usual per-partition-ordinal +
+    O(P) offset-broadcast device (the offset table also carries the
+    panel size m, so no separate count aggregate), and the suffix-min
+    ``q_i = min_{j>=i} m*p_j/j`` is computed on the SAME partitioning:
+    a per-partition local suffix-min window (ordered DESC within the
+    sorted partition) plus an O(P) exclusive suffix-min of partition
+    minima broadcast back. r6 stacked rank_by + running_min over the
+    DESC rank, range-partitioning the panel twice; this is the fused
+    mixed-direction form. The step-up cutoff is one max-aggregate
+    broadcast back. The panel is typically tiny (one row per
+    metric/slice), but nothing here requires it.
     """
-    from kafka_streams_plumber_spark.operators.ordering import (
-        rank_by,
-        running_min,
-    )
-
     base = df.filter(F.col(p_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(p_col).cast("double").alias("_p")
     )
-    ranked = rank_by(base, ["_p", "_id"], pos_col="_r0").withColumn(
-        "_i", (F.col("_r0") + 1).cast("long")
+    ranked = (
+        base.repartitionByRange("_p", "_id")
+        .sortWithinPartitions("_p", "_id")
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
     )
-    m = base.agg(F.count(F.lit(1)).alias("_m"))
-    r = ranked.crossJoin(F.broadcast(m)).withColumn(
-        "_raw", (F.col("_p") * F.col("_m")) / F.col("_i")
+    part_stats = ranked.groupBy("_pid").agg(
+        F.count("*").alias("_c"), F.min("_mid").alias("_m0")
     )
-    q = running_min(
-        r, [F.col("_i").desc()], "_raw", out_col="_q"
+    # O(P) rows: single-task windows over partition summaries only.
+    # _tot (the panel size m) rides the same tiny table — no separate
+    # count aggregate over the panel.
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = part_stats.select(
+        "_pid",
+        "_m0",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_roff"),
+        F.sum("_c").over(wall).alias("_m"),
+    )
+    r = (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_i", (F.col("_roff") + (F.col("_mid") - F.col("_m0")) + 1)
+        )
+        .withColumn("_raw", (F.col("_p") * F.col("_m")) / F.col("_i"))
+    )
+    # Local suffix-min of _raw within each (already p-sorted) partition;
+    # the cross-partition part is the exclusive suffix-min of partition
+    # minima — O(P) rows, broadcast back. No second range exchange.
+    wsuf = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_mid").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = r.withColumn("_lsuf", F.min("_raw").over(wsuf))
+    wsoff = (
+        Window.orderBy(F.col("_pid").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sufmins = (
+        r.groupBy("_pid")
+        .agg(F.min("_raw").alias("_pmn"))
+        .select("_pid", F.min("_pmn").over(wsoff).alias("_soffm"))
+    )
+    # least() skips NULLs, so the last partition (no suffix) keeps _lsuf
+    q = r.join(F.broadcast(sufmins), "_pid").withColumn(
+        "_q", F.least(F.col("_lsuf"), F.col("_soffm"))
     )
     kmax = r.agg(
         F.max(
@@ -1528,8 +1573,8 @@ def bh_fdr(
     return out.select(
         F.col("_id").alias(id_col),
         F.round("_p", 6).alias("p"),
-        F.col("_i").alias("rank"),
-        F.col("_m").alias("m"),
+        F.col("_i").cast("long").alias("rank"),
+        F.col("_m").cast("long").alias("m"),
         F.round(F.least(F.col("_q"), F.lit(1.0)), 6).alias("q_value"),
         (F.col("_i") <= F.coalesce(F.col("_k"), F.lit(0))).alias("rejected"),
     )
@@ -1692,11 +1737,16 @@ def mann_whitney(
     na, nb = F.col("_na"), F.col("_nb")
     u2 = F.col("_r2") - na * (na + 1)
     n = na + nb
+    # nullif guards the degenerate n<=1 panel: the raw division is 0/0
+    # (NULL in Spark but IEEE NaN in engines like DuckDB, which would
+    # then propagate through 0*NaN) — nullif makes BOTH engines yield
+    # the documented NULL z.
     var = (
         (na * nb).cast("double")
         * (
             (n + 1).cast("double")
-            - F.col("_st").cast("double") / (n * (n - 1)).cast("double")
+            - F.col("_st").cast("double")
+            / F.nullif((n * (n - 1)).cast("double"), F.lit(0.0))
         )
         / 12.0
     )

@@ -10717,7 +10717,8 @@ def q_fightin(spark, sf_dir):
                  / nullif(2.0 * sqrt(CAST(na * nb AS DOUBLE)
                      * (CAST(na + nb + 1 AS DOUBLE)
                         - CAST(st AS DOUBLE)
-                          / CAST((na + nb) * (na + nb - 1) AS DOUBLE))
+                          / nullif(CAST((na + nb) * (na + nb - 1)
+                                        AS DOUBLE), 0.0))
                      / 12.0), 0.0), 6) AS z
     FROM m
     """,

@@ -970,6 +970,41 @@ def test_running_min_equals_python_prefix_min(spark, vals):
         assert got[i] == m, (i, got[i], m)
 
 
+@settings(max_examples=8, deadline=None)
+@given(small_longs)
+def test_running_agg_mixed_reducers_one_pass(spark, vals):
+    """The fused running_agg (sum + min + max + min_of_sum in ONE range
+    exchange — the r7 mixed-reducer form cusum/bh_fdr ride) equals the
+    sequential Python prefix reductions under arbitrary input
+    partitioning. min_of_sum is checked against the running min of the
+    running sum — exactly CUSUM's min_{j<=i} P_j term."""
+    from kafka_streams_plumber_spark.operators.ordering import running_agg
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+    got = {
+        r["k"]: (r["s"], r["mn"], r["mx"], r["ms"], r["pos"])
+        for r in running_agg(
+            df,
+            ["k"],
+            [
+                ("sum", "v", "s"),
+                ("min", "v", "mn"),
+                ("max", "v", "mx"),
+                ("min_of_sum", "v", "ms"),
+            ],
+            pos_col="pos",
+        ).collect()
+    }
+    s, mn, mx, ms = 0, vals[0], vals[0], None
+    for i, v in enumerate(vals):
+        s += v
+        mn = min(mn, v)
+        mx = max(mx, v)
+        ms = s if ms is None else min(ms, s)
+        assert got[i] == (s, mn, mx, ms, i), (i, got[i], (s, mn, mx, ms, i))
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(

@@ -764,3 +764,15 @@ def test_mann_whitney_hand_computed_with_ties(spark):
         [("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, v double"
     )
     assert mann_whitney(tied, "v", "g", "a", "b").collect()[0]["z"] is None
+
+
+def test_mann_whitney_degenerate_single_row_panel(spark):
+    """n_total <= 1 makes the tie-correction denominator n*(n-1) zero;
+    the nullif guard must yield the documented NULL z (not NaN — IEEE
+    engines like DuckDB would otherwise propagate 0/0 through 0*NaN)."""
+    from kafka_streams_plumber_spark.operators.stats import mann_whitney
+
+    one = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    r = mann_whitney(one, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 0)
+    assert r["z"] is None
