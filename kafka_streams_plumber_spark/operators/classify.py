@@ -672,21 +672,38 @@ def krippendorff_alpha(
     unit_col: str,
     rater_col: str,
     value_col: str,
+    *,
+    level: str = "nominal",
+    scale: int = 10**6,
 ) -> DataFrame:
-    """Krippendorff's alpha (nominal data) — inter-rater reliability
-    that, unlike :func:`cohens_kappa`, handles ANY number of raters and
-    missing ratings (each unit just needs >= 2 ratings). The standard
+    """Krippendorff's alpha — inter-rater reliability that, unlike
+    :func:`cohens_kappa`, handles ANY number of raters and missing
+    ratings (each unit just needs >= 2 ratings). The standard
     labeling-quality gate for multi-annotator datasets: alpha >= 0.8
     is conventionally "reliable", < 0.667 "discard".
+
+    ``level`` picks the disagreement metric for the data's measurement
+    level (Krippendorff's standard taxonomy):
+
+    - ``"nominal"`` — categories, delta = 1{c != k} (default);
+    - ``"interval"`` — numeric ratings, delta = (c - k)^2: a 1-vs-2
+      disagreement on a 5-point quality score costs 1/16th of 1-vs-5
+      instead of the same (``scale`` quantizes values to longs first,
+      HALF_UP, default 6 dp);
+    - ``"ordinal"`` — ranked categories, delta = (rank-mass between
+      the two categories)^2 per Krippendorff: implemented EXACTLY as
+      the interval metric over doubled marginal rank scores
+      ``d_c = 2*cum_c - n_c`` (the average-rank device — integers by
+      construction), so grades with unequal usage weight correctly.
 
     One row ``(n_units, n_ratings, n_categories, alpha)``. Units with a
     single rating are excluded (no pairable information — the standard
     treatment); duplicate (unit, rater) rows collapse to their MIN
     value so the input grain is forgiving but deterministic.
 
-    Exactness: alpha = 1 - (n-1)*S / (L*(n^2 - sum_c n_c^2)) where
-    S = sum_u (L/(m_u-1)) * (m_u^2 - sum_c m_uc^2) — every per-unit
-    disagreement term is EXACTLY integer because L = 360360 =
+    Exactness (nominal): alpha = 1 - (n-1)*S / (L*(n^2 - sum_c n_c^2))
+    where S = sum_u (L/(m_u-1)) * (m_u^2 - sum_c m_uc^2) — every
+    per-unit disagreement term is EXACTLY integer because L = 360360 =
     lcm(1..15) absorbs the 1/(m_u-1) coincidence weights for up to 16
     ratings per unit; the sums ride decimal(38,0) (the correlation
     envelope) and the one double division happens last, so SQL replays
@@ -695,13 +712,29 @@ def krippendorff_alpha(
     populated) rather than silently approximate — re-bucket raters or
     extend L if you genuinely have 17+ ratings of one unit.
 
+    Exactness (interval/ordinal): the pairwise sum collapses by the
+    variance identity ``sum_{i!=j}(v_i - v_j)^2 = 2*(m*sum v^2 -
+    (sum v)^2)`` per unit and globally (the 2s cancel in the ratio),
+    so alpha = 1 - (n-1)*sum_u (L/(m_u-1))*(m_u*Q_u - T_u^2) /
+    (L*(n*Q - T^2)) with Q/T the (scaled-long) sum of squares / sum —
+    all integers on decimal(38,0), one double division last. Same
+    m_u <= 16 NULL contract.
+
     Scale design: two map-combinable aggregates (ratings -> per-unit
-    category counts -> per-unit terms), one O(categories) marginal
-    aggregate, one broadcast cross-join of three tiny frames. The
-    ratings table is never self-joined — the m_uc^2 identity replaces
-    the pairwise coincidence walk.
+    [category counts | moment sums] -> per-unit terms), one
+    O(categories) marginal aggregate, one broadcast cross-join of
+    tiny frames. The ratings table is never self-joined — the m_uc^2
+    / variance identities replace the pairwise coincidence walk; the
+    ordinal rank scores are an O(categories) cumulative sum joined
+    back by broadcast.
     """
+    if level not in ("nominal", "interval", "ordinal"):
+        raise ValueError(f"unknown level: {level!r}")
     L = 360360  # lcm(1..15): exact 1/(m_u - 1) weights through m_u = 16
+    if level != "nominal":
+        return _krippendorff_metric(
+            df, unit_col, rater_col, value_col, level=level, scale=scale, L=L
+        )
     r = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(
@@ -745,6 +778,113 @@ def krippendorff_alpha(
     )
     out = s.crossJoin(F.broadcast(totals))
     de = F.col("_n") * F.col("_n") - F.col("_nc2")
+    alpha = F.lit(1.0) - (
+        ((F.col("_n") - 1) * F.col("_S")).cast("double")
+        / (F.lit(L).cast("decimal(38,0)") * de).cast("double")
+    )
+    return out.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("_n").cast("long").alias("n_ratings"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(
+            F.when(
+                (F.col("_maxm") <= 16) & (de.cast("double") > 0), alpha
+            ),
+            6,
+        ).alias("alpha"),
+    )
+
+
+def _krippendorff_metric(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    value_col: str,
+    *,
+    level: str,
+    scale: int,
+    L: int,
+) -> DataFrame:
+    """Interval/ordinal Krippendorff core (see :func:`krippendorff_alpha`
+    for the contract). Both levels run the same exact-integer variance
+    identity; ordinal first replaces each rating with its doubled
+    marginal rank score ``d_c = 2*cum_c - n_c`` (computed over the
+    pairable panel's category marginals — an O(categories) cumulative
+    sum joined back by broadcast), which is Krippendorff's ordinal
+    metric up to the constant factor 4 that cancels in the ratio."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    v = F.col(value_col).cast("double")
+    r = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(unit_col).alias("_u"), F.col(rater_col).alias("_r"))
+        .agg(F.min(v).alias("_vd"))
+    )
+    per_u_m = r.groupBy("_u").agg(F.count(F.lit(1)).alias("_m"))
+    pairable = per_u_m.where(F.col("_m") >= 2).select("_u", "_m")
+    rp = r.join(F.broadcast(pairable.select("_u")), "_u", "left_semi")
+
+    if level == "interval":
+        scored = rp.select(
+            "_u",
+            F.round(F.col("_vd") * scale, 0).cast("long").alias("_s"),
+            F.col("_vd").alias("_cat"),
+        )
+    else:  # ordinal: doubled average-rank score per category
+        marg0 = rp.groupBy(F.col("_vd").alias("_c")).agg(
+            F.count(F.lit(1)).alias("_nc")
+        )
+        # O(categories) rows: the single-task window is tiny by the
+        # same argument as the nominal marginal aggregate
+        wcum = Window.orderBy("_c").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        scores = marg0.select(
+            "_c",
+            "_nc",
+            (2 * F.sum("_nc").over(wcum) - F.col("_nc"))
+            .cast("long")
+            .alias("_s"),
+        )
+        scored = rp.join(
+            F.broadcast(scores), rp["_vd"] == scores["_c"]
+        ).select("_u", "_s", F.col("_vd").alias("_cat"))
+
+    per_u = (
+        scored.groupBy("_u")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.sum("_s").cast("decimal(38,0)").alias("_t"),
+            F.sum(
+                F.col("_s").cast("decimal(19,0)")
+                * F.col("_s").cast("decimal(19,0)")
+            ).alias("_q"),
+        )
+    )
+    terms = per_u.select(
+        "_u",
+        "_m",
+        (
+            dec((F.lit(L) / (F.col("_m") - 1)).cast("long"))
+            * (dec(F.col("_m")) * F.col("_q") - F.col("_t") * F.col("_t"))
+        ).alias("_w"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_w").alias("_S"),
+        F.max("_m").alias("_maxm"),
+    )
+    totals = scored.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_s").cast("decimal(38,0)").alias("_T"),
+        F.sum(
+            F.col("_s").cast("decimal(19,0)")
+            * F.col("_s").cast("decimal(19,0)")
+        ).alias("_Q"),
+        F.countDistinct("_cat").alias("n_categories"),
+    )
+    out = s.crossJoin(F.broadcast(totals))
+    de = F.col("_n") * F.col("_Q") - F.col("_T") * F.col("_T")
     alpha = F.lit(1.0) - (
         ((F.col("_n") - 1) * F.col("_S")).cast("double")
         / (F.lit(L).cast("decimal(38,0)") * de).cast("double")

@@ -10761,77 +10761,74 @@ def q_mannwhitney(spark, sf_dir):
 # - The tail keeps oracled queries before rows-only ones so any window
 #   widening stays all-oracled.
 
-# Round-6 window (below): finishes driver verification of the entire
-# surface as of window freeze. The 16 r5-late-wave queries (the whole
-# r5 queue) plus the 4 newly-oracled multimodal kernels hash for the
-# first time — after this round every query registered at freeze time
-# (235) has at least one driver hash row — and 30 sentinel slots
-# re-prove the heaviest / most-recently-touched families. The six
-# operators written later in r6 sit in _NEXT_WINDOW_QUEUE below.
+# Round-7 window (below): the 7 r6-late-wave queries (the whole r6
+# queue) hash for the first time — after this round EVERY query ever
+# registered has at least one driver hash row (cumulative 235 -> 242).
+# Two of them (q_cusum, q_bh) also carry this round's fused
+# mixed-reducer running_agg rewrite and q_mannwhitney its degenerate-
+# panel nullif guard, so their slots double as change re-proofs. The
+# remaining slots re-prove (a) every query riding the refactored
+# prefix machinery (running_total/running_min are now running_agg
+# wrappers) and (b) heavy-family regression sentinels per the window
+# policy, plus first-hash slots for operators written this round.
 _GATE_WINDOW = [
-    # --- Round-6 window. The 16 r5-late-wave queries from the r5
-    # _NEXT_WINDOW_QUEUE take the first slots: after they hash, EVERY
-    # oracled query registered before this round has a driver hash row
-    # (cumulative 216 -> 231). Four of them (q_gini, q_bestthr,
-    # q_vocab_cov, q_centroid_sim) also carry this round's ADVICE
-    # fixes, and q_ks/q_bestthr/q_vocab_cov run the fused multi-column
-    # running_total — so their slots double as change re-proofs. ---
-    "q_qnorm",
-    "q_mase",
-    "q_corr",
-    "q_chi2",
-    "q_gini",
-    "q_robust",
-    "q_ngrams",
-    "q_min_k",
-    "q_emb_diversity",
-    "q_cluster_agree",
-    "q_vocab_cov",
+    # --- r6 queue: first driver hashing ---
+    "q_bh",
+    "q_split_leakage",
+    "q_krippendorff",
+    "q_cusum",
+    "q_spearman",
+    "q_fightin",
+    "q_mannwhitney",
+    # --- prefix-machinery re-proofs: these ride running_total /
+    # running_min, which were rewritten this round as running_agg
+    # wrappers (identical semantics, fused machinery) ---
     "q_ks",
-    "q_centroid_sim",
     "q_bestthr",
+    "q_vocab_cov",
     "q_gains",
-    "q_theils_u",
-    # --- newly-oracled this round: the 4 ex-rows-only multimodal
-    # kernels, now VALUES-literal pinned (first driver hashing —
-    # makes the oracled surface 235/235 and rows-only extinct) ---
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_audio",
-    # --- heavy-family / recently-touched regression sentinels (all
-    # hashed in r01-r05; re-proving the families whose plans, oracles
-    # or inputs moved most recently) ---
+    "q_auc",
+    "q_ppl_buckets",
+    "q_percentiles",
+    "q_equi_depth",
+    "q_weighted_pct",
+    "q_train_order",
+    "q_pack",
+    "q_quality_ensemble",
+    "q_rfm",
+    # --- heavy-family regression sentinels (window-policy picks:
+    # dedup end-to-end, semantic both paths, k-means, TPC-H Q1,
+    # graph rounds, LM scoring, similarity, funnel watch item) ---
+    "dedup_minhash",
+    "dedup_exact",
+    "dedup_simhash",
+    "q_dedup_weights",
     "q_semantic_auto",
     "q_semantic_keep_lsh",
     "q_semantic_dedup",
     "q_kmeans",
-    "q_rfm",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_exact",
-    "q_percentiles",
-    "q_approx_pct",
+    "q1_pricing",
+    "q_funnel_window",
     "q_lm_ppl",
+    "q_min_k",
     "q_pagerank",
     "q_kcore",
-    "q_cluster_hist",
-    "q_adamic",
-    "q1_pricing",
+    "sim_topk",
+    "q_centroid_sim",
     "q_containment",
     "q_jsd",
-    "q_heaps",
-    "q_novelty",
-    "q_auc",
-    "q_funnel_window",
     "q_asof",
     "q_sessionize",
-    "sim_topk",
-    "q_dedup_weights",
     "q_ewma",
     "q_benford",
     "q_survival",
     "q_emb_drift",
+    "q_approx_pct",
+    "multimodal_features",
+    "multimodal_audio",
+    "q_qnorm",
+    "q_corr",
+    "q_gini",
 ]
 
 
@@ -10841,25 +10838,13 @@ _GATE_WINDOW = [
 #: neither a CORRECTNESS file, the window, nor this queue). Promote
 #: these first when rotating the next window.
 #:
-#: r6 rotation plan: these 16 r5-late-wave queries take the first
-#: slots; the remaining ~35 re-prove (a) anything whose implementation
-#: or oracle changes in r6 and (b) heavy-family regression sentinels
-#: (semantic dedup both paths, k-means, minhash end-to-end, LM
-#: scoring, percentiles, graph rounds, TPC-H Q1) — after r5 every
-#: pre-queue oracle has a driver hash row, so sentinel re-proving is
-#: the only other use of window space.
-_NEXT_WINDOW_QUEUE: list[str] = [
-    # oracles added after this round's window froze (first driver
-    # hashing in the r7 rotation); everything else is already
-    # driver-hashed (r01-r05) or in this round's window.
-    "q_bh",
-    "q_split_leakage",
-    "q_krippendorff",
-    "q_cusum",
-    "q_spearman",
-    "q_fightin",
-    "q_mannwhitney",
-]
+#: r7 rotation plan: the 7 r6-queue queries take the first slots
+#: (finishing driver verification of every query ever registered);
+#: 13 slots re-prove the fused running_agg refactor's riders; 30 are
+#: heavy-family sentinels. Operators written during r7 REPLACE
+#: sentinel slots as they land (sentinels are re-proofs, first-hash
+#: evidence outranks them); any overflow goes here.
+_NEXT_WINDOW_QUEUE: list[str] = []
 
 
 def _reorder_registry() -> None:
