@@ -10525,6 +10525,165 @@ def q_krippendorff(spark, sf_dir):
     return krippendorff_alpha(panel, "unit", "rater", "event_type")
 
 
+def _krippendorff_numeric_panel(spark, sf_dir):
+    """Shared numeric annotation panel for the interval/ordinal alpha
+    queries: unit = event-id bucket, rater = user-id bucket, rating =
+    the event value (quantized per query)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.where(
+        F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("event_id") % 50).alias("unit"),
+        (F.col("user_id") % 7).alias("rater"),
+        F.col("value"),
+    )
+
+
+@query(
+    "q_krippendorff_interval",
+    """
+    WITH r AS (
+      SELECT event_id % 50 AS u, user_id % 7 AS rt,
+             min(round(value, 2)) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    sv AS (SELECT u, CAST(round(v * 1000000) AS BIGINT) AS s, v FROM r),
+    pm AS (SELECT u FROM sv GROUP BY u HAVING count(*) >= 2),
+    sp AS (SELECT sv.* FROM sv JOIN pm USING (u)),
+    pu AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(s) AS HUGEINT) AS t,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS q
+      FROM sp GROUP BY 1
+    ),
+    terms AS (
+      SELECT u, m,
+             CAST(360360 // (m - 1) AS HUGEINT) * (m * q - t * t) AS w
+      FROM pu
+    ),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_units, sum(w) AS st,
+                   max(m) AS maxm
+            FROM terms),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(s) AS HUGEINT) AS tt,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS qq,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_categories
+      FROM sp
+    )
+    SELECT n_units, CAST(n AS BIGINT) AS n_ratings, n_categories,
+           round(CASE WHEN maxm <= 16
+                       AND CAST(n * qq - tt * tt AS DOUBLE) > 0 THEN
+             1.0 - CAST((n - 1) * st AS DOUBLE)
+                   / CAST(360360 * (n * qq - tt * tt) AS DOUBLE) END, 6)
+             AS alpha
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q_krippendorff_interval(spark, sf_dir):
+    """Interval-level Krippendorff's alpha (operators/classify.py:
+    krippendorff_alpha level='interval') over a numeric annotation
+    panel (unit = event-id bucket, rater = user-id bucket, rating =
+    2-dp event value): squared-distance disagreement, so a 1-vs-2
+    rating split costs 1/16th of 1-vs-5 instead of the same. The
+    pairwise sum collapses via the variance identity to scaled-long
+    moments; the lcm(1..15) device keeps 1/(m_u-1) weights integer;
+    one double division last — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        krippendorff_alpha,
+    )
+
+    panel = _krippendorff_numeric_panel(spark, sf_dir).withColumn(
+        "rating", F.round(F.col("value"), 2)
+    )
+    return krippendorff_alpha(
+        panel, "unit", "rater", "rating", level="interval"
+    )
+
+
+@query(
+    "q_krippendorff_ordinal",
+    """
+    WITH r AS (
+      SELECT event_id % 50 AS u, user_id % 7 AS rt,
+             min(1 + least(4, CAST(floor(value / 100) AS BIGINT))) AS g
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pm AS (SELECT u FROM r GROUP BY u HAVING count(*) >= 2),
+    rp AS (SELECT r.* FROM r JOIN pm USING (u)),
+    marg AS (SELECT g, CAST(count(*) AS BIGINT) AS nc FROM rp GROUP BY 1),
+    sc AS (
+      SELECT g,
+             2 * CAST(sum(nc) OVER (ORDER BY g) AS BIGINT) - nc AS s
+      FROM marg
+    ),
+    sp AS (SELECT rp.u, sc.s, rp.g FROM rp JOIN sc USING (g)),
+    pu AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(s) AS HUGEINT) AS t,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS q
+      FROM sp GROUP BY 1
+    ),
+    terms AS (
+      SELECT u, m,
+             CAST(360360 // (m - 1) AS HUGEINT) * (m * q - t * t) AS w
+      FROM pu
+    ),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_units, sum(w) AS st,
+                   max(m) AS maxm
+            FROM terms),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(s) AS HUGEINT) AS tt,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS qq,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_categories
+      FROM sp
+    )
+    SELECT n_units, CAST(n AS BIGINT) AS n_ratings, n_categories,
+           round(CASE WHEN maxm <= 16
+                       AND CAST(n * qq - tt * tt AS DOUBLE) > 0 THEN
+             1.0 - CAST((n - 1) * st AS DOUBLE)
+                   / CAST(360360 * (n * qq - tt * tt) AS DOUBLE) END, 6)
+             AS alpha
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q_krippendorff_ordinal(spark, sf_dir):
+    """Ordinal-level Krippendorff's alpha (operators/classify.py:
+    krippendorff_alpha level='ordinal') over a 5-point grade panel
+    (grade = 1 + min(4, floor(value/100))): disagreement weighted by
+    the rank mass between the two grades per Krippendorff — exactly
+    the interval metric over doubled marginal rank scores d_c =
+    2*cum_c - n_c (integers by construction, an O(categories)
+    cumulative sum joined back by broadcast). Same lcm + variance-
+    identity exactness as q_krippendorff_interval — replayed exactly
+    in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        krippendorff_alpha,
+    )
+
+    panel = _krippendorff_numeric_panel(spark, sf_dir).withColumn(
+        "grade",
+        (
+            1
+            + F.least(
+                F.lit(4), F.floor(F.col("value") / 100).cast("long")
+            )
+        ).cast("long"),
+    )
+    return krippendorff_alpha(
+        panel, "unit", "rater", "grade", level="ordinal"
+    )
+
+
 @query(
     "q_cusum",
     """
@@ -10826,8 +10985,9 @@ _GATE_WINDOW = [
     "q_approx_pct",
     "multimodal_features",
     "multimodal_audio",
-    "q_qnorm",
-    "q_corr",
+    # --- written this round: first driver hashing ---
+    "q_krippendorff_interval",
+    "q_krippendorff_ordinal",
     "q_gini",
 ]
 

@@ -397,3 +397,95 @@ def test_krippendorff_alpha_edges(spark):
     df = spark.createDataFrame(big, "unit string, rater string, label string")
     r = krippendorff_alpha(df, "unit", "rater", "label").collect()[0]
     assert r["n_ratings"] == 17 and r["alpha"] is None
+
+
+def _ref_krippendorff(ratings, level):
+    """Pure-Python textbook coincidence form (independent of the Spark
+    implementation): D_o from within-unit pairs with 1/(m_u-1)
+    weights, D_e from the marginals, ordinal scores = cumulative
+    marginal minus half own count."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    units = defaultdict(list)
+    for u, v in ratings:
+        units[u].append(v)
+    units = {u: vs for u, vs in units.items() if len(vs) >= 2}
+    allv = [v for vs in units.values() for v in vs]
+    n = len(allv)
+    cats = sorted(set(allv))
+    nc = {c: allv.count(c) for c in cats}
+    if level == "interval":
+        delta = lambda a, b: (a - b) ** 2  # noqa: E731
+    else:  # ordinal
+        cum, t = {}, 0
+        for c in cats:
+            t += nc[c]
+            cum[c] = t
+        s = {c: cum[c] - nc[c] / 2.0 for c in cats}
+        delta = lambda a, b: (s[a] - s[b]) ** 2  # noqa: E731
+    d_o = 0.0
+    for vs in units.values():
+        m = len(vs)
+        d_o += sum(delta(a, b) for a, b in combinations(vs, 2)) * 2 / (m - 1)
+    d_o /= n
+    d_e = sum(
+        nc[a] * nc[b] * delta(a, b) for a in cats for b in cats
+    ) / (n * (n - 1))
+    return 1 - d_o / d_e
+
+
+def test_krippendorff_interval_and_ordinal_vs_reference(spark):
+    """Interval/ordinal alpha equals the independent pure-Python
+    coincidence-matrix computation (missing data, ties, an excluded
+    single-rating unit), and the levels order as the metric implies
+    on this panel. Also: interval alpha is scale-invariant over the
+    quantization grid, and perfect agreement gives 1.0 at both
+    levels."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        krippendorff_alpha,
+    )
+
+    panel = (
+        [("u1", "a", 1.0), ("u1", "b", 1.0), ("u1", "c", 2.0)]
+        + [("u2", "a", 2.0), ("u2", "b", 3.0)]
+        + [("u3", "a", 3.0), ("u3", "b", 3.0), ("u3", "c", 3.0)]
+        + [("u4", "a", 4.0), ("u4", "b", 5.0), ("u4", "c", 4.0)]
+        + [("u5", "a", 1.0), ("u5", "c", 5.0)]
+        + [("u6", "a", 2.0)]  # single rating: excluded
+    )
+    df = spark.createDataFrame(panel, "u string, r string, v double")
+    pairs = [(u, v) for u, _r, v in panel]
+    for level in ("interval", "ordinal"):
+        got = krippendorff_alpha(df, "u", "r", "v", level=level).collect()[0]
+        assert got["n_units"] == 5 and got["n_ratings"] == 13
+        assert got["n_categories"] == 5
+        assert got["alpha"] == round(_ref_krippendorff(pairs, level), 6)
+
+    perfect = spark.createDataFrame(
+        [("u1", "r1", 2.0), ("u1", "r2", 2.0), ("u2", "r1", 7.0), ("u2", "r2", 7.0)],
+        "u string, r string, v double",
+    )
+    for level in ("interval", "ordinal"):
+        assert (
+            krippendorff_alpha(perfect, "u", "r", "v", level=level)
+            .collect()[0]["alpha"]
+            == 1.0
+        )
+
+    # constant ratings: zero expected disagreement -> NULL, both levels
+    const = spark.createDataFrame(
+        [("u1", "r1", 3.0), ("u1", "r2", 3.0)], "u string, r string, v double"
+    )
+    for level in ("interval", "ordinal"):
+        assert (
+            krippendorff_alpha(const, "u", "r", "v", level=level)
+            .collect()[0]["alpha"]
+            is None
+        )
+
+    # unknown level is an explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        krippendorff_alpha(df, "u", "r", "v", level="ratio")
