@@ -10733,6 +10733,79 @@ def q_cusum(spark, sf_dir):
 
 
 @query(
+    "q_stl",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    ph AS (SELECT *, day_idx % 7 AS phase FROM daily),
+    seas AS (
+      SELECT phase, median(CAST(n AS DOUBLE)) AS seasonal
+      FROM ph GROUP BY 1
+    ),
+    d AS (
+      SELECT ph.*, seas.seasonal,
+             CAST(ph.n AS DOUBLE) - seas.seasonal AS dd
+      FROM ph JOIN seas USING (phase)
+    ),
+    lev AS (SELECT median(dd) AS level FROM d),
+    r AS (
+      SELECT d.*, lev.level, d.dd - lev.level AS rr
+      FROM d CROSS JOIN lev
+    ),
+    mad AS (SELECT median(abs(rr)) AS m FROM r)
+    SELECT day_idx, n, phase,
+           round(seasonal, 6) AS seasonal,
+           round(level, 6) AS level,
+           round(rr, 6) AS residual,
+           round(rr / nullif(1.4826 * m, 0.0), 6) AS robust_z,
+           abs(rr) > 3.5 * 1.4826 * m AS anomaly
+    FROM r CROSS JOIN mad
+    """,
+)
+def q_stl(spark, sf_dir):
+    """STL-lite robust seasonal decomposition (operators/behavior.py:
+    seasonal_decompose) of daily event volume with a weekly period —
+    the seasonality-aware anomaly probe that complements q_cusum's
+    mean-shift chart (a Sunday-sized dip on a Tuesday flags; the same
+    dip on a Sunday doesn't). Phase medians, the deseasonalized level
+    and the residual MAD are exact interpolated percentiles (the
+    q_robust parity device); the z and every flag are fixed-shape
+    double expressions — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        seasonal_decompose,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = seasonal_decompose(daily, "day_idx", "n", period=7)
+    return out.select(
+        "day_idx",
+        "n",
+        "phase",
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("level", 6).alias("level"),
+        "residual",
+        "robust_z",
+        "anomaly",
+    )
+
+
+@query(
     "q_spearman",
     """
     WITH base AS (
@@ -10988,7 +11061,7 @@ _GATE_WINDOW = [
     # --- written this round: first driver hashing ---
     "q_krippendorff_interval",
     "q_krippendorff_ordinal",
-    "q_gini",
+    "q_stl",
 ]
 
 

@@ -739,3 +739,51 @@ def test_cusum_slack_suppresses_small_drift(spark):
     )
     out = cusum(df, ["t"], "v", target=10.0, slack=0.5).collect()
     assert all(r["cusum"] == 0.0 for r in out)
+
+
+def test_seasonal_decompose_flags_out_of_phase_spike(spark):
+    """Alternating 10/20 series with one 100 spike: phase medians stay
+    10/20 (robust), the deseasonalized series is zero except the
+    spike, MAD is 0, so ONLY the spike flags (zero-MAD limit: any
+    nonzero residual anomalous, robust_z NULL)."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        seasonal_decompose,
+    )
+
+    vals = [10.0, 20.0] * 5
+    vals[6] = 100.0
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, v double"
+    )
+    out = {
+        r["idx"]: r
+        for r in seasonal_decompose(df, "idx", "v", period=2).collect()
+    }
+    assert out[0]["seasonal"] == 10.0 and out[1]["seasonal"] == 20.0
+    assert out[6]["residual"] == 90.0 and out[6]["anomaly"]
+    for i in set(range(10)) - {6}:
+        assert out[i]["residual"] == 0.0 and not out[i]["anomaly"]
+        assert out[i]["robust_z"] is None  # zero MAD
+
+
+def test_seasonal_decompose_robust_z_hand_computed(spark):
+    """Noisy two-phase series: medians 12/22, residuals +-2/0, MAD=2,
+    z = r / (1.4826 * 2); nothing crosses the 3.5-sigma bar."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        seasonal_decompose,
+    )
+
+    vals = [10.0, 20.0, 12.0, 22.0, 14.0, 24.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, v double"
+    )
+    out = {
+        r["idx"]: r
+        for r in seasonal_decompose(df, "idx", "v", period=2).collect()
+    }
+    assert out[0]["seasonal"] == 12.0 and out[1]["seasonal"] == 22.0
+    assert out[0]["level"] == 0.0
+    for i, exp_r in [(0, -2.0), (2, 0.0), (4, 2.0)]:
+        assert out[i]["residual"] == exp_r
+        assert out[i]["robust_z"] == round(exp_r / (1.4826 * 2.0), 6)
+        assert not out[i]["anomaly"]
