@@ -65,6 +65,24 @@ def _load_properties(path: str) -> dict[str, str]:
     return out
 
 
+#: Spark connector options that legitimately CONTAIN dots — without
+#: this allowlist the dotted-keys-are-client-configs rule would give
+#: them a ``kafka.`` prefix and the connector would silently drop them
+#: as unknown client configs.
+_DOTTED_CONNECTOR_OPTIONS = frozenset(
+    {
+        "fetchOffset.numRetries",
+        "fetchOffset.retryIntervalMs",
+        "kafkaConsumer.pollTimeoutMs",
+    }
+)
+
+#: Kafka CLIENT configs that are dot-free — without this allowlist the
+#: dot-free-keys-are-connector-options rule would pass them un-prefixed
+#: and the Spark source/sink would silently ignore them.
+_DOTFREE_CLIENT_CONFIGS = frozenset({"acks", "retries"})
+
+
 def _kafka_options(props: dict[str, str]) -> dict[str, str]:
     """Map reference-style .properties entries to Spark Kafka
     DataSource options.
@@ -77,14 +95,27 @@ def _kafka_options(props: dict[str, str]) -> dict[str, str]:
     UN-prefixed client config is silently ignored by the connector.
     Rule: ``bootstrap.servers`` / ``schema.registry.url`` are consumed
     by the CLI itself; keys already ``kafka.``-prefixed pass through
-    untouched; other dotted keys are java-client configs and gain the
-    ``kafka.`` prefix; dot-free keys (``maxOffsetsPerTrigger``,
-    ``minPartitions``, ...) are connector options and pass as-is."""
+    untouched; the known DOTTED connector options
+    (``fetchOffset.*``, ``kafkaConsumer.pollTimeoutMs``) pass as-is;
+    the known dot-free CLIENT configs (``acks``, ``retries``) gain the
+    ``kafka.`` prefix; other dotted keys are java-client configs and
+    gain the ``kafka.`` prefix; other dot-free keys
+    (``maxOffsetsPerTrigger``, ``minPartitions``, ...) are connector
+    options and pass as-is. A key this table can't classify the way
+    you meant can always be written with an explicit ``kafka.``
+    prefix (client config) or its exact connector spelling — both
+    pass through verbatim."""
     out: dict[str, str] = {}
     for k, v in props.items():
         if k in ("bootstrap.servers", "schema.registry.url"):
             continue
-        if k.startswith("kafka.") or "." not in k:
+        if k in _DOTFREE_CLIENT_CONFIGS:
+            out[f"kafka.{k}"] = v
+        elif (
+            k.startswith("kafka.")
+            or k in _DOTTED_CONNECTOR_OPTIONS
+            or "." not in k
+        ):
             out[k] = v
         else:
             out[f"kafka.{k}"] = v
@@ -106,6 +137,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-D", "--dry-run", action="store_true", help="verify then exit without streaming")
     ap.add_argument("--brokers", default=None, help="override bootstrap servers")
     ap.add_argument("--checkpoint", default="/tmp/ksps-checkpoint")
+    ap.add_argument(
+        "--starting-offsets",
+        default="earliest",
+        help="Kafka startingOffsets (earliest/latest/JSON) — a "
+        ".properties entry of that name is rejected, this flag owns it",
+    )
     ap.add_argument("--confluent-framing", action="store_true")
     ap.add_argument(
         "--schema-registry",
@@ -152,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
         output_key=ok,
         output_value=ov,
         checkpoint=args.checkpoint,
+        starting_offsets=args.starting_offsets,
         confluent_framing=args.confluent_framing,
         fixtures=fixtures,
         expectations=expectations,

@@ -1246,6 +1246,18 @@ def q_session_window(spark, sf_dir):
     # DuckDB replays the expected VALUES instead of the numpy kernel
     # (which has no SQL analog). Regenerate via the query itself if
     # the kernel or the test corpus changes.
+    #
+    # PROVENANCE (ADVICE r6): these constants were originally pinned
+    # from the implementation's own sf0.01 output — by itself that
+    # detects DRIFT, not a kernel that was wrong when pinned. Bucket 0
+    # is therefore ALSO rederived from an independent pure-Python
+    # reimplementation (hashlib + struct + per-pixel loops, no numpy,
+    # no Spark) in tests/test_multimodal.py::
+    # test_features_pinned_oracle_bucket0_independent_rederivation,
+    # anchoring the pin to a second implementation. The resize/frames/
+    # audio oracles below remain self-generated drift detectors (their
+    # kernels' array outputs are additionally hand-asserted in
+    # tests/test_multimodal.py).
     """
     SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n, CAST(sum_w AS BIGINT) AS sum_w, CAST(sum_h AS BIGINT) AS sum_h, CAST(emb_sum_scaled AS BIGINT) AS emb_sum_scaled
     FROM (VALUES

@@ -19,6 +19,31 @@ from pyspark.sql import functions as F
 from kafka_streams_plumber_spark.sources.serde import WireType, decode, encode
 
 
+#: Option names owned by the function parameters (the CLI's -i/-o/
+#: --checkpoint flags). A pass-through map may NOT carry them: the
+#: overlay runs last, so a stray .properties entry named ``subscribe``
+#: or ``topic`` would silently re-route the pipeline — and the same
+#: options dict is applied to both source and sink, so a sink-legal
+#: key could hijack the source. Reject loudly instead.
+_RESERVED_SOURCE_OPTIONS = frozenset(
+    {"subscribe", "assign", "subscribePattern", "startingOffsets"}
+)
+_RESERVED_SINK_OPTIONS = frozenset({"topic", "checkpointLocation"})
+
+
+def _reject_reserved(
+    options: dict[str, str] | None, reserved: frozenset, where: str
+) -> dict[str, str]:
+    bad = sorted(reserved & set(options or {}))
+    if bad:
+        raise ValueError(
+            f"reserved Kafka {where} option(s) {bad} may not be set via "
+            "the pass-through map — use the dedicated CLI flag / "
+            "function parameter (-i/-o/--checkpoint, starting_offsets)"
+        )
+    return dict(options or {})
+
+
 def kafka_source_options(
     *,
     brokers: str,
@@ -30,13 +55,15 @@ def kafka_source_options(
     DataSource — pure and broker-free, so the ``-i`` topic wiring is
     assertable (dry-run, pytest) without the connector jar or a
     broker. Extra ``options`` overlay the defaults last, matching the
-    reader's .option() ordering."""
+    reader's .option() ordering; topic-routing names (``subscribe``,
+    ``assign``, ``subscribePattern``, ``startingOffsets``) are
+    rejected there — they belong to the function parameters."""
     out = {
         "kafka.bootstrap.servers": brokers,
         "subscribe": topic,
         "startingOffsets": starting_offsets,
     }
-    out.update(options or {})
+    out.update(_reject_reserved(options, _RESERVED_SOURCE_OPTIONS, "source"))
     return out
 
 
@@ -48,13 +75,15 @@ def kafka_sink_options(
     options: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """The exact option map :func:`kafka_sink` hands the Kafka sink —
-    the ``-o`` half of :func:`kafka_source_options`'s contract."""
+    the ``-o`` half of :func:`kafka_source_options`'s contract.
+    ``topic`` / ``checkpointLocation`` in the pass-through map are
+    rejected — they belong to the function parameters."""
     out = {
         "kafka.bootstrap.servers": brokers,
         "topic": topic,
         "checkpointLocation": checkpoint,
     }
-    out.update(options or {})
+    out.update(_reject_reserved(options, _RESERVED_SINK_OPTIONS, "sink"))
     return out
 
 

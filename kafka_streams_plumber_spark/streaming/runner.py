@@ -41,6 +41,10 @@ class PlumberJob:
     output_key: WireType
     output_value: WireType
     checkpoint: str = "/tmp/ksps-checkpoint"
+    #: Kafka startingOffsets (earliest/latest/JSON) — a field, not a
+    #: kafka_options entry: the option builders reject the raw name so
+    #: a .properties line can't silently re-route the source.
+    starting_offsets: str = "earliest"
     confluent_framing: bool = False
     fixtures: list[tuple[Any, Any]] = field(default_factory=list)
     expectations: list[tuple[Any, Any]] = field(default_factory=list)
@@ -174,6 +178,7 @@ class PlumberJob:
                 "options": kafka_source_options(
                     brokers=self.brokers,
                     topic=self.source_topic,
+                    starting_offsets=self.starting_offsets,
                     options=self.kafka_options,
                 ),
             }
@@ -209,6 +214,7 @@ class PlumberJob:
                 key_type=self.input_key,
                 value_type=self.input_value,
                 confluent_framing=self.confluent_framing,
+                starting_offsets=self.starting_offsets,
                 options=self.kafka_options,
                 registry=self.registry,
             )

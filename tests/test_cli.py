@@ -281,7 +281,14 @@ def test_dry_run_builds_kafka_plan_spec(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(PlumberJob, "run", capture_run)
     rc = main(
         _argv(tmp_path, _write(tmp_path, "t_ok2.py", TEST_OK))
-        + ["-p", props, "--checkpoint", str(tmp_path / "ckpt")]
+        + [
+            "-p",
+            props,
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--starting-offsets",
+            "latest",
+        ]
     )
     assert rc == 0
     spec = captured["spec"]
@@ -292,10 +299,91 @@ def test_dry_run_builds_kafka_plan_spec(spark, tmp_path, monkeypatch):
     assert src["options"]["kafka.security.protocol"] == "SASL_SSL"
     assert src["options"]["kafka.fetch.min.bytes"] == "1024"
     assert src["options"]["maxOffsetsPerTrigger"] == "5000"
-    assert src["options"]["startingOffsets"] == "earliest"
+    assert src["options"]["startingOffsets"] == "latest"
     snk = spec["sink"]
     assert snk["format"] == "kafka"
     assert snk["options"]["topic"] == "out"
     assert snk["options"]["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
     assert snk["options"]["checkpointLocation"] == str(tmp_path / "ckpt")
     assert spec["key_in"] == "string" and spec["value_out"] == "string"
+
+
+def test_kafka_options_allowlists():
+    """ADVICE r6: dotted CONNECTOR options must pass un-prefixed and
+    dot-free CLIENT configs must gain the kafka. prefix — the naive
+    dotted/dot-free rule routes both wrong and the connector silently
+    drops them. Explicit kafka.-prefixed keys always pass through."""
+    from kafka_streams_plumber_spark.cli import _kafka_options
+
+    out = _kafka_options(
+        {
+            "bootstrap.servers": "b:9092",        # consumed by the CLI
+            "fetchOffset.numRetries": "5",        # dotted connector opt
+            "fetchOffset.retryIntervalMs": "100", # dotted connector opt
+            "kafkaConsumer.pollTimeoutMs": "800", # dotted connector opt
+            "acks": "all",                        # dot-free client config
+            "retries": "3",                       # dot-free client config
+            "security.protocol": "SASL_SSL",      # dotted client config
+            "maxOffsetsPerTrigger": "5000",       # dot-free connector opt
+            "kafka.linger.ms": "7",               # explicit prefix
+        }
+    )
+    assert out == {
+        "fetchOffset.numRetries": "5",
+        "fetchOffset.retryIntervalMs": "100",
+        "kafkaConsumer.pollTimeoutMs": "800",
+        "kafka.acks": "all",
+        "kafka.retries": "3",
+        "kafka.security.protocol": "SASL_SSL",
+        "maxOffsetsPerTrigger": "5000",
+        "kafka.linger.ms": "7",
+    }
+
+
+def test_kafka_reserved_options_rejected():
+    """ADVICE r6: a .properties entry named subscribe/topic/
+    startingOffsets/checkpointLocation would silently override the
+    -i/-o/--checkpoint flags (the overlay runs last, and one options
+    dict feeds both source and sink) — the option builders must
+    reject reserved names loudly."""
+    import pytest
+
+    from kafka_streams_plumber_spark.sources.kafka import (
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    with pytest.raises(ValueError, match="subscribe"):
+        kafka_source_options(
+            brokers="b:9092", topic="in", options={"subscribe": "evil"}
+        )
+    with pytest.raises(ValueError, match="startingOffsets"):
+        kafka_source_options(
+            brokers="b:9092", topic="in", options={"startingOffsets": "latest"}
+        )
+    with pytest.raises(ValueError, match="topic"):
+        kafka_sink_options(
+            brokers="b:9092",
+            topic="out",
+            checkpoint="/tmp/c",
+            options={"topic": "evil"},
+        )
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        kafka_sink_options(
+            brokers="b:9092",
+            topic="out",
+            checkpoint="/tmp/c",
+            options={"checkpointLocation": "/evil"},
+        )
+    # non-reserved keys still overlay fine on both
+    src = kafka_source_options(
+        brokers="b:9092", topic="in", options={"maxOffsetsPerTrigger": "10"}
+    )
+    assert src["maxOffsetsPerTrigger"] == "10" and src["subscribe"] == "in"
+    snk = kafka_sink_options(
+        brokers="b:9092",
+        topic="out",
+        checkpoint="/tmp/c",
+        options={"kafka.linger.ms": "7"},
+    )
+    assert snk["kafka.linger.ms"] == "7" and snk["topic"] == "out"

@@ -932,3 +932,69 @@ def test_probe_media_all_formats(spark):
     assert got[2]["codec"] == "sof0"
     assert (got[4]["sample_rate"], got[4]["duration_ms"]) == (16000, 500)
     assert (got[5]["duration_ms"], got[5]["codec"]) == (1000, "avc1")
+
+
+def test_features_pinned_oracle_bucket0_independent_rederivation():
+    """ADVICE r6: the multimodal VALUES-literal oracles were pinned
+    from the implementation's own sf0.01 output, which can only detect
+    DRIFT. This rederives bucket 0 of multimodal_features' pinned
+    constants from an INDEPENDENT pure-Python reimplementation —
+    hashlib + struct + per-pixel loops, no numpy, no Spark, reading
+    the parquet via pyarrow — so the pinned row is now anchored to a
+    second implementation of the buffer construction AND the
+    grid-pool/L2 kernel, not just to itself."""
+    import hashlib
+    import os
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 test data not present")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    rows = zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    n = sw = sh = checksum = 0
+    for doc_id, text in rows:
+        if doc_id % 8 != 0:
+            continue
+        w, h = doc_id % 16 + 8, doc_id % 12 + 8
+        buf = (
+            (hashlib.md5(text.encode("utf-8")).hexdigest() * 68)[: w * h * 3]
+        ).encode("utf-8")
+        assert len(buf) == w * h * 3
+        g = 4  # round(sqrt(embedding_dim=16))
+        sums, cnts = [0.0] * 16, [0] * 16
+        for y in range(h):
+            cy = min((y * g) // h, g - 1)
+            for x in range(w):
+                cx = min((x * g) // w, g - 1)
+                b = (y * w + x) * 3
+                cell = cy * g + cx
+                sums[cell] += (buf[b] + buf[b + 1] + buf[b + 2]) / 3.0
+                cnts[cell] += 1
+        v = [sums[i] / max(cnts[i], 1) for i in range(16)]
+        nrm = sum(x * x for x in v) ** 0.5
+        if nrm > 0:
+            v = [x / nrm for x in v]
+        acc = 0.0
+        for x in v:
+            acc += f32(x)  # the kernel stores float32; Spark sums doubles
+        r6 = float(
+            Decimal(repr(acc)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        checksum += int(
+            Decimal(repr(r6 * 1000000)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        n, sw, sh = n + 1, sw + w, sh + h
+    # the pinned VALUES row for bucket 0 in queries.py:multimodal_features
+    assert (n, sw, sh, checksum) == (63, 752, 756, 251707228)
