@@ -900,3 +900,182 @@ def _krippendorff_metric(
             6,
         ).alias("alpha"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    value_col: str,
+    *,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa — multi-rater chance-corrected agreement for the
+    FIXED-PANEL design (every unit rated by exactly ``n_raters``
+    raters), the form most annotation-vendor SLAs quote. Use
+    :func:`krippendorff_alpha` when ratings are missing or the rater
+    count varies; on a complete panel the two give close but not
+    identical values (kappa's chance model draws raters with
+    replacement), so reporting both is the standard audit. Units with
+    a rating count other than ``n_raters`` are EXCLUDED (the Fleiss
+    model is undefined for them); duplicate (unit, rater) rows
+    collapse to their MIN value.
+
+    One row ``(n_units, n_raters, n_categories, kappa)``; kappa NULL
+    when every rating is one category (chance agreement 1).
+
+    Exactness: with S = sum_u (sum_c m_uc^2 - n) and C_c the category
+    marginals, kappa = (N*n*S - (n-1)*sum C^2) /
+    ((n-1)*((N*n)^2 - sum C^2)) — the (P_bar - P_e)/(1 - P_e) form
+    multiplied through by (N*n)^2*(n-1), ALL exact integers on
+    decimal(38,0); one double division last, so SQL replays
+    bit-for-bit.
+
+    Scale design: two map-combinable aggregates (ratings -> per-unit
+    category counts -> per-unit terms), one O(categories) marginal
+    aggregate, broadcast cross-joins of single-row frames — the
+    ratings table is never self-joined.
+    """
+    assert n_raters >= 2
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    r = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("_u"), F.col(rater_col).alias("_r"))
+        .agg(F.min(F.col(value_col).cast("string")).alias("_v"))
+    )
+    per_uc = r.groupBy("_u", "_v").agg(F.count(F.lit(1)).alias("_muc"))
+    per_u = (
+        per_uc.groupBy("_u")
+        .agg(
+            F.sum("_muc").alias("_m"),
+            F.sum(F.col("_muc") * F.col("_muc")).alias("_s2"),
+        )
+        .where(F.col("_m") == n_raters)
+    )
+    s = per_u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_N"),
+        F.coalesce(
+            F.sum(F.col("_s2") - F.lit(n_raters)).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_S"),
+    )
+    marg = (
+        per_uc.join(per_u.select("_u"), "_u", "left_semi")
+        .groupBy("_v")
+        .agg(F.sum("_muc").alias("_nc"))
+    )
+    totals = marg.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.coalesce(
+            F.sum(
+                F.col("_nc").cast("decimal(19,0)")
+                * F.col("_nc").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_c2"),
+    )
+    out = s.crossJoin(F.broadcast(totals))
+    n = F.lit(n_raters).cast("decimal(38,0)")
+    nn = F.col("_N") * n  # total ratings
+    num = F.col("_N") * n * F.col("_S") - (n - 1) * F.col("_c2")
+    den = (n - 1) * (nn * nn - F.col("_c2"))
+    return out.select(
+        F.col("_N").cast("long").alias("n_units"),
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), 6
+        ).alias("kappa"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    value_col: str,
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    multi-item numeric instrument (k rubric dimensions scoring the
+    same documents, k judge prompts scoring the same responses):
+    "do the items move together enough to justify summing them into
+    one quality score". alpha >= 0.7 is the conventional bar; a LOW
+    alpha says the composite hides disagreeing signals (report them
+    separately), and alpha ~ 1 says the items are redundant.
+
+    ``item_col`` values define the instrument; only units scored on
+    EVERY item enter (listwise deletion — the standard treatment).
+    Duplicate (unit, item) rows collapse to their MIN value.
+
+    One row ``(n_units, n_items, alpha)``: alpha = k/(k-1) * (1 -
+    sum_i var_i / var_total). NULL when k < 2, N < 2, or the unit
+    totals are constant.
+
+    Exactness: scores are scaled longs; with population-form integer
+    variance kernels V_i = N*Q_i - T_i^2 (per item) and V_y = N*Q_y -
+    T_y^2 (unit totals) — the 1/N^2 and sample/population factors
+    cancel in the ratio — alpha = k*(V_y - sum V_i) / ((k-1)*V_y),
+    exact integers on decimal(38,0), one double division. SQL replays
+    bit-for-bit.
+
+    Scale design: per-item and per-unit moment aggregates are both
+    map-combinable; item count and completeness come from O(items)/
+    O(units) grains; single-row broadcasts combine them. No
+    self-joins, no windows, no Python.
+    """
+    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    r = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("_u"), F.col(item_col).alias("_i"))
+        .agg(F.min(v).alias("_s"))
+    )
+    k_items = r.agg(F.countDistinct("_i").alias("_k"))
+    per_u = r.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("_s").alias("_y")
+    )
+    complete = per_u.join(F.broadcast(k_items), F.col("_m") == F.col("_k"))
+    rc = r.join(complete.select("_u"), "_u", "left_semi")
+    items = rc.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_s").cast("decimal(38,0)").alias("_t"),
+        F.sum(
+            F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
+        ).alias("_q"),
+    )
+    vi = items.agg(
+        F.coalesce(
+            F.sum(F.col("_n") * F.col("_q") - F.col("_t") * F.col("_t")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_svi")
+    )
+    uy = complete.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_N"),
+        F.coalesce(
+            F.sum("_y").cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)")
+        ).alias("_ty"),
+        F.coalesce(
+            F.sum(
+                F.col("_y").cast("decimal(19,0)")
+                * F.col("_y").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_qy"),
+    )
+    out = uy.crossJoin(F.broadcast(vi)).crossJoin(F.broadcast(k_items))
+    vy = F.col("_N") * F.col("_qy") - F.col("_ty") * F.col("_ty")
+    kd = F.col("_k").cast("decimal(38,0)")
+    num = kd * (vy - F.col("_svi"))
+    den = (kd - 1) * vy
+    alpha = F.when(
+        (F.col("_k") >= 2) & (F.col("_N") >= 2),
+        F.round(
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), 6
+        ),
+    )
+    return out.select(
+        F.col("_N").cast("long").alias("n_units"),
+        F.col("_k").cast("long").alias("n_items"),
+        alpha.alias("alpha"),
+    )

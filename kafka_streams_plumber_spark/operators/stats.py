@@ -1761,3 +1761,94 @@ def mann_whitney(
             z / F.nullif(2.0 * F.sqrt(var), F.lit(0.0)), 6
         ).alias("z"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    *,
+    max_lag: int,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Sample autocorrelation function (ACF) of a bucketed series at
+    lags 1..``max_lag`` — the temporal diagnostic that tells a feed
+    monitor WHICH period to hand :func:`~kafka_streams_plumber_spark.
+    operators.behavior.seasonal_decompose` (a weekly cycle shows as an
+    r_7 spike) and whether residual drift is trending (slow ACF decay)
+    or noise (immediate cutoff).
+
+    ``index_col`` must be an integer bucket index (epoch days/hours).
+    One row per lag: ``(lag, n_pairs, acf)`` with the standard sample
+    estimator r_k = sum_t (x_t - mean)(x_{t+k} - mean) / sum_t
+    (x_t - mean)^2 over the pairs PRESENT (missing buckets drop their
+    pairs; n_pairs reports coverage). ``acf`` is NULL for a constant
+    series (zero variance) or an empty lag.
+
+    Exactness: values are scaled longs; multiplying the estimator
+    through by n^2 clears the rational mean — r_k = (n^2*P_k -
+    n*T*(H_k + G_k) + k_pairs*T^2) / (n*(n*Q - T^2)) with P/H/G
+    the per-lag cross-moment and endpoint sums and T/Q/n the global
+    sum/sum-of-squares/count — ALL exact integers on decimal(38,0)
+    (n*Q ~ n^2*v^2 needs n*v_scaled < ~1e19: fine for any bucketed
+    series), one double division per lag. SQL replays bit-for-bit.
+
+    Scale design: the series is already on the bucketed grain
+    (O(buckets) rows). One explode to (lag, t) keys — max_lag * n
+    narrow rows — one EQUI-join back to the series on the shifted
+    index (never a range join), one map-combinable per-lag aggregate,
+    and a single-row global-moments broadcast. No windows, no Python.
+    """
+    assert max_lag >= 1
+    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    base = df.where(
+        F.col(index_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(index_col).cast("long").alias("_i"), v.alias("_v"))
+
+    tot = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_v").cast("decimal(38,0)").alias("_t"),
+        F.sum(
+            F.col("_v").cast("decimal(19,0)") * F.col("_v").cast("decimal(19,0)")
+        ).alias("_q"),
+    )
+    lagged = base.select(
+        "_i",
+        F.col("_v").alias("_va"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    ).withColumn("_j", F.col("_i") + F.col("lag"))
+    pairs = lagged.join(
+        base.select(F.col("_i").alias("_j"), F.col("_v").alias("_vb")),
+        "_j",
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_k"),
+        F.sum(
+            F.col("_va").cast("decimal(19,0)")
+            * F.col("_vb").cast("decimal(19,0)")
+        ).alias("_p"),
+        F.sum("_va").cast("decimal(38,0)").alias("_h"),
+        F.sum("_vb").cast("decimal(38,0)").alias("_g"),
+    )
+    # keep empty lags visible: left join the full lag spine
+    spine = df.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    out = (
+        spine.join(per_lag, "lag", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = (
+        F.col("_n") * F.col("_n") * F.col("_p")
+        - F.col("_n") * F.col("_t") * (F.col("_h") + F.col("_g"))
+        + F.col("_k") * F.col("_t") * F.col("_t")
+    )
+    den = F.col("_n") * (F.col("_n") * F.col("_q") - F.col("_t") * F.col("_t"))
+    return out.select(
+        "lag",
+        F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.round(
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")

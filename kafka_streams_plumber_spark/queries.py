@@ -10818,6 +10818,186 @@ def q_stl(spark, sf_dir):
 
 
 @query(
+    "q_acf",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS i,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS t,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+      FROM daily
+    ),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 15)),
+    pairs AS (
+      SELECT l.lag, a.v AS va, b.v AS vb
+      FROM lags l JOIN daily a ON TRUE JOIN daily b ON b.i = a.i + l.lag
+    ),
+    per AS (
+      SELECT lag, CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(CAST(va AS HUGEINT) * vb) AS HUGEINT) AS p,
+             CAST(sum(va) AS HUGEINT) AS h,
+             CAST(sum(vb) AS HUGEINT) AS g
+      FROM pairs GROUP BY 1
+    )
+    SELECT l.lag, CAST(coalesce(per.k, 0) AS BIGINT) AS n_pairs,
+           round(CAST(n*n*p - n*t*(h+g) + k*t*t AS DOUBLE)
+                 / nullif(CAST(n*(n*q - t*t) AS DOUBLE), 0.0), 6) AS acf
+    FROM lags l LEFT JOIN per ON l.lag = per.lag CROSS JOIN tot
+    """,
+)
+def q_acf(spark, sf_dir):
+    """Sample autocorrelation (operators/stats.py:autocorrelation) of
+    daily event volume at lags 1..14 — the diagnostic that picks
+    q_stl's period (a weekly cycle spikes r_7/r_14) and separates
+    trending drift (slow decay) from noise. Scaled-long moments with
+    the n^2-cleared-mean identity make every numerator/denominator an
+    exact integer; lag pairs come from one equi-join on the shifted
+    bucket index — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import autocorrelation
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # counts are already integers: scale=1 keeps the moments smallest
+    return autocorrelation(daily, "day_idx", "n", max_lag=14, scale=1)
+
+
+@query(
+    "q_fleiss",
+    """
+    WITH r AS (
+      SELECT event_id % 50 AS u, user_id % 7 AS rt, min(event_type) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    uc AS (SELECT u, v, count(*) AS muc FROM r GROUP BY 1, 2),
+    pu AS (
+      SELECT u, CAST(sum(muc) AS BIGINT) AS m,
+             CAST(sum(muc * muc) AS BIGINT) AS s2
+      FROM uc GROUP BY u HAVING sum(muc) = 7
+    ),
+    s AS (SELECT CAST(count(*) AS HUGEINT) AS nu,
+                 CAST(coalesce(sum(s2 - 7), 0) AS HUGEINT) AS ss
+          FROM pu),
+    marg AS (
+      SELECT uc.v, CAST(sum(uc.muc) AS BIGINT) AS nc
+      FROM uc JOIN pu ON uc.u = pu.u GROUP BY uc.v
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                   CAST(coalesce(sum(CAST(nc AS HUGEINT) * nc), 0)
+                        AS HUGEINT) AS c2
+            FROM marg)
+    SELECT CAST(nu AS BIGINT) AS n_units,
+           CAST(7 AS BIGINT) AS n_raters, n_categories,
+           round(CAST(nu * 7 * ss - 6 * c2 AS DOUBLE)
+                 / nullif(CAST(6 * ((nu * 7) * (nu * 7) - c2) AS DOUBLE),
+                          0.0), 6) AS kappa
+    FROM s CROSS JOIN tot
+    """,
+)
+def q_fleiss(spark, sf_dir):
+    """Fleiss' kappa (operators/classify.py:fleiss_kappa) over the
+    q_krippendorff annotation panel at the fixed 7-rater design — the
+    agreement number annotation-vendor SLAs quote, reported alongside
+    alpha per the standard audit. The (P_bar - P_e)/(1 - P_e) form is
+    multiplied through by (N*n)^2*(n-1) so every term is an exact
+    integer on decimal(38,0); one double division — replayed exactly
+    in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import fleiss_kappa
+
+    e = load_tables(spark, sf_dir)["events"]
+    panel = e.where(
+        F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("event_id") % 50).alias("unit"),
+        (F.col("user_id") % 7).alias("rater"),
+        "event_type",
+    )
+    return fleiss_kappa(panel, "unit", "rater", "event_type", n_raters=7)
+
+
+@query(
+    "q_cronbach",
+    """
+    WITH r AS (
+      SELECT event_id % 200 AS u, user_id % 5 AS it,
+             min(CAST(round(value * 1000000) AS BIGINT)) AS s
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    k AS (SELECT CAST(count(DISTINCT it) AS BIGINT) AS k FROM r),
+    pu AS (SELECT u, count(*) AS m, CAST(sum(s) AS BIGINT) AS y
+           FROM r GROUP BY 1),
+    comp AS (SELECT pu.* FROM pu CROSS JOIN k WHERE pu.m = k.k),
+    rc AS (SELECT r.* FROM r JOIN comp USING (u)),
+    items AS (
+      SELECT it, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(s) AS HUGEINT) AS t,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS q
+      FROM rc GROUP BY 1
+    ),
+    vi AS (SELECT CAST(coalesce(sum(n * q - t * t), 0) AS HUGEINT) AS svi
+           FROM items),
+    uy AS (
+      SELECT CAST(count(*) AS HUGEINT) AS nu,
+             CAST(coalesce(sum(y), 0) AS HUGEINT) AS ty,
+             CAST(coalesce(sum(CAST(y AS HUGEINT) * y), 0) AS HUGEINT) AS qy
+      FROM comp
+    )
+    SELECT CAST(nu AS BIGINT) AS n_units, k AS n_items,
+           CASE WHEN k >= 2 AND nu >= 2 THEN
+             round(CAST(k * ((nu * qy - ty * ty) - svi) AS DOUBLE)
+                   / nullif(CAST((k - 1) * (nu * qy - ty * ty) AS DOUBLE),
+                            0.0), 6)
+           END AS alpha
+    FROM uy CROSS JOIN vi CROSS JOIN k
+    """,
+)
+def q_cronbach(spark, sf_dir):
+    """Cronbach's alpha (operators/classify.py:cronbach_alpha) over a
+    5-item numeric scoring panel (item = user-id bucket, score = event
+    value): do the five "judges" move together enough to justify one
+    composite quality score. Listwise-complete units only; population-
+    form integer variance kernels (N*Q - T^2 on scaled longs) make
+    alpha = k*(V_y - sum V_i)/((k-1)*V_y) exact up to one double
+    division — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import cronbach_alpha
+
+    e = load_tables(spark, sf_dir)["events"]
+    panel = e.where(
+        F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("event_id") % 200).alias("unit"),
+        (F.col("user_id") % 5).alias("item"),
+        "value",
+    )
+    return cronbach_alpha(panel, "unit", "item", "value")
+
+
+@query(
     "q_spearman",
     """
     WITH base AS (
@@ -11067,13 +11247,13 @@ _GATE_WINDOW = [
     "q_benford",
     "q_survival",
     "q_emb_drift",
-    "q_approx_pct",
-    "multimodal_features",
-    "multimodal_audio",
     # --- written this round: first driver hashing ---
     "q_krippendorff_interval",
     "q_krippendorff_ordinal",
     "q_stl",
+    "q_acf",
+    "q_fleiss",
+    "q_cronbach",
 ]
 
 

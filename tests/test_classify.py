@@ -489,3 +489,100 @@ def test_krippendorff_interval_and_ordinal_vs_reference(spark):
 
     with _pytest.raises(ValueError):
         krippendorff_alpha(df, "u", "r", "v", level="ratio")
+
+
+def test_fleiss_kappa_wikipedia_table(spark):
+    """The classic 10-subject x 14-rater x 5-category Fleiss table:
+    spark output equals an independent pure-Python computation of
+    (P_bar - P_e)/(1 - P_e) and lands at the published ~0.210."""
+    from kafka_streams_plumber_spark.operators.classify import fleiss_kappa
+
+    counts = [
+        [0, 0, 0, 0, 14],
+        [0, 2, 6, 4, 2],
+        [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1],
+        [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0],
+        [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for u, row in enumerate(counts):
+        r = 0
+        for cat, c in enumerate(row):
+            for _ in range(c):
+                rows.append((f"u{u}", f"r{r}", f"cat{cat}"))
+                r += 1
+    df = spark.createDataFrame(rows, "unit string, rater string, label string")
+    got = fleiss_kappa(df, "unit", "rater", "label", n_raters=14).collect()[0]
+    assert got["n_units"] == 10 and got["n_raters"] == 14
+    assert got["n_categories"] == 5
+
+    # independent reference: textbook P_bar / P_e
+    n, big_n = 14, len(counts)
+    p_bar = sum(
+        (sum(c * c for c in row) - n) / (n * (n - 1)) for row in counts
+    ) / big_n
+    marg = [sum(row[j] for row in counts) / (big_n * n) for j in range(5)]
+    p_e = sum(p * p for p in marg)
+    assert got["kappa"] == round((p_bar - p_e) / (1 - p_e), 6)
+    assert 0.20 < got["kappa"] < 0.22  # published value ~0.210
+
+    # unit with the wrong rater count is excluded
+    rows.append(("u_bad", "r0", "cat0"))
+    df2 = spark.createDataFrame(rows, "unit string, rater string, label string")
+    g2 = fleiss_kappa(df2, "unit", "rater", "label", n_raters=14).collect()[0]
+    assert g2["n_units"] == 10 and g2["kappa"] == got["kappa"]
+
+
+def test_cronbach_alpha_reference_and_edges(spark):
+    """4 units x 3 items: spark equals the independent pure-Python
+    k/(k-1)*(1 - sum var_i / var_total); an incomplete unit is
+    listwise-dropped; constant totals give NULL."""
+    from kafka_streams_plumber_spark.operators.classify import cronbach_alpha
+
+    mat = {  # unit -> (i0, i1, i2)
+        "u0": (2.0, 3.0, 2.5),
+        "u1": (4.0, 4.5, 4.0),
+        "u2": (1.0, 1.5, 2.0),
+        "u3": (3.0, 3.5, 3.0),
+    }
+    rows = [
+        (u, f"i{j}", v)
+        for u, vs in mat.items()
+        for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "unit string, item string, v double")
+    got = cronbach_alpha(df, "unit", "item", "v").collect()[0]
+    assert (got["n_units"], got["n_items"]) == (4, 3)
+
+    # independent reference (population variances; the 1/N factor
+    # cancels in the ratio, same as the sample form)
+    cols = list(zip(*mat.values()))
+    n = len(mat)
+
+    def pvar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    totals = [sum(vs) for vs in mat.values()]
+    ref = 3 / 2 * (1 - sum(pvar(c) for c in cols) / pvar(totals))
+    assert got["alpha"] is not None
+    assert abs(got["alpha"] - ref) < 1e-6
+
+    # incomplete unit dropped, result unchanged
+    df2 = spark.createDataFrame(
+        rows + [("u4", "i0", 9.0)], "unit string, item string, v double"
+    )
+    g2 = cronbach_alpha(df2, "unit", "item", "v").collect()[0]
+    assert g2["n_units"] == 4 and g2["alpha"] == got["alpha"]
+
+    # constant unit totals -> zero total variance -> NULL
+    const = spark.createDataFrame(
+        [("a", "i0", 1.0), ("a", "i1", 2.0), ("b", "i0", 2.0), ("b", "i1", 1.0)],
+        "unit string, item string, v double",
+    )
+    assert cronbach_alpha(const, "unit", "item", "v").collect()[0]["alpha"] is None

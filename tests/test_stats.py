@@ -776,3 +776,40 @@ def test_mann_whitney_degenerate_single_row_panel(spark):
     r = mann_whitney(one, "v", "g", "a", "b").collect()[0]
     assert (r["n_a"], r["n_b"]) == (1, 0)
     assert r["z"] is None
+
+
+def test_autocorrelation_hand_computed_and_gaps(spark):
+    """[1..5]: r_1 = 0.4, r_2 = -0.1 (classic hand case). A missing
+    bucket drops exactly the pairs that touch it; an empty lag stays
+    visible with n_pairs=0 and NULL acf; a constant series gives NULL
+    (zero variance)."""
+    from kafka_streams_plumber_spark.operators.stats import autocorrelation
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(5)], "idx long, v double"
+    )
+    got = {
+        r["lag"]: r
+        for r in autocorrelation(df, "idx", "v", max_lag=6, scale=1).collect()
+    }
+    assert (got[1]["n_pairs"], got[1]["acf"]) == (4, 0.4)
+    assert (got[2]["n_pairs"], got[2]["acf"]) == (3, -0.1)
+    assert got[5]["n_pairs"] == 0 and got[5]["acf"] is None
+    assert got[6]["n_pairs"] == 0 and got[6]["acf"] is None
+
+    # gap at idx=2: lag-1 pairs (1,2) and (2,3) disappear
+    gappy = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (3, 4.0), (4, 5.0)], "idx long, v double"
+    )
+    g = {
+        r["lag"]: r
+        for r in autocorrelation(gappy, "idx", "v", max_lag=2, scale=1).collect()
+    }
+    assert g[1]["n_pairs"] == 2  # (0,1) and (3,4)
+    assert g[2]["n_pairs"] == 1  # (1,3)
+
+    const = spark.createDataFrame(
+        [(i, 7.0) for i in range(4)], "idx long, v double"
+    )
+    c = autocorrelation(const, "idx", "v", max_lag=1, scale=1).collect()[0]
+    assert c["acf"] is None

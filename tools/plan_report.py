@@ -145,6 +145,9 @@ AUDITED = {
     "q_krippendorff": "two map-combinable aggregates to O(units)/O(categories) grains; three tiny broadcast joins",
     "q_krippendorff_interval": "variance identity collapses pairwise walk to per-unit scaled-long moments; broadcast totals",
     "q_stl": "O(period) phase-median broadcast; two single-row median/MAD broadcasts; pure column math between",
+    "q_acf": "lag pairs via ONE equi-join on the shifted bucket index (never a range join); map-combinable per-lag moments",
+    "q_fleiss": "ratings -> per-unit category counts -> integer terms; O(categories) marginals; single-row broadcasts",
+    "q_cronbach": "per-item and per-unit moment aggregates, both map-combinable; O(items) completeness broadcast",
     "q_krippendorff_ordinal": "O(categories) rank-score cumsum broadcast back; then the interval moment machinery",
     "q_cusum": "O(days) grain after one agg; prefix sum + prefix min ride range exchanges with O(P) offsets",
     "q_spearman": "distinct-value collapse per column + running_total ranks; one map-combinable moment aggregate",
