@@ -610,3 +610,83 @@ def adamic_adar(
         "common_neighbors",
         F.round("_aa", 6).alias("adamic_adar"),
     )
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    *,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction — :func:`adamic_adar`'s
+    size-normalized sibling: for every NON-adjacent node pair sharing
+    at least one neighbor, ``jaccard = |N(a) & N(b)| / |N(a) | N(b)|``
+    with ``node_a < node_b``. Where Adamic-Adar rewards rare shared
+    neighbors, Jaccard asks what FRACTION of the combined
+    neighborhoods is shared — the right score for dedup-cluster
+    stitching, where two records are the same entity when most of
+    their connections coincide, however common those connections are.
+
+    Scale design: identical wedge machinery to :func:`adamic_adar`
+    (wedges through the center vertex, ``max_degree`` caps super-hub
+    centers — dropped centers shrink COMMON counts only, a documented
+    approximation), plus two equi-joins against the O(V) degree table
+    for the endpoints' own degrees. jaccard = common /
+    (deg_a + deg_b - common) is an exact integer ratio divided once
+    (6 dp) — SQL replays it bit-for-bit. Existing edges are
+    anti-joined away; only predicted links remain.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = canon.select(
+        F.col("u").alias("z"), F.col("v").alias("n")
+    ).unionAll(canon.select(F.col("v").alias("z"), F.col("u").alias("n")))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    centers = (
+        deg
+        if max_degree is None
+        else deg.where(F.col("deg") <= int(max_degree))
+    )
+
+    a = adj.select("z", F.col("n").alias("x"))
+    b = adj.select("z", F.col("n").alias("y"))
+    wedges = (
+        a.join(b, "z")
+        .where(F.col("x") < F.col("y"))
+        .join(centers.select("z"), "z", "left_semi")
+    )
+    common = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    scored = (
+        common.join(
+            deg.select(F.col("z").alias("x"), F.col("deg").alias("_da")),
+            "x",
+        )
+        .join(
+            deg.select(F.col("z").alias("y"), F.col("deg").alias("_db")),
+            "y",
+        )
+    )
+    out = scored.join(
+        canon,
+        (scored["x"] == canon["u"]) & (scored["y"] == canon["v"]),
+        "left_anti",
+    )
+    union = F.col("_da") + F.col("_db") - F.col("common_neighbors")
+    return out.select(
+        F.col("x").alias("node_a"),
+        F.col("y").alias("node_b"),
+        "common_neighbors",
+        F.round(
+            F.col("common_neighbors").cast("double") / union.cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -544,6 +544,92 @@ def l_diversity(
     )
 
 
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t: float = 0.15,
+) -> DataFrame:
+    """Distribution-disclosure audit — the third rung after
+    :func:`k_anonymity` (size) and :func:`l_diversity` (distinct
+    values): a combo can be k-anonymous AND l-diverse yet still leak
+    by SKEW (90% of one diagnosis inside a combo vs 10% globally —
+    the skewness attack). A combo is t-close when the variational
+    distance between its sensitive-value distribution and the global
+    one is at most ``t`` (the categorical/equal-ground-distance EMD,
+    the standard form for label-like sensitive columns).
+
+    Returns a one-row frame: total rows, distinct combos, combos above
+    t, rows exposed (in an above-t combo), max distance (6 dp), and
+    the exposed fraction. NULL sensitive values count as a category
+    (they are an answer too).
+
+    Exactness: with N_g/N the combo/global sizes and n_gc/n_c the
+    counts, dist_g = sum_c |n_gc*N - n_c*N_g| / (2*N_g*N); categories
+    ABSENT from the combo are folded in closed form —
+    sum_absent n_c*N_g = N_g*N - sum_present n_c*N_g — so the sum
+    never needs a combo x category cross-join. Every numerator is an
+    exact integer on decimal(38,0) (n_c*N_g ~ rows^2: fine to ~1e19
+    rows); the single division per combo happens once, identically in
+    both engines.
+
+    Scale design: one map-combinable (combo, sensitive) count, an
+    O(categories) marginal broadcast joined back, one per-combo
+    aggregate, one tiny rollup — scales with distinct (combo,
+    sensitive) pairs, never with rows.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    gc = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_s")
+    ).agg(F.count("*").alias("_ngc"))
+    marg = gc.groupBy("_s").agg(F.sum("_ngc").alias("_nc"))
+    tot = marg.agg(F.sum("_nc").cast("decimal(38,0)").alias("_N"))
+    # per-combo size first (window over the (combo, category) grain —
+    # bounded by distinct pairs, and the partition key IS the combo),
+    # then one per-combo aggregate of the present-category terms
+    wg = Window.partitionBy(*quasi_cols)
+    j = (
+        gc.join(F.broadcast(marg), "_s")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_ng", F.sum("_ngc").over(wg))
+    )
+    per_g = j.groupBy(*quasi_cols).agg(
+        F.max("_ng").alias("_ng"),
+        F.sum(
+            F.abs(
+                dec(F.col("_ngc")) * F.col("_N")
+                - dec(F.col("_nc")) * dec(F.col("_ng"))
+            )
+        ).alias("_sp"),
+        F.sum(dec(F.col("_nc"))).alias("_scp"),
+        F.max(F.col("_N")).alias("_Nx"),
+    )
+    # dist numerator = present-term sum + absent mass
+    #                = _sp + N_g*(N - sum_present n_c)
+    num = F.col("_sp") + dec(F.col("_ng")) * (F.col("_Nx") - F.col("_scp"))
+    dist = num.cast("double") / (
+        F.lit(2.0) * F.col("_ng").cast("double") * F.col("_Nx").cast("double")
+    )
+    combos = per_g.select(
+        F.col("_ng").alias("_n"), dist.alias("_d")
+    )
+    return combos.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_combos"),
+        F.sum((F.col("_d") > t).cast("long")).alias("combos_above_t"),
+        F.sum(F.when(F.col("_d") > t, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_exposed"),
+        F.round(F.max("_d"), 6).alias("max_distance"),
+        F.round(
+            F.sum(F.when(F.col("_d") > t, F.col("_n")).otherwise(0))
+            / F.sum("_n"),
+            6,
+        ).alias("exposed_fraction"),
+    )
+
+
 def weighted_percentiles(
     df: DataFrame,
     group_cols: str | list[str],

@@ -7680,6 +7680,69 @@ def q_l_diversity(spark, sf_dir):
 
 
 @query(
+    "q_t_closeness",
+    """
+    WITH gc AS (
+      SELECT lang,
+             CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+                  ELSE 2 END AS len_bucket,
+             source AS s, CAST(count(*) AS BIGINT) AS ngc
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    marg AS (SELECT s, CAST(sum(ngc) AS BIGINT) AS nc FROM gc GROUP BY 1),
+    tot AS (SELECT CAST(sum(nc) AS HUGEINT) AS nn FROM marg),
+    j AS (
+      SELECT gc.*, marg.nc,
+             CAST(sum(ngc) OVER (PARTITION BY lang, len_bucket)
+                  AS BIGINT) AS ng
+      FROM gc JOIN marg USING (s)
+    ),
+    pg AS (
+      SELECT lang, len_bucket, CAST(max(ng) AS HUGEINT) AS ng,
+             CAST(sum(abs(CAST(ngc AS HUGEINT) * nn
+                          - CAST(nc AS HUGEINT) * ng)) AS HUGEINT) AS sp,
+             CAST(sum(nc) AS HUGEINT) AS scp,
+             max(nn) AS nn
+      FROM j CROSS JOIN tot GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT CAST(ng AS BIGINT) AS n,
+             CAST(sp + ng * (nn - scp) AS DOUBLE)
+               / (2.0 * CAST(ng AS DOUBLE) * CAST(nn AS DOUBLE)) AS dist
+      FROM pg
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_combos,
+           CAST(sum(CASE WHEN dist > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS combos_above_t,
+           CAST(sum(CASE WHEN dist > 0.15 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_exposed,
+           round(max(dist), 6) AS max_distance,
+           round(sum(CASE WHEN dist > 0.15 THEN n ELSE 0 END)
+                 / CAST(sum(n) AS DOUBLE), 6) AS exposed_fraction
+    FROM d
+    """,
+)
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators/stats.py:t_closeness) over the
+    q_l_diversity panel — the skewness-attack rung the k-anon/l-div
+    pair misses: a combo leaks when its source distribution diverges
+    from the global one by variational distance > 0.15. Absent
+    categories fold in closed form (no combo x category cross-join);
+    every numerator is an exact integer on decimal(38,0)/HUGEINT,
+    one division per combo — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import t_closeness
+
+    d = load_tables(spark, sf_dir)["documents"]
+    bucketed = d.withColumn(
+        "len_bucket",
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2),
+    )
+    return t_closeness(bucketed, ["lang", "len_bucket"], "source", t=0.15)
+
+
+@query(
     "q_cluster_hist",
     """
     WITH RECURSIVE pairs AS (
@@ -9540,6 +9603,57 @@ def q_adamic(spark, sf_dir):
 
 
 @query(
+    "q_graph_jaccard",
+    """
+    WITH raw AS (
+      SELECT o_custkey % 200 AS x, (o_custkey * 7 + o_orderkey) % 200 AS y
+      FROM orders
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE x <> y
+    ),
+    adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+    w AS (
+      SELECT a.n AS x, b.n AS y
+      FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+    ),
+    c AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS common FROM w GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT c.x, c.y, c.common, da.deg AS dda, db.deg AS ddb
+      FROM c JOIN deg da ON da.z = c.x JOIN deg db ON db.z = c.y
+    )
+    SELECT x AS node_a, y AS node_b, common AS common_neighbors,
+           round(CAST(common AS DOUBLE)
+                 / CAST(dda + ddb - common AS DOUBLE), 6) AS jaccard
+    FROM s
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.x AND e.v = s.y)
+    """,
+)
+def q_graph_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction (operators/graph.py:
+    neighborhood_jaccard) over the q_adamic orders graph — the
+    size-normalized companion score: what FRACTION of the combined
+    neighborhoods is shared (right for dedup-cluster stitching, where
+    sharing most connections matters more than sharing rare ones).
+    Same center-keyed wedge machinery + two degree equi-joins; the
+    exact integer ratio divides once — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.graph import (
+        neighborhood_jaccard,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"]
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("a_id"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 200).alias("b_id"),
+    )
+    return neighborhood_jaccard(edges)
+
+
+@query(
     "q_qnorm",
     """
     WITH base AS (
@@ -11244,9 +11358,7 @@ _GATE_WINDOW = [
     "q_asof",
     "q_sessionize",
     "q_ewma",
-    "q_benford",
     "q_survival",
-    "q_emb_drift",
     # --- written this round: first driver hashing ---
     "q_krippendorff_interval",
     "q_krippendorff_ordinal",
@@ -11254,6 +11366,8 @@ _GATE_WINDOW = [
     "q_acf",
     "q_fleiss",
     "q_cronbach",
+    "q_t_closeness",
+    "q_graph_jaccard",
 ]
 
 

@@ -317,3 +317,33 @@ def test_kcore_matches_sequential_peeling(spark):
                     adj[m].discard(n)
                 changed = True
     assert got == set(adj)
+
+
+def test_neighborhood_jaccard_hand_computed(spark):
+    """Path graph 1-2-3-4 plus edge 1-3: non-adjacent pair (2,4) shares
+    {3}: deg(2)=2, deg(4)=1 -> jaccard = 1/(2+1-1) = 0.5; pair (1,4)
+    shares {3}: deg(1)=2... hand-check below. Adjacent pairs never
+    appear; the hub cap shrinks common counts only."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.graph import (
+        neighborhood_jaccard,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    df = spark.createDataFrame(edges, "a_id int, b_id int")
+    got = {
+        (r["node_a"], r["node_b"]): r
+        for r in neighborhood_jaccard(df).collect()
+    }
+    # adjacency: 1:{2,3}, 2:{1,3}, 3:{2,4,1}, 4:{3}
+    # non-adjacent pairs with common neighbors:
+    #   (1,4): common {3} -> 1/(2+1-1) = 0.5
+    #   (2,4): common {3} -> 1/(2+1-1) = 0.5
+    assert set(got) == {(1, 4), (2, 4)}
+    assert got[(1, 4)]["common_neighbors"] == 1
+    assert got[(1, 4)]["jaccard"] == 0.5
+    assert got[(2, 4)]["jaccard"] == 0.5
+
+    # max_degree=2 drops center 3 (deg 3): no wedges survive
+    assert neighborhood_jaccard(df, max_degree=2).count() == 0

@@ -813,3 +813,37 @@ def test_autocorrelation_hand_computed_and_gaps(spark):
     )
     c = autocorrelation(const, "idx", "v", max_lag=1, scale=1).collect()[0]
     assert c["acf"] is None
+
+
+def test_t_closeness_hand_computed(spark):
+    """Two combos over a 3-category sensitive column: the skewed combo
+    crosses t, the representative one doesn't, and absent categories
+    contribute their full marginal mass (closed form, no cross-join)."""
+    from kafka_streams_plumber_spark.operators.stats import t_closeness
+
+    # global: a=5, b=4, c=1 (N=10)
+    # combo g1 (6 rows): a=3, b=3   -> dist = (|3*10-5*6| + |3*10-4*6|
+    #   + absent c: 1*6) / (2*6*10) = (0 + 6 + 6)/120 = 0.1
+    # combo g2 (4 rows): a=2, b=1, c=1 -> (|20-20| + |10-16| + |10-4|)
+    #   / (2*4*10) = 12/80 = 0.15
+    rows = (
+        [("g1", "a")] * 3 + [("g1", "b")] * 3
+        + [("g2", "a")] * 2 + [("g2", "b")] + [("g2", "c")]
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = t_closeness(df, ["q"], "s", t=0.12).collect()[0]
+    assert r["n_rows"] == 10 and r["n_combos"] == 2
+    assert r["combos_above_t"] == 1 and r["rows_exposed"] == 4
+    assert r["max_distance"] == 0.15
+    assert r["exposed_fraction"] == 0.4
+
+    # raising t above the max clears the exposure
+    r2 = t_closeness(df, ["q"], "s", t=0.15).collect()[0]
+    assert r2["combos_above_t"] == 0 and r2["rows_exposed"] == 0
+
+    # a combo identical to the global distribution has distance 0
+    uni = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("h", "a"), ("h", "b")], "q string, s string"
+    )
+    r3 = t_closeness(uni, ["q"], "s", t=0.0).collect()[0]
+    assert r3["max_distance"] == 0.0 and r3["combos_above_t"] == 0
