@@ -997,12 +997,88 @@ def cusum(
     return out.drop("_d", "_P", "_mn")
 
 
+def page_hinkley(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    delta: float = 0.0,
+    threshold: float | None = None,
+    scale: int = 10**6,
+    out_col: str = "ph",
+) -> DataFrame:
+    """Page-Hinkley change detector (the Gama-et-al streaming form)
+    over a globally-ordered series: with ``U_t = sum_{s<=t} (x_s -
+    mean_s - delta)`` where ``mean_s`` is the RUNNING mean of the
+    first s values, ``PH_t = U_t - min_{s<=t} U_s``; alarm when PH
+    exceeds ``threshold``. :func:`cusum`'s adaptive-baseline sibling:
+    CUSUM needs a known in-control target, Page-Hinkley estimates the
+    baseline from the stream itself — the right detector when nobody
+    can say what "normal" volume is, only that it shifted. ``delta``
+    is the tolerated drift per step.
+
+    Adds ``out_col`` (6 dp) and — when ``threshold`` is given —
+    ``alarm``. Pass a unique tiebreak in ``order_cols``.
+
+    Exactness: values are scaled longs, so the prefix sum P_t is
+    exact; the per-row term quantizes ``x_t - P_t/t - delta`` back to
+    a scaled long with one HALF_UP round of a fixed-shape double
+    expression (both engines compute the identical IEEE division and
+    round); U and its prefix-min are then exact integers again. The
+    one remaining division happens at output — SQL replays every PH
+    and every alarm bit-for-bit.
+
+    Scale design: TWO fused :func:`~kafka_streams_plumber_spark.
+    operators.ordering.running_agg` passes on the same keys — pass 1
+    carries the prefix sum AND the 1-based ordinal (for the running
+    mean), pass 2 carries U's prefix sum AND its prefix-min
+    (``min_of_sum``) in one range exchange. The two passes are
+    inherently sequential (the second's input is a function of the
+    first's output); nothing else shuffles.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kafka_streams_plumber_spark.operators.ordering import running_agg
+
+    d = df.withColumn(
+        "_xs",
+        F.round(F.col(value_col).cast("double") * scale, 0).cast("long"),
+    )
+    p1 = running_agg(
+        d, order_cols, [("sum", "_xs", "_P")], pos_col="_pos"
+    )
+    k_delta = float(delta) * scale  # double literal, replayed verbatim
+    term = F.round(
+        F.col("_xs").cast("double")
+        - F.col("_P").cast("double") / (F.col("_pos") + 1).cast("double")
+        - F.lit(k_delta),
+        0,
+    ).cast("long")
+    t = p1.withColumn("_t", term)
+    p2 = running_agg(
+        t,
+        order_cols,
+        [("sum", "_t", "_U"), ("min_of_sum", "_t", "_M")],
+    )
+    ph_scaled = F.col("_U") - F.col("_M")
+    out = p2.withColumn(out_col, F.round(ph_scaled / scale, 6))
+    if threshold is not None:
+        thr = int(
+            (Decimal(str(float(threshold))) * scale).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        out = out.withColumn("alarm", ph_scaled > F.lit(thr))
+    return out.drop("_xs", "_P", "_pos", "_t", "_U", "_M")
+
+
 def seasonal_decompose(
     df: DataFrame,
     index_col: str,
     value_col: str,
     *,
     period: int,
+    group_cols: list[str] | None = None,
     k: float = 3.5,
     consistency: float = 1.4826,
 ) -> DataFrame:
@@ -1030,6 +1106,11 @@ def seasonal_decompose(
 
     NULL values or indexes are dropped (they have no phase).
 
+    ``group_cols`` runs one INDEPENDENT decomposition per group in the
+    same plan — the fleet form for monitoring many feeds at once
+    (seasonal/level/MAD all computed per group; a quiet feed's weekend
+    dip never calibrates a busy one).
+
     Exactness: both medians and the MAD are exact interpolated
     percentiles (the q_robust parity device — Spark ``percentile`` and
     DuckDB ``median``/``quantile_cont`` interpolate identically);
@@ -1037,32 +1118,45 @@ def seasonal_decompose(
     once at output, so SQL replays values, z and every flag
     bit-for-bit.
 
-    Scale design: one map-combinable groupBy to the O(period) phase
-    grain broadcast back, two global-median aggregates over the
-    (already bucketed, O(buckets)-sized) series — each a single-row
-    broadcast — and pure column math in between. No self-joins, no
-    windows, no Python. The DISTINCT-VALUES bound of exact
-    ``percentile`` is per phase/series — fine on the bucketed grain
-    this operator is for; pre-aggregate raw events to buckets first
-    (as any calendar decomposition requires).
+    Scale design: one map-combinable groupBy to the O(groups x period)
+    phase grain broadcast back, two per-group median aggregates over
+    the (already bucketed) series — O(groups)-row frames joined back
+    under AQE broadcast — and pure column math in between. No
+    self-joins, no windows, no Python. The DISTINCT-VALUES bound of
+    exact ``percentile`` is per (group, phase) — fine on the bucketed
+    grain this operator is for; pre-aggregate raw events to buckets
+    first (as any calendar decomposition requires).
     """
     assert period >= 2
+    groups = list(group_cols or [])
     v = F.col(value_col).cast("double")
     base = df.where(
         v.isNotNull() & F.col(index_col).isNotNull()
     ).withColumn("phase", F.pmod(F.col(index_col), F.lit(period)))
-    seas = base.groupBy("phase").agg(
+    seas = base.groupBy(*groups, "phase").agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("seasonal")
     )
-    d = base.join(F.broadcast(seas), "phase").withColumn(
+    d = base.join(F.broadcast(seas), [*groups, "phase"]).withColumn(
         "_d", v - F.col("seasonal")
     )
-    lev = d.agg(F.expr("percentile(_d, 0.5)").alias("level"))
-    r = d.crossJoin(F.broadcast(lev)).withColumn(
-        "_r", F.col("_d") - F.col("level")
-    )
-    mad = r.agg(F.expr("percentile(abs(_r), 0.5)").alias("_mad"))
-    out = r.crossJoin(F.broadcast(mad))
+    if groups:
+        lev = d.groupBy(*groups).agg(
+            F.expr("percentile(_d, 0.5)").alias("level")
+        )
+        r = d.join(F.broadcast(lev), groups).withColumn(
+            "_r", F.col("_d") - F.col("level")
+        )
+        mad = r.groupBy(*groups).agg(
+            F.expr("percentile(abs(_r), 0.5)").alias("_mad")
+        )
+        out = r.join(F.broadcast(mad), groups)
+    else:
+        lev = d.agg(F.expr("percentile(_d, 0.5)").alias("level"))
+        r = d.crossJoin(F.broadcast(lev)).withColumn(
+            "_r", F.col("_d") - F.col("level")
+        )
+        mad = r.agg(F.expr("percentile(abs(_r), 0.5)").alias("_mad"))
+        out = r.crossJoin(F.broadcast(mad))
     z = F.col("_r") / F.nullif(
         F.lit(consistency) * F.col("_mad"), F.lit(0.0)
     )

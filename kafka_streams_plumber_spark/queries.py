@@ -10932,6 +10932,147 @@ def q_stl(spark, sf_dir):
 
 
 @query(
+    "q_ph",
+    """
+    WITH daily AS (
+      SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT day_ms, n, CAST(round(n * 1000000) AS BIGINT) AS xs
+      FROM daily
+    ),
+    pr AS (
+      SELECT *, CAST(sum(xs) OVER (ORDER BY day_ms) AS BIGINT) AS pp,
+             CAST(row_number() OVER (ORDER BY day_ms) AS BIGINT) AS i
+      FROM p
+    ),
+    t AS (
+      SELECT day_ms, n,
+             CAST(round(CAST(xs AS DOUBLE)
+                        - CAST(pp AS DOUBLE) / CAST(i AS DOUBLE)
+                        - 0.0) AS BIGINT) AS term
+      FROM pr
+    ),
+    u AS (
+      SELECT day_ms, n,
+             CAST(sum(term) OVER (ORDER BY day_ms) AS BIGINT) AS uu
+      FROM t
+    ),
+    m AS (
+      SELECT *, CAST(min(uu) OVER (ORDER BY day_ms) AS BIGINT) AS mm
+      FROM u
+    )
+    SELECT day_ms, n, round((uu - mm) / 1000000.0, 6) AS ph,
+           (uu - mm) > 60000000 AS alarm
+    FROM m
+    """,
+)
+def q_ph(spark, sf_dir):
+    """Page-Hinkley change detection (operators/behavior.py:
+    page_hinkley) over daily event volume — q_cusum's adaptive-
+    baseline sibling (no known in-control target: the baseline is the
+    running mean). Two fused running_agg passes: prefix sum + ordinal
+    for the running mean, then U's prefix sum + prefix-min in ONE
+    range exchange; the per-row term re-quantizes to a scaled long
+    through one HALF_UP round of a fixed-shape double — replayed
+    exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import page_hinkley
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.unix_millis(F.date_trunc("day", F.col("ts"))).alias("day_ms")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return page_hinkley(
+        daily, ["day_ms"], "n", delta=0.0, threshold=60.0
+    ).select("day_ms", "n", "ph", "alarm")
+
+
+@query(
+    "q_stl_by_type",
+    """
+    WITH daily AS (
+      SELECT event_type AS g,
+             CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ph AS (SELECT *, day_idx % 7 AS phase FROM daily),
+    seas AS (
+      SELECT g, phase, median(CAST(n AS DOUBLE)) AS seasonal
+      FROM ph GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT ph.*, seas.seasonal,
+             CAST(ph.n AS DOUBLE) - seas.seasonal AS dd
+      FROM ph JOIN seas USING (g, phase)
+    ),
+    lev AS (SELECT g, median(dd) AS level FROM d GROUP BY 1),
+    r AS (
+      SELECT d.*, lev.level, d.dd - lev.level AS rr
+      FROM d JOIN lev USING (g)
+    ),
+    mad AS (SELECT g, median(abs(rr)) AS m FROM r GROUP BY 1)
+    SELECT r.g AS event_type, day_idx, n, phase,
+           round(seasonal, 6) AS seasonal,
+           round(level, 6) AS level,
+           round(rr, 6) AS residual,
+           round(rr / nullif(1.4826 * m, 0.0), 6) AS robust_z,
+           abs(rr) > 3.5 * 1.4826 * m AS anomaly
+    FROM r JOIN mad USING (g)
+    """,
+)
+def q_stl_by_type(spark, sf_dir):
+    """Grouped STL-lite decomposition (operators/behavior.py:
+    seasonal_decompose with group_cols) — one independent weekly
+    decomposition PER EVENT TYPE in the same plan, the fleet form for
+    monitoring many feeds (a quiet feed's weekend dip never
+    calibrates a busy one). Per-group phase medians / level / MAD are
+    exact interpolated percentiles on O(groups)-row frames joined
+    back under AQE broadcast — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        seasonal_decompose,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = seasonal_decompose(
+        daily, "day_idx", "n", period=7, group_cols=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        "day_idx",
+        "n",
+        "phase",
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("level", 6).alias("level"),
+        "residual",
+        "robust_z",
+        "anomaly",
+    )
+
+
+@query(
     "q_acf",
     """
     WITH daily AS (
@@ -11357,8 +11498,6 @@ _GATE_WINDOW = [
     "q_jsd",
     "q_asof",
     "q_sessionize",
-    "q_ewma",
-    "q_survival",
     # --- written this round: first driver hashing ---
     "q_krippendorff_interval",
     "q_krippendorff_ordinal",
@@ -11368,6 +11507,8 @@ _GATE_WINDOW = [
     "q_cronbach",
     "q_t_closeness",
     "q_graph_jaccard",
+    "q_ph",
+    "q_stl_by_type",
 ]
 
 

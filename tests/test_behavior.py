@@ -787,3 +787,65 @@ def test_seasonal_decompose_robust_z_hand_computed(spark):
         assert out[i]["residual"] == exp_r
         assert out[i]["robust_z"] == round(exp_r / (1.4826 * 2.0), 6)
         assert not out[i]["anomaly"]
+
+
+def test_page_hinkley_matches_sequential_reference(spark):
+    """PH equals the sequential textbook recurrence (running mean,
+    U_t = sum(x_s - mean_s - delta), PH = U - prefix-min U) computed
+    in pure Python with the same scaled-long quantization."""
+    from kafka_streams_plumber_spark.operators.behavior import page_hinkley
+
+    vals = [10.0, 10.5, 9.8, 10.2, 30.0, 31.0, 29.5, 30.5]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t long, v double"
+    ).repartition(3)
+    got = {
+        r["t"]: (r["ph"], r["alarm"])
+        for r in page_hinkley(
+            df, ["t"], "v", delta=0.0, threshold=5.0
+        ).collect()
+    }
+    # sequential reference with the identical quantization
+    S = 10**6
+    P, U, M = 0, 0, None
+    for i, v in enumerate(vals):
+        xs = round(v * S)
+        P += xs
+        term = round(xs - P / (i + 1) - 0.0)
+        U += term
+        M = U if M is None else min(M, U)
+        ph = round((U - M) / S, 6)
+        assert got[i] == (ph, (U - M) > 5 * S), (i, got[i], ph)
+    # the level shift at t=4 must alarm by the end
+    assert got[7][1] is True
+    # stable series never alarms
+    flat = spark.createDataFrame(
+        [(i, 10.0) for i in range(10)], "t long, v double"
+    )
+    out = page_hinkley(flat, ["t"], "v", threshold=1.0).collect()
+    assert all(not r["alarm"] for r in out)
+
+
+def test_seasonal_decompose_grouped_isolated(spark):
+    """group_cols: each group gets its own seasonal/level/MAD — a
+    spike in group a never flags (or shifts baselines in) group b."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        seasonal_decompose,
+    )
+
+    rows = [("a", i, [10.0, 20.0][i % 2]) for i in range(10)] + [
+        ("b", i, 5.0) for i in range(10)
+    ]
+    rows[6] = ("a", 6, 100.0)  # phase-0 spike in group a only
+    df = spark.createDataFrame(rows, "g string, idx long, v double")
+    out = {
+        (r["g"], r["idx"]): r
+        for r in seasonal_decompose(
+            df, "idx", "v", period=2, group_cols=["g"]
+        ).collect()
+    }
+    assert out[("a", 6)]["anomaly"] and out[("a", 6)]["residual"] == 90.0
+    for i in range(10):
+        assert out[("b", i)]["residual"] == 0.0
+        assert not out[("b", i)]["anomaly"]
+        assert out[("b", i)]["seasonal"] == 5.0
