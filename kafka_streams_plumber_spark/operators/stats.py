@@ -1938,3 +1938,183 @@ def autocorrelation(
             6,
         ).alias("acf"),
     ).orderBy("lag")
+
+
+def ad_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    round_values: int | None = None,
+    term_scale: int = 10**9,
+    harmonic_scale: int = 10**12,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test (Scholz-Stephens k-sample
+    midrank form, k=2) — :func:`ks_test`'s tail-sensitive sibling:
+    KS sees only the single largest CDF gap, AD integrates the squared
+    gap with weight 1/(F(1-F)), so a drift that lives in the
+    DISTRIBUTION TAILS (truncated outliers, new extreme lengths)
+    moves AD long before it moves D. One row ``(n_a, n_b, a2,
+    a2_standardized)``: ``a2`` is A2_akN (ties via midranks, exactly
+    scipy's ``anderson_ksamp(midrank=True)`` statistic) and
+    ``a2_standardized = (A2 - 1) / sigma`` with the published
+    variance polynomial — compare against the Scholz-Stephens
+    critical values (1.960 / 2.719 / 3.752 at 5% / 1% / 0.1%). NULL
+    when either group is empty or all values tie.
+
+    Exactness: on the distinct-value grain the midrank identity
+    doubles every half-integer — with ``dm = 2*cum_a - f_a`` and
+    ``db = 2*cum - l`` the per-value term is ``(l/N) * (N*dm -
+    n_a*db)^2 / (2*N*db - db^2 - N*l)``, an exact-integer numerator
+    on decimal(38,0) (envelope: (N*dm)^2 < 1e38 holds to N ~ 1e9);
+    each rational term is quantized to a scaled long (``term_scale``)
+    so the sum is order-proof. The standardization's harmonic sums
+    ``h = sum 1/i`` and ``g = sum_u (h_{N-1} - h_{N-u})/u`` ride the
+    distributed prefix machinery over the RANKED panel (scaled to
+    ``harmonic_scale`` longs; deterministic ~1e-5 relative
+    quantization, identical in both engines), never a driver loop.
+    Every remaining expression is fixed-shape double math — SQL
+    replays a2, sigma and the standardized value bit-for-bit.
+
+    Scale design: one map-combinable collapse to the distinct-value
+    grain + ONE fused prefix pass for the three cumulative counts;
+    the harmonic pass is one ranked range exchange + one prefix sum +
+    one narrow self equi-join on the mirrored index (i = N-u). No
+    windows over the panel, no Python, no driver-side loops.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_agg,
+        running_total,
+    )
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    base = df.where(
+        F.col(group_col).isin(group_a, group_b) & v.isNotNull()
+    ).select(v.alias("_v"), (F.col(group_col) == group_a).alias("_ga"))
+
+    per = base.groupBy("_v").agg(
+        F.coalesce(F.sum(F.col("_ga").cast("long")), F.lit(0)).alias("_fa"),
+        F.count(F.lit(1)).alias("_l"),
+    )
+    cum = running_total(
+        per, ["_v"], ["_fa", "_l"], out_col=["_ca", "_cl"]
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("_fa"), F.lit(0)).alias("_na"),
+        F.coalesce(F.sum(F.col("_l") - F.col("_fa")), F.lit(0)).alias("_nb"),
+        F.coalesce(F.sum("_l"), F.lit(0)).alias("_N"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    nn, na, nb = dec(F.col("_N")), dec(F.col("_na")), dec(F.col("_nb"))
+    fa, l = dec(F.col("_fa")), dec(F.col("_l"))
+    fb = l - fa
+    dma = 2 * dec(F.col("_ca")) - fa
+    dmb = 2 * (dec(F.col("_cl")) - dec(F.col("_ca"))) - fb
+    db = 2 * dec(F.col("_cl")) - l
+    den = 2 * nn * db - db * db - nn * l
+    term = lambda dm, n_i: (  # noqa: E731
+        l.cast("double")
+        / nn.cast("double")
+        * (nn * dm - n_i * db).cast("double")
+        * (nn * dm - n_i * db).cast("double")
+        / F.nullif(den.cast("double"), F.lit(0.0))
+    )
+    sums = j.agg(
+        F.sum(
+            F.round(term(dma, na) * term_scale, 0).cast("long")
+        ).alias("_sa"),
+        F.sum(
+            F.round(term(dmb, nb) * term_scale, 0).cast("long")
+        ).alias("_sb"),
+    )
+
+    # --- harmonic sums over the ranked panel (for the variance) ---
+    ranked = running_agg(
+        base.select("_v"), ["_v"], [], pos_col="_i0"
+    ).select((F.col("_i0") + 1).alias("_i"))
+    hterm = F.round(F.lit(float(harmonic_scale)) / F.col("_i"), 0).cast(
+        "long"
+    )
+    hframe = ranked.crossJoin(F.broadcast(tot.select("_N"))).where(
+        F.col("_i") <= F.col("_N") - 1
+    ).select("_i", hterm.alias("_ht"), "_N")
+    hcum = running_total(hframe, ["_i"], "_ht", out_col="_H")
+    htot = hcum.agg(
+        F.max("_H").alias("_Hlast"), F.max("_N").alias("_N2")
+    )
+    # g = sum_{u=2}^{N-1} (h_{N-1} - h_{N-u}) / u : join H at index N-u
+    u_side = hcum.select(F.col("_i").alias("_u"), F.col("_N"))
+    h_side = hcum.select(F.col("_i").alias("_mi"), F.col("_H"))
+    gterm = (
+        (F.col("_Hlast") - F.col("_H")).cast("double")
+        / F.lit(float(harmonic_scale))
+        / F.col("_u").cast("double")
+    )
+    gsum = (
+        u_side.where(F.col("_u") >= 2)
+        .withColumn("_mi", F.col("_N") - F.col("_u"))
+        .join(h_side, "_mi")
+        .crossJoin(F.broadcast(htot))
+        .agg(
+            F.sum(F.round(gterm * term_scale, 0).cast("long")).alias("_g")
+        )
+    )
+
+    out = (
+        tot.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(htot))
+        .crossJoin(F.broadcast(gsum))
+    )
+    nd = F.col("_N").cast("double")
+    a2 = (
+        (nd - 1)
+        / nd
+        * (
+            F.col("_sa").cast("double")
+            / F.lit(float(term_scale))
+            / F.col("_na").cast("double")
+            + F.col("_sb").cast("double")
+            / F.lit(float(term_scale))
+            / F.col("_nb").cast("double")
+        )
+    )
+    hh = F.col("_Hlast").cast("double") / F.lit(float(harmonic_scale))
+    gg = F.col("_g").cast("double") / F.lit(float(term_scale))
+    bigh = (
+        F.lit(1.0) / F.col("_na").cast("double")
+        + F.lit(1.0) / F.col("_nb").cast("double")
+    )
+    # Scholz-Stephens variance polynomial at k=2
+    ca = (4 * gg - 6) + (10 - 6 * gg) * bigh
+    cb = (
+        (2 * gg - 4) * 4
+        + 16 * hh
+        + (2 * gg - 14 * hh - 4) * bigh
+        - 8 * hh
+        + 4 * gg
+        - 6
+    )
+    cc = (
+        4 * (6 * hh + 2 * gg - 2)
+        + 2 * (4 * hh - 4 * gg + 6)
+        + (2 * hh - 6) * bigh
+        + 4 * hh
+    )
+    cd = F.lit(24.0)
+    sigma2 = (ca * nd * nd * nd + cb * nd * nd + cc * nd + cd) / (
+        (nd - 1) * (nd - 2) * (nd - 3)
+    )
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0) & (F.col("_N") >= 4)
+    return out.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(F.when(ok, a2), 6).alias("a2"),
+        F.round(
+            F.when(ok, (a2 - 1) / F.sqrt(sigma2)), 6
+        ).alias("a2_standardized"),
+    )

@@ -11073,6 +11073,130 @@ def q_stl_by_type(spark, sf_dir):
 
 
 @query(
+    "q_ad",
+    """
+    WITH base AS (
+      SELECT round(value, 6) AS v, (event_type = 'purchase') AS ga
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    per AS (
+      SELECT v,
+             CAST(coalesce(sum(CASE WHEN ga THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS fa,
+             CAST(count(*) AS BIGINT) AS l
+      FROM base GROUP BY v
+    ),
+    cum AS (
+      SELECT *, CAST(sum(fa) OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(sum(l) OVER (ORDER BY v) AS BIGINT) AS cl
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(coalesce(sum(fa), 0) AS BIGINT) AS na,
+             CAST(coalesce(sum(l - fa), 0) AS BIGINT) AS nb,
+             CAST(coalesce(sum(l), 0) AS BIGINT) AS nn
+      FROM per
+    ),
+    tx AS (
+      SELECT cum.*, tot.na, tot.nb, tot.nn,
+             CAST(2 AS HUGEINT) * ca - fa AS dma,
+             CAST(2 AS HUGEINT) * (cl - ca) - (l - fa) AS dmb,
+             CAST(2 AS HUGEINT) * cl - l AS db
+      FROM cum CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT
+        CAST(round((CAST(l AS DOUBLE) / CAST(nn AS DOUBLE)
+          * CAST(CAST(nn AS HUGEINT) * dma - CAST(na AS HUGEINT) * db
+                 AS DOUBLE)
+          * CAST(CAST(nn AS HUGEINT) * dma - CAST(na AS HUGEINT) * db
+                 AS DOUBLE)
+          / nullif(CAST(CAST(2 AS HUGEINT) * nn * db - db * db
+                        - CAST(nn AS HUGEINT) * l AS DOUBLE), 0.0))
+          * 1000000000) AS BIGINT) AS ta,
+        CAST(round((CAST(l AS DOUBLE) / CAST(nn AS DOUBLE)
+          * CAST(CAST(nn AS HUGEINT) * dmb - CAST(nb AS HUGEINT) * db
+                 AS DOUBLE)
+          * CAST(CAST(nn AS HUGEINT) * dmb - CAST(nb AS HUGEINT) * db
+                 AS DOUBLE)
+          / nullif(CAST(CAST(2 AS HUGEINT) * nn * db - db * db
+                        - CAST(nn AS HUGEINT) * l AS DOUBLE), 0.0))
+          * 1000000000) AS BIGINT) AS tb
+      FROM tx
+    ),
+    sums AS (
+      SELECT CAST(sum(ta) AS BIGINT) AS sa, CAST(sum(tb) AS BIGINT) AS sb
+      FROM terms
+    ),
+    ranked AS (SELECT row_number() OVER (ORDER BY v) AS i FROM base),
+    hf AS (
+      SELECT i, CAST(round(1000000000000.0 / i) AS BIGINT) AS ht, tot.nn
+      FROM ranked CROSS JOIN tot WHERE i <= tot.nn - 1
+    ),
+    hc AS (
+      SELECT i, nn, CAST(sum(ht) OVER (ORDER BY i) AS BIGINT) AS hcum
+      FROM hf
+    ),
+    htot AS (SELECT CAST(max(hcum) AS BIGINT) AS hlast FROM hc),
+    gs AS (
+      SELECT CAST(sum(CAST(round(
+               ((CAST(hlast - h2.hcum AS DOUBLE) / 1000000000000.0)
+                / CAST(u.i AS DOUBLE)) * 1000000000) AS BIGINT))
+             AS BIGINT) AS gsum
+      FROM hc u JOIN hc h2 ON h2.i = u.nn - u.i CROSS JOIN htot
+      WHERE u.i >= 2
+    ),
+    fin AS (
+      SELECT na, nb, nn,
+             CAST(nn AS DOUBLE) AS nd,
+             (CAST(nn AS DOUBLE) - 1) / CAST(nn AS DOUBLE)
+               * (CAST(sa AS DOUBLE) / 1000000000.0 / CAST(na AS DOUBLE)
+                  + CAST(sb AS DOUBLE) / 1000000000.0
+                    / CAST(nb AS DOUBLE)) AS a2,
+             CAST(hlast AS DOUBLE) / 1000000000000.0 AS hh,
+             CAST(gsum AS DOUBLE) / 1000000000.0 AS gg,
+             1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE) AS bh
+      FROM tot CROSS JOIN sums CROSS JOIN htot CROSS JOIN gs
+    ),
+    sig AS (
+      SELECT *,
+             (((4 * gg - 6) + (10 - 6 * gg) * bh) * nd * nd * nd
+              + ((2 * gg - 4) * 4 + 16 * hh
+                 + (2 * gg - 14 * hh - 4) * bh - 8 * hh + 4 * gg - 6)
+                * nd * nd
+              + (4 * (6 * hh + 2 * gg - 2) + 2 * (4 * hh - 4 * gg + 6)
+                 + (2 * hh - 6) * bh + 4 * hh) * nd
+              + 24.0)
+             / ((nd - 1) * (nd - 2) * (nd - 3)) AS sigma2
+      FROM fin
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(CASE WHEN na > 0 AND nb > 0 AND nn >= 4 THEN a2 END, 6)
+             AS a2,
+           round(CASE WHEN na > 0 AND nb > 0 AND nn >= 4 THEN
+                   (a2 - 1) / sqrt(sigma2) END, 6) AS a2_standardized
+    FROM sig
+    """,
+)
+def q_ad(spark, sf_dir):
+    """Two-sample Anderson-Darling (operators/stats.py:ad_test) on the
+    q_mannwhitney panel (purchase vs view event values) — the
+    tail-sensitive drift test completing the KS / Mann-Whitney / AD
+    trio. Midrank ties via the doubled-integer device on the
+    distinct-value grain (one fused prefix pass); per-value rational
+    terms quantized to scaled longs; the variance polynomial's
+    harmonic sums ride a ranked prefix pass + one mirrored-index
+    equi-join — everything replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import ad_test
+
+    e = load_tables(spark, sf_dir)["events"]
+    return ad_test(
+        e, "value", "event_type", "purchase", "view", round_values=6
+    )
+
+
+@query(
     "q_acf",
     """
     WITH daily AS (
@@ -11495,7 +11619,6 @@ _GATE_WINDOW = [
     "sim_topk",
     "q_centroid_sim",
     "q_containment",
-    "q_jsd",
     "q_asof",
     "q_sessionize",
     # --- written this round: first driver hashing ---
@@ -11509,6 +11632,7 @@ _GATE_WINDOW = [
     "q_graph_jaccard",
     "q_ph",
     "q_stl_by_type",
+    "q_ad",
 ]
 
 

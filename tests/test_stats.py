@@ -847,3 +847,93 @@ def test_t_closeness_hand_computed(spark):
     )
     r3 = t_closeness(uni, ["q"], "s", t=0.0).collect()[0]
     assert r3["max_distance"] == 0.0 and r3["combos_above_t"] == 0
+
+
+def _ref_anderson_darling(a_vals, b_vals):
+    """Scholz-Stephens (1987) eq. 7 midrank A2_akN + the published
+    variance polynomial, transcribed directly from the paper (plain
+    double arithmetic — independent of the engine's scaled-long
+    quantization)."""
+    from collections import Counter
+
+    pooled = sorted(a_vals + b_vals)
+    zstar = sorted(set(pooled))
+    big_n = len(pooled)
+    na, nb = len(a_vals), len(b_vals)
+    counts = Counter(pooled)
+    a2 = 0.0
+    for n_i, c_i in ((na, Counter(a_vals)), (nb, Counter(b_vals))):
+        cum_i = cum = 0
+        inner = 0.0
+        for z in zstar:
+            lj, fij = counts[z], c_i.get(z, 0)
+            maij = cum_i + fij / 2
+            bj = cum + lj / 2
+            denom = bj * (big_n - bj) - big_n * lj / 4
+            if denom != 0:
+                inner += lj / big_n * (big_n * maij - n_i * bj) ** 2 / denom
+            cum_i += fij
+            cum += lj
+        a2 += inner / n_i
+    a2 *= (big_n - 1) / big_n
+    hcap = 1 / na + 1 / nb
+    h = sum(1 / i for i in range(1, big_n))
+    g = sum(
+        sum(1 / j for j in range(i + 1, big_n)) / (big_n - i)
+        for i in range(1, big_n - 1)
+    )
+    k = 2
+    pa = (4 * g - 6) * (k - 1) + (10 - 6 * g) * hcap
+    pb = (
+        (2 * g - 4) * k * k + 8 * h * k
+        + (2 * g - 14 * h - 4) * hcap - 8 * h + 4 * g - 6
+    )
+    pc = (
+        (6 * h + 2 * g - 2) * k * k + (4 * h - 4 * g + 6) * k
+        + (2 * h - 6) * hcap + 4 * h
+    )
+    pd = (2 * h + 6) * k * k - 4 * h * k
+    sigma2 = (pa * big_n**3 + pb * big_n**2 + pc * big_n + pd) / (
+        (big_n - 1) * (big_n - 2) * (big_n - 3)
+    )
+    return a2, (a2 - 1) / sigma2**0.5
+
+
+def test_ad_test_matches_paper_reference(spark):
+    """ad_test equals the from-the-paper reference (ties included) on
+    mixed panels; identical samples give a2 near its null mean; a
+    clear location shift drives the standardized stat far positive."""
+    from kafka_streams_plumber_spark.operators.stats import ad_test
+
+    a = [1.0, 2.0, 2.0, 3.5, 4.0, 5.0, 7.0, 8.0]
+    b = [2.0, 3.0, 3.5, 6.0, 6.5, 9.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ad_test(df, "v", "g", "a", "b").collect()[0]
+    ref_a2, ref_std = _ref_anderson_darling(a, b)
+    assert (got["n_a"], got["n_b"]) == (8, 6)
+    assert abs(got["a2"] - ref_a2) < 1e-4, (got["a2"], ref_a2)
+    assert abs(got["a2_standardized"] - ref_std) < 1e-4
+
+    # strong location shift: standardized stat clearly significant
+    shift = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v) + 50) for v in range(10)
+    ]
+    s = ad_test(
+        spark.createDataFrame(shift, "g string, v double"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert s["a2_standardized"] > 3.752  # 0.1% critical value
+
+    # all values tied -> NULL (zero-variance degenerate)
+    tied = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 4, "g string, v double"
+    )
+    t = ad_test(tied, "v", "g", "a", "b").collect()[0]
+    assert t["a2"] is None and t["a2_standardized"] is None
+
+    # one empty group -> NULL
+    solo = spark.createDataFrame(
+        [("a", float(v)) for v in range(6)], "g string, v double"
+    )
+    r = ad_test(solo, "v", "g", "a", "b").collect()[0]
+    assert r["a2"] is None and r["n_b"] == 0

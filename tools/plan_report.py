@@ -151,6 +151,7 @@ AUDITED = {
     "q_t_closeness": "O(categories) marginal broadcast; absent-mass closed form avoids combo x category cross-join",
     "q_graph_jaccard": "center-keyed wedge equi-join (hub-cappable); O(V) degree joins; integer ratio divided once",
     "q_ph": "two fused running_agg passes (sum+pos, then sum+min_of_sum in ONE exchange each); no other shuffles",
+    "q_ad": "distinct-grain fused prefix for midranks; ranked harmonic prefix + mirrored-index equi-join for sigma",
     "q_stl_by_type": "per-group phase/level/MAD medians on O(groups) grains joined back; pure column math between",
     "q_krippendorff_ordinal": "O(categories) rank-score cumsum broadcast back; then the interval moment machinery",
     "q_cusum": "O(days) grain after one agg; prefix sum + prefix min ride range exchanges with O(P) offsets",

@@ -98,6 +98,18 @@ PROBED = [
     "q_spearman",
     "q_fightin",
     "q_mannwhitney",
+    # r7 wave
+    "q_krippendorff_interval",
+    "q_krippendorff_ordinal",
+    "q_stl",
+    "q_stl_by_type",
+    "q_acf",
+    "q_ph",
+    "q_fleiss",
+    "q_cronbach",
+    "q_t_closeness",
+    "q_graph_jaccard",
+    "q_ad",
 ]
 
 
@@ -179,10 +191,54 @@ def main() -> None:
         lines.append(f"| `{name}` | {t1:.3f} | {t2:.3f} | {t3s} | {r:.1f}x |")
     lines += [
         "",
+        "## Probe rows at 2.0-2.4x on the 10x step — growth driver per query",
+        "",
+        "None of these are super-linear; a 10x data step moving wall time only",
+        "2x means fixed per-stage overhead still covers most of the cost. The",
+        "driver differs per query:",
+        "",
+        "- `q_min_k` (2.4x): linear token-grain work (per-document bigram",
+        "  scoring touches every token) emerging from under fixed stage",
+        "  overhead — output stays one row per document; no pair or grain",
+        "  blowup anywhere in the plan.",
+        "- `q_jsd` (2.1x): distinct-TERM grain growth — the language-pair grid",
+        "  is fixed (190 pairs) but the per-language term distributions grow",
+        "  with the vocabulary, which grows Heaps-style with corpus size; the",
+        "  pairwise stage is linear in distinct (pair, term) combinations.",
+        "- `q_krippendorff` (2.1x): fixed-cost amortization — the coincidence",
+        "  grain is pinned by construction (50 units x rating-value pairs), so",
+        "  the added time is purely the linear panel scan/groupBy feeding it.",
+        "  (Same argument for the interval/ordinal variants.)",
+        "- `q_centroid_sim` (2.1x): fixed-cost amortization — the output pair",
+        "  grid is constant (190 centroid pairs from k=20); the linear part is",
+        "  the assignment scan that builds the centroids.",
+        "- `q_qnorm` (2.0x): linear OUTPUT growth — quantile normalization",
+        "  returns one row per input row, so the rank machinery (range",
+        "  exchange + O(P) offsets) and the write scale with the data; nothing",
+        "  grows faster than n.",
+        "",
+        "Any other row in the 2.0-3.2x band is a scan-linear plan (pushdown /",
+        "partial-agg / broadcast evidence in PLANS.md) whose data-linear term",
+        "is beginning to emerge from fixed overhead — the expected shape for",
+        "sub-second queries on a 10x step, trending toward ~10x only once",
+        "per-task time dominates scheduling.",
+        "",
+        "## Bench-anomaly notes (cross-round)",
+        "",
+        "- BENCH_r06's `dedup_minhash` 2.548 s (vs 0.887 s in r5) was",
+        "  driver-host contention, not a plan change: an isolated 5-rep",
+        "  re-measure at sf0.1 in r7 gave [1.287, 1.127, 0.986, 0.881,",
+        "  1.208] — min 0.881 s, matching r5 (0.887) and this table's probe",
+        "  row. Zero code changes touched the minhash path in r6; PLANS.md",
+        "  shows the same 10-shuffle banded plan.",
+        "- BENCH_r06's `q_funnel_window` 0.740 s (vs 0.513 in r5) is the same",
+        "  event: an isolated fresh-session 5-rep re-measure gave [1.161,",
+        "  0.682, 0.683, 0.692, 0.562] — min 0.562 s, inside the r4-r5 band.",
+        "",
         "## Known super-linear entries (by design, with a scale path)",
         "",
-        "- `q_containment` (4.7x on the 10x step, 2.6 s at sf0.1 in the",
-        "  extra5 bench series) is posting-list-bound on this corpus: the",
+        "- `q_containment` (the table's largest ratio — 4-6x on the 10x",
+        "  step across rounds) is posting-list-bound on this corpus: the",
         "  ~30-word synthetic vocabulary makes every word 3-shingle COMMON,",
         "  so the rarest-first prefix filter cannot shorten the probed",
         "  posting lists the way it does on natural text (where shingle",
