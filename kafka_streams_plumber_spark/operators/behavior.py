@@ -1170,3 +1170,100 @@ def seasonal_decompose(
         )
         .drop("_d", "_r", "_mad")
     )
+
+
+def trend_break(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    *,
+    breakpoint: int | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Segmented OLS around a breakpoint — the SIZE estimate for the
+    shift :func:`cusum` / :func:`page_hinkley` detect: fit
+    ``y = a + b*x`` separately before (x < breakpoint) and after
+    (x >= breakpoint), report both fits, the slope change and the
+    LEVEL jump (gap between the two fitted lines evaluated AT the
+    breakpoint). ``breakpoint=None`` splits at the exact median index
+    (the natural default when the alarm time isn't known yet).
+
+    One row: ``(n_pre, n_post, breakpoint, slope_pre, slope_post,
+    slope_delta, level_delta)``, slopes per index unit, 6 dp. A
+    segment with < 2 points or a constant index yields NULL fits.
+
+    Exactness: x is the raw integer index, y a scaled long; each
+    segment's moments (n, Sx, Sy, Sxx, Sxy) are exact integers on
+    decimal(38,0) (envelope: Sxy ~ n*x*y_scaled — holds to ~1e9 rows
+    of epoch-day indexes), the slope/intercept closed forms are
+    fixed-shape double expressions, and the median breakpoint is the
+    exact interpolated percentile (the q_robust parity device) — SQL
+    replays every output bit-for-bit.
+
+    Scale design: one exact-percentile aggregate (only when
+    ``breakpoint`` is None) broadcast back, then ONE map-combinable
+    grouped-moments aggregate over the two segments. No windows, no
+    joins of the data with itself, no Python.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    y = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    base = df.where(
+        F.col(index_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(index_col).cast("long").alias("_x"), y.alias("_y"))
+    if breakpoint is None:
+        bp = base.agg(
+            F.floor(F.expr("percentile(_x, 0.5)")).cast("long").alias("_bp")
+        )
+        base = base.crossJoin(F.broadcast(bp))
+    else:
+        base = base.withColumn("_bp", F.lit(int(breakpoint)).cast("long"))
+    seg = base.groupBy((F.col("_x") >= F.col("_bp")).alias("_post")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
+        F.sum(
+            F.col("_x").cast("decimal(19,0)") * F.col("_x").cast("decimal(19,0)")
+        ).alias("_sxx"),
+        F.sum(
+            F.col("_x").cast("decimal(19,0)") * F.col("_y").cast("decimal(19,0)")
+        ).alias("_sxy"),
+        F.max("_bp").alias("_bpv"),
+    )
+
+    def fit(prefix):
+        n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+        den = (n * F.col("_sxx") - sx * sx).cast("double")
+        slope = (n * F.col("_sxy") - sx * sy).cast("double") / F.nullif(
+            den, F.lit(0.0)
+        )
+        slope = F.when(n >= 2, slope)
+        intercept = (
+            sy.cast("double") - slope * sx.cast("double")
+        ) / n.cast("double")
+        return [
+            F.col("_n").cast("long").alias(f"n_{prefix}"),
+            slope.alias(f"_b_{prefix}"),
+            intercept.alias(f"_a_{prefix}"),
+        ]
+
+    pre = seg.where(~F.col("_post")).select(
+        *fit("pre"), F.col("_bpv").alias("_bp1")
+    )
+    post = seg.where(F.col("_post")).select(
+        *fit("post"), F.col("_bpv").alias("_bp2")
+    )
+    out = pre.crossJoin(F.broadcast(post))
+    bpd = F.col("_bp2").cast("double")
+    fitted_pre = F.col("_a_pre") + F.col("_b_pre") * bpd
+    fitted_post = F.col("_a_post") + F.col("_b_post") * bpd
+    return out.select(
+        "n_pre",
+        "n_post",
+        F.col("_bp2").cast("long").alias("breakpoint"),
+        F.round(F.col("_b_pre") / scale, 6).alias("slope_pre"),
+        F.round(F.col("_b_post") / scale, 6).alias("slope_post"),
+        F.round(
+            (F.col("_b_post") - F.col("_b_pre")) / scale, 6
+        ).alias("slope_delta"),
+        F.round((fitted_post - fitted_pre) / scale, 6).alias("level_delta"),
+    )

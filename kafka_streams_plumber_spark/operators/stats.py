@@ -1556,6 +1556,7 @@ def bh_fdr(
     id_col: str,
     *,
     alpha: float = 0.05,
+    method: str = "bh",
 ) -> DataFrame:
     """Benjamini-Hochberg false-discovery-rate control over a panel of
     p-values — the multiple-testing step every metrics sweep needs
@@ -1572,10 +1573,18 @@ def bh_fdr(
     k with ``p_k * m <= k * alpha`` are rejected, including any whose
     own p briefly rises above the line. NULL p-values are dropped.
 
+    ``method="by"`` applies the Benjamini-Yekutieli correction for
+    ARBITRARY dependence between the hypotheses (correlated metric
+    slices): the BH line is divided by the harmonic factor
+    ``c(m) = sum_{i<=m} 1/i``. c(m) is a scaled-long sum over the
+    already-ranked panel (exact, order-proof); the BH path multiplies
+    by the literal 1.0, which is an IEEE no-op, so BH outputs are
+    bit-identical to the pre-``method`` form.
+
     Exactness: the threshold test is the integer-free comparison
-    ``p*m <= i*alpha`` (one multiply each side — no division), the
-    q-value is a min over identically-computed doubles then one final
-    6-dp round, so SQL replays every decision bit-for-bit.
+    ``p*m*c <= i*alpha`` (multiplies only — no division; c = 1.0 for
+    BH), the q-value is a min over identically-computed doubles then
+    one final 6-dp round, so SQL replays every decision bit-for-bit.
 
     Scale design: ONE range exchange on (p, id) serves BOTH directions
     — the ascending rank comes from the usual per-partition-ordinal +
@@ -1618,12 +1627,25 @@ def bh_fdr(
         F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_roff"),
         F.sum("_c").over(wall).alias("_m"),
     )
-    r = (
-        ranked.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            "_i", (F.col("_roff") + (F.col("_mid") - F.col("_m0")) + 1)
+    if method not in ("bh", "by"):
+        raise ValueError(f"unknown method: {method!r}")
+    r = ranked.join(F.broadcast(offsets), "_pid").withColumn(
+        "_i", (F.col("_roff") + (F.col("_mid") - F.col("_m0")) + 1)
+    )
+    if method == "by":
+        # harmonic c(m) over the ranked panel: exact scaled-long sum
+        cm = r.agg(
+            F.sum(
+                F.round(F.lit(1e12) / F.col("_i"), 0).cast("long")
+            ).alias("_cs")
         )
-        .withColumn("_raw", (F.col("_p") * F.col("_m")) / F.col("_i"))
+        r = r.crossJoin(F.broadcast(cm)).withColumn(
+            "_c", F.col("_cs").cast("double") / F.lit(1e12)
+        )
+    else:
+        r = r.withColumn("_c", F.lit(1.0))
+    r = r.withColumn(
+        "_raw", (F.col("_p") * F.col("_m") * F.col("_c")) / F.col("_i")
     )
     # Local suffix-min of _raw within each (already p-sorted) partition;
     # the cross-partition part is the exclusive suffix-min of partition
@@ -1650,7 +1672,8 @@ def bh_fdr(
     kmax = r.agg(
         F.max(
             F.when(
-                F.col("_p") * F.col("_m") <= F.col("_i") * F.lit(alpha),
+                F.col("_p") * F.col("_m") * F.col("_c")
+                <= F.col("_i") * F.lit(alpha),
                 F.col("_i"),
             )
         ).alias("_k")

@@ -11073,6 +11073,156 @@ def q_stl_by_type(spark, sf_dir):
 
 
 @query(
+    "q_trendbreak",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS x,
+             CAST(count(*) AS BIGINT) AS nrows
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+      SELECT x AS xx, CAST(round(nrows * 1000000) AS BIGINT) AS y
+      FROM daily
+    ),
+    bp AS (
+      SELECT CAST(floor(median(CAST(xx AS DOUBLE))) AS BIGINT) AS bpv
+      FROM b
+    ),
+    seg AS (
+      SELECT (xx >= bpv) AS post, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(xx) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(xx AS HUGEINT) * xx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(xx AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             max(bpv) AS bpv
+      FROM b CROSS JOIN bp GROUP BY 1
+    ),
+    fits AS (
+      SELECT post, CAST(n AS BIGINT) AS nn, bpv,
+             CASE WHEN n >= 2 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) END AS b1,
+             (CAST(sy AS DOUBLE)
+              - (CASE WHEN n >= 2 THEN
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) END)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS a1
+      FROM seg
+    )
+    SELECT pre.nn AS n_pre, post.nn AS n_post,
+           CAST(post.bpv AS BIGINT) AS breakpoint,
+           round(pre.b1 / 1000000.0, 6) AS slope_pre,
+           round(post.b1 / 1000000.0, 6) AS slope_post,
+           round((post.b1 - pre.b1) / 1000000.0, 6) AS slope_delta,
+           round(((post.a1 + post.b1 * CAST(post.bpv AS DOUBLE))
+                  - (pre.a1 + pre.b1 * CAST(post.bpv AS DOUBLE)))
+                 / 1000000.0, 6) AS level_delta
+    FROM (SELECT * FROM fits WHERE NOT post) pre
+    CROSS JOIN (SELECT * FROM fits WHERE post) post
+    """,
+)
+def q_trendbreak(spark, sf_dir):
+    """Segmented OLS around the median day (operators/behavior.py:
+    trend_break) over daily event volume — the SIZE estimate for the
+    shifts q_cusum/q_ph detect: slopes before/after, the slope change
+    and the level jump at the breakpoint. Exact integer moments on
+    decimal(38,0)/HUGEINT, exact-percentile breakpoint, fixed-shape
+    double closed forms — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import trend_break
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return trend_break(daily, "day_idx", "n")
+
+
+@query(
+    "q_by",
+    """
+    WITH hyp AS (
+      SELECT DISTINCT event_type || ':' || CAST(event_id % 16 AS VARCHAR)
+               AS metric
+      FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    ),
+    panel AS (
+      SELECT metric,
+             (('0x' || substr(md5(metric), 1, 8))::BIGINT % 1000000)
+               / 1000000.0 AS u
+      FROM hyp
+    ),
+    pv AS (SELECT metric, u * u AS p FROM panel),
+    ranked AS (
+      SELECT metric, p,
+             CAST(row_number() OVER (ORDER BY p, metric) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    cm AS (
+      SELECT CAST(sum(CAST(round(1000000000000.0 / i) AS BIGINT))
+                  AS BIGINT) AS cs
+      FROM ranked
+    ),
+    adj AS (
+      SELECT metric, p, i, m,
+             min(p * m * (CAST(cs AS DOUBLE) / 1000000000000.0) / i)
+               OVER (ORDER BY i DESC) AS q0
+      FROM ranked CROSS JOIN cm
+    ),
+    k AS (
+      SELECT max(CASE WHEN p * m * (CAST(cs AS DOUBLE) / 1000000000000.0)
+                       <= i * 0.1 THEN i END) AS kk
+      FROM ranked CROSS JOIN cm
+    )
+    SELECT metric, round(p, 6) AS p, i AS rank, m,
+           round(least(q0, 1.0), 6) AS q_value,
+           i <= coalesce(kk, 0) AS rejected
+    FROM adj CROSS JOIN k
+    """,
+)
+def q_by(spark, sf_dir):
+    """Benjamini-Yekutieli FDR control (operators/stats.py:bh_fdr
+    method='by') over the q_bh hypothesis panel — the dependence-
+    robust form for CORRELATED metric slices: the BH line divided by
+    the harmonic factor c(m), computed as an exact scaled-long sum
+    over the already-ranked panel (no extra exchange). Same fused
+    rank + suffix-min machinery — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import bh_fdr
+
+    e = load_tables(spark, sf_dir)["events"]
+    hyp = (
+        e.where(
+            F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+        )
+        .select(
+            F.concat_ws(
+                ":",
+                F.col("event_type"),
+                (F.col("event_id") % 16).cast("string"),
+            ).alias("metric")
+        )
+        .distinct()
+    )
+    u = (
+        F.conv(F.substring(F.md5("metric"), 1, 8), 16, 10).cast("long")
+        % 1000000
+    ) / F.lit(1000000.0)
+    panel = hyp.select("metric", (u * u).alias("p"))
+    return bh_fdr(panel, "p", "metric", alpha=0.1, method="by")
+
+
+@query(
     "q_ad",
     """
     WITH base AS (
@@ -11617,8 +11767,6 @@ _GATE_WINDOW = [
     "q_pagerank",
     "q_kcore",
     "sim_topk",
-    "q_centroid_sim",
-    "q_containment",
     "q_asof",
     "q_sessionize",
     # --- written this round: first driver hashing ---
@@ -11633,6 +11781,8 @@ _GATE_WINDOW = [
     "q_ph",
     "q_stl_by_type",
     "q_ad",
+    "q_trendbreak",
+    "q_by",
 ]
 
 

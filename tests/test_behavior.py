@@ -849,3 +849,33 @@ def test_seasonal_decompose_grouped_isolated(spark):
         assert out[("b", i)]["residual"] == 0.0
         assert not out[("b", i)]["anomaly"]
         assert out[("b", i)]["seasonal"] == 5.0
+
+
+def test_trend_break_hand_computed(spark):
+    """Flat 10s then a line 20 + 2*(x - 5): pre slope 0, post slope 2,
+    and the level gap at the breakpoint equals the fitted difference.
+    Explicit and median-default breakpoints agree on this series."""
+    from kafka_streams_plumber_spark.operators.behavior import trend_break
+
+    rows = [(x, 10.0) for x in range(5)] + [
+        (x, 20.0 + 2.0 * (x - 5)) for x in range(5, 10)
+    ]
+    df = spark.createDataFrame(rows, "x long, v double")
+    r = trend_break(df, "x", "v", breakpoint=5).collect()[0]
+    assert (r["n_pre"], r["n_post"], r["breakpoint"]) == (5, 5, 5)
+    assert r["slope_pre"] == 0.0 and r["slope_post"] == 2.0
+    assert r["slope_delta"] == 2.0
+    # fitted pre at x=5 is 10; fitted post at x=5 is 20
+    assert r["level_delta"] == 10.0
+
+    # median default: median x of 0..9 = 4.5, floor -> 4
+    m = trend_break(df, "x", "v").collect()[0]
+    assert m["breakpoint"] == 4 and m["n_pre"] == 4
+
+    # single-point segment: NULL fit, counts intact
+    tiny = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0)], "x long, v double"
+    )
+    t = trend_break(tiny, "x", "v", breakpoint=2).collect()[0]
+    assert t["n_post"] == 1 and t["slope_post"] is None
+    assert t["slope_pre"] == 1.0 and t["slope_delta"] is None

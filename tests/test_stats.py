@@ -937,3 +937,38 @@ def test_ad_test_matches_paper_reference(spark):
     )
     r = ad_test(solo, "v", "g", "a", "b").collect()[0]
     assert r["a2"] is None and r["n_b"] == 0
+
+
+def test_bh_fdr_by_method_more_conservative(spark):
+    """BY divides the BH line by c(m): on the same panel it can only
+    reject a subset of BH's rejections, q-values scale by exactly
+    c(m), and method='bh' stays bit-identical to the default."""
+    from kafka_streams_plumber_spark.operators.stats import bh_fdr
+
+    rows = [(f"h{i}", p) for i, p in enumerate(
+        [0.001, 0.004, 0.019, 0.03, 0.2, 0.5, 0.9, 0.95]
+    )]
+    df = spark.createDataFrame(rows, "id string, p double")
+    bh = {r["id"]: r for r in bh_fdr(df, "p", "id", alpha=0.1).collect()}
+    bh2 = {
+        r["id"]: r
+        for r in bh_fdr(df, "p", "id", alpha=0.1, method="bh").collect()
+    }
+    assert bh == bh2  # the 1.0 multiply is an IEEE no-op
+    by = {
+        r["id"]: r
+        for r in bh_fdr(df, "p", "id", alpha=0.1, method="by").collect()
+    }
+    rej_bh = {k for k, r in bh.items() if r["rejected"]}
+    rej_by = {k for k, r in by.items() if r["rejected"]}
+    assert rej_by <= rej_bh and rej_by  # conservative but not empty
+    cm = sum(round(1e12 / i) / 1e12 for i in range(1, 9))
+    for k in bh:
+        if bh[k]["q_value"] < 1.0 / cm - 1e-9:
+            assert abs(by[k]["q_value"] - round(
+                bh[k]["q_value"] * cm, 4)) < 2e-4
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bh_fdr(df, "p", "id", method="holm")

@@ -152,6 +152,8 @@ AUDITED = {
     "q_graph_jaccard": "center-keyed wedge equi-join (hub-cappable); O(V) degree joins; integer ratio divided once",
     "q_ph": "two fused running_agg passes (sum+pos, then sum+min_of_sum in ONE exchange each); no other shuffles",
     "q_ad": "distinct-grain fused prefix for midranks; ranked harmonic prefix + mirrored-index equi-join for sigma",
+    "q_trendbreak": "one exact-percentile broadcast + ONE grouped-moments aggregate over the two segments",
+    "q_by": "same fused rank+suffix-min exchange as q_bh; harmonic c(m) is an aggregate on the ranked frame",
     "q_stl_by_type": "per-group phase/level/MAD medians on O(groups) grains joined back; pure column math between",
     "q_krippendorff_ordinal": "O(categories) rank-score cumsum broadcast back; then the interval moment machinery",
     "q_cusum": "O(days) grain after one agg; prefix sum + prefix min ride range exchanges with O(P) offsets",

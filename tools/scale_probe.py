@@ -110,6 +110,8 @@ PROBED = [
     "q_t_closeness",
     "q_graph_jaccard",
     "q_ad",
+    "q_trendbreak",
+    "q_by",
 ]
 
 
