@@ -1172,6 +1172,82 @@ def seasonal_decompose(
     )
 
 
+def seasonal_strength(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    *,
+    period: int,
+    group_cols: list[str] | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Seasonal-strength measure (Hyndman's F_s) over a bucketed
+    series: ``F_s = max(0, 1 - Var(residual) / Var(seasonal +
+    residual))`` from the :func:`seasonal_decompose` components — the
+    gate that says whether the weekly/daily pattern is REAL before
+    anyone trusts seasonality-aware anomaly flags (F_s near 0: no
+    seasonality, use :func:`cusum`/:func:`page_hinkley`; near 1:
+    strongly seasonal, q_stl-style flags are meaningful).
+
+    One row (per group with ``group_cols``): ``(n_buckets, strength)``
+    6 dp; NULL when the detrended series is constant.
+
+    Exactness: the decomposition's seasonal/residual are the exact-
+    percentile components (both engines interpolate identically);
+    variances use the population integer kernel ``n*Q - T^2`` over
+    scaled longs, so the ratio is exact up to one double division —
+    SQL replays bit-for-bit.
+
+    Scale design: :func:`seasonal_decompose`'s plan plus ONE
+    map-combinable moments aggregate; nothing new shuffles.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    groups = list(group_cols or [])
+    d = seasonal_decompose(
+        df, index_col, value_col, period=period, group_cols=group_cols
+    )
+    # detrended = seasonal-centered + residual; residual already 6 dp
+    sr = (
+        F.col(value_col).cast("double") - F.col("level")
+    )  # seasonal + residual
+    s = d.select(
+        *groups,
+        F.round(sr * scale, 0).cast("long").alias("_sr"),
+        F.round(F.col("residual") * scale, 0).cast("long").alias("_r"),
+    )
+    agg = s.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_r").cast("decimal(38,0)").alias("_tr"),
+        F.sum(
+            F.col("_r").cast("decimal(19,0)") * F.col("_r").cast("decimal(19,0)")
+        ).alias("_qr"),
+        F.sum("_sr").cast("decimal(38,0)").alias("_ts"),
+        F.sum(
+            F.col("_sr").cast("decimal(19,0)")
+            * F.col("_sr").cast("decimal(19,0)")
+        ).alias("_qs"),
+    )
+    vr = (F.col("_n") * F.col("_qr") - F.col("_tr") * F.col("_tr")).cast(
+        "double"
+    )
+    vs = (F.col("_n") * F.col("_qs") - F.col("_ts") * F.col("_ts")).cast(
+        "double"
+    )
+    # explicit zero-variance guard: greatest() SKIPS NULLs in both
+    # engines, so 1 - vr/NULL would silently collapse to 0.0 instead
+    # of the documented NULL for a constant detrended series
+    return agg.select(
+        *groups,
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.when(
+            vs > 0,
+            F.round(
+                F.greatest(F.lit(0.0), F.lit(1.0) - vr / vs), 6
+            ),
+        ).alias("strength"),
+    )
+
+
 def trend_break(
     df: DataFrame,
     index_col: str,

@@ -11347,6 +11347,86 @@ def q_ad(spark, sf_dir):
 
 
 @query(
+    "q_stl_strength",
+    """
+    WITH daily AS (
+      SELECT event_type AS g,
+             CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ph AS (SELECT *, day_idx % 7 AS phase FROM daily),
+    seas AS (
+      SELECT g, phase, median(CAST(n AS DOUBLE)) AS seasonal
+      FROM ph GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT ph.*, seas.seasonal,
+             CAST(ph.n AS DOUBLE) - seas.seasonal AS dd
+      FROM ph JOIN seas USING (g, phase)
+    ),
+    lev AS (SELECT g, median(dd) AS level FROM d GROUP BY 1),
+    r AS (
+      SELECT d.*, lev.level, d.dd - lev.level AS rr
+      FROM d JOIN lev USING (g)
+    ),
+    s AS (
+      SELECT g,
+             CAST(round((CAST(n AS DOUBLE) - level) * 1000000) AS BIGINT)
+               AS sr,
+             CAST(round(round(rr, 6) * 1000000) AS BIGINT) AS rres
+      FROM r
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS nn,
+             CAST(sum(rres) AS HUGEINT) AS tr,
+             CAST(sum(CAST(rres AS HUGEINT) * rres) AS HUGEINT) AS qr,
+             CAST(sum(sr) AS HUGEINT) AS ts,
+             CAST(sum(CAST(sr AS HUGEINT) * sr) AS HUGEINT) AS qs
+      FROM s GROUP BY 1
+    )
+    SELECT g AS event_type, CAST(nn AS BIGINT) AS n_buckets,
+           CASE WHEN CAST(nn * qs - ts * ts AS DOUBLE) > 0 THEN
+             round(greatest(0.0, 1.0 - CAST(nn * qr - tr * tr AS DOUBLE)
+                   / CAST(nn * qs - ts * ts AS DOUBLE)), 6) END
+             AS strength
+    FROM agg
+    """,
+)
+def q_stl_strength(spark, sf_dir):
+    """Seasonal strength F_s per event type (operators/behavior.py:
+    seasonal_strength) — the gate on q_stl_by_type's flags: is the
+    weekly pattern REAL (F_s -> 1) or should the feed fall back to
+    the unseasonal detectors (F_s -> 0)? Population integer variance
+    kernels over scaled longs on the decompose components; one double
+    division — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        seasonal_strength,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return seasonal_strength(
+        daily, "day_idx", "n", period=7, group_cols=["event_type"]
+    )
+
+
+@query(
     "q_acf",
     """
     WITH daily AS (

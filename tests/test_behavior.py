@@ -879,3 +879,32 @@ def test_trend_break_hand_computed(spark):
     t = trend_break(tiny, "x", "v", breakpoint=2).collect()[0]
     assert t["n_post"] == 1 and t["slope_post"] is None
     assert t["slope_pre"] == 1.0 and t["slope_delta"] is None
+
+
+def test_seasonal_strength_separates_seasonal_from_noise(spark):
+    """A clean alternating series has strength 1 (zero residual
+    variance); a constant series is NULL (zero detrended variance);
+    groups are independent."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        seasonal_strength,
+    )
+
+    rows = [("seasonal", i, [10.0, 20.0][i % 2]) for i in range(12)] + [
+        ("flat", i, 7.0) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "g string, idx long, v double")
+    got = {
+        r["g"]: r
+        for r in seasonal_strength(
+            df, "idx", "v", period=2, group_cols=["g"]
+        ).collect()
+    }
+    assert got["seasonal"]["strength"] == 1.0
+    assert got["flat"]["strength"] is None  # constant: no variance at all
+    assert got["seasonal"]["n_buckets"] == 12
+
+    # pure noise with no period-2 structure: strength near 0
+    noise = [(i, float((i * 37 + 11) % 7)) for i in range(40)]
+    ndf = spark.createDataFrame(noise, "idx long, v double")
+    s = seasonal_strength(ndf, "idx", "v", period=2).collect()[0]
+    assert s["strength"] is not None and s["strength"] < 0.2

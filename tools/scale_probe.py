@@ -112,6 +112,7 @@ PROBED = [
     "q_ad",
     "q_trendbreak",
     "q_by",
+    "q_stl_strength",
 ]
 
 
