@@ -11847,7 +11847,6 @@ _GATE_WINDOW = [
     "q_pagerank",
     "q_kcore",
     "sim_topk",
-    "q_asof",
     "q_sessionize",
     # --- written this round: first driver hashing ---
     "q_krippendorff_interval",
@@ -11863,6 +11862,7 @@ _GATE_WINDOW = [
     "q_ad",
     "q_trendbreak",
     "q_by",
+    "q_stl_strength",
 ]
 
 
