@@ -2141,3 +2141,86 @@ def ad_test(
             F.when(ok, (a2 - 1) / F.sqrt(sigma2)), 6
         ).alias("a2_standardized"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    *,
+    center: str = "median",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a bucketed series —
+    the residual-diagnostics companion to :func:`autocorrelation`:
+    after :func:`~kafka_streams_plumber_spark.operators.behavior.
+    seasonal_decompose`, too FEW sign runs around the center mean the
+    residuals still trend (the model missed structure), too MANY mean
+    oscillation. One row ``(n_above, n_below, runs, z)``: z is the
+    normal approximation ``(R - mu)/sigma`` with ``mu = 2ab/n + 1``,
+    ``sigma^2 = 2ab(2ab - n)/(n^2 (n-1))``. Values EQUAL to the
+    center are dropped (the standard treatment); z is NULL when
+    either side is empty or n < 2.
+
+    ``center="median"`` (exact interpolated percentile — the engine's
+    cross-engine-identical form) or ``"zero"`` (for residuals already
+    centered).
+
+    Exactness: the run count is an exact integer (1 + #sign changes
+    between ORDER-consecutive kept rows); a, b, R feed one fixed-shape
+    double expression — SQL replays bit-for-bit.
+
+    Scale design: signs are one broadcast-center projection; order-
+    consecutive pairs come from the parallel rank (range exchange +
+    O(P) offsets) and ONE narrow self equi-join on rank+1 — never an
+    unpartitioned window. Aggregates are map-combinable.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import running_agg
+
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(index_col).isNotNull() & v.isNotNull()
+    ).select(F.col(index_col).alias("_i"), v.alias("_v"))
+    if center == "median":
+        c = base.agg(F.expr("percentile(_v, 0.5)").alias("_c"))
+        base = base.crossJoin(F.broadcast(c))
+    elif center == "zero":
+        base = base.withColumn("_c", F.lit(0.0))
+    else:
+        raise ValueError(f"unknown center: {center!r}")
+    kept = base.where(F.col("_v") != F.col("_c")).select(
+        "_i", (F.col("_v") > F.col("_c")).alias("_s")
+    )
+    ranked = running_agg(kept, ["_i"], [], pos_col="_p")
+    a = ranked.select(F.col("_p").alias("_pn"), F.col("_s").alias("_sa"))
+    b = ranked.select((F.col("_p") - 1).alias("_pn"), F.col("_s").alias("_sb"))
+    changes = a.join(b, "_pn").agg(
+        F.coalesce(
+            F.sum((F.col("_sa") != F.col("_sb")).cast("long")), F.lit(0)
+        ).alias("_ch")
+    )
+    counts = ranked.agg(
+        F.coalesce(F.sum(F.col("_s").cast("long")), F.lit(0)).alias("_a"),
+        F.coalesce(F.sum((~F.col("_s")).cast("long")), F.lit(0)).alias("_b"),
+    )
+    out = counts.crossJoin(F.broadcast(changes))
+    n = (F.col("_a") + F.col("_b")).cast("double")
+    ab2 = 2.0 * F.col("_a").cast("double") * F.col("_b").cast("double")
+    runs = (F.col("_ch") + 1).cast("long")
+    mu = ab2 / n + 1
+    sigma2 = ab2 * (ab2 - n) / (n * n * (n - 1))
+    ok = (F.col("_a") > 0) & (F.col("_b") > 0) & (n > 1)
+    return out.select(
+        F.col("_a").cast("long").alias("n_above"),
+        F.col("_b").cast("long").alias("n_below"),
+        F.when(ok, runs).alias("runs"),
+        # nullif: at a=b=1, 2ab == n makes sigma^2 exactly 0 — Spark's
+        # x/0.0 is NULL but IEEE engines give inf; force NULL in both
+        F.round(
+            F.when(
+                ok,
+                (runs.cast("double") - mu)
+                / F.nullif(F.sqrt(sigma2), F.lit(0.0)),
+            ),
+            6,
+        ).alias("z"),
+    )

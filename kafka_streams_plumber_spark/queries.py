@@ -11427,6 +11427,77 @@ def q_stl_strength(spark, sf_dir):
 
 
 @query(
+    "q_runs",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS i,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    c AS (SELECT median(CAST(v AS DOUBLE)) AS ctr FROM daily),
+    kept AS (
+      SELECT i, (CAST(v AS DOUBLE) > ctr) AS s
+      FROM daily CROSS JOIN c WHERE CAST(v AS DOUBLE) <> ctr
+    ),
+    rk AS (
+      SELECT s, CAST(row_number() OVER (ORDER BY i) - 1 AS BIGINT) AS p
+      FROM kept
+    ),
+    ch AS (
+      SELECT CAST(coalesce(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS chg
+      FROM rk a JOIN rk b ON b.p - 1 = a.p
+    ),
+    cn AS (
+      SELECT CAST(coalesce(sum(CASE WHEN s THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS na,
+             CAST(coalesce(sum(CASE WHEN s THEN 0 ELSE 1 END), 0)
+                  AS BIGINT) AS nb
+      FROM rk
+    ),
+    fin AS (
+      SELECT na, nb, chg,
+             CAST(na + nb AS DOUBLE) AS n,
+             2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS ab2
+      FROM cn CROSS JOIN ch
+    )
+    SELECT na AS n_above, nb AS n_below,
+           CASE WHEN na > 0 AND nb > 0 AND n > 1
+                THEN chg + 1 END AS runs,
+           round(CASE WHEN na > 0 AND nb > 0 AND n > 1 THEN
+             (CAST(chg + 1 AS DOUBLE) - (ab2 / n + 1))
+             / nullif(sqrt(ab2 * (ab2 - n) / (n * n * (n - 1))), 0.0)
+           END, 6) AS z
+    FROM fin
+    """,
+)
+def q_runs(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators/stats.py:runs_test) on
+    daily event volume around its median — the randomness diagnostic
+    that pairs with q_acf (too few sign runs = trending, too many =
+    oscillating). Exact integer run/side counts from the parallel
+    rank + one narrow rank+1 self equi-join; one fixed-shape double z
+    — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import runs_test
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return runs_test(daily, "day_idx", "n")
+
+
+@query(
     "q_acf",
     """
     WITH daily AS (
@@ -11847,7 +11918,6 @@ _GATE_WINDOW = [
     "q_pagerank",
     "q_kcore",
     "sim_topk",
-    "q_sessionize",
     # --- written this round: first driver hashing ---
     "q_krippendorff_interval",
     "q_krippendorff_ordinal",
@@ -11863,6 +11933,7 @@ _GATE_WINDOW = [
     "q_trendbreak",
     "q_by",
     "q_stl_strength",
+    "q_runs",
 ]
 
 

@@ -972,3 +972,43 @@ def test_bh_fdr_by_method_more_conservative(spark):
 
     with _pt.raises(ValueError):
         bh_fdr(df, "p", "id", method="holm")
+
+
+def test_runs_test_hand_computed(spark):
+    """Residuals [+,+,-,-,+] around zero: a=3, b=2, runs=3,
+    z = (3 - 3.4)/sqrt(0.84). Median-center drops ties; degenerate
+    panels (one-sided, or a=b=1 where sigma is exactly 0) give NULL."""
+    from kafka_streams_plumber_spark.operators.stats import runs_test
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (2, -1.0), (3, -1.0), (4, 1.0)],
+        "idx long, v double",
+    )
+    r = runs_test(df, "idx", "v", center="zero").collect()[0]
+    assert (r["n_above"], r["n_below"], r["runs"]) == (3, 2, 3)
+    assert r["z"] == round((3 - 3.4) / 0.84**0.5, 6)
+
+    # median center: [10, 20, 10, 20, 30] -> median 20, ties dropped,
+    # kept signs F,F,T -> runs 2
+    med = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10.0, 20.0, 10.0, 20.0, 30.0])],
+        "idx long, v double",
+    )
+    m = runs_test(med, "idx", "v").collect()[0]
+    assert (m["n_above"], m["n_below"], m["runs"]) == (1, 2, 2)
+    assert m["z"] == round((2 - (4 / 3 + 1)) / ((4 * 1) / (9 * 2)) ** 0.5, 6)
+
+    # one-sided: NULL
+    one = spark.createDataFrame([(0, 5.0), (1, 6.0)], "idx long, v double")
+    o = runs_test(one, "idx", "v", center="zero").collect()[0]
+    assert o["runs"] is None and o["z"] is None
+
+    # a=b=1: sigma^2 == 0 exactly -> NULL z in both engines
+    ab1 = spark.createDataFrame([(0, 1.0), (1, -1.0)], "idx long, v double")
+    a1 = runs_test(ab1, "idx", "v", center="zero").collect()[0]
+    assert a1["runs"] == 2 and a1["z"] is None
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        runs_test(df, "idx", "v", center="mean")

@@ -113,6 +113,7 @@ PROBED = [
     "q_trendbreak",
     "q_by",
     "q_stl_strength",
+    "q_runs",
 ]
 
 
@@ -237,6 +238,12 @@ def main() -> None:
         "- BENCH_r06's `q_funnel_window` 0.740 s (vs 0.513 in r5) is the same",
         "  event: an isolated fresh-session 5-rep re-measure gave [1.161,",
         "  0.682, 0.683, 0.692, 0.562] — min 0.562 s, inside the r4-r5 band.",
+        "- r7 in-round informal bench (host load-average ~6 at measurement",
+        "  time): `q_percentiles` read 1.2-2.1 s isolated (r6: 0.973) while",
+        "  `dedup_minhash` stayed at 0.79-0.83 s — the percentile range",
+        "  exchange is the contention-sensitive stage; its plan is unchanged",
+        "  (PLANS.md) and its probe ratio is ~2x, so treat high headline",
+        "  readings of q_percentiles under load as environmental.",
         "",
         "## Known super-linear entries (by design, with a scale path)",
         "",
