@@ -193,6 +193,12 @@ def main() -> None:
         f"Generated by `tools/plan_report.py` at sf dir `{args.sf}` "
         "(plan SHAPE is data-independent; AQE may further coalesce at runtime).",
         "",
+        "Shuffle counts are COMPILE-TIME Exchange nodes: a plan that",
+        "broadcasts several scalar aggregates of the same subtree (q_ad,",
+        "q_by, q_bh) counts that subtree's exchanges once per branch —",
+        "at runtime Spark's ReuseExchange/AQE dedupes them, so the",
+        "SCALING probe wall times are the ground truth for such plans.",
+        "",
         "| query | shuffles | broadcast joins | codegen spans | python evals | pushed filters |",
         "|---|---|---|---|---|---|",
     ]
