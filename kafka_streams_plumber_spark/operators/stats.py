@@ -1878,6 +1878,7 @@ def autocorrelation(
     value_col: str,
     *,
     max_lag: int,
+    group_cols: list[str] | None = None,
     scale: int = 10**6,
 ) -> DataFrame:
     """Sample autocorrelation function (ACF) of a bucketed series at
@@ -1902,19 +1903,27 @@ def autocorrelation(
     (n*Q ~ n^2*v^2 needs n*v_scaled < ~1e19: fine for any bucketed
     series), one double division per lag. SQL replays bit-for-bit.
 
+    ``group_cols`` runs one INDEPENDENT ACF per group in the same
+    plan — the fleet form for diagnosing many feeds at once (pairs
+    only form within a group; every moment is per-group).
+
     Scale design: the series is already on the bucketed grain
     (O(buckets) rows). One explode to (lag, t) keys — max_lag * n
     narrow rows — one EQUI-join back to the series on the shifted
-    index (never a range join), one map-combinable per-lag aggregate,
-    and a single-row global-moments broadcast. No windows, no Python.
+    (group, index) key (never a range join), one map-combinable
+    per-(group, lag) aggregate, and an O(groups)-row moments frame
+    joined back under AQE broadcast. No windows, no Python.
     """
     assert max_lag >= 1
+    groups = list(group_cols or [])
     v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
     base = df.where(
         F.col(index_col).isNotNull() & F.col(value_col).isNotNull()
-    ).select(F.col(index_col).cast("long").alias("_i"), v.alias("_v"))
+    ).select(
+        *groups, F.col(index_col).cast("long").alias("_i"), v.alias("_v")
+    )
 
-    tot = base.agg(
+    tot = base.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.sum("_v").cast("decimal(38,0)").alias("_t"),
         F.sum(
@@ -1922,15 +1931,18 @@ def autocorrelation(
         ).alias("_q"),
     )
     lagged = base.select(
+        *groups,
         "_i",
         F.col("_v").alias("_va"),
         F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
     ).withColumn("_j", F.col("_i") + F.col("lag"))
     pairs = lagged.join(
-        base.select(F.col("_i").alias("_j"), F.col("_v").alias("_vb")),
-        "_j",
+        base.select(
+            *groups, F.col("_i").alias("_j"), F.col("_v").alias("_vb")
+        ),
+        [*groups, "_j"],
     )
-    per_lag = pairs.groupBy("lag").agg(
+    per_lag = pairs.groupBy(*groups, "lag").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_k"),
         F.sum(
             F.col("_va").cast("decimal(19,0)")
@@ -1939,13 +1951,15 @@ def autocorrelation(
         F.sum("_va").cast("decimal(38,0)").alias("_h"),
         F.sum("_vb").cast("decimal(38,0)").alias("_g"),
     )
-    # keep empty lags visible: left join the full lag spine
-    spine = df.sparkSession.range(1, max_lag + 1).select(
+    # keep empty lags visible: left join the (group x lag) spine
+    lag_spine = df.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
     )
-    out = (
-        spine.join(per_lag, "lag", "left")
-        .crossJoin(F.broadcast(tot))
+    spine = tot.select(*groups).crossJoin(F.broadcast(lag_spine))
+    out = spine.join(per_lag, [*groups, "lag"], "left").join(
+        F.broadcast(tot), groups
+    ) if groups else spine.join(per_lag, ["lag"], "left").crossJoin(
+        F.broadcast(tot)
     )
     num = (
         F.col("_n") * F.col("_n") * F.col("_p")
@@ -1954,13 +1968,14 @@ def autocorrelation(
     )
     den = F.col("_n") * (F.col("_n") * F.col("_q") - F.col("_t") * F.col("_t"))
     return out.select(
+        *groups,
         "lag",
         F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("n_pairs"),
         F.round(
             num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)),
             6,
         ).alias("acf"),
-    ).orderBy("lag")
+    ).orderBy(*groups, "lag")
 
 
 def ad_test(

@@ -11427,6 +11427,165 @@ def q_stl_strength(spark, sf_dir):
 
 
 @query(
+    "q_acf_by_type",
+    """
+    WITH daily AS (
+      SELECT event_type AS grp,
+             CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS i,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS t,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+      FROM daily GROUP BY 1
+    ),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 8)),
+    spine AS (
+      SELECT grp, lag FROM (SELECT grp FROM tot) CROSS JOIN lags
+    ),
+    pairs AS (
+      SELECT a.grp, l.lag, a.v AS va, b.v AS vb
+      FROM lags l JOIN daily a ON TRUE
+      JOIN daily b ON b.grp = a.grp AND b.i = a.i + l.lag
+    ),
+    per AS (
+      SELECT grp, lag, CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(CAST(va AS HUGEINT) * vb) AS HUGEINT) AS p,
+             CAST(sum(va) AS HUGEINT) AS h,
+             CAST(sum(vb) AS HUGEINT) AS g2
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT s.grp AS event_type, s.lag,
+           CAST(coalesce(per.k, 0) AS BIGINT) AS n_pairs,
+           round(CAST(n*n*p - n*t*(h+g2) + k*t*t AS DOUBLE)
+                 / nullif(CAST(n*(n*q - t*t) AS DOUBLE), 0.0), 6) AS acf
+    FROM spine s LEFT JOIN per ON per.grp = s.grp AND per.lag = s.lag
+    JOIN tot ON tot.grp = s.grp
+    """,
+)
+def q_acf_by_type(spark, sf_dir):
+    """Grouped ACF (operators/stats.py:autocorrelation with
+    group_cols): one independent autocorrelation per event type at
+    lags 1..7 — the fleet form of q_acf for diagnosing many feeds at
+    once (pairs form only within a group; moments are per-group).
+    Same n^2-cleared-mean exact-integer device; the per-group moments
+    frame joins back under AQE broadcast — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import autocorrelation
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return autocorrelation(
+        daily, "day_idx", "n", max_lag=7, group_cols=["event_type"], scale=1
+    )
+
+
+@query(
+    "q_stl_runs",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    ph AS (SELECT *, day_idx % 7 AS phase FROM daily),
+    seas AS (
+      SELECT phase, median(CAST(n AS DOUBLE)) AS seasonal
+      FROM ph GROUP BY 1
+    ),
+    d AS (
+      SELECT ph.*, seas.seasonal,
+             CAST(ph.n AS DOUBLE) - seas.seasonal AS dd
+      FROM ph JOIN seas USING (phase)
+    ),
+    lev AS (SELECT median(dd) AS level FROM d),
+    r AS (
+      SELECT d.*, lev.level, d.dd - lev.level AS rr
+      FROM d CROSS JOIN lev
+    ),
+    res AS (SELECT day_idx AS i, round(rr, 6) AS v FROM r),
+    kept AS (SELECT i, (v > 0.0) AS s FROM res WHERE v <> 0.0),
+    rk AS (
+      SELECT s, CAST(row_number() OVER (ORDER BY i) - 1 AS BIGINT) AS p
+      FROM kept
+    ),
+    ch AS (
+      SELECT CAST(coalesce(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS chg
+      FROM rk a JOIN rk b ON b.p - 1 = a.p
+    ),
+    cn AS (
+      SELECT CAST(coalesce(sum(CASE WHEN s THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS na,
+             CAST(coalesce(sum(CASE WHEN s THEN 0 ELSE 1 END), 0)
+                  AS BIGINT) AS nb
+      FROM rk
+    ),
+    fin AS (
+      SELECT na, nb, chg,
+             CAST(na + nb AS DOUBLE) AS nn,
+             2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS ab2
+      FROM cn CROSS JOIN ch
+    )
+    SELECT na AS n_above, nb AS n_below,
+           CASE WHEN na > 0 AND nb > 0 AND nn > 1
+                THEN chg + 1 END AS runs,
+           round(CASE WHEN na > 0 AND nb > 0 AND nn > 1 THEN
+             (CAST(chg + 1 AS DOUBLE) - (ab2 / nn + 1))
+             / nullif(sqrt(ab2 * (ab2 - nn) / (nn * nn * (nn - 1))), 0.0)
+           END, 6) AS z
+    FROM fin
+    """,
+)
+def q_stl_runs(spark, sf_dir):
+    """Runs test over q_stl's residuals (zero center) — the composed
+    residual-diagnostics chain: seasonal_decompose removes the weekly
+    pattern, runs_test then asks whether what remains is random
+    (validating q_stl's anomaly flags) or still structured (the model
+    missed a cycle — check q_acf for the period). Pure composition of
+    the two oracled operators — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        seasonal_decompose,
+    )
+    from kafka_streams_plumber_spark.operators.stats import runs_test
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = seasonal_decompose(daily, "day_idx", "n", period=7).select(
+        "day_idx", "residual"
+    )
+    return runs_test(res, "day_idx", "residual", center="zero")
+
+
+@query(
     "q_runs",
     """
     WITH daily AS (
@@ -11913,8 +12072,6 @@ _GATE_WINDOW = [
     "q_kmeans",
     "q1_pricing",
     "q_funnel_window",
-    "q_lm_ppl",
-    "q_min_k",
     "q_pagerank",
     "q_kcore",
     "sim_topk",
@@ -11934,6 +12091,8 @@ _GATE_WINDOW = [
     "q_by",
     "q_stl_strength",
     "q_runs",
+    "q_acf_by_type",
+    "q_stl_runs",
 ]
 
 

@@ -1012,3 +1012,37 @@ def test_runs_test_hand_computed(spark):
 
     with _pt.raises(ValueError):
         runs_test(df, "idx", "v", center="mean")
+
+
+def test_autocorrelation_grouped_isolated(spark):
+    """group_cols: pairs never cross groups, and each group's ACF
+    equals its own ungrouped computation."""
+    from kafka_streams_plumber_spark.operators.stats import autocorrelation
+
+    rows = [("a", i, float(i + 1)) for i in range(5)] + [
+        ("b", i, [3.0, 9.0][i % 2]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "g string, idx long, v double")
+    got = {
+        (r["g"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in autocorrelation(
+            df, "idx", "v", max_lag=2, group_cols=["g"], scale=1
+        ).collect()
+    }
+    # group a == the classic [1..5] hand case
+    assert got[("a", 1)] == (4, 0.4) and got[("a", 2)] == (3, -0.1)
+    # group b alternates: strong negative r1, positive r2
+    solo = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in autocorrelation(
+            spark.createDataFrame(
+                [(i, [3.0, 9.0][i % 2]) for i in range(6)], "idx long, v double"
+            ),
+            "idx",
+            "v",
+            max_lag=2,
+            scale=1,
+        ).collect()
+    }
+    assert got[("b", 1)] == solo[1] and got[("b", 2)] == solo[2]
+    assert got[("b", 1)][1] < 0 < got[("b", 2)][1]

@@ -156,6 +156,8 @@ AUDITED = {
     "q_by": "same fused rank+suffix-min exchange as q_bh; harmonic c(m) is an aggregate on the ranked frame",
     "q_stl_strength": "decompose plan + ONE map-combinable moments aggregate; nothing new shuffles",
     "q_runs": "broadcast center; parallel rank + ONE narrow rank+1 self equi-join; map-combinable counts",
+    "q_acf_by_type": "per-(group,lag) moments; shifted-key equi-join; O(groups) moments frame broadcast back",
+    "q_stl_runs": "pure composition: decompose residuals feed the runs-test rank + rank+1 join",
     "q_stl_by_type": "per-group phase/level/MAD medians on O(groups) grains joined back; pure column math between",
     "q_krippendorff_ordinal": "O(categories) rank-score cumsum broadcast back; then the interval moment machinery",
     "q_cusum": "O(days) grain after one agg; prefix sum + prefix min ride range exchanges with O(P) offsets",

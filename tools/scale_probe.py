@@ -114,6 +114,8 @@ PROBED = [
     "q_by",
     "q_stl_strength",
     "q_runs",
+    "q_acf_by_type",
+    "q_stl_runs",
 ]
 
 
