@@ -1201,7 +1201,6 @@ def seasonal_strength(
     Scale design: :func:`seasonal_decompose`'s plan plus ONE
     map-combinable moments aggregate; nothing new shuffles.
     """
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     groups = list(group_cols or [])
     d = seasonal_decompose(
         df, index_col, value_col, period=period, group_cols=group_cols
@@ -1281,7 +1280,6 @@ def trend_break(
     grouped-moments aggregate over the two segments. No windows, no
     joins of the data with itself, no Python.
     """
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     y = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
     base = df.where(
         F.col(index_col).isNotNull() & F.col(value_col).isNotNull()
@@ -1293,23 +1291,40 @@ def trend_break(
         base = base.crossJoin(F.broadcast(bp))
     else:
         base = base.withColumn("_bp", F.lit(int(breakpoint)).cast("long"))
-    seg = base.groupBy((F.col("_x") >= F.col("_bp")).alias("_post")).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
-        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
-        F.sum(
-            F.col("_x").cast("decimal(19,0)") * F.col("_x").cast("decimal(19,0)")
-        ).alias("_sxx"),
-        F.sum(
-            F.col("_x").cast("decimal(19,0)") * F.col("_y").cast("decimal(19,0)")
-        ).alias("_sxy"),
-        F.max("_bp").alias("_bpv"),
+    # Both segments' moments in ONE global conditional aggregate: a
+    # global agg always yields exactly one row, so the one-output-row
+    # contract holds even when a segment is empty (constant index,
+    # single bucket, breakpoint outside the index range) — a split +
+    # crossJoin would drop the surviving segment's fits with it.
+    post_c = F.col("_x") >= F.col("_bp")
+
+    def seg_aggs(cond, prefix):
+        x, yv = F.col("_x"), F.col("_y")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"_n_{prefix}"),
+            F.sum(F.when(cond, x)).cast("decimal(38,0)").alias(f"_sx_{prefix}"),
+            F.sum(F.when(cond, yv)).cast("decimal(38,0)").alias(f"_sy_{prefix}"),
+            F.sum(
+                F.when(cond, x.cast("decimal(19,0)") * x.cast("decimal(19,0)"))
+            ).alias(f"_sxx_{prefix}"),
+            F.sum(
+                F.when(cond, x.cast("decimal(19,0)") * yv.cast("decimal(19,0)"))
+            ).alias(f"_sxy_{prefix}"),
+        ]
+
+    out = base.agg(
+        *seg_aggs(~post_c, "pre"),
+        *seg_aggs(post_c, "post"),
+        F.max("_bp").alias("_bp2"),
     )
 
     def fit(prefix):
-        n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
-        den = (n * F.col("_sxx") - sx * sx).cast("double")
-        slope = (n * F.col("_sxy") - sx * sy).cast("double") / F.nullif(
+        n = F.col(f"_n_{prefix}")
+        sx, sy = F.col(f"_sx_{prefix}"), F.col(f"_sy_{prefix}")
+        den = (n * F.col(f"_sxx_{prefix}") - sx * sx).cast("double")
+        slope = (n * F.col(f"_sxy_{prefix}") - sx * sy).cast("double") / F.nullif(
             den, F.lit(0.0)
         )
         slope = F.when(n >= 2, slope)
@@ -1317,18 +1332,12 @@ def trend_break(
             sy.cast("double") - slope * sx.cast("double")
         ) / n.cast("double")
         return [
-            F.col("_n").cast("long").alias(f"n_{prefix}"),
+            n.cast("long").alias(f"n_{prefix}"),
             slope.alias(f"_b_{prefix}"),
             intercept.alias(f"_a_{prefix}"),
         ]
 
-    pre = seg.where(~F.col("_post")).select(
-        *fit("pre"), F.col("_bpv").alias("_bp1")
-    )
-    post = seg.where(F.col("_post")).select(
-        *fit("post"), F.col("_bpv").alias("_bp2")
-    )
-    out = pre.crossJoin(F.broadcast(post))
+    out = out.select(*fit("pre"), *fit("post"), "_bp2")
     bpd = F.col("_bp2").cast("double")
     fitted_pre = F.col("_a_pre") + F.col("_b_pre") * bpd
     fitted_post = F.col("_a_post") + F.col("_b_post") * bpd

@@ -941,7 +941,10 @@ def fleiss_kappa(
     r = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(unit_col).alias("_u"), F.col(rater_col).alias("_r"))
-        .agg(F.min(F.col(value_col).cast("string")).alias("_v"))
+        # min on the NATIVE type, cast after: numeric labels must
+        # collapse numerically (min(9, 10) = 9), not lexicographically
+        # (min("10", "9") = "10").
+        .agg(F.min(F.col(value_col)).cast("string").alias("_v"))
     )
     per_uc = r.groupBy("_u", "_v").agg(F.count(F.lit(1)).alias("_muc"))
     per_u = (

@@ -589,8 +589,17 @@ def t_closeness(
     # bounded by distinct pairs, and the partition key IS the combo),
     # then one per-combo aggregate of the present-category terms
     wg = Window.partitionBy(*quasi_cols)
+    # NULL-safe join: NULL sensitive values count as a category (they
+    # are an answer too), so a plain equi-join — which drops NULL keys
+    # — would exclude their per-combo mass while tot._N still counts
+    # them, skewing every distance. eqNullSafe keeps the NULL category
+    # in both the per-combo terms and the marginal.
     j = (
-        gc.join(F.broadcast(marg), "_s")
+        gc.join(
+            F.broadcast(marg.withColumnRenamed("_s", "_sm")),
+            F.col("_s").eqNullSafe(F.col("_sm")),
+        )
+        .drop("_sm")
         .crossJoin(F.broadcast(tot))
         .withColumn("_ng", F.sum("_ngc").over(wg))
     )

@@ -7695,7 +7695,7 @@ def q_l_diversity(spark, sf_dir):
       SELECT gc.*, marg.nc,
              CAST(sum(ngc) OVER (PARTITION BY lang, len_bucket)
                   AS BIGINT) AS ng
-      FROM gc JOIN marg USING (s)
+      FROM gc JOIN marg ON gc.s IS NOT DISTINCT FROM marg.s
     ),
     pg AS (
       SELECT lang, len_bucket, CAST(max(ng) AS HUGEINT) AS ng,

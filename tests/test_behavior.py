@@ -880,6 +880,28 @@ def test_trend_break_hand_computed(spark):
     assert t["n_post"] == 1 and t["slope_post"] is None
     assert t["slope_pre"] == 1.0 and t["slope_delta"] is None
 
+    # EMPTY segment still yields the contract's one row, with the
+    # surviving segment's fit intact: breakpoint beyond the index
+    # range leaves post empty ...
+    e = trend_break(tiny, "x", "v", breakpoint=99).collect()
+    assert len(e) == 1
+    assert (e[0]["n_pre"], e[0]["n_post"]) == (3, 0)
+    assert e[0]["slope_pre"] == 1.0 and e[0]["slope_post"] is None
+    assert e[0]["level_delta"] is None
+    # ... and below it leaves pre empty
+    e2 = trend_break(tiny, "x", "v", breakpoint=0).collect()
+    assert len(e2) == 1
+    assert (e2[0]["n_pre"], e2[0]["n_post"]) == (0, 3)
+    assert e2[0]["slope_post"] == 1.0 and e2[0]["slope_pre"] is None
+    # constant index with the median default: every row lands post
+    const_idx = spark.createDataFrame(
+        [(5, 1.0), (5, 2.0), (5, 3.0)], "x long, v double"
+    )
+    e3 = trend_break(const_idx, "x", "v").collect()
+    assert len(e3) == 1
+    assert (e3[0]["n_pre"], e3[0]["n_post"]) == (0, 3)
+    assert e3[0]["slope_post"] is None  # constant index: zero den
+
 
 def test_seasonal_strength_separates_seasonal_from_noise(spark):
     """A clean alternating series has strength 1 (zero residual

@@ -538,6 +538,41 @@ def test_fleiss_kappa_wikipedia_table(spark):
     assert g2["n_units"] == 10 and g2["kappa"] == got["kappa"]
 
 
+def test_fleiss_kappa_numeric_labels_collapse_numerically(spark):
+    """Duplicate (unit, rater) rows collapse to their MIN on the
+    NATIVE column type: for integer labels min(9, 10) = 9, not the
+    lexicographic min("10", "9") = "10"."""
+    from kafka_streams_plumber_spark.operators.classify import fleiss_kappa
+
+    # rater r0 double-rates u0 with 10 and 9 -> must collapse to 9,
+    # making u0 unanimous on 9 and u1 unanimous on 9: kappa = 1.0.
+    rows = [
+        ("u0", "r0", 10),
+        ("u0", "r0", 9),
+        ("u0", "r1", 9),
+        ("u1", "r0", 9),
+        ("u1", "r1", 9),
+    ]
+    df = spark.createDataFrame(rows, "unit string, rater string, label int")
+    got = fleiss_kappa(df, "unit", "rater", "label", n_raters=2).collect()[0]
+    assert got["n_categories"] == 1 and got["n_units"] == 2
+    # unanimity on one category: P_bar = 1, P_e = 1 -> 0/0 = NULL in
+    # the multiplied-through form; the point here is the collapse
+    # left ONE category, not two.
+
+    # a split panel where the lexicographic collapse would flip the
+    # answer: with min(10,9)=9 u0 agrees (9,9); with "10" it wouldn't.
+    rows2 = rows + [("u2", "r0", 9), ("u2", "r1", 10)]
+    g2 = fleiss_kappa(
+        spark.createDataFrame(rows2, "unit string, rater string, label int"),
+        "unit",
+        "rater",
+        "label",
+        n_raters=2,
+    ).collect()[0]
+    assert g2["n_categories"] == 2 and g2["n_units"] == 3
+
+
 def test_cronbach_alpha_reference_and_edges(spark):
     """4 units x 3 items: spark equals the independent pure-Python
     k/(k-1)*(1 - sum var_i / var_total); an incomplete unit is

@@ -848,6 +848,30 @@ def test_t_closeness_hand_computed(spark):
     r3 = t_closeness(uni, ["q"], "s", t=0.0).collect()[0]
     assert r3["max_distance"] == 0.0 and r3["combos_above_t"] == 0
 
+    # NULL sensitive values ARE a category (the docstring's contract):
+    # the marginal join must be null-safe or the NULL mass silently
+    # drops from per-combo terms while N still counts it.
+    # global: a=2, NULL=2 (N=4)
+    # combo g1 (2 rows): a=1, NULL=1 -> identical to global, dist 0
+    # combo g2 (2 rows): a=1, NULL=1 -> dist 0 as well
+    nulls = spark.createDataFrame(
+        [("g1", "a"), ("g1", None), ("g2", "a"), ("g2", None)],
+        "q string, s string",
+    )
+    rn = t_closeness(nulls, ["q"], "s", t=0.0).collect()[0]
+    assert rn["n_rows"] == 4 and rn["n_combos"] == 2
+    assert rn["max_distance"] == 0.0 and rn["combos_above_t"] == 0
+    # skewed NULL split: global a=2, NULL=2 (N=4);
+    # combo h1 (2 rows): a=2 -> (|2*4-2*2| + absent NULL: 2*2)/(2*2*4)
+    #   = (4+4)/16 = 0.5; combo h2 symmetric -> 0.5
+    skew = spark.createDataFrame(
+        [("h1", "a"), ("h1", "a"), ("h2", None), ("h2", None)],
+        "q string, s string",
+    )
+    rs = t_closeness(skew, ["q"], "s", t=0.4).collect()[0]
+    assert rs["n_rows"] == 4 and rs["combos_above_t"] == 2
+    assert rs["rows_exposed"] == 4 and rs["max_distance"] == 0.5
+
 
 def _ref_anderson_darling(a_vals, b_vals):
     """Scholz-Stephens (1987) eq. 7 midrank A2_akN + the published

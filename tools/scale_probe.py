@@ -246,6 +246,30 @@ def main() -> None:
         "  exchange is the contention-sensitive stage; its plan is unchanged",
         "  (PLANS.md) and its probe ratio is ~2x, so treat high headline",
         "  readings of q_percentiles under load as environmental.",
+        "- BENCH_r07's `q1_pricing` 0.607 / `q3_topk` 0.830 / `q_rollup`",
+        "  0.432 / `q_rfm` 0.662 (38-54% over r6) were the same disclosed",
+        "  load~6 contention event, adjudicated in r8 with two quiet-host",
+        "  artifacts (tools/remeasure.py, load1 0.06-1.09): (a) isolated",
+        "  fresh-session 5-rep re-measures — q1_pricing [0.984, 0.808,",
+        "  0.611, 0.613, 0.600] min 0.600, q3_topk [1.138, 0.794, 0.990,",
+        "  0.709, 0.675] min 0.675, q_rollup [0.453, 0.395, 0.553, 0.495,",
+        "  0.401] min 0.395, q_rfm [0.983, 0.960, 0.682, 0.639, 0.593]",
+        "  min 0.593 — q3_topk/q_rollup/q_rfm back inside the r5 band",
+        "  (isolated sessions carry less JVM warmup than the shared bench",
+        "  session, so their mins sit slightly above full-bench readings);",
+        "  and (b) a full shared-session bench.py run on the same quiet",
+        "  host: q1_pricing 0.412, q3_topk 0.534, q_rollup 0.320, q_rfm",
+        "  0.406, headline total 8.098 s — at or below every r6 value.",
+        "  Zero code or plan changes touched these queries in r7",
+        "  (PLANS.md rows identical).",
+        "- `q_containment` is the one r7-flagged query NOT fully explained",
+        "  by contention: quiet-host isolated reps [3.304, 2.895, 2.746,",
+        "  2.420, 3.272] min 2.420 and quiet full-bench 2.544 vs r6's",
+        "  1.941. Its plan is unchanged; the variance tracks the",
+        "  degenerate ~30-word-vocabulary corpus (see the super-linear",
+        "  note below) where every posting list is long and task skew",
+        "  dominates. The Zipfian-vocabulary fixture row below is the",
+        "  controlled evidence for the prefix filter itself.",
         "",
         "## Known super-linear entries (by design, with a scale path)",
         "",
