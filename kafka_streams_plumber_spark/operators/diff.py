@@ -10,7 +10,7 @@ record costs the same as comparing an int.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Field separator / NULL sentinel for the row digest. Unit separator +
@@ -400,4 +400,118 @@ def jsd_matrix(
             F.round("_jsd", 6).alias("jsd"),
             "n_values",
         )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    value_col: str,
+    *,
+    bins: int = 10,
+    lo: float,
+    hi: float,
+    baseline_days: int = 7,
+    threshold: float = 0.25,
+    smooth: float = 1e-6,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Rolling windowed distribution drift: for every (feed, day),
+    the PSI of that day's value distribution against the pooled
+    distribution of the trailing ``baseline_days`` calendar days —
+    the continuous-monitoring form of :func:`population_stability`
+    (which compares two fixed snapshots). This is the probe that
+    catches a feed whose histogram quietly deforms over days: CUSUM /
+    Page-Hinkley watch a single statistic's LEVEL, this watches the
+    whole SHAPE per feed.
+
+    ``day_col`` must be an integer day index where consecutive
+    calendar days differ by 1 (e.g. ``datediff(day, '1970-01-01')``) —
+    the baseline is a RANGE frame over day VALUES, so calendar gaps
+    (days with no rows) correctly contribute zero mass instead of
+    stretching the window (the gap-fill-calendar composition).
+
+    Per (group, day) with a nonempty baseline:
+    ``(day, n_cur, n_base, psi, drifted)`` — psi 6 dp, ``drifted`` =
+    psi > ``threshold`` (0.25 = the classic "investigate" bar). Days
+    with no preceding baseline rows (the first day(s) of a feed) are
+    omitted: there is nothing to compare against.
+
+    Exactness: bin shares are one double division each; per-day PSI
+    terms ride the scaled-long device (round(term * scale) summed as
+    longs — summation-order-proof), one final division — SQL replays
+    bit-for-bit.
+
+    Scale design: everything past the first map-combinable (group,
+    day, bin) count lives on the (groups x days x bins) grain — tiny
+    regardless of row count. The observed-day x observed-bin grid is
+    built per group from two distinct-aggregates of that grain (never
+    from the raw rows); the baseline is ONE range-frame window
+    partitioned by (group, bin); totals are two windows on (group,
+    day); the final PSI is a groupBy on the same grain. No joins of
+    the fact table with itself, no Python.
+    """
+    width = (hi - lo) / bins
+    bin_c = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+        ),
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull() & F.col(day_col).isNotNull())
+        .groupBy(
+            *group_cols,
+            F.col(day_col).cast("long").alias("_day"),
+            bin_c.alias("_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    days = counts.select(*group_cols, "_day").distinct()
+    bins_g = counts.select(*group_cols, "_bin").distinct()
+    grid = (
+        days.join(bins_g, list(group_cols))
+        if group_cols
+        else days.crossJoin(bins_g)
+    )
+    filled = grid.join(
+        counts, [*group_cols, "_day", "_bin"], "left"
+    ).withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0)))
+    w_base = (
+        Window.partitionBy(*group_cols, "_bin")
+        .orderBy("_day")
+        .rangeBetween(-baseline_days, -1)
+    )
+    w_day = Window.partitionBy(*group_cols, "_day")
+    staged = (
+        filled.withColumn(
+            "_bcnt", F.coalesce(F.sum("_cnt").over(w_base), F.lit(0))
+        )
+        .withColumn("_ct", F.sum("_cnt").over(w_day))
+        .withColumn("_bt", F.sum("_bcnt").over(w_day))
+    )
+    pn = F.col("_cnt") / F.col("_ct") + smooth
+    po = F.col("_bcnt") / F.col("_bt") + smooth
+    term = (pn - po) * F.log(pn / po)
+    out = (
+        staged.where(F.col("_bt") > 0)
+        .groupBy(*group_cols, "_day")
+        .agg(
+            F.max("_ct").cast("long").alias("n_cur"),
+            F.max("_bt").cast("long").alias("n_base"),
+            (
+                F.sum(F.round(term * scale, 0).cast("long")).cast("double")
+                / scale
+            ).alias("_psi"),
+        )
+    )
+    return out.select(
+        *group_cols,
+        F.col("_day").alias("day"),
+        "n_cur",
+        "n_base",
+        F.round("_psi", 6).alias("psi"),
+        (F.round("_psi", 6) > threshold).alias("drifted"),
     )

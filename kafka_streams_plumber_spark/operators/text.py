@@ -1498,3 +1498,61 @@ def distinctive_terms(
         rank_fn=F.row_number,
     )
     return top.select("side", "term", "count_a", "count_b", "zeta")
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Tokenizer-fertility audit per group (language x source is the
+    canonical grouping): BPE-ish tokens per word and per byte — the
+    standard pre-training sanity check for multilingual mixes. A
+    language whose fertility is far above the corpus norm is getting
+    over-segmented by the tokenizer (each word shatters into many
+    subword tokens), so its documents cost disproportionate sequence
+    length per unit of text and its token-budget share silently
+    shrinks in information terms.
+
+    Tokens are :func:`bpe_ish_tokens` (letter runs | digit runs |
+    single punctuation — the regex analog of a BPE pre-tokenizer);
+    words are nonempty whitespace tokens; bytes are UTF-8 octets.
+
+    One row per group: ``(n_docs, n_tokens, n_words, n_bytes,
+    tokens_per_word, tokens_per_100_bytes)`` — ratios 6 dp, NULL when
+    the denominator is zero (empty-text group).
+
+    Exactness: all three totals are exact integer sums; each ratio is
+    one double division + round — SQL replays bit-for-bit.
+
+    Scale design: ONE map-combinable aggregate over the documents
+    (the tokenize/count expressions are per-row codegen work, no
+    explode — counts come from size()); output is the group grid.
+    """
+    c = F.col(text_col)
+    n_tok = F.size(bpe_ish_tokens(c)).cast("long")
+    n_words = F.size(tokens_lower(c)).cast("long")
+    n_bytes = F.octet_length(c).cast("long")
+    agg = (
+        df.where(c.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+            F.sum(n_words).alias("n_words"),
+            F.sum(n_bytes).alias("n_bytes"),
+        )
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        "n_words",
+        "n_bytes",
+        F.round(
+            F.col("n_tokens") / F.nullif(F.col("n_words"), F.lit(0)), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.col("n_tokens") * 100.0 / F.nullif(F.col("n_bytes"), F.lit(0)), 6
+        ).alias("tokens_per_100_bytes"),
+    )

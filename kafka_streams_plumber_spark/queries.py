@@ -32,6 +32,8 @@ identically).
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +63,9 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # a duplicate registration would SILENTLY shadow the earlier
+        # query (and its oracle), dropping it from every gate
+        assert name not in QUERIES, f"duplicate query name: {name}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -12002,6 +12007,135 @@ def q_mannwhitney(spark, sf_dir):
     )
 
 
+@query(
+    "q_psi_drift",
+    """
+    WITH counts AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             least(9, greatest(0,
+               CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin,
+             count(*) AS cnt
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM counts),
+    binsg AS (SELECT DISTINCT event_type, bin FROM counts),
+    grid AS (
+      SELECT d.event_type, d.day, b.bin
+      FROM days d JOIN binsg b USING (event_type)
+    ),
+    filled AS (
+      SELECT g.event_type, g.day, g.bin, coalesce(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN counts c
+        ON c.event_type = g.event_type AND c.day = g.day AND c.bin = g.bin
+    ),
+    w AS (
+      SELECT event_type, day, bin, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY event_type, bin
+               ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+               0) AS bcnt
+      FROM filled
+    ),
+    t AS (
+      SELECT event_type, day, cnt, bcnt,
+             sum(cnt) OVER (PARTITION BY event_type, day) AS ct,
+             sum(bcnt) OVER (PARTITION BY event_type, day) AS bt
+      FROM w
+    ),
+    terms AS (
+      SELECT event_type, day, ct, bt,
+             cnt / CAST(ct AS DOUBLE) + 0.000001 AS pn,
+             bcnt / CAST(bt AS DOUBLE) + 0.000001 AS po
+      FROM t WHERE bt > 0
+    ),
+    pg AS (
+      SELECT event_type, day,
+             CAST(max(ct) AS BIGINT) AS n_cur,
+             CAST(max(bt) AS BIGINT) AS n_base,
+             CAST(sum(CAST(round((pn - po) * ln(pn / po)
+               * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000 AS psi
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_cur, n_base, round(psi, 6) AS psi,
+           round(psi, 6) > 0.25 AS drifted
+    FROM pg
+    """,
+)
+def q_psi_drift(spark, sf_dir):
+    """Rolling windowed distribution drift (operators/diff.py:
+    psi_drift): per (event feed, day), the PSI of that day's value
+    histogram vs the pooled trailing-7-day baseline — the SHAPE
+    monitor next to q_cusum/q_ph's LEVEL monitors, composing the
+    psi machinery with the gap-fill calendar (RANGE frame on the
+    integer day index, so missing days contribute zero mass). One
+    (feed, day, bin) count, one range-frame window, two day-grain
+    windows, one groupBy — everything past the first aggregate lives
+    on the tiny feeds x days x bins grain; PSI terms ride the
+    scaled-long device so the sum is order-proof."""
+    from kafka_streams_plumber_spark.operators.diff import psi_drift
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(F.col("ts").isNotNull()).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_idx"),
+        "value",
+    )
+    return psi_drift(
+        d,
+        ["event_type"],
+        "day_idx",
+        "value",
+        bins=10,
+        lo=0.0,
+        hi=500.0,
+        baseline_days=7,
+        threshold=0.25,
+    )
+
+
+@query(
+    "q_fertility_mix",
+    """
+    WITH per AS (
+      SELECT lang, source,
+             len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS t,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> '')) AS w,
+             strlen(text) AS b
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_tokens,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(b) AS BIGINT) AS n_bytes
+      FROM per GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, n_tokens, n_words, n_bytes,
+           round(n_tokens / CAST(nullif(n_words, 0) AS DOUBLE), 6)
+             AS tokens_per_word,
+           round(n_tokens * 100.0 / CAST(nullif(n_bytes, 0) AS DOUBLE), 6)
+             AS tokens_per_100_bytes
+    FROM g
+    """,
+)
+def q_fertility_mix(spark, sf_dir):
+    """Tokenizer-fertility audit (operators/text.py:
+    tokenizer_fertility) per language x source: BPE-ish tokens per
+    word and per 100 bytes — the mix-grain widening of q_fertility
+    (which reports chars-per-token by language only), the standard
+    multilingual-mix sanity check before a token budget is allocated
+    (an over-segmented language pays more sequence length per unit of
+    text). ONE map-combinable aggregate, integer totals, two double
+    divisions — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.text import tokenizer_fertility
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return tokenizer_fertility(d, "text", ["lang", "source"])
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -12024,90 +12158,129 @@ def q_mannwhitney(spark, sf_dir):
 # - The tail keeps oracled queries before rows-only ones so any window
 #   widening stays all-oracled.
 
-# Round-7 window (below): the 7 r6-late-wave queries (the whole r6
-# queue) hash for the first time — after this round EVERY query ever
-# registered has at least one driver hash row (cumulative 235 -> 242).
-# Two of them (q_cusum, q_bh) also carry this round's fused
-# mixed-reducer running_agg rewrite and q_mannwhitney its degenerate-
-# panel nullif guard, so their slots double as change re-proofs. The
-# remaining slots re-prove (a) every query riding the refactored
-# prefix machinery (running_total/running_min are now running_agg
-# wrappers) and (b) heavy-family regression sentinels per the window
-# policy, plus first-hash slots for operators written this round.
-_GATE_WINDOW = [
-    # --- r6 queue: first driver hashing ---
-    "q_bh",
-    "q_split_leakage",
-    "q_krippendorff",
-    "q_cusum",
-    "q_spearman",
-    "q_fightin",
-    "q_mannwhitney",
-    # --- prefix-machinery re-proofs: these ride running_total /
-    # running_min, which were rewritten this round as running_agg
-    # wrappers (identical semantics, fused machinery) ---
-    "q_ks",
-    "q_bestthr",
-    "q_vocab_cov",
-    "q_gains",
-    "q_auc",
-    "q_ppl_buckets",
-    "q_percentiles",
-    "q_equi_depth",
-    "q_weighted_pct",
-    "q_train_order",
-    "q_pack",
-    "q_quality_ensemble",
-    "q_rfm",
-    # --- heavy-family regression sentinels (window-policy picks:
-    # dedup end-to-end, semantic both paths, k-means, TPC-H Q1,
-    # graph rounds, LM scoring, similarity, funnel watch item) ---
+# STEADY-STATE ROTATION POLICY (round 8 onward; VERDICT r7 item 2).
+# Every query ever registered now has at least one green driver-hash
+# row (cumulative coverage completed in r07), so the window's job
+# changes from first-proving to KEEPING EVERY PROOF FRESH. Each
+# round's 50 slots are filled in fixed priority order:
+#
+#   1. _WINDOW_SENTINELS — the heavy-family regression sentinels the
+#      verdicts track round-over-round (dedup end-to-end, TPC-H Q1,
+#      similarity, percentile exchange, k-means, PageRank). Always
+#      present: these are the plans where a perf or correctness
+#      regression would matter most.
+#   2. _WINDOW_REPROOFS — queries whose OPERATOR CODE changed this
+#      round: a changed kernel must re-earn its driver hash the same
+#      round it changes.
+#   3. _WINDOW_FIRST_HASH — operators WRITTEN this round (no driver
+#      row yet): first-hash evidence outranks re-proofs.
+#   4. The remaining slots are COMPUTED: the registered oracled
+#      queries with the OLDEST last-green driver-hash row, read from
+#      the committed CORRECTNESS_r*.json ledger itself (ties broken
+#      by name). Nothing staler than the fill can be left out — the
+#      rotation-ledger pytest (tests/test_plans.py) re-derives the
+#      fill and fails if a staler eligible query was skipped, so the
+#      reference-parity family (q_filter..q_udf, last hashed r02)
+#      structurally cannot dodge re-verification forever.
+#
+# Max-staleness trajectory under this policy: r8 re-proves the 21
+# r01-stale + 19 oldest r02-stale rows; r9 clears the rest of r02 +
+# oldest r03; from r10 on the window capacity (~40 rotation slots vs
+# ~260 registered) bounds max staleness at ceil(260/40) ≈ 7 rounds
+# with every family re-proven on a fixed cadence.
+
+_WINDOW_SENTINELS = [
     "dedup_minhash",
     "dedup_exact",
-    "dedup_simhash",
-    "q_dedup_weights",
-    "q_semantic_auto",
-    "q_semantic_keep_lsh",
-    "q_semantic_dedup",
-    "q_kmeans",
     "q1_pricing",
-    "q_funnel_window",
-    "q_pagerank",
-    "q_kcore",
     "sim_topk",
-    # --- written this round: first driver hashing ---
-    "q_krippendorff_interval",
-    "q_krippendorff_ordinal",
-    "q_stl",
-    "q_acf",
-    "q_fleiss",
-    "q_cronbach",
-    "q_t_closeness",
-    "q_graph_jaccard",
-    "q_ph",
-    "q_stl_by_type",
-    "q_ad",
-    "q_trendbreak",
-    "q_by",
-    "q_stl_strength",
-    "q_runs",
-    "q_acf_by_type",
-    "q_stl_runs",
+    "q_percentiles",
+    "q_kmeans",
+    "q_pagerank",
 ]
+
+#: Operator code changed this round (ADVICE r7): t_closeness NULL-safe
+#: marginal join (+ oracle change), trend_break one-row degenerate-
+#: segment contract, fleiss_kappa native-type label collapse.
+_WINDOW_REPROOFS = [
+    "q_t_closeness",
+    "q_trendbreak",
+    "q_fleiss",
+]
+
+#: Operators written this round — first driver hashing.
+_WINDOW_FIRST_HASH: list[str] = [
+    "q_psi_drift",
+    "q_fertility_mix",
+]
+
+#: Oracled queries excluded from the stalest fill, with the reason
+#: (e.g. complex-typed output the driver's pandas canonicalizer cannot
+#: sort). Empty today: everything hash-proven before emits scalars.
+_WINDOW_STALE_SKIP: dict[str, str] = {}
+
+
+def _driver_last_green() -> dict[str, int]:
+    """Last round each query had a green driver-hash row, from the
+    committed CORRECTNESS_r*.json ledger (repo root). Queries never
+    hashed (or with no ledger present, e.g. a fresh clone) default to
+    0 — maximally stale, so they sort to the front of the fill."""
+    import glob as _glob
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _stalest_fill(slots: int) -> list[str]:
+    """The ``slots`` registered oracled queries with the oldest
+    last-green driver row, excluding names already placed by the
+    higher-priority buckets and documented skips."""
+    placed = (
+        set(_WINDOW_SENTINELS)
+        | set(_WINDOW_REPROOFS)
+        | set(_WINDOW_FIRST_HASH)
+        | set(_WINDOW_STALE_SKIP)
+    )
+    last = _driver_last_green()
+    eligible = [n for n in ORACLES if n not in placed]
+    eligible.sort(key=lambda n: (last.get(n, 0), n))
+    return eligible[:slots]
+
+
+_GATE_WINDOW = (
+    _WINDOW_SENTINELS
+    + _WINDOW_REPROOFS
+    + _WINDOW_FIRST_HASH
+    + _stalest_fill(
+        50
+        - len(_WINDOW_SENTINELS)
+        - len(_WINDOW_REPROOFS)
+        - len(_WINDOW_FIRST_HASH)
+    )
+)
 
 
 #: Oracled queries written AFTER this round's 50-slot window froze,
 #: queued for the NEXT rotation (tests/test_plans.py's rotation-ledger
 #: guard counts them as covered — and goes red if a new oracle is in
-#: neither a CORRECTNESS file, the window, nor this queue). Promote
-#: these first when rotating the next window.
-#:
-#: r7 rotation plan: the 7 r6-queue queries take the first slots
-#: (finishing driver verification of every query ever registered);
-#: 13 slots re-prove the fused running_agg refactor's riders; 30 are
-#: heavy-family sentinels. Operators written during r7 REPLACE
-#: sentinel slots as they land (sentinels are re-proofs, first-hash
-#: evidence outranks them); any overflow goes here.
+#: neither a CORRECTNESS file, the window, nor this queue). With the
+#: computed stalest fill this queue only matters for genuinely-new
+#: oracles that cannot displace a _WINDOW_FIRST_HASH slot.
 _NEXT_WINDOW_QUEUE: list[str] = []
 
 

@@ -141,3 +141,112 @@ def test_categorical_psi_detects_new_category(spark):
     )
     drift = categorical_stability(old, new, "c").collect()[0]
     assert drift["psi"] > 0.25 and drift["n_categories"] == 5
+
+
+def test_psi_drift_hand_computed(spark):
+    """3 days of one feed with a shifting histogram: day 1 has no
+    baseline (omitted), days 2-3 match an independent pure-Python
+    PSI over the same trailing-window pooled counts."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.diff import psi_drift
+
+    # bins=2, lo=0, hi=2 (width 1): v<1 -> bin0, else bin1
+    rows = [
+        ("a", 1, 0.5),
+        ("a", 1, 0.5),
+        ("a", 2, 0.5),
+        ("a", 2, 1.5),
+        ("a", 3, 1.5),
+        ("a", 3, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "g string, d long, v double")
+    got = {
+        r["day"]: r
+        for r in psi_drift(
+            df, ["g"], "d", "v", bins=2, lo=0.0, hi=2.0, baseline_days=7
+        ).collect()
+    }
+    assert set(got) == {2, 3}  # day 1 has no baseline
+
+    def ref_psi(cur, base, smooth=1e-6):
+        ct, bt = sum(cur), sum(base)
+        s = 0.0
+        for c, b in zip(cur, base):
+            pn, po = c / ct + smooth, b / bt + smooth
+            s += round((pn - po) * math.log(pn / po) * 1e9) / 1e9
+        return round(s, 6)
+
+    # day 2 current [1,1] vs day-1 baseline [2,0]
+    assert got[2]["n_cur"] == 2 and got[2]["n_base"] == 2
+    assert got[2]["psi"] == ref_psi([1, 1], [2, 0])
+    assert bool(got[2]["drifted"]) is (ref_psi([1, 1], [2, 0]) > 0.25)
+    # day 3 current [0,2] vs pooled days-1..2 baseline [3,1]
+    assert got[3]["n_cur"] == 2 and got[3]["n_base"] == 4
+    assert got[3]["psi"] == ref_psi([0, 2], [3, 1])
+
+
+def test_psi_drift_calendar_gaps_and_window_bound(spark):
+    """The baseline is a RANGE frame over day VALUES: a gap day
+    contributes nothing, and a day whose entire trailing window is
+    empty is omitted (nothing to compare against)."""
+    from kafka_streams_plumber_spark.operators.diff import psi_drift
+
+    # days 1, 2, then a jump to 10: with baseline_days=3 the day-10
+    # window covers days 7-9 (all empty) -> day 10 omitted; day 2
+    # compares against day 1 only.
+    rows = [("a", 1, 0.5), ("a", 2, 0.5), ("a", 10, 0.5)]
+    df = spark.createDataFrame(rows, "g string, d long, v double")
+    got = psi_drift(
+        df, ["g"], "d", "v", bins=2, lo=0.0, hi=2.0, baseline_days=3
+    ).collect()
+    assert [r["day"] for r in got] == [2]
+    assert got[0]["psi"] == 0.0 and not got[0]["drifted"]
+
+    # day 5 with baseline_days=3 sees days 2-4: day 1 ages OUT of the
+    # window, day 2 (the only in-window day) is the whole baseline.
+    rows2 = [
+        ("a", 1, 1.5),
+        ("a", 2, 0.5),
+        ("a", 5, 0.5),
+    ]
+    got2 = {
+        r["day"]: r
+        for r in psi_drift(
+            spark.createDataFrame(rows2, "g string, d long, v double"),
+            ["g"],
+            "d",
+            "v",
+            bins=2,
+            lo=0.0,
+            hi=2.0,
+            baseline_days=3,
+        ).collect()
+    }
+    # day 5's baseline is day 2's [1, 0] histogram (day 1 excluded):
+    # identical to day 5's own -> psi 0
+    assert got2[5]["n_base"] == 1 and got2[5]["psi"] == 0.0
+
+
+def test_psi_drift_groups_are_independent(spark):
+    """Feeds never see each other's rows: a drifting feed flags,
+    a stable one doesn't, on the same days."""
+    from kafka_streams_plumber_spark.operators.diff import psi_drift
+
+    rows = (
+        [("stable", d, 0.5) for d in (1, 2, 3) for _ in range(4)]
+        + [("drift", 1, 0.5)] * 4
+        + [("drift", 2, 0.5)] * 4
+        + [("drift", 3, 1.5)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, d long, v double")
+    got = {
+        (r["g"], r["day"]): r
+        for r in psi_drift(
+            df, ["g"], "d", "v", bins=2, lo=0.0, hi=2.0, baseline_days=7
+        ).collect()
+    }
+    assert got[("stable", 3)]["psi"] == 0.0
+    assert not got[("stable", 3)]["drifted"]
+    assert got[("drift", 3)]["psi"] > 0.25
+    assert got[("drift", 3)]["drifted"]

@@ -486,3 +486,52 @@ def test_every_oracled_query_is_driver_hashed_or_windowed():
         f"not in the current gate window — add them to _NEXT_WINDOW_QUEUE "
         f"for the next rotation: {uncovered}"
     )
+
+
+def test_gate_window_follows_staleness_rotation_policy():
+    """Steady-state rotation policy guard (VERDICT r7 item 2): beyond
+    the declared sentinel / re-proof / first-hash buckets, the window
+    must be filled with the registered oracled queries holding the
+    OLDEST last-green driver-hash rows — recomputed here from the
+    committed CORRECTNESS ledger, so a staler eligible query can never
+    be silently left out of the rotation."""
+    from kafka_streams_plumber_spark.queries import (
+        _GATE_WINDOW,
+        _WINDOW_FIRST_HASH,
+        _WINDOW_REPROOFS,
+        _WINDOW_SENTINELS,
+        _WINDOW_STALE_SKIP,
+        ORACLES,
+        _driver_last_green,
+    )
+
+    placed = (
+        set(_WINDOW_SENTINELS)
+        | set(_WINDOW_REPROOFS)
+        | set(_WINDOW_FIRST_HASH)
+        | set(_WINDOW_STALE_SKIP)
+    )
+    # the three declared buckets are disjoint and lead the window
+    assert len(placed - set(_WINDOW_STALE_SKIP)) == len(_WINDOW_SENTINELS) + len(
+        _WINDOW_REPROOFS
+    ) + len(_WINDOW_FIRST_HASH)
+    lead = _WINDOW_SENTINELS + _WINDOW_REPROOFS + _WINDOW_FIRST_HASH
+    assert _GATE_WINDOW[: len(lead)] == lead
+
+    # first-hash names must genuinely have no driver row yet
+    last = _driver_last_green()
+    already = [n for n in _WINDOW_FIRST_HASH if n in last]
+    assert not already, f"first-hash bucket holds hashed names: {already}"
+
+    # nothing staler than the fill was skipped: the max last-green
+    # round INSIDE the fill is <= the min last-green round of every
+    # eligible query left OUT of the window
+    fill = set(_GATE_WINDOW) - set(lead)
+    left_out = set(ORACLES) - set(_GATE_WINDOW) - placed
+    if fill and left_out:
+        worst_in = max(last.get(n, 0) for n in fill)
+        best_out = min(last.get(n, 0) for n in left_out)
+        assert worst_in <= best_out, (
+            f"window fill holds a query last green in round {worst_in} "
+            f"while a staler eligible query (round {best_out}) was left out"
+        )

@@ -531,3 +531,47 @@ def test_distinctive_terms_sides_and_prior_damping(spark):
     # counts carried through
     c = {r["term"]: (r["count_a"], r["count_b"]) for r in out}
     assert c["spark"] == (9, 0) and c["kafka"] == (0, 9)
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """Tiny corpus with known token/word/byte counts: ratios match the
+    hand arithmetic; empty-text groups yield NULL ratios; NULL text is
+    excluded entirely."""
+    from kafka_streams_plumber_spark.operators.text import tokenizer_fertility
+
+    rows = [
+        # bpe: [ab, cd, !] = 3; words: [ab, cd!] = 2; bytes 6
+        ("en", "s1", "ab cd!"),
+        # bpe: [x, 1, y] = 3; words: [x1y] = 1; bytes 3
+        ("en", "s1", "x1y"),
+        # empty text: 0 tokens / 0 words / 0 bytes -> NULL ratios
+        ("fr", "s2", ""),
+        # NULL text: excluded
+        ("de", "s3", None),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, text string")
+    got = {
+        (r["lang"], r["source"]): r
+        for r in tokenizer_fertility(df, "text", ["lang", "source"]).collect()
+    }
+    assert set(got) == {("en", "s1"), ("fr", "s2")}
+
+    en = got[("en", "s1")]
+    assert (en["n_docs"], en["n_tokens"], en["n_words"], en["n_bytes"]) == (
+        2,
+        6,
+        3,
+        9,
+    )
+    assert en["tokens_per_word"] == 2.0
+    assert en["tokens_per_100_bytes"] == round(6 * 100.0 / 9, 6)
+
+    fr = got[("fr", "s2")]
+    assert (fr["n_docs"], fr["n_tokens"], fr["n_words"], fr["n_bytes"]) == (
+        1,
+        0,
+        0,
+        0,
+    )
+    assert fr["tokens_per_word"] is None
+    assert fr["tokens_per_100_bytes"] is None

@@ -164,6 +164,9 @@ AUDITED = {
     "q_spearman": "distinct-value collapse per column + running_total ranks; one map-combinable moment aggregate",
     "q_fightin": "one token explode to an O(vocab) grain; broadcast totals; two-phase top-k prune",
     "q_mannwhitney": "distinct-value collapse + running_total cumulative counts; one final aggregate",
+    # r8 wave
+    "q_psi_drift": "one (feed,day,bin) count; observed-grid fill; ONE range-frame baseline window on the tiny grain",
+    "q_fertility_mix": "ONE map-combinable aggregate; tokenize/count per-row codegen (size(), no explode)",
 }
 
 

@@ -116,6 +116,9 @@ PROBED = [
     "q_runs",
     "q_acf_by_type",
     "q_stl_runs",
+    # r8 wave
+    "q_psi_drift",
+    "q_fertility_mix",
 ]
 
 
