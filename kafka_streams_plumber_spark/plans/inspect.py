@@ -66,6 +66,25 @@ def codegen_span_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", p)))
 
 
+def runtime_exchange_count(df: DataFrame) -> tuple[int, int]:
+    """Post-AQE materialized shuffle count: execute the plan, then
+    count DISTINCT ``ShuffleQueryStage`` ids in the final adaptive
+    plan. Compile-time Exchange nodes that Spark served from one
+    materialized stage (ReuseExchange / AQE stage reuse) count ONCE —
+    this is the number of shuffles the cluster actually paid for, the
+    figure that adjudicates fat compile-time counts from branch
+    double-counting of reused scalar subtrees (q_ad, q_by, q_bh,
+    q_stl_runs). Returns ``(materialized_stages, reused_refs)`` where
+    ``reused_refs`` is the count of ReusedExchange references (both
+    shuffle and broadcast reuse)."""
+    p = plan_string(df)
+    if "AdaptiveSparkPlan" in p and "isFinalPlan=true" not in p:
+        df.collect()  # finalize THIS DataFrame's QueryExecution
+        p = plan_string(df)
+    stages = len(set(re.findall(r"ShuffleQueryStage (\d+)", p)))
+    return stages, p.count("ReusedExchange")
+
+
 def python_eval_count(df: DataFrame) -> int:
     """BatchEvalPython/ArrowEvalPython operators (UDF hops). Zero for
     every pure-expression operator in this engine."""

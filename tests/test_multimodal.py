@@ -998,3 +998,212 @@ def test_features_pinned_oracle_bucket0_independent_rederivation():
         n, sw, sh = n + 1, sw + w, sh + h
     # the pinned VALUES row for bucket 0 in queries.py:multimodal_features
     assert (n, sw, sh, checksum) == (63, 752, 756, 251707228)
+
+
+def test_resize_pinned_oracle_bucket4_independent_rederivation():
+    """VERDICT r7 item 4: rederive bucket 4 of multimodal_resize's
+    pinned constants from an INDEPENDENT pure-Python reimplementation
+    of the nearest-neighbor kernel — per-pixel gather loops, no numpy,
+    no Spark. Bucket 4 (doc_id % 8 == 4) is chosen over bucket 0
+    because its widths reach 20 > max_side=16, so the REAL resample
+    path (not the scale=1 identity) is what's being re-derived."""
+    import hashlib
+    import os
+    import zlib
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 test data not present")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    rows = zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+
+    n = sw = sh = crc_sum = 0
+    for doc_id, text in rows:
+        if doc_id % 8 != 4:
+            continue
+        w, h = doc_id % 16 + 8, doc_id % 12 + 8
+        buf = (
+            (hashlib.md5(text.encode("utf-8")).hexdigest() * 68)[: w * h * 3]
+        ).encode("utf-8")
+        scale = min(1.0, 16 / max(w, h))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        # numpy kernel: ys = floor((i + 0.5) * (h / nh)); img[ys][:, xs]
+        ys = [int((y + 0.5) * (h / nh)) for y in range(nh)]
+        xs = [int((x + 0.5) * (w / nw)) for x in range(nw)]
+        out = bytearray()
+        for y in ys:
+            for x in xs:
+                b = (y * w + x) * 3
+                out += buf[b : b + 3]
+        # query-side checksum: crc32 of the utf-8 bytes of md5's hex
+        # string (Spark md5() returns lowercase hex; cast to binary)
+        crc_sum += zlib.crc32(hashlib.md5(bytes(out)).hexdigest().encode())
+        n, sw, sh = n + 1, sw + nw, sh + nh
+    # the pinned VALUES row for bucket 4 in queries.py:multimodal_resize
+    assert (n, sw, sh, crc_sum) == (62, 868, 648, 142764802979)
+
+
+def test_frames_pinned_oracle_bucket0_independent_rederivation():
+    """VERDICT r7 item 4: rederive bucket 0 of multimodal_frames'
+    pinned constants independently — the raw-stream frame slicing
+    (channel-depth inference, uniform timestamp mapping) redone in
+    pure Python from the docstring contract."""
+    import hashlib
+    import os
+    import zlib
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 test data not present")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    rows = zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+
+    n_frames = crc_sum = 0
+    for doc_id, text in rows:
+        if doc_id % 8 != 0:
+            continue
+        data = bytes.fromhex(hashlib.md5(text.encode("utf-8")).hexdigest() * 8)
+        w = h = 4
+        dur = doc_id % 7 * 1000 + 500
+        # smallest c in 1..4 with len % (w*h*c) == 0: 128 % 16 == 0 -> c=1
+        fsize, n_total = None, 0
+        for c in (1, 2, 3, 4):
+            if len(data) % (w * h * c) == 0:
+                fsize, n_total = w * h * c, len(data) // (w * h * c)
+                break
+        want = max(1, dur // 1000)
+        for i in range(want):
+            src = min(n_total - 1, (i * 1000 * n_total) // dur)
+            crc_sum += zlib.crc32(data[src * fsize : (src + 1) * fsize])
+            n_frames += 1
+    # the pinned VALUES row for bucket 0 in queries.py:multimodal_frames
+    assert (n_frames, crc_sum) == (198, 430368613719)
+
+
+def test_audio_pinned_oracle_bucket0_independent_rederivation():
+    """VERDICT r7 item 4: rederive bucket 0 of multimodal_audio's
+    pinned constants independently — the whole DSP chain (hann window,
+    radix-2 FFT, HTK mel filterbank, log, orthonormal DCT-II) redone
+    in pure Python (math/cmath/struct, no numpy, no Spark)."""
+    import cmath
+    import hashlib
+    import math
+    import os
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 test data not present")
+    import pyarrow.parquet as pq
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def r6_scaled(x: float) -> int:
+        r6 = float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        return int(
+            Decimal(repr(r6 * 1000000)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def fft(a):
+        # iterative radix-2 Cooley-Tukey (len power of two)
+        n = len(a)
+        if n == 1:
+            return list(a)
+        even, odd = fft(a[0::2]), fft(a[1::2])
+        out = [0j] * n
+        for k in range(n // 2):
+            tw = cmath.exp(-2j * math.pi * k / n) * odd[k]
+            out[k] = even[k] + tw
+            out[k + n // 2] = even[k] - tw
+        return out
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    rows = zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+
+    sr, n_fft, hop, n_mfcc = 16000, 512, 256, 13
+    n_mels = 20
+    hann = [
+        0.5 - 0.5 * math.cos(2.0 * math.pi * i / (n_fft - 1))
+        for i in range(n_fft)
+    ]
+    mel = lambda f: 2595.0 * math.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    top = mel(sr / 2.0)
+    pts = [imel(top * j / (n_mels + 1)) for j in range(n_mels + 2)]
+    bins = [math.floor((n_fft + 1) * p / sr) for p in pts]
+    fb = [[0.0] * (n_fft // 2 + 1) for _ in range(n_mels)]
+    for m in range(n_mels):
+        l_, c_, r_ = bins[m], bins[m + 1], bins[m + 2]
+        for j in range(l_, c_):
+            fb[m][j] = (j - l_) / (c_ - l_)
+        for j in range(c_, r_):
+            fb[m][j] = (r_ - j) / (r_ - c_)
+    dct = [
+        [
+            math.cos(math.pi * k * (2 * m + 1) / (2 * n_mels))
+            * math.sqrt(2.0 / n_mels)
+            / (math.sqrt(2.0) if k == 0 else 1.0)
+            for m in range(n_mels)
+        ]
+        for k in range(n_mfcc)
+    ]
+
+    n = dur_sum = sr_sum = loud_sum = mfcc_sum = 0
+    for doc_id, text in rows:
+        if doc_id % 8 != 0:
+            continue
+        data = bytes.fromhex(
+            hashlib.md5(text.encode("utf-8")).hexdigest() * 200
+        )
+        x = [s / 32768.0 for (s,) in struct.iter_unpack("<h", data)]
+        assert len(x) == 1600
+        loud = f32(math.sqrt(math.fsum(v * v for v in x) / len(x)))
+        n_frames = max(1, 1 + (len(x) - n_fft) // hop)
+        # mean power spectrum over frames, then mel -> log -> DCT
+        logmel_mean = [0.0] * n_mels
+        frame_logmels = []
+        for fi in range(n_frames):
+            seg = [
+                x[fi * hop + i] * hann[i] if fi * hop + i < len(x) else 0.0
+                for i in range(n_fft)
+            ]
+            spec = fft(seg)[: n_fft // 2 + 1]
+            pwr = [abs(c) ** 2 for c in spec]
+            frame_logmels.append(
+                [
+                    math.log(
+                        math.fsum(pwr[j] * fb[m][j] for j in range(len(pwr)))
+                        + 1e-10
+                    )
+                    for m in range(n_mels)
+                ]
+            )
+        logmel_mean = [
+            math.fsum(fl[m] for fl in frame_logmels) / n_frames
+            for m in range(n_mels)
+        ]
+        mfcc = [
+            f32(math.fsum(dct[k][m] * logmel_mean[m] for m in range(n_mels)))
+            for k in range(n_mfcc)
+        ]
+        n += 1
+        dur_sum += int(round(len(x) * 1000.0 / sr))
+        sr_sum += sr
+        loud_sum += r6_scaled(loud)
+        mfcc_sum += r6_scaled(math.fsum(mfcc))
+    # the pinned VALUES row for bucket 0 in queries.py:multimodal_audio
+    assert (n, dur_sum, sr_sum) == (63, 6300, 1008000)
+    assert loud_sum == 36101019
+    assert mfcc_sum == 441288944

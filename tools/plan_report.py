@@ -20,6 +20,7 @@ from kafka_streams_plumber_spark.plans.inspect import (  # noqa: E402
     plan_string,
     pushed_filters,
     python_eval_count,
+    runtime_exchange_count,
     shuffle_count,
 )
 from kafka_streams_plumber_spark.plans.session import get_spark  # noqa: E402
@@ -140,7 +141,7 @@ AUDITED = {
     "q_bestthr": "distinct-score collapse + descending distributed prefix sums; two-pass argmax",
     "q_gains": "range-partitioned global rank + integer bin cut; cumulative columns on the O(bins) frame",
     "q_theils_u": "one contingency agg + O(levels) marginals; everything later level-vocabulary-sized",
-    "q_bh": "rank + suffix-min both on O(panel) frames via range exchanges; one broadcast cutoff",
+    "q_bh": "rank + suffix-min both on O(panel) frames via range exchanges; one broadcast cutoff. Compile 17 = branch duplication: post-AQE 11 materialized stages (5 reused refs) — under the r6 <=~14 target",
     "q_split_leakage": "LSH band-key shuffles + capped buckets; split labels join as narrow (id,split) frames",
     "q_krippendorff": "two map-combinable aggregates to O(units)/O(categories) grains; three tiny broadcast joins",
     "q_krippendorff_interval": "variance identity collapses pairwise walk to per-unit scaled-long moments; broadcast totals",
@@ -151,13 +152,13 @@ AUDITED = {
     "q_t_closeness": "O(categories) marginal broadcast; absent-mass closed form avoids combo x category cross-join",
     "q_graph_jaccard": "center-keyed wedge equi-join (hub-cappable); O(V) degree joins; integer ratio divided once",
     "q_ph": "two fused running_agg passes (sum+pos, then sum+min_of_sum in ONE exchange each); no other shuffles",
-    "q_ad": "distinct-grain fused prefix for midranks; ranked harmonic prefix + mirrored-index equi-join for sigma",
+    "q_ad": "distinct-grain fused prefix for midranks; ranked harmonic prefix + mirrored-index equi-join for sigma. Compile 55 is reused-branch double-counting: post-AQE 30 stages (14 reused refs), all on the tiny distinct-value grain",
     "q_trendbreak": "one exact-percentile broadcast + ONE grouped-moments aggregate over the two segments",
-    "q_by": "same fused rank+suffix-min exchange as q_bh; harmonic c(m) is an aggregate on the ranked frame",
+    "q_by": "same fused rank+suffix-min exchange as q_bh; harmonic c(m) is an aggregate on the ranked frame. Compile 32 -> post-AQE 14 stages (9 reused refs)",
     "q_stl_strength": "decompose plan + ONE map-combinable moments aggregate; nothing new shuffles",
     "q_runs": "broadcast center; parallel rank + ONE narrow rank+1 self equi-join; map-combinable counts",
     "q_acf_by_type": "per-(group,lag) moments; shifted-key equi-join; O(groups) moments frame broadcast back",
-    "q_stl_runs": "pure composition: decompose residuals feed the runs-test rank + rank+1 join",
+    "q_stl_runs": "pure composition: decompose residuals feed the runs-test rank + rank+1 join. Compile 69 (fattest registered) is branch duplication of the reused decompose subtree: post-AQE 21 stages (13 reused refs), runtime probe 0.9x on the 10x step",
     "q_stl_by_type": "per-group phase/level/MAD medians on O(groups) grains joined back; pure column math between",
     "q_krippendorff_ordinal": "O(categories) rank-score cumsum broadcast back; then the interval moment machinery",
     "q_cusum": "O(days) grain after one agg; prefix sum + prefix min ride range exchanges with O(P) offsets",
@@ -198,21 +199,30 @@ def main() -> None:
         f"Generated by `tools/plan_report.py` at sf dir `{args.sf}` "
         "(plan SHAPE is data-independent; AQE may further coalesce at runtime).",
         "",
-        "Shuffle counts are COMPILE-TIME Exchange nodes: a plan that",
+        "`shuffles` counts COMPILE-TIME Exchange nodes: a plan that",
         "broadcasts several scalar aggregates of the same subtree (q_ad,",
-        "q_by, q_bh) counts that subtree's exchanges once per branch —",
-        "at runtime Spark's ReuseExchange/AQE dedupes them, so the",
-        "SCALING probe wall times are the ground truth for such plans.",
+        "q_by, q_bh, q_stl_runs) counts that subtree's exchanges once",
+        "per branch. `post-AQE` is the count of DISTINCT materialized",
+        "ShuffleQueryStage ids after EXECUTING the plan — the shuffles",
+        "the cluster actually paid for, with ReuseExchange/AQE stage",
+        "reuse deduped (`reused` = ReusedExchange references, shuffle +",
+        "broadcast). A compile count far above the post-AQE count is",
+        "branch double-counting of reused subtrees, not repeated work.",
+        "post-AQE can slightly exceed compile for plans with scalar",
+        "subqueries: a subquery's stages materialize separately and",
+        "don't print as Exchange nodes in the compiled main plan.",
         "",
-        "| query | shuffles | broadcast joins | codegen spans | python evals | pushed filters |",
-        "|---|---|---|---|---|---|",
+        "| query | shuffles | post-AQE | reused | broadcast joins | codegen spans | python evals | pushed filters |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     details = []
     for name, why in AUDITED.items():
         df = QUERIES[name](spark, args.sf)
         pf = pushed_filters(df)
+        rt, reused = runtime_exchange_count(df)
         lines.append(
-            f"| `{name}` | {shuffle_count(df)} | {broadcast_join_count(df)} "
+            f"| `{name}` | {shuffle_count(df)} | {rt} | {reused} "
+            f"| {broadcast_join_count(df)} "
             f"| {codegen_span_count(df)} | {python_eval_count(df)} "
             f"| {len(pf)} |"
         )
