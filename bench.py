@@ -102,6 +102,14 @@ EXTRA5 = [
     "q_theils_u",
 ]
 
+#: Round-8 wave (first measured in BENCH_r08, ``extra6_total_sec``):
+#: the windowed-drift and fertility-mix additions. Lazy plans —
+#: write-only timing, same as HEADLINE/EXTRA/EXTRA5.
+EXTRA6 = [
+    "q_psi_drift",
+    "q_fertility_mix",
+]
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     df = QUERIES[name](spark, sf_dir)
@@ -145,7 +153,7 @@ def main() -> None:
         if os.path.isdir(cand) and os.path.abspath(cand) != os.path.abspath(sf_dir):
             warm_dir = cand
             break
-    for name in ["q_distinct", *HEADLINE, *EXTRA, *EXTRA4, *EXTRA5]:
+    for name in ["q_distinct", *HEADLINE, *EXTRA, *EXTRA4, *EXTRA5, *EXTRA6]:
         try:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -183,6 +191,10 @@ def main() -> None:
     for name in EXTRA5:
         extra5[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
 
+    extra6: dict[str, float] = {}
+    for name in EXTRA6:
+        extra6[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
+
     print(
         json.dumps(
             {
@@ -197,6 +209,8 @@ def main() -> None:
                 "extra4_queries": extra4,
                 "extra5_total_sec": round(sum(extra5.values()), 3),
                 "extra5_queries": extra5,
+                "extra6_total_sec": round(sum(extra6.values()), 3),
+                "extra6_queries": extra6,
                 "sf": sf,
             }
         )

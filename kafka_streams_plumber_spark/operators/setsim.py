@@ -224,41 +224,20 @@ def source_overlap_oracle_sql(
     """
 
 
-def containment_join(
+def _containment_candidates(
     docs: DataFrame,
     *,
     threshold: float,
-    k: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    block_col: str | None = None,
-) -> DataFrame:
-    """Directed shingle-containment pairs: every ordered pair (a, b)
-    with ``C(a -> b) = |S_a n S_b| / |S_a| >= threshold``, exactly.
-
-    Containment is the ASYMMETRIC companion to Jaccard: a short document
-    quoted whole inside a long one has containment ~1 while its Jaccard
-    is tiny, so symmetric near-dup passes (minhash_lsh_pairs,
-    jaccard_prefix_join) never see it. This is the "is A substantially
-    a quote/subset of B" detector a curation pipeline runs after the
-    symmetric dedup stages.
-
-    Exact via asymmetric prefix filtering: order each doc's word
-    ``k``-shingle set rarest-global-frequency-first. If C(a -> b) >= t
-    then b misses fewer than ``ceil(t*|S_a|)`` of a's shingles, so a and
-    b must agree on one of a's first ``|S_a| - ceil(t*|S_a|) + 1``
-    (rarest) shingles — the candidate join probes only a's prefix
-    against b's full set. Rarest-first ordering keeps the probed posting
-    lists short; ``block_col`` (e.g. source) bounds them further the
-    same way ngram_jaccard_pairs blocks. Verification computes the
-    exact intersection for candidates only.
-
-    Returns ``(doc_a, doc_b, inter, containment)`` with ``doc_a != doc_b``
-    (both directions may appear), containment compared raw and rounded
-    to 6 places for output.
-    """
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError("threshold must be in (0, 1]")
+    k: int,
+    id_col: str,
+    text_col: str,
+    block_col: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The prefix-filter candidate stage of :func:`containment_join`,
+    split out so the filter's PRUNING POWER is directly measurable
+    (tools/zipf_probe.py counts candidate pairs per corpus shape):
+    returns ``(toks, cand)`` where ``cand`` is the distinct
+    ``(d1, d2, sz1)`` candidate set the verify stage will intersect."""
     t = F.lit(float(threshold))
 
     from kafka_streams_plumber_spark.operators.text import shingles as _sh
@@ -298,6 +277,53 @@ def containment_join(
         .where(F.col("sz2") >= F.ceil(t * F.col("sz1")))
         .distinct()
     )
+    return toks, cand
+
+
+def containment_join(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Directed shingle-containment pairs: every ordered pair (a, b)
+    with ``C(a -> b) = |S_a n S_b| / |S_a| >= threshold``, exactly.
+
+    Containment is the ASYMMETRIC companion to Jaccard: a short document
+    quoted whole inside a long one has containment ~1 while its Jaccard
+    is tiny, so symmetric near-dup passes (minhash_lsh_pairs,
+    jaccard_prefix_join) never see it. This is the "is A substantially
+    a quote/subset of B" detector a curation pipeline runs after the
+    symmetric dedup stages.
+
+    Exact via asymmetric prefix filtering: order each doc's word
+    ``k``-shingle set rarest-global-frequency-first. If C(a -> b) >= t
+    then b misses fewer than ``ceil(t*|S_a|)`` of a's shingles, so a and
+    b must agree on one of a's first ``|S_a| - ceil(t*|S_a|) + 1``
+    (rarest) shingles — the candidate join probes only a's prefix
+    against b's full set. Rarest-first ordering keeps the probed posting
+    lists short; ``block_col`` (e.g. source) bounds them further the
+    same way ngram_jaccard_pairs blocks. Verification computes the
+    exact intersection for candidates only.
+
+    Returns ``(doc_a, doc_b, inter, containment)`` with ``doc_a != doc_b``
+    (both directions may appear), containment compared raw and rounded
+    to 6 places for output.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    toks, cand = _containment_candidates(
+        docs,
+        threshold=threshold,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        block_col=block_col,
+    )
+    t = F.lit(float(threshold))
 
     ta = toks.select(F.col("doc").alias("d1"), "tok")
     tb = toks.select(F.col("doc").alias("d2"), "tok")

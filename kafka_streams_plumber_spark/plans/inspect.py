@@ -81,6 +81,9 @@ def runtime_exchange_count(df: DataFrame) -> tuple[int, int]:
     if "AdaptiveSparkPlan" in p and "isFinalPlan=true" not in p:
         df.collect()  # finalize THIS DataFrame's QueryExecution
         p = plan_string(df)
+    # a finalized adaptive plan stringifies BOTH the final and the
+    # initial plan; count only the final section or everything doubles
+    p = p.split("== Initial Plan ==")[0]
     stages = len(set(re.findall(r"ShuffleQueryStage (\d+)", p)))
     return stages, p.count("ReusedExchange")
 

@@ -218,12 +218,19 @@ def main() -> None:
     details = []
     for name, why in AUDITED.items():
         df = QUERIES[name](spark, args.sf)
+        # compile-time metrics FIRST: executing the plan (which the
+        # runtime/codegen metrics do) stringifies BOTH the final and
+        # the initial plan, doubling naive node counts
         pf = pushed_filters(df)
+        comp_sh = shuffle_count(df)
+        comp_bj = broadcast_join_count(df)
+        comp_pe = python_eval_count(df)
+        ptxt = _collapse_literals(plan_string(df).strip())[:4000]
+        cg = codegen_span_count(df)  # collects when AQE — keep before rt
         rt, reused = runtime_exchange_count(df)
         lines.append(
-            f"| `{name}` | {shuffle_count(df)} | {rt} | {reused} "
-            f"| {broadcast_join_count(df)} "
-            f"| {codegen_span_count(df)} | {python_eval_count(df)} "
+            f"| `{name}` | {comp_sh} | {rt} | {reused} "
+            f"| {comp_bj} | {cg} | {comp_pe} "
             f"| {len(pf)} |"
         )
         details += [
@@ -233,7 +240,7 @@ def main() -> None:
             f"**Scale rationale:** {why}",
             "",
             "```",
-            _collapse_literals(plan_string(df).strip())[:4000],
+            ptxt,
             "```",
         ]
     with open(args.out, "w") as f:

@@ -286,6 +286,24 @@ def main() -> None:
         "  prefix filter; `block_col` bounds the lists further in",
         "  production.",
         "",
+        "  MEASURED in r8 (tools/zipf_probe.py, quiet host): on a",
+        "  Zipf-tailed corpus (10k-word vocabulary, s=1.1, lengths 20-100",
+        "  words, a planted full quote every 50 docs) at the same doc",
+        "  counts as sf0.01/sf0.1, the prefix filter's candidate set is",
+        "  LINEAR and nearly all-true: 181 candidates at 5k docs -> 1,908",
+        "  at 50k (10.5x on a 10x step, ~0.04/doc at both sizes), with",
+        "  1,723 of the 1,908 surviving verification as true >=0.8",
+        "  containment pairs — ~90% filter precision. The degenerate",
+        "  driver corpus measured the same way explodes QUADRATICALLY:",
+        "  61 candidates at 500 docs (sf0.01) -> 206,240 at 5k docs",
+        "  (sf0.1), i.e. 0.1/doc -> 41.2/doc on one 10x step. Zipf wall",
+        "  times: 2.44 s at 5k docs -> 10.12 s at 50k (4.1x, the linear",
+        "  token grain emerging from fixed overhead; q_novelty on the",
+        "  same corpus: 0.83 -> 1.48 s, 1.8x). This turns the",
+        "  degenerate-corpus disclosure into measured evidence: the",
+        "  rarest-first prune works as designed on natural-shaped text,",
+        "  and the bench/probe numbers above track fixture pathology.",
+        "",
         "- The semantic-dedup family is probed only to sf0.01, for two",
         "  distinct reasons. (1) `q_semantic_keep` gates the EXACT",
         "  all-pairs baseline — quadratic by definition; it exists to",
