@@ -108,6 +108,9 @@ EXTRA5 = [
 EXTRA6 = [
     "q_psi_drift",
     "q_fertility_mix",
+    "q_hist_drift",
+    "q_vocab_drift",
+    "q_dup_drift",
 ]
 
 

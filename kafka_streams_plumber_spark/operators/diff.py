@@ -403,6 +403,67 @@ def jsd_matrix(
     )
 
 
+def _windowed_bin_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    value_col: str,
+    *,
+    bins: int,
+    lo: float,
+    hi: float,
+    baseline_days: int,
+) -> DataFrame:
+    """Shared staging for the calendar-windowed drift monitors
+    (:func:`psi_drift`, :func:`hist_drift`): the (group, day, bin)
+    count grain, grid-filled over each group's observed days x
+    observed bins, with the trailing-window pooled baseline count
+    (``_bcnt``, ONE range frame over day values — calendar gaps
+    contribute zero mass) and the per-day totals ``_ct``/``_bt``.
+    Everything past the first map-combinable count lives on the tiny
+    groups x days x bins grain."""
+    width = (hi - lo) / bins
+    bin_c = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+        ),
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull() & F.col(day_col).isNotNull())
+        .groupBy(
+            *group_cols,
+            F.col(day_col).cast("long").alias("_day"),
+            bin_c.alias("_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    days = counts.select(*group_cols, "_day").distinct()
+    bins_g = counts.select(*group_cols, "_bin").distinct()
+    grid = (
+        days.join(bins_g, list(group_cols))
+        if group_cols
+        else days.crossJoin(bins_g)
+    )
+    filled = grid.join(
+        counts, [*group_cols, "_day", "_bin"], "left"
+    ).withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0)))
+    w_base = (
+        Window.partitionBy(*group_cols, "_bin")
+        .orderBy("_day")
+        .rangeBetween(-baseline_days, -1)
+    )
+    w_day = Window.partitionBy(*group_cols, "_day")
+    return (
+        filled.withColumn(
+            "_bcnt", F.coalesce(F.sum("_cnt").over(w_base), F.lit(0))
+        )
+        .withColumn("_ct", F.sum("_cnt").over(w_day))
+        .withColumn("_bt", F.sum("_bcnt").over(w_day))
+    )
+
+
 def psi_drift(
     df: DataFrame,
     group_cols: list[str],
@@ -452,45 +513,15 @@ def psi_drift(
     day); the final PSI is a groupBy on the same grain. No joins of
     the fact table with itself, no Python.
     """
-    width = (hi - lo) / bins
-    bin_c = F.least(
-        F.lit(bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long"),
-        ),
-    )
-    counts = (
-        df.where(F.col(value_col).isNotNull() & F.col(day_col).isNotNull())
-        .groupBy(
-            *group_cols,
-            F.col(day_col).cast("long").alias("_day"),
-            bin_c.alias("_bin"),
-        )
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
-    days = counts.select(*group_cols, "_day").distinct()
-    bins_g = counts.select(*group_cols, "_bin").distinct()
-    grid = (
-        days.join(bins_g, list(group_cols))
-        if group_cols
-        else days.crossJoin(bins_g)
-    )
-    filled = grid.join(
-        counts, [*group_cols, "_day", "_bin"], "left"
-    ).withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0)))
-    w_base = (
-        Window.partitionBy(*group_cols, "_bin")
-        .orderBy("_day")
-        .rangeBetween(-baseline_days, -1)
-    )
-    w_day = Window.partitionBy(*group_cols, "_day")
-    staged = (
-        filled.withColumn(
-            "_bcnt", F.coalesce(F.sum("_cnt").over(w_base), F.lit(0))
-        )
-        .withColumn("_ct", F.sum("_cnt").over(w_day))
-        .withColumn("_bt", F.sum("_bcnt").over(w_day))
+    staged = _windowed_bin_counts(
+        df,
+        group_cols,
+        day_col,
+        value_col,
+        bins=bins,
+        lo=lo,
+        hi=hi,
+        baseline_days=baseline_days,
     )
     pn = F.col("_cnt") / F.col("_ct") + smooth
     po = F.col("_bcnt") / F.col("_bt") + smooth
@@ -514,4 +545,148 @@ def psi_drift(
         "n_base",
         F.round("_psi", 6).alias("psi"),
         (F.round("_psi", 6) > threshold).alias("drifted"),
+    )
+
+
+def hist_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    value_col: str,
+    *,
+    bins: int = 10,
+    lo: float,
+    hi: float,
+    baseline_days: int = 7,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Rolling windowed CDF drift: for every (feed, day), the sup
+    distance between that day's binned CDF and the pooled
+    trailing-``baseline_days`` CDF — the discretized two-sample
+    Kolmogorov-Smirnov statistic on the same calendar machinery as
+    :func:`psi_drift`. PSI weights every bin's share shift; the sup
+    distance catches a LOCALIZED deformation (one quantile region
+    sliding) that small per-bin shifts can hide from PSI's sum.
+
+    Same contract as psi_drift: ``day_col`` is an integer day index,
+    days with an empty baseline are omitted, output per (group, day)
+    is ``(day, n_cur, n_base, ks, drifted)`` with ks 6 dp and
+    ``drifted`` = ks > ``threshold``.
+
+    Exactness: the sup numerator is computed cross-multiplied —
+    ``max_bins |cum_cur * N_base - cum_base * N_cur|`` on
+    decimal(38,0) — an EXACT integer (no per-bin division), divided
+    once by ``N_cur * N_base`` at the end; SQL replays bit-for-bit.
+
+    Scale design: :func:`psi_drift`'s staging plus two cumulative
+    windows ordered by bin WITHIN each (group, day) — partition keys
+    are (group, day), so no task holds more than one day's <= ``bins``
+    rows; the final sup is a groupBy max on the same tiny grain.
+    """
+    staged = _windowed_bin_counts(
+        df,
+        group_cols,
+        day_col,
+        value_col,
+        bins=bins,
+        lo=lo,
+        hi=hi,
+        baseline_days=baseline_days,
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols, "_day")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cumed = staged.withColumn("_ccur", F.sum("_cnt").over(w_cum)).withColumn(
+        "_cbase", F.sum("_bcnt").over(w_cum)
+    )
+    num = F.abs(
+        dec(F.col("_ccur")) * dec(F.col("_bt"))
+        - dec(F.col("_cbase")) * dec(F.col("_ct"))
+    )
+    out = (
+        cumed.where(F.col("_bt") > 0)
+        .groupBy(*group_cols, "_day")
+        .agg(
+            F.max("_ct").cast("long").alias("n_cur"),
+            F.max("_bt").cast("long").alias("n_base"),
+            (
+                F.max(num).cast("double")
+                / (
+                    F.max("_ct").cast("double")
+                    * F.max("_bt").cast("double")
+                )
+            ).alias("_ks"),
+        )
+    )
+    return out.select(
+        *group_cols,
+        F.col("_day").alias("day"),
+        "n_cur",
+        "n_base",
+        F.round("_ks", 6).alias("ks"),
+        (F.round("_ks", 6) > threshold).alias("drifted"),
+    )
+
+
+def dup_drift(
+    df: DataFrame,
+    content_cols: list[str],
+    day_col: str,
+    *,
+    baseline_days: int = 7,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Rolling duplicate-rate monitor: per day, the fraction of rows
+    whose content digest (``row_digest`` over ``content_cols``)
+    already appeared in the trailing ``baseline_days`` calendar days —
+    the ingest-health watch that catches an upstream feed re-serving
+    yesterday's batch (replay) or a crawler stuck in a loop, BEFORE
+    the corpus-level dedup pass pays to re-discover it. Within-day
+    duplicates are deliberately NOT counted (they are the batch
+    dedup's job); this flags cross-day re-ingestion only.
+
+    ``day_col`` is an integer day index; the lookback is a RANGE
+    frame over day values (gap days contribute nothing). Output per
+    day: ``(day, n_rows, n_dup, dup_rate, drifted)`` — 6 dp rate,
+    ``drifted`` = dup_rate > ``threshold``. Exact integer counts, one
+    division — SQL replays bit-for-bit (row_digest is plain md5).
+
+    Scale design: rows collapse map-side to the (digest, day) count
+    grain; ONE range-frame window partitioned by digest (shuffle
+    carries 32-hex-char digests + two longs, never the content); one
+    day-grain rollup. No self-joins, no Python.
+    """
+    per = (
+        df.where(F.col(day_col).isNotNull())
+        .select(
+            F.col(day_col).cast("long").alias("_day"),
+            row_digest(df, content_cols).alias("_dig"),
+        )
+        .groupBy("_day", "_dig")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = (
+        Window.partitionBy("_dig")
+        .orderBy("_day")
+        .rangeBetween(-baseline_days, -1)
+    )
+    marked = per.withColumn(
+        "_seen", F.coalesce(F.sum("_c").over(w), F.lit(0)) > 0
+    )
+    out = marked.groupBy("_day").agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_seen"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    rate = F.round(F.col("n_dup") / F.col("n_rows"), 6)
+    return out.select(
+        F.col("_day").alias("day"),
+        "n_rows",
+        "n_dup",
+        rate.alias("dup_rate"),
+        (rate > threshold).alias("drifted"),
     )

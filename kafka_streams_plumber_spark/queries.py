@@ -12140,6 +12140,178 @@ def q_fertility_mix(spark, sf_dir):
     return tokenizer_fertility(d, "text", ["lang", "source"])
 
 
+@query(
+    "q_hist_drift",
+    """
+    WITH counts AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             least(9, greatest(0,
+               CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin,
+             count(*) AS cnt
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM counts),
+    binsg AS (SELECT DISTINCT event_type, bin FROM counts),
+    grid AS (
+      SELECT d.event_type, d.day, b.bin
+      FROM days d JOIN binsg b USING (event_type)
+    ),
+    filled AS (
+      SELECT g.event_type, g.day, g.bin, coalesce(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN counts c
+        ON c.event_type = g.event_type AND c.day = g.day AND c.bin = g.bin
+    ),
+    w AS (
+      SELECT event_type, day, bin, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY event_type, bin
+               ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+               0) AS bcnt
+      FROM filled
+    ),
+    t AS (
+      SELECT event_type, day, bin, cnt, bcnt,
+             sum(cnt) OVER (PARTITION BY event_type, day) AS ct,
+             sum(bcnt) OVER (PARTITION BY event_type, day) AS bt
+      FROM w
+    ),
+    c AS (
+      SELECT event_type, day, ct, bt,
+             sum(cnt) OVER (PARTITION BY event_type, day ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS ccur,
+             sum(bcnt) OVER (PARTITION BY event_type, day ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cbase
+      FROM t WHERE bt > 0
+    ),
+    pg AS (
+      SELECT event_type, day,
+             CAST(max(ct) AS BIGINT) AS n_cur,
+             CAST(max(bt) AS BIGINT) AS n_base,
+             CAST(max(abs(CAST(ccur AS HUGEINT) * bt
+                          - CAST(cbase AS HUGEINT) * ct)) AS DOUBLE)
+               / (CAST(max(ct) AS DOUBLE) * CAST(max(bt) AS DOUBLE)) AS ks
+      FROM c GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_cur, n_base, round(ks, 6) AS ks,
+           round(ks, 6) > 0.2 AS drifted
+    FROM pg
+    """,
+)
+def q_hist_drift(spark, sf_dir):
+    """Rolling windowed CDF drift (operators/diff.py:hist_drift): per
+    (feed, day), the sup distance between that day's binned CDF and
+    the pooled trailing-7-day CDF — the discretized two-sample KS on
+    q_psi_drift's calendar machinery; PSI sums every bin's shift,
+    the sup catches a localized deformation PSI's sum can hide. The
+    sup numerator is cross-multiplied on decimal(38,0) — an exact
+    integer, one division at the end — replayed exactly in SQL."""
+    from kafka_streams_plumber_spark.operators.diff import hist_drift
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(F.col("ts").isNotNull()).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_idx"),
+        "value",
+    )
+    return hist_drift(
+        d,
+        ["event_type"],
+        "day_idx",
+        "value",
+        bins=10,
+        lo=0.0,
+        hi=500.0,
+        baseline_days=7,
+        threshold=0.2,
+    )
+
+
+@query(
+    "q_vocab_drift",
+    """
+    WITH base AS (
+      SELECT doc_id % 30 AS day,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    toks AS (SELECT DISTINCT day, tok FROM base),
+    m AS (
+      SELECT day, tok,
+             count(*) OVER (PARTITION BY tok ORDER BY day
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) > 0 AS seen
+      FROM toks
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+           round(sum(CASE WHEN seen THEN 0 ELSE 1 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS new_fraction
+    FROM m GROUP BY 1
+    """,
+)
+def q_vocab_drift(spark, sf_dir):
+    """Rolling vocabulary novelty (operators/text.py:vocab_drift):
+    per day (doc_id folded to a 30-day calendar), the fraction of
+    distinct tokens unseen in the trailing 7 days — the feed-freshness
+    watch beside the distribution monitors. One explode to the
+    distinct (token, day) grain, ONE range-frame window partitioned
+    by token, one rollup — exact integer counts, one division."""
+    from kafka_streams_plumber_spark.operators.text import vocab_drift
+
+    d = load_tables(spark, sf_dir)["documents"]
+    panel = d.select((F.col("doc_id") % 30).alias("day_idx"), "text")
+    return vocab_drift(panel, "text", "day_idx", baseline_days=7)
+
+
+@query(
+    "q_dup_drift",
+    """
+    WITH feed AS (
+      SELECT doc_id % 30 AS day, text FROM documents
+      UNION ALL
+      SELECT doc_id % 30 + 1 AS day, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    per AS (
+      SELECT day, md5(text) AS dig, count(*) AS c
+      FROM feed GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT day, c,
+             coalesce(sum(c) OVER (PARTITION BY dig ORDER BY day
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) > 0 AS seen
+      FROM per
+    ),
+    g AS (
+      SELECT day, CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN seen THEN c ELSE 0 END) AS BIGINT) AS n_dup
+      FROM m GROUP BY 1
+    )
+    SELECT day, n_rows, n_dup,
+           round(n_dup / CAST(n_rows AS DOUBLE), 6) AS dup_rate,
+           round(n_dup / CAST(n_rows AS DOUBLE), 6) > 0.2 AS drifted
+    FROM g
+    """,
+)
+def q_dup_drift(spark, sf_dir):
+    """Rolling duplicate-rate monitor (operators/diff.py:dup_drift)
+    over a synthetic replayed feed: the documents stream plus every
+    10th doc re-ingested one day later — the upstream-replay detector
+    that flags re-served batches before the corpus dedup pass pays to
+    rediscover them. Rows collapse map-side to the (digest, day)
+    grain; ONE range-frame window on the digest; exact counts."""
+    from kafka_streams_plumber_spark.operators.diff import dup_drift
+
+    d = load_tables(spark, sf_dir)["documents"]
+    feed = d.select((F.col("doc_id") % 30).alias("day_idx"), "text").unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") % 30 + 1).alias("day_idx"), "text"
+        )
+    )
+    return dup_drift(feed, ["text"], "day_idx", baseline_days=7, threshold=0.2)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -12216,6 +12388,9 @@ _WINDOW_REPROOFS = [
 _WINDOW_FIRST_HASH: list[str] = [
     "q_psi_drift",
     "q_fertility_mix",
+    "q_hist_drift",
+    "q_vocab_drift",
+    "q_dup_drift",
 ]
 
 #: Oracled queries excluded from the stalest fill, with the reason

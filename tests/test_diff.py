@@ -250,3 +250,89 @@ def test_psi_drift_groups_are_independent(spark):
     assert not got[("stable", 3)]["drifted"]
     assert got[("drift", 3)]["psi"] > 0.25
     assert got[("drift", 3)]["drifted"]
+
+
+def test_hist_drift_hand_computed(spark):
+    """Same 3-day shifting panel as the psi_drift test: the sup-CDF
+    distance matches hand arithmetic on the exact cross-multiplied
+    integers; day 1 (no baseline) is omitted."""
+    from kafka_streams_plumber_spark.operators.diff import hist_drift
+
+    rows = [
+        ("a", 1, 0.5),
+        ("a", 1, 0.5),
+        ("a", 2, 0.5),
+        ("a", 2, 1.5),
+        ("a", 3, 1.5),
+        ("a", 3, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "g string, d long, v double")
+    got = {
+        r["day"]: r
+        for r in hist_drift(
+            df, ["g"], "d", "v", bins=2, lo=0.0, hi=2.0, baseline_days=7
+        ).collect()
+    }
+    assert set(got) == {2, 3}
+    # day 2: cur [1,1] cum [1,2]; base [2,0] cum [2,2]; N=2, B=2
+    # sup |1*2-2*2|, |2*2-2*2| = 2 -> 2/(2*2) = 0.5
+    assert got[2]["ks"] == 0.5 and got[2]["n_base"] == 2
+    assert got[2]["drifted"]
+    # day 3: cur [0,2] cum [0,2]; base [3,1] cum [3,4]; N=2, B=4
+    # sup |0*4-3*2|, |2*4-4*2| = 6 -> 6/(2*4) = 0.75
+    assert got[3]["ks"] == 0.75 and got[3]["n_base"] == 4
+
+    # identical distributions -> ks 0, not drifted
+    flat = [("a", d, v) for d in (1, 2, 3) for v in (0.5, 1.5)]
+    g2 = {
+        r["day"]: r
+        for r in hist_drift(
+            spark.createDataFrame(flat, "g string, d long, v double"),
+            ["g"],
+            "d",
+            "v",
+            bins=2,
+            lo=0.0,
+            hi=2.0,
+            baseline_days=7,
+        ).collect()
+    }
+    assert g2[2]["ks"] == 0.0 and g2[3]["ks"] == 0.0
+    assert not g2[3]["drifted"]
+
+
+def test_dup_drift_hand_computed(spark):
+    """Replayed content flags against the trailing window; within-day
+    duplicates are NOT counted; content older than the window is
+    novel again."""
+    from kafka_streams_plumber_spark.operators.diff import dup_drift
+
+    rows = [
+        (1, "x"),
+        (1, "y"),
+        (2, "x"),
+        (2, "z"),
+        (3, "z"),
+        (3, "z"),
+        (5, "w"),
+        (5, "w"),
+        (11, "x"),
+    ]
+    df = spark.createDataFrame(rows, "d long, text string")
+    got = {
+        r["day"]: r
+        for r in dup_drift(
+            df, ["text"], "d", baseline_days=7, threshold=0.2
+        ).collect()
+    }
+    assert (got[1]["n_rows"], got[1]["n_dup"]) == (2, 0)
+    # day 2: x replayed from day 1
+    assert (got[2]["n_rows"], got[2]["n_dup"]) == (2, 1)
+    assert got[2]["dup_rate"] == 0.5 and got[2]["drifted"]
+    # day 3: both z rows count (z seen on day 2)
+    assert (got[3]["n_rows"], got[3]["n_dup"]) == (2, 2)
+    # day 5: within-day-only duplicate pair is NOT cross-day dup
+    assert (got[5]["n_rows"], got[5]["n_dup"]) == (2, 0)
+    # day 11: x last seen day 2 — outside the 7-day window (4..10)
+    assert (got[11]["n_rows"], got[11]["n_dup"]) == (1, 0)
+    assert not got[11]["drifted"]

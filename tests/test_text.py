@@ -575,3 +575,35 @@ def test_tokenizer_fertility_hand_computed(spark):
     )
     assert fr["tokens_per_word"] is None
     assert fr["tokens_per_100_bytes"] is None
+
+
+def test_vocab_drift_hand_computed(spark):
+    """Per-day distinct-token novelty against the trailing window:
+    recurring tokens stop being new, tokens older than the window
+    become new again, gap days contribute nothing."""
+    from kafka_streams_plumber_spark.operators.text import vocab_drift
+
+    rows = [
+        (1, "a b"),
+        (2, "b c"),
+        (3, "c d a"),
+        (10, "a x"),
+        (11, "b"),
+    ]
+    df = spark.createDataFrame(rows, "d long, text string")
+    got = {
+        r["day"]: r
+        for r in vocab_drift(df, "text", "d", baseline_days=7).collect()
+    }
+    assert (got[1]["n_tokens"], got[1]["n_new"]) == (2, 2)
+    assert got[1]["new_fraction"] == 1.0  # warmup day
+    # day 2: b seen on day 1, c new
+    assert (got[2]["n_tokens"], got[2]["n_new"]) == (2, 1)
+    assert got[2]["new_fraction"] == 0.5
+    # day 3: a (day 1) and c (day 2) seen, d new
+    assert (got[3]["n_tokens"], got[3]["n_new"]) == (3, 1)
+    assert got[3]["new_fraction"] == round(1 / 3, 6)
+    # day 10: window is days 3-9 — a seen on day 3, x new
+    assert (got[10]["n_tokens"], got[10]["n_new"]) == (2, 1)
+    # day 11: window is days 4-10 — b last seen day 2, new AGAIN
+    assert (got[11]["n_tokens"], got[11]["n_new"]) == (1, 1)

@@ -168,6 +168,9 @@ AUDITED = {
     # r8 wave
     "q_psi_drift": "one (feed,day,bin) count; observed-grid fill; ONE range-frame baseline window on the tiny grain",
     "q_fertility_mix": "ONE map-combinable aggregate; tokenize/count per-row codegen (size(), no explode)",
+    "q_hist_drift": "psi_drift's staging + two bin-ordered cumsum windows keyed by (feed, day); exact integer sup",
+    "q_vocab_drift": "distinct (token, day) grain; ONE range-frame count window on the token key; day rollup",
+    "q_dup_drift": "map-side collapse to (digest, day) counts; ONE range-frame window on the digest; day rollup",
 }
 
 

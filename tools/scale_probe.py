@@ -119,6 +119,9 @@ PROBED = [
     # r8 wave
     "q_psi_drift",
     "q_fertility_mix",
+    "q_hist_drift",
+    "q_vocab_drift",
+    "q_dup_drift",
 ]
 
 
