@@ -111,6 +111,7 @@ EXTRA6 = [
     "q_hist_drift",
     "q_vocab_drift",
     "q_dup_drift",
+    "q_quantile_drift",
 ]
 
 

@@ -12312,6 +12312,66 @@ def q_dup_drift(spark, sf_dir):
     return dup_drift(feed, ["text"], "day_idx", baseline_days=7, threshold=0.2)
 
 
+@query(
+    "q_quantile_drift",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             quantile_cont(value, 0.5) AS q
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, day, q,
+             CAST(round(q * 1000000) AS BIGINT) AS qs
+      FROM daily
+    ),
+    w AS (
+      SELECT event_type, day, q,
+             sum(qs) OVER (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS bs,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS bn
+      FROM s
+    )
+    SELECT event_type, day, round(q, 6) AS quantile,
+           round(bs / bn / 1000000, 6) AS baseline_mean,
+           round(q - bs / bn / 1000000, 6) AS delta,
+           CAST(bn AS BIGINT) AS n_base_days,
+           abs(round(q - bs / bn / 1000000, 6)) > 5.0 AS drifted
+    FROM w WHERE bn > 0
+    """,
+)
+def q_quantile_drift(spark, sf_dir):
+    """Rolling quantile shift (operators/diff.py:quantile_drift): per
+    (feed, day), the day's exact interpolated median of event values
+    vs the mean of the trailing 7 daily medians — the location-drift
+    member of the windowed monitor family (the number an SLA names).
+    Daily quantiles via the range-repartitioned parallel-rank
+    exact_percentiles (no per-group single-task window); the baseline
+    mean rides the scaled-long device — replayed exactly in SQL
+    (DuckDB quantile_cont is the proven interpolated-percentile
+    parity)."""
+    from kafka_streams_plumber_spark.operators.diff import quantile_drift
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(F.col("ts").isNotNull()).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_idx"),
+        "value",
+    )
+    return quantile_drift(
+        d,
+        ["event_type"],
+        "day_idx",
+        "value",
+        p=0.5,
+        baseline_days=7,
+        threshold=5.0,
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -12391,6 +12451,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_hist_drift",
     "q_vocab_drift",
     "q_dup_drift",
+    "q_quantile_drift",
 ]
 
 #: Oracled queries excluded from the stalest fill, with the reason

@@ -336,3 +336,41 @@ def test_dup_drift_hand_computed(spark):
     # day 11: x last seen day 2 — outside the 7-day window (4..10)
     assert (got[11]["n_rows"], got[11]["n_dup"]) == (1, 0)
     assert not got[11]["drifted"]
+
+
+def test_quantile_drift_hand_computed(spark):
+    """Daily exact medians vs the trailing-window mean of daily
+    medians: interpolation is exact, the first day is omitted, and a
+    day whose whole window is empty is omitted too."""
+    from kafka_streams_plumber_spark.operators.diff import quantile_drift
+
+    rows = (
+        [("a", 1, 1.0), ("a", 1, 3.0)]        # median 2.0
+        + [("a", 2, 3.0), ("a", 2, 5.0)]      # median 4.0
+        + [("a", 3, 5.0), ("a", 3, 7.0), ("a", 3, 9.0)]  # median 7.0
+        + [("a", 15, 1.0)]                    # window 8-14 empty
+    )
+    df = spark.createDataFrame(rows, "g string, d long, v double")
+    got = {
+        r["day"]: r
+        for r in quantile_drift(
+            df, ["g"], "d", "v", p=0.5, baseline_days=7, threshold=3.0
+        ).collect()
+    }
+    assert set(got) == {2, 3}  # day 1: no baseline; day 15: empty window
+    assert got[2]["quantile"] == 4.0 and got[2]["baseline_mean"] == 2.0
+    assert got[2]["delta"] == 2.0 and not got[2]["drifted"]
+    assert got[3]["quantile"] == 7.0 and got[3]["baseline_mean"] == 3.0
+    assert got[3]["delta"] == 4.0 and got[3]["n_base_days"] == 2
+    assert got[3]["drifted"]
+
+    # even-count day interpolates exactly
+    ev = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0), ("a", 2, 1.0), ("a", 2, 2.0)],
+        "g string, d long, v double",
+    )
+    g2 = quantile_drift(
+        ev, ["g"], "d", "v", p=0.5, baseline_days=7, threshold=1.0
+    ).collect()
+    assert len(g2) == 1 and g2[0]["quantile"] == 1.5
+    assert g2[0]["delta"] == 0.0

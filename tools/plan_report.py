@@ -171,6 +171,7 @@ AUDITED = {
     "q_hist_drift": "psi_drift's staging + two bin-ordered cumsum windows keyed by (feed, day); exact integer sup",
     "q_vocab_drift": "distinct (token, day) grain; ONE range-frame count window on the token key; day rollup",
     "q_dup_drift": "map-side collapse to (digest, day) counts; ONE range-frame window on the digest; day rollup",
+    "q_quantile_drift": "exact_percentiles' parallel rank per (feed, day) + ONE range-frame window on the day grain",
 }
 
 

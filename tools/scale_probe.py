@@ -122,6 +122,7 @@ PROBED = [
     "q_hist_drift",
     "q_vocab_drift",
     "q_dup_drift",
+    "q_quantile_drift",
 ]
 
 
