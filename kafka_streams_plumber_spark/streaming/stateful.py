@@ -543,3 +543,155 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("day", T.LongType()),
+        T.StructField("n_cur", T.LongType()),
+        T.StructField("n_base", T.LongType()),
+        T.StructField("psi", T.DoubleType()),
+        T.StructField("drifted", T.BooleanType()),
+    ]
+)
+
+#: per-feed histogram ring: observed days + day-major flattened bin
+#: counts + the last emitted day (sentinel: _DRIFT_NONE)
+_DRIFT_STATE_SCHEMA = "days ARRAY<LONG>, counts ARRAY<LONG>, emitted LONG"
+_DRIFT_NONE = -(2**62)
+_DAY_MS = 86_400_000
+
+
+def histogram_drift_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bins: int = 10,
+    lo: float,
+    hi: float,
+    baseline_days: int = 7,
+    threshold: float = 0.25,
+    smooth: float = 1e-6,
+    scale: int = 10**9,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-feed distribution-drift monitor: the ingest-time
+    face of :func:`~kafka_streams_plumber_spark.operators.diff.
+    psi_drift`. Maintains a per-feed histogram ring over the trailing
+    calendar days; when the watermark closes a UTC day, emits that
+    day's PSI against the pooled trailing-``baseline_days`` baseline —
+    same binning, same smoothing, same scaled-long term quantization
+    as the batch operator, so emitted rows MATCH the batch psi_drift
+    output bit-for-bit on the closed days (asserted in
+    tests/test_stateful.py). Days with an empty baseline are omitted,
+    exactly like the batch contract.
+
+    Not expressible with built-in windowed aggregation: the baseline
+    is a cross-WINDOW comparison (day vs the 7 days before it), which
+    needs the per-key ring as running state. State per feed is
+    bounded: (baseline_days + open days) x bins longs; days that can
+    no longer appear in any future baseline are pruned each batch,
+    and the state dies on an event-time timeout after the feed goes
+    quiet (final complete days are flushed on the way out).
+    """
+    day_ms = _DAY_MS
+    width = (hi - lo) / bins
+
+    def fn(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        (k,) = key
+        if state.exists:
+            days, counts, emitted = state.get
+            cmap = {
+                d: list(counts[i * bins : (i + 1) * bins])
+                for i, d in enumerate(days)
+            }
+        else:
+            cmap, emitted = {}, _DRIFT_NONE
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pd.to_datetime(pdf[ts_col])
+                for t, v in zip(ts, pdf[value_col]):
+                    if v is None or v != v:
+                        continue
+                    d = (t.value // 1_000_000) // day_ms
+                    b = min(
+                        bins - 1, max(0, math.floor((float(v) - lo) / width))
+                    )
+                    cmap.setdefault(d, [0] * bins)[b] += 1
+
+        wm = state.getCurrentWatermarkMs()
+
+        def r6(x: float) -> float:
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        out = []
+        for d in sorted(cmap):
+            if d <= emitted:
+                continue
+            if not state.hasTimedOut and (d + 1) * day_ms > wm:
+                break  # day still open; later days even more so
+            base = [0] * bins
+            for dd in range(d - baseline_days, d):
+                if dd in cmap:
+                    row = cmap[dd]
+                    for i in range(bins):
+                        base[i] += row[i]
+            nb, nc = sum(base), sum(cmap[d])
+            emitted = d
+            if nb == 0 or nc == 0:
+                continue  # batch contract: no baseline -> no row
+            acc = 0
+            for i in range(bins):
+                pn = cmap[d][i] / nc + smooth
+                po = base[i] / nb + smooth
+                term = (pn - po) * math.log(pn / po)
+                acc += int(
+                    Decimal(repr(term * scale)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+            psi = r6(acc / scale)
+            out.append((k, d, nc, nb, psi, psi > threshold))
+
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            keep = sorted(
+                d for d in cmap if d >= emitted + 1 - baseline_days
+            )
+            flat: list[int] = []
+            for d in keep:
+                flat.extend(cmap[d])
+            state.update((keep, flat, emitted))
+            last_end = (max(cmap) + 1) * day_ms if cmap else wm + day_ms
+            state.setTimeoutTimestamp(
+                max(wm + 1, last_end + baseline_days * day_ms)
+            )
+        yield pd.DataFrame(
+            out, columns=["key", "day", "n_cur", "n_base", "psi", "drifted"]
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DRIFT_SCHEMA,
+            stateStructType=_DRIFT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

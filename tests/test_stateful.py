@@ -395,3 +395,115 @@ def test_funnel_stream_interval_merge_keeps_state_exact(spark, tmp_path):
     finally:
         q.stop()
     assert max(r.stage for r in prog) == 2
+
+
+def test_histogram_drift_stream_matches_batch_psi_drift(spark, tmp_path):
+    """The streaming drift monitor's emitted rows (watermark-closed
+    days) equal diff.psi_drift's batch output for the same days,
+    bit-for-bit — same binning, smoothing, and scaled-long term
+    quantization; open days and empty-baseline days are not emitted."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.diff import psi_drift
+    from kafka_streams_plumber_spark.streaming.stateful import (
+        histogram_drift_stream,
+    )
+
+    day = dt.timedelta(days=1)
+    d0 = dt.datetime(2024, 1, 1)  # UTC epoch day 19723
+    rows = []
+    # feed "a": day 0 low values, day 1 mixed, day 2 shifted high
+    for h, v in [(1, 0.2), (2, 0.4), (3, 0.3)]:
+        rows.append(("a", d0 + dt.timedelta(hours=h), v))
+    for h, v in [(1, 0.2), (2, 1.6), (3, 1.7), (4, 0.1)]:
+        rows.append(("a", d0 + day + dt.timedelta(hours=h), v))
+    for h, v in [(1, 1.9), (2, 1.8), (3, 1.7)]:
+        rows.append(("a", d0 + 2 * day + dt.timedelta(hours=h), v))
+    # feed "b": stable across the same days
+    for dd in range(3):
+        for h, v in [(5, 0.5), (6, 1.5)]:
+            rows.append(("b", d0 + dd * day + dt.timedelta(hours=h), v))
+
+    schema = "event_type string, ts timestamp, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    # two sentinel waves per feed: the first advances the watermark
+    # past days 0-1 (emitting them), the second past day 2
+    sent1 = [(k, d0 + 4 * day, 1.0) for k in ("a", "b")]
+    sent2 = [(k, d0 + 6 * day, 1.0) for k in ("a", "b")]
+    spark.createDataFrame(sent1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(sent2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = histogram_drift_stream(
+        stream,
+        bins=4,
+        lo=0.0,
+        hi=2.0,
+        baseline_days=7,
+        threshold=0.25,
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT * FROM drift_stream_test ORDER BY key, day"
+        ).collect()
+    finally:
+        q.stop()
+
+    # batch reference over the identical rows (sentinels included)
+    batch_in = spark.createDataFrame(rows + sent1 + sent2, schema).select(
+        "event_type",
+        F.floor(F.unix_millis("ts") / 86400000).alias("day_idx"),
+        "value",
+    )
+    batch = {
+        (r["event_type"], r["day"]): r
+        for r in psi_drift(
+            batch_in,
+            ["event_type"],
+            "day_idx",
+            "value",
+            bins=4,
+            lo=0.0,
+            hi=2.0,
+            baseline_days=7,
+            threshold=0.25,
+        ).collect()
+    }
+
+    # emitted = closed days with a baseline: days 1 and 2 per feed
+    d0_idx = int(d0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert [(r["key"], r["day"]) for r in got] == [
+        ("a", d0_idx + 1),
+        ("a", d0_idx + 2),
+        ("b", d0_idx + 1),
+        ("b", d0_idx + 2),
+    ]
+    for r in got:
+        b = batch[(r["key"], r["day"])]
+        assert (r["n_cur"], r["n_base"]) == (b["n_cur"], b["n_base"])
+        assert r["psi"] == b["psi"], (r["key"], r["day"], r["psi"], b["psi"])
+        assert r["drifted"] == b["drifted"]
+    # the shifted feed flags on day 2, the stable feed never does
+    assert got[1]["drifted"] and not got[3]["drifted"]
+    assert got[3]["psi"] == 0.0
