@@ -185,7 +185,16 @@ def _collapse_literals(plan: str) -> str:
         n = body.count(",") + 1
         return f"[..{n}-element literal..]"
 
-    return re.sub(r"\[(?:-?\d+(?:\.\d+(?:E-?\d+)?)?,){32,}[^\]]*\]", shorten, plan)
+    plan = re.sub(
+        r"\[(?:-?\d+(?:\.\d+(?:E-?\d+)?)?,){32,}[^\]]*\]", shorten, plan
+    )
+    # literal control chars (e.g. the \x01 BPE split marker) would make
+    # the generated markdown a "binary" file for grep — escape them
+    return re.sub(
+        r"[\x00-\x08\x0b-\x1f]",
+        lambda m: f"\\x{ord(m.group(0)):02x}",
+        plan,
+    )
 
 
 def main() -> None:
