@@ -112,6 +112,7 @@ EXTRA6 = [
     "q_vocab_drift",
     "q_dup_drift",
     "q_quantile_drift",
+    "q_bootstrap_ci",
 ]
 
 

@@ -618,3 +618,121 @@ def neyman_sample(
         .where(keep)
         .select(id_col, strata_col, "n_target", F.col("_thresh").alias("threshold"))
     )
+
+
+#: Poisson(1) CDF thresholds for the bootstrap weight draw (k = 0..7;
+#: u above the last threshold -> weight 8). Literal doubles, repeated
+#: VERBATIM in the SQL oracle so both engines compare the same bits.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    b: int = 200,
+    scale: int = 10**6,
+    mean_scale: int = 10**9,
+    ci: float = 0.95,
+) -> DataFrame:
+    """Bootstrap standard error + percentile CI for the MEAN of
+    ``value_col`` via the Poisson bootstrap — the resampling scheme
+    that actually works distributed: instead of materializing B
+    resamples (impossible at 100 TB), every row draws an independent
+    Poisson(1) replication weight per replica (the large-n limit of
+    multinomial resampling), so the whole bootstrap is ONE widening
+    projection + ONE map-combinable aggregate. Deterministic: the
+    weight for (row, replica) comes from the Knuth multiplicative
+    hash of ``id * b + replica`` (the repo's replayable-hash device),
+    inverse-CDF'd through :data:`POISSON1_CDF`.
+
+    One output row: ``(n_rows, n_replicas, point_mean, boot_mean,
+    boot_se, ci_lo, ci_hi)`` — 6 dp. Replicas whose total weight is 0
+    (impossible in practice for n >> 1) would drop NULL-safely.
+
+    Exactness: values ride scaled longs (``round(v * scale)``);
+    per-replica sums are exact decimal(38,0) integers; each replica
+    mean is one double division; replica means re-quantize to longs
+    at ``mean_scale`` so the SE moments (B*Q - T^2, the integer
+    variance identity) and the percentile CI (exact interpolated
+    percentile over B longs) are summation-order-proof — SQL replays
+    bit-for-bit.
+
+    Scale design: the x``b`` explode is the method's honest cost
+    (b ~ 100-200), but it never shuffles at row grain — the partial
+    aggregation collapses each partition to <= b rows map-side, so
+    the exchange carries O(partitions x b) tiny rows; everything
+    after lives on the B-row frame. No self-joins, no Python, no
+    driver-side loops.
+    """
+    alpha = (1.0 - ci) / 2.0
+    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).cast("long").alias("_k"), v.alias("_v"))
+
+    rep = base.select(
+        "_k", "_v", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_r")
+    )
+    h = (F.pmod(F.col("_k") * b + F.col("_r"), F.lit(_M31)) * _KNUTH) % _M31
+    u = (h.cast("double") + 1.0) / float(_M31 + 1)
+    w: Column = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_rep = rep.groupBy("_r").agg(
+        F.sum(dec(w) * dec(F.col("_v"))).alias("_sv"),
+        F.sum(w).cast("decimal(38,0)").alias("_sw"),
+    )
+    mean = (F.col("_sv").cast("double") / F.col("_sw").cast("double")) / scale
+    means = per_rep.where(F.col("_sw") > 0).select(
+        F.round(mean * mean_scale, 0).cast("long").alias("_ms")
+    )
+
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            (F.sum(dec(F.col("_v"))).cast("double") / F.count(F.lit(1)))
+            / scale
+        ).alias("_pm"),
+    )
+    boot = means.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.sum(dec(F.col("_ms"))).alias("_t"),
+        F.sum(dec(F.col("_ms")) * dec(F.col("_ms"))).alias("_q"),
+        F.expr(f"percentile(_ms, {alpha!r})").alias("_lo"),
+        F.expr(f"percentile(_ms, {1.0 - alpha!r})").alias("_hi"),
+    )
+    nb = F.col("n_replicas").cast("decimal(38,0)")
+    se = (
+        F.sqrt(
+            (nb * F.col("_q") - F.col("_t") * F.col("_t")).cast("double")
+            / (
+                F.col("n_replicas").cast("double")
+                * (F.col("n_replicas") - 1).cast("double")
+            )
+        )
+        / mean_scale
+    )
+    return point.crossJoin(F.broadcast(boot)).select(
+        "n_rows",
+        "n_replicas",
+        F.round("_pm", 6).alias("point_mean"),
+        F.round(
+            (F.col("_t").cast("double") / F.col("n_replicas")) / mean_scale, 6
+        ).alias("boot_mean"),
+        F.round(se, 6).alias("boot_se"),
+        F.round(F.col("_lo") / mean_scale, 6).alias("ci_lo"),
+        F.round(F.col("_hi") / mean_scale, 6).alias("ci_hi"),
+    )

@@ -12372,6 +12372,96 @@ def q_quantile_drift(spark, sf_dir):
     )
 
 
+@query(
+    "q_bootstrap_ci",
+    """
+    WITH base AS (
+      SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS k,
+             CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    rep AS (
+      SELECT k, v, t.r,
+             ((k * 100 + t.r) % 2147483648) * 2654435761 % 2147483648 AS h
+      FROM base CROSS JOIN range(0, 100) t(r)
+    ),
+    wts AS (
+      SELECT r, v,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238463 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS w
+      FROM (SELECT r, v,
+                   (CAST(h AS DOUBLE) + 1.0) / 2147483648.0 AS u
+            FROM rep)
+    ),
+    per_rep AS (
+      SELECT r, CAST(sum(CAST(w AS HUGEINT) * CAST(v AS HUGEINT))
+                     AS HUGEINT) AS sv,
+             CAST(sum(w) AS HUGEINT) AS sw
+      FROM wts GROUP BY r
+    ),
+    means AS (
+      SELECT CAST(round(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE)
+                        / 1000000 * 1000000000) AS BIGINT) AS ms
+      FROM per_rep WHERE sw > 0
+    ),
+    point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / count(*)
+               / 1000000 AS pm
+      FROM base
+    ),
+    boot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+             CAST(sum(CAST(ms AS HUGEINT)) AS HUGEINT) AS t,
+             CAST(sum(CAST(ms AS HUGEINT) * CAST(ms AS HUGEINT))
+                  AS HUGEINT) AS q,
+             quantile_cont(ms, 0.025000000000000022) AS lo,
+             quantile_cont(ms, 0.975) AS hi
+      FROM means
+    )
+    SELECT n_rows, n_replicas, round(pm, 6) AS point_mean,
+           round(CAST(t AS DOUBLE) / n_replicas / 1000000000, 6)
+             AS boot_mean,
+           round(sqrt(CAST(n_replicas * q - t * t AS DOUBLE)
+                      / (CAST(n_replicas AS DOUBLE)
+                         * CAST(n_replicas - 1 AS DOUBLE)))
+                 / 1000000000, 6) AS boot_se,
+           round(lo / 1000000000, 6) AS ci_lo,
+           round(hi / 1000000000, 6) AS ci_hi
+    FROM point CROSS JOIN boot
+    """,
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI (operators/sampling.py:poisson_bootstrap)
+    for mean lineitem revenue, B=100 replicas: the distributed
+    bootstrap — every row draws a deterministic Poisson(1) weight per
+    replica from the Knuth hash of id*B + replica (no resample
+    materialization, no data movement at row grain: partial
+    aggregation collapses each partition to <= B rows map-side).
+    Exact integer replica sums, scaled-long replica means, integer
+    variance identity for the SE, exact interpolated percentile CI —
+    replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.sampling import poisson_bootstrap
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    d = li.where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_discount").isNotNull()
+    ).select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    return poisson_bootstrap(d, "rid", "revenue", b=100, ci=0.95)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -12452,6 +12542,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_vocab_drift",
     "q_dup_drift",
     "q_quantile_drift",
+    "q_bootstrap_ci",
 ]
 
 #: Oracled queries excluded from the stalest fill, with the reason

@@ -451,3 +451,63 @@ def test_sample_to_token_budget_semantics(spark):
     # stable across recomputation
     again = sample_to_token_budget(df, "g", "doc_id", "n", budget=150).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_poisson_bootstrap_matches_pure_python_reference(spark):
+    """The whole pipeline (Knuth hash -> Poisson(1) inverse CDF ->
+    exact replica sums -> scaled-long means -> integer-moment SE ->
+    interpolated percentile CI) equals an independent pure-Python
+    recomputation, bit for bit at the 6 dp contract."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.sampling import (
+        POISSON1_CDF,
+        poisson_bootstrap,
+    )
+
+    rows = [(i, float(10 + 3 * (i % 5))) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    b, scale, ms_scale = 7, 10**6, 10**9
+    got = poisson_bootstrap(df, "rid", "v", b=b, ci=0.95).collect()[0]
+
+    def weight(k, r):
+        h = ((k * b + r) % 2**31) * 2654435761 % 2**31
+        u = (h + 1.0) / 2**31
+        for kk, thr in enumerate(POISSON1_CDF):
+            if u < thr:
+                return kk
+        return len(POISSON1_CDF)
+
+    vs = {k: round(v * scale) for k, v in rows}
+    ms = []
+    for r in range(b):
+        sv = sum(weight(k, r) * vs[k] for k, _ in rows)
+        sw = sum(weight(k, r) for k, _ in rows)
+        if sw > 0:
+            ms.append(round(sv / sw / scale * ms_scale))
+    n, t, q = len(ms), sum(ms), sum(m * m for m in ms)
+    se = math.sqrt((n * q - t * t) / (n * (n - 1))) / ms_scale
+
+    def pctl(xs, p):
+        xs = sorted(xs)
+        idx = p * (len(xs) - 1)
+        lo, w = int(math.floor(idx)), idx - math.floor(idx)
+        return xs[lo] + w * (xs[min(lo + 1, len(xs) - 1)] - xs[lo])
+
+    assert got["n_rows"] == 40 and got["n_replicas"] == n
+    assert got["point_mean"] == round(sum(vs.values()) / 40 / scale, 6)
+    assert got["boot_mean"] == round(t / n / ms_scale, 6)
+    assert got["boot_se"] == round(se, 6)
+    assert got["ci_lo"] == round(
+        pctl(ms, (1.0 - 0.95) / 2.0) / ms_scale, 6
+    )
+    assert got["ci_hi"] == round(
+        pctl(ms, 1.0 - (1.0 - 0.95) / 2.0) / ms_scale, 6
+    )
+    # the interval brackets the point estimate and SE is positive
+    assert got["ci_lo"] <= got["point_mean"] <= got["ci_hi"]
+    assert got["boot_se"] > 0.0
+
+    # determinism: a second run is identical
+    again = poisson_bootstrap(df, "rid", "v", b=b, ci=0.95).collect()[0]
+    assert again == got

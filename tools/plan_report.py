@@ -172,6 +172,7 @@ AUDITED = {
     "q_vocab_drift": "distinct (token, day) grain; ONE range-frame count window on the token key; day rollup",
     "q_dup_drift": "map-side collapse to (digest, day) counts; ONE range-frame window on the digest; day rollup",
     "q_quantile_drift": "exact_percentiles' parallel rank per (feed, day) + ONE range-frame window on the day grain",
+    "q_bootstrap_ci": "xB widening projection collapsed map-side to <= B rows/partition; all stats on the B-row frame",
 }
 
 

@@ -123,6 +123,7 @@ PROBED = [
     "q_vocab_drift",
     "q_dup_drift",
     "q_quantile_drift",
+    "q_bootstrap_ci",
 ]
 
 
