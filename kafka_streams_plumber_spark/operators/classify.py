@@ -1082,3 +1082,318 @@ def cronbach_alpha(
         F.col("_k").cast("long").alias("n_items"),
         alpha.alias("alpha"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    weights: str | None = None,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between exactly TWO
+    raters (or two model runs) whose labels arrive as two columns of
+    the same row; the pairwise sibling of :func:`fleiss_kappa` and the
+    standard "did the new model actually change decisions" audit when
+    the two columns are old/new predictions. Rows where either label
+    is NULL are dropped (no pair). ``weights`` is ``None`` (classic
+    0/1 disagreement), ``"linear"`` or ``"quadratic"`` (ordinal
+    labels: a near-miss costs |i-j| or (i-j)^2 over the category index
+    in sorted label order — sorted on the NATIVE column type, so
+    numeric labels order numerically).
+
+    One row ``(n_items, n_categories, disagree_obs, disagree_exp,
+    kappa)``: kappa = 1 - disagree_obs/disagree_exp, NULL when the
+    expected disagreement is 0 (every label one category). The
+    disagreement form makes one schema serve all three weightings —
+    with 0/1 weights ``disagree_obs = 1 - p_o`` and
+    ``disagree_exp = 1 - p_e`` exactly.
+
+    Exactness: D_o = sum d_ij*n_ij and D_e = sum d_ij*a_i*b_j are
+    exact integers on decimal(38,0) (integer index gaps, integer
+    counts); kappa = (D_e - N*D_o)/D_e is one double division, so SQL
+    replays bit-for-bit.
+
+    Scale design: one map-combinable collapse to the (label_a,
+    label_b) confusion grain — bounded by k^2 categories, NOT rows —
+    then O(k)/O(k^2) arithmetic on broadcast-sized frames. The
+    category-index window runs on the k-row label frame only.
+    """
+    if weights not in (None, "linear", "quadratic"):
+        raise ValueError(f"unknown weights: {weights!r}")
+    base = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n"))
+
+    # category index in sorted NATIVE order; the frame is k rows
+    # (bounded by the label alphabet), so the bare window is fine
+    labels = (
+        cells.select(F.col("_a").alias("_v"))
+        .union(cells.select(F.col("_b").alias("_v")))
+        .distinct()
+    )
+    idx = labels.select(
+        "_v",
+        (F.dense_rank().over(Window.orderBy("_v")) - 1).alias("_i"),
+    )
+
+    ia = idx.select(F.col("_v").alias("_va"), F.col("_i").alias("_ia"))
+    ib = idx.select(F.col("_v").alias("_vb"), F.col("_i").alias("_ib"))
+    cab = (
+        cells.join(F.broadcast(ia), F.col("_a") == F.col("_va"))
+        .join(F.broadcast(ib), F.col("_b") == F.col("_vb"))
+        .drop("_va", "_vb")
+    )
+    gap = F.abs(F.col("_ia") - F.col("_ib")).cast("decimal(19,0)")
+    d_ij = {
+        None: (F.col("_ia") != F.col("_ib")).cast("decimal(19,0)"),
+        "linear": gap,
+        "quadratic": gap * gap,
+    }[weights]
+    obs = cab.agg(
+        F.coalesce(
+            F.sum("_n").cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)")
+        ).alias("_N"),
+        F.coalesce(
+            F.sum(d_ij * F.col("_n").cast("decimal(19,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_do"),
+    )
+
+    ma = cells.groupBy(F.col("_a").alias("_v")).agg(F.sum("_n").alias("_ca"))
+    mb = cells.groupBy(F.col("_b").alias("_v")).agg(F.sum("_n").alias("_cb"))
+    ma_i = ma.join(F.broadcast(idx), "_v").select("_ca", F.col("_i").alias("_ia"))
+    mb_i = mb.join(F.broadcast(idx), "_v").select("_cb", F.col("_i").alias("_ib"))
+    gap_e = F.abs(F.col("_ia") - F.col("_ib")).cast("decimal(19,0)")
+    d_e = {
+        None: (F.col("_ia") != F.col("_ib")).cast("decimal(19,0)"),
+        "linear": gap_e,
+        "quadratic": gap_e * gap_e,
+    }[weights]
+    exp = (
+        ma_i.crossJoin(F.broadcast(mb_i))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    d_e
+                    * F.col("_ca").cast("decimal(19,0)")
+                    * F.col("_cb").cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_de")
+        )
+    )
+    k_cats = idx.agg(F.count(F.lit(1)).alias("n_categories"))
+
+    out = obs.crossJoin(F.broadcast(exp)).crossJoin(F.broadcast(k_cats))
+    nd = F.col("_N")
+    kappa = F.round(
+        (F.col("_de") - nd * F.col("_do")).cast("double")
+        / F.nullif(F.col("_de").cast("double"), F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        F.col("_N").cast("long").alias("n_items"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(
+            F.col("_do").cast("double")
+            / F.nullif(nd.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("disagree_obs"),
+        F.round(
+            F.col("_de").cast("double")
+            / F.nullif((nd * nd).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("disagree_exp"),
+        kappa.alias("kappa"),
+    )
+
+
+def mcnemar(
+    df: DataFrame,
+    correct_a_col: str,
+    correct_b_col: str,
+    *,
+    corrected: bool = True,
+) -> DataFrame:
+    """McNemar's test on paired binary outcomes — THE test for "is
+    model B actually better than model A on the same eval set", where
+    the two columns are per-item correctness flags of the two systems
+    (a paired design: an unpaired proportion test throws away the
+    per-item pairing and loses power). Only the discordant cells
+    matter: b = A right / B wrong, c = A wrong / B right;
+    chi2 = (|b-c| - 1)^2 / (b+c) with Edwards' continuity correction
+    (``corrected=False`` drops the -1), 1 df. Rows with a NULL flag
+    are dropped (no pair).
+
+    One row ``(n_pairs, both_correct, both_wrong, only_a, only_b,
+    chi2)``; chi2 NULL when b + c = 0 (no discordant pairs — the test
+    is undefined, not "0"). The correction is applied verbatim even
+    when |b-c| <= 1 (statsmodels-compatible), so tiny-n values can
+    exceed the uncorrected statistic; documented, not hidden.
+
+    Exactness: four conditional-count integers from one
+    map-combinable aggregate; chi2 is one fixed-shape double division
+    — replayed bit-for-bit in SQL.
+
+    Scale design: a single pass, no shuffle beyond the one-row final
+    aggregate (partial aggregation collapses map-side).
+    """
+    a = F.col(correct_a_col).cast("boolean")
+    b = F.col(correct_b_col).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("_a"), b.alias("_b")
+    )
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(c.cast("long")), F.lit(0)
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        cnt(F.col("_a") & F.col("_b")).alias("both_correct"),
+        cnt(~F.col("_a") & ~F.col("_b")).alias("both_wrong"),
+        cnt(F.col("_a") & ~F.col("_b")).alias("only_a"),
+        cnt(~F.col("_a") & F.col("_b")).alias("only_b"),
+    )
+    diff = F.abs(F.col("only_a") - F.col("only_b")).cast("double")
+    num = (diff - F.lit(1.0)) if corrected else diff
+    disc = (F.col("only_a") + F.col("only_b")).cast("double")
+    return agg.select(
+        "n_pairs",
+        "both_correct",
+        "both_wrong",
+        "only_a",
+        "only_b",
+        F.round(num * num / F.nullif(disc, F.lit(0.0)), 6).alias("chi2"),
+    )
+
+
+def kendall_w(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    score_col: str,
+    *,
+    n_raters: int,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — do ``n_raters`` judges
+    RANK the items the same way, regardless of each judge's personal
+    scale? The ordinal sibling of :func:`fleiss_kappa` (categories) and
+    :func:`cronbach_alpha` (interval): scores are reduced to
+    within-rater midranks first, so a judge who scores everything 2x
+    higher agrees perfectly with one who doesn't. W = 1 is identical
+    rankings, W = 0 is no association. The standard audit for "are my
+    LLM-judge prompts consistent" and for scorer panels.
+
+    Complete-panel design like Fleiss: items with a rating count other
+    than ``n_raters`` are EXCLUDED; duplicate (item, rater) rows
+    collapse to their MIN score on the native type. One row
+    ``(n_items, n_raters, w, chi2)`` with the chi-square
+    approximation chi2 = m*(n-1)*W (df = n-1); W NULL when n_items
+    < 2 or every rater ties every item (zero denominator).
+
+    Exactness: the doubled-midrank device — per (rater, score) tie
+    block the doubled midrank is ``2*cum - t + 1`` from cumulative
+    counts, so each item's doubled rank-sum D_i is an exact integer,
+    and with T = sum(t^3 - t) over tie blocks,
+    W = 3*(n*sum(D^2) - (sum D)^2) / (n*(m^2*(n^3-n) - m*T)) — ALL
+    integers on decimal(38,0), one double division, replayed
+    bit-for-bit in SQL.
+
+    Scale design: collapse to the (rater, score) distinct grain, ONE
+    global range exchange (ordering.running_total over (rater,
+    score)) turned into within-rater cumulative counts by subtracting
+    the O(raters)-row per-rater offsets (broadcast back), one join of
+    the ratings against the tie-block grain, one aggregate per item,
+    one final row. No window ever sees more than the distinct grain.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    assert n_raters >= 2
+    r = (
+        df.where(
+            F.col(item_col).isNotNull()
+            & F.col(rater_col).isNotNull()
+            & F.col(score_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("_u"), F.col(rater_col).alias("_r")
+        )
+        .agg(F.min(F.col(score_col)).alias("_v"))
+    )
+    complete = (
+        r.groupBy("_u")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .where(F.col("_m") == n_raters)
+        .select("_u")
+    )
+    rc = r.join(complete, "_u", "left_semi")
+
+    per = rc.groupBy("_r", "_v").agg(F.count(F.lit(1)).alias("_t"))
+    g = running_total(per, ["_r", "_v"], "_t", out_col="_cum")
+    rtot = per.groupBy("_r").agg(F.sum("_t").alias("_nr"))
+    roff = running_total(rtot, ["_r"], "_nr", out_col="_cr")
+    g = g.join(
+        F.broadcast(
+            roff.select(
+                "_r", (F.col("_cr") - F.col("_nr")).alias("_off")
+            )
+        ),
+        "_r",
+    )
+    # doubled midrank of the tie block: first + last rank within rater
+    cells = g.select(
+        "_r",
+        "_v",
+        "_t",
+        (
+            F.lit(2) * (F.col("_cum") - F.col("_off"))
+            - F.col("_t")
+            + F.lit(1)
+        ).alias("_d2r"),
+    )
+    per_item = (
+        rc.join(cells, ["_r", "_v"])
+        .groupBy("_u")
+        .agg(F.sum("_d2r").cast("decimal(38,0)").alias("_D"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = per_item.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.coalesce(F.sum("_D"), F.lit(0).cast("decimal(38,0)")).alias("_sd"),
+        F.coalesce(
+            F.sum(F.col("_D") * F.col("_D")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_sd2"),
+    )
+    t19 = F.col("_t").cast("decimal(19,0)")
+    ties = cells.agg(
+        F.coalesce(
+            F.sum(dec(t19 * t19 * t19 - t19)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_T")
+    )
+    out = s.crossJoin(F.broadcast(ties))
+    m = F.lit(n_raters).cast("decimal(38,0)")
+    n = F.col("_n")
+    num = F.lit(3).cast("decimal(38,0)") * (
+        n * F.col("_sd2") - F.col("_sd") * F.col("_sd")
+    )
+    den = n * (m * m * (n * n * n - n) - m * F.col("_T"))
+    w = F.round(
+        num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), 6
+    )
+    return out.select(
+        n.cast("long").alias("n_items"),
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        w.alias("w"),
+        F.round(
+            F.lit(float(n_raters))
+            * (n.cast("double") - F.lit(1.0))
+            * num.cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("chi2"),
+    )

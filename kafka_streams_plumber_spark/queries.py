@@ -12462,6 +12462,201 @@ def q_bootstrap_ci(spark, sf_dir):
     return poisson_bootstrap(d, "rid", "revenue", b=100, ci=0.95)
 
 
+@query(
+    "q_cohen_kappa",
+    """
+    WITH base AS (
+      SELECT least(4, greatest(0, CAST(floor(value / 20.0) AS BIGINT))) AS a,
+             least(4, greatest(0, CAST(floor((value + (event_id % 3) * 10.0)
+                                             / 20.0) AS BIGINT))) AS b
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    cells AS (SELECT a, b, count(*) AS n FROM base GROUP BY 1, 2),
+    labs AS (SELECT DISTINCT v FROM
+             (SELECT a AS v FROM cells UNION SELECT b FROM cells)),
+    idx AS (SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS i FROM labs),
+    cab AS (
+      SELECT c.n, ia.i AS ia, ib.i AS ib
+      FROM cells c JOIN idx ia ON c.a = ia.v JOIN idx ib ON c.b = ib.v
+    ),
+    obs AS (
+      SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS nn,
+             CAST(coalesce(sum(abs(ia - ib) * abs(ia - ib) * n), 0)
+                  AS HUGEINT) AS dobs
+      FROM cab
+    ),
+    ma AS (SELECT a AS v, sum(n) AS ca FROM cells GROUP BY 1),
+    mb AS (SELECT b AS v, sum(n) AS cb FROM cells GROUP BY 1),
+    mai AS (SELECT ca, i FROM ma JOIN idx USING (v)),
+    mbi AS (SELECT cb, i FROM mb JOIN idx USING (v)),
+    ex AS (
+      SELECT CAST(coalesce(sum(abs(mai.i - mbi.i) * abs(mai.i - mbi.i)
+                               * CAST(ca AS HUGEINT) * cb), 0)
+                  AS HUGEINT) AS dexp
+      FROM mai CROSS JOIN mbi
+    ),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS n_categories FROM idx)
+    SELECT CAST(nn AS BIGINT) AS n_items, n_categories,
+           round(CAST(dobs AS DOUBLE) / nullif(CAST(nn AS DOUBLE), 0.0), 6)
+             AS disagree_obs,
+           round(CAST(dexp AS DOUBLE)
+                 / nullif(CAST(nn * nn AS DOUBLE), 0.0), 6) AS disagree_exp,
+           round(CAST(dexp - nn * dobs AS DOUBLE)
+                 / nullif(CAST(dexp AS DOUBLE), 0.0), 6) AS kappa
+    FROM obs CROSS JOIN ex CROSS JOIN k
+    """,
+)
+def q_cohen_kappa(spark, sf_dir):
+    """Quadratic-weighted Cohen's kappa (operators/classify.py:
+    cohen_kappa) between two derived ordinal scorers of the same
+    events (value-bucket 0..4 vs the same bucket under a deterministic
+    per-event offset) — the two-rater / old-vs-new-model agreement
+    audit. Exact integer disagreement masses D_o and D_e over the
+    k^2-bounded confusion grain, one double division — replayed
+    bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import cohen_kappa
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        F.least(
+            F.lit(4),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / F.lit(20.0))
+            ),
+        ).alias("a"),
+        F.least(
+            F.lit(4),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (
+                        F.col("value")
+                        + (F.col("event_id") % 3) * F.lit(10.0)
+                    )
+                    / F.lit(20.0)
+                ),
+            ),
+        ).alias("b"),
+    )
+    return cohen_kappa(d, "a", "b", weights="quadratic")
+
+
+@query(
+    "q_mcnemar",
+    """
+    WITH base AS (
+      SELECT value >= 40.0 AS a, value >= 60.0 AS b
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(coalesce(sum(CASE WHEN a AND b THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS both_correct,
+             CAST(coalesce(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS both_wrong,
+             CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS only_a,
+             CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS only_b
+      FROM base
+    )
+    SELECT n_pairs, both_correct, both_wrong, only_a, only_b,
+           round((abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                 * (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                 / nullif(CAST(only_a + only_b AS DOUBLE), 0.0), 6) AS chi2
+    FROM agg
+    """,
+)
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired test (operators/classify.py:mcnemar): two
+    threshold "models" scored on the same events (value >= 40 vs
+    value >= 60) — does B beat A given the per-item pairing. Four
+    conditional-count integers from one map-side-collapsing aggregate;
+    Edwards-corrected chi2 is one fixed-shape double division —
+    replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import mcnemar
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(F.col("value").isNotNull()).select(
+        (F.col("value") >= 40.0).alias("a"),
+        (F.col("value") >= 60.0).alias("b"),
+    )
+    return mcnemar(d, "a", "b")
+
+
+@query(
+    "q_kendall_w",
+    """
+    WITH r AS (
+      SELECT event_id % 40 AS u, user_id % 5 AS rt, min(value) AS v
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    comp AS (SELECT u FROM r GROUP BY u HAVING count(*) = 5),
+    rc AS (SELECT r.* FROM r JOIN comp USING (u)),
+    per AS (SELECT rt, v, count(*) AS t FROM rc GROUP BY 1, 2),
+    g AS (
+      SELECT rt, v, t,
+             CAST(sum(t) OVER (PARTITION BY rt ORDER BY v) AS BIGINT)
+               AS cumw
+      FROM per
+    ),
+    cells AS (SELECT rt, v, t, 2 * cumw - t + 1 AS d2r FROM g),
+    pi AS (
+      SELECT rc.u, CAST(sum(d2r) AS HUGEINT) AS d
+      FROM rc JOIN cells ON rc.rt = cells.rt AND rc.v = cells.v
+      GROUP BY rc.u
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(coalesce(sum(d), 0) AS HUGEINT) AS sd,
+             CAST(coalesce(sum(d * d), 0) AS HUGEINT) AS sd2
+      FROM pi
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0)
+                  AS HUGEINT) AS tt
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_items, CAST(5 AS BIGINT) AS n_raters,
+           round(CAST(3 * (n * sd2 - sd * sd) AS DOUBLE)
+                 / nullif(CAST(n * (25 * (n * n * n - n) - 5 * tt)
+                               AS DOUBLE), 0.0), 6) AS w,
+           round(5.0 * (CAST(n AS DOUBLE) - 1.0)
+                 * CAST(3 * (n * sd2 - sd * sd) AS DOUBLE)
+                 / nullif(CAST(n * (25 * (n * n * n - n) - 5 * tt)
+                               AS DOUBLE), 0.0), 6) AS chi2
+    FROM s CROSS JOIN ties
+    """,
+)
+def q_kendall_w(spark, sf_dir):
+    """Kendall's W rater concordance (operators/classify.py:kendall_w)
+    over the q_fleiss-style annotation panel (40 units x 5 raters on
+    event values) — do the judges RANK items the same way, scale-free.
+    The doubled-midrank device (2*cum - t + 1 per tie block, cumulative
+    counts from ONE fused range exchange + O(raters) offsets) makes
+    every item's rank sum an exact integer; W and its chi-square
+    approximation are one fixed-shape double division — replayed
+    bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import kendall_w
+
+    e = load_tables(spark, sf_dir)["events"]
+    panel = e.where(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_id") % 40).alias("unit"),
+        (F.col("user_id") % 5).alias("rater"),
+        "value",
+    )
+    return kendall_w(panel, "unit", "rater", "value", n_raters=5)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -12536,6 +12731,9 @@ _WINDOW_REPROOFS = [
 
 #: Operators written this round — first driver hashing.
 _WINDOW_FIRST_HASH: list[str] = [
+    "q_cohen_kappa",
+    "q_mcnemar",
+    "q_kendall_w",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

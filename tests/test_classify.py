@@ -621,3 +621,124 @@ def test_cronbach_alpha_reference_and_edges(spark):
         "unit string, item string, v double",
     )
     assert cronbach_alpha(const, "unit", "item", "v").collect()[0]["alpha"] is None
+
+
+def test_cohen_kappa_hand_computed_unweighted(spark):
+    """Classic 2x2: 20 yes/yes, 15 no/no, 10 yes/no, 5 no/yes ->
+    p_o = 0.7, p_e = 0.5, kappa = 0.4; NULL labels drop the pair."""
+    from kafka_streams_plumber_spark.operators.classify import cohen_kappa
+
+    rows = (
+        [("yes", "yes")] * 20
+        + [("no", "no")] * 15
+        + [("yes", "no")] * 10
+        + [("no", "yes")] * 5
+        + [(None, "yes"), ("no", None)]
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert (r["n_items"], r["n_categories"]) == (50, 2)
+    assert r["disagree_obs"] == 0.3 and r["disagree_exp"] == 0.5
+    assert r["kappa"] == 0.4
+
+
+def test_cohen_kappa_weighted_hand_computed(spark):
+    """Ordinal labels 1..3, pairs (1,1),(1,2),(2,3),(3,3),(2,2):
+    quadratic D_o=2, D_e=32 -> kappa = 22/32 = 0.6875; linear
+    D_e=22 -> kappa = 12/22. Numeric labels must index numerically."""
+    from kafka_streams_plumber_spark.operators.classify import cohen_kappa
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (3, 3), (2, 2)], "a int, b int"
+    )
+    q = cohen_kappa(df, "a", "b", weights="quadratic").collect()[0]
+    assert (q["n_items"], q["n_categories"]) == (5, 3)
+    assert q["disagree_obs"] == 0.4 and q["disagree_exp"] == 1.28
+    assert q["kappa"] == 0.6875
+    lin = cohen_kappa(df, "a", "b", weights="linear").collect()[0]
+    assert lin["kappa"] == round(12 / 22, 6)
+
+
+def test_cohen_kappa_degenerate_one_category(spark):
+    """All labels one category: expected disagreement 0 -> NULL kappa
+    (not NaN, not 1.0)."""
+    from kafka_streams_plumber_spark.operators.classify import cohen_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r["kappa"] is None and r["disagree_obs"] == 0.0
+
+
+def test_mcnemar_hand_computed(spark):
+    """only_a=15, only_b=5: corrected chi2 = 81/20 = 4.05, uncorrected
+    = 5.0; no discordant pairs -> NULL chi2."""
+    from kafka_streams_plumber_spark.operators.classify import mcnemar
+
+    rows = (
+        [(True, True)] * 59
+        + [(False, False)] * 21
+        + [(True, False)] * 15
+        + [(False, True)] * 5
+        + [(None, True)]
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar(df, "a", "b").collect()[0]
+    assert (r["n_pairs"], r["both_correct"], r["both_wrong"]) == (100, 59, 21)
+    assert (r["only_a"], r["only_b"]) == (15, 5)
+    assert r["chi2"] == 4.05
+    u = mcnemar(df, "a", "b", corrected=False).collect()[0]
+    assert u["chi2"] == 5.0
+
+    conc = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    assert mcnemar(conc, "a", "b").collect()[0]["chi2"] is None
+
+
+def test_kendall_w_hand_computed(spark):
+    """3 raters x 4 items, no ties: rank sums 4,6,8,12 -> S=35,
+    W = 420/540 = 0.777778, chi2 = m(n-1)W = 7.0."""
+    from kafka_streams_plumber_spark.operators.classify import kendall_w
+
+    ranks = {
+        "r1": [1.0, 2.0, 3.0, 4.0],
+        "r2": [1.0, 3.0, 2.0, 4.0],
+        "r3": [2.0, 1.0, 3.0, 4.0],
+    }
+    rows = [
+        (f"i{j}", r, v)
+        for r, vs in ranks.items()
+        for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "item string, rater string, s double")
+    r = kendall_w(df, "item", "rater", "s", n_raters=3).collect()[0]
+    assert (r["n_items"], r["n_raters"]) == (4, 3)
+    assert r["w"] == 0.777778
+    assert r["chi2"] == 7.0
+
+
+def test_kendall_w_ties_and_incomplete(spark):
+    """2 raters x 3 items with a tie block in rater 2 (midranks
+    1.5/1.5/3): W = 78/84 = 0.928571 via the doubled-rank device; an
+    item missing one rating is excluded; per-rater constant scores
+    with n_raters tying everything -> NULL W."""
+    from kafka_streams_plumber_spark.operators.classify import kendall_w
+
+    rows = [
+        ("a", "r1", 1.0), ("b", "r1", 2.0), ("c", "r1", 3.0),
+        ("a", "r2", 5.0), ("b", "r2", 5.0), ("c", "r2", 9.0),
+        ("d", "r1", 7.0),  # incomplete: only rater 1
+    ]
+    df = spark.createDataFrame(rows, "item string, rater string, s double")
+    r = kendall_w(df, "item", "rater", "s", n_raters=2).collect()[0]
+    assert r["n_items"] == 3
+    assert r["w"] == 0.928571
+
+    allt = spark.createDataFrame(
+        [(i, rt, 1.0) for i in "abc" for rt in ("r1", "r2")],
+        "item string, rater string, s double",
+    )
+    assert (
+        kendall_w(allt, "item", "rater", "s", n_raters=2).collect()[0]["w"]
+        is None
+    )
