@@ -2248,3 +2248,280 @@ def runs_test(
             6,
         ).alias("z"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    round_values: int | None = None,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-sample generalization of
+    :func:`mann_whitney`: did ANY of the k slices shift in location,
+    without assuming normality. The standard first question over a
+    per-source / per-feed metric panel before drilling into pairwise
+    tests (run :func:`mann_whitney` on the winning pair after). One
+    row ``(n, k_groups, df, h)``; the tie-corrected H is chi-square
+    with k-1 df under the null (h >= 9.49 rejects at 95% for k=5). H
+    is NULL when every value ties (zero rank variance) or k < 2.
+
+    Exactness: the doubled-midrank device — per distinct value the
+    doubled midrank d = 2*cum - t + 1 is an exact integer from
+    cumulative counts, so each group's doubled rank sum D_g and the
+    denominator sum(t*d^2) - N*(N+1)^2 are exact integers on
+    decimal(38,0). The tie-corrected identity used is the ANOVA-form
+    H = (N-1) * sum_g E_g^2/n_g / (sum t*d^2 - N(N+1)^2) with
+    E_g = D_g - n_g*(N+1); the per-group quotient E_g^2/n_g is frozen
+    to a 1e-6-resolution scaled integer via one fixed-shape double
+    expression round((E/n)*E*1e6) — deterministic IEEE arithmetic
+    replayed verbatim in SQL, quantization invisible at the 6-decimal
+    output resolution even on toy panels. All other terms stay exact
+    integers.
+
+    Scale design: one map-combinable collapse to the distinct-value
+    grain, cumulative counts via ordering.running_total (range
+    exchange + O(P) offsets), one k-row group aggregate with the
+    1-row totals broadcast in, one final row. ``round_values``
+    quantizes first (mann_whitney's contract) to bound the grain.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+
+    per_gv = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    per_v = per_gv.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    r = running_total(per_v, ["_v"], "_t", out_col="_cum")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = r.select(
+        "_v",
+        "_t",
+        (F.lit(2) * F.col("_cum") - F.col("_t") + F.lit(1)).alias("_d"),
+    )
+    tot = cells.agg(
+        F.coalesce(
+            F.sum("_t").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_N"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_t").cast("decimal(19,0)"))
+                * dec(F.col("_d").cast("decimal(19,0)"))
+                * F.col("_d").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_td2"),
+    )
+    per_g = (
+        per_gv.join(cells.select("_v", "_d"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("decimal(38,0)").alias("_ng"),
+            F.sum(
+                dec(F.col("_c").cast("decimal(19,0)"))
+                * F.col("_d").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("_Dg"),
+        )
+    )
+    # E_g^2/n_g frozen to a 1e-6 scaled integer: (E/n)*E*1e6 in IEEE
+    # double is the same bits in every engine; round() then makes the
+    # k-row sum an exact integer sum (no order-dependent double
+    # accumulation); the 1e6 divides back out in the final expression.
+    eg = F.col("_Dg") - F.col("_ng") * (F.col("_N") + 1)
+    term = F.round(
+        eg.cast("double")
+        / F.col("_ng").cast("double")
+        * eg.cast("double")
+        * F.lit(1000000.0)
+    ).cast("decimal(38,0)")
+    grp = per_g.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.coalesce(F.sum(term), F.lit(0).cast("decimal(38,0)")).alias(
+            "_sa"
+        ),
+    )
+    out = grp.crossJoin(F.broadcast(tot))
+    nN = F.col("_N")
+    den = F.col("_td2") - nN * (nN + 1) * (nN + 1)
+    h = F.when(
+        F.col("_k") >= 2,
+        F.round(
+            (nN - 1).cast("double")
+            * F.col("_sa").cast("double")
+            / F.lit(1000000.0)
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ),
+    )
+    return out.select(
+        nN.cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_groups"),
+        (F.col("_k") - 1).cast("long").alias("df"),
+        h.alias("h"),
+    )
+
+
+def _anova_on_scaled(base: DataFrame) -> DataFrame:
+    """Shared one-way-ANOVA core over ``(_g, _s)`` with ``_s`` a
+    scaled-long value: exact integer per-group sums S_g and squares,
+    the per-group S_g^2/n_g quotient frozen via the same fixed-shape
+    round((S/n)*S*1e6) device as :func:`kruskal_wallis`, then
+    F = (B/(k-1)) / (W/(N-k)) as one double expression. Returns one
+    row ``(n, k_groups, df_between, df_within, f, eta_sq)``."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_ng"),
+        F.coalesce(
+            F.sum("_s").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_sg"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_s").cast("decimal(19,0)"))
+                * F.col("_s").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_qg"),
+    )
+    term = F.round(
+        F.col("_sg").cast("double")
+        / F.col("_ng").cast("double")
+        * F.col("_sg").cast("double")
+        * F.lit(1000000.0)
+    ).cast("decimal(38,0)")
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.coalesce(F.sum("_ng"), F.lit(0).cast("decimal(38,0)")).alias("_N"),
+        F.coalesce(F.sum("_sg"), F.lit(0).cast("decimal(38,0)")).alias("_S"),
+        F.coalesce(F.sum("_qg"), F.lit(0).cast("decimal(38,0)")).alias("_Q"),
+        F.coalesce(F.sum(term), F.lit(0).cast("decimal(38,0)")).alias("_A"),
+    )
+    nN = F.col("_N").cast("double")
+    s = F.col("_S").cast("double")
+    # grand-mean term S^2/N frozen the same way as the group terms;
+    # everything below lives in the 1e6-scaled domain (the scale
+    # cancels in F and eta_sq, both ratios of scaled quantities)
+    gm = F.round(s / nN * s * F.lit(1000000.0))
+    between = F.col("_A").cast("double") - gm
+    within = (
+        F.col("_Q").cast("double") * F.lit(1000000.0)
+        - F.col("_A").cast("double")
+    )
+    kd = F.col("_k").cast("double")
+    ok = (F.col("_k") >= 2) & (F.col("_N").cast("long") > F.col("_k"))
+    f_stat = F.when(
+        ok,
+        F.round(
+            between
+            / (kd - F.lit(1.0))
+            / F.nullif(within / (nN - kd), F.lit(0.0)),
+            6,
+        ),
+    )
+    eta = F.when(
+        ok,
+        F.round(
+            between
+            / F.nullif(
+                F.col("_Q").cast("double") * F.lit(1000000.0) - gm,
+                F.lit(0.0),
+            ),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("_N").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_groups"),
+        (F.col("_k") - 1).cast("long").alias("df_between"),
+        (F.col("_N").cast("long") - F.col("_k")).alias("df_within"),
+        f_stat.alias("f"),
+        eta.alias("eta_sq"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F — do the k group MEANS differ (the parametric
+    sibling of :func:`kruskal_wallis`; prefer KW when outliers or skew
+    are in play, ANOVA when you need the variance decomposition).
+    One row ``(n, k_groups, df_between, df_within, f, eta_sq)`` with
+    eta_sq = SS_between/SS_total, the effect size reviewers ask for
+    next to F. NULL f when k < 2, N <= k, or zero within-variance.
+
+    Exactness: values are frozen to scaled longs (10^-``scale``
+    resolution) FIRST, so every sum and sum-of-squares is an exact
+    integer on decimal(38,0) regardless of partitioning; the only
+    non-integers are the per-group S_g^2/n_g quotients, frozen
+    deterministically via round((S/n)*S) — the
+    :func:`kruskal_wallis` device — and the final fixed-shape F
+    expression. Replayed bit-for-bit in SQL.
+
+    Scale design: ONE map-combinable aggregate to the k-row group
+    grain, then O(k) arithmetic — no second pass over the data, no
+    window, no join.
+    """
+    mult = float(10 ** int(scale))
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.round(v * F.lit(mult)).cast("long").alias("_s"),
+    )
+    return _anova_on_scaled(base)
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe test — do the k groups have equal SPREAD? The
+    robust Levene variant: one-way ANOVA on the absolute deviations
+    from each group's MEDIAN (median-centering keeps the test honest
+    under skew, the reason scipy defaults to it). The companion check
+    before trusting :func:`anova_oneway` (which assumes equal
+    variances), and a drift probe in its own right — "the mean held
+    but feed X's dispersion doubled". Same output schema as
+    :func:`anova_oneway`.
+
+    Exactness: group medians are exact interpolated percentiles
+    (:func:`exact_percentiles` — distributed rank machinery, no
+    per-group window); |x - med| is frozen to scaled longs before any
+    sum, then the :func:`_anova_on_scaled` integer core runs
+    unchanged. Replayed bit-for-bit in SQL (DuckDB quantile_cont uses
+    the same interpolation).
+
+    Scale design: the percentile pass (range exchange + O(P x G)
+    offsets), one broadcast join of the k-row median table, one
+    map-combinable aggregate.
+    """
+    mult = float(10 ** int(scale))
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    med = exact_percentiles(base, "_g", "_v", {"_med": 0.5})
+    z = base.join(F.broadcast(med), "_g").select(
+        "_g",
+        F.round(F.abs(F.col("_v") - F.col("_med")) * F.lit(mult))
+        .cast("long")
+        .alias("_s"),
+    )
+    return _anova_on_scaled(z)

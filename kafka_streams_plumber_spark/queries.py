@@ -12657,6 +12657,208 @@ def q_kendall_w(spark, sf_dir):
     return kendall_w(panel, "unit", "rater", "value", n_raters=5)
 
 
+@query(
+    "q_kruskal",
+    """
+    WITH base AS (
+      SELECT event_type AS g, round(value, 6) AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    pgv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2),
+    pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM pgv GROUP BY 1),
+    r AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cum
+          FROM pv),
+    cells AS (SELECT v, t, 2 * cum - t + 1 AS d FROM r),
+    tot AS (
+      SELECT CAST(coalesce(sum(t), 0) AS HUGEINT) AS nn,
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * d * d), 0)
+                  AS HUGEINT) AS td2
+      FROM cells
+    ),
+    pg AS (
+      SELECT g, CAST(sum(c) AS HUGEINT) AS ng,
+             CAST(sum(CAST(c AS HUGEINT) * d) AS HUGEINT) AS dg
+      FROM pgv JOIN cells USING (v) GROUP BY g
+    ),
+    terms AS (
+      SELECT CAST(round(CAST(dg - ng * (nn + 1) AS DOUBLE)
+                        / CAST(ng AS DOUBLE)
+                        * CAST(dg - ng * (nn + 1) AS DOUBLE)
+                        * 1000000.0) AS HUGEINT) AS term
+      FROM pg CROSS JOIN tot
+    ),
+    grp AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(coalesce(sum(term), 0) AS HUGEINT) AS sa
+            FROM terms)
+    SELECT CAST(nn AS BIGINT) AS n, k AS k_groups, k - 1 AS df,
+           CASE WHEN k >= 2 THEN
+             round(CAST(nn - 1 AS DOUBLE) * CAST(sa AS DOUBLE)
+                   / 1000000.0
+                   / nullif(CAST(td2 - nn * (nn + 1) * (nn + 1)
+                                 AS DOUBLE), 0.0), 6)
+           END AS h
+    FROM grp CROSS JOIN tot
+    """,
+)
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis H (operators/stats.py:kruskal_wallis): did ANY
+    of the 5 event types shift the value distribution's location —
+    the k-sample front door before q_mannwhitney's pairwise drill. The
+    doubled-midrank device keeps every group rank sum an exact
+    integer; the per-group E^2/n quotients are frozen to 1e-6 scaled
+    integers via one fixed-shape IEEE expression — replayed
+    bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import kruskal_wallis
+
+    e = load_tables(spark, sf_dir)["events"]
+    return kruskal_wallis(e, "value", "event_type", round_values=6)
+
+
+@query(
+    "q_anova",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                  AS BIGINT) AS s
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    pg AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+             CAST(coalesce(sum(s), 0) AS HUGEINT) AS sg,
+             CAST(coalesce(sum(CAST(s AS HUGEINT) * s), 0)
+                  AS HUGEINT) AS qg
+      FROM base GROUP BY g
+    ),
+    terms AS (
+      SELECT ng, sg, qg,
+             CAST(round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                        * CAST(sg AS DOUBLE) * 1000000.0)
+                  AS HUGEINT) AS term
+      FROM pg
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(coalesce(sum(ng), 0) AS HUGEINT) AS nn,
+             CAST(coalesce(sum(sg), 0) AS HUGEINT) AS ss,
+             CAST(coalesce(sum(qg), 0) AS HUGEINT) AS qq,
+             CAST(coalesce(sum(term), 0) AS HUGEINT) AS aa
+      FROM terms
+    )
+    SELECT CAST(nn AS BIGINT) AS n, k AS k_groups,
+           k - 1 AS df_between, CAST(nn AS BIGINT) - k AS df_within,
+           CASE WHEN k >= 2 AND CAST(nn AS BIGINT) > k THEN
+             round((CAST(aa AS DOUBLE)
+                    - round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+                            * CAST(ss AS DOUBLE) * 1000000.0))
+                   / (CAST(k AS DOUBLE) - 1.0)
+                   / nullif((CAST(qq AS DOUBLE) * 1000000.0
+                             - CAST(aa AS DOUBLE))
+                            / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)),
+                            0.0), 6)
+           END AS f,
+           CASE WHEN k >= 2 AND CAST(nn AS BIGINT) > k THEN
+             round((CAST(aa AS DOUBLE)
+                    - round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+                            * CAST(ss AS DOUBLE) * 1000000.0))
+                   / nullif(CAST(qq AS DOUBLE) * 1000000.0
+                            - round(CAST(ss AS DOUBLE)
+                                    / CAST(nn AS DOUBLE)
+                                    * CAST(ss AS DOUBLE) * 1000000.0),
+                            0.0), 6)
+           END AS eta_sq
+    FROM agg
+    """,
+)
+def q_anova(spark, sf_dir):
+    """One-way ANOVA F (operators/stats.py:anova_oneway): do the three
+    lineitem return-flag slices price differently, with eta_sq effect
+    size. Prices freeze to exact cent-scaled longs (scale=2), so all
+    sums are exact integers in ONE map-combinable aggregate; the
+    per-group S^2/n quotients ride the 1e-6 frozen-quotient device —
+    replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import anova_oneway
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return anova_oneway(li, "l_extendedprice", "l_returnflag", scale=2)
+
+
+@query(
+    "q_brown_forsythe",
+    """
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    med AS (SELECT g, quantile_cont(v, 0.5) AS m FROM base GROUP BY g),
+    z AS (
+      SELECT base.g,
+             CAST(round(abs(v - m) * 1000000.0) AS BIGINT) AS s
+      FROM base JOIN med USING (g)
+    ),
+    pg AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+             CAST(coalesce(sum(s), 0) AS HUGEINT) AS sg,
+             CAST(coalesce(sum(CAST(s AS HUGEINT) * s), 0)
+                  AS HUGEINT) AS qg
+      FROM z GROUP BY g
+    ),
+    terms AS (
+      SELECT ng, sg, qg,
+             CAST(round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                        * CAST(sg AS DOUBLE) * 1000000.0)
+                  AS HUGEINT) AS term
+      FROM pg
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(coalesce(sum(ng), 0) AS HUGEINT) AS nn,
+             CAST(coalesce(sum(sg), 0) AS HUGEINT) AS ss,
+             CAST(coalesce(sum(qg), 0) AS HUGEINT) AS qq,
+             CAST(coalesce(sum(term), 0) AS HUGEINT) AS aa
+      FROM terms
+    )
+    SELECT CAST(nn AS BIGINT) AS n, k AS k_groups,
+           k - 1 AS df_between, CAST(nn AS BIGINT) - k AS df_within,
+           CASE WHEN k >= 2 AND CAST(nn AS BIGINT) > k THEN
+             round((CAST(aa AS DOUBLE)
+                    - round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+                            * CAST(ss AS DOUBLE) * 1000000.0))
+                   / (CAST(k AS DOUBLE) - 1.0)
+                   / nullif((CAST(qq AS DOUBLE) * 1000000.0
+                             - CAST(aa AS DOUBLE))
+                            / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)),
+                            0.0), 6)
+           END AS f,
+           CASE WHEN k >= 2 AND CAST(nn AS BIGINT) > k THEN
+             round((CAST(aa AS DOUBLE)
+                    - round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+                            * CAST(ss AS DOUBLE) * 1000000.0))
+                   / nullif(CAST(qq AS DOUBLE) * 1000000.0
+                            - round(CAST(ss AS DOUBLE)
+                                    / CAST(nn AS DOUBLE)
+                                    * CAST(ss AS DOUBLE) * 1000000.0),
+                            0.0), 6)
+           END AS eta_sq
+    FROM agg
+    """,
+)
+def q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe spread-equality test (operators/stats.py:
+    brown_forsythe): did any event type's value DISPERSION drift, with
+    the robust median centering — the variance-homogeneity companion
+    to q_anova and a drift probe in its own right. Exact interpolated
+    group medians (the distributed percentile machinery, matching
+    quantile_cont), |x - med| frozen to 1e-6 scaled longs, then the
+    all-integer ANOVA core — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import brown_forsythe
+
+    e = load_tables(spark, sf_dir)["events"]
+    return brown_forsythe(e, "value", "event_type", scale=6)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -12734,6 +12936,9 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_cohen_kappa",
     "q_mcnemar",
     "q_kendall_w",
+    "q_kruskal",
+    "q_anova",
+    "q_brown_forsythe",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

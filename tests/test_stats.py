@@ -1070,3 +1070,87 @@ def test_autocorrelation_grouped_isolated(spark):
     }
     assert got[("b", 1)] == solo[1] and got[("b", 2)] == solo[2]
     assert got[("b", 1)][1] < 0 < got[("b", 2)][1]
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    """a=[1,2] vs b=[3,4]: H = 2.4 (classic no-tie case); the all-tie
+    panel gives NULL; ties are corrected (a=[1,1] vs b=[2,2] -> 3.0,
+    the 2.4/0.8 tie-corrected value); 3-group case H = 1.805556."""
+    from kafka_streams_plumber_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert (r["n"], r["k_groups"], r["df"]) == (4, 2, 1)
+    assert r["h"] == 2.4
+
+    tied = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    assert kruskal_wallis(tied, "v", "g").collect()[0]["h"] == 3.0
+
+    allt = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 5.0)], "g string, v double"
+    )
+    assert kruskal_wallis(allt, "v", "g").collect()[0]["h"] is None
+
+    three = spark.createDataFrame(
+        [("a", 2.1), ("a", 3.5), ("a", 1.0), ("b", 4.2), ("b", 5.5),
+         ("c", 0.5), ("c", 6.1), ("c", 7.7)],
+        "g string, v double",
+    )
+    r3 = kruskal_wallis(three, "v", "g").collect()[0]
+    assert (r3["n"], r3["k_groups"], r3["df"]) == (8, 3, 2)
+    assert r3["h"] == 1.805556
+
+
+def test_anova_oneway_hand_computed(spark):
+    """a=[1,2,3], b=[2,3,4], c=[4,5,6]: SSB=14, SSW=6 -> F = 7.0,
+    eta_sq = 0.7; zero within-variance -> NULL F with eta_sq 1;
+    single group -> NULL F."""
+    from kafka_streams_plumber_spark.operators.stats import anova_oneway
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v) for v in (2.0, 3.0, 4.0)
+    ] + [("c", v) for v in (4.0, 5.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    assert (r["n"], r["k_groups"]) == (9, 3)
+    assert (r["df_between"], r["df_within"]) == (2, 6)
+    assert r["f"] == 7.0 and r["eta_sq"] == 0.7
+
+    novar = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    rn = anova_oneway(novar, "v", "g").collect()[0]
+    assert rn["f"] is None and rn["eta_sq"] == 1.0
+
+    single = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    assert anova_oneway(single, "v", "g").collect()[0]["f"] is None
+
+
+def test_brown_forsythe_hand_computed(spark):
+    """Median-centered Levene: a=[1,2,3,4,10] (med 3) vs b=[2,2,3,2,3]
+    (med 2): F = 8.1/4 = 2.025; vs c=[1,2,3,4] the even-size group
+    exercises the interpolated median 2.5 -> F = 22.4/31.8."""
+    from kafka_streams_plumber_spark.operators.stats import brown_forsythe
+
+    a = [("a", v) for v in (1.0, 2.0, 3.0, 4.0, 10.0)]
+    b = [("b", v) for v in (2.0, 2.0, 3.0, 2.0, 3.0)]
+    df = spark.createDataFrame(a + b, "g string, v double")
+    r = brown_forsythe(df, "v", "g").collect()[0]
+    assert (r["n"], r["k_groups"]) == (10, 2)
+    assert r["f"] == 2.025
+    assert r["eta_sq"] == round(8.1 / 40.1, 6)
+
+    c = [("c", v) for v in (1.0, 2.0, 3.0, 4.0)]
+    df2 = spark.createDataFrame(a + c, "g string, v double")
+    r2 = brown_forsythe(df2, "v", "g").collect()[0]
+    assert r2["f"] == round(22.4 / 31.8, 6)
+    assert r2["eta_sq"] == round(3.2 / 35.0, 6)
