@@ -690,3 +690,147 @@ def neighborhood_jaccard(
             6,
         ).alias("jaccard"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    weight: str | None = None,
+    iterations: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED edge list, fixed
+    iteration count — PageRank's bipartite-flavored sibling: an
+    authority is pointed at by good hubs, a hub points at good
+    authorities. The natural scorer when edges have producer/consumer
+    direction (customers -> suppliers, crawlers -> sites, citers ->
+    cited): :func:`pagerank` mixes both roles into one number, HITS
+    keeps them apart. Returns (node, hub, auth) for every node
+    appearing as a source OR destination; nodes with no out-edges get
+    hub 0, no in-edges get auth 0.
+
+    Kleinberg's power iteration with MAX-normalization each half-step
+    (auth then hub), so the top node of each score is pinned at 1.0 —
+    max is an order-insensitive reduction, which keeps the iteration
+    free of the order-dependent global-sum normalizer L2/L1 variants
+    carry; ranking and ratios are what callers consume, and those are
+    normalization-invariant. A FIXED iteration count (not convergence
+    detection), same rationale as :func:`pagerank`: deterministic,
+    oracle-replayable (the oracle unrolls the same steps as chained
+    CTEs), and no per-round count() barrier.
+
+    Scale design: per round exactly two shuffles — (dst, w*hub) and
+    (src, w*auth) contribution aggregates, both map-side combined —
+    plus a 1-row max broadcast; out/in edges are scanned from the same
+    cached frame; lineage truncation between rounds (pass
+    ``checkpoint_dir`` on a real cluster — see
+    :func:`...plans.scale.truncate_lineage`).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("w")
+    )
+    e = truncate_lineage(e, checkpoint_dir)
+
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    nodes = truncate_lineage(nodes, checkpoint_dir)
+    hub = nodes.withColumn("h", F.lit(1.0))
+
+    auth = None
+    for _ in range(int(iterations)):
+        a_raw = (
+            e.join(hub, e["e_src"] == hub["node"])
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
+        )
+        a_max = a_raw.agg(F.max("a").alias("_m"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("a") / F.nullif(F.col("_m"), F.lit(0.0)),
+                    F.lit(0.0),
+                ).alias("a"),
+            )
+        )
+        auth = truncate_lineage(auth, checkpoint_dir)
+        h_raw = (
+            e.join(auth, e["e_dst"] == auth["node"])
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("a")).alias("hh"))
+        )
+        h_max = h_raw.agg(F.max("hh").alias("_m"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("hh") / F.nullif(F.col("_m"), F.lit(0.0)),
+                    F.lit(0.0),
+                ).alias("h"),
+            )
+        )
+        hub = truncate_lineage(hub, checkpoint_dir)
+
+    return hub.join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    *,
+    iterations: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`hits`: the same max-normalized power
+    iteration unrolled as chained CTEs. ``edges_sql`` must select
+    columns (src, dst, w)."""
+    parts = [
+        f"WITH e AS ({edges_sql}),",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),",
+        "h0 AS (SELECT node, 1.0::DOUBLE AS h FROM nodes),",
+    ]
+    for i in range(int(iterations)):
+        parts.append(
+            f"a{i + 1}r AS (SELECT e.dst AS node, sum(e.w * h{i}.h) AS a"
+            f" FROM e JOIN h{i} ON e.src = h{i}.node GROUP BY e.dst),"
+        )
+        parts.append(f"a{i + 1}m AS (SELECT max(a) AS m FROM a{i + 1}r),")
+        parts.append(
+            f"a{i + 1} AS (SELECT n.node,"
+            f" coalesce(a{i + 1}r.a / nullif(a{i + 1}m.m, 0.0), 0.0) AS a"
+            f" FROM nodes n LEFT JOIN a{i + 1}r ON n.node = a{i + 1}r.node"
+            f" CROSS JOIN a{i + 1}m),"
+        )
+        parts.append(
+            f"h{i + 1}r AS (SELECT e.src AS node, sum(e.w * a{i + 1}.a) AS h"
+            f" FROM e JOIN a{i + 1} ON e.dst = a{i + 1}.node"
+            f" GROUP BY e.src),"
+        )
+        parts.append(f"h{i + 1}m AS (SELECT max(h) AS m FROM h{i + 1}r),")
+        parts.append(
+            f"h{i + 1} AS (SELECT n.node,"
+            f" coalesce(h{i + 1}r.h / nullif(h{i + 1}m.m, 0.0), 0.0) AS h"
+            f" FROM nodes n LEFT JOIN h{i + 1}r ON n.node = h{i + 1}r.node"
+            f" CROSS JOIN h{i + 1}m)"
+        )
+        if i + 1 < int(iterations):
+            parts[-1] += ","
+    n = int(iterations)
+    parts.append(
+        f"SELECT h{n}.node, round(h{n}.h, {round_to}) AS hub,"
+        f" round(a{n}.a, {round_to}) AS auth"
+        f" FROM h{n} JOIN a{n} ON h{n}.node = a{n}.node"
+    )
+    return "\n".join(parts)

@@ -2525,3 +2525,156 @@ def brown_forsythe(
         .alias("_s"),
     )
     return _anova_on_scaled(z)
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    round_x: int | None = None,
+    round_y: int | None = None,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation — concordant-vs-discordant
+    pairs with the tie-symmetric denominator. The robust companion to
+    :func:`spearman_corr`: tau weights each PAIR equally (an outlier
+    moves O(n) pairs, not a squared deviation), and its value has the
+    direct reading P(concordant) - P(discordant). One row
+    ``(n, concordant, discordant, tau_b)``; tau NULL when all x or
+    all y tie.
+
+    Exactness: concordant/discordant masses are computed WITHOUT a
+    quadratic pair join — collapse to the (x, y) distinct-cell grid,
+    then two exclusive 2D prefix passes give, per cell, the count of
+    points strictly below-left (LL) and the x-lower marginal (XL):
+    P = sum n*LL, Q = sum n*(XL - LL - EXCL) — ALL exact integers on
+    decimal(38,0), counting each unordered pair exactly once. With
+    doubled tie terms n0_2 = N(N-1), n1_2 = sum t(t-1) over x ties,
+    n2_2 over y ties, tau_b = 2(P-Q)/sqrt((n0_2-n1_2)(n0_2-n2_2)) is
+    one fixed-shape double expression — replayed bit-for-bit in SQL.
+
+    Scale design: the grid is the DENSE distinct_x x distinct_y cross
+    product (zero-filled, the q_psi_drift calendar-fill pattern), so
+    the contract is a bounded quantized grain — pass ``round_x`` /
+    ``round_y`` to bound it (same contract as mann_whitney's
+    round_values); at 1e3 distinct per axis the grid is 1e6 rows
+    however large the input. Prefix passes ride
+    ordering.running_total global range exchanges with per-group
+    offsets subtracted (the kendall_w device) — no partition-bounded
+    windows, no d^2 join, no collect.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    if round_x is not None:
+        x = F.round(x, int(round_x))
+    if round_y is not None:
+        y = F.round(y, int(round_y))
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    cells = base.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_n"))
+    xs = cells.select("_x").distinct()
+    ys = cells.select("_y").distinct()
+    grid = (
+        xs.crossJoin(ys)
+        .join(cells, ["_x", "_y"], "left")
+        .select("_x", "_y", F.coalesce("_n", F.lit(0)).alias("_n"))
+    )
+
+    # pass 1: exclusive x-prefix within each y (global (y, x) order,
+    # per-y offsets subtracted)
+    g1 = running_total(grid, ["_y", "_x"], "_n", out_col="_c1")
+    ym = grid.groupBy("_y").agg(F.sum("_n").alias("_yt"))
+    yo = running_total(ym, ["_y"], "_yt", out_col="_yc")
+    g1 = g1.join(
+        yo.select("_y", (F.col("_yc") - F.col("_yt")).alias("_yoff")),
+        "_y",
+    ).select(
+        "_x",
+        "_y",
+        "_n",
+        (F.col("_c1") - F.col("_yoff") - F.col("_n")).alias("_excl"),
+    )
+
+    # pass 2: exclusive y-prefix of _excl within each x -> LL =
+    # points strictly below-left
+    g2 = running_total(g1, ["_x", "_y"], "_excl", out_col="_c2")
+    xm = g1.groupBy("_x").agg(F.sum("_excl").alias("_xt"))
+    xo = running_total(xm, ["_x"], "_xt", out_col="_xc")
+    g2 = g2.join(
+        xo.select("_x", (F.col("_xc") - F.col("_xt")).alias("_xoff")),
+        "_x",
+    ).select(
+        "_x",
+        "_y",
+        "_n",
+        "_excl",
+        (F.col("_c2") - F.col("_xoff") - F.col("_excl")).alias("_ll"),
+    )
+
+    # XL(x) = total points with smaller x (exclusive x-marginal prefix)
+    xn = grid.groupBy("_x").agg(F.sum("_n").alias("_xn"))
+    xl = running_total(xn, ["_x"], "_xn", out_col="_xnc")
+    g = g2.join(
+        xl.select("_x", (F.col("_xnc") - F.col("_xn")).alias("_xl")),
+        "_x",
+    )
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n19 = F.col("_n").cast("decimal(19,0)")
+    pq = g.agg(
+        F.coalesce(
+            F.sum("_n").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_N"),
+        F.coalesce(
+            F.sum(dec(n19 * F.col("_ll").cast("decimal(19,0)"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_P"),
+        F.coalesce(
+            F.sum(
+                dec(
+                    n19
+                    * (
+                        F.col("_xl") - F.col("_ll") - F.col("_excl")
+                    ).cast("decimal(19,0)")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_Q"),
+    )
+    t19x = F.col("_xn").cast("decimal(19,0)")
+    tx = xn.agg(
+        F.coalesce(
+            F.sum(dec(t19x * (t19x - 1))), F.lit(0).cast("decimal(38,0)")
+        ).alias("_n1")
+    )
+    yn = grid.groupBy("_y").agg(F.sum("_n").alias("_yn"))
+    t19y = F.col("_yn").cast("decimal(19,0)")
+    ty = yn.agg(
+        F.coalesce(
+            F.sum(dec(t19y * (t19y - 1))), F.lit(0).cast("decimal(38,0)")
+        ).alias("_n2")
+    )
+    out = pq.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n0_2 = F.col("_N") * (F.col("_N") - 1)
+    den = F.sqrt(
+        (n0_2 - F.col("_n1")).cast("double")
+        * (n0_2 - F.col("_n2")).cast("double")
+    )
+    tau = F.round(
+        F.lit(2.0)
+        * (F.col("_P") - F.col("_Q")).cast("double")
+        / F.nullif(den, F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        F.col("_N").cast("long").alias("n"),
+        F.col("_P").cast("long").alias("concordant"),
+        F.col("_Q").cast("long").alias("discordant"),
+        tau.alias("tau_b"),
+    )

@@ -12859,6 +12859,129 @@ def q_brown_forsythe(spark, sf_dir):
     return brown_forsythe(e, "value", "event_type", scale=6)
 
 
+from kafka_streams_plumber_spark.operators.graph import (  # noqa: E402
+    hits_oracle_sql,
+)
+
+_HITS_EDGES_SQL = """
+    SELECT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+"""
+
+
+@query("q_hits", hits_oracle_sql(_HITS_EDGES_SQL, iterations=4))
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py:hits) over the
+    DIRECTED customer->supplier trade graph (edge weight = lineitems
+    traded): customers score as hubs, suppliers as authorities — the
+    role-separated companion to q_pagerank on the same graph. Fixed 4
+    iterations with max-normalized half-steps; the oracle unrolls the
+    identical recurrence as chained CTEs."""
+    from kafka_streams_plumber_spark.operators.graph import hits
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .groupBy(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    h = hits(e, "src", "dst", weight="w", iterations=4)
+    return h.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+@query(
+    "q_kendall",
+    """
+    WITH base AS (
+      SELECT round(value, 0) AS x, CAST(hour(ts) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+              FROM base GROUP BY 1, 2),
+    grid AS (
+      SELECT xs.x, ys.y, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT x FROM cells) xs
+      CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+      LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y
+    ),
+    g1 AS (
+      SELECT x, y, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS excl
+      FROM grid
+    ),
+    g2 AS (
+      SELECT x, y, n, excl,
+             CAST(coalesce(sum(excl) OVER (PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS ll
+      FROM g1
+    ),
+    xn AS (SELECT x, CAST(sum(n) AS BIGINT) AS xc FROM grid GROUP BY x),
+    xl AS (
+      SELECT x, CAST(coalesce(sum(xc) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS xlo
+      FROM xn
+    ),
+    g AS (SELECT g2.*, xl.xlo FROM g2 JOIN xl USING (x)),
+    pq AS (
+      SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS nn,
+             CAST(coalesce(sum(CAST(n AS HUGEINT) * ll), 0)
+                  AS HUGEINT) AS p,
+             CAST(coalesce(sum(CAST(n AS HUGEINT)
+                                * (xlo - ll - excl)), 0)
+                  AS HUGEINT) AS q
+      FROM g
+    ),
+    tx AS (SELECT CAST(coalesce(sum(CAST(xc AS HUGEINT) * (xc - 1)), 0)
+                       AS HUGEINT) AS n1 FROM xn),
+    yn AS (SELECT y, CAST(sum(n) AS BIGINT) AS yc FROM grid GROUP BY y),
+    ty AS (SELECT CAST(coalesce(sum(CAST(yc AS HUGEINT) * (yc - 1)), 0)
+                       AS HUGEINT) AS n2 FROM yn)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(p AS BIGINT) AS concordant,
+           CAST(q AS BIGINT) AS discordant,
+           round(2.0 * CAST(p - q AS DOUBLE)
+                 / nullif(sqrt(CAST(nn * (nn - 1) - n1 AS DOUBLE)
+                               * CAST(nn * (nn - 1) - n2 AS DOUBLE)),
+                          0.0), 6) AS tau_b
+    FROM pq CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def q_kendall(spark, sf_dir):
+    """Kendall's tau-b (operators/stats.py:kendall_tau): does event
+    value trend with hour-of-day — the pair-level rank correlation
+    beside q_spearman's midrank one. Concordant/discordant masses come
+    from two exclusive 2D prefix passes over the dense quantized
+    (value, hour) grid (NO quadratic pair join); everything is an
+    exact integer until the one tau expression — replayed bit-for-bit
+    in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import kendall_tau
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("value").alias("v"),
+        F.hour("ts").cast("double").alias("h"),
+    )
+    return kendall_tau(d, "v", "h", round_x=0)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -12939,6 +13062,8 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_kruskal",
     "q_anova",
     "q_brown_forsythe",
+    "q_hits",
+    "q_kendall",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

@@ -347,3 +347,72 @@ def test_neighborhood_jaccard_hand_computed(spark):
 
     # max_degree=2 drops center 3 (deg 3): no wedges survive
     assert neighborhood_jaccard(df, max_degree=2).count() == 0
+
+
+def test_hits_hand_computed_bipartite(spark):
+    """Directed star: a->x, a->y, b->y, c->y. Pure-Python reference
+    of the same max-normalized power iteration; pure hubs get auth 0,
+    pure authorities get hub 0, top of each score pins at 1.0."""
+    from kafka_streams_plumber_spark.operators.graph import hits
+
+    edges = [("a", "x"), ("a", "y"), ("b", "y"), ("c", "y")]
+    nodes = sorted({n for e in edges for n in e})
+    h = {n: 1.0 for n in nodes}
+    a = {n: 0.0 for n in nodes}
+    for _ in range(5):
+        a = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        m = max(a.values())
+        a = {n: (v / m if m else 0.0) for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+        m = max(h.values())
+        h = {n: (v / m if m else 0.0) for n, v in h.items()}
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (round(r["hub"], 6), round(r["auth"], 6))
+        for r in hits(df, "src", "dst", iterations=5).collect()
+    }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == (round(h[n], 6), round(a[n], 6)), n
+    assert got["a"][0] == 1.0 and got["y"][1] == 1.0
+    assert got["x"][0] == 0.0 and got["a"][1] == 0.0
+
+
+def test_hits_weighted_and_oracle_parity_duckdb(spark):
+    """Weighted edges change the scores; the unrolled SQL oracle
+    replays the Spark iteration bit-for-bit on DuckDB."""
+    import duckdb
+
+    from kafka_streams_plumber_spark.operators.graph import (
+        hits,
+        hits_oracle_sql,
+    )
+
+    edges = [
+        (1, 10, 3.0), (1, 11, 1.0), (2, 10, 1.0), (3, 11, 2.0),
+        (3, 12, 1.0), (2, 12, 5.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: (round(r["hub"], 6), round(r["auth"], 6))
+        for r in hits(df, "src", "dst", weight="w", iterations=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges AS SELECT * FROM (VALUES "
+        + ", ".join(f"({s}, {d}, {w})" for s, d, w in edges)
+        + ") t(src, dst, w)"
+    )
+    sql = hits_oracle_sql(
+        "SELECT src, dst, w FROM edges", iterations=4
+    )
+    want = {
+        int(n): (round(hh, 6), round(aa, 6))
+        for n, hh, aa in con.execute(sql).fetchall()
+    }
+    assert got == want

@@ -1154,3 +1154,58 @@ def test_brown_forsythe_hand_computed(spark):
     r2 = brown_forsythe(df2, "v", "g").collect()[0]
     assert r2["f"] == round(22.4 / 31.8, 6)
     assert r2["eta_sq"] == round(3.2 / 35.0, 6)
+
+
+def test_kendall_tau_hand_computed(spark):
+    """(12,1),(2,4),(1,7),(12,1),(2,0): P=2, Q=6, x-tie pairs 2,
+    y-tie pairs 1 -> tau_b = -4/sqrt(8*9) = -0.471405 (scipy's
+    doc value for this panel); perfect order -> 1.0; all-x-tied ->
+    NULL."""
+    from kafka_streams_plumber_spark.operators.stats import kendall_tau
+
+    df = spark.createDataFrame(
+        [(12.0, 1.0), (2.0, 4.0), (1.0, 7.0), (12.0, 1.0), (2.0, 0.0)],
+        "x double, y double",
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert (r["n"], r["concordant"], r["discordant"]) == (5, 2, 6)
+    assert r["tau_b"] == -0.471405
+
+    perf = spark.createDataFrame(
+        [(float(i), float(i * 2)) for i in range(6)], "x double, y double"
+    )
+    p = kendall_tau(perf, "x", "y").collect()[0]
+    assert p["tau_b"] == 1.0 and p["discordant"] == 0
+
+    tied = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(4)], "x double, y double"
+    )
+    assert kendall_tau(tied, "x", "y").collect()[0]["tau_b"] is None
+
+
+def test_kendall_tau_brute_force_cross_check(spark):
+    """Deterministic pseudo-random panel vs an O(n^2) pure-Python
+    reference: the prefix-sum formulation must count every pair class
+    exactly."""
+    from kafka_streams_plumber_spark.operators.stats import kendall_tau
+
+    rows = []
+    s = 7
+    for i in range(60):
+        s = (s * 1103515245 + 12345) % (2**31)
+        xv = float(s % 13)
+        s = (s * 1103515245 + 12345) % (2**31)
+        yv = float(s % 7)
+        rows.append((xv, yv))
+    p = q = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dx = rows[i][0] - rows[j][0]
+            dy = rows[i][1] - rows[j][1]
+            if dx * dy > 0:
+                p += 1
+            elif dx * dy < 0:
+                q += 1
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert (r["concordant"], r["discordant"]) == (p, q)
