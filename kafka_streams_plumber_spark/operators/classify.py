@@ -1397,3 +1397,98 @@ def kendall_w(
             6,
         ).alias("chi2"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    unit_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    *,
+    n_treatments: int,
+) -> DataFrame:
+    """Cochran's Q — the k-sample extension of :func:`mcnemar`: did
+    ANY of k systems' per-item success rates differ, on the same item
+    panel (k paired binary columns in long form). The standard "which
+    of my k prompts/models is actually different" omnibus before
+    pairwise McNemar drill-downs. Complete-panel design like
+    :func:`fleiss_kappa`: items with an outcome count other than
+    ``n_treatments`` are EXCLUDED; duplicate (unit, treatment) rows
+    collapse by MAX (any success counts, :func:`ab_test`'s unit
+    rule). One row ``(n_items, k, df, q)``; Q is chi-square with k-1
+    df under the null. Q NULL when the denominator is 0 (every item
+    all-success or all-failure — no discrimination).
+
+    Exactness: Q = (k-1) * (k*sum(C_j^2) - T^2) /
+    (k*T - sum(R_i^2)) with C_j the per-treatment success totals, R_i
+    the per-item success totals, T the grand total — ALL exact
+    integers on decimal(38,0), one double division, replayed
+    bit-for-bit in SQL.
+
+    Scale design: two map-combinable aggregates (per-item, then
+    1-row) plus an O(k) treatment aggregate broadcast in — the panel
+    is never self-joined.
+    """
+    assert n_treatments >= 2
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    r = (
+        df.where(F.col(outcome_col).isNotNull())
+        .groupBy(
+            F.col(unit_col).alias("_u"),
+            F.col(treatment_col).alias("_t"),
+        )
+        .agg(
+            F.max(F.col(outcome_col).cast("boolean").cast("int")).alias(
+                "_y"
+            )
+        )
+    )
+    per_u = (
+        r.groupBy("_u")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.sum("_y").alias("_r"),
+        )
+        .where(F.col("_m") == n_treatments)
+    )
+    s = per_u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_N"),
+        F.coalesce(
+            F.sum("_r").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_T"),
+        F.coalesce(
+            F.sum(
+                F.col("_r").cast("decimal(19,0)")
+                * F.col("_r").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_R2"),
+    )
+    cj = (
+        r.join(per_u.select("_u"), "_u", "left_semi")
+        .groupBy("_t")
+        .agg(F.sum("_y").alias("_c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_c").cast("decimal(19,0)")
+                    * F.col("_c").cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_C2")
+        )
+    )
+    out = s.crossJoin(F.broadcast(cj))
+    k = F.lit(n_treatments).cast("decimal(38,0)")
+    num = (k - 1) * (k * F.col("_C2") - F.col("_T") * F.col("_T"))
+    den = k * F.col("_T") - F.col("_R2")
+    return out.select(
+        F.col("_N").cast("long").alias("n_items"),
+        F.lit(n_treatments).cast("long").alias("k"),
+        F.lit(n_treatments - 1).cast("long").alias("df"),
+        F.round(
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("q"),
+    )

@@ -12982,6 +12982,124 @@ def q_kendall(spark, sf_dir):
     return kendall_tau(d, "v", "h", round_x=0)
 
 
+@query(
+    "q_cochran",
+    """
+    WITH r AS (
+      SELECT event_id % 60 AS u, user_id % 4 AS t,
+             CAST(max(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pu AS (
+      SELECT u, count(*) AS m, CAST(sum(y) AS BIGINT) AS rr
+      FROM r GROUP BY u HAVING count(*) = 4
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(coalesce(sum(rr), 0) AS HUGEINT) AS tt,
+             CAST(coalesce(sum(CAST(rr AS HUGEINT) * rr), 0)
+                  AS HUGEINT) AS r2
+      FROM pu
+    ),
+    cj AS (
+      SELECT CAST(coalesce(sum(CAST(c AS HUGEINT) * c), 0)
+                  AS HUGEINT) AS c2
+      FROM (SELECT r.t, CAST(sum(r.y) AS BIGINT) AS c
+            FROM r JOIN pu USING (u) GROUP BY r.t)
+    )
+    SELECT CAST(n AS BIGINT) AS n_items, CAST(4 AS BIGINT) AS k,
+           CAST(3 AS BIGINT) AS df,
+           round(CAST(3 * (4 * c2 - tt * tt) AS DOUBLE)
+                 / nullif(CAST(4 * tt - r2 AS DOUBLE), 0.0), 6) AS q
+    FROM s CROSS JOIN cj
+    """,
+)
+def q_cochran(spark, sf_dir):
+    """Cochran's Q omnibus (operators/classify.py:cochran_q) over a
+    60-item x 4-system success panel derived from events (success =
+    value >= 50) — did ANY system's rate differ, before q_mcnemar's
+    pairwise drill. Column/row success totals are exact integers from
+    two map-combinable aggregates; Q is one double division —
+    replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import cochran_q
+
+    e = load_tables(spark, sf_dir)["events"]
+    panel = e.where(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_id") % 60).alias("unit"),
+        (F.col("user_id") % 4).alias("sys"),
+        (F.col("value") >= 50.0).alias("ok"),
+    )
+    return cochran_q(panel, "unit", "sys", "ok", n_treatments=4)
+
+
+#: alpha_m * m^2 for the q_hll p=10 sketch, embedded as the exact
+#: Python double literal so the SQL replay multiplies the same bits
+_HLL_AM2 = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+
+
+@query(
+    "q_hll",
+    f"""
+    WITH base AS (
+      SELECT event_type AS g,
+             ((user_id % 2147483648) + 2147483648) % 2147483648 AS h0
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    m1 AS (SELECT g, xor(h0, h0 >> 16) AS h FROM base),
+    m2 AS (SELECT g, (h * 73244475) & 2147483647 AS h FROM m1),
+    m3 AS (SELECT g, xor(h, h >> 13) AS h FROM m2),
+    m4 AS (SELECT g, (h * 73244475) & 2147483647 AS h FROM m3),
+    m5 AS (SELECT g, xor(h, h >> 16) AS h FROM m4),
+    reg AS (
+      SELECT g, h >> 21 AS bucket,
+             max(CASE WHEN (h & 2097151) = 0 THEN 22
+                 ELSE 21 - length(bin(h & 2097151)) + 1 END) AS rho
+      FROM m5 GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS used,
+             CAST(coalesce(sum(CAST(2 ** (22 - rho) AS BIGINT)), 0)
+                  AS BIGINT) AS hsum
+      FROM reg GROUP BY g
+    )
+    SELECT g AS event_type, used AS registers_used,
+           round(CASE WHEN ({_HLL_AM2!r}::DOUBLE) * 4194304.0
+                           / CAST(hsum + (1024 - used) * 4194304
+                                  AS DOUBLE) <= 2560.0
+                       AND CAST(1024 - used AS DOUBLE) > 0
+                  THEN 1024.0 * ln(1024.0 / CAST(1024 - used AS DOUBLE))
+                  ELSE ({_HLL_AM2!r}::DOUBLE) * 4194304.0
+                       / CAST(hsum + (1024 - used) * 4194304
+                              AS DOUBLE) END, 6) AS n_est
+    FROM per
+    """,
+)
+def q_hll(spark, sf_dir):
+    """HyperLogLog distinct users per event type (operators/
+    sketches.py:hll_registers/hll_estimate, p=10): the mergeable
+    distinct-count sketch — each group collapses to <= 1024 register
+    rows however large the stream, batches merge by union+max. The
+    31-bit xorshift-multiply mixer and the bin()-length rho are pure
+    integer/string arithmetic, the harmonic sum is an exact integer
+    (sum 2^(K-rho)), and the estimate is one fixed-shape double
+    expression — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.sketches import hll_distinct
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", "user_id")
+    return hll_distinct(d, "event_type", "user_id", p=10)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13064,6 +13182,8 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_brown_forsythe",
     "q_hits",
     "q_kendall",
+    "q_cochran",
+    "q_hll",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

@@ -742,3 +742,35 @@ def test_kendall_w_ties_and_incomplete(spark):
         kendall_w(allt, "item", "rater", "s", n_raters=2).collect()[0]["w"]
         is None
     )
+
+
+def test_cochran_q_hand_computed(spark):
+    """4 items x 3 systems: C=(3,2,1), R=(1,2,0,3) -> Q = 2*(3*14-36)
+    / (3*6-14) = 3.0; an incomplete item is excluded; an all-success
+    panel has zero denominator -> NULL."""
+    from kafka_streams_plumber_spark.operators.classify import cochran_q
+
+    out = {
+        "t1": [1, 1, 0, 1],
+        "t2": [0, 1, 0, 1],
+        "t3": [0, 0, 0, 1],
+    }
+    rows = [
+        (f"i{j}", t, bool(v))
+        for t, vs in out.items()
+        for j, v in enumerate(vs)
+    ] + [("i9", "t1", True)]  # incomplete: only one treatment
+    df = spark.createDataFrame(rows, "item string, trt string, y boolean")
+    r = cochran_q(df, "item", "trt", "y", n_treatments=3).collect()[0]
+    assert (r["n_items"], r["k"], r["df"]) == (4, 3, 2)
+    assert r["q"] == 3.0
+
+    alls = spark.createDataFrame(
+        [(i, t, True) for i in "ab" for t in ("t1", "t2")],
+        "item string, trt string, y boolean",
+    )
+    assert (
+        cochran_q(alls, "item", "trt", "y", n_treatments=2)
+        .collect()[0]["q"]
+        is None
+    )

@@ -82,3 +82,64 @@ def test_bloom_probe_filter_is_shuffle_free(spark):
     probe = spark.createDataFrame([(k,) for k in range(100)], "k long")
     pruned = probe.filter(bloom_might_contain(words, "k"))
     assert shuffle_count(pruned) == 0
+
+
+def test_hll_accuracy_and_linear_counting(spark):
+    """5000 sequential keys estimate within ~4 standard errors
+    (1.04/sqrt(1024) ~ 3.3%); a 5-key set rides the linear-counting
+    branch and lands within 0.5; NULL keys are excluded."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.sketches import hll_distinct
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    r = hll_distinct(df, "g", "k", p=10).collect()[0]
+    assert abs(r["n_est"] - 5000) / 5000 < 0.13
+    assert r["registers_used"] <= 1024
+
+    small = spark.createDataFrame(
+        [("g", v) for v in (10, 20, 30, 40, 50)] + [("g", None)],
+        "g string, k long",
+    )
+    s = hll_distinct(small, "g", "k", p=10).collect()[0]
+    assert abs(s["n_est"] - 5) < 0.5
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """Sketch mergeability: registers built on two halves, unioned and
+    max-reduced, must equal the registers (and the estimate) of the
+    whole — the property that makes per-batch sketches composable."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    whole = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7919).alias("k"),
+    )
+    h1 = whole.where(F.col("k") % 2 == 0)
+    h2 = whole.where(F.col("k") % 2 != 0)
+    merged = (
+        hll_registers(h1, "g", "k", p=8)
+        .union(hll_registers(h2, "g", "k", p=8))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    direct = hll_registers(whole, "g", "k", p=8)
+    a = {(r["g"], r["bucket"]): r["rho"] for r in merged.collect()}
+    b = {(r["g"], r["bucket"]): r["rho"] for r in direct.collect()}
+    assert a == b
+    ea = {
+        r["g"]: r["n_est"]
+        for r in hll_estimate(merged, "g", p=8).collect()
+    }
+    eb = {
+        r["g"]: r["n_est"]
+        for r in hll_estimate(direct, "g", p=8).collect()
+    }
+    assert ea == eb
