@@ -1620,3 +1620,88 @@ def vocab_drift(
             ),
         )
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document TF-IDF keywords — the ``top_k`` terms that most
+    characterize EACH document against the corpus, the classic
+    keyword/tag extraction step (the per-document sibling of
+    :func:`distinctive_terms`, which contrasts SLICES). Returns
+    ``(id, rnk, term, tf, score)`` with rnk 1..top_k.
+
+    tf is the raw in-document term count; idf is the sklearn-style
+    smoothed ``ln((1 + N) / (1 + df)) + 1`` (never zero, so corpus-wide
+    terms still rank by tf); ``min_df`` drops hapax noise below the
+    document-frequency floor.
+
+    Determinism: idf is frozen to a 1e-9 scaled long (the nb_train
+    weight device), so score = tf * idf_scaled is an exact integer and
+    the (score desc, term asc) ranking has NO floating ties — replayed
+    bit-for-bit in SQL; the reported score divides the scale back out.
+
+    Scale design: one explode -> (doc, term) count aggregate (map-side
+    combined), an O(vocab) document-frequency aggregate joined back ON
+    TERM (hash join on the exploded grain, no broadcast of the corpus),
+    a 1-row N broadcast, and the two-phase :func:`...stats.topk_per_group`
+    prune — no per-document window over the whole corpus.
+    """
+    from kafka_streams_plumber_spark.operators.stats import (
+        topk_per_group,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_lower(F.col(text_col))).alias("_t"),
+    )
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("_df") >= int(min_df))
+    n_docs = df.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "_t",
+        F.round(
+            (
+                F.log(
+                    (F.lit(1.0) + F.col("_n").cast("double"))
+                    / (F.lit(1.0) + F.col("_df").cast("double"))
+                )
+                + F.lit(1.0)
+            )
+            * F.lit(1000000000.0)
+        )
+        .cast("long")
+        .alias("_idf_s"),
+    )
+    scored = tf.join(idf, "_t").select(
+        "_id",
+        "_t",
+        "_tf",
+        (F.col("_tf") * F.col("_idf_s")).alias("_score_s"),
+    )
+    top = topk_per_group(
+        scored,
+        "_id",
+        [F.col("_score_s").desc(), F.col("_t").asc()],
+        int(top_k),
+        rank_fn=F.row_number,
+        rank_col="rnk",
+    )
+    return top.select(
+        F.col("_id").alias(id_col),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("_t").alias("term"),
+        F.col("_tf").cast("long").alias("tf"),
+        F.round(
+            F.col("_score_s").cast("double") / F.lit(1000000000.0), 6
+        ).alias("score"),
+    )

@@ -13100,6 +13100,57 @@ def q_hll(spark, sf_dir):
     return hll_distinct(d, "event_type", "user_id", p=10)
 
 
+@query(
+    "q_tfidf_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc
+              FROM tf GROUP BY t),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+           WHERE text IS NOT NULL),
+    idf AS (
+      SELECT t,
+             CAST(round((ln((1.0 + CAST(n AS DOUBLE))
+                            / (1.0 + CAST(dfc AS DOUBLE))) + 1.0)
+                        * 1000000000.0) AS BIGINT) AS idfs
+      FROM dfreq CROSS JOIN nd
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf, tf.tf * idf.idfs AS ss
+      FROM tf JOIN idf USING (t)
+    ),
+    r AS (
+      SELECT doc_id, t, tf, ss,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY ss DESC, t ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, t AS term, tf,
+           round(CAST(ss AS DOUBLE) / 1000000000.0, 6) AS score
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keywords (operators/text.py:
+    tfidf_keywords): top-3 characterizing terms per document with the
+    smoothed sklearn idf — the tag-extraction step of a curation
+    pipeline. The idf freezes to 1e-9 scaled longs (nb_train's weight
+    device) so scores are exact integers and the ranking has no
+    floating ties; the two-phase topk prune avoids a whole-corpus
+    per-document window — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.text import tfidf_keywords
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return tfidf_keywords(d, "doc_id", "text", top_k=3)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13184,6 +13235,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_kendall",
     "q_cochran",
     "q_hll",
+    "q_tfidf_keywords",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

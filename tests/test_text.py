@@ -607,3 +607,37 @@ def test_vocab_drift_hand_computed(spark):
     assert (got[10]["n_tokens"], got[10]["n_new"]) == (2, 1)
     # day 11: window is days 4-10 — b last seen day 2, new AGAIN
     assert (got[11]["n_tokens"], got[11]["n_new"]) == (1, 1)
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """3-doc corpus, smoothed idf ln((1+N)/(1+df))+1: d1 ranks apple
+    (tf 2) over banana; d2's exact tie breaks by term asc; min_df=2
+    drops the hapax 'date' from d3's top list."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_streams_plumber_spark.operators.text import tfidf_keywords
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple cherry cherry date"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_keywords(df, "doc_id", "text", top_k=2).collect()
+    }
+    assert got[(1, 1)] == ("apple", 2, 2.575364)
+    assert got[(1, 2)] == ("banana", 1, 1.287682)
+    # exact tie in d2: banana before cherry (term asc)
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)] == ("cherry", 2, 2.575364)
+    assert got[(3, 2)] == ("date", 1, 1.693147)
+
+    nf = {
+        (r["doc_id"], r["rnk"]): r["term"]
+        for r in tfidf_keywords(
+            df, "doc_id", "text", top_k=2, min_df=2
+        ).collect()
+    }
+    assert nf[(3, 1)] == "cherry" and nf[(3, 2)] == "apple"
