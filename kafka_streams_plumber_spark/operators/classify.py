@@ -1492,3 +1492,135 @@ def cochran_q(
             6,
         ).alias("q"),
     )
+
+
+def icc(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    value_col: str,
+    *,
+    n_raters: int,
+    scale: int = 6,
+) -> DataFrame:
+    """Intraclass correlation ICC(2,1) and ICC(3,1) — chance-corrected
+    agreement for CONTINUOUS scores on the two-way complete panel
+    (every item scored by the same ``n_raters`` raters): the
+    continuous sibling of :func:`fleiss_kappa` (categories),
+    :func:`kendall_w` (ranks) and :func:`cronbach_alpha` (consistency
+    of the SUM). ICC(2,1) treats raters as random (absolute agreement
+    — generalizes to new raters); ICC(3,1) treats them as fixed
+    (consistency — rater level offsets forgiven). Reporting both is
+    the standard Shrout-Fleiss audit. Items with a score count other
+    than ``n_raters`` are EXCLUDED; duplicate (unit, rater) rows
+    collapse to their MIN value.
+
+    One row ``(n_items, n_raters, icc2_1, icc3_1)``; NULL when
+    n_items < 2 or the denominator is 0 (a constant panel).
+
+    Exactness: scores freeze to scaled longs, then the two-way ANOVA
+    sums-of-squares are cleared of every division —
+    B = n*sum(R_i^2) - T^2, C = k*sum(C_j^2) - T^2,
+    E = (nk*Q - T^2) - B - C — and
+
+        ICC(2,1) = (n(k-1)B - nE) /
+                   (n(k-1)B + n(k-1)E + k(n-1)C - kE)
+        ICC(3,1) = (n(k-1)B - nE) / (n(k-1)B + n(k-1)E)
+
+    with ALL terms exact integers on decimal(38,0); one double
+    division each — replayed bit-for-bit in SQL.
+
+    Scale design: one collapse to the (item, rater) grain, one
+    per-item aggregate, one O(k) per-rater aggregate broadcast in —
+    the panel is never self-joined, no windows.
+    """
+    assert n_raters >= 2
+    mult = float(10 ** int(scale))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    r = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(unit_col).alias("_u"), F.col(rater_col).alias("_r")
+        )
+        .agg(
+            F.round(
+                F.min(F.col(value_col)).cast("double") * F.lit(mult)
+            )
+            .cast("long")
+            .alias("_s")
+        )
+    )
+    per_u = (
+        r.groupBy("_u")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.sum("_s").alias("_ri"),
+            F.sum(
+                F.col("_s").cast("decimal(19,0)")
+                * F.col("_s").cast("decimal(19,0)")
+            ).alias("_qi"),
+        )
+        .where(F.col("_m") == n_raters)
+    )
+    s = per_u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.coalesce(
+            F.sum("_ri").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_T"),
+        F.coalesce(F.sum("_qi"), F.lit(0).cast("decimal(38,0)")).alias(
+            "_Q"
+        ),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_ri").cast("decimal(19,0)"))
+                * F.col("_ri").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_R2"),
+    )
+    cj = (
+        r.join(per_u.select("_u"), "_u", "left_semi")
+        .groupBy("_r")
+        .agg(F.sum("_s").alias("_c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    dec(F.col("_c").cast("decimal(19,0)"))
+                    * F.col("_c").cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_C2")
+        )
+    )
+    out = s.crossJoin(F.broadcast(cj))
+    k = F.lit(n_raters).cast("decimal(38,0)")
+    n = F.col("_n")
+    b = n * F.col("_R2") - F.col("_T") * F.col("_T")
+    c = k * F.col("_C2") - F.col("_T") * F.col("_T")
+    a_tot = n * k * F.col("_Q") - F.col("_T") * F.col("_T")
+    e = a_tot - b - c
+    num = n * (k - 1) * b - n * e
+    den2 = n * (k - 1) * b + n * (k - 1) * e + k * (n - 1) * c - k * e
+    den3 = n * (k - 1) * b + n * (k - 1) * e
+    ok = n >= 2
+    return out.select(
+        n.cast("long").alias("n_items"),
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        F.when(
+            ok,
+            F.round(
+                num.cast("double")
+                / F.nullif(den2.cast("double"), F.lit(0.0)),
+                6,
+            ),
+        ).alias("icc2_1"),
+        F.when(
+            ok,
+            F.round(
+                num.cast("double")
+                / F.nullif(den3.cast("double"), F.lit(0.0)),
+                6,
+            ),
+        ).alias("icc3_1"),
+    )

@@ -2678,3 +2678,87 @@ def kendall_tau(
         F.col("_Q").cast("long").alias("discordant"),
         tau.alias("tau_b"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Cohen's d and Hedges' g — the EFFECT SIZE companion to
+    :func:`ab_test` / :func:`mann_whitney`: a z-statistic says a shift
+    exists, d says whether anyone should care (0.2 small / 0.5 medium
+    / 0.8 large), and g applies the small-sample bias correction
+    reviewers expect below n~50. One row ``(n_a, n_b, mean_a, mean_b,
+    d, g)``; d NULL when either group is empty, n_a+n_b < 3, or the
+    pooled variance is 0.
+
+    Pooled-SD d with the classic (n_a+n_b-2) denominator:
+    d = (mean_a - mean_b) / s_pooled; g = d * (1 - 3/(4(n_a+n_b)-9)).
+
+    Exactness: values freeze to scaled longs, so group sums and
+    sums-of-squares are exact integers; clearing every division gives
+    d = (S_a*n_b - S_b*n_a) / (n_a*n_b) * sqrt(n_a*n_b*(n_a+n_b-2) /
+    (n_b*(n_a*Q_a - S_a^2) + n_a*(n_b*Q_b - S_b^2))) — ALL integer
+    inputs on decimal(38,0), one fixed-shape double expression
+    (scales cancel) — replayed bit-for-bit in SQL.
+
+    Scale design: ONE map-combinable aggregate with conditional sums —
+    no join, no window, no second pass.
+    """
+    mult = float(10 ** int(scale))
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isin(group_a, group_b) & v.isNotNull()
+    ).select(
+        (F.col(group_col) == group_a).alias("_ga"),
+        F.round(v * F.lit(mult)).cast("long").alias("_s"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s19 = F.col("_s").cast("decimal(19,0)")
+    csum = lambda cond, col: F.coalesce(  # noqa: E731
+        F.sum(F.when(cond, col)), F.lit(0).cast("decimal(38,0)")
+    )
+    agg = base.agg(
+        csum(F.col("_ga"), F.lit(1).cast("decimal(38,0)")).alias("_na"),
+        csum(~F.col("_ga"), F.lit(1).cast("decimal(38,0)")).alias("_nb"),
+        csum(F.col("_ga"), dec(s19)).alias("_sa"),
+        csum(~F.col("_ga"), dec(s19)).alias("_sb"),
+        csum(F.col("_ga"), dec(s19 * s19)).alias("_qa"),
+        csum(~F.col("_ga"), dec(s19 * s19)).alias("_qb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    sa, sb = F.col("_sa"), F.col("_sb")
+    ssw = nb * (na * F.col("_qa") - sa * sa) + na * (
+        nb * F.col("_qb") - sb * sb
+    )
+    nsum = na + nb
+    d_val = (
+        (sa * nb - sb * na).cast("double")
+        / (na * nb).cast("double")
+        * F.sqrt(
+            (na * nb * (nsum - 2)).cast("double")
+            / F.nullif(ssw.cast("double"), F.lit(0.0))
+        )
+    )
+    ok = (na > 0) & (nb > 0) & (nsum >= 3)
+    g_corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * nsum.cast("double") - F.lit(9.0)
+    )
+    mean = lambda sm, n: F.round(  # noqa: E731
+        sm.cast("double") / F.nullif(n.cast("double"), F.lit(0.0))
+        / F.lit(mult),
+        6,
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        mean(sa, na).alias("mean_a"),
+        mean(sb, nb).alias("mean_b"),
+        F.when(ok, F.round(d_val, 6)).alias("d"),
+        F.when(ok, F.round(d_val * g_corr, 6)).alias("g"),
+    )

@@ -13151,6 +13151,144 @@ def q_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(d, "doc_id", "text", top_k=3)
 
 
+@query(
+    "q_icc",
+    """
+    WITH r AS (
+      SELECT event_id % 50 AS u, user_id % 7 AS rt,
+             CAST(round(min(value) * 1000000.0) AS BIGINT) AS s
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pu AS (
+      SELECT u, count(*) AS m, CAST(sum(s) AS HUGEINT) AS ri,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS qi
+      FROM r GROUP BY u HAVING count(*) = 7
+    ),
+    st AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(coalesce(sum(ri), 0) AS HUGEINT) AS t,
+             CAST(coalesce(sum(qi), 0) AS HUGEINT) AS q,
+             CAST(coalesce(sum(ri * ri), 0) AS HUGEINT) AS r2
+      FROM pu
+    ),
+    cj AS (
+      SELECT CAST(coalesce(sum(CAST(c AS HUGEINT) * c), 0)
+                  AS HUGEINT) AS c2
+      FROM (SELECT r.rt, CAST(sum(r.s) AS HUGEINT) AS c
+            FROM r JOIN pu USING (u) GROUP BY r.rt)
+    ),
+    terms AS (
+      SELECT n, n * r2 - t * t AS b, 7 * c2 - t * t AS c,
+             (n * 7 * q - t * t) - (n * r2 - t * t)
+               - (7 * c2 - t * t) AS e
+      FROM st CROSS JOIN cj
+    )
+    SELECT CAST(n AS BIGINT) AS n_items, CAST(7 AS BIGINT) AS n_raters,
+           CASE WHEN n >= 2 THEN
+             round(CAST(n * 6 * b - n * e AS DOUBLE)
+                   / nullif(CAST(n * 6 * b + n * 6 * e
+                                 + 7 * (n - 1) * c - 7 * e AS DOUBLE),
+                            0.0), 6)
+           END AS icc2_1,
+           CASE WHEN n >= 2 THEN
+             round(CAST(n * 6 * b - n * e AS DOUBLE)
+                   / nullif(CAST(n * 6 * b + n * 6 * e AS DOUBLE),
+                            0.0), 6)
+           END AS icc3_1
+    FROM terms
+    """,
+)
+def q_icc(spark, sf_dir):
+    """Intraclass correlation ICC(2,1)/(3,1) (operators/classify.py:
+    icc) over the q_krippendorff-style 50x7 panel with CONTINUOUS
+    event values — the Shrout-Fleiss agreement audit for scorers on a
+    numeric scale, beside kappa (categories) and W (ranks). Scores
+    freeze to scaled longs; the two-way ANOVA identity is cleared of
+    every division so B, C, E are exact integers; two double
+    divisions — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import icc
+
+    e = load_tables(spark, sf_dir)["events"]
+    panel = e.where(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_id") % 50).alias("unit"),
+        (F.col("user_id") % 7).alias("rater"),
+        "value",
+    )
+    return icc(panel, "unit", "rater", "value", n_raters=7, scale=6)
+
+
+@query(
+    "q_cohens_d",
+    """
+    WITH base AS (
+      SELECT (event_type = 'purchase') AS ga,
+             CAST(round(value * 1000000.0) AS BIGINT) AS s
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    agg AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN ga THEN 1 END), 0) AS HUGEINT) AS na,
+        CAST(coalesce(sum(CASE WHEN NOT ga THEN 1 END), 0)
+             AS HUGEINT) AS nb,
+        CAST(coalesce(sum(CASE WHEN ga THEN s END), 0) AS HUGEINT) AS sa,
+        CAST(coalesce(sum(CASE WHEN NOT ga THEN s END), 0)
+             AS HUGEINT) AS sb,
+        CAST(coalesce(sum(CASE WHEN ga THEN CAST(s AS HUGEINT) * s END),
+                      0) AS HUGEINT) AS qa,
+        CAST(coalesce(sum(CASE WHEN NOT ga
+                          THEN CAST(s AS HUGEINT) * s END), 0)
+             AS HUGEINT) AS qb
+      FROM base
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(sa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0.0)
+                 / 1000000.0, 6) AS mean_a,
+           round(CAST(sb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0.0)
+                 / 1000000.0, 6) AS mean_b,
+           CASE WHEN na > 0 AND nb > 0 AND na + nb >= 3 THEN
+             round(CAST(sa * nb - sb * na AS DOUBLE)
+                   / CAST(na * nb AS DOUBLE)
+                   * sqrt(CAST(na * nb * (na + nb - 2) AS DOUBLE)
+                          / nullif(CAST(nb * (na * qa - sa * sa)
+                                        + na * (nb * qb - sb * sb)
+                                        AS DOUBLE), 0.0)), 6)
+           END AS d,
+           CASE WHEN na > 0 AND nb > 0 AND na + nb >= 3 THEN
+             round(CAST(sa * nb - sb * na AS DOUBLE)
+                   / CAST(na * nb AS DOUBLE)
+                   * sqrt(CAST(na * nb * (na + nb - 2) AS DOUBLE)
+                          / nullif(CAST(nb * (na * qa - sa * sa)
+                                        + na * (nb * qb - sb * sb)
+                                        AS DOUBLE), 0.0))
+                   * (1.0 - 3.0 / (4.0 * CAST(na + nb AS DOUBLE)
+                                   - 9.0)), 6)
+           END AS g
+    FROM agg
+    """,
+)
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d / Hedges' g effect size (operators/stats.py:
+    cohens_d) for purchase-vs-view event values — the HOW MUCH next
+    to q_mannwhitney's and q_ks's does-it-differ on the same slice.
+    Values freeze to scaled longs, every division is cleared so all
+    moments are exact integers, and d/g are one fixed-shape double
+    expression each — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import cohens_d
+
+    e = load_tables(spark, sf_dir)["events"]
+    return cohens_d(
+        e, "value", "event_type", "purchase", "view", scale=6
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13236,6 +13374,8 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_cochran",
     "q_hll",
     "q_tfidf_keywords",
+    "q_icc",
+    "q_cohens_d",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

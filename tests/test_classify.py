@@ -774,3 +774,53 @@ def test_cochran_q_hand_computed(spark):
         .collect()[0]["q"]
         is None
     )
+
+
+def test_icc_shrout_fleiss_reference_panel(spark):
+    """The Shrout-Fleiss (1979) 6-target x 4-judge table, checked
+    against an independent pure-Python two-way ANOVA: ICC(2,1) ~
+    0.2898, ICC(3,1) ~ 0.7148; an incomplete item is excluded."""
+    from kafka_streams_plumber_spark.operators.classify import icc
+
+    judges = {
+        "j1": [9.0, 6.0, 8.0, 7.0, 10.0, 6.0],
+        "j2": [2.0, 1.0, 4.0, 1.0, 5.0, 2.0],
+        "j3": [5.0, 3.0, 6.0, 2.0, 6.0, 4.0],
+        "j4": [8.0, 2.0, 8.0, 6.0, 9.0, 7.0],
+    }
+    n, k = 6, 4
+    vals = [[judges[j][i] for j in sorted(judges)] for i in range(n)]
+    t = sum(sum(row) for row in vals)
+    q = sum(x * x for row in vals for x in row)
+    r2 = sum(sum(row) ** 2 for row in vals)
+    c2 = sum(
+        sum(vals[i][j] for i in range(n)) ** 2 for j in range(k)
+    )
+    b = n * r2 - t * t
+    c = k * c2 - t * t
+    e = (n * k * q - t * t) - b - c
+    num = n * (k - 1) * b - n * e
+    icc2 = num / (n * (k - 1) * b + n * (k - 1) * e + k * (n - 1) * c - k * e)
+    icc3 = num / (n * (k - 1) * b + n * (k - 1) * e)
+    assert abs(icc2 - 0.2898) < 0.001 and abs(icc3 - 0.7148) < 0.001
+
+    rows = [
+        (f"i{i}", j, judges[j][i])
+        for j in judges
+        for i in range(n)
+    ] + [("i99", "j1", 5.0)]
+    df = spark.createDataFrame(rows, "item string, rater string, v double")
+    r = icc(df, "item", "rater", "v", n_raters=4).collect()[0]
+    assert (r["n_items"], r["n_raters"]) == (6, 4)
+    assert r["icc2_1"] == round(icc2, 6)
+    assert r["icc3_1"] == round(icc3, 6)
+
+
+def test_icc_degenerate_constant_panel(spark):
+    """A constant panel has zero everything -> NULL ICCs (not NaN)."""
+    from kafka_streams_plumber_spark.operators.classify import icc
+
+    rows = [(i, rt, 3.0) for i in "abc" for rt in ("r1", "r2")]
+    df = spark.createDataFrame(rows, "item string, rater string, v double")
+    r = icc(df, "item", "rater", "v", n_raters=2).collect()[0]
+    assert r["icc2_1"] is None and r["icc3_1"] is None

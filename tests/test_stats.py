@@ -1209,3 +1209,31 @@ def test_kendall_tau_brute_force_cross_check(spark):
     df = spark.createDataFrame(rows, "x double, y double")
     r = kendall_tau(df, "x", "y").collect()[0]
     assert (r["concordant"], r["discordant"]) == (p, q)
+
+
+def test_cohens_d_hand_computed(spark):
+    """a=[2,4,7,3] vs b=[1,2,3]: pooled s^2 = 16/5, d = 2/sqrt(3.2) =
+    1.118034, g = d*(1 - 3/19); empty side and zero-variance panels
+    give NULL."""
+    from kafka_streams_plumber_spark.operators.stats import cohens_d
+
+    rows = [("a", v) for v in (2.0, 4.0, 7.0, 3.0)] + [
+        ("b", v) for v in (1.0, 2.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = cohens_d(df, "v", "g", "a", "b").collect()[0]
+    d_exp = 2.0 / (3.2 ** 0.5)
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert (r["mean_a"], r["mean_b"]) == (4.0, 2.0)
+    assert r["d"] == round(d_exp, 6)
+    assert r["g"] == round(d_exp * (1 - 3.0 / 19.0), 6)
+
+    onesided = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    assert cohens_d(onesided, "v", "g", "a", "b").collect()[0]["d"] is None
+
+    const = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    assert cohens_d(const, "v", "g", "a", "b").collect()[0]["d"] is None
