@@ -1352,3 +1352,66 @@ def trend_break(
         ).alias("slope_delta"),
         F.round((fitted_post - fitted_pre) / scale, 6).alias("level_delta"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Open/high/low/close resampling bars per key and time bucket —
+    the canonical downsampled view of any numeric event stream
+    (metric feeds, price ticks, sensor values): keep the first, last
+    and extremes of every bucket instead of every event. One row per
+    (key, bucket) with ``(window_start, n_events, open, high, low,
+    close, mean)``; empty buckets are absent (compose with
+    :func:`gap_fill` for a dense calendar). Rows with NULL ts or
+    value are dropped.
+
+    Determinism: open/close are min/max of the (ts, value) STRUCT —
+    lexicographic struct ordering breaks timestamp ties by value, so
+    two events on the same tick resample identically in any engine
+    (the SQL replay uses ``first(v ORDER BY ts, v)``); high/low/count
+    are plain order-insensitive aggregates; mean is the exact integer
+    sum of 1e-6 scaled longs divided once.
+
+    Scale design: ONE map-combinable aggregate on the (key, bucket)
+    grain — no window functions, no join, no second pass; the
+    tumbling bucket comes from the built-in ``F.window`` (the same
+    expression Structured Streaming uses, so the operator lifts to a
+    watermarked stream unchanged).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    v = F.col(value_col).cast("double")
+    base = df.where(F.col(ts_col).isNotNull() & v.isNotNull()).select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        v.alias("_v"),
+        F.round(v * F.lit(1000000.0)).cast("long").alias("_s"),
+    )
+    agg = base.groupBy(*keys, F.window("_ts", window).alias("_w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct(F.col("_ts"), F.col("_v"))).alias("_omin"),
+        F.max(F.struct(F.col("_ts"), F.col("_v"))).alias("_omax"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.sum("_s").alias("_ssum"),
+    )
+    return agg.select(
+        *keys,
+        F.col("_w.start").alias("window_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("_omin._v").alias("open"),
+        "high",
+        "low",
+        F.col("_omax._v").alias("close"),
+        F.round(
+            F.col("_ssum").cast("double")
+            / F.col("n_events").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean"),
+    )

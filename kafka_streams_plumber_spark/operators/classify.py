@@ -1624,3 +1624,82 @@ def icc(
             ),
         ).alias("icc3_1"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 with supports — the standard
+    model-eval table (sklearn's classification_report as a DataFrame),
+    the multi-class companion to :func:`mcnemar` (paired comparison)
+    and :func:`cohen_kappa` (agreement). One row per class in the
+    UNION of true and predicted labels: ``(label, support, predicted,
+    tp, precision, recall, f1)``; precision NULL when the class is
+    never predicted, recall NULL when it never occurs, f1 NULL when
+    tp + fp + fn = 0. Rows with a NULL label or prediction are
+    dropped. Micro/macro averages are one trivial aggregate over this
+    output — left to the caller so the schema stays per-class.
+
+    Exactness: everything is integer counts off the confusion-cell
+    grain until three double divisions (f1 computed directly as
+    2*tp/(2*tp + fp + fn) — no compounding through rounded
+    precision/recall) — replayed bit-for-bit in SQL.
+
+    Scale design: ONE map-combinable collapse to the (label, pred)
+    confusion grain (bounded by k^2 classes, not rows), then O(k)
+    marginal aggregates full-outer-joined on the class key.
+    """
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
+    )
+    cells = base.groupBy("_l", "_p").agg(F.count(F.lit(1)).alias("_n"))
+    truth = cells.groupBy(F.col("_l").alias("_c")).agg(
+        F.sum("_n").alias("support")
+    )
+    pred = cells.groupBy(F.col("_p").alias("_c")).agg(
+        F.sum("_n").alias("predicted")
+    )
+    tp = (
+        cells.where(F.col("_l") == F.col("_p"))
+        .groupBy(F.col("_l").alias("_c"))
+        .agg(F.sum("_n").alias("tp"))
+    )
+    out = (
+        truth.join(pred, "_c", "full_outer")
+        .join(tp, "_c", "left")
+        .select(
+            F.col("_c").alias("label"),
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("predicted", F.lit(0))
+            .cast("long")
+            .alias("predicted"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    tpd = F.col("tp").cast("double")
+    return out.select(
+        "label",
+        "support",
+        "predicted",
+        "tp",
+        F.round(
+            tpd / F.nullif(F.col("predicted").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            tpd / F.nullif(F.col("support").cast("double"), F.lit(0.0)), 6
+        ).alias("recall"),
+        F.round(
+            F.lit(2.0)
+            * tpd
+            / F.nullif(
+                (F.col("support") + F.col("predicted")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f1"),
+    )

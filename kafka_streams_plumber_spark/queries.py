@@ -13289,6 +13289,101 @@ def q_cohens_d(spark, sf_dir):
     )
 
 
+@query(
+    "q_class_report",
+    """
+    WITH base AS (
+      SELECT event_type AS l,
+             CASE ((CAST(floor(value) AS BIGINT) % 5) + 5) % 5
+               WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+               WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+               ELSE 'view' END AS p
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    cells AS (SELECT l, p, CAST(count(*) AS BIGINT) AS n
+              FROM base GROUP BY 1, 2),
+    truth AS (SELECT l AS c, CAST(sum(n) AS BIGINT) AS support
+              FROM cells GROUP BY 1),
+    pred AS (SELECT p AS c, CAST(sum(n) AS BIGINT) AS predicted
+             FROM cells GROUP BY 1),
+    tp AS (SELECT l AS c, CAST(sum(n) AS BIGINT) AS tp
+           FROM cells WHERE l = p GROUP BY 1),
+    m AS (
+      SELECT coalesce(truth.c, pred.c) AS label,
+             coalesce(support, 0) AS support,
+             coalesce(predicted, 0) AS predicted,
+             coalesce(tp.tp, 0) AS tp
+      FROM truth FULL OUTER JOIN pred ON truth.c = pred.c
+      LEFT JOIN tp ON coalesce(truth.c, pred.c) = tp.c
+    )
+    SELECT label, support, predicted, tp,
+           round(CAST(tp AS DOUBLE)
+                 / nullif(CAST(predicted AS DOUBLE), 0.0), 6)
+             AS precision,
+           round(CAST(tp AS DOUBLE)
+                 / nullif(CAST(support AS DOUBLE), 0.0), 6) AS recall,
+           round(2.0 * CAST(tp AS DOUBLE)
+                 / nullif(CAST(support + predicted AS DOUBLE), 0.0), 6)
+             AS f1
+    FROM m
+    """,
+)
+def q_class_report(spark, sf_dir):
+    """Per-class precision/recall/F1 (operators/classify.py:
+    classification_report): a value-bucket "model" predicting the
+    event type, scored against the truth — the standard multi-class
+    eval table. Integer counts off the k^2-bounded confusion grain,
+    f1 = 2tp/(support+predicted) with no compounding through rounded
+    p/r — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        classification_report,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    d = e.where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("label"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in types]),
+            (F.pmod(F.floor("value"), F.lit(5)) + 1).cast("int"),
+        ).alias("pred"),
+    )
+    return classification_report(d, "label", "pred")
+
+
+@query(
+    "q_ohlc",
+    """
+    WITH base AS (
+      SELECT event_type, ts, value AS v,
+             CAST(round(value * 1000000.0) AS BIGINT) AS s
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           first(v ORDER BY ts, v) AS open,
+           max(v) AS high, min(v) AS low,
+           last(v ORDER BY ts, v) AS close,
+           round(CAST(sum(CAST(s AS HUGEINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean
+    FROM base GROUP BY 1, 2
+    """,
+)
+def q_ohlc(spark, sf_dir):
+    """Hourly OHLC bars per event type (operators/behavior.py:
+    ohlc_bars): the canonical downsampled view of a numeric event
+    stream. Open/close are struct-min/max of (ts, value) — timestamp
+    ties break by value, so the resample is deterministic in any
+    engine; mean rides exact scaled-long sums; ONE map-combinable
+    aggregate, no windows — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import ohlc_bars
+
+    e = load_tables(spark, sf_dir)["events"]
+    return ohlc_bars(e, "event_type", "ts", "value", window="1 hour")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13376,6 +13471,8 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_tfidf_keywords",
     "q_icc",
     "q_cohens_d",
+    "q_class_report",
+    "q_ohlc",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

@@ -930,3 +930,35 @@ def test_seasonal_strength_separates_seasonal_from_noise(spark):
     ndf = spark.createDataFrame(noise, "idx long, v double")
     s = seasonal_strength(ndf, "idx", "v", period=2).collect()[0]
     assert s["strength"] is not None and s["strength"] < 0.2
+
+
+def test_ohlc_bars_hand_computed(spark):
+    """Two hourly buckets: open/close pick first/last by (ts, value)
+    struct order incl. the same-tick tie broken by value; high/low/
+    mean are exact."""
+    from datetime import datetime
+
+    from kafka_streams_plumber_spark.operators.behavior import ohlc_bars
+
+    t0 = datetime(2024, 1, 1, 10, 5)
+    rows = [
+        ("k", datetime(2024, 1, 1, 10, 5), 5.0),
+        ("k", datetime(2024, 1, 1, 10, 5), 3.0),  # same tick: open = 3
+        ("k", datetime(2024, 1, 1, 10, 30), 9.0),
+        ("k", datetime(2024, 1, 1, 10, 59), 4.0),
+        ("k", datetime(2024, 1, 1, 11, 1), 7.0),
+        ("k", None, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["window_start"].hour: r
+        for r in ohlc_bars(df, "k", "ts", "v", window="1 hour").collect()
+    }
+    b10 = got[10]
+    assert b10["n_events"] == 4
+    assert (b10["open"], b10["close"]) == (3.0, 4.0)
+    assert (b10["high"], b10["low"]) == (9.0, 3.0)
+    assert b10["mean"] == 5.25
+    b11 = got[11]
+    assert (b11["open"], b11["close"], b11["n_events"]) == (7.0, 7.0, 1)
+    assert t0  # silence unused

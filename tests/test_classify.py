@@ -824,3 +824,44 @@ def test_icc_degenerate_constant_panel(spark):
     df = spark.createDataFrame(rows, "item string, rater string, v double")
     r = icc(df, "item", "rater", "v", n_raters=2).collect()[0]
     assert r["icc2_1"] is None and r["icc3_1"] is None
+
+
+def test_classification_report_hand_computed(spark):
+    """3-class confusion: a predicted-only class gets NULL recall with
+    support 0, a never-predicted class gets NULL precision, f1 =
+    2tp/(support+predicted) avoids compounding rounded p/r."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        classification_report,
+    )
+
+    pairs = (
+        [("cat", "cat")] * 4
+        + [("cat", "dog")] * 2
+        + [("dog", "dog")] * 3
+        + [("dog", "cat")] * 1
+        + [("bird", "cat")] * 2  # bird never predicted
+        + [(None, "cat"), ("cat", None)]
+    )
+    df = spark.createDataFrame(pairs, "label string, pred string")
+    got = {
+        r["label"]: r
+        for r in classification_report(df, "label", "pred").collect()
+    }
+    assert set(got) == {"cat", "dog", "bird"}
+    c = got["cat"]
+    assert (c["support"], c["predicted"], c["tp"]) == (6, 7, 4)
+    assert c["precision"] == round(4 / 7, 6)
+    assert c["recall"] == round(4 / 6, 6)
+    assert c["f1"] == round(8 / 13, 6)
+    b = got["bird"]
+    assert (b["support"], b["predicted"], b["tp"]) == (2, 0, 0)
+    assert b["precision"] is None and b["recall"] == 0.0 and b["f1"] == 0.0
+
+    onlypred = spark.createDataFrame(
+        [("x", "y")], "label string, pred string"
+    )
+    g2 = {
+        r["label"]: r
+        for r in classification_report(onlypred, "label", "pred").collect()
+    }
+    assert g2["y"]["support"] == 0 and g2["y"]["recall"] is None

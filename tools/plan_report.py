@@ -173,6 +173,22 @@ AUDITED = {
     "q_dup_drift": "map-side collapse to (digest, day) counts; ONE range-frame window on the digest; day rollup",
     "q_quantile_drift": "exact_percentiles' parallel rank per (feed, day) + ONE range-frame window on the day grain",
     "q_bootstrap_ci": "xB widening projection collapsed map-side to <= B rows/partition; all stats on the B-row frame",
+    # r8 wave 2 (agreement / k-sample / graph / sketch / text)
+    "q_cohen_kappa": "k^2-bounded confusion grain; label-index window on the k-row label frame only; broadcast marginal cross",
+    "q_mcnemar": "ONE map-combinable conditional-count aggregate; no join, no window",
+    "q_kendall_w": "(rater,score) distinct grain; ONE fused range exchange + O(raters) offsets; ratings join the tie-block grain",
+    "q_kruskal": "distinct-value collapse + running_total doubled midranks; k-row group aggregate with 1-row totals broadcast",
+    "q_anova": "ONE map-combinable scaled-long moment aggregate to the k-row group grain",
+    "q_brown_forsythe": "exact_percentiles parallel-rank medians broadcast back; then the one-aggregate ANOVA core",
+    "q_hits": "per round two map-combined contribution shuffles + 1-row max broadcast; lineage truncated between rounds",
+    "q_kendall": "dense quantized cell grid; three running_total range exchanges + per-group offsets; NO quadratic pair join",
+    "q_cochran": "two map-combinable aggregates (per-item, 1-row) + O(k) treatment aggregate broadcast in",
+    "q_hll": "map-combinable max per (group,bucket) — <= 2^p rows/group however large the input; integer harmonic sum",
+    "q_tfidf_keywords": "explode -> (doc,term) counts; O(vocab) df joined on term; 1-row N broadcast; two-phase top-k prune",
+    "q_icc": "(item,rater) collapse; per-item aggregate; O(k) rater aggregate broadcast — never self-joined",
+    "q_cohens_d": "ONE conditional-sum aggregate; divisions cleared to exact integer moments",
+    "q_class_report": "k^2-bounded confusion grain; O(k) marginals full-outer-joined on the class key",
+    "q_ohlc": "ONE map-combinable (key,bucket) aggregate; struct-min/max open/close, no windows/joins",
 }
 
 

@@ -124,6 +124,22 @@ PROBED = [
     "q_dup_drift",
     "q_quantile_drift",
     "q_bootstrap_ci",
+    # r8 wave 2
+    "q_cohen_kappa",
+    "q_mcnemar",
+    "q_kendall_w",
+    "q_kruskal",
+    "q_anova",
+    "q_brown_forsythe",
+    "q_hits",
+    "q_kendall",
+    "q_cochran",
+    "q_hll",
+    "q_tfidf_keywords",
+    "q_icc",
+    "q_cohens_d",
+    "q_class_report",
+    "q_ohlc",
 ]
 
 
