@@ -1415,3 +1415,106 @@ def ohlc_bars(
             6,
         ).alias("mean"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    round_durations: int | None = None,
+) -> DataFrame:
+    """Log-rank test — do two groups have the same survival curve?
+    The significance companion to :func:`survival_curve`'s
+    Kaplan-Meier estimate: "cohort B churns slower" needs this before
+    anyone ships it. Right-censored design: ``event_col`` truthy
+    means the event (churn/death/conversion) was OBSERVED at
+    ``duration_col``; falsy means censored (still alive at last
+    sight) — censored subjects count in the at-risk denominators but
+    never as events, the entire point of the machinery. One row
+    ``(n_a, n_b, o_a, e_a, chi2)``: observed vs expected events in
+    group A under the pooled-hazard null; chi2 is 1-df
+    ((O-E)^2 / V, the standard Mantel-Haenszel form). chi2 NULL when
+    the variance is 0 (no comparable event times).
+
+    Exactness: collapse to the distinct-duration grain; at-risk
+    counts are suffix sums off ONE fused prefix pass (total - prefix
+    + self); the per-time expectation and variance terms are frozen
+    to 1e-9 scaled longs via fixed-shape IEEE expressions (the
+    q_psi_drift device), so the time-grain sums are exact integer
+    sums — replayed bit-for-bit in SQL. ``round_durations`` bounds
+    the grain (mann_whitney's contract).
+
+    Scale design: one map-combinable collapse, one range exchange
+    (running_total of two columns in the same pass), a 1-row totals
+    broadcast, one final aggregate. No windows over raw rows, no
+    joins beyond the broadcast.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    t = F.col(duration_col).cast("double")
+    if round_durations is not None:
+        t = F.round(t, int(round_durations))
+    base = df.where(
+        F.col(group_col).isin(group_a, group_b) & t.isNotNull()
+    ).select(
+        t.alias("_t"),
+        (F.col(group_col) == group_a).alias("_ga"),
+        F.col(event_col).cast("boolean").cast("int").alias("_e"),
+    )
+    per_t = base.groupBy("_t").agg(
+        F.coalesce(F.sum(F.col("_ga").cast("long")), F.lit(0)).alias("_ca"),
+        F.count(F.lit(1)).alias("_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("_ga"), F.col("_e"))), F.lit(0)
+        ).alias("_da"),
+        F.coalesce(F.sum("_e"), F.lit(0)).alias("_d"),
+    )
+    r = running_total(
+        per_t, ["_t"], ["_ca", "_c"], out_col=["_cuma", "_cum"]
+    )
+    tot = per_t.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).alias("_A"),
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("_N"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    n1 = (F.col("_A") - F.col("_cuma") + F.col("_ca")).cast("double")
+    nt = (F.col("_N") - F.col("_cum") + F.col("_c")).cast("double")
+    dt = F.col("_d").cast("double")
+    ratio = n1 / nt
+    e1 = F.round(dt * ratio * F.lit(1000000000.0)).cast("long")
+    v1 = F.when(
+        nt > F.lit(1.0),
+        F.round(
+            dt
+            * ratio
+            * (F.lit(1.0) - ratio)
+            * (nt - dt)
+            / (nt - F.lit(1.0))
+            * F.lit(1000000000.0)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = j.agg(
+        F.coalesce(F.sum("_da"), F.lit(0)).cast("long").alias("_oa"),
+        F.coalesce(F.sum(e1), F.lit(0)).cast("decimal(38,0)").alias("_se"),
+        F.coalesce(F.sum(v1), F.lit(0)).cast("decimal(38,0)").alias("_sv"),
+    ).crossJoin(F.broadcast(tot))
+    diff = (
+        F.col("_oa").cast("double")
+        - F.col("_se").cast("double") / F.lit(1000000000.0)
+    )
+    v = F.col("_sv").cast("double") / F.lit(1000000000.0)
+    return agg.select(
+        F.col("_A").cast("long").alias("n_a"),
+        (F.col("_N") - F.col("_A")).cast("long").alias("n_b"),
+        F.col("_oa").alias("o_a"),
+        F.round(
+            F.col("_se").cast("double") / F.lit(1000000000.0), 6
+        ).alias("e_a"),
+        F.round(diff * diff / F.nullif(v, F.lit(0.0)), 6).alias("chi2"),
+    )

@@ -13384,6 +13384,92 @@ def q_ohlc(spark, sf_dir):
     return ohlc_bars(e, "event_type", "ts", "value", window="1 hour")
 
 
+@query(
+    "q_logrank",
+    """
+    WITH base AS (
+      SELECT round(value, 4) AS t, (user_id % 2 = 0) AS ga,
+             CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS e
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    pt AS (
+      SELECT t,
+             CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(coalesce(sum(CASE WHEN ga THEN e END), 0)
+                  AS BIGINT) AS da,
+             CAST(coalesce(sum(e), 0) AS BIGINT) AS d
+      FROM base GROUP BY t
+    ),
+    r AS (
+      SELECT *, CAST(sum(ca) OVER (ORDER BY t) AS BIGINT) AS cuma,
+             CAST(sum(c) OVER (ORDER BY t) AS BIGINT) AS cum
+      FROM pt
+    ),
+    tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS a,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM pt),
+    terms AS (
+      SELECT da,
+             CAST(round(CAST(d AS DOUBLE)
+                  * (CAST(a - cuma + ca AS DOUBLE)
+                     / CAST(n - cum + c AS DOUBLE))
+                  * 1000000000.0) AS BIGINT) AS e1,
+             CASE WHEN CAST(n - cum + c AS DOUBLE) > 1.0 THEN
+               CAST(round(CAST(d AS DOUBLE)
+                    * (CAST(a - cuma + ca AS DOUBLE)
+                       / CAST(n - cum + c AS DOUBLE))
+                    * (1.0 - CAST(a - cuma + ca AS DOUBLE)
+                             / CAST(n - cum + c AS DOUBLE))
+                    * (CAST(n - cum + c AS DOUBLE) - CAST(d AS DOUBLE))
+                    / (CAST(n - cum + c AS DOUBLE) - 1.0)
+                    * 1000000000.0) AS BIGINT)
+             ELSE 0 END AS v1
+      FROM r CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(coalesce(sum(da), 0) AS BIGINT) AS oa,
+             CAST(coalesce(sum(e1), 0) AS HUGEINT) AS se,
+             CAST(coalesce(sum(v1), 0) AS HUGEINT) AS sv
+      FROM terms
+    )
+    SELECT a AS n_a, n - a AS n_b, oa AS o_a,
+           round(CAST(se AS DOUBLE) / 1000000000.0, 6) AS e_a,
+           round((CAST(oa AS DOUBLE)
+                  - CAST(se AS DOUBLE) / 1000000000.0)
+                 * (CAST(oa AS DOUBLE)
+                    - CAST(se AS DOUBLE) / 1000000000.0)
+                 / nullif(CAST(sv AS DOUBLE) / 1000000000.0, 0.0), 6)
+             AS chi2
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q_logrank(spark, sf_dir):
+    """Log-rank survival comparison (operators/behavior.py:
+    logrank_test) on an events-derived panel (duration = value,
+    error events censored, cohorts = user parity) — do the two
+    cohorts' survival curves differ, the significance companion to
+    the Kaplan-Meier q_survival view. At-risk counts are suffix sums
+    off one fused prefix pass; expectation/variance terms freeze to
+    1e-9 scaled longs — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import logrank_test
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.col("value").alias("dur"),
+        (F.col("user_id") % 2).alias("cohort"),
+        (F.col("event_type") != "error").alias("churned"),
+    )
+    return logrank_test(
+        d, "dur", "churned", "cohort", 0, 1, round_durations=4
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13473,6 +13559,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_cohens_d",
     "q_class_report",
     "q_ohlc",
+    "q_logrank",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

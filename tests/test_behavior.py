@@ -962,3 +962,48 @@ def test_ohlc_bars_hand_computed(spark):
     b11 = got[11]
     assert (b11["open"], b11["close"], b11["n_events"]) == (7.0, 7.0, 1)
     assert t0  # silence unused
+
+
+def test_logrank_hand_computed(spark):
+    """A=[1,2] events vs B=[1,3] events: O_a=2, E_a=1.5, V=7/12 ->
+    chi2 = 0.25/(7/12) = 0.428571; a censored subject counts at-risk
+    but never as an event; identical groups give chi2 ~ 0."""
+    from kafka_streams_plumber_spark.operators.behavior import logrank_test
+
+    rows = [
+        ("a", 1.0, 1), ("a", 2.0, 1), ("b", 1.0, 1), ("b", 3.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, e int")
+    r = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["o_a"]) == (2, 2, 2)
+    assert r["e_a"] == 1.5
+    assert r["chi2"] == round(0.25 / (7.0 / 12.0), 6)
+
+    # pure-Python textbook reference with censoring
+    def ref(rows):
+        times = sorted({t for _, t, _ in rows})
+        o = e = v = 0.0
+        for t in times:
+            n1 = sum(1 for g, d, _ in rows if g == "a" and d >= t)
+            n = sum(1 for _, d, _ in rows if d >= t)
+            d1 = sum(1 for g, d, ev in rows if g == "a" and d == t and ev)
+            dt = sum(1 for _, d, ev in rows if d == t and ev)
+            o += d1
+            e += dt * n1 / n
+            if n > 1:
+                v += dt * (n1 / n) * (1 - n1 / n) * (n - dt) / (n - 1)
+        return o, e, (o - e) ** 2 / v
+
+    cens = rows + [("a", 1.5, 0), ("b", 2.5, 0), ("a", 9.0, 0)]
+    ro, re_, rchi = ref(cens)
+    df2 = spark.createDataFrame(cens, "g string, t double, e int")
+    r2 = logrank_test(df2, "t", "e", "g", "a", "b").collect()[0]
+    assert r2["o_a"] == ro
+    assert r2["e_a"] == round(re_, 6)
+    assert abs(r2["chi2"] - rchi) < 1e-5
+
+    same = [("a", float(i), 1) for i in range(1, 6)] + [
+        ("b", float(i), 1) for i in range(1, 6)
+    ]
+    df3 = spark.createDataFrame(same, "g string, t double, e int")
+    assert abs(logrank_test(df3, "t", "e", "g", "a", "b").collect()[0]["chi2"]) < 1e-9

@@ -189,6 +189,7 @@ AUDITED = {
     "q_cohens_d": "ONE conditional-sum aggregate; divisions cleared to exact integer moments",
     "q_class_report": "k^2-bounded confusion grain; O(k) marginals full-outer-joined on the class key",
     "q_ohlc": "ONE map-combinable (key,bucket) aggregate; struct-min/max open/close, no windows/joins",
+    "q_logrank": "distinct-duration collapse; suffix at-risk counts off ONE fused prefix pass; 1e-9 frozen terms",
 }
 
 

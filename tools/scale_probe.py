@@ -140,6 +140,7 @@ PROBED = [
     "q_cohens_d",
     "q_class_report",
     "q_ohlc",
+    "q_logrank",
 ]
 
 
