@@ -2762,3 +2762,120 @@ def cohens_d(
         F.when(ok, F.round(d_val, 6)).alias("d"),
         F.when(ok, F.round(d_val * g_corr, 6)).alias("g"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+    *,
+    corrected: bool = True,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test + Mantel-Haenszel pooled odds
+    ratio — the Simpson's-paradox-proof 2x2 association test: does
+    exposure move the outcome AFTER conditioning on the stratum
+    (country, source, experiment cohort)? Pooling the table first is
+    the classic aggregation fallacy; CMH pools the EVIDENCE instead.
+    One row ``(n_strata, n, or_mh, chi2)``: or_mh is the common odds
+    ratio estimate, chi2 the 1-df CMH statistic (``corrected`` applies
+    the standard 0.5 continuity correction). or_mh NULL when no
+    discordant mass exists; chi2 NULL when the variance is 0 (every
+    stratum degenerate).
+
+    Exactness: cell counts per stratum are exact integers from ONE
+    map-combinable conditional-count aggregate; the per-stratum
+    fractional terms (a*d/n, b*c/n, E, V) freeze to 1e-9 scaled longs
+    via fixed-shape IEEE expressions (the q_psi_drift device), so the
+    stratum-grain sums are exact integer sums — replayed bit-for-bit
+    in SQL.
+
+    Scale design: one aggregate to the stratum grain, one 1-row final
+    aggregate. No joins, no windows.
+    """
+    base = df.where(
+        F.col(stratum_col).isNotNull()
+        & F.col(exposed_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("_s"),
+        F.col(exposed_col).cast("boolean").alias("_x"),
+        F.col(outcome_col).cast("boolean").alias("_y"),
+    )
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(c.cast("long")), F.lit(0)
+    )
+    per_s = base.groupBy("_s").agg(
+        cnt(F.col("_x") & F.col("_y")).alias("_a"),
+        cnt(F.col("_x") & ~F.col("_y")).alias("_b"),
+        cnt(~F.col("_x") & F.col("_y")).alias("_c"),
+        cnt(~F.col("_x") & ~F.col("_y")).alias("_d"),
+    )
+    a = F.col("_a").cast("double")
+    b = F.col("_b").cast("double")
+    c = F.col("_c").cast("double")
+    d = F.col("_d").cast("double")
+    n = (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).cast(
+        "double"
+    )
+    sc = F.lit(1000000000.0)
+    frz = lambda x: F.round(x * sc).cast("long")  # noqa: E731
+    r_term = frz(a * d / n)
+    s_term = frz(b * c / n)
+    e_term = frz((a + b) * (a + c) / n)
+    v_term = F.when(
+        n > F.lit(1.0),
+        frz(
+            (a + b)
+            * (c + d)
+            * (a + c)
+            * (b + d)
+            / (n * n * (n - F.lit(1.0)))
+        ),
+    ).otherwise(F.lit(0))
+    agg = per_s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.coalesce(F.sum("_a"), F.lit(0)).cast("long").alias("_sa"),
+        F.coalesce(
+            F.sum(F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n"),
+        F.coalesce(F.sum(r_term), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("_r"),
+        F.coalesce(F.sum(s_term), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("_ss"),
+        F.coalesce(F.sum(e_term), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("_e"),
+        F.coalesce(F.sum(v_term), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("_v"),
+    )
+    diff = F.abs(
+        F.col("_sa").cast("double")
+        - F.col("_e").cast("double") / sc
+    )
+    # continuity correction clamps at 0 (a |O-E| under 0.5 must not
+    # INFLATE the statistic by squaring a negative)
+    num = (
+        F.greatest(diff - F.lit(0.5), F.lit(0.0)) if corrected else diff
+    )
+    return agg.select(
+        "n_strata",
+        "n",
+        F.round(
+            F.col("_r").cast("double")
+            / F.nullif(F.col("_ss").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("or_mh"),
+        F.round(
+            num
+            * num
+            / F.nullif(F.col("_v").cast("double") / sc, F.lit(0.0)),
+            6,
+        ).alias("chi2"),
+    )

@@ -13470,6 +13470,99 @@ def q_logrank(spark, sf_dir):
     )
 
 
+@query(
+    "q_cmh",
+    """
+    WITH base AS (
+      SELECT event_type AS s, (user_id % 2 = 0) AS x,
+             value >= 50.0 AS y
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    ps AS (
+      SELECT s,
+             CAST(coalesce(sum(CASE WHEN x AND y THEN 1 END), 0)
+                  AS BIGINT) AS a,
+             CAST(coalesce(sum(CASE WHEN x AND NOT y THEN 1 END), 0)
+                  AS BIGINT) AS b,
+             CAST(coalesce(sum(CASE WHEN NOT x AND y THEN 1 END), 0)
+                  AS BIGINT) AS c,
+             CAST(coalesce(sum(CASE WHEN NOT x AND NOT y THEN 1 END), 0)
+                  AS BIGINT) AS d
+      FROM base GROUP BY s
+    ),
+    terms AS (
+      SELECT a, a + b + c + d AS nt,
+             CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE) * 1000000000.0)
+                  AS BIGINT) AS r,
+             CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE) * 1000000000.0)
+                  AS BIGINT) AS sst,
+             CAST(round((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                  * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                  / CAST(a + b + c + d AS DOUBLE) * 1000000000.0)
+                  AS BIGINT) AS e,
+             CASE WHEN CAST(a + b + c + d AS DOUBLE) > 1.0 THEN
+               CAST(round((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                    * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                    * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                    * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+                    / (CAST(a + b + c + d AS DOUBLE)
+                       * CAST(a + b + c + d AS DOUBLE)
+                       * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+                    * 1000000000.0) AS BIGINT)
+             ELSE 0 END AS v
+      FROM ps
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(coalesce(sum(a), 0) AS BIGINT) AS sa,
+             CAST(coalesce(sum(nt), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(r), 0) AS HUGEINT) AS sr,
+             CAST(coalesce(sum(sst), 0) AS HUGEINT) AS ss,
+             CAST(coalesce(sum(e), 0) AS HUGEINT) AS se,
+             CAST(coalesce(sum(v), 0) AS HUGEINT) AS sv
+      FROM terms
+    )
+    SELECT n_strata, n,
+           round(CAST(sr AS DOUBLE)
+                 / nullif(CAST(ss AS DOUBLE), 0.0), 6) AS or_mh,
+           round(greatest(abs(CAST(sa AS DOUBLE)
+                              - CAST(se AS DOUBLE) / 1000000000.0)
+                          - 0.5, 0.0)
+                 * greatest(abs(CAST(sa AS DOUBLE)
+                                - CAST(se AS DOUBLE) / 1000000000.0)
+                            - 0.5, 0.0)
+                 / nullif(CAST(sv AS DOUBLE) / 1000000000.0, 0.0), 6)
+             AS chi2
+    FROM agg
+    """,
+)
+def q_cmh(spark, sf_dir):
+    """Cochran-Mantel-Haenszel test + pooled odds ratio (operators/
+    stats.py:cmh_test): does user parity associate with high values
+    AFTER conditioning on event type — the Simpson's-paradox-proof
+    2x2 audit. One conditional-count aggregate per stratum; the
+    fractional a*d/n, E and V terms freeze to 1e-9 scaled longs so
+    the stratum sums are exact integers — replayed bit-for-bit in
+    SQL."""
+    from kafka_streams_plumber_spark.operators.stats import cmh_test
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2 == 0).alias("exposed"),
+        (F.col("value") >= 50.0).alias("hi"),
+    )
+    return cmh_test(d, "stratum", "exposed", "hi")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13560,6 +13653,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_class_report",
     "q_ohlc",
     "q_logrank",
+    "q_cmh",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

@@ -1237,3 +1237,46 @@ def test_cohens_d_hand_computed(spark):
         [("a", 5.0), ("a", 5.0), ("b", 5.0)], "g string, v double"
     )
     assert cohens_d(const, "v", "g", "a", "b").collect()[0]["d"] is None
+
+
+def test_cmh_hand_computed(spark):
+    """Two strata vs an independent pure-Python reference; the classic
+    all-concordant stratum contributes nothing to OR's denominator;
+    degenerate single-row strata contribute zero variance."""
+    from kafka_streams_plumber_spark.operators.stats import cmh_test
+
+    strata = {
+        "s1": (12, 5, 6, 10),   # (a, b, c, d)
+        "s2": (4, 9, 3, 14),
+    }
+    rows = []
+    for s, (a, b, c, d) in strata.items():
+        rows += [(s, True, True)] * a + [(s, True, False)] * b
+        rows += [(s, False, True)] * c + [(s, False, False)] * d
+    df = spark.createDataFrame(rows, "s string, x boolean, y boolean")
+
+    r_sum = s_sum = e_sum = v_sum = sa = 0.0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        sa += a
+        r_sum += a * d / n
+        s_sum += b * c / n
+        e_sum += (a + b) * (a + c) / n
+        v_sum += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    or_ref = r_sum / s_sum
+    chi_ref = (max(abs(sa - e_sum) - 0.5, 0)) ** 2 / v_sum
+
+    r = cmh_test(df, "s", "x", "y").collect()[0]
+    assert (r["n_strata"], r["n"]) == (2, sum(sum(v) for v in strata.values()))
+    assert abs(r["or_mh"] - or_ref) < 1e-6
+    assert abs(r["chi2"] - chi_ref) < 1e-6
+
+    u = cmh_test(df, "s", "x", "y", corrected=False).collect()[0]
+    assert abs(u["chi2"] - (sa - e_sum) ** 2 / v_sum) < 1e-6
+
+    conc = spark.createDataFrame(
+        [("s", True, True), ("s", False, False)] * 3,
+        "s string, x boolean, y boolean",
+    )
+    rc = cmh_test(conc, "s", "x", "y").collect()[0]
+    assert rc["or_mh"] is None  # no discordant mass: b*c sums to 0

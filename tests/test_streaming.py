@@ -303,3 +303,58 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
 
     got = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
     assert got == [1, 2, 3, 4, 5]  # each exactly once across the restart
+
+
+def test_ohlc_bars_streaming_matches_batch(spark, tmp_path):
+    """ohlc_bars' docstring claim proven: the same operator code over a
+    watermarked file stream (complete mode) produces exactly the batch
+    bars — struct-min/max open/close and scaled-long means included."""
+    import datetime as dt
+
+    from kafka_streams_plumber_spark.operators.behavior import ohlc_bars
+
+    rows = [
+        ("k1", dt.datetime(2024, 1, 1, 10, 5), 5.0),
+        ("k1", dt.datetime(2024, 1, 1, 10, 5), 3.0),
+        ("k1", dt.datetime(2024, 1, 1, 10, 30), 9.0),
+        ("k2", dt.datetime(2024, 1, 1, 10, 59), 4.0),
+        ("k1", dt.datetime(2024, 1, 1, 11, 1), 7.0),
+    ]
+    schema = "k string, ts timestamp, v double"
+    src = tmp_path / "ohlc_in"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    def canon(frame_rows):
+        return {
+            (
+                r["k"], r["window_start"], r["n_events"], r["open"],
+                r["high"], r["low"], r["close"], r["mean"],
+            )
+            for r in frame_rows
+        }
+
+    batch = canon(
+        ohlc_bars(
+            spark.read.parquet(str(src)), "k", "ts", "v", window="1 hour"
+        ).collect()
+    )
+    assert len(batch) == 3
+
+    stream_in = spark.readStream.schema(schema).parquet(str(src))
+    bars = ohlc_bars(
+        stream_in.withWatermark("ts", "2 hours"), "k", "ts", "v",
+        window="1 hour",
+    )
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("ksps_ohlc_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = canon(spark.sql("SELECT * FROM ksps_ohlc_test").collect())
+    finally:
+        q.stop()
+    assert got == batch

@@ -190,6 +190,7 @@ AUDITED = {
     "q_class_report": "k^2-bounded confusion grain; O(k) marginals full-outer-joined on the class key",
     "q_ohlc": "ONE map-combinable (key,bucket) aggregate; struct-min/max open/close, no windows/joins",
     "q_logrank": "distinct-duration collapse; suffix at-risk counts off ONE fused prefix pass; 1e-9 frozen terms",
+    "q_cmh": "ONE conditional-count aggregate to the stratum grain; 1e-9 frozen fractional terms; 1-row final",
 }
 
 

@@ -141,6 +141,7 @@ PROBED = [
     "q_class_report",
     "q_ohlc",
     "q_logrank",
+    "q_cmh",
 ]
 
 
