@@ -115,6 +115,23 @@ EXTRA6 = [
     "q_bootstrap_ci",
 ]
 
+#: Round-8 second wave (first measured in BENCH_r08,
+#: ``extra7_total_sec``): one representative per new family —
+#: k-sample ranks, the 2D-prefix tau grid, the HITS iteration, the
+#: HLL sketch, TF-IDF top-k, OHLC bars, log-rank survival, the ICC
+#: panel. Lazy plans except q_hits (run_one_full: the power iteration
+#: materializes during construction, like EXTRA4's iterative ops).
+EXTRA7 = [
+    "q_kruskal",
+    "q_kendall",
+    "q_hll",
+    "q_tfidf_keywords",
+    "q_ohlc",
+    "q_logrank",
+    "q_icc",
+]
+EXTRA7_FULL = ["q_hits"]
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     df = QUERIES[name](spark, sf_dir)
@@ -158,7 +175,10 @@ def main() -> None:
         if os.path.isdir(cand) and os.path.abspath(cand) != os.path.abspath(sf_dir):
             warm_dir = cand
             break
-    for name in ["q_distinct", *HEADLINE, *EXTRA, *EXTRA4, *EXTRA5, *EXTRA6]:
+    for name in [
+        "q_distinct", *HEADLINE, *EXTRA, *EXTRA4, *EXTRA5, *EXTRA6,
+        *EXTRA7, *EXTRA7_FULL,
+    ]:
         try:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -200,6 +220,14 @@ def main() -> None:
     for name in EXTRA6:
         extra6[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
 
+    extra7: dict[str, float] = {}
+    for name in EXTRA7:
+        extra7[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
+    for name in EXTRA7_FULL:
+        extra7[name] = round(
+            min(run_one_full(spark, name, sf_dir) for _ in range(reps)), 3
+        )
+
     print(
         json.dumps(
             {
@@ -216,6 +244,8 @@ def main() -> None:
                 "extra5_queries": extra5,
                 "extra6_total_sec": round(sum(extra6.values()), 3),
                 "extra6_queries": extra6,
+                "extra7_total_sec": round(sum(extra7.values()), 3),
+                "extra7_queries": extra7,
                 "sf": sf,
             }
         )

@@ -2879,3 +2879,178 @@ def cmh_test(
             6,
         ).alias("chi2"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_order: list,
+    *,
+    round_values: int | None = None,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test — "does the
+    value INCREASE along this ordering of the groups" (quality
+    buckets, dose levels, release versions). Strictly more powerful
+    than :func:`kruskal_wallis` when the alternative is monotone: KW
+    spends power on every permutation of the groups, JT only on the
+    stated order. One row ``(n, k_groups, j, z)``; z > 1.645 is the
+    usual one-sided 95% bar for an increasing trend (negative z =
+    decreasing). z NULL when the null variance is 0. Groups outside
+    ``group_order`` are EXCLUDED.
+
+    Exactness: J = sum over group pairs g < h of the Mann-Whitney
+    count (ties at 1/2) is computed WITHOUT the O(k^2) pairwise
+    sweep: on the dense (group-index, value) grid, the
+    :func:`kendall_tau` 2D prefix machinery gives per cell the mass
+    strictly below-left (LL) and the same-value lower-group mass
+    (EXCL), and 2J = sum n*(2*LL + EXCL) — an exact integer. The
+    tie-corrected null moments (Hollander-Wolfe): 4E = n^2 - sum
+    n_g^2 and Var = A/72 + B/(36 n(n-1)(n-2)) + C/(8 n(n-1)) with A,
+    B, C exact integer tie aggregates (the no-tie form is an
+    algebraic special case, property-tested). z is one fixed-shape
+    double expression — replayed bit-for-bit in SQL.
+
+    Scale design: identical to :func:`kendall_tau` — dense quantized
+    grid (k groups x distinct values; ``round_values`` bounds it),
+    two fused range exchanges with per-group offsets, O(k)/O(values)
+    marginal aggregates, no quadratic join, no collect.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    gi = None
+    for i, g in enumerate(group_order):
+        cond = F.col(group_col) == F.lit(g)
+        gi = F.when(cond, F.lit(i)) if gi is None else gi.when(cond, F.lit(i))
+    base = df.where(
+        F.col(group_col).isin(list(group_order)) & v.isNotNull()
+    ).select(gi.alias("_g"), v.alias("_v"))
+
+    cells = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_n"))
+    gs = cells.select("_g").distinct()
+    vs = cells.select("_v").distinct()
+    grid = (
+        gs.crossJoin(vs)
+        .join(cells, ["_g", "_v"], "left")
+        .select("_g", "_v", F.coalesce("_n", F.lit(0)).alias("_n"))
+    )
+
+    # EXCL(g, v) = mass in LOWER groups at the SAME value
+    g1 = running_total(grid, ["_v", "_g"], "_n", out_col="_c1")
+    vm = grid.groupBy("_v").agg(F.sum("_n").alias("_vt"))
+    vo = running_total(vm, ["_v"], "_vt", out_col="_vc")
+    g1 = g1.join(
+        vo.select("_v", (F.col("_vc") - F.col("_vt")).alias("_voff")),
+        "_v",
+    ).select(
+        "_g",
+        "_v",
+        "_n",
+        (F.col("_c1") - F.col("_voff") - F.col("_n")).alias("_excl"),
+    )
+    # LL(g, v) = mass in lower groups at strictly smaller values
+    g2 = running_total(g1, ["_g", "_v"], "_excl", out_col="_c2")
+    gm2 = g1.groupBy("_g").agg(F.sum("_excl").alias("_gt"))
+    go = running_total(gm2, ["_g"], "_gt", out_col="_gc")
+    g2 = g2.join(
+        go.select("_g", (F.col("_gc") - F.col("_gt")).alias("_goff")),
+        "_g",
+    ).select(
+        "_n",
+        "_excl",
+        (F.col("_c2") - F.col("_goff") - F.col("_excl")).alias("_ll"),
+    )
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n19 = F.col("_n").cast("decimal(19,0)")
+    j2 = g2.agg(
+        F.coalesce(
+            F.sum(
+                dec(
+                    n19
+                    * (
+                        F.lit(2) * F.col("_ll") + F.col("_excl")
+                    ).cast("decimal(19,0)")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_j2")
+    )
+    gmar = grid.groupBy("_g").agg(F.sum("_n").alias("_ng"))
+    g19 = F.col("_ng").cast("decimal(19,0)")
+    gstat = gmar.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.coalesce(
+            F.sum(dec(g19)), F.lit(0).cast("decimal(38,0)")
+        ).alias("_N"),
+        F.coalesce(
+            F.sum(dec(g19 * g19)), F.lit(0).cast("decimal(38,0)")
+        ).alias("_n2"),
+        F.coalesce(
+            F.sum(dec(g19 * (g19 - 1) * (2 * g19 + 5))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_ga"),
+        F.coalesce(
+            F.sum(dec(g19 * (g19 - 1) * (g19 - 2))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_gb"),
+        F.coalesce(
+            F.sum(dec(g19 * (g19 - 1))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_gc2"),
+    )
+    t19 = F.col("_vt").cast("decimal(19,0)")
+    vstat = vm.agg(
+        F.coalesce(
+            F.sum(dec(t19 * (t19 - 1) * (2 * t19 + 5))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_va"),
+        F.coalesce(
+            F.sum(dec(t19 * (t19 - 1) * (t19 - 2))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_vb"),
+        F.coalesce(
+            F.sum(dec(t19 * (t19 - 1))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_vc2"),
+    )
+    out = j2.crossJoin(F.broadcast(gstat)).crossJoin(F.broadcast(vstat))
+    n = F.col("_N")
+    a_term = n * (n - 1) * (2 * n + 5) - F.col("_ga") - F.col("_va")
+    e4 = n * n - F.col("_n2")
+    nd = n.cast("double")
+    var = (
+        a_term.cast("double") / F.lit(72.0)
+        + F.when(
+            n >= 3,
+            (F.col("_gb") * F.col("_vb")).cast("double")
+            / (
+                F.lit(36.0)
+                * nd
+                * (nd - F.lit(1.0))
+                * (nd - F.lit(2.0))
+            ),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            n >= 2,
+            (F.col("_gc2") * F.col("_vc2")).cast("double")
+            / (F.lit(8.0) * nd * (nd - F.lit(1.0))),
+        ).otherwise(F.lit(0.0))
+    )
+    z = F.round(
+        (F.lit(2) * F.col("_j2") - e4).cast("double")
+        / F.lit(4.0)
+        / F.nullif(F.sqrt(var), F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        n.cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_groups"),
+        (F.col("_j2").cast("double") / F.lit(2.0)).alias("j"),
+        z.alias("z"),
+    )

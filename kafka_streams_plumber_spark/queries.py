@@ -13563,6 +13563,111 @@ def q_cmh(spark, sf_dir):
     return cmh_test(d, "stratum", "exposed", "hi")
 
 
+@query(
+    "q_jt",
+    """
+    WITH base AS (
+      SELECT CAST(floor(hour(ts) / 8) AS BIGINT) AS g,
+             round(value, 6) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n
+              FROM base GROUP BY 1, 2),
+    grid AS (
+      SELECT gs.g, vs.v, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT g FROM cells) gs
+      CROSS JOIN (SELECT DISTINCT v FROM cells) vs
+      LEFT JOIN cells c ON c.g = gs.g AND c.v = vs.v
+    ),
+    g1 AS (
+      SELECT g, v, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS excl
+      FROM grid
+    ),
+    g2 AS (
+      SELECT n, excl,
+             CAST(coalesce(sum(excl) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS ll
+      FROM g1
+    ),
+    jj AS (SELECT CAST(coalesce(sum(CAST(n AS HUGEINT)
+                                    * (2 * ll + excl)), 0)
+                       AS HUGEINT) AS j2 FROM g2),
+    gm AS (SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM grid GROUP BY g),
+    gstat AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(coalesce(sum(CAST(ng AS HUGEINT)), 0) AS HUGEINT) AS n,
+             CAST(coalesce(sum(CAST(ng AS HUGEINT) * ng), 0)
+                  AS HUGEINT) AS n2,
+             CAST(coalesce(sum(CAST(ng AS HUGEINT) * (ng - 1)
+                                * (2 * ng + 5)), 0) AS HUGEINT) AS ga,
+             CAST(coalesce(sum(CAST(ng AS HUGEINT) * (ng - 1)
+                                * (ng - 2)), 0) AS HUGEINT) AS gb,
+             CAST(coalesce(sum(CAST(ng AS HUGEINT) * (ng - 1)), 0)
+                  AS HUGEINT) AS gc
+      FROM gm
+    ),
+    vm AS (SELECT v, CAST(sum(n) AS BIGINT) AS vt FROM grid GROUP BY v),
+    vstat AS (
+      SELECT CAST(coalesce(sum(CAST(vt AS HUGEINT) * (vt - 1)
+                                * (2 * vt + 5)), 0) AS HUGEINT) AS va,
+             CAST(coalesce(sum(CAST(vt AS HUGEINT) * (vt - 1)
+                                * (vt - 2)), 0) AS HUGEINT) AS vb,
+             CAST(coalesce(sum(CAST(vt AS HUGEINT) * (vt - 1)), 0)
+                  AS HUGEINT) AS vc
+      FROM vm
+    )
+    SELECT CAST(n AS BIGINT) AS n, k AS k_groups,
+           CAST(j2 AS DOUBLE) / 2.0 AS j,
+           round(CAST(2 * j2 - (n * n - n2) AS DOUBLE) / 4.0
+                 / nullif(sqrt(
+                     CAST(n * (n - 1) * (2 * n + 5) - ga - va AS DOUBLE)
+                       / 72.0
+                     + CASE WHEN n >= 3 THEN
+                         CAST(gb * vb AS DOUBLE)
+                         / (36.0 * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)
+                            * (CAST(n AS DOUBLE) - 2.0))
+                       ELSE 0.0 END
+                     + CASE WHEN n >= 2 THEN
+                         CAST(gc * vc AS DOUBLE)
+                         / (8.0 * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0))
+                       ELSE 0.0 END), 0.0), 6) AS z
+    FROM jj CROSS JOIN gstat CROSS JOIN vstat
+    """,
+)
+def q_jt(spark, sf_dir):
+    """Jonckheere-Terpstra ordered trend (operators/stats.py:
+    jonckheere_terpstra): do event values rise across the ordered
+    day-thirds night -> day -> evening — the monotone-alternative
+    k-sample test beside q_kruskal's any-difference omnibus. 2J is an
+    exact integer off the kendall_tau 2D-prefix grid (no O(k^2)
+    pairwise sweep); the tie-corrected Hollander-Wolfe moments are
+    exact integer aggregates; z is one fixed-shape double expression
+    — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        jonckheere_terpstra,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.when(F.hour("ts") < 8, "night")
+        .when(F.hour("ts") < 16, "day")
+        .otherwise("evening")
+        .alias("third"),
+        F.col("value").alias("v"),
+    )
+    return jonckheere_terpstra(
+        d, "v", "third", ["night", "day", "evening"], round_values=6
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13654,6 +13759,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_ohlc",
     "q_logrank",
     "q_cmh",
+    "q_jt",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

@@ -1280,3 +1280,74 @@ def test_cmh_hand_computed(spark):
     )
     rc = cmh_test(conc, "s", "x", "y").collect()[0]
     assert rc["or_mh"] is None  # no discordant mass: b*c sums to 0
+
+
+def test_jonckheere_terpstra_brute_force(spark):
+    """J, E, Var vs an independent O(n^2) pure-Python reference on a
+    tied deterministic panel; a clean increasing trend gives large
+    positive z; reversing the group order flips the sign; all-tied
+    values give NULL z."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        jonckheere_terpstra,
+    )
+
+    order = ["low", "mid", "high"]
+    rows, s = [], 11
+    for i in range(90):
+        s = (s * 1103515245 + 12345) % (2**31)
+        g = order[i % 3]
+        rows.append((g, float(s % 8 + (i % 3))))  # mild trend + ties
+
+    def ref(rows):
+        j = 0.0
+        for gi in range(3):
+            for hi in range(gi + 1, 3):
+                xs = [v for g, v in rows if g == order[gi]]
+                ys = [v for g, v in rows if g == order[hi]]
+                for x in xs:
+                    for y in ys:
+                        j += 1.0 if x < y else (0.5 if x == y else 0.0)
+        n = len(rows)
+        ngs = [sum(1 for g, _ in rows if g == o) for o in order]
+        from collections import Counter
+
+        tvs = list(Counter(v for _, v in rows).values())
+        e = (n * n - sum(x * x for x in ngs)) / 4.0
+        a = (
+            n * (n - 1) * (2 * n + 5)
+            - sum(x * (x - 1) * (2 * x + 5) for x in ngs)
+            - sum(t * (t - 1) * (2 * t + 5) for t in tvs)
+        )
+        b = sum(x * (x - 1) * (x - 2) for x in ngs) * sum(
+            t * (t - 1) * (t - 2) for t in tvs
+        )
+        c = sum(x * (x - 1) for x in ngs) * sum(t * (t - 1) for t in tvs)
+        var = (
+            a / 72.0
+            + b / (36.0 * n * (n - 1) * (n - 2))
+            + c / (8.0 * n * (n - 1))
+        )
+        return j, (j - e) / var**0.5
+
+    j_ref, z_ref = ref(rows)
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = jonckheere_terpstra(df, "v", "g", order).collect()[0]
+    assert (r["n"], r["k_groups"]) == (90, 3)
+    assert r["j"] == j_ref
+    assert abs(r["z"] - z_ref) < 1e-6
+
+    trend = [("low", float(i)) for i in range(5)] + [
+        ("mid", float(i + 5)) for i in range(5)
+    ] + [("high", float(i + 10)) for i in range(5)]
+    dft = spark.createDataFrame(trend, "g string, v double")
+    up = jonckheere_terpstra(dft, "v", "g", order).collect()[0]
+    down = jonckheere_terpstra(
+        dft, "v", "g", list(reversed(order))
+    ).collect()[0]
+    assert up["z"] > 3 and down["z"] == -up["z"]
+    assert up["j"] == 75.0  # 3 pairs x 25 all-concordant
+
+    allt = spark.createDataFrame(
+        [(g, 1.0) for g in order * 3], "g string, v double"
+    )
+    assert jonckheere_terpstra(allt, "v", "g", order).collect()[0]["z"] is None

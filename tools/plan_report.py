@@ -191,6 +191,7 @@ AUDITED = {
     "q_ohlc": "ONE map-combinable (key,bucket) aggregate; struct-min/max open/close, no windows/joins",
     "q_logrank": "distinct-duration collapse; suffix at-risk counts off ONE fused prefix pass; 1e-9 frozen terms",
     "q_cmh": "ONE conditional-count aggregate to the stratum grain; 1e-9 frozen fractional terms; 1-row final",
+    "q_jt": "kendall_tau 2D-prefix grid (no O(k^2) sweep); exact integer 2J; O(k)/O(values) tie aggregates",
 }
 
 

@@ -142,6 +142,7 @@ PROBED = [
     "q_ohlc",
     "q_logrank",
     "q_cmh",
+    "q_jt",
 ]
 
 
