@@ -1467,13 +1467,21 @@ def logrank_test(
         (F.col(group_col) == group_a).alias("_ga"),
         F.col(event_col).cast("boolean").cast("int").alias("_e"),
     )
-    per_t = base.groupBy("_t").agg(
-        F.coalesce(F.sum(F.col("_ga").cast("long")), F.lit(0)).alias("_ca"),
-        F.count(F.lit(1)).alias("_c"),
-        F.coalesce(
-            F.sum(F.when(F.col("_ga"), F.col("_e"))), F.lit(0)
-        ).alias("_da"),
-        F.coalesce(F.sum("_e"), F.lit(0)).alias("_d"),
+    from kafka_streams_plumber_spark.plans.scale import truncate_lineage
+
+    # the distinct-duration grain feeds the prefix pass AND the totals
+    # row: materialize it once
+    per_t = truncate_lineage(
+        base.groupBy("_t").agg(
+            F.coalesce(
+                F.sum(F.col("_ga").cast("long")), F.lit(0)
+            ).alias("_ca"),
+            F.count(F.lit(1)).alias("_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("_ga"), F.col("_e"))), F.lit(0)
+            ).alias("_da"),
+            F.coalesce(F.sum("_e"), F.lit(0)).alias("_d"),
+        )
     )
     r = running_total(
         per_t, ["_t"], ["_ca", "_c"], out_col=["_cuma", "_cum"]

@@ -1329,7 +1329,11 @@ def kendall_w(
         .where(F.col("_m") == n_raters)
         .select("_u")
     )
-    rc = r.join(complete, "_u", "left_semi")
+    from kafka_streams_plumber_spark.plans.scale import truncate_lineage
+
+    # the complete-panel grain feeds three branches (tie-block counts,
+    # rater totals, the per-item rank-sum join): materialize it once
+    rc = truncate_lineage(r.join(complete, "_u", "left_semi"))
 
     per = rc.groupBy("_r", "_v").agg(F.count(F.lit(1)).alias("_t"))
     g = running_total(per, ["_r", "_v"], "_t", out_col="_cum")

@@ -2296,7 +2296,14 @@ def kruskal_wallis(
         F.col(group_col).isNotNull() & v.isNotNull()
     ).select(F.col(group_col).alias("_g"), v.alias("_v"))
 
-    per_gv = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    from kafka_streams_plumber_spark.plans.scale import truncate_lineage
+
+    # three branches (value totals, group sums, 1-row totals) scan
+    # the materialized distinct grain instead of re-collapsing the
+    # raw input each time
+    per_gv = truncate_lineage(
+        base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    )
     per_v = per_gv.groupBy("_v").agg(F.sum("_c").alias("_t"))
     r = running_total(per_v, ["_v"], "_t", out_col="_cum")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
@@ -2534,6 +2541,7 @@ def kendall_tau(
     *,
     round_x: int | None = None,
     round_y: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Kendall's tau-b rank correlation — concordant-vs-discordant
     pairs with the tie-symmetric denominator. The robust companion to
@@ -2561,11 +2569,17 @@ def kendall_tau(
     however large the input. Prefix passes ride
     ordering.running_total global range exchanges with per-group
     offsets subtracted (the kendall_w device) — no partition-bounded
-    windows, no d^2 join, no collect.
+    windows, no d^2 join, no collect. The collapsed cell table and the
+    dense grid are lineage-truncated (``localCheckpoint``, or
+    ``checkpoint_dir`` for the executor-loss-tolerant form): the five
+    downstream branches (two prefix passes + three marginal
+    aggregates) scan the materialized O(grid) blocks instead of each
+    re-deriving the collapse from the raw input.
     """
     from kafka_streams_plumber_spark.operators.ordering import (
         running_total,
     )
+    from kafka_streams_plumber_spark.plans.scale import truncate_lineage
 
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -2576,13 +2590,17 @@ def kendall_tau(
     base = df.where(x.isNotNull() & y.isNotNull()).select(
         x.alias("_x"), y.alias("_y")
     )
-    cells = base.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_n"))
+    cells = truncate_lineage(
+        base.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_n")),
+        checkpoint_dir,
+    )
     xs = cells.select("_x").distinct()
     ys = cells.select("_y").distinct()
-    grid = (
+    grid = truncate_lineage(
         xs.crossJoin(ys)
         .join(cells, ["_x", "_y"], "left")
-        .select("_x", "_y", F.coalesce("_n", F.lit(0)).alias("_n"))
+        .select("_x", "_y", F.coalesce("_n", F.lit(0)).alias("_n")),
+        checkpoint_dir,
     )
 
     # pass 1: exclusive x-prefix within each y (global (y, x) order,
@@ -2888,6 +2906,7 @@ def jonckheere_terpstra(
     group_order: list,
     *,
     round_values: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Jonckheere-Terpstra ordered-alternative trend test — "does the
     value INCREASE along this ordering of the groups" (quality
@@ -2914,11 +2933,14 @@ def jonckheere_terpstra(
     Scale design: identical to :func:`kendall_tau` — dense quantized
     grid (k groups x distinct values; ``round_values`` bounds it),
     two fused range exchanges with per-group offsets, O(k)/O(values)
-    marginal aggregates, no quadratic join, no collect.
+    marginal aggregates, no quadratic join, no collect; the collapsed
+    cell table and the dense grid are lineage-truncated so the branch
+    fan-out scans materialized blocks (kendall_tau's note).
     """
     from kafka_streams_plumber_spark.operators.ordering import (
         running_total,
     )
+    from kafka_streams_plumber_spark.plans.scale import truncate_lineage
 
     v = F.col(value_col).cast("double")
     if round_values is not None:
@@ -2931,13 +2953,17 @@ def jonckheere_terpstra(
         F.col(group_col).isin(list(group_order)) & v.isNotNull()
     ).select(gi.alias("_g"), v.alias("_v"))
 
-    cells = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_n"))
+    cells = truncate_lineage(
+        base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_n")),
+        checkpoint_dir,
+    )
     gs = cells.select("_g").distinct()
     vs = cells.select("_v").distinct()
-    grid = (
+    grid = truncate_lineage(
         gs.crossJoin(vs)
         .join(cells, ["_g", "_v"], "left")
-        .select("_g", "_v", F.coalesce("_n", F.lit(0)).alias("_n"))
+        .select("_g", "_v", F.coalesce("_n", F.lit(0)).alias("_n")),
+        checkpoint_dir,
     )
 
     # EXCL(g, v) = mass in LOWER groups at the SAME value
