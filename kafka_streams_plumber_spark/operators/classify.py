@@ -1707,3 +1707,145 @@ def classification_report(
             6,
         ).alias("f1"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    round_probs: int = 6,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — splits a
+    probabilistic classifier's squared error into WHY it is wrong:
+    ``brier = reliability - resolution + uncertainty``. Reliability
+    (lower better) is miscalibration — :func:`calibration_report`'s
+    ECE cousin in squared form; resolution (higher better) is how far
+    the forecasts dare to move from the base rate; uncertainty is the
+    data's irreducible ``ybar*(1-ybar)``. Two models with equal Brier
+    can differ entirely in character — this says which is bold and
+    which is merely hedged. One row ``(n, base_rate, brier,
+    reliability, resolution, uncertainty)``; NULL scores when n = 0.
+
+    The decomposition conditions on DISTINCT forecast values (not
+    bins), where the identity is exact; ``round_probs`` quantizes
+    first (mann_whitney's grain contract), which also makes the
+    identity hold at the quantized forecasts.
+
+    Exactness: probabilities freeze to 1e-6 scaled longs; per
+    distinct forecast the cleared numerators e = n*p_s - 1e6*pos and
+    f = N*pos - n*P are exact integers, and the per-value quotients
+    e^2/n, f^2/n ride the kruskal_wallis round((e/n)*e*1e6) IEEE
+    freeze — so every sum is an exact integer sum; brier itself is a
+    fully exact integer sum of (p_s - 1e6*y)^2. Replayed bit-for-bit
+    in SQL.
+
+    Scale design: ONE collapse to the distinct-forecast grain with a
+    1-row totals broadcast, then an O(distinct) aggregate.
+    """
+    mult = 1000000
+    p = F.round(F.col(prob_col).cast("double"), int(round_probs))
+    y = F.col(label_col).cast("boolean").cast("int")
+    base = df.where(p.isNotNull() & y.isNotNull()).select(
+        F.round(p * F.lit(float(mult))).cast("long").alias("_p"),
+        y.alias("_y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_p = base.groupBy("_p").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum("_y"), F.lit(0)).alias("_pos"),
+        F.coalesce(
+            F.sum(
+                dec(
+                    (F.col("_p") - F.col("_y") * F.lit(mult)).cast(
+                        "decimal(19,0)"
+                    )
+                    * (F.col("_p") - F.col("_y") * F.lit(mult)).cast(
+                        "decimal(19,0)"
+                    )
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_sq"),
+    )
+    # rename before aggregating: tot derives from per_p, so the
+    # crossJoin back would otherwise carry two `_n` lineages
+    tot = (
+        per_p.select(
+            F.col("_n").alias("_tn"), F.col("_pos").alias("_tpos")
+        )
+        .agg(
+            F.coalesce(F.sum("_tn"), F.lit(0)).alias("_N"),
+            F.coalesce(F.sum("_tpos"), F.lit(0)).alias("_P"),
+        )
+    )
+    # fresh names on the fact side: tot derives from per_p, so ANY
+    # shared name (even non-output ones in tot's subtree) resolves
+    # ambiguously after the self-join dedup
+    j = per_p.select(
+        F.col("_p").alias("_cp"),
+        F.col("_n").alias("_cn"),
+        F.col("_pos").alias("_cpos"),
+        F.col("_sq").alias("_csq"),
+    ).crossJoin(F.broadcast(tot))
+    e = (
+        F.col("_cn").cast("decimal(38,0)") * F.col("_cp")
+        - F.lit(mult) * F.col("_cpos").cast("decimal(38,0)")
+    )
+    f_ = (
+        F.col("_N").cast("decimal(38,0)") * F.col("_cpos")
+        - F.col("_cn").cast("decimal(38,0)") * F.col("_P")
+    )
+    # x^2/n frozen at 1e-6 resolution (the kruskal_wallis device);
+    # the 1e6 divides back out in the final expressions
+    frz = lambda x: F.round(  # noqa: E731
+        x.cast("double")
+        / F.col("_cn").cast("double")
+        * x.cast("double")
+        * F.lit(1000000.0)
+    ).cast("decimal(38,0)")
+    agg = j.agg(
+        F.coalesce(
+            F.sum(F.col("_csq")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_bs"),
+        F.coalesce(F.sum(frz(e)), F.lit(0).cast("decimal(38,0)")).alias(
+            "_rel"
+        ),
+        F.coalesce(F.sum(frz(f_)), F.lit(0).cast("decimal(38,0)")).alias(
+            "_res"
+        ),
+    ).crossJoin(F.broadcast(tot))
+    nd = F.col("_N").cast("double")
+    pd_ = F.col("_P").cast("double")
+    m2 = F.lit(float(mult) * float(mult))
+    ok = F.col("_N") > 0
+    return agg.select(
+        F.col("_N").cast("long").alias("n"),
+        F.when(ok, F.round(pd_ / nd, 6)).alias("base_rate"),
+        F.when(
+            ok, F.round(F.col("_bs").cast("double") / nd / m2, 6)
+        ).alias("brier"),
+        F.when(
+            ok,
+            F.round(
+                F.col("_rel").cast("double")
+                / F.lit(1000000.0)
+                / nd
+                / m2,
+                6,
+            ),
+        ).alias("reliability"),
+        F.when(
+            ok,
+            F.round(
+                F.col("_res").cast("double")
+                / F.lit(1000000.0)
+                / (nd * nd * nd),
+                6,
+            ),
+        ).alias("resolution"),
+        F.when(
+            ok,
+            F.round(pd_ * (nd - pd_) / (nd * nd), 6),
+        ).alias("uncertainty"),
+    )

@@ -1705,3 +1705,58 @@ def tfidf_keywords(
             F.col("_score_s").cast("double") / F.lit(1000000000.0), 6
         ).alias("score"),
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic curation signal for audience level ("is this corpus
+    slice children's stories or case law"), complementing
+    :func:`quality_score` (which gates junk, not difficulty). One row
+    per document: ``(id, n_words, n_sentences, n_syllables, fk_grade,
+    flesch_ease)``; NULL scores for documents with zero words.
+
+    Syllables use the standard vowel-cluster heuristic — runs of
+    ``[aeiouy]`` — floored at one per word (clusters cannot span the
+    space delimiter, so the whole-text count equals the per-word
+    sum); sentences count ``[.!?]`` runs, floored at 1. Both are
+    documented approximations, exact and deterministic as COUNTS.
+
+    Exactness: three integer counts per row feed two fixed-shape
+    double expressions — replayed bit-for-bit in SQL. Pure
+    expressions: zero shuffles, zero Python, whole-stage codegen.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.size(tokens_lower(F.col(text_col)))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.greatest(F.regexp_count(t, F.lit(r"[aeiouy]+")), words)
+    wd = words.cast("double")
+    sd = sents.cast("double")
+    yd = syl.cast("double")
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.when(
+            words > 0,
+            F.round(
+                F.lit(0.39) * wd / sd
+                + F.lit(11.8) * yd / wd
+                - F.lit(15.59),
+                6,
+            ),
+        ).alias("fk_grade"),
+        F.when(
+            words > 0,
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * wd / sd
+                - F.lit(84.6) * yd / wd,
+                6,
+            ),
+        ).alias("flesch_ease"),
+    )

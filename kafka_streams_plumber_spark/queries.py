@@ -13668,6 +13668,135 @@ def q_jt(spark, sf_dir):
     )
 
 
+@query(
+    "q_readability",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(coalesce(text, '')),
+                                          ' '), x -> x <> '')) AS w,
+             greatest(len(regexp_extract_all(
+                 lower(coalesce(text, '')), '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '[aeiouy]+')) AS v
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(greatest(v, w) AS BIGINT) AS n_syllables,
+           CASE WHEN w > 0 THEN
+             round(0.39 * w / s + 11.8 * greatest(v, w) / w - 15.59, 6)
+           END AS fk_grade,
+           CASE WHEN w > 0 THEN
+             round(206.835 - 1.015 * w / s
+                   - 84.6 * greatest(v, w) / w, 6)
+           END AS flesch_ease
+    FROM c
+    """,
+)
+def q_readability(spark, sf_dir):
+    """Flesch/Flesch-Kincaid readability per document (operators/
+    text.py:readability): audience-level signal for corpus slices,
+    beside text_quality's junk gate. Vowel-cluster syllables and
+    sentence-run counts are exact integers from pure codegen regexps
+    (zero shuffles, zero Python); two fixed-shape double expressions
+    — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.text import readability
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return readability(d, "doc_id", "text")
+
+
+@query(
+    "q_brier",
+    """
+    WITH base AS (
+      SELECT CAST(round(round(least(1.0, greatest(0.0, value / 100.0)),
+                              6) * 1000000.0) AS BIGINT) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pp AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(y), 0) AS BIGINT) AS pos,
+             CAST(coalesce(sum(CAST(p - y * 1000000 AS HUGEINT)
+                                * (p - y * 1000000)), 0)
+                  AS HUGEINT) AS sq
+      FROM base GROUP BY p
+    ),
+    tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+                   CAST(coalesce(sum(pos), 0) AS BIGINT) AS pt FROM pp),
+    terms AS (
+      SELECT sq,
+             CAST(round(CAST(CAST(n AS HUGEINT) * p
+                             - 1000000 * CAST(pos AS HUGEINT) AS DOUBLE)
+                  / CAST(n AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * p
+                         - 1000000 * CAST(pos AS HUGEINT) AS DOUBLE)
+                  * 1000000.0) AS HUGEINT) AS rel,
+             CAST(round(CAST(CAST(nn AS HUGEINT) * pos
+                             - CAST(n AS HUGEINT) * pt AS DOUBLE)
+                  / CAST(n AS DOUBLE)
+                  * CAST(CAST(nn AS HUGEINT) * pos
+                         - CAST(n AS HUGEINT) * pt AS DOUBLE)
+                  * 1000000.0) AS HUGEINT) AS res
+      FROM pp CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(coalesce(sum(sq), 0) AS HUGEINT) AS bs,
+             CAST(coalesce(sum(rel), 0) AS HUGEINT) AS srel,
+             CAST(coalesce(sum(res), 0) AS HUGEINT) AS sres
+      FROM terms
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CASE WHEN nn > 0 THEN
+             round(CAST(pt AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+           END AS base_rate,
+           CASE WHEN nn > 0 THEN
+             round(CAST(bs AS DOUBLE) / CAST(nn AS DOUBLE)
+                   / 1000000000000.0, 6)
+           END AS brier,
+           CASE WHEN nn > 0 THEN
+             round(CAST(srel AS DOUBLE) / 1000000.0
+                   / CAST(nn AS DOUBLE) / 1000000000000.0, 6)
+           END AS reliability,
+           CASE WHEN nn > 0 THEN
+             round(CAST(sres AS DOUBLE) / 1000000.0
+                   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                      * CAST(nn AS DOUBLE)), 6)
+           END AS resolution,
+           CASE WHEN nn > 0 THEN
+             round(CAST(pt AS DOUBLE)
+                   * (CAST(nn AS DOUBLE) - CAST(pt AS DOUBLE))
+                   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+           END AS uncertainty
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q_brier(spark, sf_dir):
+    """Murphy Brier decomposition (operators/classify.py:
+    brier_decomposition): value/100 read as a purchase "probability"
+    scored against the true purchase flag — splits squared error into
+    reliability - resolution + uncertainty, the WHY behind
+    q_calibration's ECE. Distinct-forecast grain keeps the identity
+    exact; cleared numerators with the 1e-6 frozen-quotient device —
+    replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        brier_decomposition,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.least(
+            F.lit(1.0), F.greatest(F.lit(0.0), F.col("value") / 100.0)
+        ).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return brier_decomposition(d, "p", "y", round_probs=6)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13760,6 +13889,8 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_logrank",
     "q_cmh",
     "q_jt",
+    "q_readability",
+    "q_brier",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

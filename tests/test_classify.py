@@ -865,3 +865,37 @@ def test_classification_report_hand_computed(spark):
         for r in classification_report(onlypred, "label", "pred").collect()
     }
     assert g2["y"]["support"] == 0 and g2["y"]["recall"] is None
+
+
+def test_brier_decomposition_hand_computed(spark):
+    """Calibrated panel: brier 0.16 = 0 - 0.09 + 0.25 exactly;
+    miscalibrated panel: 0.25 = 0.066667 - 0.026667 + 0.21. The
+    Murphy identity holds exactly on the distinct-forecast grain."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        brier_decomposition,
+    )
+
+    cal = [(0.2, i == 0) for i in range(5)] + [
+        (0.8, i != 0) for i in range(5)
+    ]
+    df = spark.createDataFrame(cal, "p double, y boolean")
+    r = brier_decomposition(df, "p", "y").collect()[0]
+    assert (r["n"], r["base_rate"]) == (10, 0.5)
+    assert r["brier"] == 0.16
+    assert r["reliability"] == 0.0
+    assert r["resolution"] == 0.09
+    assert r["uncertainty"] == 0.25
+
+    mis = [(0.9, i < 2) for i in range(4)] + [
+        (0.1, i == 0) for i in range(6)
+    ]
+    df2 = spark.createDataFrame(mis, "p double, y boolean")
+    m = brier_decomposition(df2, "p", "y").collect()[0]
+    assert m["brier"] == 0.25
+    assert m["reliability"] == 0.066667
+    assert m["resolution"] == 0.026667
+    assert m["uncertainty"] == 0.21
+    assert (
+        round(m["reliability"] - m["resolution"] + m["uncertainty"], 6)
+        == m["brier"]
+    )

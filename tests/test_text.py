@@ -641,3 +641,28 @@ def test_tfidf_keywords_hand_computed(spark):
         ).collect()
     }
     assert nf[(3, 1)] == "cherry" and nf[(3, 2)] == "apple"
+
+
+def test_readability_hand_computed(spark):
+    """'the cat sat. the dog ran fast!': 7 words, 2 sentences, 7
+    vowel clusters -> FK = -2.425, ease = 118.6825; multi-syllable
+    words raise the grade; empty text gives NULL scores."""
+    from kafka_streams_plumber_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran fast!"),
+            (2, "beautiful ocean"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (7, 2, 7)
+    assert r1["fk_grade"] == -2.425
+    assert r1["flesch_ease"] == 118.6825
+    r2 = got[2]
+    assert (r2["n_words"], r2["n_syllables"]) == (2, 5)
+    assert r2["fk_grade"] == round(0.39 * 2 + 11.8 * 2.5 - 15.59, 6)
+    assert got[3]["fk_grade"] is None and got[3]["n_words"] == 0

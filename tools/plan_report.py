@@ -192,6 +192,8 @@ AUDITED = {
     "q_logrank": "distinct-duration collapse; suffix at-risk counts off ONE fused prefix pass; 1e-9 frozen terms",
     "q_cmh": "ONE conditional-count aggregate to the stratum grain; 1e-9 frozen fractional terms; 1-row final",
     "q_jt": "kendall_tau 2D-prefix grid (no O(k^2) sweep); exact integer 2J; O(k)/O(values) tie aggregates",
+    "q_readability": "pure codegen regexp counts + two fixed-shape doubles: zero exchanges, zero Python",
+    "q_brier": "distinct-forecast collapse + 1-row totals broadcast; frozen e^2/n, f^2/n quotients; exact integer BS",
 }
 
 

@@ -143,6 +143,8 @@ PROBED = [
     "q_logrank",
     "q_cmh",
     "q_jt",
+    "q_readability",
+    "q_brier",
 ]
 
 
