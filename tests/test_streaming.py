@@ -358,3 +358,60 @@ def test_ohlc_bars_streaming_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_hll_registers_streaming_matches_batch(spark, tmp_path):
+    """The HLL register build is a plain groupBy-max, so it lifts to a
+    streaming source unchanged (complete mode) — per-batch sketches
+    merge by the same max. Registers and the resulting estimates must
+    equal the batch build exactly."""
+    from kafka_streams_plumber_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [(str(i % 3), i * 104729) for i in range(500)]
+    schema = "g string, k long"
+    src = tmp_path / "hll_in"
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(str(src))
+
+    batch_reg = {
+        (r["g"], r["bucket"]): r["rho"]
+        for r in hll_registers(
+            spark.read.parquet(str(src)), "g", "k", p=8
+        ).collect()
+    }
+    stream_in = spark.readStream.schema(schema).parquet(str(src))
+    regs = hll_registers(stream_in, "g", "k", p=8)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("ksps_hll_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["g"], r["bucket"]): r["rho"]
+            for r in spark.sql("SELECT * FROM ksps_hll_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch_reg
+
+    est_stream = {
+        r["g"]: r["n_est"]
+        for r in hll_estimate(
+            spark.sql("SELECT * FROM ksps_hll_test"), "g", p=8
+        ).collect()
+    }
+    est_batch = {
+        r["g"]: r["n_est"]
+        for r in hll_estimate(
+            hll_registers(spark.read.parquet(str(src)), "g", "k", p=8),
+            "g",
+            p=8,
+        ).collect()
+    }
+    assert est_stream == est_batch
