@@ -1101,3 +1101,123 @@ def test_krippendorff_alpha_bounded_and_perfect(spark, ratings):
         ]
         == 1.0
     )
+
+
+#: small grouped panels: (group 0..2, value 0..6) pairs — ties dense
+panels = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=6,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(panels)
+def test_kruskal_wallis_matches_sequential_reference(spark, pairs):
+    """Tie-corrected H equals the textbook sequential midrank
+    computation on every generated tied panel (and H >= 0)."""
+    from kafka_streams_plumber_spark.operators.stats import kruskal_wallis
+
+    rows = [(f"g{g}", float(v)) for g, v in pairs]
+    groups = sorted({g for g, _ in rows})
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = kruskal_wallis(df, "v", "g").collect()[0]
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    # midranks per value
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        rank[vals[i]] = mid
+        i = j
+    import collections
+
+    rsum = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for g, v in rows:
+        rsum[g] += rank[v]
+        cnt[g] += 1
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsum[g] ** 2 / cnt[g] for g in cnt
+    ) - 3 * (n + 1)
+    t = collections.Counter(vals)
+    c = 1.0 - sum(x**3 - x for x in t.values()) / (n**3 - n) if n > 1 else 0
+    if len(cnt) < 2 or c == 0:
+        assert got["h"] is None
+    else:
+        ref = h / c
+        assert abs(got["h"] - ref) < 1e-4, (got["h"], ref)
+        assert got["h"] >= -1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(panels)
+def test_kendall_tau_matches_brute_force(spark, pairs):
+    """Concordant/discordant masses and tau_b match the O(n^2)
+    reference on every generated tied panel; tau in [-1, 1]."""
+    from kafka_streams_plumber_spark.operators.stats import kendall_tau
+
+    rows = [(float(g), float(v)) for g, v in pairs]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = kendall_tau(df, "x", "y").collect()[0]
+
+    p = q = 0
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = (rows[i][0] - rows[j][0]) * (rows[i][1] - rows[j][1])
+            if d > 0:
+                p += 1
+            elif d < 0:
+                q += 1
+    assert (got["concordant"], got["discordant"]) == (p, q)
+    import collections
+
+    tx = collections.Counter(x for x, _ in rows)
+    ty = collections.Counter(y for _, y in rows)
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in tx.values())
+    n2 = sum(t * (t - 1) / 2 for t in ty.values())
+    den = ((n0 - n1) * (n0 - n2)) ** 0.5
+    if den == 0:
+        assert got["tau_b"] is None
+    else:
+        assert abs(got["tau_b"] - (p - q) / den) < 1e-5
+        assert -1.0 - 1e-9 <= got["tau_b"] <= 1.0 + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_brier_murphy_identity_holds(spark, pairs):
+    """brier == reliability - resolution + uncertainty (to rounding)
+    for every generated forecast panel — the decomposition is exact
+    on the distinct-forecast grain."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        brier_decomposition,
+    )
+
+    rows = [(p / 10.0, y) for p, y in pairs]
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    r = brier_decomposition(df, "p", "y").collect()[0]
+    lhs = r["brier"]
+    rhs = r["reliability"] - r["resolution"] + r["uncertainty"]
+    assert abs(lhs - rhs) < 5e-6, (lhs, rhs)
+    bs_ref = sum((p - (1.0 if y else 0.0)) ** 2 for p, y in rows) / len(rows)
+    assert abs(lhs - bs_ref) < 1e-6
