@@ -3080,3 +3080,131 @@ def jonckheere_terpstra(
         (F.col("_j2").cast("double") / F.lit(2.0)).alias("j"),
         z.alias("z"),
     )
+
+
+def pacf(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    *,
+    max_lag: int,
+    group_cols: list[str] | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Partial autocorrelation function (PACF) at lags 1..``max_lag``
+    — :func:`autocorrelation`'s model-order companion: the ACF says
+    THAT a series is self-correlated, the PACF says how many AR terms
+    explain it (an AR(p) series cuts off sharply after lag p, which
+    the ACF's geometric tail hides). The standard pair of diagnostic
+    plots before fitting anything autoregressive to a feed's volume
+    or latency series. One row per lag (per group): ``(groups...,
+    lag, pacf)``; NULL from the first lag whose ACF is NULL
+    (constant series / empty lag) or whose Durbin-Levinson
+    denominator hits 0.
+
+    Computed by the Durbin-Levinson recursion UNROLLED over the lag
+    index: each level materializes its phi coefficients as real
+    columns (one ``select`` per level), so expression trees stay
+    O(max_lag) instead of the exponential blowup naive nesting
+    causes, and the whole recursion runs on the O(groups)-row pivoted
+    ACF frame — the heavy series work is exactly one
+    :func:`autocorrelation` call. Inputs are the 6-dp-rounded ACF
+    values; every subsequent operation is a fixed-shape IEEE double
+    expression, so SQL replays bit-for-bit.
+    """
+    assert max_lag >= 1
+    groups = list(group_cols or [])
+    acf_df = autocorrelation(
+        df,
+        index_col,
+        value_col,
+        max_lag=max_lag,
+        group_cols=group_cols,
+        scale=scale,
+    )
+    piv = acf_df.groupBy(*groups).agg(
+        *[
+            F.max(
+                F.when(F.col("lag") == k, F.col("acf"))
+            ).alias(f"_r{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+
+    # Durbin-Levinson, one materialized level per lag
+    cur = piv.withColumn("_p1_1", F.col("_r1"))
+    for k in range(2, max_lag + 1):
+        num = F.col(f"_r{k}")
+        den = F.lit(1.0)
+        for j in range(1, k):
+            num = num - F.col(f"_p{k - 1}_{j}") * F.col(f"_r{k - j}")
+            den = den - F.col(f"_p{k - 1}_{j}") * F.col(f"_r{j}")
+        cur = cur.withColumn(
+            f"_p{k}_{k}", num / F.nullif(den, F.lit(0.0))
+        )
+        for j in range(1, k):
+            cur = cur.withColumn(
+                f"_p{k}_{j}",
+                F.col(f"_p{k - 1}_{j}")
+                - F.col(f"_p{k}_{k}") * F.col(f"_p{k - 1}_{k - j}"),
+            )
+    out = cur.select(
+        *groups,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag"),
+                        F.round(F.col(f"_p{k}_{k}"), 6).alias("pacf"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_s"),
+    )
+    return out.select(*groups, "_s.lag", "_s.pacf")
+
+
+def pacf_oracle_sql(
+    acf_sql: str,
+    *,
+    max_lag: int,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`pacf` (ungrouped): ``acf_sql`` must
+    select rows (lag, acf) for lags 1..max_lag; the same pivoted
+    Durbin-Levinson levels are emitted as chained CTEs, mirroring the
+    operator's materialize-per-level structure."""
+    parts = [
+        f"WITH acf AS ({acf_sql}),",
+        "piv AS (SELECT "
+        + ", ".join(
+            f"max(CASE WHEN lag = {k} THEN acf END) AS r{k}"
+            for k in range(1, max_lag + 1)
+        )
+        + " FROM acf),",
+        "lvl1 AS (SELECT *, r1 AS p1_1 FROM piv)",
+    ]
+    for k in range(2, max_lag + 1):
+        num = f"r{k}"
+        den = "1.0"
+        for j in range(1, k):
+            num += f" - p{k - 1}_{j} * r{k - j}"
+            den += f" - p{k - 1}_{j} * r{j}"
+        cols = [f"({num}) / nullif(({den}), 0.0) AS p{k}_{k}"]
+        parts[-1] += ","
+        parts.append(
+            f"lvlk{k} AS (SELECT *, {cols[0]} FROM lvl{k - 1}),"
+        )
+        jcols = ", ".join(
+            f"p{k - 1}_{j} - p{k}_{k} * p{k - 1}_{k - j} AS p{k}_{j}"
+            for j in range(1, k)
+        )
+        parts.append(f"lvl{k} AS (SELECT *, {jcols} FROM lvlk{k})")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS lag,"
+        f" round(p{k}_{k}, {round_to}) AS pacf FROM lvl{max_lag}"
+        for k in range(1, max_lag + 1)
+    )
+    parts.append(sel)
+    return "\n".join(parts)

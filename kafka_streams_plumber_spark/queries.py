@@ -13797,6 +13797,72 @@ def q_brier(spark, sf_dir):
     return brier_decomposition(d, "p", "y", round_probs=6)
 
 
+from kafka_streams_plumber_spark.operators.stats import (  # noqa: E402
+    pacf_oracle_sql,
+)
+
+#: the q_acf daily-volume ACF restated for lags 1..8 — feeds the
+#: generated Durbin-Levinson oracle below
+_DAILY_ACF_SQL = """
+    WITH daily AS (
+      SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS i,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS t,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+      FROM daily
+    ),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 9)),
+    pairs AS (
+      SELECT l.lag, a.v AS va, b.v AS vb
+      FROM lags l JOIN daily a ON TRUE JOIN daily b ON b.i = a.i + l.lag
+    ),
+    per AS (
+      SELECT lag, CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(CAST(va AS HUGEINT) * vb) AS HUGEINT) AS p,
+             CAST(sum(va) AS HUGEINT) AS h,
+             CAST(sum(vb) AS HUGEINT) AS g
+      FROM pairs GROUP BY 1
+    )
+    SELECT l.lag,
+           round(CAST(n*n*p - n*t*(h+g) + k*t*t AS DOUBLE)
+                 / nullif(CAST(n*(n*q - t*t) AS DOUBLE), 0.0), 6) AS acf
+    FROM lags l LEFT JOIN per ON l.lag = per.lag CROSS JOIN tot
+"""
+
+
+@query("q_pacf", pacf_oracle_sql(_DAILY_ACF_SQL, max_lag=8))
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation (operators/stats.py:pacf) of daily
+    event volume at lags 1..8 — q_acf's model-order companion: the
+    PACF's cutoff says how many AR terms explain the series that the
+    ACF's geometric tail hides. Durbin-Levinson unrolled level by
+    level over the pivoted ACF row (materialized columns keep
+    expression trees linear); fixed-shape IEEE arithmetic on the
+    6-dp ACF values — the oracle replays the identical levels as
+    chained CTEs."""
+    from kafka_streams_plumber_spark.operators.stats import pacf
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pacf(daily, "day_idx", "n", max_lag=8, scale=1)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13891,6 +13957,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_jt",
     "q_readability",
     "q_brier",
+    "q_pacf",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

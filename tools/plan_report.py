@@ -194,6 +194,7 @@ AUDITED = {
     "q_jt": "kendall_tau 2D-prefix grid (no O(k^2) sweep); exact integer 2J; O(k)/O(values) tie aggregates",
     "q_readability": "pure codegen regexp counts + two fixed-shape doubles: zero exchanges, zero Python",
     "q_brier": "distinct-forecast collapse + 1-row totals broadcast; frozen e^2/n, f^2/n quotients; exact integer BS",
+    "q_pacf": "one autocorrelation pass; Durbin-Levinson runs on the pivoted O(1)-row ACF frame, level-materialized",
 }
 
 

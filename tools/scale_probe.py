@@ -145,6 +145,7 @@ PROBED = [
     "q_jt",
     "q_readability",
     "q_brier",
+    "q_pacf",
 ]
 
 
