@@ -13863,6 +13863,85 @@ def q_pacf(spark, sf_dir):
     return pacf(daily, "day_idx", "n", max_lag=8, scale=1)
 
 
+@query(
+    "q_isotonic",
+    """
+    WITH base AS (
+      SELECT round(CAST(floor(least(100.0, greatest(0.0, value))
+                              * 10.0) AS DOUBLE) / 1000.0, 6) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    grain AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                     CAST(coalesce(sum(y), 0) AS BIGINT) AS pos
+              FROM base GROUP BY s),
+    g AS (
+      SELECT s, n, pos,
+             CAST(sum(n) OVER (ORDER BY s) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY s) AS BIGINT) AS cpos
+      FROM grain
+    ),
+    pairs AS (
+      SELECT lo.s AS j, hi.s AS l,
+             CAST(hi.cpos - (lo.cpos - lo.pos) AS DOUBLE)
+               / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS a
+      FROM g lo JOIN g hi ON lo.s <= hi.s
+    ),
+    m AS (
+      SELECT j, l AS i,
+             min(a) OVER (PARTITION BY j ORDER BY l DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+      FROM pairs
+    ),
+    iso AS (
+      SELECT i AS s, mx FROM (
+        SELECT j, i,
+               max(mm) OVER (PARTITION BY i ORDER BY j ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        FROM m
+      ) WHERE j = i
+    )
+    SELECT grain.s AS score, grain.n,
+           round(CAST(grain.pos AS DOUBLE) / CAST(grain.n AS DOUBLE), 6)
+             AS frac_pos,
+           round(iso.mx, 6) AS calibrated
+    FROM grain JOIN iso ON grain.s = iso.s
+    """,
+)
+def q_isotonic(spark, sf_dir):
+    """Exact isotonic calibration map (operators/classify.py:
+    isotonic_calibration): the monotone repair of q_brier's
+    miscalibrated value/100 "probability" vs the purchase flag —
+    PAV's output computed distributively via the minimax identity on
+    the quantized distinct-score grain (d^2 interval table off ONE
+    fused prefix pass; windows bounded by d, not the data). Proven
+    equal to the sequential PAV stack in pytest; replayed bit-for-bit
+    in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        isotonic_calibration,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    # quantize via exact floor arithmetic (decimal round at the 3rd
+    # digit is a cross-engine half-boundary trap on divided doubles)
+    d = e.where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (
+            F.floor(
+                F.least(
+                    F.lit(100.0),
+                    F.greatest(F.lit(0.0), F.col("value")),
+                )
+                * F.lit(10.0)
+            ).cast("double")
+            / F.lit(1000.0)
+        ).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return isotonic_calibration(d, "p", "y", round_scores=6)
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -13958,6 +14037,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_readability",
     "q_brier",
     "q_pacf",
+    "q_isotonic",
     "q_psi_drift",
     "q_fertility_mix",
     "q_hist_drift",

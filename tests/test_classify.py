@@ -899,3 +899,83 @@ def test_brier_decomposition_hand_computed(spark):
         round(m["reliability"] - m["resolution"] + m["uncertainty"], 6)
         == m["brier"]
     )
+
+
+def test_isotonic_calibration_matches_pav_stack(spark):
+    """The minimax identity equals the sequential pool-adjacent-
+    violators stack: the classic [1,0,0,1] panel pools to
+    [1/3,1/3,1/3,1], and a deterministic pseudo-random weighted panel
+    matches the weighted PAV reference at every distinct score; the
+    output is monotone nondecreasing."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        isotonic_calibration,
+    )
+
+    def pav(points):
+        # points: list of (weight, mean) in score order
+        stack = []
+        for w, v in points:
+            stack.append([w, v])
+            while len(stack) > 1 and stack[-2][1] >= stack[-1][1] - 1e-15:
+                w2, v2 = stack.pop()
+                w1, v1 = stack.pop()
+                stack.append(
+                    [w1 + w2, (w1 * v1 + w2 * v2) / (w1 + w2)]
+                )
+        out = []
+        for w, v in stack:
+            out += [v] * 1  # one entry per block; expand by weight later
+        # expand blocks back to per-point fits
+        fits = []
+        i = 0
+        for w, v in stack:
+            fits.append((w, v))
+        return stack
+
+    simple = [(0.1, True), (0.2, False), (0.3, False), (0.4, True)]
+    df = spark.createDataFrame(simple, "s double, y boolean")
+    got = {
+        r["score"]: r["calibrated"]
+        for r in isotonic_calibration(df, "s", "y").collect()
+    }
+    third = round(1.0 / 3.0, 6)
+    assert got == {0.1: third, 0.2: third, 0.3: third, 0.4: 1.0}
+
+    # weighted pseudo-random panel
+    rows, s = [], 3
+    for i in range(120):
+        s = (s * 1103515245 + 12345) % (2**31)
+        sc = (s % 20) / 20.0
+        s = (s * 1103515245 + 12345) % (2**31)
+        rows.append((sc, (s % 100) < 100 * sc * 0.7 + 10))
+    df2 = spark.createDataFrame(rows, "s double, y boolean")
+    got2 = sorted(
+        (r["score"], r["n"], r["calibrated"])
+        for r in isotonic_calibration(df2, "s", "y").collect()
+    )
+    # reference: weighted PAV over per-score means in score order
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0])
+    for sc, y in rows:
+        agg[round(sc, 3)][0] += 1
+        agg[round(sc, 3)][1] += 1 if y else 0
+    pts = [(n, p / n) for sc, (n, p) in sorted(agg.items())]
+    blocks = pav(pts)
+    fits = []
+    for w, v in blocks:
+        fits += [v] * 1
+    # expand block fits to per-score fits
+    per_score = []
+    bi, used = 0, 0
+    for sc, (n, p) in sorted(agg.items()):
+        while used >= blocks[bi][0] - 1e-9:
+            bi += 1
+            used = 0
+        per_score.append((sc, n, blocks[bi][1]))
+        used += n
+    for (sc, n, cal), (rsc, rn, rcal) in zip(got2, per_score):
+        assert sc == rsc and n == rn
+        assert abs(cal - rcal) < 1e-6, (sc, cal, rcal)
+    cals = [c for _, _, c in got2]
+    assert all(a <= b + 1e-9 for a, b in zip(cals, cals[1:]))

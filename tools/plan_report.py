@@ -195,6 +195,7 @@ AUDITED = {
     "q_readability": "pure codegen regexp counts + two fixed-shape doubles: zero exchanges, zero Python",
     "q_brier": "distinct-forecast collapse + 1-row totals broadcast; frozen e^2/n, f^2/n quotients; exact integer BS",
     "q_pacf": "one autocorrelation pass; Durbin-Levinson runs on the pivoted O(1)-row ACF frame, level-materialized",
+    "q_isotonic": "d^2 interval table off ONE fused prefix pass; suffix-min/prefix-max windows bounded by d, not data",
 }
 
 

@@ -146,6 +146,7 @@ PROBED = [
     "q_readability",
     "q_brier",
     "q_pacf",
+    "q_isotonic",
 ]
 
 
