@@ -1526,3 +1526,156 @@ def logrank_test(
         ).alias("e_a"),
         F.round(diff * diff / F.nullif(v, F.lit(0.0)), 6).alias("chi2"),
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Durbin-Watson / von Neumann successive-difference ratio per
+    series — is the residual noise of a bucketed metric
+    AUTOCORRELATED? DW = sum_t (x_t - x_{t-1})^2 / sum_t (x_t -
+    mean)^2 on the mean-centered series (the mean cancels in the
+    differences, so this is DW on the residuals of the
+    constant-only fit). Reads like the classic regression
+    diagnostic: ~2 means uncorrelated noise, << 2 positive
+    autocorrelation (drift/trend the mean didn't capture — hand the
+    series to seasonal_decompose or trend_break next), >> 2
+    oscillation. One row per group ``(group, n_buckets, n_pairs,
+    dw)``; only ADJACENT observed buckets (index and index+1) form
+    difference pairs — a gap drops its pair, n_pairs reports
+    coverage. dw NULL for a constant or single-point series.
+
+    Exactness: values freeze to scaled longs; the numerator
+    sum-of-squared-diffs and the cleared-mean denominator identity
+    n * sum(x - mean)^2 = n*Q - T^2 are ALL exact integers on
+    decimal(38,0): dw = n * D / (n*Q - T^2) is one double division.
+    SQL replays bit-for-bit.
+
+    Scale design: the series is already on the bucketed (group,
+    index) grain; one self-EQUI-join on the shifted index (the
+    autocorrelation device — never a range join, never a per-group
+    window), two map-combinable aggregates, one broadcast join of the
+    O(groups)-row moment table.
+    """
+    mult = float(10 ** int(scale))
+    v = F.round(F.col(value_col).cast("double") * F.lit(mult)).cast("long")
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(index_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(index_col).cast("long").alias("_i"),
+        v.alias("_v"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_v").cast("decimal(38,0)").alias("_t"),
+        F.sum(
+            dec(F.col("_v").cast("decimal(19,0)"))
+            * F.col("_v").cast("decimal(19,0)")
+        ).alias("_q"),
+    )
+    nxt = base.select(
+        "_g", (F.col("_i") - 1).alias("_i"), F.col("_v").alias("_vn")
+    )
+    diffs = base.join(nxt, ["_g", "_i"])
+    dd = (F.col("_vn") - F.col("_v")).alias("_d")
+    num = diffs.select("_g", dd).groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_d").cast("decimal(19,0)"))
+                * F.col("_d").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_dsum"),
+    )
+    out = tot.join(num, "_g", "left")
+    den = F.col("_n") * F.col("_q") - F.col("_t") * F.col("_t")
+    dw = F.round(
+        F.col("_n").cast("double")
+        * F.col("_dsum").cast("double")
+        / F.nullif(den.cast("double"), F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.when(F.col("_k").isNotNull(), dw).alias("dw"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    *,
+    slope_round: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend slope per series — the MEDIAN of all
+    pairwise slopes (v_j - v_i)/(j - i) over a bucketed metric. The
+    robust alternative to the OLS fit inside :func:`trend_break`: up
+    to ~29% of the buckets can be wild (an outage day, a backfill
+    spike) without moving the estimate, which makes it the right
+    "is this feed drifting, ignore the incidents" number. One row per
+    group ``(group, n_buckets, n_pairs, slope)`` in value-units per
+    index-unit; slope NULL for series with < 2 buckets.
+
+    Exactness: each pairwise slope is ONE double division frozen to
+    10^-``slope_round`` resolution; the median over the frozen-slope
+    grain is the exact interpolated percentile
+    (stats.exact_percentiles — bit-identical to DuckDB
+    ``quantile_cont``). SQL replays bit-for-bit.
+
+    Scale design: the O(B^2) pair join runs on the COLLAPSED bucketed
+    grain, not the raw events — B is bounded (hours in the window:
+    B=720 for a 30-day hourly panel is 259k pairs per series, trivial)
+    and the join is equi-keyed per group so pairs never cross groups.
+    The median rides the percentile range exchange. Do NOT call this
+    on an uncollapsed per-event index.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(index_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(index_col).cast("long").alias("_i"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    b = base.select(
+        "_g", F.col("_i").alias("_j"), F.col("_v").alias("_w")
+    )
+    pairs = base.join(b, "_g").where(F.col("_j") > F.col("_i"))
+    slopes = pairs.select(
+        "_g",
+        F.round(
+            (F.col("_w") - F.col("_v"))
+            / (F.col("_j") - F.col("_i")).cast("double"),
+            int(slope_round),
+        ).alias("_s"),
+    )
+    from kafka_streams_plumber_spark.operators.stats import (
+        exact_percentiles,
+    )
+
+    med = exact_percentiles(slopes, "_g", "_s", {"_med": 0.5})
+    counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_nb"))
+    out = counts.join(med, "_g", "left")
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_nb").cast("long").alias("n_buckets"),
+        (
+            F.col("_nb") * (F.col("_nb") - 1) / 2
+        ).cast("long").alias("n_pairs"),
+        F.round(F.col("_med"), int(slope_round)).alias("slope"),
+    )

@@ -1951,3 +1951,185 @@ def isotonic_calibration(
             F.round(F.col("_iso"), 6).alias("calibrated"),
         )
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    *,
+    round_scores: int | None = None,
+    term_scale: int = 10**9,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    form) — the ranking-quality number that matters when positives
+    are RARE: ROC-AUC stays rosy at 1:10000 imbalance because true
+    negatives dominate both axes, while AP only credits the ranker
+    for positives pushed to the top. sklearn's
+    ``average_precision_score`` step integral AP = sum_n (R_n -
+    R_{n-1}) * P_n over thresholds at each distinct score
+    (descending). One row ``(n, n_pos, ap)``; AP NULL when there are
+    no positives.
+
+    Exactness: collapse to the distinct-score grain (tp_v, t_v per
+    score); one prefix pass ordered by score DESCENDING gives
+    inclusive cumTP_v and cum_v — exact integers; each threshold's
+    contribution tp_v * cumTP_v / cum_v is ONE fixed-shape double
+    frozen to a 1/``term_scale`` scaled integer, so the sum over
+    thresholds is an exact integer sum (no order-dependent double
+    accumulation), divided once by n_pos * term_scale. SQL replays
+    bit-for-bit.
+
+    Scale design: one map-combinable collapse, one range-exchange
+    prefix pass (ordering.running_total over the negated score), one
+    1-row fold. ``round_scores`` quantizes scores first to bound the
+    grain (the mann_whitney contract).
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    s = F.col(score_col).cast("double")
+    if round_scores is not None:
+        s = F.round(s, int(round_scores))
+    y = label_col if isinstance(label_col, Column) else F.col(label_col)
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        s.alias("_s"), y.cast("boolean").alias("_y")
+    )
+    per = base.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_tp"),
+    )
+    # descending-score prefix: order the SAME range exchange by -s
+    r = running_total(
+        per.withColumn("_ns", -F.col("_s")),
+        ["_ns"],
+        ["_t", "_tp"],
+        out_col=["_cum", "_ctp"],
+    )
+    term = F.round(
+        F.col("_tp").cast("double")
+        * F.col("_ctp").cast("double")
+        / F.col("_cum").cast("double")
+        * F.lit(float(term_scale))
+    ).cast("decimal(38,0)")
+    agg = r.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("_n"),
+        F.coalesce(F.sum("_tp"), F.lit(0)).cast("long").alias("_p"),
+        F.coalesce(
+            F.sum(term), F.lit(0).cast("decimal(38,0)")
+        ).alias("_sum"),
+    )
+    ap = F.when(
+        F.col("_p") > 0,
+        F.round(
+            F.col("_sum").cast("double")
+            / F.lit(float(term_scale))
+            / F.col("_p").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.col("_p").alias("n_pos"),
+        ap.alias("ap"),
+    )
+
+
+def mcc_multiclass(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient, multiclass (Gorodkin's R_K) —
+    the single-number classifier score that is immune to class
+    imbalance: accuracy and micro-F1 reward predicting the majority
+    class, R_K is ~0 for any constant predictor and 1 only for a
+    perfect one. The number to gate a label-model promotion on when
+    the label mix is skewed (which training-data label mixes always
+    are). One row ``(n, k_classes, accuracy, mcc)`` over the
+    (label, pred) pairs; mcc NULL when either side is constant
+    (zero variance — e.g. a single-class eval slice).
+
+    Exactness: R_K = (c*s - sum_k t_k*p_k) / sqrt((s^2 - sum p_k^2) *
+    (s^2 - sum t_k^2)) with c = trace, s = n, t/p the true/predicted
+    marginals — ALL exact integers on decimal(38,0) from one collapse
+    to the confusion grain; one final double sqrt. SQL replays
+    bit-for-bit.
+
+    Scale design: one map-combinable collapse to the k x k confusion
+    grain, two k-row marginal folds joined on class (full outer,
+    zero-filled), one 1-row fold. No windows, no Python.
+    """
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("string").alias("_l"),
+        F.col(pred_col).cast("string").alias("_p"),
+    )
+    cells = base.groupBy("_l", "_p").agg(F.count(F.lit(1)).alias("_c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tmarg = cells.groupBy("_l").agg(F.sum("_c").alias("_t")).select(
+        F.col("_l").alias("_k"), "_t"
+    )
+    pmarg = cells.groupBy("_p").agg(F.sum("_c").alias("_pc")).select(
+        F.col("_p").alias("_k"), "_pc"
+    )
+    marg = tmarg.join(pmarg, "_k", "full_outer").select(
+        "_k",
+        F.coalesce(F.col("_t"), F.lit(0)).alias("_t"),
+        F.coalesce(F.col("_pc"), F.lit(0)).alias("_pc"),
+    )
+    msum = marg.agg(
+        F.count(F.lit(1)).alias("_kk"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_t").cast("decimal(19,0)"))
+                * F.col("_pc").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_tp"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_t").cast("decimal(19,0)"))
+                * F.col("_t").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_tt"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_pc").cast("decimal(19,0)"))
+                * F.col("_pc").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_pp"),
+    )
+    csum = cells.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("decimal(38,0)").alias("_s"),
+        F.coalesce(
+            F.sum(F.when(F.col("_l") == F.col("_p"), F.col("_c"))),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("_corr"),
+    )
+    j = csum.crossJoin(F.broadcast(msum))
+    s2 = F.col("_s") * F.col("_s")
+    num = F.col("_corr") * F.col("_s") - F.col("_tp")
+    dp = s2 - F.col("_pp")
+    dt = s2 - F.col("_tt")
+    mcc = F.round(
+        num.cast("double")
+        / F.nullif(
+            F.sqrt(dp.cast("double") * dt.cast("double")), F.lit(0.0)
+        ),
+        6,
+    )
+    return j.select(
+        F.col("_s").cast("long").alias("n"),
+        F.col("_kk").cast("long").alias("k_classes"),
+        F.round(
+            F.col("_corr").cast("double")
+            / F.nullif(F.col("_s").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("accuracy"),
+        mcc.alias("mcc"),
+    )

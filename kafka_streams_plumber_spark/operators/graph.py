@@ -834,3 +834,90 @@ def hits_oracle_sql(
         f" FROM h{n} JOIN a{n} ON h{n}.node = a{n}.node"
     )
     return "\n".join(parts)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman's r) of the undirected
+    simple graph — do high-degree nodes link to other high-degree
+    nodes (r > 0, social networks) or to low-degree leaves (r < 0,
+    hub-and-spoke / star topologies)? The one-number structural
+    summary that tells a dedup-cluster or link-graph audit whether
+    the pair graph is a healthy mesh or a few superhubs stitching
+    everything together (the failure mode that makes
+    connected-components collapse into one giant cluster). One row
+    ``(n_nodes, n_edges, r)``; r NULL when all degrees are equal
+    (zero variance — e.g. a perfect cycle) or there are no edges.
+
+    Exactness: r is the Pearson correlation of (deg(u), deg(v)) over
+    the DIRECTED both-orientations edge list, which is exactly the
+    undirected assortativity. Degrees are integers, so every moment
+    (M, S = sum j, Q = sum j^2, X = sum j*k) is an exact integer on
+    decimal(38,0) — by symmetry the two endpoint marginals coincide,
+    leaving r = (M*X - S^2) / (M*Q - S^2): one double division. SQL
+    replays bit-for-bit (networkx
+    ``degree_assortativity_coefficient`` agrees on simple graphs).
+
+    Scale design: dedup to undirected simple edges (one collapse),
+    one degree aggregate, two equi-joins of the degree table onto the
+    edge endpoints (AQE handles the skew; degrees are O(V) rows),
+    one map-combinable moment fold. No windows, no iteration.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("_du"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        both.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("_du").alias("_dv")),
+            "v",
+        )
+        .select("_du", "_dv")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_m"),
+        F.coalesce(
+            F.sum("_du").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_s"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_du").cast("decimal(19,0)"))
+                * F.col("_du").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_q"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_du").cast("decimal(19,0)"))
+                * F.col("_dv").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_x"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("_nn"))
+    out = agg.crossJoin(F.broadcast(nodes))
+    num = F.col("_m") * F.col("_x") - F.col("_s") * F.col("_s")
+    den = F.col("_m") * F.col("_q") - F.col("_s") * F.col("_s")
+    return out.select(
+        F.col("_nn").cast("long").alias("n_nodes"),
+        (F.col("_m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            num.cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("r"),
+    )

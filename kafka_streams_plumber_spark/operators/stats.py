@@ -3208,3 +3208,512 @@ def pacf_oracle_sql(
     )
     parts.append(sel)
     return "\n".join(parts)
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    scale: int = 4,
+) -> DataFrame:
+    """Jarque-Bera normality panel per group — sample skewness, excess
+    kurtosis, and the JB statistic n/6*(S^2 + K^2/4), the
+    moment-based normality screen (chi-square with 2 df under the
+    null; JB >= 5.99 rejects at 95%). The first look at a per-feed
+    metric before reaching for a parametric test: heavy right skew
+    says "log it or go rank-based", kurtosis says "the tails are not
+    Gaussian, don't trust 3-sigma alerts". One row per group
+    ``(group, n, skewness, kurt_excess, jb)``; NULLs when n < 2 or
+    zero variance.
+
+    Exactness: values freeze to scaled longs (10^-``scale``), then a
+    TWO-PASS integer-pivot device keeps every power sum exact: pass 1
+    computes per-group (n, S1) and an integer pivot p =
+    floor(S1/n) (any deterministic integer near the mean works — the
+    pivot only bounds magnitudes, the algebra below is pivot-exact);
+    pass 2 sums d, d^2, d^3, d^4 of d = s - p as exact integers on
+    decimal(38,0) (|d| ~ the data SPREAD, not the raw magnitude, so
+    d^4 sums fit 38 digits where raw fourth moments would not).
+    Central moments about the true mean then come from the standard
+    pivot-shift identities
+      n*m2 = D2 - D1^2/n
+      n*m3 = D3 - 3*D1*D2/n + 2*D1^3/n^2
+      n*m4 = D4 - 4*D1*D3/n + 6*D1^2*D2/n^2 - 3*D1^4/n^3
+    evaluated as ONE fixed-shape double expression each — the same
+    IEEE bits in any engine, replayed verbatim in SQL.
+
+    Scale design: two map-combinable aggregates over the raw data and
+    one k-row broadcast join of the pivot table — no window, no
+    shuffle beyond the two group exchanges, no Python.
+    """
+    mult = float(10 ** int(scale))
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.round(v * F.lit(mult)).cast("long").alias("_s"),
+    )
+    piv = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_s").alias("_s1"),
+    ).select(
+        "_g",
+        "_n",
+        F.floor(
+            F.col("_s1").cast("double") / F.col("_n").cast("double")
+        ).cast("long").alias("_p"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = F.col("_s") - F.col("_p")
+    d2 = (d * d).alias("_dd")  # |d| <= spread*10^scale, d^2 fits long
+    dev = base.join(F.broadcast(piv), "_g").select(
+        "_g", "_n", d.alias("_d"), d2
+    )
+    mom = dev.groupBy("_g", "_n").agg(
+        F.sum("_d").cast("decimal(38,0)").alias("_d1"),
+        F.coalesce(
+            F.sum("_dd").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_d2"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_dd").cast("decimal(19,0)"))
+                * F.col("_d").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_d3"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_dd").cast("decimal(19,0)"))
+                * F.col("_dd").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_d4"),
+    )
+    nd = F.col("_n").cast("double")
+    d1 = F.col("_d1").cast("double")
+    d2_ = F.col("_d2").cast("double")
+    d3_ = F.col("_d3").cast("double")
+    d4_ = F.col("_d4").cast("double")
+    m2n = d2_ - d1 * d1 / nd
+    m3n = d3_ - F.lit(3.0) * d1 * d2_ / nd + F.lit(2.0) * d1 * d1 * d1 / (nd * nd)
+    m4n = (
+        d4_
+        - F.lit(4.0) * d1 * d3_ / nd
+        + F.lit(6.0) * d1 * d1 * d2_ / (nd * nd)
+        - F.lit(3.0) * d1 * d1 * d1 * d1 / (nd * nd * nd)
+    )
+    ok = (F.col("_n") >= 2) & (m2n > F.lit(0.0))
+    skew = F.sqrt(nd) * m3n / F.nullif(
+        F.sqrt(m2n * m2n * m2n), F.lit(0.0)
+    )
+    kurt = nd * m4n / F.nullif(m2n * m2n, F.lit(0.0)) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (
+        skew * skew + kurt * kurt / F.lit(4.0)
+    )
+    return mom.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.when(ok, F.round(skew, 6)).alias("skewness"),
+        F.when(ok, F.round(kurt, 6)).alias("kurt_excess"),
+        F.when(ok, F.round(jb, 6)).alias("jb"),
+    )
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    round_values: int | None = None,
+) -> DataFrame:
+    """Two-sample Cramer-von Mises test — the WHOLE-BODY companion to
+    :func:`ks_test` (max gap) and :func:`ad_test` (tail-weighted):
+    CvM integrates the SQUARED ECDF gap uniformly, T = nm/N^2 *
+    sum_over_pooled_points (F_n(x) - G_m(x))^2, so many small
+    distribution shifts that never produce one large KS gap still
+    accumulate. One row ``(n_a, n_b, t)``; on tie-free data T is
+    exactly scipy's ``cramervonmises_2samp`` statistic, with ties the
+    step-ECDF evaluation at each distinct pooled value (weighted by
+    its multiplicity) is the natural extension. T is NULL when either
+    sample is empty.
+
+    Exactness: collapse to the distinct-value grain with per-value
+    counts (a_v, b_v, t_v = a_v + b_v); one FUSED prefix pass
+    (ordering.running_total with a value list — one range exchange)
+    gives cumulative cumA_v, cumB_v; then m*cumA - n*cumB is an exact
+    integer per grain row and W = sum t_v * (m*cumA_v - n*cumB_v)^2
+    is exact on decimal(38,0), with T = W / (n*m*N^2) one final
+    double division. SQL replays bit-for-bit.
+
+    Scale design: one map-combinable collapse, one fused range
+    exchange, one 1-row total broadcast — the ks_test plan shape.
+    ``round_values`` quantizes first to bound the grain.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    g = F.col(group_col)
+    base = df.where(
+        g.isNotNull() & v.isNotNull() & g.isin([group_a, group_b])
+    ).select(v.alias("_v"), (g == F.lit(group_a)).alias("_isa"))
+    per = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("_a"),
+        F.sum(F.when(F.col("_isa"), 0).otherwise(1)).alias("_b"),
+    )
+    r = running_total(
+        per, ["_v"], ["_a", "_b"], out_col=["_ca", "_cb"]
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = per.agg(
+        F.coalesce(F.sum("_a"), F.lit(0)).cast("long").alias("_na"),
+        F.coalesce(F.sum("_b"), F.lit(0)).cast("long").alias("_nb"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    gap = (
+        F.col("_nb").cast("decimal(19,0)") * F.col("_ca").cast("decimal(19,0)")
+        - F.col("_na").cast("decimal(19,0)") * F.col("_cb").cast("decimal(19,0)")
+    ).cast("decimal(19,0)")
+    w = j.agg(
+        F.coalesce(
+            F.sum(dec((F.col("_a") + F.col("_b")).cast("decimal(19,0)") * gap) * gap),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_w"),
+        F.min("_na").alias("_na"),
+        F.min("_nb").alias("_nb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    nn = na + nb
+    t = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.round(
+            F.col("_w").cast("double") / (na * nb * nn * nn), 6
+        ),
+    )
+    return w.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        t.alias("t"),
+    )
+
+
+def mood_median(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mood's median test — do the k slices share a common median?
+    The coarsest, most outlier-proof k-sample location test: count
+    each group's observations above vs below the GRAND median and
+    chi-square the resulting 2 x k table. Weaker than
+    :func:`kruskal_wallis` when distributions share a shape, but
+    immune to tail weirdness entirely — the right screen when feeds
+    mix wildly different distributions and only the central tendency
+    is comparable. One row ``(n_used, k_groups, df, grand_median,
+    chi2)``; values EQUAL to the grand median are dropped (scipy
+    ``median_test(ties='ignore')``), ``n_used`` counts what remains.
+    chi2 is NULL when k < 2 or either margin is empty.
+
+    Exactness: the grand median is the exact interpolated percentile
+    (:func:`exact_percentiles` — bit-identical to DuckDB
+    ``quantile_cont``); above/below counts are exact integers; each
+    group's (O-E)^2/E contribution is frozen to a 1e-6 scaled integer
+    via one fixed-shape round() (the :func:`kruskal_wallis` device) so
+    the k-row sum is an exact integer sum, divided back once. SQL
+    replays bit-for-bit.
+
+    Scale design: one percentile pass (range exchange), one broadcast
+    of the 1-row median, one map-combinable group aggregate, one
+    k-row fold. No windows, no Python.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"), F.lit(1).alias("_one"))
+    med = exact_percentiles(base, "_one", "_v", {"_med": 0.5}).select("_med")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        base.crossJoin(F.broadcast(med))
+        .where(F.col("_v") != F.col("_med"))
+        .groupBy("_g")
+        .agg(
+            F.sum(F.when(F.col("_v") > F.col("_med"), 1).otherwise(0))
+            .alias("_ab"),
+            F.sum(F.when(F.col("_v") < F.col("_med"), 1).otherwise(0))
+            .alias("_be"),
+            F.min("_med").alias("_gm"),
+        )
+    )
+    tot = per_g.agg(
+        F.coalesce(F.sum("_ab"), F.lit(0)).cast("long").alias("_ta"),
+        F.coalesce(F.sum("_be"), F.lit(0)).cast("long").alias("_tb"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    nn = (F.col("_ta") + F.col("_tb")).cast("double")
+    ng = (F.col("_ab") + F.col("_be")).cast("double")
+    ea = ng * F.col("_ta").cast("double") / nn
+    eb = ng * F.col("_tb").cast("double") / nn
+    oa = F.col("_ab").cast("double")
+    ob = F.col("_be").cast("double")
+    term = F.round(
+        (
+            (oa - ea) * (oa - ea) / F.nullif(ea, F.lit(0.0))
+            + (ob - eb) * (ob - eb) / F.nullif(eb, F.lit(0.0))
+        )
+        * F.lit(1000000.0)
+    ).cast("decimal(38,0)")
+    agg = j.groupBy().agg(
+        F.min(F.col("_ta") + F.col("_tb")).alias("_n"),
+        F.min("_k").alias("_kk"),
+        F.min("_gm").alias("_med"),
+        F.sum(term).alias("_chi"),
+    )
+    ok = (F.col("_kk") >= 2) & (F.col("_chi").isNotNull())
+    return agg.select(
+        F.col("_n").cast("long").alias("n_used"),
+        F.col("_kk").cast("long").alias("k_groups"),
+        (F.col("_kk") - 1).cast("long").alias("df"),
+        F.round(F.col("_med"), 6).alias("grand_median"),
+        F.when(
+            ok,
+            F.round(F.col("_chi").cast("double") / F.lit(1000000.0), 6),
+        ).alias("chi2"),
+    )
+
+
+def friedman(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    *,
+    n_treatments: int,
+) -> DataFrame:
+    """Friedman test — the within-block k-treatment rank test: across
+    n independent blocks (users, days, annotator panels), do the k
+    treatments rank consistently differently? The repeated-measures
+    sibling of :func:`kruskal_wallis` (which assumes independent
+    samples) and the numeric-value sibling of the binary Cochran's Q —
+    e.g. "across users, do the five event types consistently order by
+    spend?". One row ``(n_blocks, k, df, q)``: the tie-corrected
+    statistic, chi-square with k-1 df under the null. Only COMPLETE
+    blocks (all ``n_treatments`` present after collapsing duplicate
+    (block, treatment) cells by MIN value) enter; q is NULL when no
+    complete blocks or every block is all-ties.
+
+    Exactness: within-block midranks via the doubled-midrank device
+    (d = 2*cum - t + 1, an exact integer from within-block cumulative
+    counts); with doubled rank sums D_j per treatment the
+    tie-corrected statistic collapses to the all-integer identity
+      Q = (k-1) * sum_j (D_j - n*(k+1))^2 / (sum t*d^2 - n*k*(k+1)^2)
+    (multiply the classical Q through by 4: numerator deviations and
+    the tie term are exact integers on decimal(38,0)), one final
+    double division. SQL replays bit-for-bit.
+
+    Scale design: within-block cumulative counts ride ONE global
+    range exchange over (block, value) with per-block offsets
+    subtracted (the kendall_w device) — no per-block window, safe for
+    millions of tiny blocks; then two map-combinable aggregates (per
+    treatment, per total). Blocks are bounded at k rows each by
+    construction.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+    from kafka_streams_plumber_spark.plans.scale import truncate_lineage
+
+    k = int(n_treatments)
+    cells = (
+        df.where(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("_b"),
+            F.col(treatment_col).alias("_t"),
+        )
+        .agg(F.min(F.col(value_col)).alias("_v"))
+    )
+    complete = (
+        cells.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") == k)
+        .select("_b")
+    )
+    panel = truncate_lineage(cells.join(complete, "_b"))
+    # within-block doubled midranks from ONE global prefix pass
+    per_bv = panel.groupBy("_b", "_v").agg(
+        F.count(F.lit(1)).alias("_tv")
+    )
+    g = running_total(per_bv, ["_b", "_v"], "_tv", out_col="_cum")
+    btot = per_bv.groupBy("_b").agg(F.sum("_tv").alias("_nb"))
+    boff = running_total(btot, ["_b"], "_nb", out_col="_cb")
+    ranked = g.join(
+        boff.select("_b", (F.col("_cb") - F.col("_nb")).alias("_off")),
+        "_b",
+    ).select(
+        "_b",
+        "_v",
+        "_tv",
+        (
+            F.lit(2) * (F.col("_cum") - F.col("_off"))
+            - F.col("_tv")
+            + F.lit(1)
+        ).alias("_d"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    with_d = panel.join(ranked, ["_b", "_v"])
+    per_t = with_d.groupBy("_t").agg(
+        F.sum("_d").cast("decimal(38,0)").alias("_dj"),
+        F.count(F.lit(1)).alias("_nj"),
+    )
+    tie = ranked.agg(
+        F.coalesce(
+            F.sum(
+                dec(F.col("_tv").cast("decimal(19,0)") * F.col("_d").cast("decimal(19,0)"))
+                * F.col("_d").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_a2"),
+    )
+    nblocks = complete.agg(F.count(F.lit(1)).alias("_n"))
+    j = per_t.crossJoin(F.broadcast(nblocks))
+    devterm = (
+        F.col("_dj") - F.col("_n").cast("decimal(38,0)") * F.lit(k + 1)
+    )
+    num = j.agg(
+        F.coalesce(
+            F.sum(dec(devterm.cast("decimal(19,0)")) * devterm.cast("decimal(19,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_num"),
+        F.min("_n").alias("_n"),
+    )
+    out = num.crossJoin(F.broadcast(tie))
+    den = (
+        F.col("_a2")
+        - F.col("_n").cast("decimal(38,0)") * F.lit(k) * F.lit((k + 1) * (k + 1))
+    )
+    q = F.when(
+        (F.col("_n") > 0),
+        F.round(
+            F.lit(float(k - 1))
+            * F.col("_num").cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ),
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(k - 1).cast("long").alias("df"),
+        q.alias("q"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Welch's two-sample t-test — the unequal-variance mean
+    comparison that should be the DEFAULT two-sample t (pooling
+    variances is only safe when spreads match, which
+    :func:`brown_forsythe` exists to check). The parametric
+    counterpart of :func:`mann_whitney`: use Welch when the metric is
+    roughly symmetric and you want the mean difference itself with
+    its standard error, not just a shift verdict. One row ``(n_a,
+    n_b, mean_a, mean_b, mean_diff, t, df)`` with the
+    Welch-Satterthwaite fractional df; t/df NULL when either n < 2 or
+    both variances are zero.
+
+    Exactness: values freeze to scaled longs, so each group's (n, S,
+    Q) are exact integers on decimal(38,0) in ONE map-combinable
+    aggregate; means, variances (n*Q - S^2)/(n*(n-1)), and the
+    t / df expressions are fixed-shape doubles from those integers —
+    replayed bit-for-bit in SQL.
+
+    Scale design: one aggregate to two rows, one 2-row fold. Nothing
+    else.
+    """
+    mult = float(10 ** int(scale))
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(
+        g.isNotNull() & v.isNotNull() & g.isin([group_a, group_b])
+    ).select(
+        (g == F.lit(group_a)).alias("_isa"),
+        F.round(v * F.lit(mult)).cast("long").alias("_s"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = base.groupBy("_isa").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.coalesce(
+            F.sum("_s").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_sg"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_s").cast("decimal(19,0)"))
+                * F.col("_s").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_qg"),
+    )
+    fold = per.agg(
+        F.coalesce(
+            F.min(F.when(F.col("_isa"), F.col("_n"))), F.lit(0).cast("decimal(38,0)")
+        ).alias("_na"),
+        F.min(F.when(F.col("_isa"), F.col("_sg"))).alias("_sa"),
+        F.min(F.when(F.col("_isa"), F.col("_qg"))).alias("_qa"),
+        F.coalesce(
+            F.min(F.when(~F.col("_isa"), F.col("_n"))), F.lit(0).cast("decimal(38,0)")
+        ).alias("_nb"),
+        F.min(F.when(~F.col("_isa"), F.col("_sg"))).alias("_sb"),
+        F.min(F.when(~F.col("_isa"), F.col("_qg"))).alias("_qb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    ma = F.col("_sa").cast("double") / na / F.lit(mult)
+    mb = F.col("_sb").cast("double") / nb / F.lit(mult)
+    va = (
+        (na * F.col("_qa").cast("double") - F.col("_sa").cast("double") * F.col("_sa").cast("double"))
+        / (na * (na - F.lit(1.0)))
+        / F.lit(mult * mult)
+    )
+    vb = (
+        (nb * F.col("_qb").cast("double") - F.col("_sb").cast("double") * F.col("_sb").cast("double"))
+        / (nb * (nb - F.lit(1.0)))
+        / F.lit(mult * mult)
+    )
+    se2 = va / na + vb / nb
+    ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2)
+    t = (ma - mb) / F.sqrt(F.nullif(se2, F.lit(0.0)))
+    dfw = se2 * se2 / F.nullif(
+        va * va / (na * na * (na - F.lit(1.0)))
+        + vb * vb / (nb * nb * (nb - F.lit(1.0))),
+        F.lit(0.0),
+    )
+    return fold.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.when(ok, F.round(t, 6)).alias("t"),
+        F.when(ok, F.round(dfw, 6)).alias("df"),
+    )
