@@ -13942,6 +13942,697 @@ def q_isotonic(spark, sf_dir):
     return isotonic_calibration(d, "p", "y", round_scores=6)
 
 
+@query(
+    "q_jarque_bera",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 10000.0) AS BIGINT) AS s
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    piv AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(CAST(sum(s) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS p
+      FROM base GROUP BY g
+    ),
+    dev AS (
+      SELECT b.g, n, b.s - p AS d, (b.s - p) * (b.s - p) AS dd
+      FROM base b JOIN piv USING (g)
+    ),
+    mom AS (
+      SELECT g, n,
+             CAST(sum(d) AS HUGEINT) AS d1,
+             CAST(coalesce(sum(CAST(dd AS HUGEINT)), 0) AS HUGEINT) AS d2,
+             CAST(coalesce(sum(CAST(dd AS HUGEINT) * d), 0)
+                  AS HUGEINT) AS d3,
+             CAST(coalesce(sum(CAST(dd AS HUGEINT) * dd), 0)
+                  AS HUGEINT) AS d4
+      FROM dev GROUP BY g, n
+    ),
+    dbl AS (
+      SELECT g, n, CAST(n AS DOUBLE) AS nd,
+             CAST(d1 AS DOUBLE) AS f1, CAST(d2 AS DOUBLE) AS f2,
+             CAST(d3 AS DOUBLE) AS f3, CAST(d4 AS DOUBLE) AS f4
+      FROM mom
+    ),
+    cm AS (
+      SELECT g, n, nd,
+             f2 - f1 * f1 / nd AS m2n,
+             f3 - 3.0 * f1 * f2 / nd
+                + 2.0 * f1 * f1 * f1 / (nd * nd) AS m3n,
+             f4 - 4.0 * f1 * f3 / nd
+                + 6.0 * f1 * f1 * f2 / (nd * nd)
+                - 3.0 * f1 * f1 * f1 * f1 / (nd * nd * nd) AS m4n
+      FROM dbl
+    ),
+    sk AS (
+      SELECT g, n, nd, m2n,
+             sqrt(nd) * m3n / nullif(sqrt(m2n * m2n * m2n), 0.0) AS skw,
+             nd * m4n / nullif(m2n * m2n, 0.0) - 3.0 AS krt
+      FROM cm
+    )
+    SELECT g AS event_type, n,
+           CASE WHEN n >= 2 AND m2n > 0.0 THEN round(skw, 6) END
+             AS skewness,
+           CASE WHEN n >= 2 AND m2n > 0.0 THEN round(krt, 6) END
+             AS kurt_excess,
+           CASE WHEN n >= 2 AND m2n > 0.0 THEN
+             round(nd / 6.0 * (skw * skw + krt * krt / 4.0), 6) END
+             AS jb
+    FROM sk
+    """,
+)
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality panel (operators/stats.py:jarque_bera)
+    per event type — skewness, excess kurtosis, JB. The two-pass
+    integer-pivot device keeps every power sum exact (deviations from
+    an integer pivot near the mean, so d^4 sums fit decimal(38,0));
+    the pivot-shift identities to true central moments are
+    fixed-shape doubles — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import jarque_bera
+
+    e = load_tables(spark, sf_dir)["events"]
+    return jarque_bera(e, "value", "event_type", scale=4)
+
+
+@query(
+    "q_cvm",
+    """
+    WITH base AS (
+      SELECT round(CAST(value AS DOUBLE), 6) AS v,
+             event_type = 'click' AS isa
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    per AS (
+      SELECT v,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM base GROUP BY v
+    ),
+    r AS (
+      SELECT v, a, b,
+             CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS na,
+             CAST(coalesce(sum(b), 0) AS BIGINT) AS nb
+      FROM per
+    ),
+    w AS (
+      SELECT CAST(coalesce(sum(
+               CAST(a + b AS HUGEINT)
+               * (CAST(nb AS HUGEINT) * ca - CAST(na AS HUGEINT) * cb)
+               * (CAST(nb AS HUGEINT) * ca - CAST(na AS HUGEINT) * cb)
+             ), 0) AS HUGEINT) AS w,
+             min(na) AS na, min(nb) AS nb
+      FROM r CROSS JOIN tot
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             round(CAST(w AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                      * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                      * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6)
+           END AS t
+    FROM w
+    """,
+)
+def q_cvm(spark, sf_dir):
+    """Two-sample Cramer-von Mises (operators/stats.py:
+    cramer_von_mises): click vs purchase value distributions compared
+    over the WHOLE CDF body — the uniform-weight companion to q_ks
+    (max gap) and q_ad (tail weight). Distinct-value grain, one fused
+    prefix pass for both cumulative counts, the integer gap device
+    m*cumA - n*cumB, one final division — replayed bit-for-bit in
+    SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        cramer_von_mises,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return cramer_von_mises(
+        e, "value", "event_type", "click", "purchase", round_values=6
+    )
+
+
+@query(
+    "q_mood_median",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS g, CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer
+      WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+    ),
+    med AS (SELECT quantile_cont(v, 0.5) AS m FROM base),
+    pg AS (
+      SELECT g,
+             CAST(sum(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT)
+               AS ab,
+             CAST(sum(CASE WHEN v < m THEN 1 ELSE 0 END) AS BIGINT)
+               AS be,
+             min(m) AS gm
+      FROM base CROSS JOIN med WHERE v <> m GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(coalesce(sum(ab), 0) AS BIGINT) AS ta,
+             CAST(coalesce(sum(be), 0) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS k
+      FROM pg
+    ),
+    terms AS (
+      SELECT CAST(round((
+               (CAST(ab AS DOUBLE)
+                - CAST(ab + be AS DOUBLE) * CAST(ta AS DOUBLE)
+                  / CAST(ta + tb AS DOUBLE))
+               * (CAST(ab AS DOUBLE)
+                  - CAST(ab + be AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / CAST(ta + tb AS DOUBLE))
+               / nullif(CAST(ab + be AS DOUBLE) * CAST(ta AS DOUBLE)
+                        / CAST(ta + tb AS DOUBLE), 0.0)
+               + (CAST(be AS DOUBLE)
+                  - CAST(ab + be AS DOUBLE) * CAST(tb AS DOUBLE)
+                    / CAST(ta + tb AS DOUBLE))
+                 * (CAST(be AS DOUBLE)
+                    - CAST(ab + be AS DOUBLE) * CAST(tb AS DOUBLE)
+                      / CAST(ta + tb AS DOUBLE))
+                 / nullif(CAST(ab + be AS DOUBLE) * CAST(tb AS DOUBLE)
+                          / CAST(ta + tb AS DOUBLE), 0.0)
+             ) * 1000000.0) AS HUGEINT) AS term,
+             ta, tb, k, gm
+      FROM pg CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT min(ta + tb) AS n, min(k) AS kk, min(gm) AS med,
+             sum(term) AS chi
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_used, kk AS k_groups,
+           kk - 1 AS df, round(med, 6) AS grand_median,
+           CASE WHEN kk >= 2 AND chi IS NOT NULL THEN
+             round(CAST(chi AS DOUBLE) / 1000000.0, 6)
+           END AS chi2
+    FROM agg
+    """,
+)
+def q_mood_median(spark, sf_dir):
+    """Mood's median test (operators/stats.py:mood_median): do the
+    five market segments share a common account-balance median? The
+    outlier-proof k-sample screen — exact interpolated grand median,
+    integer above/below counts, per-group chi-square contributions
+    frozen to scaled integers — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import mood_median
+
+    c = load_tables(spark, sf_dir)["customer"]
+    return mood_median(c, "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "q_friedman",
+    """
+    WITH cells AS (
+      SELECT user_id AS b, event_type AS t,
+             CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT b FROM cells GROUP BY b HAVING count(*) = 5
+    ),
+    panel AS (SELECT c.* FROM cells c JOIN complete USING (b)),
+    pbv AS (
+      SELECT b, v, CAST(count(*) AS BIGINT) AS tv
+      FROM panel GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT b, v, tv,
+             2 * CAST(sum(tv) OVER (PARTITION BY b ORDER BY v)
+                      AS BIGINT) - tv + 1 AS d
+      FROM pbv
+    ),
+    pt AS (
+      SELECT t, CAST(sum(d) AS HUGEINT) AS dj
+      FROM panel JOIN ranked USING (b, v) GROUP BY t
+    ),
+    tie AS (
+      SELECT CAST(coalesce(sum(CAST(tv AS HUGEINT) * d * d), 0)
+                  AS HUGEINT) AS a2
+      FROM ranked
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM complete),
+    num AS (
+      SELECT CAST(coalesce(sum(
+               CAST(dj - CAST(n AS HUGEINT) * 6 AS HUGEINT)
+               * (dj - CAST(n AS HUGEINT) * 6)
+             ), 0) AS HUGEINT) AS num,
+             min(n) AS n
+      FROM pt CROSS JOIN nb
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(5 AS BIGINT) AS k, CAST(4 AS BIGINT) AS df,
+           CASE WHEN n > 0 THEN
+             round(4.0 * CAST(num AS DOUBLE)
+                   / nullif(CAST(a2 - CAST(n AS HUGEINT) * 180
+                                 AS DOUBLE), 0.0), 6)
+           END AS q
+    FROM num CROSS JOIN tie
+    """,
+)
+def q_friedman(spark, sf_dir):
+    """Friedman test (operators/stats.py:friedman): across users
+    (blocks), do the five event types consistently rank differently
+    by total spend? The within-block repeated-measures sibling of
+    q_kruskal. Cell values are exact scaled-long sums; within-block
+    doubled midranks ride ONE global range exchange with per-block
+    offsets (no per-block window); the tie-corrected statistic is
+    all-integer to one final division — replayed bit-for-bit in
+    SQL."""
+    from kafka_streams_plumber_spark.operators.stats import friedman
+
+    e = load_tables(spark, sf_dir)["events"]
+    cells = (
+        e.where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(
+                F.round(F.col("value").cast("double") * F.lit(1000000.0))
+                .cast("long")
+            ).alias("spend")
+        )
+    )
+    return friedman(
+        cells, "user_id", "event_type", "spend", n_treatments=5
+    )
+
+
+@query(
+    "q_welch",
+    """
+    WITH base AS (
+      SELECT l_returnflag = 'R' AS isa,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                  AS BIGINT) AS s
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL
+    ),
+    per AS (
+      SELECT isa, CAST(count(*) AS HUGEINT) AS n,
+             CAST(coalesce(sum(s), 0) AS HUGEINT) AS sg,
+             CAST(coalesce(sum(CAST(s AS HUGEINT) * s), 0)
+                  AS HUGEINT) AS qg
+      FROM base GROUP BY isa
+    ),
+    fold AS (
+      SELECT
+        coalesce(min(CASE WHEN isa THEN n END), 0) AS na,
+        min(CASE WHEN isa THEN sg END) AS sa,
+        min(CASE WHEN isa THEN qg END) AS qa,
+        coalesce(min(CASE WHEN NOT isa THEN n END), 0) AS nb,
+        min(CASE WHEN NOT isa THEN sg END) AS sb,
+        min(CASE WHEN NOT isa THEN qg END) AS qb
+      FROM per
+    ),
+    d AS (
+      SELECT CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+             CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd,
+             na, nb
+      FROM fold
+    ),
+    v AS (
+      SELECT na, nb, nad, nbd,
+             sad / nad / 100.0 AS ma, sbd / nbd / 100.0 AS mb,
+             (nad * qad - sad * sad) / (nad * (nad - 1.0))
+               / 10000.0 AS va,
+             (nbd * qbd - sbd * sbd) / (nbd * (nbd - 1.0))
+               / 10000.0 AS vb
+      FROM d
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(ma - mb, 6) AS mean_diff,
+           CASE WHEN na >= 2 AND nb >= 2 THEN
+             round((ma - mb)
+                   / sqrt(nullif(va / nad + vb / nbd, 0.0)), 6)
+           END AS t,
+           CASE WHEN na >= 2 AND nb >= 2 THEN
+             round((va / nad + vb / nbd) * (va / nad + vb / nbd)
+                   / nullif(va * va / (nad * nad * (nad - 1.0))
+                            + vb * vb / (nbd * nbd * (nbd - 1.0)),
+                            0.0), 6)
+           END AS df
+    FROM v
+    """,
+)
+def q_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test (operators/stats.py:welch_t):
+    returned vs accepted lineitems' mean price, with the
+    Welch-Satterthwaite df. Prices freeze to exact cent-scaled longs;
+    one map-combinable aggregate to two rows, one fold, fixed-shape
+    double tail — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import welch_t
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return welch_t(
+        li, "l_extendedprice", "l_returnflag", "R", "A", scale=2
+    )
+
+
+_DW_BINNED_SQL = """
+      SELECT event_type, CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT)
+               AS b,
+             CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+"""
+
+
+def _dw_binned(spark, sf_dir):
+    """Hourly scaled-long sum panel per event type — the shared
+    bucketed series for q_dw / q_theil_sen (the q_mase binning)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.where(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(3600000))
+            .cast("long")
+            .alias("b"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value").cast("double") * F.lit(1000000.0))
+                .cast("long")
+            ).alias("v")
+        )
+    )
+
+
+@query(
+    "q_dw",
+    f"""
+    WITH binned AS ({_DW_BINNED_SQL}),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS t,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+      FROM binned GROUP BY event_type
+    ),
+    diffs AS (
+      SELECT a.event_type, CAST(count(*) AS BIGINT) AS kk,
+             CAST(coalesce(sum(CAST(b2.v - a.v AS HUGEINT)
+                               * (b2.v - a.v)), 0) AS HUGEINT) AS dsum
+      FROM binned a
+      JOIN binned b2 ON b2.event_type = a.event_type
+                    AND b2.b = a.b + 1
+      GROUP BY a.event_type
+    )
+    SELECT tot.event_type, CAST(n AS BIGINT) AS n_buckets,
+           coalesce(kk, 0) AS n_pairs,
+           CASE WHEN kk IS NOT NULL THEN
+             round(CAST(n AS DOUBLE) * CAST(dsum AS DOUBLE)
+                   / nullif(CAST(n * q - t * t AS DOUBLE), 0.0), 6)
+           END AS dw
+    FROM tot LEFT JOIN diffs USING (event_type)
+    """,
+)
+def q_dw(spark, sf_dir):
+    """Durbin-Watson successive-difference ratio (operators/
+    behavior.py:durbin_watson) per event type's hourly series — is
+    the residual noise autocorrelated (<< 2: drift the mean misses;
+    ~2: clean noise)? The gap-aware shifted-index equi-join (the ACF
+    device) keeps the numerator exact; the cleared-mean denominator
+    n*Q - T^2 is all-integer — one division, replayed bit-for-bit in
+    SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        durbin_watson,
+    )
+
+    return durbin_watson(
+        _dw_binned(spark, sf_dir), "event_type", "b", "v", scale=0
+    )
+
+
+@query(
+    "q_theil_sen",
+    f"""
+    WITH binned0 AS ({_DW_BINNED_SQL}),
+    binned AS (
+      SELECT event_type, b, CAST(v AS DOUBLE) / 1000000.0 AS vd
+      FROM binned0
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             round((b2.vd - a.vd) / CAST(b2.b - a.b AS DOUBLE), 6)
+               AS s
+      FROM binned a
+      JOIN binned b2 ON b2.event_type = a.event_type AND b2.b > a.b
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(s, 0.5) AS m
+      FROM pairs GROUP BY event_type
+    ),
+    counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nb
+      FROM binned GROUP BY event_type
+    )
+    SELECT c.event_type, nb AS n_buckets,
+           CAST(nb * (nb - 1) / 2 AS BIGINT) AS n_pairs,
+           round(m, 6) AS slope
+    FROM counts c LEFT JOIN med USING (event_type)
+    """,
+)
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend slope (operators/behavior.py:
+    theil_sen) per event type's hourly series — the median pairwise
+    slope, immune to outage spikes that would drag an OLS fit. The
+    O(B^2) pair join runs on the COLLAPSED hourly grain (bounded);
+    slopes freeze to 1e-6 resolution; the median is the exact
+    interpolated percentile — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import theil_sen
+
+    panel = _dw_binned(spark, sf_dir).select(
+        "event_type",
+        "b",
+        (F.col("v").cast("double") / F.lit(1000000.0)).alias("vd"),
+    )
+    return theil_sen(panel, "event_type", "b", "vd", slope_round=6)
+
+
+@query(
+    "q_avg_precision",
+    """
+    WITH base AS (
+      SELECT round(CAST(value AS DOUBLE), 6) AS s,
+             (event_type = 'purchase') AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM base GROUP BY s
+    ),
+    r AS (
+      SELECT t, tp,
+             CAST(sum(t) OVER (ORDER BY -s) AS BIGINT) AS cum,
+             CAST(sum(tp) OVER (ORDER BY -s) AS BIGINT) AS ctp
+      FROM per
+    ),
+    agg AS (
+      SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(tp), 0) AS BIGINT) AS p,
+             CAST(coalesce(sum(
+               CAST(round(CAST(tp AS DOUBLE) * CAST(ctp AS DOUBLE)
+                          / CAST(cum AS DOUBLE) * 1000000000.0)
+                    AS HUGEINT)), 0) AS HUGEINT) AS sm
+      FROM r
+    )
+    SELECT n, p AS n_pos,
+           CASE WHEN p > 0 THEN
+             round(CAST(sm AS DOUBLE) / 1000000000.0
+                   / CAST(p AS DOUBLE), 6)
+           END AS ap
+    FROM agg
+    """,
+)
+def q_avg_precision(spark, sf_dir):
+    """Average precision / area under the PR curve (operators/
+    classify.py:average_precision) of the value score ranking
+    purchases — the imbalance-honest companion to q_auc (ROC-AUC
+    stays rosy at 1:10000; AP only credits positives pushed to the
+    top). Distinct-score grain, one descending prefix pass, per-
+    threshold contributions frozen to scaled integers — replayed
+    bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        average_precision,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.round(F.col("value").cast("double"), 6).alias("s"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return average_precision(d, "s", "y")
+
+
+@query(
+    "q_mcc",
+    """
+    WITH base AS (
+      SELECT event_type AS l,
+             CASE ((CAST(floor(value) AS BIGINT) % 5) + 5) % 5
+               WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+               WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+               ELSE 'view' END AS p
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    cells AS (
+      SELECT l, p, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    tmarg AS (SELECT l AS k, CAST(sum(c) AS BIGINT) AS t
+              FROM cells GROUP BY 1),
+    pmarg AS (SELECT p AS k, CAST(sum(c) AS BIGINT) AS pc
+              FROM cells GROUP BY 1),
+    marg AS (
+      SELECT coalesce(tmarg.k, pmarg.k) AS k,
+             coalesce(t, 0) AS t, coalesce(pc, 0) AS pc
+      FROM tmarg FULL OUTER JOIN pmarg USING (k)
+    ),
+    msum AS (
+      SELECT CAST(count(*) AS BIGINT) AS kk,
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * pc), 0)
+                  AS HUGEINT) AS tp,
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * t), 0)
+                  AS HUGEINT) AS tt,
+             CAST(coalesce(sum(CAST(pc AS HUGEINT) * pc), 0)
+                  AS HUGEINT) AS pp
+      FROM marg
+    ),
+    csum AS (
+      SELECT CAST(coalesce(sum(c), 0) AS HUGEINT) AS s,
+             CAST(coalesce(sum(CASE WHEN l = p THEN c END), 0)
+                  AS HUGEINT) AS corr
+      FROM cells
+    )
+    SELECT CAST(s AS BIGINT) AS n, kk AS k_classes,
+           round(CAST(corr AS DOUBLE)
+                 / nullif(CAST(s AS DOUBLE), 0.0), 6) AS accuracy,
+           round(CAST(corr * s - tp AS DOUBLE)
+                 / nullif(sqrt(CAST(s * s - pp AS DOUBLE)
+                               * CAST(s * s - tt AS DOUBLE)), 0.0), 6)
+             AS mcc
+    FROM csum CROSS JOIN msum
+    """,
+)
+def q_mcc(spark, sf_dir):
+    """Multiclass Matthews correlation, Gorodkin's R_K (operators/
+    classify.py:mcc_multiclass) of q_class_report's value-bucket
+    "model" vs the true event type — the imbalance-immune single
+    number (a constant predictor scores ~0 where accuracy still looks
+    fine). All-integer confusion/marginal moments to one final sqrt —
+    replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        mcc_multiclass,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    d = e.where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("label"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in types]),
+            (F.pmod(F.floor("value"), F.lit(5)) + 1).cast("int"),
+        ).alias("pred"),
+    )
+    return mcc_multiclass(d, "label", "pred")
+
+
+@query(
+    "q_assortativity",
+    """
+    WITH raw AS (
+      SELECT o_custkey % 200 AS x,
+             (o_custkey * 7 + o_orderkey) % 200 AS y
+      FROM orders
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE x <> y
+    ),
+    dir2 AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS du FROM dir2 GROUP BY u
+    ),
+    pairs AS (
+      SELECT d1.du AS du, d2.du AS dv
+      FROM dir2 b
+      JOIN deg d1 ON d1.u = b.u
+      JOIN deg d2 ON d2.u = b.v
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(coalesce(sum(du), 0) AS HUGEINT) AS s,
+             CAST(coalesce(sum(CAST(du AS HUGEINT) * du), 0)
+                  AS HUGEINT) AS q,
+             CAST(coalesce(sum(CAST(du AS HUGEINT) * dv), 0)
+                  AS HUGEINT) AS x
+      FROM pairs
+    ),
+    nodes AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg)
+    SELECT nn AS n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
+           round(CAST(m * x - s * s AS DOUBLE)
+                 / nullif(CAST(m * q - s * s AS DOUBLE), 0.0), 6)
+             AS r
+    FROM agg CROSS JOIN nodes
+    """,
+)
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity, Newman's r (operators/graph.py:
+    degree_assortativity) of the q_triangles order-derived graph — do
+    hubs link to hubs (r > 0) or to leaves (r < 0)? The structural
+    health check before trusting dedup connected-components. Exact
+    integer degree moments over the both-orientations edge list, one
+    final division — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"]
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("a_id"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 200).alias(
+            "b_id"
+        ),
+    )
+    return degree_assortativity(edges, "a_id", "b_id")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -14045,6 +14736,17 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_dup_drift",
     "q_quantile_drift",
     "q_bootstrap_ci",
+    # session-4 wave: k-sample/normality/eval/graph kernels
+    "q_jarque_bera",
+    "q_cvm",
+    "q_mood_median",
+    "q_friedman",
+    "q_welch",
+    "q_dw",
+    "q_theil_sen",
+    "q_avg_precision",
+    "q_mcc",
+    "q_assortativity",
 ]
 
 #: Oracled queries excluded from the stalest fill, with the reason

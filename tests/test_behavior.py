@@ -1007,3 +1007,77 @@ def test_logrank_hand_computed(spark):
     ]
     df3 = spark.createDataFrame(same, "g string, t double, e int")
     assert abs(logrank_test(df3, "t", "e", "g", "a", "b").collect()[0]["chi2"]) < 1e-9
+
+
+def test_durbin_watson_hand_computed(spark):
+    """Alternating series [1,3,1,3,1]: mean 1.8, diffs all +-2 ->
+    DW = 4*4 / 4.8 = 3.333333 (oscillation >> 2); monotone ramp
+    [1,2,3,4,5] -> 4/10 = 0.4 (strong positive autocorrelation);
+    constant series -> NULL; a bucket gap drops its pair."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        durbin_watson,
+    )
+
+    rows = [("osc", i, v) for i, v in enumerate([1.0, 3.0, 1.0, 3.0, 1.0])]
+    rows += [("ramp", i, float(i + 1)) for i in range(5)]
+    rows += [("const", i, 2.0) for i in range(4)]
+    rows += [("gap", i, float(i + 1)) for i in (0, 1, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = {r["g"]: r for r in durbin_watson(df, "g", "i", "v").collect()}
+    assert out["osc"]["dw"] == 3.333333
+    assert out["osc"]["n_pairs"] == 4
+    assert out["ramp"]["dw"] == 0.4
+    assert out["const"]["dw"] is None
+    # i=2 missing: pairs (0,1), (3,4) only
+    assert out["gap"]["n_pairs"] == 2
+
+
+def test_theil_sen_hand_computed(spark):
+    """Perfect line v = 2i + 1 -> slope exactly 2; one wild outlier
+    (up 100 at i=2) leaves the median slope close to 2 while the OLS
+    slope would swing; single bucket -> NULL slope."""
+    from kafka_streams_plumber_spark.operators.behavior import theil_sen
+
+    rows = [("line", i, 2.0 * i + 1.0) for i in range(6)]
+    out_vals = [1.0, 3.0, 105.0, 7.0, 9.0, 11.0]
+    rows += [("out", i, v) for i, v in enumerate(out_vals)]
+    rows += [("one", 0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = {r["g"]: r for r in theil_sen(df, "g", "i", "v").collect()}
+    assert out["line"]["slope"] == 2.0
+    assert out["line"]["n_pairs"] == 15
+    assert abs(out["out"]["slope"] - 2.0) < 0.5
+    assert out["one"]["slope"] is None and out["one"]["n_pairs"] == 0
+
+
+def test_theil_sen_matches_pure_python(spark):
+    """Random gapped series vs an independent pure-Python pairwise-
+    median kernel (quantile_cont interpolation)."""
+    import random
+
+    from kafka_streams_plumber_spark.operators.behavior import theil_sen
+
+    random.seed(5)
+    idx = sorted(random.sample(range(40), 17))
+    rows = [("g", i, round(0.7 * i + random.gauss(0, 3), 4)) for i in idx]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    r = theil_sen(df, "g", "i", "v").collect()[0]
+    pts = [(i, v) for _, i, v in rows]
+    slopes = sorted(
+        round((v2 - v1) / (i2 - i1), 6)
+        for a, (i1, v1) in enumerate(pts)
+        for (i2, v2) in pts[a + 1 :]
+    )
+    pos = (len(slopes) - 1) * 0.5
+    lo, hi = slopes[int(pos)], slopes[min(int(pos) + 1, len(slopes) - 1)]
+    med = lo + (hi - lo) * (pos - int(pos))
+    # Spark F.round is HALF_UP; Python round() is banker's — quantize
+    # the reference the way the engine does
+    import decimal
+
+    medq = float(
+        decimal.Decimal(repr(med)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert r["slope"] == medq

@@ -979,3 +979,97 @@ def test_isotonic_calibration_matches_pav_stack(spark):
         assert abs(cal - rcal) < 1e-6, (sc, cal, rcal)
     cals = [c for _, _, c in got2]
     assert all(a <= b + 1e-9 for a, b in zip(cals, cals[1:]))
+
+
+def test_average_precision_hand_computed(spark):
+    """Perfect ranking -> AP = 1; the classic sklearn example
+    y=[0,0,1,1], scores=[0.1,0.4,0.35,0.8] -> AP = 0.833333;
+    no positives -> NULL."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        average_precision,
+    )
+
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.3, False), (0.1, False)],
+        "s double, y boolean",
+    )
+    assert average_precision(perfect, "s", "y").collect()[0]["ap"] == 1.0
+
+    sk = spark.createDataFrame(
+        [(0.1, False), (0.4, False), (0.35, True), (0.8, True)],
+        "s double, y boolean",
+    )
+    r = average_precision(sk, "s", "y").collect()[0]
+    assert (r["n"], r["n_pos"]) == (4, 2)
+    assert r["ap"] == 0.833333
+
+    neg = spark.createDataFrame(
+        [(0.5, False), (0.2, False)], "s double, y boolean"
+    )
+    assert average_precision(neg, "s", "y").collect()[0]["ap"] is None
+
+
+def test_average_precision_tied_scores_threshold_grain(spark):
+    """Ties collapse to one threshold: scores all equal -> one
+    threshold, AP = precision = pos/n (the step integral with a
+    single step)."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [(0.5, True), (0.5, False), (0.5, False), (0.5, True)],
+        "s double, y boolean",
+    )
+    assert average_precision(df, "s", "y").collect()[0]["ap"] == 0.5
+
+
+def test_mcc_multiclass_hand_computed(spark):
+    """Binary case matches the textbook MCC closed form; a constant
+    predictor scores NULL (zero predicted variance) while accuracy
+    still reads 0.75 — the imbalance failure MCC exists to catch."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.classify import (
+        mcc_multiclass,
+    )
+
+    # tp=4 fn=1 fp=2 tn=3
+    rows = (
+        [("p", "p")] * 4 + [("p", "n")] * 1
+        + [("n", "p")] * 2 + [("n", "n")] * 3
+    )
+    df = spark.createDataFrame(rows, "l string, p string")
+    r = mcc_multiclass(df, "l", "p").collect()[0]
+    tp, fn, fp, tn = 4, 1, 2, 3
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert (r["n"], r["k_classes"]) == (10, 2)
+    assert abs(r["mcc"] - mcc) < 1e-6
+
+    const = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "a")], "l string, p string"
+    )
+    rc = mcc_multiclass(const, "l", "p").collect()[0]
+    assert rc["accuracy"] == 0.75 and rc["mcc"] is None
+
+
+def test_mcc_multiclass_perfect_and_permuted(spark):
+    """Perfect 3-class prediction -> 1.0; a derangement of balanced
+    classes -> -0.5 (the R_K floor for k=3)."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        mcc_multiclass,
+    )
+
+    perfect = spark.createDataFrame(
+        [(c, c) for c in "abc" for _ in range(4)], "l string, p string"
+    )
+    assert mcc_multiclass(perfect, "l", "p").collect()[0]["mcc"] == 1.0
+
+    rot = {"a": "b", "b": "c", "c": "a"}
+    wrong = spark.createDataFrame(
+        [(c, rot[c]) for c in "abc" for _ in range(4)],
+        "l string, p string",
+    )
+    assert mcc_multiclass(wrong, "l", "p").collect()[0]["mcc"] == -0.5

@@ -416,3 +416,33 @@ def test_hits_weighted_and_oracle_parity_duckdb(spark):
         for n, hh, aa in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_degree_assortativity_hand_computed(spark):
+    """Star K_{1,4} -> r = -1 (pure hub-and-spoke); a cycle -> NULL
+    (all degrees equal, zero variance); triangle + pendant ->
+    -20/28 = -0.714286 (networkx agrees); duplicate/self-loop edges
+    are cleaned first."""
+    from kafka_streams_plumber_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["r"]) == (5, 4, -1.0)
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    rc = degree_assortativity(cycle).collect()[0]
+    assert rc["r"] is None and rc["n_edges"] == 5
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (1, 4), (4, 4)],
+        "src long, dst long",
+    )
+    rt = degree_assortativity(tri).collect()[0]
+    assert (rt["n_nodes"], rt["n_edges"]) == (4, 4)
+    assert rt["r"] == -0.714286

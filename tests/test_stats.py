@@ -1406,3 +1406,192 @@ def test_pacf_hand_computed_and_reference(spark):
         for r in pacf(const, "idx", "v", max_lag=3, scale=1).collect()
     }
     assert all(v is None for v in cg.values())
+
+
+def test_jarque_bera_hand_computed(spark):
+    """[1..5]: symmetric -> skew 0, m4/m2^2 = 6.8/4 -> kurt -1.3,
+    JB = 5/6 * (0 + 1.69/4) = 0.352083; constant series -> NULLs."""
+    from kafka_streams_plumber_spark.operators.stats import jarque_bera
+
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in range(1, 6)] + [("c", 7.0), ("c", 7.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in jarque_bera(df, "v", "g").collect()}
+    a = out["a"]
+    assert a["n"] == 5
+    assert a["skewness"] == 0.0
+    assert a["kurt_excess"] == -1.3
+    assert a["jb"] == 0.352083
+    c = out["c"]
+    assert (c["skewness"], c["kurt_excess"], c["jb"]) == (None,) * 3
+
+
+def test_jarque_bera_matches_pure_python(spark):
+    """Skewed panel vs an independent pure-Python moment kernel."""
+    import random
+
+    from kafka_streams_plumber_spark.operators.stats import jarque_bera
+
+    random.seed(11)
+    xs = [round(random.expovariate(0.3), 4) for _ in range(300)]
+    df = spark.createDataFrame([("g", x) for x in xs], "g string, v double")
+    r = jarque_bera(df, "v", "g").collect()[0]
+    n = len(xs)
+    m = sum(xs) / n
+    m2 = sum((x - m) ** 2 for x in xs) / n
+    m3 = sum((x - m) ** 3 for x in xs) / n
+    m4 = sum((x - m) ** 4 for x in xs) / n
+    sk = m3 / m2**1.5
+    ku = m4 / m2**2 - 3
+    jb = n / 6 * (sk * sk + ku * ku / 4)
+    assert abs(r["skewness"] - sk) < 1e-5
+    assert abs(r["kurt_excess"] - ku) < 1e-5
+    assert abs(r["jb"] - jb) < 1e-3
+
+
+def test_cramer_von_mises_hand_computed(spark):
+    """a=[1,2] vs b=[3,4]: ECDF gaps (.5, 1, .5, 0), T = 4/16 * 1.5 =
+    0.375; empty side -> NULL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        cramer_von_mises,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = cramer_von_mises(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["t"] == 0.375
+
+    r2 = cramer_von_mises(df, "v", "g", "a", "zzz").collect()[0]
+    assert r2["t"] is None and r2["n_b"] == 0
+
+
+def test_cramer_von_mises_identical_samples_zero(spark):
+    """Same distribution on both sides at the distinct-value grain
+    -> every gap m*cumA - n*cumB is 0 -> T = 0."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        cramer_von_mises,
+    )
+
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [
+        ("b", float(v)) for v in (1, 2, 3)
+    ]
+    r = cramer_von_mises(
+        spark.createDataFrame(rows, "g string, v double"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r["t"] == 0.0
+
+
+def test_mood_median_hand_computed(spark):
+    """a=[1,2,3] vs b=[4,5,6]: grand median 3.5, perfect separation
+    -> chi2 = 6.0 with df 1."""
+    from kafka_streams_plumber_spark.operators.stats import mood_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    r = mood_median(df, "v", "g").collect()[0]
+    assert (r["n_used"], r["k_groups"], r["df"]) == (6, 2, 1)
+    assert r["grand_median"] == 3.5
+    assert r["chi2"] == 6.0
+
+
+def test_mood_median_ties_at_median_dropped(spark):
+    """Values equal to the grand median leave n_used (scipy
+    ties='ignore'); a balanced split scores chi2 = 0."""
+    from kafka_streams_plumber_spark.operators.stats import mood_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 2.0), ("b", 4.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    r = mood_median(df, "v", "g").collect()[0]
+    # grand median = 3.0 (exact middle) -> the 3.0 row drops
+    assert r["grand_median"] == 3.0
+    assert r["n_used"] == 4
+    assert r["chi2"] == 0.0
+
+
+def test_friedman_hand_computed(spark):
+    """6 blocks x 3 treatments with within-block ties: tie-corrected
+    Q = 2.111111 (independent pure-Python midrank kernel); an
+    incomplete block is excluded; all-tie panel -> NULL."""
+    from kafka_streams_plumber_spark.operators.stats import friedman
+
+    vals = [
+        [1.0, 2.0, 3.0],
+        [2.0, 2.0, 1.0],
+        [5.0, 4.0, 4.0],
+        [1.5, 1.5, 1.5],
+        [3.0, 1.0, 2.0],
+        [9.0, 8.0, 7.0],
+    ]
+    rows = [
+        (b, t, v)
+        for b, vs in enumerate(vals)
+        for t, v in zip(["x", "y", "z"], vs)
+    ]
+    # an incomplete block (only 2 of 3 treatments) must not count
+    rows += [(99, "x", 1.0), (99, "y", 2.0)]
+    df = spark.createDataFrame(rows, "b long, t string, v double")
+    r = friedman(df, "b", "t", "v", n_treatments=3).collect()[0]
+    assert (r["n_blocks"], r["k"], r["df"]) == (6, 3, 2)
+    assert r["q"] == 2.111111
+
+    allt = spark.createDataFrame(
+        [(b, t, 1.0) for b in range(3) for t in ("x", "y", "z")],
+        "b long, t string, v double",
+    )
+    assert friedman(allt, "b", "t", "v", n_treatments=3).collect()[0][
+        "q"
+    ] is None
+
+
+def test_friedman_classic_no_ties(spark):
+    """No-tie case: Q reduces to 12/(n*k*(k+1)) * sum R_j^2 -
+    3n(k+1); blocks all ranking (1,2,3) -> Q = 2n*(k-1) = 12 at
+    n = 6, the maximum."""
+    from kafka_streams_plumber_spark.operators.stats import friedman
+
+    rows = [
+        (b, t, float(i + 1))
+        for b in range(6)
+        for i, t in enumerate(["x", "y", "z"])
+    ]
+    df = spark.createDataFrame(rows, "b long, t string, v double")
+    r = friedman(df, "b", "t", "v", n_treatments=3).collect()[0]
+    assert r["q"] == 12.0
+
+
+def test_welch_t_hand_computed(spark):
+    """a=[1..4] (var 5/3) vs b=[2,4,..,10] (var 10): the classic
+    unequal-variance case; expectations replayed from the
+    Welch-Satterthwaite closed form."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import welch_t
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0]
+    rows = [("a", x) for x in a] + [("b", x) for x in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t(df, "v", "g", "a", "b").collect()[0]
+    va, vb = 5 / 3, 10.0
+    se2 = va / 4 + vb / 5
+    t = (2.5 - 6.0) / math.sqrt(se2)
+    dfw = se2 * se2 / ((va / 4) ** 2 / 3 + (vb / 5) ** 2 / 4)
+    assert (r["n_a"], r["n_b"]) == (4, 5)
+    assert (r["mean_a"], r["mean_b"], r["mean_diff"]) == (2.5, 6.0, -3.5)
+    assert abs(r["t"] - t) < 1e-6
+    assert abs(r["df"] - dfw) < 1e-6
+
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    r2 = welch_t(tiny, "v", "g", "a", "b").collect()[0]
+    assert r2["t"] is None and r2["df"] is None
