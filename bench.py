@@ -132,6 +132,24 @@ EXTRA7 = [
 ]
 EXTRA7_FULL = ["q_hits"]
 
+#: Round-8 third wave (first measured in BENCH_r08,
+#: ``extra8_total_sec``): one per session-4 kernel — normality panel,
+#: CvM body-gap, Mood's median, Friedman blocks, Welch t, Durbin-
+#: Watson, Theil-Sen, average precision, multiclass MCC, degree
+#: assortativity. Lazy plans — write-only timing.
+EXTRA8 = [
+    "q_jarque_bera",
+    "q_cvm",
+    "q_mood_median",
+    "q_friedman",
+    "q_welch",
+    "q_dw",
+    "q_theil_sen",
+    "q_avg_precision",
+    "q_mcc",
+    "q_assortativity",
+]
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     df = QUERIES[name](spark, sf_dir)
@@ -177,7 +195,7 @@ def main() -> None:
             break
     for name in [
         "q_distinct", *HEADLINE, *EXTRA, *EXTRA4, *EXTRA5, *EXTRA6,
-        *EXTRA7, *EXTRA7_FULL,
+        *EXTRA7, *EXTRA7_FULL, *EXTRA8,
     ]:
         try:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -228,6 +246,10 @@ def main() -> None:
             min(run_one_full(spark, name, sf_dir) for _ in range(reps)), 3
         )
 
+    extra8: dict[str, float] = {}
+    for name in EXTRA8:
+        extra8[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
+
     print(
         json.dumps(
             {
@@ -246,6 +268,8 @@ def main() -> None:
                 "extra6_queries": extra6,
                 "extra7_total_sec": round(sum(extra7.values()), 3),
                 "extra7_queries": extra7,
+                "extra8_total_sec": round(sum(extra8.values()), 3),
+                "extra8_queries": extra8,
                 "sf": sf,
             }
         )

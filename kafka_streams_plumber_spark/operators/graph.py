@@ -921,3 +921,120 @@ def degree_assortativity(
             6,
         ).alias("r"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global and average-local clustering coefficients of the
+    undirected simple graph — HOW CLIQUEY is it? Global C =
+    3*triangles / wedges (the chance two neighbors of a node are
+    themselves linked); average-local C is Watts-Strogatz's mean of
+    per-node t_v / C(d_v, 2) over nodes with degree >= 2. Together
+    with :func:`degree_assortativity` this is the two-line structural
+    data card for any pair/link graph: a dedup graph with high C and
+    r < 0 is hub-stitched near-clique blocks (healthy); low C with a
+    giant component says chains of weak links glued everything
+    together (the transitive-closure failure mode). One row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, global_c,
+    avg_local_c)``; coefficients NULL when there are no wedges / no
+    degree>=2 nodes.
+
+    Exactness: triangle counts ride the degree-ordered wedge join of
+    :func:`triangle_counts` (hub-capped, exact); wedges are the exact
+    integer sum of d(d-1)/2; each node's local ratio 2*t/(d*(d-1)) is
+    frozen to a 1e-9 scaled integer so the average is an exact
+    integer sum with one divide back. SQL replays bit-for-bit
+    (networkx ``transitivity`` / ``average_clustering`` agree).
+
+    Scale design: one edge dedup, one degree aggregate, the
+    triangle_counts wedge join, one broadcast join of the O(V)
+    per-node triangle table onto the O(V) degree table, two 1-row
+    folds. No iteration.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = truncate_lineage(e)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    tri = triangle_counts(e, "u", "v")
+    per = deg.join(
+        tri.withColumnRenamed("triangles", "_t"), ["node"], "left"
+    ).select(
+        "node",
+        "_d",
+        F.coalesce(F.col("_t"), F.lit(0)).alias("_t"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    local = F.round(
+        F.lit(2.0)
+        * F.col("_t").cast("double")
+        / (
+            F.col("_d").cast("double")
+            * (F.col("_d").cast("double") - F.lit(1.0))
+        )
+        * F.lit(1e9)
+    ).cast("decimal(38,0)")
+    agg = per.agg(
+        F.count(F.lit(1)).alias("_nn"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_d").cast("decimal(19,0)"))
+                * (F.col("_d") - 1).cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_w2"),
+        F.coalesce(
+            F.sum("_t").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_tsum"),
+        F.coalesce(
+            F.sum(F.when(F.col("_d") >= 2, local)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_lsum"),
+        F.coalesce(
+            F.sum(F.when(F.col("_d") >= 2, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("_deg2"),
+    )
+    m = e.agg(F.count(F.lit(1)).alias("_m"))
+    out = agg.crossJoin(F.broadcast(m))
+    wedges = (F.col("_w2") / 2).cast("decimal(38,0)")
+    # each triangle is counted at all three corners in _tsum
+    global_c = F.when(
+        wedges > 0,
+        F.round(
+            F.col("_tsum").cast("double")
+            / wedges.cast("double"),
+            6,
+        ),
+    )
+    avg_local = F.when(
+        F.col("_deg2") > 0,
+        F.round(
+            F.col("_lsum").cast("double")
+            / F.lit(1e9)
+            / F.col("_deg2").cast("double"),
+            6,
+        ),
+    )
+    return out.select(
+        F.col("_nn").cast("long").alias("n_nodes"),
+        F.col("_m").cast("long").alias("n_edges"),
+        wedges.cast("long").alias("n_wedges"),
+        (F.col("_tsum") / 3).cast("long").alias("n_triangles"),
+        global_c.alias("global_c"),
+        avg_local.alias("avg_local_c"),
+    )

@@ -11,7 +11,7 @@ also DuckDB's ``quantile_cont``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -3717,3 +3717,463 @@ def welch_t(
         F.when(ok, F.round(t, 6)).alias("t"),
         F.when(ok, F.round(dfw, 6)).alias("df"),
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    index_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    max_lag: int,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Cross-correlation function (CCF) of two bucketed series at lags
+    -max_lag..+max_lag — the lead-lag diagnostic: a peak at POSITIVE
+    lag k means x LEADS y by k buckets (x_t co-moves with y_{t+k}),
+    the standard question between a driver metric and a lagging one
+    (clicks now, purchases two hours later; ingest volume now, dedup
+    rate next day). Lag 0 is plain Pearson correlation of the aligned
+    series; the function generalizes :func:`autocorrelation` (x = y)
+    to two series with the SAME full-series normalization
+    r_k = sum_t (x_t - mx)(y_{t+k} - my) / sqrt(Sxx * Syy). One row
+    per lag ``(lag, n_pairs, ccf)``; missing buckets drop their pairs
+    (n_pairs reports coverage); ccf NULL when either series is
+    constant or the lag is empty.
+
+    Exactness: scaled longs; multiplying through by n^2 clears both
+    rational means — num_k = n^2*P_k - n*Ty*H_k - n*Tx*G_k +
+    k_pairs*Tx*Ty with P/H/G the per-lag cross-moment and endpoint
+    sums, and den = n * sqrt((n*Qx - Tx^2) * (n*Qy - Ty^2)) — ALL
+    exact integers on decimal(38,0) except the final fixed-shape
+    division. SQL replays bit-for-bit.
+
+    Scale design: the series is already on the bucketed grain; one
+    explode to (lag, t) keys, one EQUI-join back on the shifted
+    index, one per-lag map-combinable aggregate, the 1-row moment
+    frame broadcast in. No windows, no Python.
+    """
+    assert max_lag >= 1
+    sx = F.round(F.col(x_col).cast("double") * scale, 0).cast("long")
+    sy = F.round(F.col(y_col).cast("double") * scale, 0).cast("long")
+    base = df.where(
+        F.col(index_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(index_col).cast("long").alias("_i"),
+        sx.alias("_x"),
+        sy.alias("_y"),
+    )
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    tot = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_tx"),
+        F.sum("_y").cast("decimal(38,0)").alias("_ty"),
+        F.sum(dec19(F.col("_x")) * dec19(F.col("_x"))).alias("_qx"),
+        F.sum(dec19(F.col("_y")) * dec19(F.col("_y"))).alias("_qy"),
+    )
+    lagged = base.select(
+        "_i",
+        F.col("_x").alias("_xa"),
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("lag"),
+    ).withColumn("_j", F.col("_i") + F.col("lag"))
+    pairs = lagged.join(
+        base.select(F.col("_i").alias("_j"), F.col("_y").alias("_yb")),
+        ["_j"],
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_k"),
+        F.sum(dec19(F.col("_xa")) * dec19(F.col("_yb"))).alias("_p"),
+        F.sum("_xa").cast("decimal(38,0)").alias("_h"),
+        F.sum("_yb").cast("decimal(38,0)").alias("_g"),
+    )
+    spine = df.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    out = spine.join(per_lag, ["lag"], "left").crossJoin(F.broadcast(tot))
+    num = (
+        F.col("_n") * F.col("_n") * F.col("_p")
+        - F.col("_n") * F.col("_ty") * F.col("_h")
+        - F.col("_n") * F.col("_tx") * F.col("_g")
+        + F.col("_k") * F.col("_tx") * F.col("_ty")
+    )
+    sxx = F.col("_n") * F.col("_qx") - F.col("_tx") * F.col("_tx")
+    syy = F.col("_n") * F.col("_qy") - F.col("_ty") * F.col("_ty")
+    den = F.col("_n").cast("double") * F.sqrt(
+        sxx.cast("double") * syy.cast("double")
+    )
+    return out.select(
+        "lag",
+        F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.round(
+            num.cast("double") / F.nullif(den, F.lit(0.0)), 6
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
+def two_proportion_z(
+    df: DataFrame,
+    success_col,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-proportion z-test (pooled) — did the success RATE move
+    between two slices? The workhorse comparison for conversion /
+    pass-rate / defect-rate questions where :func:`welch_t` is
+    overkill: counts in, one z out, |z| >= 1.96 rejects equal rates
+    at 95%. One row ``(n_a, n_b, pos_a, pos_b, p_a, p_b, diff, z)``;
+    z NULL when either group is empty or the pooled rate is 0 or 1
+    (zero variance).
+
+    Exactness: all counts are exact integers from ONE map-combinable
+    aggregate; the rates, pooled rate, and z are fixed-shape doubles
+    — replayed bit-for-bit in SQL.
+
+    Scale design: one aggregate to two rows, one fold. Nothing else.
+    """
+    s = (
+        success_col
+        if isinstance(success_col, Column)
+        else F.col(success_col)
+    )
+    g = F.col(group_col)
+    base = df.where(
+        g.isNotNull() & s.isNotNull() & g.isin([group_a, group_b])
+    ).select(
+        (g == F.lit(group_a)).alias("_isa"),
+        s.cast("boolean").alias("_s"),
+    )
+    per = base.groupBy("_isa").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_s"), 1).otherwise(0)).alias("_pos"),
+    )
+    fold = per.agg(
+        F.coalesce(F.min(F.when(F.col("_isa"), F.col("_n"))), F.lit(0))
+        .alias("_na"),
+        F.coalesce(F.min(F.when(F.col("_isa"), F.col("_pos"))), F.lit(0))
+        .alias("_pa"),
+        F.coalesce(F.min(F.when(~F.col("_isa"), F.col("_n"))), F.lit(0))
+        .alias("_nb"),
+        F.coalesce(F.min(F.when(~F.col("_isa"), F.col("_pos"))), F.lit(0))
+        .alias("_pb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    pa = F.col("_pa").cast("double") / na
+    pb = F.col("_pb").cast("double") / nb
+    pool = (F.col("_pa") + F.col("_pb")).cast("double") / (na + nb)
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    return fold.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_pa").cast("long").alias("pos_a"),
+        F.col("_pb").cast("long").alias("pos_b"),
+        F.when(ok, F.round(pa, 6)).alias("p_a"),
+        F.when(ok, F.round(pb, 6)).alias("p_b"),
+        F.when(ok, F.round(pa - pb, 6)).alias("diff"),
+        F.when(
+            ok, F.round((pa - pb) / F.nullif(se, F.lit(0.0)), 6)
+        ).alias("z"),
+    )
+
+
+def chi2_gof(
+    df: DataFrame,
+    group_col: str,
+    target: dict,
+) -> DataFrame:
+    """Chi-square goodness-of-fit against a DECLARED target mix — is
+    the observed category composition (language mix, source mix,
+    label mix) the one the data card promised? The audit that catches
+    "the crawl was supposed to be 50% English" drifting to 70%
+    without anyone deciding that. ``target`` maps category ->
+    weight (weights are normalized; they need not sum to 1). Only
+    categories present in ``target`` are counted (off-target
+    categories are a different check — pair with a blocklist query);
+    a target category absent from the data still contributes its full
+    expected mass, exactly as the test requires. One row
+    ``(n, k, df, chi2)``; chi2 NULL when n = 0.
+
+    Exactness: observed counts are exact integers; the per-category
+    (O-E)^2/E terms are frozen to 1e-6 scaled integers via the
+    :func:`kruskal_wallis` device (integer k-row sum, one divide
+    back). The target spine is a broadcast literal frame, so absent
+    categories are zero-filled in closed form — no data-dependent
+    cross join. SQL replays bit-for-bit.
+
+    Scale design: one map-combinable count aggregate, one broadcast
+    join onto the O(k) literal spine, one k-row fold.
+    """
+    assert target, "target mix must be non-empty"
+    wsum = float(sum(float(w) for w in target.values()))
+    spine = df.sparkSession.createDataFrame(
+        [(str(k), float(w) / wsum) for k, w in sorted(target.items())],
+        "_g string, _w double",
+    )
+    g = F.col(group_col).cast("string")
+    counts = (
+        df.where(g.isNotNull())
+        .select(g.alias("_g"))
+        .join(F.broadcast(spine.select("_g")), "_g")
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    full = spine.join(counts, "_g", "left").select(
+        "_g", "_w", F.coalesce(F.col("_o"), F.lit(0)).alias("_o")
+    )
+    tot = full.agg(F.sum("_o").alias("_n"), F.count(F.lit(1)).alias("_k"))
+    j = full.crossJoin(F.broadcast(tot))
+    e = F.col("_w") * F.col("_n").cast("double")
+    o = F.col("_o").cast("double")
+    term = F.round(
+        (o - e) * (o - e) / F.nullif(e, F.lit(0.0)) * F.lit(1000000.0)
+    ).cast("decimal(38,0)")
+    agg = j.groupBy().agg(
+        F.min("_n").alias("_n"),
+        F.min("_k").alias("_kk"),
+        F.sum(term).alias("_chi"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_kk").cast("long").alias("k"),
+        (F.col("_kk") - 1).cast("long").alias("df"),
+        F.when(
+            F.col("_n") > 0,
+            F.round(F.col("_chi").cast("double") / F.lit(1000000.0), 6),
+        ).alias("chi2"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    round_values: int | None = None,
+) -> DataFrame:
+    """Cliff's delta — the EFFECT SIZE companion to
+    :func:`mann_whitney`: delta = P(a > b) - P(a < b) in [-1, 1],
+    the probability a random A observation beats a random B one,
+    minus the reverse. The number to report NEXT to a significant U
+    test ("significant, but delta = 0.06 — who cares") and the
+    standard nonparametric effect size for skewed metrics. One row
+    ``(n_a, n_b, delta)``; NULL when either side is empty.
+
+    Exactness: on the distinct-value grain, the doubled dominance
+    count 2U = sum_v a_v * (2*cumB_{<v} + b_v) (ties count half) is
+    an exact integer via one prefix pass; delta = (2U - n*m)/(n*m)
+    is one double division. SQL replays bit-for-bit.
+
+    Scale design: one collapse, one range-exchange prefix pass, one
+    1-row fold — the :func:`cramer_von_mises` plan shape.
+    ``round_values`` quantizes first to bound the grain.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    g = F.col(group_col)
+    base = df.where(
+        g.isNotNull() & v.isNotNull() & g.isin([group_a, group_b])
+    ).select(v.alias("_v"), (g == F.lit(group_a)).alias("_isa"))
+    per = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("_a"),
+        F.sum(F.when(F.col("_isa"), 0).otherwise(1)).alias("_b"),
+    )
+    r = running_total(per, ["_v"], "_b", out_col="_cb")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u2 = F.sum(
+        dec(F.col("_a").cast("decimal(19,0)"))
+        * (
+            F.lit(2) * (F.col("_cb") - F.col("_b")) + F.col("_b")
+        ).cast("decimal(19,0)")
+    )
+    agg = r.agg(
+        F.coalesce(F.sum("_a"), F.lit(0)).cast("long").alias("_na"),
+        F.coalesce(F.sum("_b"), F.lit(0)).cast("long").alias("_nb"),
+        F.coalesce(u2, F.lit(0).cast("decimal(38,0)")).alias("_u2"),
+    )
+    nm = F.col("_na").cast("double") * F.col("_nb").cast("double")
+    delta = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.round(
+            (F.col("_u2").cast("double") - nm) / nm,
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        delta.alias("delta"),
+    )
+
+
+def bartlett(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Bartlett's test — equal variances across k groups, the
+    parametric (normality-assuming) sibling of
+    :func:`brown_forsythe`: more powerful when the data really is
+    Gaussian, badly oversensitive to heavy tails (which is WHY
+    brown_forsythe exists — run both; agreement is the evidence). One
+    row ``(n, k_groups, df, t)``: T is chi-square with k-1 df under
+    the null. NULL when k < 2, any group has n_i < 2, or any group
+    variance is 0 (log undefined).
+
+    Exactness: per-group (n, S, Q) are exact integers on
+    decimal(38,0) from ONE map-combinable aggregate over scaled
+    longs; each group's (n_i-1)*ln(s_i^2) and 1/(n_i-1) terms are
+    frozen to 1e-9 scaled integers (fixed-shape IEEE, exact k-row
+    integer sums), and the final T / C expressions are fixed-shape
+    doubles — replayed bit-for-bit in SQL. The variance inside the
+    log keeps the raw scaled units: the scale factor cancels between
+    the pooled and per-group log terms (sum (n_i-1) = N-k exactly).
+
+    Scale design: one aggregate to k rows, one k-row fold. Nothing
+    else.
+    """
+    mult = float(10 ** int(scale))
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.round(v * F.lit(mult)).cast("long").alias("_s"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.coalesce(
+            F.sum("_s").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_sg"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_s").cast("decimal(19,0)"))
+                * F.col("_s").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_qg"),
+    )
+    ni = F.col("_n").cast("double")
+    # s_i^2 in raw scaled units; the scale cancels against the pooled
+    # term because sum (n_i - 1) * ln(scale^2) telescopes
+    var_i = (
+        ni * F.col("_qg").cast("double")
+        - F.col("_sg").cast("double") * F.col("_sg").cast("double")
+    ) / (ni * (ni - F.lit(1.0)))
+    lterm = F.round(
+        (ni - F.lit(1.0)) * F.log(var_i) * F.lit(1e9)
+    ).cast("decimal(38,0)")
+    hterm = F.round(
+        F.lit(1.0) / (ni - F.lit(1.0)) * F.lit(1e9)
+    ).cast("decimal(38,0)")
+    wterm = F.round(
+        (ni - F.lit(1.0)) * var_i * F.lit(1000.0)
+    ).cast("decimal(38,0)")
+    agg = per.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.coalesce(F.sum("_n"), F.lit(0).cast("decimal(38,0)")).alias("_N"),
+        F.sum(lterm).alias("_L"),
+        F.sum(hterm).alias("_H"),
+        F.sum(wterm).alias("_W"),
+        F.min(F.col("_n").cast("long")).alias("_minn"),
+        F.max(
+            F.when(
+                var_i <= F.lit(0.0), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("_zv"),
+    )
+    nN = F.col("_N").cast("double")
+    kd = F.col("_k").cast("double")
+    nk = nN - kd
+    sp2 = F.col("_W").cast("double") / F.lit(1000.0) / nk
+    t_num = nk * F.log(sp2) - F.col("_L").cast("double") / F.lit(1e9)
+    c = F.lit(1.0) + (
+        F.col("_H").cast("double") / F.lit(1e9) - F.lit(1.0) / nk
+    ) / (F.lit(3.0) * (kd - F.lit(1.0)))
+    ok = (
+        (F.col("_k") >= 2)
+        & (F.col("_minn") >= 2)
+        & (F.col("_zv") == 0)
+    )
+    return agg.select(
+        F.col("_N").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_groups"),
+        (F.col("_k") - 1).cast("long").alias("df"),
+        F.when(ok, F.round(t_num / c, 6)).alias("t"),
+    )
+
+
+def qq_table(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    percentiles: list | None = None,
+) -> DataFrame:
+    """Quantile-quantile table of two slices — the drill-down AFTER
+    :func:`ks_test`/:func:`cramer_von_mises` says "these differ":
+    WHERE in the distribution? One row per probe point
+    ``(p, q_a, q_b, diff)`` (default deciles 0.1..0.9): a constant
+    positive diff is a location shift, a diff growing with p is a
+    scale/tail change, a sign flip is a crossing — the shapes a
+    single test statistic cannot distinguish. Quantiles are exact
+    interpolated percentiles; NULL for an empty side.
+
+    Scale design: BOTH groups' 9 quantiles ride the single
+    :func:`exact_percentiles` range-exchange pass (grouped by slice),
+    then one tiny pivot on the O(1) result — no second scan.
+    """
+    ps = [round(p, 6) for p in (percentiles or [i / 10 for i in range(1, 10)])]
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(
+        g.isNotNull() & v.isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("_g"), v.alias("_v"))
+    spec = {f"_q{i}": p for i, p in enumerate(ps)}
+    per = exact_percentiles(base, "_g", "_v", spec)
+    a = per.where(F.col("_g") == F.lit(group_a))
+    b = per.where(F.col("_g") == F.lit(group_b))
+    spine = df.sparkSession.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "_i int, p double"
+    )
+    qa = F.array(*[F.col(f"a._q{i}") for i in range(len(ps))])
+    qb = F.array(*[F.col(f"b._q{i}") for i in range(len(ps))])
+    out = (
+        spine.join(F.broadcast(a.alias("a")), F.lit(True), "left")
+        .join(F.broadcast(b.alias("b")), F.lit(True), "left")
+        .select(
+            "p",
+            F.round(
+                F.element_at(qa, F.col("_i") + 1), 6
+            ).alias("q_a"),
+            F.round(
+                F.element_at(qb, F.col("_i") + 1), 6
+            ).alias("q_b"),
+            F.round(
+                F.element_at(qa, F.col("_i") + 1)
+                - F.element_at(qb, F.col("_i") + 1),
+                6,
+            ).alias("diff"),
+        )
+    )
+    return out.orderBy("p")

@@ -196,6 +196,16 @@ AUDITED = {
     "q_brier": "distinct-forecast collapse + 1-row totals broadcast; frozen e^2/n, f^2/n quotients; exact integer BS",
     "q_pacf": "one autocorrelation pass; Durbin-Levinson runs on the pivoted O(1)-row ACF frame, level-materialized",
     "q_isotonic": "d^2 interval table off ONE fused prefix pass; suffix-min/prefix-max windows bounded by d, not data",
+    "q_jarque_bera": "two map-combinable passes + k-row pivot broadcast; exact integer d^1..d^4 moments, no window",
+    "q_cvm": "distinct-value grain; ONE fused prefix exchange for both cumulative counts; exact integer gap device",
+    "q_mood_median": "one percentile range exchange + 1-row median broadcast; frozen chi-square terms, k-row fold",
+    "q_friedman": "within-block midranks off ONE global range exchange with per-block offsets; all-integer Q identity",
+    "q_welch": "ONE map-combinable aggregate to two rows; exact integer (n,S,Q) moments; fixed-shape double tail",
+    "q_dw": "shifted-index equi-join on the bounded hourly grain; exact integer diff/cleared-mean moments",
+    "q_theil_sen": "O(B^2) pair join ON THE COLLAPSED hourly grain only; frozen slopes; percentile range exchange",
+    "q_avg_precision": "distinct-score grain; ONE descending fused prefix pass; frozen per-threshold contributions",
+    "q_mcc": "k^2-bounded confusion grain; O(k) full-outer marginals; all-integer R_K moments, one sqrt",
+    "q_assortativity": "edge dedup + degree agg + two equi-joins of the O(V) degree table; exact integer moments",
 }
 
 

@@ -147,6 +147,16 @@ PROBED = [
     "q_brier",
     "q_pacf",
     "q_isotonic",
+    "q_jarque_bera",
+    "q_cvm",
+    "q_mood_median",
+    "q_friedman",
+    "q_welch",
+    "q_dw",
+    "q_theil_sen",
+    "q_avg_precision",
+    "q_mcc",
+    "q_assortativity",
 ]
 
 
