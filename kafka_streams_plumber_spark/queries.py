@@ -14633,6 +14633,494 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity(edges, "a_id", "b_id")
 
 
+@query(
+    "q_ccf",
+    f"""
+    WITH binned AS ({_DW_BINNED_SQL}),
+    xy AS (
+      SELECT c.b AS i, c.v AS x, p.v AS y
+      FROM binned c JOIN binned p ON p.b = c.b
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS tx,
+             CAST(sum(y) AS HUGEINT) AS ty,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qy
+      FROM xy
+    ),
+    spine AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+    pairs AS (
+      SELECT s.lag, a.x AS xa, b.y AS yb
+      FROM spine s
+      JOIN xy a ON TRUE
+      JOIN xy b ON b.i = a.i + s.lag
+    ),
+    per AS (
+      SELECT lag, CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(CAST(xa AS HUGEINT) * yb) AS HUGEINT) AS p,
+             CAST(sum(xa) AS HUGEINT) AS h,
+             CAST(sum(yb) AS HUGEINT) AS g
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(s.lag AS INTEGER) AS lag,
+           CAST(coalesce(k, 0) AS BIGINT) AS n_pairs,
+           round(CAST(n * n * p - n * ty * h - n * tx * g
+                      + k * tx * ty AS DOUBLE)
+                 / nullif(CAST(n AS DOUBLE)
+                          * sqrt(CAST(n * qx - tx * tx AS DOUBLE)
+                                 * CAST(n * qy - ty * ty AS DOUBLE)),
+                          0.0), 6) AS ccf
+    FROM spine s LEFT JOIN per ON per.lag = s.lag
+    CROSS JOIN tot
+    ORDER BY lag
+    """,
+)
+def q_ccf(spark, sf_dir):
+    """Cross-correlation function (operators/stats.py:
+    cross_correlation) between the hourly click and purchase value
+    series at lags -6..+6 — does click volume LEAD purchases, and by
+    how many hours? Generalizes the q_acf machinery to two series:
+    one shifted-index equi-join, per-lag exact integer cross-moments
+    via the n^2-cleared-mean identity — replayed bit-for-bit in
+    SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    b = _dw_binned(spark, sf_dir)
+    c = b.where(F.col("event_type") == "click").select(
+        F.col("b").alias("i"), F.col("v").alias("x")
+    )
+    p = b.where(F.col("event_type") == "purchase").select(
+        F.col("b").alias("i"), F.col("v").alias("y")
+    )
+    xy = c.join(p, "i")
+    return cross_correlation(xy, "i", "x", "y", max_lag=6, scale=1)
+
+
+@query(
+    "q_prop_test",
+    """
+    WITH base AS (
+      SELECT event_type = 'view' AS isa, value > 100.0 AS s
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ),
+    per AS (
+      SELECT isa, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM base GROUP BY isa
+    ),
+    fold AS (
+      SELECT
+        coalesce(min(CASE WHEN isa THEN n END), 0) AS na,
+        coalesce(min(CASE WHEN isa THEN pos END), 0) AS pa,
+        coalesce(min(CASE WHEN NOT isa THEN n END), 0) AS nb,
+        coalesce(min(CASE WHEN NOT isa THEN pos END), 0) AS pb
+      FROM per
+    ),
+    d AS (
+      SELECT na, nb, pa, pb,
+             CAST(pa AS DOUBLE) / CAST(na AS DOUBLE) AS ra,
+             CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE) AS rb,
+             CAST(pa + pb AS DOUBLE)
+               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pool
+      FROM fold
+    )
+    SELECT na AS n_a, nb AS n_b, pa AS pos_a, pb AS pos_b,
+           CASE WHEN na > 0 AND nb > 0 THEN round(ra, 6) END AS p_a,
+           CASE WHEN na > 0 AND nb > 0 THEN round(rb, 6) END AS p_b,
+           CASE WHEN na > 0 AND nb > 0 THEN round(ra - rb, 6) END
+             AS diff,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             round((ra - rb)
+                   / nullif(sqrt(pool * (1.0 - pool)
+                                 * (1.0 / CAST(na AS DOUBLE)
+                                    + 1.0 / CAST(nb AS DOUBLE))),
+                            0.0), 6)
+           END AS z
+    FROM d
+    """,
+)
+def q_prop_test(spark, sf_dir):
+    """Two-proportion z-test (operators/stats.py:two_proportion_z):
+    is the high-value rate (value > 100) the same for views and
+    clicks? Exact integer counts in one aggregate, pooled-variance z
+    as a fixed-shape double tail — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        two_proportion_z,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    return two_proportion_z(
+        e, F.col("value") > 100.0, "event_type", "view", "click"
+    )
+
+
+@query(
+    "q_gof",
+    """
+    WITH spine(g, w) AS (
+      VALUES ('de', 0.1), ('en', 0.5), ('es', 0.15),
+             ('fr', 0.1), ('zh', 0.15)
+    ),
+    counts AS (
+      SELECT lang AS g, CAST(count(*) AS BIGINT) AS o
+      FROM documents
+      WHERE lang IS NOT NULL
+        AND lang IN (SELECT g FROM spine)
+      GROUP BY 1
+    ),
+    full_ AS (
+      SELECT s.g, s.w, coalesce(o, 0) AS o
+      FROM spine s LEFT JOIN counts c ON c.g = s.g
+    ),
+    tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM full_
+    ),
+    terms AS (
+      SELECT CAST(round(
+               (CAST(o AS DOUBLE) - w * CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - w * CAST(n AS DOUBLE))
+               / nullif(w * CAST(n AS DOUBLE), 0.0)
+               * 1000000.0) AS HUGEINT) AS term,
+             n, k
+      FROM full_ CROSS JOIN tot
+    )
+    SELECT min(n) AS n, min(k) AS k, min(k) - 1 AS df,
+           CASE WHEN min(n) > 0 THEN
+             round(CAST(sum(term) AS DOUBLE) / 1000000.0, 6)
+           END AS chi2
+    FROM terms
+    """,
+)
+def q_gof(spark, sf_dir):
+    """Chi-square goodness-of-fit vs a DECLARED language mix
+    (operators/stats.py:chi2_gof): did the corpus hold its promised
+    en/zh/es/de/fr proportions? The data-card composition audit.
+    Exact integer counts on a broadcast literal spine (absent
+    categories keep full expected mass in closed form); frozen
+    per-category terms — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import chi2_gof
+
+    d = load_tables(spark, sf_dir)["documents"]
+    target = {"en": 0.5, "zh": 0.15, "es": 0.15, "de": 0.1, "fr": 0.1}
+    return chi2_gof(d, "lang", target)
+
+
+@query(
+    "q_cliffs_delta",
+    """
+    WITH base AS (
+      SELECT round(CAST(value AS DOUBLE), 6) AS v,
+             event_type = 'click' AS isa
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    per AS (
+      SELECT v,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM base GROUP BY v
+    ),
+    r AS (
+      SELECT v, a, b,
+             CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+      FROM per
+    ),
+    agg AS (
+      SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS na,
+             CAST(coalesce(sum(b), 0) AS BIGINT) AS nb,
+             CAST(coalesce(sum(CAST(a AS HUGEINT)
+                                * (2 * (cb - b) + b)), 0)
+                  AS HUGEINT) AS u2
+      FROM r
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             round((CAST(u2 AS DOUBLE)
+                    - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+           END AS delta
+    FROM agg
+    """,
+)
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta (operators/stats.py:cliffs_delta) — the effect
+    size next to q_mannwhitney's verdict: P(click value > purchase
+    value) - P(<). Exact integer doubled dominance count off one
+    prefix pass on the distinct-value grain — replayed bit-for-bit
+    in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import cliffs_delta
+
+    e = load_tables(spark, sf_dir)["events"]
+    return cliffs_delta(
+        e, "value", "event_type", "click", "purchase", round_values=6
+    )
+
+
+@query(
+    "q_bartlett",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                  AS BIGINT) AS s
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    per AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             CAST(coalesce(sum(s), 0) AS HUGEINT) AS sg,
+             CAST(coalesce(sum(CAST(s AS HUGEINT) * s), 0)
+                  AS HUGEINT) AS qg
+      FROM base GROUP BY g
+    ),
+    v AS (
+      SELECT g, n,
+             (CAST(n AS DOUBLE) * CAST(qg AS DOUBLE)
+              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               AS vi
+      FROM per
+    ),
+    terms AS (
+      SELECT n, vi,
+             CAST(round((CAST(n AS DOUBLE) - 1.0) * ln(vi)
+                        * 1000000000.0) AS HUGEINT) AS lterm,
+             CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0)
+                        * 1000000000.0) AS HUGEINT) AS hterm,
+             CAST(round((CAST(n AS DOUBLE) - 1.0) * vi * 1000.0)
+                  AS HUGEINT) AS wterm
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(coalesce(sum(n), 0) AS HUGEINT) AS nn,
+             sum(lterm) AS l, sum(hterm) AS h, sum(wterm) AS w,
+             CAST(min(n) AS BIGINT) AS minn,
+             max(CASE WHEN vi <= 0.0 THEN 1 ELSE 0 END) AS zv
+      FROM terms
+    )
+    SELECT CAST(nn AS BIGINT) AS n, k AS k_groups, k - 1 AS df,
+           CASE WHEN k >= 2 AND minn >= 2 AND zv = 0 THEN
+             round(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+                    * ln(CAST(w AS DOUBLE) / 1000.0
+                         / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+                    - CAST(l AS DOUBLE) / 1000000000.0)
+                   / (1.0 + (CAST(h AS DOUBLE) / 1000000000.0
+                             - 1.0 / (CAST(nn AS DOUBLE)
+                                      - CAST(k AS DOUBLE)))
+                            / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+           END AS t
+    FROM agg
+    """,
+)
+def q_bartlett(spark, sf_dir):
+    """Bartlett's equal-variance test (operators/stats.py:bartlett)
+    across the lineitem return flags — the parametric companion to
+    the Brown-Forsythe check before trusting q_anova. Exact integer
+    (n,S,Q) moments; per-group log terms frozen to 1e-9 scaled
+    integers so the k-row sums are exact — replayed bit-for-bit in
+    SQL."""
+    from kafka_streams_plumber_spark.operators.stats import bartlett
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return bartlett(li, "l_extendedprice", "l_returnflag", scale=2)
+
+
+@query(
+    "q_qq",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS g, CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        AND c_acctbal IS NOT NULL
+    ),
+    qa AS (
+      SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS q
+      FROM base WHERE g = 'AUTOMOBILE'
+    ),
+    qb AS (
+      SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS q
+      FROM base WHERE g = 'BUILDING'
+    ),
+    s AS (SELECT unnest(generate_series(1, 9)) AS i)
+    SELECT round(CAST(i AS DOUBLE) / 10.0, 6) AS p,
+           round(qa.q[i], 6) AS q_a,
+           round(qb.q[i], 6) AS q_b,
+           round(qa.q[i] - qb.q[i], 6) AS diff
+    FROM s CROSS JOIN qa CROSS JOIN qb
+    ORDER BY p
+    """,
+)
+def q_qq(spark, sf_dir):
+    """Quantile-quantile decile table (operators/stats.py:qq_table)
+    of AUTOMOBILE vs BUILDING account balances — WHERE the
+    distributions differ (location shift vs tail change), the
+    drill-down after a KS/CvM verdict. Both groups' deciles ride ONE
+    exact-percentile range exchange; the pivot is O(1) — replayed
+    bit-for-bit in SQL (quantile_cont interpolation)."""
+    from kafka_streams_plumber_spark.operators.stats import qq_table
+
+    c = load_tables(spark, sf_dir)["customer"]
+    return qq_table(
+        c, "c_acctbal", "c_mktsegment", "AUTOMOBILE", "BUILDING"
+    )
+
+
+@query(
+    "q_lexdiv",
+    """
+    WITH toks AS (
+      SELECT lang AS g, tok
+      FROM (
+        SELECT lang,
+               unnest(string_split(lower(coalesce(text, '')), ' '))
+                 AS tok
+        FROM documents WHERE lang IS NOT NULL
+      ) WHERE tok <> ''
+    ),
+    per AS (
+      SELECT g, tok, CAST(count(*) AS BIGINT) AS m
+      FROM toks GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g,
+             CAST(sum(m) AS HUGEINT) AS n,
+             CAST(count(*) AS HUGEINT) AS v,
+             CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS v1,
+             CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS m2
+      FROM per GROUP BY g
+    )
+    SELECT g AS lang,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           CAST(v1 AS BIGINT) AS n_hapax,
+           CASE WHEN n >= 1 THEN
+             round(10000.0 * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+           END AS yule_k,
+           CASE WHEN n >= 2 THEN
+             round((CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                   6)
+           END AS simpson_d,
+           CASE WHEN n >= 1 AND v1 < v THEN
+             round(100.0 * ln(CAST(n AS DOUBLE))
+                   / (1.0 - CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE)),
+                   6)
+           END AS honore_r
+    FROM agg
+    """,
+)
+def q_lexdiv(spark, sf_dir):
+    """Lexical-diversity panel (operators/text.py:lexical_diversity)
+    per language — Yule's K, Simpson's D, Honore's R over the token
+    frequency spectrum: the templated-text detector that length and
+    stopword heuristics miss. All-integer spectrum moments off the
+    (lang, token) grain, three fixed-shape doubles — replayed
+    bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return lexical_diversity(d, "text", "lang")
+
+
+@query(
+    "q_clustering",
+    """
+    WITH raw AS (
+      SELECT o_custkey % 200 AS x,
+             (o_custkey * 7 + o_orderkey) % 200 AS y
+      FROM orders
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE x <> y
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pertri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    ),
+    per AS (
+      SELECT deg.node, d, coalesce(t, 0) AS t
+      FROM deg LEFT JOIN pertri USING (node)
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(coalesce(sum(CAST(d AS HUGEINT) * (d - 1)), 0)
+                  AS HUGEINT) AS w2,
+             CAST(coalesce(sum(t), 0) AS HUGEINT) AS tsum,
+             CAST(coalesce(sum(CASE WHEN d >= 2 THEN
+               CAST(round(2.0 * CAST(t AS DOUBLE)
+                          / (CAST(d AS DOUBLE)
+                             * (CAST(d AS DOUBLE) - 1.0))
+                          * 1000000000.0) AS HUGEINT) END), 0)
+                  AS HUGEINT) AS lsum,
+             CAST(coalesce(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS deg2
+      FROM per
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS me FROM e)
+    SELECT nn AS n_nodes, me AS n_edges,
+           CAST(w2 / 2 AS BIGINT) AS n_wedges,
+           CAST(tsum / 3 AS BIGINT) AS n_triangles,
+           CASE WHEN w2 / 2 > 0 THEN
+             round(CAST(tsum AS DOUBLE) / CAST(w2 / 2 AS DOUBLE), 6)
+           END AS global_c,
+           CASE WHEN deg2 > 0 THEN
+             round(CAST(lsum AS DOUBLE) / 1000000000.0
+                   / CAST(deg2 AS DOUBLE), 6)
+           END AS avg_local_c
+    FROM agg CROSS JOIN m
+    """,
+)
+def q_clustering(spark, sf_dir):
+    """Global + average-local clustering coefficients (operators/
+    graph.py:clustering_coefficient) of the q_triangles graph — how
+    cliquey is the pair graph, the companion number to
+    q_assortativity on the structural data card. Triangles ride the
+    hub-capped degree-ordered wedge join; wedges and locals are exact
+    integer/frozen moments — replayed bit-for-bit in SQL (naive
+    three-way-join oracle)."""
+    from kafka_streams_plumber_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"]
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("a_id"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 200).alias(
+            "b_id"
+        ),
+    )
+    return clustering_coefficient(edges, "a_id", "b_id")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -14747,6 +15235,7 @@ _WINDOW_FIRST_HASH: list[str] = [
     "q_avg_precision",
     "q_mcc",
     "q_assortativity",
+    "q_ccf",
 ]
 
 #: Oracled queries excluded from the stalest fill, with the reason
@@ -14816,7 +15305,16 @@ _GATE_WINDOW = (
 #: neither a CORRECTNESS file, the window, nor this queue). With the
 #: computed stalest fill this queue only matters for genuinely-new
 #: oracles that cannot displace a _WINDOW_FIRST_HASH slot.
-_NEXT_WINDOW_QUEUE: list[str] = []
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # session-4 wave 2: written after the 50-slot window filled
+    "q_prop_test",
+    "q_gof",
+    "q_cliffs_delta",
+    "q_bartlett",
+    "q_qq",
+    "q_lexdiv",
+    "q_clustering",
+]
 
 
 def _reorder_registry() -> None:

@@ -446,3 +446,40 @@ def test_degree_assortativity_hand_computed(spark):
     rt = degree_assortativity(tri).collect()[0]
     assert (rt["n_nodes"], rt["n_edges"]) == (4, 4)
     assert rt["r"] == -0.714286
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    """Triangle + pendant: wedges 5, triangles 1, global C = 3/5,
+    avg local = (1/3 + 1 + 1)/3 = 0.777778 (networkx agrees); K4 is
+    fully clustered (both 1.0); a path has no triangles (global 0,
+    local 0); dirty edges (dupes, self-loops, both orientations) are
+    canonicalized first."""
+    from kafka_streams_plumber_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (1, 4), (4, 4)],
+        "src long, dst long",
+    )
+    r = clustering_coefficient(tri).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        4, 4, 5, 1,
+    )
+    assert r["global_c"] == 0.6
+    assert r["avg_local_c"] == 0.777778
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    rk = clustering_coefficient(k4).collect()[0]
+    assert (rk["global_c"], rk["avg_local_c"]) == (1.0, 1.0)
+    assert (rk["n_wedges"], rk["n_triangles"]) == (12, 4)
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rp = clustering_coefficient(path).collect()[0]
+    assert (rp["global_c"], rp["avg_local_c"]) == (0.0, 0.0)
+    assert rp["n_triangles"] == 0

@@ -1595,3 +1595,187 @@ def test_welch_t_hand_computed(spark):
     )
     r2 = welch_t(tiny, "v", "g", "a", "b").collect()[0]
     assert r2["t"] is None and r2["df"] is None
+
+
+def test_cross_correlation_hand_computed(spark):
+    """y = x shifted by +2: the CCF peaks AT lag 2 (the pairs there
+    align x_t with x_t; full-series normalization keeps it just
+    under 1 from boundary pairs); lag 0 of x-vs-x is exactly 1.0;
+    constant y -> NULL everywhere."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    xs = {i: float((i * 7) % 5 + 1) for i in range(20)}
+    rows = [(i, xs[i], xs[i - 2]) for i in range(2, 20)]
+    df = spark.createDataFrame(rows, "i long, x double, y double")
+    out = {
+        r["lag"]: r
+        for r in cross_correlation(df, "i", "x", "y", max_lag=3).collect()
+    }
+    peak = max(out.values(), key=lambda r: r["ccf"])
+    assert peak["lag"] == 2 and peak["ccf"] > 0.9
+    assert out[0]["ccf"] < out[2]["ccf"]
+    assert len(out) == 7 and out[-3]["lag"] == -3
+
+    same = spark.createDataFrame(
+        [(i, xs[i], xs[i]) for i in range(20)], "i long, x double, y double"
+    )
+    s = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(same, "i", "x", "y", max_lag=1).collect()
+    }
+    assert s[0] == 1.0
+
+    const = spark.createDataFrame(
+        [(i, xs[i], 5.0) for i in range(20)], "i long, x double, y double"
+    )
+    c = cross_correlation(const, "i", "x", "y", max_lag=1).collect()
+    assert all(r["ccf"] is None for r in c)
+
+
+def test_cross_correlation_lag0_is_pearson(spark):
+    """Lag 0 equals the Pearson correlation of the aligned series
+    (pure-Python reference)."""
+    import math
+    import random
+
+    from kafka_streams_plumber_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    random.seed(4)
+    rows = [
+        (i, round(random.gauss(10, 2), 4), round(random.gauss(5, 1), 4))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "i long, x double, y double")
+    r0 = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(df, "i", "x", "y", max_lag=1).collect()
+    }[0]
+    X = [round(x * 1e6) for _, x, _ in rows]
+    Y = [round(y * 1e6) for _, _, y in rows]
+    n = len(X)
+    num = n * sum(a * b for a, b in zip(X, Y)) - sum(X) * sum(Y)
+    den = math.sqrt(
+        (n * sum(a * a for a in X) - sum(X) ** 2)
+        * (n * sum(b * b for b in Y) - sum(Y) ** 2)
+    )
+    assert abs(r0 - num / den) < 2e-6
+
+
+def test_two_proportion_z_hand_computed(spark):
+    """30/100 vs 50/120: z from the pooled closed form; equal rates
+    -> z = 0; empty side -> NULLs."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import (
+        two_proportion_z,
+    )
+
+    rows = [("a", i < 30) for i in range(100)] + [
+        ("b", i < 50) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    r = two_proportion_z(df, "s", "g", "a", "b").collect()[0]
+    pa, pb, pool = 0.3, 50 / 120, 80 / 220
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 120))
+    assert (r["n_a"], r["n_b"], r["pos_a"], r["pos_b"]) == (100, 120, 30, 50)
+    assert abs(r["z"] - z) < 1e-6
+
+    eq = spark.createDataFrame(
+        [("a", i < 5) for i in range(10)] + [("b", i < 5) for i in range(10)],
+        "g string, s boolean",
+    )
+    assert two_proportion_z(eq, "s", "g", "a", "b").collect()[0]["z"] == 0.0
+
+    r2 = two_proportion_z(df, "s", "g", "a", "zz").collect()[0]
+    assert r2["z"] is None and r2["n_b"] == 0
+
+
+def test_chi2_gof_hand_computed(spark):
+    """50/30/20 vs (0.5, 0.25, 0.25) over N=100: chi2 = 0 + 1 + 1 =
+    2; off-target categories are excluded; an absent target category
+    keeps its full expected mass."""
+    from kafka_streams_plumber_spark.operators.stats import chi2_gof
+
+    rows = [("en",)] * 50 + [("de",)] * 30 + [("fr",)] * 20 + [("xx",)] * 7
+    df = spark.createDataFrame(rows, "g string")
+    r = chi2_gof(df, "g", {"en": 0.5, "de": 0.25, "fr": 0.25}).collect()[0]
+    assert (r["n"], r["k"], r["df"]) == (100, 3, 2)
+    assert r["chi2"] == 2.0
+
+    # absent category 'es' with half the target mass: N stays 100,
+    # E = (25, 12.5, 12.5, 50), so chi2 = 25 + 24.5 + 4.5 + 50 = 104
+    r2 = chi2_gof(df, "g", {"en": 0.25, "de": 0.125, "fr": 0.125,
+                            "es": 0.5}).collect()[0]
+    assert r2["k"] == 4
+    assert r2["chi2"] == 104.0
+
+
+def test_cliffs_delta_hand_computed(spark):
+    """Complete separation -> +-1; identical samples -> 0; the
+    textbook a=[1,2,3] b=[2,3,4]: wins 1, losses 6, ties -> delta =
+    (1-6)/9 = -0.555556."""
+    from kafka_streams_plumber_spark.operators.stats import cliffs_delta
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["delta"] == -0.555556
+
+    sep = spark.createDataFrame(
+        [("a", 9.0), ("a", 8.0), ("b", 1.0)], "g string, v double"
+    )
+    assert cliffs_delta(sep, "v", "g", "a", "b").collect()[0]["delta"] == 1.0
+    assert cliffs_delta(sep, "v", "g", "b", "a").collect()[0]["delta"] == -1.0
+
+
+def test_bartlett_hand_computed(spark):
+    """Equal-variance groups -> T ~ 0 (exactly 0 when variances are
+    identical); a zero-variance group -> NULL; n_i < 2 -> NULL."""
+    from kafka_streams_plumber_spark.operators.stats import bartlett
+
+    # two groups with IDENTICAL sample variance -> T = 0
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 11.0), ("b", 12.0), ("b", 13.0)],
+        "g string, v double",
+    )
+    assert bartlett(df, "v", "g").collect()[0]["t"] == 0.0
+
+    zv = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    assert bartlett(zv, "v", "g").collect()[0]["t"] is None
+
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 7.0)], "g string, v double"
+    )
+    assert bartlett(tiny, "v", "g").collect()[0]["t"] is None
+
+
+def test_qq_table_hand_computed(spark):
+    """b = a + 10 exactly: every decile diff is 10; an empty side
+    yields NULL quantiles but keeps the 9 probe rows."""
+    from kafka_streams_plumber_spark.operators.stats import qq_table
+
+    a = [float(x) for x in range(1, 12)]
+    rows = [("a", x) for x in a] + [("b", x + 10.0) for x in a]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = qq_table(df, "v", "g", "a", "b").collect()
+    assert len(out) == 9
+    assert [r["p"] for r in out] == [round(i / 10, 6) for i in range(1, 10)]
+    assert all(r["diff"] == -10.0 for r in out)
+    assert out[4]["q_a"] == 6.0  # median of 1..11
+
+    empty_b = qq_table(df, "v", "g", "a", "zz").collect()
+    assert len(empty_b) == 9
+    assert all(r["q_b"] is None and r["diff"] is None for r in empty_b)
+    assert empty_b[4]["q_a"] == 6.0

@@ -666,3 +666,48 @@ def test_readability_hand_computed(spark):
     assert (r2["n_words"], r2["n_syllables"]) == (2, 5)
     assert r2["fk_grade"] == round(0.39 * 2 + 11.8 * 2.5 - 15.59, 6)
     assert got[3]["fk_grade"] is None and got[3]["n_words"] == 0
+
+
+def test_lexical_diversity_hand_computed(spark):
+    """Hand-counted spectrum: 'the cat sat on the mat the end' + 'a
+    cat and a dog' -> N=13 V=9 V1=6 sum m^2=23, so K=591.715976,
+    D=10/156, R=100*ln(13)/(1/3); all-hapax slice -> honore NULL;
+    repeat-only slice has zero hapax."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    docs = [
+        ("s1", "the cat sat on the mat the end"),
+        ("s1", "a cat and a dog"),
+        ("s2", "x y z"),
+        ("s3", "w w w w"),
+    ]
+    df = spark.createDataFrame(docs, "g string, text string")
+    out = {r["g"]: r for r in lexical_diversity(df, "text", "g").collect()}
+    s1 = out["s1"]
+    assert (s1["n_tokens"], s1["n_types"], s1["n_hapax"]) == (13, 9, 6)
+    assert s1["yule_k"] == round(1e4 * (23 - 13) / 169, 6)
+    assert s1["simpson_d"] == round(10 / 156, 6)
+    assert s1["honore_r"] == round(100 * math.log(13) / (1 - 6 / 9), 6)
+    assert out["s2"]["honore_r"] is None  # every type is a hapax
+    s3 = out["s3"]
+    assert (s3["n_types"], s3["n_hapax"]) == (1, 0)
+    assert s3["simpson_d"] == 1.0  # repeat-draw probability is certain
+
+
+def test_lexical_diversity_case_folding_and_empties(spark):
+    """Tokenization matches the engine convention: lowercase space
+    split with empties dropped ('The  THE the' is one type, count
+    3)."""
+    from kafka_streams_plumber_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "The  THE the")], "g string, text string"
+    )
+    r = lexical_diversity(df, "text", "g").collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (3, 1, 0)

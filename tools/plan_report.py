@@ -206,6 +206,14 @@ AUDITED = {
     "q_avg_precision": "distinct-score grain; ONE descending fused prefix pass; frozen per-threshold contributions",
     "q_mcc": "k^2-bounded confusion grain; O(k) full-outer marginals; all-integer R_K moments, one sqrt",
     "q_assortativity": "edge dedup + degree agg + two equi-joins of the O(V) degree table; exact integer moments",
+    "q_ccf": "shifted-index equi-join per lag on the bounded hourly grain; n^2-cleared exact cross-moments",
+    "q_prop_test": "ONE conditional-count aggregate to two rows; fixed-shape pooled-z tail",
+    "q_gof": "count aggregate joined onto a broadcast O(k) literal spine; frozen chi-square terms",
+    "q_cliffs_delta": "distinct-value grain + ONE prefix pass; exact integer doubled dominance count",
+    "q_bartlett": "ONE aggregate to k rows; frozen per-group log terms summed as exact integers",
+    "q_qq": "both groups' deciles in ONE exact-percentile range exchange; O(1) pivot",
+    "q_lexdiv": "token-grain collapse (map-side combine absorbs the Zipf head) + one group aggregate; integer spectrum moments",
+    "q_clustering": "hub-capped wedge join reused from triangles; O(V) degree broadcast; frozen local ratios",
 }
 
 

@@ -157,6 +157,14 @@ PROBED = [
     "q_avg_precision",
     "q_mcc",
     "q_assortativity",
+    "q_ccf",
+    "q_prop_test",
+    "q_gof",
+    "q_cliffs_delta",
+    "q_bartlett",
+    "q_qq",
+    "q_lexdiv",
+    "q_clustering",
 ]
 
 
