@@ -1221,3 +1221,215 @@ def test_brier_murphy_identity_holds(spark, pairs):
     assert abs(lhs - rhs) < 5e-6, (lhs, rhs)
     bs_ref = sum((p - (1.0 if y else 0.0)) ** 2 for p, y in rows) / len(rows)
     assert abs(lhs - bs_ref) < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(panels)
+def test_cliffs_delta_antisymmetric_and_brute_force(spark, pairs):
+    """delta is the brute-force (wins - losses)/(n*m), bounded in
+    [-1, 1], and antisymmetric under swapping the groups."""
+    from kafka_streams_plumber_spark.operators.stats import cliffs_delta
+
+    rows = [(f"g{g % 2}", float(v)) for g, v in pairs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = [v for g, v in rows if g == "g0"]
+    b = [v for g, v in rows if g == "g1"]
+    got = cliffs_delta(df, "v", "g", "g0", "g1").collect()[0]
+    rev = cliffs_delta(df, "v", "g", "g1", "g0").collect()[0]
+    if not a or not b:
+        assert got["delta"] is None
+        return
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    want = round((gt - lt) / (len(a) * len(b)), 6)
+    assert got["delta"] == want
+    assert -1.0 <= got["delta"] <= 1.0
+    assert rev["delta"] == -got["delta"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(panels)
+def test_cramer_von_mises_matches_brute_force(spark, pairs):
+    """T equals the brute-force weighted ECDF-gap sum at the pooled
+    distinct values, and is always >= 0."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        cramer_von_mises,
+    )
+
+    rows = [(f"g{g % 2}", float(v)) for g, v in pairs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = sorted(v for g, v in rows if g == "g0")
+    b = sorted(v for g, v in rows if g == "g1")
+    got = cramer_von_mises(df, "v", "g", "g0", "g1").collect()[0]
+    if not a or not b:
+        assert got["t"] is None
+        return
+    n, m = len(a), len(b)
+    t = 0.0
+    for v in sorted(set(a + b)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        tv = a.count(v) + b.count(v)
+        t += tv * (ca / n - cb / m) ** 2
+    t *= n * m / (n + m) ** 2
+    assert got["t"] == round(t, 6)
+    assert got["t"] >= 0.0
+
+
+#: complete blocked panels: block 0..4 x 3 treatments, tied values
+blocked = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=4),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(blocked)
+def test_friedman_matches_sequential_midranks(spark, triples):
+    """Tie-corrected Q equals the sequential within-block midrank
+    computation on every generated complete panel."""
+    from kafka_streams_plumber_spark.operators.stats import friedman
+
+    rows = [
+        (b, t, float(v))
+        for b, vs in enumerate(triples)
+        for t, v in zip(("x", "y", "z"), vs)
+    ]
+    df = spark.createDataFrame(rows, "b long, t string, v double")
+    got = friedman(df, "b", "t", "v", n_treatments=3).collect()[0]
+
+    def midranks(vs):
+        order = sorted(range(len(vs)), key=lambda i: vs[i])
+        out = [0.0] * len(vs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vs[order[j + 1]] == vs[order[i]]:
+                j += 1
+            mid = (i + j) / 2 + 1
+            for q in range(i, j + 1):
+                out[order[q]] = mid
+            i = j + 1
+        return out
+
+    k, n = 3, len(triples)
+    rsum = [0.0] * k
+    a = 0.0
+    for vs in triples:
+        rs = midranks(list(vs))
+        for j in range(k):
+            rsum[j] += rs[j]
+        a += sum(x * x for x in rs)
+    c = n * k * (k + 1) ** 2 / 4
+    num = (k - 1) * sum((r - n * (k + 1) / 2) ** 2 for r in rsum)
+    assert got["n_blocks"] == n
+    if a == c:  # every block all-ties
+        assert got["q"] is None
+    else:
+        assert got["q"] == round(num / (a - c), 6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(panels)
+def test_welch_t_antisymmetric_and_brute_force(spark, pairs):
+    """t matches the closed form, is antisymmetric under group swap,
+    and df is swap-invariant."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import welch_t
+
+    rows = [(f"g{g % 2}", float(v)) for g, v in pairs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = [v for g, v in rows if g == "g0"]
+    b = [v for g, v in rows if g == "g1"]
+    got = welch_t(df, "v", "g", "g0", "g1").collect()[0]
+    rev = welch_t(df, "v", "g", "g1", "g0").collect()[0]
+    if len(a) < 2 or len(b) < 2:
+        assert got["t"] is None
+        return
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        return n, m, sum((x - m) ** 2 for x in xs) / (n - 1)
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    se2 = va / na + vb / nb
+    if se2 == 0:
+        assert got["t"] is None
+        return
+    assert abs(got["t"] - (ma - mb) / math.sqrt(se2)) < 1e-5
+    assert rev["t"] == -got["t"]
+    assert rev["df"] == got["df"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_average_precision_matches_brute_force(spark, scored):
+    """AP equals the sequential threshold sweep over distinct scores
+    (descending), and lives in (0, 1]."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        average_precision,
+    )
+
+    rows = [(float(s), y) for s, y in scored]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = average_precision(df, "s", "y").collect()[0]
+    pos = sum(1 for _, y in rows if y)
+    if pos == 0:
+        assert got["ap"] is None
+        return
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for s, y in rows:
+        per[s][0] += 1
+        per[s][1] += int(y)
+    cum = ctp = acc = 0
+    for s in sorted(per, reverse=True):
+        t, tp = per[s]
+        cum += t
+        ctp += tp
+        acc += round(tp * ctp / cum * 1e9)
+    assert got["ap"] == round(acc / 1e9 / pos, 6)
+    assert 0.0 < got["ap"] <= 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=30)
+)
+def test_durbin_watson_matches_brute_force(spark, vals):
+    """DW equals n*sum(diff^2)/(n*Q - T^2) on a dense index and lies
+    in [0, 4] whenever defined."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        durbin_watson,
+    )
+
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    got = durbin_watson(df, "g", "i", "v").collect()[0]
+    xs = [round(v * 1e6) for v in vals]
+    n = len(xs)
+    t, q = sum(xs), sum(x * x for x in xs)
+    d = sum((xs[i + 1] - xs[i]) ** 2 for i in range(n - 1))
+    if n * q == t * t:  # constant series
+        assert got["dw"] is None
+        return
+    assert got["dw"] == round(n * d / (n * q - t * t), 6)
+    assert 0.0 <= got["dw"] <= 4.000001
