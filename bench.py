@@ -156,6 +156,9 @@ EXTRA8 = [
     "q_qq",
     "q_lexdiv",
     "q_clustering",
+    "q_cochran_armitage",
+    "q_hhi",
+    "q_mann_kendall",
 ]
 
 

@@ -1679,3 +1679,93 @@ def theil_sen(
         ).cast("long").alias("n_pairs"),
         F.round(F.col("_med"), int(slope_round)).alias("slope"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    *,
+    round_values: int | None = None,
+) -> DataFrame:
+    """Mann-Kendall trend test per series — IS there a monotone trend,
+    the significance companion to :func:`theil_sen`'s HOW STEEP.
+    S = sum over bucket pairs of sign(v_j - v_i) (j later than i);
+    the tie-corrected normal approximation
+    var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 and the
+    continuity-corrected z = (S -+ 1)/sqrt(var) make |z| >= 1.96 the
+    95% monotone-trend verdict — robust to outliers and any monotone
+    transform of the values, which is exactly what a feed-drift
+    screen wants. One row per group ``(group, n_buckets, s, z)``;
+    z NULL when n < 2 or zero variance (all values tied).
+
+    Exactness: S and the two variance terms are exact integers (the
+    pair join emits sign values; tie runs come from the per-value
+    counts); z is one fixed-shape double — replayed bit-for-bit in
+    SQL.
+
+    Scale design: the O(B^2) pair join runs on the COLLAPSED bucketed
+    grain per group (the :func:`theil_sen` contract — bounded B,
+    equi-keyed per group); ties ride a separate (group, value)
+    collapse. Do NOT call this on an uncollapsed per-event index.
+    """
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(index_col).isNotNull()
+        & v.isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(index_col).cast("long").alias("_i"),
+        v.alias("_v"),
+    )
+    b = base.select(
+        "_g", F.col("_i").alias("_j"), F.col("_v").alias("_w")
+    )
+    pairs = base.join(b, "_g").where(F.col("_j") > F.col("_i"))
+    s_agg = pairs.groupBy("_g").agg(
+        F.coalesce(
+            F.sum(F.signum(F.col("_w") - F.col("_v")).cast("long")),
+            F.lit(0),
+        ).alias("_s")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ties = (
+        base.groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("_g")
+        .agg(
+            F.sum("_t").cast("decimal(38,0)").alias("_n"),
+            F.coalesce(
+                F.sum(
+                    dec(
+                        (F.col("_t") * (F.col("_t") - 1)).cast(
+                            "decimal(19,0)"
+                        )
+                    )
+                    * (2 * F.col("_t") + 5).cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_tt"),
+        )
+    )
+    out = ties.join(s_agg, "_g", "left")
+    nn = F.col("_n")
+    var18 = (
+        nn * (nn - 1) * (2 * nn + 5) - F.col("_tt")
+    ).cast("double") / F.lit(18.0)
+    s = F.coalesce(F.col("_s"), F.lit(0))
+    zc = F.when(s > 0, (s - 1).cast("double")).when(
+        s < 0, (s + 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    z = zc / F.nullif(F.sqrt(var18), F.lit(0.0))
+    ok = (nn >= 2) & (var18 > F.lit(0.0))
+    return out.select(
+        F.col("_g").alias(group_col),
+        nn.cast("long").alias("n_buckets"),
+        s.cast("long").alias("s"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+    )

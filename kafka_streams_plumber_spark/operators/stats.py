@@ -4177,3 +4177,157 @@ def qq_table(
         )
     )
     return out.orderBy("p")
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col,
+    success_col,
+) -> DataFrame:
+    """Cochran-Armitage trend test — does a success RATE trend
+    monotonically across ORDERED buckets? The k-sample sharpening of
+    :func:`two_proportion_z` when the slices have a natural order
+    (value tiers, quality bands, dose levels): chi-square
+    independence ignores the order and wastes power; this test puts
+    all of it on the linear trend. One row
+    ``(n, n_success, k_scores, z)``: z is standard normal under
+    no-trend, positive when the rate RISES with the score. NULL when
+    all successes/failures, a single score level, or zero score
+    variance.
+
+    Exactness: with integer-valued scores w the statistic clears the
+    rational pooled rate completely — z = (N*sum(w*r) -
+    R*sum(w*n)) * sqrt(N) / sqrt(R*(N-R)*(N*sum(w^2*n) -
+    sum(w*n)^2)) where r/n are per-score success/total counts — ALL
+    exact integers on decimal(38,0), one fixed-shape sqrt tail.
+    SQL replays bit-for-bit.
+
+    Scale design: ONE map-combinable aggregate to the k-score grain,
+    one k-row fold. ``score_col`` must be (castable to) an integer
+    bucket index — quantize upstream.
+    """
+    w = (
+        score_col
+        if isinstance(score_col, Column)
+        else F.col(score_col)
+    ).cast("long")
+    s = (
+        success_col
+        if isinstance(success_col, Column)
+        else F.col(success_col)
+    ).cast("boolean")
+    base = df.where(w.isNotNull() & s.isNotNull()).select(
+        w.alias("_w"), s.alias("_s")
+    )
+    per = base.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_s"), 1).otherwise(0)).alias("_r"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = per.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("decimal(38,0)").alias("_N"),
+        F.coalesce(F.sum("_r"), F.lit(0)).cast("decimal(38,0)").alias("_R"),
+        F.count(F.lit(1)).alias("_k"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_w").cast("decimal(19,0)"))
+                * F.col("_r").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_wr"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_w").cast("decimal(19,0)"))
+                * F.col("_n").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_wn"),
+        F.coalesce(
+            F.sum(
+                dec(
+                    (F.col("_w") * F.col("_w")).cast("decimal(19,0)")
+                )
+                * F.col("_n").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_w2n"),
+    )
+    num = F.col("_N") * F.col("_wr") - F.col("_R") * F.col("_wn")
+    sc = F.col("_N") * F.col("_w2n") - F.col("_wn") * F.col("_wn")
+    varterm = (
+        F.col("_R").cast("double")
+        * (F.col("_N") - F.col("_R")).cast("double")
+        * sc.cast("double")
+    )
+    ok = (
+        (F.col("_k") >= 2)
+        & (F.col("_R") > 0)
+        & (F.col("_R") < F.col("_N"))
+    )
+    z = (
+        num.cast("double")
+        * F.sqrt(F.col("_N").cast("double"))
+        / F.nullif(F.sqrt(varterm), F.lit(0.0))
+    )
+    return agg.select(
+        F.col("_N").cast("long").alias("n"),
+        F.col("_R").cast("long").alias("n_success"),
+        F.col("_k").cast("long").alias("k_scores"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration panel per group — how
+    CONCENTRATED is each slice's category mix? The data-card number
+    next to the mix itself: HHI = sum of squared category shares
+    (1/k for a uniform k-way mix, 1.0 for a monoculture),
+    effective_k = 1/HHI (the "equivalent number of equal sources" —
+    the honest diversity count), top_share = the largest single
+    category. The audit that catches "the de slice is 94% one crawl
+    domain" while the language mix still looks fine. One row per
+    group ``(group, n, k_categories, hhi, effective_k, top_share)``;
+    ratios NULL for an empty group.
+
+    Exactness: counts and sum-of-squared-counts are exact integers
+    on decimal(38,0) in one collapse + one aggregate; HHI =
+    sum c^2 / N^2 and friends are fixed-shape doubles — replayed
+    bit-for-bit in SQL.
+
+    Scale design: one map-combinable collapse to the (group,
+    category) grain, one group aggregate. No windows, no Python.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(category_col).alias("_c"),
+    )
+    per = base.groupBy("_g", "_c").agg(F.count(F.lit(1)).alias("_n"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = per.groupBy("_g").agg(
+        F.sum("_n").cast("decimal(38,0)").alias("_N"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(
+            dec(F.col("_n").cast("decimal(19,0)"))
+            * F.col("_n").cast("decimal(19,0)")
+        ).alias("_c2"),
+        F.max("_n").alias("_top"),
+    )
+    nd = F.col("_N").cast("double")
+    hhi = F.col("_c2").cast("double") / (nd * nd)
+    ok = F.col("_N") > 0
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_N").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_categories"),
+        F.when(ok, F.round(hhi, 6)).alias("hhi"),
+        F.when(ok, F.round(F.lit(1.0) / hhi, 6)).alias("effective_k"),
+        F.when(ok, F.round(F.col("_top").cast("double") / nd, 6)).alias(
+            "top_share"
+        ),
+    )

@@ -15121,6 +15121,168 @@ def q_clustering(spark, sf_dir):
     return clustering_coefficient(edges, "a_id", "b_id")
 
 
+@query(
+    "q_cochran_armitage",
+    """
+    WITH base AS (
+      SELECT least(3, CAST(floor(CAST(value AS DOUBLE) / 125.0)
+                           AS BIGINT)) AS w,
+             event_type = 'purchase' AS s
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM base GROUP BY w
+    ),
+    agg AS (
+      SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS nn,
+             CAST(coalesce(sum(r), 0) AS HUGEINT) AS rr,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(coalesce(sum(CAST(w AS HUGEINT) * r), 0)
+                  AS HUGEINT) AS wr,
+             CAST(coalesce(sum(CAST(w AS HUGEINT) * n), 0)
+                  AS HUGEINT) AS wn,
+             CAST(coalesce(sum(CAST(w * w AS HUGEINT) * n), 0)
+                  AS HUGEINT) AS w2n
+      FROM per
+    )
+    SELECT CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS n_success,
+           k AS k_scores,
+           CASE WHEN k >= 2 AND rr > 0 AND rr < nn THEN
+             round(CAST(nn * wr - rr * wn AS DOUBLE)
+                   * sqrt(CAST(nn AS DOUBLE))
+                   / nullif(sqrt(CAST(rr AS DOUBLE)
+                                 * CAST(nn - rr AS DOUBLE)
+                                 * CAST(nn * w2n - wn * wn
+                                        AS DOUBLE)), 0.0), 6)
+           END AS z
+    FROM agg
+    """,
+)
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test (operators/stats.py:
+    cochran_armitage): does the purchase rate TREND across ordered
+    value tiers (0-125-250-375+)? The order-aware sharpening of
+    q_chi2 that q_prop_test can't see. Integer-score identity clears
+    the pooled rate entirely — all-integer moments, one sqrt tail —
+    replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        cochran_armitage,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.least(
+            F.lit(3), F.floor(F.col("value").cast("double") / F.lit(125.0))
+        ).alias("tier"),
+        (F.col("event_type") == "purchase").alias("hit"),
+    )
+    return cochran_armitage(d, "tier", "hit")
+
+
+@query(
+    "q_hhi",
+    """
+    WITH per AS (
+      SELECT lang AS g, source AS c, CAST(count(*) AS BIGINT) AS n
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g, CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS c2,
+             CAST(max(n) AS BIGINT) AS top
+      FROM per GROUP BY g
+    )
+    SELECT g AS lang, CAST(nn AS BIGINT) AS n, k AS k_categories,
+           CASE WHEN nn > 0 THEN
+             round(CAST(c2 AS DOUBLE)
+                   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+           END AS hhi,
+           CASE WHEN nn > 0 THEN
+             round(1.0 / (CAST(c2 AS DOUBLE)
+                          / (CAST(nn AS DOUBLE)
+                             * CAST(nn AS DOUBLE))), 6)
+           END AS effective_k,
+           CASE WHEN nn > 0 THEN
+             round(CAST(top AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+           END AS top_share
+    FROM agg
+    """,
+)
+def q_hhi(spark, sf_dir):
+    """Source-concentration panel per language (operators/stats.py:
+    hhi_concentration): HHI, effective source count 1/HHI, and top
+    single-source share — the audit that catches a language slice
+    quietly becoming one crawl domain while the language mix itself
+    still matches the data card. All-integer count moments, three
+    fixed-shape ratios — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        hhi_concentration,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return hhi_concentration(d, "lang", "source")
+
+
+@query(
+    "q_mann_kendall",
+    f"""
+    WITH binned AS ({_DW_BINNED_SQL}),
+    pairs AS (
+      SELECT a.event_type AS g,
+             CAST(sign(b2.v - a.v) AS BIGINT) AS sg
+      FROM binned a
+      JOIN binned b2 ON b2.event_type = a.event_type AND b2.b > a.b
+    ),
+    sagg AS (
+      SELECT g, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s
+      FROM pairs GROUP BY g
+    ),
+    ties AS (
+      SELECT event_type AS g, CAST(sum(t) AS HUGEINT) AS n,
+             CAST(coalesce(sum(CAST(t * (t - 1) AS HUGEINT)
+                                * (2 * t + 5)), 0) AS HUGEINT) AS tt
+      FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+            FROM binned GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT t2.g AS event_type, CAST(n AS BIGINT) AS n_buckets,
+           coalesce(s, 0) AS s,
+           CASE WHEN n >= 2
+                 AND CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+                     / 18.0 > 0.0 THEN
+             round((CASE WHEN coalesce(s, 0) > 0 THEN
+                      CAST(coalesce(s, 0) - 1 AS DOUBLE)
+                    WHEN coalesce(s, 0) < 0 THEN
+                      CAST(coalesce(s, 0) + 1 AS DOUBLE)
+                    ELSE 0.0 END)
+                   / nullif(sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt
+                                      AS DOUBLE) / 18.0), 0.0), 6)
+           END AS z
+    FROM ties t2 LEFT JOIN sagg ON sagg.g = t2.g
+    """,
+)
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test (operators/behavior.py:
+    mann_kendall) per event type's hourly series — IS the feed
+    drifting, the significance verdict next to q_theil_sen's slope.
+    Exact integer S and tie-corrected variance off the collapsed
+    bounded grain, continuity-corrected z — replayed bit-for-bit in
+    SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        mann_kendall,
+    )
+
+    return mann_kendall(_dw_binned(spark, sf_dir), "event_type", "b", "v")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -15314,6 +15476,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_qq",
     "q_lexdiv",
     "q_clustering",
+    "q_cochran_armitage",
+    "q_hhi",
+    "q_mann_kendall",
 ]
 
 

@@ -1081,3 +1081,45 @@ def test_theil_sen_matches_pure_python(spark):
         )
     )
     assert r["slope"] == medq
+
+
+def test_mann_kendall_hand_computed(spark):
+    """Strictly increasing series: S = n(n-1)/2 with the continuity-
+    corrected z; decreasing mirrors the sign; constant -> NULL; tie
+    correction matches the closed form on a tied panel."""
+    import math
+    from collections import Counter
+
+    from kafka_streams_plumber_spark.operators.behavior import (
+        mann_kendall,
+    )
+
+    rows = [("up", i, float(i)) for i in range(10)]
+    rows += [("down", i, float(-i)) for i in range(10)]
+    rows += [("flat", i, 3.0) for i in range(8)]
+    tied_vals = [1, 2, 2, 3, 1, 3, 3, 4, 2, 5]
+    rows += [("tied", i, float(v)) for i, v in enumerate(tied_vals)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = {r["g"]: r for r in mann_kendall(df, "g", "i", "v").collect()}
+
+    n = 10
+    var = n * (n - 1) * (2 * n + 5) / 18
+    assert out["up"]["s"] == 45
+    assert out["up"]["z"] == round(44 / math.sqrt(var), 6)
+    assert out["down"]["s"] == -45
+    assert out["down"]["z"] == -out["up"]["z"]
+    assert out["flat"]["z"] is None and out["flat"]["s"] == 0
+
+    s = sum(
+        (tied_vals[j] > tied_vals[i]) - (tied_vals[j] < tied_vals[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    t = Counter(tied_vals)
+    vart = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(c * (c - 1) * (2 * c + 5) for c in t.values())
+    ) / 18
+    zc = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+    assert out["tied"]["s"] == s
+    assert out["tied"]["z"] == round(zc / math.sqrt(vart), 6)

@@ -1779,3 +1779,66 @@ def test_qq_table_hand_computed(spark):
     assert len(empty_b) == 9
     assert all(r["q_b"] is None and r["diff"] is None for r in empty_b)
     assert empty_b[4]["q_a"] == 6.0
+
+
+def test_cochran_armitage_hand_computed(spark):
+    """Rising rates across ordered tiers give a large positive z
+    (closed-form replayed); flat rates give exactly 0; reversing the
+    score order flips the sign; all-success -> NULL."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import (
+        cochran_armitage,
+    )
+
+    rows = []
+    for w, k, n in [(0, 5, 50), (1, 12, 60), (2, 14, 40), (3, 15, 30)]:
+        rows += [(w, i < k) for i in range(n)]
+    df = spark.createDataFrame(rows, "w long, s boolean")
+    r = cochran_armitage(df, "w", "s").collect()[0]
+    N, R = 180, 46
+    wr = 0 * 5 + 1 * 12 + 2 * 14 + 3 * 15
+    wn = 0 * 50 + 1 * 60 + 2 * 40 + 3 * 30
+    w2n = 0 * 50 + 1 * 60 + 4 * 40 + 9 * 30
+    z = (N * wr - R * wn) * math.sqrt(N) / math.sqrt(
+        R * (N - R) * (N * w2n - wn * wn)
+    )
+    assert (r["n"], r["n_success"], r["k_scores"]) == (180, 46, 4)
+    assert abs(r["z"] - z) < 1e-6
+
+    rev = spark.createDataFrame([(3 - w, s) for w, s in rows], "w long, s boolean")
+    assert cochran_armitage(rev, "w", "s").collect()[0]["z"] == -r["z"]
+
+    flat = spark.createDataFrame(
+        [(w, i < 10) for w in range(3) for i in range(20)],
+        "w long, s boolean",
+    )
+    assert cochran_armitage(flat, "w", "s").collect()[0]["z"] == 0.0
+
+    allpos = spark.createDataFrame(
+        [(w, True) for w in range(3) for _ in range(5)], "w long, s boolean"
+    )
+    assert cochran_armitage(allpos, "w", "s").collect()[0]["z"] is None
+
+
+def test_hhi_concentration_hand_computed(spark):
+    """Uniform 4-way mix -> HHI 0.25, effective_k exactly 4; a
+    50-vs-2 near-monoculture -> HHI (50^2+2^2)/52^2 with top share
+    50/52; single category -> HHI 1."""
+    from kafka_streams_plumber_spark.operators.stats import (
+        hhi_concentration,
+    )
+
+    rows = (
+        [("g1", f"c{i % 4}") for i in range(80)]
+        + [("g2", "c0")] * 50
+        + [("g2", "c1")] * 2
+        + [("g3", "only")] * 7
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in hhi_concentration(df, "g", "c").collect()}
+    assert (out["g1"]["hhi"], out["g1"]["effective_k"]) == (0.25, 4.0)
+    assert out["g2"]["hhi"] == round((50 * 50 + 4) / (52 * 52), 6)
+    assert out["g2"]["top_share"] == round(50 / 52, 6)
+    assert (out["g3"]["hhi"], out["g3"]["effective_k"]) == (1.0, 1.0)
+    assert out["g3"]["k_categories"] == 1

@@ -214,6 +214,9 @@ AUDITED = {
     "q_qq": "both groups' deciles in ONE exact-percentile range exchange; O(1) pivot",
     "q_lexdiv": "token-grain collapse (map-side combine absorbs the Zipf head) + one group aggregate; integer spectrum moments",
     "q_clustering": "hub-capped wedge join reused from triangles; O(V) degree broadcast; frozen local ratios",
+    "q_cochran_armitage": "ONE aggregate to the k-score grain; integer identity clears the pooled rate; one sqrt",
+    "q_hhi": "one (group, category) collapse + one group aggregate; integer count moments",
+    "q_mann_kendall": "bounded-grain pair join for exact integer S; tie terms off a (group, value) collapse",
 }
 
 

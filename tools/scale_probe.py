@@ -165,6 +165,9 @@ PROBED = [
     "q_qq",
     "q_lexdiv",
     "q_clustering",
+    "q_cochran_armitage",
+    "q_hhi",
+    "q_mann_kendall",
 ]
 
 
