@@ -159,6 +159,8 @@ EXTRA8 = [
     "q_cochran_armitage",
     "q_hhi",
     "q_mann_kendall",
+    "q_wilson",
+    "q_chao",
 ]
 
 

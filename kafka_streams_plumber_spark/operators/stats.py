@@ -4331,3 +4331,60 @@ def hhi_concentration(
             "top_share"
         ),
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    success_col,
+    group_col: str,
+    *,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Wilson score confidence interval for a success rate per group
+    — the interval to PUT ON A DASHBOARD next to every rate: unlike
+    the naive Wald interval it never leaves [0, 1], stays honest at
+    p near 0 or 1 and at small n (exactly where pass-rate / defect
+    panels live), and needs only counts. One row per group
+    ``(group, n, pos, p, lo, hi)`` at the given normal quantile
+    (default two-sided 95%); NULLs for an empty group.
+
+    Exactness: counts are exact integers from ONE map-combinable
+    aggregate; center (p + z^2/2n)/(1 + z^2/n) and half-width are
+    fixed-shape doubles — replayed bit-for-bit in SQL.
+
+    Scale design: one aggregate to k rows. Nothing else.
+    """
+    s = (
+        success_col
+        if isinstance(success_col, Column)
+        else F.col(success_col)
+    ).cast("boolean")
+    base = df.where(F.col(group_col).isNotNull() & s.isNotNull()).select(
+        F.col(group_col).alias("_g"), s.alias("_s")
+    )
+    agg = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_s"), 1).otherwise(0)).alias("_pos"),
+    )
+    zd = F.lit(float(z))
+    nd = F.col("_n").cast("double")
+    p = F.col("_pos").cast("double") / nd
+    denom = F.lit(1.0) + zd * zd / nd
+    center = (p + zd * zd / (F.lit(2.0) * nd)) / denom
+    half = (
+        zd
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + zd * zd / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+    ok = F.col("_n") > 0
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_pos").cast("long").alias("pos"),
+        F.when(ok, F.round(p, 6)).alias("p"),
+        F.when(ok, F.round(center - half, 6)).alias("lo"),
+        F.when(ok, F.round(center + half, 6)).alias("hi"),
+    )

@@ -1844,3 +1844,64 @@ def lexical_diversity(
         simpson.alias("simpson_d"),
         honore.alias("honore_r"),
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Vocabulary-richness estimators per slice — how much vocabulary
+    is the corpus still MISSING? Chao1 extrapolates total type count
+    from the rare tail (bias-corrected V + V1*(V1-1)/(2*(V2+1)),
+    defined even with no doubletons), and Good-Turing turns the hapax
+    share into the probability mass of UNSEEN types (V1/N) with
+    coverage = 1 - V1/N. The "is this slice saturated or should we
+    crawl more" number for a training-mix decision, and the
+    extrapolating complement of :func:`lexical_diversity`'s
+    concentration panel. One row per group ``(group, n_tokens,
+    n_types, n_hapax, n_doubletons, chao1, unseen_mass, coverage)``;
+    ratios NULL for an empty slice. Same tokenization as the rest of
+    the engine (:func:`tokens_lower`).
+
+    Exactness: N, V, V1, V2 are exact integers from two
+    map-combinable collapses; the three estimators are fixed-shape
+    doubles — replayed bit-for-bit in SQL.
+
+    Scale design: token-grain collapse (map-side combine absorbs the
+    Zipf head), one group aggregate. No windows, no Python.
+    """
+    base = df.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens_lower(F.col(text_col))).alias("_t"),
+    ).where(F.col("_t") != "")
+    per = base.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_m"))
+    agg = per.groupBy("_g").agg(
+        F.sum("_m").cast("decimal(38,0)").alias("_n"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_v"),
+        F.sum(F.when(F.col("_m") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("_v1"),
+        F.sum(F.when(F.col("_m") == 2, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("_v2"),
+    )
+    nd = F.col("_n").cast("double")
+    vd = F.col("_v").cast("double")
+    v1 = F.col("_v1").cast("double")
+    v2 = F.col("_v2").cast("double")
+    ok = F.col("_n") > 0
+    chao1 = vd + v1 * (v1 - F.lit(1.0)) / (
+        F.lit(2.0) * (v2 + F.lit(1.0))
+    )
+    unseen = v1 / nd
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("_v").cast("long").alias("n_types"),
+        F.col("_v1").cast("long").alias("n_hapax"),
+        F.col("_v2").cast("long").alias("n_doubletons"),
+        F.when(ok, F.round(chao1, 6)).alias("chao1"),
+        F.when(ok, F.round(unseen, 6)).alias("unseen_mass"),
+        F.when(ok, F.round(F.lit(1.0) - unseen, 6)).alias("coverage"),
+    )

@@ -15283,6 +15283,109 @@ def q_mann_kendall(spark, sf_dir):
     return mann_kendall(_dw_binned(spark, sf_dir), "event_type", "b", "v")
 
 
+@query(
+    "q_wilson",
+    """
+    WITH base AS (
+      SELECT event_type AS g, value > 100.0 AS s
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM base GROUP BY g
+    ),
+    d AS (
+      SELECT g, n, pos,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd, 1.959964 AS z
+      FROM agg
+    ),
+    w AS (
+      SELECT g, n, pos, p, nd,
+             (p + z * z / (2.0 * nd)) / (1.0 + z * z / nd) AS center,
+             z * sqrt(p * (1.0 - p) / nd
+                      + z * z / (4.0 * nd * nd))
+               / (1.0 + z * z / nd) AS half
+      FROM d
+    )
+    SELECT g AS event_type, n, pos,
+           CASE WHEN n > 0 THEN round(p, 6) END AS p,
+           CASE WHEN n > 0 THEN round(center - half, 6) END AS lo,
+           CASE WHEN n > 0 THEN round(center + half, 6) END AS hi
+    FROM w
+    """,
+)
+def q_wilson(spark, sf_dir):
+    """Wilson score intervals (operators/stats.py:wilson_ci) for the
+    high-value rate (value > 100) per event type — the dashboard
+    interval that never leaves [0,1] and stays honest at extreme
+    rates and small slices, unlike Wald. Exact counts, fixed-shape
+    double interval — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import wilson_ci
+
+    e = load_tables(spark, sf_dir)["events"]
+    return wilson_ci(e, F.col("value") > 100.0, "event_type")
+
+
+@query(
+    "q_chao",
+    """
+    WITH toks AS (
+      SELECT lang AS g, tok
+      FROM (
+        SELECT lang,
+               unnest(string_split(lower(coalesce(text, '')), ' '))
+                 AS tok
+        FROM documents WHERE lang IS NOT NULL
+      ) WHERE tok <> ''
+    ),
+    per AS (
+      SELECT g, tok, CAST(count(*) AS BIGINT) AS m
+      FROM toks GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g,
+             CAST(sum(m) AS HUGEINT) AS n,
+             CAST(count(*) AS HUGEINT) AS v,
+             CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS v1,
+             CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS v2
+      FROM per GROUP BY g
+    )
+    SELECT g AS lang,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           CAST(v1 AS BIGINT) AS n_hapax,
+           CAST(v2 AS BIGINT) AS n_doubletons,
+           CASE WHEN n > 0 THEN
+             round(CAST(v AS DOUBLE)
+                   + CAST(v1 AS DOUBLE) * (CAST(v1 AS DOUBLE) - 1.0)
+                     / (2.0 * (CAST(v2 AS DOUBLE) + 1.0)), 6)
+           END AS chao1,
+           CASE WHEN n > 0 THEN
+             round(CAST(v1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           END AS unseen_mass,
+           CASE WHEN n > 0 THEN
+             round(1.0 - CAST(v1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           END AS coverage
+    FROM agg
+    """,
+)
+def q_chao(spark, sf_dir):
+    """Vocabulary-richness estimators (operators/text.py:
+    vocab_richness) per language — Chao1 extrapolated type count and
+    Good-Turing unseen mass/coverage: is this slice saturated or
+    should the crawl keep going? All-integer spectrum counts, three
+    fixed-shape estimators — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.text import vocab_richness
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return vocab_richness(d, "text", "lang")
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -15479,6 +15582,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_cochran_armitage",
     "q_hhi",
     "q_mann_kendall",
+    "q_wilson",
+    "q_chao",
 ]
 
 

@@ -535,3 +535,55 @@ def test_gate_window_follows_staleness_rotation_policy():
             f"window fill holds a query last green in round {worst_in} "
             f"while a staler eligible query (round {best_out}) was left out"
         )
+
+
+def test_session4_wave_stays_jvm_side(spark):
+    """Every session-4 kernel (k-sample/normality/eval/graph +
+    concentration/trend waves) compiles to a pure JVM plan — zero
+    Python evals; the statistics are Column algebra end to end."""
+    for name in [
+        "q_jarque_bera",
+        "q_cvm",
+        "q_mood_median",
+        "q_friedman",
+        "q_welch",
+        "q_dw",
+        "q_theil_sen",
+        "q_avg_precision",
+        "q_mcc",
+        "q_assortativity",
+        "q_ccf",
+        "q_prop_test",
+        "q_gof",
+        "q_cliffs_delta",
+        "q_bartlett",
+        "q_qq",
+        "q_lexdiv",
+        "q_clustering",
+        "q_cochran_armitage",
+        "q_hhi",
+        "q_mann_kendall",
+        "q_wilson",
+        "q_chao",
+    ]:
+        df = QUERIES[name](spark, SF)
+        assert python_eval_count(df) == 0, name
+
+
+def test_session4_pair_joins_are_bounded_grain_equi_joins(spark):
+    """The O(B^2) operators (theil_sen, mann_kendall pairs) join on
+    the GROUP key over the collapsed hourly grain — the plan must
+    show an equi-join (hash/sortmerge), never a nested-loop cartesian
+    over raw events; the shifted-index operators (dw, ccf) likewise
+    equi-join on the bucket key."""
+    for name in ["q_theil_sen", "q_mann_kendall", "q_dw", "q_ccf"]:
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin appears only for the tiny 1-row /
+        # spine broadcasts, never carrying the pair fan-out; the pair
+        # stage itself must be a hash or sort-merge equi-join
+        assert (
+            "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        ), name

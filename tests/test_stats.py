@@ -1842,3 +1842,32 @@ def test_hhi_concentration_hand_computed(spark):
     assert out["g2"]["top_share"] == round(50 / 52, 6)
     assert (out["g3"]["hhi"], out["g3"]["effective_k"]) == (1.0, 1.0)
     assert out["g3"]["k_categories"] == 1
+
+
+def test_wilson_ci_hand_computed(spark):
+    """3/10 at z=1.959964: the textbook Wilson interval; p=0 keeps
+    lo = 0 exactly and hi > 0 (where Wald collapses); interval always
+    inside [0, 1]."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import wilson_ci
+
+    rows = [("a", i < 3) for i in range(10)] + [("b", False)] * 5 + [
+        ("c", True)
+    ] * 4
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r["g"]: r for r in wilson_ci(df, "s", "g").collect()}
+
+    z, n, p = 1.959964, 10, 0.3
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    a = out["a"]
+    assert (a["n"], a["pos"], a["p"]) == (10, 3, 0.3)
+    assert a["lo"] == round(center - half, 6)
+    assert a["hi"] == round(center + half, 6)
+
+    b = out["b"]
+    assert b["p"] == 0.0 and b["lo"] == 0.0 and 0.0 < b["hi"] < 1.0
+    c = out["c"]
+    assert c["p"] == 1.0 and c["hi"] == 1.0 and 0.0 < c["lo"] < 1.0

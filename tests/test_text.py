@@ -711,3 +711,29 @@ def test_lexical_diversity_case_folding_and_empties(spark):
     )
     r = lexical_diversity(df, "text", "g").collect()[0]
     assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (3, 1, 0)
+
+
+def test_vocab_richness_hand_computed(spark):
+    """'the cat sat on the mat the end' + 'a cat and a dog' spectrum
+    (N=13 V=9 V1=6 V2=2 — doubletons are cat and a): chao1 =
+    9 + 6*5/(2*3) = 14, unseen = 6/13; the all-hapax slice has
+    coverage 0 and the V2=0 denominator stays defined."""
+    from kafka_streams_plumber_spark.operators.text import vocab_richness
+
+    docs = [
+        ("s1", "the cat sat on the mat the end"),
+        ("s1", "a cat and a dog"),
+        ("s2", "x y z"),
+    ]
+    df = spark.createDataFrame(docs, "g string, text string")
+    out = {r["g"]: r for r in vocab_richness(df, "text", "g").collect()}
+    s1 = out["s1"]
+    assert (s1["n_tokens"], s1["n_types"], s1["n_hapax"],
+            s1["n_doubletons"]) == (13, 9, 6, 2)
+    assert s1["chao1"] == round(9 + 6 * 5 / (2 * 3), 6)
+    assert s1["unseen_mass"] == round(6 / 13, 6)
+    assert s1["coverage"] == round(1 - 6 / 13, 6)
+    s2 = out["s2"]
+    assert (s2["n_hapax"], s2["n_doubletons"]) == (3, 0)
+    assert s2["chao1"] == 3 + 3.0  # V + V1(V1-1)/2 with V2=0
+    assert s2["coverage"] == 0.0

@@ -217,6 +217,8 @@ AUDITED = {
     "q_cochran_armitage": "ONE aggregate to the k-score grain; integer identity clears the pooled rate; one sqrt",
     "q_hhi": "one (group, category) collapse + one group aggregate; integer count moments",
     "q_mann_kendall": "bounded-grain pair join for exact integer S; tie terms off a (group, value) collapse",
+    "q_wilson": "ONE conditional-count aggregate to k rows; fixed-shape Wilson interval",
+    "q_chao": "token-grain collapse + one group aggregate; integer V/V1/V2 spectrum counts",
 }
 
 

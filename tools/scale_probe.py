@@ -168,6 +168,8 @@ PROBED = [
     "q_cochran_armitage",
     "q_hhi",
     "q_mann_kendall",
+    "q_wilson",
+    "q_chao",
 ]
 
 
