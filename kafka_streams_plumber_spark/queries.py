@@ -15433,11 +15433,14 @@ def q_chao(spark, sf_dir):
 #      reference-parity family (q_filter..q_udf, last hashed r02)
 #      structurally cannot dodge re-verification forever.
 #
-# Max-staleness trajectory under this policy: r8 re-proves the 21
-# r01-stale + 19 oldest r02-stale rows; r9 clears the rest of r02 +
-# oldest r03; from r10 on the window capacity (~40 rotation slots vs
-# ~260 registered) bounds max staleness at ceil(260/40) ≈ 7 rounds
-# with every family re-proven on a fixed cadence.
+# Max-staleness trajectory under this policy: the r8 session waves
+# ultimately filled all 40 non-sentinel/reproof slots with FIRST-HASH
+# evidence (23 new kernels landed after the mid-round windows), so the
+# stalest fill is empty THIS round and the excess new oracles queue
+# below for r9's window. From r9 on, first-hash pressure drops back to
+# a handful per round and the ~35+ rotation slots sweep the registry
+# oldest-first: ceil(311/35) ≈ 9 rounds bounds max staleness, with the
+# r01/r02-stale reference-parity family first in line.
 
 _WINDOW_SENTINELS = [
     "dedup_minhash",
