@@ -3234,7 +3234,11 @@ def jarque_bera(
     pivot only bounds magnitudes, the algebra below is pivot-exact);
     pass 2 sums d, d^2, d^3, d^4 of d = s - p as exact integers on
     decimal(38,0) (|d| ~ the data SPREAD, not the raw magnitude, so
-    d^4 sums fit 38 digits where raw fourth moments would not).
+    d^4 sums fit 38 digits where raw fourth moments would not;
+    concretely spread*10^scale <= ~1e8 keeps sum d^4 under 1e38 for
+    groups up to ~1e6 rows, and the default scale=4 holds that for
+    spreads up to ~10k units — drop ``scale`` for wider-ranged
+    columns).
     Central moments about the true mean then come from the standard
     pivot-shift identities
       n*m2 = D2 - D1^2/n
@@ -3348,7 +3352,11 @@ def cramer_von_mises(
     gives cumulative cumA_v, cumB_v; then m*cumA - n*cumB is an exact
     integer per grain row and W = sum t_v * (m*cumA_v - n*cumB_v)^2
     is exact on decimal(38,0), with T = W / (n*m*N^2) one final
-    double division. SQL replays bit-for-bit.
+    double division. SQL replays bit-for-bit. Magnitude bound: W
+    ~ n*m*N^2 <= N^4/16, so decimal(38,0) holds exactly to N ~ 3e9
+    rows across the two samples — beyond that, pre-aggregate or
+    sample (a CvM verdict does not sharpen past a few million
+    points anyway).
 
     Scale design: one map-combinable collapse, one fused range
     exchange, one 1-row total broadcast — the ks_test plan shape.
