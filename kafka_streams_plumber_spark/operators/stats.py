@@ -3920,6 +3920,9 @@ def chi2_gof(
     join onto the O(k) literal spine, one k-row fold.
     """
     assert target, "target mix must be non-empty"
+    assert all(
+        float(w) > 0 for w in target.values()
+    ), "target weights must be positive (a zero-weight category is a blocklist question, not a GOF one)"
     wsum = float(sum(float(w) for w in target.values()))
     spine = df.sparkSession.createDataFrame(
         [(str(k), float(w) / wsum) for k, w in sorted(target.items())],
