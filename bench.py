@@ -161,6 +161,9 @@ EXTRA8 = [
     "q_mann_kendall",
     "q_wilson",
     "q_chao",
+    "q_dunn",
+    "q_partial_corr",
+    "q_smk",
 ]
 
 

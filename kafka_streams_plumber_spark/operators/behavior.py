@@ -1769,3 +1769,108 @@ def mann_kendall(
         s.cast("long").alias("s"),
         F.when(ok, F.round(z, 6)).alias("z"),
     )
+
+
+def mann_kendall_seasonal(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    *,
+    period: int,
+    round_values: int | None = None,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per series — the
+    :func:`mann_kendall` variant for SEASONAL data: comparing hour-15
+    today against hour-3 yesterday reads the daily cycle as "trend",
+    so this form compares each bucket only against LATER buckets in
+    the SAME phase (index mod ``period``) and sums the per-season
+    statistics: S = sum_h S_h, var = sum_h var_h (Hirsch-Slack
+    without the cross-season covariance term — the standard
+    independent-seasons form). One row per group ``(group,
+    n_buckets, n_seasons, s, z)`` with the same continuity-corrected
+    z as the plain test; z NULL when every season is constant or too
+    short.
+
+    Exactness: per-season S and tie-corrected variance are the exact
+    integer kernels of :func:`mann_kendall`, summed per group; one
+    fixed-shape z. SQL replays bit-for-bit.
+
+    Scale design: the pair join carries the season key (group,
+    phase), so pairs only form within a phase — B^2/period pairs on
+    the collapsed bounded grain; ties ride a (group, phase, value)
+    collapse.
+    """
+    assert period >= 1
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(index_col).isNotNull()
+        & v.isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(index_col).cast("long").alias("_i"),
+        F.pmod(F.col(index_col).cast("long"), F.lit(period)).alias("_h"),
+        v.alias("_v"),
+    )
+    b = base.select(
+        "_g", "_h", F.col("_i").alias("_j"), F.col("_v").alias("_w")
+    )
+    pairs = base.join(b, ["_g", "_h"]).where(F.col("_j") > F.col("_i"))
+    s_agg = pairs.groupBy("_g").agg(
+        F.coalesce(
+            F.sum(F.signum(F.col("_w") - F.col("_v")).cast("long")),
+            F.lit(0),
+        ).alias("_s")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_season = (
+        base.groupBy("_g", "_h", "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("_g", "_h")
+        .agg(
+            F.sum("_t").alias("_nh"),
+            F.coalesce(
+                F.sum(
+                    dec(
+                        (F.col("_t") * (F.col("_t") - 1)).cast(
+                            "decimal(19,0)"
+                        )
+                    )
+                    * (2 * F.col("_t") + 5).cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_tth"),
+        )
+    )
+    var_agg = per_season.groupBy("_g").agg(
+        F.sum("_nh").cast("decimal(38,0)").alias("_n"),
+        F.count(F.lit(1)).alias("_hs"),
+        F.coalesce(
+            F.sum(
+                dec(F.col("_nh").cast("decimal(19,0)"))
+                * (F.col("_nh") - 1).cast("decimal(19,0)")
+                * (2 * F.col("_nh") + 5).cast("decimal(19,0)")
+            )
+            - F.sum(F.col("_tth")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_v18"),
+    )
+    out = var_agg.join(s_agg, "_g", "left")
+    var = F.col("_v18").cast("double") / F.lit(18.0)
+    s = F.coalesce(F.col("_s"), F.lit(0))
+    zc = F.when(s > 0, (s - 1).cast("double")).when(
+        s < 0, (s + 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    ok = (F.col("_n") >= 2) & (var > F.lit(0.0))
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.col("_hs").cast("long").alias("n_seasons"),
+        s.cast("long").alias("s"),
+        F.when(ok, F.round(zc / F.nullif(F.sqrt(var), F.lit(0.0)), 6)).alias(
+            "z"
+        ),
+    )

@@ -4399,3 +4399,193 @@ def wilson_ci(
         F.when(ok, F.round(center - half, 6)).alias("lo"),
         F.when(ok, F.round(center + half, 6)).alias("hi"),
     )
+
+
+def dunn_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    round_values: int | None = None,
+) -> DataFrame:
+    """Dunn's post-hoc test — WHICH pairs differ, after
+    :func:`kruskal_wallis` says "some group moved"? The standard
+    rank-based pairwise drill-down: all k(k-1)/2 comparisons on the
+    POOLED ranks (not per-pair re-ranking — that is the whole point
+    vs running mann_whitney per pair: pooled ranks keep the
+    comparisons consistent and the tie correction global). One row
+    per unordered pair ``(group_a, group_b, n_a, n_b, z)`` with
+    group_a < group_b lexically; compare |z| to the
+    Bonferroni/BH-adjusted normal quantile of your choosing
+    downstream. z NULL when the tie-corrected variance is zero.
+
+    Exactness: pooled doubled midranks (2*cum - t + 1) make every
+    group's doubled rank sum D_g an exact integer; the mean-rank
+    difference and the Dunn standard error sqrt((N(N+1)/12 -
+    T/(12(N-1))) * (1/n_i + 1/n_j)) with the exact integer tie term
+    T = sum(t^3 - t) are fixed-shape doubles — replayed bit-for-bit
+    in SQL.
+
+    Scale design: ONE distinct-value collapse + prefix pass (the
+    kruskal_wallis machinery), one k-row group table, a k x k
+    self-join on that TINY table. ``round_values`` bounds the grain.
+    """
+    from kafka_streams_plumber_spark.operators.ordering import (
+        running_total,
+    )
+    from kafka_streams_plumber_spark.plans.scale import truncate_lineage
+
+    v = F.col(value_col).cast("double")
+    if round_values is not None:
+        v = F.round(v, int(round_values))
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    per_gv = truncate_lineage(
+        base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_v = per_gv.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    r = running_total(per_v, ["_v"], "_t", out_col="_cum")
+    cells = r.select(
+        "_v",
+        (F.lit(2) * F.col("_cum") - F.col("_t") + F.lit(1)).alias("_d"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tie = per_v.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("decimal(38,0)").alias("_N"),
+        F.coalesce(
+            F.sum(
+                dec((F.col("_t") * F.col("_t") - 1).cast("decimal(19,0)"))
+                * F.col("_t").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_T"),
+    )
+    per_g = (
+        per_gv.join(cells, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("decimal(38,0)").alias("_ng"),
+            F.sum(
+                dec(F.col("_c").cast("decimal(19,0)"))
+                * F.col("_d").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("_Dg"),
+        )
+    )
+    a = per_g.select(
+        F.col("_g").alias("group_a"),
+        F.col("_ng").alias("_na"),
+        F.col("_Dg").alias("_da"),
+    )
+    b = per_g.select(
+        F.col("_g").alias("group_b"),
+        F.col("_ng").alias("_nb"),
+        F.col("_Dg").alias("_db"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(
+        F.broadcast(tie)
+    )
+    nN = F.col("_N").cast("double")
+    # mean ranks: doubled sums halve out — (Da/na - Db/nb) / 2
+    meandiff = (
+        F.col("_da").cast("double") / F.col("_na").cast("double")
+        - F.col("_db").cast("double") / F.col("_nb").cast("double")
+    ) / F.lit(2.0)
+    var0 = nN * (nN + F.lit(1.0)) / F.lit(12.0) - F.col("_T").cast(
+        "double"
+    ) / (F.lit(12.0) * (nN - F.lit(1.0)))
+    se = F.sqrt(
+        var0
+        * (
+            F.lit(1.0) / F.col("_na").cast("double")
+            + F.lit(1.0) / F.col("_nb").cast("double")
+        )
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(meandiff / F.nullif(se, F.lit(0.0)), 6).alias("z"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """First-order partial correlation r_xy.z — does x still
+    correlate with y once the shared driver z is held fixed? The
+    confounder check behind every "metric A predicts metric B" claim
+    (price correlates with revenue... because quantity drives both).
+    One row ``(n, r_xy, r_xz, r_yz, r_xy_given_z)`` with
+    r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)*(1-r_yz^2));
+    NULLs when n < 2, any marginal variance is zero, or either
+    conditioning correlation is +-1 (degenerate denominator).
+
+    Exactness: all ten moments (n and the scaled-long sums S_x..S_yz)
+    are exact integers on decimal(38,0) in ONE map-combinable
+    aggregate; the three Pearson r's via the n-cleared identity
+    (n*S_ab - S_a*S_b) / sqrt((n*S_aa - S_a^2)(n*S_bb - S_b^2)) and
+    the final partial expression are fixed-shape doubles — replayed
+    bit-for-bit in SQL.
+
+    Scale design: one aggregate to one row. Nothing else.
+    """
+    mult = float(10 ** int(scale))
+    mk = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("double") * F.lit(mult)
+    ).cast("long")
+    base = df.where(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    ).select(mk(x_col).alias("_x"), mk(y_col).alias("_y"), mk(z_col).alias("_z"))
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
+        F.sum("_z").cast("decimal(38,0)").alias("_sz"),
+        F.sum(dec19(F.col("_x")) * dec19(F.col("_x"))).alias("_sxx"),
+        F.sum(dec19(F.col("_y")) * dec19(F.col("_y"))).alias("_syy"),
+        F.sum(dec19(F.col("_z")) * dec19(F.col("_z"))).alias("_szz"),
+        F.sum(dec19(F.col("_x")) * dec19(F.col("_y"))).alias("_sxy"),
+        F.sum(dec19(F.col("_x")) * dec19(F.col("_z"))).alias("_sxz"),
+        F.sum(dec19(F.col("_y")) * dec19(F.col("_z"))).alias("_syz"),
+    )
+    nd = F.col("_n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = nd * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        db = nd * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return num / F.nullif(F.sqrt(da * db), F.lit(0.0))
+
+    rxy = corr("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    rxz = corr("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    ryz = corr("_syz", "_sy", "_sz", "_syy", "_szz")
+    denom = F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    part = (rxy - rxz * ryz) / F.nullif(denom, F.lit(0.0))
+    ok = F.col("_n") >= 2
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.when(ok, F.round(rxy, 6)).alias("r_xy"),
+        F.when(ok, F.round(rxz, 6)).alias("r_xz"),
+        F.when(ok, F.round(ryz, 6)).alias("r_yz"),
+        F.when(ok, F.round(part, 6)).alias("r_xy_given_z"),
+    )

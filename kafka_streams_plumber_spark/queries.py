@@ -15386,6 +15386,205 @@ def q_chao(spark, sf_dir):
     return vocab_richness(d, "text", "lang")
 
 
+@query(
+    "q_dunn",
+    """
+    WITH base AS (
+      SELECT event_type AS g, round(CAST(value AS DOUBLE), 6) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    pgv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2),
+    pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM pgv GROUP BY 1),
+    r AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cum
+          FROM pv),
+    cells AS (SELECT v, 2 * cum - t + 1 AS d FROM r),
+    tie AS (
+      SELECT CAST(coalesce(sum(t), 0) AS HUGEINT) AS nn,
+             CAST(coalesce(sum(CAST(t * t - 1 AS HUGEINT) * t), 0)
+                  AS HUGEINT) AS tt
+      FROM pv
+    ),
+    pg AS (
+      SELECT g, CAST(sum(c) AS HUGEINT) AS ng,
+             CAST(sum(CAST(c AS HUGEINT) * d) AS HUGEINT) AS dg
+      FROM pgv JOIN cells USING (v) GROUP BY g
+    ),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb, a.ng AS na, a.dg AS da,
+             b.ng AS nb, b.dg AS db
+      FROM pg a JOIN pg b ON a.g < b.g
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(((CAST(da AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(db AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0)
+                 / nullif(sqrt((CAST(nn AS DOUBLE)
+                                * (CAST(nn AS DOUBLE) + 1.0) / 12.0
+                                - CAST(tt AS DOUBLE)
+                                  / (12.0 * (CAST(nn AS DOUBLE)
+                                             - 1.0)))
+                               * (1.0 / CAST(na AS DOUBLE)
+                                  + 1.0 / CAST(nb AS DOUBLE))),
+                          0.0), 6) AS z
+    FROM pairs CROSS JOIN tie
+    """,
+)
+def q_dunn(spark, sf_dir):
+    """Dunn's post-hoc pairwise test (operators/stats.py:dunn_test):
+    after q_kruskal says "some event type shifted", WHICH of the 10
+    pairs moved — on POOLED ranks with the global tie correction,
+    the consistent drill-down that per-pair mann_whitney is not.
+    Doubled-midrank integer rank sums off one prefix pass, k x k
+    tiny self-join — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import dunn_test
+
+    e = load_tables(spark, sf_dir)["events"]
+    return dunn_test(e, "value", "event_type", round_values=6)
+
+
+@query(
+    "q_partial_corr",
+    """
+    WITH base AS (
+      SELECT
+        CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0)
+             AS BIGINT) AS x,
+        CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0)
+             AS BIGINT) AS y,
+        CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0)
+             AS BIGINT) AS z
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        AND l_quantity IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(z) AS HUGEINT) AS sz,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+             CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+      FROM base
+    ),
+    rr AS (
+      SELECT n,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE))), 0.0) AS rxy,
+        (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+          / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                           - CAST(sz AS DOUBLE)
+                             * CAST(sz AS DOUBLE))), 0.0) AS rxz,
+        (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+          / nullif(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                           - CAST(sz AS DOUBLE)
+                             * CAST(sz AS DOUBLE))), 0.0) AS ryz
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 THEN round(rxy, 6) END AS r_xy,
+           CASE WHEN n >= 2 THEN round(rxz, 6) END AS r_xz,
+           CASE WHEN n >= 2 THEN round(ryz, 6) END AS r_yz,
+           CASE WHEN n >= 2 THEN
+             round((rxy - rxz * ryz)
+                   / nullif(sqrt((1.0 - rxz * rxz)
+                                 * (1.0 - ryz * ryz)), 0.0), 6)
+           END AS r_xy_given_z
+    FROM rr
+    """,
+)
+def q_partial_corr(spark, sf_dir):
+    """First-order partial correlation (operators/stats.py:
+    partial_corr): price vs discount HOLDING QUANTITY FIXED — the
+    confounder check behind q_corr's raw matrix (quantity drives
+    extendedprice by construction, so the marginal r lies). Ten
+    exact integer moments in one aggregate, fixed-shape double tail
+    — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import partial_corr
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return partial_corr(
+        li, "l_extendedprice", "l_discount", "l_quantity", scale=6
+    )
+
+
+@query(
+    "q_smk",
+    f"""
+    WITH binned AS ({_DW_BINNED_SQL}),
+    base AS (
+      SELECT event_type AS g, b AS i, b % 24 AS h, v FROM binned
+    ),
+    pairs AS (
+      SELECT a.g, CAST(sign(b2.v - a.v) AS BIGINT) AS sg
+      FROM base a
+      JOIN base b2 ON b2.g = a.g AND b2.h = a.h AND b2.i > a.i
+    ),
+    sagg AS (
+      SELECT g, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s
+      FROM pairs GROUP BY g
+    ),
+    pseason AS (
+      SELECT g, h, CAST(sum(t) AS BIGINT) AS nh,
+             CAST(coalesce(sum(CAST(t * (t - 1) AS HUGEINT)
+                                * (2 * t + 5)), 0) AS HUGEINT) AS tth
+      FROM (SELECT g, h, v, CAST(count(*) AS BIGINT) AS t
+            FROM base GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ),
+    vagg AS (
+      SELECT g, CAST(sum(nh) AS HUGEINT) AS n,
+             CAST(count(*) AS BIGINT) AS hs,
+             CAST(coalesce(sum(CAST(nh AS HUGEINT) * (nh - 1)
+                                * (2 * nh + 5)), 0)
+                  - coalesce(sum(tth), 0) AS HUGEINT) AS v18
+      FROM pseason GROUP BY g
+    )
+    SELECT vagg.g AS event_type, CAST(n AS BIGINT) AS n_buckets,
+           hs AS n_seasons, coalesce(s, 0) AS s,
+           CASE WHEN n >= 2 AND CAST(v18 AS DOUBLE) / 18.0 > 0.0 THEN
+             round((CASE WHEN coalesce(s, 0) > 0 THEN
+                      CAST(coalesce(s, 0) - 1 AS DOUBLE)
+                    WHEN coalesce(s, 0) < 0 THEN
+                      CAST(coalesce(s, 0) + 1 AS DOUBLE)
+                    ELSE 0.0 END)
+                   / nullif(sqrt(CAST(v18 AS DOUBLE) / 18.0), 0.0), 6)
+           END AS z
+    FROM vagg LEFT JOIN sagg ON sagg.g = vagg.g
+    """,
+)
+def q_smk(spark, sf_dir):
+    """Seasonal Mann-Kendall (operators/behavior.py:
+    mann_kendall_seasonal, period=24): the daily-cycle-blind trend
+    verdict — each hour-of-day phase only compares against later
+    buckets in the SAME phase, so the diurnal cycle that would pollute
+    q_mann_kendall's S contributes nothing. Exact per-season integer
+    kernels summed per type — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        mann_kendall_seasonal,
+    )
+
+    return mann_kendall_seasonal(
+        _dw_binned(spark, sf_dir), "event_type", "b", "v", period=24
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -15587,6 +15786,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_mann_kendall",
     "q_wilson",
     "q_chao",
+    "q_dunn",
+    "q_partial_corr",
+    "q_smk",
 ]
 
 

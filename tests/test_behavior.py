@@ -1123,3 +1123,43 @@ def test_mann_kendall_hand_computed(spark):
     zc = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
     assert out["tied"]["s"] == s
     assert out["tied"]["z"] == round(zc / math.sqrt(vart), 6)
+
+
+def test_mann_kendall_seasonal_hand_computed(spark):
+    """A pure period-4 cycle with constant per-phase values has
+    var = 0 -> NULL (the plain test would see z = 0 only by luck of
+    symmetry); cycle + linear trend scores a strong positive z that
+    matches the per-season sequential reference; phases never
+    compare across."""
+    import math
+    from collections import Counter
+
+    from kafka_streams_plumber_spark.operators.behavior import (
+        mann_kendall_seasonal,
+    )
+
+    cyc = [("cyc", i, float([10, 20, 5, 15][i % 4])) for i in range(32)]
+    tr = [("tr", i, float([10, 20, 5, 15][i % 4]) + 0.5 * i)
+          for i in range(32)]
+    df = spark.createDataFrame(cyc + tr, "g string, i long, v double")
+    out = {r["g"]: r for r in
+           mann_kendall_seasonal(df, "g", "i", "v", period=4).collect()}
+    assert out["cyc"]["s"] == 0 and out["cyc"]["z"] is None
+    assert out["cyc"]["n_seasons"] == 4
+
+    s_tot, v18 = 0, 0
+    for h in range(4):
+        seq = [v for g, i, v in tr if i % 4 == h]
+        nh = len(seq)
+        s_tot += sum(
+            (seq[j] > seq[i]) - (seq[j] < seq[i])
+            for i in range(nh)
+            for j in range(i + 1, nh)
+        )
+        t = Counter(seq)
+        v18 += nh * (nh - 1) * (2 * nh + 5) - sum(
+            c * (c - 1) * (2 * c + 5) for c in t.values()
+        )
+    z = (s_tot - 1) / math.sqrt(v18 / 18)
+    assert out["tr"]["s"] == s_tot
+    assert out["tr"]["z"] == round(z, 6)

@@ -565,6 +565,9 @@ def test_session4_wave_stays_jvm_side(spark):
         "q_mann_kendall",
         "q_wilson",
         "q_chao",
+        "q_dunn",
+        "q_partial_corr",
+        "q_smk",
     ]:
         df = QUERIES[name](spark, SF)
         assert python_eval_count(df) == 0, name

@@ -1871,3 +1871,87 @@ def test_wilson_ci_hand_computed(spark):
     assert b["p"] == 0.0 and b["lo"] == 0.0 and 0.0 < b["hi"] < 1.0
     c = out["c"]
     assert c["p"] == 1.0 and c["hi"] == 1.0 and 0.0 < c["lo"] < 1.0
+
+
+def test_dunn_test_hand_computed(spark):
+    """Pooled-midrank pairwise z on a tied 3-group panel equals the
+    sequential reference; separation gives the extreme pair the
+    largest |z|; pair labels are lexically ordered."""
+    import math
+    from collections import Counter, defaultdict
+
+    from kafka_streams_plumber_spark.operators.stats import dunn_test
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+            ("b", 4.0), ("c", 5.0), ("c", 6.0), ("c", 6.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["group_a"], r["group_b"]): r for r in
+           dunn_test(df, "v", "g").collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    rank, i = {}, 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    rsum, cnt = defaultdict(float), Counter()
+    for g, v in rows:
+        rsum[g] += rank[v]
+        cnt[g] += 1
+    t = Counter(vals)
+    var0 = n * (n + 1) / 12 - sum(x**3 - x for x in t.values()) / (
+        12 * (n - 1)
+    )
+    for ga, gb in out:
+        md = rsum[ga] / cnt[ga] - rsum[gb] / cnt[gb]
+        z = md / math.sqrt(var0 * (1 / cnt[ga] + 1 / cnt[gb]))
+        assert out[(ga, gb)]["z"] == round(z, 6), (ga, gb)
+    assert abs(out[("a", "c")]["z"]) > abs(out[("b", "c")]["z"])
+
+
+def test_partial_corr_hand_computed(spark):
+    """y = z exactly and x = z exactly: all marginals 1, partial
+    NULL (degenerate denominator); independent x fully explained by
+    z: partial ~ 0 on a confounded panel (closed-form replay)."""
+    import math
+    import random
+
+    from kafka_streams_plumber_spark.operators.stats import partial_corr
+
+    ident = spark.createDataFrame(
+        [(float(i), float(i), float(i)) for i in range(10)],
+        "x double, y double, z double",
+    )
+    r = partial_corr(ident, "x", "y", "z").collect()[0]
+    assert (r["r_xy"], r["r_xz"], r["r_yz"]) == (1.0, 1.0, 1.0)
+    assert r["r_xy_given_z"] is None
+
+    random.seed(8)
+    rows = []
+    for _ in range(200):
+        z = random.gauss(0, 2)
+        rows.append((round(z + random.gauss(0, 0.5), 4),
+                     round(z + random.gauss(0, 0.5), 4), round(z, 4)))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = partial_corr(df, "x", "y", "z").collect()[0]
+    X = [round(a * 1e6) for a, _, _ in rows]
+    Y = [round(b * 1e6) for _, b, _ in rows]
+    Z = [round(c * 1e6) for _, _, c in rows]
+    n = len(X)
+
+    def cor(A, B):
+        num = n * sum(a * b for a, b in zip(A, B)) - sum(A) * sum(B)
+        den = math.sqrt(
+            (n * sum(a * a for a in A) - sum(A) ** 2)
+            * (n * sum(b * b for b in B) - sum(B) ** 2)
+        )
+        return num / den
+
+    rxy, rxz, ryz = cor(X, Y), cor(X, Z), cor(Y, Z)
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert got["r_xy_given_z"] == round(part, 6)
+    assert abs(got["r_xy_given_z"]) < 0.25 < abs(got["r_xy"])

@@ -219,6 +219,9 @@ AUDITED = {
     "q_mann_kendall": "bounded-grain pair join for exact integer S; tie terms off a (group, value) collapse",
     "q_wilson": "ONE conditional-count aggregate to k rows; fixed-shape Wilson interval",
     "q_chao": "token-grain collapse + one group aggregate; integer V/V1/V2 spectrum counts",
+    "q_dunn": "kruskal machinery (collapse + ONE prefix pass) then a k x k self-join on the tiny group table",
+    "q_partial_corr": "ONE aggregate to a single 10-moment row; fixed-shape double tail",
+    "q_smk": "phase-keyed pair join (B^2/period on the collapsed grain); per-season integer kernels",
 }
 
 

@@ -170,6 +170,9 @@ PROBED = [
     "q_mann_kendall",
     "q_wilson",
     "q_chao",
+    "q_dunn",
+    "q_partial_corr",
+    "q_smk",
 ]
 
 
