@@ -164,6 +164,8 @@ EXTRA8 = [
     "q_dunn",
     "q_partial_corr",
     "q_smk",
+    "q_ljung_box",
+    "q_sen_seasonal",
 ]
 
 

@@ -1874,3 +1874,79 @@ def mann_kendall_seasonal(
             "z"
         ),
     )
+
+
+def theil_sen_seasonal(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    *,
+    period: int,
+    slope_round: int = 6,
+) -> DataFrame:
+    """Seasonal Sen's slope per series — the magnitude companion to
+    :func:`mann_kendall_seasonal` exactly as :func:`theil_sen` is to
+    the plain test: the median of PAIRWISE slopes computed only
+    WITHIN each phase (index mod ``period``), so the diurnal cycle
+    never contaminates the trend estimate (a plain Theil-Sen over an
+    hourly series mixes hour-3-vs-hour-15 "slopes" that are pure
+    seasonality). One row per group ``(group, n_buckets, n_pairs,
+    slope)`` in value-units per index-unit; slope NULL when no phase
+    has 2+ buckets.
+
+    Exactness: slopes freeze to 10^-``slope_round`` resolution; the
+    pooled median over all phases' slopes is the exact interpolated
+    percentile. SQL replays bit-for-bit.
+
+    Scale design: the pair join carries the (group, phase) key —
+    B^2/period pairs on the collapsed bounded grain; the median
+    rides the percentile range exchange. The theil_sen contract: do
+    NOT call on an uncollapsed per-event index.
+    """
+    assert period >= 1
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(index_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(index_col).cast("long").alias("_i"),
+        F.pmod(F.col(index_col).cast("long"), F.lit(period)).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    b = base.select(
+        "_g", "_h", F.col("_i").alias("_j"), F.col("_v").alias("_w")
+    )
+    pairs = base.join(b, ["_g", "_h"]).where(F.col("_j") > F.col("_i"))
+    slopes = pairs.select(
+        "_g",
+        F.round(
+            (F.col("_w") - F.col("_v"))
+            / (F.col("_j") - F.col("_i")).cast("double"),
+            int(slope_round),
+        ).alias("_s"),
+    )
+    from kafka_streams_plumber_spark.operators.stats import (
+        exact_percentiles,
+    )
+
+    med = exact_percentiles(slopes, "_g", "_s", {"_med": 0.5})
+    npairs = (
+        base.groupBy("_g", "_h")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .groupBy("_g")
+        .agg(
+            F.sum("_nh").alias("_nb"),
+            F.sum(F.col("_nh") * (F.col("_nh") - 1) / 2)
+            .cast("long")
+            .alias("_np"),
+        )
+    )
+    out = npairs.join(med, "_g", "left")
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.col("_np").alias("n_pairs"),
+        F.round(F.col("_med"), int(slope_round)).alias("slope"),
+    )

@@ -4589,3 +4589,86 @@ def partial_corr(
         F.when(ok, F.round(ryz, 6)).alias("r_yz"),
         F.when(ok, F.round(part, 6)).alias("r_xy_given_z"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    *,
+    max_lag: int,
+    group_cols: list[str] | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Ljung-Box portmanteau test — is the series WHITE NOISE across
+    the first h lags jointly? Q = n*(n+2) * sum_k r_k^2/(n-k),
+    chi-square with h df under the null; the single-number companion
+    to eyeballing the :func:`autocorrelation` plot, and the standard
+    residual check after any seasonal/trend fit ("the STL residuals
+    pass Ljung-Box" is the sentence that closes a decomposition
+    review). One row per group ``(groups..., n_buckets, h, q)``;
+    q NULL when the series is constant (ACF undefined) or shorter
+    than h+1 buckets.
+
+    Exactness: the r_k are :func:`autocorrelation`'s 6-dp values
+    (exact integer moments, one division); each r_k^2/(n-k) term is
+    frozen to a 1e-12 scaled integer so the h-term sum is exact, and
+    the final n*(n+2) multiply is one fixed-shape double. SQL
+    replays bit-for-bit.
+
+    Scale design: one autocorrelation pass (the only data-scale
+    work), one O(groups)-row count aggregate joined in, one h-row
+    fold per group.
+    """
+    groups = list(group_cols or [])
+    acf_df = autocorrelation(
+        df,
+        index_col,
+        value_col,
+        max_lag=max_lag,
+        group_cols=groups,
+        scale=scale,
+    )
+    base = df.where(
+        F.col(index_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    counts = (
+        base.groupBy(*groups).agg(F.count(F.lit(1)).alias("_n"))
+        if groups
+        else base.agg(F.count(F.lit(1)).alias("_n"))
+    )
+    j = (
+        acf_df.join(counts, groups)
+        if groups
+        else acf_df.crossJoin(F.broadcast(counts))
+    )
+    nd = F.col("_n").cast("double")
+    term = F.round(
+        F.col("acf")
+        * F.col("acf")
+        / (nd - F.col("lag").cast("double"))
+        * F.lit(1e12)
+    ).cast("decimal(38,0)")
+    agg = j.groupBy(*groups).agg(
+        F.min("_n").alias("_n"),
+        F.count(F.lit(1)).alias("_h"),
+        F.count("acf").alias("_ok"),
+        F.sum(term).alias("_sum"),
+    )
+    nd2 = F.col("_n").cast("double")
+    q = F.round(
+        nd2
+        * (nd2 + F.lit(2.0))
+        * F.col("_sum").cast("double")
+        / F.lit(1e12),
+        6,
+    )
+    good = (F.col("_ok") == F.col("_h")) & (
+        F.col("_n").cast("long") > F.lit(int(max_lag))
+    )
+    return agg.select(
+        *groups,
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.col("_h").cast("long").alias("h"),
+        F.when(good, q).alias("q"),
+    )

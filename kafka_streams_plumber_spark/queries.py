@@ -15585,6 +15585,139 @@ def q_smk(spark, sf_dir):
     )
 
 
+@query(
+    "q_ljung_box",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+               AS i,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS t,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+      FROM daily
+    ),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 9)),
+    pairs AS (
+      SELECT l.lag, a.v AS va, b.v AS vb
+      FROM lags l JOIN daily a ON TRUE JOIN daily b ON b.i = a.i + l.lag
+    ),
+    per AS (
+      SELECT lag, CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(CAST(va AS HUGEINT) * vb) AS HUGEINT) AS p,
+             CAST(sum(va) AS HUGEINT) AS h,
+             CAST(sum(vb) AS HUGEINT) AS g
+      FROM pairs GROUP BY 1
+    ),
+    acf AS (
+      SELECT l.lag,
+             round(CAST(n*n*p - n*t*(h+g) + k*t*t AS DOUBLE)
+                   / nullif(CAST(n*(n*q - t*t) AS DOUBLE), 0.0), 6)
+               AS r
+      FROM lags l LEFT JOIN per ON l.lag = per.lag CROSS JOIN tot
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    terms AS (
+      SELECT r,
+             CAST(round(r * r
+                        / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))
+                        * 1000000000000.0) AS HUGEINT) AS term,
+             n
+      FROM acf CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT min(n) AS n, CAST(count(*) AS BIGINT) AS h,
+             CAST(count(r) AS BIGINT) AS ok, sum(term) AS s
+      FROM terms
+    )
+    SELECT n AS n_buckets, h,
+           CASE WHEN ok = h AND n > 8 THEN
+             round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                   * CAST(s AS DOUBLE) / 1000000000000.0, 6)
+           END AS q
+    FROM agg
+    """,
+)
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test (operators/stats.py:ljung_box) on
+    the daily event-volume series at h=8 — is the series white noise
+    across the first 8 lags JOINTLY, the single-number companion to
+    q_acf's per-lag plot and the residual check after q_stl. One
+    autocorrelation pass (exact integer moments), frozen
+    r^2/(n-k) terms summed exactly — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.stats import ljung_box
+
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_millis(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400000)
+            )
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ljung_box(daily, "day_idx", "n", max_lag=8, scale=1)
+
+
+@query(
+    "q_sen_seasonal",
+    f"""
+    WITH binned0 AS ({_DW_BINNED_SQL}),
+    base AS (
+      SELECT event_type AS g, b AS i, b % 24 AS h,
+             CAST(v AS DOUBLE) / 1000000.0 AS vd
+      FROM binned0
+    ),
+    pairs AS (
+      SELECT a.g,
+             round((b2.vd - a.vd) / CAST(b2.i - a.i AS DOUBLE), 6)
+               AS s
+      FROM base a
+      JOIN base b2 ON b2.g = a.g AND b2.h = a.h AND b2.i > a.i
+    ),
+    med AS (
+      SELECT g, quantile_cont(s, 0.5) AS m FROM pairs GROUP BY g
+    ),
+    np AS (
+      SELECT g, CAST(sum(nh) AS BIGINT) AS nb,
+             CAST(sum(nh * (nh - 1) / 2) AS BIGINT) AS npair
+      FROM (SELECT g, h, CAST(count(*) AS BIGINT) AS nh
+            FROM base GROUP BY 1, 2)
+      GROUP BY g
+    )
+    SELECT np.g AS event_type, nb AS n_buckets, npair AS n_pairs,
+           round(m, 6) AS slope
+    FROM np LEFT JOIN med USING (g)
+    """,
+)
+def q_sen_seasonal(spark, sf_dir):
+    """Seasonal Sen's slope (operators/behavior.py:
+    theil_sen_seasonal, period=24): the trend magnitude with the
+    diurnal cycle excluded — pairs form only within an hour-of-day
+    phase, so q_theil_sen's cycle-contaminated cross-phase slopes
+    never enter the median. Frozen slopes + exact interpolated
+    percentile — replayed bit-for-bit in SQL."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        theil_sen_seasonal,
+    )
+
+    panel = _dw_binned(spark, sf_dir).select(
+        "event_type",
+        "b",
+        (F.col("v").cast("double") / F.lit(1000000.0)).alias("vd"),
+    )
+    return theil_sen_seasonal(
+        panel, "event_type", "b", "vd", period=24, slope_round=6
+    )
+
+
 # =========================================================================
 # Registry ordering
 # =========================================================================
@@ -15789,6 +15922,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q_dunn",
     "q_partial_corr",
     "q_smk",
+    "q_ljung_box",
+    "q_sen_seasonal",
 ]
 
 

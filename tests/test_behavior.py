@@ -1163,3 +1163,24 @@ def test_mann_kendall_seasonal_hand_computed(spark):
     z = (s_tot - 1) / math.sqrt(v18 / 18)
     assert out["tr"]["s"] == s_tot
     assert out["tr"]["z"] == round(z, 6)
+
+
+def test_theil_sen_seasonal_hand_computed(spark):
+    """Cycle + 0.5/bucket trend: every within-phase slope is exactly
+    0.5 (the cross-phase slopes a plain Theil-Sen would mix in are
+    excluded), n_pairs counts per-phase C(nh,2); a one-bucket-per-
+    phase series has no pairs and a NULL slope."""
+    from kafka_streams_plumber_spark.operators.behavior import (
+        theil_sen_seasonal,
+    )
+
+    data = [("t", i, float([10, 20, 5, 15][i % 4]) + 0.5 * i)
+            for i in range(24)]
+    data += [("one", i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(data, "g string, i long, v double")
+    out = {r["g"]: r for r in
+           theil_sen_seasonal(df, "g", "i", "v", period=4).collect()}
+    t = out["t"]
+    assert (t["n_buckets"], t["n_pairs"], t["slope"]) == (24, 60, 0.5)
+    one = out["one"]
+    assert one["n_pairs"] == 0 and one["slope"] is None

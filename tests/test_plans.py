@@ -568,6 +568,8 @@ def test_session4_wave_stays_jvm_side(spark):
         "q_dunn",
         "q_partial_corr",
         "q_smk",
+        "q_ljung_box",
+        "q_sen_seasonal",
     ]:
         df = QUERIES[name](spark, SF)
         assert python_eval_count(df) == 0, name

@@ -1955,3 +1955,41 @@ def test_partial_corr_hand_computed(spark):
     part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
     assert got["r_xy_given_z"] == round(part, 6)
     assert abs(got["r_xy_given_z"]) < 0.25 < abs(got["r_xy"])
+
+
+def test_ljung_box_hand_computed(spark):
+    """AR(1)-style series scores a large Q matching the sequential
+    r_k^2/(n-k) fold on the operator's own 6-dp ACF values; a
+    constant series is NULL; a series shorter than h+1 is NULL."""
+    from kafka_streams_plumber_spark.operators.stats import ljung_box
+
+    vals = [float((i * 13) % 7) + 0.5 * i for i in range(40)]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    r = ljung_box(df, "i", "v", max_lag=4).collect()[0]
+    X = [round(v * 1e6) for v in vals]
+    n = len(X)
+    t, q = sum(X), sum(a * a for a in X)
+    s = 0
+    for k in range(1, 5):
+        p = sum(X[i] * X[i + k] for i in range(n - k))
+        hh = sum(X[i] for i in range(n - k))
+        g = sum(X[i + k] for i in range(n - k))
+        acf = round(
+            (n * n * p - n * t * (hh + g) + (n - k) * t * t)
+            / (n * (n * q - t * t)),
+            6,
+        )
+        s += round(acf * acf / (n - k) * 1e12)
+    assert (r["n_buckets"], r["h"]) == (40, 4)
+    assert r["q"] == round(n * (n + 2) * s / 1e12, 6)
+
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(20)], "i long, v double"
+    )
+    assert ljung_box(const, "i", "v", max_lag=3).collect()[0]["q"] is None
+
+    short = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(4)], "i long, v double"
+    )
+    assert ljung_box(short, "i", "v", max_lag=5).collect()[0]["q"] is None

@@ -222,6 +222,8 @@ AUDITED = {
     "q_dunn": "kruskal machinery (collapse + ONE prefix pass) then a k x k self-join on the tiny group table",
     "q_partial_corr": "ONE aggregate to a single 10-moment row; fixed-shape double tail",
     "q_smk": "phase-keyed pair join (B^2/period on the collapsed grain); per-season integer kernels",
+    "q_ljung_box": "ONE autocorrelation pass; frozen r^2/(n-k) terms; O(h)-row fold",
+    "q_sen_seasonal": "phase-keyed bounded pair join; pooled exact-percentile median of frozen slopes",
 }
 
 

@@ -173,6 +173,8 @@ PROBED = [
     "q_dunn",
     "q_partial_corr",
     "q_smk",
+    "q_ljung_box",
+    "q_sen_seasonal",
 ]
 
 
