@@ -268,30 +268,54 @@ def main() -> None:
     for name in EXTRA8:
         extra8[name] = round(min(run_one(spark, name, sf_dir) for _ in range(reps)), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_total_sec": round(sum(extra.values()), 3),
-                "extra_queries": extra,
-                "extra4_total_sec": round(sum(extra4.values()), 3),
-                "extra4_capped_sf": extra4_capped,
-                "extra4_queries": extra4,
-                "extra5_total_sec": round(sum(extra5.values()), 3),
-                "extra5_queries": extra5,
-                "extra6_total_sec": round(sum(extra6.values()), 3),
-                "extra6_queries": extra6,
-                "extra7_total_sec": round(sum(extra7.values()), 3),
-                "extra7_queries": extra7,
-                "extra8_total_sec": round(sum(extra8.values()), 3),
-                "extra8_queries": extra8,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver records only the LAST 2000 characters of stdout
+    # (BENCH_r08.json's `tail` cut the headline block mid-object once
+    # the single detail line outgrew the buffer — VERDICT r8 item 4).
+    # So: the full per-query detail goes out FIRST, and the LAST line
+    # is a compact, complete JSON summary (headline timings + every
+    # block total) guaranteed to fit the tail buffer, so the committed
+    # artifact always parses and carries the whole headline series.
+    detail = {
+        "metric": "headline_queries_total_sec_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_total_sec": round(sum(extra.values()), 3),
+        "extra_queries": extra,
+        "extra4_total_sec": round(sum(extra4.values()), 3),
+        "extra4_capped_sf": extra4_capped,
+        "extra4_queries": extra4,
+        "extra5_total_sec": round(sum(extra5.values()), 3),
+        "extra5_queries": extra5,
+        "extra6_total_sec": round(sum(extra6.values()), 3),
+        "extra6_queries": extra6,
+        "extra7_total_sec": round(sum(extra7.values()), 3),
+        "extra7_queries": extra7,
+        "extra8_total_sec": round(sum(extra8.values()), 3),
+        "extra8_queries": extra8,
+        "sf": sf,
+    }
+    print(json.dumps(detail))
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_total_sec": detail["extra_total_sec"],
+        "extra4_total_sec": detail["extra4_total_sec"],
+        "extra5_total_sec": detail["extra5_total_sec"],
+        "extra6_total_sec": detail["extra6_total_sec"],
+        "extra7_total_sec": detail["extra7_total_sec"],
+        "extra8_total_sec": detail["extra8_total_sec"],
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    # Tail-buffer invariant: the summary line (plus a newline) must fit
+    # the driver's 2000-char capture with headroom for future block
+    # totals. The headline set is frozen, so this only grows ~30 chars
+    # per new extraN block.
+    assert len(line) < 1800, f"bench summary line too long: {len(line)}"
+    print(line, flush=True)
     spark.stop()
 
 

@@ -131,7 +131,7 @@ def main(sf_dir: str, *, stop_session: bool = True) -> dict:
             F.col("b").alias("i"), F.col("v").alias("y")
         )
         ccf = cross_correlation(
-            c.join(p, "i"), "i", "x", "y", max_lag=6, scale=1
+            c.join(p, "i"), "i", "x", "y", max_lag=6, value_scale=1
         ).collect()
         out["ccf_peak"] = max(
             ((r["lag"], r["ccf"]) for r in ccf if r["ccf"] is not None),

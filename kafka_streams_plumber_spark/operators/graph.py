@@ -946,8 +946,13 @@ def clustering_coefficient(
     :func:`triangle_counts` (hub-capped, exact); wedges are the exact
     integer sum of d(d-1)/2; each node's local ratio 2*t/(d*(d-1)) is
     frozen to a 1e-9 scaled integer so the average is an exact
-    integer sum with one divide back. SQL replays bit-for-bit
-    (networkx ``transitivity`` / ``average_clustering`` agree).
+    integer sum with one divide back. SQL replays bit-for-bit.
+    networkx parity: ``transitivity`` agrees with global_c;
+    avg_local_c averages over degree>=2 nodes ONLY, i.e. it matches
+    ``average_clustering(G, count_zeros=False)`` — the default
+    ``count_zeros=True`` also folds degree<2 nodes in as zeros, so
+    it reads lower on any graph with leaf or isolated-endpoint
+    nodes.
 
     Scale design: one edge dedup, one degree aggregate, the
     triangle_counts wedge join, one broadcast join of the O(V)

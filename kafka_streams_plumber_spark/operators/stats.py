@@ -3224,8 +3224,9 @@ def jarque_bera(
     metric before reaching for a parametric test: heavy right skew
     says "log it or go rank-based", kurtosis says "the tails are not
     Gaussian, don't trust 3-sigma alerts". One row per group
-    ``(group, n, skewness, kurt_excess, jb)``; NULLs when n < 2 or
-    zero variance.
+    ``(group, n, skewness, kurt_excess, jb)``; NULLs when n < 2,
+    zero variance, or the group's scaled spread exceeds the exact-
+    arithmetic guard below.
 
     Exactness: values freeze to scaled longs (10^-``scale``), then a
     TWO-PASS integer-pivot device keeps every power sum exact: pass 1
@@ -3238,7 +3239,12 @@ def jarque_bera(
     concretely spread*10^scale <= ~1e8 keeps sum d^4 under 1e38 for
     groups up to ~1e6 rows, and the default scale=4 holds that for
     spreads up to ~10k units — drop ``scale`` for wider-ranged
-    columns).
+    columns). The EARLIEST exactness cliff is the per-row d^2, a raw
+    long*long kept deliberately off BigDecimal for speed: it is exact
+    only while spread*10^scale <= floor(sqrt(2^63-1)) = 3037000499,
+    and past that it would WRAP silently (non-ANSI) — so the kernel
+    carries a per-group spread guard that NULLs the statistics
+    instead of emitting wrapped garbage (ADVICE r8).
     Central moments about the true mean then come from the standard
     pivot-shift identities
       n*m2 = D2 - D1^2/n
@@ -3262,20 +3268,27 @@ def jarque_bera(
     piv = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_s").alias("_s1"),
+        # spread guard: |d| <= max(_s) - min(_s), so the long d*d
+        # below is exact iff the scaled spread stays <=
+        # floor(sqrt(2^63 - 1)) = 3037000499. Beyond that the raw
+        # long square would WRAP silently (non-ANSI); the guard nulls
+        # the group's statistics instead — O(groups) cost, fail-loud.
+        (F.max("_s") - F.min("_s")).alias("_sp"),
     ).select(
         "_g",
         "_n",
+        "_sp",
         F.floor(
             F.col("_s1").cast("double") / F.col("_n").cast("double")
         ).cast("long").alias("_p"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     d = F.col("_s") - F.col("_p")
-    d2 = (d * d).alias("_dd")  # |d| <= spread*10^scale, d^2 fits long
+    d2 = (d * d).alias("_dd")  # exact long iff _sp <= 3037000499 (guarded)
     dev = base.join(F.broadcast(piv), "_g").select(
-        "_g", "_n", d.alias("_d"), d2
+        "_g", "_n", "_sp", d.alias("_d"), d2
     )
-    mom = dev.groupBy("_g", "_n").agg(
+    mom = dev.groupBy("_g", "_n", "_sp").agg(
         F.sum("_d").cast("decimal(38,0)").alias("_d1"),
         F.coalesce(
             F.sum("_dd").cast("decimal(38,0)"),
@@ -3309,7 +3322,11 @@ def jarque_bera(
         + F.lit(6.0) * d1 * d1 * d2_ / (nd * nd)
         - F.lit(3.0) * d1 * d1 * d1 * d1 / (nd * nd * nd)
     )
-    ok = (F.col("_n") >= 2) & (m2n > F.lit(0.0))
+    ok = (
+        (F.col("_n") >= 2)
+        & (m2n > F.lit(0.0))
+        & (F.col("_sp") <= F.lit(3037000499))
+    )
     skew = F.sqrt(nd) * m3n / F.nullif(
         F.sqrt(m2n * m2n * m2n), F.lit(0.0)
     )
@@ -3429,7 +3446,12 @@ def mood_median(
     is comparable. One row ``(n_used, k_groups, df, grand_median,
     chi2)``; values EQUAL to the grand median are dropped (scipy
     ``median_test(ties='ignore')``), ``n_used`` counts what remains.
-    chi2 is NULL when k < 2 or either margin is empty.
+    ``k_groups``/``df`` count the PRE-filter group set: a group whose
+    every value ties the grand median does not silently shrink the
+    table (scipy raises there; we keep the honest df and NULL chi2
+    instead — the safe distributed analogue). chi2 is NULL when
+    k < 2, either margin is empty, or any group lost all its rows to
+    the tie filter.
 
     Exactness: the grand median is the exact interpolated percentile
     (:func:`exact_percentiles` — bit-identical to DuckDB
@@ -3448,10 +3470,13 @@ def mood_median(
         F.col(group_col).isNotNull() & v.isNotNull()
     ).select(F.col(group_col).alias("_g"), v.alias("_v"), F.lit(1).alias("_one"))
     med = exact_percentiles(base, "_one", "_v", {"_med": 0.5}).select("_med")
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Ties drop at the COUNT level (strict < / >), not the row level:
+    # a group whose every value equals the grand median must still be
+    # counted in k_groups/df (scipy.median_test raises here rather
+    # than silently re-sizing the table; we keep the honest df and
+    # NULL the chi2 instead — ADVICE r8).
     per_g = (
         base.crossJoin(F.broadcast(med))
-        .where(F.col("_v") != F.col("_med"))
         .groupBy("_g")
         .agg(
             F.sum(F.when(F.col("_v") > F.col("_med"), 1).otherwise(0))
@@ -3485,8 +3510,14 @@ def mood_median(
         F.min("_k").alias("_kk"),
         F.min("_gm").alias("_med"),
         F.sum(term).alias("_chi"),
+        F.sum(F.when(F.col("_ab") + F.col("_be") == 0, 1).otherwise(0))
+        .alias("_dropped"),
     )
-    ok = (F.col("_kk") >= 2) & (F.col("_chi").isNotNull())
+    ok = (
+        (F.col("_kk") >= 2)
+        & (F.col("_chi").isNotNull())
+        & (F.col("_dropped") == 0)
+    )
     return agg.select(
         F.col("_n").cast("long").alias("n_used"),
         F.col("_kk").cast("long").alias("k_groups"),
@@ -3734,7 +3765,7 @@ def cross_correlation(
     y_col: str,
     *,
     max_lag: int,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Cross-correlation function (CCF) of two bucketed series at lags
     -max_lag..+max_lag — the lead-lag diagnostic: a peak at POSITIVE
@@ -3749,7 +3780,12 @@ def cross_correlation(
     (n_pairs reports coverage); ccf NULL when either series is
     constant or the lag is empty.
 
-    Exactness: scaled longs; multiplying through by n^2 clears both
+    Exactness: scaled longs (``value_scale`` is a RAW multiplier —
+    quantization unit 1/value_scale, the :func:`autocorrelation`
+    convention — deliberately named apart from the 10^k EXPONENT
+    ``scale`` of :func:`jarque_bera`/:func:`welch_t`/:func:`bartlett`
+    so the two cannot be confused at a call site); multiplying
+    through by n^2 clears both
     rational means — num_k = n^2*P_k - n*Ty*H_k - n*Tx*G_k +
     k_pairs*Tx*Ty with P/H/G the per-lag cross-moment and endpoint
     sums, and den = n * sqrt((n*Qx - Tx^2) * (n*Qy - Ty^2)) — ALL
@@ -3762,8 +3798,8 @@ def cross_correlation(
     frame broadcast in. No windows, no Python.
     """
     assert max_lag >= 1
-    sx = F.round(F.col(x_col).cast("double") * scale, 0).cast("long")
-    sy = F.round(F.col(y_col).cast("double") * scale, 0).cast("long")
+    sx = F.round(F.col(x_col).cast("double") * value_scale, 0).cast("long")
+    sy = F.round(F.col(y_col).cast("double") * value_scale, 0).cast("long")
     base = df.where(
         F.col(index_col).isNotNull()
         & F.col(x_col).isNotNull()
@@ -4598,7 +4634,7 @@ def ljung_box(
     *,
     max_lag: int,
     group_cols: list[str] | None = None,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Ljung-Box portmanteau test — is the series WHITE NOISE across
     the first h lags jointly? Q = n*(n+2) * sum_k r_k^2/(n-k),
@@ -4611,7 +4647,10 @@ def ljung_box(
     than h+1 buckets.
 
     Exactness: the r_k are :func:`autocorrelation`'s 6-dp values
-    (exact integer moments, one division); each r_k^2/(n-k) term is
+    (exact integer moments, one division; ``value_scale`` is a RAW
+    multiplier passed straight through — NOT the 10^k exponent
+    convention of the moment-test kernels, hence the distinct
+    name); each r_k^2/(n-k) term is
     frozen to a 1e-12 scaled integer so the h-term sum is exact, and
     the final n*(n+2) multiply is one fixed-shape double. SQL
     replays bit-for-bit.
@@ -4627,7 +4666,7 @@ def ljung_box(
         value_col,
         max_lag=max_lag,
         group_cols=groups,
-        scale=scale,
+        scale=value_scale,
     )
     base = df.where(
         F.col(index_col).isNotNull() & F.col(value_col).isNotNull()

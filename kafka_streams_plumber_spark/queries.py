@@ -13952,32 +13952,33 @@ def q_isotonic(spark, sf_dir):
     ),
     piv AS (
       SELECT g, CAST(count(*) AS BIGINT) AS n,
+             max(s) - min(s) AS sp,
              CAST(floor(CAST(sum(s) AS DOUBLE)
                         / CAST(count(*) AS DOUBLE)) AS BIGINT) AS p
       FROM base GROUP BY g
     ),
     dev AS (
-      SELECT b.g, n, b.s - p AS d, (b.s - p) * (b.s - p) AS dd
+      SELECT b.g, n, sp, b.s - p AS d, (b.s - p) * (b.s - p) AS dd
       FROM base b JOIN piv USING (g)
     ),
     mom AS (
-      SELECT g, n,
+      SELECT g, n, sp,
              CAST(sum(d) AS HUGEINT) AS d1,
              CAST(coalesce(sum(CAST(dd AS HUGEINT)), 0) AS HUGEINT) AS d2,
              CAST(coalesce(sum(CAST(dd AS HUGEINT) * d), 0)
                   AS HUGEINT) AS d3,
              CAST(coalesce(sum(CAST(dd AS HUGEINT) * dd), 0)
                   AS HUGEINT) AS d4
-      FROM dev GROUP BY g, n
+      FROM dev GROUP BY g, n, sp
     ),
     dbl AS (
-      SELECT g, n, CAST(n AS DOUBLE) AS nd,
+      SELECT g, n, sp, CAST(n AS DOUBLE) AS nd,
              CAST(d1 AS DOUBLE) AS f1, CAST(d2 AS DOUBLE) AS f2,
              CAST(d3 AS DOUBLE) AS f3, CAST(d4 AS DOUBLE) AS f4
       FROM mom
     ),
     cm AS (
-      SELECT g, n, nd,
+      SELECT g, n, sp, nd,
              f2 - f1 * f1 / nd AS m2n,
              f3 - 3.0 * f1 * f2 / nd
                 + 2.0 * f1 * f1 * f1 / (nd * nd) AS m3n,
@@ -13987,17 +13988,19 @@ def q_isotonic(spark, sf_dir):
       FROM dbl
     ),
     sk AS (
-      SELECT g, n, nd, m2n,
+      SELECT g, n, sp, nd, m2n,
              sqrt(nd) * m3n / nullif(sqrt(m2n * m2n * m2n), 0.0) AS skw,
              nd * m4n / nullif(m2n * m2n, 0.0) - 3.0 AS krt
       FROM cm
     )
     SELECT g AS event_type, n,
-           CASE WHEN n >= 2 AND m2n > 0.0 THEN round(skw, 6) END
+           CASE WHEN n >= 2 AND m2n > 0.0 AND sp <= 3037000499
+             THEN round(skw, 6) END
              AS skewness,
-           CASE WHEN n >= 2 AND m2n > 0.0 THEN round(krt, 6) END
+           CASE WHEN n >= 2 AND m2n > 0.0 AND sp <= 3037000499
+             THEN round(krt, 6) END
              AS kurt_excess,
-           CASE WHEN n >= 2 AND m2n > 0.0 THEN
+           CASE WHEN n >= 2 AND m2n > 0.0 AND sp <= 3037000499 THEN
              round(nd / 6.0 * (skw * skw + krt * krt / 4.0), 6) END
              AS jb
     FROM sk
@@ -14095,7 +14098,7 @@ def q_cvm(spark, sf_dir):
              CAST(sum(CASE WHEN v < m THEN 1 ELSE 0 END) AS BIGINT)
                AS be,
              min(m) AS gm
-      FROM base CROSS JOIN med WHERE v <> m GROUP BY g
+      FROM base CROSS JOIN med GROUP BY g
     ),
     tot AS (
       SELECT CAST(coalesce(sum(ab), 0) AS BIGINT) AS ta,
@@ -14122,17 +14125,18 @@ def q_cvm(spark, sf_dir):
                  / nullif(CAST(ab + be AS DOUBLE) * CAST(tb AS DOUBLE)
                           / CAST(ta + tb AS DOUBLE), 0.0)
              ) * 1000000.0) AS HUGEINT) AS term,
-             ta, tb, k, gm
+             ab, be, ta, tb, k, gm
       FROM pg CROSS JOIN tot
     ),
     agg AS (
       SELECT min(ta + tb) AS n, min(k) AS kk, min(gm) AS med,
-             sum(term) AS chi
+             sum(term) AS chi,
+             sum(CASE WHEN ab + be = 0 THEN 1 ELSE 0 END) AS dropped
       FROM terms
     )
     SELECT CAST(n AS BIGINT) AS n_used, kk AS k_groups,
            kk - 1 AS df, round(med, 6) AS grand_median,
-           CASE WHEN kk >= 2 AND chi IS NOT NULL THEN
+           CASE WHEN kk >= 2 AND chi IS NOT NULL AND dropped = 0 THEN
              round(CAST(chi AS DOUBLE) / 1000000.0, 6)
            END AS chi2
     FROM agg
@@ -14697,7 +14701,7 @@ def q_ccf(spark, sf_dir):
         F.col("b").alias("i"), F.col("v").alias("y")
     )
     xy = c.join(p, "i")
-    return cross_correlation(xy, "i", "x", "y", max_lag=6, scale=1)
+    return cross_correlation(xy, "i", "x", "y", max_lag=6, value_scale=1)
 
 
 @query(
@@ -15663,7 +15667,7 @@ def q_ljung_box(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return ljung_box(daily, "day_idx", "n", max_lag=8, scale=1)
+    return ljung_box(daily, "day_idx", "n", max_lag=8, value_scale=1)
 
 
 @query(
@@ -15765,14 +15769,19 @@ def q_sen_seasonal(spark, sf_dir):
 #      reference-parity family (q_filter..q_udf, last hashed r02)
 #      structurally cannot dodge re-verification forever.
 #
-# Max-staleness trajectory under this policy: the r8 session waves
-# ultimately filled all 40 non-sentinel/reproof slots with FIRST-HASH
-# evidence (23 new kernels landed after the mid-round windows), so the
-# stalest fill is empty THIS round and the excess new oracles queue
-# below for r9's window. From r9 on, first-hash pressure drops back to
-# a handful per round and the ~35+ rotation slots sweep the registry
-# oldest-first: ceil(311/35) ≈ 9 rounds bounds max staleness, with the
-# r01/r02-stale reference-parity family first in line.
+# Max-staleness trajectory under this policy (r9 rotation, executed at
+# session start per VERDICT r8 items 1+3): the 40 r8-wave names all
+# acquired green rows in CORRECTNESS_r08 and rotate OUT; the 17
+# post-freeze queue names promote to first-hash; the remaining 22
+# computed-fill slots drain the stalest backlog — all 21 queries last
+# hashed in r01 plus the first of the 42-query r02 cohort, so the r01
+# ledger bucket empties this round. NEW-ORACLE PRODUCTION IS CAPPED AT
+# ZERO for r9/r10: draining the 63-query r01/r02 backlog to max
+# staleness <= 5 rounds by end of r10 needs every fill slot
+# (r9: 21+1, r10: the 41 remaining r02 names exactly fit the ~41
+# non-sentinel slots only if first-hash pressure is ~0). The fill is
+# COMPUTED from the ledger at import, so once the driver writes
+# CORRECTNESS_r09 the window auto-advances to the next-stalest cohort.
 
 _WINDOW_SENTINELS = [
     "dedup_minhash",
@@ -15784,58 +15793,37 @@ _WINDOW_SENTINELS = [
     "q_pagerank",
 ]
 
-#: Operator code changed this round (ADVICE r7): t_closeness NULL-safe
-#: marginal join (+ oracle change), trend_break one-row degenerate-
-#: segment contract, fleiss_kappa native-type label collapse.
+#: Operator code changed this round (ADVICE r8 + VERDICT r8 item 5):
+#: jarque_bera decimal-cast of the d^2 intermediate, mood_median
+#: pre-filter df contract, cross_correlation scale-parameter
+#: normalization, bootstrap_ci inverse-CDF via array lookup.
 _WINDOW_REPROOFS = [
-    "q_t_closeness",
-    "q_trendbreak",
-    "q_fleiss",
+    "q_jarque_bera",
+    "q_mood_median",
+    "q_ccf",
+    "q_bootstrap_ci",
 ]
 
-#: Operators written this round — first driver hashing.
+#: First driver hashing — the 17 oracles written after r8's window
+#: froze (promoted from _NEXT_WINDOW_QUEUE at the r9 rotation).
 _WINDOW_FIRST_HASH: list[str] = [
-    "q_cohen_kappa",
-    "q_mcnemar",
-    "q_kendall_w",
-    "q_kruskal",
-    "q_anova",
-    "q_brown_forsythe",
-    "q_hits",
-    "q_kendall",
-    "q_cochran",
-    "q_hll",
-    "q_tfidf_keywords",
-    "q_icc",
-    "q_cohens_d",
-    "q_class_report",
-    "q_ohlc",
-    "q_logrank",
-    "q_cmh",
-    "q_jt",
-    "q_readability",
-    "q_brier",
-    "q_pacf",
-    "q_isotonic",
-    "q_psi_drift",
-    "q_fertility_mix",
-    "q_hist_drift",
-    "q_vocab_drift",
-    "q_dup_drift",
-    "q_quantile_drift",
-    "q_bootstrap_ci",
-    # session-4 wave: k-sample/normality/eval/graph kernels
-    "q_jarque_bera",
-    "q_cvm",
-    "q_mood_median",
-    "q_friedman",
-    "q_welch",
-    "q_dw",
-    "q_theil_sen",
-    "q_avg_precision",
-    "q_mcc",
-    "q_assortativity",
-    "q_ccf",
+    "q_prop_test",
+    "q_gof",
+    "q_cliffs_delta",
+    "q_bartlett",
+    "q_qq",
+    "q_lexdiv",
+    "q_clustering",
+    "q_cochran_armitage",
+    "q_hhi",
+    "q_mann_kendall",
+    "q_wilson",
+    "q_chao",
+    "q_dunn",
+    "q_partial_corr",
+    "q_smk",
+    "q_ljung_box",
+    "q_sen_seasonal",
 ]
 
 #: Oracled queries excluded from the stalest fill, with the reason
@@ -15844,16 +15832,19 @@ _WINDOW_FIRST_HASH: list[str] = [
 _WINDOW_STALE_SKIP: dict[str, str] = {}
 
 
-def _driver_last_green() -> dict[str, int]:
-    """Last round each query had a green driver-hash row, from the
+def _driver_green_rounds() -> dict[str, set]:
+    """Every round each query had a green driver-hash row, from the
     committed CORRECTNESS_r*.json ledger (repo root). Queries never
-    hashed (or with no ledger present, e.g. a fresh clone) default to
-    0 — maximally stale, so they sort to the front of the fill."""
+    hashed (or with no ledger present, e.g. a fresh clone) are absent.
+    The full per-round sets (not just the max) let the rotation guard
+    distinguish 'the driver just green-hashed this round's first-hash
+    bucket after the session closed' (success) from 'a first-hash name
+    was already proven in an EARLIER round' (skipped rotation)."""
     import glob as _glob
     import json as _json
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last: dict[str, int] = {}
+    rounds: dict[str, set] = {}
     for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -15866,8 +15857,15 @@ def _driver_last_green() -> dict[str, int]:
             continue
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match"):
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+                rounds.setdefault(name, set()).add(rnd)
+    return rounds
+
+
+def _driver_last_green() -> dict[str, int]:
+    """Last round each query had a green driver-hash row; never-hashed
+    queries default to 0 — maximally stale, so they sort to the front
+    of the fill."""
+    return {name: max(rs) for name, rs in _driver_green_rounds().items()}
 
 
 def _stalest_fill(slots: int) -> list[str]:
@@ -15905,26 +15903,7 @@ _GATE_WINDOW = (
 #: neither a CORRECTNESS file, the window, nor this queue). With the
 #: computed stalest fill this queue only matters for genuinely-new
 #: oracles that cannot displace a _WINDOW_FIRST_HASH slot.
-_NEXT_WINDOW_QUEUE: list[str] = [
-    # session-4 wave 2: written after the 50-slot window filled
-    "q_prop_test",
-    "q_gof",
-    "q_cliffs_delta",
-    "q_bartlett",
-    "q_qq",
-    "q_lexdiv",
-    "q_clustering",
-    "q_cochran_armitage",
-    "q_hhi",
-    "q_mann_kendall",
-    "q_wilson",
-    "q_chao",
-    "q_dunn",
-    "q_partial_corr",
-    "q_smk",
-    "q_ljung_box",
-    "q_sen_seasonal",
-]
+_NEXT_WINDOW_QUEUE: list[str] = []
 
 
 def _reorder_registry() -> None:

@@ -502,6 +502,7 @@ def test_gate_window_follows_staleness_rotation_policy():
         _WINDOW_SENTINELS,
         _WINDOW_STALE_SKIP,
         ORACLES,
+        _driver_green_rounds,
         _driver_last_green,
     )
 
@@ -518,10 +519,26 @@ def test_gate_window_follows_staleness_rotation_policy():
     lead = _WINDOW_SENTINELS + _WINDOW_REPROOFS + _WINDOW_FIRST_HASH
     assert _GATE_WINDOW[: len(lead)] == lead
 
-    # first-hash names must genuinely have no driver row yet
+    # Self-healing first-hash check (VERDICT r8 item 2): the driver
+    # writes CORRECTNESS_r{N}.json AFTER the session closes, so on the
+    # shipped tree every first-hash name legitimately carries a green
+    # row in the ledger's NEWEST round — that is the success case, not
+    # a violation. The guard fires only when a first-hash name was
+    # already proven in an EARLIER round (a genuinely skipped
+    # rotation).
+    rounds = _driver_green_rounds()
+    newest = max((r for rs in rounds.values() for r in rs), default=0)
+    already = [
+        n
+        for n in _WINDOW_FIRST_HASH
+        if rounds.get(n) and rounds[n] != {newest}
+    ]
+    assert not already, (
+        f"first-hash bucket holds names green-hashed before the newest "
+        f"ledger round (rotation skipped): {already}"
+    )
+
     last = _driver_last_green()
-    already = [n for n in _WINDOW_FIRST_HASH if n in last]
-    assert not already, f"first-hash bucket holds hashed names: {already}"
 
     # nothing staler than the fill was skipped: the max last-green
     # round INSIDE the fill is <= the min last-green round of every

@@ -1517,6 +1517,46 @@ def test_mood_median_ties_at_median_dropped(spark):
     assert r["chi2"] == 0.0
 
 
+def test_mood_median_all_tied_group_keeps_df_nulls_chi2(spark):
+    """ADVICE r8: a group whose EVERY value equals the grand median
+    must still count in k_groups/df (scipy.median_test raises here —
+    it never silently re-sizes the table); chi2 goes NULL instead of
+    being computed over a shrunken k-1 table."""
+    from kafka_streams_plumber_spark.operators.stats import mood_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("c", 3.0), ("c", 3.0),
+         ("b", 4.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    r = mood_median(df, "v", "g").collect()[0]
+    # grand median = 3.0; group c ties entirely -> 0 usable rows
+    assert r["grand_median"] == 3.0
+    assert r["n_used"] == 4
+    assert (r["k_groups"], r["df"]) == (3, 2)
+    assert r["chi2"] is None
+
+
+def test_jarque_bera_spread_guard_nulls_not_wraps(spark):
+    """ADVICE r8: the per-row d^2 is a raw long*long (the hot path);
+    past scaled spread 3037000499 it would wrap silently. The guard
+    must NULL that group's statistics while an in-bound group in the
+    same frame still computes."""
+    from kafka_streams_plumber_spark.operators.stats import jarque_bera
+
+    rows = [("wide", 0.0), ("wide", 1.0e9), ("wide", 2.0e9)] + [
+        ("ok", float(v)) for v in (1, 2, 3, 4, 10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in jarque_bera(df, "v", "g").collect()}
+    # scale=4 default: wide's scaled spread = 2e13 > 3037000499
+    assert out["wide"]["n"] == 3
+    assert out["wide"]["skewness"] is None
+    assert out["wide"]["kurt_excess"] is None
+    assert out["wide"]["jb"] is None
+    assert out["ok"]["jb"] is not None
+
+
 def test_friedman_hand_computed(spark):
     """6 blocks x 3 treatments with within-block ties: tie-corrected
     Q = 2.111111 (independent pure-Python midrank kernel); an
