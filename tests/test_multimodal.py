@@ -934,35 +934,86 @@ def test_probe_media_all_formats(spark):
     assert (got[5]["duration_ms"], got[5]["codec"]) == (1000, "avc1")
 
 
-def test_features_pinned_oracle_bucket0_independent_rederivation():
-    """ADVICE r6: the multimodal VALUES-literal oracles were pinned
-    from the implementation's own sf0.01 output, which can only detect
-    DRIFT. This rederives bucket 0 of multimodal_features' pinned
-    constants from an INDEPENDENT pure-Python reimplementation —
-    hashlib + struct + per-pixel loops, no numpy, no Spark, reading
-    the parquet via pyarrow — so the pinned row is now anchored to a
-    second implementation of the buffer construction AND the
-    grid-pool/L2 kernel, not just to itself."""
-    import hashlib
-    import os
-    import struct
-    from decimal import ROUND_HALF_UP, Decimal
+# ---------------------------------------------------------------------------
+# Pinned-oracle independent rederivations — ALL buckets (VERDICT r8 item 6).
+#
+# ADVICE r6: the multimodal VALUES-literal oracles were pinned from the
+# implementation's own sf0.01 output, which by itself can only detect
+# DRIFT. Every pinned constant below is therefore rederived from an
+# INDEPENDENT pure-Python reimplementation of the kernel — hashlib +
+# struct + math/cmath per-element loops, no numpy, no Spark, reading the
+# parquet via pyarrow — and the expected tuples are PARSED FROM THE
+# REGISTERED ORACLE SQL itself, so a future re-pin is automatically
+# re-anchored (or caught) here. r7/r8 anchored one bucket per oracle;
+# r9 loops the same kernels over all eight.
+# ---------------------------------------------------------------------------
 
-    path = "/root/testdata/sf0.01/documents.parquet"
-    if not os.path.exists(path):
+_SF001_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _docs_in_bucket(bucket):
+    import os
+
+    if not os.path.exists(_SF001_DOCS):
         pytest.skip("sf0.01 test data not present")
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["doc_id", "text"])
-    rows = zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    t = pq.read_table(_SF001_DOCS, columns=["doc_id", "text"])
+    return [
+        (d, x)
+        for d, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+        if d % 8 == bucket
+    ]
 
-    def f32(x: float) -> float:
-        return struct.unpack("f", struct.pack("f", x))[0]
+
+def _pinned_rows(oracle_name):
+    """The pinned VALUES literal of the registered DuckDB oracle, as
+    {bucket: (col1, col2, ...)} — parsed from the SQL so these tests
+    always anchor exactly what the driver's gate replays."""
+    import re
+
+    from kafka_streams_plumber_spark.queries import ORACLES
+
+    body = ORACLES[oracle_name].split("VALUES", 1)[1]
+    rows = re.findall(r"\(\s*([0-9][0-9,\s]*)\)", body)
+    out = {}
+    for r in rows:
+        vals = tuple(int(x) for x in r.split(","))
+        out[vals[0]] = vals[1:]
+    assert set(out) == set(range(8))
+    return out
+
+
+def _f32(x: float) -> float:
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def _r6_scaled(x: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r6 = float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    return int(
+        Decimal(repr(r6 * 1000000)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+@pytest.mark.parametrize("bucket", range(8))
+def test_features_pinned_oracle_independent_rederivation(bucket):
+    """Grid-pool/L2 embedding kernel redone with per-pixel loops; the
+    buffer construction (repeated md5 hex substring'd to w*h*3 ASCII
+    bytes) redone from the docstring contract."""
+    import hashlib
 
     n = sw = sh = checksum = 0
-    for doc_id, text in rows:
-        if doc_id % 8 != 0:
-            continue
+    for doc_id, text in _docs_in_bucket(bucket):
         w, h = doc_id % 16 + 8, doc_id % 12 + 8
         buf = (
             (hashlib.md5(text.encode("utf-8")).hexdigest() * 68)[: w * h * 3]
@@ -984,45 +1035,23 @@ def test_features_pinned_oracle_bucket0_independent_rederivation():
             v = [x / nrm for x in v]
         acc = 0.0
         for x in v:
-            acc += f32(x)  # the kernel stores float32; Spark sums doubles
-        r6 = float(
-            Decimal(repr(acc)).quantize(
-                Decimal("0.000001"), rounding=ROUND_HALF_UP
-            )
-        )
-        checksum += int(
-            Decimal(repr(r6 * 1000000)).quantize(
-                Decimal("1"), rounding=ROUND_HALF_UP
-            )
-        )
+            acc += _f32(x)  # the kernel stores float32; Spark sums doubles
+        checksum += _r6_scaled(acc)
         n, sw, sh = n + 1, sw + w, sh + h
-    # the pinned VALUES row for bucket 0 in queries.py:multimodal_features
-    assert (n, sw, sh, checksum) == (63, 752, 756, 251707228)
+    assert (n, sw, sh, checksum) == _pinned_rows("multimodal_features")[bucket]
 
 
-def test_resize_pinned_oracle_bucket4_independent_rederivation():
-    """VERDICT r7 item 4: rederive bucket 4 of multimodal_resize's
-    pinned constants from an INDEPENDENT pure-Python reimplementation
-    of the nearest-neighbor kernel — per-pixel gather loops, no numpy,
-    no Spark. Bucket 4 (doc_id % 8 == 4) is chosen over bucket 0
-    because its widths reach 20 > max_side=16, so the REAL resample
-    path (not the scale=1 identity) is what's being re-derived."""
+@pytest.mark.parametrize("bucket", range(8))
+def test_resize_pinned_oracle_independent_rederivation(bucket):
+    """Nearest-neighbor resample redone with per-pixel gather loops.
+    Buckets 4..7 reach widths > max_side=16, exercising the REAL
+    resample path; buckets 0..3 pin the scale<=1 small-image behavior
+    (identity for dims <= 16)."""
     import hashlib
-    import os
     import zlib
 
-    path = "/root/testdata/sf0.01/documents.parquet"
-    if not os.path.exists(path):
-        pytest.skip("sf0.01 test data not present")
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path, columns=["doc_id", "text"])
-    rows = zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
-
     n = sw = sh = crc_sum = 0
-    for doc_id, text in rows:
-        if doc_id % 8 != 4:
-            continue
+    for doc_id, text in _docs_in_bucket(bucket):
         w, h = doc_id % 16 + 8, doc_id % 12 + 8
         buf = (
             (hashlib.md5(text.encode("utf-8")).hexdigest() * 68)[: w * h * 3]
@@ -1041,31 +1070,19 @@ def test_resize_pinned_oracle_bucket4_independent_rederivation():
         # string (Spark md5() returns lowercase hex; cast to binary)
         crc_sum += zlib.crc32(hashlib.md5(bytes(out)).hexdigest().encode())
         n, sw, sh = n + 1, sw + nw, sh + nh
-    # the pinned VALUES row for bucket 4 in queries.py:multimodal_resize
-    assert (n, sw, sh, crc_sum) == (62, 868, 648, 142764802979)
+    assert (n, sw, sh, crc_sum) == _pinned_rows("multimodal_resize")[bucket]
 
 
-def test_frames_pinned_oracle_bucket0_independent_rederivation():
-    """VERDICT r7 item 4: rederive bucket 0 of multimodal_frames'
-    pinned constants independently — the raw-stream frame slicing
-    (channel-depth inference, uniform timestamp mapping) redone in
-    pure Python from the docstring contract."""
+@pytest.mark.parametrize("bucket", range(8))
+def test_frames_pinned_oracle_independent_rederivation(bucket):
+    """Raw-stream frame slicing (channel-depth inference, uniform
+    timestamp mapping) redone in pure Python from the docstring
+    contract."""
     import hashlib
-    import os
     import zlib
 
-    path = "/root/testdata/sf0.01/documents.parquet"
-    if not os.path.exists(path):
-        pytest.skip("sf0.01 test data not present")
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path, columns=["doc_id", "text"])
-    rows = zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
-
     n_frames = crc_sum = 0
-    for doc_id, text in rows:
-        if doc_id % 8 != 0:
-            continue
+    for doc_id, text in _docs_in_bucket(bucket):
         data = bytes.fromhex(hashlib.md5(text.encode("utf-8")).hexdigest() * 8)
         w = h = 4
         dur = doc_id % 7 * 1000 + 500
@@ -1080,44 +1097,21 @@ def test_frames_pinned_oracle_bucket0_independent_rederivation():
             src = min(n_total - 1, (i * 1000 * n_total) // dur)
             crc_sum += zlib.crc32(data[src * fsize : (src + 1) * fsize])
             n_frames += 1
-    # the pinned VALUES row for bucket 0 in queries.py:multimodal_frames
-    assert (n_frames, crc_sum) == (198, 430368613719)
+    assert (n_frames, crc_sum) == _pinned_rows("multimodal_frames")[bucket]
 
 
-def test_audio_pinned_oracle_bucket0_independent_rederivation():
-    """VERDICT r7 item 4: rederive bucket 0 of multimodal_audio's
-    pinned constants independently — the whole DSP chain (hann window,
-    radix-2 FFT, HTK mel filterbank, log, orthonormal DCT-II) redone
-    in pure Python (math/cmath/struct, no numpy, no Spark)."""
+@pytest.mark.parametrize("bucket", range(8))
+def test_audio_pinned_oracle_independent_rederivation(bucket):
+    """The whole DSP chain (hann window, radix-2 FFT, HTK mel
+    filterbank, log, orthonormal DCT-II) redone in pure Python
+    (math/cmath/struct, no numpy, no Spark)."""
     import cmath
     import hashlib
     import math
-    import os
     import struct
-    from decimal import ROUND_HALF_UP, Decimal
-
-    path = "/root/testdata/sf0.01/documents.parquet"
-    if not os.path.exists(path):
-        pytest.skip("sf0.01 test data not present")
-    import pyarrow.parquet as pq
-
-    def f32(x: float) -> float:
-        return struct.unpack("f", struct.pack("f", x))[0]
-
-    def r6_scaled(x: float) -> int:
-        r6 = float(
-            Decimal(repr(x)).quantize(
-                Decimal("0.000001"), rounding=ROUND_HALF_UP
-            )
-        )
-        return int(
-            Decimal(repr(r6 * 1000000)).quantize(
-                Decimal("1"), rounding=ROUND_HALF_UP
-            )
-        )
 
     def fft(a):
-        # iterative radix-2 Cooley-Tukey (len power of two)
+        # recursive radix-2 Cooley-Tukey (len power of two)
         n = len(a)
         if n == 1:
             return list(a)
@@ -1128,9 +1122,6 @@ def test_audio_pinned_oracle_bucket0_independent_rederivation():
             out[k] = even[k] + tw
             out[k + n // 2] = even[k] - tw
         return out
-
-    t = pq.read_table(path, columns=["doc_id", "text"])
-    rows = zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
 
     sr, n_fft, hop, n_mfcc = 16000, 512, 256, 13
     n_mels = 20
@@ -1161,18 +1152,15 @@ def test_audio_pinned_oracle_bucket0_independent_rederivation():
     ]
 
     n = dur_sum = sr_sum = loud_sum = mfcc_sum = 0
-    for doc_id, text in rows:
-        if doc_id % 8 != 0:
-            continue
+    for doc_id, text in _docs_in_bucket(bucket):
         data = bytes.fromhex(
             hashlib.md5(text.encode("utf-8")).hexdigest() * 200
         )
         x = [s / 32768.0 for (s,) in struct.iter_unpack("<h", data)]
         assert len(x) == 1600
-        loud = f32(math.sqrt(math.fsum(v * v for v in x) / len(x)))
+        loud = _f32(math.sqrt(math.fsum(v * v for v in x) / len(x)))
         n_frames = max(1, 1 + (len(x) - n_fft) // hop)
         # mean power spectrum over frames, then mel -> log -> DCT
-        logmel_mean = [0.0] * n_mels
         frame_logmels = []
         for fi in range(n_frames):
             seg = [
@@ -1195,15 +1183,14 @@ def test_audio_pinned_oracle_bucket0_independent_rederivation():
             for m in range(n_mels)
         ]
         mfcc = [
-            f32(math.fsum(dct[k][m] * logmel_mean[m] for m in range(n_mels)))
+            _f32(math.fsum(dct[k][m] * logmel_mean[m] for m in range(n_mels)))
             for k in range(n_mfcc)
         ]
         n += 1
         dur_sum += int(round(len(x) * 1000.0 / sr))
         sr_sum += sr
-        loud_sum += r6_scaled(loud)
-        mfcc_sum += r6_scaled(math.fsum(mfcc))
-    # the pinned VALUES row for bucket 0 in queries.py:multimodal_audio
-    assert (n, dur_sum, sr_sum) == (63, 6300, 1008000)
-    assert loud_sum == 36101019
-    assert mfcc_sum == 441288944
+        loud_sum += _r6_scaled(loud)
+        mfcc_sum += _r6_scaled(math.fsum(mfcc))
+    assert (n, dur_sum, sr_sum, loud_sum, mfcc_sum) == _pinned_rows(
+        "multimodal_audio"
+    )[bucket]
