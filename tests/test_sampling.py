@@ -511,3 +511,42 @@ def test_poisson_bootstrap_matches_pure_python_reference(spark):
     # determinism: a second run is identical
     again = poisson_bootstrap(df, "rid", "v", b=b, ci=0.95).collect()[0]
     assert again == got
+
+
+def test_poisson_bootstrap_salt_invariance(spark):
+    """The r9 salted two-level sum is an exactness-preserving
+    rewrite: every output column is bit-identical across salt_cells
+    settings (salt_cells=1 degenerates to the unsalted global decimal
+    sum, so equality across 1/7/64 proves the long-partial path
+    reassociates to the same exact integers)."""
+    from kafka_streams_plumber_spark.operators.sampling import (
+        poisson_bootstrap,
+    )
+
+    rows = [(i, float((i * 37) % 113) - 31.5) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    outs = [
+        poisson_bootstrap(df, "rid", "v", b=11, salt_cells=s).collect()[0]
+        for s in (1, 7, 64)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_poisson_bootstrap_overflow_guard_nulls_boot_columns(spark):
+    """A cell whose count * 8 * max|scaled value| crosses 2^62 could
+    have wrapped the level-1 long partial sum: the guard must NULL
+    the bootstrap columns (fail-loud) while keeping the decimal-exact
+    point estimate."""
+    from kafka_streams_plumber_spark.operators.sampling import (
+        poisson_bootstrap,
+    )
+
+    # scale=1e6 puts 6e11 at 6e17 scaled; 1 row * 8 * 6e17 > 2^62
+    df = spark.createDataFrame(
+        [(1, 6.0e11), (2, 1.0), (3, 2.0)], "rid long, v double"
+    )
+    r = poisson_bootstrap(df, "rid", "v", b=5).collect()[0]
+    assert r["n_rows"] == 3 and r["point_mean"] is not None
+    assert r["boot_mean"] is None
+    assert r["boot_se"] is None
+    assert r["ci_lo"] is None and r["ci_hi"] is None

@@ -290,7 +290,31 @@ def main() -> None:
         "",
         "## Bench-anomaly notes (cross-round)",
         "",
-        '- Session-4 closing measurements (r8, this session): the full',
+        "- r9 full-table regeneration: the two wave-6 rows (`q_ljung_box`,",
+        "  `q_sen_seasonal`) are folded into the main table (they were",
+        "  probed in a same-host follow-up pass in r8), and `q_bootstrap_ci`",
+        "  drops from 16.3 s to the low single digits at sf0.1 by a REAL",
+        "  KERNEL CHANGE, not environment: the r9 salted two-level sum keeps",
+        "  the n*b hot loop on long arithmetic instead of per-row",
+        "  decimal(38,0) accumulation (operators/sampling.py; same summed",
+        "  integers, same oracle hash; isolated 5-rep min 3.165 s vs 11.795 s",
+        "  for the decimal kernel on the same quiet host, load1 <= 3).",
+        "- `q_pacf`'s r9 row reads 5.888 s at sf0.001 against 1.846 /",
+        "  2.261 at the larger SFs — non-monotone, so adjudicated the",
+        "  same session: an isolated fresh-session 3-SF best-of-2",
+        "  re-probe (load1 0.71) gave [0.712, 0.647, 0.613] — flat and",
+        "  sub-second everywhere; the 5.888 was a scheduling hiccup in",
+        "  the 142-query shared session, not the plan (PACF's",
+        "  Durbin-Levinson recursion is fixed-size; only the bucketed",
+        "  ACF scan sees data).",
+        "- `q_cohen_kappa`'s r8 probe row (6.370 / 2.186 / 5.434 — NON-",
+        "  monotone, sf0.001 reading 3x its sf0.1) was flagged by the r8",
+        "  verdict as contaminated; a quiet-host isolated 5-rep remeasure",
+        "  in r9 (tools/remeasure.py, load1 0.13) gave [0.922, 0.748,",
+        "  0.903, 0.770, 0.575] min 0.575 s at sf0.1 — the kernel is",
+        "  sub-second and the r8 row was environment; this table's",
+        "  regenerated row is the standing record.",
+        '- Session-4 closing measurements (r8, previous session): the full',
         '  sf0.1 bench read headline 10.596 s with a BROAD ~15-30%',
         '  elevation over the early-r8 quiet-host run (8.098 s) spread',
         '  across unrelated queries — including constant-cost plans like',
