@@ -1433,3 +1433,149 @@ def test_durbin_watson_matches_brute_force(spark, vals):
         return
     assert got["dw"] == round(n * d / (n * q - t * t), 6)
     assert 0.0 <= got["dw"] <= 4.000001
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**6),
+            st.floats(
+                min_value=-1000, max_value=1000,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=3,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 3, 16]),
+)
+def test_poisson_bootstrap_matches_reference_any_salt(spark, rows, cells):
+    """The r9 salted two-level sum equals the pure-Python reference
+    (Knuth hash -> Poisson(1) CDF walk -> exact integer replica sums
+    -> scaled-long means) bit-for-bit for ARBITRARY ids/values and
+    ANY salt_cells — the property behind the 'same oracle hash'
+    claim."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.sampling import (
+        POISSON1_CDF,
+        poisson_bootstrap,
+    )
+
+    b, scale, ms_scale = 5, 10**6, 10**9
+    df = spark.createDataFrame(rows, "rid long, v double")
+    got = poisson_bootstrap(
+        df, "rid", "v", b=b, ci=0.9, salt_cells=cells
+    ).collect()[0]
+
+    def weight(k, r):
+        h = ((k * b + r) % 2**31) * 2654435761 % 2**31
+        u = (h + 1.0) / 2**31
+        for kk, thr in enumerate(POISSON1_CDF):
+            if u < thr:
+                return kk
+        return len(POISSON1_CDF)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # Spark F.round is HALF_UP on the double's shortest repr;
+        # Python round() is banker's on the binary value — use the
+        # repo's Decimal(repr(...)) device for half-ties.
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def r0(x):
+        return int(
+            Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    vs = {k: r0(v * scale) for k, v in rows}
+    ms = []
+    for r in range(b):
+        sv = sum(weight(k, r) * vs[k] for k, _ in rows)
+        sw = sum(weight(k, r) for k, _ in rows)
+        if sw > 0:
+            ms.append(r0(sv / sw / scale * ms_scale))
+    assert got["n_rows"] == len(rows)
+    assert got["n_replicas"] == len(ms)
+    assert got["boot_mean"] == r6(sum(ms) / len(ms) / ms_scale)
+    if len(ms) >= 2:
+        n, t, q = len(ms), sum(ms), sum(m * m for m in ms)
+        se = math.sqrt((n * q - t * t) / (n * (n - 1))) / ms_scale
+        assert got["boot_se"] == r6(se)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_mood_median_matches_brute_force_table(spark, pairs):
+    """mood_median equals the brute-force 2 x k chi-square on the
+    post-tie-filter table; k_groups/df always count the PRE-filter
+    group set, and chi2 is NULL exactly when k < 2, a margin is
+    empty, or a group loses every row to the tie filter (the scipy-
+    raises contract from ADVICE r8)."""
+    from kafka_streams_plumber_spark.operators.stats import mood_median
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in pairs], "g string, v double"
+    )
+    r = mood_median(df, "v", "g").collect()[0]
+
+    groups = sorted({g for g, _ in pairs})
+    assert r["k_groups"] == len(groups)
+    assert r["df"] == len(groups) - 1
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    xs = sorted(v for _, v in pairs)
+    idx = 0.5 * (len(xs) - 1)
+    lo = int(idx)
+    med = xs[lo] + (idx - lo) * (xs[min(lo + 1, len(xs) - 1)] - xs[lo])
+    assert r["grand_median"] == r6(med)
+
+    ab = {g: 0 for g in groups}
+    be = {g: 0 for g in groups}
+    for g, v in pairs:
+        if v > med:
+            ab[g] += 1
+        elif v < med:
+            be[g] += 1
+    ta, tb = sum(ab.values()), sum(be.values())
+    assert r["n_used"] == ta + tb
+    dropped = [g for g in groups if ab[g] + be[g] == 0]
+    if len(groups) < 2 or ta == 0 or tb == 0 or dropped:
+        assert r["chi2"] is None
+        return
+    chi = 0
+    for g in groups:
+        ng = ab[g] + be[g]
+        ea = ng * ta / (ta + tb)
+        eb = ng * tb / (ta + tb)
+        term = ((ab[g] - ea) ** 2 / ea + (be[g] - eb) ** 2 / eb) * 1e6
+        chi += int(
+            Decimal(repr(term)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+    assert r["chi2"] == r6(chi / 1e6)

@@ -299,6 +299,22 @@ def main() -> None:
         "  decimal(38,0) accumulation (operators/sampling.py; same summed",
         "  integers, same oracle hash; isolated 5-rep min 3.165 s vs 11.795 s",
         "  for the decimal kernel on the same quiet host, load1 <= 3).",
+        "- r9 closing bench (full sf0.1 bench.py, load1 0.07 at start):",
+        "  headline 12.775 s vs the r8 quiet-host 8.098 s — another",
+        "  elevated host epoch, adjudicated BEFORE closing (VERDICT r8",
+        "  item 8) with isolated 5-rep remeasures of the four biggest",
+        "  deviators: q1_pricing min 0.616 (r8 isolated 0.600),",
+        "  q3_topk 0.595 (0.675 — better than band), q21_waiting 0.888",
+        "  (r8 bench 0.964 — inside band), dedup_minhash 1.023 (r7",
+        "  isolated 0.881; one rep spiked to 5.3 s with load1 swinging",
+        "  0.08 -> 2.2 between reps — external container activity",
+        "  visible even under isolation). Per-query bench ratios vs r8",
+        "  span 0.86-1.55x with constant-cost plans at 1.0x",
+        "  (dedup_exact 0.104, q_setops 1.00x), the environmental",
+        "  signature; no code or plan touched these queries in r9",
+        "  (PLANS.md rows unchanged). extra6 closed at 6.121 s",
+        "  (bootstrap 3.802) — under the r8 verdict's ~8 s target even",
+        "  in the elevated epoch.",
         "- `q_pacf`'s r9 row reads 5.888 s at sf0.001 against 1.846 /",
         "  2.261 at the larger SFs — non-monotone, so adjudicated the",
         "  same session: an isolated fresh-session 3-SF best-of-2",
