@@ -227,3 +227,23 @@ def test_forget_subjects_unknown_subject_is_noop(spark):
     assert purged["t"].count() == 1
     r = audit.collect()[0]
     assert (r["rows_before"], r["rows_purged"], r["rows_after"]) == (1, 0, 1)
+
+
+def test_matches_rate_counts_full_regex_matches(spark):
+    """matches_rate = fraction of NON-NULL values matching the regex
+    (the one expectation metric the suite didn't exercise directly)."""
+    from kafka_streams_plumber_spark.operators.expect import (
+        matches_rate,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [("a1",), ("b2",), ("zz",), (None,)], "s string"
+    )
+    out = run_checks(
+        df,
+        [{"name": "fmt", "metric": matches_rate("s", "[a-z][0-9]"), "lo": 0.5}],
+    ).collect()[0]
+    # 2 of 3 non-null values match -> 0.666..; NULLs excluded from both sides
+    assert out["ok"] is True
+    assert abs(out["metric"] - 2 / 3) < 1e-6

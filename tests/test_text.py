@@ -737,3 +737,26 @@ def test_vocab_richness_hand_computed(spark):
     assert (s2["n_hapax"], s2["n_doubletons"]) == (3, 0)
     assert s2["chao1"] == 3 + 3.0  # V + V1(V1-1)/2 with V2=0
     assert s2["coverage"] == 0.0
+
+
+def test_with_text_stats_attaches_all_columns(spark):
+    """The one-projection convenience wrapper carries every standard
+    text-analysis column and agrees with the individual primitives."""
+    from kafka_streams_plumber_spark.operators.text import (
+        quality_score,
+        token_count,
+        with_text_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog.")],
+        "doc_id long, text string",
+    )
+    r = with_text_stats(df).collect()[0]
+    for c in ("n_tokens", "n_stopwords", "quality", "pred_lang", "fingerprint"):
+        assert c in r.asDict()
+    single = df.select(
+        token_count("text").alias("nt"), quality_score("text").alias("q")
+    ).collect()[0]
+    assert r["n_tokens"] == single["nt"]
+    assert r["quality"] == single["q"]
