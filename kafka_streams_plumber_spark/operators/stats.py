@@ -1888,7 +1888,7 @@ def autocorrelation(
     *,
     max_lag: int,
     group_cols: list[str] | None = None,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Sample autocorrelation function (ACF) of a bucketed series at
     lags 1..``max_lag`` — the temporal diagnostic that tells a feed
@@ -1925,7 +1925,7 @@ def autocorrelation(
     """
     assert max_lag >= 1
     groups = list(group_cols or [])
-    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    v = F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long")
     base = df.where(
         F.col(index_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
@@ -3089,7 +3089,7 @@ def pacf(
     *,
     max_lag: int,
     group_cols: list[str] | None = None,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Partial autocorrelation function (PACF) at lags 1..``max_lag``
     — :func:`autocorrelation`'s model-order companion: the ACF says
@@ -3120,7 +3120,7 @@ def pacf(
         value_col,
         max_lag=max_lag,
         group_cols=group_cols,
-        scale=scale,
+        value_scale=value_scale,
     )
     piv = acf_df.groupBy(*groups).agg(
         *[
@@ -3239,12 +3239,17 @@ def jarque_bera(
     concretely spread*10^scale <= ~1e8 keeps sum d^4 under 1e38 for
     groups up to ~1e6 rows, and the default scale=4 holds that for
     spreads up to ~10k units — drop ``scale`` for wider-ranged
-    columns). The EARLIEST exactness cliff is the per-row d^2, a raw
-    long*long kept deliberately off BigDecimal for speed: it is exact
-    only while spread*10^scale <= floor(sqrt(2^63-1)) = 3037000499,
-    and past that it would WRAP silently (non-ANSI) — so the kernel
-    carries a per-group spread guard that NULLs the statistics
-    instead of emitting wrapped garbage (ADVICE r8).
+    columns). Every SUM (pivot S1, d, d^2, d^3, d^4) accumulates on
+    decimal, so no aggregate can wrap however large the group. The
+    one long-arithmetic cliff left is the per-row d^2, kept
+    deliberately off BigDecimal for speed: it is exact only while
+    spread*10^scale <= floor(sqrt(2^63-1)) = 3037000499, and past
+    that it would WRAP silently (non-ANSI) — so the kernel carries a
+    per-group spread guard that NULLs the statistics instead of
+    emitting wrapped garbage (ADVICE r8). The guard's own max-min
+    subtraction is long too; a past-2^63 true spread wraps NEGATIVE
+    (bounded to one wrap by |_s| <= 2^63-1), so the guard requires
+    0 <= spread <= 3037000499.
     Central moments about the true mean then come from the standard
     pivot-shift identities
       n*m2 = D2 - D1^2/n
@@ -3267,12 +3272,20 @@ def jarque_bera(
     )
     piv = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("_s").alias("_s1"),
+        # decimal accumulation: a LONG sum of _s wraps silently once
+        # n * |_s| crosses 2^63 (inside the 100 TB envelope), which
+        # would corrupt the pivot while the spread guard below stays
+        # green. The d^3/d^4 sums already ride decimals; the pivot
+        # and d/d^2 sums must too.
+        F.sum(F.col("_s").cast("decimal(28,0)")).alias("_s1"),
         # spread guard: |d| <= max(_s) - min(_s), so the long d*d
         # below is exact iff the scaled spread stays <=
         # floor(sqrt(2^63 - 1)) = 3037000499. Beyond that the raw
         # long square would WRAP silently (non-ANSI); the guard nulls
         # the group's statistics instead — O(groups) cost, fail-loud.
+        # The subtraction itself is a long op: a true spread past 2^63
+        # wraps NEGATIVE (|_s| <= 2^63-1 bounds it to one wrap), so
+        # the guard also requires _sp >= 0.
         (F.max("_s") - F.min("_s")).alias("_sp"),
     ).select(
         "_g",
@@ -3289,9 +3302,11 @@ def jarque_bera(
         "_g", "_n", "_sp", d.alias("_d"), d2
     )
     mom = dev.groupBy("_g", "_n", "_sp").agg(
-        F.sum("_d").cast("decimal(38,0)").alias("_d1"),
+        F.sum(F.col("_d").cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("_d1"),
         F.coalesce(
-            F.sum("_dd").cast("decimal(38,0)"),
+            F.sum(F.col("_dd").cast("decimal(28,0)")).cast("decimal(38,0)"),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_d2"),
         F.coalesce(
@@ -3325,6 +3340,7 @@ def jarque_bera(
     ok = (
         (F.col("_n") >= 2)
         & (m2n > F.lit(0.0))
+        & (F.col("_sp") >= F.lit(0))
         & (F.col("_sp") <= F.lit(3037000499))
     )
     skew = F.sqrt(nd) * m3n / F.nullif(
@@ -4666,7 +4682,7 @@ def ljung_box(
         value_col,
         max_lag=max_lag,
         group_cols=groups,
-        scale=value_scale,
+        value_scale=value_scale,
     )
     base = df.where(
         F.col(index_col).isNotNull() & F.col(value_col).isNotNull()

@@ -11499,7 +11499,8 @@ def q_acf_by_type(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return autocorrelation(
-        daily, "day_idx", "n", max_lag=7, group_cols=["event_type"], scale=1
+        daily, "day_idx", "n", max_lag=7, group_cols=["event_type"],
+        value_scale=1
     )
 
 
@@ -11720,7 +11721,7 @@ def q_acf(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     # counts are already integers: scale=1 keeps the moments smallest
-    return autocorrelation(daily, "day_idx", "n", max_lag=14, scale=1)
+    return autocorrelation(daily, "day_idx", "n", max_lag=14, value_scale=1)
 
 
 @query(
@@ -13858,7 +13859,7 @@ def q_pacf(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return pacf(daily, "day_idx", "n", max_lag=8, scale=1)
+    return pacf(daily, "day_idx", "n", max_lag=8, value_scale=1)
 
 
 @query(
@@ -13992,13 +13993,13 @@ def q_isotonic(spark, sf_dir):
       FROM cm
     )
     SELECT g AS event_type, n,
-           CASE WHEN n >= 2 AND m2n > 0.0 AND sp <= 3037000499
+           CASE WHEN n >= 2 AND m2n > 0.0 AND sp >= 0 AND sp <= 3037000499
              THEN round(skw, 6) END
              AS skewness,
-           CASE WHEN n >= 2 AND m2n > 0.0 AND sp <= 3037000499
+           CASE WHEN n >= 2 AND m2n > 0.0 AND sp >= 0 AND sp <= 3037000499
              THEN round(krt, 6) END
              AS kurt_excess,
-           CASE WHEN n >= 2 AND m2n > 0.0 AND sp <= 3037000499 THEN
+           CASE WHEN n >= 2 AND m2n > 0.0 AND sp >= 0 AND sp <= 3037000499 THEN
              round(nd / 6.0 * (skw * skw + krt * krt / 4.0), 6) END
              AS jb
     FROM sk
@@ -15792,9 +15793,12 @@ _WINDOW_SENTINELS = [
 ]
 
 #: Operator code changed this round (ADVICE r8 + VERDICT r8 item 5):
-#: jarque_bera decimal-cast of the d^2 intermediate, mood_median
-#: pre-filter df contract, cross_correlation scale-parameter
-#: normalization, bootstrap_ci inverse-CDF via array lookup.
+#: jarque_bera exact-arithmetic hardening (decimal-accumulated pivot/
+#: d/d^2 sums + the 0 <= spread <= 3037000499 guard on the per-row
+#: long d^2), mood_median pre-filter k_groups/df contract,
+#: cross_correlation raw-multiplier param renamed value_scale,
+#: bootstrap_ci salted two-level long sum + branch-free
+#: indicator-sum inverse CDF + per-cell overflow guard.
 _WINDOW_REPROOFS = [
     "q_jarque_bera",
     "q_mood_median",

@@ -1472,7 +1472,7 @@ def test_poisson_bootstrap_matches_reference_any_salt(spark, rows, cells):
 
     def weight(k, r):
         h = ((k * b + r) % 2**31) * 2654435761 % 2**31
-        u = (h + 1.0) / 2**31
+        u = (h + 1.0) / (2**31 + 1)  # kernel: /float(_M31 + 1), _M31 = 2**31
         for kk, thr in enumerate(POISSON1_CDF):
             if u < thr:
                 return kk

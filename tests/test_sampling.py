@@ -472,7 +472,7 @@ def test_poisson_bootstrap_matches_pure_python_reference(spark):
 
     def weight(k, r):
         h = ((k * b + r) % 2**31) * 2654435761 % 2**31
-        u = (h + 1.0) / 2**31
+        u = (h + 1.0) / (2**31 + 1)  # kernel: /float(_M31 + 1), _M31 = 2**31
         for kk, thr in enumerate(POISSON1_CDF):
             if u < thr:
                 return kk

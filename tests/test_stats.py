@@ -790,7 +790,7 @@ def test_autocorrelation_hand_computed_and_gaps(spark):
     )
     got = {
         r["lag"]: r
-        for r in autocorrelation(df, "idx", "v", max_lag=6, scale=1).collect()
+        for r in autocorrelation(df, "idx", "v", max_lag=6, value_scale=1).collect()
     }
     assert (got[1]["n_pairs"], got[1]["acf"]) == (4, 0.4)
     assert (got[2]["n_pairs"], got[2]["acf"]) == (3, -0.1)
@@ -803,7 +803,7 @@ def test_autocorrelation_hand_computed_and_gaps(spark):
     )
     g = {
         r["lag"]: r
-        for r in autocorrelation(gappy, "idx", "v", max_lag=2, scale=1).collect()
+        for r in autocorrelation(gappy, "idx", "v", max_lag=2, value_scale=1).collect()
     }
     assert g[1]["n_pairs"] == 2  # (0,1) and (3,4)
     assert g[2]["n_pairs"] == 1  # (1,3)
@@ -811,7 +811,7 @@ def test_autocorrelation_hand_computed_and_gaps(spark):
     const = spark.createDataFrame(
         [(i, 7.0) for i in range(4)], "idx long, v double"
     )
-    c = autocorrelation(const, "idx", "v", max_lag=1, scale=1).collect()[0]
+    c = autocorrelation(const, "idx", "v", max_lag=1, value_scale=1).collect()[0]
     assert c["acf"] is None
 
 
@@ -1050,7 +1050,7 @@ def test_autocorrelation_grouped_isolated(spark):
     got = {
         (r["g"], r["lag"]): (r["n_pairs"], r["acf"])
         for r in autocorrelation(
-            df, "idx", "v", max_lag=2, group_cols=["g"], scale=1
+            df, "idx", "v", max_lag=2, group_cols=["g"], value_scale=1
         ).collect()
     }
     # group a == the classic [1..5] hand case
@@ -1065,7 +1065,7 @@ def test_autocorrelation_grouped_isolated(spark):
             "idx",
             "v",
             max_lag=2,
-            scale=1,
+            value_scale=1,
         ).collect()
     }
     assert got[("b", 1)] == solo[1] and got[("b", 2)] == solo[2]
@@ -1371,7 +1371,7 @@ def test_pacf_hand_computed_and_reference(spark):
     m = 5
     acf_vals = {
         r["lag"]: r["acf"]
-        for r in autocorrelation(df, "idx", "v", max_lag=m, scale=1).collect()
+        for r in autocorrelation(df, "idx", "v", max_lag=m, value_scale=1).collect()
     }
 
     def ref(r, m):
@@ -1393,7 +1393,7 @@ def test_pacf_hand_computed_and_reference(spark):
     want = ref(acf_vals, m)
     got = {
         r["lag"]: r["pacf"]
-        for r in pacf(df, "idx", "v", max_lag=m, scale=1).collect()
+        for r in pacf(df, "idx", "v", max_lag=m, value_scale=1).collect()
     }
     for k in range(1, m + 1):
         assert abs(got[k] - round(want[k], 6)) < 2e-6, (k, got[k], want[k])
@@ -1403,7 +1403,7 @@ def test_pacf_hand_computed_and_reference(spark):
     )
     cg = {
         r["lag"]: r["pacf"]
-        for r in pacf(const, "idx", "v", max_lag=3, scale=1).collect()
+        for r in pacf(const, "idx", "v", max_lag=3, value_scale=1).collect()
     }
     assert all(v is None for v in cg.values())
 
