@@ -1557,6 +1557,24 @@ def test_jarque_bera_spread_guard_nulls_not_wraps(spark):
     assert out["ok"]["jb"] is not None
 
 
+def test_jarque_bera_spread_guard_catches_negative_wrap(spark):
+    """A true scaled spread past 2^63 wraps NEGATIVE in the long
+    max-min; without the 0 <= _sp bound it would pass the upper guard
+    and re-admit wrapped d^2 garbage (code-review r9)."""
+    from kafka_streams_plumber_spark.operators.stats import jarque_bera
+
+    rows = [("huge", -5.0e14), ("huge", 5.0e14), ("huge", 0.0)] + [
+        ("ok", float(v)) for v in (1, 2, 3, 4, 10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in jarque_bera(df, "v", "g").collect()}
+    # scale=4: _s = +-5e18 each fits a long; true spread 1e19 > 2^63
+    # wraps to a negative long
+    assert out["huge"]["jb"] is None
+    assert out["huge"]["skewness"] is None
+    assert out["ok"]["jb"] is not None
+
+
 def test_friedman_hand_computed(spark):
     """6 blocks x 3 treatments with within-block ties: tie-corrected
     Q = 2.111111 (independent pure-Python midrank kernel); an
