@@ -1934,7 +1934,7 @@ def autocorrelation(
 
     tot = base.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_v").cast("decimal(38,0)").alias("_t"),
+        F.sum(F.col("_v").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_t"),
         F.sum(
             F.col("_v").cast("decimal(19,0)") * F.col("_v").cast("decimal(19,0)")
         ).alias("_q"),
@@ -1957,8 +1957,8 @@ def autocorrelation(
             F.col("_va").cast("decimal(19,0)")
             * F.col("_vb").cast("decimal(19,0)")
         ).alias("_p"),
-        F.sum("_va").cast("decimal(38,0)").alias("_h"),
-        F.sum("_vb").cast("decimal(38,0)").alias("_g"),
+        F.sum(F.col("_va").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_h"),
+        F.sum(F.col("_vb").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_g"),
     )
     # keep empty lags visible: left join the (group x lag) spine
     lag_spine = df.sparkSession.range(1, max_lag + 1).select(
@@ -3828,8 +3828,8 @@ def cross_correlation(
     dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     tot = base.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_x").cast("decimal(38,0)").alias("_tx"),
-        F.sum("_y").cast("decimal(38,0)").alias("_ty"),
+        F.sum(F.col("_x").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_tx"),
+        F.sum(F.col("_y").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_ty"),
         F.sum(dec19(F.col("_x")) * dec19(F.col("_x"))).alias("_qx"),
         F.sum(dec19(F.col("_y")) * dec19(F.col("_y"))).alias("_qy"),
     )
@@ -3847,8 +3847,8 @@ def cross_correlation(
     per_lag = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_k"),
         F.sum(dec19(F.col("_xa")) * dec19(F.col("_yb"))).alias("_p"),
-        F.sum("_xa").cast("decimal(38,0)").alias("_h"),
-        F.sum("_yb").cast("decimal(38,0)").alias("_g"),
+        F.sum(F.col("_xa").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_h"),
+        F.sum(F.col("_yb").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_g"),
     )
     spine = df.sparkSession.range(-max_lag, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
@@ -4123,7 +4123,7 @@ def bartlett(
     per = base.groupBy("_g").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.coalesce(
-            F.sum("_s").cast("decimal(38,0)"),
+            F.sum(F.col("_s").cast("decimal(28,0)")).cast("decimal(38,0)"),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_sg"),
         F.coalesce(
@@ -4602,9 +4602,9 @@ def partial_corr(
     dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     agg = base.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
-        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
-        F.sum("_z").cast("decimal(38,0)").alias("_sz"),
+        F.sum(F.col("_x").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_sx"),
+        F.sum(F.col("_y").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.col("_z").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_sz"),
         F.sum(dec19(F.col("_x")) * dec19(F.col("_x"))).alias("_sxx"),
         F.sum(dec19(F.col("_y")) * dec19(F.col("_y"))).alias("_syy"),
         F.sum(dec19(F.col("_z")) * dec19(F.col("_z"))).alias("_szz"),

@@ -15797,8 +15797,17 @@ _WINDOW_SENTINELS = [
 #: d/d^2 sums + the 0 <= spread <= 3037000499 guard on the per-row
 #: long d^2), mood_median pre-filter k_groups/df contract,
 #: cross_correlation raw-multiplier param renamed value_scale,
-#: bootstrap_ci salted two-level long sum + branch-free
-#: indicator-sum inverse CDF + per-cell overflow guard.
+#: bootstrap_ci salted two-level long sum + per-cell overflow guard.
+#: The same decimal-accumulation hardening was applied to the
+#: window-covered kernels autocorrelation / cross_correlation /
+#: bartlett / partial_corr (scaled-value sums previously accumulated
+#: in long, wrap-before-cast; values identical in the non-wrap
+#: regime, re-proven 7/7 vs oracle). DEFERRED to an r11 reproof
+#: wave (r10's slots are fully committed to the r02 staleness
+#: backlog): welch_t and _anova_on_scaled carry the same
+#: wrap-before-cast long value-sums; the remaining F.sum(long)
+#: sites are count- or rank-bounded (wrap needs ~9e18 rows) per the
+#: r9 audit.
 _WINDOW_REPROOFS = [
     "q_jarque_bera",
     "q_mood_median",
