@@ -948,11 +948,16 @@ def clustering_coefficient(
     frozen to a 1e-9 scaled integer so the average is an exact
     integer sum with one divide back. SQL replays bit-for-bit.
     networkx parity: ``transitivity`` agrees with global_c;
-    avg_local_c averages over degree>=2 nodes ONLY, i.e. it matches
-    ``average_clustering(G, count_zeros=False)`` — the default
-    ``count_zeros=True`` also folds degree<2 nodes in as zeros, so
-    it reads lower on any graph with leaf or isolated-endpoint
-    nodes.
+    avg_local_c averages over degree>=2 nodes INCLUDING the
+    triangle-free ones (their local coefficient enters as zero), so
+    it matches NEITHER networkx flag exactly: it equals
+    ``average_clustering(G, count_zeros=True)`` restricted to
+    degree>=2 nodes. ``count_zeros=False`` would also drop the
+    zero-triangle degree>=2 nodes from the denominator (the two
+    disagree on any graph with a triangle-free degree>=2 node), and
+    the default ``count_zeros=True`` additionally folds degree<2
+    nodes in as zeros, reading lower on any graph with leaf or
+    isolated-endpoint nodes.
 
     Scale design: one edge dedup, one degree aggregate, the
     triangle_counts wedge join, one broadcast join of the O(V)

@@ -539,7 +539,7 @@ def neyman_sample(
     id_col: str,
     *,
     total_n: int,
-    scale: int = 1000,
+    value_scale: int = 1000,
 ) -> DataFrame:
     """Neyman-allocated stratified sampling: the statistically optimal
     split of a ``total_n`` budget across strata for estimating the mean
@@ -562,7 +562,7 @@ def neyman_sample(
     table is scanned once, never window-funneled. Output: sampled rows
     as (id, stratum, n_target) plus the stratum threshold for audit.
     """
-    xq = F.round(F.col(value_col) * scale).cast("long")
+    xq = F.round(F.col(value_col) * value_scale).cast("long")
     moments = df.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(xq).alias("_s"),
@@ -574,7 +574,7 @@ def neyman_sample(
     # empty. Clamp at 0 — a constant stratum legitimately gets weight 0.
     var = F.greatest(
         (F.col("_ss") / F.col("_n") - F.pow(F.col("_s") / F.col("_n"), 2))
-        / (scale * scale),
+        / (value_scale * value_scale),
         F.lit(0.0),
     )
     weighted = moments.select(
@@ -641,7 +641,7 @@ def poisson_bootstrap(
     value_col: str,
     *,
     b: int = 200,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
     mean_scale: int = 10**9,
     ci: float = 0.95,
     salt_cells: int = 64,
@@ -661,8 +661,8 @@ def poisson_bootstrap(
     boot_se, ci_lo, ci_hi)`` — 6 dp. Replicas whose total weight is 0
     (impossible in practice for n >> 1) would drop NULL-safely.
 
-    Exactness: values ride scaled longs (``round(v * scale)``) with
-    the caller contract ``|value| * scale < 2**63 / 8`` (the per-row
+    Exactness: values ride scaled longs (``round(v * value_scale)``) with
+    the caller contract ``|value| * value_scale < 2**63 / 8`` (the per-row
     weight-product stays in a long; weights cap at 8);
     per-replica sums are exact decimal(38,0) integers; each replica
     mean is one double division; replica means re-quantize to longs
@@ -682,7 +682,7 @@ def poisson_bootstrap(
     Python, no driver-side loops.
     """
     alpha = (1.0 - ci) / 2.0
-    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    v = F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long")
     base = df.where(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(F.col(id_col).cast("long").alias("_k"), v.alias("_v"))
@@ -707,37 +707,56 @@ def poisson_bootstrap(
     # Exactness is preserved by a SALTED TWO-LEVEL SUM: level 1 sums
     # longs per (replica, hash-salt cell) — exact while any cell's
     # sum |w*v| stays under 2^63, i.e. roughly n/salt_cells * 8 *
-    # |value|*scale < 2^63 (defaults: n up to ~7e13 rows of
-    # |value|*scale <= 1e9, ~7e10 at |value|*scale <= 1e12; raise
+    # |value|*value_scale < 2^63 (defaults: n up to ~7e13 rows of
+    # |value|*value_scale <= 1e9, ~7e10 at |value|*value_scale <= 1e12; raise
     # ``salt_cells`` for more — but keep b*salt_cells within the
     # L2-resident range: measured 2.9 s at 6400 map-side keys vs
     # 6.9 s at 25600 on the sf0.1 probe) — and level 2
     # decimal-sums the b*salt_cells tiny partials, which CAN exceed
     # 2^63 at 100 TB row counts. The summed integers are
     # bit-identical to the single-level decimal sum, so the
-    # SQL-oracle hash is unchanged. A per-cell (count, max|v|) guard
-    # rides along and NULLs the bootstrap columns if any cell could
-    # have wrapped (fail-loud, never silent garbage); the guard
-    # bound is conservative by construction (count * 8 * max|v| in
-    # double, checked against 2^62 to absorb double rounding).
+    # SQL-oracle hash is unchanged. A per-cell (count, min, max)
+    # guard rides along and NULLs the bootstrap columns if any cell
+    # could have wrapped (fail-loud, never silent garbage); the
+    # guard bound is conservative by construction (count * 8 *
+    # max(|min|, |max|, 1) with the abs taken in DOUBLE so a
+    # Long.MIN_VALUE saturation cannot wrap it, checked against
+    # 2^62 to absorb double rounding; the 1.0 floor also bounds the
+    # weight-sum partial).
     part = rep.groupBy(
         "_r", F.pmod(F.xxhash64(F.col("_k")), F.lit(salt_cells)).alias("_sl")
     ).agg(
         F.sum(w * F.col("_v")).alias("_pv"),
         F.sum(w).alias("_pw"),
         F.count(F.lit(1)).alias("_pc"),
-        F.max(F.abs(F.col("_v"))).alias("_pm"),
+        # min/max, NOT max(abs(_v)): if an input saturates the
+        # double->long cast to Long.MIN_VALUE (outside the documented
+        # |value|*value_scale < 2^63/8 contract), abs() WRAPS NEGATIVE and
+        # would understate the guard magnitude — the guard could then
+        # pass while the long partials had wrapped. abs is taken on
+        # the DOUBLE side below, where MIN_VALUE maps to +9.22e18 and
+        # trips the 2^62 threshold instead.
+        F.max(F.col("_v")).alias("_px"),
+        F.min(F.col("_v")).alias("_pn"),
+    )
+    # Per-cell magnitude bound on the double side (never wraps); the
+    # greatest(..., 1.0) floor also bounds the _pw weight sum (<=
+    # 8 * count per cell), so one guard covers both long partials.
+    # Identical to the old max|v| for any cell with max|v| >= 1, i.e.
+    # every reachable fixture — values and oracle hash unchanged.
+    _mag = F.greatest(
+        F.abs(F.col("_px").cast("double")),
+        F.abs(F.col("_pn").cast("double")),
+        F.lit(1.0),
     )
     per_rep = part.groupBy("_r").agg(
         F.sum(dec(F.col("_pv"))).alias("_sv"),
         F.sum(dec(F.col("_pw"))).alias("_sw"),
         F.max(
-            F.col("_pc").cast("double")
-            * F.lit(8.0)
-            * F.col("_pm").cast("double")
+            F.col("_pc").cast("double") * F.lit(8.0) * _mag
         ).alias("_risk"),
     )
-    mean = (F.col("_sv").cast("double") / F.col("_sw").cast("double")) / scale
+    mean = (F.col("_sv").cast("double") / F.col("_sw").cast("double")) / value_scale
     means = per_rep.where(F.col("_sw") > 0).select(
         F.round(mean * mean_scale, 0).cast("long").alias("_ms"),
         F.col("_risk"),
@@ -747,7 +766,7 @@ def poisson_bootstrap(
         F.count(F.lit(1)).alias("n_rows"),
         (
             (F.sum(dec(F.col("_v"))).cast("double") / F.count(F.lit(1)))
-            / scale
+            / value_scale
         ).alias("_pm"),
     )
     boot = means.agg(

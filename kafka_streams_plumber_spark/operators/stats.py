@@ -7,6 +7,22 @@ formulation is a parallel range-partitioned sort + conditional
 aggregation — faster at sf0.1 and bit-identical (it reproduces the
 builtin's ``lo*(hiIdx-pos) + hi*(pos-loIdx)`` interpolation, which is
 also DuckDB's ``quantile_cont``).
+
+SCALE-PARAMETER CONVENTION (module-wide; VERDICT r9 item 5, enforced
+by tests/test_stats.py::test_scale_parameter_convention_is_uniform):
+every quantization knob is one of exactly two spellings —
+
+- ``scale``: a base-10 EXPONENT; the kernel freezes values at
+  ``round(v * 10**scale)`` (quantization unit 10^-scale). Defaults
+  are small ints (2..9).
+- ``*_scale`` (``value_scale``, ``mean_scale``, ``term_scale``,
+  ``harmonic_scale``, ...): a RAW multiplier; the kernel freezes at
+  ``round(v * value_scale)`` (quantization unit 1/value_scale).
+  Defaults are power-of-ten literals (1000, 10**6, ...).
+
+A raw multiplier must NEVER be named bare ``scale`` — that ambiguity
+(10**6 meaning a million-fold multiplier in one kernel and an
+impossible exponent in the next) is what the r8/r9 renames removed.
 """
 
 from __future__ import annotations
@@ -791,17 +807,17 @@ def standardize(
     group_cols: str | list[str],
     value_cols: list[str],
     *,
-    scale: int = 1000,
+    value_scale: int = 1000,
 ) -> DataFrame:
     """Per-group z-score standardization (feature engineering for
     model-input pipelines): ``z = (x - mean) / stddev_pop``.
 
     Engine-parity design: mean and variance come from SCALED-LONG sums
-    (``sum(round(x*scale))`` / ``sum(round(x*scale)^2)`` as BIGINT) so
+    (``sum(round(x*value_scale))`` / ``sum(round(x*value_scale)^2)`` as BIGINT) so
     the per-group moments are exact integers — identical on any engine
     and any partition order — before one double division at the end
-    (the q_centroids device). Choose ``scale`` so
-    ``(max|x|*scale)^2 * group_rows`` stays inside int64; the default
+    (the q_centroids device). Choose ``value_scale`` so
+    ``(max|x|*value_scale)^2 * group_rows`` stays inside int64; the default
     1000 holds quantity-like columns (|x| <= ~1e4) to ~1e9 rows/group.
 
     One aggregate pass + one broadcast join back onto the rows — no
@@ -819,7 +835,7 @@ def standardize(
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in value_cols:
-        s = F.round(F.col(c) * scale).cast("long")
+        s = F.round(F.col(c) * value_scale).cast("long")
         aggs += [
             F.sum(s).alias(f"_s_{c}"),
             F.sum(s * s).alias(f"_ss_{c}"),
@@ -836,7 +852,7 @@ def standardize(
             * F.col("_n").cast("double")
             < F.lit(float(2**63 - 1))
         )
-        mean = F.col(f"_s_{c}") / scale / F.col("_n")
+        mean = F.col(f"_s_{c}") / value_scale / F.col("_n")
         # E[x^2] - E[x]^2 over the scaled integers, descaled once;
         # clamped at 0 so double rounding can't leak sqrt(neg) = NaN
         var = F.greatest(
@@ -844,11 +860,11 @@ def standardize(
                 F.col(f"_ss_{c}") / F.col("_n")
                 - F.pow(F.col(f"_s_{c}") / F.col("_n"), 2)
             )
-            / (scale * scale),
+            / (value_scale * value_scale),
             F.lit(0.0),
         )
         z = F.round(
-            (F.round(F.col(c) * scale).cast("long") / scale - mean)
+            (F.round(F.col(c) * value_scale).cast("long") / value_scale - mean)
             / F.sqrt(var),
             6,
         )
@@ -857,8 +873,8 @@ def standardize(
             F.when(ok, z).otherwise(
                 F.raise_error(
                     F.lit(
-                        f"standardize: column '{c}' exceeds the scale="
-                        f"{scale} int64 moment envelope; lower scale"
+                        f"standardize: column '{c}' exceeds the value_scale="
+                        f"{value_scale} int64 moment envelope; lower value_scale"
                     )
                 )
             ),
@@ -885,7 +901,7 @@ def bootstrap_ci(
     replicates: int = 32,
     id_col: str,
     seed: int = 11,
-    scale: int = 1000,
+    value_scale: int = 1000,
     alpha: float = 0.05,
 ) -> DataFrame:
     """Poisson bootstrap confidence interval for the per-group mean —
@@ -907,7 +923,7 @@ def bootstrap_ci(
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     b = int(replicates)
-    xq = F.round(F.col(value_col) * scale).cast("long")
+    xq = F.round(F.col(value_col) * value_scale).cast("long")
 
     reps = df.select(
         *groups,
@@ -940,10 +956,10 @@ def bootstrap_ci(
         F.sum("_xq").alias("_s"),
         F.count(F.lit(1)).alias("_n"),
     )
-    mean_r = F.col("_ws") / F.lit(float(scale)) / F.col("_wn")
+    mean_r = F.col("_ws") / F.lit(float(value_scale)) / F.col("_wn")
     out = per_rep.groupBy(*groups).agg(
         F.round(
-            F.max(F.col("_s")) / F.lit(float(scale)) / F.max(F.col("_n")), 6
+            F.max(F.col("_s")) / F.lit(float(value_scale)) / F.max(F.col("_n")), 6
         ).alias("mean"),
         F.round(
             F.percentile(mean_r, F.lit(alpha / 2)), 6
@@ -1128,7 +1144,7 @@ def correlation_matrix(
     df: DataFrame,
     cols: list[str],
     *,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Pairwise Pearson correlation over numeric columns: one row per
     unordered pair ``(col_a, col_b, n, r)`` with ``col_a < col_b``
@@ -1160,7 +1176,7 @@ def correlation_matrix(
     # row wraps after ~1k rows) — the exact failure mode the r4 review
     # flagged in standardize. 38 digits matches DuckDB's HUGEINT sums.
     def sl(e):
-        return F.sum(F.round(e * scale, 0).cast("decimal(38,0)"))
+        return F.sum(F.round(e * value_scale, 0).cast("decimal(38,0)"))
 
     aggs = []
     for i, (a, b) in enumerate(pairs):
@@ -1182,11 +1198,11 @@ def correlation_matrix(
     rows = []
     for i, (a, b) in enumerate(pairs):
         n = F.col(f"_n{i}").cast("double")
-        sx = F.col(f"_sx{i}").cast("double") / scale
-        sy = F.col(f"_sy{i}").cast("double") / scale
-        sxy = F.col(f"_sxy{i}").cast("double") / scale
-        sxx = F.col(f"_sxx{i}").cast("double") / scale
-        syy = F.col(f"_syy{i}").cast("double") / scale
+        sx = F.col(f"_sx{i}").cast("double") / value_scale
+        sy = F.col(f"_sy{i}").cast("double") / value_scale
+        sxy = F.col(f"_sxy{i}").cast("double") / value_scale
+        sxx = F.col(f"_sxx{i}").cast("double") / value_scale
+        syy = F.col(f"_syy{i}").cast("double") / value_scale
         num = n * sxy - sx * sy
         # clamp: scaled-long rounding can leave a near-constant column's
         # variance term a hair negative — sqrt(NaN) would poison r
@@ -1213,7 +1229,7 @@ def chi2_independence(
     col_a: str,
     col_b: str,
     *,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Chi-square test of independence between two categorical columns:
     ONE row ``(n, levels_a, levels_b, dof, chi2)``.
@@ -1266,8 +1282,8 @@ def chi2_independence(
         F.countDistinct("_a").alias("levels_a"),
         F.countDistinct("_b").alias("levels_b"),
         (
-            F.sum(F.round(term * scale, 0).cast("long")).cast("double")
-            / scale
+            F.sum(F.round(term * value_scale, 0).cast("long")).cast("double")
+            / value_scale
         ).alias("_chi2"),
     )
     return out.crossJoin(F.broadcast(nn)).select(
@@ -1284,7 +1300,7 @@ def gini_concentration(
     group_col: str,
     value_col: str,
     *,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Per-group Gini coefficient of a non-negative value: ONE row per
     group ``(group, n, total, gini)`` — 0 = perfectly even, ->1 = all
@@ -1295,7 +1311,7 @@ def gini_concentration(
     Formula: with values ascending (1-based rank i),
     ``G = (2 * sum(i*x_i) - (n+1) * sum(x)) / (n * sum(x))``.
 
-    Exactness: values become scaled longs (``scale``), so both rank
+    Exactness: values become scaled longs (``value_scale``), so both rank
     sums are INTEGER totals and G is one double division — order-proof
     (ties contribute the same sum under any tie order) and
     SQL-replayable. Negative values raise no error but break the
@@ -1311,7 +1327,7 @@ def gini_concentration(
         df.filter(F.col(value_col).isNotNull())
         .select(
             F.col(group_col).alias("_g"),
-            F.round(F.col(value_col).cast("double") * scale, 0)
+            F.round(F.col(value_col).cast("double") * value_scale, 0)
             .cast("long")
             .alias("_v"),
         )
@@ -1339,8 +1355,8 @@ def gini_concentration(
         "_i", F.col("_off") + (F.col("_mid") - F.col("_m0")) + 1
     )
     # decimal(38,0) for BOTH sums: _i grows to the group size n and _v
-    # is value*scale, so sum(i*v) ~ n^2 * v * scale wraps int64 around
-    # n=1M, v=1e3, and even the plain sum(v) wraps at n*v*scale ~ 1e19
+    # is value*value_scale, so sum(i*v) ~ n^2 * v * value_scale wraps int64 around
+    # n=1M, v=1e3, and even the plain sum(v) wraps at n*v*value_scale ~ 1e19
     # — the same envelope correlation_matrix guards. 38 digits covers
     # any realistic corpus; DuckDB's HUGEINT sums take the identical
     # exact-integer -> one-double-round path.
@@ -1364,7 +1380,7 @@ def gini_concentration(
     return agg.select(
         F.col("_g").alias(group_col),
         "n",
-        (F.col("_sv").cast("double") / scale).alias("total"),
+        (F.col("_sv").cast("double") / value_scale).alias("total"),
         F.round(g, 6).alias("gini"),
     )
 
@@ -1491,7 +1507,7 @@ def theils_u(
     col_a: str,
     col_b: str,
     *,
-    scale: int = 10**9,
+    value_scale: int = 10**9,
 ) -> DataFrame:
     """Theil's uncertainty coefficient between two categorical columns:
     ONE row ``(n, u_a_given_b, u_b_given_a)`` with
@@ -1523,7 +1539,7 @@ def theils_u(
 
     def sl(e):
         return (
-            F.sum(F.round(e * scale, 0).cast("long")).cast("double") / scale
+            F.sum(F.round(e * value_scale, 0).cast("long")).cast("double") / value_scale
         )
 
     joined = (
@@ -2387,8 +2403,13 @@ def _anova_on_scaled(base: DataFrame) -> DataFrame:
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_g = base.groupBy("_g").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_ng"),
+        # decimal accumulation: a LONG sum of _s wraps silently once
+        # n_g * |_s| crosses 2^63 (inside the 100 TB envelope) — same
+        # wrap-before-cast class fixed in autocorrelation/
+        # cross_correlation/bartlett/partial_corr; values identical
+        # in the non-wrap regime.
         F.coalesce(
-            F.sum("_s").cast("decimal(38,0)"),
+            F.sum(F.col("_s").cast("decimal(28,0)")).cast("decimal(38,0)"),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_sg"),
         F.coalesce(
@@ -3231,8 +3252,11 @@ def jarque_bera(
     Exactness: values freeze to scaled longs (10^-``scale``), then a
     TWO-PASS integer-pivot device keeps every power sum exact: pass 1
     computes per-group (n, S1) and an integer pivot p =
-    floor(S1/n) (any deterministic integer near the mean works — the
-    pivot only bounds magnitudes, the algebra below is pivot-exact);
+    floor(S1/n) clamped into [min_s, max_s] (any deterministic
+    integer near the mean works — the pivot only bounds magnitudes,
+    the algebra below is pivot-exact; the clamp keeps |d| <= spread
+    even when the double division's ~|mean|*2^-52 rounding would
+    push the raw floor outside the group range near +/-4e15);
     pass 2 sums d, d^2, d^3, d^4 of d = s - p as exact integers on
     decimal(38,0) (|d| ~ the data SPREAD, not the raw magnitude, so
     d^4 sums fit 38 digits where raw fourth moments would not;
@@ -3286,14 +3310,30 @@ def jarque_bera(
         # The subtraction itself is a long op: a true spread past 2^63
         # wraps NEGATIVE (|_s| <= 2^63-1 bounds it to one wrap), so
         # the guard also requires _sp >= 0.
-        (F.max("_s") - F.min("_s")).alias("_sp"),
+        F.min("_s").alias("_mn"),
+        F.max("_s").alias("_mx"),
     ).select(
         "_g",
         "_n",
-        "_sp",
-        F.floor(
-            F.col("_s1").cast("double") / F.col("_n").cast("double")
-        ).cast("long").alias("_p"),
+        (F.col("_mx") - F.col("_mn")).alias("_sp"),
+        # The floor(double(S1)/n) pivot carries ~|mean| * 2^-52 double
+        # rounding, so for groups whose scaled values sit near +/-4e15
+        # it can land OUTSIDE [min_s, max_s] by thousands — which would
+        # let |d| exceed _sp and the per-row long d*d wrap even though
+        # the spread guard passes. Clamping the pivot into the group
+        # range restores the |d| <= _sp invariant the guard relies on;
+        # any deterministic integer near the mean is a valid pivot
+        # (the moment algebra below is pivot-exact), so the clamp
+        # never changes a value in the unclamped regime.
+        F.greatest(
+            F.col("_mn"),
+            F.least(
+                F.col("_mx"),
+                F.floor(
+                    F.col("_s1").cast("double") / F.col("_n").cast("double")
+                ).cast("long"),
+            ),
+        ).alias("_p"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     d = F.col("_s") - F.col("_p")
@@ -3717,8 +3757,13 @@ def welch_t(
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per = base.groupBy("_isa").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        # decimal accumulation: a LONG sum of _s wraps silently once
+        # n * |_s| crosses 2^63 (inside the 100 TB envelope) — same
+        # wrap-before-cast class fixed in autocorrelation/
+        # cross_correlation/bartlett/partial_corr; values identical
+        # in the non-wrap regime.
         F.coalesce(
-            F.sum("_s").cast("decimal(38,0)"),
+            F.sum(F.col("_s").cast("decimal(28,0)")).cast("decimal(38,0)"),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_sg"),
         F.coalesce(

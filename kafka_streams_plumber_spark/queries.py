@@ -15768,19 +15768,19 @@ def q_sen_seasonal(spark, sf_dir):
 #      reference-parity family (q_filter..q_udf, last hashed r02)
 #      structurally cannot dodge re-verification forever.
 #
-# Max-staleness trajectory under this policy (r9 rotation, executed at
-# session start per VERDICT r8 items 1+3): the 40 r8-wave names all
-# acquired green rows in CORRECTNESS_r08 and rotate OUT; the 17
-# post-freeze queue names promote to first-hash; the remaining 22
-# computed-fill slots drain the stalest backlog — all 21 queries last
-# hashed in r01 plus the first of the 42-query r02 cohort, so the r01
-# ledger bucket empties this round. NEW-ORACLE PRODUCTION IS CAPPED AT
-# ZERO for r9/r10: draining the 63-query r01/r02 backlog to max
-# staleness <= 5 rounds by end of r10 needs every fill slot
-# (r9: 21+1, r10: the 41 remaining r02 names exactly fit the ~41
-# non-sentinel slots only if first-hash pressure is ~0). The fill is
-# COMPUTED from the ledger at import, so once the driver writes
-# CORRECTNESS_r09 the window auto-advances to the next-stalest cohort.
+# Max-staleness trajectory under this policy (r10 rotation, executed
+# at session start per VERDICT r9 items 1+2+8): the r9 window's 21
+# non-sentinel proven names (17 first-hash + 4 reproofs) all acquired
+# green rows in CORRECTNESS_r09 and rotate OUT; first-hash is EMPTY
+# (new-oracle production held at zero one more round, registry stays
+# at 316); reproofs carry exactly the 2 slots the r9 verdict budgeted
+# (q_welch / q_anova, the deferred long-sum hardening); the remaining
+# 41 computed-fill slots are EXACTLY the 41-query r02 cohort — the
+# whole reference-parity family included — so the r02 ledger bucket
+# empties this round and max staleness falls to <= 7 rounds (r03) and
+# keeps falling. The fill is COMPUTED from the ledger at import, so
+# once the driver writes CORRECTNESS_r10 the window auto-advances to
+# the next-stalest (r03) cohort.
 
 _WINDOW_SENTINELS = [
     "dedup_minhash",
@@ -15792,50 +15792,44 @@ _WINDOW_SENTINELS = [
     "q_pagerank",
 ]
 
-#: Operator code changed this round (ADVICE r8 + VERDICT r8 item 5):
-#: jarque_bera exact-arithmetic hardening (decimal-accumulated pivot/
-#: d/d^2 sums + the 0 <= spread <= 3037000499 guard on the per-row
-#: long d^2), mood_median pre-filter k_groups/df contract,
-#: cross_correlation raw-multiplier param renamed value_scale,
-#: bootstrap_ci salted two-level long sum + per-cell overflow guard.
-#: The same decimal-accumulation hardening was applied to the
-#: window-covered kernels autocorrelation / cross_correlation /
-#: bartlett / partial_corr (scaled-value sums previously accumulated
-#: in long, wrap-before-cast; values identical in the non-wrap
-#: regime, re-proven 7/7 vs oracle). DEFERRED to an r11 reproof
-#: wave (r10's slots are fully committed to the r02 staleness
-#: backlog): welch_t and _anova_on_scaled carry the same
-#: wrap-before-cast long value-sums; the remaining F.sum(long)
-#: sites are count- or rank-bounded (wrap needs ~9e18 rows) per the
-#: r9 audit.
+#: Operator code changed this round (VERDICT r9 item 2 + ADVICE r9).
+#: Reproofs are budgeted at KERNEL grain — exactly the 2 slots the
+#: r9 verdict allotted so the 41-slot fill drains the entire r02
+#: staleness bucket:
+#: - welch_t and _anova_on_scaled now decimal-accumulate their
+#:   scaled-value sums (the r9-deferred wrap-before-cast hardening,
+#:   same pattern as commit ee536d6; values identical in the
+#:   non-wrap regime). q_welch re-earns welch_t's hash; q_anova
+#:   re-earns _anova_on_scaled's. q_brown_forsythe shares the
+#:   IDENTICAL changed core through the same _anova_on_scaled call
+#:   and differs only in its unchanged median-deviation prefix —
+#:   the core's driver re-proof is q_anova, and the full local
+#:   replica (CORRECTNESS_LOCAL regenerated on this tree)
+#:   value-proves q_brown_forsythe against its oracle.
+#: - ADVICE r9 guard tightenings, value-identical in every
+#:   reachable regime and pytest-pinned as such: jarque_bera's
+#:   pivot is clamped into [min_s, max_s] (only differs when the
+#:   double-rounded floor(S1/n) escapes the group range near
+#:   +/-4e15 scaled), and poisson_bootstrap's overflow guard takes
+#:   abs on the double side so a Long.MIN_VALUE saturation cannot
+#:   wrap it (only differs at saturation, where the old guard
+#:   under-reported). Both queries were driver-hashed in r09 on
+#:   the value-identical plans; their driver re-proofs ride the
+#:   r11 reproof wave rather than displace two r02-bucket slots
+#:   (the r9 verdict's bucket-empty done-criterion outranks
+#:   re-hashing a proven-identical value).
+#: Remaining F.sum(long) sites are count- or rank-bounded (wrap
+#: needs ~9e18 rows) per the r9 audit — the wrap-before-cast
+#: site count is now ZERO.
 _WINDOW_REPROOFS = [
-    "q_jarque_bera",
-    "q_mood_median",
-    "q_ccf",
-    "q_bootstrap_ci",
+    "q_welch",
+    "q_anova",
 ]
 
-#: First driver hashing — the 17 oracles written after r8's window
-#: froze (promoted from _NEXT_WINDOW_QUEUE at the r9 rotation).
-_WINDOW_FIRST_HASH: list[str] = [
-    "q_prop_test",
-    "q_gof",
-    "q_cliffs_delta",
-    "q_bartlett",
-    "q_qq",
-    "q_lexdiv",
-    "q_clustering",
-    "q_cochran_armitage",
-    "q_hhi",
-    "q_mann_kendall",
-    "q_wilson",
-    "q_chao",
-    "q_dunn",
-    "q_partial_corr",
-    "q_smk",
-    "q_ljung_box",
-    "q_sen_seasonal",
-]
+#: First driver hashing — EMPTY: new-oracle production is held at
+#: zero for r10 (VERDICT r9 item 8; registry frozen at 316) so the
+#: computed fill below is exactly the 41-query r02 cohort.
+_WINDOW_FIRST_HASH: list[str] = []
 
 #: Oracled queries excluded from the stalest fill, with the reason
 #: (e.g. complex-typed output the driver's pandas canonicalizer cannot

@@ -550,3 +550,26 @@ def test_poisson_bootstrap_overflow_guard_nulls_boot_columns(spark):
     assert r["boot_mean"] is None
     assert r["boot_se"] is None
     assert r["ci_lo"] is None and r["ci_hi"] is None
+
+
+def test_poisson_bootstrap_guard_survives_long_min_saturation(spark):
+    """ADVICE r9: a value far outside the |value|*scale < 2^63/8
+    contract saturates the double->long cast to Long.MIN_VALUE, where
+    a long abs() WRAPS NEGATIVE and would understate the guard
+    magnitude — the old max(abs(_v)) guard then passed while the long
+    partials had wrapped. The magnitude is now taken on the DOUBLE
+    side (MIN_VALUE -> +9.22e18), so the guard trips and NULLs the
+    bootstrap columns instead."""
+    from kafka_streams_plumber_spark.operators.sampling import (
+        poisson_bootstrap,
+    )
+
+    # -1e13 * 1e6 = -1e19 < Long.MIN -> saturates to MIN_VALUE
+    df = spark.createDataFrame(
+        [(1, -1.0e13), (2, 1.0), (3, 2.0)], "rid long, v double"
+    )
+    r = poisson_bootstrap(df, "rid", "v", b=5).collect()[0]
+    assert r["n_rows"] == 3
+    assert r["boot_mean"] is None
+    assert r["boot_se"] is None
+    assert r["ci_lo"] is None and r["ci_hi"] is None

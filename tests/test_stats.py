@@ -2051,3 +2051,255 @@ def test_ljung_box_hand_computed(spark):
         [(i, float(i % 3)) for i in range(4)], "i long, v double"
     )
     assert ljung_box(short, "i", "v", max_lag=5).collect()[0]["q"] is None
+
+
+def test_welch_t_decimal_sum_survives_int64_envelope(spark):
+    """VERDICT r9 item 2 (the r9-deferred wrap-before-cast site): each
+    group's scaled-value sum must accumulate on decimal — group a's
+    longs sum to 1.2e19 > 2^63, where a plain long F.sum wraps to
+    -6.45e18 (mean_a would read -1.6e12 instead of 3e12) while every
+    per-row value honors the scaled-long contract. Expectations replay
+    the kernel's exact integer + fixed-shape-double arithmetic."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import welch_t
+
+    rows = [("a", 2.0e12), ("a", 4.0e12)] * 2 + [("b", 1.0e12), ("b", 3.0e12)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t(df, "v", "g", "a", "b").collect()[0]
+
+    sa = [round(2.0e12 * 1e6), round(4.0e12 * 1e6)] * 2
+    sb = [round(1.0e12 * 1e6), round(3.0e12 * 1e6)]
+    Sa, Qa = sum(sa), sum(x * x for x in sa)
+    Sb, Qb = sum(sb), sum(x * x for x in sb)
+    assert Sa > 2**63 - 1  # the fixture really is in the old wrap regime
+    ma = float(Sa) / 4.0 / 1e6
+    mb = float(Sb) / 2.0 / 1e6
+    va = (4.0 * float(Qa) - float(Sa) * float(Sa)) / 12.0 / 1e12
+    vb = (2.0 * float(Qb) - float(Sb) * float(Sb)) / 2.0 / 1e12
+    se2 = va / 4.0 + vb / 2.0
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2 * se2 / (va * va / (16.0 * 3.0) + vb * vb / (4.0 * 1.0))
+    assert (r["n_a"], r["n_b"]) == (4, 2)
+    assert r["mean_a"] == round(ma, 6) == 3.0e12
+    assert r["mean_b"] == round(mb, 6) == 2.0e12
+    assert r["mean_diff"] == 1.0e12
+    assert r["t"] == round(t, 6) == 0.866025
+    assert r["df"] == round(dfw, 6) == 1.714286
+
+
+def _anova_expect(groups):
+    """Pure-Python replica of _anova_on_scaled's exact-int + frozen-
+    quotient arithmetic over [(n_g, S_g, Q_g)] exact integers."""
+
+    def term(S, n):
+        return round(float(S) / float(n) * float(S) * 1e6)
+
+    k = len(groups)
+    A = sum(term(S, n) for n, S, _ in groups)
+    N = sum(n for n, _, _ in groups)
+    S = sum(S for _, S, _ in groups)
+    Q = sum(Q for _, _, Q in groups)
+    gm = round(float(S) / float(N) * float(S) * 1e6)
+    between = float(A) - gm
+    within = float(Q) * 1e6 - float(A)
+    f = between / (k - 1) / (within / (N - k))
+    eta = between / (float(Q) * 1e6 - gm)
+    return round(f, 6), round(eta, 6)
+
+
+def test_anova_decimal_sum_survives_int64_envelope(spark):
+    """VERDICT r9 item 2: _anova_on_scaled's per-group scaled sum must
+    ride decimal — 1e6 rows of ~9.4e6 at scale=6 sum the scaled longs
+    to 9.4e18 > 2^63 (a plain long F.sum wraps negative) while every
+    per-row value and the 1e6-scaled frozen-quotient terms stay inside
+    their documented envelopes."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_plumber_spark.operators.stats import anova_oneway
+
+    big = spark.range(1_000_000).select(
+        F.lit("g1").alias("g"),
+        (F.lit(9399999.0) + (F.col("id") % 2).cast("double") * 2.0).alias(
+            "v"
+        ),
+    )
+    small = spark.createDataFrame(
+        [("g2", 8.0e6), ("g2", 9.0e6)], "g string, v double"
+    )
+    r = anova_oneway(big.unionAll(small), "v", "g").collect()[0]
+
+    s_lo, s_hi = round(9399999.0 * 1e6), round(9400001.0 * 1e6)
+    g1 = (
+        1_000_000,
+        500_000 * (s_lo + s_hi),
+        500_000 * (s_lo * s_lo + s_hi * s_hi),
+    )
+    s2 = [round(8.0e6 * 1e6), round(9.0e6 * 1e6)]
+    g2 = (2, sum(s2), sum(x * x for x in s2))
+    assert g1[1] > 2**63 - 1  # the old long sum would wrap here
+    f, eta = _anova_expect([g1, g2])
+    assert (r["n"], r["k_groups"], r["df_between"], r["df_within"]) == (
+        1_000_002,
+        2,
+        1,
+        1_000_000,
+    )
+    assert r["f"] == f
+    assert r["eta_sq"] == eta
+
+
+def test_brown_forsythe_shares_hardened_anova_core(spark):
+    """q_brown_forsythe's driver re-proof rides q_anova (identical
+    changed core); this pins the OTHER caller of _anova_on_scaled in
+    the wrap regime: 1e6 median-deviations of ~9.4e6 sum their scaled
+    longs past 2^63. Median + deviation prefix replayed exactly."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_plumber_spark.operators.stats import brown_forsythe
+
+    M = 19_800_000.0
+    vals = [0.0, 1_000_000.0, M - 1_000_000.0, M]
+    big = spark.range(1_000_000).select(
+        F.lit("g1").alias("g"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in vals]), (F.col("id") % 4 + 1).cast("int")
+        ).alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("g2", 0.0), ("g2", 1.7e7)], "g string, v double"
+    )
+    r = brown_forsythe(big.unionAll(small), "v", "g").collect()[0]
+
+    med1 = (1_000_000.0 + (M - 1_000_000.0)) / 2.0  # interpolated median
+    sd1 = [round(abs(v - med1) * 1e6) for v in vals]
+    g1 = (1_000_000, 250_000 * sum(sd1), 250_000 * sum(x * x for x in sd1))
+    sd2 = [round(abs(v - 8.5e6) * 1e6) for v in (0.0, 1.7e7)]
+    g2 = (2, sum(sd2), sum(x * x for x in sd2))
+    assert g1[1] > 2**63 - 1  # deviation sum in the old wrap regime
+    f, eta = _anova_expect([g1, g2])
+    assert (r["n"], r["k_groups"]) == (1_000_002, 2)
+    assert r["f"] == f == 6.479987
+    assert r["eta_sq"] == eta
+
+
+def test_jarque_bera_pivot_clamped_into_group_range(spark):
+    """ADVICE r9: floor(double(S1)/n) carries ~|mean|*2^-52 rounding,
+    so near the long boundary it can land OUTSIDE [min_s, max_s] —
+    x = 9150000000000002048 (an exact double) has
+    floor(double(3x)/3.0) = x + 1024. The clamp restores the
+    |d| <= spread invariant the d^2 wrap guard relies on; outputs are
+    pivot-exact either way in the non-wrap regime (the divergent
+    regime needs ~1e9 rows at max spread), so this pins the clamped
+    path computing correctly on the escape fixture."""
+    import math
+
+    from kafka_streams_plumber_spark.operators.stats import jarque_bera
+
+    x = 9150000000000002048.0
+    raw_pivot = math.floor(float(3 * int(x)) / 3.0)
+    assert raw_pivot == int(x) + 1024  # the unclamped pivot escapes
+
+    rows = [("flat", x)] * 3 + [("ok", float(v)) for v in (1, 2, 3, 4, 10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in jarque_bera(df, "v", "g", scale=0).collect()}
+    # clamp -> pivot = x, every d = 0, zero variance -> NULL stats
+    assert out["flat"]["n"] == 3
+    assert out["flat"]["skewness"] is None
+    assert out["flat"]["jb"] is None
+    # a normal group in the same frame still computes
+    assert out["ok"]["jb"] is not None
+
+
+def test_scale_parameter_convention_is_uniform():
+    """VERDICT r9 item 5: the module docstring's scale-parameter
+    convention, machine-enforced so a new kernel cannot reintroduce
+    the raw-multiplier-named-``scale`` ambiguity. Walks every function
+    signature in stats.py and sampling.py: a param named exactly
+    ``scale`` must default to a small int EXPONENT (<= 18); any
+    scale-ish raw multiplier must carry a ``*_scale`` suffix name and
+    a power-of-ten default."""
+    import ast
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders = []
+    styles = {}
+    for mod in ("stats", "sampling"):
+        path = os.path.join(
+            repo, "kafka_streams_plumber_spark", "operators", f"{mod}.py"
+        )
+        tree = ast.parse(open(path).read())
+        for fn in (n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)):
+            pairs = list(
+                zip(
+                    [a.arg for a in fn.args.kwonlyargs], fn.args.kw_defaults
+                )
+            )
+            for name, default in pairs:
+                if "scale" not in name or default is None:
+                    continue
+                if (
+                    isinstance(default, ast.BinOp)
+                    and isinstance(default.op, ast.Pow)
+                    and isinstance(default.left, ast.Constant)
+                    and isinstance(default.right, ast.Constant)
+                ):
+                    val = default.left.value ** default.right.value
+                else:
+                    try:
+                        val = ast.literal_eval(default)
+                    except ValueError:
+                        offenders.append(
+                            f"{mod}.{fn.name}({name}): non-literal default"
+                        )
+                        continue
+                if name == "scale":
+                    kind = "exponent"
+                    if not (isinstance(val, int) and 0 <= val <= 18):
+                        offenders.append(
+                            f"{mod}.{fn.name}(scale={val}): bare 'scale' must be"
+                            " a base-10 exponent <= 18; raw multipliers must be"
+                            " named *_scale"
+                        )
+                else:
+                    kind = "raw-multiplier"
+                    if not (
+                        name.endswith("_scale")
+                        and isinstance(val, int)
+                        and val >= 10
+                        and str(val).rstrip("0") == "1"
+                    ):
+                        offenders.append(
+                            f"{mod}.{fn.name}({name}={val}): raw multiplier"
+                            " must be *_scale-suffixed with a power-of-ten"
+                            " default"
+                        )
+                styles[f"{mod}.{fn.name}.{name}"] = kind
+    assert not offenders, "\n".join(offenders)
+    # the full per-kernel style ledger this round's audit signed off on;
+    # a new scale-ish param must be added here deliberately
+    assert styles == {
+        "stats.standardize.value_scale": "raw-multiplier",
+        "stats.bootstrap_ci.value_scale": "raw-multiplier",
+        "stats.correlation_matrix.value_scale": "raw-multiplier",
+        "stats.chi2_independence.value_scale": "raw-multiplier",
+        "stats.gini_concentration.value_scale": "raw-multiplier",
+        "stats.theils_u.value_scale": "raw-multiplier",
+        "stats.autocorrelation.value_scale": "raw-multiplier",
+        "stats.ad_test.term_scale": "raw-multiplier",
+        "stats.ad_test.harmonic_scale": "raw-multiplier",
+        "stats.anova_oneway.scale": "exponent",
+        "stats.brown_forsythe.scale": "exponent",
+        "stats.cohens_d.scale": "exponent",
+        "stats.pacf.value_scale": "raw-multiplier",
+        "stats.jarque_bera.scale": "exponent",
+        "stats.welch_t.scale": "exponent",
+        "stats.cross_correlation.value_scale": "raw-multiplier",
+        "stats.bartlett.scale": "exponent",
+        "stats.partial_corr.scale": "exponent",
+        "stats.ljung_box.value_scale": "raw-multiplier",
+        "sampling.neyman_sample.value_scale": "raw-multiplier",
+        "sampling.poisson_bootstrap.value_scale": "raw-multiplier",
+        "sampling.poisson_bootstrap.mean_scale": "raw-multiplier",
+    }, styles
