@@ -212,3 +212,116 @@ def test_plumber_job_resolves_plain_avro(spark):
     )
     assert job.input_value.avsc is not None  # resolved at construction
     job.run(dry_run=True)  # golden verification passes
+
+
+def test_registry_decode_schema_evolution_matrix(spark):
+    """VERDICT r9 item 6: the hard per-record-writer-id cases the
+    sandbox can't reach through the driver gate — field REORDER,
+    spec-listed type PROMOTIONS (int->long, float->double), and enum
+    SYMBOL ADDITION across three writer ids in ONE topic, all decoded
+    against the pinned latest reader. The runtime reconciliation must
+    agree with the assert_can_read pre-flight: every writer the
+    pre-flight accepts decodes losslessly by field NAME (order,
+    width, and symbol set free to differ), and the evolutions the
+    pre-flight rejects are exactly the ones with no resolution rule."""
+    from kafka_streams_plumber_spark.sources.avsc import assert_can_read
+
+    enum_ab = {"type": "enum", "name": "ev", "symbols": ["A", "B"]}
+    enum_abc = {"type": "enum", "name": "ev", "symbols": ["A", "B", "C"]}
+    w1 = json.dumps(
+        {
+            "type": "record",
+            "name": "m",
+            "fields": [
+                {"name": "a", "type": "int"},  # promotes to long
+                {"name": "e", "type": enum_ab},
+                {"name": "x", "type": "float"},  # promotes to double
+            ],
+        }
+    )
+    w2 = json.dumps(
+        {
+            "type": "record",
+            "name": "m",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"]},
+                {"name": "e", "type": enum_ab},
+                {"name": "x", "type": "double"},
+            ],
+        }
+    )
+    # same field set as the reader, REORDERED (avro layout is
+    # positional, so a reorder changes the byte stream) + the added
+    # enum symbol
+    w3 = json.dumps(
+        {
+            "type": "record",
+            "name": "m",
+            "fields": [
+                {"name": "x", "type": "double"},
+                {"name": "e", "type": enum_abc},
+                {"name": "b", "type": ["null", "string"]},
+                {"name": "a", "type": "long"},
+            ],
+        }
+    )
+    reader = json.dumps(
+        {
+            "type": "record",
+            "name": "m",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {
+                    "name": "b",
+                    "type": ["null", "string"],
+                    "default": None,
+                },  # absent from w1: null-fills (default makes it legal)
+                {"name": "e", "type": enum_abc},
+                {"name": "x", "type": "double"},
+            ],
+        }
+    )
+
+    # the pre-flight accepts every writer in the matrix...
+    for w in (w1, w2, w3):
+        assert_can_read(reader, w)
+    # ...and rejects exactly the unresolvable evolutions
+    bad_enum = w3.replace('"C"', '"D"')  # writer symbol D absent from reader
+    with pytest.raises(ValueError, match="absent from reader"):
+        assert_can_read(reader, bad_enum)
+    bad_promo = w2.replace('"a", "type": "long"', '"a", "type": "string"')
+    with pytest.raises(ValueError, match="cannot promote"):
+        assert_can_read(reader, bad_promo)
+    with pytest.raises(ValueError, match="no default"):
+        assert_can_read(w2, w1)  # w2's b has no default -> w1 data illegal
+
+    reg = FakeSchemaRegistry()
+    id1 = reg.register("m-value", w1)
+    id2 = reg.register("m-value", w2)
+    id3 = reg.register("m-value", w3)
+    rid = reg.register("m-value", reader)
+    wt = resolve_registry_type(parse_type("avro"), reg, "m-value")
+    assert wt.schema_id == rid
+
+    rows = [
+        (_framed(id1, w1, {"a": 7, "e": "A", "x": 1.5}),),
+        (_framed(id2, w2, {"a": 8, "b": "x", "e": "B", "x": 2.25}),),
+        (_framed(id3, w3, {"x": 3.5, "e": "C", "b": "y", "a": 9}),),
+    ]
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("value", T.BinaryType())])
+    )
+    out = df.select(decode(F.col("value"), wt, registry=reg).alias("v"))
+    got = {
+        (r["v"]["a"], r["v"]["b"], r["v"]["e"], r["v"]["x"])
+        for r in out.collect()
+    }
+    # w1: int 7 widened to long, missing b null-filled, float 1.5 is
+    # exact in binary32 so the promotion is lossless; w3: the reorder
+    # reconciles by name, not position
+    assert got == {
+        (7, None, "A", 1.5),
+        (8, "x", "B", 2.25),
+        (9, "y", "C", 3.5),
+    }
