@@ -1398,7 +1398,13 @@ def ohlc_bars(
         F.max(F.struct(F.col("_ts"), F.col("_v"))).alias("_omax"),
         F.max("_v").alias("high"),
         F.min("_v").alias("low"),
-        F.sum("_s").alias("_ssum"),
+        # decimal accumulation: a LONG sum of the 1e6-scaled values
+        # wraps silently once a (key, window) bar's n * |_s| crosses
+        # 2^63 — inside the 100 TB envelope for hot keys (r10 audit;
+        # same wrap-before-cast class as the stats kernels).
+        F.sum(F.col("_s").cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("_ssum"),
     )
     return agg.select(
         *keys,
@@ -1576,7 +1582,11 @@ def durbin_watson(
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     tot = base.groupBy("_g").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_v").cast("decimal(38,0)").alias("_t"),
+        # decimal accumulation: a LONG sum of _v wraps silently once
+        # n * |_v| crosses 2^63 (inside the 100 TB envelope) — the
+        # "ALL exact integers on decimal(38,0)" contract above only
+        # holds if the sum never passes through long (r10 audit).
+        F.sum(F.col("_v").cast("decimal(28,0)")).cast("decimal(38,0)").alias("_t"),
         F.sum(
             dec(F.col("_v").cast("decimal(19,0)"))
             * F.col("_v").cast("decimal(19,0)")

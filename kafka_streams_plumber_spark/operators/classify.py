@@ -854,7 +854,14 @@ def _krippendorff_metric(
         scored.groupBy("_u")
         .agg(
             F.count(F.lit(1)).alias("_m"),
-            F.sum("_s").cast("decimal(38,0)").alias("_t"),
+            # decimal accumulation: ordinal _s is rank-scale (<= 2n,
+            # so the per-unit LONG sum bound m * 2n is QUADRATIC in
+            # row count and wraps at ~2e9 ratings) and interval _s is
+            # a scaled value (wraps at m * |v|*scale > 2^63); decimal
+            # before the sum, not after (r10 audit).
+            F.sum(F.col("_s").cast("decimal(28,0)"))
+            .cast("decimal(38,0)")
+            .alias("_t"),
             F.sum(
                 F.col("_s").cast("decimal(19,0)")
                 * F.col("_s").cast("decimal(19,0)")
@@ -876,7 +883,11 @@ def _krippendorff_metric(
     )
     totals = scored.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_s").cast("decimal(38,0)").alias("_T"),
+        # the corpus-wide rank sum is ~n^2/2 — wraps a long at ~4e9
+        # ratings; decimal accumulation (r10 audit)
+        F.sum(F.col("_s").cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("_T"),
         F.sum(
             F.col("_s").cast("decimal(19,0)")
             * F.col("_s").cast("decimal(19,0)")
@@ -1036,13 +1047,24 @@ def cronbach_alpha(
     )
     k_items = r.agg(F.countDistinct("_i").alias("_k"))
     per_u = r.groupBy("_u").agg(
-        F.count(F.lit(1)).alias("_m"), F.sum("_s").alias("_y")
+        F.count(F.lit(1)).alias("_m"),
+        # decimal accumulation for the per-unit total score: a LONG
+        # sum wraps once k_items * |v|*scale crosses 2^63 (r10
+        # audit); _y stays <= 19 digits whenever the inputs honor
+        # the scaled-long contract, so the decimal(19,0) squares
+        # below are unchanged.
+        F.sum(F.col("_s").cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("_y"),
     )
     complete = per_u.join(F.broadcast(k_items), F.col("_m") == F.col("_k"))
     rc = r.join(complete.select("_u"), "_u", "left_semi")
     items = rc.groupBy("_i").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_s").cast("decimal(38,0)").alias("_t"),
+        # same class: the per-item sum over ALL units is n * |v|*scale
+        F.sum(F.col("_s").cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("_t"),
         F.sum(
             F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
         ).alias("_q"),
@@ -1558,7 +1580,14 @@ def icc(
         r.groupBy("_u")
         .agg(
             F.count(F.lit(1)).alias("_m"),
-            F.sum("_s").alias("_ri"),
+            # decimal accumulation: a LONG per-unit row sum wraps at
+            # n_raters * |v|*scale > 2^63, and the unit-total sum _T
+            # below wraps at n_units * that (r10 audit); _ri stays
+            # <= 19 digits under the scaled-long contract so the
+            # decimal(19,0) squares are unchanged.
+            F.sum(F.col("_s").cast("decimal(28,0)"))
+            .cast("decimal(38,0)")
+            .alias("_ri"),
             F.sum(
                 F.col("_s").cast("decimal(19,0)")
                 * F.col("_s").cast("decimal(19,0)")
@@ -1586,7 +1615,14 @@ def icc(
     cj = (
         r.join(per_u.select("_u"), "_u", "left_semi")
         .groupBy("_r")
-        .agg(F.sum("_s").alias("_c"))
+        # per-rater column sum over ALL units — n_units * |v|*scale,
+        # the widest sum in the kernel; decimal accumulation (r10
+        # audit)
+        .agg(
+            F.sum(F.col("_s").cast("decimal(28,0)"))
+            .cast("decimal(38,0)")
+            .alias("_c")
+        )
         .agg(
             F.coalesce(
                 F.sum(

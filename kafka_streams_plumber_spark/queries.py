@@ -8491,7 +8491,7 @@ def q_standardize(spark, sf_dir):
 
     li = load_tables(spark, sf_dir)["lineitem"]
     out = standardize(
-        li, "l_returnflag", ["l_quantity", "l_discount"], scale=1000
+        li, "l_returnflag", ["l_quantity", "l_discount"], value_scale=1000
     )
     return out.filter(F.col("l_orderkey") % 50 == 0).select(
         "l_orderkey",
@@ -8845,7 +8845,7 @@ def q_bootstrap(spark, sf_dir):
         replicates=32,
         id_col="event_id",
         seed=11,
-        scale=1000,
+        value_scale=1000,
         alpha=0.05,
     )
 
@@ -8975,7 +8975,7 @@ def q_neyman(spark, sf_dir):
 
     e = load_tables(spark, sf_dir)["events"]
     return neyman_sample(
-        e, "event_type", "value", "event_id", total_n=5000, scale=1000
+        e, "event_type", "value", "event_id", total_n=5000, value_scale=1000
     )
 
 
@@ -15818,9 +15818,25 @@ _WINDOW_SENTINELS = [
 #:   r11 reproof wave rather than displace two r02-bucket slots
 #:   (the r9 verdict's bucket-empty done-criterion outranks
 #:   re-hashing a proven-identical value).
+#: - r10 RE-AUDIT of the r9 "remaining sites are count/rank-bounded"
+#:   claim found it UNDERCOUNTED: seven more wrap-before-cast value
+#:   sums in ohlc_bars (behavior.py), durbin_watson (behavior.py),
+#:   _krippendorff_metric x2, cronbach_alpha x2 and icc x2
+#:   (classify.py) — all decimal-accumulated this round, with
+#:   wrap-regime pytests (test_behavior/test_classify
+#:   *_decimal_sum_*). For cronbach/icc/krippendorff the kernel's
+#:   own decimal(38,0) product envelope sits BELOW the long wrap
+#:   threshold, so past-envelope inputs now fail loud (NULL) where
+#:   the old long sums emitted silently wrong values whose squares
+#:   still fit. Affected queries (q_ohlc q_dw q_krippendorff_interval
+#:   q_krippendorff_ordinal q_cronbach q_icc) were re-proven
+#:   value-identical against their DuckDB oracles this session
+#:   (7/7 incl. nominal q_krippendorff) and ride the r11 reproof
+#:   wave with the two ADVICE items above — displacing six more
+#:   r02-bucket slots would forfeit the bucket-empty done-criterion.
 #: Remaining F.sum(long) sites are count- or rank-bounded (wrap
-#: needs ~9e18 rows) per the r9 audit — the wrap-before-cast
-#: site count is now ZERO.
+#: needs ~9e18 rows) per the r10 re-audit — the known
+#: wrap-before-cast site count is now ZERO.
 _WINDOW_REPROOFS = [
     "q_welch",
     "q_anova",

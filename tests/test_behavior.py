@@ -1184,3 +1184,62 @@ def test_theil_sen_seasonal_hand_computed(spark):
     assert (t["n_buckets"], t["n_pairs"], t["slope"]) == (24, 60, 0.5)
     one = out["one"]
     assert one["n_pairs"] == 0 and one["slope"] is None
+
+
+def test_ohlc_bars_decimal_sum_survives_int64_envelope(spark):
+    """r10 long-sum audit: the per-bar mean's 1e6-scaled sum must
+    accumulate on decimal — 1e6 events of ~9.4e6 in ONE (key, hour)
+    bar sum the scaled longs to 9.4e18 > 2^63, where a plain long
+    F.sum wraps negative (mean would read -9.05e6 instead of
+    9.4e6)."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_plumber_spark.operators.behavior import ohlc_bars
+
+    df = spark.range(1_000_000).select(
+        F.lit("k").alias("key"),
+        (
+            F.lit("2026-01-01 03:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("id") % 3000).cast("double"))
+        ).alias("ts"),
+        (F.lit(9399999.0) + (F.col("id") % 2).cast("double") * 2.0).alias(
+            "v"
+        ),
+    )
+    r = ohlc_bars(df, "key", "ts", "v", window="1 hour").collect()
+    assert len(r) == 1
+    bar = r[0]
+    assert bar["n_events"] == 1_000_000
+    assert bar["high"] == 9400001.0 and bar["low"] == 9399999.0
+    # exact: 500k * (9399999e6 + 9400001e6) / 1e6 / 1e6 = 9.4e6
+    assert bar["mean"] == 9400000.0
+
+
+def test_durbin_watson_decimal_sum_survives_int64_envelope(spark):
+    """r10 long-sum audit: the per-group scaled-value sum T must ride
+    decimal — an alternating 1e6-point series around 9.4e6 at scale=6
+    sums the scaled longs to 9.4e18 > 2^63 (the old long sum wrapped T
+    negative and drove DW to ~0); the alternating series' true DW is
+    the anti-correlated limit ~4."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_plumber_spark.operators.behavior import durbin_watson
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("i"),
+        (F.lit(9399999.0) + (F.col("id") % 2).cast("double") * 2.0).alias(
+            "v"
+        ),
+    )
+    r = durbin_watson(df, "g", "i", "v").collect()[0]
+
+    s_lo, s_hi = 9399999 * 10**6, 9400001 * 10**6
+    T = 500_000 * (s_lo + s_hi)
+    assert T > 2**63 - 1  # the fixture really is in the old wrap regime
+    Q = 500_000 * (s_lo * s_lo + s_hi * s_hi)
+    D = (n - 1) * (2 * 10**6) ** 2
+    dw = float(n) * float(D) / float(n * Q - T * T)
+    assert r["n_buckets"] == n and r["n_pairs"] == n - 1
+    assert r["dw"] == round(dw, 6) == 3.999996

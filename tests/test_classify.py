@@ -1073,3 +1073,139 @@ def test_mcc_multiclass_perfect_and_permuted(spark):
         "l string, p string",
     )
     assert mcc_multiclass(wrong, "l", "p").collect()[0]["mcc"] == -0.5
+
+
+def test_krippendorff_interval_decimal_sum_fail_loud_past_envelope(spark):
+    """r10 long-sum audit: the per-unit scored sum now accumulates on
+    decimal. A unit sum past 2^63 (16 raters at ~6e11 -> 9.6e18)
+    necessarily also blows the n * sum(s^2) < 10^38 decimal envelope,
+    so alpha goes NULL (fail-loud) — where the OLD long sum wrapped it
+    to -8.8e18 whose downstream squares still FIT, i.e. silently wrong
+    alpha. At the largest magnitudes the envelope admits (~3e17
+    scaled, far past double-int precision) the decimal path is exact
+    against the independent pure-Python coincidence computation."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        krippendorff_alpha,
+    )
+
+    def run(u1, u2):
+        rows = [("u1", f"r{i}", v) for i, v in enumerate(u1)] + [
+            ("u2", f"r{i}", v) for i, v in enumerate(u2)
+        ]
+        df = spark.createDataFrame(rows, "u string, r string, v double")
+        return (
+            krippendorff_alpha(df, "u", "r", "v", level="interval")
+            .collect()[0],
+            [(u, v) for u, _r, v in rows],
+        )
+
+    w1 = [5.5e11] * 8 + [6.5e11] * 8
+    assert sum(round(v * 10**6) for v in w1) > 2**63 - 1
+    got, _ = run(w1, [0.0] * 8 + [1.0e10] * 8)
+    assert got["n_units"] == 2 and got["n_ratings"] == 32
+    assert got["alpha"] is None  # fail-loud, never wrapped garbage
+
+    s1 = [4.5e8, 5.5e8] * 8
+    assert 2**52 < sum(round(v * 10**6) for v in s1) < 2**63 - 1
+    got2, pairs = run(s1, [0.0, 1.0e7] * 8)
+    ref = _ref_krippendorff(pairs, "interval")
+    assert got2["alpha"] is not None
+    assert abs(got2["alpha"] - ref) < 1e-5  # ~0.979133; unit sums at
+    # 8e15 sit past double-int precision, inside the L*de envelope
+
+
+def test_cronbach_alpha_decimal_sum_fail_loud_past_envelope(spark):
+    """r10 long-sum audit: the per-unit total score _y now accumulates
+    on decimal. A unit total PAST 2^63 (16 items at ~6e11 -> 9.6e18)
+    necessarily also blows the N * sum(_y^2) < 10^38 decimal envelope,
+    so the kernel goes NULL (fail-loud) — where the OLD long sum
+    wrapped _y to -8.8e18 whose square still FIT the envelope, i.e.
+    a silently wrong alpha. Below the wrap threshold the decimal path
+    is exact out to the true envelope bound (second fixture)."""
+    from kafka_streams_plumber_spark.operators.classify import cronbach_alpha
+
+    def run(mat):
+        rows = [
+            (u, f"i{j}", v)
+            for u, vs in mat.items()
+            for j, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(
+            rows, "unit string, item string, v double"
+        )
+        return cronbach_alpha(df, "unit", "item", "v").collect()[0]
+
+    def ref_alpha(mat):
+        def pvar(xs):
+            m = sum(xs) / len(xs)
+            return sum((x - m) ** 2 for x in xs) / len(xs)
+
+        cols = list(zip(*mat.values()))
+        totals = [sum(vs) for vs in mat.values()]
+        return 16 / 15 * (1 - sum(pvar(c) for c in cols) / pvar(totals))
+
+    wrap = {"u1": [5.5e11, 6.5e11] * 8, "u2": [0.0, 1.0e10] * 8}
+    assert sum(round(v * 10**6) for v in wrap["u1"]) > 2**63 - 1
+    got = run(wrap)
+    assert (got["n_units"], got["n_items"]) == (2, 16)
+    assert got["alpha"] is None  # fail-loud, never wrapped garbage
+
+    sub = {"u1": [0.9e11, 1.1e11] * 8, "u2": [0.0, 1.0e10] * 8}
+    y1 = sum(round(v * 10**6) for v in sub["u1"])
+    assert 2**60 < y1 < 2**63 - 1  # far past double-int precision,
+    # under the wrap threshold, inside the k*vy decimal envelope
+    got2 = run(sub)
+    assert got2["alpha"] is not None
+    assert abs(got2["alpha"] - ref_alpha(sub)) < 1e-5  # ~0.999815
+
+
+def test_icc_decimal_sum_fail_loud_past_envelope(spark):
+    """r10 long-sum audit: the per-unit row sum _ri and per-rater
+    column sum _c now accumulate on decimal. A row sum PAST 2^63 (16
+    raters at ~6e11 -> 9.6e18) necessarily also blows the
+    n*k*sum(s^2) < 10^38 decimal envelope, so the kernel goes NULL
+    (fail-loud) — where the OLD long sum wrapped _ri to -8.8e18 whose
+    square still FIT, i.e. silently wrong ICCs. Below the wrap
+    threshold the decimal path is exact out to the true envelope
+    bound, checked against the independent two-way-ANOVA identity on
+    exact scaled integers."""
+    from kafka_streams_plumber_spark.operators.classify import icc
+
+    def run(vals):
+        rows = [
+            (f"u{i}", f"r{j}", vals[i][j])
+            for i in range(2)
+            for j in range(16)
+        ]
+        df = spark.createDataFrame(
+            rows, "item string, rater string, v double"
+        )
+        return icc(df, "item", "rater", "v", n_raters=16).collect()[0]
+
+    wrap = [[5.5e11, 6.5e11] * 8, [0.0, 1.0e10] * 8]
+    assert sum(round(v * 10**6) for v in wrap[0]) > 2**63 - 1
+    got = run(wrap)
+    assert (got["n_items"], got["n_raters"]) == (2, 16)
+    assert got["icc2_1"] is None and got["icc3_1"] is None  # fail-loud
+
+    vals = [[0.7e11, 0.8e11] * 8, [float(j) * 1e9 for j in range(16)]]
+    sv = [[round(v * 10**6) for v in row] for row in vals]
+    assert 2**60 < sum(sv[0]) < 2**63 - 1
+    got2 = run(vals)
+
+    nI, k = 2, 16
+    t = sum(sum(r) for r in sv)
+    q = sum(x * x for r in sv for x in r)
+    r2 = sum(sum(r) ** 2 for r in sv)
+    c2 = sum(sum(sv[i][j] for i in range(nI)) ** 2 for j in range(k))
+    b = nI * r2 - t * t
+    c = k * c2 - t * t
+    e = (nI * k * q - t * t) - b - c
+    num = nI * (k - 1) * b - nI * e
+    icc2 = num / (
+        nI * (k - 1) * b + nI * (k - 1) * e + k * (nI - 1) * c - k * e
+    )
+    icc3 = num / (nI * (k - 1) * b + nI * (k - 1) * e)
+    assert got2["icc2_1"] is not None and got2["icc3_1"] is not None
+    assert abs(got2["icc2_1"] - icc2) < 1e-5  # ~0.989282
+    assert abs(got2["icc3_1"] - icc3) < 1e-5  # ~0.99043

@@ -62,6 +62,12 @@ def zipf_corpus(n_docs: int) -> list[tuple[int, str]]:
 
 
 def main() -> None:
+    # --section containment|semantic|all: the sections are
+    # independently expensive (each runs minutes of measured walls), so
+    # a re-measurement of one never has to pay for the other.
+    section = "all"
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        section = sys.argv[2]
     spark = get_spark("zipf-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -83,7 +89,7 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     results = {}
-    for op, make in (
+    for op, make in () if section == "semantic" else (
         ("q_containment", lambda d: containment_join(d, threshold=0.8)),
         ("q_novelty", lambda d: ngram_novelty(d)),
     ):
@@ -118,17 +124,156 @@ def main() -> None:
         )
         return cand.count()
 
-    for label, d in frames.items():
+    for label, d in frames.items() if section != "semantic" else ():
         c = cand_count(d)
         n = sizes[label]
         print(f"zipf {label} ({n} docs): candidates={c} ({c / n:.1f}/doc)")
-    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+    for sf_dir in () if section == "semantic" else ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         if not os.path.isdir(sf_dir):
             continue
         d = load_tables(spark, sf_dir)["documents"]
         n = d.count()
         c = cand_count(d)
         print(f"degenerate {sf_dir} ({n} docs): candidates={c} ({c / n:.1f}/doc)")
+
+    # Semantic-dedup scale path (VERDICT r9 item 4). Two findings:
+    #
+    # (1) The Zipf TEXT corpus is the WRONG fixture for the semantic
+    # family: hashing-trick embeddings of same-vocabulary text all
+    # share the common-word direction, so the TRUE cosine>=0.8 pair
+    # graph is ~5.6% dense (measured below: ~700k true pairs among
+    # 5k docs, mean pairwise cosine ~0.59) — any correct algorithm is
+    # output-bound on it, the same pathology class as the driver
+    # corpus (where the cause is the ~30-word vocabulary). Recorded,
+    # not timed at 50k.
+    #
+    # (2) The candidate-volume linearity claim is therefore measured
+    # on the fixture that isolates it: seeded random UNIT VECTORS
+    # (sparse true-pair graph by construction) with a planted near-dup
+    # every 50 docs, pushed through embedding_dup_pairs — the exact
+    # component q_semantic_auto runs after hash_embed — with
+    # target_bucket_size=64 (data-derived planes). Expected bucket
+    # occupancy is held ~constant, so candidates/doc should be ~flat
+    # across the 10x step while a FIXED plane count would grow ~10x.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_plumber_spark.operators.similarity import (
+        _hyperplanes,
+        cosine,
+        embedding_dup_pairs,
+        hash_embed,
+        rp_signature,
+    )
+
+    def lsh_candidate_volume(emb, n_docs, id_col="vec_id", vec_col="v"):
+        """(derived n_planes, bucket-stage candidate-pair volume) for
+        the exact auto-sizing arithmetic embedding_dup_pairs uses."""
+        n_planes = min(
+            24, max(4, math.ceil(math.log2(max(2.0, n_docs / 64))))
+        )
+        tables = [_hyperplanes(n_planes, 64, 7 + 1000 * t) for t in range(6)]
+        sig = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    rp_signature(F.col(vec_col), tables[t]).alias("bucket"),
+                )
+                for t in range(6)
+            ]
+        )
+        vol = (
+            emb.select(F.explode(sig).alias("s"))
+            .groupBy("s.table", "s.bucket")
+            .agg(F.count("*").alias("n"))
+            .filter((F.col("n") >= 2) & (F.col("n") <= 2000))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("c"))
+            .collect()[0]["c"]
+        )
+        return n_planes, int(vol or 0)
+
+    # (1) zipf-text density at 5k docs: the fixture-pathology record
+    emb_txt = frames["sf0.01-equiv"].select(
+        "doc_id", hash_embed("text", dim=64, normalize=True).alias("v")
+    ).cache()
+    at = emb_txt.select(F.col("doc_id").alias("a"), F.col("v").alias("va"))
+    bt = emb_txt.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"))
+    dens = (
+        at.join(bt, F.col("a") < F.col("b"))
+        .select(cosine(F.col("va"), F.col("vb")).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("c") >= 0.8).cast("long")).alias("t"),
+            F.round(F.avg("c"), 3).alias("m"),
+        )
+        .collect()[0]
+    )
+    _, cand_txt = lsh_candidate_volume(
+        emb_txt.withColumnRenamed("doc_id", "vec_id"), 5000, vec_col="v"
+    )
+    print(
+        f"semantic zipf-TEXT 5k docs: true cos>=0.8 pairs {dens['t']} of "
+        f"{dens['n']} ({dens['t'] / dens['n'] * 100:.1f}% dense, mean cos "
+        f"{dens['m']}) -> output-bound fixture; LSH candidates "
+        f"{cand_txt} ({cand_txt / 5000:.0f}/doc) track that density, "
+        "not the algorithm"
+    )
+
+    # (2) sparse random-vector corpus: the linearity measurement
+    import random as _random
+
+    def vec_corpus(n):
+        rng = _random.Random(SEED)
+        rows, prev = [], None
+        for i in range(n):
+            if i % 50 == 25 and prev is not None:
+                # planted near-dup: perturb the previous vector
+                v = [x + rng.gauss(0.0, 0.04) for x in prev]
+            else:
+                v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+            norm = math.sqrt(sum(x * x for x in v)) or 1.0
+            v = [x / norm for x in v]
+            rows.append((i, v))
+            prev = v
+        return rows
+
+    sem = {}
+    for label, n in sizes.items():
+        emb = spark.createDataFrame(
+            vec_corpus(n), "vec_id long, v array<double>"
+        ).cache()
+        emb.count()
+        planes, cand = lsh_candidate_volume(emb, n)
+
+        def run():
+            t0 = time.time()
+            out = embedding_dup_pairs(
+                emb,
+                id_col="vec_id",
+                vec_col="v",
+                dim=64,
+                threshold=0.8,
+                target_bucket_size=64,
+            )
+            npairs = out.count()
+            return round(time.time() - t0, 3), npairs
+
+        run()  # warmup
+        wall, npairs = min(run() for _ in range(2))
+        sem[label] = (planes, cand, wall, npairs)
+        print(
+            f"semantic_auto random-vec {label} ({n} docs): planes={planes} "
+            f"candidates={cand} ({cand / n:.1f}/doc) wall={wall}s "
+            f"true pairs found={npairs}"
+        )
+    s5, s50 = sem["sf0.01-equiv"], sem["sf0.1-equiv"]
+    print(
+        "semantic_auto random-vec 5k->50k: candidates/doc "
+        f"{s5[1] / 5000:.1f} -> {s50[1] / 50000:.1f} "
+        f"(total {s50[1] / max(1, s5[1]):.1f}x on a 10x step), "
+        f"wall {s5[2]}s -> {s50[2]}s ({s50[2] / s5[2]:.1f}x)"
+    )
     spark.stop()
 
 
