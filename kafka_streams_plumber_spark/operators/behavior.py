@@ -311,7 +311,7 @@ def rolling_zscore(
     ts_col: str,
     value_col: str,
     window: int = 20,
-    scale: int = 100,
+    value_scale: int = 100,
     order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-key rolling z-score anomaly signal.
@@ -332,7 +332,7 @@ def rolling_zscore(
     every z, is nondeterministic.
 
     Numeric determinism: the rolling sums are computed over
-    ``scale``-scaled LONGS (exact integer arithmetic — immune to the
+    ``value_scale``-scaled LONGS (exact integer arithmetic — immune to the
     engines' different sliding-window summation orders, e.g. segment
     trees vs running sums), and mean/variance derive from those exact
     sums in one double expression:
@@ -340,10 +340,10 @@ def rolling_zscore(
         var = (ss - s^2/n) / (n - 1)   over scaled units
 
     One shuffle on the key; the window is key-partitioned (millions of
-    small groups at scale, never a global sort).
+    small groups at value_scale, never a global sort).
     """
     order_cols = order_cols or [ts_col]
-    sv = F.round(F.col(value_col) * scale).cast("bigint")
+    sv = F.round(F.col(value_col) * value_scale).cast("bigint")
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order_cols)
@@ -356,7 +356,7 @@ def rolling_zscore(
     s = F.sum(sv).over(w).cast("double")
     ss = F.sum(sv * sv).over(w).cast("double")
     var = (ss - s * s / n) / (n - 1)
-    z = (F.col(value_col) * scale - s / n) / F.sqrt(var)
+    z = (F.col(value_col) * value_scale - s / n) / F.sqrt(var)
     # var > 0 also absorbs the tiny-negative double-rounding case
     # (sqrt of which would be NaN)
     return df.select(
@@ -853,7 +853,7 @@ def forecast_baseline_error(
     *,
     season: int,
     step_s: int = 3600,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Seasonal-naive forecast-error report (MASE) per key: bucket the
     series into ``step_s``-second bins, forecast each bin with the bin
@@ -869,7 +869,7 @@ def forecast_baseline_error(
     seasonality worth modeling. Also the honest floor every fancy
     forecaster must beat (Hyndman & Koehler 2006).
 
-    Exactness: bucket values are scaled-long sums (``scale`` micro
+    Exactness: bucket values are scaled-long sums (``value_scale`` micro
     units), errors are abs-diffs of longs, and each MAE/MASE is a
     fixed-order double division of exact integers — engine-replayable.
     Missing buckets are truly missing: the seasonal/naive counterpart
@@ -886,7 +886,7 @@ def forecast_baseline_error(
         .cast("long")
         .alias("_b")
     )
-    sv = F.round(F.col(value_col) * scale, 0).cast("long")
+    sv = F.round(F.col(value_col) * value_scale, 0).cast("long")
     binned = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(F.col(key_col).alias("_k"), bucket)
@@ -915,8 +915,8 @@ def forecast_baseline_error(
         F.sum(e1).alias("_s1"),
         F.sum(es).alias("_ss"),
     )
-    mae1 = F.col("_s1") / F.nullif(F.col("n_naive"), F.lit(0)) / scale
-    maes = F.col("_ss") / F.nullif(F.col("n_seasonal"), F.lit(0)) / scale
+    mae1 = F.col("_s1") / F.nullif(F.col("n_naive"), F.lit(0)) / value_scale
+    maes = F.col("_ss") / F.nullif(F.col("n_seasonal"), F.lit(0)) / value_scale
     return agg.select(
         F.col("_k").alias(key_col),
         "n_buckets",
@@ -936,7 +936,7 @@ def cusum(
     target: float,
     slack: float = 0.0,
     threshold: float | None = None,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
     out_col: str = "cusum",
 ) -> DataFrame:
     """One-sided (upper) CUSUM control chart over a globally-ordered
@@ -965,7 +965,7 @@ def cusum(
     The target/slack/threshold constants are quantized HALF_UP
     (decimal.Decimal), matching F.round's row-value scaling and the
     SQL oracle — Python's round() banker's-rounding would shift every
-    step by one scaled unit when (target+slack)*scale lands exactly
+    step by one scaled unit when (target+slack)*value_scale lands exactly
     on .5.
     """
     from decimal import ROUND_HALF_UP, Decimal
@@ -974,7 +974,7 @@ def cusum(
 
     def _half_up(x: float) -> int:
         return int(
-            (Decimal(str(float(x))) * scale).quantize(
+            (Decimal(str(float(x))) * value_scale).quantize(
                 Decimal("1"), rounding=ROUND_HALF_UP
             )
         )
@@ -982,7 +982,7 @@ def cusum(
     k = _half_up(float(target) + float(slack))
     d = df.withColumn(
         "_d",
-        F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+        F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long")
         - F.lit(k),
     )
     m = running_agg(
@@ -991,7 +991,7 @@ def cusum(
         [("sum", "_d", "_P"), ("min_of_sum", "_d", "_mn")],
     )
     s_scaled = F.col("_P") - F.least(F.col("_mn"), F.lit(0).cast("long"))
-    out = m.withColumn(out_col, F.round(s_scaled / scale, 6))
+    out = m.withColumn(out_col, F.round(s_scaled / value_scale, 6))
     if threshold is not None:
         out = out.withColumn("alarm", s_scaled > F.lit(_half_up(threshold)))
     return out.drop("_d", "_P", "_mn")
@@ -1004,7 +1004,7 @@ def page_hinkley(
     *,
     delta: float = 0.0,
     threshold: float | None = None,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
     out_col: str = "ph",
 ) -> DataFrame:
     """Page-Hinkley change detector (the Gama-et-al streaming form)
@@ -1042,12 +1042,12 @@ def page_hinkley(
 
     d = df.withColumn(
         "_xs",
-        F.round(F.col(value_col).cast("double") * scale, 0).cast("long"),
+        F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long"),
     )
     p1 = running_agg(
         d, order_cols, [("sum", "_xs", "_P")], pos_col="_pos"
     )
-    k_delta = float(delta) * scale  # double literal, replayed verbatim
+    k_delta = float(delta) * value_scale  # double literal, replayed verbatim
     term = F.round(
         F.col("_xs").cast("double")
         - F.col("_P").cast("double") / (F.col("_pos") + 1).cast("double")
@@ -1061,10 +1061,10 @@ def page_hinkley(
         [("sum", "_t", "_U"), ("min_of_sum", "_t", "_M")],
     )
     ph_scaled = F.col("_U") - F.col("_M")
-    out = p2.withColumn(out_col, F.round(ph_scaled / scale, 6))
+    out = p2.withColumn(out_col, F.round(ph_scaled / value_scale, 6))
     if threshold is not None:
         thr = int(
-            (Decimal(str(float(threshold))) * scale).quantize(
+            (Decimal(str(float(threshold))) * value_scale).quantize(
                 Decimal("1"), rounding=ROUND_HALF_UP
             )
         )
@@ -1179,7 +1179,7 @@ def seasonal_strength(
     *,
     period: int,
     group_cols: list[str] | None = None,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Seasonal-strength measure (Hyndman's F_s) over a bucketed
     series: ``F_s = max(0, 1 - Var(residual) / Var(seasonal +
@@ -1211,8 +1211,8 @@ def seasonal_strength(
     )  # seasonal + residual
     s = d.select(
         *groups,
-        F.round(sr * scale, 0).cast("long").alias("_sr"),
-        F.round(F.col("residual") * scale, 0).cast("long").alias("_r"),
+        F.round(sr * value_scale, 0).cast("long").alias("_sr"),
+        F.round(F.col("residual") * value_scale, 0).cast("long").alias("_r"),
     )
     agg = s.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
@@ -1253,7 +1253,7 @@ def trend_break(
     value_col: str,
     *,
     breakpoint: int | None = None,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Segmented OLS around a breakpoint — the SIZE estimate for the
     shift :func:`cusum` / :func:`page_hinkley` detect: fit
@@ -1280,7 +1280,7 @@ def trend_break(
     grouped-moments aggregate over the two segments. No windows, no
     joins of the data with itself, no Python.
     """
-    y = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    y = F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long")
     base = df.where(
         F.col(index_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(index_col).cast("long").alias("_x"), y.alias("_y"))
@@ -1345,12 +1345,12 @@ def trend_break(
         "n_pre",
         "n_post",
         F.col("_bp2").cast("long").alias("breakpoint"),
-        F.round(F.col("_b_pre") / scale, 6).alias("slope_pre"),
-        F.round(F.col("_b_post") / scale, 6).alias("slope_post"),
+        F.round(F.col("_b_pre") / value_scale, 6).alias("slope_pre"),
+        F.round(F.col("_b_post") / value_scale, 6).alias("slope_post"),
         F.round(
-            (F.col("_b_post") - F.col("_b_pre")) / scale, 6
+            (F.col("_b_post") - F.col("_b_pre")) / value_scale, 6
         ).alias("slope_delta"),
-        F.round((fitted_post - fitted_pre) / scale, 6).alias("level_delta"),
+        F.round((fitted_post - fitted_pre) / value_scale, 6).alias("level_delta"),
     )
 
 

@@ -152,7 +152,7 @@ def lr_train(
     dim: int,
     iterations: int = 5,
     lr: float = 1.0,
-    scale: int = SCALE,
+    value_scale: int = SCALE,
 ) -> DataFrame:
     """Fit binary logistic regression on a numeric feature array by
     full-batch gradient descent with a FIXED iteration count:
@@ -210,7 +210,7 @@ def lr_train(
             .groupBy("pos")
             .agg(
                 F.sum(
-                    F.round(F.col("_c") * F.col("r") * scale, 0).cast("long")
+                    F.round(F.col("_c") * F.col("r") * value_scale, 0).cast("long")
                 ).alias("_g"),
                 F.max("n").alias("n"),
             )
@@ -221,7 +221,7 @@ def lr_train(
                     F.collect_list(
                         F.struct(
                             "pos",
-                            (F.col("_g").cast("double") / scale).alias("g"),
+                            (F.col("_g").cast("double") / value_scale).alias("g"),
                         )
                     )
                 ),
@@ -254,7 +254,7 @@ def lr_oracle_sql(
     dim: int,
     iterations: int = 5,
     lr: float = 1.0,
-    scale: int = SCALE,
+    value_scale: int = SCALE,
     round_to: int = 6,
 ) -> str:
     """DuckDB oracle for :func:`lr_train`: identical rounds unrolled
@@ -281,14 +281,14 @@ def lr_oracle_sql(
               )), 9) AS r FROM x, w{i}
             ),
             g{i} AS (
-              SELECT pos, sum(CAST(round(c * r * {scale}) AS BIGINT)) AS g
+              SELECT pos, sum(CAST(round(c * r * {value_scale}) AS BIGINT)) AS g
               FROM (SELECT unnest(x) AS c,
                            generate_subscripts(x, 1) - 1 AS pos, r
                     FROM r{i})
               GROUP BY pos
             ),
             gv{i} AS (
-              SELECT list(CAST(g AS DOUBLE) / {scale} ORDER BY pos) AS g
+              SELECT list(CAST(g AS DOUBLE) / {value_scale} ORDER BY pos) AS g
               FROM g{i}
             ),
             w{i + 1} AS (
@@ -674,7 +674,7 @@ def krippendorff_alpha(
     value_col: str,
     *,
     level: str = "nominal",
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Krippendorff's alpha — inter-rater reliability that, unlike
     :func:`cohens_kappa`, handles ANY number of raters and missing
@@ -688,7 +688,7 @@ def krippendorff_alpha(
     - ``"nominal"`` — categories, delta = 1{c != k} (default);
     - ``"interval"`` — numeric ratings, delta = (c - k)^2: a 1-vs-2
       disagreement on a 5-point quality score costs 1/16th of 1-vs-5
-      instead of the same (``scale`` quantizes values to longs first,
+      instead of the same (``value_scale`` quantizes values to longs first,
       HALF_UP, default 6 dp);
     - ``"ordinal"`` — ranked categories, delta = (rank-mass between
       the two categories)^2 per Krippendorff: implemented EXACTLY as
@@ -733,7 +733,7 @@ def krippendorff_alpha(
     L = 360360  # lcm(1..15): exact 1/(m_u - 1) weights through m_u = 16
     if level != "nominal":
         return _krippendorff_metric(
-            df, unit_col, rater_col, value_col, level=level, scale=scale, L=L
+            df, unit_col, rater_col, value_col, level=level, value_scale=value_scale, L=L
         )
     r = (
         df.filter(F.col(value_col).isNotNull())
@@ -802,7 +802,7 @@ def _krippendorff_metric(
     value_col: str,
     *,
     level: str,
-    scale: int,
+    value_scale: int,
     L: int,
 ) -> DataFrame:
     """Interval/ordinal Krippendorff core (see :func:`krippendorff_alpha`
@@ -827,7 +827,7 @@ def _krippendorff_metric(
     if level == "interval":
         scored = rp.select(
             "_u",
-            F.round(F.col("_vd") * scale, 0).cast("long").alias("_s"),
+            F.round(F.col("_vd") * value_scale, 0).cast("long").alias("_s"),
             F.col("_vd").alias("_cat"),
         )
     else:  # ordinal: doubled average-rank score per category
@@ -857,7 +857,7 @@ def _krippendorff_metric(
             # decimal accumulation: ordinal _s is rank-scale (<= 2n,
             # so the per-unit LONG sum bound m * 2n is QUADRATIC in
             # row count and wraps at ~2e9 ratings) and interval _s is
-            # a scaled value (wraps at m * |v|*scale > 2^63); decimal
+            # a scaled value (wraps at m * |v|*value_scale > 2^63); decimal
             # before the sum, not after (r10 audit).
             F.sum(F.col("_s").cast("decimal(28,0)"))
             .cast("decimal(38,0)")
@@ -1009,7 +1009,7 @@ def cronbach_alpha(
     item_col: str,
     value_col: str,
     *,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Cronbach's alpha — internal-consistency reliability of a
     multi-item numeric instrument (k rubric dimensions scoring the
@@ -1039,7 +1039,7 @@ def cronbach_alpha(
     O(units) grains; single-row broadcasts combine them. No
     self-joins, no windows, no Python.
     """
-    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    v = F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long")
     r = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(unit_col).alias("_u"), F.col(item_col).alias("_i"))
@@ -1049,7 +1049,7 @@ def cronbach_alpha(
     per_u = r.groupBy("_u").agg(
         F.count(F.lit(1)).alias("_m"),
         # decimal accumulation for the per-unit total score: a LONG
-        # sum wraps once k_items * |v|*scale crosses 2^63 (r10
+        # sum wraps once k_items * |v|*value_scale crosses 2^63 (r10
         # audit); _y stays <= 19 digits whenever the inputs honor
         # the scaled-long contract, so the decimal(19,0) squares
         # below are unchanged.
@@ -1061,7 +1061,7 @@ def cronbach_alpha(
     rc = r.join(complete.select("_u"), "_u", "left_semi")
     items = rc.groupBy("_i").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        # same class: the per-item sum over ALL units is n * |v|*scale
+        # same class: the per-item sum over ALL units is n * |v|*value_scale
         F.sum(F.col("_s").cast("decimal(28,0)"))
         .cast("decimal(38,0)")
         .alias("_t"),

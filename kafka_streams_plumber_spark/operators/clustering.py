@@ -183,7 +183,7 @@ def kcenter_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 4,
-    scale: int = 1000,
+    value_scale: int = 1000,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Greedy k-center (farthest-point) selection: a maximally-diverse
@@ -214,7 +214,7 @@ def kcenter_select(
     )
     state = (
         base.crossJoin(F.broadcast(seed))
-        .select("_id", "_v", _d2_scaled(F.col("_v"), F.col("cv"), scale).alias("_mind"))
+        .select("_id", "_v", _d2_scaled(F.col("_v"), F.col("cv"), value_scale).alias("_mind"))
     )
     state = truncate_lineage(state, checkpoint_dir)
 
@@ -250,7 +250,7 @@ def kcenter_select(
                 "_id",
                 "_v",
                 F.least(
-                    F.col("_mind"), _d2_scaled(F.col("_v"), F.col("cv"), scale)
+                    F.col("_mind"), _d2_scaled(F.col("_v"), F.col("cv"), value_scale)
                 ).alias("_mind"),
             )
         )
@@ -265,7 +265,7 @@ def kcenter_select(
 def kcenter_oracle_sql(
     *,
     k: int = 4,
-    scale: int = 1000,
+    value_scale: int = 1000,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -275,7 +275,7 @@ def kcenter_oracle_sql(
     identical scaled-long distance arithmetic."""
     delta = (
         f"CAST(round((CAST(a.v AS DOUBLE) - CAST(c.v AS DOUBLE))"
-        f" * {scale}) AS BIGINT)"
+        f" * {value_scale}) AS BIGINT)"
     )
     d2 = f"CAST(sum({delta} * {delta}) AS BIGINT)"
     parts = [
@@ -316,7 +316,7 @@ def clustering_agreement(
     label_a: str,
     label_b: str,
     *,
-    scale: int = 10**9,
+    value_scale: int = 10**9,
 ) -> DataFrame:
     """Agreement between two label assignments over the same items:
     ONE row ``(n, clusters_a, clusters_b, ari, nmi)`` — Adjusted Rand
@@ -382,8 +382,8 @@ def clustering_agreement(
     )
     mi = joined.agg(
         (
-            F.sum(F.round(iterm * scale, 0).cast("long")).cast("double")
-            / scale
+            F.sum(F.round(iterm * value_scale, 0).cast("long")).cast("double")
+            / value_scale
         ).alias("_mi")
     )
 
@@ -395,10 +395,10 @@ def clustering_agreement(
             m.crossJoin(F.broadcast(sums_cells.select("n")))
             .agg(
                 (
-                    F.sum(F.round(term * scale, 0).cast("long")).cast(
+                    F.sum(F.round(term * value_scale, 0).cast("long")).cast(
                         "double"
                     )
-                    / scale
+                    / value_scale
                 ).alias("_h")
             )
         )

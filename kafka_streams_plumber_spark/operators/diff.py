@@ -326,7 +326,7 @@ def jsd_matrix(
     group_col: str,
     value_col: str,
     *,
-    scale: int = 10**9,
+    value_scale: int = 10**9,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between per-group value
     distributions: for every unordered group pair, ``JSD(P_a || P_b)``
@@ -389,8 +389,8 @@ def jsd_matrix(
         joined.groupBy("group_a", "group_b")
         .agg(
             (
-                F.sum(F.round(term * scale, 0).cast("long")).cast("double")
-                / scale
+                F.sum(F.round(term * value_scale, 0).cast("long")).cast("double")
+                / value_scale
             ).alias("_jsd"),
             F.count(F.lit(1)).alias("n_values"),
         )
@@ -476,7 +476,7 @@ def psi_drift(
     baseline_days: int = 7,
     threshold: float = 0.25,
     smooth: float = 1e-6,
-    scale: int = 10**9,
+    value_scale: int = 10**9,
 ) -> DataFrame:
     """Rolling windowed distribution drift: for every (feed, day),
     the PSI of that day's value distribution against the pooled
@@ -500,7 +500,7 @@ def psi_drift(
     omitted: there is nothing to compare against.
 
     Exactness: bin shares are one double division each; per-day PSI
-    terms ride the scaled-long device (round(term * scale) summed as
+    terms ride the scaled-long device (round(term * value_scale) summed as
     longs — summation-order-proof), one final division — SQL replays
     bit-for-bit.
 
@@ -533,8 +533,8 @@ def psi_drift(
             F.max("_ct").cast("long").alias("n_cur"),
             F.max("_bt").cast("long").alias("n_base"),
             (
-                F.sum(F.round(term * scale, 0).cast("long")).cast("double")
-                / scale
+                F.sum(F.round(term * value_scale, 0).cast("long")).cast("double")
+                / value_scale
             ).alias("_psi"),
         )
     )
@@ -701,7 +701,7 @@ def quantile_drift(
     p: float = 0.5,
     baseline_days: int = 7,
     threshold: float,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Rolling quantile shift: per (feed, day), the day's EXACT
     interpolated ``p``-quantile of ``value_col`` against the mean of
@@ -723,7 +723,7 @@ def quantile_drift(
     percentiles (the q_robust parity device — DuckDB quantile_cont
     replays them bit-for-bit); the baseline mean rides the
     scaled-long device (daily quantile rounded to a long at
-    ``scale``, summed exactly over the window, two divisions).
+    ``value_scale``, summed exactly over the window, two divisions).
 
     Scale design: :func:`~kafka_streams_plumber_spark.operators.
     stats.exact_percentiles` does the heavy lifting WITHOUT a
@@ -742,7 +742,7 @@ def quantile_drift(
         {"_q": p},
     )
     d2 = daily.withColumn(
-        "_qs", F.round(F.col("_q") * scale, 0).cast("long")
+        "_qs", F.round(F.col("_q") * value_scale, 0).cast("long")
     )
     w = (
         Window.partitionBy(*group_cols)
@@ -752,7 +752,7 @@ def quantile_drift(
     st = d2.withColumn("_bs", F.sum("_qs").over(w)).withColumn(
         "_bn", F.count(F.lit(1)).over(w)
     )
-    base = (F.col("_bs") / F.col("_bn")) / scale
+    base = (F.col("_bs") / F.col("_bn")) / value_scale
     delta = F.col("_q") - base
     return st.where(F.col("_bn") > 0).select(
         *group_cols,

@@ -542,7 +542,7 @@ def adamic_adar(
     dst: str = "b_id",
     *,
     max_degree: int | None = None,
-    scale: int = 10**9,
+    value_scale: int = 10**9,
 ) -> DataFrame:
     """Adamic-Adar link prediction over an undirected graph: for every
     NON-adjacent node pair sharing at least one neighbor, returns
@@ -594,8 +594,8 @@ def adamic_adar(
     scored = wedges.groupBy("x", "y").agg(
         F.count(F.lit(1)).alias("common_neighbors"),
         (
-            F.sum(F.round(term * scale, 0).cast("long")).cast("double")
-            / scale
+            F.sum(F.round(term * value_scale, 0).cast("long")).cast("double")
+            / value_scale
         ).alias("_aa"),
     )
     # predicted links only: drop pairs that are already edges

@@ -402,7 +402,7 @@ def rbo(
     key_col: str = "query_id",
     item_col: str = "doc_id",
     rank_col: str = "rank",
-    scale: int = 10**9,
+    value_scale: int = 10**9,
 ) -> DataFrame:
     """Rank-biased overlap (Webber et al., TOIS 2010) between two
     rankings, truncated at depth ``k``: per key,
@@ -475,8 +475,8 @@ def rbo(
     )
     out = depth.groupBy("_k").agg(
         (
-            F.sum(F.round(term * scale, 0).cast("long")).cast("double")
-            / scale
+            F.sum(F.round(term * value_scale, 0).cast("long")).cast("double")
+            / value_scale
         ).alias("_s"),
         F.max(F.when(F.col("_d") == k, F.col("_x"))).alias("overlap_at_k"),
     )

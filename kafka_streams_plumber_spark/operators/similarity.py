@@ -436,7 +436,7 @@ def label_centroids(
     vec_col: str = "embedding",
     label_col: str = "label",
     *,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Per-label centroid of an embedding column: (label, centroid, n).
 
@@ -445,7 +445,7 @@ def label_centroids(
     shuffled are labels x dim, independent of corpus size after the
     map-side partial agg. No Python, no driver collect.
 
-    Components are summed as scaled longs (``scale`` decimal places) so
+    Components are summed as scaled longs (``value_scale`` decimal places) so
     the centroid is partition-order-insensitive and engine-exact — the
     same trick as functions.money_sum, which float summation needs even
     more: a 1000-executor reduce reorders every addition.
@@ -455,11 +455,11 @@ def label_centroids(
         F.posexplode(F.col(vec_col)).alias("pos", "_v"),
     )
     per_pos = exploded.groupBy("label", "pos").agg(
-        F.sum(F.round(F.col("_v").cast("double") * scale, 0).cast("long")).alias("_s"),
+        F.sum(F.round(F.col("_v").cast("double") * value_scale, 0).cast("long")).alias("_s"),
         F.count("*").alias("_n"),
     )
     return (
-        per_pos.withColumn("_c", F.col("_s") / F.lit(float(scale)) / F.col("_n"))
+        per_pos.withColumn("_c", F.col("_s") / F.lit(float(value_scale)) / F.col("_n"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -647,7 +647,7 @@ def pca_top_component(
     vec_col: str = "embedding",
     dim: int,
     iterations: int = 6,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Leading principal component of an embedding column by power
     iteration: ``v <- normalize(sum_i xc_i (xc_i . v))`` with
@@ -667,7 +667,7 @@ def pca_top_component(
     map-combinable per-position aggregates whose shuffles carry
     ``dim`` rows per partition; mean and v ride along as ONE broadcast
     row. Engine-exact arithmetic: per-term products are rounded to
-    ``scale`` decimals and summed as longs (partition-order-
+    ``value_scale`` decimals and summed as longs (partition-order-
     insensitive, like label_centroids); the per-row projection ``p``
     is rounded to 9 dp before re-expansion so both engines round the
     identical double. ``localCheckpoint`` truncates lineage per round.
@@ -682,8 +682,8 @@ def pca_top_component(
     expl = x.select(F.posexplode("x").alias("pos", "_v"))
     mu_rows = expl.groupBy("pos").agg(
         (
-            F.sum(F.round(F.col("_v") * scale, 0).cast("long")).cast("double")
-            / scale
+            F.sum(F.round(F.col("_v") * value_scale, 0).cast("long")).cast("double")
+            / value_scale
             / F.count("*")
         ).alias("m"),
         F.count("*").alias("n"),
@@ -716,7 +716,7 @@ def pca_top_component(
             .groupBy("pos")
             .agg(
                 F.sum(
-                    F.round(F.col("_c") * F.col("p") * scale, 0).cast("long")
+                    F.round(F.col("_c") * F.col("p") * value_scale, 0).cast("long")
                 ).alias("_s"),
                 F.max("n").alias("n"),
             )
@@ -724,7 +724,7 @@ def pca_top_component(
         sv = s_rows.agg(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("pos", (F.col("_s").cast("double") / scale).alias("sval")))
+                    F.collect_list(F.struct("pos", (F.col("_s").cast("double") / value_scale).alias("sval")))
                 ),
                 lambda s: s["sval"],
             ).alias("sv"),
@@ -755,7 +755,7 @@ def pca_oracle_sql(
     vec_col: str = "embedding",
     dim: int,
     iterations: int = 6,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
     round_to: int = 6,
 ) -> str:
     """DuckDB oracle for :func:`pca_top_component`: identical rounds
@@ -766,8 +766,8 @@ def pca_oracle_sql(
     parts = [
         f"WITH x AS (SELECT list_transform({vec_col}, c -> CAST(c AS DOUBLE)) AS x FROM {table}),",
         f"""mupos AS (
-          SELECT pos, CAST(sum(CAST(round(v * {scale}) AS BIGINT)) AS DOUBLE)
-                        / {scale} / count(*) AS m, count(*) AS n
+          SELECT pos, CAST(sum(CAST(round(v * {value_scale}) AS BIGINT)) AS DOUBLE)
+                        / {value_scale} / count(*) AS m, count(*) AS n
           FROM (SELECT unnest(x) AS v, generate_subscripts(x, 1) - 1 AS pos FROM x)
           GROUP BY pos
         ),""",
@@ -782,12 +782,12 @@ def pca_oracle_sql(
               FROM xc, v{i}
             ),
             s{i} AS (
-              SELECT pos, sum(CAST(round(c * p * {scale}) AS BIGINT)) AS s, max(n) AS n
+              SELECT pos, sum(CAST(round(c * p * {value_scale}) AS BIGINT)) AS s, max(n) AS n
               FROM (SELECT unnest(xc) AS c, generate_subscripts(xc, 1) - 1 AS pos, p, n FROM p{i})
               GROUP BY pos
             ),
             sv{i} AS (
-              SELECT list(CAST(s AS DOUBLE) / {scale} ORDER BY pos) AS sv, max(n) AS n FROM s{i}
+              SELECT list(CAST(s AS DOUBLE) / {value_scale} ORDER BY pos) AS sv, max(n) AS n FROM s{i}
             ),
             v{i + 1} AS (
               SELECT list_transform(sv, e -> e / sqrt(list_sum(list_transform(sv, q -> q * q)))) AS v,
@@ -810,7 +810,7 @@ def embedding_drift(
     cur: DataFrame,
     vec_col: str = "embedding",
     *,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
     threshold: float = 0.05,
 ) -> DataFrame:
     """Embedding-distribution drift monitor between two corpus
@@ -838,7 +838,7 @@ def embedding_drift(
         )
     )
     per = tagged.groupBy("pos", "_side").agg(
-        F.sum(F.round(F.col("_v").cast("double") * scale, 0).cast("long")).alias("_s"),
+        F.sum(F.round(F.col("_v").cast("double") * value_scale, 0).cast("long")).alias("_s"),
         F.count("*").alias("_n"),
     )
     wide = per.groupBy("pos").agg(
@@ -847,8 +847,8 @@ def embedding_drift(
         F.max(F.when(F.col("_side") == "c", F.col("_s"))).alias("_sc"),
         F.max(F.when(F.col("_side") == "c", F.col("_n"))).alias("_nc"),
     )
-    mean_r = F.col("_sr") / F.lit(float(scale)) / F.col("_nr")
-    mean_c = F.col("_sc") / F.lit(float(scale)) / F.col("_nc")
+    mean_r = F.col("_sr") / F.lit(float(value_scale)) / F.col("_nr")
+    mean_c = F.col("_sc") / F.lit(float(value_scale)) / F.col("_nc")
     return wide.select(
         "pos",
         F.round(mean_r, 6).alias("mean_ref"),
@@ -865,7 +865,7 @@ def embedding_diversity(
     vec_col: str = "embedding",
     seed: int = 17,
     threshold: float = 0.95,
-    scale: int = 10**9,
+    value_scale: int = 10**9,
 ) -> DataFrame:
     """Embedding-collapse probe: ONE row
     ``(n_pairs, mean_cos, high_share)`` — the mean cosine and the
@@ -915,10 +915,10 @@ def embedding_diversity(
     out = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         (
-            F.sum(F.round(F.col("_cos") * scale, 0).cast("long")).cast(
+            F.sum(F.round(F.col("_cos") * value_scale, 0).cast("long")).cast(
                 "double"
             )
-            / scale
+            / value_scale
         ).alias("_s"),
         F.coalesce(
             F.sum((F.col("_cos") >= t).cast("long")), F.lit(0)

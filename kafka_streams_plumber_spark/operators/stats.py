@@ -8,7 +8,7 @@ aggregation — faster at sf0.1 and bit-identical (it reproduces the
 builtin's ``lo*(hiIdx-pos) + hi*(pos-loIdx)`` interpolation, which is
 also DuckDB's ``quantile_cont``).
 
-SCALE-PARAMETER CONVENTION (module-wide; VERDICT r9 item 5, enforced
+SCALE-PARAMETER CONVENTION (every operators/ module; VERDICT r9 item 5, enforced
 by tests/test_stats.py::test_scale_parameter_convention_is_uniform):
 every quantization knob is one of exactly two spellings —
 

@@ -844,7 +844,7 @@ def zipf_fit(
     df: DataFrame,
     text_col: str = "text",
     *,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Zipf's-law fit over the corpus vocabulary: OLS of
     ``ln(count) ~ ln(rank)`` on the frequency-ranked vocabulary.
@@ -859,7 +859,7 @@ def zipf_fit(
     frequency ranking uses ordering.rank_by (range-partitioned global
     rank, no single-task window over the vocabulary); the OLS moments
     are one aggregate of scaled-long terms (each ln product rounded to
-    ``scale`` decimals before summing), so the fit is partition-order-
+    ``value_scale`` decimals before summing), so the fit is partition-order-
     insensitive and replayable in SQL."""
     from kafka_streams_plumber_spark.operators.ordering import rank_by
 
@@ -879,7 +879,7 @@ def zipf_fit(
     y = F.log(F.col("cnt").cast("double"))
 
     def sl(e):  # scaled-long term
-        return F.sum(F.round(e * scale, 0).cast("long")).cast("double") / scale
+        return F.sum(F.round(e * value_scale, 0).cast("long")).cast("double") / value_scale
 
     m = ranked.agg(
         F.count("*").cast("double").alias("n"),
@@ -1169,7 +1169,7 @@ def heaps_fit(
     *,
     id_col: str = "doc_id",
     checkpoints: int = 100,
-    scale: int = 10**6,
+    value_scale: int = 10**6,
 ) -> DataFrame:
     """Heaps'-law vocabulary-growth fit: OLS of ``ln V ~ ln N`` over the
     corpus read in ``id_col`` order, where after ``N`` total tokens the
@@ -1235,7 +1235,7 @@ def heaps_fit(
     y = F.log(F.col("_v").cast("double"))
 
     def sl(e):  # scaled-long term (order-proof double sums)
-        return F.sum(F.round(e * scale, 0).cast("long")).cast("double") / scale
+        return F.sum(F.round(e * value_scale, 0).cast("long")).cast("double") / value_scale
 
     m = cum.agg(
         F.count("*").cast("double").alias("n"),

@@ -7339,7 +7339,7 @@ from kafka_streams_plumber_spark.operators.clustering import (  # noqa: E402
 )
 
 
-@query("q_kcenter", kcenter_oracle_sql(k=4, scale=1000))
+@query("q_kcenter", kcenter_oracle_sql(k=4, value_scale=1000))
 def q_kcenter(spark, sf_dir):
     """Diverse-subset selection (operators/clustering.py:kcenter_select):
     greedy farthest-point traversal over the embeddings table — the
@@ -7351,7 +7351,7 @@ def q_kcenter(spark, sf_dir):
     from kafka_streams_plumber_spark.operators.clustering import kcenter_select
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    return kcenter_select(e, k=4, scale=1000)
+    return kcenter_select(e, k=4, value_scale=1000)
 
 
 from kafka_streams_plumber_spark.operators.behavior import (  # noqa: E402

@@ -2225,11 +2225,34 @@ def test_scale_parameter_convention_is_uniform():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     offenders = []
     styles = {}
-    for mod in ("stats", "sampling"):
+    import glob as _glob
+
+    mods = sorted(
+        os.path.basename(p)[:-3]
+        for p in _glob.glob(
+            os.path.join(
+                repo, "kafka_streams_plumber_spark", "operators", "*.py"
+            )
+        )
+        if not os.path.basename(p).startswith("__")
+    )
+    for mod in mods:
         path = os.path.join(
             repo, "kafka_streams_plumber_spark", "operators", f"{mod}.py"
         )
         tree = ast.parse(open(path).read())
+        # module-level integer constants (e.g. classify.SCALE) are
+        # legal defaults — resolve them for the power-of-ten check
+        consts = {}
+        for node in tree.body:
+            if (
+                isinstance(node, ast.Assign)
+                and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and isinstance(node.value, ast.Constant)
+                and isinstance(node.value.value, int)
+            ):
+                consts[node.targets[0].id] = node.value.value
         for fn in (n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)):
             pairs = list(
                 zip(
@@ -2239,6 +2262,10 @@ def test_scale_parameter_convention_is_uniform():
             for name, default in pairs:
                 if "scale" not in name or default is None:
                     continue
+                if name == "timescale":
+                    # MP4's standard units-per-second field name
+                    # (mvhd/mdhd "timescale"), not a quantization knob
+                    continue
                 if (
                     isinstance(default, ast.BinOp)
                     and isinstance(default.op, ast.Pow)
@@ -2246,6 +2273,8 @@ def test_scale_parameter_convention_is_uniform():
                     and isinstance(default.right, ast.Constant)
                 ):
                     val = default.left.value ** default.right.value
+                elif isinstance(default, ast.Name) and default.id in consts:
+                    val = consts[default.id]
                 else:
                     try:
                         val = ast.literal_eval(default)
@@ -2280,6 +2309,35 @@ def test_scale_parameter_convention_is_uniform():
     # the full per-kernel style ledger this round's audit signed off on;
     # a new scale-ish param must be added here deliberately
     assert styles == {
+        "behavior.rolling_zscore.value_scale": "raw-multiplier",
+        "behavior.forecast_baseline_error.value_scale": "raw-multiplier",
+        "behavior.cusum.value_scale": "raw-multiplier",
+        "behavior.page_hinkley.value_scale": "raw-multiplier",
+        "behavior.seasonal_strength.value_scale": "raw-multiplier",
+        "behavior.trend_break.value_scale": "raw-multiplier",
+        "behavior.durbin_watson.scale": "exponent",
+        "classify.lr_train.value_scale": "raw-multiplier",
+        "classify.lr_oracle_sql.value_scale": "raw-multiplier",
+        "classify.krippendorff_alpha.value_scale": "raw-multiplier",
+        "classify.cronbach_alpha.value_scale": "raw-multiplier",
+        "classify.icc.scale": "exponent",
+        "classify.average_precision.term_scale": "raw-multiplier",
+        "clustering.kcenter_select.value_scale": "raw-multiplier",
+        "clustering.kcenter_oracle_sql.value_scale": "raw-multiplier",
+        "clustering.clustering_agreement.value_scale": "raw-multiplier",
+        "diff.jsd_matrix.value_scale": "raw-multiplier",
+        "diff.psi_drift.value_scale": "raw-multiplier",
+        "diff.quantile_drift.value_scale": "raw-multiplier",
+        "graph.adamic_adar.value_scale": "raw-multiplier",
+        "retrieval.rbo.value_scale": "raw-multiplier",
+        "sampling.neyman_sample.value_scale": "raw-multiplier",
+        "sampling.poisson_bootstrap.value_scale": "raw-multiplier",
+        "sampling.poisson_bootstrap.mean_scale": "raw-multiplier",
+        "similarity.label_centroids.value_scale": "raw-multiplier",
+        "similarity.pca_top_component.value_scale": "raw-multiplier",
+        "similarity.pca_oracle_sql.value_scale": "raw-multiplier",
+        "similarity.embedding_drift.value_scale": "raw-multiplier",
+        "similarity.embedding_diversity.value_scale": "raw-multiplier",
         "stats.standardize.value_scale": "raw-multiplier",
         "stats.bootstrap_ci.value_scale": "raw-multiplier",
         "stats.correlation_matrix.value_scale": "raw-multiplier",
@@ -2299,7 +2357,6 @@ def test_scale_parameter_convention_is_uniform():
         "stats.bartlett.scale": "exponent",
         "stats.partial_corr.scale": "exponent",
         "stats.ljung_box.value_scale": "raw-multiplier",
-        "sampling.neyman_sample.value_scale": "raw-multiplier",
-        "sampling.poisson_bootstrap.value_scale": "raw-multiplier",
-        "sampling.poisson_bootstrap.mean_scale": "raw-multiplier",
+        "text.zipf_fit.value_scale": "raw-multiplier",
+        "text.heaps_fit.value_scale": "raw-multiplier",
     }, styles

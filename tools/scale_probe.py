@@ -434,6 +434,29 @@ def main() -> None:
         "  test_semantic_dedup_auto_sizing_matches_exact), pinned ==",
         "  exact (test_semantic_dedup_lsh_path_matches_exact), exact ==",
         "  DuckDB oracle (q_semantic_keep).",
+        "",
+        "  MEASURED in r10 (tools/zipf_probe.py --section semantic,",
+        "  quiet host), closing the one remaining measured-at-scale gap",
+        "  in the dedup story. Two findings. (a) The Zipf TEXT corpus is",
+        "  the wrong fixture for the SEMANTIC family: hashing-trick",
+        "  embeddings of same-vocabulary text all share the common-word",
+        "  direction, so its true cosine>=0.8 pair graph is ~5.6% dense",
+        "  (measured: 701,505 true pairs among 5k docs, mean pairwise",
+        "  cosine 0.586) — output-bound like the driver corpus, just via",
+        "  a different mechanism; its 1,368 LSH candidates/doc track",
+        "  that density, not the algorithm. (b) On the fixture that",
+        "  isolates the claim — seeded random unit vectors (sparse true",
+        "  pair graph), a planted near-dup every 50 docs, pushed through",
+        "  embedding_dup_pairs with target_bucket_size=64, i.e. the",
+        "  exact component q_semantic_auto runs after hash_embed — the",
+        "  data-derived plane count (7 planes at 5k docs -> 10 at 50k)",
+        "  holds candidate volume LINEAR: 138.1 candidates/doc at 5k ->",
+        "  199.1/doc at 50k (the 1.4x per-doc drift is the ceil(log2)",
+        "  occupancy granularity, bounded by 2x at any size; FIXED",
+        "  7-plane tables at 50k would sit near ~1,170/doc, ~8x worse),",
+        "  wall 4.66 s -> 13.94 s (3.0x on the 10x step), with 940 of",
+        "  the 1,000 planted near-dup pairs recovered (94% recall at 6",
+        "  tables).",
         "  Same exact-kernel caveat for `q_semantic_dedup` /",
         "  `q_semantic_decon` (decontamination additionally bounds one",
         "  side by the benchmark size, so it is linear in the corpus).",
