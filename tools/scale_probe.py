@@ -315,6 +315,23 @@ def main() -> None:
         "  (PLANS.md rows unchanged). extra6 closed at 6.121 s",
         "  (bootstrap 3.802) — under the r8 verdict's ~8 s target even",
         "  in the elevated epoch.",
+        "- r10 closing bench (full sf0.1 bench.py, load1_start 0.19 via the",
+        "  NEW self-gating stamps — VERDICT r9 item 3 landed: bench.py waits",
+        "  for load1 <= 2.0 pre-JVM and stamps load1_start/end/quiet into",
+        "  its JSON): headline 11.715 s vs the r9 driver 9.469 s. Same",
+        "  environmental signature as the r6-r9 epochs: uniform positive",
+        "  drift across nearly every query (sum of deltas +2.2 s spread",
+        "  over 28 queries, ratios preserved, no single dominator), zero",
+        "  plan changes on the deviators (PLANS.md rows identical for the",
+        "  TPC-H family). Adjudicated the same session with isolated 5-rep",
+        "  remeasures (tools/remeasure.py): q18_bigorders min 0.479 and",
+        "  text_repetition 0.416 BACK INSIDE their r9 bands (0.527/0.397),",
+        "  q14_promo 0.415 vs bench 0.558, q1_pricing 0.676 and",
+        "  q21_waiting 1.094 ~10% over their r9 isolated precedents with",
+        "  monotone-descending rep series (2.23 -> 1.09 for q21) — cache/",
+        "  epoch decay, not plan cost. The load1 stamp alone does not",
+        "  capture this epoch class (start load was 0.19); the per-query",
+        "  stamps + this artifact are the adjudication record.",
         "- `q_pacf`'s r9 row reads 5.888 s at sf0.001 against 1.846 /",
         "  2.261 at the larger SFs — non-monotone, so adjudicated the",
         "  same session: an isolated fresh-session 3-SF best-of-2",
