@@ -340,7 +340,7 @@ def rolling_zscore(
         var = (ss - s^2/n) / (n - 1)   over scaled units
 
     One shuffle on the key; the window is key-partitioned (millions of
-    small groups at value_scale, never a global sort).
+    small groups at scale, never a global sort).
     """
     order_cols = order_cols or [ts_col]
     sv = F.round(F.col(value_col) * value_scale).cast("bigint")

@@ -876,9 +876,15 @@ def _krippendorff_metric(
             * (dec(F.col("_m")) * F.col("_q") - F.col("_t") * F.col("_t"))
         ).alias("_w"),
     )
+    # Silent-skip guard (code-review r10): _w is NULL when a unit's
+    # decimal products overflow (a sign-mixed unit can blow the _q
+    # square-sum while its other sums cancel), and F.sum would
+    # silently SKIP that unit while n_units still counts it. The
+    # paired count feeds the output gate (fail-loud).
     s = terms.agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum("_w").alias("_S"),
+        F.count("_w").alias("_wn"),
         F.max("_m").alias("_maxm"),
     )
     totals = scored.agg(
@@ -906,7 +912,10 @@ def _krippendorff_metric(
         F.col("n_categories").cast("long").alias("n_categories"),
         F.round(
             F.when(
-                (F.col("_maxm") <= 16) & (de.cast("double") > 0), alpha
+                (F.col("_maxm") <= 16)
+                & (de.cast("double") > 0)
+                & (F.col("_wn") == F.col("n_units")),
+                alpha,
             ),
             6,
         ).alias("alpha"),
@@ -1050,9 +1059,11 @@ def cronbach_alpha(
         F.count(F.lit(1)).alias("_m"),
         # decimal accumulation for the per-unit total score: a LONG
         # sum wraps once k_items * |v|*value_scale crosses 2^63 (r10
-        # audit); _y stays <= 19 digits whenever the inputs honor
-        # the scaled-long contract, so the decimal(19,0) squares
-        # below are unchanged.
+        # audit). |_y| CAN exceed the decimal(19,0) square envelope
+        # below when k_items * |v|*value_scale >= 10^19 even though
+        # every row honors the per-row contract — the paired-count
+        # guards in the uy/vi aggregates NULL alpha in that regime
+        # instead of silently skipping the overflowed unit.
         F.sum(F.col("_s").cast("decimal(28,0)"))
         .cast("decimal(38,0)")
         .alias("_y"),
@@ -1069,11 +1080,27 @@ def cronbach_alpha(
             F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
         ).alias("_q"),
     )
+    # Silent-skip guards (code-review r10): a decimal overflow NULLs a
+    # per-item/per-unit TERM, and F.sum would silently SKIP it while
+    # the row counts still include it — emitting a confidently wrong
+    # alpha (e.g. 2.0) instead of NULL. Each sum of a nullable term
+    # carries a paired count; the final expression NULLs on any
+    # mismatch, restoring the fail-loud contract the long->decimal
+    # hardening promised. (Overflows in the FINAL vy/num/den products
+    # propagate NULL to alpha on their own; only summed terms can be
+    # absorbed.)
+    vi_term = F.col("_n") * F.col("_q") - F.col("_t") * F.col("_t")
     vi = items.agg(
         F.coalesce(
-            F.sum(F.col("_n") * F.col("_q") - F.col("_t") * F.col("_t")),
+            F.sum(vi_term),
             F.lit(0).cast("decimal(38,0)"),
-        ).alias("_svi")
+        ).alias("_svi"),
+        F.count(F.lit(1)).alias("_vin"),
+        F.count(vi_term).alias("_vit"),
+    )
+    qy_term = (
+        F.col("_y").cast("decimal(19,0)")
+        * F.col("_y").cast("decimal(19,0)")
     )
     uy = complete.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_N"),
@@ -1081,12 +1108,10 @@ def cronbach_alpha(
             F.sum("_y").cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)")
         ).alias("_ty"),
         F.coalesce(
-            F.sum(
-                F.col("_y").cast("decimal(19,0)")
-                * F.col("_y").cast("decimal(19,0)")
-            ),
+            F.sum(qy_term),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_qy"),
+        F.count(qy_term).alias("_qyn"),
     )
     out = uy.crossJoin(F.broadcast(vi)).crossJoin(F.broadcast(k_items))
     vy = F.col("_N") * F.col("_qy") - F.col("_ty") * F.col("_ty")
@@ -1094,7 +1119,10 @@ def cronbach_alpha(
     num = kd * (vy - F.col("_svi"))
     den = (kd - 1) * vy
     alpha = F.when(
-        (F.col("_k") >= 2) & (F.col("_N") >= 2),
+        (F.col("_k") >= 2)
+        & (F.col("_N") >= 2)
+        & (F.col("_qyn") == F.col("_N").cast("long"))
+        & (F.col("_vit") == F.col("_vin")),
         F.round(
             num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), 6
         ),
@@ -1582,9 +1610,12 @@ def icc(
             F.count(F.lit(1)).alias("_m"),
             # decimal accumulation: a LONG per-unit row sum wraps at
             # n_raters * |v|*scale > 2^63, and the unit-total sum _T
-            # below wraps at n_units * that (r10 audit); _ri stays
-            # <= 19 digits under the scaled-long contract so the
-            # decimal(19,0) squares are unchanged.
+            # below wraps at n_units * that (r10 audit). |_ri| CAN
+            # exceed the decimal(19,0) square envelope when
+            # n_raters * |v|*scale >= 10^19 even though every row
+            # honors the per-row contract — the paired-count guards
+            # in the s/cj aggregates NULL the ICCs in that regime
+            # instead of silently skipping the overflowed unit.
             F.sum(F.col("_s").cast("decimal(28,0)"))
             .cast("decimal(38,0)")
             .alias("_ri"),
@@ -1595,6 +1626,16 @@ def icc(
         )
         .where(F.col("_m") == n_raters)
     )
+    # Silent-skip guards (code-review r10): a decimal overflow NULLs a
+    # per-unit/per-rater TERM (|_ri| or |_c| >= 10^19 fails the dec19
+    # cast; a unit's _qi square-sum can pass 10^38 under sign-mixed
+    # inputs whose other sums cancel), and F.sum would silently SKIP
+    # it while the counts still include it — wrong ICCs instead of
+    # NULL. Each sum of a nullable term carries a paired count and the
+    # output gate NULLs on mismatch (fail-loud).
+    r2_term = dec(F.col("_ri").cast("decimal(19,0)")) * F.col(
+        "_ri"
+    ).cast("decimal(19,0)")
     s = per_u.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.coalesce(
@@ -1605,12 +1646,15 @@ def icc(
             "_Q"
         ),
         F.coalesce(
-            F.sum(
-                dec(F.col("_ri").cast("decimal(19,0)"))
-                * F.col("_ri").cast("decimal(19,0)")
-            ),
+            F.sum(r2_term),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_R2"),
+        F.count(F.lit(1)).alias("_sn"),
+        F.count("_qi").alias("_qin"),
+        F.count(r2_term).alias("_r2n"),
+    )
+    c2_term = dec(F.col("_c").cast("decimal(19,0)")) * F.col("_c").cast(
+        "decimal(19,0)"
     )
     cj = (
         r.join(per_u.select("_u"), "_u", "left_semi")
@@ -1625,12 +1669,11 @@ def icc(
         )
         .agg(
             F.coalesce(
-                F.sum(
-                    dec(F.col("_c").cast("decimal(19,0)"))
-                    * F.col("_c").cast("decimal(19,0)")
-                ),
+                F.sum(c2_term),
                 F.lit(0).cast("decimal(38,0)"),
-            ).alias("_C2")
+            ).alias("_C2"),
+            F.count(F.lit(1)).alias("_cjn"),
+            F.count(c2_term).alias("_c2n"),
         )
     )
     out = s.crossJoin(F.broadcast(cj))
@@ -1643,7 +1686,12 @@ def icc(
     num = n * (k - 1) * b - n * e
     den2 = n * (k - 1) * b + n * (k - 1) * e + k * (n - 1) * c - k * e
     den3 = n * (k - 1) * b + n * (k - 1) * e
-    ok = n >= 2
+    ok = (
+        (n >= 2)
+        & (F.col("_qin") == F.col("_sn"))
+        & (F.col("_r2n") == F.col("_sn"))
+        & (F.col("_c2n") == F.col("_cjn"))
+    )
     return out.select(
         n.cast("long").alias("n_items"),
         F.lit(n_raters).cast("long").alias("n_raters"),

@@ -224,6 +224,21 @@ def embedding_dup_pairs_exact(
     )
 
 
+def auto_n_planes(n_rows: int, target_bucket_size: int) -> int:
+    """The data-sized sign-LSH plane count:
+    ``clamp(ceil(log2(n / target)), 4, 24)`` — holds expected bucket
+    occupancy ~constant so candidate volume stays linear in the
+    corpus. Shared by :func:`embedding_dup_pairs` and the scale
+    probes (tools/zipf_probe.py) so a sizing change cannot silently
+    diverge from what the probes measure."""
+    import math
+
+    return min(
+        24,
+        max(4, math.ceil(math.log2(max(2.0, n_rows / target_bucket_size)))),
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     *,
@@ -254,12 +269,7 @@ def embedding_dup_pairs(
     default because the bit-exact SQL oracle must inline a STATIC
     hyperplane set (q_semantic_keep_lsh pins 10)."""
     if target_bucket_size is not None:
-        import math
-
-        n_rows = df.count()
-        n_planes = min(
-            24, max(4, math.ceil(math.log2(max(2.0, n_rows / target_bucket_size))))
-        )
+        n_planes = auto_n_planes(df.count(), target_bucket_size)
     tables = [_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
     sig_array = F.array(
         *[

@@ -15828,7 +15828,15 @@ _WINDOW_SENTINELS = [
 #:   own decimal(38,0) product envelope sits BELOW the long wrap
 #:   threshold, so past-envelope inputs now fail loud (NULL) where
 #:   the old long sums emitted silently wrong values whose squares
-#:   still fit. Affected queries (q_ohlc q_dw q_krippendorff_interval
+#:   still fit. The fail-loud contract is enforced by PAIRED-COUNT
+#:   guards (same-session code review found that a NULLed summed
+#:   TERM — e.g. a sign-mixed unit whose square-sum overflows while
+#:   its value sums cancel — was silently SKIPPED by F.sum while the
+#:   row counts included it; cronbach demonstrably emitted
+#:   alpha=2.0): every sum of a nullable decimal term now carries a
+#:   count and the output gates NULL on mismatch
+#:   (test_classify.py::test_reliability_kernels_fail_loud_on_
+#:   sign_mixed_overflow). Affected queries (q_ohlc q_dw q_krippendorff_interval
 #:   q_krippendorff_ordinal q_cronbach q_icc) were re-proven
 #:   value-identical against their DuckDB oracles this session
 #:   (7/7 incl. nominal q_krippendorff) and ride the r11 reproof

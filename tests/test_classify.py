@@ -1209,3 +1209,49 @@ def test_icc_decimal_sum_fail_loud_past_envelope(spark):
     assert got2["icc2_1"] is not None and got2["icc3_1"] is not None
     assert abs(got2["icc2_1"] - icc2) < 1e-5  # ~0.989282
     assert abs(got2["icc3_1"] - icc3) < 1e-5  # ~0.99043
+
+
+def test_reliability_kernels_fail_loud_on_sign_mixed_overflow(spark):
+    """Code-review r10: a sign-MIXED past-envelope unit NULLs a summed
+    decimal term (its square-sum overflows while its value sums
+    cancel), and F.sum would silently SKIP it while the row counts
+    still include it — cronbach_alpha demonstrably returned the
+    impossible alpha = 2.0. The paired-count guards must NULL all
+    three reliability kernels on such inputs instead."""
+    from kafka_streams_plumber_spark.operators.classify import (
+        cronbach_alpha,
+        icc,
+        krippendorff_alpha,
+    )
+
+    # cronbach: units at +/-6e12 (each row inside the per-row
+    # contract) whose totals +/-1.2e19 fail the dec19 cast, with
+    # normal units alongside
+    rows = (
+        [("u1", "i0", 6.0e12), ("u1", "i1", 6.0e12)]
+        + [("u2", "i0", -6.0e12), ("u2", "i1", -6.0e12)]
+        + [("u3", "i0", 1.0), ("u3", "i1", 2.0)]
+        + [("u4", "i0", 2.0), ("u4", "i1", 1.0)]
+    )
+    df = spark.createDataFrame(rows, "unit string, item string, v double")
+    got = cronbach_alpha(df, "unit", "item", "v").collect()[0]
+    assert got["n_units"] == 4
+    assert got["alpha"] is None  # was 2.0 before the paired-count guard
+
+    # icc: one unit alternating +/-6e12 — its _ri cancels to ~0 while
+    # its _qi square-sum passes 10^38 and NULLs
+    rows2 = [
+        ("u1", f"r{j}", v)
+        for j, v in enumerate([6.0e12, -6.0e12] * 8)
+    ] + [("u2", f"r{j}", float(j)) for j in range(16)]
+    df2 = spark.createDataFrame(rows2, "item string, rater string, v double")
+    r2 = icc(df2, "item", "rater", "v", n_raters=16).collect()[0]
+    assert r2["icc2_1"] is None and r2["icc3_1"] is None
+
+    # krippendorff interval: same sign-mixed unit shape
+    rows3 = [
+        ("u1", f"r{i}", v) for i, v in enumerate([6.0e12, -6.0e12] * 8)
+    ] + [("u2", f"r{i}", float(i)) for i in range(4)]
+    df3 = spark.createDataFrame(rows3, "u string, r string, v double")
+    r3 = krippendorff_alpha(df3, "u", "r", "v", level="interval").collect()[0]
+    assert r3["alpha"] is None

@@ -2254,10 +2254,29 @@ def test_scale_parameter_convention_is_uniform():
             ):
                 consts[node.targets[0].id] = node.value.value
         for fn in (n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)):
-            pairs = list(
-                zip(
-                    [a.arg for a in fn.args.kwonlyargs], fn.args.kw_defaults
+            # kwonly params plus positional-or-keyword params with
+            # defaults — a scale-ish param declared before the bare *
+            # must not escape the convention (code-review r10)
+            pos_with_defaults = (
+                list(
+                    zip(
+                        [a.arg for a in fn.args.args][
+                            len(fn.args.args) - len(fn.args.defaults) :
+                        ],
+                        fn.args.defaults,
+                    )
                 )
+                if fn.args.defaults
+                else []
+            )
+            pairs = (
+                list(
+                    zip(
+                        [a.arg for a in fn.args.kwonlyargs],
+                        fn.args.kw_defaults,
+                    )
+                )
+                + pos_with_defaults
             )
             for name, default in pairs:
                 if "scale" not in name or default is None:

@@ -136,6 +136,10 @@ def main() -> None:
         c = cand_count(d)
         print(f"degenerate {sf_dir} ({n} docs): candidates={c} ({c / n:.1f}/doc)")
 
+    if section == "containment":
+        spark.stop()
+        return
+
     # Semantic-dedup scale path (VERDICT r9 item 4). Two findings:
     #
     # (1) The Zipf TEXT corpus is the WRONG fixture for the semantic
@@ -161,18 +165,20 @@ def main() -> None:
 
     from kafka_streams_plumber_spark.operators.similarity import (
         _hyperplanes,
+        auto_n_planes,
         cosine,
         embedding_dup_pairs,
         hash_embed,
         rp_signature,
     )
 
-    def lsh_candidate_volume(emb, n_docs, id_col="vec_id", vec_col="v"):
-        """(derived n_planes, bucket-stage candidate-pair volume) for
-        the exact auto-sizing arithmetic embedding_dup_pairs uses."""
-        n_planes = min(
-            24, max(4, math.ceil(math.log2(max(2.0, n_docs / 64))))
-        )
+    def lsh_candidate_volume(emb, n_docs, vec_col="v"):
+        """(derived n_planes, bucket-stage candidate-pair volume) via
+        the operator's own auto_n_planes sizing (shared helper, so a
+        sizing change cannot silently diverge from the probe) and the
+        embedding_dup_pairs defaults (6 tables, seed 7, bucket cap
+        2000)."""
+        n_planes = auto_n_planes(n_docs, 64)
         tables = [_hyperplanes(n_planes, 64, 7 + 1000 * t) for t in range(6)]
         sig = F.array(
             *[
@@ -209,9 +215,7 @@ def main() -> None:
         )
         .collect()[0]
     )
-    _, cand_txt = lsh_candidate_volume(
-        emb_txt.withColumnRenamed("doc_id", "vec_id"), 5000, vec_col="v"
-    )
+    _, cand_txt = lsh_candidate_volume(emb_txt, 5000)
     print(
         f"semantic zipf-TEXT 5k docs: true cos>=0.8 pairs {dens['t']} of "
         f"{dens['n']} ({dens['t'] / dens['n'] * 100:.1f}% dense, mean cos "
