@@ -739,6 +739,14 @@ def semantic_dedup(
         embedding_dup_pairs,
         hash_embed,
     )
+    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+
+    # hash_embed's token fold is O(tokens x dim) per row — by far the
+    # heaviest projection in the operator. Widen the SOURCE before the
+    # embedding is attached so it runs on every core even when the
+    # corpus arrives as a single small parquet split; no-op at real
+    # scale (guide §2.5).
+    docs = ensure_parallelism(docs)
 
     if exact:
         e = (

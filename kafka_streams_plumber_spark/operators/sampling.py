@@ -687,15 +687,29 @@ def poisson_bootstrap(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(F.col(id_col).cast("long").alias("_k"), v.alias("_v"))
 
+    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+
+    # The x``b`` explode multiplies rows ~100-200x, so a narrow source
+    # (one small parquet file = 1-3 scan splits) would run the whole
+    # n*b hot loop on 1-3 cores; widen BEFORE the explode is attached
+    # (guide §2.5 — AQE sizes by input bytes and cannot see the fanout).
+    # The salt cell is computed here, pre-explode, so the xxhash64 runs
+    # n times instead of n*b times.
+    base = ensure_parallelism(base)
     rep = base.select(
-        "_k", "_v", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_r")
+        "_k",
+        "_v",
+        F.pmod(F.xxhash64(F.col("_k")), F.lit(salt_cells)).alias("_sl"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_r"),
     )
     h = (F.pmod(F.col("_k") * b + F.col("_r"), F.lit(_M31)) * _KNUTH) % _M31
     u = (h.cast("double") + 1.0) / float(_M31 + 1)
     # w = #{k : u >= CDF[k]} — branch-free indicator sum, identical to
     # walking the increasing CDF (first k with u < CDF[k], else 8) but
     # without the 8-deep nested-conditional codegen of an F.when chain.
-    # This expression runs n*b times; it is the kernel's hot loop.
+    # This expression runs n*b times; it is the kernel's hot loop, so it
+    # is materialized ONCE in a projection below instead of appearing in
+    # two aggregate expressions (which would evaluate it twice per row).
     w: Column = sum(
         (u >= c).cast("long") for c in POISSON1_CDF
     )  # type: ignore[assignment]
@@ -723,11 +737,11 @@ def poisson_bootstrap(
     # Long.MIN_VALUE saturation cannot wrap it, checked against
     # 2^62 to absorb double rounding; the 1.0 floor also bounds the
     # weight-sum partial).
-    part = rep.groupBy(
-        "_r", F.pmod(F.xxhash64(F.col("_k")), F.lit(salt_cells)).alias("_sl")
-    ).agg(
-        F.sum(w * F.col("_v")).alias("_pv"),
-        F.sum(w).alias("_pw"),
+    part = rep.select(
+        "_r", "_sl", "_v", w.alias("_w")
+    ).groupBy("_r", "_sl").agg(
+        F.sum(F.col("_w") * F.col("_v")).alias("_pv"),
+        F.sum("_w").alias("_pw"),
         F.count(F.lit(1)).alias("_pc"),
         # min/max, NOT max(abs(_v)): if an input saturates the
         # double->long cast to Long.MIN_VALUE (outside the documented

@@ -241,6 +241,12 @@ def _containment_candidates(
     t = F.lit(float(threshold))
 
     from kafka_streams_plumber_spark.operators.text import shingles as _sh
+    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+
+    # The shingle explode multiplies each document into hundreds of
+    # (doc, tok) rows; widen the source first so a single-split corpus
+    # file doesn't serialize the whole tokenization (guide §2.5).
+    docs = ensure_parallelism(docs)
 
     cols = [F.col(id_col).alias("doc"), F.explode(_sh(F.col(text_col), k=k)).alias("tok")]
     if block_col is not None:

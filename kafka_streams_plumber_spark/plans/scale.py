@@ -22,6 +22,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, *, multiple: int = 1) -> DataFrame:
+    """Round-robin repartition UP to the session's default parallelism
+    (cores x ``multiple``) when the plan currently has fewer partitions;
+    a no-op otherwise.
+
+    The knob for explosive per-row work fed by a narrow source (guide
+    §2.5 "input skew"): a small parquet file scans as 1-3 splits, so a
+    downstream stage that multiplies rows (sequence-explode bootstrap
+    replicas, LSH table fanout, shingle explode) runs on 1-3 cores no
+    matter how wide the machine is — AQE cannot help because it sizes
+    partitions by INPUT bytes, not by the output of the expansion.
+    Scale-adaptive by construction: a 100 TB scan already has thousands
+    of splits (>= defaultParallelism), so this never repartitions DOWN
+    and never adds an exchange on a big cluster run. Apply to the
+    SOURCE frame, before the expensive projection is attached —
+    repartitioning after would still run the projection on the narrow
+    partitioning.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(1, int(sc.defaultParallelism)) * max(1, int(multiple))
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - .rdd conversion is total on DF plans
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)
+
+
 def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Materialize ``df`` and sever its lineage — the between-rounds step
     of every iterative operator (connected components, PageRank, Lloyd).
