@@ -64,6 +64,15 @@ def connected_components(
             .groupBy(F.col("s").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # The convergence flag is computed IN the same join that builds
+        # the new labels (old component and nbr_min are both in scope),
+        # and the change count rides the materialization pass itself:
+        # truncate_lineage(eager=False) defers persistence to the first
+        # action, and the full-scan sum aggregate below is that action.
+        # One job per round instead of the previous three (checkpoint
+        # job + a labels-self-join + limit(1).count() job) — at a
+        # 25-round ceiling that was ~50 extra job launches of pure
+        # scheduling latency per call.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -71,17 +80,23 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                # NULL nbr_min (no in-neighbors this round) compares
+                # NULL -> filtered out by the sum's cast, same as the
+                # old join-and-compare which could only see rows where
+                # the label actually decreased.
+                (F.col("nbr_min") < F.col("component")).alias("_chg"),
             )
         )
-        new_labels = truncate_lineage(new_labels, checkpoint_dir)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        new_labels = truncate_lineage(
+            new_labels, checkpoint_dir, eager=False
         )
-        labels = new_labels
+        changed = (
+            new_labels.agg(
+                F.sum(F.col("_chg").cast("int")).alias("c")
+            ).collect()[0]["c"]
+            or 0
+        )
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select("node", "component")
@@ -739,7 +754,21 @@ def hits(
         .union(e.select(F.col("e_dst").alias("node")))
         .distinct()
     )
-    nodes = truncate_lineage(nodes, checkpoint_dir)
+    # Scores iterate SPARSE: after round 1 ``auth`` holds only nodes
+    # with in-edges (``hub`` only nodes with out-edges). A node absent
+    # from the sparse frame has score exactly 0 and contributes exactly
+    # 0 to the next half-step's weighted sum, so dropping it from the
+    # loop is value-identical to the old dense nodes-left-join form —
+    # the dense fill happens ONCE at the end instead of twice per
+    # iteration (two joins per half-step removed).
+    #
+    # (An all-lazy unrolled form was tried and is dramatically WORSE:
+    # each half-step's contribution aggregate feeds both its max-
+    # normalizer scalar subquery and the next round, and scalar-
+    # subquery branches do not reliably hit AQE exchange reuse, so the
+    # recomputation compounds per round — 68 s vs 6.6 s at sf0.1. The
+    # per-half-step truncate_lineage below is what keeps round N's work
+    # linear in N.)
     hub = nodes.withColumn("h", F.lit(1.0))
 
     auth = None
@@ -750,16 +779,12 @@ def hits(
             .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
         )
         a_max = a_raw.agg(F.max("a").alias("_m"))
-        auth = (
-            nodes.join(a_raw, "node", "left")
-            .crossJoin(F.broadcast(a_max))
-            .select(
-                "node",
-                F.coalesce(
-                    F.col("a") / F.nullif(F.col("_m"), F.lit(0.0)),
-                    F.lit(0.0),
-                ).alias("a"),
-            )
+        auth = a_raw.crossJoin(F.broadcast(a_max)).select(
+            "node",
+            F.coalesce(
+                F.col("a") / F.nullif(F.col("_m"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("a"),
         )
         auth = truncate_lineage(auth, checkpoint_dir)
         h_raw = (
@@ -768,21 +793,23 @@ def hits(
             .agg(F.sum(F.col("w") * F.col("a")).alias("hh"))
         )
         h_max = h_raw.agg(F.max("hh").alias("_m"))
-        hub = (
-            nodes.join(h_raw, "node", "left")
-            .crossJoin(F.broadcast(h_max))
-            .select(
-                "node",
-                F.coalesce(
-                    F.col("hh") / F.nullif(F.col("_m"), F.lit(0.0)),
-                    F.lit(0.0),
-                ).alias("h"),
-            )
+        hub = h_raw.crossJoin(F.broadcast(h_max)).select(
+            "node",
+            F.coalesce(
+                F.col("hh") / F.nullif(F.col("_m"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("h"),
         )
         hub = truncate_lineage(hub, checkpoint_dir)
 
-    return hub.join(auth, "node").select(
-        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("auth"),
+        )
     )
 
 

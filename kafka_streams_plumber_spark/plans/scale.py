@@ -51,7 +51,9 @@ def ensure_parallelism(df: DataFrame, *, multiple: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
-def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def truncate_lineage(
+    df: DataFrame, checkpoint_dir: str | None = None, *, eager: bool = True
+) -> DataFrame:
     """Materialize ``df`` and sever its lineage — the between-rounds step
     of every iterative operator (connected components, PageRank, Lloyd).
 
@@ -65,12 +67,19 @@ def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFr
     are persisted to the shared filesystem and survive executor loss, at
     the cost of a write per round. Iterative operators expose this as
     their own ``checkpoint_dir`` parameter.
+
+    ``eager=False`` defers materialization to the FIRST ACTION on the
+    returned frame — use it when the caller immediately runs a
+    full-scan action anyway (e.g. connected components' change-count
+    aggregate), fusing the checkpoint job and the action into one job
+    launch. The action must compute every partition (an aggregate, a
+    full write — NOT a limit()) so the checkpoint is fully persisted.
     """
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
         sc.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def salted_join(
