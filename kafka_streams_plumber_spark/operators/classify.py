@@ -1095,6 +1095,11 @@ def cronbach_alpha(
             F.sum(vi_term),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_svi"),
+        # The paired count catches a NULLed TERM, but a SUM that
+        # overflows decimal(38,0) also returns NULL (ansi off) and the
+        # coalesce above would silently read it as 0 — so the raw
+        # sum's null-ness is carried as its own gate (ADVICE r10).
+        F.sum(vi_term).isNotNull().alias("_svi_ok"),
         F.count(F.lit(1)).alias("_vin"),
         F.count(vi_term).alias("_vit"),
     )
@@ -1111,6 +1116,7 @@ def cronbach_alpha(
             F.sum(qy_term),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_qy"),
+        F.sum(qy_term).isNotNull().alias("_qy_ok"),
         F.count(qy_term).alias("_qyn"),
     )
     out = uy.crossJoin(F.broadcast(vi)).crossJoin(F.broadcast(k_items))
@@ -1122,7 +1128,9 @@ def cronbach_alpha(
         (F.col("_k") >= 2)
         & (F.col("_N") >= 2)
         & (F.col("_qyn") == F.col("_N").cast("long"))
-        & (F.col("_vit") == F.col("_vin")),
+        & (F.col("_vit") == F.col("_vin"))
+        & F.col("_qy_ok")
+        & F.col("_svi_ok"),
         F.round(
             num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), 6
         ),
@@ -1649,6 +1657,12 @@ def icc(
             F.sum(r2_term),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_R2"),
+        # Raw-sum null gates: a decimal(38,0) SUM overflow returns NULL
+        # (ansi off) and the coalesces above would read it as 0 while
+        # every TERM was non-NULL, slipping past the paired counts
+        # (ADVICE r10). Carried into the output gate below.
+        F.sum("_qi").isNotNull().alias("_q_ok"),
+        F.sum(r2_term).isNotNull().alias("_r2_ok"),
         F.count(F.lit(1)).alias("_sn"),
         F.count("_qi").alias("_qin"),
         F.count(r2_term).alias("_r2n"),
@@ -1672,6 +1686,7 @@ def icc(
                 F.sum(c2_term),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("_C2"),
+            F.sum(c2_term).isNotNull().alias("_c2_ok"),
             F.count(F.lit(1)).alias("_cjn"),
             F.count(c2_term).alias("_c2n"),
         )
@@ -1691,6 +1706,9 @@ def icc(
         & (F.col("_qin") == F.col("_sn"))
         & (F.col("_r2n") == F.col("_sn"))
         & (F.col("_c2n") == F.col("_cjn"))
+        & F.col("_q_ok")
+        & F.col("_r2_ok")
+        & F.col("_c2_ok")
     )
     return out.select(
         n.cast("long").alias("n_items"),

@@ -42,6 +42,12 @@ _SCALE = 1_000_000
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     """(doc?, w1, w2) adjacent pairs, built inside the token array."""
+    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+
+    # Tokenize + bigram explode multiplies each document into hundreds
+    # of rows; widen a narrow source first (guide §2.5 — one small
+    # parquet split would otherwise run every branch single-task).
+    docs = ensure_parallelism(docs)
     cols = [F.col(id_col).alias("doc")] if id_col else []
     toks = docs.select(*cols, _toks(F.col(text_col)).alias("w"))
     pair = F.explode(

@@ -331,13 +331,34 @@ def containment_join(
     )
     t = F.lit(float(threshold))
 
-    ta = toks.select(F.col("doc").alias("d1"), "tok")
-    tb = toks.select(F.col("doc").alias("d2"), "tok")
+    # Verification via per-doc shingle SETS and one array_intersect per
+    # candidate pair, instead of re-exploding every candidate's full
+    # token list through two joins and a (d1, d2) count aggregate. The
+    # intersection cardinality is identical (toks is distinct at
+    # (doc, tok), and every candidate pair shares >= 1 prefix token so
+    # no pair can drop to an empty join); what changes is the shuffle
+    # grain — O(candidates) array rows instead of O(candidates x |S_a|)
+    # token rows plus their groupBy (guide §2.3: aggregate before you
+    # shuffle / move sets, not exploded rows). Set size is bounded by
+    # document length, the same contract the prefix window already
+    # relies on.
+    sets = toks.groupBy("doc").agg(F.collect_list("tok").alias("_set"))
     inter = (
-        cand.join(ta, "d1")
-        .join(tb, ["d2", "tok"])
-        .groupBy("d1", "d2", "sz1")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.select("d1", "d2", "sz1")
+        .join(
+            sets.select(F.col("doc").alias("d1"), F.col("_set").alias("_s1")),
+            "d1",
+        )
+        .join(
+            sets.select(F.col("doc").alias("d2"), F.col("_set").alias("_s2")),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            "sz1",
+            F.size(F.array_intersect("_s1", "_s2")).cast("long").alias("inter"),
+        )
     )
     cont = F.col("inter") / F.col("sz1")
     return inter.where(cont >= t).select(

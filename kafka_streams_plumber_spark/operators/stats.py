@@ -2419,6 +2419,17 @@ def _anova_on_scaled(base: DataFrame) -> DataFrame:
             ),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_qg"),
+        # Raw-sum null gate: a decimal(38,0) SUM overflow returns NULL
+        # (ansi off) and the coalesces above would read it as 0 with
+        # every term non-NULL — a confidently wrong F instead of NULL
+        # (ADVICE r10). ANDed across groups and into the output gate.
+        (
+            F.sum(F.col("_s").cast("decimal(28,0)")).isNotNull()
+            & F.sum(
+                dec(F.col("_s").cast("decimal(19,0)"))
+                * F.col("_s").cast("decimal(19,0)")
+            ).isNotNull()
+        ).alias("_g_ok"),
     )
     term = F.round(
         F.col("_sg").cast("double")
@@ -2432,6 +2443,13 @@ def _anova_on_scaled(base: DataFrame) -> DataFrame:
         F.coalesce(F.sum("_sg"), F.lit(0).cast("decimal(38,0)")).alias("_S"),
         F.coalesce(F.sum("_qg"), F.lit(0).cast("decimal(38,0)")).alias("_Q"),
         F.coalesce(F.sum(term), F.lit(0).cast("decimal(38,0)")).alias("_A"),
+        (
+            F.coalesce(F.min("_g_ok"), F.lit(True))
+            & F.sum("_ng").isNotNull()
+            & F.sum("_sg").isNotNull()
+            & F.sum("_qg").isNotNull()
+            & F.sum(term).isNotNull()
+        ).alias("_sums_ok"),
     )
     nN = F.col("_N").cast("double")
     s = F.col("_S").cast("double")
@@ -2445,7 +2463,11 @@ def _anova_on_scaled(base: DataFrame) -> DataFrame:
         - F.col("_A").cast("double")
     )
     kd = F.col("_k").cast("double")
-    ok = (F.col("_k") >= 2) & (F.col("_N").cast("long") > F.col("_k"))
+    ok = (
+        (F.col("_k") >= 2)
+        & (F.col("_N").cast("long") > F.col("_k"))
+        & F.col("_sums_ok")
+    )
     f_stat = F.when(
         ok,
         F.round(
@@ -3761,17 +3783,19 @@ def welch_t(
         # n * |_s| crosses 2^63 (inside the 100 TB envelope) — same
         # wrap-before-cast class fixed in autocorrelation/
         # cross_correlation/bartlett/partial_corr; values identical
-        # in the non-wrap regime.
-        F.coalesce(
-            F.sum(F.col("_s").cast("decimal(28,0)")).cast("decimal(38,0)"),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("_sg"),
-        F.coalesce(
-            F.sum(
-                dec(F.col("_s").cast("decimal(19,0)"))
-                * F.col("_s").cast("decimal(19,0)")
-            ),
-            F.lit(0).cast("decimal(38,0)"),
+        # in the non-wrap regime. NO coalesce around these sums: a
+        # decimal(38,0) SUM overflow returns NULL (ansi off) and a
+        # coalesce would silently read it as 0 — letting the NULL
+        # propagate turns overflow into NULL outputs (fail-loud,
+        # ADVICE r10). A group with rows always has non-NULL sums
+        # otherwise, and an ABSENT group already yields NULL via the
+        # min-fold below, so non-overflow values are unchanged.
+        F.sum(F.col("_s").cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("_sg"),
+        F.sum(
+            dec(F.col("_s").cast("decimal(19,0)"))
+            * F.col("_s").cast("decimal(19,0)")
         ).alias("_qg"),
     )
     fold = per.agg(

@@ -1255,3 +1255,45 @@ def test_reliability_kernels_fail_loud_on_sign_mixed_overflow(spark):
     df3 = spark.createDataFrame(rows3, "u string, r string, v double")
     r3 = krippendorff_alpha(df3, "u", "r", "v", level="interval").collect()[0]
     assert r3["alpha"] is None
+
+
+def test_cronbach_alpha_sum_overflow_nulls_not_zero(spark):
+    """ADVICE r11: the paired-count guards catch a NULLed summed TERM
+    but not a NULL SUM — with ansi off, a decimal(38,0) F.sum overflow
+    returns NULL and the surrounding coalesce silently read it as 0.
+    Two units with |_y| ~ 7.5e18: each qy_term ~5.6e37 is non-NULL (so
+    the counts match) but their sum > 1e38 overflows; alpha must be
+    NULL, not a confidently wrong number."""
+    from kafka_streams_plumber_spark.operators.classify import cronbach_alpha
+
+    rows = [
+        (u, f"i{j}", 3.75e12)
+        for u in ("u1", "u2")
+        for j in range(2)
+    ]
+    df = spark.createDataFrame(rows, "unit string, item string, v double")
+    got = cronbach_alpha(df, "unit", "item", "v").collect()[0]
+    y = 2 * round(3.75e12 * 10**6)
+    assert y < 2**63 - 1  # each unit total still fits a long...
+    assert 2 * y * y > 10**38 - 1  # ...but the sum of squares overflows
+    assert (got["n_units"], got["n_items"]) == (2, 2)
+    assert got["alpha"] is None  # fail-loud, never coalesced-to-0 garbage
+
+
+def test_icc_sum_overflow_nulls_not_zero(spark):
+    """ADVICE r11: same NULL-SUM hole in icc's _R2/_C2 — per-term
+    squares ~5.6e37 are non-NULL but their sum overflows decimal(38,0);
+    the ICC outputs must be NULL."""
+    from kafka_streams_plumber_spark.operators.classify import icc
+
+    rows = [
+        (f"u{i}", f"r{j}", 3.75e12)
+        for i in range(2)
+        for j in range(2)
+    ]
+    df = spark.createDataFrame(rows, "item string, rater string, v double")
+    got = icc(df, "item", "rater", "v", n_raters=2).collect()[0]
+    ri = 2 * round(3.75e12 * 10**6)
+    assert 2 * ri * ri > 10**38 - 1
+    assert (got["n_items"], got["n_raters"]) == (2, 2)
+    assert got["icc2_1"] is None and got["icc3_1"] is None

@@ -2379,3 +2379,41 @@ def test_scale_parameter_convention_is_uniform():
         "text.zipf_fit.value_scale": "raw-multiplier",
         "text.heaps_fit.value_scale": "raw-multiplier",
     }, styles
+
+
+def test_welch_t_sum_overflow_nulls_not_zero(spark):
+    """ADVICE r11: welch_t's square-sum can overflow decimal(38,0)
+    while every term is non-NULL (two rows with |_s| ~ 7.5e18 give
+    non-NULL ~5.6e37 squares whose sum > 1e38); with the old coalesce
+    that read as _qg = 0 and a wrong non-NULL t. The NULL now
+    propagates: t and df come out NULL."""
+    from kafka_streams_plumber_spark.operators.stats import welch_t
+
+    rows = [("a", 7.5e12), ("a", 7.5e12), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t(df, "v", "g", "a", "b").collect()[0]
+    s = round(7.5e12 * 10**6)
+    assert s < 2**63 - 1 and 2 * s * s > 10**38 - 1
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["t"] is None and r["df"] is None
+
+
+def test_anova_sum_overflow_nulls_not_zero(spark):
+    """ADVICE r11: same square-sum overflow in _anova_on_scaled — the
+    group-level NULL sum was coalesced to _qg = 0 (wrong non-NULL F);
+    the raw-sum null gate now NULLs f and eta_sq."""
+    from kafka_streams_plumber_spark.operators.stats import anova_oneway
+
+    rows = [
+        ("g1", 7.5e12),
+        ("g1", 7.5e12),
+        ("g2", 1.0),
+        ("g2", 2.0),
+        ("g3", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    s = round(7.5e12 * 10**6)
+    assert 2 * s * s > 10**38 - 1
+    assert r["n"] == 5 and r["k_groups"] == 3
+    assert r["f"] is None and r["eta_sq"] is None

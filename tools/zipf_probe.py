@@ -66,8 +66,15 @@ def main() -> None:
     # independently expensive (each runs minutes of measured walls), so
     # a re-measurement of one never has to pay for the other.
     section = "all"
-    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+    if len(sys.argv) > 1:
+        if len(sys.argv) != 3 or sys.argv[1] != "--section":
+            sys.exit("usage: zipf_probe.py [--section all|containment|semantic]")
         section = sys.argv[2]
+    if section not in {"all", "containment", "semantic"}:
+        sys.exit(
+            f"zipf_probe: unknown --section {section!r}"
+            " (expected all|containment|semantic)"
+        )
     spark = get_spark("zipf-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
