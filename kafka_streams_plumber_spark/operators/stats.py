@@ -4283,16 +4283,35 @@ def qq_table(
     ).select(g.alias("_g"), v.alias("_v"))
     spec = {f"_q{i}": p for i, p in enumerate(ps)}
     per = exact_percentiles(base, "_g", "_v", spec)
-    a = per.where(F.col("_g") == F.lit(group_a))
-    b = per.where(F.col("_g") == F.lit(group_b))
+    # ONE pass over the (2-row) percentile result: the previous
+    # two-filter form (a = per.where(g==a), b = per.where(g==b)) put
+    # the whole exact_percentiles subtree under TWO broadcast
+    # branches, re-running its range exchange + 5*len(ps) conditional
+    # aggregates twice per execution. min(when(...)) over the one
+    # matching row is the row's value (NULL when the side is absent —
+    # same as the old left-join NULL), so the fold below is
+    # value-identical with half the work.
+    wide = per.agg(
+        *[
+            F.min(
+                F.when(F.col("_g") == F.lit(group_a), F.col(f"_q{i}"))
+            ).alias(f"_a{i}")
+            for i in range(len(ps))
+        ],
+        *[
+            F.min(
+                F.when(F.col("_g") == F.lit(group_b), F.col(f"_q{i}"))
+            ).alias(f"_b{i}")
+            for i in range(len(ps))
+        ],
+    )
     spine = df.sparkSession.createDataFrame(
         [(i, p) for i, p in enumerate(ps)], "_i int, p double"
     )
-    qa = F.array(*[F.col(f"a._q{i}") for i in range(len(ps))])
-    qb = F.array(*[F.col(f"b._q{i}") for i in range(len(ps))])
+    qa = F.array(*[F.col(f"_a{i}") for i in range(len(ps))])
+    qb = F.array(*[F.col(f"_b{i}") for i in range(len(ps))])
     out = (
-        spine.join(F.broadcast(a.alias("a")), F.lit(True), "left")
-        .join(F.broadcast(b.alias("b")), F.lit(True), "left")
+        spine.join(F.broadcast(wide), F.lit(True), "left")
         .select(
             "p",
             F.round(

@@ -991,6 +991,12 @@ def content_chunks(
     """
     if window < 1:
         raise ValueError("window must be >= 1")
+    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+
+    # The posexplode multiplies each document into hundreds of token
+    # rows; widen a narrow source first (guide §2.5) so a single-split
+    # corpus file doesn't serialize the tokenize+explode stage.
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
