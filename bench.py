@@ -357,6 +357,13 @@ def main() -> None:
         "queries": timings,
         "extra_total_sec": detail["extra_total_sec"],
         "extra4_total_sec": detail["extra4_total_sec"],
+        # Per-query map for the extra4 block rides the COMPACT line
+        # (VERDICT r10 item 3): extra4 contains the eager iterative
+        # operators (semantic dedup) whose attribution was lost when
+        # the driver's 2,000-char tail truncated the detail line; the
+        # block is 6 queries (~200 chars), inside the tail budget.
+        "extra4_queries": extra4,
+        "extra4_capped_sf": extra4_capped,
         "extra5_total_sec": detail["extra5_total_sec"],
         "extra6_total_sec": detail["extra6_total_sec"],
         "extra7_total_sec": detail["extra7_total_sec"],
