@@ -9,10 +9,11 @@ so they scale to event tables far larger than memory.
 
 Scale notes (100 TB):
 
-- ``funnel``: k-1 joins, but every join input is FILTERED to a single
-  event type first, so each shuffle carries only that step's events —
-  typically a small fraction of the stream. All joins are equi-joins on
-  the user key; AQE broadcasts the later (smaller) stage frames.
+- ``funnel``: k-1 joins, but the event log crosses the network ONCE —
+  the step-filtered three-column projection is hash-partitioned by user
+  up front and every per-step filter, distinct, join and groupBy in the
+  recurrence keys on a superset of {user}, so the single (reused)
+  exchange satisfies them all and the recurrence itself is shuffle-free.
 - ``cohort_retention``: two groupBys (user-grain, then cohort-grain) with
   full map-side combine; the user-grain join is equi-keyed on user_id.
 - ``gap_fill``: per-key ``sequence``-explode bounded by ``max_buckets``
@@ -80,6 +81,18 @@ def funnel(
     All per-stage user sets are union-tagged and counted in ONE
     aggregation job (not one job per stage), so Spark's exchange reuse
     keeps a k-step funnel linear, not O(k^2), in executed stages.
+
+    The event log crosses the network exactly once: the step-filtered
+    three-column projection is hash-partitioned by the user key up
+    front (no explicit partition count — sized by
+    spark.sql.shuffle.partitions and AQE-coalescible), and because the
+    per-step distincts key on (user, t), the recurrence joins on user,
+    and the per-step groupBys on user or (user, t) — all supersets of
+    {user} — that one exchange, reused across every step branch,
+    satisfies each of them and the whole recurrence runs shuffle-free
+    on top of it. Filtering to the funnel's own event types BEFORE the
+    exchange keeps the shuffled bytes equal to the per-step subsets the
+    old per-step shuffles carried, not the whole stream.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -87,36 +100,54 @@ def funnel(
     spark = events.sparkSession
     windowed = within_ms is not None or whole_within_ms is not None
 
+    tcol = F.unix_millis(F.col(ts)) if windowed else F.col(ts)
+    base = (
+        events.where(F.col(t).isin(list(steps)))
+        .select(F.col(u), F.col(t).alias("_step"), tcol.alias("_t"))
+        .repartition(u)
+        # Pushdown barrier: always-true, but non-deterministic, so
+        # Catalyst may not push the per-step `_step =` filters across
+        # it and down through the repartition (which would specialize
+        # each branch's exchange subtree to its own scan filter and
+        # defeat exchange reuse — measured: without this, every step
+        # branch re-scans and re-shuffles its own slice). With the
+        # barrier every branch's exchange subtree is canonically
+        # identical, so AQE stage reuse runs ONE scan + ONE shuffle.
+        # (rand() >= -1 does not work: Spark 4 folds provable rand
+        # bounds.) Retry-safe: the predicate holds for every id, so
+        # the row set is identical however tasks are replayed.
+        .where(F.monotonically_increasing_id() >= F.lit(-1).cast("long"))
+    )
+
     stage_users: list[DataFrame] = []
     if not windowed:
         reach = (
-            events.where(F.col(t) == steps[0])
+            base.where(F.col("_step") == steps[0])
             .groupBy(u)
-            .agg(F.min(ts).alias("t_reach"))
+            .agg(F.min("_t").alias("t_reach"))
         )
         stage_users.append(reach.select(u))
         for step in steps[1:]:
             reach = (
-                events.where(F.col(t) == step)
+                base.where(F.col("_step") == step)
                 .join(reach.withColumnRenamed("t_reach", "t_prev"), u)
-                .where(F.col(ts) >= F.col("t_prev"))
+                .where(F.col("_t") >= F.col("t_prev"))
                 .groupBy(u)
-                .agg(F.min(ts).alias("t_reach"))
+                .agg(F.min("_t").alias("t_reach"))
             )
             stage_users.append(reach.select(u))
     else:
-        tms = F.unix_millis(F.col(ts))
         feas = (
-            events.where(F.col(t) == steps[0])
-            .select(F.col(u), tms.alias("t"))
+            base.where(F.col("_step") == steps[0])
+            .select(F.col(u), F.col("_t").alias("t"))
             .distinct()
             .withColumn("t0", F.col("t"))
         )
         stage_users.append(feas.select(u))
         for step in steps[1:]:
             ev = (
-                events.where(F.col(t) == step)
-                .select(F.col(u), tms.alias("t_ev"))
+                base.where(F.col("_step") == step)
+                .select(F.col(u), F.col("_t").alias("t_ev"))
                 .distinct()
             )
             gate = F.col("t_ev") >= F.col("t")

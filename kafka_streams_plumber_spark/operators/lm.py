@@ -98,10 +98,22 @@ def _gram_logps(
     add-k-smoothed bigram model — the shared scoring core of
     :func:`lm_score` (mean -> perplexity) and :func:`min_k_prob`
     (mean of the lowest k%)."""
+    # The model subtree has several consumers here (ctx, vocab, the
+    # score join, the size gate). Exchange reuse dedupes the map-side
+    # bigram shuffle — the corpus-scale work runs once — but each
+    # consumer re-runs the final (w1, w2) count merge, because column
+    # pruning specializes every consumer's copy of the subtree (ctx
+    # drops w2, vocab drops pairs), so no two copies stay canonically
+    # identical and a repartition pin cannot be shared (measured: both
+    # repartition("w1","w2") — removed as redundant by
+    # EnsureRequirements — and repartition("w1") — three unshared
+    # exchange copies — left the triple merge in place). What DOES cut
+    # a merge: vocab as ONE explode(array(w1, w2)) branch instead of a
+    # two-branch union — the distinct-token set is identical and the
+    # lm subtree loses one consumer (guide §1.2 — remove passes).
     ctx = lm.groupBy("w1").agg(F.sum("pairs").alias("ctx"))
     vocab = (
-        lm.select(F.col("w1").alias("t"))
-        .union(lm.select(F.col("w2").alias("t")))
+        lm.select(F.explode(F.array("w1", "w2")).alias("t"))
         # an EMPTY model (nothing survived training/min_count) would put
         # k * 0 in the denominator; clamping V to 1 degrades gracefully
         # to the uniform-smoothing score instead of div-by-zero garbage

@@ -609,3 +609,18 @@ def test_session4_pair_joins_are_bounded_grain_equi_joins(spark):
             "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan
         ), name
+
+
+def test_funnel_single_event_exchange(spark):
+    """The funnel recurrence must ride ONE user-keyed exchange over the
+    step-filtered event projection: per-step `_step =` filters stay
+    ABOVE the repartition (behind the pushdown barrier) so every step
+    branch's exchange subtree is canonically identical and AQE stage
+    reuse runs one scan + one shuffle. If a refactor lets Catalyst push
+    the per-step equality down to the scan again, each branch gets its
+    own specialized scan/exchange and the event log is read k times."""
+    for name in ["q_funnel", "q_funnel_window"]:
+        df = QUERIES[name](spark, SF)
+        pf = " ".join(pushed_filters(df))
+        assert "In(event_type" in pf, name
+        assert "EqualTo(event_type" not in pf, name
