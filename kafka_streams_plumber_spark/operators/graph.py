@@ -778,6 +778,17 @@ def hits(
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
         )
+        # Checkpoint the RAW half-step aggregate and normalize LAZILY
+        # on top of it: the eager per-round job then carries ONE copy
+        # of the contribution aggregate, where checkpointing the
+        # normalized frame ran the same aggregate twice per half-step
+        # (once for the scores, once inside the max-normalizer's
+        # broadcast branch — scalar-subquery branches don't reliably
+        # hit exchange reuse, the same effect the all-lazy note above
+        # describes). Consumers of the normalized frame re-derive the
+        # max from the materialized checkpoint scan, which is a free
+        # re-read, not a recomputation. Arithmetic identical.
+        a_raw = truncate_lineage(a_raw, checkpoint_dir)
         a_max = a_raw.agg(F.max("a").alias("_m"))
         auth = a_raw.crossJoin(F.broadcast(a_max)).select(
             "node",
@@ -786,12 +797,12 @@ def hits(
                 F.lit(0.0),
             ).alias("a"),
         )
-        auth = truncate_lineage(auth, checkpoint_dir)
         h_raw = (
             e.join(auth, e["e_dst"] == auth["node"])
             .groupBy(F.col("e_src").alias("node"))
             .agg(F.sum(F.col("w") * F.col("a")).alias("hh"))
         )
+        h_raw = truncate_lineage(h_raw, checkpoint_dir)
         h_max = h_raw.agg(F.max("hh").alias("_m"))
         hub = h_raw.crossJoin(F.broadcast(h_max)).select(
             "node",
@@ -800,7 +811,6 @@ def hits(
                 F.lit(0.0),
             ).alias("h"),
         )
-        hub = truncate_lineage(hub, checkpoint_dir)
 
     return (
         nodes.join(hub, "node", "left")
