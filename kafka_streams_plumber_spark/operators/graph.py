@@ -772,22 +772,46 @@ def hits(
     hub = nodes.withColumn("h", F.lit(1.0))
 
     auth = None
-    for _ in range(int(iterations)):
-        a_raw = (
-            e.join(hub, e["e_src"] == hub["node"])
-            .groupBy(F.col("e_dst").alias("node"))
-            .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
-        )
+    for i in range(int(iterations)):
+        if i == 0:
+            # Round-1 shortcut: the initial hub score is 1.0 for EVERY
+            # node, and every non-NULL e_src is in ``nodes`` by
+            # construction, so the join degenerates to an identity —
+            # sum(w * 1.0) grouped by dst ≡ sum(w) grouped by dst. The
+            # isNotNull guard replicates the equi-join's NULL-key drop
+            # exactly. This keeps the whole nodes subtree (two edge
+            # scans + a union-distinct exchange) out of the hot loop;
+            # nodes is only computed once, in the final dense fill.
+            a_raw = (
+                e.where(F.col("e_src").isNotNull())
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg(F.sum(F.col("w")).alias("a"))
+            )
+        else:
+            a_raw = (
+                e.join(hub, e["e_src"] == hub["node"])
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
+            )
         # Checkpoint the RAW half-step aggregate and normalize LAZILY
-        # on top of it: the eager per-round job then carries ONE copy
-        # of the contribution aggregate, where checkpointing the
-        # normalized frame ran the same aggregate twice per half-step
-        # (once for the scores, once inside the max-normalizer's
-        # broadcast branch — scalar-subquery branches don't reliably
-        # hit exchange reuse, the same effect the all-lazy note above
+        # on top of it: the per-round job then carries ONE copy of the
+        # contribution aggregate, where checkpointing the normalized
+        # frame ran the same aggregate twice per half-step (once for
+        # the scores, once inside the max-normalizer's broadcast
+        # branch — scalar-subquery branches don't reliably hit
+        # exchange reuse, the same effect the all-lazy note above
         # describes). Consumers of the normalized frame re-derive the
         # max from the materialized checkpoint scan, which is a free
         # re-read, not a recomputation. Arithmetic identical.
+        # (A LAZY auth checkpoint fused into the hub half-step's job —
+        # the connected-components trick — measured as a WASH in an
+        # interleaved same-session A/B (lazy 3.80 vs eager 3.95 s min,
+        # overlapping reps) and is kept EAGER deliberately: lazy puts
+        # the a_raw subtree under TWO concurrent broadcast branches
+        # (a_max and auth) whose stages race to materialize the same
+        # partitions — on a cluster that can compute the contribution
+        # aggregate twice before the cache fills. Eager runs it exactly
+        # once, deterministically.)
         a_raw = truncate_lineage(a_raw, checkpoint_dir)
         a_max = a_raw.agg(F.max("a").alias("_m"))
         auth = a_raw.crossJoin(F.broadcast(a_max)).select(
