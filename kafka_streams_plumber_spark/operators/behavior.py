@@ -116,7 +116,30 @@ def funnel(
         # (rand() >= -1 does not work: Spark 4 folds provable rand
         # bounds.) Retry-safe: the predicate holds for every id, so
         # the row set is identical however tasks are replayed.
-        .where(F.monotonically_increasing_id() >= F.lit(-1).cast("long"))
+        #
+        # The barrier also references ALL THREE projected columns via
+        # the SIGN BIT of their xxhash64 (shiftright(hash, 63) is -1 or
+        # 0; monotonically_increasing_id() is always >= 0, so the sum
+        # is >= -1 for every row — the predicate stays always-true and
+        # retry-safe): COLUMN pruning is not blocked by a
+        # non-deterministic filter, so without this the stage-1
+        # branch — whose consumer needs only (user, _step) — got its
+        # own 2-column copy of the scan and exchange below the
+        # barrier, and the "one scan, one shuffle" claim was off by
+        # one (the r11 final plan showed two materialized
+        # REPARTITION_BY_COL stages; the plan test pins the fixed
+        # count). The sign-bit form is used instead of 0*hash because
+        # Catalyst constant-folds a zero-weighted term away, which
+        # silently re-enables the pruning.
+        .where(
+            (
+                F.monotonically_increasing_id()
+                + F.shiftright(
+                    F.xxhash64(F.col(u), F.col("_step"), F.col("_t")), 63
+                )
+            )
+            >= F.lit(-1).cast("long")
+        )
     )
 
     stage_users: list[DataFrame] = []
@@ -1673,8 +1696,16 @@ def _pair_join(base: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
     coalesce, which keeps the expansion wide even though its input is
     a few hundred KB. Pair set and per-pair values are identical —
     each (i, j) pair lands in exactly the one cell ``hash(i)``.
+
+    ``k`` is capped at 256 (ADVICE r11): the right panel is replicated
+    ``k``-fold and the repartition is pinned (AQE-uncoalescible), so an
+    uncapped ``defaultParallelism`` on a thousands-of-cores cluster
+    would inflate the replication and the pinned partition count far
+    past what a few-hundred-KB expansion input needs. 256 cells keeps
+    the B^2 expansion wide on any realistic executor wave without
+    scaling the fanout with cluster size.
     """
-    k = max(1, int(base.sparkSession.sparkContext.defaultParallelism))
+    k = max(1, min(int(base.sparkSession.sparkContext.defaultParallelism), 256))
     left = base.withColumn("_psl", F.pmod(F.xxhash64(F.col("_i")), F.lit(k)))
     right = b.withColumn(
         "_psl",

@@ -73,19 +73,51 @@ def connected_components(
         # job + a labels-self-join + limit(1).count() job) — at a
         # 25-round ceiling that was ~50 extra job launches of pure
         # scheduling latency per call.
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                # NULL nbr_min (no in-neighbors this round) compares
-                # NULL -> filtered out by the sum's cast, same as the
-                # old join-and-compare which could only see rows where
-                # the label actually decreased.
-                (F.col("nbr_min") < F.col("component")).alias("_chg"),
-            )
+        #
+        # POINTER JUMPING (VERDICT r11 item 5 — fewer ROUNDS, the
+        # remaining per-call cost being round-count x job latency): the
+        # tentative label t = min(own, nbr_min) is compressed through
+        # the PREVIOUS round's materialized labels, new = label_prev(t).
+        # t is itself a node id in the same component (labels only ever
+        # hold reachable node ids) and label_prev(t) <= t (a node's
+        # label never exceeds its id), so the hop stays inside the
+        # component and keeps the update monotone — the fixpoint is
+        # unchanged (no change requires nbr_min >= component AND the
+        # compression hop already settled, the same local-minimum
+        # condition as plain propagation, hence the identical
+        # (node, min-id) output). Label distance to the component
+        # minimum now roughly HALVES per round (each round applies one
+        # adjacency hop plus one label hop) — diameter-bound walks
+        # converge in ~log2(d) rounds instead of d. Cost: one extra
+        # node-grain equi-join per round against the already-
+        # checkpointed labels frame; the edge-grain join count is
+        # unchanged, and the round is still ONE job.
+        half = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            "component",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("_t"),
+        )
+        hop = labels.select(
+            F.col("node").alias("_t"), F.col("component").alias("_tc")
+        )
+        new_labels = half.join(hop, "_t", "left").select(
+            "node",
+            # _tc is always present (t is a node), but coalesce keeps
+            # the expression total; least() guards the (impossible by
+            # monotonicity) _tc > _t case so the label never increases.
+            F.least(F.col("_t"), F.coalesce("_tc", F.col("_t"))).alias(
+                "_new"
+            ),
+            F.col("component").alias("_old"),
+        ).select(
+            "node",
+            F.col("_new").alias("component"),
+            # NULL-safe: _new is never NULL; strict < mirrors the old
+            # nbr_min < component flag (rows whose label is unchanged
+            # contribute 0 / NULL to the sum either way).
+            (F.col("_new") < F.col("_old")).alias("_chg"),
         )
         new_labels = truncate_lineage(
             new_labels, checkpoint_dir, eager=False
@@ -793,31 +825,32 @@ def hits(
                 .groupBy(F.col("e_dst").alias("node"))
                 .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
             )
-        # Checkpoint the RAW half-step aggregate and normalize LAZILY
-        # on top of it: the per-round job then carries ONE copy of the
-        # contribution aggregate, where checkpointing the normalized
-        # frame ran the same aggregate twice per half-step (once for
-        # the scores, once inside the max-normalizer's broadcast
-        # branch — scalar-subquery branches don't reliably hit
-        # exchange reuse, the same effect the all-lazy note above
-        # describes). Consumers of the normalized frame re-derive the
-        # max from the materialized checkpoint scan, which is a free
-        # re-read, not a recomputation. Arithmetic identical.
-        # (A LAZY auth checkpoint fused into the hub half-step's job —
-        # the connected-components trick — measured as a WASH in an
-        # interleaved same-session A/B (lazy 3.80 vs eager 3.95 s min,
-        # overlapping reps) and is kept EAGER deliberately: lazy puts
-        # the a_raw subtree under TWO concurrent broadcast branches
-        # (a_max and auth) whose stages race to materialize the same
-        # partitions — on a cluster that can compute the contribution
-        # aggregate twice before the cache fills. Eager runs it exactly
-        # once, deterministically.)
-        a_raw = truncate_lineage(a_raw, checkpoint_dir)
-        a_max = a_raw.agg(F.max("a").alias("_m"))
-        auth = a_raw.crossJoin(F.broadcast(a_max)).select(
+        # Checkpoint the RAW half-step aggregate LAZILY and make the
+        # max-normalizer's aggregate the materializing action (the
+        # connected-components trick, VERDICT r11 item 6): ONE job per
+        # half-step computes the contribution aggregate, persists it,
+        # and returns the max as a DRIVER scalar — where the previous
+        # shape ran an eager checkpoint job per half-step and then
+        # re-derived the max inside the NEXT job's broadcast scalar-
+        # subquery branch (an extra stage per half-step, and the
+        # subquery branches bloated the final frame's lazy plan). The
+        # max is an iterative-operator normalizer scalar, the same
+        # collect contract as connected components' change count; the
+        # full-scan max aggregate computes every partition, so the
+        # checkpoint is fully persisted before anything else consumes
+        # it — no concurrent-branch race (each half-step's cache is
+        # complete before the next half-step's plan is even built).
+        # py4j round-trips the IEEE double exactly (binary-exact
+        # literal back into the plan), so the normalized per-element
+        # division is bit-identical to the old broadcast-column form.
+        # (The all-lazy and broadcast-score alternatives measured and
+        # rejected in r11 are documented above / in OPTIMIZATION_r11.)
+        a_raw = truncate_lineage(a_raw, checkpoint_dir, eager=False)
+        a_max = a_raw.agg(F.max("a")).collect()[0][0]
+        auth = a_raw.select(
             "node",
             F.coalesce(
-                F.col("a") / F.nullif(F.col("_m"), F.lit(0.0)),
+                F.col("a") / F.nullif(F.lit(a_max).cast("double"), F.lit(0.0)),
                 F.lit(0.0),
             ).alias("a"),
         )
@@ -826,12 +859,12 @@ def hits(
             .groupBy(F.col("e_src").alias("node"))
             .agg(F.sum(F.col("w") * F.col("a")).alias("hh"))
         )
-        h_raw = truncate_lineage(h_raw, checkpoint_dir)
-        h_max = h_raw.agg(F.max("hh").alias("_m"))
-        hub = h_raw.crossJoin(F.broadcast(h_max)).select(
+        h_raw = truncate_lineage(h_raw, checkpoint_dir, eager=False)
+        h_max = h_raw.agg(F.max("hh")).collect()[0][0]
+        hub = h_raw.select(
             "node",
             F.coalesce(
-                F.col("hh") / F.nullif(F.col("_m"), F.lit(0.0)),
+                F.col("hh") / F.nullif(F.lit(h_max).cast("double"), F.lit(0.0)),
                 F.lit(0.0),
             ).alias("h"),
         )

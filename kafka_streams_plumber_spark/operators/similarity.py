@@ -22,6 +22,7 @@ engines.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -129,7 +130,10 @@ def rp_signature(vec: Column | str, planes: list[list[float]]) -> Column:
     bit-identical to the old one.
     """
     if isinstance(vec, str):
-        return F.expr(_rp_signature_sql(f"`{vec}`", planes))
+        # Escape embedded backticks (ADVICE r11): internal callers only
+        # pass clean names today, but a user-supplied column named
+        # "a`b" would otherwise break out of the quoted identifier.
+        return F.expr(_rp_signature_sql("`" + vec.replace("`", "``") + "`", planes))
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = F.aggregate(
@@ -152,6 +156,9 @@ def _rp_signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
     Column algebra in :func:`rp_signature` builds, parsed in one shot."""
     terms = ["0L"]
     for i, p in enumerate(planes):
+        # repr() of inf/nan would emit invalid SQL; plane weights come
+        # from rng.gauss today, so this is a guard, not a code path.
+        assert all(math.isfinite(w) for w in p), "non-finite plane weight"
         arr = "array(" + ",".join(repr(w) + "D" for w in p) + ")"
         proj = (
             f"aggregate(zip_with({vec_sql}, {arr},"

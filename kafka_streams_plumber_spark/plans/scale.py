@@ -74,11 +74,25 @@ def truncate_lineage(
     aggregate), fusing the checkpoint job and the action into one job
     launch. The action must compute every partition (an aggregate, a
     full write — NOT a limit()) so the checkpoint is fully persisted.
+
+    Reliable-checkpoint path (ADVICE r11): ``RDD.checkpoint()`` writes
+    its files by RE-RUNNING the lineage after the first action unless
+    the blocks are cached, so a bare ``df.checkpoint()`` computes every
+    round's join/aggregate twice on the cluster path. The frame is
+    therefore persist()ed first — the checkpoint write then reads the
+    cached blocks. The eager branch unpersists immediately (files are
+    on disk before checkpoint() returns); the lazy branch cannot know
+    when the caller's action runs, so its cache is left to LRU/spill —
+    node-grain iterative frames, small next to the data.
     """
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
         sc.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint(eager=eager)
+        persisted = df.persist()
+        out = persisted.checkpoint(eager=eager)
+        if eager:
+            persisted.unpersist(blocking=False)
+        return out
     return df.localCheckpoint(eager=eager)
 
 

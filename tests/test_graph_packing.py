@@ -32,6 +32,25 @@ def test_connected_components_transitive_closure_across_rounds(spark):
     assert set(comp.values()) == {0}
 
 
+def test_connected_components_pointer_jumping_round_count(spark):
+    # r12 optimization pin: label distance to the component minimum
+    # roughly halves per round (one adjacency hop + one label-
+    # compression hop), so a diameter-31 path must fully converge
+    # within max_iter=8 (~log2(31)+change-detect rounds). Plain
+    # min-of-neighbors propagation would need 31 rounds and, capped at
+    # 8, would leave far nodes labeled with intermediate ids.
+    n = 31
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id bigint, b_id bigint"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=8).collect()
+    }
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
+
+
 def test_dedup_clusters_keeps_one_canonical_per_cluster(spark):
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
     pairs = spark.createDataFrame(

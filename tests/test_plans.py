@@ -624,3 +624,36 @@ def test_funnel_single_event_exchange(spark):
         pf = " ".join(pushed_filters(df))
         assert "In(event_type" in pf, name
         assert "EqualTo(event_type" not in pf, name
+
+
+def test_funnel_event_exchange_actually_reused(spark):
+    """ADVICE r11: the pushed-filters assertion above does not prove a
+    single exchange MATERIALIZED — a Catalyst change that folds the
+    barrier (it already folds rand() bounds, and it folds 0*hash) would
+    silently revert to k scans/shuffles while keeping In() pushdown.
+    Execute each funnel at test scale and assert the FINAL adaptive
+    plan carries exactly ONE materialized user-keyed
+    REPARTITION_BY_COL exchange, every other step branch riding a
+    ReusedExchange of it."""
+    for name in ["q_funnel", "q_funnel_window"]:
+        df = QUERIES[name](spark, SF)
+        df.write.format("noop").mode("overwrite").save()
+        # the noop write runs its own execution; re-run via collect so
+        # THIS dataset's adaptive plan is finalized
+        df = QUERIES[name](spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        final = plan.split("== Initial Plan ==")[0]
+        mat = [
+            ln
+            for ln in final.split("\n")
+            if "REPARTITION_BY_COL" in ln and "ReusedExchange" not in ln
+        ]
+        reused = [
+            ln
+            for ln in final.split("\n")
+            if "ReusedExchange" in ln and "REPARTITION_BY_COL" in ln
+        ]
+        assert len(mat) == 1, (name, mat)
+        assert len(reused) >= 1, name
