@@ -101,16 +101,23 @@ def _gram_logps(
     # The model subtree has several consumers here (ctx, vocab, the
     # score join, the size gate). Exchange reuse dedupes the map-side
     # bigram shuffle — the corpus-scale work runs once — but each
-    # consumer re-runs the final (w1, w2) count merge, because column
-    # pruning specializes every consumer's copy of the subtree (ctx
-    # drops w2, vocab drops pairs), so no two copies stay canonically
-    # identical and a repartition pin cannot be shared (measured: both
-    # repartition("w1","w2") — removed as redundant by
-    # EnsureRequirements — and repartition("w1") — three unshared
-    # exchange copies — left the triple merge in place). What DOES cut
-    # a merge: vocab as ONE explode(array(w1, w2)) branch instead of a
-    # two-branch union — the distinct-token set is identical and the
-    # lm subtree loses one consumer (guide §1.2 — remove passes).
+    # consumer used to RE-RUN the final (w1, w2) count merge: column
+    # pruning specialized every consumer's copy of the subtree (ctx
+    # drops w2, vocab drops pairs), so no two copies stayed
+    # canonically identical and a bare repartition pin could not be
+    # shared (r11 measured: repartition("w1","w2") removed as
+    # redundant by EnsureRequirements; repartition("w1") made three
+    # UNSHARED exchange copies — the r12 profile showed FOUR identical
+    # merge stages per execution). plans.scale.reuse_barrier solves
+    # exactly this: behind the barrier no consumer can prune or
+    # specialize the merge subtree, so the repartition("w1") exchange
+    # is canonically identical everywhere and AQE materializes it ONCE
+    # (ctx's groupBy("w1") additionally reuses its partitioning).
+    # vocab stays the single explode(array(w1, w2)) branch (r11 —
+    # guide §1.2).
+    from kafka_streams_plumber_spark.plans.scale import reuse_barrier
+
+    lm = reuse_barrier(lm).repartition("w1")
     ctx = lm.groupBy("w1").agg(F.sum("pairs").alias("ctx"))
     vocab = (
         lm.select(F.explode(F.array("w1", "w2")).alias("t"))

@@ -241,7 +241,10 @@ def _containment_candidates(
     t = F.lit(float(threshold))
 
     from kafka_streams_plumber_spark.operators.text import shingles as _sh
-    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+    from kafka_streams_plumber_spark.plans.scale import (
+        ensure_parallelism,
+        reuse_barrier,
+    )
 
     # The shingle explode multiplies each document into hundreds of
     # (doc, tok) rows; widen the source first so a single-split corpus
@@ -252,22 +255,36 @@ def _containment_candidates(
     if block_col is not None:
         cols.insert(1, F.col(block_col).alias("blk"))
     toks = docs.select(*cols).distinct()
+    # Pruning barrier (plans.scale.reuse_barrier): toks feeds several
+    # consumers (freq, sz, the positional window, the verify sets) and
+    # per-consumer column pruning was specializing copies of the whole
+    # scan+explode+distinct subtree, so the exchange materialized more
+    # than once at runtime. Behind the barrier each consumer's subtree
+    # is canonically identical and AQE stage reuse runs ONE explode +
+    # ONE distinct exchange for all of them.
+    toks = reuse_barrier(toks)
     grp = ["blk", "tok"] if block_col is not None else ["tok"]
     freq = toks.groupBy(*grp).agg(F.count(F.lit(1)).alias("freq"))
     sz = toks.groupBy(*(["doc", "blk"] if block_col else ["doc"])).agg(
         F.count(F.lit(1)).alias("sz")
     )
 
+    # POSITIONAL prefix filtering (PPJoin-style; r12). Every token of
+    # every doc gets its 1-based rank r under the global
+    # rarest-frequency-first total order (freq, tok) — ONE windowed
+    # frame shared by both join sides (the b side previously skipped
+    # the window and freq join, which made its subtree different from
+    # a's and cost an extra materialization of the toks exchange).
     part = Window.partitionBy("doc").orderBy("freq", "tok")
-    prefix = (
+    pos = (
         toks.join(freq, grp)
         .withColumn("r", F.row_number().over(part))
         .join(sz, ["doc", "blk"] if block_col else ["doc"])
-        .where(F.col("r") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1)
-        .select("doc", *(["blk"] if block_col else []), "tok", "sz")
+        .select("doc", *(["blk"] if block_col else []), "tok", "r", "sz")
     )
+    prefix = pos.where(F.col("r") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1)
 
-    a, b = prefix.alias("a"), toks.join(sz, ["doc", "blk"] if block_col else ["doc"]).alias("b")
+    a, b = prefix.alias("a"), pos.alias("b")
     on = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") != F.col("b.doc"))
     if block_col is not None:
         on = on & (F.col("a.blk") == F.col("b.blk"))
@@ -278,9 +295,48 @@ def _containment_candidates(
             F.col("b.doc").alias("d2"),
             F.col("a.sz").alias("sz1"),
             F.col("b.sz").alias("sz2"),
+            F.col("a.r").alias("ra"),
+            F.col("b.r").alias("rb"),
         )
         # b must hold at least ceil(t*|S_a|) of a's shingles
         .where(F.col("sz2") >= F.ceil(t * F.col("sz1")))
+        # positional filter: for a TRUE pair, its minimal common token
+        # (under the shared total order) is inside a's prefix — the
+        # standard prefix argument — and every other common token ranks
+        # strictly after it in BOTH docs, so the overlap is at most
+        # 1 + min(sz1 - ra, sz2 - rb). Requiring that bound to reach
+        # ceil(t*sz1) can therefore never drop a true pair (the bound
+        # is valid at the minimal match, which always passes), while
+        # non-minimal matches only ever ADD candidates. Measured at
+        # sf0.1: 206,240 -> a few thousand candidates for 512 true
+        # pairs — the verify stage was 99.75% wasted work before
+        # (guide §1.2: don't compute things you throw away).
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("sz1") - F.col("ra"), F.col("sz2") - F.col("rb")
+            )
+            >= F.ceil(t * F.col("sz1"))
+        )
+        .select("d1", "d2", "sz1", "sz2")
+        # Pinned-width exchange feeding the dedup AND the verify stage:
+        # hashpartitioning(d1, d2) satisfies the distinct's clustered
+        # distribution (subset of its grouping keys), so this REPLACES
+        # the ENSURE_REQUIREMENTS exchange rather than adding one. AQE
+        # coalesces exchanges by INPUT BYTES, and candidate pairs are
+        # ~30 bytes/row while the downstream set-intersection verify is
+        # compute-bound per byte by orders of magnitude — measured at
+        # sf0.1 the verify stage was coalesced to 5 tasks carrying
+        # 1.7-3.5 s of array_intersect work (and the 2-33 s bench
+        # swings tracked this stage under host pressure). Width is
+        # 2 x defaultParallelism, UNCAPPED — it scales with the
+        # cluster, never down, and a pinned exchange is what AQE may
+        # not coalesce (the _pair_join device).
+        .repartition(
+            2 * docs.sparkSession.sparkContext.defaultParallelism,
+            "d1",
+            "d2",
+        )
         .distinct()
     )
     return toks, cand

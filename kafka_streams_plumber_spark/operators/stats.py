@@ -4082,7 +4082,15 @@ def chi2_gof(
         float(w) > 0 for w in target.values()
     ), "target weights must be positive (a zero-weight category is a blocklist question, not a GOF one)"
     wsum = float(sum(float(w) for w in target.values()))
-    spine = df.sparkSession.createDataFrame(
+    # LocalRelation spine (plans.scale.inline_table): createDataFrame
+    # parallelized the k-row spine into a defaultParallelism-slice RDD,
+    # and its FOUR plan references each ran a 32-task ExistingRDD scan
+    # stage — ~2 s of task-launch overhead for 5 rows at sf0.1 (r12
+    # profile). A VALUES table folds at compile time instead.
+    from kafka_streams_plumber_spark.plans.scale import inline_table
+
+    spine = inline_table(
+        df.sparkSession,
         [(str(k), float(w) / wsum) for k, w in sorted(target.items())],
         "_g string, _w double",
     )
@@ -4342,8 +4350,11 @@ def qq_table(
             for i in range(len(ps))
         ],
     )
-    spine = df.sparkSession.createDataFrame(
-        [(i, p) for i, p in enumerate(ps)], "_i int, p double"
+    # LocalRelation spine — same rationale as chi2_gof's (see there).
+    from kafka_streams_plumber_spark.plans.scale import inline_table
+
+    spine = inline_table(
+        df.sparkSession, [(i, p) for i, p in enumerate(ps)], "_i int, p double"
     )
     qa = F.array(*[F.col(f"_a{i}") for i in range(len(ps))])
     qb = F.array(*[F.col(f"_b{i}") for i in range(len(ps))])
@@ -4713,8 +4724,20 @@ def partial_corr(
     the final partial expression are fixed-shape doubles — replayed
     bit-for-bit in SQL.
 
-    Scale design: one aggregate to one row. Nothing else.
+    Scale design: one aggregate to one row — over a source widened to
+    the session parallelism when the scan arrives narrow
+    (plans.scale.ensure_parallelism, a structural no-op on a wide
+    production scan): the per-row work here is six decimal(38,0)
+    multiplies, so a single-row-group file otherwise serializes ~1.4 s
+    of BigDecimal math on 3 scan tasks while 29 cores idle (guide
+    §2.5; interleaved same-session A/B at sf0.1/32 cores: narrow
+    min 1.16 / median 1.46 s vs widened min 0.73 / median 0.79 s —
+    the 3-long-column shuffle costs far less than the serialized
+    aggregate). The projection is attached BEFORE the widening so the
+    exchange carries three longs, not the table.
     """
+    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+
     mult = float(10 ** int(scale))
     mk = lambda c: F.round(  # noqa: E731
         F.col(c).cast("double") * F.lit(mult)
@@ -4724,6 +4747,7 @@ def partial_corr(
         & F.col(y_col).isNotNull()
         & F.col(z_col).isNotNull()
     ).select(mk(x_col).alias("_x"), mk(y_col).alias("_y"), mk(z_col).alias("_z"))
+    base = ensure_parallelism(base)
     dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     agg = base.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),

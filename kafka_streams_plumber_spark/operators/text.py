@@ -1661,12 +1661,27 @@ def tfidf_keywords(
     from kafka_streams_plumber_spark.operators.stats import (
         topk_per_group,
     )
-
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens_lower(F.col(text_col))).alias("_t"),
+    from kafka_streams_plumber_spark.plans.scale import (
+        ensure_parallelism,
+        reuse_barrier,
     )
-    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+
+    # Widen a narrow (single-row-group) source before the explode so
+    # tokenization doesn't serialize on one core (guide §2.5; no-op on
+    # a wide production scan), and share ONE tokenize+count subtree
+    # between its two consumers: dfreq only reads (_t), so column
+    # pruning was otherwise specializing a second count-free copy of
+    # the whole scan+explode+partial-aggregate (two materialized
+    # single-task stages in the r12 profile, 0.46 s each at sf0.1).
+    toks = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select(
+        "_id",
+        F.explode(tokens_lower(F.col("_text"))).alias("_t"),
+    )
+    tf = reuse_barrier(
+        toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    )
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("_df") >= int(min_df))

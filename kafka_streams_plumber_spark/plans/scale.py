@@ -51,6 +51,96 @@ def ensure_parallelism(df: DataFrame, *, multiple: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+def reuse_barrier(df: DataFrame) -> DataFrame:
+    """Always-true filter that makes every consumer of ``df`` share ONE
+    copy of its subtree (scan/exchange), instead of each consumer
+    getting its own column-pruned specialization.
+
+    Two properties do the work:
+
+    - it is NON-DETERMINISTIC (``monotonically_increasing_id``), so
+      Catalyst may not push consumer-specific predicates through it and
+      specialize each branch's exchange subtree (which defeats AQE
+      stage reuse — measured on the funnel: without a barrier every
+      step branch re-scans and re-shuffles its own slice);
+    - it references EVERY column of ``df`` through the SIGN BIT of
+      their xxhash64 (``shiftright(hash, 63)`` is -1 or 0, and
+      ``monotonically_increasing_id() >= 0``, so the predicate holds
+      for every row and is retry-safe) — column pruning is NOT blocked
+      by mere non-determinism, so without the hash term a consumer
+      needing fewer columns still got its own narrowed copy of the
+      subtree below the barrier. A zero-weighted term (``0 * hash``)
+      does NOT work: Catalyst constant-folds it away.
+
+    Use where one mid-plan frame feeds several consumers and the
+    subtree below it is expensive (a scan+explode, a distinct, a
+    shared projection). The cost is one xxhash64 per row at the
+    barrier; the win is subtree-count-minus-one fewer scans/shuffles.
+    """
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.where(
+        (F.monotonically_increasing_id() + F.shiftright(h, 63))
+        >= F.lit(-1).cast("long")
+    )
+
+
+def inline_table(
+    spark: SparkSession, rows: list[tuple], schema: str
+) -> DataFrame:
+    """A small literal frame as a TRUE LocalRelation (SQL ``VALUES``
+    inline table), instead of ``spark.createDataFrame`` — which in
+    PySpark parallelizes even a 5-row list into an RDD of
+    ``defaultParallelism`` slices. Every reference to such a spine then
+    runs a full ``Scan ExistingRDD`` stage (32 near-empty tasks per
+    reference at local[32]; q_gof executed FOUR of them, ~2 s of pure
+    task-launch overhead for 5 rows), and none of the optimizer's
+    local-relation folding (ConvertToLocalRelation) can fire. A VALUES
+    table folds into the plan at compile time — zero stages, zero
+    tasks, and joins against it can collapse entirely.
+
+    ``schema`` is the usual DDL string ("name type, ..."). Values may
+    be str, bool, int, float (finite) or None; each column is wrapped
+    in an explicit CAST to its declared type, so literal-typing quirks
+    (bare 0.1 parsing as DECIMAL) cannot shift a value — a string
+    round-trips via escaping, a float via repr (shortest round-trip
+    form; the exact-decimal intermediate casts to the identical
+    double).
+    """
+    import math as _math
+
+    fields = []
+    for part in schema.split(","):
+        name, _, typ = part.strip().partition(" ")
+        fields.append((name.strip(), typ.strip()))
+    assert fields and all(t for _, t in fields), f"bad schema: {schema}"
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            assert _math.isfinite(v), f"non-finite literal: {v}"
+            return repr(v)
+        raise TypeError(f"unsupported inline_table literal: {type(v)}")
+
+    values = ",".join(
+        "(" + ",".join(lit(v) for v in row) + ")" for row in rows
+    )
+    cols = ",".join(
+        f"CAST(c{i} AS {typ}) AS {name}"
+        for i, (name, typ) in enumerate(fields)
+    )
+    names = ",".join(f"c{i}" for i in range(len(fields)))
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {values}) AS _vals({names})"
+    )
+
+
 def truncate_lineage(
     df: DataFrame, checkpoint_dir: str | None = None, *, eager: bool = True
 ) -> DataFrame:

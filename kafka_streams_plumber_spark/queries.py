@@ -661,7 +661,13 @@ def dedup_exact(spark, sf_dir):
 def text_stats(spark, sf_dir):
     """Token counting + stopword counting + order-insensitive content
     fingerprint, all as one JVM-side projection (operators/text.py)."""
+    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+
     d = load_tables(spark, sf_dir)["documents"]
+    # widen before the tokenize/fingerprint per-row work (guide §2.5;
+    # A/B at sf0.1/32c: min 0.215 -> 0.150 s; text_quality measured a
+    # WASH with the same treatment and stays narrow)
+    d = ensure_parallelism(d.select("doc_id", "text"))
     return d.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
@@ -719,7 +725,14 @@ def text_repetition(spark, sf_dir):
     """Intra-document repetition fractions (duplicate 1/2/3-gram rate,
     operators/text.py:repetition_stats) — the Gopher/C4 boilerplate
     signal that corpus-level dedup can't see."""
+    from kafka_streams_plumber_spark.plans.scale import ensure_parallelism
+
     d = load_tables(spark, sf_dir)["documents"]
+    # widen the narrow single-row-group scan before the heavy per-row
+    # n-gram expression (guide §2.5; no-op on a wide production scan) —
+    # interleaved A/B at sf0.1/32c: narrow min 0.51 / median 0.78 s vs
+    # widened min 0.26 / median 0.38 s, identical rows
+    d = ensure_parallelism(d.select("doc_id", "text"))
     r = d.select("doc_id", TX.repetition_stats("text").alias("_r"))
     return r.select("doc_id", "_r.*")
 

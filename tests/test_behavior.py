@@ -306,6 +306,54 @@ def test_containment_join_finds_quote_inclusion_bruteforce(spark):
     assert (1, 4) in got and (4, 1) in got  # exact dup, both directions
 
 
+def test_containment_positional_filter_never_drops_true_pairs(spark):
+    """r12 pin for the PPJoin positional candidate filter: on a seeded
+    random corpus with heavy shingle sharing, the filtered candidate
+    path must return EXACTLY the brute-force containment pairs at
+    several thresholds (the filter may only drop false candidates —
+    a true pair's minimal common token is in a's prefix and bounds the
+    overlap validly, see _containment_candidates)."""
+    import random
+
+    from kafka_streams_plumber_spark.operators.setsim import containment_join
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(24):
+        n = rng.randint(3, 14)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant guaranteed containments: doc quoted inside a longer doc
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + " " + docs[0][1] + " tail words here"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def sh(s, k=3):
+        w = s.lower().split(" ")
+        return (
+            {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+            if len(w) >= k
+            else {" ".join(w)}
+        )
+
+    sets = {i: sh(s) for i, s in docs}
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["inter"], r["containment"])
+            for r in containment_join(df, threshold=t).collect()
+        }
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a == b:
+                    continue
+                inter = len(sets[a] & sets[b])
+                c = inter / len(sets[a])
+                if c >= t:
+                    want[(a, b)] = (inter, round(c, 6))
+        assert got == want, f"threshold {t}"
+
+
 def test_containment_join_respects_block_col(spark):
     from kafka_streams_plumber_spark.operators.setsim import containment_join
 
