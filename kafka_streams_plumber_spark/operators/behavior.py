@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_streams_plumber_spark.plans.scale import reuse_barrier
+
 
 def funnel(
     events: DataFrame,
@@ -1757,6 +1759,13 @@ def theil_sen(
         F.col(index_col).cast("long").alias("_i"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    # base feeds three consumers (pair-join left, the fanned right
+    # panel, the bucket counts); without the barrier each one carried
+    # its own pruning-specialized copy of the collapse subtree below —
+    # the r12 profile showed three identical map stages per execution
+    # (plans.scale.reuse_barrier; same device across the four trend
+    # kernels).
+    base = reuse_barrier(base)
     b = base.select(
         "_g", F.col("_i").alias("_j"), F.col("_v").alias("_w")
     )
@@ -1827,6 +1836,7 @@ def mann_kendall(
         F.col(index_col).cast("long").alias("_i"),
         v.alias("_v"),
     )
+    base = reuse_barrier(base)  # shared subtree — see theil_sen
     b = base.select(
         "_g", F.col("_i").alias("_j"), F.col("_v").alias("_w")
     )
@@ -1920,6 +1930,7 @@ def mann_kendall_seasonal(
         F.pmod(F.col(index_col).cast("long"), F.lit(period)).alias("_h"),
         v.alias("_v"),
     )
+    base = reuse_barrier(base)  # shared subtree — see theil_sen
     b = base.select(
         "_g", "_h", F.col("_i").alias("_j"), F.col("_v").alias("_w")
     )
@@ -2020,6 +2031,7 @@ def theil_sen_seasonal(
         F.pmod(F.col(index_col).cast("long"), F.lit(period)).alias("_h"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    base = reuse_barrier(base)  # shared subtree — see theil_sen
     b = base.select(
         "_g", "_h", F.col("_i").alias("_j"), F.col("_v").alias("_w")
     )
